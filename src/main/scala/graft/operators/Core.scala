@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The reference's demonstrated capability surface (SURVEY.md §2.1),
+  * re-expressed Spark-first over the driver's TPC-H-ish testdata. The HR
+  * schema maps onto customer→nation→region (SURVEY.md §2.2): `customer`
+  * plays employees (fact/entity), `nation` plays departments (small dim),
+  * `nation→region` plays the locations→countries→regions dim chain.
+  *
+  * Every query is a pure `(SparkSession, sfDir) => DataFrame`, deterministic
+  * as a multiset, with engine-portable column types (SURVEY.md §5.2). Scale
+  * discipline: dims (`nation` 25 rows, `region` 5 rows) are explicitly
+  * `broadcast()`; fact-fact joins shuffle on their keys and rely on AQE for
+  * skew; filters/projects stay declarative so Catalyst pushes them into the
+  * parquet scan.
+  */
+object Core {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // S1/S2 — JDBC full scan (reference README.md:462-467, 549-558).
+  // Parquet binding; the stride-partitioned variant (S2) is content-identical
+  // and modeled by parquet's native split planning.
+  def q01FullScan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+
+  // S4 — pruned read-back with the decimal→bigint narrowing the reference
+  // observes on the Cassandra round trip (README.md:867-889; §1.2 T1).
+  def q02ReadbackProjection(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      col("c_name"),
+      col("c_nationkey").cast("bigint").as("c_nationkey"))
+
+  // P1/P2 — projection dropping FK-ish columns (README.md:781, 804). The
+  // SQL-string and DataFrame-method forms compile to the same plan; the test
+  // suite asserts that equivalence (README.md:801-833).
+  def q03Projection(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+      "l_returnflag", "l_linestatus")
+
+  /** SQL-string twin of q03 (same optimized plan; unit-tested). */
+  def q03ProjectionSql(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             l_returnflag, l_linestatus FROM lineitem_v""")
+  }
+
+  // P3 — bulk rename via toDF (README.md:733-739).
+  def q04RenameLowercase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .toDF("custkey", "name", "nationkey", "acctbal", "mktsegment")
+
+  // F1 — point lookup on the numeric PK (README.md:338).
+  def q05PointLookup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_custkey") === 42L)
+
+  // F2 — equality filter on a non-key column (README.md:321-333).
+  def q06FilterNonkey(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_nationkey") === 7)
+
+  // F3 — equality filter on a string key (README.md:347, 379); p_brand is
+  // the analog of HR job_id='ST_MAN'.
+  def q07FilterString(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#12")
+      .select("p_partkey", "p_name", "p_brand", "p_size")
+
+  // F4 — partition-restricted projection on the denormalized table
+  // (README.md:1005-1022: employees_by_dept WHERE department_id=50).
+  def q08PartitionScan(s: SparkSession, dir: String): DataFrame =
+    denorm(s, dir)
+      .filter(col("n_nationkey") === 7L)
+      .select("n_name", "c_custkey", "c_name")
+
+  /** J1 feed — the flagship denormalization join (README.md:931): fact ⋈
+    * broadcast(dim) with T1's bigint narrowing at the sink boundary. */
+  private def denorm(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val nation = t(s, dir, "nation")
+    customer
+      .join(broadcast(nation),
+        customer("c_nationkey") === nation("n_nationkey"), "inner")
+      .select(
+        col("n_nationkey").cast("bigint").as("n_nationkey"),
+        col("n_name"),
+        col("c_custkey").cast("bigint").as("c_custkey"),
+        col("c_name"))
+  }
+
+  // J1 — inner equi-join building the employees_by_dept analog.
+  def q09DenormJoin(s: SparkSession, dir: String): DataFrame =
+    denorm(s, dir)
+
+  // J2 — equi-join on a string key (README.md:1024-1027). The string-keyed
+  // dim is derived from the fact itself (priority → order count), the
+  // testdata analog of the jobs table.
+  def q10JoinStringkey(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val dim = orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+    orders.join(broadcast(dim), Seq("o_orderpriority"), "inner")
+      .select("o_orderkey", "o_orderpriority", "n_orders")
+  }
+
+  // J3 — self-join (README.md:1029-1032: reports ⋈ managers on
+  // manager_id = employee_id). Testdata self-FK: each customer's "manager"
+  // is the customer whose custkey equals their nationkey.
+  def q11SelfJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val e = c.as("e")
+    val m = c.as("m")
+    e.join(m, col("e.c_nationkey").cast("bigint") === col("m.c_custkey"),
+        "inner")
+      .select(
+        col("e.c_custkey").as("c_custkey"),
+        col("e.c_name").as("c_name"),
+        col("m.c_custkey").as("mgr_custkey"),
+        col("m.c_name").as("mgr_name"))
+  }
+
+  // J4 — multi-way join: the relational answer to F5's 6-hop FK walk
+  // (README.md:317-394 + schema PNG). Left-deep: the two fact-fact joins
+  // shuffle on their keys; the dim chain is broadcast.
+  def q12MultiwayJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("c_custkey"), col("n_name"), col("r_name"))
+  }
+
+  // A1 — count as a one-row result (README.md:596-597, 876-877).
+  def q13Count(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").agg(count(lit(1)).as("n"))
+
+  // A2 — DISTINCT over the denormalized partition key + static column
+  // (README.md:988-1001: distinct department_id, department_name → 11 rows).
+  def q14Distinct(s: SparkSession, dir: String): DataFrame =
+    denorm(s, dir).select("n_nationkey", "n_name").distinct()
+
+  // L2 — clustering order made queryable: rank within partition
+  // (README.md:909, 913 — PRIMARY KEY (dept, emp) ordering semantics).
+  def q15ClusterOrder(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+  }
+
+  // T2 — timestamp rendered to text at the sink boundary (README.md:691 vs
+  // 720; rendered value README.md:702).
+  def q16TimestampFormat(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+        .as("o_date_str"))
+
+  /** Declared query map for this module. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_full_scan" -> (q01FullScan _),
+    "q02_readback_projection" -> (q02ReadbackProjection _),
+    "q03_projection" -> (q03Projection _),
+    "q04_rename_lowercase" -> (q04RenameLowercase _),
+    "q05_point_lookup" -> (q05PointLookup _),
+    "q06_filter_nonkey" -> (q06FilterNonkey _),
+    "q07_filter_string" -> (q07FilterString _),
+    "q08_partition_scan" -> (q08PartitionScan _),
+    "q09_denorm_join" -> (q09DenormJoin _),
+    "q10_join_stringkey" -> (q10JoinStringkey _),
+    "q11_self_join" -> (q11SelfJoin _),
+    "q12_multiway_join" -> (q12MultiwayJoin _),
+    "q13_count" -> (q13Count _),
+    "q14_distinct" -> (q14Distinct _),
+    "q15_cluster_order" -> (q15ClusterOrder _),
+    "q16_timestamp_format" -> (q16TimestampFormat _))
+
+  /** DuckDB oracles (ANSI SQL over the same parquet tables). */
+  val oracleSql: Map[String, String] = Map(
+    "q01_full_scan" ->
+      "SELECT * FROM customer",
+    "q02_readback_projection" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey
+         FROM customer""",
+    "q03_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         l_returnflag, l_linestatus FROM lineitem""",
+    "q04_rename_lowercase" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+         c_nationkey AS nationkey, c_acctbal AS acctbal,
+         c_mktsegment AS mktsegment FROM customer""",
+    "q05_point_lookup" ->
+      "SELECT * FROM customer WHERE c_custkey = 42",
+    "q06_filter_nonkey" ->
+      "SELECT * FROM customer WHERE c_nationkey = 7",
+    "q07_filter_string" ->
+      """SELECT p_partkey, p_name, p_brand, p_size FROM part
+         WHERE p_brand = 'Brand#12'""",
+    "q08_partition_scan" ->
+      """SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE n_nationkey = 7""",
+    "q09_denorm_join" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+         CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+         FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+    "q10_join_stringkey" ->
+      """SELECT o_orderkey, o.o_orderpriority, d.n_orders
+         FROM orders o JOIN (SELECT o_orderpriority, count(*) AS n_orders
+                             FROM orders GROUP BY o_orderpriority) d
+         ON o.o_orderpriority = d.o_orderpriority""",
+    "q11_self_join" ->
+      """SELECT e.c_custkey AS c_custkey, e.c_name AS c_name,
+         m.c_custkey AS mgr_custkey, m.c_name AS mgr_name
+         FROM customer e JOIN customer m
+         ON CAST(e.c_nationkey AS BIGINT) = m.c_custkey""",
+    "q12_multiway_join" ->
+      """SELECT l_orderkey, l_linenumber, c_custkey, n_name, r_name
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey""",
+    "q13_count" ->
+      "SELECT count(*) AS n FROM orders",
+    "q14_distinct" ->
+      """SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+         FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+    "q15_cluster_order" ->
+      """SELECT c_nationkey, c_custkey,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey)
+           AS rn
+         FROM customer""",
+    "q16_timestamp_format" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+         AS o_date_str FROM orders""")
+}
