@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.operators.Core
+
+/** Operator-level checks for the reference surface (SURVEY.md §2.1),
+  * mirroring the transcripts' own validations plus plan-shape assertions
+  * Catalyst is expected to deliver (SURVEY.md §4.2). */
+class CoreSpec extends SparkSpec {
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01 full scan returns every customer row") {
+    assert(Core.q01FullScan(spark, sf1).count() === 150L)
+  }
+
+  test("q02 narrows nationkey to bigint (reference T1 decimal->bigint)") {
+    val df = Core.q02ReadbackProjection(spark, sf1)
+    assert(df.schema("c_nationkey").dataType.typeName === "long")
+  }
+
+  test("q03 SQL-string and DataFrame-method projections optimize to the " +
+    "same plan (reference README.md:801-833 equivalence)") {
+    val p1 = Core.q03Projection(spark, sf1)
+      .queryExecution.optimizedPlan.canonicalized
+    val p2 = Core.q03ProjectionSql(spark, sf1)
+      .queryExecution.optimizedPlan.canonicalized
+    assert(p1 === p2)
+  }
+
+  test("q03 projection prunes the parquet read schema") {
+    val plan = formatted(Core.q03Projection(spark, sf1))
+    assert(!plan.contains("l_shipdate"), "pruned column leaked into scan")
+  }
+
+  test("q05 point lookup pushes the filter to the scan") {
+    val plan = formatted(Core.q05PointLookup(spark, sf1))
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("IsNotNull(c_custkey)"))
+    assert(Core.q05PointLookup(spark, sf1).count() === 1L)
+  }
+
+  test("q09 denorm join broadcasts the nation dim") {
+    val plan = formatted(Core.q09DenormJoin(spark, sf1))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q09 denorm join output matches inner-join row count") {
+    // every customer has a valid nation FK -> |join| == |customer|
+    assert(Core.q09DenormJoin(spark, sf1).count() === 150L)
+  }
+
+  test("q11 self join resolves manager rows") {
+    val df = Core.q11SelfJoin(spark, sf1)
+    // every c_nationkey (0-24) is a valid c_custkey (0-149)
+    assert(df.count() === 150L)
+    val bad = df.filter("mgr_custkey < 0 OR mgr_custkey > 149").count()
+    assert(bad === 0L)
+  }
+
+  test("q12 multiway join keeps every lineitem (FK chain fully covered)") {
+    assert(Core.q12MultiwayJoin(spark, sf1).count() === 6000L)
+  }
+
+  test("q12 multiway join broadcasts both small dims") {
+    val plan = formatted(Core.q12MultiwayJoin(spark, sf1))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins:\n${plan.take(3000)}")
+  }
+
+  test("q13 count matches reference-style row-count check") {
+    assert(Core.q13Count(spark, sf1).head().getLong(0) === 1500L)
+  }
+
+  test("q14 distinct yields one row per nation present in customer") {
+    assert(Core.q14Distinct(spark, sf1).count() === 25L)
+  }
+
+  test("q15 cluster-order rank restarts per partition key") {
+    val df = Core.q15ClusterOrder(spark, sf1)
+    import org.apache.spark.sql.functions._
+    val perGroup = df.groupBy("c_nationkey")
+      .agg(min("rn").as("lo"), count(lit(1)).as("n"), max("rn").as("hi"))
+    val bad = perGroup.filter("lo <> 1 OR hi <> n").count()
+    assert(bad === 0L)
+  }
+
+  test("q16 renders timestamps as text (reference T2)") {
+    val df = Core.q16TimestampFormat(spark, sf1)
+    assert(df.schema("o_date_str").dataType.typeName === "string")
+    val sample = df.filter("o_date_str NOT RLIKE " +
+      "'^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$'").count()
+    assert(sample === 0L)
+  }
+
+  test("limit(n) caps rows like the transcripts' show(n) (L1)") {
+    assert(Core.q01FullScan(spark, sf1).limit(5).count() === 5L)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Extensions
+
+/** North-star extension checks (SURVEY.md §2.3): invariants the DuckDB
+  * differential can't see (complement laws, idempotence, plan shape). */
+class ExtensionsSpec extends SparkSpec {
+
+  test("q20 aggregate groups cover the full returnflag x linestatus space") {
+    val df = Extensions.q20GroupbyAgg(spark, sf1)
+    assert(df.count() > 0 && df.count() <= 9)
+    val total = df.agg(sum("n")).head().getLong(0)
+    assert(total === 6000L)
+  }
+
+  test("q21 window rank returns exactly one winner per nation") {
+    val df = Extensions.q21WindowRank(spark, sf1)
+    assert(df.count() === df.select("c_nationkey").distinct().count())
+  }
+
+  test("q22 semi + anti partition the customer table") {
+    val semi = Extensions.q22SemiJoin(spark, sf1).count()
+    val anti = Extensions.q22SemiAntiJoin(spark, sf1).count()
+    assert(semi + anti === 150L)
+    assert(anti > 0L, "anti side should be non-empty for the P-status probe")
+  }
+
+  test("q23 exact dedup is idempotent and keeps the lowest doc_id") {
+    val once = Extensions.q23DedupExact(spark, sf1)
+    // all 500 texts are distinct at sf0.001 (FIXTURES.md) -> identity
+    assert(once.count() === 500L)
+    // idempotence on a fabricated duplicate set: doc_id shifted copies
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+    val dupes = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000))
+    dupes.createOrReplaceTempView("documents_dupes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("text").orderBy("doc_id")
+    val dedup = dupes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    assert(dedup.count() === 500L)
+    // survivor is always the original (lower) id
+    assert(dedup.filter(col("doc_id") >= 1000).count() === 0L)
+  }
+
+  test("q25 top-k similarity ranks the probe vector itself first") {
+    val ids = Extensions.q25TopkSimilarity(spark, sf1)
+      .collect().map(_.getLong(0))
+    assert(ids.length === 20)
+    assert(ids.head === 0L, "self-similarity (=1.0) must rank first")
+  }
+
+  test("q26 event windows cover the full January span") {
+    val df = Extensions.q26EventWindows(spark, sf1)
+    val days = df.select("day").distinct().count()
+    assert(days === 30L, s"expected 30 one-day windows, got $days")
+    val total = df.agg(sum("n")).head().getLong(0)
+    assert(total === 1000L)
+  }
+
+  test("q27 extracts an integer k from every props JSON") {
+    val df = Extensions.q27JsonExtract(spark, sf1)
+    assert(df.filter(col("k").isNull).count() === 0L)
+  }
+
+  test("q28 set ops partition the custkey set") {
+    val df = Extensions.q28Setops(spark, sf1)
+    val byTag = df.groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTag.values.sum === 150L)
+    assert(df.select("key").distinct().count() === 150L)
+  }
+}
