@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Core, Extensions}
+import graft.operators.{Core, Dedup, Extensions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,8 +21,8 @@ object SparkEntry {
     Core.q09DenormJoin(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Core.queries ++ Extensions.queries
+    Core.queries ++ Extensions.queries ++ Dedup.queries
 
   def oracleSql: Map[String, String] =
-    Core.oracleSql ++ Extensions.oracleSql
+    Core.oracleSql ++ Extensions.oracleSql ++ Dedup.oracleSql
 }

@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash._
+import graft.sources.Tables
+
+/** Near-duplicate detection suite for LLM-data pipelines (north star):
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every operator is a constant number of narrow passes over
+  * the corpus plus ONE shuffle on a bucket/banding key — never an all-pairs
+  * join. MinHash bands turn O(n²) similarity into an equi-join on band
+  * signatures; SimHash reduces a document to one 32-bit int; the embedding
+  * path buckets by random-hyperplane signs before comparing. Candidate
+  * verification happens only within buckets, which stays bounded as the
+  * corpus grows (bucket count scales with corpus size via more
+  * planes/bands).
+  *
+  * Determinism: token hashes use the portable char fold (PortableHash) so
+  * the DuckDB oracle reproduces signatures bit-for-bit. The testdata has no
+  * natural near-dups (all 500 texts distinct, embeddings i.i.d. random), so
+  * the text queries run over `documents` ∪ a deterministically perturbed
+  * copy (drop-last-word, doc_id+100000) — planted near-dups with known ids.
+  */
+object Dedup {
+
+  // LSH geometry: 16 minhashes, 4 bands x 4 rows.
+  val NumHashes = 16
+  val BandRows = 4
+  val NumBands = NumHashes / BandRows
+  val ShingleN = 3
+  val SimhashBits = 32
+  val NumPlanes = 4
+  val CosineTau = 0.3
+  val PlantedOffset = 100000L
+
+  /** ±1 hyperplanes for sign-random-projection bucketing; fixed seed so
+    * both engines inline identical literals. */
+  val planes: Array[Array[Double]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(NumPlanes, 64)(if (rng.nextBoolean()) 1.0 else -1.0)
+  }
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------- text
+
+  /** documents ∪ perturbed copy (text minus last word, shifted doc_id). */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val perturbed = docs.select(
+      (col("doc_id") + PlantedOffset).as("doc_id"),
+      expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')")
+        .as("text"))
+    docs.unionByName(perturbed)
+  }
+
+  private val plantedSql: String =
+    s"""SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + $PlantedOffset AS doc_id,
+               array_to_string(list_slice(string_split(text, ' '), 1,
+                 len(string_split(text, ' ')) - 1), ' ') AS text
+        FROM documents"""
+
+  /** Spark: distinct hashed word-n-gram shingles of `text` (needs a
+    * `size(split(text,' ')) >= ShingleN` guard upstream). 1-based
+    * element_at so indexing matches DuckDB's 1-based lists. */
+  private val sparkShingleHashes: String = {
+    val parts = (0 until ShingleN)
+      .map(k => s"element_at(sw_w, sh_i + $k)").mkString(", ")
+    s"array_distinct(transform(" +
+      s"sequence(1, size(sw_w) - ${ShingleN - 1}), " +
+      s"sh_i -> ${sparkCharFold(s"concat_ws(' ', $parts)")}))"
+  }
+
+  private val duckShingleHashes: String = {
+    val parts = (0 until ShingleN)
+      .map(k => s"sw_w[sh_i + $k]").mkString(", ")
+    s"list_distinct(list_transform(" +
+      s"range(1, len(sw_w) - ${ShingleN - 2}), " +
+      s"sh_i -> ${duckCharFold(s"concat_ws(' ', $parts)")}))"
+  }
+
+  /** Minhash signature element i as a min-over-shingles expression. */
+  private def sigExpr(i: Int, dialect: String): String = {
+    val (amin, transform) =
+      if (dialect == "spark") ("array_min", "transform")
+      else ("list_min", "list_transform")
+    s"$amin($transform(hsd, mh_h -> " +
+      s"(${minhashA(i)} * mh_h + ${minhashB(i)}) % $MersennePrime))"
+  }
+
+  private def bandKeyExpr(b: Int, dialect: String): String =
+    (0 until BandRows).map(r => sigExpr(b * BandRows + r, dialect))
+      .mkString("concat_ws(',', ", ", ", ")")
+
+  /** q30 — MinHash+LSH near-dup candidate pairs over planted documents.
+    * One pass computes all band keys (stack, no re-scan); the only shuffle
+    * is the equi-join on (band, band_key). */
+  def q30DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val base = plantedDocs(s, dir)
+      .withColumn("sw_w", split(col("text"), " "))
+      .filter(size(col("sw_w")) >= ShingleN)
+      .withColumn("hsd", expr(sparkShingleHashes))
+    val keyed = base.select(
+      col("doc_id") +:
+        (0 until NumBands).map(b =>
+          expr(bandKeyExpr(b, "spark")).as(s"bk$b")): _*)
+    val stackArgs = (0 until NumBands)
+      .map(b => s"$b, bk$b").mkString(s"stack($NumBands, ", ", ", ")")
+    val bands = keyed.selectExpr("doc_id", s"$stackArgs as (band, bkey)")
+    val x = bands.as("x")
+    val y = bands.as("y")
+    x.join(y,
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+      .distinct()
+  }
+
+  private def q30OracleSql: String = {
+    val bandSelects = (0 until NumBands).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKeyExpr(b, "duck")} AS bkey FROM hs")
+      .mkString("\n UNION ALL\n ")
+    s"""WITH docs AS ($plantedSql),
+        w AS (SELECT doc_id, string_split(text, ' ') AS sw_w FROM docs
+              WHERE len(string_split(text, ' ')) >= $ShingleN),
+        hs AS (SELECT doc_id, $duckShingleHashes AS hsd FROM w),
+        bands AS ($bandSelects)
+        SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"""
+  }
+
+  /** q31 — 32-bit SimHash per document (word-level token hashes with
+    * multiplicity; bit b set iff more tokens have bit b than not). A
+    * document collapses to one int — near-dup = small hamming distance,
+    * testable with a single groupBy at any scale. */
+  def q31DedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val terms = (0 until SimhashBits).map { b =>
+      val m = 1L << b
+      s"(CASE WHEN aggregate(ths, 0L, (sa_a, sa_h) -> " +
+        s"sa_a + ((sa_h DIV $m) % 2) * 2 - 1) > 0 THEN ${m}L ELSE 0L END)"
+    }.mkString(" + ")
+    t(s, dir, "documents")
+      .withColumn("ths",
+        expr(s"transform(split(text, ' '), tw -> ${sparkCharFold("tw")})"))
+      .select(col("doc_id"), expr(terms).as("simhash"))
+  }
+
+  private def q31OracleSql: String = {
+    val terms = (0 until SimhashBits).map { b =>
+      val m = 1L << b
+      s"(CASE WHEN list_sum(list_transform(ths, sa_h -> " +
+        s"((sa_h // $m) % 2) * 2 - 1)) > 0 THEN $m ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id,
+          list_transform(string_split(text, ' '),
+            tw -> ${duckCharFold("tw")}) AS ths
+        FROM documents)
+        SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM tok"""
+  }
+
+  /** q32 — n-gram Jaccard vs probe document doc_id=0: distinct word
+    * 3-grams, intersection/union sizes as exact ints. The probe side is a
+    * broadcast; the corpus side is one aggregation — no all-pairs work. */
+  def q32DedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val parts = (0 until ShingleN)
+      .map(k => s"element_at(sw_w, sh_i + $k)").mkString(", ")
+    val shingleStrings =
+      s"array_distinct(transform(sequence(1, size(sw_w) - ${ShingleN - 1}), " +
+        s"sh_i -> concat_ws(' ', $parts)))"
+    val sh = t(s, dir, "documents")
+      .withColumn("sw_w", split(col("text"), " "))
+      .filter(size(col("sw_w")) >= ShingleN)
+      .select(col("doc_id"), explode(expr(shingleStrings)).as("sh"))
+    val probe = sh.filter(col("doc_id") === 0L).select(col("sh").as("psh"))
+    val nProbe = probe.agg(count(lit(1)).as("n_probe"))
+    val inter = sh.join(broadcast(probe), col("sh") === col("psh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_inter"))
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .join(inter, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .crossJoin(broadcast(nProbe))
+      .select(
+        col("doc_id"), col("n_inter"),
+        (col("n_sh") + col("n_probe") - col("n_inter")).as("n_union"))
+  }
+
+  private def q32OracleSql: String = {
+    val parts = (0 until ShingleN)
+      .map(k => s"sw_w[sh_i + $k]").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS sw_w
+                   FROM documents
+                   WHERE len(string_split(text, ' ')) >= $ShingleN),
+        sh AS (SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(list_transform(
+            range(1, len(sw_w) - ${ShingleN - 2}),
+            sh_i -> concat_ws(' ', $parts))) AS sh FROM w)),
+        p AS (SELECT sh FROM sh WHERE doc_id = 0),
+        i AS (SELECT s.doc_id, count(*) AS n_inter
+              FROM sh s JOIN p USING (sh) GROUP BY s.doc_id),
+        c AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+        SELECT c.doc_id,
+               CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+               CAST(c.n_sh + (SELECT count(*) FROM p)
+                    - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union
+        FROM c LEFT JOIN i ON c.doc_id = i.doc_id"""
+  }
+
+  // ----------------------------------------------------------- embeddings
+
+  private def planeLit(p: Int, dialect: String): String =
+    if (dialect == "spark")
+      planes(p).map(v => s"${v}D").mkString("array(", ", ", ")")
+    else planes(p).map(_.toString).mkString("[", ", ", "]")
+
+  /** q33 — embedding-cosine near-dup pairs via sign-random-projection
+    * bucketing: 4 fixed ±1 hyperplanes → 16 buckets; all-pairs cosine runs
+    * only within a bucket. Returns (vec_id_1, vec_id_2) with cosine ≥ 0.3
+    * (the corpus is i.i.d. random; real near-dups would use ≥ 0.9). */
+  def q33DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val dot = "aggregate(zip_with(%s, %s, (zx, zy) -> zx * zy), 0D, " +
+      "(za, zb) -> za + zb)"
+    val bucketTerms = (0 until NumPlanes).map { p =>
+      s"(CASE WHEN ${dot.format("ed", planeLit(p, "spark"))} >= 0D " +
+        s"THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val e = t(s, dir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(expr(dot.format("ed", "ed"))))
+      .withColumn("bucket", expr(bucketTerms))
+      .select("vec_id", "ed", "nrm", "bucket")
+    val x = e.as("x")
+    val y = e.as("y")
+    x.join(y,
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos",
+        expr(dot.format("x.ed", "y.ed")) / (col("x.nrm") * col("y.nrm")))
+      .filter(col("cos") >= CosineTau)
+      .select(col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"))
+  }
+
+  private def q33OracleSql: String = {
+    val bucketTerms = (0 until NumPlanes).map { p =>
+      s"(CASE WHEN list_dot_product(ed, ${planeLit(p, "duck")}) >= 0 " +
+        s"THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+                   FROM embeddings),
+        b AS (SELECT vec_id, ed,
+                     sqrt(list_dot_product(ed, ed)) AS nrm,
+                     $bucketTerms AS bucket FROM e)
+        SELECT x.vec_id AS vec_id_1, y.vec_id AS vec_id_2
+        FROM b x JOIN b y
+          ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE list_dot_product(x.ed, y.ed) / (x.nrm * y.nrm) >= $CosineTau"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_minhash_lsh" -> (q30DedupMinhashLsh _),
+    "q31_dedup_simhash" -> (q31DedupSimhash _),
+    "q32_dedup_ngram_jaccard" -> (q32DedupNgramJaccard _),
+    "q33_dedup_embedding" -> (q33DedupEmbedding _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_dedup_minhash_lsh" -> q30OracleSql,
+    "q31_dedup_simhash" -> q31OracleSql,
+    "q32_dedup_ngram_jaccard" -> q32OracleSql,
+    "q33_dedup_embedding" -> q33OracleSql)
+}
