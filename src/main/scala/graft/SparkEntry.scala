@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Core, Dedup, Extensions}
+import graft.operators.{Core, Dedup, Extensions, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,8 +21,10 @@ object SparkEntry {
     Core.q09DenormJoin(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Core.queries ++ Extensions.queries ++ Dedup.queries
+    Core.queries ++ Extensions.queries ++ Dedup.queries ++
+      Similarity.queries
 
   def oracleSql: Map[String, String] =
-    Core.oracleSql ++ Extensions.oracleSql ++ Dedup.oracleSql
+    Core.oracleSql ++ Extensions.oracleSql ++ Dedup.oracleSql ++
+      Similarity.oracleSql
 }

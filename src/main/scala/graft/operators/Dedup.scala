@@ -224,15 +224,15 @@ object Dedup {
     * only within a bucket. Returns (vec_id_1, vec_id_2) with cosine ≥ 0.3
     * (the corpus is i.i.d. random; real near-dups would use ≥ 0.9). */
   def q33DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val dot = "aggregate(zip_with(%s, %s, (zx, zy) -> zx * zy), 0D, " +
-      "(za, zb) -> za + zb)"
+    import graft.functions.VectorFunctions.{register, vec_dot}
+    register(s)
     val bucketTerms = (0 until NumPlanes).map { p =>
-      s"(CASE WHEN ${dot.format("ed", planeLit(p, "spark"))} >= 0D " +
+      s"(CASE WHEN vec_dot(ed, ${planeLit(p, "spark")}) >= 0D " +
         s"THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
     val e = t(s, dir, "embeddings")
       .withColumn("ed", col("embedding").cast("array<double>"))
-      .withColumn("nrm", sqrt(expr(dot.format("ed", "ed"))))
+      .withColumn("nrm", sqrt(vec_dot(col("ed"), col("ed"))))
       .withColumn("bucket", expr(bucketTerms))
       .select("vec_id", "ed", "nrm", "bucket")
     val x = e.as("x")
@@ -241,7 +241,7 @@ object Dedup {
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .withColumn("cos",
-        expr(dot.format("x.ed", "y.ed")) / (col("x.nrm") * col("y.nrm")))
+        vec_dot(col("x.ed"), col("y.ed")) / (col("x.nrm") * col("y.nrm")))
       .filter(col("cos") >= CosineTau)
       .select(col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"))
   }

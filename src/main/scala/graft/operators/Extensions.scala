@@ -96,25 +96,24 @@ object Extensions {
         sum(col("n_words")).cast("bigint").as("sum_words"))
 
   // q25 — brute-force top-k cosine similarity vs probe vector vec_id=0.
-  // Float arrays are cast to double BEFORE any arithmetic; dot and norms are
-  // sequential left folds so DuckDB's list_dot_product matches bit-for-bit.
-  // Output is ids only (scores never exposed, SURVEY.md §5.2). The probe is
-  // a broadcast 1-row cross join: at scale this is a map-only pass over the
-  // embeddings + a TakeOrderedAndProject — no shuffle of the data itself.
+  // Float arrays are cast to double BEFORE any arithmetic; the codegen'd
+  // vec_dot expression is the same sequential left fold as DuckDB's
+  // list_dot_product, so the oracle stays bit-exact. Output is ids only
+  // (scores never exposed, SURVEY.md §5.2). The probe is a broadcast 1-row
+  // cross join: at scale this is a map-only pass over the embeddings + a
+  // TakeOrderedAndProject — no shuffle of the data itself.
   def q25TopkSimilarity(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{register, vec_dot}
+    register(s)
     val emb = t(s, dir, "embeddings")
     val probe = emb.filter(col("vec_id") === 0L)
       .select(col("embedding").cast("array<double>").as("probe"))
     emb
       .crossJoin(broadcast(probe))
       .withColumn("e", col("embedding").cast("array<double>"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(e, probe, (x, y) -> x * y), 0D, (a, b) -> a + b)"))
-      .withColumn("norm_e", sqrt(expr(
-        "aggregate(e, 0D, (a, x) -> a + x * x)")))
-      .withColumn("norm_p", sqrt(expr(
-        "aggregate(probe, 0D, (a, x) -> a + x * x)")))
-      .withColumn("sim", col("dot") / (col("norm_e") * col("norm_p")))
+      .withColumn("sim", vec_dot(col("e"), col("probe")) /
+        (sqrt(vec_dot(col("e"), col("e"))) *
+          sqrt(vec_dot(col("probe"), col("probe")))))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(20)
       .select("vec_id")

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{register, vec_dot}
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the embeddings column.
+  *
+  * Two declared paths (north star):
+  *  - q25 (Extensions): brute-force cosine top-k — the exact baseline. A
+  *    map-only scan + TakeOrderedAndProject; at 100 TB it reads everything
+  *    but shuffles only k rows per partition.
+  *  - q29 (here): IVF-style ANN — assign every vector to its nearest
+  *    centroid once (a broadcast of #centroids rows), then search only the
+  *    probe's cell (nprobe=1). The full-corpus pass drops from
+  *    O(n · k_probe) per query to O(n / #cells) — the standard scale path
+  *    when queries outnumber corpus rebuilds.
+  *
+  * Centroids are a deterministic stand-in for a trained codebook (vectors
+  * vec_id < 16): k-means iteration order isn't reproducible across engines,
+  * and the *query* semantics — assignment, cell restriction, ranked
+  * retrieval — are what this operator declares. All vector math runs
+  * through the codegen'd `vec_dot` Catalyst expression (same sequential
+  * fold as DuckDB's list_dot_product, so the oracle stays bit-exact).
+  */
+object Similarity {
+
+  val NumCentroids = 16
+  val TopK = 10
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Embeddings with double-cast vectors and precomputed norms. */
+  private def vectors(s: SparkSession, dir: String): DataFrame = {
+    register(s)
+    t(s, dir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(vec_dot(col("ed"), col("ed"))))
+      .select("vec_id", "ed", "nrm")
+  }
+
+  /** q29 — IVF ANN: nearest-centroid assignment, then top-k within the
+    * probe's cell. */
+  def q29AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = vectors(s, dir)
+    val cent = e.filter(col("vec_id") < NumCentroids).select(
+      col("vec_id").as("cent_id"), col("ed").as("ced"),
+      col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("cent_id"))
+    val assign = e.crossJoin(broadcast(cent))
+      .withColumn("cos",
+        vec_dot(col("ed"), col("ced")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "ed", "nrm", "cent_id")
+    val probeCell = assign.filter(col("vec_id") === 0L)
+      .select(col("cent_id").as("pc"))
+    val probe = e.filter(col("vec_id") === 0L)
+      .select(col("ed").as("ped"), col("nrm").as("pnrm"))
+    assign.join(broadcast(probeCell), col("cent_id") === col("pc"))
+      .crossJoin(broadcast(probe))
+      .withColumn("pcos",
+        vec_dot(col("ed"), col("ped")) / (col("nrm") * col("pnrm")))
+      .orderBy(col("pcos").desc, col("vec_id"))
+      .limit(TopK)
+      .select("vec_id")
+  }
+
+  private def q29OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+        cent AS (SELECT vec_id AS cent_id, ed AS ced, nrm AS cnrm
+                 FROM e WHERE vec_id < $NumCentroids),
+        assigned AS (SELECT vec_id, ed, nrm, cent_id FROM (
+          SELECT e.vec_id, e.ed, e.nrm, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.ed, c.ced) / (e.nrm * c.cnrm)
+                DESC, c.cent_id) AS rn
+          FROM e CROSS JOIN cent c) WHERE rn = 1),
+        pc AS (SELECT cent_id FROM assigned WHERE vec_id = 0),
+        p AS (SELECT ed AS ped, nrm AS pnrm FROM e WHERE vec_id = 0)
+        SELECT a.vec_id FROM assigned a, pc, p
+        WHERE a.cent_id = pc.cent_id
+        ORDER BY list_dot_product(a.ed, p.ped) / (a.nrm * p.pnrm) DESC,
+                 a.vec_id
+        LIMIT $TopK"""
+
+  /** Library API: exact top-k cosine neighbors of an arbitrary probe
+    * vector (brute force, codegen'd dot product). */
+  def topKCosine(embeddings: DataFrame, probe: Array[Double], k: Int)
+      : DataFrame = {
+    val probeLit = array(probe.map(lit): _*)
+    embeddings
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("p", probeLit)
+      .withColumn("sim", vec_dot(col("ed"), col("p")) /
+        (sqrt(vec_dot(col("ed"), col("ed"))) *
+          sqrt(vec_dot(col("p"), col("p")))))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .select("vec_id", "sim")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_ann_ivf" -> (q29AnnIvf _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q29_ann_ivf" -> q29OracleSql)
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** The custom Catalyst expression must be bit-identical to the
+  * higher-order-function formulation (same sequential fold), run inside
+  * whole-stage codegen, and be callable from SQL. */
+class VectorExpressionsSpec extends SparkSpec {
+
+  private def vecs = {
+    VectorFunctions.register(spark)
+    Tables.load(spark, sf1, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+  }
+
+  test("vec_dot matches aggregate/zip_with bit-for-bit on all vectors") {
+    val df = vecs
+      .withColumn("hof", expr(
+        "aggregate(zip_with(ed, ed, (x, y) -> x * y), 0D, (a, b) -> a + b)"))
+      .withColumn("native", VectorFunctions.vec_dot(col("ed"), col("ed")))
+    val diff = df.filter(col("hof") =!= col("native")).count()
+    assert(diff === 0L, "fold order must match the HOF form exactly")
+  }
+
+  test("vec_dot participates in whole-stage codegen") {
+    val df = vecs.select(
+      VectorFunctions.vec_dot(col("ed"), col("ed")).as("d"))
+    val code = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    // the generated loop from DotProductD.doGenCode, not a fallback call
+    assert(code.contains(".getDouble("), code.take(2000))
+    assert(code.contains("WholeStageCodegen"), code.take(2000))
+  }
+
+  test("vec_dot is callable from SQL via the registry") {
+    vecs.createOrReplaceTempView("emb_v")
+    val n = spark.sql(
+      "SELECT vec_dot(ed, ed) AS d FROM emb_v WHERE vec_id = 0")
+      .head().getDouble(0)
+    assert(n > 0.0)
+  }
+
+  test("vec_cosine self-similarity is exactly 1.0 up to float fold error") {
+    val df = vecs.withColumn("c",
+      VectorFunctions.vec_cosine(col("ed"), col("ed")))
+    val bad = df.filter(abs(col("c") - 1.0) > 1e-12).count()
+    assert(bad === 0L)
+  }
+
+  test("topKCosine returns the probe itself first for its own vector") {
+    val probe = vecs.filter(col("vec_id") === 0L)
+      .select("ed").head().getSeq[Double](0).toArray
+    val top = Similarity.topKCosine(
+      Tables.load(spark, sf1, "embeddings"), probe, 5)
+      .collect().map(_.getLong(0))
+    assert(top.head === 0L)
+    assert(top.length === 5)
+  }
+
+  test("q29 IVF result is a subset of brute-force top-20 neighborhood " +
+    "quality check: all ids valid") {
+    val ids = Similarity.q29AnnIvf(spark, sf1).collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.length <= Similarity.TopK)
+    assert(ids.head === 0L, "probe is in its own cell and ranks first")
+  }
+}
