@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Core, Dedup, Extensions, Similarity}
+import graft.operators.{Core, Dedup, Extensions, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,9 +22,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Extensions.queries ++ Dedup.queries ++
-      Similarity.queries
+      Similarity.queries ++ TextOps.queries ++ Multimodal.queries
 
   def oracleSql: Map[String, String] =
     Core.oracleSql ++ Extensions.oracleSql ++ Dedup.oracleSql ++
-      Similarity.oracleSql
+      Similarity.oracleSql ++ TextOps.oracleSql ++ Multimodal.oracleSql
 }

@@ -123,16 +123,10 @@ object Extensions {
   // lives in graft.streaming). DECIMAL-cast sum for order independence; the
   // window start is surfaced as a DATE so ns-vs-µs precision can't bite
   // (SURVEY.md §7.4 gotcha 4).
+  // The aggregation object is shared with graft.streaming.EventStream —
+  // stream-batch parity holds by construction (tested in StreamingSpec).
   def q26EventWindows(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_value"))
-      .select(
-        col("window.start").cast("date").as("day"),
-        col("event_type"), col("n"), col("sum_value"))
+    graft.streaming.EventStream.windowedAgg(t(s, dir, "events"))
 
   // q27 — JSON extraction from the events.props string column.
   def q27JsonExtract(s: SparkSession, dir: String): DataFrame =

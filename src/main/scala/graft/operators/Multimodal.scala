@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** One opaque media payload with typed metadata. `payload` stays an
+  * undecoded byte buffer end-to-end — Spark shuffles/spills it without
+  * interpreting it, which is exactly how 100 TB of images/audio should
+  * move through a pipeline (decode as late as possible, project metadata
+  * early). */
+case class MediaAsset(
+    asset_id: Long,
+    kind: String, // "image" | "audio" | "video"
+    payload: Array[Byte],
+    width: Int,
+    height: Int,
+    sample_rate: Int)
+
+/** Extracted per-asset features (decode output). */
+case class MediaFeatures(
+    asset_id: Long,
+    kind: String,
+    n_bytes: Long,
+    histogram: Array[Float])
+
+/** Multimodal-column plumbing (north star).
+  *
+  * The container ships no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub (`fakeDecode`) — but everything
+  * Spark-side is real and tested: binary columns with typed metadata,
+  * partition-batched decode via `mapPartitions` over a typed Dataset
+  * (the Scala analog of Arrow-batched pandas UDFs: amortize per-batch
+  * setup — codec init, model load — across a whole partition), frame
+  * sampling as payload slicing, and metadata projection that never
+  * touches payload bytes.
+  */
+object Multimodal {
+
+  /** STUB — stands in for a real codec (libjpeg/ffmpeg/...). Deterministic:
+    * a 16-bin byte histogram normalized by payload length. A real decode
+    * drops in here without touching any Spark plumbing. */
+  def fakeDecode(payload: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](16)
+    var i = 0
+    while (i < payload.length) {
+      bins((payload(i) & 0xff) >> 4) += 1f
+      i += 1
+    }
+    if (payload.length > 0) {
+      var b = 0
+      while (b < 16) { bins(b) /= payload.length; b += 1 }
+    }
+    bins
+  }
+
+  /** Build a deterministic media corpus from `documents` (text bytes as
+    * fake payloads; kind cycles by doc_id). */
+  def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id").as("asset_id"),
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (col("doc_id") % 640 + 1).cast("int").as("width"),
+        (col("doc_id") % 480 + 1).cast("int").as("height"),
+        lit(16000).as("sample_rate"))
+      .as[MediaAsset]
+  }
+
+  /** Partition-batched feature extraction: one decoder instance per
+    * partition, reused across its rows — the mapPartitions shape that a
+    * real (expensive-init) codec needs. */
+  def extractFeatures(ds: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition init would go here (codec/model handle)
+      it.map { a =>
+        MediaFeatures(a.asset_id, a.kind, a.payload.length.toLong,
+          fakeDecode(a.payload))
+      }
+    }
+  }
+
+  /** Frame sampling: n evenly-spaced fixed-width slices of the payload
+    * (the video-frame analog; pure byte arithmetic, no decode). */
+  def sampleFrames(ds: Dataset[MediaAsset], n: Int, frameBytes: Int)
+      : DataFrame =
+    ds.toDF()
+      .withColumn("step_bytes", greatest(
+        (octet_length(col("payload")) / n).cast("int"), lit(1)))
+      .select(
+        col("asset_id"),
+        expr(s"transform(sequence(0, ${n - 1}), " +
+          s"fi -> substring(payload, fi * step_bytes + 1, $frameBytes))")
+          .as("frames"))
+
+  /** q38 — metadata projection over binary payloads: byte length and
+    * content hash, computed WITHOUT decoding. md5 is md5 in every engine,
+    * so the differential stays exact. */
+  def q38MultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    assets(s, dir).toDF().select(
+      col("asset_id"),
+      col("kind"),
+      octet_length(col("payload")).cast("bigint").as("n_bytes"),
+      md5(col("payload")).as("content_md5"),
+      col("width").cast("bigint").as("width"),
+      col("height").cast("bigint").as("height"))
+
+  private def q38OracleSql: String =
+    """SELECT doc_id AS asset_id,
+       ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+       CAST(doc_id % 480 + 1 AS BIGINT) AS height
+       FROM documents"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_multimodal_meta" -> (q38MultimodalMeta _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q38_multimodal_meta" -> q38OracleSql)
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash._
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data pipelines (north star):
+  * language ID, quality scoring, token counting, document fingerprinting.
+  *
+  * All outputs are integers/strings (never raw float ratios) so the DuckDB
+  * differential is exact: ratios are scaled (×100/×1000) and integer-divided
+  * with identical semantics (`DIV` / `//`) on both engines. Every operator
+  * is a single narrow pass over `documents` — no shuffle except the final
+  * aggregate where one exists; at 100 TB these run at scan speed.
+  */
+object TextOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Tiny per-language stopword profiles (n-gram-heuristic stand-in; a
+    * production profile would be the top-k character n-grams per language,
+    * same argmax machinery). Preference order on ties: en > es > fr > de. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "les"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"))
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def scoreExprs(dialect: String): Seq[(String, String)] =
+    stopwords.map { case (lang, words) =>
+      val e =
+        if (dialect == "spark")
+          s"size(filter(tw, li_w -> li_w IN ${inList(words)}))"
+        else s"len(list_filter(tw, li_w -> li_w IN ${inList(words)}))"
+      lang -> e
+    }
+
+  /** Shared argmax CASE chain (identical SQL text in both dialects). */
+  private val predCase: String =
+    """CASE
+       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0
+         THEN 'en'
+       WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+       WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+       WHEN s_de > 0 THEN 'de'
+       ELSE 'und' END"""
+
+  /** q34 — language ID by stopword-profile argmax. */
+  def q34LangId(s: SparkSession, dir: String): DataFrame = {
+    val scores = scoreExprs("spark")
+    var df = t(s, dir, "documents")
+      .withColumn("tw", split(col("text"), " "))
+    scores.foreach { case (lang, e) =>
+      df = df.withColumn(s"s_$lang", expr(e).cast("bigint"))
+    }
+    df.select(
+      col("doc_id"), col("lang"),
+      expr(predCase).as("pred_lang"),
+      col("s_en"), col("s_es"), col("s_fr"), col("s_de"))
+  }
+
+  private def q34OracleSql: String = {
+    val scores = scoreExprs("duck")
+      .map { case (l, e) => s"CAST($e AS BIGINT) AS s_$l" }.mkString(", ")
+    s"""WITH scored AS (
+          SELECT doc_id, lang, $scores
+          FROM (SELECT doc_id, lang, string_split(text, ' ') AS tw
+                FROM documents))
+        SELECT doc_id, lang, $predCase AS pred_lang, s_en, s_es, s_fr, s_de
+        FROM scored"""
+  }
+
+  /** q35 — quality scoring: distinct-word ratio, mean word length,
+    * stopword ratio (all integer-scaled). */
+  def q35QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val enStops = inList(stopwords.head._2)
+    t(s, dir, "documents")
+      .withColumn("tw", split(col("text"), " "))
+      .withColumn("n_words", size(col("tw")).cast("bigint"))
+      .withColumn("n_distinct",
+        size(array_distinct(col("tw"))).cast("bigint"))
+      .withColumn("n_stop",
+        expr(s"size(filter(tw, qs_w -> qs_w IN $enStops))").cast("bigint"))
+      .withColumn("sum_wlen", expr(
+        "aggregate(tw, 0L, (qa_a, qa_w) -> qa_a + length(qa_w))"))
+      .select(
+        col("doc_id"), col("n_words"),
+        expr("(n_distinct * 1000) DIV n_words").as("distinct_x1000"),
+        expr("(sum_wlen * 100) DIV n_words").as("wlen_x100"),
+        expr("(n_stop * 1000) DIV n_words").as("stop_x1000"),
+        expr("((n_distinct * 1000) DIV n_words + (n_stop * 1000) DIV n_words) DIV 2")
+          .as("quality"))
+  }
+
+  private def q35OracleSql: String = {
+    val enStops = inList(stopwords.head._2)
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS tw
+                   FROM documents),
+        m AS (SELECT doc_id,
+                CAST(len(tw) AS BIGINT) AS n_words,
+                CAST(len(list_distinct(tw)) AS BIGINT) AS n_distinct,
+                CAST(len(list_filter(tw, qs_w -> qs_w IN $enStops))
+                  AS BIGINT) AS n_stop,
+                CAST(list_sum(list_transform(tw, qa_w -> length(qa_w)))
+                  AS BIGINT) AS sum_wlen
+              FROM w)
+        SELECT doc_id, n_words,
+               (n_distinct * 1000) // n_words AS distinct_x1000,
+               (sum_wlen * 100) // n_words AS wlen_x100,
+               (n_stop * 1000) // n_words AS stop_x1000,
+               ((n_distinct * 1000) // n_words
+                + (n_stop * 1000) // n_words) // 2 AS quality
+        FROM m"""
+  }
+
+  /** q36 — token counting: whitespace split, word/number regex, and a
+    * BPE-ish bounded-subword regex (≤4-char chunks). */
+  def q36TokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("n_ws"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+        .cast("bigint").as("n_word"),
+      size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)"))
+        .cast("bigint").as("n_bpeish"))
+
+  private def q36OracleSql: String =
+    """SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+         AS n_word,
+       CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT)
+         AS n_bpeish
+       FROM documents"""
+
+  /** q37 — document fingerprint: rolling polynomial hash of the full text
+    * (the portable-hash primitive itself, exposed as an operator). */
+  def q37Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      expr(sparkCharFold("text")).as("fingerprint"))
+
+  private def q37OracleSql: String =
+    s"""SELECT doc_id, ${duckCharFold("text")} AS fingerprint
+        FROM documents"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_lang_id" -> (q34LangId _),
+    "q35_quality_score" -> (q35QualityScore _),
+    "q36_token_count" -> (q36TokenCount _),
+    "q37_fingerprint" -> (q37Fingerprint _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q34_lang_id" -> q34OracleSql,
+    "q35_quality_score" -> q35OracleSql,
+    "q36_token_count" -> q36OracleSql,
+    "q37_fingerprint" -> q37OracleSql)
+}

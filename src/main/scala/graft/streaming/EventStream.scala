@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (SURVEY.md §7 M6).
+  *
+  * The aggregation function is ONE object shared with the batch q26 — the
+  * parity test asserts batch(df) == stream(df) by running the same
+  * transformation through both engines, which is Spark's unified-batch/
+  * stream model doing exactly what it promises.
+  *
+  * Scale design: a 1-day watermark bounds state to ~2 days of open windows
+  * per event_type regardless of stream length; late events inside the
+  * watermark revise their window, later ones are dropped — the semantics a
+  * 100 TB/day ingest needs to avoid unbounded state growth.
+  */
+object EventStream {
+
+  /** Raw parquet schema (ts as int64 nanos — see Tables.load). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The shared batch/stream aggregation: 1-day tumbling windows per
+    * event_type, count + DECIMAL-cast sum (same shape as q26). */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("sum_value"))
+      .select(
+        col("window.start").cast("date").as("day"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Open the events table as a stream (file source over the sf dir). */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      // the sf table is a single parquet FILE: FileStreamSource injects
+      // basePath=<path> for non-glob paths and then rejects it for not
+      // being a directory, so address the file through a glob
+      .parquet(s"$sfDir/events.parque[t]")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Start the windowed aggregation into an in-memory sink (complete mode:
+    * every window stays queryable — right for tests; production would use
+    * append mode + watermark into a parquet/Kafka sink). */
+  def start(spark: SparkSession, sfDir: String, queryName: String)
+      : StreamingQuery =
+    windowedAgg(
+      readEvents(spark, sfDir).withWatermark("ts", "1 day"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+}

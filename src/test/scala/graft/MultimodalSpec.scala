@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+import graft.operators.Multimodal
+
+/** The decode step is stubbed (no codecs in the container) — these tests
+  * pin down the REAL parts: binary columns, typed metadata, partition-
+  * batched extraction, frame slicing. */
+class MultimodalSpec extends SparkSpec {
+
+  test("assets keep payloads as opaque binary with typed metadata") {
+    val ds = Multimodal.assets(spark, sf1)
+    assert(ds.schema("payload").dataType === BinaryType)
+    assert(ds.count() === 500L)
+    val kinds = ds.select("kind").distinct().collect().map(_.getString(0))
+    assert(kinds.toSet === Set("image", "audio", "video"))
+  }
+
+  test("extractFeatures runs partition-batched and is deterministic") {
+    val f1 = Multimodal.extractFeatures(Multimodal.assets(spark, sf1))
+    assert(f1.count() === 500L)
+    val row = f1.filter(col("asset_id") === 0L).head()
+    assert(row.histogram.length === 16)
+    assert(math.abs(row.histogram.sum - 1.0f) < 1e-3f,
+      "histogram is normalized")
+    // deterministic across runs
+    val row2 = Multimodal.extractFeatures(Multimodal.assets(spark, sf1))
+      .filter(col("asset_id") === 0L).head()
+    assert(row.histogram.toSeq === row2.histogram.toSeq)
+  }
+
+  test("fakeDecode histogram counts every byte exactly once") {
+    val payload = "abcd".getBytes("UTF-8")
+    val h = Multimodal.fakeDecode(payload)
+    assert(math.abs(h.sum - 1.0f) < 1e-6f)
+    // 'a'..'d' = 0x61..0x64, all in bin 6
+    assert(h(6) === 1.0f)
+  }
+
+  test("sampleFrames yields n fixed-width binary slices") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.assets(spark, sf1), n = 4, frameBytes = 8)
+    val row = frames.filter(col("asset_id") === 1L).head()
+    val fs = row.getSeq[Array[Byte]](1)
+    assert(fs.length === 4)
+    assert(fs.forall(f => f.length <= 8))
+  }
+
+  test("metadata projection (q38) never decodes: no mapPartitions in plan") {
+    val plan = Multimodal.q38MultimodalMeta(spark, sf1)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("MapPartitions"), plan.take(1000))
+  }
+}
