@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotProductD
+import graft.functions.{DotProductD, PolyHash, SimHash32}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions so SQL users get them too.
@@ -18,5 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "vec_dot"),
       exprs => DotProductD(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      exprs => PolyHash(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      exprs => SimHash32(exprs.head)))
   }
 }

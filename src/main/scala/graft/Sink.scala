@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sink stage: the Cassandra write contract re-expressed as DataFrame
+  * contracts over parquet (reference README.md:839, 902-913; SURVEY.md
+  * §1.3).
+  *
+  * The reference's target tables encode three semantics our sink preserves:
+  *  - partition key + clustering column (`PRIMARY KEY (pk, ck)`,
+  *    README.md:909): rows co-located by pk, ordered by ck within pk →
+  *    `repartition(pk).sortWithinPartitions(pk, ck)`. At scale this is ONE
+  *    shuffle that doubles as the sink's physical layout — downstream
+  *    readers get partition pruning on pk and ordered scans within.
+  *  - numeric narrowing (decimal→bigint, README.md:686 vs 471, observable
+  *    on read-back README.md:868-874): `narrowKeys`.
+  *  - idempotent re-create (`DROP TABLE IF EXISTS` + re-run,
+  *    README.md:683): `SaveMode.Overwrite`.
+  */
+object Sink {
+
+  /** Write with the partition/clustering contract: data is bucketed by pk
+    * (`partitionBy` directory layout for pruning) and sorted by (pk, ck)
+    * within each task, mirroring Cassandra's partition+clustering order. */
+  def writeClustered(
+      df: DataFrame, pk: String, ck: String, out: String): Unit =
+    df.repartition(col(pk))
+      .sortWithinPartitions(col(pk), col(ck))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(out)
+
+  /** Plain entity-table write (hr.employees analog). */
+  def writeTable(df: DataFrame, out: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(out)
+
+  /** T1: narrow integral key columns to bigint at the sink boundary, as the
+    * connector did (decimal(6,0) → bigint). */
+  def narrowKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    keys.foldLeft(df)((d, k) => d.withColumn(k, col(k).cast(LongType)))
+}

@@ -68,13 +68,15 @@ object Dedup {
 
   /** Spark: distinct hashed word-n-gram shingles of `text` (needs a
     * `size(split(text,' ')) >= ShingleN` guard upstream). 1-based
-    * element_at so indexing matches DuckDB's 1-based lists. */
+    * element_at so indexing matches DuckDB's 1-based lists. Uses the
+    * native poly_hash expression (bit-identical to the char-fold HOF,
+    * ~10x less per-shingle overhead). */
   private val sparkShingleHashes: String = {
     val parts = (0 until ShingleN)
       .map(k => s"element_at(sw_w, sh_i + $k)").mkString(", ")
     s"array_distinct(transform(" +
       s"sequence(1, size(sw_w) - ${ShingleN - 1}), " +
-      s"sh_i -> ${sparkCharFold(s"concat_ws(' ', $parts)")}))"
+      s"sh_i -> poly_hash(concat_ws(' ', $parts))))"
   }
 
   private val duckShingleHashes: String = {
@@ -99,9 +101,14 @@ object Dedup {
       .mkString("concat_ws(',', ", ", ", ")")
 
   /** q30 — MinHash+LSH near-dup candidate pairs over planted documents.
-    * One pass computes all band keys (stack, no re-scan); the only shuffle
-    * is the equi-join on (band, band_key). */
+    * One pass computes all band keys (stack, no re-scan); ONE shuffle
+    * groups doc ids per (band, band_key) and pairs are generated inside
+    * each group — a self-join would recompute the whole signature subplan
+    * for both sides. Bucket membership is bounded (a band collision means
+    * near-identical minhash rows), so collect_list per bucket stays small;
+    * a pathological hot bucket would be salted before grouping. */
   def q30DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     val base = plantedDocs(s, dir)
       .withColumn("sw_w", split(col("text"), " "))
       .filter(size(col("sw_w")) >= ShingleN)
@@ -112,13 +119,16 @@ object Dedup {
           expr(bandKeyExpr(b, "spark")).as(s"bk$b")): _*)
     val stackArgs = (0 until NumBands)
       .map(b => s"$b, bk$b").mkString(s"stack($NumBands, ", ", ", ")")
-    val bands = keyed.selectExpr("doc_id", s"$stackArgs as (band, bkey)")
-    val x = bands.as("x")
-    val y = bands.as("y")
-    x.join(y,
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+    keyed.selectExpr("doc_id", s"$stackArgs as (band, bkey)")
+      .groupBy("band", "bkey")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (pa, pi) ->
+           transform(slice(ids, pi + 2, size(ids)),
+                     pb -> struct(pa AS doc_id_1, pb AS doc_id_2))))"""))
+        .as("p"))
+      .select("p.*")
       .distinct()
   }
 
@@ -141,15 +151,13 @@ object Dedup {
     * document collapses to one int — near-dup = small hamming distance,
     * testable with a single groupBy at any scale. */
   def q31DedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val terms = (0 until SimhashBits).map { b =>
-      val m = 1L << b
-      s"(CASE WHEN aggregate(ths, 0L, (sa_a, sa_h) -> " +
-        s"sa_a + ((sa_h DIV $m) % 2) * 2 - 1) > 0 THEN ${m}L ELSE 0L END)"
-    }.mkString(" + ")
+    graft.functions.GraftFunctions.registerAll(s)
+    // native one-pass expression: 32 bit-counters in a single array scan
+    // (the HOF form needs 32 separate aggregate() folds over the tokens)
     t(s, dir, "documents")
       .withColumn("ths",
-        expr(s"transform(split(text, ' '), tw -> ${sparkCharFold("tw")})"))
-      .select(col("doc_id"), expr(terms).as("simhash"))
+        expr("transform(split(text, ' '), tw -> poly_hash(tw))"))
+      .select(col("doc_id"), expr("simhash32(ths)").as("simhash"))
   }
 
   private def q31OracleSql: String = {
@@ -174,18 +182,28 @@ object Dedup {
     val shingleStrings =
       s"array_distinct(transform(sequence(1, size(sw_w) - ${ShingleN - 1}), " +
         s"sh_i -> concat_ws(' ', $parts)))"
+    // single corpus scan: the probe's shingle set (one document) is read
+    // in a cheap second scan, broadcast, and intersection counts come from
+    // one marker-join + one aggregation; n_probe falls out of the same
+    // aggregate as the probe row's own shingle count
     val sh = t(s, dir, "documents")
       .withColumn("sw_w", split(col("text"), " "))
       .filter(size(col("sw_w")) >= ShingleN)
       .select(col("doc_id"), explode(expr(shingleStrings)).as("sh"))
-    val probe = sh.filter(col("doc_id") === 0L).select(col("sh").as("psh"))
-    val nProbe = probe.agg(count(lit(1)).as("n_probe"))
-    val inter = sh.join(broadcast(probe), col("sh") === col("psh"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_inter"))
-    sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      .join(inter, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .crossJoin(broadcast(nProbe))
+    val probe = t(s, dir, "documents")
+      .filter(col("doc_id") === 0L)
+      .withColumn("sw_w", split(col("text"), " "))
+      .filter(size(col("sw_w")) >= ShingleN)
+      .select(explode(expr(shingleStrings)).as("psh"), lit(1).as("is_p"))
+    val counts = sh
+      .join(broadcast(probe), col("sh") === col("psh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_sh"),
+        sum(coalesce(col("is_p"), lit(0))).cast("bigint").as("n_inter"))
+    counts
+      .crossJoin(broadcast(counts.filter(col("doc_id") === 0L)
+        .select(col("n_sh").as("n_probe"))))
       .select(
         col("doc_id"), col("n_inter"),
         (col("n_sh") + col("n_probe") - col("n_inter")).as("n_union"))

@@ -140,11 +140,14 @@ object TextOps {
        FROM documents"""
 
   /** q37 — document fingerprint: rolling polynomial hash of the full text
-    * (the portable-hash primitive itself, exposed as an operator). */
-  def q37Fingerprint(s: SparkSession, dir: String): DataFrame =
+    * (the portable-hash primitive itself, exposed as an operator; native
+    * codegen'd byte fold, bit-identical to the HOF char fold on ASCII). */
+  def q37Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     t(s, dir, "documents").select(
       col("doc_id"),
-      expr(sparkCharFold("text")).as("fingerprint"))
+      expr("poly_hash(text)").as("fingerprint"))
+  }
 
   private def q37OracleSql: String =
     s"""SELECT doc_id, ${duckCharFold("text")} AS fingerprint

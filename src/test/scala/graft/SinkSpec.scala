@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.Core
+
+/** The write contract preserves the reference's partition+clustering
+  * semantics (README.md:902-913) and survives a round trip. */
+class SinkSpec extends SparkSpec {
+
+  test("writeClustered round-trips with rows ordered by ck within pk files") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    val denorm = Core.q09DenormJoin(spark, sf1)
+    Sink.writeClustered(denorm, "n_nationkey", "c_custkey", out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === denorm.count())
+    // within every file (= written partition), c_custkey is nondecreasing
+    val withFile = back.withColumn("f", input_file_name())
+      .withColumn("rn", monotonically_increasing_id())
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("f").orderBy("rn")
+    val violations = withFile
+      .withColumn("prev", lag("c_custkey", 1).over(w))
+      .withColumn("prev_pk", lag("n_nationkey", 1).over(w))
+      .filter(col("prev").isNotNull &&
+        col("prev_pk") === col("n_nationkey") &&
+        col("prev") > col("c_custkey"))
+      .count()
+    assert(violations === 0L, "clustering order broken within a partition")
+  }
+
+  test("narrowKeys casts to bigint (reference T1)") {
+    val df = graft.sources.Tables.load(spark, sf1, "customer")
+    val narrowed = Sink.narrowKeys(df, Seq("c_nationkey"))
+    assert(narrowed.schema("c_nationkey").dataType === LongType)
+  }
+
+  test("overwrite mode makes re-runs idempotent (reference D3)") {
+    val out = Files.createTempDirectory("graft_sink2").toString
+    val df = Core.q14Distinct(spark, sf1)
+    Sink.writeTable(df, out)
+    Sink.writeTable(df, out)
+    assert(spark.read.parquet(out).count() === df.count())
+  }
+}
