@@ -202,8 +202,8 @@ object Dedup {
         count(lit(1)).as("n_sh"),
         sum(coalesce(col("is_p"), lit(0))).cast("bigint").as("n_inter"))
     counts
-      .crossJoin(broadcast(counts.filter(col("doc_id") === 0L)
-        .select(col("n_sh").as("n_probe"))))
+      .crossJoin(broadcast(
+        probe.agg(count(lit(1)).cast("bigint").as("n_probe"))))
       .select(
         col("doc_id"), col("n_inter"),
         (col("n_sh") + col("n_probe") - col("n_inter")).as("n_union"))

@@ -144,6 +144,38 @@ object Extensions {
         custKeys.except(orderCust).withColumn("tag", lit("no_orders")))
   }
 
+  // q39 — hierarchical subtotals: ROLLUP over returnflag/linestatus (the
+  // grouping-sets family; one shuffle, subtotal rows carry NULL keys).
+  def q39Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("sum_qty"))
+
+  // q40 — full cross-dimensional subtotals: CUBE over status/priority.
+  def q40Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+
+  // q41 — sessionization: 30-minute-gap session windows per user (the
+  // built-in session_window operator; in streaming the same expression
+  // runs with a watermark). Timestamps truncated to seconds on BOTH
+  // engines so ns-vs-µs precision can't shift a boundary.
+  def q41Sessionize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ts_s", date_trunc("second", col("ts")))
+      .groupBy(session_window(col("ts_s"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("ts_s")).as("session_end"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_end"), col("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_groupby_agg" -> (q20GroupbyAgg _),
     "q21_window_rank" -> (q21WindowRank _),
@@ -153,7 +185,10 @@ object Extensions {
     "q25_topk_similarity" -> (q25TopkSimilarity _),
     "q26_event_windows" -> (q26EventWindows _),
     "q27_json_extract" -> (q27JsonExtract _),
-    "q28_setops" -> (q28Setops _))
+    "q28_setops" -> (q28Setops _),
+    "q39_rollup" -> (q39Rollup _),
+    "q40_cube" -> (q40Cube _),
+    "q41_sessionize" -> (q41Sessionize _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_groupby_agg" ->
@@ -215,5 +250,29 @@ object Extensions {
          UNION ALL
          SELECT key, 'no_orders' AS tag FROM (
            SELECT c_custkey AS key FROM customer
-           EXCEPT SELECT o_custkey FROM orders)""")
+           EXCEPT SELECT o_custkey FROM orders)""",
+    "q39_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q40_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q41_sessionize" ->
+      """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts_s
+                    FROM events),
+         o AS (SELECT user_id, ts_s,
+                 CASE WHEN lag(ts_s) OVER w IS NULL
+                        OR ts_s - lag(ts_s) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
+         s2 AS (SELECT user_id, ts_s,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sid
+                FROM o)
+         SELECT user_id, min(ts_s) AS session_start,
+                max(ts_s) AS session_end, count(*) AS n_events
+         FROM s2 GROUP BY user_id, sid""")
 }

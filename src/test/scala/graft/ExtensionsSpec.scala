@@ -65,6 +65,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.filter(col("k").isNull).count() === 0L)
   }
 
+  test("q39 rollup carries subtotal rows and a grand total") {
+    val df = Extensions.q39Rollup(spark, sf1)
+    val grand = df.filter(
+      col("l_returnflag").isNull && col("l_linestatus").isNull)
+    assert(grand.count() === 1L)
+    assert(grand.head().getAs[Long]("n") === 6000L)
+  }
+
+  test("q40 cube contains all four grouping-set shapes") {
+    val df = Extensions.q40Cube(spark, sf1)
+    assert(df.filter(col("o_orderstatus").isNull &&
+      col("o_orderpriority").isNull).count() === 1L)
+    assert(df.filter(col("o_orderstatus").isNotNull &&
+      col("o_orderpriority").isNull).count() > 0L)
+    assert(df.filter(col("o_orderstatus").isNull &&
+      col("o_orderpriority").isNotNull).count() > 0L)
+  }
+
+  test("q41 sessions partition all events and respect the 30-min gap") {
+    val df = Extensions.q41Sessionize(spark, sf1)
+    assert(df.agg(sum("n_events")).head().getLong(0) === 1000L)
+    val bad = df.filter(
+      col("session_end") < col("session_start")).count()
+    assert(bad === 0L)
+  }
+
   test("q28 set ops partition the custkey set") {
     val df = Extensions.q28Setops(spark, sf1)
     val byTag = df.groupBy("tag").count().collect()

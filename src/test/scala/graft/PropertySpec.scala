@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.GraftFunctions
+
+/** Property-style checks (SURVEY.md §5.2.3): the native Catalyst
+  * expressions are compared against straight-line Scala models over
+  * generated inputs, and relational invariants are checked on generated
+  * relations. Inputs come from seeded ScalaCheck generators evaluated in
+  * one Spark job per property (no scalatestplus bridge in the offline
+  * cache). */
+class PropertySpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], n: Int): List[A] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(42L))
+
+  // ------------------------------------------------------------- models
+
+  private def polyHashModel(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(0L)((h, b) =>
+      (h * 31 + (b & 0xff)) % 1000000007L)
+
+  private def simhashModel(hs: Seq[Long]): Long = {
+    val counts = Array.fill(32)(0)
+    hs.foreach { h =>
+      (0 until 32).foreach { b =>
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+      }
+    }
+    (0 until 32).foldLeft(0L)((acc, b) =>
+      if (counts(b) > 0) acc | (1L << b) else acc)
+  }
+
+  // ---------------------------------------------------------- properties
+
+  test("poly_hash equals the byte-fold model on random ASCII strings") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val asciiGen = Gen.listOf(Gen.choose(32.toChar, 126.toChar))
+      .map(_.mkString)
+    val inputs = sample(asciiGen, 300)
+    val got = inputs.toDF("s")
+      .select(col("s"), expr("poly_hash(s)").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inputs.foreach { s =>
+      assert(got(s) === polyHashModel(s), s"mismatch for '$s'")
+    }
+  }
+
+  test("simhash32 equals the bit-counter model on random token arrays") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val arrGen = Gen.listOf(Gen.choose(0L, (1L << 32) - 1))
+    val inputs = sample(arrGen, 200).zipWithIndex
+    val got = inputs.map { case (a, i) => (i, a) }.toDF("i", "a")
+      .select(col("i"), expr("simhash32(a)").as("h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    inputs.foreach { case (a, i) =>
+      assert(got(i) === simhashModel(a), s"mismatch for input #$i")
+    }
+  }
+
+  test("vec_dot equals the sequential-fold model on random vectors") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val vGen = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
+    val pairs = sample(Gen.zip(vGen, vGen), 200).zipWithIndex
+    val got = pairs.map { case ((a, b), i) => (i, a, b) }.toDF("i", "a", "b")
+      .select(col("i"), expr("vec_dot(a, b)").as("d"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    pairs.foreach { case ((a, b), i) =>
+      val model = a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+      assert(got(i) === model, s"fold-order mismatch for pair #$i")
+    }
+  }
+
+  test("semi and anti joins partition any generated fact relation") {
+    import spark.implicits._
+    val fkGen = Gen.choose(0, 30)
+    val fks = sample(fkGen, 500).zipWithIndex.map(_.swap)
+    val dimKeys = sample(Gen.choose(0, 20), 40).distinct
+    val fact = fks.toDF("id", "fk")
+    val dim = dimKeys.toDF("k")
+    val semi = fact.join(dim, col("fk") === col("k"), "left_semi").count()
+    val anti = fact.join(dim, col("fk") === col("k"), "left_anti").count()
+    assert(semi + anti === fact.count())
+  }
+
+  test("exact dedup is idempotent on generated duplicate-heavy data") {
+    import spark.implicits._
+    val rows = sample(Gen.zip(Gen.choose(0, 25), Gen.choose(0L, 1000L)), 400)
+    val df = rows.toDF("key", "id")
+    import org.apache.spark.sql.expressions.Window
+    def dedup(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("key").orderBy("id", "rn_src")))
+      .filter(col("rn") === 1).drop("rn")
+    // add a stable tiebreak column first (ids may repeat)
+    val withSrc = df.withColumn("rn_src",
+      row_number().over(Window.orderBy("key", "id")))
+    val once = dedup(withSrc)
+    val twice = dedup(once)
+    assert(once.exceptAll(twice).count() === 0L)
+    assert(twice.exceptAll(once).count() === 0L)
+    assert(once.select("key").distinct().count() === once.count())
+  }
+
+  test("sink key narrowing preserves in-range values exactly") {
+    import spark.implicits._
+    val vals = sample(Gen.choose(-1000000, 1000000), 300).distinct
+    val df = vals.toDF("k")
+    val narrowed = Sink.narrowKeys(
+      df.select(col("k").cast("decimal(9,0)").as("k")), Seq("k"))
+    val back = narrowed.collect().map(_.getLong(0)).toSet
+    assert(back === vals.map(_.toLong).toSet)
+  }
+}
