@@ -57,3 +57,45 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 }
+
+/** Pluggable source stage. The reference's source is Oracle over JDBC
+  * (README.md:462-467) with optional stride-partitioned parallel reads
+  * (README.md:549-558); this environment binds to parquet. Both bindings
+  * present the same contract: lazily-planned, case-normalized tables. */
+trait SourceBinding {
+  def table(spark: SparkSession, name: String): org.apache.spark.sql.DataFrame
+}
+
+/** Parquet binding (the in-environment default; used by every query). */
+final class ParquetBinding(dir: String) extends SourceBinding {
+  def table(spark: SparkSession, name: String) =
+    Tables.load(spark, dir, name)
+}
+
+/** JDBC binding modeling the reference's S1/S2 scans: plain single-stream
+  * read, or stride-partitioned when a partition column + bounds are given
+  * (all-or-none, like Spark's JDBC source itself; bounds set STRIDE, not a
+  * filter — every row is returned regardless, reference README.md:539-543).
+  * Compile-covered only: no database or driver exists in this zero-egress
+  * environment. */
+final class JdbcBinding(
+    url: String,
+    driver: String,
+    fetchSize: Int = 1000,
+    partition: Option[(String, Long, Long, Int)] = None)
+  extends SourceBinding {
+  def table(spark: SparkSession, name: String) = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("driver", driver)
+      .option("dbtable", name)
+      .option("fetchsize", fetchSize.toString)
+    val reader = partition.fold(base) { case (col, lo, hi, n) =>
+      base.option("partitionColumn", col)
+        .option("lowerBound", lo.toString)
+        .option("upperBound", hi.toString)
+        .option("numPartitions", n.toString)
+    }
+    Tables.normalize(reader.load())
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
-import graft.sources.Tables
+import graft.sources.{ParquetBinding, SourceBinding, Tables}
 
 /** Source-layer checks mirroring the reference's own row-count validation
   * (reference README.md:596-597, 876-877) and the lower-case normalization
@@ -46,5 +46,14 @@ class TablesSpec extends SparkSpec {
     Tables.registerAll(spark, sf1)
     val n = spark.sql("SELECT count(*) FROM nation").head().getLong(0)
     assert(n === 25L)
+  }
+
+  test("ParquetBinding serves the same contract as Tables.load") {
+    val binding: SourceBinding = new ParquetBinding(sf1)
+    assert(binding.table(spark, "region").count() === 5L)
+  }
+
+  test("SparkEntry.entry (driver smoke contract) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0L)
   }
 }
