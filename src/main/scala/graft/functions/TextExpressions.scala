@@ -132,6 +132,81 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** All 16 minhash signature values in ONE pass over the shingle-hash
+  * array: sig_i = min over h of (A_i*h + B_i) mod P. The HOF formulation
+  * (16 × array_min(transform(...))) walks the array 16 times and allocates
+  * 16 intermediate arrays per document. Constants match
+  * PortableHash.minhashA/B, so generated DuckDB oracles stay bit-exact.
+  * Precondition: non-empty input (callers filter size >= shingle width);
+  * an empty array yields Long.MaxValue sentinels. */
+case class MinHash16(child: Expression) extends UnaryExpression {
+
+  private val as: Array[Long] = Array.tabulate(16)(PortableHash.minhashA)
+  private val bs: Array[Long] = Array.tabulate(16)(PortableHash.minhashB)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"minhash16 expects array<bigint>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sigs = Array.fill(16)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 16) {
+        val x = (as(j) * h + bs(j)) % PortableHash.MersennePrime
+        if (x < sigs(j)) sigs(j) = x
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val x = ctx.freshName("x")
+      val sigs = ctx.freshName("sigs")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $sigs = new long[16];
+         |java.util.Arrays.fill($sigs, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $arr.getLong($i);
+         |  for (int $j = 0; $j < 16; $j++) {
+         |    long $x = ($aRef[$j] * $h + $bRef[$j]) %
+         |      ${PortableHash.MersennePrime}L;
+         |    if ($x < $sigs[$j]) $sigs[$j] = $x;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHash16 =
+    copy(child = c)
+}
+
 /** Registration for all graft native functions. */
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
@@ -142,5 +217,7 @@ object GraftFunctions {
       "poly_hash", exprs => PolyHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash32", exprs => SimHash32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash16", exprs => MinHash16(exprs.head), "built-in")
   }
 }

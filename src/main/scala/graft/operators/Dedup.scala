@@ -87,17 +87,15 @@ object Dedup {
       s"sh_i -> ${duckCharFold(s"concat_ws(' ', $parts)")}))"
   }
 
-  /** Minhash signature element i as a min-over-shingles expression. */
-  private def sigExpr(i: Int, dialect: String): String = {
-    val (amin, transform) =
-      if (dialect == "spark") ("array_min", "transform")
-      else ("list_min", "list_transform")
-    s"$amin($transform(hsd, mh_h -> " +
+  /** Minhash signature element i as a min-over-shingles expression (DuckDB
+    * oracle form; the Spark side uses the one-pass minhash16 expression
+    * with the same constants). */
+  private def sigExpr(i: Int): String =
+    s"list_min(list_transform(hsd, mh_h -> " +
       s"(${minhashA(i)} * mh_h + ${minhashB(i)}) % $MersennePrime))"
-  }
 
-  private def bandKeyExpr(b: Int, dialect: String): String =
-    (0 until BandRows).map(r => sigExpr(b * BandRows + r, dialect))
+  private def bandKeyExpr(b: Int): String =
+    (0 until BandRows).map(r => sigExpr(b * BandRows + r))
       .mkString("concat_ws(',', ", ", ", ")")
 
   /** q30 — MinHash+LSH near-dup candidate pairs over planted documents.
@@ -113,10 +111,16 @@ object Dedup {
       .withColumn("sw_w", split(col("text"), " "))
       .filter(size(col("sw_w")) >= ShingleN)
       .withColumn("hsd", expr(sparkShingleHashes))
+      // all 16 signature mins in one native pass (vs 16 HOF array walks)
+      .withColumn("sigs", expr("minhash16(hsd)"))
     val keyed = base.select(
       col("doc_id") +:
-        (0 until NumBands).map(b =>
-          expr(bandKeyExpr(b, "spark")).as(s"bk$b")): _*)
+        (0 until NumBands).map { b =>
+          val elems = (0 until BandRows)
+            .map(r => s"element_at(sigs, ${b * BandRows + r + 1})")
+            .mkString(", ")
+          expr(s"concat_ws(',', $elems)").as(s"bk$b")
+        }: _*)
     val stackArgs = (0 until NumBands)
       .map(b => s"$b, bk$b").mkString(s"stack($NumBands, ", ", ", ")")
     keyed.selectExpr("doc_id", s"$stackArgs as (band, bkey)")
@@ -134,7 +138,7 @@ object Dedup {
 
   private def q30OracleSql: String = {
     val bandSelects = (0 until NumBands).map(b =>
-      s"SELECT doc_id, $b AS band, ${bandKeyExpr(b, "duck")} AS bkey FROM hs")
+      s"SELECT doc_id, $b AS band, ${bandKeyExpr(b)} AS bkey FROM hs")
       .mkString("\n UNION ALL\n ")
     s"""WITH docs AS ($plantedSql),
         w AS (SELECT doc_id, string_split(text, ' ') AS sw_w FROM docs

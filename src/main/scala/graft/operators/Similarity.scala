@@ -108,9 +108,68 @@ object Similarity {
       .select("vec_id", "sim")
   }
 
+  /** Row shape feeding the typed top-k aggregator. */
+  final case class LabeledScore(label: Int, id: Long, score: Double)
+
+  /** q42 — grouped top-k: the 3 most probe-similar vectors per label, via
+    * the typed TopKByScore Aggregator (bounded O(k) partial state per
+    * group per partition instead of a full window sort — see
+    * TopKAggregator.scala). */
+  def q42TopkPerLabel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(vec_dot2(s)(col("ed"), col("ed"))))
+    val probe = e.filter(col("vec_id") === 0L)
+      .select(col("ed").as("ped"), col("nrm").as("pnrm"))
+    val scored = e.crossJoin(broadcast(probe))
+      .select(
+        col("label"),
+        col("vec_id").as("id"),
+        (vec_dot2(s)(col("ed"), col("ped")) /
+          (col("nrm") * col("pnrm"))).as("score"))
+      .as[LabeledScore]
+    val topk = graft.functions.TopKByScore[LabeledScore](
+      3, r => graft.functions.Scored(r.id, r.score))
+    scored.groupByKey(_.label)
+      .agg(topk.toColumn.name("ids"))
+      .flatMap { case (label, ids) =>
+        ids.zipWithIndex.map { case (id, i) =>
+          (label, id, (i + 1).toLong)
+        }
+      }
+      .toDF("label", "vec_id", "rank")
+  }
+
+  /** vec_dot with session registration ensured. */
+  private def vec_dot2(s: SparkSession) = {
+    register(s)
+    (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      vec_dot(a, b)
+  }
+
+  private def q42OracleSql: String =
+    """WITH p AS (SELECT CAST(embedding AS DOUBLE[]) AS pv,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS pn
+        FROM embeddings WHERE vec_id = 0),
+        s AS (SELECT e.label, e.vec_id,
+          list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv) /
+            (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[]))) * p.pn)
+            AS sim
+        FROM embeddings e, p)
+        SELECT label, vec_id, CAST(rn AS BIGINT) AS rank FROM (
+          SELECT label, vec_id,
+            row_number() OVER (PARTITION BY label
+              ORDER BY sim DESC, vec_id) AS rn
+          FROM s) WHERE rn <= 3"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q29_ann_ivf" -> (q29AnnIvf _))
+    "q29_ann_ivf" -> (q29AnnIvf _),
+    "q42_topk_per_label" -> (q42TopkPerLabel _))
 
   val oracleSql: Map[String, String] = Map(
-    "q29_ann_ivf" -> q29OracleSql)
+    "q29_ann_ivf" -> q29OracleSql,
+    "q42_topk_per_label" -> q42OracleSql)
 }
