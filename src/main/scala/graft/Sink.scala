@@ -35,6 +35,15 @@ object Sink {
   def writeTable(df: DataFrame, out: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(out)
 
+  /** Hive-style directory partitioning on the partition key: readers get
+    * partition PRUNING (directories skipped entirely, visible as
+    * PartitionFilters in the scan) rather than row-group filtering — the
+    * right layout when the key is low-cardinality and queries are
+    * partition-restricted, exactly the reference's employees_by_dept
+    * access pattern (README.md:1005-1022). */
+  def writePartitionedTable(df: DataFrame, pk: String, out: String): Unit =
+    df.write.partitionBy(pk).mode(SaveMode.Overwrite).parquet(out)
+
   /** T1: narrow integral key columns to bigint at the sink boundary, as the
     * connector did (decimal(6,0) → bigint). */
   def narrowKeys(df: DataFrame, keys: Seq[String]): DataFrame =

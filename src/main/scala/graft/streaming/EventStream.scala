@@ -1,9 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 import org.apache.spark.sql.types._
+
+/** Typed event row for stateful operators. */
+case class Event(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+/** Per-user running state kept by the stateful operator. */
+case class UserActivity(user_id: Long, n_events: Long, n_purchases: Long)
 
 /** Structured Streaming over the events table (SURVEY.md §7 M6).
   *
@@ -51,6 +62,37 @@ object EventStream {
       // being a directory, so address the file through a glob
       .parquet(s"$sfDir/events.parque[t]")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Project a raw events frame to the typed shape. */
+  def typedEvents(df: DataFrame): Dataset[Event] = {
+    import df.sparkSession.implicits._
+    df.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+  }
+
+  /** Custom streaming state via mapGroupsWithState: a per-user running
+    * activity profile, updated batch by batch. State is one small row per
+    * user — bounded by cardinality, not stream length; a production
+    * variant adds a timeout to expire idle users. Works identically over
+    * a batch Dataset (one "batch" = the whole input). */
+  def runningUserActivity(ds: Dataset[Event]): Dataset[UserActivity] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState[UserActivity, UserActivity](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[Event],
+         state: GroupState[UserActivity]) =>
+          val prev = state.getOption.getOrElse(UserActivity(uid, 0L, 0L))
+          var n = prev.n_events
+          var p = prev.n_purchases
+          events.foreach { e =>
+            n += 1
+            if (e.event_type == "purchase") p += 1
+          }
+          val next = UserActivity(uid, n, p)
+          state.update(next)
+          next
+      }
   }
 
   /** Start the windowed aggregation into an in-memory sink (complete mode:

@@ -38,6 +38,18 @@ class SinkSpec extends SparkSpec {
     assert(narrowed.schema("c_nationkey").dataType === LongType)
   }
 
+  test("writePartitionedTable gives readers partition pruning") {
+    val out = Files.createTempDirectory("graft_sink3").toString
+    val denorm = Core.q09DenormJoin(spark, sf1)
+    Sink.writePartitionedTable(denorm, "n_nationkey", out)
+    val filtered = spark.read.parquet(out).filter(col("n_nationkey") === 7L)
+    val plan = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    assert(filtered.count() ===
+      denorm.filter(col("n_nationkey") === 7L).count())
+  }
+
   test("overwrite mode makes re-runs idempotent (reference D3)") {
     val out = Files.createTempDirectory("graft_sink2").toString
     val df = Core.q14Distinct(spark, sf1)

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Event, EventStream}
+
+/** Streaming semantics the parquet-driven parity test can't show:
+  * incremental state across batches (mapGroupsWithState) and watermark
+  * late-data drop across batch boundaries. */
+class StatefulStreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("mapGroupsWithState accumulates per-user state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.runningUserActivity(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("user_state_test").start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+        Event(2L, ts("2024-01-01 10:01:00"), 7L, "purchase", 5.0),
+        Event(3L, ts("2024-01-01 10:02:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(4L, ts("2024-01-01 11:00:00"), 7L, "purchase", 9.0))
+      q.processAllAvailable()
+      // latest update per user reflects ALL batches
+      val latest = spark.sql(
+        """SELECT user_id, max(n_events) AS n, max(n_purchases) AS p
+           FROM user_state_test GROUP BY user_id""")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(latest(7L) === ((3L, 2L)))
+      assert(latest(9L) === ((1L, 0L)))
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than 1 day behind max event time") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = EventStream.windowedAgg(
+      input.toDS().toDF().withWatermark("ts", "1 day"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_data_test").start()
+    try {
+      // batch 1: one Jan-1 event; a Jan-4 event advances the watermark to
+      // Jan-3, finalizing the Jan-1 window
+      input.addData(
+        Event(1L, ts("2024-01-01 12:00:00"), 1L, "click", 1.0),
+        Event(2L, ts("2024-01-04 00:30:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE Jan-1 event (behind watermark -> dropped) and a
+      // Jan-6 event that finalizes the Jan-4 window
+      input.addData(
+        Event(3L, ts("2024-01-01 13:00:00"), 1L, "click", 1.0),
+        Event(4L, ts("2024-01-06 00:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val emitted = spark.sql(
+        "SELECT day, n FROM late_data_test ORDER BY day")
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(emitted("2024-01-01") === 1L,
+        "late event must NOT be counted into the finalized window")
+      assert(emitted("2024-01-04") === 1L)
+      assert(!emitted.contains("2024-01-06"),
+        "open window must not emit in append mode")
+    } finally q.stop()
+  }
+
+  test("batch and streaming share the stateful operator code path") {
+    val batchResult = EventStream.runningUserActivity(
+      EventStream.typedEvents(
+        graft.sources.Tables.load(spark, sf1, "events")))
+    import org.apache.spark.sql.functions.sum
+    val total = batchResult.toDF().agg(sum("n_events")).head().getLong(0)
+    assert(total === 1000L)
+  }
+}
