@@ -34,8 +34,22 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Make each oracle self-contained: prepend CTEs binding every table
+    // name to its parquet file, so the SQL runs in DuckDB regardless of
+    // which views the harness registered (CTE names shadow views). Queries
+    // that already start with WITH get their clause merged.
+    def withProlog(sql: String): String = {
+      val ctes = graft.sources.Tables.names.map(t =>
+        s"$t AS (SELECT * FROM read_parquet('$sfDir/$t.parquet'))")
+        .mkString(", ")
+      val trimmed = sql.trim
+      if (trimmed.take(4).equalsIgnoreCase("WITH"))
+        s"WITH $ctes, ${trimmed.drop(4).trim}"
+      else s"WITH $ctes $trimmed"
+    }
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(withProlog(v))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
