@@ -163,7 +163,10 @@ object Extensions {
   // q41 — sessionization: 30-minute-gap session windows per user (the
   // built-in session_window operator; in streaming the same expression
   // runs with a watermark). Timestamps truncated to seconds on BOTH
-  // engines so ns-vs-µs precision can't shift a boundary.
+  // engines so ns-vs-µs precision can't shift a boundary. Boundary
+  // semantics (verified at sf0.1, where an exactly-30-min gap exists):
+  // session_window MERGES an event at exactly prev+gap — the oracle's
+  // new-session test is therefore strict `>`.
   def q41Sessionize(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withColumn("ts_s", date_trunc("second", col("ts")))
@@ -264,7 +267,7 @@ object Extensions {
                     FROM events),
          o AS (SELECT user_id, ts_s,
                  CASE WHEN lag(ts_s) OVER w IS NULL
-                        OR ts_s - lag(ts_s) OVER w >= INTERVAL 30 MINUTE
+                        OR ts_s - lag(ts_s) OVER w > INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS new_s
                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
          s2 AS (SELECT user_id, ts_s,

@@ -117,16 +117,17 @@ object Similarity {
     * TopKAggregator.scala). */
   def q42TopkPerLabel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    register(s)
     val e = t(s, dir, "embeddings")
       .withColumn("ed", col("embedding").cast("array<double>"))
-      .withColumn("nrm", sqrt(vec_dot2(s)(col("ed"), col("ed"))))
+      .withColumn("nrm", sqrt(vec_dot(col("ed"), col("ed"))))
     val probe = e.filter(col("vec_id") === 0L)
       .select(col("ed").as("ped"), col("nrm").as("pnrm"))
     val scored = e.crossJoin(broadcast(probe))
       .select(
         col("label"),
         col("vec_id").as("id"),
-        (vec_dot2(s)(col("ed"), col("ped")) /
+        (vec_dot(col("ed"), col("ped")) /
           (col("nrm") * col("pnrm"))).as("score"))
       .as[LabeledScore]
     val topk = graft.functions.TopKByScore[LabeledScore](
@@ -139,13 +140,6 @@ object Similarity {
         }
       }
       .toDF("label", "vec_id", "rank")
-  }
-
-  /** vec_dot with session registration ensured. */
-  private def vec_dot2(s: SparkSession) = {
-    register(s)
-    (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      vec_dot(a, b)
   }
 
   private def q42OracleSql: String =
