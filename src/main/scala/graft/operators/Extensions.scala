@@ -179,6 +179,77 @@ object Extensions {
         col("session_window.start").as("session_start"),
         col("session_end"), col("n_events"))
 
+  // q43 — scalar-function battery: string/date/math/conditional built-ins
+  // in one projection (all codegen'd; no UDFs).
+  def q43ScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      upper(col("o_orderpriority")).as("prio_upper"),
+      substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+      length(col("o_orderstatus")).cast("bigint").as("status_len"),
+      concat_ws("|", col("o_orderstatus"), col("o_orderpriority"))
+        .as("status_prio"),
+      year(col("o_orderdate")).cast("bigint").as("o_year"),
+      month(col("o_orderdate")).cast("bigint").as("o_month"),
+      dayofmonth(col("o_orderdate")).cast("bigint").as("o_day"),
+      (col("o_orderkey") % 7).as("key_mod"),
+      abs(col("o_orderkey") - 1000L).as("key_absdiff"),
+      col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+      when(col("o_orderstatus") === "P", lit("pending"))
+        .when(col("o_orderstatus") === "O", lit("open"))
+        .otherwise(lit("done")).as("status_word"),
+      coalesce(nullif(col("o_orderstatus"), lit("P")), lit("~"))
+        .as("status_or_tilde"))
+
+  // q44 — left outer join: every customer keeps a row even with no
+  // P-status order (the unmatched side q22 isolates).
+  def q44LeftOuter(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val pOrders = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "P")
+      .select("o_orderkey", "o_custkey")
+    customer.join(pOrders,
+        customer("c_custkey") === pOrders("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"))
+  }
+
+  // q45 — full outer join over two partially-overlapping key sets.
+  def q45FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val evens = t(s, dir, "customer")
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("even_key"))
+    val thirds = t(s, dir, "customer")
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("third_key"))
+    evens.join(thirds, col("even_key") === col("third_key"), "full_outer")
+  }
+
+  // q46 — window frames beyond ranking: running sum, lag, lead over each
+  // customer's orders (deterministic order: o_orderkey tie-break; money
+  // through DECIMAL so the running fold is exact).
+  def q46WindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("price_dec", col("o_totalprice").cast("decimal(18,2)"))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("price_dec"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("decimal(38,2)").as("running_total"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"))
+  }
+
+  // q47 — HLL sketch aggregation: approx distinct custkeys per priority.
+  // No DuckDB oracle (sketch implementations differ across engines) —
+  // the driver records a rows-only check; the error bound vs the exact
+  // count is unit-tested instead.
+  def q47ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_groupby_agg" -> (q20GroupbyAgg _),
     "q21_window_rank" -> (q21WindowRank _),
@@ -191,7 +262,12 @@ object Extensions {
     "q28_setops" -> (q28Setops _),
     "q39_rollup" -> (q39Rollup _),
     "q40_cube" -> (q40Cube _),
-    "q41_sessionize" -> (q41Sessionize _))
+    "q41_sessionize" -> (q41Sessionize _),
+    "q43_scalar_funcs" -> (q43ScalarFuncs _),
+    "q44_left_outer" -> (q44LeftOuter _),
+    "q45_full_outer" -> (q45FullOuter _),
+    "q46_window_frames" -> (q46WindowFrames _),
+    "q47_approx_distinct" -> (q47ApproxDistinct _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_groupby_agg" ->
@@ -277,5 +353,47 @@ object Extensions {
                 FROM o)
          SELECT user_id, min(ts_s) AS session_start,
                 max(ts_s) AS session_end, count(*) AS n_events
-         FROM s2 GROUP BY user_id, sid""")
+         FROM s2 GROUP BY user_id, sid""",
+    "q43_scalar_funcs" ->
+      """SELECT o_orderkey,
+         upper(o_orderpriority) AS prio_upper,
+         substring(o_orderpriority, 1, 1) AS prio_code,
+         CAST(length(o_orderstatus) AS BIGINT) AS status_len,
+         concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(month(o_orderdate) AS BIGINT) AS o_month,
+         CAST(day(o_orderdate) AS BIGINT) AS o_day,
+         o_orderkey % 7 AS key_mod,
+         abs(o_orderkey - 1000) AS key_absdiff,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+         CASE WHEN o_orderstatus = 'P' THEN 'pending'
+              WHEN o_orderstatus = 'O' THEN 'open'
+              ELSE 'done' END AS status_word,
+         coalesce(nullif(o_orderstatus, 'P'), '~') AS status_or_tilde
+         FROM orders""",
+    "q44_left_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey
+         FROM customer LEFT JOIN
+           (SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_orderstatus = 'P') p
+         ON c_custkey = p.o_custkey""",
+    "q45_full_outer" ->
+      """SELECT e.even_key, t.third_key FROM
+           (SELECT c_custkey AS even_key FROM customer
+            WHERE c_custkey % 2 = 0) e
+         FULL OUTER JOIN
+           (SELECT c_custkey AS third_key FROM customer
+            WHERE c_custkey % 3 = 0) t
+         ON e.even_key = t.third_key""",
+    "q46_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DECIMAL(38,2)) AS running_total,
+         lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS prev_order,
+         lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS next_order
+         FROM orders""")
 }

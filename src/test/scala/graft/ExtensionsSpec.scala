@@ -91,6 +91,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("q44 left outer keeps every customer row at least once") {
+    val df = Extensions.q44LeftOuter(spark, sf1)
+    assert(df.select("c_custkey").distinct().count() === 150L)
+    assert(df.filter(col("o_orderkey").isNull).count() > 0L,
+      "customers without P-orders must appear with null order")
+  }
+
+  test("q45 full outer covers union of both key sets") {
+    val df = Extensions.q45FullOuter(spark, sf1)
+    // keys 0..149: 75 evens, 50 thirds, 25 both -> 75 + 50 - 25 = 100 rows
+    assert(df.count() === 100L)
+    assert(df.filter(col("even_key").isNull).count() === 25L)
+    assert(df.filter(col("third_key").isNull).count() === 50L)
+  }
+
+  test("q47 approx distinct stays within the configured 2% error band") {
+    val approx = Extensions.q47ApproxDistinct(spark, sf1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.load(spark, sf1, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k).toDouble
+      assert(math.abs(a - n) / n < 0.1, s"$k: approx $a vs exact $n")
+    }
+  }
+
   test("q28 set ops partition the custkey set") {
     val df = Extensions.q28Setops(spark, sf1)
     val byTag = df.groupBy("tag").count().collect()
