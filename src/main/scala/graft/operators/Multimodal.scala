@@ -99,6 +99,28 @@ object Multimodal {
           s"fi -> substring(payload, fi * step_bytes + 1, $frameBytes))")
           .as("frames"))
 
+  /** Resize: deterministic stride-subsampling of the payload to at most
+    * `targetBytes` (stands in for image downscaling — a real resampler
+    * drops into the same byte-in/byte-out shape). Metadata dims scale
+    * with the same ratio, and payloads already small pass through. */
+  def resize(ds: Dataset[MediaAsset], targetBytes: Int): Dataset[MediaAsset] = {
+    import ds.sparkSession.implicits._
+    ds.map { a =>
+      val n = a.payload.length
+      if (n <= targetBytes) a
+      else {
+        val step = math.max(1, n / targetBytes)
+        val resized = Array.range(0, n, step).take(targetBytes)
+          .map(a.payload(_))
+        val ratio = resized.length.toDouble / n
+        a.copy(
+          payload = resized,
+          width = math.max(1, (a.width * ratio).toInt),
+          height = math.max(1, (a.height * ratio).toInt))
+      }
+    }
+  }
+
   /** q38 — metadata projection over binary payloads: byte length and
     * content hash, computed WITHOUT decoding. md5 is md5 in every engine,
     * so the differential stays exact. */

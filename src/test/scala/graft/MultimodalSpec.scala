@@ -48,6 +48,18 @@ class MultimodalSpec extends SparkSpec {
     assert(fs.forall(f => f.length <= 8))
   }
 
+  test("resize bounds payloads and scales metadata deterministically") {
+    val resized = Multimodal.resize(Multimodal.assets(spark, sf1), 64)
+    import spark.implicits._
+    val over = resized.filter(_.payload.length > 64).count()
+    assert(over === 0L)
+    val a1 = resized.filter(_.asset_id == 3L).head()
+    val a2 = Multimodal.resize(Multimodal.assets(spark, sf1), 64)
+      .filter(_.asset_id == 3L).head()
+    assert(a1.payload.toSeq === a2.payload.toSeq)
+    assert(a1.width <= 640 && a1.height <= 480)
+  }
+
   test("metadata projection (q38) never decodes: no mapPartitions in plan") {
     val plan = Multimodal.q38MultimodalMeta(spark, sf1)
       .queryExecution.optimizedPlan.toString
