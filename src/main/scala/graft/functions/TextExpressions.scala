@@ -207,6 +207,99 @@ case class MinHash16(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Hashes of all n-word shingles of a words array in one pass, WITHOUT
+  * materializing the shingle strings: for each window, the polynomial
+  * fold runs over the member words' bytes with a single 0x20 separator
+  * byte folded between them — byte-for-byte what
+  * `poly_hash(concat_ws(' ', w[i], ..., w[i+n-1]))` computes, minus the
+  * per-shingle string allocation and copy. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"shingle_hashes expects array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val m = len - n + 1
+    if (m <= 0) {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    } else {
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        var h = 0L
+        var k = 0
+        while (k < n) {
+          if (k > 0) h = (h * 31 + 0x20) % PortableHash.Mod
+          val s = arr.getUTF8String(i + k)
+          val nb = s.numBytes()
+          var j = 0
+          while (j < nb) {
+            h = (h * 31 + (s.getByte(j) & 0xff)) % PortableHash.Mod
+            j += 1
+          }
+          k += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val len = ctx.freshName("len")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val s = ctx.freshName("s")
+      val nb = ctx.freshName("nb")
+      s"""
+         |int $len = $arr.numElements();
+         |int $m = $len - $n + 1;
+         |if ($m < 0) $m = 0;
+         |long[] $out = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  long $h = 0L;
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    if ($k > 0) $h = ($h * 31 + 0x20) % ${PortableHash.Mod}L;
+         |    org.apache.spark.unsafe.types.UTF8String $s =
+         |      $arr.getUTF8String($i + $k);
+         |    int $nb = $s.numBytes();
+         |    for (int $j = 0; $j < $nb; $j++) {
+         |      $h = ($h * 31 + ($s.getByte($j) & 0xff)) % ${PortableHash.Mod}L;
+         |    }
+         |  }
+         |  $out[$i] = $h;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
 /** Registration for all graft native functions. */
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
@@ -219,5 +312,9 @@ object GraftFunctions {
       "simhash32", exprs => SimHash32(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash16", exprs => MinHash16(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashes(
+        exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

@@ -67,17 +67,12 @@ object Dedup {
         FROM documents"""
 
   /** Spark: distinct hashed word-n-gram shingles of `text` (needs a
-    * `size(split(text,' ')) >= ShingleN` guard upstream). 1-based
-    * element_at so indexing matches DuckDB's 1-based lists. Uses the
-    * native poly_hash expression (bit-identical to the char-fold HOF,
-    * ~10x less per-shingle overhead). */
-  private val sparkShingleHashes: String = {
-    val parts = (0 until ShingleN)
-      .map(k => s"element_at(sw_w, sh_i + $k)").mkString(", ")
-    s"array_distinct(transform(" +
-      s"sequence(1, size(sw_w) - ${ShingleN - 1}), " +
-      s"sh_i -> poly_hash(concat_ws(' ', $parts))))"
-  }
+    * `size(split(text,' ')) >= ShingleN` guard upstream). The native
+    * shingle_hashes expression folds each window's bytes directly —
+    * bit-identical to poly_hash(concat_ws(' ', ...)) without building the
+    * shingle strings. */
+  private val sparkShingleHashes: String =
+    s"array_distinct(shingle_hashes(sw_w, $ShingleN))"
 
   private val duckShingleHashes: String = {
     val parts = (0 until ShingleN)

@@ -77,6 +77,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("shingle_hashes equals poly_hash(concat_ws(...)) on random word arrays") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val word = Gen.listOf(Gen.alphaLowerChar).map(_.mkString)
+    val doc = Gen.choose(3, 12).flatMap(k => Gen.listOfN(k, word))
+    val inputs = sample(doc, 150).zipWithIndex
+    val df = inputs.map { case (w, i) => (i, w) }.toDF("i", "w")
+      .selectExpr(
+        "i",
+        "shingle_hashes(w, 3) AS native",
+        """transform(sequence(1, size(w) - 2),
+           x -> poly_hash(concat_ws(' ', element_at(w, x),
+                element_at(w, x + 1), element_at(w, x + 2)))) AS hof""")
+    val bad = df.filter(col("native") =!= col("hof")).count()
+    assert(bad === 0L)
+  }
+
   test("semi and anti joins partition any generated fact relation") {
     import spark.implicits._
     val fkGen = Gen.choose(0, 30)
