@@ -250,6 +250,52 @@ object Extensions {
       .groupBy("o_orderpriority")
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
 
+  // q48 — column profiling: per-table data-quality stats (row count,
+  // null counts, distinct counts, min/max) — the validation pass a
+  // pipeline runs before/after every stage.
+  def q48Profile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("null_name"),
+      countDistinct(col("c_nationkey")).as("n_nations"),
+      countDistinct(col("c_mktsegment")).as("n_segments"),
+      min(col("c_custkey")).as("min_key"),
+      max(col("c_custkey")).as("max_key"))
+
+  // q49 — pivot: priority x status counts widened to one column per
+  // status (fixed value list => stable schema; coalesce(0) because
+  // Spark's pivot yields NULL for empty combinations while the
+  // conditional-aggregation oracle yields 0).
+  def q49Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("P", "O", "F"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("P"), lit(0L)).as("n_p"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("F"), lit(0L)).as("n_f"))
+
+  // q50 — unpivot (melt): the q49 wide shape back to long form; zero
+  // combos filtered so the result matches a plain GROUP BY at any sf.
+  def q50Unpivot(s: SparkSession, dir: String): DataFrame =
+    q49Pivot(s, dir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_p").as("P"), col("n_o").as("O"), col("n_f").as("F")),
+        "o_orderstatus", "n")
+      .filter(col("n") > 0)
+
+  // q51 — generator/lateral family: explode words with position
+  // (posexplode is 0-based; +1 to match SQL WITH ORDINALITY).
+  def q51Explode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("bigint").as("pos"),
+        col("word"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_groupby_agg" -> (q20GroupbyAgg _),
     "q21_window_rank" -> (q21WindowRank _),
@@ -267,7 +313,11 @@ object Extensions {
     "q44_left_outer" -> (q44LeftOuter _),
     "q45_full_outer" -> (q45FullOuter _),
     "q46_window_frames" -> (q46WindowFrames _),
-    "q47_approx_distinct" -> (q47ApproxDistinct _))
+    "q47_approx_distinct" -> (q47ApproxDistinct _),
+    "q48_profile" -> (q48Profile _),
+    "q49_pivot" -> (q49Pivot _),
+    "q50_unpivot" -> (q50Unpivot _),
+    "q51_explode" -> (q51Explode _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_groupby_agg" ->
@@ -395,5 +445,32 @@ object Extensions {
            ORDER BY o_orderdate, o_orderkey) AS prev_order,
          lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
            ORDER BY o_orderdate, o_orderkey) AS next_order
-         FROM orders""")
+         FROM orders""",
+    "q48_profile" ->
+      """SELECT count(*) AS n_rows,
+         CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_name,
+         CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+         min(c_custkey) AS min_key, max(c_custkey) AS max_key
+         FROM customer""",
+    "q49_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_p,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_o,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_f
+         FROM orders GROUP BY o_orderpriority""",
+    "q50_unpivot" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+         FROM orders GROUP BY o_orderpriority, o_orderstatus""",
+    "q51_explode" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl
+                    FROM documents)
+         SELECT doc_id,
+                CAST(unnest(range(1, len(wl) + 1)) AS BIGINT) AS pos,
+                unnest(wl) AS word
+         FROM w""")
 }

@@ -119,6 +119,24 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q49/q50 pivot-unpivot round trip recovers the group-by counts") {
+    val long = Extensions.q50Unpivot(spark, sf1)
+    val direct = graft.sources.Tables.load(spark, sf1, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+    assert(long.exceptAll(direct).count() === 0L)
+    assert(direct.exceptAll(long).count() === 0L)
+  }
+
+  test("q51 explode preserves word counts per document") {
+    val exploded = Extensions.q51Explode(spark, sf1)
+      .groupBy("doc_id").count()
+    val direct = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("count"))
+    assert(exploded.exceptAll(direct).count() === 0L)
+  }
+
   test("q28 set ops partition the custkey set") {
     val df = Extensions.q28Setops(spark, sf1)
     val byTag = df.groupBy("tag").count().collect()
