@@ -96,7 +96,7 @@ object Similarity {
     * vector (brute force, codegen'd dot product). */
   def topKCosine(embeddings: DataFrame, probe: Array[Double], k: Int)
       : DataFrame = {
-    val probeLit = array(probe.map(lit): _*)
+    val probeLit = array(probe.toIndexedSeq.map(lit): _*)
     embeddings
       .withColumn("ed", col("embedding").cast("array<double>"))
       .withColumn("p", probeLit)
@@ -106,6 +106,56 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
       .select("vec_id", "sim")
+  }
+
+  /** q52 — LSH-bucketed ANN: the SRP sign-bucket machinery from q33
+    * applied to SEARCH — rank only the probe's bucket (the LSH analog of
+    * q29's IVF cell restriction; recall grows with fewer planes or
+    * multi-probe across neighboring buckets). */
+  def q52AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    register(s)
+    val bucketTerms = (0 until Dedup.NumPlanes).map { p =>
+      s"(CASE WHEN vec_dot(ed, ${planeLitSpark(p)}) >= 0D " +
+        s"THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val e = t(s, dir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(vec_dot(col("ed"), col("ed"))))
+      .withColumn("bucket", expr(bucketTerms))
+    val probe = e.filter(col("vec_id") === 0L)
+      .select(col("ed").as("ped"), col("nrm").as("pnrm"),
+        col("bucket").as("pbucket"))
+    e.join(broadcast(probe), col("bucket") === col("pbucket"))
+      .withColumn("sim",
+        vec_dot(col("ed"), col("ped")) / (col("nrm") * col("pnrm")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(TopK)
+      .select("vec_id")
+  }
+
+  private def planeLitSpark(p: Int): String =
+    Dedup.planes(p).map(v => s"${v}D").mkString("array(", ", ", ")")
+
+  private def planeLitDuck(p: Int): String =
+    Dedup.planes(p).map(_.toString).mkString("[", ", ", "]")
+
+  private def q52OracleSql: String = {
+    val bucketTerms = (0 until Dedup.NumPlanes).map { p =>
+      s"(CASE WHEN list_dot_product(ed, ${planeLitDuck(p)}) >= 0 " +
+        s"THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+        b AS (SELECT vec_id, ed, nrm, $bucketTerms AS bucket FROM e),
+        p AS (SELECT ed AS ped, nrm AS pnrm, bucket AS pbucket
+              FROM b WHERE vec_id = 0)
+        SELECT x.vec_id FROM b x, p
+        WHERE x.bucket = p.pbucket
+        ORDER BY list_dot_product(x.ed, p.ped) / (x.nrm * p.pnrm) DESC,
+                 x.vec_id
+        LIMIT $TopK"""
   }
 
   /** Row shape feeding the typed top-k aggregator. */
@@ -161,9 +211,11 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_ann_ivf" -> (q29AnnIvf _),
-    "q42_topk_per_label" -> (q42TopkPerLabel _))
+    "q42_topk_per_label" -> (q42TopkPerLabel _),
+    "q52_ann_lsh" -> (q52AnnLsh _))
 
   val oracleSql: Map[String, String] = Map(
     "q29_ann_ivf" -> q29OracleSql,
-    "q42_topk_per_label" -> q42OracleSql)
+    "q42_topk_per_label" -> q42OracleSql,
+    "q52_ann_lsh" -> q52OracleSql)
 }

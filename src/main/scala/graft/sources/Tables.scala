@@ -50,7 +50,7 @@ object Tables {
 
   /** Lower-case every column name (reference README.md:733-739 analog). */
   def normalize(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.toLowerCase(Locale.ROOT)): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase(Locale.ROOT)): _*)
 
   /** Register every table as a temp view (reference README.md:774-776:
     * `registerTempTable` + SQL-over-views entry point). */
