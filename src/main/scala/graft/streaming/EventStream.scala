@@ -16,6 +16,13 @@ case class Event(
 /** Per-user running state kept by the stateful operator. */
 case class UserActivity(user_id: Long, n_events: Long, n_purchases: Long)
 
+/** Open-session state for the flatMapGroupsWithState sessionizer. */
+case class OpenSession(start: Long, last: Long, n: Long)
+
+/** A closed session emitted by the sessionizer (epoch-second bounds). */
+case class ClosedSession(
+    user_id: Long, start_s: Long, end_s: Long, n_events: Long)
+
 /** Structured Streaming over the events table (SURVEY.md §7 M6).
   *
   * The aggregation function is ONE object shared with the batch q26 — the
@@ -92,6 +99,42 @@ object EventStream {
           val next = UserActivity(uid, n, p)
           state.update(next)
           next
+      }
+  }
+
+  /** Custom sessionization via flatMapGroupsWithState: zero-or-more
+    * CLOSED sessions emitted per user per batch (vs mapGroupsWithState's
+    * exactly-one output). A session closes when a later event arrives
+    * more than `gapSeconds` after it; the open tail stays in state across
+    * batches. This is the hand-rolled form of what `session_window`
+    * (q41) does declaratively — kept because custom emission (close
+    * reasons, per-session payloads, side outputs) needs the explicit
+    * state API. */
+  def sessionizeStateful(
+      ds: Dataset[Event], gapSeconds: Long): Dataset[ClosedSession] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[Event],
+         state: GroupState[OpenSession]) =>
+          val sorted = events.map(_.ts.getTime / 1000).toSeq.sorted
+          var open = state.getOption
+          val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
+          sorted.foreach { t =>
+            open match {
+              case Some(s) if t - s.last <= gapSeconds =>
+                open = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                closed += ClosedSession(uid, s.start, s.last, s.n)
+                open = Some(OpenSession(t, t, 1))
+              case None =>
+                open = Some(OpenSession(t, t, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
       }
   }
 

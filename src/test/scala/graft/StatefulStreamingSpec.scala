@@ -73,6 +73,32 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits closed sessions across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionizeStateful(input.toDS(), gapSeconds = 1800L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("session_state_test").start()
+    try {
+      // batch 1: two events 10 min apart (one open session, nothing emits)
+      input.addData(
+        Event(1L, ts("2024-01-01 10:00:00"), 5L, "click", 1.0),
+        Event(2L, ts("2024-01-01 10:10:00"), 5L, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM session_state_test").count() === 0L)
+      // batch 2: an event 2h later closes the first session (n=2) and
+      // opens a new one that stays in state
+      input.addData(
+        Event(3L, ts("2024-01-01 12:10:00"), 5L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events FROM session_state_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq === Seq((5L, 2L)))
+    } finally q.stop()
+  }
+
   test("batch and streaming share the stateful operator code path") {
     val batchResult = EventStream.runningUserActivity(
       EventStream.typedEvents(
