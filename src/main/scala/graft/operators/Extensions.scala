@@ -296,6 +296,44 @@ object Extensions {
       .select(col("doc_id"), (col("pos0") + 1).cast("bigint").as("pos"),
         col("word"))
 
+  // q53 — date arithmetic family: shift, diff, boundary, truncation.
+  def q53DateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      to_date(col("o_orderdate")).as("o_date"),
+      date_add(to_date(col("o_orderdate")), 7).as("plus_week"),
+      datediff(to_date(lit("2024-07-01")), to_date(col("o_orderdate")))
+        .cast("bigint").as("days_to_jul"),
+      last_day(col("o_orderdate")).as("month_end"),
+      to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+      dayofweek(col("o_orderdate")).cast("bigint").as("dow"))
+
+  // q54 — typed JSON parsing into a struct (vs q27's path extraction):
+  // schema-checked at plan time, fields projected without re-parsing.
+  def q54JsonStruct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("parsed", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+      .withColumn("pair", struct(col("event_type"), col("user_id")))
+      .select(
+        col("event_id"),
+        col("parsed.k").as("k"),
+        col("pair.event_type").as("etype"),
+        (col("pair.user_id") % 100).as("user_mod"))
+
+  // q55 — array/collection functions over grouped data: ordered
+  // collect_list, slice, size, membership.
+  def q55ArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .groupBy("label")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .select(
+        col("label"),
+        slice(col("ids"), 1, 5).as("first5"),
+        size(col("ids")).cast("bigint").as("n"),
+        array_contains(col("ids"), 0L).as("has_probe"),
+        element_at(col("ids"), -1).as("max_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_groupby_agg" -> (q20GroupbyAgg _),
     "q21_window_rank" -> (q21WindowRank _),
@@ -317,7 +355,10 @@ object Extensions {
     "q48_profile" -> (q48Profile _),
     "q49_pivot" -> (q49Pivot _),
     "q50_unpivot" -> (q50Unpivot _),
-    "q51_explode" -> (q51Explode _))
+    "q51_explode" -> (q51Explode _),
+    "q53_date_funcs" -> (q53DateFuncs _),
+    "q54_json_struct" -> (q54JsonStruct _),
+    "q55_array_funcs" -> (q55ArrayFuncs _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_groupby_agg" ->
@@ -472,5 +513,30 @@ object Extensions {
          SELECT doc_id,
                 CAST(unnest(range(1, len(wl) + 1)) AS BIGINT) AS pos,
                 unnest(wl) AS word
-         FROM w""")
+         FROM w""",
+    "q53_date_funcs" ->
+      """SELECT o_orderkey,
+         CAST(o_orderdate AS DATE) AS o_date,
+         CAST(o_orderdate AS DATE) + 7 AS plus_week,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-07-01')
+           AS BIGINT) AS days_to_jul,
+         last_day(CAST(o_orderdate AS DATE)) AS month_end,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow
+         FROM orders""",
+    "q54_json_struct" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         event_type AS etype,
+         user_id % 100 AS user_mod
+         FROM events""",
+    "q55_array_funcs" ->
+      """WITH g AS (SELECT label, list_sort(list(vec_id)) AS ids
+                    FROM embeddings GROUP BY label)
+         SELECT label,
+                list_slice(ids, 1, 5) AS first5,
+                CAST(len(ids) AS BIGINT) AS n,
+                list_contains(ids, 0) AS has_probe,
+                ids[-1] AS max_id
+         FROM g""")
 }
