@@ -316,5 +316,7 @@ object GraftFunctions {
       "shingle_hashes", exprs => ShingleHashes(
         exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sum_squares", exprs => SumOfSquaresLong(exprs.head), "built-in")
   }
 }

@@ -334,6 +334,22 @@ object Extensions {
         array_contains(col("ids"), 0L).as("has_probe"),
         element_at(col("ids"), -1).as("max_id"))
 
+  // q56 — integer moments per group via the custom DeclarativeAggregate
+  // (sum_squares stays fully inside codegen with map-side partials).
+  // n²·variance = n·Σk² − (Σk)² is exact integer arithmetic, so group
+  // variance becomes differential-safe where a floating stddev is not.
+  def q56Moments(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    t(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c_custkey")).as("sum_k"),
+        expr("sum_squares(c_custkey)").as("sum_k2"))
+      .withColumn("var_x_n2",
+        col("n") * col("sum_k2") - col("sum_k") * col("sum_k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_groupby_agg" -> (q20GroupbyAgg _),
     "q21_window_rank" -> (q21WindowRank _),
@@ -358,7 +374,8 @@ object Extensions {
     "q51_explode" -> (q51Explode _),
     "q53_date_funcs" -> (q53DateFuncs _),
     "q54_json_struct" -> (q54JsonStruct _),
-    "q55_array_funcs" -> (q55ArrayFuncs _))
+    "q55_array_funcs" -> (q55ArrayFuncs _),
+    "q56_moments" -> (q56Moments _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_groupby_agg" ->
@@ -538,5 +555,12 @@ object Extensions {
                 CAST(len(ids) AS BIGINT) AS n,
                 list_contains(ids, 0) AS has_probe,
                 ids[-1] AS max_id
-         FROM g""")
+         FROM g""",
+    "q56_moments" ->
+      """SELECT c_nationkey, count(*) AS n,
+         CAST(sum(c_custkey) AS BIGINT) AS sum_k,
+         CAST(sum(c_custkey * c_custkey) AS BIGINT) AS sum_k2,
+         CAST(count(*) * sum(c_custkey * c_custkey)
+              - sum(c_custkey) * sum(c_custkey) AS BIGINT) AS var_x_n2
+         FROM customer GROUP BY c_nationkey""")
 }

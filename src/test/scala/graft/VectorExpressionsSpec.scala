@@ -61,6 +61,20 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(top.length === 5)
   }
 
+  test("sum_squares DeclarativeAggregate stays in whole-stage codegen " +
+    "and matches the expression form") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val df = Tables.load(spark, sf1, "customer")
+      .groupBy("c_nationkey")
+      .agg(
+        expr("sum_squares(c_custkey)").as("native"),
+        sum(col("c_custkey") * col("c_custkey")).as("composed"))
+    assert(df.filter(col("native") =!= col("composed")).count() === 0L)
+    val code = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(code.contains("HashAggregate"), code.take(1000))
+  }
+
   test("q29 IVF result is a subset of brute-force top-20 neighborhood " +
     "quality check: all ids valid") {
     val ids = Similarity.q29AnnIvf(spark, sf1).collect().map(_.getLong(0))
