@@ -350,6 +350,37 @@ object Extensions {
         col("n") * col("sum_k2") - col("sum_k") * col("sum_k"))
   }
 
+  // q57 — as-of join: each event matched to the latest order of the same
+  // customer at-or-before the event time. Implemented by composition
+  // (preference ladder tier (a)): tag both sides, union, and carry the
+  // last order id forward per key with an ordered window — ONE shuffle on
+  // the key, same as a sort-merge as-of operator would cost. Orders are
+  // pre-deduped per (custkey, orderdate) so ties are deterministic; at
+  // equal timestamps the order sorts before the event, giving >= (ASOF)
+  // semantics. The oracle is DuckDB's NATIVE ASOF JOIN — two independent
+  // implementations of the operator agreeing row-for-row.
+  def q57AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("order_id"))
+    val oTagged = orders.select(
+      col("o_custkey").as("key"), col("o_orderdate").as("t"),
+      col("order_id"), lit(1).as("is_order"),
+      lit(null).cast("bigint").as("event_id"))
+    val eTagged = t(s, dir, "events").select(
+      col("user_id").as("key"), date_trunc("second", col("ts")).as("t"),
+      lit(null).cast("bigint").as("order_id"), lit(0).as("is_order"),
+      col("event_id"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("t"), col("is_order").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    oTagged.unionByName(eTagged)
+      .withColumn("asof_order",
+        last(col("order_id"), ignoreNulls = true).over(w))
+      .filter(col("event_id").isNotNull)
+      .select(col("event_id"), col("asof_order").as("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_groupby_agg" -> (q20GroupbyAgg _),
     "q21_window_rank" -> (q21WindowRank _),
@@ -375,7 +406,8 @@ object Extensions {
     "q53_date_funcs" -> (q53DateFuncs _),
     "q54_json_struct" -> (q54JsonStruct _),
     "q55_array_funcs" -> (q55ArrayFuncs _),
-    "q56_moments" -> (q56Moments _))
+    "q56_moments" -> (q56Moments _),
+    "q57_asof_join" -> (q57AsofJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_groupby_agg" ->
@@ -562,5 +594,13 @@ object Extensions {
          CAST(sum(c_custkey * c_custkey) AS BIGINT) AS sum_k2,
          CAST(count(*) * sum(c_custkey * c_custkey)
               - sum(c_custkey) * sum(c_custkey) AS BIGINT) AS var_x_n2
-         FROM customer GROUP BY c_nationkey""")
+         FROM customer GROUP BY c_nationkey""",
+    "q57_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate,
+                    max(o_orderkey) AS o_orderkey
+                    FROM orders GROUP BY o_custkey, o_orderdate)
+         SELECT e.event_id, o.o_orderkey
+         FROM events e
+         ASOF LEFT JOIN o ON e.user_id = o.o_custkey
+           AND date_trunc('second', e.ts) >= o.o_orderdate""")
 }
