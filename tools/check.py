@@ -39,6 +39,16 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # coverage guard: every dumped result dir should have an oracle
+    # (rows-only queries like the HLL sketch are the known exceptions);
+    # an oracle without a result dir means the Spark side crashed.
+    import os
+    dirs = {d for d in os.listdir(out_dir)
+            if os.path.isdir(f"{out_dir}/{d}")}
+    for d in sorted(dirs - set(oracle)):
+        print(f"NOTE {d}: result present but no oracle (rows-only query)")
+    for d in sorted(set(oracle) - dirs):
+        print(f"WARN {d}: oracle present but no Spark result dir")
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
