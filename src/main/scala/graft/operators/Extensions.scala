@@ -381,6 +381,23 @@ object Extensions {
       .select(col("event_id"), col("asof_order").as("o_orderkey"))
   }
 
+  // q58 — range (theta) join: assign each part to a price band via a
+  // non-equi join against a derived 8-row band table. The band side is
+  // broadcast, so the theta condition runs as a BroadcastNestedLoopJoin
+  // over a tiny build side — the right plan for banding; an equi-join it
+  // is not and Spark must not shuffle the fact for it.
+  def q58RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(8).select(
+      col("id").as("band"),
+      (col("id") * 250.0).as("lo"),
+      ((col("id") + 1) * 250.0).as("hi"))
+    val part = t(s, dir, "part")
+    part.join(broadcast(bands),
+        part("p_retailprice") >= bands("lo") &&
+          part("p_retailprice") < bands("hi"))
+      .select(col("p_partkey"), col("band"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_groupby_agg" -> (q20GroupbyAgg _),
     "q21_window_rank" -> (q21WindowRank _),
@@ -407,7 +424,8 @@ object Extensions {
     "q54_json_struct" -> (q54JsonStruct _),
     "q55_array_funcs" -> (q55ArrayFuncs _),
     "q56_moments" -> (q56Moments _),
-    "q57_asof_join" -> (q57AsofJoin _))
+    "q57_asof_join" -> (q57AsofJoin _),
+    "q58_range_join" -> (q58RangeJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_groupby_agg" ->
@@ -602,5 +620,12 @@ object Extensions {
          SELECT e.event_id, o.o_orderkey
          FROM events e
          ASOF LEFT JOIN o ON e.user_id = o.o_custkey
-           AND date_trunc('second', e.ts) >= o.o_orderdate""")
+           AND date_trunc('second', e.ts) >= o.o_orderdate""",
+    "q58_range_join" ->
+      """WITH bands AS (
+           SELECT CAST(band AS BIGINT) AS band,
+                  band * 250.0 AS lo, (band + 1) * 250.0 AS hi
+           FROM (SELECT unnest(range(0, 8)) AS band))
+         SELECT p_partkey, band FROM part JOIN bands
+         ON p_retailprice >= lo AND p_retailprice < hi""")
 }
