@@ -398,6 +398,18 @@ object Extensions {
       .select(col("p_partkey"), col("band"))
   }
 
+  // q60 — exact percentiles per group (sort-based, not sketch): Spark's
+  // `percentile` and DuckDB's `quantile_cont` both linearly interpolate
+  // a + (b-a)·frac over the sorted values; from integer inputs every
+  // intermediate is exactly representable, so results are bit-equal.
+  def q60Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(
+        expr("percentile(c_custkey, 0.25)").as("p25"),
+        expr("percentile(c_custkey, 0.5)").as("p50"),
+        expr("percentile(c_custkey, 0.9)").as("p90"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_groupby_agg" -> (q20GroupbyAgg _),
     "q21_window_rank" -> (q21WindowRank _),
@@ -425,7 +437,8 @@ object Extensions {
     "q55_array_funcs" -> (q55ArrayFuncs _),
     "q56_moments" -> (q56Moments _),
     "q57_asof_join" -> (q57AsofJoin _),
-    "q58_range_join" -> (q58RangeJoin _))
+    "q58_range_join" -> (q58RangeJoin _),
+    "q60_percentiles" -> (q60Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_groupby_agg" ->
@@ -627,5 +640,11 @@ object Extensions {
                   band * 250.0 AS lo, (band + 1) * 250.0 AS hi
            FROM (SELECT unnest(range(0, 8)) AS band))
          SELECT p_partkey, band FROM part JOIN bands
-         ON p_retailprice >= lo AND p_retailprice < hi""")
+         ON p_retailprice >= lo AND p_retailprice < hi""",
+    "q60_percentiles" ->
+      """SELECT c_nationkey,
+         quantile_cont(c_custkey, 0.25) AS p25,
+         quantile_cont(c_custkey, 0.5) AS p50,
+         quantile_cont(c_custkey, 0.9) AS p90
+         FROM customer GROUP BY c_nationkey""")
 }

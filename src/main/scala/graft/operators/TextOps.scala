@@ -153,15 +153,62 @@ object TextOps {
     s"""SELECT doc_id, ${duckCharFold("text")} AS fingerprint
         FROM documents"""
 
+  /** q59 — TF/DF term statistics (the integer core of TF-IDF): per
+    * (doc, term) frequency joined with corpus document frequency. Two
+    * aggregations over one exploded pass; the idf weighting itself is a
+    * float transform left to callers (floats aren't differential-safe).
+    * Restricted to terms of probe doc 0 to keep output bounded. */
+  def q59TfDf(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = words.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val probeTerms = words.filter(col("doc_id") === 0L)
+      .select("w").distinct()
+    tf.join(broadcast(probeTerms), Seq("w"))
+      .join(broadcast(df), Seq("w"))
+      .select(col("doc_id"), col("w"), col("tf"), col("df"))
+  }
+
+  private def q59OracleSql: String =
+    """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+       tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+              GROUP BY doc_id, w),
+       df AS (SELECT w, count(*) AS df FROM
+              (SELECT DISTINCT doc_id, w FROM words) GROUP BY w),
+       pt AS (SELECT DISTINCT w FROM words WHERE doc_id = 0)
+       SELECT tf.doc_id, tf.w, tf.tf, df.df
+       FROM tf JOIN pt USING (w) JOIN df USING (w)"""
+
+  /** q61 — ordered string aggregation (LISTAGG family): comma-joined
+    * sorted member names per nation-of-customers sample. */
+  def q61StringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") < 40L)
+      .groupBy("c_nationkey")
+      .agg(concat_ws(",",
+        sort_array(collect_list(col("c_name")))).as("members"))
+
+  private def q61OracleSql: String =
+    """SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name)
+         AS members
+       FROM customer WHERE c_custkey < 40 GROUP BY c_nationkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_lang_id" -> (q34LangId _),
     "q35_quality_score" -> (q35QualityScore _),
     "q36_token_count" -> (q36TokenCount _),
-    "q37_fingerprint" -> (q37Fingerprint _))
+    "q37_fingerprint" -> (q37Fingerprint _),
+    "q59_tf_df" -> (q59TfDf _),
+    "q61_string_agg" -> (q61StringAgg _))
 
   val oracleSql: Map[String, String] = Map(
     "q34_lang_id" -> q34OracleSql,
     "q35_quality_score" -> q35OracleSql,
     "q36_token_count" -> q36OracleSql,
-    "q37_fingerprint" -> q37OracleSql)
+    "q37_fingerprint" -> q37OracleSql,
+    "q59_tf_df" -> q59OracleSql,
+    "q61_string_agg" -> q61OracleSql)
 }
