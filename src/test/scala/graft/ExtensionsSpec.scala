@@ -137,6 +137,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(exploded.exceptAll(direct).count() === 0L)
   }
 
+  test("q57 as-of join matches every event and never looks forward") {
+    val asof = Extensions.q57AsofJoin(spark, sf1)
+    assert(asof.count() === 1000L)
+    // join back to orders: matched order date must be <= event time
+    val orders = graft.sources.Tables.load(spark, sf1, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val events = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("event_id"), col("ts"))
+    val violations = asof.join(orders, Seq("o_orderkey"))
+      .join(events, Seq("event_id"))
+      .filter(col("o_orderdate") > col("ts"))
+      .count()
+    assert(violations === 0L, "as-of match must be at-or-before the event")
+  }
+
+  test("q58 range join assigns each part to exactly one band") {
+    val df = Extensions.q58RangeJoin(spark, sf1)
+    assert(df.count() === df.select("p_partkey").distinct().count())
+  }
+
   test("q28 set ops partition the custkey set") {
     val df = Extensions.q28Setops(spark, sf1)
     val byTag = df.groupBy("tag").count().collect()

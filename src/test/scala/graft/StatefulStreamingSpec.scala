@@ -99,6 +99,39 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window runs in streaming mode and emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = input.toDS().toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(
+        session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("session_window_stream").start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 10:00:00"), 3L, "click", 1.0),
+        Event(2L, ts("2024-01-01 10:05:00"), 3L, "click", 1.0))
+      q.processAllAvailable()
+      // watermark still inside the session gap: nothing final yet
+      assert(spark.sql("SELECT * FROM session_window_stream").count() === 0L)
+      // jump event time far ahead: watermark passes session end + gap
+      input.addData(Event(3L, ts("2024-01-01 14:00:00"), 3L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4L, ts("2024-01-01 18:00:00"), 3L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n FROM session_window_stream ORDER BY start")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.head === ((3L, 2L)),
+        s"first closed session should hold both early events: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("batch and streaming share the stateful operator code path") {
     val batchResult = EventStream.runningUserActivity(
       EventStream.typedEvents(
