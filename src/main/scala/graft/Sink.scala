@@ -48,4 +48,12 @@ object Sink {
     * connector did (decimal(6,0) → bigint). */
   def narrowKeys(df: DataFrame, keys: Seq[String]): DataFrame =
     keys.foldLeft(df)((d, k) => d.withColumn(k, col(k).cast(LongType)))
+
+  /** Generic format sink (parquet/orc/json/csv — whatever the Spark
+    * DataSource registry knows). CSV keeps a header so a schema-less
+    * reader still sees column names. */
+  def writeFormat(df: DataFrame, format: String, out: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .format(format).save(out)
 }
