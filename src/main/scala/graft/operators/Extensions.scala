@@ -22,16 +22,20 @@ object Extensions {
 
   // q20 — hash aggregate with partial (map-side) + final aggregation, the
   // generalization of the reference's count() checks (README.md:596-597).
-  // Money doubles go through DECIMAL(18,2) so the sum is order-independent.
+  // Money doubles go through DECIMAL(18,2) so the sum is order-independent;
+  // the final value is surfaced as DOUBLE (a DECIMAL output column reaches
+  // the driver's pandas compare as Decimal('x.x0') from Spark parquet but
+  // float from DuckDB — exact-decimal→double rounds identically on both
+  // engines while cents stay below 2^53, so DOUBLE is the portable carrier).
   def q20GroupbyAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("n"),
         sum(col("l_quantity").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_qty"),
+          .cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_price"),
+          .cast("double").as("sum_price"),
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"))
 
@@ -152,7 +156,7 @@ object Extensions {
       .agg(
         count(lit(1)).as("n"),
         sum(col("l_quantity").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_qty"))
+          .cast("double").as("sum_qty"))
 
   // q40 — full cross-dimensional subtotals: CUBE over status/priority.
   def q40Cube(s: SparkSession, dir: String): DataFrame =
@@ -194,7 +198,8 @@ object Extensions {
       dayofmonth(col("o_orderdate")).cast("bigint").as("o_day"),
       (col("o_orderkey") % 7).as("key_mod"),
       abs(col("o_orderkey") - 1000L).as("key_absdiff"),
-      col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double")
+        .as("price_dec"),
       when(col("o_orderstatus") === "P", lit("pending"))
         .when(col("o_orderstatus") === "O", lit("open"))
         .otherwise(lit("done")).as("status_word"),
@@ -236,19 +241,29 @@ object Extensions {
         col("o_custkey"), col("o_orderkey"),
         sum(col("price_dec"))
           .over(w.rowsBetween(Window.unboundedPreceding, 0))
-          .cast("decimal(38,2)").as("running_total"),
+          .cast("double").as("running_total"),
         lag(col("o_orderkey"), 1).over(w).as("prev_order"),
         lead(col("o_orderkey"), 1).over(w).as("next_order"))
   }
 
   // q47 — HLL sketch aggregation: approx distinct custkeys per priority.
-  // No DuckDB oracle (sketch implementations differ across engines) —
-  // the driver records a rows-only check; the error bound vs the exact
-  // count is unit-tested instead.
+  // The sketch value itself isn't cross-engine comparable, but its
+  // ACCURACY is: the query surfaces the exact count plus a boolean
+  // "approx within 5% of exact", and the oracle asserts the same exact
+  // count with TRUE — a hash-checkable bound on the estimator instead of
+  // a weaker rows-only check. HLL merge is register-wise max, so the
+  // estimate is deterministic regardless of partitioning/order.
   def q47ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy("o_orderpriority")
-      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
+        countDistinct(col("o_custkey")).as("exact_custs"))
+      .select(
+        col("o_orderpriority"),
+        col("exact_custs"),
+        (abs(col("approx_custs") - col("exact_custs")) <=
+          col("exact_custs").cast("double") * 0.05).as("within_5pct"))
 
   // q48 — column profiling: per-table data-quality stats (row count,
   // null counts, distinct counts, min/max) — the validation pass a
@@ -322,14 +337,18 @@ object Extensions {
         (col("pair.user_id") % 100).as("user_mod"))
 
   // q55 — array/collection functions over grouped data: ordered
-  // collect_list, slice, size, membership.
+  // collect_list, slice, size, membership. The sliced prefix is surfaced
+  // as a joined STRING, not an array: the driver's pandas compare can't
+  // sort/hash ndarray cells (round-1 failure), and string is the portable
+  // carrier for list-valued results.
   def q55ArrayFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .groupBy("label")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .select(
         col("label"),
-        slice(col("ids"), 1, 5).as("first5"),
+        array_join(transform(slice(col("ids"), 1, 5),
+          _.cast("string")), ",").as("first5"),
         size(col("ids")).cast("bigint").as("n"),
         array_contains(col("ids"), 0L).as("has_probe"),
         element_at(col("ids"), -1).as("max_id"))
@@ -443,9 +462,9 @@ object Extensions {
   val oracleSql: Map[String, String] = Map(
     "q20_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
            AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
            AS sum_price,
          min(l_extendedprice) AS min_price,
          max(l_extendedprice) AS max_price
@@ -487,7 +506,7 @@ object Extensions {
     "q26_event_windows" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
          count(*) AS n,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
            AS sum_value
          FROM events GROUP BY 1, 2""",
     "q27_json_extract" ->
@@ -503,7 +522,7 @@ object Extensions {
            EXCEPT SELECT o_custkey FROM orders)""",
     "q39_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
            AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q40_cube" ->
@@ -536,7 +555,7 @@ object Extensions {
          CAST(day(o_orderdate) AS BIGINT) AS o_day,
          o_orderkey % 7 AS key_mod,
          abs(o_orderkey - 1000) AS key_absdiff,
-         CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
          CASE WHEN o_orderstatus = 'P' THEN 'pending'
               WHEN o_orderstatus = 'O' THEN 'open'
               ELSE 'done' END AS status_word,
@@ -561,12 +580,17 @@ object Extensions {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS DECIMAL(38,2)) AS running_total,
+           AS DOUBLE) AS running_total,
          lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
            ORDER BY o_orderdate, o_orderkey) AS prev_order,
          lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
            ORDER BY o_orderdate, o_orderkey) AS next_order
          FROM orders""",
+    "q47_approx_distinct" ->
+      """SELECT o_orderpriority,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+         TRUE AS within_5pct
+         FROM orders GROUP BY o_orderpriority""",
     "q48_profile" ->
       """SELECT count(*) AS n_rows,
          CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -614,7 +638,7 @@ object Extensions {
       """WITH g AS (SELECT label, list_sort(list(vec_id)) AS ids
                     FROM embeddings GROUP BY label)
          SELECT label,
-                list_slice(ids, 1, 5) AS first5,
+                array_to_string(list_slice(ids, 1, 5), ',') AS first5,
                 CAST(len(ids) AS BIGINT) AS n,
                 list_contains(ids, 0) AS has_probe,
                 ids[-1] AS max_id

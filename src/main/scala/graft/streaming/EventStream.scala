@@ -47,14 +47,18 @@ object EventStream {
     StructField("props", StringType)))
 
   /** The shared batch/stream aggregation: 1-day tumbling windows per
-    * event_type, count + DECIMAL-cast sum (same shape as q26). */
+    * event_type, count + DECIMAL-cast sum (same shape as q26). The sum is
+    * accumulated in DECIMAL (order-independent) but SURFACED as DOUBLE:
+    * a decimal output column reaches the driver's compare as
+    * Decimal('100.10') from Spark parquet but float 100.1 from DuckDB's
+    * pandas conversion — never emit DECIMAL in a compared result. */
   def windowedAgg(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_value"))
+          .cast("double").as("sum_value"))
       .select(
         col("window.start").cast("date").as("day"),
         col("event_type"), col("n"), col("sum_value"))
