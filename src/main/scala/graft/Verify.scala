@@ -43,9 +43,14 @@ object Verify {
         s"$t AS (SELECT * FROM read_parquet('$sfDir/$t.parquet'))")
         .mkString(", ")
       val trimmed = sql.trim
-      if (trimmed.take(4).equalsIgnoreCase("WITH"))
-        s"WITH $ctes, ${trimmed.drop(4).trim}"
-      else s"WITH $ctes $trimmed"
+      val rest = trimmed.drop(4).trim
+      if (trimmed.take(4).equalsIgnoreCase("WITH")) {
+        // RECURSIVE must stay attached to WITH (and legally covers the
+        // whole mixed CTE list), so hoist it over the prepended tables.
+        if (rest.take(9).equalsIgnoreCase("RECURSIVE"))
+          s"WITH RECURSIVE $ctes, ${rest.drop(9).trim}"
+        else s"WITH $ctes, $rest"
+      } else s"WITH $ctes $trimmed"
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(withProlog(v))}" }

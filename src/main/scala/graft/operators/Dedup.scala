@@ -131,19 +131,94 @@ object Dedup {
       .distinct()
   }
 
-  private def q30OracleSql: String = {
+  /** The q30 CTE chain (docs → words → shingle hashes → band keys) and
+    * its pair-select, split so q63's oracle can extend the same pipeline
+    * with the recursive component computation. */
+  private def q30Ctes: String = {
     val bandSelects = (0 until NumBands).map(b =>
       s"SELECT doc_id, $b AS band, ${bandKeyExpr(b)} AS bkey FROM hs")
       .mkString("\n UNION ALL\n ")
-    s"""WITH docs AS ($plantedSql),
+    s"""docs AS ($plantedSql),
         w AS (SELECT doc_id, string_split(text, ' ') AS sw_w FROM docs
               WHERE len(string_split(text, ' ')) >= $ShingleN),
         hs AS (SELECT doc_id, $duckShingleHashes AS hsd FROM w),
-        bands AS ($bandSelects)
-        SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
-        FROM bands x JOIN bands y
-          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"""
+        bands AS ($bandSelects)"""
   }
+
+  private val q30SelectPairs: String =
+    """SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
+       FROM bands x JOIN bands y
+         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"""
+
+  private def q30OracleSql: String = s"WITH $q30Ctes $q30SelectPairs"
+
+  /** q63 — duplicate-CLUSTER resolution: connected components over the
+    * q30 candidate-pair graph, every document labeled with its
+    * component's min doc_id. Candidate pairs alone under-deliver for a
+    * real dedup pipeline — "keep one doc per near-dup cluster" needs the
+    * transitive closure (A~B, B~C ⇒ {A,B,C} one cluster even when A~C
+    * missed the LSH threshold).
+    *
+    * Spark side: Pregel-style min-label propagation — labels start as
+    * doc_id, each round every node takes min(label, neighbors' labels),
+    * loop until a round changes nothing. Each round is ONE shuffle
+    * (edges ⋈ labels + a min-aggregate); rounds = graph diameter, which
+    * for near-dup clusters is tiny (dup clusters are near-cliques — LSH
+    * pairs most members directly). The driver only sees a per-round
+    * changed-count, never row data. At 100 TB the same loop runs with
+    * edges/labels persisted and checkpointed every few rounds to cut
+    * lineage (done here via explicit caching); a billion-edge graph
+    * would swap in large-star/small-star (same primitive, fewer rounds).
+    *
+    * Oracle: DuckDB recursive CTE computing min reachable doc_id — the
+    * same fixpoint by different means. */
+  def q63DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q30DedupMinhashLsh(s, dir)
+    val docs = plantedDocs(s, dir).select("doc_id")
+    val edges = pairs
+      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+      .unionByName(pairs.select(
+        col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+      .cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"),
+          col("cluster").as("nbr_cluster")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("nbr_cluster").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+        .cache()
+      changed = next.join(
+          labels.select(col("doc_id"), col("cluster").as("prev")),
+          "doc_id")
+        .filter(col("cluster") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  private def q63OracleSql: String =
+    s"""WITH RECURSIVE $q30Ctes,
+        pairs AS ($q30SelectPairs),
+        edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+                  UNION ALL
+                  SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs),
+        reach(doc_id, lab) AS (
+          SELECT doc_id, doc_id FROM docs
+          UNION
+          SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst)
+        SELECT doc_id, min(lab) AS cluster FROM reach GROUP BY doc_id"""
 
   /** q31 — 32-bit SimHash per document (word-level token hashes with
     * multiplicity; bit b set iff more tokens have bit b than not). A
@@ -283,11 +358,13 @@ object Dedup {
     "q30_dedup_minhash_lsh" -> (q30DedupMinhashLsh _),
     "q31_dedup_simhash" -> (q31DedupSimhash _),
     "q32_dedup_ngram_jaccard" -> (q32DedupNgramJaccard _),
-    "q33_dedup_embedding" -> (q33DedupEmbedding _))
+    "q33_dedup_embedding" -> (q33DedupEmbedding _),
+    "q63_dedup_clusters" -> (q63DedupClusters _))
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_minhash_lsh" -> q30OracleSql,
     "q31_dedup_simhash" -> q31OracleSql,
     "q32_dedup_ngram_jaccard" -> q32OracleSql,
-    "q33_dedup_embedding" -> q33OracleSql)
+    "q33_dedup_embedding" -> q33OracleSql,
+    "q63_dedup_clusters" -> q63OracleSql)
 }

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.functions.PortableHash._
+import graft.sources.Tables
+
+/** Training-data pipeline operators beyond the dedup/similarity families
+  * (north star: what a 100 TB corpus-preparation job needs around the
+  * edges of dedup — splits, retrieval ranking, skew handling, sketch
+  * accuracy).
+  *
+  * Scale design notes per operator:
+  *  - hash split: embarrassingly parallel, zero shuffles — the split of a
+  *    document is a pure function of its content hash, so membership is
+  *    stable under re-partitioning, re-runs, and corpus growth (the
+  *    property reservoir/random sampling lacks).
+  *  - BM25: one corpus scan for per-doc term frequencies + one tiny
+  *    aggregate for corpus stats (broadcast back), then a top-k. No
+  *    per-term shuffle: the query's terms are fixed columns, not rows.
+  *  - salted join: the declared query proves result-equivalence of
+  *    [[Skew.saltedEquiJoin]] with the plain join the oracle runs.
+  *  - approx quantile: GK-sketch median per group with a hash-checkable
+  *    accuracy bound (same pattern as q47's HLL bound) — sketches
+  *    themselves are not cross-engine comparable, their error bounds are.
+  */
+object Pipeline {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------ q62
+
+  /** q62 — deterministic train/val/test split by content hash: bucket =
+    * poly_hash(text) mod 100, 80/10/10. Content-hash (not id-hash) keeps
+    * exact duplicates in the same split — id-based or random splits leak
+    * dup pairs across train/test. */
+  def q62HashSplit(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("poly_hash(text) % 100").as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
+  private def q62OracleSql: String =
+    s"""WITH h AS (SELECT doc_id,
+          ${duckCharFold("text")} % 100 AS bucket FROM documents)
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h"""
+
+  // ------------------------------------------------------------ q64
+
+  /** Fixed retrieval query: one rare term (df=25 in the testdata vocab)
+    * plus two common ones, so the ranking exercises the idf weighting. */
+  val Bm25Terms: Seq[String] = Seq("dup", "vector", "scan")
+  val Bm25TopK = 20
+
+  /** Shared BM25 formula text (k1=1.2, b=0.75, rational idf): identical
+    * expression string on both engines so every double op associates the
+    * same way. All inputs are exact-integer-valued doubles; +,*,/ are
+    * IEEE-deterministic, so scores are bit-equal cross-engine. The
+    * rational idf (N-df+0.5)/(df+0.5) (BM25's idf without the log) keeps
+    * libm out of the differential; the ranking is the same monotone
+    * order. */
+  private def bm25ScoreExpr: String =
+    Bm25Terms.indices.map { i =>
+      s"((((n_docs - df$i) + 0.5) / (df$i + 0.5)) * " +
+        s"((tf$i * 2.2) / (tf$i + (1.2 * ((1.0 - 0.75) + " +
+        s"(0.75 * (dl / avgdl)))))))"
+    }.mkString("(", " + ", ")")
+
+  /** q64 — BM25-style top-k retrieval over `documents` for a fixed term
+    * set. Output is (doc_id, rank) only — float scores stay out of the
+    * hash compare; the ORDER they induce is the tested artifact. */
+  def q64Bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val tf = docs.select(
+      col("doc_id") +:
+        size(col("ws")).cast("double").as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (term, i) =>
+          size(expr(s"filter(ws, bm_w -> bm_w = '$term')"))
+            .cast("double").as(s"tf$i")
+        }: _*)
+    val statCols =
+      (sum(size(col("ws"))).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl") +:
+        Bm25Terms.zipWithIndex.map { case (term, i) =>
+          sum(when(array_contains(col("ws"), term), 1L).otherwise(0L))
+            .cast("double").as(s"df$i")
+        }
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"), statCols: _*)
+    tf.crossJoin(broadcast(stats))
+      .withColumn("score", expr(bm25ScoreExpr))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .select(col("doc_id"),
+        row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("bigint").as("rank"))
+  }
+
+  private def q64OracleSql: String = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(len(list_filter(ws, bm_w -> bm_w = '$term')) AS DOUBLE) AS tf$i"
+    }.mkString(", ")
+    val dfCols = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(sum(CASE WHEN list_contains(ws, '$term') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+    }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        tf AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, $tfCols
+               FROM d),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                      CAST(sum(len(ws)) AS DOUBLE) /
+                        CAST(count(*) AS DOUBLE) AS avgdl,
+                      $dfCols
+               FROM d),
+        sc AS (SELECT doc_id, $bm25ScoreExpr AS score FROM tf CROSS JOIN st)
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
+  }
+
+  // ------------------------------------------------------------ q65
+
+  /** q65 — skew-salted fact⋈dim join, aggregated: the declared proof that
+    * [[Skew.saltedEquiJoin]] (fact salted across 8 splits, dim replicated
+    * 8×) produces the multiset the plain join the oracle runs produces.
+    * At 100 TB this is the plan-level answer to a known-hot key that AQE
+    * can't pre-split. */
+  def q65SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val dim = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+    Skew.saltedEquiJoin(fact, dim, "l_orderkey", "o_orderkey", numSalts = 8)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"))
+  }
+
+  private def q65OracleSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority"""
+
+  // ------------------------------------------------------------ q66
+
+  /** q66 — sketch-based median with a hash-checkable accuracy bound:
+    * approx_percentile (GK sketch, accuracy 1000 → rank error ≤ n/1000)
+    * must land inside the exact [p45, p55] band — a ±5% RANK margin, vs
+    * the sketch's 0.1% guarantee. The exact percentiles and the bound
+    * check both run Spark-side; the oracle asserts the group counts and
+    * TRUE, so a regressed sketch breaks the hash. (Same pattern as q47's
+    * HLL bound — sketch values aren't cross-engine comparable, their
+    * error bounds are.) */
+  def q66ApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(o_totalprice, 0.45)").as("p45"),
+        expr("percentile(o_totalprice, 0.55)").as("p55"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap"))
+      .select(col("o_orderpriority"), col("n"),
+        (col("ap") >= col("p45") && col("ap") <= col("p55"))
+          .as("within_band"))
+
+  private def q66OracleSql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       TRUE AS within_band
+       FROM orders GROUP BY o_orderpriority"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_hash_split" -> (q62HashSplit _),
+    "q64_bm25_topk" -> (q64Bm25TopK _),
+    "q65_salted_join" -> (q65SaltedJoin _),
+    "q66_approx_quantile" -> (q66ApproxQuantile _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q62_hash_split" -> q62OracleSql,
+    "q64_bm25_topk" -> q64OracleSql,
+    "q65_salted_join" -> q65OracleSql,
+    "q66_approx_quantile" -> q66OracleSql)
+}

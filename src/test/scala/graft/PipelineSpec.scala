@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Pipeline}
+
+/** Semantic checks for the round-2 pipeline operators — properties the
+  * differential oracle can't express (determinism under re-run, split
+  * leakage, cluster transitivity, retrieval relevance, bound tightness). */
+class PipelineSpec extends SparkSpec {
+
+  test("q62 split is a pure function of content: re-run is identical") {
+    val a = Pipeline.q62HashSplit(spark, sf1).orderBy("doc_id").collect()
+    val b = Pipeline.q62HashSplit(spark, sf1).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("q62 splits partition the corpus with sane proportions") {
+    val counts = Pipeline.q62HashSplit(spark, sf1)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    assert(n === 500L)
+    // 80/10/10 targets; the corpus is small so allow wide tolerance
+    assert(counts("train") > n * 6 / 10, s"train=${counts("train")}")
+    assert(counts.getOrElse("val", 0L) > 0L)
+    assert(counts.getOrElse("test", 0L) > 0L)
+  }
+
+  test("q62 identical texts land in identical splits (dup-leak proof)") {
+    // duplicate the corpus under shifted ids: every text's split must
+    // match its copy's — the property id-hash or random splits lack
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+    graft.functions.GraftFunctions.registerAll(spark)
+    val withBucket = docs.select(col("doc_id"),
+      expr("poly_hash(text) % 100").as("b"))
+    val copy = docs.select((col("doc_id") + 7777L).as("doc_id2"),
+      expr("poly_hash(text) % 100").as("b2"), (col("doc_id")).as("orig"))
+    val mismatch = withBucket.join(copy, col("doc_id") === col("orig"))
+      .filter(col("b") =!= col("b2")).count()
+    assert(mismatch === 0L)
+  }
+
+  test("q63 planted twins share a cluster; labels are component minima") {
+    val labels = Dedup.q63DedupClusters(spark, sf1).cache()
+    // every doc labeled exactly once
+    assert(labels.count() === 1000L)
+    assert(labels.select("doc_id").distinct().count() === 1000L)
+    // planted pair (d, d+offset): must share a cluster whenever LSH
+    // linked them (directly OR transitively); sample via the pair list
+    val pairs = Dedup.q30DedupMinhashLsh(spark, sf1)
+    val viol = pairs
+      .join(labels.withColumnRenamed("doc_id", "doc_id_1")
+        .withColumnRenamed("cluster", "c1"), "doc_id_1")
+      .join(labels.withColumnRenamed("doc_id", "doc_id_2")
+        .withColumnRenamed("cluster", "c2"), "doc_id_2")
+      .filter(col("c1") =!= col("c2")).count()
+    assert(viol === 0L, s"$viol candidate pairs ended in different clusters")
+    // a cluster's label is its min member id
+    val badLabel = labels.groupBy("cluster")
+      .agg(min("doc_id").as("mn"))
+      .filter(col("cluster") =!= col("mn")).count()
+    assert(badLabel === 0L)
+    labels.unpersist()
+  }
+
+  test("q64 ranks are 1..k and rare-term docs dominate the top") {
+    val top = Pipeline.q64Bm25TopK(spark, sf1).collect()
+    assert(top.map(_.getAs[Long]("rank")).sorted.toSeq ===
+      (1L to Pipeline.Bm25TopK).toSeq)
+    // docs containing the rare term 'dup' (df=25/500, idf ~19x the common
+    // terms') should fill most of the top-k
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .filter(array_contains(split(col("text"), " "), "dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hits = top.count(r => docs.contains(r.getAs[Long]("doc_id")))
+    assert(hits >= Pipeline.Bm25TopK / 2,
+      s"only $hits/${Pipeline.Bm25TopK} top docs contain the rare term")
+  }
+
+  test("q65 salted join equals the plain join it replaces") {
+    val salted = Pipeline.q65SaltedJoin(spark, sf1)
+    val fact = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val dim = graft.sources.Tables.load(spark, sf1, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"))
+    assert(salted.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(salted).count() === 0L)
+  }
+
+  test("q66 sketch median sits inside the exact p45-p55 band everywhere") {
+    val rows = Pipeline.q66ApproxQuantile(spark, sf1).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_band")))
+  }
+}
