@@ -56,4 +56,18 @@ object Sink {
     df.write.mode(SaveMode.Overwrite)
       .option("header", "true")
       .format(format).save(out)
+
+  /** Hash-bucketed catalog table: the 100 TB answer to repeated fact⋈fact
+    * joins on the same key. Both sides bucketed by the join key into the
+    * same bucket count join WITHOUT a shuffle — the exchange that
+    * dominates a 100 TB sort-merge join simply isn't in the plan
+    * (asserted in SinkSpec). Bucketing requires the session catalog
+    * (`saveAsTable`); plain-path parquet has no bucket metadata. */
+  def writeBucketedTable(
+      df: DataFrame, key: String, numBuckets: Int, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -175,10 +175,13 @@ object Dedup {
   def q63DedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = q30DedupMinhashLsh(s, dir)
     val docs = plantedDocs(s, dir).select("doc_id")
+    // both edge directions from ONE pass over the pair list (a union of
+    // two selects would run the whole LSH subplan twice)
     val edges = pairs
-      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
-      .unionByName(pairs.select(
-        col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
+      .select(explode(expr(
+        """array(struct(doc_id_1 AS src, doc_id_2 AS dst),
+                 struct(doc_id_2 AS src, doc_id_1 AS dst))""")).as("e"))
+      .select("e.*")
       .cache()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
       .cache()

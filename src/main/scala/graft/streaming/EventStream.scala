@@ -142,6 +142,20 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup with BOUNDED state — the ingest-time guard of
+    * the batch dedup family (q23/q30): drop re-deliveries of the same
+    * event_id as they arrive. `dropDuplicatesWithinWatermark` keeps a seen
+    * key only until the watermark passes it, so state is proportional to
+    * the watermark horizon (here: one day of keys), not the stream's
+    * lifetime — the difference between a dedup that survives a year of
+    * 100 TB/day ingest and one that OOMs in week one. Exactly-once within
+    * the horizon; duplicates straggling in later than the watermark are
+    * the (documented) residual risk, caught by the batch pass. */
+  def dedupStream(events: DataFrame, horizon: String): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Start the windowed aggregation into an in-memory sink (complete mode:
     * every window stays queryable — right for tests; production would use
     * append mode + watermark into a parquet/Kafka sink). */

@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Event, EventStream}
+
+/** Scale-path mechanics: bucketed co-located joins (the shuffle that
+  * ISN'T there) and streaming dedup with watermark-bounded state. */
+class ScalePathSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("bucketed fact-fact join plans without a shuffle exchange") {
+    // bucketed scans only pay off when Spark doesn't fuse them away
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = graft.sources.Tables.load(spark, sf1, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val ord = graft.sources.Tables.load(spark, sf1, "orders")
+        .select("o_orderkey", "o_totalprice")
+      Sink.writeBucketedTable(li, "l_orderkey", 8, "b_lineitem")
+      Sink.writeBucketedTable(ord, "o_orderkey", 8, "b_orders")
+      val joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      // and it's still the right answer
+      val expect = graft.sources.Tables.load(spark, sf1, "lineitem")
+        .join(graft.sources.Tables.load(spark, sf1, "orders"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() === expect)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("streaming dedup drops in-horizon re-deliveries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.dedupStream(input.toDS().toDF(), "1 day")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream_test").start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+        Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0), // same batch dup
+        Event(2L, ts("2024-01-01 10:05:00"), 8L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData( // cross-batch re-delivery, still within the horizon
+        Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+        Event(3L, ts("2024-01-01 11:00:00"), 9L, "click", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream_test")
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L),
+        s"each event_id must survive exactly once, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+}

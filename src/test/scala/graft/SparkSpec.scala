@@ -13,6 +13,9 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // static conf: bucketed-table tests need a disposable catalog
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft-test-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
