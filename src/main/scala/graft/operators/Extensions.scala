@@ -164,6 +164,44 @@ object Extensions {
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"))
 
+  // q67 — explicit GROUPING SETS (the general form q39/q40 specialize):
+  // per-returnflag, per-linestatus, and grand-total groups in ONE pass —
+  // Catalyst expands the sets before the same partial/final aggregate
+  // pipeline, so shuffle volume stays O(groups). grouping_id()
+  // disambiguates which set a row belongs to (both engines put the first
+  // grouping column in the most significant bit).
+  def q67GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"))
+
+  // q68 — map-typed column manipulation: props JSON parsed to a
+  // MapType, then interrogated (size, sorted keys) and transformed
+  // (transform_values) without leaving the map domain. At scale the
+  // parse and every map op are codegen'd per-row transforms — no
+  // shuffle, no UDF.
+  def q68MapFuncs(s: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType))
+    t(s, dir, "events")
+      .withColumn("m", m)
+      .select(
+        col("event_id"),
+        size(col("m")).cast("bigint").as("n_keys"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("keys"),
+        element_at(col("m"), "k").as("k_val"),
+        element_at(expr("transform_values(m, (mk, mv) -> mv * 2)"), "k")
+          .as("k_doubled"))
+  }
+
   // q41 — sessionization: 30-minute-gap session windows per user (the
   // built-in session_window operator; in streaming the same expression
   // runs with a watermark). Timestamps truncated to seconds on BOTH
@@ -450,6 +488,8 @@ object Extensions {
     "q39_rollup" -> (q39Rollup _),
     "q40_cube" -> (q40Cube _),
     "q41_sessionize" -> (q41Sessionize _),
+    "q67_grouping_sets" -> (q67GroupingSets _),
+    "q68_map_funcs" -> (q68MapFuncs _),
     "q43_scalar_funcs" -> (q43ScalarFuncs _),
     "q44_left_outer" -> (q44LeftOuter _),
     "q45_full_outer" -> (q45FullOuter _),
@@ -536,6 +576,20 @@ object Extensions {
     "q40_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q67_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "q68_map_funcs" ->
+      """SELECT event_id,
+         CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+         array_to_string(list_sort(json_keys(props)), ',') AS keys,
+         CAST(props->>'k' AS BIGINT) AS k_val,
+         CAST(props->>'k' AS BIGINT) * 2 AS k_doubled
+         FROM events""",
     "q41_sessionize" ->
       """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts_s
                     FROM events),
