@@ -156,6 +156,30 @@ object EventStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval self-join: click events joined to the same
+    * user's purchase events landing within `intervalExpr` AFTER the
+    * click (attribution). Both sides carry a watermark and the join
+    * condition bounds event-time distance, so Spark evicts buffered rows
+    * once the watermark passes `click_ts + interval` — state is
+    * proportional to the interval horizon, not stream length. Without
+    * BOTH the watermarks and the time bound, a stream-stream join must
+    * buffer forever. */
+  def clickPurchaseJoin(
+      events: DataFrame, horizon: String, intervalExpr: String): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("purchase_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    clicks.join(purchases,
+      col("click_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(intervalExpr))
+  }
+
   /** Start the windowed aggregation into an in-memory sink (complete mode:
     * every window stays queryable — right for tests; production would use
     * append mode + watermark into a parquet/Kafka sink). */

@@ -42,6 +42,29 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join attributes purchases to clicks") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val joined = EventStream.clickPurchaseJoin(
+      input.toDS().toDF(), "2 hours", "INTERVAL 1 HOUR")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attribution_test").start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0),
+        Event(2L, ts("2024-01-01 10:30:00"), 7L, "purchase", 9.0), // in window
+        Event(3L, ts("2024-01-01 12:00:00"), 7L, "purchase", 5.0), // too late
+        Event(4L, ts("2024-01-01 10:15:00"), 9L, "purchase", 1.0)) // no click
+      q.processAllAvailable()
+      val rows = spark.table("attribution_test")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq === Seq((1L, 2L)),
+        s"expected exactly click 1 -> purchase 2, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon re-deliveries across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
