@@ -223,6 +223,96 @@ object Dedup {
           SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst)
         SELECT doc_id, min(lab) AS cluster FROM reach GROUP BY doc_id"""
 
+  /** q70 — exact edit distance over the planted near-dup pairs:
+    * levenshtein(original, perturbed) per pair. In a production pipeline
+    * this is the VERIFY stage after LSH candidate generation (q30/q63
+    * produce candidates; edit distance confirms) — never an all-pairs
+    * computation, always within candidates, so the quadratic kernel runs
+    * on O(candidates), not O(n²). */
+  def q70EditDistance(s: SparkSession, dir: String): DataFrame = {
+    val p = plantedDocs(s, dir)
+    val orig = p.filter(col("doc_id") < PlantedOffset)
+    val pert = p.filter(col("doc_id") >= PlantedOffset)
+      .select((col("doc_id") - PlantedOffset).as("o_id"),
+        col("text").as("ptext"))
+    orig.join(pert, col("doc_id") === col("o_id"))
+      .select(col("doc_id"),
+        levenshtein(col("text"), col("ptext")).cast("bigint").as("dist"))
+  }
+
+  private def q70OracleSql: String =
+    s"""WITH docs AS ($plantedSql),
+        o AS (SELECT doc_id, text FROM docs WHERE doc_id < $PlantedOffset),
+        p AS (SELECT doc_id - $PlantedOffset AS o_id, text AS ptext
+              FROM docs WHERE doc_id >= $PlantedOffset)
+        SELECT o.doc_id,
+               CAST(levenshtein(o.text, p.ptext) AS BIGINT) AS dist
+        FROM o JOIN p ON o.doc_id = p.o_id"""
+
+  /** Hamming-band geometry for q71: 4 disjoint 8-bit bands of the 32-bit
+    * simhash. Pigeonhole: two signatures within hamming distance r < 4
+    * agree exactly on at least one band — banding is EXACT (full recall)
+    * for r < #bands, unlike probabilistic MinHash banding. Radius 1
+    * still recalls >80% of the planted drop-last-word twins here. */
+  val HammingRadius = 1
+  val HammingBands = 4
+
+  /** q71 — SimHash near-dup SEARCH (completes q31, which only computes
+    * signatures): candidate pairs via the banded multi-index, verified
+    * by popcount of the XOR. One narrow pass computes signatures + band
+    * keys; candidates come from a SELF-JOIN on (band, key) — a
+    * streaming shape that tolerates hot buckets (this corpus's
+    * signatures concentrate hard: same vocab, similar lengths), unlike
+    * q30's in-bucket collect_list pair-gen, which materializes a
+    * bucket's whole pair set as one array row and is only safe when
+    * bucket size is provably small. */
+  def q71SimhashHamming(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val banded = plantedDocs(s, dir)
+      .withColumn("ths",
+        expr("transform(split(text, ' '), tw -> poly_hash(tw))"))
+      .select(col("doc_id"), expr("simhash32(ths)").as("sh"))
+      .select(col("doc_id"), col("sh"),
+        explode(expr(
+          s"""transform(sequence(0, ${HammingBands - 1}),
+              hb -> struct(hb AS band,
+                           (sh div CAST(pow(256, hb) AS BIGINT)) % 256
+                             AS bkey))""")).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band"), col("b.bkey"))
+    val x = banded.as("x")
+    val y = banded.as("y")
+    x.join(y,
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_1"),
+        col("y.doc_id").as("doc_id_2"),
+        expr("bit_count(x.sh ^ y.sh)").cast("bigint").as("dist"))
+      .filter(col("dist") <= HammingRadius)
+      .distinct()
+  }
+
+  private def q71OracleSql: String = {
+    val terms = (0 until SimhashBits).map { b =>
+      val m = 1L << b
+      s"(CASE WHEN list_sum(list_transform(ths, sa_h -> " +
+        s"((sa_h // $m) % 2) * 2 - 1)) > 0 THEN $m ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH docs AS ($plantedSql),
+        tok AS (SELECT doc_id,
+                  list_transform(string_split(text, ' '),
+                    tw -> ${duckCharFold("tw")}) AS ths
+                FROM docs),
+        sg AS (SELECT doc_id, CAST($terms AS BIGINT) AS sh FROM tok),
+        bands AS (SELECT doc_id, sh, hb AS band,
+                         (sh // CAST(pow(256, hb) AS BIGINT)) % 256 AS bkey
+                  FROM sg, range($HammingBands) t(hb))
+        SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+               CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS dist
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.sh, y.sh)) <= $HammingRadius"""
+  }
+
   /** q31 — 32-bit SimHash per document (word-level token hashes with
     * multiplicity; bit b set iff more tokens have bit b than not). A
     * document collapses to one int — near-dup = small hamming distance,
@@ -362,12 +452,16 @@ object Dedup {
     "q31_dedup_simhash" -> (q31DedupSimhash _),
     "q32_dedup_ngram_jaccard" -> (q32DedupNgramJaccard _),
     "q33_dedup_embedding" -> (q33DedupEmbedding _),
-    "q63_dedup_clusters" -> (q63DedupClusters _))
+    "q63_dedup_clusters" -> (q63DedupClusters _),
+    "q70_edit_distance" -> (q70EditDistance _),
+    "q71_simhash_hamming" -> (q71SimhashHamming _))
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_minhash_lsh" -> q30OracleSql,
     "q31_dedup_simhash" -> q31OracleSql,
     "q32_dedup_ngram_jaccard" -> q32OracleSql,
     "q33_dedup_embedding" -> q33OracleSql,
-    "q63_dedup_clusters" -> q63OracleSql)
+    "q63_dedup_clusters" -> q63OracleSql,
+    "q70_edit_distance" -> q70OracleSql,
+    "q71_simhash_hamming" -> q71OracleSql)
 }

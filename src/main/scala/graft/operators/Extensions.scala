@@ -164,6 +164,21 @@ object Extensions {
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"))
 
+  // q69 — distribution-rank window family: NTILE quartiles, percent_rank
+  // and cume_dist per nation over (acctbal, custkey). The doubles are
+  // exact rationals of row counts ((rank-1)/(n-1), rows<=cur/n) computed
+  // identically on both engines, so they hash-compare safely. One
+  // shuffle+sort per partition key, same as any rank window.
+  def q69RankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        ntile(4).over(w).cast("bigint").as("tile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+  }
+
   // q67 — explicit GROUPING SETS (the general form q39/q40 specialize):
   // per-returnflag, per-linestatus, and grand-total groups in ONE pass —
   // Catalyst expands the sets before the same partial/final aggregate
@@ -490,6 +505,7 @@ object Extensions {
     "q41_sessionize" -> (q41Sessionize _),
     "q67_grouping_sets" -> (q67GroupingSets _),
     "q68_map_funcs" -> (q68MapFuncs _),
+    "q69_rank_family" -> (q69RankFamily _),
     "q43_scalar_funcs" -> (q43ScalarFuncs _),
     "q44_left_outer" -> (q44LeftOuter _),
     "q45_full_outer" -> (q45FullOuter _),
@@ -590,6 +606,14 @@ object Extensions {
          CAST(props->>'k' AS BIGINT) AS k_val,
          CAST(props->>'k' AS BIGINT) * 2 AS k_doubled
          FROM events""",
+    "q69_rank_family" ->
+      """SELECT c_custkey, c_nationkey,
+         CAST(ntile(4) OVER w AS BIGINT) AS tile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal, c_custkey)""",
     "q41_sessionize" ->
       """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts_s
                     FROM events),

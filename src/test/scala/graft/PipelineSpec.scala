@@ -93,6 +93,30 @@ class PipelineSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() === 0L)
   }
 
+  test("q69 tiles are 1..4 and rank fractions stay in [0,1]") {
+    val r = graft.operators.Extensions.q69RankFamily(spark, sf1).cache()
+    assert(r.filter(col("tile") < 1 || col("tile") > 4).count() === 0L)
+    assert(r.filter(col("pr") < 0.0 || col("pr") > 1.0).count() === 0L)
+    assert(r.filter(col("cd") <= 0.0 || col("cd") > 1.0).count() === 0L)
+    r.unpersist()
+  }
+
+  test("q70 planted-pair edit distances cover every doc and are positive") {
+    val d = Dedup.q70EditDistance(spark, sf1).cache()
+    assert(d.count() === 500L)
+    assert(d.filter(col("dist") <= 0L).count() === 0L)
+    d.unpersist()
+  }
+
+  test("q71 banded hamming search recalls most planted twins") {
+    val pairs = Dedup.q71SimhashHamming(spark, sf1).cache()
+    val twins = pairs.filter(
+      col("doc_id_2") === col("doc_id_1") + Dedup.PlantedOffset).count()
+    assert(twins > 350L, s"only $twins/500 twins within hamming 1")
+    assert(pairs.filter(col("dist") > Dedup.HammingRadius).count() === 0L)
+    pairs.unpersist()
+  }
+
   test("q66 sketch median sits inside the exact p45-p55 band everywhere") {
     val rows = Pipeline.q66ApproxQuantile(spark, sf1).collect()
     assert(rows.nonEmpty)
