@@ -14,6 +14,9 @@ import graft.functions.{DotProductD, PolyHash, SimHash32}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // optimizer rule: O(1) length-difference guard ahead of O(len²)
+    // edit-distance filters (see graft.plans.LevenshteinGuard)
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "vec_dot"),
