@@ -196,13 +196,78 @@ object TextOps {
          AS members
        FROM customer WHERE c_custkey < 40 GROUP BY c_nationkey"""
 
+  /** q72 — repetition signals (the Gopher-rule family q35's ratios don't
+    * cover): per-document top-token and top-bigram frequencies, as
+    * integer per-mille fractions. High top-n-gram mass flags boilerplate
+    * and degenerate repetition. Two exploded aggregations (token,
+    * bigram) re-joined on doc_id — each is one shuffle of O(doc x
+    * distinct-gram) rows; integer outputs keep the differential exact. */
+  def q72Repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val base = docs.select(col("doc_id"),
+      size(col("ws")).cast("bigint").as("n_tokens"))
+    val topTok = docs
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_token_n"))
+    val topBi = docs
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+           bg_i -> concat_ws(' ', element_at(ws, bg_i),
+                             element_at(ws, bg_i + 1)))""")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_n"))
+    base
+      .join(topTok, Seq("doc_id"), "left")
+      .join(topBi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("top_token_n"), lit(0L)).as("top_token_n"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        expr("coalesce(top_token_n, 0L) * 1000 div n_tokens")
+          .as("top_token_pml"),
+        expr("""CASE WHEN n_tokens > 1
+                THEN coalesce(top_bigram_n, 0L) * 1000 div (n_tokens - 1)
+                ELSE 0L END""").as("top_bigram_pml"))
+  }
+
+  private def q72OracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents),
+       base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w),
+       tok AS (SELECT doc_id, max(c) AS top_token_n FROM (
+                 SELECT doc_id, t, count(*) AS c FROM (
+                   SELECT doc_id, unnest(ws) AS t FROM w)
+                 GROUP BY doc_id, t) GROUP BY doc_id),
+       bi AS (SELECT doc_id, max(c) AS top_bigram_n FROM (
+                SELECT doc_id, bg, count(*) AS c FROM (
+                  SELECT doc_id, unnest(list_transform(
+                    range(1, len(ws)), bg_i ->
+                      concat_ws(' ', ws[bg_i], ws[bg_i + 1]))) AS bg
+                  FROM w WHERE len(ws) >= 2)
+                GROUP BY doc_id, bg) GROUP BY doc_id)
+       SELECT base.doc_id, base.n_tokens,
+              COALESCE(tok.top_token_n, 0) AS top_token_n,
+              COALESCE(bi.top_bigram_n, 0) AS top_bigram_n,
+              COALESCE(tok.top_token_n, 0) * 1000 // base.n_tokens
+                AS top_token_pml,
+              CASE WHEN base.n_tokens > 1
+                   THEN COALESCE(bi.top_bigram_n, 0) * 1000 //
+                        (base.n_tokens - 1)
+                   ELSE 0 END AS top_bigram_pml
+       FROM base
+       LEFT JOIN tok ON base.doc_id = tok.doc_id
+       LEFT JOIN bi ON base.doc_id = bi.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_lang_id" -> (q34LangId _),
     "q35_quality_score" -> (q35QualityScore _),
     "q36_token_count" -> (q36TokenCount _),
     "q37_fingerprint" -> (q37Fingerprint _),
     "q59_tf_df" -> (q59TfDf _),
-    "q61_string_agg" -> (q61StringAgg _))
+    "q61_string_agg" -> (q61StringAgg _),
+    "q72_repetition" -> (q72Repetition _))
 
   val oracleSql: Map[String, String] = Map(
     "q34_lang_id" -> q34OracleSql,
@@ -210,5 +275,6 @@ object TextOps {
     "q36_token_count" -> q36OracleSql,
     "q37_fingerprint" -> q37OracleSql,
     "q59_tf_df" -> q59OracleSql,
-    "q61_string_agg" -> q61OracleSql)
+    "q61_string_agg" -> q61OracleSql,
+    "q72_repetition" -> q72OracleSql)
 }
