@@ -164,6 +164,20 @@ object Extensions {
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"))
 
+  // q73 — arg-extrema aggregates: the customer holding each nation's
+  // max/min balance via max_by/min_by (one pass, no rank-window shuffle
+  // + filter — the aggregate buffer carries the arg, so this is the
+  // cheapest "top-1 per group" form; q21 keeps the window form for
+  // general top-N). Ordered by the unique custkey so ties can't differ
+  // across engines.
+  def q73ArgMinMax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(
+        max_by(col("c_name"), col("c_custkey")).as("newest_name"),
+        min_by(col("c_name"), col("c_custkey")).as("oldest_name"),
+        max(col("c_custkey")).as("max_key"))
+
   // q69 — distribution-rank window family: NTILE quartiles, percent_rank
   // and cume_dist per nation over (acctbal, custkey). The doubles are
   // exact rationals of row counts ((rank-1)/(n-1), rows<=cur/n) computed
@@ -506,6 +520,7 @@ object Extensions {
     "q67_grouping_sets" -> (q67GroupingSets _),
     "q68_map_funcs" -> (q68MapFuncs _),
     "q69_rank_family" -> (q69RankFamily _),
+    "q73_argminmax" -> (q73ArgMinMax _),
     "q43_scalar_funcs" -> (q43ScalarFuncs _),
     "q44_left_outer" -> (q44LeftOuter _),
     "q45_full_outer" -> (q45FullOuter _),
@@ -614,6 +629,12 @@ object Extensions {
          FROM customer
          WINDOW w AS (PARTITION BY c_nationkey
                       ORDER BY c_acctbal, c_custkey)""",
+    "q73_argminmax" ->
+      """SELECT c_nationkey,
+         arg_max(c_name, c_custkey) AS newest_name,
+         arg_min(c_name, c_custkey) AS oldest_name,
+         max(c_custkey) AS max_key
+         FROM customer GROUP BY c_nationkey""",
     "q41_sessionize" ->
       """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts_s
                     FROM events),
