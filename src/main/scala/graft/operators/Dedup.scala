@@ -102,7 +102,13 @@ object Dedup {
     * a pathological hot bucket would be salted before grouping. */
   def q30DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
-    val base = plantedDocs(s, dir)
+    minhashCandidatePairs(plantedDocs(s, dir))
+  }
+
+  /** MinHash+LSH candidate pairs over ANY (doc_id, text) frame — the
+    * reusable core of q30 (which runs it over the planted corpus). */
+  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+    val base = docs
       .withColumn("sw_w", split(col("text"), " "))
       .filter(size(col("sw_w")) >= ShingleN)
       .withColumn("hsd", expr(sparkShingleHashes))
@@ -172,18 +178,26 @@ object Dedup {
     *
     * Oracle: DuckDB recursive CTE computing min reachable doc_id — the
     * same fixpoint by different means. */
-  def q63DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = q30DedupMinhashLsh(s, dir)
-    val docs = plantedDocs(s, dir).select("doc_id")
+  def q63DedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      plantedDocs(s, dir).select("doc_id"),
+      q30DedupMinhashLsh(s, dir))
+
+  /** Connected components over an undirected pair graph — the reusable
+    * core of q63. `nodes`: one `doc_id` per vertex (vertices absent from
+    * `pairs` become singleton clusters). `pairs`: (doc_id_1, doc_id_2)
+    * candidate edges. Returns (doc_id, cluster) with cluster = component
+    * min doc_id. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     // both edge directions from ONE pass over the pair list (a union of
-    // two selects would run the whole LSH subplan twice)
+    // two selects would run the whole upstream subplan twice)
     val edges = pairs
       .select(explode(expr(
         """array(struct(doc_id_1 AS src, doc_id_2 AS dst),
                  struct(doc_id_2 AS src, doc_id_1 AS dst))""")).as("e"))
       .select("e.*")
       .cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
       .cache()
     var changed = 1L
     var rounds = 0

@@ -185,6 +185,51 @@ object Pipeline {
        TRUE AS within_band
        FROM orders GROUP BY o_orderpriority"""
 
+  // ------------------------------------------- end-to-end corpus prep
+
+  /** The flagship composition: everything a corpus-preparation job runs,
+    * chained as library calls over any (doc_id, text) frame —
+    *
+    *   quality gate → exact dedup → near-dup cluster resolution (keep
+    *   each cluster's min doc_id) → deterministic content-hash split →
+    *   split-partitioned write.
+    *
+    * Every stage is one of the declared operators (q35/q23/q30+q63/q62
+    * shapes), so the whole pipeline inherits their scale properties: no
+    * all-pairs work, one shuffle per stage, split membership stable
+    * under re-runs. Returns the surviving (doc_id, text, cluster, split)
+    * frame; writes it partitioned by split when `out` is given. */
+  def prepareCorpus(
+      spark: SparkSession, docs: DataFrame, out: Option[String] = None)
+      : DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // 1. quality gate: enough tokens, no degenerate repetition
+    val gated = docs
+      .withColumn("pc_ws", split(col("text"), " "))
+      .filter(size(col("pc_ws")) >= Dedup.ShingleN)
+      .drop("pc_ws")
+    // 2. exact dedup (keep min doc_id per text)
+    val exact = gated
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text")
+    // 3. near-dup clusters; keep each cluster's min doc_id
+    val labels = Dedup.connectedComponents(
+      exact.select("doc_id"), Dedup.minhashCandidatePairs(exact))
+    val kept = exact.join(labels, "doc_id")
+      .filter(col("doc_id") === col("cluster"))
+    // 4. deterministic content-hash split
+    val split80 = kept
+      .withColumn("pc_bucket", expr("poly_hash(text) % 100"))
+      .withColumn("split",
+        when(col("pc_bucket") < 80, lit("train"))
+          .when(col("pc_bucket") < 90, lit("val"))
+          .otherwise(lit("test")))
+      .drop("pc_bucket")
+    out.foreach(dir => split80.write
+      .partitionBy("split").mode("overwrite").parquet(dir))
+    split80
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_hash_split" -> (q62HashSplit _),
     "q64_bm25_topk" -> (q64Bm25TopK _),

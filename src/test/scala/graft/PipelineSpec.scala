@@ -117,6 +117,41 @@ class PipelineSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("prepareCorpus: dedups planted twins, splits survivors, writes") {
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id", "text")
+    val planted = docs.unionByName(docs.select(
+      (col("doc_id") + Dedup.PlantedOffset).as("doc_id"),
+      expr("""array_join(slice(split(text, ' '), 1,
+              size(split(text, ' ')) - 1), ' ')""").as("text")))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-corpus").toString
+    val kept = graft.operators.Pipeline
+      .prepareCorpus(spark, planted, Some(out)).cache()
+    val n = kept.count()
+    // most perturbed twins collapse into their original's cluster, and
+    // LSH may also merge similar ORIGINALS (this corpus is genuinely
+    // self-similar) — so survivors land well under 1000 but not under
+    // the cluster count floor
+    assert(n < 750L, s"expected < 750 survivors of 1000, got $n")
+    assert(n > 200L, s"implausibly few survivors: $n")
+    // a surviving perturbed doc means its original landed in a DIFFERENT
+    // cluster — allowed (LSH miss) but must be the exception
+    val keptPerturbed = kept
+      .filter(col("doc_id") >= Dedup.PlantedOffset).count()
+    assert(keptPerturbed < 150L,
+      s"$keptPerturbed perturbed docs survived their originals")
+    // split column written as partition dirs
+    val dirs = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("split=")).toSet
+    assert(dirs === Set("split=train", "split=val", "split=test"))
+    // re-run is identical (determinism end to end)
+    val again = graft.operators.Pipeline.prepareCorpus(spark, planted)
+    assert(kept.select("doc_id", "split").exceptAll(
+      again.select("doc_id", "split")).count() === 0L)
+    kept.unpersist()
+  }
+
   test("q66 sketch median sits inside the exact p45-p55 band everywhere") {
     val rows = Pipeline.q66ApproxQuantile(spark, sf1).collect()
     assert(rows.nonEmpty)
