@@ -164,6 +164,24 @@ object Extensions {
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"))
 
+  // q74 — SLIDING event-time windows (q26 is tumbling): 2-day windows
+  // every 1 day, so each event lands in exactly two windows. Spark's
+  // window() emits both assignments from one scan (an Expand of factor
+  // size/slide — the shuffle grows by that factor, the scan doesn't).
+  // The oracle reproduces assignment-by-shift: a 2-day window starting
+  // at day D contains events of D and D+1, i.e. each event belongs to
+  // windows starting at day(ts) and day(ts)-1.
+  def q74SlidingWindows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)"))
+          .cast("double").as("sum_value"))
+      .select(
+        col("window.start").cast("date").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   // q73 — arg-extrema aggregates: the customer holding each nation's
   // max/min balance via max_by/min_by (one pass, no rank-window shuffle
   // + filter — the aggregate buffer carries the arg, so this is the
@@ -521,6 +539,7 @@ object Extensions {
     "q68_map_funcs" -> (q68MapFuncs _),
     "q69_rank_family" -> (q69RankFamily _),
     "q73_argminmax" -> (q73ArgMinMax _),
+    "q74_sliding_windows" -> (q74SlidingWindows _),
     "q43_scalar_funcs" -> (q43ScalarFuncs _),
     "q44_left_outer" -> (q44LeftOuter _),
     "q45_full_outer" -> (q45FullOuter _),
@@ -635,6 +654,17 @@ object Extensions {
          arg_min(c_name, c_custkey) AS oldest_name,
          max(c_custkey) AS max_key
          FROM customer GROUP BY c_nationkey""",
+    "q74_sliding_windows" ->
+      """WITH assigned AS (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS win_start,
+                  event_type, value FROM events
+           UNION ALL
+           SELECT CAST(date_trunc('day', ts) AS DATE) - 1 AS win_start,
+                  event_type, value FROM events)
+         SELECT win_start, event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
+         FROM assigned GROUP BY win_start, event_type""",
     "q41_sessionize" ->
       """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts_s
                     FROM events),

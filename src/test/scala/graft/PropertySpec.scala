@@ -134,4 +134,20 @@ class PropertySpec extends SparkSpec {
     val back = narrowed.collect().map(_.getLong(0)).toSet
     assert(back === vals.map(_.toLong).toSet)
   }
+
+  test("levenshtein guard bound holds on random string pairs") {
+    import spark.implicits._
+    // the LevenshteinGuard rewrite is sound iff lev(a,b) <= k implies
+    // |len(a)-len(b)| <= k — check over generated pairs at several k
+    val word = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaChar).map(_.mkString))
+    val pairs = sample(Gen.zip(word, word), 400)
+    val df = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        levenshtein(col("a"), col("b")).as("lev"),
+        abs(length(col("a")) - length(col("b"))).as("ldiff"))
+    val violations = df.filter(col("ldiff") > col("lev")).count()
+    assert(violations === 0L,
+      "length difference must lower-bound edit distance")
+  }
 }
