@@ -185,6 +185,38 @@ object Pipeline {
        TRUE AS within_band
        FROM orders GROUP BY o_orderpriority"""
 
+  // ------------------------------------------------------------ q75
+
+  /** q75 — INCREMENTAL dedup: dedup a new batch against itself and an
+    * already-deduped corpus without reprocessing the corpus. Batch =
+    * docs with doc_id >= 250, corpus = the rest. Three cheap stages:
+    * in-batch exact dedup (groupBy fingerprint), anti-join against the
+    * corpus's fingerprints (a semi-join-sized shuffle — at 100 TB the
+    * corpus side is a pre-built fingerprint table, not a rescan), and
+    * the surviving rows. This is the daily-ingest shape: work scales
+    * with the batch, not the corpus. */
+  def q75IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    val all = t(s, dir, "documents")
+      .select(col("doc_id"), expr("poly_hash(text)").as("fp"))
+    val corpusFps = all.filter(col("doc_id") < 250L).select("fp")
+    val batch = all.filter(col("doc_id") >= 250L)
+    batch
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+  }
+
+  private def q75OracleSql: String = {
+    val fp = duckCharFold("text")
+    s"""WITH all_fp AS (SELECT doc_id, $fp AS fp FROM documents),
+        corpus AS (SELECT fp FROM all_fp WHERE doc_id < 250),
+        batch AS (SELECT fp, min(doc_id) AS doc_id FROM all_fp
+                  WHERE doc_id >= 250 GROUP BY fp)
+        SELECT doc_id, fp FROM batch
+        WHERE fp NOT IN (SELECT fp FROM corpus)"""
+  }
+
   // ------------------------------------------- end-to-end corpus prep
 
   /** The flagship composition: everything a corpus-preparation job runs,
@@ -234,11 +266,13 @@ object Pipeline {
     "q62_hash_split" -> (q62HashSplit _),
     "q64_bm25_topk" -> (q64Bm25TopK _),
     "q65_salted_join" -> (q65SaltedJoin _),
-    "q66_approx_quantile" -> (q66ApproxQuantile _))
+    "q66_approx_quantile" -> (q66ApproxQuantile _),
+    "q75_incremental_dedup" -> (q75IncrementalDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "q62_hash_split" -> q62OracleSql,
     "q64_bm25_topk" -> q64OracleSql,
     "q65_salted_join" -> q65OracleSql,
-    "q66_approx_quantile" -> q66OracleSql)
+    "q66_approx_quantile" -> q66OracleSql,
+    "q75_incremental_dedup" -> q75OracleSql)
 }
