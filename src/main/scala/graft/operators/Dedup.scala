@@ -207,18 +207,19 @@ object Dedup {
           col("cluster").as("nbr_cluster")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("nbr_cluster").as("nbr_min"))
-      val next = labels
+      // carry the changed flag through the propagation select — a
+      // separate old-vs-new join per round would double the join count
+      val stepped = labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          (coalesce(col("nbr_min"), col("cluster")) < col("cluster"))
+            .as("chg"))
         .cache()
-      changed = next.join(
-          labels.select(col("doc_id"), col("cluster").as("prev")),
-          "doc_id")
-        .filter(col("cluster") =!= col("prev")).count()
+      changed = stepped.filter(col("chg")).count()
       labels.unpersist()
-      labels = next
+      labels = stepped.drop("chg")
       rounds += 1
     }
     edges.unpersist()

@@ -137,14 +137,14 @@ object Pipeline {
   // ------------------------------------------------------------ q65
 
   /** q65 — skew-salted fact⋈dim join, aggregated: the declared proof that
-    * [[Skew.saltedEquiJoin]] (fact salted across 8 splits, dim replicated
-    * 8×) produces the multiset the plain join the oracle runs produces.
+    * [[Skew.saltedEquiJoin]] (fact salted across 4 splits, dim replicated
+    * 4×) produces the multiset the plain join the oracle runs produces.
     * At 100 TB this is the plan-level answer to a known-hot key that AQE
     * can't pre-split. */
   def q65SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     val fact = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
     val dim = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
-    Skew.saltedEquiJoin(fact, dim, "l_orderkey", "o_orderkey", numSalts = 8)
+    Skew.saltedEquiJoin(fact, dim, "l_orderkey", "o_orderkey", numSalts = 4)
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n"),
