@@ -43,21 +43,27 @@ object Similarity {
       .select("vec_id", "ed", "nrm")
   }
 
-  /** q29 — IVF ANN: nearest-centroid assignment, then top-k within the
-    * probe's cell. */
-  def q29AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = vectors(s, dir)
+  /** Nearest-centroid assignment of every vector (one broadcast of
+    * #centroids rows + a per-row argmax) — shared by q29 and q76. */
+  private def assigned(e: DataFrame): DataFrame = {
     val cent = e.filter(col("vec_id") < NumCentroids).select(
       col("vec_id").as("cent_id"), col("ed").as("ced"),
       col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("cent_id"))
-    val assign = e.crossJoin(broadcast(cent))
+    e.crossJoin(broadcast(cent))
       .withColumn("cos",
         vec_dot(col("ed"), col("ced")) / (col("nrm") * col("cnrm")))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select("vec_id", "ed", "nrm", "cent_id")
+  }
+
+  /** q29 — IVF ANN: nearest-centroid assignment, then top-k within the
+    * probe's cell. */
+  def q29AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = vectors(s, dir)
+    val assign = assigned(e)
     val probeCell = assign.filter(col("vec_id") === 0L)
       .select(col("cent_id").as("pc"))
     val probe = e.filter(col("vec_id") === 0L)
@@ -91,6 +97,55 @@ object Similarity {
         ORDER BY list_dot_product(a.ed, p.ped) / (a.nrm * p.pnrm) DESC,
                  a.vec_id
         LIMIT $TopK"""
+
+  val NumProbes = 5
+  val BatchTopK = 3
+
+  /** q76 — BATCHED multi-probe ANN: retrieval in production runs with
+    * queries as a TABLE, not a loop — q29 restricted to one probe; here
+    * five probes search their IVF cells in a single equi-join on the
+    * cell id (probes broadcast; corpus shuffles zero extra rows), then
+    * one rank window per probe. Per-probe work stays O(cell), total work
+    * O(batch x cell) — the shape that amortizes the corpus pass across
+    * the whole query batch at 100 TB. */
+  def q76BatchAnn(s: SparkSession, dir: String): DataFrame = {
+    val assign = assigned(vectors(s, dir))
+    val probes = assign.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("ed").as("ped"),
+        col("nrm").as("pnrm"), col("cent_id"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("vec_id"))
+    assign.join(broadcast(probes), "cent_id")
+      .withColumn("pcos",
+        vec_dot(col("ed"), col("ped")) / (col("nrm") * col("pnrm")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= BatchTopK)
+      .select("probe_id", "vec_id", "rank")
+  }
+
+  private def q76OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+        cent AS (SELECT vec_id AS cent_id, ed AS ced, nrm AS cnrm
+                 FROM e WHERE vec_id < $NumCentroids),
+        assigned AS (SELECT vec_id, ed, nrm, cent_id FROM (
+          SELECT e.vec_id, e.ed, e.nrm, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.ed, c.ced) / (e.nrm * c.cnrm)
+                DESC, c.cent_id) AS rn
+          FROM e CROSS JOIN cent c) WHERE rn = 1),
+        probes AS (SELECT vec_id AS probe_id, ed AS ped, nrm AS pnrm,
+                          cent_id
+                   FROM assigned WHERE vec_id < $NumProbes)
+        SELECT probe_id, vec_id, rank FROM (
+          SELECT p.probe_id, a.vec_id,
+            CAST(row_number() OVER (PARTITION BY p.probe_id
+              ORDER BY list_dot_product(a.ed, p.ped) / (a.nrm * p.pnrm)
+                DESC, a.vec_id) AS BIGINT) AS rank
+          FROM assigned a JOIN probes p ON a.cent_id = p.cent_id)
+        WHERE rank <= $BatchTopK"""
 
   /** Library API: exact top-k cosine neighbors of an arbitrary probe
     * vector (brute force, codegen'd dot product). */
@@ -212,10 +267,12 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_ann_ivf" -> (q29AnnIvf _),
     "q42_topk_per_label" -> (q42TopkPerLabel _),
-    "q52_ann_lsh" -> (q52AnnLsh _))
+    "q52_ann_lsh" -> (q52AnnLsh _),
+    "q76_batch_ann" -> (q76BatchAnn _))
 
   val oracleSql: Map[String, String] = Map(
     "q29_ann_ivf" -> q29OracleSql,
     "q42_topk_per_label" -> q42OracleSql,
-    "q52_ann_lsh" -> q52OracleSql)
+    "q52_ann_lsh" -> q52OracleSql,
+    "q76_batch_ann" -> q76OracleSql)
 }
