@@ -65,6 +65,37 @@ class ScalePathSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed stream restarts without reprocessing or duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-out").toString
+    val input = MemoryStream[Event]
+    def run(): Unit = {
+      val q = input.toDS().toDF()
+        .select("event_id", "user_id", "event_type")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    input.addData(
+      Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      Event(2L, ts("2024-01-01 10:01:00"), 8L, "view", 0.0))
+    run()
+    // second incarnation of the query, same checkpoint: only NEW data
+    // may be emitted — the committed offsets survive the restart
+    input.addData(Event(3L, ts("2024-01-01 10:02:00"), 9L, "click", 2.0))
+    run()
+    val ids = spark.read.parquet(outDir)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L),
+      s"restart must not duplicate or drop events, got ${ids.toSeq}")
+  }
+
   test("streaming dedup drops in-horizon re-deliveries across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
