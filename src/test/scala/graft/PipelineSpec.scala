@@ -117,6 +117,29 @@ class PipelineSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("q75 emits no fingerprint present in the corpus partition") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val out = graft.operators.Pipeline
+      .q75IncrementalDedup(spark, sf1).cache()
+    val corpusFps = graft.sources.Tables.load(spark, sf1, "documents")
+      .filter(col("doc_id") < 250L)
+      .select(expr("poly_hash(text)").as("fp"))
+    assert(out.join(corpusFps, "fp").count() === 0L)
+    // this corpus has all-distinct texts, so every batch doc survives
+    assert(out.count() === 250L)
+    out.unpersist()
+  }
+
+  test("q76 ranks each probe's own vector first") {
+    val r = graft.operators.Similarity.q76BatchAnn(spark, sf1)
+      .filter(col("rank") === 1L).collect()
+      .map(x => x.getAs[Long]("probe_id") -> x.getAs[Long]("vec_id"))
+    assert(r.length === graft.operators.Similarity.NumProbes)
+    // cosine(v, v) = 1 is the max, so rank 1 must be the probe itself
+    assert(r.forall { case (p, v) => p === v },
+      s"self-match must rank first: ${r.toSeq}")
+  }
+
   test("prepareCorpus: dedups planted twins, splits survivors, writes") {
     val docs = graft.sources.Tables.load(spark, sf1, "documents")
       .select("doc_id", "text")
