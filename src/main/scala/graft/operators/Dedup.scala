@@ -197,8 +197,11 @@ object Dedup {
                  struct(doc_id_2 AS src, doc_id_1 AS dst))""")).as("e"))
       .select("e.*")
       .cache()
+    // localCheckpoint per round: truncates the iterative lineage (a
+    // cached-only loop grows its logical plan every round until
+    // planning dominates — or OOMs on high-diameter graphs)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
-      .cache()
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -216,9 +219,8 @@ object Dedup {
             .as("cluster"),
           (coalesce(col("nbr_min"), col("cluster")) < col("cluster"))
             .as("chg"))
-        .cache()
+        .localCheckpoint(true)
       changed = stepped.filter(col("chg")).count()
-      labels.unpersist()
       labels = stepped.drop("chg")
       rounds += 1
     }
@@ -346,6 +348,75 @@ object Dedup {
           ON x.pairid = y.pairid AND x.key16 = y.key16
              AND x.doc_id < y.doc_id
         WHERE bit_count(xor(x.sh, y.sh)) <= $HammingRadius"""
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contractions (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", 2014) — the high-diameter-safe alternative to
+    * [[connectedComponents]]'s min-label propagation. Propagation needs
+    * diameter rounds (a million-node chain = a million rounds);
+    * star contraction converges in O(log n) rounds on any topology,
+    * because each round rewires nodes directly toward their component
+    * minimum. Per round: two grouped aggregations + joins (large star
+    * points every bigger neighbor at the neighborhood min; small star
+    * does the same for smaller-or-equal neighbors), each ONE shuffle on
+    * the node id. Convergence = edge set fixed; the result graph is a
+    * star per component, read off as (doc_id, cluster). */
+  def connectedComponentsStar(
+      nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+    def star(edges: DataFrame, large: Boolean): DataFrame = {
+      val adj = edges
+        .select(explode(expr(
+          """array(struct(u AS a, v AS b), struct(v AS a, u AS b))"""))
+          .as("e"))
+        .select("e.*")
+      val mins = adj.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      val kept =
+        if (large) adj.filter(col("b") > col("a"))
+        else adj.filter(col("b") <= col("a"))
+      canon(kept.join(mins, "a")
+        .select(col("b").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("a").as("u"), col("m").as("v"))))
+    }
+
+    // localCheckpoint per round: an iterative plan that only CACHES
+    // still grows its logical plan exponentially (each round references
+    // the last several times) until planning itself OOMs — checkpointing
+    // truncates the lineage to a materialized LogicalRDD each round,
+    // which is the production discipline for iterative graph jobs too.
+    var edges = canon(pairs.select(
+      col("doc_id_1").as("u"), col("doc_id_2").as("v")))
+      .localCheckpoint(true)
+    var stable = false
+    var rounds = 0
+    while (!stable && rounds < 30) {
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint(true)
+      stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      rounds += 1
+    }
+    // converged: every non-min node holds an edge to its component min
+    val labels = edges
+      .select(explode(expr(
+        """array(struct(u AS doc_id, v AS other),
+                 struct(v AS doc_id, u AS other))""")).as("e"))
+      .select("e.*")
+      .groupBy("doc_id")
+      .agg(min("other").as("mo"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("mo")).as("cluster"))
+    nodes.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
   /** q31 — 32-bit SimHash per document (word-level token hashes with

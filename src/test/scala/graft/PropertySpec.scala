@@ -135,6 +135,52 @@ class PropertySpec extends SparkSpec {
     assert(back === vals.map(_.toLong).toSet)
   }
 
+  test("star-contraction CC equals union-find truth on generated graphs") {
+    import spark.implicits._
+    // truth: plain scala union-find
+    def ufComponents(n: Int, es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // root chase to the component min (roots are minimal by union rule)
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    // (n, edges, checkNaive) — naive propagation needs diameter rounds
+    // (capped at 20), so the 40-node path is exactly the topology it
+    // CAN'T handle and star contraction can: star-only there.
+    val graphs: Seq[(Int, Seq[(Long, Long)], Boolean)] = Seq(
+      (40, (0L until 39L).map(i => (i, i + 1)), false),
+      (20, (0L until 20L).map(i => (i, (i + 1) % 20)), true),
+      (60, sample(Gen.zip(Gen.choose(0L, 59L), Gen.choose(0L, 59L)), 45)
+        .filter { case (a, b) => a != b }, true),
+      (10, Seq.empty, true))
+    graphs.foreach { case (n, es, checkNaive) =>
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val pairs = if (es.isEmpty)
+        Seq.empty[(Long, Long)].toDF("doc_id_1", "doc_id_2")
+      else es.toDF("doc_id_1", "doc_id_2")
+      val truth = ufComponents(n, es)
+      val got = graft.operators.Dedup
+        .connectedComponentsStar(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === truth, s"graph n=$n edges=${es.take(5)}...")
+      if (checkNaive) {
+        val naive = graft.operators.Dedup
+          .connectedComponents(nodes, pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(naive === truth)
+      }
+    }
+  }
+
   test("levenshtein guard bound holds on random string pairs") {
     import spark.implicits._
     // the LevenshteinGuard rewrite is sound iff lev(a,b) <= k implies
