@@ -164,6 +164,38 @@ object Extensions {
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"))
 
+  // q77 — correlated subqueries in their SQL form: EXISTS (semi-join
+  // decorrelation) and a correlated scalar subquery (left-join +
+  // aggregate decorrelation) in one statement. Catalyst rewrites both
+  // to the joins q22/q44 declare through the DataFrame API — this
+  // declares the SQL SURFACE, and the oracle runs the identical text.
+  def q77CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_custkey,
+         (SELECT count(*) FROM orders o
+          WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderstatus = 'P')""")
+  }
+
+  // q78 — LATERAL join: per-nation top-2 customers by balance, the
+  // correlated table subquery form of q21's rank window. Spark
+  // decorrelates the LATERAL (ORDER BY ... LIMIT k) into a ranked
+  // window under the hood — same plan family, declared at the SQL
+  // surface both engines share.
+  def q78Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT n.n_nationkey, t.c_custkey, t.c_acctbal
+         FROM nation n,
+         LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""")
+  }
+
   // q74 — SLIDING event-time windows (q26 is tumbling): 2-day windows
   // every 1 day, so each event lands in exactly two windows. Spark's
   // window() emits both assignments from one scan (an Expand of factor
@@ -540,6 +572,8 @@ object Extensions {
     "q69_rank_family" -> (q69RankFamily _),
     "q73_argminmax" -> (q73ArgMinMax _),
     "q74_sliding_windows" -> (q74SlidingWindows _),
+    "q77_correlated_subquery" -> (q77CorrelatedSubquery _),
+    "q78_lateral" -> (q78Lateral _),
     "q43_scalar_funcs" -> (q43ScalarFuncs _),
     "q44_left_outer" -> (q44LeftOuter _),
     "q45_full_outer" -> (q45FullOuter _),
@@ -654,6 +688,20 @@ object Extensions {
          arg_min(c_name, c_custkey) AS oldest_name,
          max(c_custkey) AS max_key
          FROM customer GROUP BY c_nationkey""",
+    "q77_correlated_subquery" ->
+      """SELECT c_custkey,
+         (SELECT count(*) FROM orders o
+          WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderstatus = 'P')""",
+    "q78_lateral" ->
+      """SELECT n.n_nationkey, t.c_custkey, t.c_acctbal
+         FROM nation n,
+         LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""",
     "q74_sliding_windows" ->
       """WITH assigned AS (
            SELECT CAST(date_trunc('day', ts) AS DATE) AS win_start,
