@@ -96,6 +96,25 @@ class ScalePathSpec extends SparkSpec {
       s"restart must not duplicate or drop events, got ${ids.toSeq}")
   }
 
+  test("observe() collects data-quality metrics during the write pass") {
+    // production pipelines attach metrics to the job itself — no second
+    // scan for row counts / null counts / sums
+    val obs = new org.apache.spark.sql.Observation("sink_metrics")
+    val df = graft.sources.Tables.load(spark, sf1, "orders")
+      .observe(obs,
+        count(lit(1)).as("rows"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L))
+          .as("null_status"),
+        min(col("o_orderkey")).as("min_key"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-observe").toString
+    df.write.mode("overwrite").format("noop").save(out)
+    val m = obs.get
+    assert(m("rows").asInstanceOf[Long] === 1500L)
+    assert(m("null_status").asInstanceOf[Long] === 0L)
+    assert(m("min_key").asInstanceOf[Long] === 0L)
+  }
+
   test("streaming dedup drops in-horizon re-deliveries across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
