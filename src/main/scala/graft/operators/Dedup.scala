@@ -137,21 +137,24 @@ object Dedup {
       .distinct()
   }
 
-  /** The q30 CTE chain (docs → words → shingle hashes → band keys) and
-    * its pair-select, split so q63's oracle can extend the same pipeline
-    * with the recursive component computation. */
-  private def q30Ctes: String = {
+  /** The LSH CTE chain (docs → words → shingle hashes → band keys) and
+    * its pair-select, parametrized over the docs source so q30 (planted
+    * corpus), q63 (recursive components), and q79 (prepareCorpus) all
+    * share one generator. */
+  private[operators] def lshCtes(docsSql: String): String = {
     val bandSelects = (0 until NumBands).map(b =>
       s"SELECT doc_id, $b AS band, ${bandKeyExpr(b)} AS bkey FROM hs")
       .mkString("\n UNION ALL\n ")
-    s"""docs AS ($plantedSql),
+    s"""docs AS ($docsSql),
         w AS (SELECT doc_id, string_split(text, ' ') AS sw_w FROM docs
               WHERE len(string_split(text, ' ')) >= $ShingleN),
         hs AS (SELECT doc_id, $duckShingleHashes AS hsd FROM w),
         bands AS ($bandSelects)"""
   }
 
-  private val q30SelectPairs: String =
+  private def q30Ctes: String = lshCtes(plantedSql)
+
+  private[operators] val q30SelectPairs: String =
     """SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
        FROM bands x JOIN bands y
          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"""

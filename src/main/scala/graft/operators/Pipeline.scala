@@ -262,17 +262,61 @@ object Pipeline {
     split80
   }
 
+  /** q79 — the WHOLE prepareCorpus pipeline as a declared, hash-checked
+    * query: quality gate → exact dedup → LSH candidate pairs →
+    * connected-component cluster resolution → keep cluster minima →
+    * content-hash split, reproduced end-to-end in DuckDB (the CC stage
+    * as a recursive CTE). The strongest correctness statement the
+    * differential can make: not one operator, the composed pipeline. */
+  def q79PrepareCorpus(s: SparkSession, dir: String): DataFrame =
+    prepareCorpus(s,
+      t(s, dir, "documents").select("doc_id", "text"))
+      .select("doc_id", "split")
+
+  private def q79OracleSql: String = {
+    import graft.operators.Dedup.{lshCtes, q30SelectPairs, ShingleN}
+    s"""WITH RECURSIVE
+        gated AS (SELECT doc_id, text FROM documents
+                  WHERE len(string_split(text, ' ')) >= $ShingleN),
+        exact AS (SELECT min(doc_id) AS doc_id, text FROM gated
+                  GROUP BY text),
+        ${lshCtes("SELECT doc_id, text FROM exact")},
+        pairs AS ($q30SelectPairs),
+        edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+                  UNION ALL
+                  SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs),
+        reach(doc_id, lab) AS (
+          SELECT doc_id, doc_id FROM exact
+          UNION
+          SELECT e.src, r.lab FROM edges e JOIN reach r
+            ON r.doc_id = e.dst),
+        labels AS (SELECT doc_id, min(lab) AS cluster FROM reach
+                   GROUP BY doc_id),
+        kept AS (SELECT e.doc_id, e.text FROM exact e
+                 JOIN labels l ON e.doc_id = l.doc_id
+                 WHERE e.doc_id = l.cluster),
+        bucketed AS (SELECT doc_id,
+          ${duckCharFold("text")} % 100 AS b FROM kept)
+        SELECT doc_id,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM bucketed"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_hash_split" -> (q62HashSplit _),
     "q64_bm25_topk" -> (q64Bm25TopK _),
     "q65_salted_join" -> (q65SaltedJoin _),
     "q66_approx_quantile" -> (q66ApproxQuantile _),
-    "q75_incremental_dedup" -> (q75IncrementalDedup _))
+    "q75_incremental_dedup" -> (q75IncrementalDedup _),
+    "q79_prepare_corpus" -> (q79PrepareCorpus _))
 
   val oracleSql: Map[String, String] = Map(
     "q62_hash_split" -> q62OracleSql,
     "q64_bm25_topk" -> q64OracleSql,
     "q65_salted_join" -> q65OracleSql,
     "q66_approx_quantile" -> q66OracleSql,
-    "q75_incremental_dedup" -> q75OracleSql)
+    "q75_incremental_dedup" -> q75OracleSql,
+    "q79_prepare_corpus" -> q79OracleSql)
 }
