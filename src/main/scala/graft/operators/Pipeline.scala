@@ -65,51 +65,60 @@ object Pipeline {
   val Bm25Terms: Seq[String] = Seq("dup", "vector", "scan")
   val Bm25TopK = 20
 
-  /** Shared BM25 formula text (k1=1.2, b=0.75, rational idf): identical
-    * expression string on both engines so every double op associates the
-    * same way. All inputs are exact-integer-valued doubles; +,*,/ are
+  /** Shared BM25 formula text (rational idf): identical expression
+    * string on both engines so every double op associates the same way.
+    * All inputs are exact-integer-valued doubles; +,*,/ are
     * IEEE-deterministic, so scores are bit-equal cross-engine. The
     * rational idf (N-df+0.5)/(df+0.5) (BM25's idf without the log) keeps
     * libm out of the differential; the ranking is the same monotone
     * order. */
-  private def bm25ScoreExpr: String =
-    Bm25Terms.indices.map { i =>
+  private def bm25ScoreExpr(
+      nTerms: Int, k1: Double, b: Double): String =
+    (0 until nTerms).map { i =>
       s"((((n_docs - df$i) + 0.5) / (df$i + 0.5)) * " +
-        s"((tf$i * 2.2) / (tf$i + (1.2 * ((1.0 - 0.75) + " +
-        s"(0.75 * (dl / avgdl)))))))"
+        s"((tf$i * ${k1 + 1.0}) / (tf$i + ($k1 * ((1.0 - $b) + " +
+        s"($b * (dl / avgdl)))))))"
     }.mkString("(", " + ", ")")
 
-  /** q64 — BM25-style top-k retrieval over `documents` for a fixed term
-    * set. Output is (doc_id, rank) only — float scores stay out of the
-    * hash compare; the ORDER they induce is the tested artifact. */
-  def q64Bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  /** Library API: BM25 top-k retrieval over any (doc_id, text) frame for
+    * an arbitrary term set. One corpus scan for per-doc term-frequency
+    * COLUMNS (terms are columns, not rows — no per-term shuffle), a
+    * one-row broadcast of corpus stats, then TakeOrderedAndProject. */
+  def bm25TopK(docs0: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = docs0
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
     val tf = docs.select(
       col("doc_id") +:
         size(col("ws")).cast("double").as("dl") +:
-        Bm25Terms.zipWithIndex.map { case (term, i) =>
+        terms.zipWithIndex.map { case (term, i) =>
           size(expr(s"filter(ws, bm_w -> bm_w = '$term')"))
             .cast("double").as(s"tf$i")
         }: _*)
     val statCols =
       (sum(size(col("ws"))).cast("double") /
         count(lit(1)).cast("double")).as("avgdl") +:
-        Bm25Terms.zipWithIndex.map { case (term, i) =>
+        terms.zipWithIndex.map { case (term, i) =>
           sum(when(array_contains(col("ws"), term), 1L).otherwise(0L))
             .cast("double").as(s"df$i")
         }
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n_docs"), statCols: _*)
     tf.crossJoin(broadcast(stats))
-      .withColumn("score", expr(bm25ScoreExpr))
+      .withColumn("score", expr(bm25ScoreExpr(terms.size, k1, b)))
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(Bm25TopK)
+      .limit(k)
       .select(col("doc_id"),
         row_number().over(
           Window.orderBy(col("score").desc, col("doc_id")))
           .cast("bigint").as("rank"))
   }
+
+  /** q64 — BM25-style top-k retrieval over `documents` for a fixed term
+    * set. Output is (doc_id, rank) only — float scores stay out of the
+    * hash compare; the ORDER they induce is the tested artifact. */
+  def q64Bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25TopK(t(s, dir, "documents"), Bm25Terms, Bm25TopK)
 
   private def q64OracleSql: String = {
     val tfCols = Bm25Terms.zipWithIndex.map { case (term, i) =>
@@ -127,7 +136,8 @@ object Pipeline {
                         CAST(count(*) AS DOUBLE) AS avgdl,
                       $dfCols
                FROM d),
-        sc AS (SELECT doc_id, $bm25ScoreExpr AS score FROM tf CROSS JOIN st)
+        sc AS (SELECT doc_id, ${bm25ScoreExpr(Bm25Terms.size, 1.2, 0.75)}
+                 AS score FROM tf CROSS JOIN st)
         SELECT doc_id,
                CAST(row_number() OVER (ORDER BY score DESC, doc_id)
                     AS BIGINT) AS rank

@@ -260,6 +260,30 @@ object TextOps {
        LEFT JOIN tok ON base.doc_id = tok.doc_id
        LEFT JOIN bi ON base.doc_id = bi.doc_id"""
 
+  /** q80 — regex function family: extract / extract-all / replace /
+    * match in one projection. Patterns stay inside the Java∩RE2 common
+    * subset (char classes, anchors, word boundaries — no backrefs or
+    * lookaround) so Spark's java.util.regex and DuckDB's RE2 agree. */
+  def q80RegexFamily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      regexp_extract(col("text"), "^[a-z]+", 0).as("first_word"),
+      size(expr("regexp_extract_all(text, 'vector', 0)"))
+        .cast("bigint").as("n_vector"),
+      col("text").rlike("\\bdup\\b").as("has_dup"),
+      length(regexp_replace(col("text"), "[aeiou]", ""))
+        .cast("bigint").as("len_novowels"))
+
+  private def q80OracleSql: String =
+    """SELECT doc_id,
+       regexp_extract(text, '^[a-z]+') AS first_word,
+       CAST(len(regexp_extract_all(text, 'vector')) AS BIGINT)
+         AS n_vector,
+       regexp_matches(text, '\bdup\b') AS has_dup,
+       CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+         AS len_novowels
+       FROM documents"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_lang_id" -> (q34LangId _),
     "q35_quality_score" -> (q35QualityScore _),
@@ -267,7 +291,8 @@ object TextOps {
     "q37_fingerprint" -> (q37Fingerprint _),
     "q59_tf_df" -> (q59TfDf _),
     "q61_string_agg" -> (q61StringAgg _),
-    "q72_repetition" -> (q72Repetition _))
+    "q72_repetition" -> (q72Repetition _),
+    "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
     "q34_lang_id" -> q34OracleSql,
@@ -276,5 +301,6 @@ object TextOps {
     "q37_fingerprint" -> q37OracleSql,
     "q59_tf_df" -> q59OracleSql,
     "q61_string_agg" -> q61OracleSql,
-    "q72_repetition" -> q72OracleSql)
+    "q72_repetition" -> q72OracleSql,
+    "q80_regex_family" -> q80OracleSql)
 }
