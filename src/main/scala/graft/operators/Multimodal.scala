@@ -142,9 +142,56 @@ object Multimodal {
        CAST(doc_id % 480 + 1 AS BIGINT) AS height
        FROM documents"""
 
+  /** Integer 16-bin high-nibble byte histogram — the exact-arithmetic
+    * sibling of [[fakeDecode]] used to put the TYPED mapPartitions path
+    * under the differential (float normalization isn't cross-engine
+    * comparable; integer counts are). */
+  def countHistogram(payload: Array[Byte]): Array[Long] = {
+    val bins = new Array[Long](16)
+    var i = 0
+    while (i < payload.length) {
+      bins((payload(i) & 0xff) >> 4) += 1L
+      i += 1
+    }
+    bins
+  }
+
+  /** q81 — the partition-batched typed decode path, differentially
+    * verified: payload byte histograms computed through
+    * `Dataset[MediaAsset].mapPartitions` (the same shape a real codec
+    * uses), surfaced as integer columns the DuckDB oracle reproduces
+    * from the text bytes. Proves the typed row-codec pipeline — encoder
+    * round-trip, partition batching, case-class schema — produces
+    * exactly what the declarative engine would. */
+  def q81MediaHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = assets(s, dir).mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map(a => (a.asset_id, a.payload.length.toLong,
+        countHistogram(a.payload)))
+    }.toDF("asset_id", "n_bytes", "bins")
+    feats.select(
+      col("asset_id") +: col("n_bytes") +:
+        (0 until 16).map(b =>
+          element_at(col("bins"), b + 1).as(s"bin$b")): _*)
+  }
+
+  private def q81OracleSql: String = {
+    val binCols = (0 until 16).map(b =>
+      s"CAST(len(list_filter(string_split(text, ''), " +
+        s"mm_c -> ascii(mm_c) // 16 = $b)) AS BIGINT) AS bin$b")
+      .mkString(",\n ")
+    s"""SELECT doc_id AS asset_id,
+        CAST(strlen(text) AS BIGINT) AS n_bytes,
+        $binCols
+        FROM documents"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q38_multimodal_meta" -> (q38MultimodalMeta _))
+    "q38_multimodal_meta" -> (q38MultimodalMeta _),
+    "q81_media_histogram" -> (q81MediaHistogram _))
 
   val oracleSql: Map[String, String] = Map(
-    "q38_multimodal_meta" -> q38OracleSql)
+    "q38_multimodal_meta" -> q38OracleSql,
+    "q81_media_histogram" -> q81OracleSql)
 }
