@@ -164,6 +164,45 @@ object Extensions {
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"))
 
+  // Shared z-score predicate text: identical on both engines so the
+  // double arithmetic associates identically. Inputs are exact (integer
+  // count; DECIMAL-accumulated sums surfaced as DOUBLE); sqrt is
+  // IEEE-exactly-rounded (unlike log), so the threshold compare is
+  // bit-deterministic cross-engine.
+  private val zOutlierPred: String =
+    "abs(c_acctbal - (s1 / n)) > " +
+      "(2.0 * sqrt(((s2 - ((s1 * s1) / n)) / n)))"
+
+  // q82 — per-group statistical outliers: customers beyond 2 population
+  // standard deviations of their nation's balance. The moments come from
+  // ONE aggregate pass (count + exact DECIMAL sum + exact DECIMAL sum of
+  // squares — q56's trick at money precision), broadcast back, and the
+  // predicate runs at scan speed: the two-pass mean-then-deviation
+  // formulation this replaces would read the fact table twice at 100 TB.
+  def q82ZscoreOutliers(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val dec = col("c_acctbal").cast("decimal(18,2)")
+    val stats = c.groupBy("c_nationkey").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(dec).cast("double").as("s1"),
+      sum((dec * dec).cast("decimal(38,4)")).cast("double").as("s2"))
+    c.join(broadcast(stats), "c_nationkey")
+      .filter(expr(zOutlierPred))
+      .select("c_custkey", "c_nationkey")
+  }
+
+  private def q82OracleSql: String =
+    s"""WITH stats AS (SELECT c_nationkey,
+          CAST(count(*) AS DOUBLE) AS n,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+          CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) *
+                        CAST(c_acctbal AS DECIMAL(18,2))
+                   AS DECIMAL(38,4))) AS DOUBLE) AS s2
+        FROM customer GROUP BY c_nationkey)
+        SELECT c.c_custkey, c.c_nationkey
+        FROM customer c JOIN stats USING (c_nationkey)
+        WHERE $zOutlierPred"""
+
   // q77 — correlated subqueries in their SQL form: EXISTS (semi-join
   // decorrelation) and a correlated scalar subquery (left-join +
   // aggregate decorrelation) in one statement. Catalyst rewrites both
@@ -574,6 +613,7 @@ object Extensions {
     "q74_sliding_windows" -> (q74SlidingWindows _),
     "q77_correlated_subquery" -> (q77CorrelatedSubquery _),
     "q78_lateral" -> (q78Lateral _),
+    "q82_zscore_outliers" -> (q82ZscoreOutliers _),
     "q43_scalar_funcs" -> (q43ScalarFuncs _),
     "q44_left_outer" -> (q44LeftOuter _),
     "q45_full_outer" -> (q45FullOuter _),
@@ -688,6 +728,7 @@ object Extensions {
          arg_min(c_name, c_custkey) AS oldest_name,
          max(c_custkey) AS max_key
          FROM customer GROUP BY c_nationkey""",
+    "q82_zscore_outliers" -> q82OracleSql,
     "q77_correlated_subquery" ->
       """SELECT c_custkey,
          (SELECT count(*) FROM orders o
