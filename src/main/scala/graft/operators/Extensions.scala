@@ -203,6 +203,21 @@ object Extensions {
         FROM customer c JOIN stats USING (c_nationkey)
         WHERE $zOutlierPred"""
 
+  // q83 — fixed-width value histogram (distribution profiling): order
+  // totals bucketed by floor division. One partial+final aggregate;
+  // floor of an IEEE division is deterministic cross-engine. At scale
+  // this is the profiling pass that sizes skew mitigations.
+  def q83Histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000.0)
+        .cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  private def q83OracleSql: String =
+    """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+       count(*) AS n
+       FROM orders GROUP BY 1"""
+
   // q77 — correlated subqueries in their SQL form: EXISTS (semi-join
   // decorrelation) and a correlated scalar subquery (left-join +
   // aggregate decorrelation) in one statement. Catalyst rewrites both
@@ -614,6 +629,7 @@ object Extensions {
     "q77_correlated_subquery" -> (q77CorrelatedSubquery _),
     "q78_lateral" -> (q78Lateral _),
     "q82_zscore_outliers" -> (q82ZscoreOutliers _),
+    "q83_histogram" -> (q83Histogram _),
     "q43_scalar_funcs" -> (q43ScalarFuncs _),
     "q44_left_outer" -> (q44LeftOuter _),
     "q45_full_outer" -> (q45FullOuter _),
@@ -729,6 +745,7 @@ object Extensions {
          max(c_custkey) AS max_key
          FROM customer GROUP BY c_nationkey""",
     "q82_zscore_outliers" -> q82OracleSql,
+    "q83_histogram" -> q83OracleSql,
     "q77_correlated_subquery" ->
       """SELECT c_custkey,
          (SELECT count(*) FROM orders o
