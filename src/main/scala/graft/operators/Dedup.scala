@@ -94,19 +94,24 @@ object Dedup {
       .mkString("concat_ws(',', ", ", ", ")")
 
   /** q30 — MinHash+LSH near-dup candidate pairs over planted documents.
-    * One pass computes all band keys (stack, no re-scan); ONE shuffle
-    * groups doc ids per (band, band_key) and pairs are generated inside
-    * each group — a self-join would recompute the whole signature subplan
-    * for both sides. Bucket membership is bounded (a band collision means
-    * near-identical minhash rows), so collect_list per bucket stays small;
-    * a pathological hot bucket would be salted before grouping. */
+    * One pass computes all band keys (stack, no re-scan); candidates come
+    * from a self-join on (band, band_key) — the streaming, hot-bucket-safe
+    * shape (a b-row bucket flows as b×b join output rows across tasks,
+    * never as one in-memory pair array). The earlier in-bucket
+    * collect_list pair-gen materialized each bucket's whole pair set as a
+    * single row: fine when buckets are provably small, a single-task OOM
+    * on a boilerplate-heavy crawl where one band key collects millions of
+    * documents. */
   def q30DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
     minhashCandidatePairs(plantedDocs(s, dir))
   }
 
   /** MinHash+LSH candidate pairs over ANY (doc_id, text) frame — the
-    * reusable core of q30 (which runs it over the planted corpus). */
+    * reusable core of q30 (which runs it over the planted corpus). The
+    * banded frame is cached so the self-join's two sides share one
+    * signature computation instead of running the shingle+minhash subplan
+    * twice. */
   def minhashCandidatePairs(docs: DataFrame): DataFrame = {
     val base = docs
       .withColumn("sw_w", split(col("text"), " "))
@@ -124,16 +129,16 @@ object Dedup {
         }: _*)
     val stackArgs = (0 until NumBands)
       .map(b => s"$b, bk$b").mkString(s"stack($NumBands, ", ", ", ")")
-    keyed.selectExpr("doc_id", s"$stackArgs as (band, bkey)")
-      .groupBy("band", "bkey")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (pa, pi) ->
-           transform(slice(ids, pi + 2, size(ids)),
-                     pb -> struct(pa AS doc_id_1, pb AS doc_id_2))))"""))
-        .as("p"))
-      .select("p.*")
+    val banded = keyed.selectExpr("doc_id", s"$stackArgs as (band, bkey)")
+      .cache()
+    val x = banded.as("x")
+    val y = banded.as("y")
+    x.join(y,
+        col("x.band") === col("y.band") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_1"),
+        col("y.doc_id").as("doc_id_2"))
       .distinct()
   }
 
@@ -168,30 +173,35 @@ object Dedup {
     * transitive closure (A~B, B~C ⇒ {A,B,C} one cluster even when A~C
     * missed the LSH threshold).
     *
-    * Spark side: Pregel-style min-label propagation — labels start as
-    * doc_id, each round every node takes min(label, neighbors' labels),
-    * loop until a round changes nothing. Each round is ONE shuffle
-    * (edges ⋈ labels + a min-aggregate); rounds = graph diameter, which
-    * for near-dup clusters is tiny (dup clusters are near-cliques — LSH
-    * pairs most members directly). The driver only sees a per-round
-    * changed-count, never row data. At 100 TB the same loop runs with
-    * edges/labels persisted and checkpointed every few rounds to cut
-    * lineage (done here via explicit caching); a billion-edge graph
-    * would swap in large-star/small-star (same primitive, fewer rounds).
+    * Spark side: alternating large-star/small-star contraction
+    * ([[connectedComponentsStar]]) — O(log n) rounds on ANY topology, so
+    * a pathological high-diameter component (a chain of pairwise
+    * near-dups) converges in ~20 rounds where min-label propagation
+    * needs diameter rounds. The propagation variant
+    * ([[connectedComponents]]) remains available for low-diameter graphs
+    * (near-dup clusters are near-cliques) and now throws instead of
+    * silently emitting wrong labels when its round budget is exhausted.
     *
     * Oracle: DuckDB recursive CTE computing min reachable doc_id — the
     * same fixpoint by different means. */
   def q63DedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(
+    connectedComponentsStar(
       plantedDocs(s, dir).select("doc_id"),
       q30DedupMinhashLsh(s, dir))
 
-  /** Connected components over an undirected pair graph — the reusable
-    * core of q63. `nodes`: one `doc_id` per vertex (vertices absent from
-    * `pairs` become singleton clusters). `pairs`: (doc_id_1, doc_id_2)
-    * candidate edges. Returns (doc_id, cluster) with cluster = component
-    * min doc_id. */
-  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+  /** Connected components by Pregel-style min-label propagation — the
+    * low-diameter fast path (near-dup clusters are near-cliques, so 2-3
+    * rounds suffice; each round is ONE shuffle). `nodes`: one `doc_id`
+    * per vertex (vertices absent from `pairs` become singleton
+    * clusters). `pairs`: (doc_id_1, doc_id_2) candidate edges. Returns
+    * (doc_id, cluster) with cluster = component min doc_id.
+    *
+    * Throws IllegalStateException if the fixpoint hasn't converged
+    * within `maxRounds` — rounds = graph diameter, so exhaustion means
+    * the graph needs [[connectedComponentsStar]] (O(log n) rounds on any
+    * topology); returning the partial labels would be silently WRONG. */
+  def connectedComponents(
+      nodes: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     // both edge directions from ONE pass over the pair list (a union of
     // two selects would run the whole upstream subplan twice)
     val edges = pairs
@@ -207,7 +217,7 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"),
           col("cluster").as("nbr_cluster")), "dst")
@@ -228,6 +238,12 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          "(graph diameter exceeds the budget); use " +
+          "connectedComponentsStar, which needs O(log n) rounds on any " +
+          "topology")
     labels
   }
 
@@ -406,6 +422,11 @@ object Dedup {
       edges = next
       rounds += 1
     }
+    if (!stable)
+      throw new IllegalStateException(
+        "connectedComponentsStar did not converge in 30 rounds — " +
+          "star contraction is O(log n), so this indicates a bug, not " +
+          "an unlucky graph")
     // converged: every non-min node holds an edge to its component min
     val labels = edges
       .select(explode(expr(

@@ -169,11 +169,16 @@ object Extensions {
   // count; DECIMAL-accumulated sums surfaced as DOUBLE); sqrt is
   // IEEE-exactly-rounded (unlike log), so the threshold compare is
   // bit-deterministic cross-engine.
+  // Threshold 1.5σ, not 2σ: c_acctbal is uniform, and a uniform
+  // distribution's max deviation is √3·σ ≈ 1.73σ — a 2σ cut would match
+  // zero rows at every scale factor, making the differential vacuous.
+  // 1.5σ keeps ~13% of a uniform column, so the predicate is exercised
+  // on real hits.
   private val zOutlierPred: String =
     "abs(c_acctbal - (s1 / n)) > " +
-      "(2.0 * sqrt(((s2 - ((s1 * s1) / n)) / n)))"
+      "(1.5 * sqrt(((s2 - ((s1 * s1) / n)) / n)))"
 
-  // q82 — per-group statistical outliers: customers beyond 2 population
+  // q82 — per-group statistical outliers: customers beyond 1.5 population
   // standard deviations of their nation's balance. The moments come from
   // ONE aggregate pass (count + exact DECIMAL sum + exact DECIMAL sum of
   // squares — q56's trick at money precision), broadcast back, and the

@@ -227,6 +227,73 @@ object Pipeline {
         WHERE fp NOT IN (SELECT fp FROM corpus)"""
   }
 
+  // ------------------------------------------------------------ q84
+
+  /** 5-gram fingerprints for decontamination: wide enough that chance
+    * collisions are rare (the 31-word testdata vocab makes 3-grams
+    * collide constantly), narrow enough to catch verbatim benchmark
+    * quotes inside longer documents. */
+  val DecontamN = 5
+
+  /** Benchmark DECONTAMINATION — the standard LLM-pipeline guard against
+    * train-on-test leakage: drop every corpus document sharing an n-gram
+    * fingerprint with a held-out benchmark. Scale shape: benchmark
+    * fingerprints are a distinct-projected (usually broadcastable) set;
+    * contamination detection is ONE semi-join from the corpus's exploded
+    * fingerprints (no pairwise document comparison), and the survivors
+    * come from ONE anti-join on doc_id. Work is O(corpus n-grams +
+    * benchmark n-grams), never O(corpus × benchmark). */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame, n: Int = DecontamN)
+      : DataFrame = {
+    def fps(df: DataFrame) = df
+      .withColumn("dc_ws", split(col("text"), " "))
+      .filter(size(col("dc_ws")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(shingle_hashes(dc_ws, $n))"))
+          .as("fp"))
+    val benchFps = fps(benchmark).select("fp").distinct()
+    val contaminated = fps(corpus)
+      .join(benchFps, Seq("fp"), "left_semi")
+      .select("doc_id").distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** q84 — decontamination over the testdata: documents with
+    * doc_id % 10 = 0 act as the held-out benchmark, the rest as the
+    * training corpus; survivors are corpus docs sharing no 5-gram with
+    * the benchmark. Documents shorter than 5 tokens have no 5-grams and
+    * always survive — both engines agree by construction. */
+  def q84Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0))
+      .select("doc_id")
+  }
+
+  private def q84OracleSql: String = {
+    val n = DecontamN
+    val parts = (0 until n).map(k => s"sw_w[dc_i + $k]").mkString(", ")
+    val grams = s"list_transform(range(1, len(sw_w) - ${n - 2}), " +
+      s"dc_i -> ${duckCharFold(s"concat_ws(' ', $parts)")})"
+    s"""WITH b AS (SELECT string_split(text, ' ') AS sw_w FROM documents
+                   WHERE doc_id % 10 = 0
+                     AND len(string_split(text, ' ')) >= $n),
+        bfp AS (SELECT DISTINCT unnest($grams) AS fp FROM b),
+        c AS (SELECT doc_id, string_split(text, ' ') AS sw_w
+              FROM documents
+              WHERE doc_id % 10 <> 0
+                AND len(string_split(text, ' ')) >= $n),
+        cfp AS (SELECT doc_id, unnest($grams) AS fp FROM c),
+        cont AS (SELECT DISTINCT cfp.doc_id FROM cfp
+                 JOIN bfp USING (fp))
+        SELECT doc_id FROM documents
+        WHERE doc_id % 10 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM cont)"""
+  }
+
   // ------------------------------------------- end-to-end corpus prep
 
   /** The flagship composition: everything a corpus-preparation job runs,
@@ -250,11 +317,19 @@ object Pipeline {
       .withColumn("pc_ws", split(col("text"), " "))
       .filter(size(col("pc_ws")) >= Dedup.ShingleN)
       .drop("pc_ws")
-    // 2. exact dedup (keep min doc_id per text)
+    // 2. exact dedup (keep min doc_id per text) — cached ONCE: the LSH
+    // pair generation, the CC node list, and the final keep-join all
+    // read this frame, and without the cache each consumer re-runs the
+    // scan + dedup shuffle (the r2 bench showed q79 paying that
+    // upstream 3x)
     val exact = gated
       .groupBy("text").agg(min("doc_id").as("doc_id"))
       .select("doc_id", "text")
-    // 3. near-dup clusters; keep each cluster's min doc_id
+      .cache()
+    // 3. near-dup clusters; keep each cluster's min doc_id. Propagation
+    // CC is the right variant here (post-LSH dup clusters are
+    // near-cliques — diameter 2-3) and it now fails fast instead of
+    // mislabeling if that assumption ever breaks.
     val labels = Dedup.connectedComponents(
       exact.select("doc_id"), Dedup.minhashCandidatePairs(exact))
     val kept = exact.join(labels, "doc_id")
@@ -320,7 +395,8 @@ object Pipeline {
     "q65_salted_join" -> (q65SaltedJoin _),
     "q66_approx_quantile" -> (q66ApproxQuantile _),
     "q75_incremental_dedup" -> (q75IncrementalDedup _),
-    "q79_prepare_corpus" -> (q79PrepareCorpus _))
+    "q79_prepare_corpus" -> (q79PrepareCorpus _),
+    "q84_decontaminate" -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
     "q62_hash_split" -> q62OracleSql,
@@ -328,5 +404,6 @@ object Pipeline {
     "q65_salted_join" -> q65OracleSql,
     "q66_approx_quantile" -> q66OracleSql,
     "q75_incremental_dedup" -> q75OracleSql,
-    "q79_prepare_corpus" -> q79OracleSql)
+    "q79_prepare_corpus" -> q79OracleSql,
+    "q84_decontaminate" -> q84OracleSql)
 }

@@ -4,6 +4,7 @@ import java.util.Locale
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+
 /** Source stage: parquet binding for the engine's pluggable source model.
   *
   * The reference loads Oracle tables over JDBC (reference README.md:462-467)
@@ -30,23 +31,60 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "documents", "embeddings", "events")
 
-  /** Load one table from an sf directory, lower-casing column names. */
+  /** Primary-key columns per table (FIXTURES.md). The reference's JDBC
+    * source infers `nullable = false` exactly where Oracle declared NOT
+    * NULL (reference README.md:480-493); parquet footers carry no such
+    * constraint, so the source boundary re-asserts it here — which lets
+    * Catalyst's NullPropagation delete `IsNotNull(key)` filters and skip
+    * null-handling branches in join codegen. */
+  val keyColumns: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "events" -> Seq("event_id"))
+
+  /** Load one table from an sf directory, lower-casing column names and
+    * re-asserting key non-nullability at the relation (the JDBC-metadata
+    * inference of reference README.md:480-493, re-applied over parquet —
+    * see [[org.apache.spark.sql.GraftSqlBridge.withNonNullableColumns]]).
+    * Nullability is applied to the bare relation FIRST so the rename /
+    * timestamp projects built on top reference the non-nullable
+    * attributes and propagate the flag to the final schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
+      // outright (PARQUET_TYPE_ILLEGAL) — read nanos as raw longs.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = applyKeyNullability(
+      name, spark.read.parquet(s"$sfDir/$name.parquet"))
     val df =
-      if (name == "events") {
-        // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
-        // outright (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs, then
-        // truncate to microsecond timestamps (integer `div` — a double
-        // division would lose precision above 2^53 ns). Comparisons only
-        // ever use day/hour granularity (FIXTURES.md gotchas), so the
-        // ns→µs truncation is invisible downstream.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$sfDir/$name.parquet")
-          .withColumn("ts", org.apache.spark.sql.functions.expr(
-            "timestamp_micros(ts div 1000)"))
-      } else spark.read.parquet(s"$sfDir/$name.parquet")
+      if (name == "events")
+        // Truncate raw nanos to microsecond timestamps (integer `div` —
+        // a double division would lose precision above 2^53 ns).
+        // Comparisons only ever use day/hour granularity (FIXTURES.md),
+        // so the ns→µs truncation is invisible downstream.
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      else raw
     normalize(df)
   }
+
+  /** Mark a table's key columns `nullable = false` on the source
+    * relation itself — the scan stays a pushdown-capable parquet
+    * relation (no RDD round-trip), and null-propagation can drop
+    * IsNotNull(key) filters plan-wide. */
+  private[graft] def applyKeyNullability(
+      name: String, df: DataFrame): DataFrame =
+    keyColumns.get(name).fold(df) { keys =>
+      org.apache.spark.sql.GraftSqlBridge
+        .withNonNullableColumns(df, keys.toSet)
+    }
 
   /** Lower-case every column name (reference README.md:733-739 analog). */
   def normalize(df: DataFrame): DataFrame =
@@ -84,18 +122,34 @@ final class JdbcBinding(
     fetchSize: Int = 1000,
     partition: Option[(String, Long, Long, Int)] = None)
   extends SourceBinding {
-  def table(spark: SparkSession, name: String) = {
-    val base = spark.read.format("jdbc")
-      .option("url", url)
-      .option("driver", driver)
-      .option("dbtable", name)
-      .option("fetchsize", fetchSize.toString)
-    val reader = partition.fold(base) { case (col, lo, hi, n) =>
-      base.option("partitionColumn", col)
-        .option("lowerBound", lo.toString)
-        .option("upperBound", hi.toString)
-        .option("numPartitions", n.toString)
-    }
-    Tables.normalize(reader.load())
+  require(fetchSize > 0, s"fetchSize must be positive, got $fetchSize")
+  partition.foreach { case (col, lo, hi, n) =>
+    require(col.nonEmpty, "partitionColumn must be non-empty")
+    require(lo < hi,
+      s"lowerBound must be < upperBound, got [$lo, $hi] — the bounds set " +
+        "STRIDE, not a filter (reference README.md:539-543)")
+    require(n > 0, s"numPartitions must be positive, got $n")
   }
+
+  /** The reader's option map — the testable core (no database needed):
+    * the four partition options appear all-or-none, mirroring Spark's
+    * own JDBC source contract. */
+  def readerOptions(name: String): Map[String, String] = {
+    val base = Map(
+      "url" -> url,
+      "driver" -> driver,
+      "dbtable" -> name,
+      "fetchsize" -> fetchSize.toString)
+    partition.fold(base) { case (col, lo, hi, n) =>
+      base ++ Map(
+        "partitionColumn" -> col,
+        "lowerBound" -> lo.toString,
+        "upperBound" -> hi.toString,
+        "numPartitions" -> n.toString)
+    }
+  }
+
+  def table(spark: SparkSession, name: String) =
+    Tables.normalize(
+      spark.read.format("jdbc").options(readerOptions(name)).load())
 }

@@ -37,8 +37,12 @@ class CoreSpec extends SparkSpec {
 
   test("q05 point lookup pushes the filter to the scan") {
     val plan = formatted(Core.q05PointLookup(spark, sf1))
+    // EqualTo reaches the scan; IsNotNull is ABSENT because the source
+    // boundary marks c_custkey non-nullable (JDBC-metadata analog) and
+    // null-propagation deletes the redundant guard
     assert(plan.contains("PushedFilters") &&
-      plan.replaceAll("\\s", "").contains("IsNotNull(c_custkey)"))
+      plan.replaceAll("\\s", "").contains("EqualTo(c_custkey"))
+    assert(!plan.replaceAll("\\s", "").contains("IsNotNull(c_custkey)"))
     assert(Core.q05PointLookup(spark, sf1).count() === 1L)
   }
 

@@ -22,6 +22,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("doc_id_1") >= col("doc_id_2")).count() === 0L)
   }
 
+  test("q30 pair generation never materializes per-bucket pair arrays") {
+    // hot-bucket safety: the plan must be the streaming self-join shape,
+    // not a collect_list-per-bucket array expansion (one row per bucket
+    // = single-task OOM on a boilerplate-heavy crawl)
+    val plan = Dedup.q30DedupMinhashLsh(spark, sf1)
+      .queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("collect_list"),
+      s"q30 plan materializes per-bucket arrays:\n$plan")
+  }
+
+  test("propagation CC throws instead of mislabeling when rounds run out") {
+    import spark.implicits._
+    // an 11-node chain has diameter 10 > the 3-round budget given here
+    val pairs = (0L until 10L).map(i => (i, i + 1))
+      .toDF("doc_id_1", "doc_id_2")
+    val nodes = (0L to 10L).toDF("doc_id")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, pairs, maxRounds = 3).count()
+    }
+  }
+
+  test("declared q63 engine (star CC) labels a >20-diameter chain right") {
+    import spark.implicits._
+    // 61-node chain: diameter 60 would defeat the old 20-round
+    // propagation cap; star contraction converges in O(log n) rounds
+    val pairs = (0L until 60L).map(i => (i, i + 1))
+      .toDF("doc_id_1", "doc_id_2")
+    val nodes = (0L to 60L).toDF("doc_id")
+    val labels = Dedup.connectedComponentsStar(nodes, pairs)
+    assert(labels.filter(col("cluster") =!= 0L).count() === 0L)
+    assert(labels.count() === 61L)
+  }
+
   test("q31 simhash places planted twins within small hamming distance") {
     val sh = Dedup.q31DedupSimhash(spark, sf1)
     // simhash of original vs drop-last-word perturbation: compute both by

@@ -8,6 +8,13 @@ import graft.operators.Extensions
   * differential can't see (complement laws, idempotence, plan shape). */
 class ExtensionsSpec extends SparkSpec {
 
+  test("q82 outlier filter is non-vacuous (hits exist on uniform data)") {
+    // a 2-sigma cut on a uniform column matches NOTHING (max deviation
+    // is sqrt(3)*sigma ~ 1.73 sigma) — this guards the threshold against
+    // regressing to a vacuously-green differential row
+    assert(Extensions.q82ZscoreOutliers(spark, sf1).count() > 0L)
+  }
+
   test("q20 aggregate groups cover the full returnflag x linestatus space") {
     val df = Extensions.q20GroupbyAgg(spark, sf1)
     assert(df.count() > 0 && df.count() <= 9)

@@ -130,6 +130,28 @@ class PipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q84 removes planted verbatim contamination, keeps clean docs") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val bench = Seq((0L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // quotes a benchmark 5-gram inside a longer document → contaminated
+      (1L, "intro alpha beta gamma delta epsilon outro"),
+      // shares words but no 5-gram window → clean
+      (2L, "alpha beta gamma other delta epsilon"),
+      (3L, "wholly unrelated words here for sure")).toDF("doc_id", "text")
+    val survivors = Pipeline.decontaminate(corpus, bench)
+      .select("doc_id").as[Long].collect().sorted
+    assert(survivors.toSeq === Seq(2L, 3L))
+  }
+
+  test("q84 on testdata is non-vacuous: drops some docs, keeps some") {
+    val n = Pipeline.q84Decontaminate(spark, sf1).count()
+    assert(n > 0L, "decontamination removed the whole corpus")
+    assert(n < 450L, "decontamination removed nothing")
+  }
+
   test("q76 ranks each probe's own vector first") {
     val r = graft.operators.Similarity.q76BatchAnn(spark, sf1)
       .filter(col("rank") === 1L).collect()

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
-import graft.sources.{ParquetBinding, SourceBinding, Tables}
+import graft.sources.{JdbcBinding, ParquetBinding, SourceBinding, Tables}
 
 /** Source-layer checks mirroring the reference's own row-count validation
   * (reference README.md:596-597, 876-877) and the lower-case normalization
@@ -55,5 +55,77 @@ class TablesSpec extends SparkSpec {
 
   test("SparkEntry.entry (driver smoke contract) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0L)
+  }
+
+  // S5 catalog listing (reference README.md:210-223: `user_tables` → the
+  // schema's table names). Filtered to our names — the shared test
+  // session may hold other suites' temp views.
+  test("catalog lists all 10 registered tables") {
+    Tables.registerAll(spark, sf1)
+    val listed = spark.catalog.listTables()
+      .collect().map(_.name).toSet
+    assert(Tables.names.forall(listed.contains),
+      s"missing: ${Tables.names.filterNot(listed.contains)}")
+  }
+
+  // Nullability inference at the source boundary (reference
+  // README.md:480-493: JDBC marks nullable=false exactly where Oracle
+  // had NOT NULL; parquet footers carry no constraint, so load
+  // re-asserts it).
+  test("key columns are non-nullable after load") {
+    Tables.names.foreach { name =>
+      val schema = Tables.load(spark, sf1, name).schema
+      Tables.keyColumns(name).foreach { k =>
+        assert(!schema(k).nullable, s"$name.$k should be non-nullable")
+      }
+    }
+  }
+
+  test("IsNotNull on a key column is optimized away") {
+    import org.apache.spark.sql.functions.col
+    val plan = Tables.load(spark, sf1, "customer")
+      .filter(col("c_custkey").isNotNull)
+      .queryExecution.optimizedPlan.toString()
+    assert(!plan.toLowerCase.contains("isnotnull"),
+      s"IsNotNull survived optimization:\n$plan")
+  }
+
+  test("key-column predicate pushdown survives the nullability project") {
+    import org.apache.spark.sql.functions.col
+    val plan = Tables.load(spark, sf1, "customer")
+      .filter(col("c_custkey") === 5L)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo"),
+      s"point-lookup filter not pushed to the parquet scan:\n$plan")
+  }
+
+  // S2 stride-partitioned JDBC scan: the option plumbing is testable
+  // without a database (reference README.md:539-543 — bounds set STRIDE,
+  // all-or-none with the partition column).
+  test("JdbcBinding plain form carries no partition options") {
+    val opts = new JdbcBinding("jdbc:h2:mem:x", "org.h2.Driver")
+      .readerOptions("orders")
+    assert(opts("dbtable") === "orders" && opts("fetchsize") === "1000")
+    assert(!opts.contains("partitionColumn") && !opts.contains("lowerBound")
+      && !opts.contains("upperBound") && !opts.contains("numPartitions"))
+  }
+
+  test("JdbcBinding partitioned form carries all four options") {
+    val opts = new JdbcBinding("jdbc:h2:mem:x", "org.h2.Driver",
+      fetchSize = 500, partition = Some(("o_orderkey", 0L, 6000000L, 32)))
+      .readerOptions("orders")
+    assert(opts("partitionColumn") === "o_orderkey")
+    assert(opts("lowerBound") === "0" && opts("upperBound") === "6000000")
+    assert(opts("numPartitions") === "32" && opts("fetchsize") === "500")
+  }
+
+  test("JdbcBinding rejects inverted bounds and non-positive partitions") {
+    intercept[IllegalArgumentException] {
+      new JdbcBinding("u", "d", partition = Some(("k", 10L, 10L, 4)))
+    }
+    intercept[IllegalArgumentException] {
+      new JdbcBinding("u", "d", partition = Some(("k", 0L, 10L, 0)))
+    }
+    intercept[IllegalArgumentException] { new JdbcBinding("u", "d", 0) }
   }
 }
