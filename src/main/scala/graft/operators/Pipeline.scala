@@ -294,6 +294,45 @@ object Pipeline {
           AND doc_id NOT IN (SELECT doc_id FROM cont)"""
   }
 
+  // ------------------------------------------------------------ q85
+
+  /** Per-stratum target size for q85 (chosen so every language is
+    * genuinely downsampled at every test scale factor — `en` is ~40% of
+    * the corpus, the others ~15% each). */
+  val SampleCap = 64L
+
+  /** q85 — deterministic stratified downsampling: cap each language at
+    * ~SampleCap docs by keeping a doc iff `poly_hash(text) % 1000 <
+    * rate_permille(lang)`, with the per-stratum rate computed from
+    * stratum counts in integer arithmetic (floor division — no floats
+    * anywhere, so both engines agree bit-for-bit). This is the standard
+    * corpus-balancing pass (downweight over-represented
+    * languages/sources) and the scale shape is ideal: one tiny
+    * aggregate (O(strata) rows) broadcast back, then a scan-speed
+    * filter. Content-hash gating keeps exact duplicates co-sampled
+    * (same property as q62's split) and membership is stable under
+    * re-runs and re-partitioning, unlike `df.sample`. */
+  def q85StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    val docs = t(s, dir, "documents")
+    val rates = docs.groupBy("lang")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("lang"),
+        // `div`, not `/`: Spark's `/` on longs returns DOUBLE — the
+        // rate must stay integer so both engines floor identically
+        expr(s"least(1000L, ${1000L * SampleCap} div cnt)").as("rate_pm"))
+    docs.join(broadcast(rates), "lang")
+      .filter(expr("poly_hash(text) % 1000") < col("rate_pm"))
+      .select("doc_id", "lang")
+  }
+
+  private def q85OracleSql: String =
+    s"""WITH r AS (SELECT lang,
+          LEAST(1000, (1000 * $SampleCap) // count(*)) AS rate_pm
+        FROM documents GROUP BY lang)
+        SELECT doc_id, d.lang FROM documents d JOIN r USING (lang)
+        WHERE ${duckCharFold("text")} % 1000 < rate_pm"""
+
   // ------------------------------------------- end-to-end corpus prep
 
   /** The flagship composition: everything a corpus-preparation job runs,
@@ -396,7 +435,8 @@ object Pipeline {
     "q66_approx_quantile" -> (q66ApproxQuantile _),
     "q75_incremental_dedup" -> (q75IncrementalDedup _),
     "q79_prepare_corpus" -> (q79PrepareCorpus _),
-    "q84_decontaminate" -> (q84Decontaminate _))
+    "q84_decontaminate" -> (q84Decontaminate _),
+    "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
     "q62_hash_split" -> q62OracleSql,
@@ -405,5 +445,6 @@ object Pipeline {
     "q66_approx_quantile" -> q66OracleSql,
     "q75_incremental_dedup" -> q75OracleSql,
     "q79_prepare_corpus" -> q79OracleSql,
-    "q84_decontaminate" -> q84OracleSql)
+    "q84_decontaminate" -> q84OracleSql,
+    "q85_stratified_sample" -> q85OracleSql)
 }

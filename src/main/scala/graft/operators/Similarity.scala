@@ -264,15 +264,54 @@ object Similarity {
               ORDER BY sim DESC, vec_id) AS rn
           FROM s) WHERE rn <= 3"""
 
+  /** Fixed-point scale for q86's quantized centroid sums: 2^20. Float32
+    * values are exact binary fractions, so value·2^20 is exact in double
+    * and `floor` is unambiguous on both engines — no banker's-rounding
+    * divergence, no float-sum association order in the differential. */
+  val CentroidScale = 1048576L
+
+  /** q86 — per-label embedding centroids (the codebook-build step IVF
+    * search consumes, and the class-prototype pass of dataset curation):
+    * sum each of the 64 dimensions per label in quantized fixed-point.
+    * Scale shape: posexplode fans each vector into 64 (label, dim, v)
+    * rows, but the sum is partially aggregated map-side, so the ONE
+    * shuffle carries O(labels × dims) rows — never O(corpus). Output is
+    * exact integers (qsum at 2^-20 resolution, n) so the differential is
+    * bit-stable; mean = qsum / (n · 2^20) in the consumer. */
+  def q86LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(
+        sum(floor(col("v") * CentroidScale)).cast("bigint").as("qsum"),
+        count(lit(1)).as("n"))
+
+  private def q86OracleSql: String =
+    // zip two unnests (DuckDB has no WITH ORDINALITY): positional zip of
+    // the 64 values with 0..63
+    s"""WITH x AS (SELECT label,
+          unnest(range(0, 64)) AS dim,
+          unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings)
+        SELECT label, CAST(dim AS INT) AS dim,
+               CAST(sum(CAST(floor(v * $CentroidScale) AS BIGINT))
+                    AS BIGINT) AS qsum,
+               count(*) AS n
+        FROM x GROUP BY label, dim"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_ann_ivf" -> (q29AnnIvf _),
     "q42_topk_per_label" -> (q42TopkPerLabel _),
     "q52_ann_lsh" -> (q52AnnLsh _),
-    "q76_batch_ann" -> (q76BatchAnn _))
+    "q76_batch_ann" -> (q76BatchAnn _),
+    "q86_label_centroids" -> (q86LabelCentroids _))
 
   val oracleSql: Map[String, String] = Map(
     "q29_ann_ivf" -> q29OracleSql,
     "q42_topk_per_label" -> q42OracleSql,
     "q52_ann_lsh" -> q52OracleSql,
-    "q76_batch_ann" -> q76OracleSql)
+    "q76_batch_ann" -> q76OracleSql,
+    "q86_label_centroids" -> q86OracleSql)
 }

@@ -55,6 +55,21 @@ class DedupSpec extends SparkSpec {
     assert(labels.count() === 61L)
   }
 
+  test("q87 verification keeps a strict, non-empty subset of candidates") {
+    val cand = Dedup.q30DedupMinhashLsh(spark, sf1)
+      .select("doc_id_1", "doc_id_2")
+    val kept = Dedup.q87VerifyCandidates(spark, sf1)
+    // verified pairs ⊆ candidates, the filter rejects SOMETHING (LSH
+    // banding admits sub-threshold collisions on this corpus), and the
+    // Jaccard identities hold
+    assert(kept.select("doc_id_1", "doc_id_2")
+      .exceptAll(cand).count() === 0L)
+    val nCand = cand.count()
+    val nKept = kept.count()
+    assert(nKept > 0L && nKept < nCand, s"$nKept of $nCand")
+    assert(kept.filter(col("n_inter") > col("n_union")).count() === 0L)
+  }
+
   test("q31 simhash places planted twins within small hamming distance") {
     val sh = Dedup.q31DedupSimhash(spark, sf1)
     // simhash of original vs drop-last-word perturbation: compute both by

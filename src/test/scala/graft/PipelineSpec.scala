@@ -152,6 +152,40 @@ class PipelineSpec extends SparkSpec {
     assert(n < 450L, "decontamination removed nothing")
   }
 
+  test("q85 downsamples the over-represented stratum hardest") {
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+    val before = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = Pipeline.q85StratifiedSample(spark, sf1)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every stratum survives, none exceeds its original size, and the
+    // kept FRACTION of `en` (the ~40% stratum) is the smallest
+    assert(before.keySet === after.keySet)
+    after.foreach { case (l, n) => assert(n <= before(l), l) }
+    val frac = after.map { case (l, n) => l -> n.toDouble / before(l) }
+    assert(frac("en") === frac.values.min)
+  }
+
+  test("q85 sampling is deterministic under re-run") {
+    val a = Pipeline.q85StratifiedSample(spark, sf1)
+      .orderBy("doc_id").collect()
+    val b = Pipeline.q85StratifiedSample(spark, sf1)
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("q86 emits one row per (label, dim) with consistent counts") {
+    val r = graft.operators.Similarity.q86LabelCentroids(spark, sf1)
+    val rows = r.collect()
+    assert(rows.length === 10 * 64)
+    // n must be constant across dims within a label (every vector has
+    // all 64 dims)
+    val ns = rows.groupBy(_.getAs[Int]("label"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("n")).toSet.size }
+    assert(ns.forall(_ === 1))
+  }
+
   test("q76 ranks each probe's own vector first") {
     val r = graft.operators.Similarity.q76BatchAnn(spark, sf1)
       .filter(col("rank") === 1L).collect()
