@@ -318,5 +318,20 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction(
       "sum_squares", exprs => SumOfSquaresLong(exprs.head), "built-in")
+    // Spark's own runtime-filter bloom expressions (public Catalyst
+    // classes, not in the SQL registry): bloom_agg(col, est_items,
+    // num_bits) builds the filter, bloom_might_contain(bloom, col)
+    // probes it. The probe side requires a foldable/scalar-subquery
+    // bloom argument — exactly how Spark's InjectRuntimeFilter uses it.
+    reg.createOrReplaceTempFunction(
+      "bloom_agg", exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_might_contain", exprs =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
   }
 }

@@ -255,6 +255,59 @@ object Extensions {
                   ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""")
   }
 
+  /** Bloom geometry for q88: sized for the build side (urgent orders ≈
+    * 1/5 of the table) at ~10 bits/item → ~1% nominal false-positive
+    * rate, so the 5% bound genuinely constrains the filter. */
+  val BloomEstItems = 32768L
+  val BloomNumBits = 327680L
+
+  /** q88 — Bloom-filter join pruning, the standard 100 TB
+    * shuffle-reduction move: build a compact bloom over the selective
+    * build side (urgent orders), probe the fact table BEFORE the join
+    * shuffle, and only candidates travel. Uses Spark's own
+    * BloomFilterAggregate / BloomFilterMightContain (what
+    * InjectRuntimeFilter inserts automatically when statistics allow) —
+    * declared explicitly here because at 100 TB you size the filter
+    * yourself for known build cardinalities. The bloom itself isn't
+    * cross-engine comparable, so the declared output pins its
+    * CONTRACT, q47/q66-style: the exact match count, zero false
+    * negatives (bloom guarantee — a violated probe means a broken
+    * filter), and the false-positive rate within 5% of non-matching
+    * rows. */
+  def q88BloomPrune(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH bf AS (SELECT bloom_agg(o_orderkey,
+                        CAST($BloomEstItems AS BIGINT),
+                        CAST($BloomNumBits AS BIGINT)) AS b
+                      FROM orders WHERE o_orderpriority = '1-URGENT'),
+          exact AS (SELECT l_orderkey FROM lineitem
+                    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                         WHERE o_orderpriority = '1-URGENT')),
+          cand AS (SELECT l_orderkey FROM lineitem
+                   WHERE bloom_might_contain((SELECT b FROM bf),
+                                             l_orderkey))
+          SELECT
+            (SELECT count(*) FROM exact) AS n_match,
+            (SELECT count(*) FROM exact
+             WHERE NOT bloom_might_contain((SELECT b FROM bf),
+                                           l_orderkey)) = 0
+              AS no_false_negatives,
+            ((SELECT count(*) FROM cand)
+             - (SELECT count(*) FROM exact)) * 20
+              <= ((SELECT count(*) FROM lineitem)
+                  - (SELECT count(*) FROM exact)) AS fpr_bounded""")
+  }
+
+  private def q88OracleSql: String =
+    """SELECT (SELECT count(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                   WHERE o_orderpriority = '1-URGENT'))
+              AS n_match,
+            TRUE AS no_false_negatives,
+            TRUE AS fpr_bounded"""
+
   // q74 — SLIDING event-time windows (q26 is tumbling): 2-day windows
   // every 1 day, so each event lands in exactly two windows. Spark's
   // window() emits both assignments from one scan (an Expand of factor
@@ -635,6 +688,7 @@ object Extensions {
     "q78_lateral" -> (q78Lateral _),
     "q82_zscore_outliers" -> (q82ZscoreOutliers _),
     "q83_histogram" -> (q83Histogram _),
+    "q88_bloom_prune" -> (q88BloomPrune _),
     "q43_scalar_funcs" -> (q43ScalarFuncs _),
     "q44_left_outer" -> (q44LeftOuter _),
     "q45_full_outer" -> (q45FullOuter _),
@@ -751,6 +805,7 @@ object Extensions {
          FROM customer GROUP BY c_nationkey""",
     "q82_zscore_outliers" -> q82OracleSql,
     "q83_histogram" -> q83OracleSql,
+    "q88_bloom_prune" -> q88OracleSql,
     "q77_correlated_subquery" ->
       """SELECT c_custkey,
          (SELECT count(*) FROM orders o

@@ -284,7 +284,56 @@ object TextOps {
          AS len_novowels
        FROM documents"""
 
+  /** Chunk geometry for q89: 32-token windows, stride 16 (50% overlap) —
+    * the shape embedding pipelines feed to fixed-context encoders. */
+  val ChunkSize = 32
+  val ChunkStride = 16
+
+  /** q89 — document CHUNKING, the pass between text prep and embedding:
+    * split every document into overlapping token windows with stable
+    * (doc_id, chunk_idx) identities. One narrow pass, zero shuffles —
+    * the generator multiplies rows ~len/stride× but never crosses the
+    * wire; chunk identity is positional, so re-runs and re-partitions
+    * produce identical chunk ids (what makes incremental re-embedding
+    * possible). Documents shorter than one window become exactly one
+    * whole-document chunk. All-integer geometry (`div`), so both
+    * engines cut identical boundaries. */
+  def q89ChunkDocuments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("len", size(col("ws")))
+      .withColumn("nchunks", expr(
+        s"""CASE WHEN len <= $ChunkSize THEN 1
+            ELSE ((len - $ChunkSize + ${ChunkStride - 1}) div $ChunkStride) + 1
+            END"""))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, nchunks - 1), k -> struct(
+              array_join(slice(ws, k * $ChunkStride + 1, $ChunkSize), ' ')
+                AS chunk_text,
+              least($ChunkSize, len - k * $ChunkStride) AS n_tokens))"""))
+        .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        col("c.chunk_text").as("chunk_text"),
+        col("c.n_tokens").cast("bigint").as("n_tokens"))
+
+  private def q89OracleSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+          len(string_split(text, ' ')) AS len FROM documents),
+        n AS (SELECT doc_id, ws, len,
+          CASE WHEN len <= $ChunkSize THEN 1
+            ELSE ((len - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride) + 1
+            END AS nchunks FROM w),
+        c AS (SELECT doc_id, unnest(range(0, nchunks)) AS k, ws, len
+              FROM n)
+        SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+               array_to_string(list_slice(ws, k * $ChunkStride + 1,
+                 k * $ChunkStride + $ChunkSize), ' ') AS chunk_text,
+               CAST(LEAST($ChunkSize, len - k * $ChunkStride) AS BIGINT)
+                 AS n_tokens
+        FROM c"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_chunk_documents" -> (q89ChunkDocuments _),
     "q34_lang_id" -> (q34LangId _),
     "q35_quality_score" -> (q35QualityScore _),
     "q36_token_count" -> (q36TokenCount _),
@@ -295,6 +344,7 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q89_chunk_documents" -> q89OracleSql,
     "q34_lang_id" -> q34OracleSql,
     "q35_quality_score" -> q35OracleSql,
     "q36_token_count" -> q36OracleSql,

@@ -15,6 +15,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(Extensions.q82ZscoreOutliers(spark, sf1).count() > 0L)
   }
 
+  test("q88 bloom pruning honors its contract on real data") {
+    val r = Extensions.q88BloomPrune(spark, sf1).head()
+    assert(r.getAs[Long]("n_match") > 0L)
+    assert(r.getAs[Boolean]("no_false_negatives"),
+      "bloom filter produced a false negative")
+    assert(r.getAs[Boolean]("fpr_bounded"),
+      "false-positive rate exceeded the 5% bound")
+  }
+
+  test("q89 chunking tiles every document exactly") {
+    import org.apache.spark.sql.functions._
+    val chunks = graft.operators.TextOps.q89ChunkDocuments(spark, sf1)
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("len"))
+    // stride geometry: last chunk's start + its token count = doc length,
+    // and chunk indexes are dense 0..n-1
+    val last = chunks.groupBy("doc_id").agg(
+      max("chunk_idx").as("max_idx"),
+      count(lit(1)).as("n_chunks"),
+      max_by(col("n_tokens"), col("chunk_idx")).as("last_n"))
+    val bad = last.join(docs, "doc_id")
+      .filter(col("max_idx") =!= col("n_chunks") - 1 ||
+        col("max_idx") * graft.operators.TextOps.ChunkStride
+          + col("last_n") =!= col("len"))
+    assert(bad.count() === 0L)
+    assert(chunks.select("doc_id").distinct().count() === docs.count())
+  }
+
   test("q20 aggregate groups cover the full returnflag x linestatus space") {
     val df = Extensions.q20GroupbyAgg(spark, sf1)
     assert(df.count() > 0 && df.count() <= 9)
