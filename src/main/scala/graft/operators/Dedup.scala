@@ -478,13 +478,21 @@ object Dedup {
     var edges = canon(pairs.select(
       col("doc_id_1").as("u"), col("doc_id_2").as("v")))
       .localCheckpoint(true)
+    var edgeCount = edges.count()
     var stable = false
     var rounds = 0
     while (!stable && rounds < 30) {
       val next = star(star(edges, large = true), large = false)
         .localCheckpoint(true)
-      stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // canon() makes both sides distinct sets, so equal cardinality +
+      // one-directional containment proves equality — one exceptAll job
+      // per round instead of two (the count on a just-checkpointed frame
+      // is nearly free), and the count check short-circuits the
+      // containment job on every non-final round
+      val nextCount = next.count()
+      stable = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       rounds += 1
     }
     if (!stable)

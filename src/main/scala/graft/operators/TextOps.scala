@@ -284,6 +284,57 @@ object TextOps {
          AS len_novowels
        FROM documents"""
 
+  /** q90 — percentile QUALITY GATE, the "drop the bottom decile" corpus
+    * filter: keep documents whose q35 quality score is strictly above
+    * the smallest score whose cumulative count reaches n/10 (ties at
+    * the threshold are dropped wholesale — deterministic, no
+    * interpolation). Scale shape: the threshold comes from the SCORE
+    * HISTOGRAM (bounded integer domain, O(distinct scores) rows — never
+    * a global sort of the corpus), cumulated on the tiny histogram and
+    * broadcast back over a scan-speed filter. The rational test
+    * cum·10 ≥ n keeps floats out of the differential. */
+  def q90QualityGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = q35QualityScore(s, dir).select("doc_id", "quality")
+    val hist = scores.groupBy("quality").agg(count(lit(1)).as("c"))
+    val tot = hist.agg(sum("c").as("n"))
+    // the window's single partition holds only the histogram (~200 rows)
+    val thr = hist.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("c").over(
+        Window.orderBy("quality")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") * 10 >= col("n"))
+      .agg(min("quality").as("thr"))
+    scores.crossJoin(broadcast(thr))
+      .filter(col("quality") > col("thr"))
+      .select("doc_id", "quality")
+  }
+
+  private def q90OracleSql: String = {
+    val enStops = inList(stopwords.head._2)
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS tw
+                   FROM documents),
+        m AS (SELECT doc_id,
+                CAST(len(tw) AS BIGINT) AS n_words,
+                CAST(len(list_distinct(tw)) AS BIGINT) AS n_distinct,
+                CAST(len(list_filter(tw, qs_w -> qs_w IN $enStops))
+                  AS BIGINT) AS n_stop
+              FROM w),
+        q AS (SELECT doc_id,
+                ((n_distinct * 1000) // n_words
+                 + (n_stop * 1000) // n_words) // 2 AS quality
+              FROM m),
+        h AS (SELECT quality, count(*) AS c FROM q GROUP BY quality),
+        cum AS (SELECT quality,
+                  sum(c) OVER (ORDER BY quality
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+                FROM h),
+        thr AS (SELECT min(quality) AS thr FROM cum
+                WHERE cum * 10 >= (SELECT count(*) FROM q))
+        SELECT doc_id, quality FROM q, thr WHERE quality > thr.thr"""
+  }
+
   /** Chunk geometry for q89: 32-token windows, stride 16 (50% overlap) —
     * the shape embedding pipelines feed to fixed-context encoders. */
   val ChunkSize = 32
@@ -334,6 +385,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_chunk_documents" -> (q89ChunkDocuments _),
+    "q90_quality_gate" -> (q90QualityGate _),
     "q34_lang_id" -> (q34LangId _),
     "q35_quality_score" -> (q35QualityScore _),
     "q36_token_count" -> (q36TokenCount _),
@@ -345,6 +397,7 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "q89_chunk_documents" -> q89OracleSql,
+    "q90_quality_gate" -> q90OracleSql,
     "q34_lang_id" -> q34OracleSql,
     "q35_quality_score" -> q35OracleSql,
     "q36_token_count" -> q36OracleSql,

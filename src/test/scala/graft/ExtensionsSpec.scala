@@ -44,6 +44,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(chunks.select("doc_id").distinct().count() === docs.count())
   }
 
+  test("q90 gate drops at least a decile and keeps the majority") {
+    val n = graft.sources.Tables.load(spark, sf1, "documents").count()
+    val kept = graft.operators.TextOps.q90QualityGate(spark, sf1).count()
+    assert(n - kept >= n / 10, s"dropped ${n - kept} of $n — under a decile")
+    assert(kept > n / 2, s"kept only $kept of $n")
+  }
+
   test("q20 aggregate groups cover the full returnflag x linestatus space") {
     val df = Extensions.q20GroupbyAgg(spark, sf1)
     assert(df.count() > 0 && df.count() <= 9)
