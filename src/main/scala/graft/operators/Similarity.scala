@@ -301,17 +301,58 @@ object Similarity {
                count(*) AS n
         FROM x GROUP BY label, dim"""
 
+  /** q91 — symmetric int8 QUANTIZATION of the embedding column (the 4×
+    * memory/bandwidth compression step production ANN indexes apply
+    * before sharding): per-vector scale = max |v|, q_i = floor(v_i ·
+    * 127 / scale). Declared output is the quantization DIAGNOSTICS —
+    * (vec_id, qmin, qmax, dim-weighted checksum) — exact integers, so
+    * the differential pins every quantized value through the checksum
+    * without emitting arrays (driver-compare-safe). Both engines run
+    * the identical double expression text, so the floor is
+    * bit-deterministic. Scale shape: one narrow pass + two aggregates
+    * on vec_id — the explode never crosses the wire unreduced. */
+  def q91QuantizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val ex = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "v")))
+    val mx = ex.groupBy("vec_id").agg(max(abs(col("v"))).as("mx"))
+    ex.join(mx, "vec_id")
+      .select(col("vec_id"), col("dim"),
+        expr("CAST(floor(v * 127.0 / mx) AS BIGINT)").as("q"))
+      .groupBy("vec_id")
+      .agg(
+        min("q").as("qmin"),
+        max("q").as("qmax"),
+        sum(col("q") * (col("dim") + 1)).cast("bigint").as("checksum"))
+  }
+
+  private def q91OracleSql: String =
+    """WITH ex AS (SELECT vec_id,
+          unnest(range(0, 64)) AS dim,
+          unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings),
+        mx AS (SELECT vec_id, max(abs(v)) AS mx FROM ex GROUP BY vec_id),
+        q AS (SELECT ex.vec_id, ex.dim,
+                CAST(floor(v * 127.0 / mx) AS BIGINT) AS q
+              FROM ex JOIN mx ON ex.vec_id = mx.vec_id)
+        SELECT vec_id, min(q) AS qmin, max(q) AS qmax,
+               CAST(sum(q * (dim + 1)) AS BIGINT) AS checksum
+        FROM q GROUP BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_ann_ivf" -> (q29AnnIvf _),
     "q42_topk_per_label" -> (q42TopkPerLabel _),
     "q52_ann_lsh" -> (q52AnnLsh _),
     "q76_batch_ann" -> (q76BatchAnn _),
-    "q86_label_centroids" -> (q86LabelCentroids _))
+    "q86_label_centroids" -> (q86LabelCentroids _),
+    "q91_quantize_embeddings" -> (q91QuantizeEmbeddings _))
 
   val oracleSql: Map[String, String] = Map(
     "q29_ann_ivf" -> q29OracleSql,
     "q42_topk_per_label" -> q42OracleSql,
     "q52_ann_lsh" -> q52OracleSql,
     "q76_batch_ann" -> q76OracleSql,
-    "q86_label_centroids" -> q86OracleSql)
+    "q86_label_centroids" -> q86OracleSql,
+    "q91_quantize_embeddings" -> q91OracleSql)
 }

@@ -130,6 +130,16 @@ class PipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q91 quantization stays in int8 range and saturates the scale dim") {
+    val r = graft.operators.Similarity.q91QuantizeEmbeddings(spark, sf1)
+    assert(r.count() === 500L)
+    // all values in int8 range, and per vector the max-|v| dimension
+    // lands within 1 ulp-floor of ±127 (the symmetric-scale guarantee)
+    val bad = r.filter(col("qmax") > 127L || col("qmin") < -128L ||
+      greatest(abs(col("qmin")), col("qmax")) < 126L)
+    assert(bad.count() === 0L)
+  }
+
   test("q84 removes planted verbatim contamination, keeps clean docs") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)

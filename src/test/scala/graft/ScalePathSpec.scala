@@ -42,6 +42,39 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  test("q89 chunking plans with zero exchanges (pure generator pass)") {
+    val plan = graft.operators.TextOps.q89ChunkDocuments(spark, sf1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle:\n$plan")
+  }
+
+  test("q62 hash split plans with zero exchanges") {
+    val plan = graft.operators.Pipeline.q62HashSplit(spark, sf1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"content-hash split must not shuffle:\n$plan")
+  }
+
+  test("q85 broadcasts the per-stratum rates, not the corpus") {
+    val plan = graft.operators.Pipeline.q85StratifiedSample(spark, sf1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rates should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus side must not shuffle for the rates join:\n$plan")
+  }
+
+  test("q86 centroid aggregate runs partial before the exchange") {
+    // the posexplode fan-out must be reduced map-side: plan shape is
+    // HashAggregate(partial) -> Exchange -> HashAggregate(final)
+    val plan = graft.operators.Similarity.q86LabelCentroids(spark, sf1)
+      .queryExecution.executedPlan.toString
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs >= 2 && plan.contains("Exchange"),
+      s"expected partial+final aggregate around one exchange:\n$plan")
+  }
+
   test("stream-stream interval join attributes purchases to clicks") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
