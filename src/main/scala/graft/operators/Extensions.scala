@@ -255,6 +255,90 @@ object Extensions {
                   ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""")
   }
 
+  /** Key packing for q92: second-floored epoch × 10^7 + event_id — one
+    * BIGINT that orders identically to (ts, event_id), so "latest click"
+    * is a plain max over a running window with NO struct-ordering
+    * dependence between engines (event ids stay < 10^7 at every sf;
+    * epoch·10^7 < 2^63). */
+  val AttribKeyScale = 10000000L
+  val AttribWindowSec = 3600L
+
+  /** q92 — batch click→purchase ATTRIBUTION, the batch twin of the
+    * streaming interval join (EventStream.clickPurchaseJoin): each
+    * purchase attributes to the same user's latest click within the
+    * preceding hour. One shuffle on user_id, then a running max over
+    * the packed (ts, id) key — rows stream through the window in order,
+    * state per user is one long. At 100 TB this is the shape that
+    * replaces a range self-join (which would blow up on active users). */
+  def q92ClickAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("k",
+        col("sec") * AttribKeyScale + col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_click_k",
+        max(when(col("event_type") === "click", col("k"))).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("last_click_k").isNotNull &&
+        col("last_click_k") >=
+          (col("sec") - AttribWindowSec) * AttribKeyScale)
+      .select(
+        col("event_id").as("purchase_id"),
+        (col("last_click_k") % AttribKeyScale).as("click_id"),
+        (col("sec") - expr(s"last_click_k div $AttribKeyScale"))
+          .as("gap_s"))
+  }
+
+  private def q92OracleSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+          CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+          CAST(floor(epoch(ts)) AS BIGINT) * $AttribKeyScale + event_id
+            AS k
+        FROM events WHERE event_type IN ('click', 'purchase')),
+        wnd AS (SELECT event_id, event_type, sec, k,
+          max(CASE WHEN event_type = 'click' THEN k END) OVER (
+            PARTITION BY user_id ORDER BY k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS last_click_k
+        FROM e)
+        SELECT event_id AS purchase_id,
+               last_click_k % $AttribKeyScale AS click_id,
+               sec - last_click_k // $AttribKeyScale AS gap_s
+        FROM wnd
+        WHERE event_type = 'purchase' AND last_click_k IS NOT NULL
+          AND last_click_k >= (sec - $AttribWindowSec) * $AttribKeyScale"""
+
+  /** q93 — retention COHORTS, the standard engagement report: users
+    * grouped by first-activity date, counted per day-offset of later
+    * activity. Two aggregations: distinct (user, day) — partial-agg
+    * reduces map-side — then cohort assignment via one user-keyed join
+    * and an O(cohorts × days) final aggregate. Output is bounded by the
+    * date range, not the event volume. */
+  def q93RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min("d").as("cohort"))
+    days.join(first, "user_id")
+      .groupBy(col("cohort"),
+        datediff(col("d"), col("cohort")).cast("bigint").as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
+  private def q93OracleSql: String =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                     FROM events),
+        first AS (SELECT user_id, min(d) AS cohort FROM days
+                  GROUP BY user_id)
+        SELECT cohort,
+               CAST(datediff('day', cohort, d) AS BIGINT) AS day_offset,
+               CAST(count(DISTINCT days.user_id) AS BIGINT) AS n_users
+        FROM days JOIN first ON days.user_id = first.user_id
+        GROUP BY cohort, datediff('day', cohort, d)"""
+
   /** Bloom geometry for q88: sized for the build side (urgent orders ≈
     * 1/5 of the table) at ~10 bits/item → ~1% nominal false-positive
     * rate, so the 5% bound genuinely constrains the filter. */
@@ -689,6 +773,8 @@ object Extensions {
     "q82_zscore_outliers" -> (q82ZscoreOutliers _),
     "q83_histogram" -> (q83Histogram _),
     "q88_bloom_prune" -> (q88BloomPrune _),
+    "q92_click_attribution" -> (q92ClickAttribution _),
+    "q93_retention_cohorts" -> (q93RetentionCohorts _),
     "q43_scalar_funcs" -> (q43ScalarFuncs _),
     "q44_left_outer" -> (q44LeftOuter _),
     "q45_full_outer" -> (q45FullOuter _),
@@ -806,6 +892,8 @@ object Extensions {
     "q82_zscore_outliers" -> q82OracleSql,
     "q83_histogram" -> q83OracleSql,
     "q88_bloom_prune" -> q88OracleSql,
+    "q92_click_attribution" -> q92OracleSql,
+    "q93_retention_cohorts" -> q93OracleSql,
     "q77_correlated_subquery" ->
       """SELECT c_custkey,
          (SELECT count(*) FROM orders o

@@ -51,6 +51,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(kept > n / 2, s"kept only $kept of $n")
   }
 
+  test("q92 attribution gaps sit inside the hour and clicks are real") {
+    val r = Extensions.q92ClickAttribution(spark, sf1)
+    assert(r.count() > 0L)
+    assert(r.filter(col("gap_s") < 0L ||
+      col("gap_s") > Extensions.AttribWindowSec).count() === 0L)
+    // every attributed click id is an actual click event
+    val clicks = graft.sources.Tables.load(spark, sf1, "events")
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"))
+    assert(r.select("click_id").exceptAll(clicks).count() === 0L)
+    // one attribution per purchase
+    assert(r.select("purchase_id").distinct().count() === r.count())
+  }
+
+  test("q93 cohort day-zero retention equals cohort size (the maximum)") {
+    val r = Extensions.q93RetentionCohorts(spark, sf1)
+    val day0 = r.filter(col("day_offset") === 0L)
+      .select(col("cohort"), col("n_users").as("n0"))
+    // offset-0 counts every cohort member, so it bounds all later offsets
+    val viol = r.join(day0, "cohort")
+      .filter(col("n_users") > col("n0"))
+    assert(viol.count() === 0L)
+    assert(day0.count() > 0L)
+  }
+
   test("q20 aggregate groups cover the full returnflag x linestatus space") {
     val df = Extensions.q20GroupbyAgg(spark, sf1)
     assert(df.count() > 0 && df.count() <= 9)
