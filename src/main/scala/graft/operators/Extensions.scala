@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -338,6 +338,36 @@ object Extensions {
                CAST(count(DISTINCT days.user_id) AS BIGINT) AS n_users
         FROM days JOIN first ON days.user_id = first.user_id
         GROUP BY cohort, datediff('day', cohort, d)"""
+
+  /** q94 — MERGEABLE partial aggregates, the incremental-pipeline
+    * discipline: per-nation stats computed over two disjoint "runs"
+    * (even/odd custkey — think daily batches) and then MERGED by
+    * re-aggregation, hash-checked against the oracle's single direct
+    * pass. Green means the state design is associative — exactly what
+    * lets a 100 TB pipeline maintain standing aggregates by folding in
+    * each day's partial instead of rescanning history. Money goes
+    * through exact DECIMAL cents (BIGINT), so merge order can't move
+    * the result. */
+  def q94MergeableStats(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      col("c_custkey"), col("c_nationkey"),
+      (col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint").as("cents"))
+    def run(pred: Column): DataFrame = c.filter(pred)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), sum("cents").cast("bigint").as("sum_cents"))
+    run(col("c_custkey") % 2 === 0)
+      .unionByName(run(col("c_custkey") % 2 === 1))
+      .groupBy("c_nationkey")
+      .agg(sum("n").cast("bigint").as("n"),
+        sum("sum_cents").cast("bigint").as("sum_cents"))
+  }
+
+  private def q94OracleSql: String =
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_cents
+       FROM customer GROUP BY c_nationkey"""
 
   /** Bloom geometry for q88: sized for the build side (urgent orders ≈
     * 1/5 of the table) at ~10 bits/item → ~1% nominal false-positive
@@ -775,6 +805,7 @@ object Extensions {
     "q88_bloom_prune" -> (q88BloomPrune _),
     "q92_click_attribution" -> (q92ClickAttribution _),
     "q93_retention_cohorts" -> (q93RetentionCohorts _),
+    "q94_mergeable_stats" -> (q94MergeableStats _),
     "q43_scalar_funcs" -> (q43ScalarFuncs _),
     "q44_left_outer" -> (q44LeftOuter _),
     "q45_full_outer" -> (q45FullOuter _),
@@ -894,6 +925,7 @@ object Extensions {
     "q88_bloom_prune" -> q88OracleSql,
     "q92_click_attribution" -> q92OracleSql,
     "q93_retention_cohorts" -> q93OracleSql,
+    "q94_mergeable_stats" -> q94OracleSql,
     "q77_correlated_subquery" ->
       """SELECT c_custkey,
          (SELECT count(*) FROM orders o

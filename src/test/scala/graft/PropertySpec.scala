@@ -36,6 +36,43 @@ class PropertySpec extends SparkSpec {
 
   // ---------------------------------------------------------- properties
 
+  test("q89 chunk geometry tiles random documents exactly") {
+    import spark.implicits._
+    import graft.operators.TextOps.{ChunkSize, ChunkStride}
+    // random word-count docs, words of 1-3 chars — the geometry is what
+    // matters, not the content
+    val wordGen = Gen.nonEmptyListOf(Gen.choose('a', 'c')).map(_.mkString)
+    val docGen = Gen.choose(1, 100).flatMap(n => Gen.listOfN(n, wordGen))
+    val docs = sample(docGen, 200).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val dir = java.nio.file.Files.createTempDirectory("chunkprop")
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val chunks = graft.operators.TextOps
+      .q89ChunkDocuments(spark, dir.toString)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    docs.foreach { case (id, text) =>
+      val words = text.split(" ")
+      val cs = chunks(id).sortBy(_.getAs[Long]("chunk_idx"))
+      // model: chunk k = words[k*stride, k*stride+size)
+      val expected = Iterator.from(0)
+        .map(k => words.slice(k * ChunkStride, k * ChunkStride + ChunkSize))
+        .takeWhile(_.nonEmpty).toList
+      val model =
+        if (words.length <= ChunkSize) List(words.toSeq)
+        else expected
+          .take((words.length - ChunkSize + ChunkStride - 1) / ChunkStride + 1)
+          .map(_.toSeq)
+      assert(cs.length === model.length, s"doc $id chunk count")
+      cs.zip(model).foreach { case (row, exp) =>
+        assert(row.getAs[String]("chunk_text") === exp.mkString(" "),
+          s"doc $id chunk ${row.getAs[Long]("chunk_idx")}")
+        assert(row.getAs[Long]("n_tokens") === exp.length.toLong)
+      }
+    }
+  }
+
   test("poly_hash equals the byte-fold model on random ASCII strings") {
     GraftFunctions.registerAll(spark)
     import spark.implicits._
