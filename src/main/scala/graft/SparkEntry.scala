@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Core, Dedup, Extensions, Multimodal, Pipeline, Similarity, TextOps}
+import graft.operators.{Core, Dedup, Extensions, Graph, Multimodal, Pipeline, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,10 +23,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Extensions.queries ++ Dedup.queries ++
       Similarity.queries ++ TextOps.queries ++ Multimodal.queries ++
-      Pipeline.queries
+      Pipeline.queries ++ Graph.queries
 
   def oracleSql: Map[String, String] =
     Core.oracleSql ++ Extensions.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ TextOps.oracleSql ++ Multimodal.oracleSql ++
-      Pipeline.oracleSql
+      Pipeline.oracleSql ++ Graph.oracleSql
 }

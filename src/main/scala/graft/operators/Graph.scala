@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Iterative graph analytics beyond connected components: PageRank by
+  * power iteration (reference analog: the entity-importance ranking a
+  * data platform derives from its FK graph; here, the nation-level trade
+  * graph customer-nation → supplier-nation induced by orders/lineitem).
+  *
+  * Scale design: each iteration is ONE shuffle (contributions grouped by
+  * destination) plus a broadcast-sized rank frame join; the edge list —
+  * the 100 TB side — is scanned once per iteration from cache and is
+  * never collected or re-derived. `localCheckpoint` after every round
+  * truncates the logical plan, which otherwise grows exponentially with
+  * iteration count (planning OOMs before execution does).
+  *
+  * Determinism design: ranks are FIXED-POINT BIGINTs (scale 10⁶), and
+  * every operation is integer (`div`, `+`, `*`): integer addition
+  * commutes exactly, so per-destination sums are identical regardless of
+  * partitioning or engine — what makes a DuckDB differential possible
+  * where float PageRank would drift by summation order.
+  */
+object Graph {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Fixed-point scale: rank 1.0 ≡ 10⁶. */
+  val PrScale = 1000000L
+
+  /** Damping 0.85 as integer ops: contrib = (rank·85 div 100) div deg;
+    * every node's floor base = scale·15 div 100. */
+  val PrIters = 5
+
+  /** Library API: integer-arithmetic PageRank over (id) nodes and
+    * (src, dst) edges. Dangling-node mass is dropped (not
+    * redistributed), the standard simplification; isolated nodes keep
+    * the damping floor. Returns (id, rank_scaled). */
+  def pageRank(nodes: DataFrame, edges: DataFrame,
+      iters: Int = PrIters, scale: Long = PrScale): DataFrame = {
+    val base = scale * 15L / 100L
+    // out-degree rides along each edge row so the per-iteration join
+    // count stays at one; cached — every iteration rescans this frame
+    val ed = edges.join(edges.groupBy("src")
+        .agg(count(lit(1)).as("pr_deg")), "src")
+      .select("src", "dst", "pr_deg").cache()
+    var ranks = nodes.select(col("id"), lit(scale).as("rank_scaled"))
+    for (_ <- 1 to iters) {
+      val contribs = ed
+        .join(ranks, ed("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          expr(s"((rank_scaled * 85) div 100) div pr_deg").as("c"))
+        .groupBy("id").agg(sum("c").as("m"))
+      ranks = nodes.select(col("id"))
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("m"), lit(0L))).as("rank_scaled"))
+        .localCheckpoint(true)
+    }
+    ed.unpersist()
+    ranks
+  }
+
+  /** q99 — PageRank over the nation trade graph: an edge src→dst for
+    * every distinct (customer-nation, supplier-nation) trade relation in
+    * lineitem⋈orders⋈customer⋈supplier. Dimensions broadcast; the
+    * fact-fact join shuffles on the order key it already shares. */
+  def q99PageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .distinct()
+    val nodes = t(s, dir, "nation").select(col("n_nationkey").as("id"))
+    pageRank(nodes, edges)
+  }
+
+  private def q99OracleSql: String = {
+    val base = PrScale * 15L / 100L
+    val iterCtes = (1 to PrIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS id,
+            CAST(sum(((r.rank_scaled * 85) // 100) // d.deg) AS BIGINT)
+              AS m
+          FROM edges e JOIN deg d ON e.src = d.src
+          JOIN r${i - 1} r ON r.id = e.src
+          GROUP BY e.dst),
+        r$i AS (SELECT n.id,
+            $base + COALESCE(c.m, CAST(0 AS BIGINT)) AS rank_scaled
+          FROM r${i - 1} n LEFT JOIN c$i c ON n.id = c.id)"""
+    }.mkString(",\n        ")
+    s"""WITH edges AS (SELECT DISTINCT c.c_nationkey AS src,
+          s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges
+                GROUP BY src),
+        r0 AS (SELECT n_nationkey AS id,
+               CAST($PrScale AS BIGINT) AS rank_scaled FROM nation),
+        $iterCtes
+        SELECT id, rank_scaled FROM r$PrIters"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_pagerank" -> (q99PageRank _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q99_pagerank" -> q99OracleSql)
+}

@@ -428,7 +428,89 @@ object Pipeline {
         FROM bucketed"""
   }
 
+  // ------------------------------------------------------------ q95
+
+  /** Packing budget: docs are ~30-100 tokens, so 512 packs several per
+    * sequence and still forces occasional near-full bins. */
+  val PackBudget = 512L
+
+  /** q95 — SEQUENCE PACKING: assign documents to fixed-budget training
+    * sequences by cumulative token offset (contiguous packing — each
+    * sequence is a [k·B, (k+1)·B) slice of the source's token stream).
+    * This is the pass between tokenization and batch assembly: it needs
+    * a per-source ordered cumulative sum (ONE window shuffle on the
+    * partition key) and nothing else — no driver loop, no global sort.
+    * At 100 TB, sources partition the corpus, so each window is an
+    * independent task chain; bin identity is a pure function of the
+    * prefix sum, stable under re-runs. All-integer geometry (`div`). */
+  def q95PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .select(col("source"),
+        expr(s"(cum - tok) div $PackBudget").as("seq_id"),
+        col("doc_id"), col("tok"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("seq_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
+  private def q95OracleSql: String =
+    s"""WITH c AS (SELECT source, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+          CAST(sum(len(string_split(text, ' '))) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum
+        FROM documents)
+        SELECT source, (cum - tok) // $PackBudget AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS seq_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY source, (cum - tok) // $PackBudget"""
+
+  // ------------------------------------------------------------ q97
+
+  /** q97 — DATA-MIXTURE REWEIGHTING: per-source sampling weights that
+    * equalize token contribution across sources (the domain-balancing
+    * pass before training-batch assembly). Two tiny aggregates — the
+    * per-source token census (one shuffle over a low-cardinality key)
+    * and a one-row corpus total broadcast back — then pure integer
+    * arithmetic: weight_ppm = (total/n_sources · 10⁶) div source_tokens.
+    * Parts-per-million integers keep the differential exact and are what
+    * a sampler actually consumes (fixed-point rates, as in q85). */
+  def q97MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSource = t(s, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("src_tokens"))
+    val totals = perSource.agg(
+      sum("src_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        expr("((total_tokens div n_sources) * 1000000) div src_tokens")
+          .as("weight_ppm"))
+  }
+
+  private def q97OracleSql: String =
+    """WITH per_src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+        FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+          CAST(count(*) AS BIGINT) AS n_sources FROM per_src)
+        SELECT source, n_docs, src_tokens,
+               ((total_tokens // n_sources) * 1000000) // src_tokens
+                 AS weight_ppm
+        FROM per_src, tot"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_pack_sequences" -> (q95PackSequences _),
+    "q97_mixture_weights" -> (q97MixtureWeights _),
     "q62_hash_split" -> (q62HashSplit _),
     "q64_bm25_topk" -> (q64Bm25TopK _),
     "q65_salted_join" -> (q65SaltedJoin _),
@@ -439,6 +521,8 @@ object Pipeline {
     "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q95_pack_sequences" -> q95OracleSql,
+    "q97_mixture_weights" -> q97OracleSql,
     "q62_hash_split" -> q62OracleSql,
     "q64_bm25_topk" -> q64OracleSql,
     "q65_salted_join" -> q65OracleSql,

@@ -383,9 +383,85 @@ object TextOps {
                  AS n_tokens
         FROM c"""
 
+  /** PII scrub pattern: word-bounded sensitive-term alternation plus an
+    * email shape. The term list stands in for a deny-list (names, ids);
+    * the email branch is the real-world regex shape. `\b` and the
+    * character classes behave identically in Java regex (Spark) and RE2
+    * (DuckDB) over ASCII. */
+  val PiiPattern: String =
+    "\\b(customer|key|merge)\\b|[a-z0-9._]+@[a-z0-9.]+"
+  val PiiReplacement = "[PII]"
+
+  /** Library API: scrub a text column, returning the cleaned text plus a
+    * per-row match count (the audit trail a compliance pass needs). */
+  def redact(text: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+    (regexp_replace(text, lit(PiiPattern), lit(PiiReplacement)),
+      size(regexp_extract_all(text, lit(PiiPattern), lit(0))))
+
+  /** q96 — PII redaction: regex scrub with per-document hit counts and
+    * the cleaned text itself. One narrow map pass, zero shuffles; the
+    * regex compiles once per codegen'd task, not per row. At 100 TB this
+    * runs at scan speed and is trivially restartable (pure function of
+    * the row). */
+  def q96PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val (clean, hits) = redact(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        hits.cast("bigint").as("n_pii"),
+        length(clean).cast("bigint").as("clean_len"),
+        clean.as("clean_text"))
+  }
+
+  // DuckDB regexp_replace is first-match-only without the 'g' flag;
+  // Spark's replaces all matches — the flag is the parity requirement.
+  private def q96OracleSql: String =
+    s"""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '$PiiPattern'))
+            AS BIGINT) AS n_pii,
+          CAST(len(regexp_replace(text, '$PiiPattern',
+            '$PiiReplacement', 'g')) AS BIGINT) AS clean_len,
+          regexp_replace(text, '$PiiPattern', '$PiiReplacement', 'g')
+            AS clean_text
+        FROM documents"""
+
+  /** Posting-list cap: enough to show the shape, bounded output. */
+  val PostingsCap = 20
+
+  /** q98 — inverted-index construction (term → df + capped sorted
+    * posting list), the retrieval-side artifact a corpus pipeline emits
+    * next to the text. One explode + one (doc,term)-distinct + one
+    * term-shuffle — df and postings come out of the SAME aggregate, so
+    * the corpus is scanned once. Postings are sorted then capped, giving
+    * deterministic output regardless of partitioning; the string join
+    * keeps arrays out of the driver's pandas compare. At 100 TB the
+    * term key space is Zipf-skewed — the cap bounds the per-key state
+    * the way production index shards cap posting blocks (full lists
+    * would go to a partitioned sink instead). */
+  def q98InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          slice(array_sort(collect_list(col("doc_id"))), 1, PostingsCap),
+          ",").as("postings"))
+
+  private def q98OracleSql: String =
+    s"""WITH words AS (SELECT DISTINCT doc_id,
+          unnest(string_split(text, ' ')) AS term FROM documents)
+        SELECT term, count(*) AS df,
+               array_to_string(
+                 (list_sort(list(doc_id)))[1:$PostingsCap], ',')
+                 AS postings
+        FROM words GROUP BY term"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_chunk_documents" -> (q89ChunkDocuments _),
     "q90_quality_gate" -> (q90QualityGate _),
+    "q96_pii_redaction" -> (q96PiiRedaction _),
+    "q98_inverted_index" -> (q98InvertedIndex _),
     "q34_lang_id" -> (q34LangId _),
     "q35_quality_score" -> (q35QualityScore _),
     "q36_token_count" -> (q36TokenCount _),
@@ -398,6 +474,8 @@ object TextOps {
   val oracleSql: Map[String, String] = Map(
     "q89_chunk_documents" -> q89OracleSql,
     "q90_quality_gate" -> q90OracleSql,
+    "q96_pii_redaction" -> q96OracleSql,
+    "q98_inverted_index" -> q98OracleSql,
     "q34_lang_id" -> q34OracleSql,
     "q35_quality_score" -> q35OracleSql,
     "q36_token_count" -> q36OracleSql,

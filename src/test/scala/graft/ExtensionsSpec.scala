@@ -44,6 +44,41 @@ class ExtensionsSpec extends SparkSpec {
     assert(chunks.select("doc_id").distinct().count() === docs.count())
   }
 
+  test("q96 redaction removes every deny-listed word and counts hits") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.TextOps.q96PiiRedaction(spark, sf1)
+    // no deny-listed token survives in the cleaned text
+    val leaked = r.filter(
+      array_contains(split(col("clean_text"), " "), "customer") ||
+        array_contains(split(col("clean_text"), " "), "key") ||
+        array_contains(split(col("clean_text"), " "), "merge"))
+    assert(leaked.count() === 0L)
+    assert(r.filter(col("n_pii") > 0L).count() > 0L, "vacuous: no hits")
+    // hit count equals the deny-listed token census of the original
+    val manual = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(col("doc_id"), size(expr(
+        "filter(split(text, ' '), pw -> pw IN ('customer','key','merge'))"
+      )).cast("bigint").as("m"))
+    val bad = r.join(manual, "doc_id")
+      .filter(col("n_pii") =!= col("m"))
+    assert(bad.count() === 0L)
+  }
+
+  test("q98 postings are sorted, capped, and df-consistent") {
+    import org.apache.spark.sql.functions._
+    val idx = graft.operators.TextOps.q98InvertedIndex(spark, sf1)
+      .collect()
+    assert(idx.nonEmpty)
+    idx.foreach { row =>
+      val df = row.getAs[Long]("df")
+      val ids = row.getAs[String]("postings").split(",").map(_.toLong)
+      assert(ids.length ===
+        math.min(df, graft.operators.TextOps.PostingsCap.toLong))
+      assert(ids.sameElements(ids.sorted), "postings not sorted")
+      assert(ids.distinct.length === ids.length, "postings not distinct")
+    }
+  }
+
   test("q90 gate drops at least a decile and keeps the majority") {
     val n = graft.sources.Tables.load(spark, sf1, "documents").count()
     val kept = graft.operators.TextOps.q90QualityGate(spark, sf1).count()

@@ -241,6 +241,52 @@ class PipelineSpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("q95 packing conserves tokens and caps every multi-doc sequence") {
+    val bins = Pipeline.q95PackSequences(spark, sf1).collect()
+    assert(bins.nonEmpty)
+    // token conservation: packed totals equal the raw corpus census
+    val corpusTok = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(bins.map(_.getAs[Long]("seq_tokens")).sum === corpusTok)
+    // contiguous-packing invariant: a sequence holding 2+ docs spans
+    // less than budget + one overhanging doc; a single-doc sequence may
+    // be any size (an oversized doc owns its bins)
+    bins.filter(_.getAs[Long]("n_docs") >= 2L).foreach { r =>
+      assert(r.getAs[Long]("seq_tokens") <= 2L * Pipeline.PackBudget)
+    }
+    // per-source doc ranges never interleave across sequence ids
+    bins.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("seq_id"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") <= b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+    }
+  }
+
+  test("q97 weights are inverse to source size and fix the token mixture") {
+    val rows = Pipeline.q97MixtureWeights(spark, sf1).collect()
+    assert(rows.length >= 2)
+    val byTok = rows.sortBy(_.getAs[Long]("src_tokens"))
+    // monotone: more tokens -> no larger weight
+    byTok.sliding(2).foreach {
+      case Array(a, b) => assert(
+        a.getAs[Long]("weight_ppm") >= b.getAs[Long]("weight_ppm"))
+      case _ =>
+    }
+    // applying the weight equalizes token mass to ~total/n per source
+    // (within integer-floor slack of one budget unit per source)
+    val total = rows.map(_.getAs[Long]("src_tokens")).sum
+    val target = total / rows.length
+    rows.foreach { r =>
+      val reweighted =
+        r.getAs[Long]("src_tokens") * r.getAs[Long]("weight_ppm") /
+          1000000L
+      assert(math.abs(reweighted - target) <= target / 100L + 2L)
+    }
+  }
+
   test("q66 sketch median sits inside the exact p45-p55 band everywhere") {
     val rows = Pipeline.q66ApproxQuantile(spark, sf1).collect()
     assert(rows.nonEmpty)
