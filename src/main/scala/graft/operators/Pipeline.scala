@@ -488,10 +488,14 @@ object Pipeline {
         size(split(col("text"), " ")).cast("bigint").as("tok"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("src_tokens"))
-    val totals = perSource.agg(
-      sum("src_tokens").as("total_tokens"),
-      count(lit(1)).as("n_sources"))
-    perSource.crossJoin(broadcast(totals))
+    // corpus totals via a global window over the ALREADY-AGGREGATED
+    // frame (n_sources rows), not a second corpus scan: the single-
+    // partition exchange moves O(sources), the 100 TB side is read once
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSource
+      .withColumn("total_tokens", sum(col("src_tokens")).over(all))
+      .withColumn("n_sources", count(lit(1)).over(all))
       .select(col("source"), col("n_docs"), col("src_tokens"),
         expr("((total_tokens div n_sources) * 1000000) div src_tokens")
           .as("weight_ppm"))
