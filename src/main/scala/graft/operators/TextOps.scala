@@ -457,11 +457,56 @@ object TextOps {
                  AS postings
         FROM words GROUP BY term"""
 
+  /** Misra-Gries counter budget for q100: the token-length domain has 6
+    * distinct values with two ~30% heavies — k=4 forces real evictions
+    * (sketch smaller than the domain) while the >N/5 guarantee still
+    * binds the heavies. */
+  val HhK = 4
+
+  /** q100 — HEAVY HITTERS with a provable capture guarantee: a k-counter
+    * Misra-Gries sketch (functions/MisraGries.scala) over token lengths,
+    * differentially checked on its theorem — every value with true
+    * frequency > N/(k+1) MUST appear in the sketch's candidate set, no
+    * matter how partitions merged. The declared output is the exact
+    * heavy set with a `captured` flag the oracle pins to TRUE (the
+    * q47/q66 contract style: sketches aren't cross-engine comparable,
+    * their guarantees are). The candidate set itself is merge-order-
+    * dependent BELOW the threshold, so only guaranteed rows are output.
+    * Scale shape: O(k) partial state per partition vs the exact
+    * groupBy's O(distinct keys) shuffle; the exact side here exists only
+    * to make the guarantee checkable. */
+  def q100HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lens = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(length(col("w")).cast("bigint").as("l"))
+    val mg = new graft.functions.MisraGries(HhK)
+    val cands = lens.as[Long].select(mg.toColumn.name("cand")).toDF("cand")
+      .select(explode(col("cand")).as("cand_l"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val heavy = lens.groupBy("l").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(all))
+      .filter(col("n") * (HhK + 1) > col("total"))
+    heavy.join(broadcast(cands), col("l") === col("cand_l"), "left")
+      .select(col("l"), col("n"), col("cand_l").isNotNull.as("captured"))
+  }
+
+  private def q100OracleSql: String =
+    s"""WITH w AS (SELECT CAST(len(unnest(string_split(text, ' ')))
+          AS BIGINT) AS l FROM documents),
+        c AS (SELECT l, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY l),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        SELECT l, n, TRUE AS captured FROM c, tot
+        WHERE n * ${HhK + 1} > total"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_chunk_documents" -> (q89ChunkDocuments _),
     "q90_quality_gate" -> (q90QualityGate _),
     "q96_pii_redaction" -> (q96PiiRedaction _),
     "q98_inverted_index" -> (q98InvertedIndex _),
+    "q100_heavy_hitters" -> (q100HeavyHitters _),
     "q34_lang_id" -> (q34LangId _),
     "q35_quality_score" -> (q35QualityScore _),
     "q36_token_count" -> (q36TokenCount _),
@@ -476,6 +521,7 @@ object TextOps {
     "q90_quality_gate" -> q90OracleSql,
     "q96_pii_redaction" -> q96OracleSql,
     "q98_inverted_index" -> q98OracleSql,
+    "q100_heavy_hitters" -> q100OracleSql,
     "q34_lang_id" -> q34OracleSql,
     "q35_quality_score" -> q35OracleSql,
     "q36_token_count" -> q36OracleSql,

@@ -218,6 +218,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("misra-gries captures every >N/(k+1) item on skewed random data") {
+    import spark.implicits._
+    // zipf-ish generator: value v with weight ~ 1/(v+1)
+    val item = Gen.frequency(
+      (8, Gen.const(0L)), (4, Gen.const(1L)), (2, Gen.const(2L)),
+      (1, Gen.choose(3L, 40L)))
+    (1 to 3).foreach { trial =>
+      val xs = Gen.listOfN(3000, item)
+        .pureApply(Gen.Parameters.default, Seed(trial.toLong))
+      val k = 4
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong)
+      val heavy = exact.filter(_._2 * (k + 1) > xs.size).keySet
+      // random partitioning: repartition forces a multi-buffer merge tree
+      val mg = new graft.functions.MisraGries(k)
+      val cand = xs.toDS().repartition(7)
+        .select(mg.toColumn.name("c")).head()
+      assert(heavy.subsetOf(cand.toSet),
+        s"trial $trial lost a guaranteed heavy hitter: " +
+          s"heavy=$heavy cand=$cand")
+      assert(cand.size <= k, "sketch exceeded its counter budget")
+    }
+  }
+
   test("levenshtein guard bound holds on random string pairs") {
     import spark.implicits._
     // the LevenshteinGuard rewrite is sound iff lev(a,b) <= k implies

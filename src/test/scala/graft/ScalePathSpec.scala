@@ -56,6 +56,37 @@ class ScalePathSpec extends SparkSpec {
       s"content-hash split must not shuffle:\n$plan")
   }
 
+  test("q96 redaction plans with zero exchanges (codegen'd scrub pass)") {
+    val plan = graft.operators.TextOps.q96PiiRedaction(spark, sf1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"redaction must not shuffle:\n$plan")
+  }
+
+  test("q95 packing re-aggregates on the window partitioning: 1 exchange") {
+    val plan = graft.operators.Pipeline.q95PackSequences(spark, sf1)
+      .queryExecution.executedPlan.toString
+    val n = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(n === 1,
+      s"packing needs exactly the window's source shuffle, found $n:\n$plan")
+  }
+
+  test("q97 mixture weights scan the corpus exactly once") {
+    val plan = graft.operators.Pipeline.q97MixtureWeights(spark, sf1)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 1,
+      s"totals must derive from the census, not a rescan ($scans):\n$plan")
+  }
+
+  test("q99 pagerank never collects: result is a distributed checkpoint") {
+    // the API contract is no driver-side rank state; the returned frame
+    // is the checkpointed RDD of the last round
+    val qe = graft.operators.Graph.q99PageRank(spark, sf1).queryExecution
+    assert(qe.executedPlan.toString.contains("Scan ExistingRDD"),
+      "final ranks should read the per-round localCheckpoint")
+  }
+
   test("q85 broadcasts the per-stratum rates, not the corpus") {
     val plan = graft.operators.Pipeline.q85StratifiedSample(spark, sf1)
       .queryExecution.executedPlan.toString
