@@ -650,7 +650,91 @@ object Dedup {
         WHERE list_dot_product(x.ed, y.ed) / (x.nrm * y.nrm) >= $CosineTau"""
   }
 
+  // ----------------------------------------------------------- q101
+
+  /** q101 — EXACT set-similarity self-join via prefix filtering (the
+    * PPJoin family): ALL pairs with shingle-set Jaccard ≥ 9/10, no LSH
+    * false negatives. The filter that makes exactness affordable: order
+    * every set by global element frequency (rarest first, ties on the
+    * element value — one total order on both engines), keep each set's
+    * first `len - ceil(9·len/10) + 1` elements, and generate candidates
+    * only from PREFIX∩PREFIX — the classic completeness guarantee says
+    * any pair at or above the threshold must collide there. Candidate
+    * volume is bounded by the df of RARE elements (that's why the order
+    * matters: prefixes hold each set's least-common elements), then
+    * exact verification reuses the q87 intersection join. At 100 TB
+    * this is the shape exact τ-joins take: O(prefix df²) candidates
+    * instead of O(n²) pairs, every stage an equi-join.
+    *
+    * Versus q30 (MinHash LSH, probabilistic recall) and q87 (exact
+    * verify of LSH candidates): q101 is the ground-truth join — its
+    * result provably contains every pair q87 admits (DedupSpec pins
+    * that recall relation). */
+  def q101SetSimJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("edf"), col("h"))
+    val sh = plantedDocs(s, dir)
+      .withColumn("sw_w", split(col("text"), " "))
+      .filter(size(col("sw_w")) >= ShingleN)
+      .select(col("doc_id"), explode(expr(sparkShingleHashes)).as("h"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val edf = sh.groupBy("h").agg(count(lit(1)).as("edf"))
+    val prefix = sh.join(edf, "h").join(counts, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      // p = len - ceil(9·len/10) + 1, all-integer ceil
+      .filter(col("rn") <= col("len") - expr("(9 * len + 9) div 10") + 1)
+      .select("doc_id", "h")
+    val cand = prefix.select(col("doc_id").as("doc_id_1"), col("h"))
+      .join(prefix.select(col("doc_id").as("doc_id_2"), col("h")), "h")
+      .filter(col("doc_id_1") < col("doc_id_2"))
+      .select("doc_id_1", "doc_id_2").distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_id_1"), col("h")), "doc_id_1")
+      .join(sh.select(col("doc_id").as("doc_id_2"), col("h")),
+        Seq("doc_id_2", "h"))
+      .groupBy("doc_id_1", "doc_id_2").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_id_1"),
+        col("len").as("n1")), "doc_id_1")
+      .join(counts.select(col("doc_id").as("doc_id_2"),
+        col("len").as("n2")), "doc_id_2")
+      .select(col("doc_id_1"), col("doc_id_2"), col("n_inter"),
+        (col("n1") + col("n2") - col("n_inter")).as("n_union"))
+      .filter(col("n_inter") * 10 >= col("n_union") * 9)
+  }
+
+  private def q101OracleSql: String =
+    s"""WITH ${lshCtes(plantedSql)},
+        sh2 AS (SELECT doc_id, unnest(hsd) AS h FROM hs),
+        cnt AS (SELECT doc_id, count(*) AS len FROM sh2 GROUP BY doc_id),
+        edf AS (SELECT h, count(*) AS edf FROM sh2 GROUP BY h),
+        ranked AS (SELECT s.doc_id, s.h, c.len,
+            row_number() OVER (PARTITION BY s.doc_id
+              ORDER BY e.edf, s.h) AS rn
+          FROM sh2 s JOIN edf e ON s.h = e.h
+          JOIN cnt c ON s.doc_id = c.doc_id),
+        prefix AS (SELECT doc_id, h FROM ranked
+          WHERE rn <= len - ((9 * len + 9) // 10) + 1),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_id_1,
+            b.doc_id AS doc_id_2
+          FROM prefix a JOIN prefix b
+            ON a.h = b.h AND a.doc_id < b.doc_id),
+        inter AS (SELECT p.doc_id_1, p.doc_id_2, count(*) AS n_inter
+          FROM cand p
+          JOIN sh2 a ON a.doc_id = p.doc_id_1
+          JOIN sh2 b ON b.doc_id = p.doc_id_2 AND b.h = a.h
+          GROUP BY 1, 2)
+        SELECT i.doc_id_1, i.doc_id_2,
+               CAST(i.n_inter AS BIGINT) AS n_inter,
+               CAST(c1.len + c2.len - i.n_inter AS BIGINT) AS n_union
+        FROM inter i
+        JOIN cnt c1 ON c1.doc_id = i.doc_id_1
+        JOIN cnt c2 ON c2.doc_id = i.doc_id_2
+        WHERE i.n_inter * 10 >= (c1.len + c2.len - i.n_inter) * 9"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_setsim_join" -> (q101SetSimJoin _),
     "q30_dedup_minhash_lsh" -> (q30DedupMinhashLsh _),
     "q31_dedup_simhash" -> (q31DedupSimhash _),
     "q32_dedup_ngram_jaccard" -> (q32DedupNgramJaccard _),
@@ -661,6 +745,7 @@ object Dedup {
     "q87_verify_candidates" -> (q87VerifyCandidates _))
 
   val oracleSql: Map[String, String] = Map(
+    "q101_setsim_join" -> q101OracleSql,
     "q30_dedup_minhash_lsh" -> q30OracleSql,
     "q31_dedup_simhash" -> q31OracleSql,
     "q32_dedup_ngram_jaccard" -> q32OracleSql,

@@ -48,7 +48,7 @@ object Graph {
         .agg(count(lit(1)).as("pr_deg")), "src")
       .select("src", "dst", "pr_deg").cache()
     var ranks = nodes.select(col("id"), lit(scale).as("rank_scaled"))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       val contribs = ed
         .join(ranks, ed("src") === ranks("id"))
         .select(col("dst").as("id"),
@@ -58,7 +58,13 @@ object Graph {
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + coalesce(col("m"), lit(0L))).as("rank_scaled"))
-        .localCheckpoint(true)
+      // plan growth per round is linear (each round references the
+      // previous once), so truncation every few rounds suffices — an
+      // every-round eager checkpoint costs one extra job per round for
+      // no planning benefit. The final round always checkpoints: the
+      // returned frame is a materialized RDD, not a 5-round lineage.
+      if (round % 4 == 0 || round == iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ed.unpersist()
     ranks

@@ -95,4 +95,21 @@ class DedupSpec extends SparkSpec {
     // i.i.d. random 64-dim vectors: some pairs cross 0.3, none cross 0.9
     assert(pairs.count() > 0L)
   }
+
+  test("q101 exact join contains every pair the LSH+verify path admits") {
+    // ground-truth recall relation: prefix filtering is complete (no
+    // false negatives at the threshold), LSH banding is not — so
+    // q87's verified pairs must be a subset of q101's
+    val exact = Dedup.q101SetSimJoin(spark, sf1)
+      .select("doc_id_1", "doc_id_2")
+    val viaLsh = Dedup.q87VerifyCandidates(spark, sf1)
+      .select("doc_id_1", "doc_id_2")
+    assert(exact.count() > 0L, "vacuous: no pairs at tau=0.9")
+    assert(viaLsh.exceptAll(exact).count() === 0L,
+      "exact prefix-filter join missed an LSH-verified pair")
+    // and every emitted pair actually clears the rational threshold
+    val bad = Dedup.q101SetSimJoin(spark, sf1)
+      .filter(col("n_inter") * 10 < col("n_union") * 9)
+    assert(bad.count() === 0L)
+  }
 }
