@@ -29,6 +29,7 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
+      finally spark.catalog.clearCache() // drop per-query cached subframes
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries that cache shared subframes (LSH banded, prepareCorpus
+      // exact-dedup) leave those plans pinned; across ~100 queries the
+      // accumulation evicts each other and thrashes — drop between runs
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

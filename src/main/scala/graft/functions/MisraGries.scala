@@ -31,7 +31,14 @@ class MisraGries(k: Int)
 
   override def zero: Map[Long, Long] = Map.empty
   override def reduce(buf: Map[Long, Long], x: Long): Map[Long, Long] =
-    shrink(buf.updated(x, buf.getOrElse(x, 0L) + 1L))
+    if (buf.contains(x) || buf.size < k)
+      buf.updated(x, buf.getOrElse(x, 0L) + 1L)
+    else
+      // new key into a full buffer: the (k+1)-th largest of the would-be
+      // k+1 counts is exactly 1 (the new key's own count, all others ≥1),
+      // so the shrink degenerates to a uniform decrement — O(k), no sort,
+      // and the new key never lands. Same output as shrink(updated(...)).
+      buf.collect { case (key, n) if n > 1 => key -> (n - 1L) }
   override def merge(a: Map[Long, Long], b: Map[Long, Long])
       : Map[Long, Long] =
     shrink(b.foldLeft(a) { case (m, (key, n)) =>

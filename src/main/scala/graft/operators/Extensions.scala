@@ -369,11 +369,21 @@ object Extensions {
             AS BIGINT) AS sum_cents
        FROM customer GROUP BY c_nationkey"""
 
-  /** Bloom geometry for q88: sized for the build side (urgent orders ≈
-    * 1/5 of the table) at ~10 bits/item → ~1% nominal false-positive
-    * rate, so the 5% bound genuinely constrains the filter. */
-  val BloomEstItems = 32768L
-  val BloomNumBits = 327680L
+  /** Bloom geometry for q88 is derived from an exact count over the
+    * build side (one tiny aggregate job) at 10 bits/item → ~1% nominal
+    * false-positive rate, so the 5% bound genuinely constrains the
+    * filter AT ANY SCALE FACTOR — a hardcoded size saturates once the
+    * build side outgrows it and the FPR bound flips false exactly where
+    * the query claims to demonstrate scale. At 100 TB this is how you'd
+    * size it too: count(*) over the selective side is negligible next
+    * to the probe-side scan it saves. Floor keeps tiny SFs honest. */
+  private def bloomGeometry(s: SparkSession): (Long, Long) = {
+    val n = math.max(
+      s.sql("SELECT count(*) FROM orders WHERE o_orderpriority = '1-URGENT'")
+        .head().getLong(0),
+      1024L)
+    (n, n * 10L)
+  }
 
   /** q88 — Bloom-filter join pruning, the standard 100 TB
     * shuffle-reduction move: build a compact bloom over the selective
@@ -391,10 +401,11 @@ object Extensions {
   def q88BloomPrune(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
     Tables.registerAll(s, dir)
+    val (estItems, numBits) = bloomGeometry(s)
     s.sql(
       s"""WITH bf AS (SELECT bloom_agg(o_orderkey,
-                        CAST($BloomEstItems AS BIGINT),
-                        CAST($BloomNumBits AS BIGINT)) AS b
+                        CAST($estItems AS BIGINT),
+                        CAST($numBits AS BIGINT)) AS b
                       FROM orders WHERE o_orderpriority = '1-URGENT'),
           exact AS (SELECT l_orderkey FROM lineitem
                     WHERE l_orderkey IN (SELECT o_orderkey FROM orders

@@ -317,9 +317,13 @@ object Similarity {
         posexplode(col("embedding").cast("array<double>"))
           .as(Seq("dim", "v")))
     val mx = ex.groupBy("vec_id").agg(max(abs(col("v"))).as("mx"))
+    // mx = 0 (an all-zero vector) would make v/mx NaN, and CAST(NaN AS
+    // BIGINT) throws under Spark 4 ANSI mode — define q = 0 instead,
+    // with the identical CASE text on the oracle side
     ex.join(mx, "vec_id")
       .select(col("vec_id"), col("dim"),
-        expr("CAST(floor(v * 127.0 / mx) AS BIGINT)").as("q"))
+        expr("CAST(floor(CASE WHEN mx = 0 THEN 0.0 ELSE v * 127.0 / mx END) AS BIGINT)")
+          .as("q"))
       .groupBy("vec_id")
       .agg(
         min("q").as("qmin"),
@@ -334,7 +338,7 @@ object Similarity {
         FROM embeddings),
         mx AS (SELECT vec_id, max(abs(v)) AS mx FROM ex GROUP BY vec_id),
         q AS (SELECT ex.vec_id, ex.dim,
-                CAST(floor(v * 127.0 / mx) AS BIGINT) AS q
+                CAST(floor(CASE WHEN mx = 0 THEN 0.0 ELSE v * 127.0 / mx END) AS BIGINT) AS q
               FROM ex JOIN mx ON ex.vec_id = mx.vec_id)
         SELECT vec_id, min(q) AS qmin, max(q) AS qmax,
                CAST(sum(q * (dim + 1)) AS BIGINT) AS checksum
