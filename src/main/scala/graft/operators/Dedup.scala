@@ -674,10 +674,15 @@ object Dedup {
     graft.functions.GraftFunctions.registerAll(s)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("edf"), col("h"))
+    // the shingle explode feeds five consumers (edf, counts, the prefix
+    // join, and both verify sides) and the prefix both candidate sides —
+    // cache them or every consumer re-runs the scan+explode subplan
+    // (drivers clearCache between queries, so nothing stays pinned)
     val sh = plantedDocs(s, dir)
       .withColumn("sw_w", split(col("text"), " "))
       .filter(size(col("sw_w")) >= ShingleN)
       .select(col("doc_id"), explode(expr(sparkShingleHashes)).as("h"))
+      .cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val edf = sh.groupBy("h").agg(count(lit(1)).as("edf"))
     val prefix = sh.join(edf, "h").join(counts, "doc_id")
@@ -685,6 +690,7 @@ object Dedup {
       // p = len - ceil(9·len/10) + 1, all-integer ceil
       .filter(col("rn") <= col("len") - expr("(9 * len + 9) div 10") + 1)
       .select("doc_id", "h")
+      .cache()
     val cand = prefix.select(col("doc_id").as("doc_id_1"), col("h"))
       .join(prefix.select(col("doc_id").as("doc_id_2"), col("h")), "h")
       .filter(col("doc_id_1") < col("doc_id_2"))

@@ -791,7 +791,159 @@ object Extensions {
         expr("percentile(c_custkey, 0.5)").as("p50"),
         expr("percentile(c_custkey, 0.9)").as("p90"))
 
+  // ---------------------------------------------------------------- q104
+
+  /** q104 — partition ZONE-MAP construction (the data-skipping metadata
+    * pass): per natural partition (order month), min/max of the sort
+    * key and of the money column, row count, and null count — exactly
+    * the per-file statistics a lakehouse table format keeps so that
+    * point lookups and range scans prune partitions without reading
+    * them. q83 profiles ONE column's value distribution; this builds
+    * the multi-column PRUNING INDEX over the layout. Scale shape: one
+    * partial+final aggregate, output O(partitions); at 100 TB this runs
+    * once per ingest batch and pays for itself on the first pruned
+    * scan. */
+  def q104PartitionStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("p_month"),
+        col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("cents"),
+        col("o_orderstatus"))
+      .groupBy("p_month")
+      .agg(count(lit(1)).as("n_rows"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L))
+          .cast("bigint").as("n_null_status"))
+
+  private def q104OracleSql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS p_month,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+         min(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS min_cents,
+         max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS max_cents,
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_null_status
+       FROM orders GROUP BY 1"""
+
+  // ---------------------------------------------------------------- q106
+
+  /** q106 — WINSORIZATION (percentile clipping), the feature-cleaning
+    * pass that caps outliers before normalization: per nation, clip
+    * customer balances to the exact [p05, p95] band
+    * (percentile_disc semantics: the value at rank ceil(q·n), rank by
+    * value — multiset-deterministic, no interpolation, no floats) and
+    * report the clipped sum plus how many rows each side touched.
+    * Scale shape: ONE shuffle on the group key; the rank window and the
+    * re-aggregate share the same partitioning (no second exchange).
+    * The group-local sort is the honest cost of exact percentiles — the
+    * sketch alternative when groups stop fitting is q66. All money in
+    * exact cents. */
+  def q106Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy("cents")
+    val ranked = t(s, dir, "customer")
+      .select(col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("c_nationkey")))
+    // percentile_disc(q) = value at rank ceil(q*n): rn*20 >= n picks
+    // ranks ≥ n/20 (q=0.05); min over them = the p05 value
+    val bounds = ranked.groupBy("c_nationkey")
+      .agg(min(when(col("rn") * 20 >= col("n"), col("cents"))).as("lo"),
+        min(when(col("rn") * 20 >= col("n") * 19, col("cents"))).as("hi"))
+    ranked.join(bounds, "c_nationkey")
+      .select(col("c_nationkey"),
+        greatest(col("lo"), least(col("hi"), col("cents"))).as("clipped"),
+        (col("cents") < col("lo")).cast("bigint").as("lo_hit"),
+        (col("cents") > col("hi")).cast("bigint").as("hi_hit"))
+      .groupBy("c_nationkey")
+      .agg(sum("clipped").cast("bigint").as("sum_clipped_cents"),
+        sum("lo_hit").cast("bigint").as("n_clipped_lo"),
+        sum("hi_hit").cast("bigint").as("n_clipped_hi"))
+  }
+
+  private def q106OracleSql: String =
+    """WITH c AS (SELECT c_nationkey,
+          CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM customer),
+        r AS (SELECT c_nationkey, cents,
+          row_number() OVER (PARTITION BY c_nationkey ORDER BY cents)
+            AS rn,
+          count(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM c),
+        b AS (SELECT c_nationkey,
+          min(CASE WHEN rn * 20 >= n THEN cents END) AS lo,
+          min(CASE WHEN rn * 20 >= n * 19 THEN cents END) AS hi
+        FROM r GROUP BY c_nationkey)
+        SELECT r.c_nationkey,
+          CAST(sum(greatest(b.lo, least(b.hi, r.cents))) AS BIGINT)
+            AS sum_clipped_cents,
+          CAST(sum(CASE WHEN r.cents < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_clipped_lo,
+          CAST(sum(CASE WHEN r.cents > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_clipped_hi
+        FROM r JOIN b ON r.c_nationkey = b.c_nationkey
+        GROUP BY r.c_nationkey"""
+
+  // ---------------------------------------------------------------- q107
+
+  /** q107 — the classic analytics FLAGSHIP shape (TPC-H Q3 analog,
+    * "shipping priority"): selective dimension filter → 3-way join →
+    * hash aggregate → global top-10. One query exercising the whole
+    * relational pipeline: segment filter pushed into the customer scan,
+    * date filters pushed into both fact scans, customer broadcast,
+    * orders⋈lineitem shuffled on the key they share, partial+final
+    * aggregation, and TakeOrderedAndProject for the limit (k rows per
+    * partition travel, never the full aggregate). Revenue in exact
+    * cents via floor AFTER the double product — both engines run the
+    * identical IEEE multiply then a bit-deterministic floor. */
+  def q107ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"),
+        expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+          .as("rev_cents"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date")
+        .as("o_date"))
+      .agg(sum("rev_cents").cast("bigint").as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private def q107OracleSql: String =
+    """SELECT l.l_orderkey,
+         CAST(o.o_orderdate AS DATE) AS o_date,
+         CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                             * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1998-01-01'
+         AND l.l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+       ORDER BY revenue_cents DESC, l.l_orderkey
+       LIMIT 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_partition_stats" -> (q104PartitionStats _),
+    "q106_winsorize" -> (q106Winsorize _),
+    "q107_shipping_priority" -> (q107ShippingPriority _),
     "q20_groupby_agg" -> (q20GroupbyAgg _),
     "q21_window_rank" -> (q21WindowRank _),
     "q22_semi_anti_join" -> (q22SemiAntiJoin _),
@@ -835,6 +987,9 @@ object Extensions {
     "q60_percentiles" -> (q60Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q104_partition_stats" -> q104OracleSql,
+    "q106_winsorize" -> q106OracleSql,
+    "q107_shipping_priority" -> q107OracleSql,
     "q20_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

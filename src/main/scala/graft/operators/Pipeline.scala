@@ -512,7 +512,56 @@ object Pipeline {
                  AS weight_ppm
         FROM per_src, tot"""
 
+  /** q103 — CDC MERGE/upsert compaction (lakehouse MERGE INTO,
+    * latest-version-wins): a base snapshot (orders, version 1) folded
+    * with a change batch (version-2 updates to every 10th key + inserts
+    * of brand-new keys), keeping exactly one row per key — the highest
+    * version. The batch twin of the streaming `mapGroupsWithState`
+    * upsert, and the compaction discipline q94's mergeable aggregates
+    * assume upstream. Delta is synthesized deterministically FROM the
+    * base (bumped cents, shifted keys) so the differential pins the
+    * merge semantics, not a fixture. Scale shape: one shuffle on the
+    * merge key; with the base bucketed on that key
+    * (Sink.writeBucketedTable) only the — much smaller — delta moves,
+    * which is why compaction stays affordable when the snapshot is the
+    * 100 TB side. max_by carries the winning row without a rank window
+    * (no second shuffle, no full sort of each key group). */
+  def q103MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey"), lit(1L).as("version"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").as("cents"))
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit(2L).as("version"),
+        (col("cents") + 500L).as("cents"))
+    val inserts = base.filter(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit(2L).as("version"), (col("cents") + 1L).as("cents"))
+    base.unionByName(updates).unionByName(inserts)
+      .groupBy("o_orderkey")
+      .agg(max("version").as("version"),
+        max_by(col("cents"), col("version")).as("cents"))
+  }
+
+  private def q103OracleSql: String =
+    """WITH base AS (SELECT o_orderkey, CAST(1 AS BIGINT) AS version,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS cents
+        FROM orders),
+        delta AS (
+          SELECT o_orderkey, CAST(2 AS BIGINT) AS version,
+                 cents + 500 AS cents
+          FROM base WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 100000000, CAST(2 AS BIGINT), cents + 1
+          FROM base WHERE o_orderkey % 97 = 0),
+        u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        SELECT o_orderkey, max(version) AS version,
+               arg_max(cents, version) AS cents
+        FROM u GROUP BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_merge_upsert" -> (q103MergeUpsert _),
     "q95_pack_sequences" -> (q95PackSequences _),
     "q97_mixture_weights" -> (q97MixtureWeights _),
     "q62_hash_split" -> (q62HashSplit _),
@@ -525,6 +574,7 @@ object Pipeline {
     "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q103_merge_upsert" -> q103OracleSql,
     "q95_pack_sequences" -> q95OracleSql,
     "q97_mixture_weights" -> q97OracleSql,
     "q62_hash_split" -> q62OracleSql,

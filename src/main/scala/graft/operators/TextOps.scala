@@ -501,7 +501,140 @@ object TextOps {
         SELECT l, n, TRUE AS captured FROM c, tot
         WHERE n * ${HhK + 1} > total"""
 
+  // ---------------------------------------------------------------- q102
+
+  /** Winnowing geometry: k-gram width = Dedup.ShingleN (3), window
+    * w = 4 consecutive k-gram hashes. Guarantee (Schleimer et al.,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", 2003):
+    * any match of length ≥ w + k - 1 tokens between two documents
+    * shares at least one selected fingerprint. */
+  val WinnowW = 4
+
+  /** Packing: poly_hash < 2^30 (mod 1e9+7), positions < 2^20, so
+    * h·2^20 + (2^20-1-pos) fits a BIGINT and min() selects the minimal
+    * hash with ties broken toward the RIGHTMOST position — the classic
+    * winnowing tie rule — in one integer comparison. */
+  private val WinnowPosBase = 1048576L // 2^20
+
+  /** q102 — WINNOWING fingerprint selection (MOSS): from each window of
+    * `WinnowW` consecutive k-gram hashes keep the minimum (rightmost on
+    * ties); consecutive windows that agree collapse via distinct. The
+    * positional, guarantee-carrying alternative to q37's whole-doc hash
+    * and q30's MinHash sketch: any shared run of ≥ w+k-1 tokens between
+    * two documents is CERTAIN to share a fingerprint, so winnowing is
+    * the standard index for plagiarism/boilerplate substring detection
+    * where LSH's probabilistic recall isn't acceptable. Scale shape:
+    * the whole selection happens INSIDE the row (array HOFs over the
+    * token array — zero shuffles, scan speed, ~2/(w+1) of positions
+    * emitted); only the final distinct fingerprint rows leave the node.
+    */
+  def q102Winnowing(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val w = WinnowW
+    val pb = WinnowPosBase
+    t(s, dir, "documents")
+      .withColumn("wn_t", split(col("text"), " "))
+      .filter(size(col("wn_t")) >= Dedup.ShingleN + w - 1)
+      .withColumn("wn_h", expr(s"shingle_hashes(wn_t, ${Dedup.ShingleN})"))
+      .withColumn("wn_k", expr(
+        s"""array_distinct(transform(sequence($w, size(wn_h)),
+            wn_e -> array_min(transform(sequence(wn_e - ${w - 1}, wn_e),
+              wn_i -> element_at(wn_h, wn_i) * $pb
+                      + (${pb - 1} - wn_i)))))"""))
+      .select(col("doc_id"), explode(col("wn_k")).as("wn_key"))
+      .select(col("doc_id"),
+        expr(s"wn_key div $pb").as("fp_hash"),
+        expr(s"${pb - 1} - wn_key % $pb").cast("bigint").as("fp_pos"))
+  }
+
+  private def q102OracleSql: String = {
+    val k = Dedup.ShingleN
+    val w = WinnowW
+    val pb = WinnowPosBase
+    val gram = (0 until k).map(j => s"wn_t[wn_i + $j]").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS wn_t
+                   FROM documents),
+        g AS (SELECT doc_id,
+                list_transform(range(1, len(wn_t) - ${k - 2}),
+                  wn_i -> ${duckCharFold(s"concat_ws(' ', $gram)")}) AS wn_h
+              FROM d WHERE len(wn_t) >= ${k + w - 1}),
+        sel AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range($w, len(wn_h) + 1),
+                    wn_e -> list_min(list_transform(
+                      range(wn_e - ${w - 1}, wn_e + 1),
+                      wn_i -> wn_h[wn_i] * $pb
+                              + (${pb - 1} - wn_i)))))) AS wn_key
+                FROM g)
+        SELECT doc_id, wn_key // $pb AS fp_hash,
+               ${pb - 1} - wn_key % $pb AS fp_pos
+        FROM sel"""
+  }
+
+  // ---------------------------------------------------------------- q108
+
+  /** Vocabulary size for q108 — small enough that real OOV traffic
+    * exists in the 31-token corpus vocabulary. */
+  val VocabSize = 16
+
+  /** q108 — VOCABULARY build + token ENCODING, the tokenization step a
+    * training pipeline runs between text cleaning and sequence packing
+    * (q95): (1) build the vocab = top-`VocabSize` tokens by corpus
+    * frequency (ties on the token string — fully deterministic ids),
+    * (2) encode every document against it. Declared output pins the
+    * encoding exactly without emitting arrays: per document, token
+    * count, OOV count, and the position-weighted id checksum
+    * Σ (pos+1)·(id+1) over in-vocab tokens — any id swap, position
+    * shift, or dropped token moves it. Scale shape: vocab build is one
+    * token census (the explode reduces to O(distinct tokens) before the
+    * rank), the rank window runs over that CENSUS, never the corpus;
+    * encoding is a BROADCAST join against the O(VocabSize) dictionary —
+    * corpus side stays scan-speed, zero shuffles. */
+  def q108VocabEncode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))) - 1)
+      .filter(col("id") < VocabSize)
+      .select("tok", "id")
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id").isNull, 1L).otherwise(0L))
+          .cast("bigint").as("n_oov"),
+        sum(when(col("id").isNotNull,
+          (col("pos") + 1) * (col("id") + 1)).otherwise(0L))
+          .cast("bigint").as("id_checksum"))
+  }
+
+  private def q108OracleSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS tw
+                   FROM documents),
+        toks AS (SELECT doc_id,
+                   unnest(range(0, len(tw))) AS pos,
+                   unnest(tw) AS tok
+                 FROM w),
+        census AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        vocab AS (SELECT tok,
+                    row_number() OVER (ORDER BY c DESC, tok) - 1 AS id
+                  FROM census
+                  QUALIFY id < $VocabSize)
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_oov,
+               CAST(sum(CASE WHEN v.id IS NOT NULL
+                        THEN (t.pos + 1) * (v.id + 1) ELSE 0 END)
+                 AS BIGINT) AS id_checksum
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_winnowing" -> (q102Winnowing _),
+    "q108_vocab_encode" -> (q108VocabEncode _),
     "q89_chunk_documents" -> (q89ChunkDocuments _),
     "q90_quality_gate" -> (q90QualityGate _),
     "q96_pii_redaction" -> (q96PiiRedaction _),
@@ -517,6 +650,8 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q102_winnowing" -> q102OracleSql,
+    "q108_vocab_encode" -> q108OracleSql,
     "q89_chunk_documents" -> q89OracleSql,
     "q90_quality_gate" -> q90OracleSql,
     "q96_pii_redaction" -> q96OracleSql,
