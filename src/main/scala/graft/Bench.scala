@@ -10,6 +10,17 @@ import org.apache.spark.sql.SparkSession
   * time a different (cheaper) plan than the one a real consumer runs. A
   * JIT/IO warmup pass runs one query first so the measured numbers aren't
   * dominated by classloading.
+  *
+  * Noise discipline: two full passes over the suite, min per query. The
+  * passes are INTERLEAVED across queries (run all once, then all again)
+  * instead of back-to-back per query, so one noisy scheduler/GC window on
+  * this shared box can't poison both samples of the same query. Cache
+  * teardown between queries runs OUTSIDE the timed region — cached
+  * subframes are a per-query implementation detail, their drop cost isn't
+  * the query's.
+  *
+  * Optional args name specific queries (local iteration); the driver runs
+  * with no args = the full declared suite.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,21 +36,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(name: String): Double = {
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      finally spark.catalog.clearCache() // drop per-query cached subframes
-      (System.nanoTime() - t0) / 1e9
+      val dt =
+        try {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      spark.catalog.clearCache() // drop per-query cached subframes, untimed
+      dt
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
     names.headOption.foreach(materialize) // warmup: JIT + parquet footer IO
-    // min of two runs per query: single-shot timings on a shared box are
-    // dominated by GC/scheduler noise in the sub-second tail
-    val results = names.map { n =>
-      val a = materialize(n)
-      val b = materialize(n)
+    val pass1 = names.map(n => n -> materialize(n))
+    val pass2 = names.map(n => n -> materialize(n)).toMap
+    val results = pass1.map { case (n, a) =>
+      val b = pass2(n)
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

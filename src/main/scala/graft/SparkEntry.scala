@@ -23,10 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Extensions.queries ++ Dedup.queries ++
       Similarity.queries ++ TextOps.queries ++ Multimodal.queries ++
-      Pipeline.queries ++ Graph.queries
+      Pipeline.queries ++ Graph.queries ++
+      graft.streaming.EventStream.queries
 
   def oracleSql: Map[String, String] =
     Core.oracleSql ++ Extensions.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ TextOps.oracleSql ++ Multimodal.oracleSql ++
-      Pipeline.oracleSql ++ Graph.oracleSql
+      Pipeline.oracleSql ++ Graph.oracleSql ++
+      graft.streaming.EventStream.oracleSql
 }

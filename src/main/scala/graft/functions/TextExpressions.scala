@@ -300,12 +300,122 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Winnowing fingerprint selection (Schleimer et al. 2003) over an array
+  * of k-gram hashes in ONE pass: for every window of `w` consecutive
+  * hashes keep the minimum packed key `h(i)·posBase + (posBase-1-i)`
+  * (1-based i — minimal hash, rightmost position on hash ties), then
+  * collapse repeats. A packed key encodes a unique position, so a key can
+  * win only a CONTIGUOUS run of windows — collapsing consecutive repeats
+  * is exactly `array_distinct` over the per-window mins, which is what
+  * the HOF formulation this replaces computed in O(len·w) interpreted
+  * lambda dispatches. Here: a monotonic-deque sliding minimum, O(len)
+  * amortized, inside whole-stage codegen.
+  *
+  * Positions must fit the pack: documents with ≥ posBase-1 k-grams throw
+  * instead of silently corrupting fingerprints (hash bits would bleed
+  * into position bits).
+  */
+case class WinnowKeys(child: Expression, w: Int, posBase: Long)
+    extends UnaryExpression {
+
+  require(w >= 1, "winnow window must be >= 1")
+  require(posBase >= 2, "position base must be >= 2")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"winnow_keys expects array<bigint>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n >= posBase) throw new IllegalArgumentException(
+      s"winnow_keys: $n k-gram positions exceed pack capacity " +
+        s"${posBase - 1}; fingerprints would corrupt")
+    val vals = new Array[Long](n)
+    val dq = new Array[Int](n)
+    val out = new Array[Long](if (n >= w) n - w + 1 else 0)
+    var head = 0
+    var tail = 0
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val vi = arr.getLong(i) * posBase + (posBase - 2 - i)
+      vals(i) = vi
+      while (tail > head && vals(dq(tail - 1)) >= vi) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) < i - w + 1) head += 1
+      if (i >= w - 1) {
+        val mn = vals(dq(head))
+        if (m == 0 || out(m - 1) != mn) { out(m) = mn; m += 1 }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, m))
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val vals = ctx.freshName("vals")
+      val dq = ctx.freshName("dq")
+      val out = ctx.freshName("out")
+      val head = ctx.freshName("head")
+      val tail = ctx.freshName("tail")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val vi = ctx.freshName("vi")
+      val mn = ctx.freshName("mn")
+      s"""
+         |int $n = $arr.numElements();
+         |if ($n >= ${posBase}L) {
+         |  throw new IllegalArgumentException(
+         |    "winnow_keys: " + $n + " k-gram positions exceed pack " +
+         |    "capacity ${posBase - 1}; fingerprints would corrupt");
+         |}
+         |long[] $vals = new long[$n];
+         |int[] $dq = new int[$n];
+         |long[] $out = new long[$n >= $w ? $n - $w + 1 : 0];
+         |int $head = 0; int $tail = 0; int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $vi = $arr.getLong($i) * ${posBase}L + (${posBase - 2}L - $i);
+         |  $vals[$i] = $vi;
+         |  while ($tail > $head && $vals[$dq[$tail - 1]] >= $vi) $tail--;
+         |  $dq[$tail] = $i; $tail++;
+         |  if ($dq[$head] < $i - $w + 1) $head++;
+         |  if ($i >= $w - 1) {
+         |    long $mn = $vals[$dq[$head]];
+         |    if ($m == 0 || $out[$m - 1] != $mn) { $out[$m] = $mn; $m++; }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($out, $m));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): WinnowKeys =
+    copy(child = c)
+}
+
 /** Registration for all graft native functions. */
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProductD(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "centroid_argmax", exprs => CentroidArgMax(
+        exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
@@ -316,6 +426,11 @@ object GraftFunctions {
       "shingle_hashes", exprs => ShingleHashes(
         exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "winnow_keys", exprs => WinnowKeys(
+        exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].longValue()), "built-in")
     reg.createOrReplaceTempFunction(
       "sum_squares", exprs => SumOfSquaresLong(exprs.head), "built-in")
     // Spark's own runtime-filter bloom expressions (public Catalyst

@@ -69,6 +69,121 @@ case class DotProductD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid argmax, fully codegen'd: given a vector, its norm,
+  * and the (small, broadcast) centroid array as
+  * array<struct<cent_id:bigint, ced:array<double>, cnrm:double>>, return
+  * the cent_id maximizing cosine — ties toward the SMALLEST cent_id,
+  * matching `row_number() OVER (ORDER BY cos DESC, cent_id)` = 1 in the
+  * differential oracle. The HOF form (`array_max(transform(cents, ...))`)
+  * allocates a struct per centroid and eval-dispatches the dot product
+  * per element; this is one flat double loop inside whole-stage codegen.
+  * Each cosine is the same sequential-fold dot then divide as vec_dot, so
+  * values stay bit-exact with DuckDB's list_dot_product. Empty centroid
+  * arrays yield -1. */
+case class CentroidArgMax(
+    first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  import org.apache.spark.sql.types.{LongType, StructType}
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType,
+            ArrayType(st: StructType, _)) if st.length == 3 =>
+        st(0).dataType == LongType &&
+          (st(1).dataType match {
+            case ArrayType(DoubleType, _) => true; case _ => false
+          }) && st(2).dataType == DoubleType
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis
+      .TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("centroid_argmax expects (array<double>, double, " +
+        "array<struct<bigint, array<double>, double>>), got " +
+        s"(${first.dataType.catalogString}, ${second.dataType.catalogString}, " +
+        s"${third.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(edAny: Any, nrmAny: Any, centsAny: Any): Any = {
+    val ed = edAny.asInstanceOf[ArrayData]
+    val nrm = nrmAny.asInstanceOf[Double]
+    val cents = centsAny.asInstanceOf[ArrayData]
+    val k = cents.numElements()
+    var bestId = -1L
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val row = cents.getStruct(c, 3)
+      val id = row.getLong(0)
+      val ced = row.getArray(1)
+      val cnrm = row.getDouble(2)
+      val n = math.min(ed.numElements(), ced.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += ed.getDouble(i) * ced.getDouble(i)
+        i += 1
+      }
+      val cos = acc / (nrm * cnrm)
+      if (cos > bestCos || (cos == bestCos && id < bestId)) {
+        bestCos = cos
+        bestId = id
+      }
+      c += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ed, nrm, cents) => {
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val row = ctx.freshName("row")
+      val id = ctx.freshName("id")
+      val ced = ctx.freshName("ced")
+      val cnrm = ctx.freshName("cnrm")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val cos = ctx.freshName("cos")
+      val bestId = ctx.freshName("bestId")
+      val bestCos = ctx.freshName("bestCos")
+      s"""
+         |int $k = $cents.numElements();
+         |long $bestId = -1L;
+         |double $bestCos = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $row =
+         |    $cents.getStruct($c, 3);
+         |  long $id = $row.getLong(0);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $ced =
+         |    $row.getArray(1);
+         |  double $cnrm = $row.getDouble(2);
+         |  int $n = java.lang.Math.min($ed.numElements(),
+         |    $ced.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $ed.getDouble($i) * $ced.getDouble($i);
+         |  }
+         |  double $cos = $acc / ($nrm * $cnrm);
+         |  if ($cos > $bestCos || ($cos == $bestCos && $id < $bestId)) {
+         |    $bestCos = $cos;
+         |    $bestId = $id;
+         |  }
+         |}
+         |${ev.value} = $bestId;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): CentroidArgMax =
+    copy(first = f, second = s, third = t)
+}
+
 object VectorFunctions {
 
   /** Register `vec_dot` in a session's function registry (idempotent).

@@ -674,39 +674,55 @@ object Dedup {
     graft.functions.GraftFunctions.registerAll(s)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("edf"), col("h"))
-    // the shingle explode feeds five consumers (edf, counts, the prefix
-    // join, and both verify sides) and the prefix both candidate sides —
-    // cache them or every consumer re-runs the scan+explode subplan
-    // (drivers clearCache between queries, so nothing stays pinned)
-    val sh = plantedDocs(s, dir)
+    // one SET row per doc (shingles are array_distinct'd): the exploded
+    // form exists only transiently for the edf census and the prefix
+    // rank; verification is an in-row set intersect against this frame,
+    // so the per-shingle rows never feed a pair join. Cached: hs feeds
+    // the explode AND both verify sides (drivers clearCache between
+    // queries, so nothing stays pinned).
+    val hs = plantedDocs(s, dir)
       .withColumn("sw_w", split(col("text"), " "))
       .filter(size(col("sw_w")) >= ShingleN)
-      .select(col("doc_id"), explode(expr(sparkShingleHashes)).as("h"))
+      .select(col("doc_id"), expr(sparkShingleHashes).as("hsd"))
       .cache()
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    // len = size(hsd) travels with each exploded row — no census
+    // aggregate, no count window, no counts join anywhere
+    val sh = hs.select(col("doc_id"), size(col("hsd")).as("len"),
+      explode(col("hsd")).as("h"))
     val edf = sh.groupBy("h").agg(count(lit(1)).as("edf"))
-    val prefix = sh.join(edf, "h").join(counts, "doc_id")
+    val prefix = sh.join(edf, "h")
       .withColumn("rn", row_number().over(w))
       // p = len - ceil(9·len/10) + 1, all-integer ceil
       .filter(col("rn") <= col("len") - expr("(9 * len + 9) div 10") + 1)
-      .select("doc_id", "h")
+      .select("doc_id", "h", "len")
       .cache()
-    val cand = prefix.select(col("doc_id").as("doc_id_1"), col("h"))
-      .join(prefix.select(col("doc_id").as("doc_id_2"), col("h")), "h")
-      .filter(col("doc_id_1") < col("doc_id_2"))
+    // PPJoin companion LENGTH filter: J(a,b) ≤ min/max, so τ=9/10 needs
+    // min(len)·10 ≥ max(len)·9 — prunes length-incompatible collisions
+    // before verification at zero cost (len already rides the prefix)
+    val cand = prefix
+      .select(col("doc_id").as("doc_id_1"), col("h"), col("len").as("c1"))
+      .join(prefix
+        .select(col("doc_id").as("doc_id_2"), col("h"), col("len").as("c2")),
+        "h")
+      .filter(col("doc_id_1") < col("doc_id_2") &&
+        least(col("c1"), col("c2")) * 10 >=
+          greatest(col("c1"), col("c2")) * 9)
       .select("doc_id_1", "doc_id_2").distinct()
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_id_1"), col("h")), "doc_id_1")
-      .join(sh.select(col("doc_id").as("doc_id_2"), col("h")),
-        Seq("doc_id_2", "h"))
-      .groupBy("doc_id_1", "doc_id_2").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.select(col("doc_id").as("doc_id_1"),
-        col("len").as("n1")), "doc_id_1")
-      .join(counts.select(col("doc_id").as("doc_id_2"),
-        col("len").as("n2")), "doc_id_2")
-      .select(col("doc_id_1"), col("doc_id_2"), col("n_inter"),
-        (col("n1") + col("n2") - col("n_inter")).as("n_union"))
+    // exact verify IN-ROW: candidates (already bounded by prefix df)
+    // join the per-doc set frame twice — tiny side broadcastable by AQE
+    // — and the Jaccard check is array_intersect arithmetic, replacing
+    // the exploded two-sided join + pair groupBy (5 fewer shuffles)
+    cand
+      .join(hs.select(col("doc_id").as("doc_id_1"), col("hsd").as("hsd1")),
+        "doc_id_1")
+      .join(hs.select(col("doc_id").as("doc_id_2"), col("hsd").as("hsd2")),
+        "doc_id_2")
+      .select(col("doc_id_1"), col("doc_id_2"),
+        size(array_intersect(col("hsd1"), col("hsd2")))
+          .cast("bigint").as("n_inter"),
+        (size(col("hsd1")) + size(col("hsd2")) -
+          size(array_intersect(col("hsd1"), col("hsd2"))))
+          .cast("bigint").as("n_union"))
       .filter(col("n_inter") * 10 >= col("n_union") * 9)
   }
 

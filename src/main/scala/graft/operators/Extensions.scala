@@ -838,26 +838,29 @@ object Extensions {
     * (percentile_disc semantics: the value at rank ceil(q·n), rank by
     * value — multiset-deterministic, no interpolation, no floats) and
     * report the clipped sum plus how many rows each side touched.
-    * Scale shape: ONE shuffle on the group key; the rank window and the
-    * re-aggregate share the same partitioning (no second exchange).
-    * The group-local sort is the honest cost of exact percentiles — the
-    * sketch alternative when groups stop fitting is q66. All money in
-    * exact cents. */
+    * Scale shape: ONE shuffle on the group key, total — the rank
+    * window, the [lo, hi] bounds (whole-partition window aggregates
+    * over the SAME partitioning, so no bounds-join and no second pass
+    * over the ranked frame), and the final re-aggregate all share that
+    * single exchange (ScalePathSpec pins it). The group-local sort is
+    * the honest cost of exact percentiles — the sketch alternative when
+    * groups stop fitting is q66. All money in exact cents. */
   def q106Winsorize(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("c_nationkey").orderBy("cents")
-    val ranked = t(s, dir, "customer")
+    val whole = Window.partitionBy("c_nationkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // percentile_disc(q) = value at rank ceil(q*n): rn*20 >= n picks
+    // ranks ≥ n/20 (q=0.05); min over them = the p05 value
+    t(s, dir, "customer")
       .select(col("c_nationkey"),
         (col("c_acctbal").cast("decimal(18,2)") * 100)
           .cast("bigint").as("cents"))
       .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        Window.partitionBy("c_nationkey")))
-    // percentile_disc(q) = value at rank ceil(q*n): rn*20 >= n picks
-    // ranks ≥ n/20 (q=0.05); min over them = the p05 value
-    val bounds = ranked.groupBy("c_nationkey")
-      .agg(min(when(col("rn") * 20 >= col("n"), col("cents"))).as("lo"),
-        min(when(col("rn") * 20 >= col("n") * 19, col("cents"))).as("hi"))
-    ranked.join(bounds, "c_nationkey")
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("lo",
+        min(when(col("rn") * 20 >= col("n"), col("cents"))).over(whole))
+      .withColumn("hi",
+        min(when(col("rn") * 20 >= col("n") * 19, col("cents"))).over(whole))
       .select(col("c_nationkey"),
         greatest(col("lo"), least(col("hi"), col("cents"))).as("clipped"),
         (col("cents") < col("lo")).cast("bigint").as("lo_hit"),

@@ -129,7 +129,13 @@ object Graph {
     * standard refinement is ordering by (degree, id) instead of raw id
     * — it bounds wedges by O(m^1.5) on any graph — which is this same
     * code with the orientation key swapped. Both joins are equi-joins
-    * on node ids: one shuffle each, never an all-pairs comparison. */
+    * on node ids: one shuffle each, never an all-pairs comparison.
+    *
+    * Caching contract: the canonicalized edge frame is `.cache()`d for
+    * its three consumers and stays pinned until the session drops it —
+    * the Verify/Bench drivers `spark.catalog.clearCache()` between
+    * queries; library callers composing many invocations must do the
+    * same (or unpersist) or cached edge plans accumulate. */
   def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val e = edges
       .select(least(col("src"), col("dst")).as("u"),

@@ -534,8 +534,13 @@ object Pipeline {
     val updates = base.filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), lit(2L).as("version"),
         (col("cents") + 500L).as("cents"))
+    // inserts live in the strictly NEGATIVE keyspace: -(k+1) can never
+    // collide with a non-negative base key at any SF (an additive offset
+    // would collide once orderkeys outgrow it — ~SF 17 for +1e8 — making
+    // max_by tie-dependent; bare -k still collides on k=0, which the
+    // testdata contains)
     val inserts = base.filter(col("o_orderkey") % 97 === 0)
-      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+      .select((-(col("o_orderkey") + 1L)).as("o_orderkey"),
         lit(2L).as("version"), (col("cents") + 1L).as("cents"))
     base.unionByName(updates).unionByName(inserts)
       .groupBy("o_orderkey")
@@ -553,7 +558,7 @@ object Pipeline {
                  cents + 500 AS cents
           FROM base WHERE o_orderkey % 10 = 0
           UNION ALL
-          SELECT o_orderkey + 100000000, CAST(2 AS BIGINT), cents + 1
+          SELECT -(o_orderkey + 1), CAST(2 AS BIGINT), cents + 1
           FROM base WHERE o_orderkey % 97 = 0),
         u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
         SELECT o_orderkey, max(version) AS version,

@@ -35,7 +35,7 @@ object Similarity {
     Tables.load(s, dir, n)
 
   /** Embeddings with double-cast vectors and precomputed norms. */
-  private def vectors(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def vectors(s: SparkSession, dir: String): DataFrame = {
     register(s)
     t(s, dir, "embeddings")
       .withColumn("ed", col("embedding").cast("array<double>"))
@@ -43,20 +43,29 @@ object Similarity {
       .select("vec_id", "ed", "nrm")
   }
 
-  /** Nearest-centroid assignment of every vector (one broadcast of
-    * #centroids rows + a per-row argmax) — shared by q29 and q76. */
-  private def assigned(e: DataFrame): DataFrame = {
-    val cent = e.filter(col("vec_id") < NumCentroids).select(
-      col("vec_id").as("cent_id"), col("ed").as("ced"),
-      col("nrm").as("cnrm"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("cent_id"))
-    e.crossJoin(broadcast(cent))
-      .withColumn("cos",
-        vec_dot(col("ed"), col("ced")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select("vec_id", "ed", "nrm", "cent_id")
+  /** Nearest-centroid assignment of every vector, fully IN-ROW: the 16
+    * centroids collapse to ONE broadcast row holding a cent_id-sorted
+    * struct array, and the per-vector argmax is an `array_max` over that
+    * array — max cosine first, then max -cent_id, so ties break toward
+    * the SMALLEST cent_id exactly like the oracle's
+    * `ORDER BY cos DESC, cent_id` rank. Zero shuffle on the corpus side:
+    * the earlier formulation (row_number over the corpus×centroids
+    * crossJoin) exchanged a ×NumCentroids-expanded corpus because window
+    * ranks can't partially aggregate — the canonical 100 TB scale-killer
+    * (ScalePathSpec pins its absence). Shared by q29 and q76. */
+  private[graft] def assigned(e: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(e.sparkSession)
+    // ONE row holding every centroid; cached because each occurrence of
+    // the assignment in a consumer plan re-broadcasts it (drivers
+    // clearCache between queries) — the cache is O(#centroids·dims)
+    val cents = e.filter(col("vec_id") < NumCentroids)
+      .agg(array_sort(collect_list(struct(
+        col("vec_id").as("cent_id"), col("ed").as("ced"),
+        col("nrm").as("cnrm")))).as("cents"))
+      .cache()
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("ed"), col("nrm"),
+        expr("centroid_argmax(ed, nrm, cents)").as("cent_id"))
   }
 
   /** q29 — IVF ANN: nearest-centroid assignment, then top-k within the
@@ -64,12 +73,12 @@ object Similarity {
   def q29AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = vectors(s, dir)
     val assign = assigned(e)
-    val probeCell = assign.filter(col("vec_id") === 0L)
-      .select(col("cent_id").as("pc"))
-    val probe = e.filter(col("vec_id") === 0L)
-      .select(col("ed").as("ped"), col("nrm").as("pnrm"))
-    assign.join(broadcast(probeCell), col("cent_id") === col("pc"))
-      .crossJoin(broadcast(probe))
+    // the probe's cell AND vector in one broadcast frame (the probe
+    // branch prunes to vec_id=0 at the scan): one broadcast job, not two
+    val probeInfo = assign.filter(col("vec_id") === 0L)
+      .select(col("cent_id").as("pc"), col("ed").as("ped"),
+        col("nrm").as("pnrm"))
+    assign.join(broadcast(probeInfo), col("cent_id") === col("pc"))
       .withColumn("pcos",
         vec_dot(col("ed"), col("ped")) / (col("nrm") * col("pnrm")))
       .orderBy(col("pcos").desc, col("vec_id"))
@@ -109,6 +118,7 @@ object Similarity {
     * O(batch x cell) — the shape that amortizes the corpus pass across
     * the whole query batch at 100 TB. */
   def q76BatchAnn(s: SparkSession, dir: String): DataFrame = {
+    // probes + corpus both read the assignment: cache it (see q29)
     val assign = assigned(vectors(s, dir))
     val probes = assign.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("ed").as("ped"),

@@ -524,24 +524,26 @@ object TextOps {
     * two documents is CERTAIN to share a fingerprint, so winnowing is
     * the standard index for plagiarism/boilerplate substring detection
     * where LSH's probabilistic recall isn't acceptable. Scale shape:
-    * the whole selection happens INSIDE the row (array HOFs over the
-    * token array — zero shuffles, scan speed, ~2/(w+1) of positions
-    * emitted); only the final distinct fingerprint rows leave the node.
+    * the whole selection happens INSIDE the row (the codegen'd
+    * `winnow_keys` monotonic-deque sliding minimum — zero shuffles, one
+    * O(len) pass, ~2/(w+1) of positions emitted; the nested-HOF
+    * formulation it replaced interpreted O(len·w) lambdas per row and
+    * was the suite's slowest query); only the final distinct fingerprint
+    * rows leave the node. Documents with ≥ 2^20-1 k-grams fail loudly in
+    * the expression instead of silently corrupting the position pack.
     */
   def q102Winnowing(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
     val w = WinnowW
     val pb = WinnowPosBase
+    // no explicit short-doc filter: winnow_keys emits an empty key set
+    // when fewer than w k-grams exist (equivalently size(wn_t) <
+    // ShingleN + w - 1) and explode drops empties — a filter here would
+    // just push a second regex split below the project
     t(s, dir, "documents")
-      .withColumn("wn_t", split(col("text"), " "))
-      .filter(size(col("wn_t")) >= Dedup.ShingleN + w - 1)
-      .withColumn("wn_h", expr(s"shingle_hashes(wn_t, ${Dedup.ShingleN})"))
-      .withColumn("wn_k", expr(
-        s"""array_distinct(transform(sequence($w, size(wn_h)),
-            wn_e -> array_min(transform(sequence(wn_e - ${w - 1}, wn_e),
-              wn_i -> element_at(wn_h, wn_i) * $pb
-                      + (${pb - 1} - wn_i)))))"""))
-      .select(col("doc_id"), explode(col("wn_k")).as("wn_key"))
+      .select(col("doc_id"), explode(expr(
+        s"""winnow_keys(shingle_hashes(split(text, ' '),
+            ${Dedup.ShingleN}), $w, $pb)""")).as("wn_key"))
       .select(col("doc_id"),
         expr(s"wn_key div $pb").as("fp_hash"),
         expr(s"${pb - 1} - wn_key % $pb").cast("bigint").as("fp_pos"))
@@ -587,18 +589,22 @@ object TextOps {
     * Σ (pos+1)·(id+1) over in-vocab tokens — any id swap, position
     * shift, or dropped token moves it. Scale shape: vocab build is one
     * token census (the explode reduces to O(distinct tokens) before the
-    * rank), the rank window runs over that CENSUS, never the corpus;
-    * encoding is a BROADCAST join against the O(VocabSize) dictionary —
-    * corpus side stays scan-speed, zero shuffles. */
+    * rank), then `orderBy.limit(V)` — TakeOrderedAndProject, k rows per
+    * partition — selects the top-V survivors and only THOSE V rows pass
+    * through the id-assigning rank window (a web-scale census has
+    * billions of distinct tokens; a global row_number over it would
+    * single-partition the lot). Encoding is a BROADCAST join against
+    * the O(VocabSize) dictionary — corpus side stays scan-speed, zero
+    * shuffles. */
   def q108VocabEncode(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = t(s, dir, "documents")
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(VocabSize)
       .withColumn("id",
         row_number().over(Window.orderBy(col("c").desc, col("tok"))) - 1)
-      .filter(col("id") < VocabSize)
       .select("tok", "id")
     toks.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy("doc_id")

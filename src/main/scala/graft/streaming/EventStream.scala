@@ -180,6 +180,48 @@ object EventStream {
         col("purchase_ts") <= col("click_ts") + expr(intervalExpr))
   }
 
+  /** q109 — the DECLARED end-to-end streaming query (SURVEY §7 M6 made
+    * driver-visible): the events table replayed through a real
+    * Structured Streaming run — file source → watermark → tumbling
+    * 1-day windows → complete-mode memory sink, Trigger.AvailableNow —
+    * and the final sink table returned as the result. Complete mode
+    * emits every window's final state once the (finite) replay drains,
+    * so the output is EXACTLY the batch q26 aggregation over the same
+    * frame — which is why this query carries q26's full DuckDB oracle
+    * rather than a rows-only check: stream/batch parity is hash-checked
+    * by the differential itself, not just asserted in ScalaTest.
+    * Scale shape: the same partial-agg + state-store plan a production
+    * stream runs; state is O(open windows × event_types), bounded by
+    * the watermark horizon, not stream length. */
+  def q109StreamWindows(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q109_stream_windows_mem"
+    s.catalog.dropTempView(name) // idempotent across re-runs in a session
+    val q = windowedAgg(readEvents(s, dir).withWatermark("ts", "1 day"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val queries: Map[String, (SparkSession, String)
+      => org.apache.spark.sql.DataFrame] = Map(
+    "q109_stream_windows" -> (q109StreamWindows _))
+
+  /** Identical to q26's oracle: the streaming run must land exactly on
+    * the batch aggregation (complete mode over a drained finite replay). */
+  val oracleSql: Map[String, String] = Map(
+    "q109_stream_windows" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_value
+         FROM events GROUP BY 1, 2""")
+
   /** Start the windowed aggregation into an in-memory sink (complete mode:
     * every window stays queryable — right for tests; production would use
     * append mode + watermark into a parquet/Kafka sink). */

@@ -45,6 +45,49 @@ class ExpressionEdgeSpec extends SparkSpec {
       .getDouble(0) === 20.0)
   }
 
+  test("winnow_keys matches the HOF formulation on random hash arrays") {
+    GraftFunctions.registerAll(spark)
+    val pb = 1048576L
+    val w = 4
+    val rnd = new scala.util.Random(42)
+    // random lengths >= w, random hashes with repeats to exercise the
+    // rightmost-position tie rule (the HOF form can't run on n < w:
+    // sequence(w, n) counts DOWN and element_at goes out of bounds)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(37) + w)(rnd.nextInt(50).toLong + 1))
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "wn_h")
+    val got = df.selectExpr("id", s"winnow_keys(wn_h, $w, $pb) AS k")
+    val want = df.selectExpr("id",
+      s"""array_distinct(transform(sequence($w, size(wn_h)),
+          wn_e -> array_min(transform(sequence(wn_e - ${w - 1}, wn_e),
+            wn_i -> element_at(wn_h, wn_i) * $pb
+                    + (${pb - 1} - wn_i))))) AS k""")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // n < w emits the empty fingerprint set (the caller filters these,
+    // but the expression's own contract must not depend on that)
+    val short = spark.createDataFrame(Seq(
+      (0L, Seq.empty[Long]), (1L, Seq(5L)), (2L, Seq(5L, 6L, 7L))))
+      .toDF("id", "wn_h")
+      .selectExpr(s"winnow_keys(wn_h, $w, $pb) AS k")
+    assert(short.filter(size(col("k")) =!= 0).count() === 0)
+  }
+
+  test("winnow_keys w=1 keeps every position; throws on oversize docs") {
+    val all = one(
+      "winnow_keys(array(7L, 7L, 3L), 1, 1048576)").getSeq[Long](0)
+    // every window is one element -> one key per position, no collapse
+    assert(all.length === 3)
+    val err = intercept[Exception] {
+      one("winnow_keys(transform(sequence(1, 1048576), " +
+        "x -> CAST(x AS BIGINT)), 4, 1048576)")
+    }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("exceed pack capacity") ||
+      err.getCause != null &&
+        err.getCause.getMessage.contains("exceed pack capacity"))
+  }
+
   test("sum_squares over an empty relation returns the zero buffer") {
     GraftFunctions.registerAll(spark)
     val r = spark.range(0).selectExpr("sum_squares(id) AS s").head()

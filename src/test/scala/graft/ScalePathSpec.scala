@@ -71,6 +71,18 @@ class ScalePathSpec extends SparkSpec {
       s"packing needs exactly the window's source shuffle, found $n:\n$plan")
   }
 
+  test("centroid assignment shuffles nothing: no Exchange hashpartitioning") {
+    // the ANN scale path (q29/q76): the per-vector argmax must stay
+    // in-row over the broadcast centroid array — a hashpartitioning
+    // Exchange here means the ×NumCentroids-expanded corpus is crossing
+    // the wire again (the window-rank formulation this replaced)
+    val assign = graft.operators.Similarity.assigned(
+      graft.operators.Similarity.vectors(spark, sf1))
+    val plan = assign.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"assignment must not shuffle the corpus:\n$plan")
+  }
+
   test("q97 mixture weights scan the corpus exactly once") {
     val plan = graft.operators.Pipeline.q97MixtureWeights(spark, sf1)
       .queryExecution.executedPlan.toString
