@@ -83,6 +83,27 @@ class ScalePathSpec extends SparkSpec {
       s"assignment must not shuffle the corpus:\n$plan")
   }
 
+  test("q106 winsorize rides ONE exchange: rank, bounds, and re-agg") {
+    // bounds come from whole-partition window aggregates over the rank
+    // window's own c_nationkey exchange — a bounds join (or uncached
+    // second consumption) would show up as a second non-broadcast shuffle
+    val plan = graft.operators.Extensions.q106Winsorize(spark, sf1)
+      .queryExecution.executedPlan.toString
+    val n = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(n === 1,
+      s"winsorize needs exactly the group-key shuffle, found $n:\n$plan")
+  }
+
+  test("q108 vocab ranks only the top-V survivors (TakeOrderedAndProject)") {
+    // the census must reduce through orderBy.limit(V) before any global
+    // rank window — a row_number over the full census would show a
+    // single-partition Exchange under a Window instead
+    val plan = graft.operators.TextOps.q108VocabEncode(spark, sf1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab selection must be a bounded top-V, not a global sort:\n$plan")
+  }
+
   test("q97 mixture weights scan the corpus exactly once") {
     val plan = graft.operators.Pipeline.q97MixtureWeights(spark, sf1)
       .queryExecution.executedPlan.toString
