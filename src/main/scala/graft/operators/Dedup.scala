@@ -279,27 +279,29 @@ object Dedup {
   def q87VerifyCandidates(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
     val docs = plantedDocs(s, dir)
-    val sh = docs
+    // per-doc shingle SET rows (array_distinct upstream): verification is
+    // an in-row array_intersect after joining each candidate to its two
+    // set rows — no exploded two-sided join, no pair groupBy, and a
+    // zero-overlap candidate scores n_inter = 0 directly (the exploded
+    // form needed a left join + coalesce for those). Cached: both
+    // verify sides read it (drivers clearCache between queries).
+    val hs = docs
       .withColumn("sw_w", split(col("text"), " "))
       .filter(size(col("sw_w")) >= ShingleN)
-      .select(col("doc_id"), explode(expr(sparkShingleHashes)).as("h"))
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      .select(col("doc_id"), expr(sparkShingleHashes).as("hsd"))
+      .cache()
     val pairs = minhashCandidatePairs(docs)
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_id_1"), col("h")), "doc_id_1")
-      .join(sh.select(col("doc_id").as("doc_id_2"), col("h")),
-        Seq("doc_id_2", "h"))
-      .groupBy("doc_id_1", "doc_id_2").agg(count(lit(1)).as("n_inter"))
     pairs
-      .join(inter, Seq("doc_id_1", "doc_id_2"), "left")
-      .join(counts.select(col("doc_id").as("doc_id_1"),
-        col("nsh").as("n1")), "doc_id_1")
-      .join(counts.select(col("doc_id").as("doc_id_2"),
-        col("nsh").as("n2")), "doc_id_2")
+      .join(hs.select(col("doc_id").as("doc_id_1"), col("hsd").as("hsd1")),
+        "doc_id_1")
+      .join(hs.select(col("doc_id").as("doc_id_2"), col("hsd").as("hsd2")),
+        "doc_id_2")
       .select(col("doc_id_1"), col("doc_id_2"),
-        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
-        (col("n1") + col("n2") - coalesce(col("n_inter"), lit(0L)))
-          .as("n_union"))
+        size(array_intersect(col("hsd1"), col("hsd2")))
+          .cast("bigint").as("n_inter"),
+        (size(col("hsd1")) + size(col("hsd2")) -
+          size(array_intersect(col("hsd1"), col("hsd2"))))
+          .cast("bigint").as("n_union"))
       .filter(col("n_inter") * 10 >= col("n_union") * 9)
   }
 
@@ -755,7 +757,88 @@ object Dedup {
         JOIN cnt c2 ON c2.doc_id = i.doc_id_2
         WHERE i.n_inter * 10 >= (c1.len + c2.len - i.n_inter) * 9"""
 
+  // ----------------------------------------------------------- q110
+
+  /** q110 — directed set-CONTAINMENT join: every ordered pair (a, b),
+    * a ≠ b, with |Sa ∩ Sb| ≥ 9/10 · |Sa| — "a is (mostly) contained in
+    * b". The asymmetric complement of q101's Jaccard join: a boilerplate
+    * block or quoted excerpt buried inside a much larger document scores
+    * near-zero Jaccard (union is dominated by the big doc) but
+    * containment ≈ 1 for the small side, so this is the operator
+    * training-data pipelines use for near-superset/excerpt detection
+    * where symmetric similarity is blind.
+    *
+    * One-sided prefix guarantee: in ANY fixed global element order, if
+    * at most |Sa| − ⌈0.9·|Sa|⌉ elements of Sa miss Sb, then at least one
+    * of Sa's first |Sa| − ⌈0.9·|Sa|⌉ + 1 elements hits Sb — so
+    * candidates are generated from a-PREFIX × b-FULL collisions only
+    * (frequency order makes those prefixes the rarest elements, keeping
+    * collision df minimal). Verification is the same in-row
+    * array_intersect against the cached per-doc set frame as q101.
+    * Scale shape: candidate volume is bounded by Σ df(prefix elements),
+    * never all-pairs; every stage an equi-join. */
+  def q110ContainmentJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("edf"), col("h"))
+    val hs = plantedDocs(s, dir)
+      .withColumn("sw_w", split(col("text"), " "))
+      .filter(size(col("sw_w")) >= ShingleN)
+      .select(col("doc_id"), expr(sparkShingleHashes).as("hsd"))
+      .cache()
+    val sh = hs.select(col("doc_id"), size(col("hsd")).as("len"),
+      explode(col("hsd")).as("h"))
+    val edf = sh.groupBy("h").agg(count(lit(1)).as("edf"))
+    val prefix = sh.join(edf, "h")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("len") - expr("(9 * len + 9) div 10") + 1)
+      .select("doc_id", "h")
+    val cand = prefix.select(col("doc_id").as("doc_id_1"), col("h"))
+      .join(sh.select(col("doc_id").as("doc_id_2"), col("h")), "h")
+      .filter(col("doc_id_1") =!= col("doc_id_2"))
+      .select("doc_id_1", "doc_id_2").distinct()
+    cand
+      .join(hs.select(col("doc_id").as("doc_id_1"), col("hsd").as("hsd1")),
+        "doc_id_1")
+      .join(hs.select(col("doc_id").as("doc_id_2"), col("hsd").as("hsd2")),
+        "doc_id_2")
+      .select(col("doc_id_1"), col("doc_id_2"),
+        size(array_intersect(col("hsd1"), col("hsd2")))
+          .cast("bigint").as("n_inter"),
+        size(col("hsd1")).cast("bigint").as("n_1"))
+      .filter(col("n_inter") * 10 >= col("n_1") * 9)
+  }
+
+  private def q110OracleSql: String =
+    s"""WITH ${lshCtes(plantedSql)},
+        sh2 AS (SELECT doc_id, unnest(hsd) AS h FROM hs),
+        cnt AS (SELECT doc_id, count(*) AS len FROM sh2 GROUP BY doc_id),
+        edf AS (SELECT h, count(*) AS edf FROM sh2 GROUP BY h),
+        ranked AS (SELECT s.doc_id, s.h, c.len,
+            row_number() OVER (PARTITION BY s.doc_id
+              ORDER BY e.edf, s.h) AS rn
+          FROM sh2 s JOIN edf e ON s.h = e.h
+          JOIN cnt c ON s.doc_id = c.doc_id),
+        prefix AS (SELECT doc_id, h FROM ranked
+          WHERE rn <= len - ((9 * len + 9) // 10) + 1),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_id_1,
+            b.doc_id AS doc_id_2
+          FROM prefix a JOIN sh2 b
+            ON a.h = b.h AND a.doc_id <> b.doc_id),
+        inter AS (SELECT p.doc_id_1, p.doc_id_2, count(*) AS n_inter
+          FROM cand p
+          JOIN sh2 a ON a.doc_id = p.doc_id_1
+          JOIN sh2 b ON b.doc_id = p.doc_id_2 AND b.h = a.h
+          GROUP BY 1, 2)
+        SELECT i.doc_id_1, i.doc_id_2,
+               CAST(i.n_inter AS BIGINT) AS n_inter,
+               CAST(c1.len AS BIGINT) AS n_1
+        FROM inter i
+        JOIN cnt c1 ON c1.doc_id = i.doc_id_1
+        WHERE i.n_inter * 10 >= c1.len * 9"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_containment_join" -> (q110ContainmentJoin _),
     "q101_setsim_join" -> (q101SetSimJoin _),
     "q30_dedup_minhash_lsh" -> (q30DedupMinhashLsh _),
     "q31_dedup_simhash" -> (q31DedupSimhash _),
@@ -767,6 +850,7 @@ object Dedup {
     "q87_verify_candidates" -> (q87VerifyCandidates _))
 
   val oracleSql: Map[String, String] = Map(
+    "q110_containment_join" -> q110OracleSql,
     "q101_setsim_join" -> q101OracleSql,
     "q30_dedup_minhash_lsh" -> q30OracleSql,
     "q31_dedup_simhash" -> q31OracleSql,

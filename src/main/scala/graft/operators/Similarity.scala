@@ -354,7 +354,81 @@ object Similarity {
                CAST(sum(q * (dim + 1)) AS BIGINT) AS checksum
         FROM q GROUP BY vec_id"""
 
+  /** q111 — one k-means (Lloyd) REFINEMENT step over the embeddings:
+    * rebuild each label's centroid from its members (the q86 codebook,
+    * kept in exact quantized integers), then re-assign every vector to
+    * its nearest centroid by cosine — declared output is the
+    * (label, cluster, n) confusion matrix of the step, the convergence
+    * signal an iterative clusterer watches. This is the missing piece
+    * between q86 (codebook BUILD) and q29/q76 (codebook SEARCH):
+    * the training iteration itself.
+    *
+    * Bit-stability across engines: centroid dim values are
+    * qsum / (n · 2^20) where qsum = Σ floor(v·2^20) is an exact-integer
+    * sum (order-independent — a naive float mean would drift with
+    * partitioning); the division and the sequential-fold dot product
+    * (codegen'd `centroid_argmax`, same order as DuckDB's
+    * list_dot_product over a dim-ordered list) are deterministic IEEE
+    * ops, so the argmax is hash-comparable. Scale shape: the ONE
+    * corpus-bearing shuffle is the per-(label, dim) partial-aggregated
+    * census (O(labels × dims) rows out); assignment is the same
+    * broadcast one-row in-row argmax as q29 — zero corpus shuffle —
+    * and the confusion matrix is O(labels²). */
+  def q111KmeansRefine(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val e = t(s, dir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(vec_dot(col("ed"), col("ed"))))
+      .select(col("vec_id"), col("label"), col("ed"), col("nrm"))
+    val ex = e.select(col("label").cast("bigint").as("cl"),
+      posexplode(col("ed")).as(Seq("dim", "v")))
+    val cd = ex.groupBy("cl", "dim")
+      .agg(sum(floor(col("v") * CentroidScale)).cast("bigint").as("qsum"),
+        count(lit(1)).as("n"))
+      .select(col("cl"), col("dim"),
+        (col("qsum").cast("double") / (col("n") * lit(1048576.0)))
+          .as("c"))
+    val cdl = cd.groupBy("cl")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("ced"))
+      .withColumn("cnrm", sqrt(vec_dot(col("ced"), col("ced"))))
+    val cents = cdl.agg(array_sort(collect_list(struct(
+      col("cl").as("cent_id"), col("ced"), col("cnrm")))).as("cents"))
+    e.crossJoin(broadcast(cents))
+      .select(col("label"),
+        expr("centroid_argmax(ed, nrm, cents)").as("cluster"))
+      .groupBy("label", "cluster")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private def q111OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, label,
+          CAST(embedding AS DOUBLE[]) AS ed
+        FROM embeddings),
+        ex AS (SELECT CAST(label AS BIGINT) AS cl,
+          unnest(range(0, 64)) AS dim, unnest(ed) AS v FROM e),
+        cs AS (SELECT cl, dim,
+          CAST(sum(CAST(floor(v * $CentroidScale) AS BIGINT)) AS BIGINT)
+            AS qsum,
+          count(*) AS n
+        FROM ex GROUP BY cl, dim),
+        cd AS (SELECT cl, dim,
+          CAST(qsum AS DOUBLE) / (n * 1048576.0) AS c FROM cs),
+        cdl AS (SELECT cl, list(c ORDER BY dim) AS ced FROM cd GROUP BY cl),
+        a AS (SELECT e.vec_id, e.label, l.cl,
+          list_dot_product(e.ed, l.ced) /
+            (sqrt(list_dot_product(e.ed, e.ed)) *
+             sqrt(list_dot_product(l.ced, l.ced))) AS cos
+        FROM e CROSS JOIN cdl l),
+        pick AS (SELECT vec_id, label, cl FROM (
+          SELECT a.*, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, cl) AS rn FROM a) WHERE rn = 1)
+        SELECT label, cl AS cluster, count(*) AS n
+        FROM pick GROUP BY label, cl"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_kmeans_refine" -> (q111KmeansRefine _),
     "q29_ann_ivf" -> (q29AnnIvf _),
     "q42_topk_per_label" -> (q42TopkPerLabel _),
     "q52_ann_lsh" -> (q52AnnLsh _),
@@ -363,6 +437,7 @@ object Similarity {
     "q91_quantize_embeddings" -> (q91QuantizeEmbeddings _))
 
   val oracleSql: Map[String, String] = Map(
+    "q111_kmeans_refine" -> q111OracleSql,
     "q29_ann_ivf" -> q29OracleSql,
     "q42_topk_per_label" -> q42OracleSql,
     "q52_ann_lsh" -> q52OracleSql,

@@ -638,7 +638,54 @@ object TextOps {
         FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
         GROUP BY t.doc_id"""
 
+  // ---------------------------------------------------------------- q112
+
+  /** q112 — cross-document NOVELTY rate: per document, how many of its
+    * DISTINCT word bigrams occur in no other document (corpus
+    * document-frequency 1). The cross-doc complement of q72's
+    * within-doc repetition score: a doc can be internally non-repetitive
+    * yet assembled almost entirely from boilerplate shared across the
+    * corpus — low novelty is the signal dedup pipelines use to rank
+    * near-dup survivors and drop template pages that exact/near dedup
+    * (q23/q30) misses because no single pair crosses the threshold.
+    * Scale shape: per-doc distinct bigrams via the codegen'd
+    * shingle_hashes (in-row), ONE df census shuffle on the bigram hash
+    * (partial-aggregated), one join back carrying (hash, df), one
+    * per-doc aggregate — O(corpus bigrams) with map-side reduction,
+    * never pairwise. */
+  def q112BigramNovelty(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(shingle_hashes(split(text, ' '), 2))")).as("h"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("bdf"))
+    sh.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("bdf") === 1L, 1L).otherwise(0L))
+          .cast("bigint").as("n_novel"))
+  }
+
+  private def q112OracleSql: String = {
+    val fold = graft.functions.PortableHash.duckCharFold(
+      "concat_ws(' ', bn_w[bn_i], bn_w[bn_i + 1])")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS bn_w
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, len(bn_w)), bn_i -> $fold))) AS h
+               FROM d),
+        bdf AS (SELECT h, count(*) AS bdf FROM sh GROUP BY h)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(CASE WHEN b.bdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel
+        FROM sh s JOIN bdf b ON s.h = b.h
+        GROUP BY s.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_bigram_novelty" -> (q112BigramNovelty _),
     "q102_winnowing" -> (q102Winnowing _),
     "q108_vocab_encode" -> (q108VocabEncode _),
     "q89_chunk_documents" -> (q89ChunkDocuments _),
@@ -656,6 +703,7 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q112_bigram_novelty" -> q112OracleSql,
     "q102_winnowing" -> q102OracleSql,
     "q108_vocab_encode" -> q108OracleSql,
     "q89_chunk_documents" -> q89OracleSql,

@@ -112,4 +112,34 @@ class DedupSpec extends SparkSpec {
       .filter(col("n_inter") * 10 < col("n_union") * 9)
     assert(bad.count() === 0L)
   }
+
+  test("q110 containment finds every planted perturbed→base excerpt " +
+      "and subsumes q101's symmetric pairs") {
+    val contained = Dedup.q110ContainmentJoin(spark, sf1)
+      .select("doc_id_1", "doc_id_2")
+    // each perturbed doc (text minus last word) has a shingle set that
+    // is a SUBSET of its base's — containment 1.0, must all be found
+    // (docs with < ShingleN+1 words produce identical or empty sets and
+    // are excluded from the expectation, matching the operator's guard)
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nw"))
+      // > ShingleN words: the perturbed copy still has >= ShingleN and
+      // its set differs from the base's (strict excerpt, not identical)
+      .filter(col("nw") > graft.operators.Dedup.ShingleN + 1)
+      .select(col("doc_id"))
+    val expected = docs.select(
+      (col("doc_id") + graft.operators.Dedup.PlantedOffset).as("doc_id_1"),
+      col("doc_id").as("doc_id_2"))
+    assert(expected.exceptAll(contained).count() === 0L,
+      "containment join missed a planted excerpt pair")
+    // Jaccard >= 9/10 implies containment >= 9/10 for the smaller side:
+    // every q101 pair must appear in q110 in at least one direction
+    val sym = Dedup.q101SetSimJoin(spark, sf1)
+      .select("doc_id_1", "doc_id_2")
+    val bothDirs = contained.unionByName(contained.select(
+      col("doc_id_2").as("doc_id_1"), col("doc_id_1").as("doc_id_2")))
+    assert(sym.exceptAll(bothDirs).count() === 0L,
+      "a symmetric near-dup pair is missing from the containment join")
+  }
 }

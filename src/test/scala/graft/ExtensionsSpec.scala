@@ -267,4 +267,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(byTag.values.sum === 150L)
     assert(df.select("key").distinct().count() === 150L)
   }
+
+  test("q111 k-means step partitions the corpus into known clusters") {
+    val conf = graft.operators.Similarity.q111KmeansRefine(spark, sf1)
+    val e = graft.sources.Tables.load(spark, sf1, "embeddings")
+    // the confusion matrix is a partition of the corpus: counts sum to
+    // the corpus size, and every assigned cluster is an actual label
+    // (centroids exist only for observed labels)
+    assert(conf.agg(sum("n")).head().getLong(0) === e.count())
+    val labels = e.select(col("label").cast("bigint")).distinct()
+    assert(conf.select(col("cluster")).distinct()
+      .exceptAll(labels).count() === 0L)
+  }
+
+  test("q112 novelty rate is a well-formed fraction of per-doc bigrams") {
+    val nov = graft.operators.TextOps.q112BigramNovelty(spark, sf1)
+    // novel bigrams can't exceed the doc's distinct bigrams, and the
+    // distinct bigrams can't exceed word count - 1 (adjacent pairs)
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nw"))
+    val joined = nov.join(docs, "doc_id")
+    assert(joined.filter(col("n_novel") > col("n_bigrams")).count() === 0L)
+    assert(joined.filter(col("n_bigrams") > col("nw") - 1).count() === 0L)
+    // every multi-word doc appears
+    assert(nov.count() === docs.filter(col("nw") >= 2).count())
+  }
 }
