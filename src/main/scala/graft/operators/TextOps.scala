@@ -684,7 +684,62 @@ object TextOps {
         GROUP BY s.doc_id"""
   }
 
+  // ---------------------------------------------------------------- q113
+
+  /** Minimum shared winnow fingerprints for a q113 match pair. */
+  val FpPairMin = 2L
+
+  /** q113 — winnow-fingerprint COLLISION join, the USE step of q102's
+    * index (MOSS proper): doc pairs sharing ≥ `FpPairMin` distinct
+    * winnowed k-gram hashes. Winnowing's guarantee makes this
+    * SUBSTRING-level near-dup detection — any shared token run of
+    * ≥ w+k−1 tokens forces a shared fingerprint, so plagiarized/quoted/
+    * boilerplate passages are caught even when whole-document similarity
+    * (q30/q101) is negligible. Scale shape: exactly the LSH-join
+    * discipline — fingerprints are the (already ~2/(w+1)-sampled) index;
+    * pairs come from an equi-self-join on the fingerprint HASH with
+    * hot-hash safety (ubiquitous boilerplate fingerprints would square —
+    * the df cap drops them, same reasoning as a stop-shingle list), then
+    * a pair count + threshold. Never all-pairs. */
+  def q113FingerprintMatch(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    // distinct (doc, fingerprint-hash): positions don't matter for
+    // matching, only WHICH fingerprints collide
+    val fps = q102Winnowing(s, dir)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .cache()
+    val fdf = fps.groupBy("fp_hash").agg(count(lit(1)).as("fdf"))
+    // df cap: a fingerprint appearing in >32 docs is boilerplate — it
+    // contributes O(df²) candidate pairs and no discrimination. Cached:
+    // both sides of the pair self-join read it (drivers clearCache
+    // between queries)
+    val rare = fps.join(fdf.filter(col("fdf") <= 32), "fp_hash")
+      .select("doc_id", "fp_hash")
+      .cache()
+    rare.select(col("doc_id").as("doc_id_1"), col("fp_hash"))
+      .join(rare.select(col("doc_id").as("doc_id_2"), col("fp_hash")),
+        "fp_hash")
+      .filter(col("doc_id_1") < col("doc_id_2"))
+      .groupBy("doc_id_1", "doc_id_2")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= FpPairMin)
+  }
+
+  private def q113OracleSql: String =
+    s"""WITH sel AS (${q102OracleSql}),
+        fps AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
+        fdf AS (SELECT fp_hash, count(*) AS fdf FROM fps GROUP BY fp_hash),
+        rare AS (SELECT f.doc_id, f.fp_hash FROM fps f
+                 JOIN fdf d ON f.fp_hash = d.fp_hash AND d.fdf <= 32)
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM rare a JOIN rare b
+          ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= $FpPairMin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_fingerprint_match" -> (q113FingerprintMatch _),
     "q112_bigram_novelty" -> (q112BigramNovelty _),
     "q102_winnowing" -> (q102Winnowing _),
     "q108_vocab_encode" -> (q108VocabEncode _),
@@ -703,6 +758,7 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q113_fingerprint_match" -> q113OracleSql,
     "q112_bigram_novelty" -> q112OracleSql,
     "q102_winnowing" -> q102OracleSql,
     "q108_vocab_encode" -> q108OracleSql,

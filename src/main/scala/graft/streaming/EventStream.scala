@@ -208,9 +208,41 @@ object EventStream {
     s.table(name)
   }
 
+  /** q114 — DECLARED custom streaming state: the events stream replayed
+    * through the `mapGroupsWithState` per-user profile operator
+    * (update-mode memory sink, Trigger.AvailableNow), returning each
+    * user's FINAL running state. Counters are monotone, so max-per-user
+    * over the sink's update rows is the final state regardless of how
+    * many micro-batches the replay took — and equals the plain
+    * GROUP BY the oracle runs. This puts the arbitrary-state API under
+    * the hash differential the way q109 does for windowed aggregation.
+    * Scale shape: state is one small row per user (bounded by
+    * cardinality, not stream length; production adds a timeout to
+    * expire idle users). */
+  def q114StreamProfiles(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q114_stream_profiles_mem"
+    s.catalog.dropTempView(name)
+    val q = runningUserActivity(typedEvents(readEvents(s, dir)))
+      .toDF()
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"),
+        org.apache.spark.sql.functions.max("n_purchases")
+          .as("n_purchases"))
+  }
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
-    "q109_stream_windows" -> (q109StreamWindows _))
+    "q109_stream_windows" -> (q109StreamWindows _),
+    "q114_stream_profiles" -> (q114StreamProfiles _))
 
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
@@ -220,7 +252,12 @@ object EventStream {
          count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
            AS sum_value
-         FROM events GROUP BY 1, 2""")
+         FROM events GROUP BY 1, 2""",
+    "q114_stream_profiles" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_purchases
+         FROM events GROUP BY user_id""")
 
   /** Start the windowed aggregation into an in-memory sink (complete mode:
     * every window stays queryable — right for tests; production would use
