@@ -187,11 +187,47 @@ object Multimodal {
         FROM documents"""
   }
 
+  /** Frame-sampling geometry for q115. */
+  val NumFrames = 4
+  val FrameBytes = 32
+
+  /** q115 — the frame-sampling path under the differential: every asset
+    * sliced into `NumFrames` evenly-spaced `FrameBytes`-byte frames (the
+    * video keyframe/audio-clip analog — pure byte arithmetic, decode
+    * never runs), each frame pinned by md5 + length. Slices past the
+    * payload end are empty frames — md5 of zero bytes on both engines —
+    * so the geometry is total, no row-count jitter. Scale shape: one
+    * narrow in-row pass + a 4× generator, zero shuffles; the payload is
+    * sliced, never copied whole into the output. */
+  def q115FrameSample(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(assets(s, dir), NumFrames, FrameBytes)
+      .select(col("asset_id"),
+        posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+      .select(col("asset_id"),
+        col("frame_idx").cast("bigint").as("frame_idx"),
+        md5(col("frame")).as("frame_md5"),
+        octet_length(col("frame")).cast("bigint").as("frame_bytes"))
+
+  private def q115OracleSql: String =
+    s"""WITH a AS (SELECT doc_id AS asset_id, text,
+          greatest(strlen(text) // $NumFrames, 1) AS step
+        FROM documents),
+        f AS (SELECT asset_id, text, step,
+          unnest(range(0, $NumFrames)) AS fi FROM a)
+        SELECT asset_id, CAST(fi AS BIGINT) AS frame_idx,
+               md5(substr(text, CAST(fi * step + 1 AS INT), $FrameBytes))
+                 AS frame_md5,
+               CAST(strlen(substr(text, CAST(fi * step + 1 AS INT),
+                 $FrameBytes)) AS BIGINT) AS frame_bytes
+        FROM f"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_frame_sample" -> (q115FrameSample _),
     "q38_multimodal_meta" -> (q38MultimodalMeta _),
     "q81_media_histogram" -> (q81MediaHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q115_frame_sample" -> q115OracleSql,
     "q38_multimodal_meta" -> q38OracleSql,
     "q81_media_histogram" -> q81OracleSql)
 }
