@@ -943,7 +943,70 @@ object Extensions {
        ORDER BY revenue_cents DESC, l.l_orderkey
        LIMIT 10"""
 
+  // ---------------------------------------------------------------- q116
+
+  /** q116 — per-nation PARETO FRONT (skyline / dominance filtering):
+    * the customers not dominated on (balance, order count) — another
+    * customer dominates if ≥ on both dimensions and > on at least one.
+    * The multi-objective selection pass curation pipelines run when two
+    * quality axes trade off (e.g. doc quality vs length) and no scalar
+    * weighting is trusted; ties on both axes are kept (neither
+    * dominates). For the 2-D integer case the frontier falls out of TWO
+    * window aggregates on one partitioning — no pairwise dominance
+    * join: a row is dominated iff a strictly-higher-balance row has
+    * n_orders ≥ it (running max over the strict-predecessor RANGE
+    * frame) or an equal-balance row has n_orders > it (per-(nation,
+    * balance) max). Scale shape: one groupBy shuffle for the order
+    * counts, one broadcast-able dim join, one nation-keyed window
+    * exchange — the frontier never requires comparing pairs, and the
+    * window is per-nation, never a global sort. */
+  def q116ParetoFront(s: SparkSession, dir: String): DataFrame = {
+    val nOrders = t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val scored = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("cents"))
+      .join(nOrders, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_nationkey"), col("cents"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    // strict predecessors in the cents ordering: RANGE ... 1 PRECEDING
+    // under DESC = rows with cents > current (integer domain)
+    val wStrict = Window.partitionBy("c_nationkey")
+      .orderBy(col("cents").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy("c_nationkey", "cents")
+    scored
+      .withColumn("mx_strict", max(col("n_orders")).over(wStrict))
+      .withColumn("mx_eq", max(col("n_orders")).over(wEq))
+      .filter((col("mx_strict").isNull ||
+        col("mx_strict") < col("n_orders")) &&
+        col("mx_eq") <= col("n_orders"))
+      .select("c_nationkey", "c_custkey", "cents", "n_orders")
+  }
+
+  private def q116OracleSql: String =
+    """WITH n AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY o_custkey),
+        s AS (SELECT c.c_custkey, c.c_nationkey,
+          CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS cents,
+          COALESCE(n.n_orders, 0) AS n_orders
+        FROM customer c LEFT JOIN n ON c.c_custkey = n.o_custkey),
+        m AS (SELECT s.*,
+          max(n_orders) OVER (PARTITION BY c_nationkey
+            ORDER BY cents DESC
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS mx_strict,
+          max(n_orders) OVER (PARTITION BY c_nationkey, cents) AS mx_eq
+        FROM s)
+        SELECT c_nationkey, c_custkey, cents, n_orders
+        FROM m
+        WHERE (mx_strict IS NULL OR mx_strict < n_orders)
+          AND mx_eq <= n_orders"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_pareto_front" -> (q116ParetoFront _),
     "q104_partition_stats" -> (q104PartitionStats _),
     "q106_winsorize" -> (q106Winsorize _),
     "q107_shipping_priority" -> (q107ShippingPriority _),
@@ -990,6 +1053,7 @@ object Extensions {
     "q60_percentiles" -> (q60Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q116_pareto_front" -> q116OracleSql,
     "q104_partition_stats" -> q104OracleSql,
     "q106_winsorize" -> q106OracleSql,
     "q107_shipping_priority" -> q107OracleSql,

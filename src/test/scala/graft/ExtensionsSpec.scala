@@ -268,6 +268,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.select("key").distinct().count() === 150L)
   }
 
+  test("q116 pareto front equals the brute-force dominance model") {
+    val front = Extensions.q116ParetoFront(spark, sf1)
+      .select("c_nationkey", "c_custkey").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    // brute force: all-pairs dominance within each nation (fine at
+    // sf0.001; the operator itself never compares pairs)
+    val scored = graft.sources.Tables.load(spark, sf1, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("cents"))
+      .join(graft.sources.Tables.load(spark, sf1, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_nationkey"), col("cents"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    val byNation = scored.groupBy(_._1)
+    val model = scored.filter { case (nat, id, c, n) =>
+      !byNation(nat).exists { case (_, id2, c2, n2) =>
+        id2 != id && c2 >= c && n2 >= n && (c2 > c || n2 > n)
+      }
+    }.map(t => (t._1, t._2)).toSet
+    assert(front === model)
+  }
+
   test("q111 k-means step partitions the corpus into known clusters") {
     val conf = graft.operators.Similarity.q111KmeansRefine(spark, sf1)
     val e = graft.sources.Tables.load(spark, sf1, "embeddings")

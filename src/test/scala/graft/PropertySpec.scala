@@ -114,6 +114,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("centroid_argmax equals the scan-and-compare model on random data") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val vGen = Gen.listOfN(8, Gen.choose(-4.0, 4.0))
+      .suchThat(_.exists(_ != 0.0))
+    val centsGen = Gen.choose(2, 6).flatMap(k => Gen.listOfN(k, vGen))
+    val cases = sample(Gen.zip(vGen, centsGen), 120).zipWithIndex
+    val rows = cases.map { case ((v, cs), i) =>
+      (i, v, cs.zipWithIndex.map { case (c, j) =>
+        (j.toLong, c, math.sqrt(c.map(x => x * x).sum))
+      })
+    }
+    val got = rows.toDF("i", "ed", "cents")
+      .withColumn("nrm", expr("sqrt(vec_dot(ed, ed))"))
+      .selectExpr("i", "centroid_argmax(ed, nrm, cents) AS best")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    cases.foreach { case ((v, cs), i) =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      // model: sequential-fold cosine, strictly-greater replaces (ties
+      // keep the earlier = smaller id) — the oracle's rank order
+      var bestId = -1L
+      var bestCos = Double.NegativeInfinity
+      cs.zipWithIndex.foreach { case (c, j) =>
+        val dot = v.zip(c).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+        val cos = dot / (nrm * math.sqrt(c.map(x => x * x).sum))
+        if (cos > bestCos) { bestCos = cos; bestId = j.toLong }
+      }
+      assert(got(i) === bestId, s"argmax mismatch for case #$i")
+    }
+  }
+
   test("shingle_hashes equals poly_hash(concat_ws(...)) on random word arrays") {
     GraftFunctions.registerAll(spark)
     import spark.implicits._
