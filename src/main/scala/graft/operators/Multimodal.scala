@@ -221,12 +221,65 @@ object Multimodal {
                  $FrameBytes)) AS BIGINT) AS frame_bytes
         FROM f"""
 
+  /** Resize budget for q118. */
+  val ResizeTargetBytes = 256
+
+  /** q118 — the typed RESIZE path under the differential: every asset
+    * stride-subsampled to ≤ `ResizeTargetBytes` bytes through the
+    * `Dataset[MediaAsset].map` codec shape (a real resampler drops into
+    * the same byte-in/byte-out slot), declared as (payload md5, byte
+    * count, rescaled dims). Small payloads pass through unchanged —
+    * the oracle reproduces the exact stride geometry, ratio arithmetic
+    * (explicit floor: Scala `.toInt` truncates where a bare DuckDB
+    * DOUBLE→INT cast would round), and hash from the text bytes.
+    * Scale shape: a narrow typed map, zero shuffles; with a real codec
+    * the same partition-batched discipline as q81 applies. */
+  def q118ResizeMeta(s: SparkSession, dir: String): DataFrame =
+    resize(assets(s, dir), ResizeTargetBytes).toDF()
+      .select(col("asset_id"),
+        octet_length(col("payload")).cast("bigint").as("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        col("width").cast("bigint").as("width"),
+        col("height").cast("bigint").as("height"))
+
+  private def q118OracleSql: String = {
+    val t = ResizeTargetBytes
+    s"""WITH a AS (SELECT doc_id AS asset_id, text,
+          strlen(text) AS n,
+          CAST(doc_id % 640 + 1 AS INT) AS width,
+          CAST(doc_id % 480 + 1 AS INT) AS height
+        FROM documents),
+        r AS (SELECT asset_id, text, n, width, height,
+          greatest(n // $t, 1) AS step FROM a),
+        z AS (SELECT asset_id, n, width, height,
+          CASE WHEN n <= $t THEN text
+               ELSE array_to_string(list_transform(
+                 (range(1, n + 1, CAST(step AS INT)))[:$t],
+                 rz_i -> text[rz_i]), '')
+          END AS rtext
+        FROM r)
+        SELECT asset_id,
+               CAST(strlen(rtext) AS BIGINT) AS n_bytes,
+               md5(rtext) AS payload_md5,
+               CAST(CASE WHEN n <= $t THEN width
+                 ELSE greatest(1, CAST(floor(width *
+                   (CAST(strlen(rtext) AS DOUBLE) / n)) AS INT)) END
+                 AS BIGINT) AS width,
+               CAST(CASE WHEN n <= $t THEN height
+                 ELSE greatest(1, CAST(floor(height *
+                   (CAST(strlen(rtext) AS DOUBLE) / n)) AS INT)) END
+                 AS BIGINT) AS height
+        FROM z"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_resize_meta" -> (q118ResizeMeta _),
     "q115_frame_sample" -> (q115FrameSample _),
     "q38_multimodal_meta" -> (q38MultimodalMeta _),
     "q81_media_histogram" -> (q81MediaHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q118_resize_meta" -> q118OracleSql,
     "q115_frame_sample" -> q115OracleSql,
     "q38_multimodal_meta" -> q38OracleSql,
     "q81_media_histogram" -> q81OracleSql)

@@ -239,10 +239,45 @@ object EventStream {
           .as("n_purchases"))
   }
 
+  /** Session gap for q117 (matches q41's 30-minute session_window). */
+  val SessionGapSeconds = 1800L
+
+  /** q117 — the `flatMapGroupsWithState` SESSIONIZER as a declared
+    * query: events replayed through the custom-emission stateful
+    * operator (append-mode memory sink, AvailableNow); output = every
+    * CLOSED session (user, start, end, count in epoch seconds). A
+    * session closes when a later event arrives > gap after it; each
+    * user's open tail stays in state and is never emitted — so the
+    * batch oracle is the lag/gap-cumsum sessionization MINUS each
+    * user's last session. The algorithm is incremental: splitting a
+    * time-ordered replay across micro-batches closes identical
+    * sessions (state carries the open tail), so the differential
+    * doesn't depend on batch boundaries. Completes the declared
+    * streaming trio: q109 windowed agg, q114 mapGroupsWithState,
+    * q117 flatMapGroupsWithState. */
+  def q117StreamSessions(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q117_stream_sessions_mem"
+    s.catalog.dropTempView(name)
+    import s.implicits._
+    val q = sessionizeStateful(
+      typedEvents(readEvents(s, dir)), SessionGapSeconds)
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
     "q109_stream_windows" -> (q109StreamWindows _),
-    "q114_stream_profiles" -> (q114StreamProfiles _))
+    "q114_stream_profiles" -> (q114StreamProfiles _),
+    "q117_stream_sessions" -> (q117StreamSessions _))
 
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
@@ -257,7 +292,29 @@ object EventStream {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
            AS BIGINT) AS n_purchases
-         FROM events GROUP BY user_id""")
+         FROM events GROUP BY user_id""",
+    "q117_stream_sessions" ->
+      s"""WITH e AS (SELECT user_id,
+            epoch_us(ts) // 1000000 AS s FROM events),
+         x AS (SELECT user_id, s,
+           CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s)
+                  > $SessionGapSeconds
+                THEN 1 ELSE 0 END AS brk
+           FROM e),
+         y AS (SELECT user_id, s,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM x),
+         sess AS (SELECT user_id, sid,
+             CAST(min(s) AS BIGINT) AS start_s,
+             CAST(max(s) AS BIGINT) AS end_s,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM y GROUP BY user_id, sid),
+         last_sess AS (SELECT user_id, max(sid) AS last_sid
+           FROM sess GROUP BY user_id)
+         SELECT se.user_id, se.start_s, se.end_s, se.n_events
+         FROM sess se JOIN last_sess l
+           ON se.user_id = l.user_id AND se.sid < l.last_sid""")
 
   /** Start the windowed aggregation into an in-memory sink (complete mode:
     * every window stays queryable — right for tests; production would use
