@@ -395,7 +395,7 @@ object Dedup {
       .mkString("array(", ", ", ")")
     val banded = plantedDocs(s, dir)
       .withColumn("ths",
-        expr("transform(split(text, ' '), tw -> poly_hash(tw))"))
+        expr("shingle_hashes(split(text, ' '), 1)"))
       .select(col("doc_id"), expr("simhash32(ths)").as("sh"))
       .select(col("doc_id"), col("sh"),
         explode(expr(comboArr)).as("b"))
@@ -528,7 +528,7 @@ object Dedup {
     // (the HOF form needs 32 separate aggregate() folds over the tokens)
     t(s, dir, "documents")
       .withColumn("ths",
-        expr("transform(split(text, ' '), tw -> poly_hash(tw))"))
+        expr("shingle_hashes(split(text, ' '), 1)"))
       .select(col("doc_id"), expr("simhash32(ths)").as("simhash"))
   }
 

@@ -104,6 +104,31 @@ class ScalePathSpec extends SparkSpec {
       s"vocab selection must be a bounded top-V, not a global sort:\n$plan")
   }
 
+  test("q111 k-means step: only the census shuffles, assignment is in-row") {
+    // the corpus-bearing exchanges must be the (label, dim) census and
+    // tiny-side aggregates — the vector re-assignment itself may not
+    // introduce a corpus-wide hashpartitioning beyond them, and nothing
+    // may go all-pairs
+    val plan = graft.operators.Similarity.q111KmeansRefine(spark, sf1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"k-means step must not compare pairs:\n$plan")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n <= 3,
+      s"census + confusion agg need <=3 keyed exchanges, found $n:\n$plan")
+  }
+
+  test("q110/q113 candidate joins are equi-joins, never cartesian") {
+    for ((name, df) <- Seq(
+        "q110" -> graft.operators.Dedup.q110ContainmentJoin(spark, sf1),
+        "q113" -> graft.operators.TextOps.q113FingerprintMatch(spark, sf1))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must pair only via key collisions:\n$plan")
+    }
+  }
+
   test("q97 mixture weights scan the corpus exactly once") {
     val plan = graft.operators.Pipeline.q97MixtureWeights(spark, sf1)
       .queryExecution.executedPlan.toString
