@@ -114,6 +114,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("round-5 declared results are shuffle-partitioning-invariant") {
+    // same query, different partition count → identical multiset: the
+    // aggregation/join/window results may not depend on how data split
+    val fns: Seq[(String, (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame)] = Seq(
+      "q110" -> (graft.operators.Dedup.q110ContainmentJoin _),
+      "q111" -> (graft.operators.Similarity.q111KmeansRefine _),
+      "q112" -> (graft.operators.TextOps.q112BigramNovelty _),
+      "q116" -> (graft.operators.Extensions.q116ParetoFront _))
+    for ((name, fn) <- fns) {
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      val a = fn(spark, sf1).collect().map(_.toString).sorted
+      spark.catalog.clearCache()
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val b = fn(spark, sf1).collect().map(_.toString).sorted
+        assert(a.sameElements(b),
+          s"$name result depends on shuffle partitioning")
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("centroid_argmax equals the scan-and-compare model on random data") {
     GraftFunctions.registerAll(spark)
     import spark.implicits._
