@@ -652,6 +652,52 @@ object Dedup {
         WHERE list_dot_product(x.ed, y.ed) / (x.nrm * y.nrm) >= $CosineTau"""
   }
 
+  /** q119 — embedding-side duplicate-CLUSTER resolution: connected
+    * components over the q33 SRP near-dup graph, every vector labeled
+    * with its component's min vec_id — the embedding twin of q63 (text
+    * LSH → CC). Semantic dedup pipelines need the transitive closure on
+    * BOTH modalities: candidate pairs alone leave A~B, B~C as separate
+    * decisions even though {A,B,C} must drop together. Runs on the
+    * large-star/small-star engine, NOT min-label propagation: at τ=0.3
+    * over i.i.d. vectors the SRP graph is a sparse web whose diameter
+    * grows with corpus size (at sf0.1 it already exceeds propagation's
+    * 20-round budget — the engine threw rather than mislabel, which is
+    * the contract working), and star contraction's O(log n) rounds are
+    * immune to diameter. Text LSH clusters (q79) stay on propagation
+    * because drop-last-word twins form diameter-2 near-cliques. */
+  def q119EmbeddingClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponentsStar(
+      t(s, dir, "embeddings").select(col("vec_id").as("doc_id")),
+      q33DedupEmbedding(s, dir)
+        .select(col("vec_id_1").as("doc_id_1"),
+          col("vec_id_2").as("doc_id_2")))
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+
+  private def q119OracleSql: String = {
+    val bucketTerms = (0 until NumPlanes).map { p =>
+      s"(CASE WHEN list_dot_product(ed, ${planeLit(p, "duck")}) >= 0 " +
+        s"THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE e AS (SELECT vec_id,
+          CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+        b AS (SELECT vec_id, ed,
+                     sqrt(list_dot_product(ed, ed)) AS nrm,
+                     $bucketTerms AS bucket FROM e),
+        pairs AS (SELECT x.vec_id AS v1, y.vec_id AS v2
+          FROM b x JOIN b y
+            ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          WHERE list_dot_product(x.ed, y.ed) / (x.nrm * y.nrm)
+                  >= $CosineTau),
+        edges AS (SELECT v1 AS src, v2 AS dst FROM pairs
+                  UNION ALL
+                  SELECT v2 AS src, v1 AS dst FROM pairs),
+        reach(vec_id, lab) AS (
+          SELECT vec_id, vec_id FROM e
+          UNION
+          SELECT g.src, r.lab FROM edges g JOIN reach r ON r.vec_id = g.dst)
+        SELECT vec_id, min(lab) AS cluster FROM reach GROUP BY vec_id"""
+  }
+
   // ----------------------------------------------------------- q101
 
   /** q101 — EXACT set-similarity self-join via prefix filtering (the
@@ -838,6 +884,7 @@ object Dedup {
         WHERE i.n_inter * 10 >= c1.len * 9"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_embedding_clusters" -> (q119EmbeddingClusters _),
     "q110_containment_join" -> (q110ContainmentJoin _),
     "q101_setsim_join" -> (q101SetSimJoin _),
     "q30_dedup_minhash_lsh" -> (q30DedupMinhashLsh _),
@@ -850,6 +897,7 @@ object Dedup {
     "q87_verify_candidates" -> (q87VerifyCandidates _))
 
   val oracleSql: Map[String, String] = Map(
+    "q119_embedding_clusters" -> q119OracleSql,
     "q110_containment_join" -> q110OracleSql,
     "q101_setsim_join" -> q101OracleSql,
     "q30_dedup_minhash_lsh" -> q30OracleSql,
