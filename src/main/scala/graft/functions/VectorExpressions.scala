@@ -74,7 +74,13 @@ case class DotProductD(left: Expression, right: Expression)
   * array<struct<cent_id:bigint, ced:array<double>, cnrm:double>>, return
   * the cent_id maximizing cosine — ties toward the SMALLEST cent_id,
   * matching `row_number() OVER (ORDER BY cos DESC, cent_id)` = 1 in the
-  * differential oracle. The HOF form (`array_max(transform(cents, ...))`)
+  * differential oracle. A NaN cosine (zero-norm vector or centroid makes
+  * acc/(nrm*cnrm) 0/0) is mapped to +Infinity before comparing, because
+  * DuckDB's ORDER BY ... DESC sorts NaN FIRST (NaN > everything): the
+  * zero-norm centroid wins with ties still broken toward the smallest
+  * cent_id — the same row the oracle's row_number picks, instead of the
+  * silent skip a plain `>` would give (NaN fails both > and ==).
+  * The HOF form (`array_max(transform(cents, ...))`)
   * allocates a struct per centroid and eval-dispatches the dot product
   * per element; this is one flat double loop inside whole-stage codegen.
   * Each cosine is the same sequential-fold dot then divide as vec_dot, so
@@ -127,7 +133,8 @@ case class CentroidArgMax(
         acc += ed.getDouble(i) * ced.getDouble(i)
         i += 1
       }
-      val cos = acc / (nrm * cnrm)
+      var cos = acc / (nrm * cnrm)
+      if (java.lang.Double.isNaN(cos)) cos = Double.PositiveInfinity
       if (cos > bestCos || (cos == bestCos && id < bestId)) {
         bestCos = cos
         bestId = id
@@ -170,6 +177,9 @@ case class CentroidArgMax(
          |    $acc += $ed.getDouble($i) * $ced.getDouble($i);
          |  }
          |  double $cos = $acc / ($nrm * $cnrm);
+         |  if (java.lang.Double.isNaN($cos)) {
+         |    $cos = Double.POSITIVE_INFINITY;
+         |  }
          |  if ($cos > $bestCos || ($cos == $bestCos && $id < $bestId)) {
          |    $bestCos = $cos;
          |    $bestId = $id;

@@ -118,7 +118,11 @@ object Similarity {
     * O(batch x cell) — the shape that amortizes the corpus pass across
     * the whole query batch at 100 TB. */
   def q76BatchAnn(s: SparkSession, dir: String): DataFrame = {
-    // probes + corpus both read the assignment: cache it (see q29)
+    // probes + corpus both derive from the assignment projection, but it
+    // is deliberately NOT cached: it's O(corpus) wide, and recomputing it
+    // is one narrow in-row pass (centroid_argmax over the cached one-row
+    // centroid frame inside assigned()) — cheaper than pinning the corpus
+    // in memory at scale
     val assign = assigned(vectors(s, dir))
     val probes = assign.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("ed").as("ped"),

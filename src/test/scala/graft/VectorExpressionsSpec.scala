@@ -75,6 +75,32 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(code.contains("HashAggregate"), code.take(1000))
   }
 
+  test("centroid_argmax ranks NaN cosines first (zero-norm edge), " +
+    "ties toward the smallest cent_id — DuckDB ORDER BY DESC semantics") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val v = List(1.0, 0.0)
+    val zero = List(0.0, 0.0)
+    def cent(id: Long, c: List[Double]) =
+      (id, c, math.sqrt(c.map(x => x * x).sum))
+    // zero-norm CENTROID: its cosine is 0/0 = NaN, which DuckDB's
+    // ORDER BY cos DESC ranks before every finite cosine — even a
+    // perfectly aligned centroid must lose to it
+    val rows = Seq(
+      (1, v, Seq(cent(7L, v), cent(9L, zero))),
+      // two zero-norm centroids: both NaN, smaller cent_id wins
+      (2, v, Seq(cent(5L, zero), cent(3L, zero))),
+      // zero-norm VECTOR: every cosine NaN, smallest cent_id wins
+      (3, zero, Seq(cent(4L, v), cent(2L, List(0.0, 1.0)))))
+    val got = rows.toDF("i", "ed", "cents")
+      .withColumn("nrm", expr("sqrt(vec_dot(ed, ed))"))
+      .selectExpr("i", "centroid_argmax(ed, nrm, cents) AS best")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got(1) === 9L, "zero-norm centroid (NaN cosine) ranks first")
+    assert(got(2) === 3L, "NaN ties break toward the smaller cent_id")
+    assert(got(3) === 2L, "zero-norm vector: all NaN, smallest id wins")
+  }
+
   test("q29 IVF result is a subset of brute-force top-20 neighborhood " +
     "quality check: all ids valid") {
     val ids = Similarity.q29AnnIvf(spark, sf1).collect().map(_.getLong(0))
