@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash._
@@ -357,54 +358,100 @@ object Dedup {
        FROM documents"""
 
   /** Hamming-band geometry for q71: 4 disjoint 8-bit bands of the 32-bit
-    * simhash, indexed by band PAIRS (16-bit keys). Pigeonhole: radius-1
-    * neighbors have at most one dirty band, so they agree exactly on all
-    * C(3,2)=3 band-pairs avoiding it — full recall, like single-band
-    * indexing, but the 16-bit keys cut candidate volume 3.6x on this
-    * signature-concentrated corpus (63M -> 18M at sf0.1). Radius 1
-    * still recalls >80% of the planted drop-last-word twins. */
+    * simhash, indexed by band TRIPLES (24-bit keys). Pigeonhole,
+    * re-derived for triples: a radius-1 pair differs in at most one bit,
+    * so at most ONE of the 4 bands is dirty, so at least one of the
+    * C(4,3)=4 triples is made of clean bands only — the pair agrees
+    * exactly on that triple's 24-bit key. Full recall at radius 1, like
+    * the earlier 16-bit band-pair index, but each key carries 8 more
+    * discriminating bits and there are 4 combos instead of 6: on this
+    * signature-concentrated corpus the raw candidate volume drops
+    * 17.7M -> 1.8M pairs at sf0.1 (10k docs). */
   val HammingRadius = 1
   val HammingBands = 4
 
-  private val bandPairs: Seq[(Int, Int)] =
-    for { i <- 0 until HammingBands; j <- (i + 1) until HammingBands }
-      yield (i, j)
+  /** Hot-key document-frequency cap for q71's index — the q113 stop-
+    * fingerprint discipline applied to hamming bands. A (tripleid,
+    * key24) bucket of df docs yields df(df-1)/2 candidates; buckets
+    * shared by thousands of near-identical boilerplate signatures
+    * square and don't discriminate, and on a crawl they grow with the
+    * corpus, making candidate volume quadratic in n. Dropping buckets
+    * with df > cap bounds work at C(cap,2) per key, so TOTAL candidates
+    * are <= 4n(cap-1)/2 — linear in corpus size, the property that
+    * survives a 1000-executor 100 TB run.
+    *
+    * Declared recall bound (the full-recall pigeonhole is NOT silently
+    * dropped — it becomes conditional): a radius-1 pair is recalled iff
+    * at least one of its clean-band triples has df <= cap; pairs living
+    * entirely inside boilerplate-hot signature cliques are intentionally
+    * not enumerated pairwise (dedup pipelines resolve those via cluster
+    * representatives, q63/q119, not pair lists). Measured on this
+    * corpus: the cap never binds at sf0.001/sf0.01 (max df 74/62 —
+    * recall stays total) and keeps 86% of planted drop-last-word twins
+    * at sf0.1 while cutting candidates a further 4.3x (1.8M -> 412k). */
+  val HammingDfCap = 128
 
-  /** Per-combo (pairid, key16) expression, shared text for both engines
-    * modulo div syntax. */
-  private def pairKeyExprs(divOp: String): Seq[(Int, String)] =
-    bandPairs.map { case (i, j) =>
-      (i * HammingBands + j,
-        s"((sh $divOp ${1L << (8 * i)}) % 256) * 256 + " +
-          s"((sh $divOp ${1L << (8 * j)}) % 256)")
+  private val bandTriples: Seq[Seq[Int]] =
+    (0 until HammingBands).combinations(3).toSeq
+
+  /** Per-combo (tripleid, key24) expression, shared text for both
+    * engines modulo div syntax. */
+  private def tripleKeyExprs(divOp: String): Seq[(Int, String)] =
+    bandTriples.zipWithIndex.map { case (bs, tid) =>
+      (tid,
+        bs.zipWithIndex.map { case (band, pos) =>
+          s"((sh $divOp ${1L << (8 * band)}) % 256) * ${1L << (8 * pos)}"
+        }.mkString(" + "))
     }
 
   /** q71 — SimHash near-dup SEARCH (completes q31, which only computes
     * signatures): candidate pairs via the banded multi-index, verified
     * by popcount of the XOR. One narrow pass computes signatures + band
-    * keys; candidates come from a SELF-JOIN on (band, key) — a
-    * streaming shape that tolerates hot buckets (this corpus's
-    * signatures concentrate hard: same vocab, similar lengths), unlike
-    * q30's in-bucket collect_list pair-gen, which materializes a
-    * bucket's whole pair set as one array row and is only safe when
-    * bucket size is provably small. */
-  def q71SimhashHamming(s: SparkSession, dir: String): DataFrame = {
+    * keys; a window count on (tripleid, key24) drops boilerplate-hot
+    * keys (df > [[HammingDfCap]] — see its scaladoc for the recall
+    * contract); candidates come from a SELF-JOIN on the surviving
+    * (triple, key) rows — a streaming shape that tolerates hot buckets
+    * (rows flow as join output across tasks), unlike q30's in-bucket
+    * collect_list pair-gen, which materializes a bucket's whole pair
+    * set as one array row and is only safe when bucket size is provably
+    * small. The window's hash partitioning is the join's partitioning,
+    * so the cap costs no extra exchange on the join path. */
+  // package-private pieces so tests can pin the index invariants
+  // (per-key df <= cap; full recall where the cap doesn't bind)
+
+  /** Banded (doc_id, sh, tripleid, key24) index rows, pre-cap. */
+  private[graft] def q71BandedIndex(
+      s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
-    val comboArr = pairKeyExprs("div")
-      .map { case (pid, key) => s"struct($pid AS pairid, $key AS key16)" }
+    val comboArr = tripleKeyExprs("div")
+      .map { case (tid, key) => s"struct($tid AS tripleid, $key AS key24)" }
       .mkString("array(", ", ", ")")
-    val banded = plantedDocs(s, dir)
+    plantedDocs(s, dir)
       .withColumn("ths",
         expr("shingle_hashes(split(text, ' '), 1)"))
       .select(col("doc_id"), expr("simhash32(ths)").as("sh"))
       .select(col("doc_id"), col("sh"),
         explode(expr(comboArr)).as("b"))
-      .select(col("doc_id"), col("sh"), col("b.pairid"), col("b.key16"))
-    val x = banded.as("x")
-    val y = banded.as("y")
+      .select(col("doc_id"), col("sh"), col("b.tripleid"), col("b.key24"))
+  }
+
+  /** The index q71 joins on: banded rows minus hot keys. */
+  private[graft] def q71KeptIndex(
+      s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("tripleid", "key24")
+    q71BandedIndex(s, dir)
+      .withColumn("kdf", count(lit(1)).over(w))
+      .filter(col("kdf") <= HammingDfCap)
+      .drop("kdf")
+  }
+
+  def q71SimhashHamming(s: SparkSession, dir: String): DataFrame = {
+    val kept = q71KeptIndex(s, dir)
+    val x = kept.as("x")
+    val y = kept.as("y")
     x.join(y,
-        col("x.pairid") === col("y.pairid") &&
-          col("x.key16") === col("y.key16") &&
+        col("x.tripleid") === col("y.tripleid") &&
+          col("x.key24") === col("y.key24") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id_1"),
         col("y.doc_id").as("doc_id_2"),
@@ -425,13 +472,16 @@ object Dedup {
                     tw -> ${duckCharFold("tw")}) AS ths
                 FROM docs),
         sg AS (SELECT doc_id, CAST($terms AS BIGINT) AS sh FROM tok),
-        bands AS (${pairKeyExprs("//").map { case (pid, key) =>
-          s"SELECT doc_id, sh, $pid AS pairid, $key AS key16 FROM sg"
-        }.mkString("\n UNION ALL\n ")})
+        bands AS (${tripleKeyExprs("//").map { case (tid, key) =>
+          s"SELECT doc_id, sh, $tid AS tripleid, $key AS key24 FROM sg"
+        }.mkString("\n UNION ALL\n ")}),
+        kept AS (SELECT doc_id, sh, tripleid, key24 FROM bands
+                 QUALIFY count(*) OVER (PARTITION BY tripleid, key24)
+                   <= $HammingDfCap)
         SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
                CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS dist
-        FROM bands x JOIN bands y
-          ON x.pairid = y.pairid AND x.key16 = y.key16
+        FROM kept x JOIN kept y
+          ON x.tripleid = y.tripleid AND x.key24 = y.key24
              AND x.doc_id < y.doc_id
         WHERE bit_count(xor(x.sh, y.sh)) <= $HammingRadius"""
   }

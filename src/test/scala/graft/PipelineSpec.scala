@@ -117,6 +117,35 @@ class PipelineSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("q71 index honors the hot-key df cap — candidate volume is " +
+    "bounded at C(cap,2) per key, O(corpus) overall") {
+    val maxDf = Dedup.q71KeptIndex(spark, sf1)
+      .groupBy("tripleid", "key24").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxDf <= Dedup.HammingDfCap,
+      s"a joined key has df=$maxDf > cap=${Dedup.HammingDfCap}")
+  }
+
+  test("q71 recall is TOTAL where the cap doesn't bind: output equals " +
+    "brute-force radius-1 truth at this SF") {
+    // pigeonhole check for the triple geometry — at sf0.001 every
+    // (tripleid, key24) df is far under the cap (measured max 74), so
+    // the declared recall bound degenerates to full recall and the
+    // banded search must equal all-pairs popcount exactly
+    val banded = Dedup.q71BandedIndex(spark, sf1)
+    val dfMax = banded.groupBy("tripleid", "key24").count()
+      .agg(max("count")).head().getLong(0)
+    assert(dfMax <= Dedup.HammingDfCap,
+      "precondition: cap must not bind at this SF for this test")
+    val sigs = banded.select("doc_id", "sh").distinct().cache()
+    val truth = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        expr("bit_count(a.sh ^ b.sh)") <= Dedup.HammingRadius)
+      .count()
+    assert(Dedup.q71SimhashHamming(spark, sf1).count() === truth)
+    sigs.unpersist()
+  }
+
   test("q75 emits no fingerprint present in the corpus partition") {
     graft.functions.GraftFunctions.registerAll(spark)
     val out = graft.operators.Pipeline
