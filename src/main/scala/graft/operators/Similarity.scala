@@ -54,18 +54,23 @@ object Similarity {
     * ranks can't partially aggregate — the canonical 100 TB scale-killer
     * (ScalePathSpec pins its absence). Shared by q29 and q76. */
   private[graft] def assigned(e: DataFrame): DataFrame = {
+    e.crossJoin(broadcast(centroidRow(e)))
+      .select(col("vec_id"), col("ed"), col("nrm"),
+        expr("centroid_argmax(ed, nrm, cents)").as("cent_id"))
+  }
+
+  /** ONE row holding every centroid as a cent_id-sorted struct array;
+    * cached because each occurrence in a consumer plan re-broadcasts it
+    * (drivers clearCache between queries) — the cache is
+    * O(#centroids·dims). Repeated calls build plan-identical frames, so
+    * Spark's cache manager resolves them to the same cached relation. */
+  private[graft] def centroidRow(e: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.registerAll(e.sparkSession)
-    // ONE row holding every centroid; cached because each occurrence of
-    // the assignment in a consumer plan re-broadcasts it (drivers
-    // clearCache between queries) — the cache is O(#centroids·dims)
-    val cents = e.filter(col("vec_id") < NumCentroids)
+    e.filter(col("vec_id") < NumCentroids)
       .agg(array_sort(collect_list(struct(
         col("vec_id").as("cent_id"), col("ed").as("ced"),
         col("nrm").as("cnrm")))).as("cents"))
       .cache()
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("ed"), col("nrm"),
-        expr("centroid_argmax(ed, nrm, cents)").as("cent_id"))
   }
 
   /** q29 — IVF ANN: nearest-centroid assignment, then top-k within the
@@ -159,6 +164,79 @@ object Similarity {
               ORDER BY list_dot_product(a.ed, p.ped) / (a.nrm * p.pnrm)
                 DESC, a.vec_id) AS BIGINT) AS rank
           FROM assigned a JOIN probes p ON a.cent_id = p.cent_id)
+        WHERE rank <= $BatchTopK"""
+
+  /** Cells each probe searches under multi-probe (q120). */
+  val NProbe = 3
+
+  /** q120 — MULTI-PROBE batched IVF ANN: q76 searched only each probe's
+    * own cell (nprobe=1), which caps recall at whatever the single cell
+    * holds — the standard IVF recall fix is probing the nprobe NEAREST
+    * cells per query. The probe→cell fan-out happens entirely on the
+    * probe side: each probe row ranks the centroids IN-ROW over the same
+    * one-row broadcast centroid array the assignment uses (an
+    * array_sort over #centroids structs — O(k log k) per probe, no
+    * shuffle, no corpus involvement) and explodes to its top-nprobe
+    * (probe, cell) rows. The corpus side is untouched: same in-row
+    * `centroid_argmax` assignment, zero extra shuffle, and the cell
+    * equi-join expands each corpus row only by the number of probes
+    * whose probed cells hit it (≤ batch × nprobe ÷ #cells in
+    * expectation) — never a crossJoin, never ×nprobe on the corpus.
+    * A corpus vector belongs to exactly ONE cell, so no (probe, vector)
+    * pair can join twice — no dedup pass needed before the rank. */
+  def q120MultiprobeAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = vectors(s, dir)
+    val assign = assigned(e)
+    // per-probe top-nprobe cells: negcos makes the lexicographic
+    // struct sort equal the oracle's ORDER BY cos DESC, cent_id (IEEE
+    // negation is exact, so ties stay ties)
+    val pcells = e.filter(col("vec_id") < NumProbes)
+      .crossJoin(broadcast(centroidRow(e)))
+      .select(col("vec_id").as("probe_id"), col("ed").as("ped"),
+        col("nrm").as("pnrm"),
+        explode(expr(
+          s"""transform(slice(array_sort(transform(cents,
+                c -> struct(-(vec_dot(ed, c.ced) / (nrm * c.cnrm))
+                              AS negcos,
+                            c.cent_id AS cent_id))), 1, $NProbe),
+              x -> x.cent_id)""")).as("cent_id"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("vec_id"))
+    assign.join(broadcast(pcells), "cent_id")
+      .withColumn("pcos",
+        vec_dot(col("ed"), col("ped")) / (col("nrm") * col("pnrm")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= BatchTopK)
+      .select("probe_id", "vec_id", "rank")
+  }
+
+  private def q120OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+        cent AS (SELECT vec_id AS cent_id, ed AS ced, nrm AS cnrm
+                 FROM e WHERE vec_id < $NumCentroids),
+        assigned AS (SELECT vec_id, ed, nrm, cent_id FROM (
+          SELECT e.vec_id, e.ed, e.nrm, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.ed, c.ced) / (e.nrm * c.cnrm)
+                DESC, c.cent_id) AS rn
+          FROM e CROSS JOIN cent c) WHERE rn = 1),
+        pcells AS (SELECT probe_id, ped, pnrm, cent_id FROM (
+          SELECT p.vec_id AS probe_id, p.ed AS ped, p.nrm AS pnrm,
+            c.cent_id,
+            row_number() OVER (PARTITION BY p.vec_id
+              ORDER BY list_dot_product(p.ed, c.ced) / (p.nrm * c.cnrm)
+                DESC, c.cent_id) AS rn
+          FROM e p CROSS JOIN cent c WHERE p.vec_id < $NumProbes)
+          WHERE rn <= $NProbe)
+        SELECT probe_id, vec_id, rank FROM (
+          SELECT pc.probe_id, a.vec_id,
+            CAST(row_number() OVER (PARTITION BY pc.probe_id
+              ORDER BY list_dot_product(a.ed, pc.ped) / (a.nrm * pc.pnrm)
+                DESC, a.vec_id) AS BIGINT) AS rank
+          FROM assigned a JOIN pcells pc ON a.cent_id = pc.cent_id)
         WHERE rank <= $BatchTopK"""
 
   /** Library API: exact top-k cosine neighbors of an arbitrary probe
@@ -433,6 +511,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_kmeans_refine" -> (q111KmeansRefine _),
+    "q120_multiprobe_ann" -> (q120MultiprobeAnn _),
     "q29_ann_ivf" -> (q29AnnIvf _),
     "q42_topk_per_label" -> (q42TopkPerLabel _),
     "q52_ann_lsh" -> (q52AnnLsh _),
@@ -442,6 +521,7 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "q111_kmeans_refine" -> q111OracleSql,
+    "q120_multiprobe_ann" -> q120OracleSql,
     "q29_ann_ivf" -> q29OracleSql,
     "q42_topk_per_label" -> q42OracleSql,
     "q52_ann_lsh" -> q52OracleSql,

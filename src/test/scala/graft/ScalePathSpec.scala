@@ -118,6 +118,53 @@ class ScalePathSpec extends SparkSpec {
       s"census + confusion agg need <=3 keyed exchanges, found $n:\n$plan")
   }
 
+  test("q120 multi-probe fans out on the probe side only and its recall " +
+    "vs exact top-k is at least single-probe q76's") {
+    import org.apache.spark.sql.expressions.Window
+    val S = graft.operators.Similarity
+    val q120 = S.q120MultiprobeAnn(spark, sf1)
+    // plan: the ×nprobe explode must ride the broadcast (probe) branch —
+    // the corpus branch stays an in-row assignment feeding one equi-join
+    val plan = q120.queryExecution.executedPlan.toString
+    // (the BroadcastNestedLoopJoins in this plan are the O(1)-row
+    // centroid-array broadcasts, not pair generation)
+    assert(!plan.contains("CartesianProduct"),
+      s"multi-probe must stay an equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin [cent_id"),
+      s"corpus×probe candidates must pair via the cell equi-join:\n$plan")
+    assert("Generate".r.findAllIn(plan).size === 1,
+      s"exactly one explode (the probe→cell fan-out):\n$plan")
+    // recall: ground truth = brute-force top-BatchTopK per probe
+    val e = S.vectors(spark, sf1)
+    val probes = e.filter(col("vec_id") < S.NumProbes)
+      .select(col("vec_id").as("probe_id"), col("ed").as("ped"),
+        col("nrm").as("pnrm"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(probes))
+      .withColumn("pcos",
+        graft.functions.VectorFunctions.vec_dot(col("ed"), col("ped")) /
+          (col("nrm") * col("pnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= S.BatchTopK)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Int = df
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .count(exact.contains)
+    val multi = hits(q120)
+    val single = hits(S.q76BatchAnn(spark, sf1))
+    assert(multi >= single,
+      s"nprobe=${S.NProbe} recalled $multi exact hits < nprobe=1's $single")
+    // every probe is its own nearest neighbor, and its own cell is its
+    // nearest cell — rank 1 must be the probe itself
+    val self = q120.filter(col("rank") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(self.forall { case (p, v) => p === v },
+      s"rank-1 should be the probe itself: ${self.toSeq}")
+  }
+
   test("q110/q113 candidate joins are equi-joins, never cartesian") {
     for ((name, df) <- Seq(
         "q110" -> graft.operators.Dedup.q110ContainmentJoin(spark, sf1),
