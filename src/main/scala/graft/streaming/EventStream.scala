@@ -273,11 +273,49 @@ object EventStream {
     s.table(name)
   }
 
+  /** Attribution window for q121 (micros; = INTERVAL 1 HOUR). */
+  val AttributionUs = 3600000000L
+
+  /** q121 — the stream-stream INTERVAL JOIN as a declared query, the
+    * fourth and last Structured Streaming join/agg shape after q109
+    * (windowed agg), q114 (mapGroupsWithState) and q117
+    * (flatMapGroupsWithState): the events replay joined to ITSELF —
+    * every click paired with the same user's purchases landing within
+    * one hour after it (append-mode memory sink, AvailableNow).
+    * Both sides carry watermarks and the join bounds event-time
+    * distance, so buffered state is evicted as the watermark passes
+    * `click_ts + interval` — O(horizon), not O(stream). The finite
+    * one-file replay drains in a single micro-batch, so no row is ever
+    * watermark-late and the inner join emits exactly the batch-join
+    * result the DuckDB oracle computes. Determinism: the parquet NANOS
+    * timestamps reach Spark truncated to micros (ts div 1000), so the
+    * oracle joins on `epoch_ns(ts) // 1000` — identical integer micros
+    * on both engines, and the declared gap is exact integer micros. */
+  def q121StreamIntervalJoin(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q121_stream_interval_join_mem"
+    s.catalog.dropTempView(name)
+    val q = clickPurchaseJoin(readEvents(s, dir),
+        "2 hours", "INTERVAL 1 HOUR")
+      .select(col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
     "q109_stream_windows" -> (q109StreamWindows _),
     "q114_stream_profiles" -> (q114StreamProfiles _),
-    "q117_stream_sessions" -> (q117StreamSessions _))
+    "q117_stream_sessions" -> (q117StreamSessions _),
+    "q121_stream_interval_join" -> (q121StreamIntervalJoin _))
 
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
@@ -314,7 +352,19 @@ object EventStream {
            FROM sess GROUP BY user_id)
          SELECT se.user_id, se.start_s, se.end_s, se.n_events
          FROM sess se JOIN last_sess l
-           ON se.user_id = l.user_id AND se.sid < l.last_sid""")
+           ON se.user_id = l.user_id AND se.sid < l.last_sid""",
+    "q121_stream_interval_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+            epoch_ns(ts) // 1000 AS us FROM events
+          WHERE event_type IN ('click', 'purchase')),
+          c AS (SELECT event_id AS click_id, user_id, us AS cus
+                FROM e WHERE event_type = 'click'),
+          p AS (SELECT event_id AS purchase_id, user_id, us AS pus
+                FROM e WHERE event_type = 'purchase')
+          SELECT c.click_id, p.purchase_id,
+                 CAST(p.pus - c.cus AS BIGINT) AS gap_us
+          FROM c JOIN p ON c.user_id = p.user_id
+            AND p.pus >= c.cus AND p.pus <= c.cus + $AttributionUs""")
 
   /** Start the windowed aggregation into an in-memory sink (complete mode:
     * every window stays queryable — right for tests; production would use
