@@ -738,8 +738,108 @@ object TextOps {
         GROUP BY 1, 2
         HAVING count(*) >= $FpPairMin"""
 
+  // ---------------------------------------------------------------- q122
+
+  /** A winnow fingerprint present in more than this many distinct
+    * documents is boilerplate for q122. Distinct knob from q113's df≤32
+    * SAFETY cap (which bounds candidate-join volume): this one is the
+    * cleaning POLICY — how widely shared a run must be before it's cut —
+    * and sits at the aggressive end because removal, unlike matching,
+    * wants the template tail too. On this corpus: 1 hot fingerprint /
+    * 7 docs touched at sf0.01, 6.6k fingerprints / 64k spans at sf0.1. */
+  val BoilerplateDf = 6L
+
+  /** Tokens covered by one boilerplate mark: the winnowing guarantee
+    * unit w + k - 1 (any shared run of at least this many tokens shares
+    * a fingerprint), so expanding each selected k-gram to the full
+    * window closes the sampling gaps between selected positions inside
+    * a continuing run (consecutive selections are ≤ w apart < span). */
+  val ScrubSpanTokens: Int = WinnowW + Dedup.ShingleN - 1
+
+  /** q122 — boilerplate-span REMOVAL, the CLEAN step completing the
+    * substring-dedup family (q102 builds the winnow index, q113 detects
+    * cross-doc shared runs, q122 rewrites the documents): tokens covered
+    * by a boilerplate-hot fingerprint's winnow span are cut and the
+    * remainder re-stitched. Declared output pins the cleaned text by
+    * md5 plus the exact integers (n_cut, n_spans), so the differential
+    * verifies every byte of every rewritten document without shipping
+    * the texts through the compare.
+    *
+    * Scale shape: the df census and per-doc mark collection are the two
+    * keyed shuffles (fingerprints partially aggregate; marks are the
+    * HOT subset only — a tiny broadcast join against the census); the
+    * rewrite itself is IN-ROW integer geometry (q89's chunker
+    * discipline): positions → merged spans → token filter → concat,
+    * one narrow pass over documents joined 1:1 with its own mark array.
+    * Nothing pairwise, nothing O(corpus²): removal cost is O(corpus
+    * tokens) + O(hot marks). */
+  def q122BoilerplateScrub(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val W = ScrubSpanTokens
+    val fps = q102Winnowing(s, dir).cache() // census + marks both read it
+    val hot = fps.select("doc_id", "fp_hash").distinct()
+      .groupBy("fp_hash").agg(count(lit(1)).as("fdf"))
+      .filter(col("fdf") > BoilerplateDf)
+      .select("fp_hash")
+    val marks = fps.join(broadcast(hot), "fp_hash")
+      .select("doc_id", "fp_pos").distinct()
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("fp_pos"))).as("ps"))
+    t(s, dir, "documents")
+      .join(marks, Seq("doc_id"), "left")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("ps",
+        coalesce(col("ps"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      // a token survives iff no boilerplate span [p, p + W - 1] covers it
+      .withColumn("keep", expr(
+        s"""filter(sequence(0, size(toks) - 1),
+             t -> size(filter(ps, p -> t >= p AND t <= p + ${W - 1})) = 0)"""))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          expr("transform(keep, i -> element_at(toks, i + 1))")))
+          .as("clean_md5"),
+        (size(col("toks")) - size(col("keep"))).cast("bigint").as("n_cut"),
+        // fixed-width spans merge iff consecutive sorted positions are
+        // <= W apart, so span count = 1 + gaps exceeding W
+        expr(s"""CAST(CASE WHEN size(ps) = 0 THEN 0 ELSE
+                   1 + size(filter(zip_with(
+                     slice(ps, 1, size(ps) - 1), slice(ps, 2, size(ps) - 1),
+                     (a, b) -> b - a), d -> d > $W)) END AS BIGINT)""")
+          .as("n_spans"))
+  }
+
+  private def q122OracleSql: String = {
+    val W = ScrubSpanTokens
+    s"""WITH sel AS (${q102OracleSql}),
+        fps AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
+        fdf AS (SELECT fp_hash, count(*) AS fdf FROM fps GROUP BY fp_hash),
+        hot AS (SELECT fp_hash FROM fdf WHERE fdf > $BoilerplateDf),
+        marks AS (SELECT DISTINCT s.doc_id, s.fp_pos FROM sel s
+                  JOIN hot h ON s.fp_hash = h.fp_hash),
+        pos AS (SELECT doc_id, list_sort(list(fp_pos)) AS ps
+                FROM marks GROUP BY doc_id),
+        d AS (SELECT dd.doc_id, string_split(dd.text, ' ') AS toks,
+                coalesce(p.ps, CAST([] AS BIGINT[])) AS ps
+              FROM documents dd LEFT JOIN pos p ON dd.doc_id = p.doc_id),
+        k AS (SELECT doc_id, toks, ps,
+                list_filter(range(0, len(toks)),
+                  t -> len(list_filter(ps,
+                         p -> t >= p AND t <= p + ${W - 1})) = 0) AS keep
+              FROM d)
+        SELECT doc_id,
+          md5(array_to_string(
+            list_transform(keep, i -> toks[i + 1]), ' ')) AS clean_md5,
+          CAST(len(toks) - len(keep) AS BIGINT) AS n_cut,
+          CAST(CASE WHEN len(ps) = 0 THEN 0 ELSE
+            1 + len(list_filter(list_transform(range(2, len(ps) + 1),
+              i -> ps[i] - ps[i - 1]), dd -> dd > $W)) END AS BIGINT)
+            AS n_spans
+        FROM k"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_fingerprint_match" -> (q113FingerprintMatch _),
+    "q122_boilerplate_scrub" -> (q122BoilerplateScrub _),
     "q112_bigram_novelty" -> (q112BigramNovelty _),
     "q102_winnowing" -> (q102Winnowing _),
     "q108_vocab_encode" -> (q108VocabEncode _),
@@ -759,6 +859,7 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "q113_fingerprint_match" -> q113OracleSql,
+    "q122_boilerplate_scrub" -> q122OracleSql,
     "q112_bigram_novelty" -> q112OracleSql,
     "q102_winnowing" -> q102OracleSql,
     "q108_vocab_encode" -> q108OracleSql,

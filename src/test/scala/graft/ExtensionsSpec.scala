@@ -44,6 +44,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(chunks.select("doc_id").distinct().count() === docs.count())
   }
 
+  test("q122 scrub: untouched docs keep their text byte-for-byte, " +
+    "cut counts respect the span geometry") {
+    import org.apache.spark.sql.functions._
+    val T = graft.operators.TextOps
+    val r = T.q122BoilerplateScrub(spark, sf1).cache()
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(" ", split(col("text"), " "))).as("orig_md5"),
+        size(split(col("text"), " ")).cast("bigint").as("len"))
+    val j = r.join(docs, "doc_id").cache()
+    // every document comes back exactly once
+    assert(r.count() === docs.count())
+    // n_cut = 0 <=> n_spans = 0 <=> the text is unchanged
+    val bad = j.filter(
+      (col("n_cut") === 0L) =!= (col("n_spans") === 0L) ||
+        ((col("n_cut") === 0L) =!= (col("clean_md5") === col("orig_md5"))))
+    assert(bad.count() === 0L, "identity must hold iff nothing was cut")
+    // a span cuts at least ShingleN tokens (the k-gram is always fully
+    // inside the doc) and at most every token
+    val geo = j.filter(col("n_spans") > 0L).filter(
+      col("n_cut") < col("n_spans") * graft.operators.Dedup.ShingleN ||
+        col("n_cut") > col("len"))
+    assert(geo.count() === 0L, "span geometry violated")
+    j.unpersist(); r.unpersist()
+  }
+
   test("q96 redaction removes every deny-listed word and counts hits") {
     import org.apache.spark.sql.functions._
     val r = graft.operators.TextOps.q96PiiRedaction(spark, sf1)
