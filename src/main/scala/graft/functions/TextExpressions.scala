@@ -132,17 +132,20 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
-/** All 16 minhash signature values in ONE pass over the shingle-hash
+/** All `k` minhash signature values in ONE pass over the shingle-hash
   * array: sig_i = min over h of (A_i*h + B_i) mod P. The HOF formulation
-  * (16 × array_min(transform(...))) walks the array 16 times and allocates
-  * 16 intermediate arrays per document. Constants match
-  * PortableHash.minhashA/B, so generated DuckDB oracles stay bit-exact.
+  * (k × array_min(transform(...))) walks the array k times and allocates
+  * k intermediate arrays per document. Constants match
+  * PortableHash.minhashA/B and are a PREFIX-STABLE family — sig i is the
+  * same value at every k, so widening the geometry (Dedup.LshGeometry)
+  * never changes existing hashes, it only appends. Registered as
+  * `minhash16` (k=16, the default geometry) and `minhash_k(arr, k)`.
   * Precondition: non-empty input (callers filter size >= shingle width);
   * an empty array yields Long.MaxValue sentinels. */
-case class MinHash16(child: Expression) extends UnaryExpression {
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
-  private val as: Array[Long] = Array.tabulate(16)(PortableHash.minhashA)
-  private val bs: Array[Long] = Array.tabulate(16)(PortableHash.minhashB)
+  private val as: Array[Long] = Array.tabulate(k)(PortableHash.minhashA)
+  private val bs: Array[Long] = Array.tabulate(k)(PortableHash.minhashB)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes()
@@ -159,12 +162,12 @@ case class MinHash16(child: Expression) extends UnaryExpression {
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val sigs = Array.fill(16)(Long.MaxValue)
+    val sigs = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
       val h = arr.getLong(i)
       var j = 0
-      while (j < 16) {
+      while (j < k) {
         val x = (as(j) * h + bs(j)) % PortableHash.MersennePrime
         if (x < sigs(j)) sigs(j) = x
         j += 1
@@ -187,11 +190,11 @@ case class MinHash16(child: Expression) extends UnaryExpression {
       val sigs = ctx.freshName("sigs")
       s"""
          |int $n = $arr.numElements();
-         |long[] $sigs = new long[16];
+         |long[] $sigs = new long[$k];
          |java.util.Arrays.fill($sigs, Long.MAX_VALUE);
          |for (int $i = 0; $i < $n; $i++) {
          |  long $h = $arr.getLong($i);
-         |  for (int $j = 0; $j < 16; $j++) {
+         |  for (int $j = 0; $j < $k; $j++) {
          |    long $x = ($aRef[$j] * $h + $bRef[$j]) %
          |      ${PortableHash.MersennePrime}L;
          |    if ($x < $sigs[$j]) $sigs[$j] = $x;
@@ -203,7 +206,7 @@ case class MinHash16(child: Expression) extends UnaryExpression {
     })
   }
 
-  override protected def withNewChildInternal(c: Expression): MinHash16 =
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
     copy(child = c)
 }
 
@@ -421,7 +424,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "simhash32", exprs => SimHash32(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
-      "minhash16", exprs => MinHash16(exprs.head), "built-in")
+      "minhash16", exprs => MinHashSig(exprs.head, 16), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_k", exprs => MinHashSig(
+        exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction(
       "shingle_hashes", exprs => ShingleHashes(
         exprs(0),

@@ -16,8 +16,11 @@ import graft.sources.Tables
   * signatures; SimHash reduces a document to one 32-bit int; the embedding
   * path buckets by random-hyperplane signs before comparing. Candidate
   * verification happens only within buckets, which stays bounded as the
-  * corpus grows (bucket count scales with corpus size via more
-  * planes/bands).
+  * corpus grows: bucket count scales with corpus size via more
+  * planes/bands — executable as [[Dedup.LshGeometry.forCorpus]], whose
+  * log-sized geometry the parameterized cores (minhashCandidatePairs,
+  * srpBucketExpr) accept; both hash families are prefix-stable, so the
+  * default geometry's signatures are unchanged.
   *
   * Determinism: token hashes use the portable char fold (PortableHash) so
   * the DuckDB oracle reproduces signatures bit-for-bit. The testdata has no
@@ -27,7 +30,9 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  // LSH geometry: 16 minhashes, 4 bands x 4 rows.
+  // LSH geometry: 16 minhashes, 4 bands x 4 rows (the compiled-in
+  // default — LshGeometry.forCorpus derives wider geometries from a
+  // corpus-size parameter; every declared query runs the default).
   val NumHashes = 16
   val BandRows = 4
   val NumBands = NumHashes / BandRows
@@ -37,12 +42,63 @@ object Dedup {
   val CosineTau = 0.3
   val PlantedOffset = 100000L
 
-  /** ±1 hyperplanes for sign-random-projection bucketing; fixed seed so
-    * both engines inline identical literals. */
-  val planes: Array[Array[Double]] = {
-    val rng = new scala.util.Random(42)
-    Array.fill(NumPlanes, 64)(if (rng.nextBoolean()) 1.0 else -1.0)
+  /** Target expected docs per SRP bucket when sizing planes from corpus
+    * size (LshGeometry.forCorpus). */
+  val TargetSrpBucket = 128L
+
+  /** LSH/SRP geometry as a value, so the "bucket count scales with
+    * corpus size via more planes/bands" scale story is executable
+    * rather than a fixed compile-time shape. Both hash families are
+    * PREFIX-STABLE (minhash i and plane i are the same at every
+    * geometry), so widening appends hash functions without changing
+    * any existing signature value. */
+  final case class LshGeometry(numHashes: Int, bandRows: Int,
+      numPlanes: Int) {
+    require(numHashes % bandRows == 0,
+      s"bands must tile the signature: $numHashes % $bandRows != 0")
+    def numBands: Int = numHashes / bandRows
   }
+
+  object LshGeometry {
+    /** The compiled-in default — identical hashes/bands/planes to the
+      * bare constants above; every declared (oracled) query uses it. */
+    val Default: LshGeometry = LshGeometry(NumHashes, BandRows, NumPlanes)
+
+    /** Size the geometry for a corpus of `nDocs` documents/vectors.
+      *
+      * Rows per band r: an unrelated pair (background Jaccard s₀=0.1)
+      * collides on one band with probability s₀^r, so expected spurious
+      * candidates ≈ b·(n²/2)·s₀^r; holding that LINEAR in n (≤ n/2)
+      * needs r ≥ log₁₀(b·n) — rows grow with log₁₀ of the corpus, and
+      * the band count stays at the default (the τ≈(1/b)^(1/r) threshold
+      * knob), so numHashes = b·r.
+      *
+      * SRP planes: 2^planes buckets; expected bucket size n/2^planes ≤
+      * [[TargetSrpBucket]] needs planes ≥ log₂(n/target). Both formulas
+      * floor at the default geometry, which they reproduce at the test
+      * corpus sizes (n ≤ 2.5k docs / 2k vectors). */
+    def forCorpus(nDocs: Long): LshGeometry = {
+      val n = math.max(1L, nDocs).toDouble
+      val rows = math.max(BandRows,
+        math.ceil(math.log10(NumBands * n)).toInt)
+      val planes = math.max(NumPlanes,
+        math.ceil(math.log(n / TargetSrpBucket) / math.log(2.0)).toInt)
+      LshGeometry(NumBands * rows, rows, planes)
+    }
+  }
+
+  /** First `n` ±1 hyperplanes of the fixed seed-42 family for
+    * sign-random-projection bucketing (fixed seed so both engines
+    * inline identical literals). Prefix-stable: row i is the same
+    * vector at every n, so a wider geometry appends planes without
+    * moving any existing bucket boundary. */
+  def planesFor(n: Int): Array[Array[Double]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(n, 64)(if (rng.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** The default-geometry planes (what every declared query uses). */
+  val planes: Array[Array[Double]] = planesFor(NumPlanes)
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
@@ -109,27 +165,31 @@ object Dedup {
   }
 
   /** MinHash+LSH candidate pairs over ANY (doc_id, text) frame — the
-    * reusable core of q30 (which runs it over the planted corpus). The
-    * banded frame is cached so the self-join's two sides share one
-    * signature computation instead of running the shingle+minhash subplan
-    * twice. */
-  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+    * reusable core of q30 (which runs it over the planted corpus, at the
+    * default geometry — the oracle strings are generated from the same
+    * constants). Pass `LshGeometry.forCorpus(n)` to widen the banding
+    * for a larger corpus. The banded frame is cached so the self-join's
+    * two sides share one signature computation instead of running the
+    * shingle+minhash subplan twice. */
+  def minhashCandidatePairs(
+      docs: DataFrame,
+      g: LshGeometry = LshGeometry.Default): DataFrame = {
     val base = docs
       .withColumn("sw_w", split(col("text"), " "))
       .filter(size(col("sw_w")) >= ShingleN)
       .withColumn("hsd", expr(sparkShingleHashes))
-      // all 16 signature mins in one native pass (vs 16 HOF array walks)
-      .withColumn("sigs", expr("minhash16(hsd)"))
+      // all signature mins in one native pass (vs k HOF array walks)
+      .withColumn("sigs", expr(s"minhash_k(hsd, ${g.numHashes})"))
     val keyed = base.select(
       col("doc_id") +:
-        (0 until NumBands).map { b =>
-          val elems = (0 until BandRows)
-            .map(r => s"element_at(sigs, ${b * BandRows + r + 1})")
+        (0 until g.numBands).map { b =>
+          val elems = (0 until g.bandRows)
+            .map(r => s"element_at(sigs, ${b * g.bandRows + r + 1})")
             .mkString(", ")
           expr(s"concat_ws(',', $elems)").as(s"bk$b")
         }: _*)
-    val stackArgs = (0 until NumBands)
-      .map(b => s"$b, bk$b").mkString(s"stack($NumBands, ", ", ", ")")
+    val stackArgs = (0 until g.numBands)
+      .map(b => s"$b, bk$b").mkString(s"stack(${g.numBands}, ", ", ", ")")
     val banded = keyed.selectExpr("doc_id", s"$stackArgs as (band, bkey)")
       .cache()
     val x = banded.as("x")
@@ -654,10 +714,24 @@ object Dedup {
 
   // ----------------------------------------------------------- embeddings
 
-  private def planeLit(p: Int, dialect: String): String =
-    if (dialect == "spark")
-      planes(p).map(v => s"${v}D").mkString("array(", ", ", ")")
-    else planes(p).map(_.toString).mkString("[", ", ", "]")
+  /** SRP sign-bucket expression over an `ed` array<double> column for
+    * `numPlanes` hyperplanes (the corpus-size knob — see
+    * LshGeometry.forCorpus), in either engine dialect. Bucket ids are
+    * the packed sign bits; at the default plane count this generates
+    * byte-identical expression text to what q33's oracle embeds. */
+  def srpBucketExpr(numPlanes: Int, dialect: String): String = {
+    val ps = planesFor(numPlanes)
+    (0 until numPlanes).map { p =>
+      val lit =
+        if (dialect == "spark")
+          ps(p).map(v => s"${v}D").mkString("array(", ", ", ")")
+        else ps(p).map(_.toString).mkString("[", ", ", "]")
+      val cmp =
+        if (dialect == "spark") s"vec_dot(ed, $lit) >= 0D"
+        else s"list_dot_product(ed, $lit) >= 0"
+      s"(CASE WHEN $cmp THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+  }
 
   /** q33 — embedding-cosine near-dup pairs via sign-random-projection
     * bucketing: 4 fixed ±1 hyperplanes → 16 buckets; all-pairs cosine runs
@@ -666,10 +740,7 @@ object Dedup {
   def q33DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{register, vec_dot}
     register(s)
-    val bucketTerms = (0 until NumPlanes).map { p =>
-      s"(CASE WHEN vec_dot(ed, ${planeLit(p, "spark")}) >= 0D " +
-        s"THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
+    val bucketTerms = srpBucketExpr(NumPlanes, "spark")
     val e = t(s, dir, "embeddings")
       .withColumn("ed", col("embedding").cast("array<double>"))
       .withColumn("nrm", sqrt(vec_dot(col("ed"), col("ed"))))
@@ -687,10 +758,7 @@ object Dedup {
   }
 
   private def q33OracleSql: String = {
-    val bucketTerms = (0 until NumPlanes).map { p =>
-      s"(CASE WHEN list_dot_product(ed, ${planeLit(p, "duck")}) >= 0 " +
-        s"THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
+    val bucketTerms = srpBucketExpr(NumPlanes, "duck")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
                    FROM embeddings),
         b AS (SELECT vec_id, ed,
@@ -724,10 +792,7 @@ object Dedup {
       .select(col("doc_id").as("vec_id"), col("cluster"))
 
   private def q119OracleSql: String = {
-    val bucketTerms = (0 until NumPlanes).map { p =>
-      s"(CASE WHEN list_dot_product(ed, ${planeLit(p, "duck")}) >= 0 " +
-        s"THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
+    val bucketTerms = srpBucketExpr(NumPlanes, "duck")
     s"""WITH RECURSIVE e AS (SELECT vec_id,
           CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
         b AS (SELECT vec_id, ed,

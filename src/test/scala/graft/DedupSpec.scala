@@ -17,6 +17,55 @@ class DedupSpec extends SparkSpec {
     assert(planted > 250L, s"only $planted/500 planted pairs recalled")
   }
 
+  test("geometry scaling is prefix-stable: widening appends hash " +
+    "functions without changing any default-geometry value") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // minhash family: the first 16 of a 24-hash signature ARE minhash16
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .withColumn("hsd", expr(
+        s"shingle_hashes(split(text, ' '), ${Dedup.ShingleN})"))
+      .filter(size(col("hsd")) > 0)
+    val drift = docs
+      .select(expr("minhash16(hsd)").as("m16"),
+        expr("slice(minhash_k(hsd, 24), 1, 16)").as("m24p"))
+      .filter(col("m16") =!= col("m24p")).count()
+    assert(drift === 0L, "minhash prefix changed when widening k")
+    // SRP plane family: widening appends planes, never rewrites them
+    assert(Dedup.planesFor(8).take(4).map(_.toSeq).toSeq ===
+      Dedup.planes.take(4).map(_.toSeq).toSeq)
+    // the sizing formula reproduces the default at test-corpus scale
+    // and widens logarithmically at crawl scale
+    assert(Dedup.LshGeometry.forCorpus(1000L) === Dedup.LshGeometry.Default)
+    val big = Dedup.LshGeometry.forCorpus(1000000000L)
+    assert(big.bandRows > Dedup.BandRows &&
+      big.numPlanes > Dedup.NumPlanes &&
+      big.numBands === Dedup.NumBands,
+      s"crawl-scale geometry should widen rows/planes, got $big")
+  }
+
+  test("minhash LSH at a non-default geometry still recalls planted " +
+    "twins and keeps the pair contract") {
+    // 4 bands x 6 rows (24 hashes): sharper bands cut spurious
+    // candidates; the near-identical planted twins must survive
+    val g = Dedup.LshGeometry(24, 6, Dedup.NumPlanes)
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.unionByName(docs.select(
+      (col("doc_id") + Dedup.PlantedOffset).as("doc_id"),
+      expr("""array_join(slice(split(text, ' '), 1,
+                size(split(text, ' ')) - 1), ' ')""").as("text")))
+    val pairs = Dedup.minhashCandidatePairs(planted, g).cache()
+    assert(pairs.filter(col("doc_id_1") >= col("doc_id_2")).count() === 0L)
+    val twins = pairs.filter(
+      col("doc_id_2") === col("doc_id_1") + Dedup.PlantedOffset).count()
+    assert(twins > 250L, s"only $twins/500 twins at geometry $g")
+    // sharper bands can only shrink the per-band collision set
+    val defaults = Dedup.minhashCandidatePairs(planted).count()
+    assert(pairs.count() <= defaults * Dedup.NumBands,
+      "non-default geometry exploded the candidate volume")
+    pairs.unpersist()
+  }
+
   test("q30 emits no self-pairs and respects id ordering") {
     val pairs = Dedup.q30DedupMinhashLsh(spark, sf1)
     assert(pairs.filter(col("doc_id_1") >= col("doc_id_2")).count() === 0L)
