@@ -64,10 +64,23 @@ object Sink {
     * (asserted in SinkSpec). Bucketing requires the session catalog
     * (`saveAsTable`); plain-path parquet has no bucket metadata. */
   def writeBucketedTable(
-      df: DataFrame, key: String, numBuckets: Int, table: String): Unit =
+      df: DataFrame, key: String, numBuckets: Int, table: String): Unit = {
+    val s = df.sparkSession
+    // Overwrite must also mean "overwrite a stale LOCATION": with the
+    // default in-memory catalog a fresh session doesn't know about the
+    // warehouse directory a previous session's managed table left
+    // behind, and saveAsTable would refuse the non-empty path. A real
+    // deployment keeps a persistent metastore and never hits this.
+    if (!s.catalog.tableExists(table)) {
+      val wh = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, table.toLowerCase)
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+    }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 }

@@ -1005,7 +1005,45 @@ object Extensions {
         WHERE (mx_strict IS NULL OR mx_strict < n_orders)
           AND mx_eq <= n_orders"""
 
+  // ---------------------------------------------------------------- q123
+
+  /** q123 — the BUCKETED co-located fact⋈fact join as a declared query:
+    * lineitem and orders are written once as catalog tables bucketed
+    * (and per-bucket sorted) on the join key, then sort-merge-joined
+    * with ZERO shuffle exchange — bucket i of one table joins bucket i
+    * of the other in place. This is the strongest 100 TB join story in
+    * the library (the exchange that dominates a petabyte SMJ simply
+    * isn't in the plan — asserted in ScalePathSpec/SinkSpec) and was
+    * scalatest-only until now; the differential pins its RESULT, not
+    * just its shape. The `merge` hints keep the plan a sort-merge join
+    * even where the size stats would pick broadcast, so the declared
+    * plan is the one that matters at scale. Table (re)creation is
+    * idempotent (overwrite) and the bucket write is itself the one-off
+    * cost a production pipeline amortizes across every later join on
+    * the same key. */
+  def q123BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.Sink.writeBucketedTable(
+      t(s, dir, "lineitem").select("l_orderkey", "l_linenumber"),
+      "l_orderkey", 16, "graft_b_lineitem")
+    graft.Sink.writeBucketedTable(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey",
+        "o_orderstatus"),
+      "o_orderkey", 16, "graft_b_orders")
+    s.table("graft_b_lineitem").hint("merge")
+      .join(s.table("graft_b_orders").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast("bigint").as("linenumber"),
+        col("o_custkey"), col("o_orderstatus"))
+  }
+
+  private def q123OracleSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+       o_custkey, o_orderstatus
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_bucketed_join" -> (q123BucketedJoin _),
     "q116_pareto_front" -> (q116ParetoFront _),
     "q104_partition_stats" -> (q104PartitionStats _),
     "q106_winsorize" -> (q106Winsorize _),
@@ -1158,6 +1196,7 @@ object Extensions {
     "q88_bloom_prune" -> q88OracleSql,
     "q92_click_attribution" -> q92OracleSql,
     "q93_retention_cohorts" -> q93OracleSql,
+    "q123_bucketed_join" -> q123OracleSql,
     "q94_mergeable_stats" -> q94OracleSql,
     "q77_correlated_subquery" ->
       """SELECT c_custkey,

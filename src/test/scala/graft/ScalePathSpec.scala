@@ -42,6 +42,25 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  test("q123 declared bucketed join: sort-merge with zero exchange") {
+    try {
+      val df = graft.operators.Extensions.q123BucketedJoin(spark, sf1)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"the declared plan must be the at-scale SMJ shape:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed co-located join must not shuffle:\n$plan")
+      // and it's still the right answer
+      val expect = graft.sources.Tables.load(spark, sf1, "lineitem")
+        .join(graft.sources.Tables.load(spark, sf1, "orders"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(df.count() === expect)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+    }
+  }
+
   test("q89 chunking plans with zero exchanges (pure generator pass)") {
     val plan = graft.operators.TextOps.q89ChunkDocuments(spark, sf1)
       .queryExecution.executedPlan.toString
