@@ -295,18 +295,27 @@ object EventStream {
       : org.apache.spark.sql.DataFrame = {
     val name = "q121_stream_interval_join_mem"
     s.catalog.dropTempView(name)
-    val q = clickPurchaseJoin(readEvents(s, dir),
-        "2 hours", "INTERVAL 1 HOUR")
-      .select(col("click_id"), col("purchase_id"),
-        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
-          .as("gap_us"))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // a stream-stream join keeps FOUR state stores per shuffle
+    // partition; at this replay size the run is store-commit bound, so
+    // pin the stateful parallelism low for the (ephemeral-checkpoint)
+    // run and restore after the replay drains. Result is partitioning-
+    // invariant — only the fixed overhead changes.
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = clickPurchaseJoin(readEvents(s, dir),
+          "2 hours", "INTERVAL 1 HOUR")
+        .select(col("click_id"), col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", before)
     s.table(name)
   }
 
