@@ -114,7 +114,7 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("round-5 declared results are shuffle-partitioning-invariant") {
+  test("recent declared results are shuffle-partitioning-invariant") {
     // same query, different partition count → identical multiset: the
     // aggregation/join/window results may not depend on how data split
     val fns: Seq[(String, (org.apache.spark.sql.SparkSession, String)
@@ -122,7 +122,13 @@ class PropertySpec extends SparkSpec {
       "q110" -> (graft.operators.Dedup.q110ContainmentJoin _),
       "q111" -> (graft.operators.Similarity.q111KmeansRefine _),
       "q112" -> (graft.operators.TextOps.q112BigramNovelty _),
-      "q116" -> (graft.operators.Extensions.q116ParetoFront _))
+      "q116" -> (graft.operators.Extensions.q116ParetoFront _),
+      // round 6: df-capped hamming index, probe-side fan-out ANN,
+      // md5-pinned rewrite, bucketed catalog join
+      "q71" -> (graft.operators.Dedup.q71SimhashHamming _),
+      "q120" -> (graft.operators.Similarity.q120MultiprobeAnn _),
+      "q122" -> (graft.operators.TextOps.q122BoilerplateScrub _),
+      "q123" -> (graft.operators.Extensions.q123BucketedJoin _))
     for ((name, fn) <- fns) {
       val before = spark.conf.get("spark.sql.shuffle.partitions")
       val a = fn(spark, sf1).collect().map(_.toString).sorted
