@@ -998,7 +998,102 @@ object Dedup {
         JOIN cnt c1 ON c1.doc_id = i.doc_id_1
         WHERE i.n_inter * 10 >= c1.len * 9"""
 
+  // ---------------------------------------------------------------- q124
+
+  /** q124 — cross-source DUPLICATION MATRIX: the q30 near-dup candidate
+    * pairs rolled up to (source, source) counts — the curation-level
+    * analytics a pipeline team reads before dropping or down-weighting a
+    * whole source (mirror sites, scraped re-posts, syndicated feeds show
+    * up as hot off-diagonal cells; a source's self-cell is its internal
+    * redundancy). Planted docs inherit their base document's source
+    * (doc_id − offset), so the matrix is exercised on this corpus.
+    * Scale shape: pair list → two doc_id-keyed joins against the
+    * (doc_id, source) projection (co-partitionable at scale, no
+    * broadcast of the corpus) → one O(sources²)-output aggregate;
+    * cells are canonicalized with least/greatest so the matrix is
+    * upper-triangular regardless of pair order. */
+  def q124SourceDupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val srcs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    def base(c: String) = expr(
+      s"CASE WHEN $c >= $PlantedOffset THEN $c - $PlantedOffset ELSE $c END")
+    q30DedupMinhashLsh(s, dir)
+      .select(base("doc_id_1").as("b1"), base("doc_id_2").as("b2"))
+      .join(srcs.select(col("doc_id").as("b1"), col("source").as("s1")),
+        "b1")
+      .join(srcs.select(col("doc_id").as("b2"), col("source").as("s2")),
+        "b2")
+      .groupBy(
+        least(col("s1"), col("s2")).as("source_1"),
+        greatest(col("s1"), col("s2")).as("source_2"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private def q124OracleSql: String =
+    s"""WITH $q30Ctes,
+        pairs AS ($q30SelectPairs),
+        m AS (SELECT least(s1.source, s2.source) AS source_1,
+                     greatest(s1.source, s2.source) AS source_2
+              FROM pairs p
+              JOIN documents s1 ON s1.doc_id =
+                CASE WHEN p.doc_id_1 >= $PlantedOffset
+                     THEN p.doc_id_1 - $PlantedOffset ELSE p.doc_id_1 END
+              JOIN documents s2 ON s2.doc_id =
+                CASE WHEN p.doc_id_2 >= $PlantedOffset
+                     THEN p.doc_id_2 - $PlantedOffset ELSE p.doc_id_2 END)
+        SELECT source_1, source_2, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM m GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------- q125
+
+  /** q125 — dedup SURVIVOR selection, the step that turns q63's cluster
+    * labels into an actual deduplicated corpus: per cluster keep the
+    * best document (longest text, ties to the smallest doc_id — a
+    * stand-in for the quality-score policy a production pipeline plugs
+    * in) and report the cluster size. q63 answers "which docs are the
+    * same"; this answers "which one do we KEEP" — the last mile of
+    * near-dup dedup that prepareCorpus applies with its min-id policy,
+    * here declared with a quality-ranked policy under the differential.
+    * Scale shape: one doc_id-keyed join (labels ⋈ lengths) and ONE
+    * cluster-keyed aggregate; the argmax is max(struct(len, −doc_id)) —
+    * partially aggregated map-side, no per-cluster window sort. */
+  def q125DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val lens = plantedDocs(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("bigint").as("len"))
+    q63DedupClusters(s, dir)
+      .join(lens, "doc_id")
+      .groupBy("cluster")
+      .agg(
+        max(struct(col("len"), (-col("doc_id")).as("nid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), (-col("m.nid")).as("survivor_id"),
+        col("n_members"))
+  }
+
+  private def q125OracleSql: String =
+    s"""WITH RECURSIVE $q30Ctes,
+        pairs AS ($q30SelectPairs),
+        edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+                  UNION ALL
+                  SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs),
+        reach(doc_id, lab) AS (
+          SELECT doc_id, doc_id FROM docs
+          UNION
+          SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst),
+        cl AS (SELECT doc_id, min(lab) AS cluster FROM reach GROUP BY doc_id),
+        j AS (SELECT c.cluster, d.doc_id,
+                CAST(length(d.text) AS BIGINT) AS len
+              FROM cl c JOIN docs d ON c.doc_id = d.doc_id)
+        SELECT cluster, doc_id AS survivor_id, n_members FROM (
+          SELECT cluster, doc_id,
+            row_number() OVER (PARTITION BY cluster
+              ORDER BY len DESC, doc_id) AS rn,
+            CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+              AS n_members
+          FROM j) WHERE rn = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_source_dup_matrix" -> (q124SourceDupMatrix _),
+    "q125_dedup_survivors" -> (q125DedupSurvivors _),
     "q119_embedding_clusters" -> (q119EmbeddingClusters _),
     "q110_containment_join" -> (q110ContainmentJoin _),
     "q101_setsim_join" -> (q101SetSimJoin _),
@@ -1012,6 +1107,8 @@ object Dedup {
     "q87_verify_candidates" -> (q87VerifyCandidates _))
 
   val oracleSql: Map[String, String] = Map(
+    "q124_source_dup_matrix" -> q124OracleSql,
+    "q125_dedup_survivors" -> q125OracleSql,
     "q119_embedding_clusters" -> q119OracleSql,
     "q110_containment_join" -> q110OracleSql,
     "q101_setsim_join" -> q101OracleSql,

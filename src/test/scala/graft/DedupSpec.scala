@@ -66,6 +66,41 @@ class DedupSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("q124 source matrix is canonical and conserves the pair count") {
+    val m = Dedup.q124SourceDupMatrix(spark, sf1).cache()
+    assert(m.filter(col("source_1") > col("source_2")).count() === 0L,
+      "matrix cells must be least/greatest-canonicalized")
+    val total = m.agg(sum("n_pairs")).head().getLong(0)
+    assert(total === Dedup.q30DedupMinhashLsh(spark, sf1).count(),
+      "every candidate pair lands in exactly one cell")
+    m.unpersist()
+  }
+
+  test("q125 keeps exactly one survivor per cluster — the longest " +
+    "member — and twin clusters keep the base document") {
+    val s = Dedup.q125DedupSurvivors(spark, sf1).cache()
+    val clusters = Dedup.q63DedupClusters(spark, sf1).cache()
+    // one row per cluster, members conserved
+    assert(s.count() === clusters.select("cluster").distinct().count())
+    assert(s.agg(sum("n_members")).head().getLong(0) === clusters.count())
+    // the survivor is a member of its own cluster
+    val orphan = s.join(clusters,
+      s("survivor_id") === clusters("doc_id") &&
+        s("cluster") === clusters("cluster"), "left_anti")
+    assert(orphan.count() === 0L, "survivor must belong to its cluster")
+    // a (base, base+offset) twin cluster keeps the base: the planted
+    // copy dropped a word, so the base text is strictly longer
+    val twinBases = s.filter(col("n_members") === 2L)
+      .join(clusters.filter(col("doc_id") >= Dedup.PlantedOffset)
+          .select(col("cluster"),
+            (col("doc_id") - Dedup.PlantedOffset).as("base_id")),
+        "cluster")
+      .filter(col("survivor_id") =!= col("base_id"))
+    assert(twinBases.count() === 0L,
+      "pure twin clusters must keep the longer base document")
+    s.unpersist(); clusters.unpersist()
+  }
+
   test("q30 emits no self-pairs and respects id ordering") {
     val pairs = Dedup.q30DedupMinhashLsh(spark, sf1)
     assert(pairs.filter(col("doc_id_1") >= col("doc_id_2")).count() === 0L)
