@@ -572,14 +572,20 @@ object Dedup {
           """array(struct(u AS a, v AS b), struct(v AS a, u AS b))"""))
           .as("e"))
         .select("e.*")
-      val mins = adj.groupBy("a").agg(min("b").as("mb"))
-        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      // per-neighborhood min via ONE whole-partition window on the adj
+      // shuffle instead of groupBy + join-back (which re-shuffled the
+      // kept rows a second time): every adj row sees its a's min in
+      // place, the filtered rewiring and the (a, m) self-edges both
+      // read it, and canon's distinct absorbs the duplicates the
+      // join-free form emits
+      val w = Window.partitionBy("a")
+      val withMin = adj.withColumn("m",
+        least(col("a"), min("b").over(w)))
       val kept =
-        if (large) adj.filter(col("b") > col("a"))
-        else adj.filter(col("b") <= col("a"))
-      canon(kept.join(mins, "a")
-        .select(col("b").as("u"), col("m").as("v"))
-        .unionByName(mins.select(col("a").as("u"), col("m").as("v"))))
+        if (large) withMin.filter(col("b") > col("a"))
+        else withMin.filter(col("b") <= col("a"))
+      canon(kept.select(col("b").as("u"), col("m").as("v"))
+        .unionByName(withMin.select(col("a").as("u"), col("m").as("v"))))
     }
 
     // localCheckpoint per round: an iterative plan that only CACHES
