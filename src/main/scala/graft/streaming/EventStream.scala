@@ -319,12 +319,43 @@ object EventStream {
     s.table(name)
   }
 
+  /** q126 — streaming EXACT DEDUP as a declared query (the ingest-time
+    * guard of the batch dedup family, q23/q30, previously unit-tested
+    * only): the events replay UNIONED WITH ITSELF — every event
+    * delivered twice, the worst-case at-least-once redelivery — flows
+    * through `dropDuplicatesWithinWatermark(event_id)`, and the sink
+    * must land on exactly the base table (event_ids are unique in it),
+    * which is the DuckDB oracle. State holds a seen key only until the
+    * watermark passes it — O(horizon) keys, not O(stream) — and the
+    * single-batch finite replay makes the redelivery in-horizon by
+    * construction, so exactly-once is total here and the differential
+    * hash-checks it. */
+  def q126StreamDedup(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q126_stream_dedup_mem"
+    s.catalog.dropTempView(name)
+    val doubled = readEvents(s, dir).unionByName(readEvents(s, dir))
+    val q = dedupStream(
+        doubled.select("event_id", "ts", "user_id", "event_type"),
+        "1 day")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
     "q109_stream_windows" -> (q109StreamWindows _),
     "q114_stream_profiles" -> (q114StreamProfiles _),
     "q117_stream_sessions" -> (q117StreamSessions _),
-    "q121_stream_interval_join" -> (q121StreamIntervalJoin _))
+    "q121_stream_interval_join" -> (q121StreamIntervalJoin _),
+    "q126_stream_dedup" -> (q126StreamDedup _))
 
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
@@ -373,7 +404,9 @@ object EventStream {
           SELECT c.click_id, p.purchase_id,
                  CAST(p.pus - c.cus AS BIGINT) AS gap_us
           FROM c JOIN p ON c.user_id = p.user_id
-            AND p.pus >= c.cus AND p.pus <= c.cus + $AttributionUs""")
+            AND p.pus >= c.cus AND p.pus <= c.cus + $AttributionUs""",
+    "q126_stream_dedup" ->
+      """SELECT event_id, user_id, event_type FROM events""")
 
   /** Start the windowed aggregation into an in-memory sink (complete mode:
     * every window stays queryable — right for tests; production would use
