@@ -790,13 +790,21 @@ object TextOps {
       .withColumn("toks", split(col("text"), " "))
       .withColumn("ps",
         coalesce(col("ps"), expr("CAST(array() AS ARRAY<BIGINT>)")))
-      // a token survives iff no boilerplate span [p, p + W - 1] covers it
+      // a token survives iff no boilerplate span [p, p + W - 1] covers
+      // it. Set-difference form: expand each mark to its clamped token
+      // range (|ps| is small — hot marks only) and subtract from the
+      // index sequence — native sequence/flatten/array_except instead
+      // of an interpreted O(len × |ps|) nested lambda; array_except
+      // preserves left-operand order, so the stitch order is unchanged
       .withColumn("keep", expr(
-        s"""filter(sequence(0, size(toks) - 1),
-             t -> size(filter(ps, p -> t >= p AND t <= p + ${W - 1})) = 0)"""))
+        s"""array_except(
+              sequence(CAST(0 AS BIGINT), CAST(size(toks) - 1 AS BIGINT)),
+              flatten(transform(ps,
+                p -> sequence(p, least(p + ${W - 1},
+                                       CAST(size(toks) - 1 AS BIGINT))))))"""))
       .select(col("doc_id"),
         md5(concat_ws(" ",
-          expr("transform(keep, i -> element_at(toks, i + 1))")))
+          expr("transform(keep, i -> element_at(toks, CAST(i + 1 AS INT)))")))
           .as("clean_md5"),
         (size(col("toks")) - size(col("keep"))).cast("bigint").as("n_cut"),
         // fixed-width spans merge iff consecutive sorted positions are
