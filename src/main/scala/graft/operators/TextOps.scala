@@ -773,6 +773,21 @@ object TextOps {
     * one narrow pass over documents joined 1:1 with its own mark array.
     * Nothing pairwise, nothing O(corpus²): removal cost is O(corpus
     * tokens) + O(hot marks). */
+  /** The surviving token indexes of a (toks, ps) row: a token survives
+    * iff no boilerplate span [p, p + W - 1] covers it. Set-difference
+    * form: expand each mark to its clamped token range (|ps| is small —
+    * hot marks only) and subtract from the index sequence — native
+    * sequence/flatten/array_except instead of an interpreted
+    * O(len × |ps|) nested lambda; array_except preserves left-operand
+    * order, so the stitch order is unchanged. Package-visible so the
+    * model-based property test runs the exact production expression. */
+  private[graft] val scrubKeepExpr: String =
+    s"""array_except(
+          sequence(CAST(0 AS BIGINT), CAST(size(toks) - 1 AS BIGINT)),
+          flatten(transform(ps,
+            p -> sequence(p, least(p + ${ScrubSpanTokens - 1},
+                                   CAST(size(toks) - 1 AS BIGINT))))))"""
+
   def q122BoilerplateScrub(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
     val W = ScrubSpanTokens
@@ -790,18 +805,7 @@ object TextOps {
       .withColumn("toks", split(col("text"), " "))
       .withColumn("ps",
         coalesce(col("ps"), expr("CAST(array() AS ARRAY<BIGINT>)")))
-      // a token survives iff no boilerplate span [p, p + W - 1] covers
-      // it. Set-difference form: expand each mark to its clamped token
-      // range (|ps| is small — hot marks only) and subtract from the
-      // index sequence — native sequence/flatten/array_except instead
-      // of an interpreted O(len × |ps|) nested lambda; array_except
-      // preserves left-operand order, so the stitch order is unchanged
-      .withColumn("keep", expr(
-        s"""array_except(
-              sequence(CAST(0 AS BIGINT), CAST(size(toks) - 1 AS BIGINT)),
-              flatten(transform(ps,
-                p -> sequence(p, least(p + ${W - 1},
-                                       CAST(size(toks) - 1 AS BIGINT))))))"""))
+      .withColumn("keep", expr(scrubKeepExpr))
       .select(col("doc_id"),
         md5(concat_ws(" ",
           expr("transform(keep, i -> element_at(toks, CAST(i + 1 AS INT)))")))

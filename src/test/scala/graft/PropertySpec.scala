@@ -145,6 +145,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q122's span-cut expression equals the brute-force coverage " +
+    "model on random mark layouts") {
+    import spark.implicits._
+    val W = graft.operators.TextOps.ScrubSpanTokens
+    val caseGen = for {
+      len <- Gen.choose(1, 40)
+      nMarks <- Gen.choose(0, 8)
+      ps <- Gen.listOfN(nMarks, Gen.choose(0L, math.max(0L, len - 3L)))
+    } yield (len, ps.distinct.sorted)
+    val cases = sample(caseGen, 150).zipWithIndex
+    val rows = cases.map { case ((len, ps), i) =>
+      (i, (0 until len).map(t => s"t$t"), ps)
+    }
+    val got = rows.toDF("i", "toks", "ps")
+      .select(col("i"),
+        expr(graft.operators.TextOps.scrubKeepExpr).as("keep"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    cases.foreach { case ((len, ps), i) =>
+      val model = (0L until len.toLong).filterNot(t =>
+        ps.exists(p => t >= p && t <= p + W - 1))
+      assert(got(i) === model, s"span cut mismatch for case #$i " +
+        s"(len=$len, ps=$ps)")
+    }
+  }
+
   test("centroid_argmax equals the scan-and-compare model on random data") {
     GraftFunctions.registerAll(spark)
     import spark.implicits._
