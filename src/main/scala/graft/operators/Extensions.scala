@@ -1042,8 +1042,122 @@ object Extensions {
        o_custkey, o_orderstatus
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
 
+  /** Bits per dimension of the q129 Morton curve (8 ⇒ 256 buckets per
+    * dim, 65 536 z-tiles). */
+  val ZBits = 8
+
+  /** z-tiles per file: z div 256 fixes the top $ZBits/2 bits of BOTH
+    * dims, so every file covers an exact 16×16 tile of bucket space. */
+  val ZFileTiles = 256L
+
+  private def mortonTerms(intDiv: String): String =
+    (0 until ZBits).map { i =>
+      s"(((bx $intDiv ${1L << i}) % 2) * ${1L << (2 * i)}) + " +
+        s"(((by $intDiv ${1L << i}) % 2) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+
+  /** q129 — Z-ORDER layout planning: the multi-dimensional clustering
+    * step behind data-skipping file layouts (Delta/Iceberg `OPTIMIZE
+    * ZORDER BY`): rank-free value bucketing of two dims (l_partkey,
+    * l_suppkey) to $ZBits bits each, bit-interleaved into a Morton
+    * z-value, files cut every $ZFileTiles z-tiles. Declared output is
+    * the per-file min/max stats table — exactly the row-group stats a
+    * scan would prune on: because z div $ZFileTiles fixes the high
+    * nibble of BOTH dims, every file spans ≤ 16 bucket values in EACH
+    * dimension, so a point filter on either column touches ≤ 1/16 of
+    * the files (vs everything under a single-column sort's stranger
+    * dim).
+    *
+    * Scale shape: the z-value is one narrow in-row integer expression
+    * (the global maxes it buckets against are a one-row broadcast); a
+    * production writer would `repartitionByRange(z)` and write — here
+    * the declared aggregate groups on the file id, one shuffle of
+    * O(files) partial rows. All-integer arithmetic ⇒ bit-exact
+    * differential. */
+  def q129ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+    val mx = li.agg(max("l_partkey").as("mxp"), max("l_suppkey").as("mxs"))
+    li.crossJoin(broadcast(mx))
+      .withColumn("bx",
+        expr(s"(l_partkey * ${1L << ZBits}) div (mxp + 1)"))
+      .withColumn("by",
+        expr(s"(l_suppkey * ${1L << ZBits}) div (mxs + 1)"))
+      .withColumn("z", expr(mortonTerms("div")))
+      .withColumn("file_id", expr(s"z div $ZFileTiles"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n"),
+        min("bx").as("min_x"), max("bx").as("max_x"),
+        min("by").as("min_y"), max("by").as("max_y"))
+  }
+
+  private def q129OracleSql: String =
+    s"""WITH mx AS (SELECT max(l_partkey) AS mxp, max(l_suppkey) AS mxs
+          FROM lineitem),
+        b AS (SELECT (l_partkey * ${1L << ZBits}) // (mxp + 1) AS bx,
+                     (l_suppkey * ${1L << ZBits}) // (mxs + 1) AS by
+              FROM lineitem, mx),
+        z AS (SELECT bx, by, ${mortonTerms("//")} AS z FROM b)
+        SELECT z // $ZFileTiles AS file_id, count(*) AS n,
+               min(bx) AS min_x, max(bx) AS max_x,
+               min(by) AS min_y, max(by) AS max_y
+        FROM z GROUP BY file_id"""
+
+  /** q132 — exact two-sample KOLMOGOROV–SMIRNOV drift statistic, the
+    * distribution-shift detector a training pipeline runs between data
+    * slices (old vs new crawl, source A vs source B): D = sup|F₁−F₂|
+    * over returned-vs-delivered lineitem quantities. Kept entirely in
+    * integers — the supremum is reported as max|c₁·n₂ − c₂·n₁| (the
+    * KS numerator over the common denominator n₁·n₂) with the smallest
+    * quantity attaining it — so the differential is bit-exact with no
+    * float CDF anywhere.
+    *
+    * Scale shape: ONE corpus pass partial-aggregates (qty → c₁, c₂)
+    * counts map-side; everything after — cumulative sums, totals, the
+    * argmax — rides the DOMAIN-sized frame (≤ 50 rows here; always
+    * |value domain|, never |corpus|), so the unpartitioned window is
+    * deliberate and safe at any corpus size. */
+  def q132KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("A", "N"))
+      .groupBy(col("l_quantity").cast("bigint").as("qty"))
+      .agg(
+        sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("a"),
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("b"))
+    val w = Window.orderBy("qty")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    counts
+      .withColumn("c1", sum("a").over(w))
+      .withColumn("c2", sum("b").over(w))
+      .withColumn("n1", sum("a").over(all))
+      .withColumn("n2", sum("b").over(all))
+      .withColumn("d", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+      .orderBy(col("d").desc, col("qty"))
+      .limit(1)
+      .select("n1", "n2", "d", "qty")
+  }
+
+  private def q132OracleSql: String =
+    """WITH counts AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+          CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS a,
+          CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+               AS BIGINT) AS b
+        FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY 1),
+        cum AS (SELECT qty,
+          sum(a) OVER (ORDER BY qty
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+          sum(b) OVER (ORDER BY qty
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+          sum(a) OVER () AS n1, sum(b) OVER () AS n2
+        FROM counts)
+        SELECT n1, n2, abs(c1 * n2 - c2 * n1) AS d, qty
+        FROM cum ORDER BY d DESC, qty LIMIT 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_bucketed_join" -> (q123BucketedJoin _),
+    "q129_zorder_layout" -> (q129ZorderLayout _),
+    "q132_ks_drift" -> (q132KsDrift _),
     "q116_pareto_front" -> (q116ParetoFront _),
     "q104_partition_stats" -> (q104PartitionStats _),
     "q106_winsorize" -> (q106Winsorize _),
@@ -1092,6 +1206,8 @@ object Extensions {
 
   val oracleSql: Map[String, String] = Map(
     "q116_pareto_front" -> q116OracleSql,
+    "q129_zorder_layout" -> q129OracleSql,
+    "q132_ks_drift" -> q132OracleSql,
     "q104_partition_stats" -> q104OracleSql,
     "q106_winsorize" -> q106OracleSql,
     "q107_shipping_priority" -> q107OracleSql,

@@ -565,8 +565,92 @@ object Pipeline {
                arg_max(cents, version) AS cents
         FROM u GROUP BY o_orderkey"""
 
+  /** q130 — declarative DATA-QUALITY CONSTRAINT suite (the Deequ-style
+    * audit a pipeline runs before admitting a batch): seven checks over
+    * lineitem — row count, key completeness, composite-PK uniqueness,
+    * two domain bounds, a date-ordering invariant, and referential
+    * integrity against orders — emitted as one long-format
+    * (check, violations, pass) table a gate can assert on. On this
+    * corpus six checks are green and `pk_unique` correctly reports the
+    * synthetic lineitem's real (orderkey, linenumber) duplication —
+    * the audit is demonstrably falsifiable, not vacuous (PipelineSpec
+    * pins the exact count against an independent recompute).
+    *
+    * Scale shape: checks 1–6 fold into ONE wide partial-aggregated
+    * corpus pass (count-distinct of the PK included — Spark plans it
+    * as the standard two-phase distinct-agg expand); the referential
+    * check is one LEFT ANTI broadcast/shuffle join reduced to a count.
+    * Both one-row frames cross-join (1×1) into the stack — nothing
+    * corpus-sized moves after the aggregates. All-integer output. */
+  def q130QualityConstraints(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val wide = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("nulls"),
+      (count(lit(1)) -
+        countDistinct(col("l_orderkey"), col("l_linenumber")))
+        .as("pk_dupes"),
+      sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+        .otherwise(0L)).as("qty_oob"),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.10, 1L)
+        .otherwise(0L)).as("disc_oob"),
+      sum(when(col("l_extendedprice") <= 0.0, 1L)
+        .otherwise(0L)).as("price_inv"))
+    val orphans = li.select("l_orderkey")
+      .join(t(s, dir, "orders").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    wide.crossJoin(orphans)
+      .selectExpr(
+        """stack(7,
+             'rowcount_nonzero',
+               CASE WHEN n > 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(1 AS BIGINT) END,
+             'orderkey_complete', nulls,
+             'pk_unique', pk_dupes,
+             'quantity_in_1_50', qty_oob,
+             'discount_in_0_10pct', disc_oob,
+             'price_positive', price_inv,
+             'orders_ref_integrity', orphans
+           ) AS (`check`, violations)""")
+      .withColumn("pass",
+        when(col("violations") === 0L, 1L).otherwise(0L))
+  }
+
+  private def q130OracleSql: String =
+    """WITH wide AS (SELECT count(*) AS n,
+          CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS nulls,
+          count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+            AS pk_dupes,
+          CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS qty_oob,
+          CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.10
+                        THEN 1 ELSE 0 END) AS BIGINT) AS disc_oob,
+          CAST(sum(CASE WHEN l_extendedprice <= 0.0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS price_inv
+        FROM lineitem),
+        orph AS (SELECT count(*) AS orphans FROM lineitem l
+                 LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 WHERE o.o_orderkey IS NULL),
+        long AS (
+          SELECT 'rowcount_nonzero' AS "check",
+            CASE WHEN n > 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(1 AS BIGINT) END AS violations FROM wide
+          UNION ALL SELECT 'orderkey_complete', nulls FROM wide
+          UNION ALL SELECT 'pk_unique', pk_dupes FROM wide
+          UNION ALL SELECT 'quantity_in_1_50', qty_oob FROM wide
+          UNION ALL SELECT 'discount_in_0_10pct', disc_oob FROM wide
+          UNION ALL SELECT 'price_positive', price_inv FROM wide
+          UNION ALL SELECT 'orders_ref_integrity', orphans FROM orph)
+        SELECT "check", violations,
+          CASE WHEN violations = 0 THEN CAST(1 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS pass
+        FROM long"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_merge_upsert" -> (q103MergeUpsert _),
+    "q130_quality_constraints" -> (q130QualityConstraints _),
     "q95_pack_sequences" -> (q95PackSequences _),
     "q97_mixture_weights" -> (q97MixtureWeights _),
     "q62_hash_split" -> (q62HashSplit _),
@@ -580,6 +664,7 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "q103_merge_upsert" -> q103OracleSql,
+    "q130_quality_constraints" -> q130OracleSql,
     "q95_pack_sequences" -> q95OracleSql,
     "q97_mixture_weights" -> q97OracleSql,
     "q62_hash_split" -> q62OracleSql,

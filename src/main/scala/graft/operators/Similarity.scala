@@ -509,8 +509,148 @@ object Similarity {
         SELECT label, cl AS cluster, count(*) AS n
         FROM pick GROUP BY label, cl"""
 
+  /** Cosine threshold above which two same-cell vectors count as
+    * semantic duplicates (shared with q33's SRP near-dup so the two
+    * recall surfaces are comparable). */
+  val SemDedupTau: Double = Dedup.CosineTau
+
+  /** q127 — SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus (here the q29 IVF cells —
+    * nearest-centroid assignment), then compare vectors ONLY within
+    * their cell and drop every vector that has a higher-cosine-than-τ
+    * neighbor with a smaller vec_id; the smallest such neighbor is the
+    * reported keeper. This is the embedding-space answer to q63's
+    * text-side cluster resolution, and the third member of the dedup
+    * triptych: exact (q23) → lexical near-dup (q30–q32) → semantic
+    * (here).
+    *
+    * Scale shape: assignment is the zero-corpus-shuffle in-row
+    * `centroid_argmax` (one broadcast centroid row); the ONLY shuffle
+    * is the self-join on cent_id, and pair volume is Σ|cell|² — bounded
+    * by growing #centroids with the corpus (√n cells keeps it linear),
+    * exactly the k-scaling SemDeDup prescribes. Nothing all-pairs, no
+    * window over the corpus; the final keeper/count aggregate
+    * partial-aggregates map-side on vec_id. */
+  def q127Semdedup(s: SparkSession, dir: String): DataFrame = {
+    val assign = assigned(vectors(s, dir))
+    val a = assign.as("a")
+    val b = assign.as("b")
+    a.join(b,
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        vec_dot(col("a.ed"), col("b.ed")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= SemDedupTau)
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("kept"))
+      .groupBy("vec_id")
+      .agg(min("kept").as("keeper"), count(lit(1)).as("n_dup_neighbors"))
+  }
+
+  private def q127OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+        cent AS (SELECT vec_id AS cent_id, ed AS ced, nrm AS cnrm
+                 FROM e WHERE vec_id < $NumCentroids),
+        assigned AS (SELECT vec_id, ed, nrm, cent_id FROM (
+          SELECT e.vec_id, e.ed, e.nrm, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.ed, c.ced) / (e.nrm * c.cnrm)
+                DESC, c.cent_id) AS rn
+          FROM e CROSS JOIN cent c) WHERE rn = 1),
+        p AS (SELECT b.vec_id AS vec_id, a.vec_id AS kept
+              FROM assigned a JOIN assigned b
+                ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+              WHERE list_dot_product(a.ed, b.ed) / (a.nrm * b.nrm)
+                      >= $SemDedupTau)
+        SELECT vec_id, min(kept) AS keeper,
+               count(*) AS n_dup_neighbors
+        FROM p GROUP BY vec_id"""
+
+  /** Stage-1 candidate pool size for the quantized prefilter. */
+  val RerankPool = 50
+
+  /** q128 — two-stage retrieval: int8-QUANTIZED prefilter, exact
+    * re-rank. Stage 1 scores every vector against the probe with the
+    * integer dot product of their q91-style int8 codes (4× less memory
+    * bandwidth than the float scan — the reason production indexes
+    * quantize) and keeps the top-$RerankPool by (qdot, vec_id); stage 2
+    * re-ranks ONLY that pool with the exact double cosine and returns
+    * top-$TopK (vec_id, rank). Completes the quantization story:
+    * q91 builds the codes, this query searches with them.
+    *
+    * The stage-1 score corrects the codes with the two per-vector
+    * scales — qdot · mx·pmx / (127²·nrm·pnrm) ≈ cosine — exactly how
+    * production int8 indexes score (codes + one float scale per
+    * vector; the raw integer dot alone is norm-biased and its recall
+    * collapses on mixed-norm corpora). Determinism: codes are exact
+    * integers (same floor/CASE text as q91 both engines), the
+    * correction is one deterministic IEEE multiply/divide with
+    * identical text both engines, and every rank tie-breaks on vec_id.
+    * Scale shape: stage 1 is one narrow scan +
+    * TakeOrderedAndProject (O(pool) rows cross the wire per
+    * partition); stage 2 is a window over $RerankPool rows — the
+    * corpus is never shuffled, never joined pairwise. */
+  def q128RerankAnn(s: SparkSession, dir: String): DataFrame = {
+    register(s)
+    val e = t(s, dir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(vec_dot(col("ed"), col("ed"))))
+      .withColumn("mx", expr("array_max(transform(ed, qv -> abs(qv)))"))
+      .withColumn("qed", expr(
+        """transform(ed, qv -> CAST(floor(CASE WHEN mx = 0 THEN 0.0
+             ELSE qv * 127.0 / mx END) AS DOUBLE))"""))
+      .select("vec_id", "ed", "nrm", "mx", "qed")
+    val probe = e.filter(col("vec_id") === 0L)
+      .select(col("ed").as("ped"), col("nrm").as("pnrm"),
+        col("mx").as("pmx"), col("qed").as("pqed"))
+    val pool = e.crossJoin(broadcast(probe))
+      .withColumn("qsim",
+        vec_dot(col("qed"), col("pqed")) * col("mx") * col("pmx") /
+          (lit(16129.0) * col("nrm") * col("pnrm")))
+      .orderBy(col("qsim").desc, col("vec_id"))
+      .limit(RerankPool)
+    pool
+      .withColumn("cos",
+        vec_dot(col("ed"), col("ped")) / (col("nrm") * col("pnrm")))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))).cast("bigint"))
+      .filter(col("rank") <= TopK)
+      .select("vec_id", "rank")
+  }
+
+  private def q128OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+        q AS (SELECT vec_id, ed, nrm,
+          list_max(list_transform(ed, av -> abs(av))) AS mx,
+          list_transform(ed, qv -> CAST(floor(CASE WHEN
+              list_max(list_transform(ed, av -> abs(av))) = 0 THEN 0.0
+            ELSE qv * 127.0 / list_max(list_transform(ed, av -> abs(av)))
+            END) AS DOUBLE)) AS qed
+        FROM e),
+        p AS (SELECT ed AS ped, nrm AS pnrm, mx AS pmx, qed AS pqed
+              FROM q WHERE vec_id = 0),
+        pool AS (SELECT vec_id, ed, nrm, ped, pnrm FROM (
+          SELECT q.vec_id, q.ed, q.nrm, p.ped, p.pnrm,
+            row_number() OVER (ORDER BY
+              list_dot_product(q.qed, p.pqed) * q.mx * p.pmx /
+                (16129.0 * q.nrm * p.pnrm) DESC,
+              q.vec_id) AS rn
+          FROM q, p) WHERE rn <= $RerankPool)
+        SELECT vec_id, rank FROM (
+          SELECT vec_id, CAST(row_number() OVER (ORDER BY
+            list_dot_product(ed, ped) / (nrm * pnrm) DESC, vec_id)
+            AS BIGINT) AS rank
+          FROM pool) WHERE rank <= $TopK"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_kmeans_refine" -> (q111KmeansRefine _),
+    "q127_semdedup" -> (q127Semdedup _),
+    "q128_rerank_ann" -> (q128RerankAnn _),
     "q120_multiprobe_ann" -> (q120MultiprobeAnn _),
     "q29_ann_ivf" -> (q29AnnIvf _),
     "q42_topk_per_label" -> (q42TopkPerLabel _),
@@ -521,6 +661,8 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "q111_kmeans_refine" -> q111OracleSql,
+    "q127_semdedup" -> q127OracleSql,
+    "q128_rerank_ann" -> q128OracleSql,
     "q120_multiprobe_ann" -> q120OracleSql,
     "q29_ann_ivf" -> q29OracleSql,
     "q42_topk_per_label" -> q42OracleSql,

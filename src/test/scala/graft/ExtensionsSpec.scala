@@ -344,4 +344,44 @@ class ExtensionsSpec extends SparkSpec {
     // every multi-word doc appears
     assert(nov.count() === docs.filter(col("nw") >= 2).count())
   }
+
+  test("q129 z-order files each cover one 16x16 bucket tile — the " +
+    "data-skipping guarantee") {
+    val files = Extensions.q129ZorderLayout(spark, sf1).collect()
+    assert(files.nonEmpty)
+    // z div 256 pins the interleaved high 4 bits of BOTH dims, so every
+    // file sits inside one 16×16 tile of (bx, by) space — the property
+    // that makes point filters on EITHER column prune 15/16 of files
+    val tile = 1 << (Extensions.ZBits / 2)
+    for (f <- files) {
+      val (minX, maxX) = (f.getLong(2), f.getLong(3))
+      val (minY, maxY) = (f.getLong(4), f.getLong(5))
+      assert(f.getLong(1) > 0L)
+      assert(minX / tile === maxX / tile,
+        s"file ${f.getLong(0)} straddles x-tiles [$minX, $maxX]")
+      assert(minY / tile === maxY / tile,
+        s"file ${f.getLong(0)} straddles y-tiles [$minY, $maxY]")
+    }
+  }
+
+  test("q132 KS numerator equals a direct recompute and respects bounds") {
+    val r = Extensions.q132KsDrift(spark, sf1).head()
+    val (n1, n2, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n1 > 0L && n2 > 0L)
+    assert(d >= 0L && d <= n1 * n2, "D/(n1·n2) must be a valid CDF gap")
+    // direct model: collect the two samples, walk the merged domain
+    val rows = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .filter(col("l_returnflag").isin("A", "N"))
+      .select(col("l_quantity").cast("bigint").as("q"),
+        col("l_returnflag").as("f"))
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val qs = rows.map(_._1).distinct.sorted
+    var (c1, c2, best) = (0L, 0L, 0L)
+    for (q <- qs) {
+      c1 += rows.count(x => x._1 == q && x._2 == "A")
+      c2 += rows.count(x => x._1 == q && x._2 == "N")
+      best = math.max(best, math.abs(c1 * n2 - c2 * n1))
+    }
+    assert(d === best, s"declared KS numerator $d != model $best")
+  }
 }

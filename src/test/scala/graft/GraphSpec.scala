@@ -49,4 +49,41 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getAs[Number]("id").longValue -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  test("q131 recursive-CTE hops equal an explicit BFS over the same graph") {
+    val got = Graph.q131Reachability(spark, sf1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) === 0L, "the seed reaches itself in 0 hops")
+    assert(got.values.forall(_ <= Graph.MaxHops))
+    // independent model: collect the same rarity-ranked corridor list
+    // and run a driver-side BFS (fine in a test; the operator itself
+    // never collects)
+    val edges = spark.sql(
+      s"""SELECT src, dst FROM (
+            SELECT src, dst, row_number() OVER (ORDER BY cnt, src, dst)
+              AS rn
+            FROM (SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+                    CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS cnt
+                  FROM g131_lineitem l
+                  JOIN g131_orders o ON l.l_orderkey = o.o_orderkey
+                  JOIN g131_customer c ON o.o_custkey = c.c_custkey
+                  JOIN g131_supplier s ON l.l_suppkey = s.s_suppkey
+                  WHERE c.c_nationkey <> s.s_nationkey
+                  GROUP BY 1, 2) g) rk
+          WHERE rn <= ${Graph.RareEdges}""").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val dist = scala.collection.mutable.Map(0L -> 0L)
+    var frontier = Set(0L)
+    var hop = 0L
+    while (frontier.nonEmpty && hop < Graph.MaxHops) {
+      hop += 1
+      frontier = frontier.flatMap(n =>
+          edges.getOrElse(n, Array.empty[Long]))
+        .filterNot(n => dist.contains(n))
+      frontier.foreach(n => dist(n) = hop)
+    }
+    assert(got === dist.toMap,
+      s"recursive CTE ${got.toSeq.sorted} != BFS ${dist.toSeq.sorted}")
+  }
 }

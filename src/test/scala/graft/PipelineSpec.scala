@@ -321,4 +321,27 @@ class PipelineSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Boolean]("within_band")))
   }
+
+  test("q130 quality constraints: clean checks green, and the audit " +
+    "actually CATCHES the testdata's real PK duplication") {
+    val audit = Pipeline.q130QualityConstraints(spark, sf1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit.size === 7, s"expected 7 checks, got ${audit.keySet}")
+    for ((check, (violations, pass)) <- audit)
+      assert(pass === (if (violations == 0L) 1L else 0L), s"$check")
+    // the synthetic lineitem genuinely repeats (l_orderkey,
+    // l_linenumber) pairs — the audit's job is to SAY so (pass=0 with
+    // the exact count), which also proves the suite is falsifiable
+    val expected = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .agg((count(lit(1)) -
+        countDistinct(col("l_orderkey"), col("l_linenumber"))).as("d"))
+      .head().getLong(0)
+    assert(expected > 0L, "testdata was expected to carry PK dupes")
+    assert(audit("pk_unique") === ((expected, 0L)),
+      s"pk_unique should report exactly $expected violations")
+    for (green <- Seq("rowcount_nonzero", "orderkey_complete",
+        "quantity_in_1_50", "discount_in_0_10pct", "price_positive",
+        "orders_ref_integrity"))
+      assert(audit(green)._2 === 1L, s"$green should be green")
+  }
 }

@@ -184,6 +184,58 @@ class ScalePathSpec extends SparkSpec {
       s"rank-1 should be the probe itself: ${self.toSeq}")
   }
 
+  test("q127 semdedup pairs only within IVF cells and every drop names " +
+    "a smaller same-cell keeper") {
+    val S = graft.operators.Similarity
+    val df = S.q127Semdedup(spark, sf1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"semdedup must pair via the cell equi-join, not all-pairs:\n$plan")
+    val cell = S.assigned(S.vectors(spark, sf1))
+      .select("vec_id", "cent_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "τ should drop something on this corpus")
+    for ((v, keeper, n) <- rows) {
+      assert(keeper < v, s"keeper $keeper must precede dropped $v")
+      assert(cell(keeper) === cell(v),
+        s"keeper $keeper (cell ${cell(keeper)}) not in $v's cell ${cell(v)}")
+      assert(n >= 1L)
+    }
+  }
+
+  test("q128 rerank: stage 1 is a bounded TakeOrderedAndProject and the " +
+    "scale-corrected int8 prefilter recalls the exact top-k") {
+    val S = graft.operators.Similarity
+    val df = S.q128RerankAnn(spark, sf1)
+    val plan = df.queryExecution.executedPlan.toString
+    // the candidate cut must reduce through orderBy.limit(pool) — a
+    // global row_number over the corpus would plan a single-partition
+    // Exchange under a Window instead
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"stage-1 pool must be a bounded top-${S.RerankPool}:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.find(_._2 == 1L).map(_._1) === Some(0L),
+      s"rank 1 should be the probe itself: ${got.toSeq}")
+    // exact ground truth: brute-force cosine top-k
+    val e = S.vectors(spark, sf1)
+    val probe = e.filter(col("vec_id") === 0L)
+      .select(col("ed").as("ped"), col("nrm").as("pnrm"))
+    val exact = e.crossJoin(broadcast(probe))
+      .withColumn("pcos",
+        graft.functions.VectorFunctions.vec_dot(col("ed"), col("ped")) /
+          (col("nrm") * col("pnrm")))
+      .orderBy(col("pcos").desc, col("vec_id"))
+      .limit(S.TopK)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val hits = got.count(g => exact.contains(g._1))
+    // measured 10/10 at every SF once the per-vector scales correct the
+    // raw integer dot; ≥8 guards against benign testdata regeneration
+    assert(hits >= 8,
+      s"int8 prefilter recalled only $hits/${S.TopK} exact neighbors")
+  }
+
   test("q110/q113 candidate joins are equi-joins, never cartesian") {
     for ((name, df) <- Seq(
         "q110" -> graft.operators.Dedup.q110ContainmentJoin(spark, sf1),
