@@ -128,7 +128,15 @@ class PropertySpec extends SparkSpec {
       "q71" -> (graft.operators.Dedup.q71SimhashHamming _),
       "q120" -> (graft.operators.Similarity.q120MultiprobeAnn _),
       "q122" -> (graft.operators.TextOps.q122BoilerplateScrub _),
-      "q123" -> (graft.operators.Extensions.q123BucketedJoin _))
+      "q123" -> (graft.operators.Extensions.q123BucketedJoin _),
+      // round 6b: cell self-join dedup, two-stage rerank, z-order agg,
+      // recursive-CTE frontier joins, domain-frame KS windows
+      "q127" -> (graft.operators.Similarity.q127Semdedup _),
+      "q128" -> (graft.operators.Similarity.q128RerankAnn _),
+      "q129" -> (graft.operators.Extensions.q129ZorderLayout _),
+      "q130" -> (graft.operators.Pipeline.q130QualityConstraints _),
+      "q131" -> (graft.operators.Graph.q131Reachability _),
+      "q132" -> (graft.operators.Extensions.q132KsDrift _))
     for ((name, fn) <- fns) {
       val before = spark.conf.get("spark.sql.shuffle.partitions")
       val a = fn(spark, sf1).collect().map(_.toString).sorted
