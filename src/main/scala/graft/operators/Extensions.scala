@@ -1154,10 +1154,65 @@ object Extensions {
         SELECT n1, n2, abs(c1 * n2 - c2 * n1) AS d, qty
         FROM cum ORDER BY d DESC, qty LIMIT 1"""
 
+  /** q134 — ordered FUNNEL analysis (view → click → purchase): per
+    * user, the earliest view, the earliest click strictly AFTER that
+    * view, the earliest purchase strictly after that click; declared
+    * output is users-per-step — the product-analytics sequence query
+    * (and the event-ordering shape training pipelines run to mine
+    * interaction trajectories). Step events are ordered on the same
+    * collision-free integer key as q92 (epoch second × 10⁷ + event_id)
+    * so "strictly after" is a total order both engines agree on — no
+    * sub-second timestamp-precision hazard.
+    *
+    * Scale shape: three filtered partial-aggregated min-aggs, chained
+    * by user-keyed equi-joins with a range residual — each stage's
+    * frame shrinks (only users who survived the previous step), and
+    * nothing is windowed over the raw event stream. The 3-row output
+    * unions three one-row counts. */
+  def q134Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        (unix_timestamp(col("ts")) * AttribKeyScale + col("event_id"))
+          .as("k"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("k").as("k1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("k") > col("k1"))
+      .groupBy("user_id").agg(min("k").as("k2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("k") > col("k2"))
+      .groupBy("user_id").agg(min("k").as("k3"))
+    v.agg(count(lit(1)).as("users")).select(lit("1_view").as("step"),
+        col("users"))
+      .unionByName(c.agg(count(lit(1)).as("users"))
+        .select(lit("2_click").as("step"), col("users")))
+      .unionByName(p.agg(count(lit(1)).as("users"))
+        .select(lit("3_purchase").as("step"), col("users")))
+  }
+
+  private def q134OracleSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type,
+          (epoch_ns(ts) // 1000000000) * $AttribKeyScale + event_id AS k
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')),
+        v AS (SELECT user_id, min(k) AS k1 FROM ev
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT ev.user_id, min(ev.k) AS k2 FROM ev
+              JOIN v ON ev.user_id = v.user_id AND ev.k > v.k1
+              WHERE ev.event_type = 'click' GROUP BY ev.user_id),
+        p AS (SELECT ev.user_id, min(ev.k) AS k3 FROM ev
+              JOIN c ON ev.user_id = c.user_id AND ev.k > c.k2
+              WHERE ev.event_type = 'purchase' GROUP BY ev.user_id)
+        SELECT '1_view' AS step, count(*) AS users FROM v
+        UNION ALL SELECT '2_click', count(*) FROM c
+        UNION ALL SELECT '3_purchase', count(*) FROM p"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_bucketed_join" -> (q123BucketedJoin _),
     "q129_zorder_layout" -> (q129ZorderLayout _),
     "q132_ks_drift" -> (q132KsDrift _),
+    "q134_funnel" -> (q134Funnel _),
     "q116_pareto_front" -> (q116ParetoFront _),
     "q104_partition_stats" -> (q104PartitionStats _),
     "q106_winsorize" -> (q106Winsorize _),
@@ -1208,6 +1263,7 @@ object Extensions {
     "q116_pareto_front" -> q116OracleSql,
     "q129_zorder_layout" -> q129OracleSql,
     "q132_ks_drift" -> q132OracleSql,
+    "q134_funnel" -> q134OracleSql,
     "q104_partition_stats" -> q104OracleSql,
     "q106_winsorize" -> q106OracleSql,
     "q107_shipping_priority" -> q107OracleSql,

@@ -648,9 +648,63 @@ object Pipeline {
                ELSE CAST(0 AS BIGINT) END AS pass
         FROM long"""
 
+  /** Retention-probability denominator for q135 (ppm). */
+  val SampleMod = 1000000L
+
+  /** q135 — MIXTURE APPLICATION: materialize q97's per-source token-
+    * rebalancing weights as an actual deterministic sample — keep a
+    * document iff LCG(doc_id) mod 10⁶ < min(weight_ppm, 10⁶). This is
+    * the missing half of the mixture story: q97 COMPUTES the target
+    * weights, this query ENFORCES them (downsampling oversized sources;
+    * sources with weight ≥ 1 keep everything — upsampling is a repeat
+    * factor the sequence-packer q95 applies, not a sampling decision).
+    * Declared output is the per-source audit (n_docs, n_kept,
+    * target_ppm).
+    *
+    * The sampling hash is a pure-integer LCG on doc_id (identical
+    * arithmetic both engines — no float, no engine hash), so the KEPT
+    * SET itself is deterministic and portable, not just the counts:
+    * re-running admission on any engine keeps exactly the same
+    * documents — the property incremental corpus rebuilds rely on.
+    * Scale shape: one broadcast of the O(sources) weight frame, one
+    * narrow per-row keep decision, one partial-aggregated rollup. */
+  def q135MixtureApply(s: SparkSession, dir: String): DataFrame = {
+    val w = q97MixtureWeights(s, dir).select("source", "weight_ppm")
+    t(s, dir, "documents").select("doc_id", "source")
+      .join(broadcast(w), "source")
+      .withColumn("h",
+        expr("(doc_id * 1103515245 + 12345) % 2147483647"))
+      .withColumn("keep",
+        (col("h") % SampleMod) < least(col("weight_ppm"), lit(SampleMod)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        max(least(col("weight_ppm"), lit(SampleMod))).as("target_ppm"))
+  }
+
+  private def q135OracleSql: String =
+    s"""WITH per_source AS (SELECT source, count(*) AS n_docs,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+        FROM documents GROUP BY source),
+        w AS (SELECT source,
+          (((SELECT CAST(sum(src_tokens) AS BIGINT) FROM per_source) //
+            (SELECT count(*) FROM per_source)) * 1000000) // src_tokens
+            AS weight_ppm
+        FROM per_source),
+        d AS (SELECT doc_id, d0.source, weight_ppm,
+          (doc_id * 1103515245 + 12345) % 2147483647 AS h
+        FROM documents d0 JOIN w ON d0.source = w.source)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN h % $SampleMod <
+            least(weight_ppm, $SampleMod) THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept,
+          max(least(weight_ppm, $SampleMod)) AS target_ppm
+        FROM d GROUP BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_merge_upsert" -> (q103MergeUpsert _),
     "q130_quality_constraints" -> (q130QualityConstraints _),
+    "q135_mixture_apply" -> (q135MixtureApply _),
     "q95_pack_sequences" -> (q95PackSequences _),
     "q97_mixture_weights" -> (q97MixtureWeights _),
     "q62_hash_split" -> (q62HashSplit _),
@@ -665,6 +719,7 @@ object Pipeline {
   val oracleSql: Map[String, String] = Map(
     "q103_merge_upsert" -> q103OracleSql,
     "q130_quality_constraints" -> q130OracleSql,
+    "q135_mixture_apply" -> q135OracleSql,
     "q95_pack_sequences" -> q95OracleSql,
     "q97_mixture_weights" -> q97OracleSql,
     "q62_hash_split" -> q62OracleSql,

@@ -647,10 +647,108 @@ object Similarity {
             AS BIGINT) AS rank
           FROM pool) WHERE rank <= $TopK"""
 
+  /** Picks for q133's diverse selection; trade-off λ = 0.7. */
+  val MmrK = 10
+
+  /** q133 — MAXIMAL MARGINAL RELEVANCE selection (Carbonell & Goldstein
+    * 1998): greedily pick $MmrK vectors maximizing
+    * 0.7·relevance − 0.3·max-similarity-to-already-picked — the
+    * diverse-subset step curation runs when the top-k by relevance
+    * alone is redundant (near-identical docs crowd the head). Output is
+    * (vec_id, pick) — the selection order IS the diversity ranking.
+    *
+    * Scale shape: relevance scoring is the same one narrow corpus scan
+    * + TakeOrderedAndProject as q128; the greedy loop then runs
+    * ENTIRELY on the $RerankPool-row checkpointed pool (bounded,
+    * corpus-independent): each of the $MmrK−1 rounds is an anti-join +
+    * a broadcast of the ≤$MmrK selected rows + one argmax — tiny fixed
+    * work, `localCheckpoint` per round exactly like [[Graph.pageRank]]
+    * so the plan never compounds. Nothing after the pool cut touches
+    * the corpus; no driver-side collect anywhere.
+    *
+    * Determinism: every cosine is the same sequential-fold `vec_dot`
+    * text as the oracle's list_dot_product; `max` over doubles is
+    * order-independent; every argmax tie-breaks on vec_id. The oracle
+    * replays the identical greedy chain as generated MATERIALIZED CTE
+    * steps (materialization keeps DuckDB's planning linear, as the
+    * checkpoints do for Spark). */
+  def q133MmrSelect(s: SparkSession, dir: String): DataFrame = {
+    val e = vectors(s, dir)
+    val probe = e.filter(col("vec_id") === 0L)
+      .select(col("ed").as("ped"), col("nrm").as("pnrm"))
+    val pool = e.crossJoin(broadcast(probe))
+      .withColumn("rel",
+        vec_dot(col("ed"), col("ped")) / (col("nrm") * col("pnrm")))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(RerankPool)
+      .select("vec_id", "ed", "nrm", "rel")
+      .localCheckpoint(true)
+    var sel = pool.orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("ed").as("sed"), col("nrm").as("snrm"),
+        lit(1L).as("pick"))
+      .localCheckpoint(true)
+    for (k <- 2 to MmrK) {
+      val scored = pool
+        .join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(sel.select("sed", "snrm")))
+        .withColumn("simsel",
+          vec_dot(col("ed"), col("sed")) / (col("nrm") * col("snrm")))
+        .groupBy("vec_id", "rel")
+        .agg(max("simsel").as("maxsim"))
+        .withColumn("score", expr("0.7 * rel - 0.3 * maxsim"))
+      val next = scored
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1)
+        .select("vec_id")
+        .join(pool, Seq("vec_id"))
+        .select(col("vec_id"), col("ed").as("sed"),
+          col("nrm").as("snrm"), lit(k.toLong).as("pick"))
+      sel = sel.unionByName(next).localCheckpoint(true)
+    }
+    sel.select("vec_id", "pick")
+  }
+
+  private def q133OracleSql: String = {
+    val steps = (2 to MmrK).map { k =>
+      s"""s$k AS MATERIALIZED (
+            SELECT vec_id, CAST($k AS BIGINT) AS pick FROM (
+              SELECT p.vec_id,
+                0.7 * p.rel - 0.3 * max(
+                  list_dot_product(p.ed, q.ed) / (p.nrm * q.nrm))
+                  AS score
+              FROM pool p
+              JOIN sel${k - 1} sv ON TRUE
+              JOIN pool q ON q.vec_id = sv.vec_id
+              WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+              GROUP BY p.vec_id, p.rel
+              ORDER BY score DESC, p.vec_id LIMIT 1)),
+          sel$k AS MATERIALIZED (
+            SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM s$k)"""
+    }.mkString(",\n        ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+        p0 AS (SELECT ed AS ped, nrm AS pnrm FROM e WHERE vec_id = 0),
+        pool AS MATERIALIZED (SELECT vec_id, ed, nrm, rel FROM (
+          SELECT e.vec_id, e.ed, e.nrm,
+            list_dot_product(e.ed, p0.ped) / (e.nrm * p0.pnrm) AS rel,
+            row_number() OVER (ORDER BY
+              list_dot_product(e.ed, p0.ped) / (e.nrm * p0.pnrm) DESC,
+              e.vec_id) AS rn
+          FROM e, p0) WHERE rn <= $RerankPool),
+        sel1 AS MATERIALIZED (
+          SELECT vec_id, CAST(1 AS BIGINT) AS pick FROM pool
+          ORDER BY rel DESC, vec_id LIMIT 1),
+        $steps
+        SELECT vec_id, pick FROM sel$MmrK"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_kmeans_refine" -> (q111KmeansRefine _),
     "q127_semdedup" -> (q127Semdedup _),
     "q128_rerank_ann" -> (q128RerankAnn _),
+    "q133_mmr_select" -> (q133MmrSelect _),
     "q120_multiprobe_ann" -> (q120MultiprobeAnn _),
     "q29_ann_ivf" -> (q29AnnIvf _),
     "q42_topk_per_label" -> (q42TopkPerLabel _),
@@ -663,6 +761,7 @@ object Similarity {
     "q111_kmeans_refine" -> q111OracleSql,
     "q127_semdedup" -> q127OracleSql,
     "q128_rerank_ann" -> q128OracleSql,
+    "q133_mmr_select" -> q133OracleSql,
     "q120_multiprobe_ann" -> q120OracleSql,
     "q29_ann_ivf" -> q29OracleSql,
     "q42_topk_per_label" -> q42OracleSql,

@@ -849,8 +849,66 @@ object TextOps {
         FROM k"""
   }
 
+  /** Vocabulary sizes probed by the q136 coverage curve. */
+  val CoverageKs: Seq[Int] = Seq(10, 50, 100, 500)
+
+  /** q136 — VOCABULARY COVERAGE curve: for each candidate vocab size k,
+    * the exact fraction of corpus token OCCURRENCES covered by the top-k
+    * tokens (rank = count desc, token asc — q108's ordering) — the
+    * Zipf-curve measurement that sizes a tokenizer's vocab / OOV budget
+    * before training one. Output (k, covered_tokens, total_tokens,
+    * coverage_ppm) in exact integers.
+    *
+    * Scale shape: ONE corpus-bearing shuffle (the token census,
+    * partial-aggregated map-side); the top-max(k) cut reduces through
+    * TakeOrderedAndProject (never a global sort), ranks and the
+    * per-k sums ride the max(k)-row frame, and the corpus total is a
+    * window over the census' partials — O(vocab) rows, the corpus is
+    * scanned once. */
+  def q136VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kMax = CoverageKs.max
+    val census = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = census.agg(sum("c").cast("bigint").as("total_tokens"))
+    val top = census.orderBy(col("c").desc, col("tok")).limit(kMax)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+    val ks = CoverageKs.map(k => s"${k}L").mkString("array(", ", ", ")")
+    top.select(col("c"), col("rank"),
+        explode(expr(ks)).as("k"))
+      .filter(col("rank") <= col("k"))
+      .groupBy("k")
+      .agg(sum("c").cast("bigint").as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage_ppm",
+        expr("(covered_tokens * 1000000) div total_tokens"))
+  }
+
+  private def q136OracleSql: String = {
+    val kMax = CoverageKs.max
+    val ks = CoverageKs.mkString("[", ", ", "]")
+    s"""WITH census AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents) GROUP BY tok),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens
+                FROM census),
+        top AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok)
+                  AS rank
+                FROM census ORDER BY c DESC, tok LIMIT $kMax),
+        x AS (SELECT CAST(unnest($ks) AS BIGINT) AS k)
+        SELECT k, CAST(sum(c) AS BIGINT) AS covered_tokens,
+               total_tokens,
+               (CAST(sum(c) AS BIGINT) * 1000000) // total_tokens
+                 AS coverage_ppm
+        FROM top, x, tot WHERE rank <= k
+        GROUP BY k, total_tokens"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_fingerprint_match" -> (q113FingerprintMatch _),
+    "q136_vocab_coverage" -> (q136VocabCoverage _),
     "q122_boilerplate_scrub" -> (q122BoilerplateScrub _),
     "q112_bigram_novelty" -> (q112BigramNovelty _),
     "q102_winnowing" -> (q102Winnowing _),
@@ -870,6 +928,7 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q136_vocab_coverage" -> q136OracleSql,
     "q113_fingerprint_match" -> q113OracleSql,
     "q122_boilerplate_scrub" -> q122OracleSql,
     "q112_bigram_novelty" -> q112OracleSql,

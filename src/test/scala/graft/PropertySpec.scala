@@ -136,7 +136,11 @@ class PropertySpec extends SparkSpec {
       "q129" -> (graft.operators.Extensions.q129ZorderLayout _),
       "q130" -> (graft.operators.Pipeline.q130QualityConstraints _),
       "q131" -> (graft.operators.Graph.q131Reachability _),
-      "q132" -> (graft.operators.Extensions.q132KsDrift _))
+      "q132" -> (graft.operators.Extensions.q132KsDrift _),
+      "q133" -> (graft.operators.Similarity.q133MmrSelect _),
+      "q134" -> (graft.operators.Extensions.q134Funnel _),
+      "q135" -> (graft.operators.Pipeline.q135MixtureApply _),
+      "q136" -> (graft.operators.TextOps.q136VocabCoverage _))
     for ((name, fn) <- fns) {
       val before = spark.conf.get("spark.sql.shuffle.partitions")
       val a = fn(spark, sf1).collect().map(_.toString).sorted

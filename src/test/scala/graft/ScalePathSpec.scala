@@ -236,6 +236,91 @@ class ScalePathSpec extends SparkSpec {
       s"int8 prefilter recalled only $hits/${S.TopK} exact neighbors")
   }
 
+  test("q133 MMR equals the exact greedy model over the collected pool") {
+    val S = graft.operators.Similarity
+    val got = S.q133MmrSelect(spark, sf1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._2)
+    assert(got.map(_._2).toSeq === (1L to S.MmrK).toSeq)
+    assert(got.map(_._1).distinct.length === S.MmrK, "picks must be unique")
+    // exact model: collect the same relevance-ranked pool, run the
+    // greedy loop in Scala with the same fold-order dot product
+    val e = S.vectors(spark, sf1)
+    val probe = e.filter(col("vec_id") === 0L)
+      .select(col("ed").as("ped"), col("nrm").as("pnrm"))
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+    val pool = e.crossJoin(broadcast(probe))
+      .withColumn("rel",
+        graft.functions.VectorFunctions.vec_dot(col("ed"), col("ped")) /
+          (col("nrm") * col("pnrm")))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(S.RerankPool)
+      .select("vec_id", "ed", "nrm", "rel")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(3),
+        r.getDouble(2)))
+    var sel = List(pool.maxBy(p => (p._3, -p._1))._1)
+    val byId = pool.map(p => p._1 -> p).toMap
+    while (sel.length < S.MmrK) {
+      val cand = pool.filterNot(p => sel.contains(p._1)).map { p =>
+        val maxsim = sel.map { sid =>
+          val sv = byId(sid)
+          dot(p._2, sv._2) / (p._4 * sv._4)
+        }.max
+        (p._1, 0.7 * p._3 - 0.3 * maxsim)
+      }
+      sel = sel :+ cand.maxBy(c => (c._2, -c._1))._1
+    }
+    assert(got.map(_._1).toSeq === sel,
+      s"engine picks ${got.map(_._1).toSeq} != model $sel")
+    // diversity must actually bite: the MMR set differs from pure top-k
+    val topk = pool.sortBy(p => (-p._3, p._1)).take(S.MmrK).map(_._1).toSet
+    assert(got.map(_._1).toSet !== topk,
+      "λ=0.7 should trade some relevance for diversity on this corpus")
+  }
+
+  test("q134 funnel counts are monotone down the sequence") {
+    val m = graft.operators.Extensions.q134Funnel(spark, sf1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet === Set("1_view", "2_click", "3_purchase"))
+    assert(m("1_view") >= m("2_click"),
+      "a click conversion needs a prior view")
+    assert(m("2_click") >= m("3_purchase"),
+      "a purchase conversion needs a prior click")
+    assert(m("1_view") > 0L)
+  }
+
+  test("q135 mixture sampling honors the capped retention contract") {
+    val rows = graft.operators.Pipeline.q135MixtureApply(spark, sf1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((src, nDocs, nKept, ppm) <- rows) {
+      assert(nKept <= nDocs, src)
+      assert(ppm >= 0L && ppm <= graft.operators.Pipeline.SampleMod, src)
+      if (ppm == graft.operators.Pipeline.SampleMod)
+        assert(nKept === nDocs, s"$src at weight >= 1 must keep all")
+    }
+    // the mixture must genuinely downsample somewhere, or it's vacuous
+    assert(rows.exists(r => r._3 < r._2),
+      "expected at least one down-weighted source")
+  }
+
+  test("q136 coverage curve is monotone and well-formed") {
+    val rows = graft.operators.TextOps.q136VocabCoverage(spark, sf1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq ===
+      graft.operators.TextOps.CoverageKs.map(_.toLong))
+    val total = rows.head._3
+    assert(rows.forall(_._3 == total))
+    assert(rows.forall(r => r._2 <= r._3 && r._4 <= 1000000L))
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted,
+      "coverage must be nondecreasing in k")
+    assert(rows.last._2 > rows.head._2,
+      "larger vocab should cover strictly more on a Zipfian census")
+  }
+
   test("q110/q113 candidate joins are equi-joins, never cartesian") {
     for ((name, df) <- Seq(
         "q110" -> graft.operators.Dedup.q110ContainmentJoin(spark, sf1),
