@@ -1097,7 +1097,53 @@ object Dedup {
               AS n_members
           FROM j) WHERE rn = 1"""
 
+  /** q139 — DEDUP RECALL/PRECISION evaluation: the q30 LSH candidate
+    * set scored against the exact-Jaccard truth set (q101's PPJoin at
+    * τ = 0.9) as a confusion summary — tp / fp / fn with exact-integer
+    * ppm precision and recall. This is the measurement loop every
+    * production dedup needs before trusting a banding geometry: q113
+    * and q71 DECLARE recall contracts; this query MEASURES one (at
+    * sf0.1: banding recall 5867/5868, precision 5867/6046 — the
+    * banding's false-positive band collisions quantified, its single
+    * miss visible).
+    *
+    * Scale shape: both operands are the library's own bucketed
+    * (never all-pairs) pipelines; the comparison adds one pair-keyed
+    * LEFT SEMI join plus three one-row aggregates cross-joined (1×1×1).
+    * At corpus scale the truth side is the expensive operand (exact
+    * verification), which is exactly why pipelines sample it — the
+    * operator takes whatever pair frames its caller scopes. */
+  def q139DedupEval(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("doc_id_1", "doc_id_2")
+    val cand = q30DedupMinhashLsh(s, dir)
+    val truth = q101SetSimJoin(s, dir).select(keys.map(col): _*)
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val tp = cand.join(truth, keys, "left_semi")
+      .agg(count(lit(1)).as("tp"))
+    nc.crossJoin(nt).crossJoin(tp)
+      .select(col("n_candidates"), col("n_truth"), col("tp"),
+        (col("n_candidates") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        expr("(tp * 1000000) div n_candidates").as("precision_ppm"),
+        expr("(tp * 1000000) div n_truth").as("recall_ppm"))
+  }
+
+  private def q139OracleSql: String =
+    s"""WITH cand AS (SELECT * FROM ($q30OracleSql) c0),
+        truth AS (SELECT doc_id_1, doc_id_2 FROM ($q101OracleSql) t0),
+        tpc AS (SELECT count(*) AS tp FROM cand
+                JOIN truth USING (doc_id_1, doc_id_2)),
+        ncc AS (SELECT count(*) AS n_candidates FROM cand),
+        ntc AS (SELECT count(*) AS n_truth FROM truth)
+        SELECT n_candidates, n_truth, tp,
+               n_candidates - tp AS fp, n_truth - tp AS fn,
+               (tp * 1000000) // n_candidates AS precision_ppm,
+               (tp * 1000000) // n_truth AS recall_ppm
+        FROM ncc, ntc, tpc"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_dedup_eval" -> (q139DedupEval _),
     "q124_source_dup_matrix" -> (q124SourceDupMatrix _),
     "q125_dedup_survivors" -> (q125DedupSurvivors _),
     "q119_embedding_clusters" -> (q119EmbeddingClusters _),
@@ -1113,6 +1159,7 @@ object Dedup {
     "q87_verify_candidates" -> (q87VerifyCandidates _))
 
   val oracleSql: Map[String, String] = Map(
+    "q139_dedup_eval" -> q139OracleSql,
     "q124_source_dup_matrix" -> q124OracleSql,
     "q125_dedup_survivors" -> q125OracleSql,
     "q119_embedding_clusters" -> q119OracleSql,

@@ -906,9 +906,153 @@ object TextOps {
         GROUP BY k, total_tokens"""
   }
 
+  /** Merge rounds learned by q137. */
+  val BpeRounds = 3
+
+  /** Library API: learn the first `rounds` BPE merges from a
+    * (word, freq) dictionary — the Sennrich et al. 2016 trainer loop,
+    * relationally. Each round: (1) census adjacent symbol pairs
+    * weighted by word frequency (overlaps counted, as BPE counts);
+    * (2) pick argmax (count, then lexicographic — fully tie-broken);
+    * (3) rewrite every word, fusing LEFT-TO-RIGHT NON-OVERLAPPING
+    * occurrences of the winning pair — the overlap rule ("aaa" + merge
+    * "aa" fuses positions 0–1, leaves 2) falls out of a gaps-and-
+    * islands computation: within each maximal run of consecutive
+    * candidate positions, keep alternate ones. Returns
+    * (round, lhs, rhs, cnt).
+    *
+    * Scale design: BPE training state is the DISTINCT-WORD symbol
+    * table (vocabulary-sized — corpus volume only enters through the
+    * freq weights; this is why production BPE trainers run on the word
+    * dictionary, and what makes 100 TB trainable: the dictionary of
+    * even a crawl corpus is millions of rows, not billions). Every
+    * round is a handful of word-keyed windows/joins on that frame +
+    * one O(pairs) census argmax; `localCheckpoint` per round keeps the
+    * plan linear (pageRank discipline). */
+  def bpeMerges(wordfreq: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("word").orderBy("pos")
+    var syms = wordfreq
+      .select(col("word"), col("freq"),
+        posexplode(expr("filter(split(word, ''), bp_c -> bp_c <> '')"))
+          .as(Seq("pos", "sym")))
+      .localCheckpoint(true)
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      val withNext = syms.withColumn("nxt", lead("sym", 1).over(w))
+      val best = withNext
+        .filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt")
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("sym"), col("nxt"))
+        .limit(1)
+        .select(col("sym").as("lhs"), col("nxt").as("rhs"), col("cnt"))
+        .localCheckpoint(true)
+      val cands = withNext
+        .join(broadcast(best),
+          col("sym") === col("lhs") && col("nxt") === col("rhs"))
+        .select("word", "pos")
+        .withColumn("newrun",
+          when(lag("pos", 1).over(w) === col("pos") - 1, 0L).otherwise(1L))
+        .withColumn("runid", sum("newrun").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val kept = cands
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("word", "runid").orderBy("pos")))
+        .filter(col("rn") % 2 === 1)
+        .select(col("word"), col("pos"))
+      val rewritten = withNext
+        .join(kept.withColumn("is_kept", lit(1)),
+          Seq("word", "pos"), "left")
+        .join(
+          kept.select(col("word"), (col("pos") + 1).as("pos"),
+            lit(1).as("is_dropped")),
+          Seq("word", "pos"), "left")
+        .filter(col("is_dropped").isNull)
+        .select(col("word"), col("freq"), col("pos").as("opos"),
+          when(col("is_kept") === 1, concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("sym"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("word").orderBy("opos")) - 1)
+        .select("word", "freq", "pos", "sym")
+      syms = rewritten.localCheckpoint(true)
+      val round = best.select(lit(r.toLong).as("step"),
+        col("lhs"), col("rhs"), col("cnt"))
+      merges = if (merges == null) round else merges.unionByName(round)
+    }
+    merges
+  }
+
+  /** q137 — BPE MERGE TRAINING: the first $BpeRounds byte-pair-encoding
+    * merges learned from the documents corpus (word-frequency
+    * dictionary weighting, overlap-correct left-to-right fusion) —
+    * tokenizer training as a declared, DuckDB-differential query.
+    * See [[bpeMerges]] for the algorithm and the dictionary-sized
+    * scale argument; a synthetic-dictionary model test pins the
+    * overlap semantics ("aaa" fuses once). */
+  def q137BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val wf = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    bpeMerges(wf, BpeRounds)
+  }
+
+  private def q137OracleSql: String = {
+    def round(r: Int): String = {
+      val prev = s"s${r - 1}"
+      s"""m$r AS (SELECT word, freq, pos, sym,
+            lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+          FROM $prev),
+        b$r AS MATERIALIZED (SELECT sym AS lhs, nxt AS rhs,
+            CAST(sum(freq) AS BIGINT) AS cnt
+          FROM m$r WHERE nxt IS NOT NULL GROUP BY sym, nxt
+          ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        cand$r AS (SELECT m.word, m.pos FROM m$r m, b$r b
+                   WHERE m.sym = b.lhs AND m.nxt = b.rhs),
+        run$r AS (SELECT word, pos, sum(newrun) OVER (
+              PARTITION BY word ORDER BY pos ROWS UNBOUNDED PRECEDING)
+              AS runid
+          FROM (SELECT word, pos,
+              CASE WHEN lag(pos) OVER (PARTITION BY word ORDER BY pos)
+                   = pos - 1 THEN 0 ELSE 1 END AS newrun
+            FROM cand$r)),
+        keep$r AS (SELECT word, pos FROM (
+            SELECT word, pos, row_number() OVER (
+                PARTITION BY word, runid ORDER BY pos) AS rn
+            FROM run$r) WHERE rn % 2 = 1),
+        s$r AS MATERIALIZED (SELECT word, freq,
+            row_number() OVER (PARTITION BY word ORDER BY opos) - 1
+              AS pos, sym
+          FROM (SELECT m.word, m.freq, m.pos AS opos,
+              CASE WHEN k.pos IS NOT NULL THEN m.sym || m.nxt
+                   ELSE m.sym END AS sym
+            FROM m$r m
+            LEFT JOIN keep$r k ON m.word = k.word AND m.pos = k.pos
+            LEFT JOIN keep$r d ON m.word = d.word AND m.pos = d.pos + 1
+            WHERE d.pos IS NULL) z$r)"""
+    }
+    val rounds = (1 to BpeRounds).map(round).mkString(",\n        ")
+    val out = (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS step, lhs, rhs, cnt " +
+        s"FROM b$r")
+      .mkString("\n        UNION ALL ")
+    s"""WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents) WHERE word <> '' GROUP BY word),
+        s0 AS MATERIALIZED (SELECT word, freq,
+            CAST(unnest(range(0, len(string_split(word, '')))) AS INT)
+              AS pos,
+            unnest(string_split(word, '')) AS sym
+          FROM wf),
+        $rounds
+        $out"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_fingerprint_match" -> (q113FingerprintMatch _),
     "q136_vocab_coverage" -> (q136VocabCoverage _),
+    "q137_bpe_merges" -> (q137BpeMerges _),
     "q122_boilerplate_scrub" -> (q122BoilerplateScrub _),
     "q112_bigram_novelty" -> (q112BigramNovelty _),
     "q102_winnowing" -> (q102Winnowing _),
@@ -929,6 +1073,7 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "q136_vocab_coverage" -> q136OracleSql,
+    "q137_bpe_merges" -> q137OracleSql,
     "q113_fingerprint_match" -> q113OracleSql,
     "q122_boilerplate_scrub" -> q122OracleSql,
     "q112_bigram_novelty" -> q112OracleSql,

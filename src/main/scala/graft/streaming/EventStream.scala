@@ -349,8 +349,52 @@ object EventStream {
     s.table(name)
   }
 
+  /** q140 — STREAM-STATIC enrichment join as a declared run, the fifth
+    * Structured Streaming shape (after windowed agg q109, two stateful
+    * operators q114/q117, stream-stream join q121, streaming dedup
+    * q126): the events replay broadcast-joined per micro-batch against
+    * the STATIC customer dimension (user → nation) and aggregated to
+    * per-nation event/purchase counts in complete mode. Stream-static
+    * joins are stateless — the static side is just re-planned into
+    * every micro-batch (broadcast here, as a dimension should be) —
+    * so the drained finite replay lands exactly on the batch join +
+    * GROUP BY the oracle runs. Scale shape: the streaming side never
+    * shuffles for the join (broadcast), and the complete-mode state is
+    * O(nations). */
+  def q140StreamEnrich(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q140_stream_enrich_mem"
+    s.catalog.dropTempView(name)
+    val dim = graft.sources.Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_nationkey").cast("bigint").as("nation"))
+    val q = readEvents(s, dir)
+      .join(broadcast(dim), "user_id")
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  private def q140OracleSql: String =
+    """SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+         count(*) AS n_events,
+         CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q140_stream_enrich" -> (q140StreamEnrich _),
     "q109_stream_windows" -> (q109StreamWindows _),
     "q114_stream_profiles" -> (q114StreamProfiles _),
     "q117_stream_sessions" -> (q117StreamSessions _),
@@ -360,6 +404,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q140_stream_enrich" -> q140OracleSql,
     "q109_stream_windows" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
          count(*) AS n,

@@ -226,4 +226,18 @@ class DedupSpec extends SparkSpec {
     assert(sym.exceptAll(bothDirs).count() === 0L,
       "a symmetric near-dup pair is missing from the containment join")
   }
+
+  test("q139 confusion identities hold and tp equals the q87 verified set") {
+    val r = Dedup.q139DedupEval(spark, sf1).head()
+    val (nc, nt, tp, fp, fn) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(tp + fp === nc, "candidates partition into tp + fp")
+    assert(tp + fn === nt, "truth partitions into tp + fn")
+    assert(tp > 0L && fp >= 0L && fn >= 0L)
+    // q87 IS cand ∩ truth by construction (LSH candidates passing the
+    // same exact-Jaccard τ) — the eval's tp must agree with it
+    val verified = Dedup.q87VerifyCandidates(spark, sf1).count()
+    assert(tp === verified,
+      s"tp $tp != q87's verified candidate count $verified")
+  }
 }

@@ -137,6 +137,8 @@ class PropertySpec extends SparkSpec {
       "q130" -> (graft.operators.Pipeline.q130QualityConstraints _),
       "q131" -> (graft.operators.Graph.q131Reachability _),
       "q132" -> (graft.operators.Extensions.q132KsDrift _),
+      "q137" -> (graft.operators.TextOps.q137BpeMerges _),
+      "q139" -> (graft.operators.Dedup.q139DedupEval _),
       "q133" -> (graft.operators.Similarity.q133MmrSelect _),
       "q134" -> (graft.operators.Extensions.q134Funnel _),
       "q135" -> (graft.operators.Pipeline.q135MixtureApply _),
@@ -354,5 +356,31 @@ class PropertySpec extends SparkSpec {
     val violations = df.filter(col("ldiff") > col("lev")).count()
     assert(violations === 0L,
       "length difference must lower-bound edit distance")
+  }
+
+  test("bpeMerges matches the hand-computed trainer on a known dictionary") {
+    import spark.implicits._
+    // abab×2, abc×1: (a,b) appears 2×2+1=5 → merge 'ab';
+    // then (ab,ab)=2 beats (ab,c)=1; then (ab,c)=1 remains
+    val wf = Seq(("abab", 2L), ("abc", 1L)).toDF("word", "freq")
+    val got = graft.operators.TextOps.bpeMerges(wf, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "a", "b", 5L), (2L, "ab", "ab", 2L), (3L, "ab", "c", 1L)))
+  }
+
+  test("bpeMerges fuses overlapping runs left-to-right, non-overlapping") {
+    import spark.implicits._
+    // 'aaaa': candidates at 0,1,2 → keep 0 and 2 → [aa, aa]; 'aaa':
+    // candidates 0,1 → keep 0 → [aa, a]. Round 1 (a,a) counts ALL
+    // adjacent occurrences: 3 (aaaa) + 2 (aaa) = 5. Round 2 pairs:
+    // (aa,aa)=1 from aaaa, (aa,a)=1 from aaa → lexicographic tie-break
+    // picks (aa,a).
+    val wf = Seq(("aaaa", 1L), ("aaa", 1L)).toDF("word", "freq")
+    val got = graft.operators.TextOps.bpeMerges(wf, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a", "a", 5L), (2L, "aa", "a", 1L)))
   }
 }

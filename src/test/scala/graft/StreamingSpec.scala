@@ -27,4 +27,23 @@ class StreamingSpec extends SparkSpec {
     val plan = agg.queryExecution.logical.toString
     assert(plan.contains("EventTimeWatermark"), plan.take(800))
   }
+
+  test("q140 stream-static enrichment lands exactly on the batch join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.q140StreamEnrich(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = graft.sources.Tables.load(spark, sf1, "events")
+      .join(broadcast(graft.sources.Tables.load(spark, sf1, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_nationkey").cast("bigint").as("nation"))), "user_id")
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "finite drained replay must equal the batch aggregation")
+  }
 }
