@@ -1208,11 +1208,59 @@ object Extensions {
         UNION ALL SELECT '2_click', count(*) FROM c
         UNION ALL SELECT '3_purchase', count(*) FROM p"""
 
+  /** q143 — STATE-RUN INTERVALS (SCD2 / run-length temporal modeling):
+    * each user's event log collapsed into maximal runs of consecutive
+    * equal event_types, each run a validity row (user, seq, state,
+    * from_k, n_events) ordered on q92's collision-free integer key —
+    * the change-log → slowly-changing-dimension build, and the
+    * run-length compression trajectory mining applies before pattern
+    * matching. Gaps-and-islands (the q137 fusion machinery, applied
+    * temporally): run boundary where the type differs from its
+    * predecessor, run id by cumulative sum, one aggregate per run.
+    *
+    * Scale shape: ONE user-keyed shuffle feeds both windows (lag and
+    * the cumulative sum share the (user_id, k) sort), and the run
+    * aggregate re-uses the same partitioning — Catalyst plans a single
+    * exchange. Output is run-count-sized (≤ events, typically ≪). */
+  def q143StateIntervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("k")
+    val cum = Window.partitionBy("user_id").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        (unix_timestamp(col("ts")) * AttribKeyScale + col("event_id"))
+          .as("k"))
+      .withColumn("newrun",
+        when(lag("event_type", 1).over(w) === col("event_type"), 0L)
+          .otherwise(1L))
+      .withColumn("seq", sum("newrun").over(cum))
+      .groupBy("user_id", "seq")
+      .agg(min("k").as("from_k"), count(lit(1)).as("n_events"),
+        max("event_type").as("state"))
+  }
+
+  private def q143OracleSql: String =
+    s"""WITH keyed AS (SELECT user_id, event_type,
+          (epoch_ns(ts) // 1000000000) * $AttribKeyScale + event_id AS k
+        FROM events),
+        marked AS (SELECT user_id, event_type, k,
+          CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY k)
+               = event_type THEN 0 ELSE 1 END AS newrun
+        FROM keyed),
+        runs AS (SELECT user_id, event_type, k,
+          sum(newrun) OVER (PARTITION BY user_id ORDER BY k
+            ROWS UNBOUNDED PRECEDING) AS seq
+        FROM marked)
+        SELECT user_id, seq, min(k) AS from_k,
+               count(*) AS n_events, max(event_type) AS state
+        FROM runs GROUP BY user_id, seq"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_bucketed_join" -> (q123BucketedJoin _),
     "q129_zorder_layout" -> (q129ZorderLayout _),
     "q132_ks_drift" -> (q132KsDrift _),
     "q134_funnel" -> (q134Funnel _),
+    "q143_state_intervals" -> (q143StateIntervals _),
     "q116_pareto_front" -> (q116ParetoFront _),
     "q104_partition_stats" -> (q104PartitionStats _),
     "q106_winsorize" -> (q106Winsorize _),
@@ -1264,6 +1312,7 @@ object Extensions {
     "q129_zorder_layout" -> q129OracleSql,
     "q132_ks_drift" -> q132OracleSql,
     "q134_funnel" -> q134OracleSql,
+    "q143_state_intervals" -> q143OracleSql,
     "q104_partition_stats" -> q104OracleSql,
     "q106_winsorize" -> q106OracleSql,
     "q107_shipping_priority" -> q107OracleSql,

@@ -701,10 +701,111 @@ object Pipeline {
           max(least(weight_ppm, $SampleMod)) AS target_ppm
         FROM d GROUP BY source"""
 
+  /** q138 — SNAPSHOT DIFF (Delta/Iceberg change-data-feed analog): the
+    * orders table diffed against a deterministically mutated next
+    * snapshot (price bump on key%10, delete on key%13, insert on
+    * key%97 — q103's mutation vocabulary) via ONE full-outer join on
+    * the key; declared output is the change summary (added / removed /
+    * changed / unchanged counts) — what a corpus-versioning pipeline
+    * publishes per refresh so consumers know whether to re-run.
+    *
+    * Scale shape: both snapshots shuffle once on the join key (in
+    * production both sides are bucketed on it — the q123 layout — and
+    * the diff is co-located, zero-exchange); the classification is
+    * in-row null/value comparison, the rollup a 4-group aggregate.
+    * All-integer cents comparison, no float equality. */
+  def q138SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    val next = base
+      .filter(col("k") % 13 =!= 0) // deletes
+      .select(col("k"),
+        when(col("k") % 10 === 0, col("cents") + 500L)
+          .otherwise(col("cents")).as("cents"))
+      .unionByName(base.filter(col("k") % 97 === 0)
+        .select((-(col("k") + 1L)).as("k"),
+          (col("cents") + 1L).as("cents"))) // inserts
+    base.select(col("k"), col("cents").as("old_cents"))
+      .join(next.select(col("k"), col("cents").as("new_cents")),
+        Seq("k"), "full_outer")
+      .select(
+        when(col("old_cents").isNull, "added")
+          .when(col("new_cents").isNull, "removed")
+          .when(col("old_cents") =!= col("new_cents"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private def q138OracleSql: String =
+    """WITH base AS (SELECT o_orderkey AS k,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS cents
+        FROM orders),
+        nxt AS (
+          SELECT k, CASE WHEN k % 10 = 0 THEN cents + 500
+                         ELSE cents END AS cents
+          FROM base WHERE k % 13 <> 0
+          UNION ALL
+          SELECT -(k + 1), cents + 1 FROM base WHERE k % 97 = 0),
+        d AS (SELECT CASE
+            WHEN b.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            WHEN b.cents <> n.cents THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+          FROM base b FULL OUTER JOIN nxt n ON b.k = n.k)
+        SELECT change_type, count(*) AS n FROM d GROUP BY change_type"""
+
+  /** Per-group sample size for q141. */
+  val GroupSampleK = 25
+
+  /** q141 — exact-K PER-GROUP deterministic sampling: from every
+    * source keep exactly min(K, n) documents, chosen by ranking on the
+    * portable integer LCG of doc_id — the "pilot corpus" / eval-slice
+    * builder (q85 samples a FRACTION per stratum; this pins a COUNT).
+    * The declared output pins the exact kept set per source through an
+    * id checksum, not just its size — the sample is reproducible on
+    * any engine, the property eval sets demand.
+    *
+    * Scale shape: one window rank per source partition (a single
+    * corpus shuffle on source) with the rank cut applied immediately —
+    * at production scale swap the full sort for a per-group
+    * TakeOrdered/quickselect if groups are huge; the hash-rank
+    * contract (and thus the kept set) is unchanged. */
+  def q141GroupSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .withColumn("h",
+        expr("(doc_id * 1103515245 + 12345) % 2147483647"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= GroupSampleK)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum("doc_id").cast("bigint").as("id_checksum"))
+  }
+
+  private def q141OracleSql: String =
+    s"""WITH h AS (SELECT doc_id, source,
+          (doc_id * 1103515245 + 12345) % 2147483647 AS h
+        FROM documents),
+        r AS (SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+            AS rn
+        FROM h)
+        SELECT source, count(*) AS n_sampled,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM r WHERE rn <= $GroupSampleK GROUP BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_merge_upsert" -> (q103MergeUpsert _),
     "q130_quality_constraints" -> (q130QualityConstraints _),
     "q135_mixture_apply" -> (q135MixtureApply _),
+    "q138_snapshot_diff" -> (q138SnapshotDiff _),
+    "q141_group_sample" -> (q141GroupSample _),
     "q95_pack_sequences" -> (q95PackSequences _),
     "q97_mixture_weights" -> (q97MixtureWeights _),
     "q62_hash_split" -> (q62HashSplit _),
@@ -720,6 +821,8 @@ object Pipeline {
     "q103_merge_upsert" -> q103OracleSql,
     "q130_quality_constraints" -> q130OracleSql,
     "q135_mixture_apply" -> q135OracleSql,
+    "q138_snapshot_diff" -> q138OracleSql,
+    "q141_group_sample" -> q141OracleSql,
     "q95_pack_sequences" -> q95OracleSql,
     "q97_mixture_weights" -> q97OracleSql,
     "q62_hash_split" -> q62OracleSql,

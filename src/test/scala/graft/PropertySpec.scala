@@ -138,6 +138,9 @@ class PropertySpec extends SparkSpec {
       "q131" -> (graft.operators.Graph.q131Reachability _),
       "q132" -> (graft.operators.Extensions.q132KsDrift _),
       "q137" -> (graft.operators.TextOps.q137BpeMerges _),
+      "q138" -> (graft.operators.Pipeline.q138SnapshotDiff _),
+      "q141" -> (graft.operators.Pipeline.q141GroupSample _),
+      "q143" -> (graft.operators.Extensions.q143StateIntervals _),
       "q139" -> (graft.operators.Dedup.q139DedupEval _),
       "q133" -> (graft.operators.Similarity.q133MmrSelect _),
       "q134" -> (graft.operators.Extensions.q134Funnel _),

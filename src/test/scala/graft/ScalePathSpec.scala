@@ -321,6 +321,45 @@ class ScalePathSpec extends SparkSpec {
       "larger vocab should cover strictly more on a Zipfian census")
   }
 
+  test("q143 state-run intervals ride ONE user-keyed exchange") {
+    // lag, the cumulative run-id sum, and the run aggregate all share
+    // the (user_id, k) partitioning — a second keyed exchange means a
+    // window or aggregate stopped reusing it
+    val plan = graft.operators.Extensions.q143StateIntervals(spark, sf1)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n === 1,
+      s"runs need exactly the user shuffle, found $n:\n$plan")
+  }
+
+  test("q138 snapshot diff counts equal the mutation arithmetic") {
+    val m = graft.operators.Pipeline.q138SnapshotDiff(spark, sf1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = graft.sources.Tables.load(spark, sf1, "orders")
+      .select(col("o_orderkey").cast("long").as("k")).collect()
+      .map(_.getLong(0))
+    val removed = keys.count(_ % 13 == 0).toLong
+    val added = keys.count(_ % 97 == 0).toLong
+    val changed = keys.count(k => k % 10 == 0 && k % 13 != 0).toLong
+    assert(m("removed") === removed)
+    assert(m("added") === added)
+    assert(m("changed") === changed)
+    assert(m.values.sum === keys.length + added,
+      "every key of either snapshot is classified exactly once")
+  }
+
+  test("q141 keeps exactly K per source and the kept set is stable") {
+    val P = graft.operators.Pipeline
+    val a = P.q141GroupSample(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.nonEmpty)
+    for ((src, n, _) <- a)
+      assert(n === P.GroupSampleK.toLong, s"$src sampled $n")
+    val b = P.q141GroupSample(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.toSeq === b.toSeq, "checksummed kept set must be stable")
+  }
+
   test("q110/q113 candidate joins are equi-joins, never cartesian") {
     for ((name, df) <- Seq(
         "q110" -> graft.operators.Dedup.q110ContainmentJoin(spark, sf1),
