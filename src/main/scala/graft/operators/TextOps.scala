@@ -1049,10 +1049,78 @@ object TextOps {
         $out"""
   }
 
+  /** Window width and result size for q142's co-occurrence census. */
+  val CoocWindow = 5
+  val CoocTopK = 30
+
+  /** q142 — word CO-OCCURRENCE census (the word2vec/GloVe data-prep
+    * pass): unordered token pairs within a ±$CoocWindow-token window,
+    * counted corpus-wide; declared output = the top $CoocTopK pairs by
+    * count with both unigram counts attached (PMI's exact integer
+    * numerators — the log itself is the consumer's float, never
+    * differential-compared).
+    *
+    * Scale shape: pair generation is IN-ROW (each doc's token array
+    * expands to its ≤ n·W window pairs via one nested transform +
+    * one explode — never a self-join of the exploded token table, whose
+    * doc-keyed join would admit the full n² before any window filter);
+    * the pair census partial-aggregates map-side; the top-k cut is a
+    * TakeOrderedAndProject; unigram counts attach by broadcasting the
+    * 30 SURVIVORS against the vocab-sized census (broadcast side =
+    * top-k, never the census). */
+  def q142Cooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val pairsExpr =
+      s"""flatten(transform(sequence(1, size(tw) - 1),
+            co_i -> transform(
+              sequence(co_i + 1, least(co_i + $CoocWindow, size(tw))),
+              co_j -> struct(
+                least(element_at(tw, co_i), element_at(tw, co_j)) AS wa,
+                greatest(element_at(tw, co_i), element_at(tw, co_j))
+                  AS wb))))"""
+    val toks = t(s, dir, "documents")
+      .select(split(col("text"), " ").as("tw"))
+      .filter(size(col("tw")) >= 2)
+    val census = toks
+      .select(explode(expr(pairsExpr)).as("p"))
+      .select(col("p.wa"), col("p.wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("wa"), col("wb"))
+      .limit(CoocTopK)
+    val uni = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    census
+      .join(uni.withColumnRenamed("w", "wa")
+        .withColumnRenamed("n", "n_wa"), Seq("wa"))
+      .join(uni.withColumnRenamed("w", "wb")
+        .withColumnRenamed("n", "n_wb"), Seq("wb"))
+      .select("wa", "wb", "n_pair", "n_wa", "n_wb")
+  }
+
+  private def q142OracleSql: String =
+    s"""WITH d AS (SELECT string_split(text, ' ') AS tw FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        pairs AS (SELECT unnest(flatten(list_transform(
+            range(1, len(tw)),
+            co_i -> list_transform(
+              range(co_i + 1, least(co_i + $CoocWindow, len(tw)) + 1),
+              co_j -> {'wa': least(tw[co_i], tw[co_j]),
+                       'wb': greatest(tw[co_i], tw[co_j])})))) AS p
+          FROM d),
+        census AS (SELECT p.wa AS wa, p.wb AS wb, count(*) AS n_pair
+          FROM pairs GROUP BY 1, 2
+          ORDER BY n_pair DESC, wa, wb LIMIT $CoocTopK),
+        uni AS (SELECT w, count(*) AS n FROM
+          (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY w)
+        SELECT c.wa, c.wb, c.n_pair, a.n AS n_wa, b.n AS n_wb
+        FROM census c JOIN uni a ON c.wa = a.w JOIN uni b ON c.wb = b.w"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_fingerprint_match" -> (q113FingerprintMatch _),
     "q136_vocab_coverage" -> (q136VocabCoverage _),
     "q137_bpe_merges" -> (q137BpeMerges _),
+    "q142_cooccurrence" -> (q142Cooccurrence _),
     "q122_boilerplate_scrub" -> (q122BoilerplateScrub _),
     "q112_bigram_novelty" -> (q112BigramNovelty _),
     "q102_winnowing" -> (q102Winnowing _),
@@ -1074,6 +1142,7 @@ object TextOps {
   val oracleSql: Map[String, String] = Map(
     "q136_vocab_coverage" -> q136OracleSql,
     "q137_bpe_merges" -> q137OracleSql,
+    "q142_cooccurrence" -> q142OracleSql,
     "q113_fingerprint_match" -> q113OracleSql,
     "q122_boilerplate_scrub" -> q122OracleSql,
     "q112_bigram_novelty" -> q112OracleSql,

@@ -139,6 +139,7 @@ class PropertySpec extends SparkSpec {
       "q132" -> (graft.operators.Extensions.q132KsDrift _),
       "q137" -> (graft.operators.TextOps.q137BpeMerges _),
       "q138" -> (graft.operators.Pipeline.q138SnapshotDiff _),
+      "q142" -> (graft.operators.TextOps.q142Cooccurrence _),
       "q141" -> (graft.operators.Pipeline.q141GroupSample _),
       "q143" -> (graft.operators.Extensions.q143StateIntervals _),
       "q139" -> (graft.operators.Dedup.q139DedupEval _),
@@ -385,5 +386,21 @@ class PropertySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getLong(3))).sortBy(_._1)
     assert(got.toSeq === Seq((1L, "a", "a", 5L), (2L, "aa", "a", 1L)))
+  }
+
+  test("q142 co-occurrence counts respect the window capacity bound") {
+    val T = graft.operators.TextOps
+    val rows = T.q142Cooccurrence(spark, sf1).collect()
+      .map(r => (r.getString(1), r.getString(0), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length === T.CoocTopK)
+    for ((wb, wa, nPair, nWa, nWb) <- rows) {
+      assert(wa <= wb, "pairs must be canonically ordered")
+      // each occurrence of the rarer word can pair with the other in
+      // at most the ±W window positions (window capacity)
+      assert(nPair <= 2L * T.CoocWindow * math.min(nWa, nWb),
+        s"($wa,$wb): $nPair exceeds window capacity")
+      assert(nPair >= 1L && nWa >= 1L && nWb >= 1L)
+    }
   }
 }
