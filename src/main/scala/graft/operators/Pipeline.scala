@@ -800,12 +800,133 @@ object Pipeline {
                CAST(sum(doc_id) AS BIGINT) AS id_checksum
         FROM r WHERE rn <= $GroupSampleK GROUP BY source"""
 
+  /** Range-block size for q145's digest tree — the "file / partition"
+    * unit whose digest is compared before any row is re-read. Sized so
+    * even sf0.001's key domain spans several blocks (6) while sf0.1
+    * spans hundreds — the touched fraction stays ~1/8 at every SF. */
+  val MerkleBlock = 256L
+
+  /** q145 — MERKLE-STYLE ANTI-ENTROPY DIFF (the scale-out form of
+    * q138's full-outer snapshot diff): both snapshots are digested per
+    * key-range block (sum of portable row hashes — commutative, so the
+    * digest is partition-order-free), digests are compared first, and
+    * the row-level full-outer diff runs ONLY inside blocks whose
+    * digests disagree. Mutations here are block-localized (every 8th
+    * block — the "late-arriving partition" shape real feeds have), so
+    * the row diff re-reads ~1/8 of the blocks (7 mutated + a handful of
+    * insert-only blocks of 59 at sf0.01; 73+ of 586 at sf0.1) —
+    * reconciliation cost ∝ changed data, not corpus. Declared output:
+    * per-change-type counts + key checksums, the dirty-block count and
+    * the total-block count (the pruning ratio's numerator and
+    * denominator).
+    *
+    * Scale shape: digests partial-aggregate map-side to one row per
+    * block per partition — the digest shuffle is O(blocks), not
+    * O(rows); the dirty-block list (checkpointed once, it has three
+    * consumers) broadcasts into both snapshot scans as a pre-join
+    * filter (with a range-partitioned layout this is partition
+    * pruning); only the surviving ~1/8 of rows pays the full-outer
+    * join. A digest collision would suppress a block on both engines
+    * identically (P ≈ 2⁻³⁰ per block); production would widen to 128
+    * bits, same plan. */
+  def q145MerkleDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    def touched = expr(s"(k div $MerkleBlock) % 8 = 3")
+    val next = base
+      .filter(not(touched && expr("k % 13 = 0")))
+      .select(col("k"),
+        when(touched && expr("k % 10 = 0"), col("cents") + 500L)
+          .otherwise(col("cents")).as("cents"))
+      .unionByName(base.filter(touched && expr("k % 97 = 0"))
+        .select((col("k") + 10000000L).as("k"),
+          (col("cents") + 1L).as("cents")))
+    def blocked(df: DataFrame): DataFrame = df
+      .withColumn("blk", expr(s"k div $MerkleBlock"))
+      .withColumn("rh", expr(s"(k * 31 + cents) % $Mod"))
+    def digest(df: DataFrame): DataFrame = blocked(df).groupBy("blk")
+      .agg(expr(s"CAST(sum(rh) % $Mod AS BIGINT)").as("dig"))
+    val dirty = digest(base).as("db")
+      .join(digest(next).as("dn"), col("db.blk") === col("dn.blk"),
+        "full_outer")
+      .filter(not(col("db.dig") <=> col("dn.dig")))
+      .select(coalesce(col("db.blk"), col("dn.blk")).as("blk"))
+      .localCheckpoint(true) // three consumers below
+    val d = blocked(base).join(broadcast(dirty), Seq("blk")).as("b")
+      .join(blocked(next).join(broadcast(dirty), Seq("blk")).as("n"),
+        col("b.k") === col("n.k"), "full_outer")
+      .filter(col("b.k").isNull || col("n.k").isNull ||
+        col("b.cents") =!= col("n.cents"))
+      .select(
+        when(col("b.k").isNull, "added")
+          .when(col("n.k").isNull, "removed")
+          .otherwise("changed").as("metric"),
+        coalesce(col("b.k"), col("n.k")).as("k"))
+    d.groupBy("metric")
+      .agg(count(lit(1)).as("n"), sum("k").as("checksum"))
+      .unionByName(dirty
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("blk"), lit(0L)).as("checksum"))
+        .select(lit("dirty_blocks").as("metric"), col("n"),
+          col("checksum")))
+      .unionByName(digest(base)
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("blk"), lit(0L)).as("checksum"))
+        .select(lit("total_blocks").as("metric"), col("n"),
+          col("checksum")))
+  }
+
+  private def q145OracleSql: String =
+    s"""WITH base AS (SELECT o_orderkey AS k,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS cents
+        FROM orders),
+        nxt AS (
+          SELECT k, CASE WHEN (k // $MerkleBlock) % 8 = 3 AND k % 10 = 0
+                         THEN cents + 500 ELSE cents END AS cents
+          FROM base
+          WHERE NOT ((k // $MerkleBlock) % 8 = 3 AND k % 13 = 0)
+          UNION ALL
+          SELECT k + 10000000, cents + 1 FROM base
+          WHERE (k // $MerkleBlock) % 8 = 3 AND k % 97 = 0),
+        bb AS (SELECT k, cents, k // $MerkleBlock AS blk,
+               (k * 31 + cents) % $Mod AS rh FROM base),
+        nb AS (SELECT k, cents, k // $MerkleBlock AS blk,
+               (k * 31 + cents) % $Mod AS rh FROM nxt),
+        bd AS (SELECT blk, CAST(sum(rh) % $Mod AS BIGINT) AS dig
+               FROM bb GROUP BY blk),
+        nd AS (SELECT blk, CAST(sum(rh) % $Mod AS BIGINT) AS dig
+               FROM nb GROUP BY blk),
+        dirty AS (SELECT COALESCE(b.blk, n.blk) AS blk
+          FROM bd b FULL OUTER JOIN nd n ON b.blk = n.blk
+          WHERE b.dig IS DISTINCT FROM n.dig),
+        d AS (SELECT CASE WHEN b.k IS NULL THEN 'added'
+                WHEN n.k IS NULL THEN 'removed'
+                ELSE 'changed' END AS metric, COALESCE(b.k, n.k) AS k
+          FROM (SELECT * FROM bb
+                WHERE blk IN (SELECT blk FROM dirty)) b
+          FULL OUTER JOIN (SELECT * FROM nb
+                WHERE blk IN (SELECT blk FROM dirty)) n
+            ON b.k = n.k
+          WHERE b.k IS NULL OR n.k IS NULL OR b.cents <> n.cents)
+        SELECT metric, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS checksum FROM d GROUP BY metric
+        UNION ALL
+        SELECT 'dirty_blocks', CAST(count(*) AS BIGINT),
+               CAST(COALESCE(sum(blk), 0) AS BIGINT) FROM dirty
+        UNION ALL
+        SELECT 'total_blocks', CAST(count(*) AS BIGINT),
+               CAST(COALESCE(sum(blk), 0) AS BIGINT) FROM bd"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_merge_upsert" -> (q103MergeUpsert _),
     "q130_quality_constraints" -> (q130QualityConstraints _),
     "q135_mixture_apply" -> (q135MixtureApply _),
     "q138_snapshot_diff" -> (q138SnapshotDiff _),
     "q141_group_sample" -> (q141GroupSample _),
+    "q145_merkle_diff" -> (q145MerkleDiff _),
     "q95_pack_sequences" -> (q95PackSequences _),
     "q97_mixture_weights" -> (q97MixtureWeights _),
     "q62_hash_split" -> (q62HashSplit _),
@@ -823,6 +944,7 @@ object Pipeline {
     "q135_mixture_apply" -> q135OracleSql,
     "q138_snapshot_diff" -> q138OracleSql,
     "q141_group_sample" -> q141OracleSql,
+    "q145_merkle_diff" -> q145OracleSql,
     "q95_pack_sequences" -> q95OracleSql,
     "q97_mixture_weights" -> q97OracleSql,
     "q62_hash_split" -> q62OracleSql,

@@ -1116,9 +1116,107 @@ object TextOps {
         SELECT c.wa, c.wb, c.n_pair, a.n AS n_wa, b.n AS n_wb
         FROM census c JOIN uni a ON c.wa = a.w JOIN uni b ON c.wb = b.w"""
 
+  /** Count-Min geometry for q144: depth 3 × width 128, sketching the
+    * token BIGRAM domain (~31² keys on this corpus — the unigram vocab
+    * is only 31 words, which no sane sketch would collide). Width is
+    * sized BELOW the domain so the sketch genuinely overcounts (the
+    * interesting regime: measured, all 10 probes overcount at sf0.01);
+    * the est ≥ exact inequality is what the differential pins, with
+    * exact equality of the sketches themselves guaranteed by the
+    * portable hash family. */
+  val CmDepth = 3
+  val CmWidth = 128L
+  val CmTopK = 10
+
+  private def cmBucket(d: Int): String =
+    s"((h * ${minhashA(d)}L + ${minhashB(d)}L) % $MersennePrime) " +
+      s"% $CmWidth"
+
+  /** q144 — COUNT-MIN SKETCH over the token-bigram stream (the
+    * mergeable frequency sketch next to q47's HLL, q66's quantile
+    * sketch and q100's Misra-Gries): a depth-$CmDepth × width-$CmWidth
+    * counter matrix built in ONE aggregation, then point-queried for
+    * the top-$CmTopK exact heavy-hitter bigrams; declared output =
+    * bigram, exact count, sketch estimate. Both engines build
+    * bit-identical sketches (poly_hash ∘ the minhash LCG family), so
+    * est_n is exactly comparable — and the CMS theorem (est ≥ exact,
+    * always) rides along as a checked invariant (PropertySpec).
+    *
+    * Scale shape: bigram generation is in-row (one transform+explode,
+    * q142's discipline); the sketch build partial-aggregates map-side
+    * to ≤ depth·width counters per partition — the shuffle moves
+    * O(d·w) rows per partition regardless of corpus size, and counter
+    * merge is elementwise integer addition (commutes exactly). Point
+    * queries are $CmDepth broadcast lookups against a ≤384-row frame.
+    * This is the sketch you keep PER CORPUS SHARD and merge at publish
+    * time — the q94 mergeable-stats contract applied to frequencies. */
+  def q144Countmin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val toks = t(s, dir, "documents")
+      .select(split(col("text"), " ").as("tw"))
+      .filter(size(col("tw")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(tw) - 1),
+             cm_i -> concat(element_at(tw, cm_i), ' ',
+                            element_at(tw, cm_i + 1)))""")).as("w"))
+    val sketch = toks
+      .withColumn("h", expr("poly_hash(w)"))
+      .select(explode(array((0 until CmDepth).map(d =>
+        struct(lit(d).as("d"), expr(cmBucket(d)).as("b"))): _*)).as("db"))
+      .select(col("db.d").as("d"), col("db.b").as("b"))
+      .groupBy("d", "b").agg(count(lit(1)).as("c"))
+      .cache() // three depth-slice consumers; drivers clearCache between queries
+    val probes = toks.groupBy("w").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("w")).limit(CmTopK)
+      .withColumn("h", expr("poly_hash(w)"))
+    val est = (0 until CmDepth).foldLeft(
+      (0 until CmDepth).foldLeft(probes) { (df, d) =>
+        df.withColumn(s"b$d", expr(cmBucket(d)))
+      }) { (df, d) =>
+      df.join(
+        broadcast(sketch.filter(col("d") === d)
+          .select(col("b").as(s"b$d"), col("c").as(s"c$d"))),
+        Seq(s"b$d"))
+    }
+    est.select(col("w"), col("exact_n"),
+      least((0 until CmDepth).map(d => col(s"c$d")): _*).as("est_n"))
+  }
+
+  private def q144OracleSql: String = {
+    def bucket(d: Int) =
+      s"((h * ${minhashA(d)} + ${minhashB(d)}) % $MersennePrime) " +
+        s"% $CmWidth"
+    val sliceCtes = (0 until CmDepth).map(d =>
+      s"""s$d AS (SELECT b$d AS b, CAST(count(*) AS BIGINT) AS c$d
+          FROM occ GROUP BY b$d)""").mkString(",\n        ")
+    val bucketCols = (0 until CmDepth)
+      .map(d => s"${bucket(d)} AS b$d").mkString(",\n          ")
+    val joins = (0 until CmDepth)
+      .map(d => s"JOIN s$d ON s$d.b = p.b$d").mkString("\n        ")
+    s"""WITH toks AS (SELECT tw[cm_i] || ' ' || tw[cm_i + 1] AS w
+          FROM (SELECT string_split(text, ' ') AS tw FROM documents),
+            unnest(range(1, len(tw))) AS cm_t(cm_i)),
+        occ AS (SELECT w,
+          $bucketCols
+          FROM (SELECT w, ${duckCharFold("w")} AS h FROM toks)),
+        $sliceCtes,
+        exact AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_n
+          FROM toks GROUP BY w
+          ORDER BY exact_n DESC, w LIMIT $CmTopK),
+        p AS (SELECT w, exact_n,
+          $bucketCols
+          FROM (SELECT w, exact_n, ${duckCharFold("w")} AS h FROM exact))
+        SELECT p.w, p.exact_n,
+          least(${(0 until CmDepth).map(d => s"s$d.c$d").mkString(", ")})
+            AS est_n
+        FROM p
+        $joins"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_fingerprint_match" -> (q113FingerprintMatch _),
     "q136_vocab_coverage" -> (q136VocabCoverage _),
+    "q144_countmin" -> (q144Countmin _),
     "q137_bpe_merges" -> (q137BpeMerges _),
     "q142_cooccurrence" -> (q142Cooccurrence _),
     "q122_boilerplate_scrub" -> (q122BoilerplateScrub _),
@@ -1141,6 +1239,7 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "q136_vocab_coverage" -> q136OracleSql,
+    "q144_countmin" -> q144OracleSql,
     "q137_bpe_merges" -> q137OracleSql,
     "q142_cooccurrence" -> q142OracleSql,
     "q113_fingerprint_match" -> q113OracleSql,

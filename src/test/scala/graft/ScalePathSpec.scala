@@ -348,6 +348,43 @@ class ScalePathSpec extends SparkSpec {
       "every key of either snapshot is classified exactly once")
   }
 
+  test("q144 count-min estimates dominate exact counts (CMS theorem) " +
+      "and the width is small enough that the sketch really overcounts") {
+    val rows = graft.operators.TextOps.q144Countmin(spark, sf1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === graft.operators.TextOps.CmTopK)
+    for ((w, exact, est) <- rows)
+      assert(est >= exact, s"CMS must never undercount: $w $est < $exact")
+    assert(rows.exists { case (_, exact, est) => est > exact },
+      "width is sized below the bigram domain — at least one probe " +
+        "must land in the overcount regime or the test data degenerated")
+  }
+
+  test("q145 merkle diff equals the unpruned full diff and actually " +
+      "prunes clean blocks") {
+    val m = graft.operators.Pipeline.q145MerkleDiff(spark, sf1)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    // unpruned reference: classify every key of either snapshot
+    val keys = graft.sources.Tables.load(spark, sf1, "orders")
+      .select(col("o_orderkey").cast("long").as("k")).collect()
+      .map(_.getLong(0))
+    val blk = (k: Long) => k / graft.operators.Pipeline.MerkleBlock
+    val touched = (k: Long) => blk(k) % 8 == 3
+    val removed = keys.filter(k => touched(k) && k % 13 == 0)
+    val added = keys.filter(k => touched(k) && k % 97 == 0)
+    val changed =
+      keys.filter(k => touched(k) && k % 10 == 0 && k % 13 != 0)
+    assert(m("removed") === ((removed.length.toLong, removed.sum)))
+    assert(m("added") ===
+      ((added.length.toLong, added.map(_ + 10000000L).sum)))
+    assert(m("changed") === ((changed.length.toLong, changed.sum)))
+    val (dirty, _) = m("dirty_blocks")
+    val (total, _) = m("total_blocks")
+    assert(dirty < total,
+      s"digest compare must prune clean blocks ($dirty/$total dirty)")
+  }
+
   test("q141 keeps exactly K per source and the kept set is stable") {
     val P = graft.operators.Pipeline
     val a = P.q141GroupSample(spark, sf1).collect()
