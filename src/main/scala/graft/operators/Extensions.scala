@@ -1255,7 +1255,58 @@ object Extensions {
                count(*) AS n_events, max(event_type) AS state
         FROM runs GROUP BY user_id, seq"""
 
+  /** q150 — MARKOV TRANSITION census over per-user event sequences
+    * (behavior-sequence modeling prep: the transition matrix a
+    * next-event model or synthetic-session generator trains on; the
+    * pattern layer ABOVE q143's state runs, which compress repeats but
+    * don't count transitions): every consecutive (prev → next) pair in
+    * each user's q92-keyed event order, counted corpus-wide, with each
+    * transition's share of its source state's outgoing mass in ppm —
+    * the empirical Markov kernel's exact integer numerators.
+    *
+    * Scale shape: ONE user-keyed exchange carries the lag window; the
+    * pair census partial-aggregates map-side to ≤ |types|² rows per
+    * partition; the per-source normalization joins only the
+    * |types|-row outgoing totals (broadcast). Same gaps-and-islands
+    * key discipline as q143 — collision-free portable event order. */
+  def q150MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("k")
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        (unix_timestamp(col("ts")) * AttribKeyScale + col("event_id"))
+          .as("k"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val outMass = pairs.groupBy("prev_type")
+      .agg(sum("n").as("out_n"))
+    pairs.join(broadcast(outMass), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("n * 1000000 div out_n").as("share_ppm"))
+  }
+
+  private def q150OracleSql: String =
+    s"""WITH keyed AS (SELECT user_id, event_type,
+          (epoch_ns(ts) // 1000000000) * $AttribKeyScale + event_id AS k
+        FROM events),
+        seq AS (SELECT event_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY k)
+            AS prev_type
+        FROM keyed),
+        pairs AS (SELECT prev_type, event_type AS next_type,
+            CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, event_type),
+        mass AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS out_n
+          FROM pairs GROUP BY prev_type)
+        SELECT p.prev_type, p.next_type, p.n,
+               p.n * 1000000 // m.out_n AS share_ppm
+        FROM pairs p JOIN mass m ON p.prev_type = m.prev_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_markov_transitions" -> (q150MarkovTransitions _),
     "q123_bucketed_join" -> (q123BucketedJoin _),
     "q129_zorder_layout" -> (q129ZorderLayout _),
     "q132_ks_drift" -> (q132KsDrift _),
@@ -1308,6 +1359,7 @@ object Extensions {
     "q60_percentiles" -> (q60Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q150_markov_transitions" -> q150OracleSql,
     "q116_pareto_front" -> q116OracleSql,
     "q129_zorder_layout" -> q129OracleSql,
     "q132_ks_drift" -> q132OracleSql,

@@ -211,7 +211,8 @@ object Graph {
     * table naming; results, not text, are what the differential
     * compares). */
   private def corridorSql(lineitem: String, orders: String,
-      customer: String, supplier: String): String =
+      customer: String, supplier: String,
+      budget: Int = RareEdges): String =
     s"""SELECT src, dst FROM (
           SELECT src, dst, row_number() OVER (ORDER BY cnt, src, dst)
             AS rn
@@ -224,7 +225,7 @@ object Graph {
                 JOIN $supplier s ON l.l_suppkey = s.s_suppkey
                 WHERE c.c_nationkey <> s.s_nationkey
                 GROUP BY 1, 2) g) rk
-        WHERE rn <= $RareEdges"""
+        WHERE rn <= $budget"""
 
   private def q131RecursionSql(corridors: String): String =
     s"""WITH RECURSIVE r(id, hops) AS (
@@ -283,13 +284,114 @@ object Graph {
           WHERE r.hops < $MaxHops)
         SELECT id, min(hops) AS hops FROM r GROUP BY id"""
 
+  /** Synchronous rounds for q147. Label propagation has no convergence
+    * guarantee on bipartite-ish structures (labels can oscillate), so a
+    * FIXED round count is part of the declared semantics, not a fuel
+    * limit — both engines run exactly this many rounds. */
+  val LpRounds = 4
+
+  /** Edge budget for q147's community graph: sparser than q131's 100
+    * (avg degree 8 on 25 nations collapses to one blob — measured);
+    * 20 edges leave 11-13 communities at the tested SFs. */
+  val LpEdges = 20
+
+  /** Library API: deterministic synchronous LABEL PROPAGATION over an
+    * undirected (u, v) edge frame — each round every node adopts the
+    * most frequent label among its neighbors (ties → smallest label;
+    * isolated nodes keep their own), starting from label = id. The
+    * community-detection complement to [[Dedup.connectedComponentsStar]]
+    * (which finds components, not communities) and [[pageRank]]
+    * (centrality): LPA splits dense regions INSIDE one component.
+    *
+    * Scale shape per round: one shuffle to census neighbor labels
+    * (groupBy (node, label), partial-aggregated map-side) and one
+    * window cut for the per-node argmax — both keyed on node id; the
+    * edge frame is cached once and `localCheckpoint` truncates the
+    * label lineage every round (the q99 iterative discipline). The
+    * deterministic (count DESC, label ASC) tie-break is what makes a
+    * cross-engine differential possible where textbook async LPA —
+    * update order-dependent — would diverge run to run. */
+  def labelPropagation(nodes: DataFrame, und: DataFrame,
+      rounds: Int = LpRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+      .cache() // one consumer per round; drivers clearCache between queries
+    var lbl = nodes.select(col("id"), col("id").as("lbl"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("cnt").desc, col("lbl").asc)
+    for (round <- 1 to rounds) {
+      val mode = bi
+        .join(lbl.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("lbl").as("new_lbl"))
+      lbl = lbl.join(mode, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+      if (round % 2 == 0 || round == rounds)
+        lbl = lbl.localCheckpoint(true)
+    }
+    bi.unpersist()
+    lbl
+  }
+
+  /** q147 — label-propagation COMMUNITIES over the rare-corridor graph
+    * (q131's rarity ranking at the tighter $LpEdges-edge budget —
+    * sparse enough for real community structure where the dense full
+    * trade graph is one blob), undirected, $LpRounds synchronous
+    * rounds. Declared output = every nation's final label. */
+  def q147LabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("g147_lineitem")
+    t(s, dir, "orders").createOrReplaceTempView("g147_orders")
+    t(s, dir, "customer").createOrReplaceTempView("g147_customer")
+    t(s, dir, "supplier").createOrReplaceTempView("g147_supplier")
+    val und = s.sql(s"""SELECT DISTINCT least(src, dst) AS u,
+          greatest(src, dst) AS v
+        FROM (${corridorSql("g147_lineitem", "g147_orders",
+          "g147_customer", "g147_supplier", LpEdges)})
+        WHERE src <> dst""")
+      .localCheckpoint(true) // 4-table derivation; one materialization
+    val nodes = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("bigint").as("id"))
+    labelPropagation(nodes, und)
+  }
+
+  private def q147OracleSql: String = {
+    val roundCtes = (1 to LpRounds).map { r =>
+      s"""c$r AS (SELECT e.dst AS id, l.lbl, count(*) AS cnt
+          FROM bi e JOIN l${r - 1} l ON l.id = e.src
+          GROUP BY e.dst, l.lbl),
+        p$r AS (SELECT id, lbl FROM (
+            SELECT id, lbl, row_number() OVER (
+                PARTITION BY id ORDER BY cnt DESC, lbl) AS rn
+            FROM c$r) WHERE rn = 1),
+        l$r AS MATERIALIZED (SELECT n.id, COALESCE(p.lbl, n.lbl) AS lbl
+          FROM l${r - 1} n LEFT JOIN p$r p ON n.id = p.id)"""
+    }.mkString(",\n        ")
+    s"""WITH und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+            greatest(src, dst) AS v
+          FROM (${corridorSql("lineitem", "orders",
+            "customer", "supplier", LpEdges)})
+          WHERE src <> dst),
+        bi AS (SELECT u AS src, v AS dst FROM und
+               UNION ALL SELECT v, u FROM und),
+        l0 AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
+               CAST(n_nationkey AS BIGINT) AS lbl FROM nation),
+        $roundCtes
+        SELECT id, lbl FROM l$LpRounds"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_pagerank" -> (q99PageRank _),
     "q105_triangle_count" -> (q105TriangleCount _),
-    "q131_reachability" -> (q131Reachability _))
+    "q131_reachability" -> (q131Reachability _),
+    "q147_label_propagation" -> (q147LabelPropagation _))
 
   val oracleSql: Map[String, String] = Map(
     "q99_pagerank" -> q99OracleSql,
     "q105_triangle_count" -> q105OracleSql,
-    "q131_reachability" -> q131OracleSql)
+    "q131_reachability" -> q131OracleSql,
+    "q147_label_propagation" -> q147OracleSql)
 }

@@ -221,6 +221,73 @@ object Multimodal {
                  $FrameBytes)) AS BIGINT) AS frame_bytes
         FROM f"""
 
+  /** Shot-boundary threshold for q148: an L1 histogram distance above
+    * this between CONSECUTIVE frames marks a cut. Calibrated on the
+    * measured distance distribution (median 6, max 22 at sf0.01) so
+    * the output has real variety — most assets 0 cuts, a tail with
+    * 1-2. */
+  val ShotThreshold = 12L
+
+  /** q148 — SHOT-BOUNDARY DETECTION over the sampled frame track (the
+    * temporal-analysis member of the multimodal family: q38 metadata,
+    * q81 global histograms, q115 frame sampling, q118 resize — this one
+    * compares frames ALONG TIME): each asset's $NumFrames q115-geometry
+    * frames are histogrammed (the q81 typed-decode shape, per frame)
+    * and consecutive frames compared by integer L1 distance; a distance
+    * above $ShotThreshold is a cut. Declared output = per-asset cut
+    * count + total frame-to-frame L1 — the shot structure a video
+    * pipeline stores next to its keyframes (and the sampling-rate
+    * signal an audio one uses).
+    *
+    * Scale shape: one narrow typed pass, zero shuffles, zero joins —
+    * frame slicing, histograms, and distances all happen inside one
+    * row's map call with payload slices never copied whole; a real
+    * decoder drops into the same per-partition codec slot
+    * ([[extractFeatures]]'s contract). All-integer distances keep the
+    * DuckDB differential exact. */
+  def q148ShotBoundaries(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map { a =>
+        val n = a.payload.length
+        val step = math.max(n / NumFrames, 1)
+        val hists = Array.tabulate(NumFrames) { fi =>
+          val off = fi * step
+          countHistogram(
+            a.payload.slice(off, math.min(off + FrameBytes, n)))
+        }
+        val l1s = (0 until NumFrames - 1).map { i =>
+          (0 until 16).map(b => math.abs(hists(i)(b) - hists(i + 1)(b))).sum
+        }
+        (a.asset_id, l1s.count(_ > ShotThreshold).toLong, l1s.sum)
+      }
+    }.toDF("asset_id", "n_boundaries", "total_l1")
+  }
+
+  private def q148OracleSql: String =
+    s"""WITH a AS (SELECT doc_id AS asset_id, text,
+          greatest(strlen(text) // $NumFrames, 1) AS step
+        FROM documents),
+        f AS (SELECT asset_id, fi,
+          substr(text, CAST(fi * step + 1 AS INT), $FrameBytes) AS fr
+          FROM a, unnest(range(0, $NumFrames)) AS sb_t(fi)),
+        h AS (SELECT asset_id, fi,
+          [CAST(len(list_filter(string_split(fr, ''),
+             sb_c -> ascii(sb_c) // 16 = sb_b)) AS BIGINT)
+           for sb_b in range(16)] AS hist
+          FROM f),
+        d AS (SELECT h1.asset_id,
+          list_sum(list_transform(range(16),
+            sb_b -> abs(h1.hist[sb_b + 1] - h2.hist[sb_b + 1]))) AS l1
+          FROM h h1 JOIN h h2 ON h1.asset_id = h2.asset_id
+            AND h2.fi = h1.fi + 1)
+        SELECT asset_id,
+          CAST(count(*) FILTER (WHERE l1 > $ShotThreshold) AS BIGINT)
+            AS n_boundaries,
+          CAST(sum(l1) AS BIGINT) AS total_l1
+        FROM d GROUP BY asset_id"""
+
   /** Resize budget for q118. */
   val ResizeTargetBytes = 256
 
@@ -274,6 +341,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_resize_meta" -> (q118ResizeMeta _),
+    "q148_shot_boundaries" -> (q148ShotBoundaries _),
     "q115_frame_sample" -> (q115FrameSample _),
     "q38_multimodal_meta" -> (q38MultimodalMeta _),
     "q81_media_histogram" -> (q81MediaHistogram _))
@@ -281,6 +349,7 @@ object Multimodal {
   val oracleSql: Map[String, String] = Map(
     "q118_resize_meta" -> q118OracleSql,
     "q115_frame_sample" -> q115OracleSql,
+    "q148_shot_boundaries" -> q148OracleSql,
     "q38_multimodal_meta" -> q38OracleSql,
     "q81_media_histogram" -> q81OracleSql)
 }

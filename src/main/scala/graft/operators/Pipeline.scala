@@ -920,7 +920,59 @@ object Pipeline {
         SELECT 'total_blocks', CAST(count(*) AS BIGINT),
                CAST(COALESCE(sum(blk), 0) AS BIGINT) FROM bd"""
 
+  /** Per-source token budget for q151 — small enough to truncate every
+    * source even at sf0.001. */
+  val TokenBudget = 1000L
+
+  /** q151 — TOKEN-BUDGET sampling per source (the token-denominated
+    * member of the sampling family: q85 pins a FRACTION per stratum,
+    * q141 a COUNT, this one a TOKEN budget — the unit training runs
+    * are actually planned in): docs ordered per source by the portable
+    * LCG (uniform, reproducible), kept while the running whitespace
+    * token total stays within $TokenBudget. Cumulative sums are
+    * monotone (every doc has ≥1 token), so the kept set is a prefix —
+    * and it's pinned by an id checksum, not just counted.
+    *
+    * Scale shape: one corpus shuffle on source + one window cumsum,
+    * cut immediately (q141's discipline); overshoot docs never leave
+    * their executor. At production scale, where one source outgrows a
+    * partition, the two-pass variant (per-source token histograms →
+    * broadcast hash threshold — q90's histogram trick) keeps the same
+    * kept-set contract without the big window sort. */
+  def q151TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      .withColumn("h",
+        expr("(doc_id * 1103515245 + 12345) % 2147483647"))
+      .withColumn("cum_tok",
+        sum("n_tok").over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tok") <= TokenBudget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum("n_tok").as("tokens_kept"),
+        sum("doc_id").as("id_checksum"))
+  }
+
+  private def q151OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          (doc_id * 1103515245 + 12345) % 2147483647 AS h
+        FROM documents),
+        c AS (SELECT doc_id, source, n_tok,
+          sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM d)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+               CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM c WHERE cum_tok <= $TokenBudget GROUP BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_token_budget" -> (q151TokenBudget _),
     "q103_merge_upsert" -> (q103MergeUpsert _),
     "q130_quality_constraints" -> (q130QualityConstraints _),
     "q135_mixture_apply" -> (q135MixtureApply _),
@@ -939,6 +991,7 @@ object Pipeline {
     "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q151_token_budget" -> q151OracleSql,
     "q103_merge_upsert" -> q103OracleSql,
     "q130_quality_constraints" -> q130OracleSql,
     "q135_mixture_apply" -> q135OracleSql,

@@ -929,7 +929,17 @@ object TextOps {
     * round is a handful of word-keyed windows/joins on that frame +
     * one O(pairs) census argmax; `localCheckpoint` per round keeps the
     * plan linear (pageRank discipline). */
-  def bpeMerges(wordfreq: DataFrame, rounds: Int): DataFrame = {
+  def bpeMerges(wordfreq: DataFrame, rounds: Int): DataFrame =
+    runBpe(wordfreq, rounds)._1
+
+  /** Final per-word symbol state after `rounds` of training — each
+    * word's BPE segmentation under the learned merge table (the encode
+    * side of the trainer; see [[q149BpeTokenize]]). */
+  def bpeSegments(wordfreq: DataFrame, rounds: Int): DataFrame =
+    runBpe(wordfreq, rounds)._2
+
+  private def runBpe(wordfreq: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("word").orderBy("pos")
     var syms = wordfreq
@@ -980,7 +990,7 @@ object TextOps {
         col("lhs"), col("rhs"), col("cnt"))
       merges = if (merges == null) round else merges.unionByName(round)
     }
-    merges
+    (merges, syms)
   }
 
   /** q137 — BPE MERGE TRAINING: the first $BpeRounds byte-pair-encoding
@@ -998,7 +1008,10 @@ object TextOps {
     bpeMerges(wf, BpeRounds)
   }
 
-  private def q137OracleSql: String = {
+  /** Shared CTE chain for the q137/q149 oracles: word dictionary, char
+    * seed state, and the $BpeRounds training rounds (final state =
+    * s$BpeRounds). */
+  private def bpeCtes: String = {
     def round(r: Int): String = {
       val prev = s"s${r - 1}"
       s"""m$r AS (SELECT word, freq, pos, sym,
@@ -1033,11 +1046,7 @@ object TextOps {
             WHERE d.pos IS NULL) z$r)"""
     }
     val rounds = (1 to BpeRounds).map(round).mkString(",\n        ")
-    val out = (1 to BpeRounds)
-      .map(r => s"SELECT CAST($r AS BIGINT) AS step, lhs, rhs, cnt " +
-        s"FROM b$r")
-      .mkString("\n        UNION ALL ")
-    s"""WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+    s"""wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
           FROM (SELECT unnest(string_split(text, ' ')) AS word
                 FROM documents) WHERE word <> '' GROUP BY word),
         s0 AS MATERIALIZED (SELECT word, freq,
@@ -1045,9 +1054,56 @@ object TextOps {
               AS pos,
             unnest(string_split(word, '')) AS sym
           FROM wf),
-        $rounds
+        $rounds"""
+  }
+
+  private def q137OracleSql: String = {
+    val out = (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS step, lhs, rhs, cnt " +
+        s"FROM b$r")
+      .mkString("\n        UNION ALL ")
+    s"""WITH $bpeCtes
         $out"""
   }
+
+  /** q149 — BPE TOKENIZE (the encode side of q137's trainer, closing
+    * the tokenizer loop train → apply): every word's final segmentation
+    * under the $BpeRounds learned merges is read off the trainer's
+    * final symbol state, and the corpus is re-counted under it —
+    * declared output = per-document whitespace word count vs BPE token
+    * count (the sequence-length planning numbers a training pipeline
+    * publishes: q36 counts pre-tokenizer, this counts post).
+    *
+    * Scale shape: segmentation lives on the DISTINCT-WORD dictionary
+    * (the [[bpeMerges]] scale argument — vocabulary-sized state, corpus
+    * volume only enters through frequencies); documents then tokenize
+    * via ONE broadcast join of the word→token-count map onto the
+    * exploded token stream — the corpus-sized pass is a broadcast
+    * lookup + re-aggregation on doc_id, no dictionary shuffle. */
+  def q149BpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val wf = words.groupBy("word").agg(count(lit(1)).as("freq"))
+    val ntok = bpeSegments(wf, BpeRounds)
+      .groupBy("word").agg(count(lit(1)).as("ntok"))
+    words.join(broadcast(ntok), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("ntok").as("n_bpe_tokens"))
+  }
+
+  private def q149OracleSql: String =
+    s"""WITH $bpeCtes,
+        ntok AS (SELECT word, CAST(count(*) AS BIGINT) AS ntok
+          FROM s$BpeRounds GROUP BY word),
+        dw AS (SELECT doc_id,
+            unnest(string_split(text, ' ')) AS word FROM documents)
+        SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n.ntok) AS BIGINT) AS n_bpe_tokens
+        FROM dw JOIN ntok n ON dw.word = n.word
+        WHERE dw.word <> ''
+        GROUP BY dw.doc_id"""
 
   /** Window width and result size for q142's co-occurrence census. */
   val CoocWindow = 5
@@ -1217,6 +1273,7 @@ object TextOps {
     "q113_fingerprint_match" -> (q113FingerprintMatch _),
     "q136_vocab_coverage" -> (q136VocabCoverage _),
     "q144_countmin" -> (q144Countmin _),
+    "q149_bpe_tokenize" -> (q149BpeTokenize _),
     "q137_bpe_merges" -> (q137BpeMerges _),
     "q142_cooccurrence" -> (q142Cooccurrence _),
     "q122_boilerplate_scrub" -> (q122BoilerplateScrub _),
@@ -1240,6 +1297,7 @@ object TextOps {
   val oracleSql: Map[String, String] = Map(
     "q136_vocab_coverage" -> q136OracleSql,
     "q144_countmin" -> q144OracleSql,
+    "q149_bpe_tokenize" -> q149OracleSql,
     "q137_bpe_merges" -> q137OracleSql,
     "q142_cooccurrence" -> q142OracleSql,
     "q113_fingerprint_match" -> q113OracleSql,

@@ -392,8 +392,82 @@ object EventStream {
        FROM events e JOIN customer c ON e.user_id = c.c_custkey
        GROUP BY 1"""
 
+  /** Portable last-write-wins key for q146 (q92/q134's convention):
+    * event-time seconds scaled + event_id — unique, integer, identical
+    * on both engines. */
+  val UpsertKeyScale = 10000000L
+
+  /** Library core of q146: merge one micro-batch of upserts into the
+    * accumulated snapshot. Both inputs and output have schema
+    * (user_id, k, last_type, n_upserts); last-write-wins on the max
+    * portable key k, n_upserts accumulates. max/sum are associative
+    * and commutative, so ANY split of the stream into micro-batches —
+    * including redeliveries ACROSS batch boundaries if upstream dedup
+    * (q126) ran first — lands on the same final snapshot. */
+  def mergeUpserts(snapshot: DataFrame, batch: DataFrame): DataFrame =
+    snapshot.unionByName(batch)
+      .groupBy("user_id")
+      .agg(max_by(col("last_type"), col("k")).as("last_type"),
+        max("k").as("k"), sum("n_upserts").as("n_upserts"))
+      .select("user_id", "k", "last_type", "n_upserts")
+
+  /** q146 — streaming CDC UPSERT via `foreachBatch` (the sink shape the
+    * declared streaming family still lacked: q109 complete-mode agg,
+    * q114/q117 stateful, q121 stream-stream, q126 dedup, q140
+    * stream-static — this one is the MERGE-INTO-SNAPSHOT writer a
+    * replication pipeline runs): the events replay drains through
+    * `foreachBatch`, each micro-batch pre-aggregated to one row per
+    * user and merged into the running snapshot with last-write-wins on
+    * the portable (event-time, event_id) key. The merged result is the
+    * per-user LATEST event plus the total upsert count — exactly the
+    * per-user argmax the DuckDB oracle computes, independent of how
+    * many micro-batches the replay took (see [[mergeUpserts]]).
+    *
+    * Scale shape: each batch shrinks to ≤|users in batch| rows BEFORE
+    * touching the snapshot (map-side partial agg); the merge is one
+    * shuffle on user_id of snapshot+delta — in production both sides
+    * are bucketed on the key (q123's layout) and the merge is
+    * co-located, with the snapshot stored in a transactional table
+    * format. `localCheckpoint` after every merge truncates lineage,
+    * the q99 iterative discipline applied to a streaming accumulator. */
+  def q146StreamUpsert(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    var snapshot = Seq.empty[(Long, Long, String, Long)]
+      .toDF("user_id", "k", "last_type", "n_upserts")
+    val q = readEvents(s, dir)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) * UpsertKeyScale + col("event_id"))
+          .as("k"),
+        col("event_type").as("last_type"))
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = batch
+          .groupBy("user_id")
+          .agg(max_by(col("last_type"), col("k")).as("last_type"),
+            max("k").as("k"), count(lit(1)).as("n_upserts"))
+          .select("user_id", "k", "last_type", "n_upserts")
+        snapshot = mergeUpserts(snapshot, delta).localCheckpoint(true)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    snapshot
+  }
+
+  private def q146OracleSql: String =
+    s"""WITH e AS (SELECT user_id, event_type,
+          (epoch_ns(ts) // 1000000000) * $UpsertKeyScale + event_id AS k
+        FROM events)
+        SELECT user_id, CAST(max(k) AS BIGINT) AS k,
+               arg_max(event_type, k) AS last_type,
+               CAST(count(*) AS BIGINT) AS n_upserts
+        FROM e GROUP BY user_id"""
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q146_stream_upsert" -> (q146StreamUpsert _),
     "q140_stream_enrich" -> (q140StreamEnrich _),
     "q109_stream_windows" -> (q109StreamWindows _),
     "q114_stream_profiles" -> (q114StreamProfiles _),
@@ -404,6 +478,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q146_stream_upsert" -> q146OracleSql,
     "q140_stream_enrich" -> q140OracleSql,
     "q109_stream_windows" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,

@@ -385,6 +385,100 @@ class ScalePathSpec extends SparkSpec {
       s"digest compare must prune clean blocks ($dirty/$total dirty)")
   }
 
+  test("q146 upsert merge is batch-split invariant (LWW max commutes)") {
+    import spark.implicits._
+    val E = graft.streaming.EventStream
+    val rows = Seq( // (user_id, k, last_type, n_upserts)
+      (1L, 10L, "a", 1L), (1L, 30L, "c", 1L), (1L, 20L, "b", 1L),
+      (2L, 5L, "x", 1L), (2L, 6L, "y", 1L), (3L, 7L, "z", 1L))
+    def df(rs: Seq[(Long, Long, String, Long)]) =
+      rs.toDF("user_id", "k", "last_type", "n_upserts")
+    val empty = df(Seq.empty)
+    val oneShot = E.mergeUpserts(empty, df(rows)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    // same rows split into three "micro-batches", merged incrementally
+    val split = rows.grouped(2).foldLeft(empty) { (snap, b) =>
+      E.mergeUpserts(snap, df(b))
+    }.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(oneShot.toSeq === split.toSeq)
+    assert(oneShot.find(_._1 == 1L).get._3 === "c", "LWW picks max k")
+  }
+
+  test("q147 label propagation separates two cliques joined by a bridge") {
+    import spark.implicits._
+    val G = graft.operators.Graph
+    // two triangles {0,1,2} and {10,11,12} plus a bridge 2-10
+    val und = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L)).toDF("u", "v")
+    val nodes = (Seq(0L, 1L, 2L, 10L, 11L, 12L)).toDF("id")
+    val out = G.labelPropagation(nodes, und).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(out(0L), out(1L), out(2L)).size === 1,
+      "first clique converges to one label")
+    assert(Set(out(10L), out(11L), out(12L)).size === 1,
+      "second clique converges to one label")
+    assert(out(0L) !== out(11L),
+      "the bridge must not merge the two communities")
+  }
+
+  test("q148 shot boundaries: uniform payload has zero cuts, a hard " +
+      "mid-payload content switch has at least one") {
+    import spark.implicits._
+    val M = graft.operators.Multimodal
+    val uniform = "a" * 256
+    val switch = "a" * 128 + "0" * 128 // digits land in a different bin
+    val dir = java.nio.file.Files.createTempDirectory("shots")
+    Seq((0L, uniform), (1L, switch)).toDF("doc_id", "text")
+      .withColumn("source", lit("t")).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = M.q148ShotBoundaries(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) === 0L)
+    assert(out(1L) >= 1L)
+  }
+
+  test("q149 BPE token counts are bounded by char and word counts") {
+    val rows = graft.operators.TextOps.q149BpeTokenize(spark, sf1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    for ((_, nWords, nBpe) <- rows)
+      assert(nBpe >= nWords,
+        "every word is at least one token after 3 merges")
+  }
+
+  test("q150 transition mass: per-source shares sum to ~1e6 and total " +
+      "count equals events minus first-events") {
+    val rows = graft.operators.Extensions
+      .q150MarkovTransitions(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val events = graft.sources.Tables.load(spark, sf1, "events")
+    val total = events.count()
+    val users = events.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === total - users)
+    for ((prev, group) <- rows.groupBy(_._1)) {
+      val ppm = group.map(_._4).sum
+      // integer floor division loses < |group| ppm per source state
+      assert(ppm <= 1000000L && ppm > 1000000L - group.length,
+        s"$prev shares sum to $ppm")
+    }
+  }
+
+  test("q151 token budget: kept tokens within budget, kept set is the " +
+      "hash-prefix") {
+    val P = graft.operators.Pipeline
+    val rows = P.q151TokenBudget(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    for ((src, nKept, tok) <- rows) {
+      assert(tok <= P.TokenBudget, s"$src kept $tok tokens")
+      assert(nKept >= 1L)
+    }
+  }
+
   test("q141 keeps exactly K per source and the kept set is stable") {
     val P = graft.operators.Pipeline
     val a = P.q141GroupSample(spark, sf1).collect()
