@@ -174,6 +174,28 @@ object Dedup {
   def minhashCandidatePairs(
       docs: DataFrame,
       g: LshGeometry = LshGeometry.Default): DataFrame = {
+    val banded = bandedSignatures(docs, g)
+    val x = banded.as("x")
+    val y = banded.as("y")
+    x.join(y,
+        col("x.band") === col("y.band") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_1"),
+        col("y.doc_id").as("doc_id_2"))
+      .distinct()
+  }
+
+  /** The cached (doc_id, band, bkey) LSH band-signature frame over ANY
+    * (doc_id, text) frame — the shared index representation behind
+    * [[minhashCandidatePairs]] (self-join) and [[q152IncrementalLsh]]
+    * (batch-vs-index join). At production scale this frame IS the
+    * persisted dedup index: written bucketed on (band, bkey) once per
+    * corpus build, it turns every later batch's candidate generation
+    * into a co-located equi-join. */
+  def bandedSignatures(
+      docs: DataFrame,
+      g: LshGeometry = LshGeometry.Default): DataFrame = {
     val base = docs
       .withColumn("sw_w", split(col("text"), " "))
       .filter(size(col("sw_w")) >= ShingleN)
@@ -190,18 +212,60 @@ object Dedup {
         }: _*)
     val stackArgs = (0 until g.numBands)
       .map(b => s"$b, bk$b").mkString(s"stack(${g.numBands}, ", ", ", ")")
-    val banded = keyed.selectExpr("doc_id", s"$stackArgs as (band, bkey)")
+    keyed.selectExpr("doc_id", s"$stackArgs as (band, bkey)")
       .cache()
-    val x = banded.as("x")
-    val y = banded.as("y")
-    x.join(y,
+  }
+
+  /** q152 — INCREMENTAL near-dup candidates: a new batch (the perturbed
+    * copies, doc_id ≥ [[PlantedOffset]] — today's scrape, which re-crawls
+    * much of yesterday's content) banded against the EXISTING corpus
+    * index (the originals) plus itself. The q75 incremental discipline
+    * lifted from exact to NEAR dedup: corpus-vs-corpus pairs — the
+    * quadratic majority an index rebuild would recompute — are never
+    * generated; the corpus side joins as a pre-built band-signature
+    * table ([[bandedSignatures]], bucketed on (band, bkey) at scale), so
+    * candidate work scales with the batch's band rows, not the corpus's.
+    * Output: (doc_id_1, doc_id_2, kind) with kind ∈ {in_batch,
+    * vs_corpus} — the two sets a production merge treats differently
+    * (in-batch survivors collapse now; vs-corpus hits drop the batch
+    * doc). */
+  def q152IncrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val banded = bandedSignatures(plantedDocs(s, dir))
+    val corpusB = banded.filter(col("doc_id") < PlantedOffset)
+    val batchB = banded.filter(col("doc_id") >= PlantedOffset)
+    val inBatch = batchB.as("x").join(batchB.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id_1"),
-        col("y.doc_id").as("doc_id_2"))
-      .distinct()
+        col("y.doc_id").as("doc_id_2"), lit("in_batch").as("kind"))
+    // corpus ids < PlantedOffset ≤ batch ids, so (corpus, batch) is
+    // already the (min, max) pair orientation
+    val vsCorpus = batchB.as("b").join(corpusB.as("c"),
+        col("b.band") === col("c.band") &&
+          col("b.bkey") === col("c.bkey"))
+      .select(col("c.doc_id").as("doc_id_1"),
+        col("b.doc_id").as("doc_id_2"), lit("vs_corpus").as("kind"))
+    inBatch.unionByName(vsCorpus).distinct()
   }
+
+  private def q152OracleSql: String =
+    s"""WITH ${lshCtes(plantedSql)}
+        SELECT DISTINCT doc_id_1, doc_id_2, kind FROM (
+          SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+                 'in_batch' AS kind
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bkey = y.bkey
+           AND x.doc_id < y.doc_id
+          WHERE x.doc_id >= $PlantedOffset
+          UNION ALL
+          SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+                 'vs_corpus' AS kind
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bkey = y.bkey
+          WHERE x.doc_id < $PlantedOffset
+            AND y.doc_id >= $PlantedOffset) p"""
 
   /** The LSH CTE chain (docs → words → shingle hashes → band keys) and
     * its pair-select, parametrized over the docs source so q30 (planted
@@ -1143,6 +1207,7 @@ object Dedup {
         FROM ncc, ntc, tpc"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_incremental_lsh" -> (q152IncrementalLsh _),
     "q139_dedup_eval" -> (q139DedupEval _),
     "q124_source_dup_matrix" -> (q124SourceDupMatrix _),
     "q125_dedup_survivors" -> (q125DedupSurvivors _),
@@ -1159,6 +1224,7 @@ object Dedup {
     "q87_verify_candidates" -> (q87VerifyCandidates _))
 
   val oracleSql: Map[String, String] = Map(
+    "q152_incremental_lsh" -> q152OracleSql,
     "q139_dedup_eval" -> q139OracleSql,
     "q124_source_dup_matrix" -> q124OracleSql,
     "q125_dedup_survivors" -> q125OracleSql,

@@ -1154,6 +1154,52 @@ object Extensions {
         SELECT n1, n2, abs(c1 * n2 - c2 * n1) AS d, qty
         FROM cum ORDER BY d DESC, qty LIMIT 1"""
 
+  /** q156 — CATEGORICAL drift via per-category share divergence (the
+    * discrete complement of q132's numeric KS: KS needs an ordered
+    * domain; event-type mixes, language mixes, source mixes don't have
+    * one). The event-type distribution of the month's first half
+    * (day ≤ 15) vs its second, as exact ppm shares and their absolute
+    * gap — the per-category terms whose half-sum is the total-variation
+    * distance, kept per category because the DRIFTING category is what
+    * an operator acts on. All integer arithmetic (counts, ppm floors),
+    * so both engines agree bit-for-bit where a float χ² would drift.
+    *
+    * Scale shape: ONE corpus pass partial-aggregating to ≤ |types| rows
+    * per partition, one |types|-row shuffle, and a window over the
+    * |types|-row frame for the totals — the corpus never shuffles. */
+  def q156CategoricalDrift(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        sum(when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L))
+          .as("n_a"),
+        sum(when(dayofmonth(col("ts")) > 15, 1L).otherwise(0L))
+          .as("n_b"))
+    val all = Window.partitionBy(lit(1))
+    c.withColumn("ta", sum("n_a").over(all))
+      .withColumn("tb", sum("n_b").over(all))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        expr("(n_a * 1000000) div ta").as("pa_ppm"),
+        expr("(n_b * 1000000) div tb").as("pb_ppm"),
+        expr("abs((n_a * 1000000) div ta - (n_b * 1000000) div tb)")
+          .as("gap_ppm"))
+  }
+
+  private def q156OracleSql: String =
+    """WITH c AS (SELECT event_type,
+          CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_a,
+          CAST(sum(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_b
+        FROM events GROUP BY event_type),
+        tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                       CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+        SELECT event_type, n_a, n_b,
+          (n_a * 1000000) // ta AS pa_ppm,
+          (n_b * 1000000) // tb AS pb_ppm,
+          abs((n_a * 1000000) // ta - (n_b * 1000000) // tb) AS gap_ppm
+        FROM c, tot"""
+
   /** q134 — ordered FUNNEL analysis (view → click → purchase): per
     * user, the earliest view, the earliest click strictly AFTER that
     * view, the earliest purchase strictly after that click; declared
@@ -1310,6 +1356,7 @@ object Extensions {
     "q123_bucketed_join" -> (q123BucketedJoin _),
     "q129_zorder_layout" -> (q129ZorderLayout _),
     "q132_ks_drift" -> (q132KsDrift _),
+    "q156_categorical_drift" -> (q156CategoricalDrift _),
     "q134_funnel" -> (q134Funnel _),
     "q143_state_intervals" -> (q143StateIntervals _),
     "q116_pareto_front" -> (q116ParetoFront _),
@@ -1363,6 +1410,7 @@ object Extensions {
     "q116_pareto_front" -> q116OracleSql,
     "q129_zorder_layout" -> q129OracleSql,
     "q132_ks_drift" -> q132OracleSql,
+    "q156_categorical_drift" -> q156OracleSql,
     "q134_funnel" -> q134OracleSql,
     "q143_state_intervals" -> q143OracleSql,
     "q104_partition_stats" -> q104OracleSql,

@@ -383,15 +383,110 @@ object Graph {
         SELECT id, lbl FROM l$LpRounds"""
   }
 
+  /** Core order for q155 (k=4 keeps a non-trivial 17–21-node core of
+    * the 25 nations at the tested SFs; k=2 keeps everything on the
+    * dense 100-edge graph). */
+  val KCoreK = 4
+
+  /** Synchronous peel rounds for q155. Peeling is MONOTONE (the active
+    * set only shrinks) and CONFLUENT (the k-core is unique regardless of
+    * removal order), so once the fixpoint is reached every further round
+    * is a no-op — a fixed round count that exceeds the convergence point
+    * computes the exact k-core, and both engines run the same count.
+    * Worst case on an n-node graph is O(n) rounds (a path peels from
+    * the ends inward); 10 covers the 25-node corridor graphs with the
+    * measured fixpoint at ≤ 9 at every SF (GraphSpec pins round-9 ==
+    * round-10 stability). */
+  val KCoreRounds = 10
+
+  /** Library API: the k-CORE of an undirected (u, v) edge frame by
+    * synchronous peeling — each round drops every node whose degree
+    * among still-active nodes is < k; what survives `rounds` rounds is
+    * the maximal subgraph with minimum degree ≥ k (the density measure
+    * next to q105's triangles: triangles score neighborhoods, the
+    * k-core EXTRACTS the dense region — the standard graph-cleaning
+    * pass before community detection at crawl scale).
+    *
+    * Scale shape per round: degrees come from TWO semi-joins of the
+    * cached edge frame against the active set (src side, then dst side)
+    * plus one node-keyed count — all equi-joins on node ids; at scale
+    * the active set is the broadcast side once peeling bites.
+    * `localCheckpoint` every third round truncates the loop lineage
+    * (the q99 discipline). Returns (id, core_deg) for core members. */
+  def kCore(und: DataFrame, k: Int = KCoreK,
+      rounds: Int = KCoreRounds): DataFrame = {
+    val bi = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+      .cache() // reused every round; drivers clearCache between queries
+    def activeDegrees(active: DataFrame): DataFrame = bi
+      .join(active.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(active.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+    var active = bi.select(col("src").as("id")).distinct()
+    for (round <- 1 to rounds) {
+      active = activeDegrees(active)
+        .filter(col("deg") >= k).select(col("src").as("id"))
+      if (round % 3 == 0 || round == rounds)
+        active = active.localCheckpoint(true)
+    }
+    val core = activeDegrees(active)
+      .select(col("src").as("id"), col("deg").cast("bigint").as("core_deg"))
+    bi.unpersist()
+    core
+  }
+
+  /** q155 — k-core extraction over the full 100-edge rare-corridor
+    * graph (q131's selection, undirected): nations surviving the
+    * [[KCoreK]]-core peel with their within-core degree. */
+  def q155KCore(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("g155_lineitem")
+    t(s, dir, "orders").createOrReplaceTempView("g155_orders")
+    t(s, dir, "customer").createOrReplaceTempView("g155_customer")
+    t(s, dir, "supplier").createOrReplaceTempView("g155_supplier")
+    val und = s.sql(s"""SELECT DISTINCT least(src, dst) AS u,
+          greatest(src, dst) AS v
+        FROM (${corridorSql("g155_lineitem", "g155_orders",
+          "g155_customer", "g155_supplier")})
+        WHERE src <> dst""")
+      .localCheckpoint(true) // 4-table derivation; one materialization
+    kCore(und)
+  }
+
+  private def q155OracleSql: String = {
+    val roundCtes = (1 to KCoreRounds).map { r =>
+      s"""d$r AS (SELECT e.src AS id, count(*) AS deg FROM bi e
+            JOIN a${r - 1} x ON e.src = x.id
+            JOIN a${r - 1} y ON e.dst = y.id
+          GROUP BY e.src),
+        a$r AS (SELECT id FROM d$r WHERE deg >= $KCoreK)"""
+    }.mkString(",\n        ")
+    s"""WITH und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+            greatest(src, dst) AS v
+          FROM (${corridorSql("lineitem", "orders",
+            "customer", "supplier")})
+          WHERE src <> dst),
+        bi AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+               UNION ALL SELECT v, u FROM und),
+        a0 AS (SELECT DISTINCT src AS id FROM bi),
+        $roundCtes
+        SELECT e.src AS id, CAST(count(*) AS BIGINT) AS core_deg
+        FROM bi e
+        JOIN a$KCoreRounds x ON e.src = x.id
+        JOIN a$KCoreRounds y ON e.dst = y.id
+        GROUP BY e.src"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_pagerank" -> (q99PageRank _),
     "q105_triangle_count" -> (q105TriangleCount _),
     "q131_reachability" -> (q131Reachability _),
-    "q147_label_propagation" -> (q147LabelPropagation _))
+    "q147_label_propagation" -> (q147LabelPropagation _),
+    "q155_kcore" -> (q155KCore _))
 
   val oracleSql: Map[String, String] = Map(
     "q99_pagerank" -> q99OracleSql,
     "q105_triangle_count" -> q105OracleSql,
     "q131_reachability" -> q131OracleSql,
-    "q147_label_propagation" -> q147OracleSql)
+    "q147_label_propagation" -> q147OracleSql,
+    "q155_kcore" -> q155OracleSql)
 }

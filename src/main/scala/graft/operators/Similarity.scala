@@ -239,6 +239,121 @@ object Similarity {
           FROM assigned a JOIN pcells pc ON a.cent_id = pc.cent_id)
         WHERE rank <= $BatchTopK"""
 
+  /** q153 — ANN RECALL evaluation: the q120 multi-probe retrieval scored
+    * against the exact brute-force top-k per probe (the q139 measurement
+    * discipline applied to the ANN family — q120 DECLARES a recall path;
+    * this query MEASURES it, per probe, before anyone trusts an nprobe
+    * setting at corpus scale). Output: (probe_id, tp, recall_ppm) — tp =
+    * how many of the exact top-[[BatchTopK]] the multi-probe search
+    * returned.
+    *
+    * Scale shape: the truth side is the exact baseline — a ×batch
+    * broadcast expansion of the corpus with one rank window per probe
+    * (the q25 brute-force shape, amortized across the probe batch);
+    * expensive by design, which is why production pipelines run it over
+    * a probe SAMPLE while the ANN side serves the full load. The
+    * comparison itself adds one (probe, vec) semi-join plus a
+    * probe-keyed count — both trivially partial-aggregated. */
+  def q153AnnEval(s: SparkSession, dir: String): DataFrame = {
+    val e = vectors(s, dir)
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("ed").as("ped"),
+        col("nrm").as("pnrm"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val truth = e.crossJoin(broadcast(probes))
+      .withColumn("pcos",
+        vec_dot(col("ed"), col("ped")) / (col("nrm") * col("pnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= BatchTopK)
+      .select("probe_id", "vec_id")
+    val hits = q120MultiprobeAnn(s, dir).select("probe_id", "vec_id")
+      .join(truth, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("tp"))
+    probes.select("probe_id")
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("recall_ppm", expr(s"(tp * 1000000) div $BatchTopK"))
+  }
+
+  private def q153OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+        probes AS (SELECT vec_id AS probe_id, ed AS ped, nrm AS pnrm
+                   FROM e WHERE vec_id < $NumProbes),
+        truth AS (SELECT probe_id, vec_id FROM (
+          SELECT p.probe_id, a.vec_id,
+            row_number() OVER (PARTITION BY p.probe_id
+              ORDER BY list_dot_product(a.ed, p.ped) / (a.nrm * p.pnrm)
+                DESC, a.vec_id) AS rn
+          FROM e a CROSS JOIN probes p) WHERE rn <= $BatchTopK),
+        ann AS (SELECT probe_id, vec_id FROM ($q120OracleSql) z),
+        hits AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS tp
+                 FROM ann JOIN truth USING (probe_id, vec_id)
+                 GROUP BY probe_id)
+        SELECT p.probe_id, COALESCE(h.tp, CAST(0 AS BIGINT)) AS tp,
+               (COALESCE(h.tp, CAST(0 AS BIGINT)) * 1000000)
+                 // $BatchTopK AS recall_ppm
+        FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id"""
+
+  /** Gram-matrix dimensionality (the embeddings tables are 64-wide at
+    * every SF). */
+  val GramDims = 64
+
+  /** q154 — distributed GRAM MATRIX over int8-quantized embeddings: the
+    * d×d second-moment matrix G[i,j] = Σ_v q_v[i]·q_v[j] every classical
+    * reduction (PCA via covariance, random-projection calibration,
+    * whitening) starts from — computed as the textbook outer-product
+    * partial aggregation. Quantization reuses q91's per-vector int8
+    * scheme (exact integer products — what makes a cross-engine
+    * differential possible where float Gram sums drift by order).
+    *
+    * Scale shape: quantization and the upper-triangle outer product are
+    * fully IN-ROW (array HOFs — no posexplode shuffle, no per-vector
+    * groupBy); the only shuffle is the (i, j)-keyed sum, which map-side
+    * combines to ≤ d(d+1)/2 = 2080 rows per partition
+    * REGARDLESS of corpus size — the defining property of a mergeable
+    * moment sketch (q94's discipline applied to a matrix). Integer
+    * addition commutes, so partitioning never changes a cell. */
+  def q154GramMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d = GramDims
+    val cells = t(s, dir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("gm_mx", expr("array_max(transform(ed, x -> abs(x)))"))
+      .withColumn("qe", expr(
+        """transform(ed, v -> CAST(floor(
+             CASE WHEN gm_mx = 0 THEN 0.0 ELSE v * 127.0 / gm_mx END)
+           AS BIGINT))"""))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${d - 1}), i ->
+              transform(sequence(i, ${d - 1}), j ->
+                struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                  element_at(qe, i + 1) * element_at(qe, j + 1)
+                    AS p))))""")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+    cells.groupBy("i", "j").agg(sum("p").cast("bigint").as("g"))
+  }
+
+  private def q154OracleSql: String =
+    s"""WITH ex AS (SELECT vec_id, unnest(range(0, $GramDims)) AS dim,
+            unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
+        mx AS (SELECT vec_id, max(abs(v)) AS mx FROM ex GROUP BY vec_id),
+        q AS (SELECT ex.vec_id, ex.dim,
+                CAST(floor(CASE WHEN mx = 0 THEN 0.0
+                           ELSE v * 127.0 / mx END) AS BIGINT) AS qv
+              FROM ex JOIN mx ON ex.vec_id = mx.vec_id),
+        qarr AS (SELECT vec_id, list(qv ORDER BY dim) AS qe
+                 FROM q GROUP BY vec_id),
+        cells AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+              qe[i + 1] * qe[j + 1] AS p
+            FROM qarr, range(0, $GramDims) r1(i), range(0, $GramDims) r2(j)
+            WHERE j >= i)
+        SELECT i, j, CAST(sum(p) AS BIGINT) AS g
+        FROM cells GROUP BY i, j"""
+
   /** Library API: exact top-k cosine neighbors of an arbitrary probe
     * vector (brute force, codegen'd dot product). */
   def topKCosine(embeddings: DataFrame, probe: Array[Double], k: Int)
@@ -745,6 +860,8 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_ann_eval" -> (q153AnnEval _),
+    "q154_gram_matrix" -> (q154GramMatrix _),
     "q111_kmeans_refine" -> (q111KmeansRefine _),
     "q127_semdedup" -> (q127Semdedup _),
     "q128_rerank_ann" -> (q128RerankAnn _),
@@ -758,6 +875,8 @@ object Similarity {
     "q91_quantize_embeddings" -> (q91QuantizeEmbeddings _))
 
   val oracleSql: Map[String, String] = Map(
+    "q153_ann_eval" -> q153OracleSql,
+    "q154_gram_matrix" -> q154OracleSql,
     "q111_kmeans_refine" -> q111OracleSql,
     "q127_semdedup" -> q127OracleSql,
     "q128_rerank_ann" -> q128OracleSql,

@@ -101,6 +101,31 @@ class DedupSpec extends SparkSpec {
     s.unpersist(); clusters.unpersist()
   }
 
+  test("q152 incremental candidates equal q30's pairs minus the " +
+    "corpus-corpus quadrant, correctly tagged") {
+    val off = Dedup.PlantedOffset
+    val out = Dedup.q152IncrementalLsh(spark, sf1).cache()
+    // no pair lives entirely in the corpus (the set an incremental run
+    // must never recompute), and kind tags match the id geometry
+    assert(out.filter(col("doc_id_2") < off).count() === 0L)
+    assert(out.filter(col("kind") === "vs_corpus" &&
+      col("doc_id_1") >= off).count() === 0L)
+    assert(out.filter(col("kind") === "in_batch" &&
+      col("doc_id_1") < off).count() === 0L)
+    // exactly the full self-join's pairs with ≥1 batch member: the
+    // incremental path loses nothing the index rebuild would find
+    val full = Dedup.q30DedupMinhashLsh(spark, sf1)
+      .filter(col("doc_id_2") >= off)
+    val mine = out.select("doc_id_1", "doc_id_2")
+    assert(mine.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(mine).count() === 0L)
+    // planted twins recalled through the vs-corpus side, like q30
+    val planted = out.filter(
+      col("doc_id_2") === col("doc_id_1") + off).count()
+    assert(planted > 250L, s"only $planted/500 planted pairs recalled")
+    out.unpersist()
+  }
+
   test("q30 emits no self-pairs and respects id ordering") {
     val pairs = Dedup.q30DedupMinhashLsh(spark, sf1)
     assert(pairs.filter(col("doc_id_1") >= col("doc_id_2")).count() === 0L)

@@ -8,6 +8,21 @@ import graft.operators.Extensions
   * differential can't see (complement laws, idempotence, plan shape). */
 class ExtensionsSpec extends SparkSpec {
 
+  test("q156 halves partition the events exactly; gap is the share " +
+    "difference; floored shares sum to within |types| ulps of 10^6") {
+    val out = Extensions.q156CategoricalDrift(spark, sf1).collect()
+    val total = graft.sources.Tables.load(spark, sf1, "events").count()
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum === total)
+    out.foreach { r =>
+      assert(r.getLong(5) === math.abs(r.getLong(3) - r.getLong(4)))
+    }
+    for (c <- Seq(3, 4)) {
+      val s = out.map(_.getLong(c)).sum
+      assert(s <= 1000000L && s > 1000000L - out.length,
+        s"ppm shares sum to $s")
+    }
+  }
+
   test("q82 outlier filter is non-vacuous (hits exist on uniform data)") {
     // a 2-sigma cut on a uniform column matches NOTHING (max deviation
     // is sqrt(3)*sigma ~ 1.73 sigma) — this guards the threshold against

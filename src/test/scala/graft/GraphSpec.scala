@@ -86,4 +86,57 @@ class GraphSpec extends SparkSpec {
     assert(got === dist.toMap,
       s"recursive CTE ${got.toSeq.sorted} != BFS ${dist.toSeq.sorted}")
   }
+
+  test("kCore keeps exactly the clique and peels the pendant chain") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} plus pendant path 4-5-6: at k=3 the clique
+    // (degree 3 inside itself) survives; 6 then 5 peel off in cascade
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val core = Graph.kCore(und, k = 3, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore peels a path completely, but only given enough rounds " +
+    "(monotone convergence from the ends inward)") {
+    import spark.implicits._
+    val path = (1L to 8L).sliding(2)
+      .map(p => (p.head, p.last)).toSeq.toDF("u", "v")
+    // k=2 on a path: ends have degree 1, so the whole path unravels —
+    // one node pair per round (the documented O(n) worst case)
+    assert(Graph.kCore(path, k = 2, rounds = 8).count() === 0L)
+    assert(Graph.kCore(path, k = 2, rounds = 2).count() > 0L,
+      "2 rounds cannot finish peeling an 8-node path")
+  }
+
+  test("q155 core members all meet the degree bound and the peel has " +
+    "converged inside the declared round budget") {
+    val core = Graph.q155KCore(spark, sf1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.nonEmpty)
+    assert(core.values.forall(_ >= Graph.KCoreK),
+      s"core degree below k: $core")
+    // convergence margin: one round short must give the same core —
+    // i.e. the fixpoint arrives at ≤ rounds-1 (the scaladoc contract)
+    spark.catalog.clearCache()
+    val und = spark.sql(s"""SELECT DISTINCT least(src, dst) AS u,
+          greatest(src, dst) AS v
+        FROM (SELECT src, dst FROM (
+            SELECT src, dst, row_number() OVER (ORDER BY cnt, src, dst)
+              AS rn
+            FROM (SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+                    CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS cnt
+                  FROM g155_lineitem l
+                  JOIN g155_orders o ON l.l_orderkey = o.o_orderkey
+                  JOIN g155_customer c ON o.o_custkey = c.c_custkey
+                  JOIN g155_supplier s ON l.l_suppkey = s.s_suppkey
+                  WHERE c.c_nationkey <> s.s_nationkey
+                  GROUP BY 1, 2) g) rk
+          WHERE rn <= ${Graph.RareEdges}) WHERE src <> dst""")
+      .localCheckpoint(true)
+    val early = Graph.kCore(und, rounds = Graph.KCoreRounds - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(early === core, "peel had not converged at rounds - 1")
+  }
 }

@@ -146,7 +146,14 @@ class PropertySpec extends SparkSpec {
       "q133" -> (graft.operators.Similarity.q133MmrSelect _),
       "q134" -> (graft.operators.Extensions.q134Funnel _),
       "q135" -> (graft.operators.Pipeline.q135MixtureApply _),
-      "q136" -> (graft.operators.TextOps.q136VocabCoverage _))
+      "q136" -> (graft.operators.TextOps.q136VocabCoverage _),
+      // round 6c: batch-vs-index band join, eval semi-joins, outer-
+      // product partial agg, iterative peel, two-slice census
+      "q152" -> (graft.operators.Dedup.q152IncrementalLsh _),
+      "q153" -> (graft.operators.Similarity.q153AnnEval _),
+      "q154" -> (graft.operators.Similarity.q154GramMatrix _),
+      "q155" -> (graft.operators.Graph.q155KCore _),
+      "q156" -> (graft.operators.Extensions.q156CategoricalDrift _))
     for ((name, fn) <- fns) {
       val before = spark.conf.get("spark.sql.shuffle.partitions")
       val a = fn(spark, sf1).collect().map(_.toString).sorted

@@ -184,6 +184,58 @@ class ScalePathSpec extends SparkSpec {
       s"rank-1 should be the probe itself: ${self.toSeq}")
   }
 
+  test("q153 eval's tp equals an independent exact-truth recompute") {
+    import org.apache.spark.sql.expressions.Window
+    val S = graft.operators.Similarity
+    val eval = S.q153AnnEval(spark, sf1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(eval.size === S.NumProbes)
+    val e = S.vectors(spark, sf1)
+    val probes = e.filter(col("vec_id") < S.NumProbes)
+      .select(col("vec_id").as("probe_id"), col("ed").as("ped"),
+        col("nrm").as("pnrm"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(probes))
+      .withColumn("pcos",
+        graft.functions.VectorFunctions.vec_dot(col("ed"), col("ped")) /
+          (col("nrm") * col("pnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= S.BatchTopK)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tpModel = S.q120MultiprobeAnn(spark, sf1)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(exact.contains).groupBy(_._1).view.mapValues(_.length)
+    (0L until S.NumProbes.toLong).foreach { pid =>
+      val (tp, ppm) = eval(pid)
+      assert(tp === tpModel.getOrElse(pid, 0).toLong,
+        s"probe $pid: declared tp $tp != recomputed")
+      assert(ppm === tp * 1000000L / S.BatchTopK)
+    }
+  }
+
+  test("q154 gram matrix: full upper triangle, nonnegative diagonal, " +
+    "every cell Cauchy-Schwarz-consistent with the diagonal") {
+    val S = graft.operators.Similarity
+    val g = S.q154GramMatrix(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val d = S.GramDims
+    assert(g.size === d * (d + 1) / 2)
+    for (i <- 0 until d)
+      assert(g((i.toLong, i.toLong)) >= 0L)
+    // a TRUE second-moment matrix obeys (Σxy)² ≤ Σx²·Σy² exactly —
+    // any per-cell sum corruption (lost partition, double count)
+    // breaks this long before it would be visible in a spot check
+    for (i <- 0 until d; j <- i + 1 until d) {
+      val off = g((i.toLong, j.toLong))
+      assert(off * off <=
+        g((i.toLong, i.toLong)) * g((j.toLong, j.toLong)),
+        s"Cauchy-Schwarz violated at ($i,$j)")
+    }
+  }
+
   test("q127 semdedup pairs only within IVF cells and every drop names " +
     "a smaller same-cell keeper") {
     val S = graft.operators.Similarity
