@@ -195,6 +195,13 @@ object Dedup {
     * into a co-located equi-join. */
   def bandedSignatures(
       docs: DataFrame,
+      g: LshGeometry = LshGeometry.Default): DataFrame =
+    bandedKeys(docs, g).cache()
+
+  /** Uncached [[bandedSignatures]] plan — for callers that materialize
+    * differently (q157's per-micro-batch `localCheckpoint`). */
+  def bandedKeys(
+      docs: DataFrame,
       g: LshGeometry = LshGeometry.Default): DataFrame = {
     val base = docs
       .withColumn("sw_w", split(col("text"), " "))
@@ -213,7 +220,6 @@ object Dedup {
     val stackArgs = (0 until g.numBands)
       .map(b => s"$b, bk$b").mkString(s"stack(${g.numBands}, ", ", ", ")")
     keyed.selectExpr("doc_id", s"$stackArgs as (band, bkey)")
-      .cache()
   }
 
   /** q152 — INCREMENTAL near-dup candidates: a new batch (the perturbed
@@ -289,7 +295,8 @@ object Dedup {
        FROM bands x JOIN bands y
          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"""
 
-  private def q30OracleSql: String = s"WITH $q30Ctes $q30SelectPairs"
+  private[graft] def q30OracleSql: String =
+    s"WITH $q30Ctes $q30SelectPairs"
 
   /** q63 — duplicate-CLUSTER resolution: connected components over the
     * q30 candidate-pair graph, every document labeled with its

@@ -1154,6 +1154,111 @@ object Extensions {
         SELECT n1, n2, abs(c1 * n2 - c2 * n1) AS d, qty
         FROM cum ORDER BY d DESC, qty LIMIT 1"""
 
+  /** Rows per modeled file block in q158 — the granularity a table
+    * format's per-file (or per-row-group) stats describe. */
+  val ZoneBlockRows = 4096
+
+  /** q158 — ZONE-MAP pruning stats (Iceberg/Delta file-skipping
+    * analog, and the MEASUREMENT companion to q129's layout planner):
+    * model the post-`OPTIMIZE` file layout by blocking the
+    * shipdate-sorted row order into [[ZoneBlockRows]]-row files, keep
+    * each block's (min, max) shipdate zone map, and score a TABLE of
+    * predicate date ranges against it — blocks total, blocks pruned
+    * (zone disjoint from the range), and the residual row-scan bound.
+    * The point the numbers make: skipping is a property of LAYOUT —
+    * the same stats on an unsorted layout prune nothing because every
+    * block's zone spans the whole domain.
+    *
+    * Scale shape: the block id comes from a rank over the sort order —
+    * in production that rank is free (it IS the file/row-group
+    * ordinal of the sorted write, exactly q129's output); the stats
+    * pass partial-aggregates to one row per block per partition, and
+    * scoring is a broadcast of the O(1)-row predicate table against
+    * the O(blocks) stats frame — the corpus itself is read once and
+    * never shuffled wholesale (the rank's exchange models the
+    * write-time range partition). */
+  def q158ZoneMap(s: SparkSession, dir: String): DataFrame = {
+    val blocks = t(s, dir, "lineitem")
+      .select(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("blk", expr(
+        s"""(row_number() OVER (ORDER BY l_shipdate, l_orderkey,
+              l_linenumber) - 1) div $ZoneBlockRows"""))
+      .groupBy("blk")
+      .agg(min("l_shipdate").as("lo"), max("l_shipdate").as("hi"),
+        count(lit(1)).as("n_rows"))
+    val preds = s.sql(
+      """SELECT * FROM VALUES
+           (1, DATE'1995-01-01', DATE'1995-06-30'),
+           (2, DATE'1997-01-01', DATE'1997-12-31'),
+           (3, DATE'2000-06-01', DATE'2000-12-31'),
+           (4, DATE'2001-11-01', DATE'2002-12-31')
+         AS t(pred_id, plo, phi)""")
+    blocks.crossJoin(broadcast(preds))
+      .groupBy("pred_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("hi") < col("plo") || col("lo") > col("phi"), 1L)
+          .otherwise(0L)).as("n_pruned"),
+        sum(when(col("hi") < col("plo") || col("lo") > col("phi"), 0L)
+          .otherwise(col("n_rows"))).as("rows_after_skip"))
+  }
+
+  private def q158OracleSql: String =
+    s"""WITH ranked AS (SELECT l_shipdate,
+          (row_number() OVER (ORDER BY l_shipdate, l_orderkey,
+             l_linenumber) - 1) // $ZoneBlockRows AS blk
+        FROM lineitem),
+        blocks AS (SELECT blk, min(l_shipdate) AS lo,
+              max(l_shipdate) AS hi, CAST(count(*) AS BIGINT) AS n_rows
+            FROM ranked GROUP BY blk),
+        preds(pred_id, plo, phi) AS (VALUES
+            (1, DATE '1995-01-01', DATE '1995-06-30'),
+            (2, DATE '1997-01-01', DATE '1997-12-31'),
+            (3, DATE '2000-06-01', DATE '2000-12-31'),
+            (4, DATE '2001-11-01', DATE '2002-12-31'))
+        SELECT pred_id, CAST(count(*) AS BIGINT) AS n_blocks,
+          CAST(sum(CASE WHEN hi < plo OR lo > phi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pruned,
+          CAST(sum(CASE WHEN hi < plo OR lo > phi THEN 0 ELSE n_rows END)
+               AS BIGINT) AS rows_after_skip
+        FROM blocks, preds GROUP BY pred_id"""
+
+  /** q160 — FORWARD FILL imputation (`LAST_VALUE IGNORE NULLS`): carry
+    * each user's most recent purchase amount forward onto every later
+    * event (gap-filling time series before feature extraction — the
+    * imputation shape every sessionized feature pipeline needs).
+    * Ordering rides the portable collision-free (event-time, event_id)
+    * key (q92's convention); amounts quantize to DECIMAL(18,2) once so
+    * both engines carry identical values; events before a user's first
+    * purchase stay NULL — visible, not invented.
+    *
+    * Scale shape: ONE user-keyed exchange carries the whole window
+    * pass (the q143 single-exchange discipline); the running
+    * `last(ignoreNulls)` is O(1) state per row within a partition. */
+  def q160ForwardFill(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        (unix_timestamp(col("ts")) * 10000000L + col("event_id"))
+          .as("k"),
+        when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)")).as("pv"))
+      .withColumn("filled", last("pv", ignoreNulls = true).over(w))
+      .select("event_id", "filled")
+  }
+
+  private def q160OracleSql: String =
+    """WITH e AS (SELECT event_id, user_id,
+          epoch_ns(ts) // 1000000000 * 10000000 + event_id AS k,
+          CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(18,2)) END AS pv
+        FROM events)
+        SELECT event_id,
+          last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM e"""
+
   /** q156 — CATEGORICAL drift via per-category share divergence (the
     * discrete complement of q132's numeric KS: KS needs an ordered
     * domain; event-type mixes, language mixes, source mixes don't have
@@ -1357,6 +1462,8 @@ object Extensions {
     "q129_zorder_layout" -> (q129ZorderLayout _),
     "q132_ks_drift" -> (q132KsDrift _),
     "q156_categorical_drift" -> (q156CategoricalDrift _),
+    "q158_zone_map" -> (q158ZoneMap _),
+    "q160_forward_fill" -> (q160ForwardFill _),
     "q134_funnel" -> (q134Funnel _),
     "q143_state_intervals" -> (q143StateIntervals _),
     "q116_pareto_front" -> (q116ParetoFront _),
@@ -1411,6 +1518,8 @@ object Extensions {
     "q129_zorder_layout" -> q129OracleSql,
     "q132_ks_drift" -> q132OracleSql,
     "q156_categorical_drift" -> q156OracleSql,
+    "q158_zone_map" -> q158OracleSql,
+    "q160_forward_fill" -> q160OracleSql,
     "q134_funnel" -> q134OracleSql,
     "q143_state_intervals" -> q143OracleSql,
     "q104_partition_stats" -> q104OracleSql,

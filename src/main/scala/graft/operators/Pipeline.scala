@@ -971,7 +971,54 @@ object Pipeline {
                CAST(sum(doc_id) AS BIGINT) AS id_checksum
         FROM c WHERE cum_tok <= $TokenBudget GROUP BY source"""
 
+  /** Sampling stride (in characters) for q159 — one pick per full
+    * stride of cumulative weight. */
+  val SysStep = 2000L
+
+  /** q159 — WEIGHTED SYSTEMATIC SAMPLING (the probability-proportional-
+    * to-size member of the sampling family: q85 a fraction, q141 a
+    * count, q151 a budget PREFIX — this one an UNBIASED stride walk):
+    * docs shuffle per source into the portable-LCG order, and a pick
+    * lands on every [[SysStep]]-th character of the cumulative-weight
+    * axis — so each doc is picked ⌊cum/S⌋ − ⌊(cum−w)/S⌋ times,
+    * proportional to its weight in expectation, with heavy docs
+    * legitimately straddling multiple strides (picks > 1). Exact
+    * integer floors both sides — the selection that survives an engine
+    * swap, where u^(1/w) reservoir keys (A-Res) would drift in libm.
+    *
+    * Scale shape: one source-keyed exchange carries the LCG sort and
+    * the cumsum window (q151's single-exchange discipline); the cut is
+    * applied in-window, and the same histogram-threshold fallback as
+    * q151/q90 applies when one source outgrows a partition. */
+  def q159SystematicSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("h",
+        expr("(doc_id * 1103515245 + 12345) % 2147483647"))
+      .withColumn("cum",
+        sum("n_chars").over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .select(col("source"), col("doc_id"),
+        expr(s"cum div $SysStep - (cum - n_chars) div $SysStep")
+          .as("picks"))
+      .filter(col("picks") > 0)
+  }
+
+  private def q159OracleSql: String =
+    s"""WITH d AS (SELECT source, doc_id, n_chars,
+          (doc_id * 1103515245 + 12345) % 2147483647 AS h
+        FROM documents),
+        c AS (SELECT source, doc_id, n_chars,
+          sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d)
+        SELECT source, doc_id,
+               cum // $SysStep - (cum - n_chars) // $SysStep AS picks
+        FROM c WHERE cum // $SysStep - (cum - n_chars) // $SysStep > 0"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_systematic_sample" -> (q159SystematicSample _),
     "q151_token_budget" -> (q151TokenBudget _),
     "q103_merge_upsert" -> (q103MergeUpsert _),
     "q130_quality_constraints" -> (q130QualityConstraints _),
@@ -992,6 +1039,7 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "q151_token_budget" -> q151OracleSql,
+    "q159_systematic_sample" -> q159OracleSql,
     "q103_merge_upsert" -> q103OracleSql,
     "q130_quality_constraints" -> q130OracleSql,
     "q135_mixture_apply" -> q135OracleSql,

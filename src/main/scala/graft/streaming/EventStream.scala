@@ -465,8 +465,78 @@ object EventStream {
                CAST(count(*) AS BIGINT) AS n_upserts
         FROM e GROUP BY user_id"""
 
+  /** Streaming source over the documents table (plain types — no nanos
+    * conversion needed; same single-file glob trick as [[readEvents]]). */
+  def readDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT")
+    spark.readStream.schema(schema).parquet(s"$sfDir/documents.parque[t]")
+  }
+
+  /** q157 — STREAMING INCREMENTAL NEAR-DUP via `foreachBatch` (the
+    * eighth declared Structured Streaming shape, and q152's operator
+    * under continuous ingest): the planted-document replay drains batch
+    * by batch; each micro-batch is LSH-banded once
+    * ([[graft.operators.Dedup.bandedKeys]], `localCheckpoint`ed for its
+    * three consumers), self-joined for in-batch candidates, joined
+    * against the ACCUMULATED band-signature index for batch-vs-index
+    * candidates, and appended to the index. Every pair of the full
+    * corpus is generated exactly when its LATER member arrives, so the
+    * lifetime output is independent of how the stream splits into
+    * micro-batches and equals the full q30 index rebuild — which is the
+    * DuckDB oracle (confluence the differential hash-checks;
+    * StreamingSpec pins the q30 equality in-engine too).
+    *
+    * Scale shape: per batch, work = batch-bands self-join + one
+    * equi-join of batch bands against the index on (band, bkey) — at
+    * production scale the index is a bucketed table on that key
+    * (q123's layout), making the join co-located and the append an
+    * index-partition write; nothing ever rescans the corpus, and
+    * corpus-vs-corpus pairs are never regenerated (q152's invariant,
+    * maintained continuously). */
+  def q157StreamLsh(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.registerAll(s)
+    val D = graft.operators.Dedup
+    var index = Seq.empty[(Long, Int, String)]
+      .toDF("doc_id", "band", "bkey")
+    var pairs = Seq.empty[(Long, Long)].toDF("doc_id_1", "doc_id_2")
+    val docs = readDocs(s, dir).select("doc_id", "text")
+    val planted = docs.unionByName(docs.select(
+      (col("doc_id") + D.PlantedOffset).as("doc_id"),
+      expr("array_join(slice(split(text, ' '), 1, " +
+        "size(split(text, ' ')) - 1), ' ')").as("text")))
+    val q = planted.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = D.bandedKeys(batch.toDF()).localCheckpoint(true)
+        val inBatch = b.as("x").join(b.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_id_1"),
+            col("y.doc_id").as("doc_id_2"))
+        val vsIndex = b.as("b").join(index.as("i"),
+            col("b.band") === col("i.band") &&
+              col("b.bkey") === col("i.bkey"))
+          .select(
+            least(col("b.doc_id"), col("i.doc_id")).as("doc_id_1"),
+            greatest(col("b.doc_id"), col("i.doc_id")).as("doc_id_2"))
+        pairs = pairs.unionByName(inBatch.unionByName(vsIndex))
+          .localCheckpoint(true)
+        index = index.unionByName(b).localCheckpoint(true)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    pairs.distinct()
+  }
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q157_stream_lsh" -> (q157StreamLsh _),
     "q146_stream_upsert" -> (q146StreamUpsert _),
     "q140_stream_enrich" -> (q140StreamEnrich _),
     "q109_stream_windows" -> (q109StreamWindows _),
@@ -478,6 +548,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q157_stream_lsh" -> graft.operators.Dedup.q30OracleSql,
     "q146_stream_upsert" -> q146OracleSql,
     "q140_stream_enrich" -> q140OracleSql,
     "q109_stream_windows" ->

@@ -23,6 +23,61 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q158 zone maps prune on the sorted layout where the unsorted " +
+    "layout prunes nothing (skipping is a property of layout)") {
+    val sorted = Extensions.q158ZoneMap(spark, sf1).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(sorted.size === 4)
+    // every block is accounted for: pruned + surviving rows = corpus
+    val li = graft.sources.Tables.load(spark, sf1, "lineitem")
+    val total = li.count()
+    sorted.values.foreach { case (blocks, pruned, rows) =>
+      assert(pruned >= 0L && pruned <= blocks)
+      assert(rows <= total)
+    }
+    // the mid-range predicate (1997) must actually skip on the sorted
+    // layout...
+    assert(sorted(2)._2 > 0L, s"sorted layout pruned nothing: $sorted")
+    // ...while the same stats blocked by UNSORTED arrival order span
+    // the whole domain and prune zero blocks
+    val unsortedPruned = li
+      .groupBy((col("l_orderkey") / 4096).cast("bigint").as("blk"))
+      .agg(min("l_shipdate").as("lo"), max("l_shipdate").as("hi"))
+      .filter(col("hi") < lit("1997-01-01").cast("date") ||
+        col("lo") > lit("1997-12-31").cast("date"))
+      .count()
+    assert(unsortedPruned === 0L,
+      "unsorted blocks should span the domain and never prune")
+  }
+
+  test("q160 forward fill: purchases carry their own amount and " +
+    "pre-first-purchase events stay null") {
+    val filled = Extensions.q160ForwardFill(spark, sf1)
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("v"),
+        (unix_timestamp(col("ts")) * 10000000L + col("event_id"))
+          .as("k"))
+    val joined = filled.join(ev, "event_id").cache()
+    // a purchase event's filled value is its own amount
+    assert(joined.filter(col("event_type") === "purchase" &&
+      col("filled") =!= col("v")).count() === 0L)
+    // null exactly before each user's first purchase
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val model = joined.withColumn("seen",
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .over(w))
+    assert(model.filter(col("seen") === 0L &&
+      col("filled").isNotNull).count() === 0L)
+    assert(model.filter(col("seen") > 0L &&
+      col("filled").isNull).count() === 0L)
+    joined.unpersist()
+  }
+
   test("q82 outlier filter is non-vacuous (hits exist on uniform data)") {
     // a 2-sigma cut on a uniform column matches NOTHING (max deviation
     // is sqrt(3)*sigma ~ 1.73 sigma) — this guards the threshold against

@@ -153,7 +153,10 @@ class PropertySpec extends SparkSpec {
       "q153" -> (graft.operators.Similarity.q153AnnEval _),
       "q154" -> (graft.operators.Similarity.q154GramMatrix _),
       "q155" -> (graft.operators.Graph.q155KCore _),
-      "q156" -> (graft.operators.Extensions.q156CategoricalDrift _))
+      "q156" -> (graft.operators.Extensions.q156CategoricalDrift _),
+      "q158" -> (graft.operators.Extensions.q158ZoneMap _),
+      "q159" -> (graft.operators.Pipeline.q159SystematicSample _),
+      "q160" -> (graft.operators.Extensions.q160ForwardFill _))
     for ((name, fn) <- fns) {
       val before = spark.conf.get("spark.sql.shuffle.partitions")
       val a = fn(spark, sf1).collect().map(_.toString).sorted

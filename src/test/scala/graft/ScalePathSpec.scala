@@ -531,6 +531,24 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  test("q159 systematic picks telescope: per-source pick totals equal " +
+      "floor(source weight / stride) exactly") {
+    val P = graft.operators.Pipeline
+    val picks = P.q159SystematicSample(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(picks.nonEmpty)
+    assert(picks.values.forall(_ > 0L))
+    // Σ_docs (⌊cum/S⌋ − ⌊(cum−w)/S⌋) telescopes to ⌊total/S⌋ — any
+    // dropped doc, double count, or mis-ordered cumsum breaks this
+    val totals = graft.sources.Tables.load(spark, sf1, "documents")
+      .groupBy("source").agg(sum("n_chars").as("w")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, w) <- totals)
+      assert(picks.getOrElse(src, 0L) === w / P.SysStep,
+        s"$src: picks ${picks.getOrElse(src, 0L)} != ${w / P.SysStep}")
+  }
+
   test("q141 keeps exactly K per source and the kept set is stable") {
     val P = graft.operators.Pipeline
     val a = P.q141GroupSample(spark, sf1).collect()

@@ -46,4 +46,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq,
       "finite drained replay must equal the batch aggregation")
   }
+
+  test("q157 streaming incremental LSH lands exactly on the q30 " +
+    "index rebuild (confluence across batch splits)") {
+    val streamed = graft.streaming.EventStream
+      .q157StreamLsh(spark, sf1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val rebuilt = graft.operators.Dedup.q30DedupMinhashLsh(spark, sf1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === rebuilt,
+      "lifetime streaming pair set must equal the full rebuild")
+  }
 }
