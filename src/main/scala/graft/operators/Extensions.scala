@@ -1259,6 +1259,210 @@ object Extensions {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         FROM e"""
 
+  /** q161 — AS-OF JOIN (point-in-time temporal join): each event joined
+    * to the SAME user's most recent order at-or-before the event date —
+    * the feature-extraction join every training pipeline runs against a
+    * dimension that changes over time (price books, account states,
+    * model registries). The dimension is deliberately incomplete (cust
+    * keys ≡ 3 mod 7 withheld) so events before/without any snapshot row
+    * surface as NULL — visible, not invented (q160's discipline).
+    *
+    * Implementation is the union-and-fill shape, not a per-row range
+    * probe: both sides union into one frame ordered by (date, side,
+    * tiebreak) with orders sorting BEFORE events on the same date
+    * (at-or-before includes same-day rows) and same-day orders in key
+    * order (so the fill carries the max orderkey — a deterministic
+    * tie-break, where a native ASOF join leaves ties ambiguous); one
+    * `last(ignoreNulls)` window per carried attribute reads the most
+    * recent order row. The two fills come from the SAME row because
+    * order attributes are null/non-null together.
+    *
+    * Scale shape: ONE user-keyed exchange carries the whole join — no
+    * range-condition explosion (a naive `d1 <= d2` theta-join admits
+    * O(events × orders) per user before picking the max), no per-row
+    * subquery; O(1) fill state per row within a partition. */
+  def q161AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_custkey") % 7 =!= 3)
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("d"),
+        lit(0).as("side"), col("o_orderkey").as("tb"),
+        col("o_orderkey").as("ok"), col("o_orderdate").as("od"),
+        lit(null).cast("bigint").as("event_id"))
+    val e = t(s, dir, "events")
+      .select(col("user_id").as("k"), col("ts").cast("date").as("d"),
+        lit(1).as("side"), col("event_id").as("tb"),
+        lit(null).cast("bigint").as("ok"),
+        lit(null).cast("date").as("od"), col("event_id"))
+    val w = Window.partitionBy("k").orderBy("d", "side", "tb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("asof_orderkey", last("ok", ignoreNulls = true).over(w))
+      .withColumn("fod", last("od", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("asof_orderkey"),
+        datediff(col("d"), col("fod")).cast("bigint").as("lag_days"))
+  }
+
+  private def q161OracleSql: String =
+    """WITH u AS (
+        SELECT o_custkey AS k, o_orderdate AS d, 0 AS side,
+               o_orderkey AS tb, o_orderkey AS ok, o_orderdate AS od,
+               CAST(NULL AS BIGINT) AS event_id
+        FROM orders WHERE o_custkey % 7 <> 3
+        UNION ALL
+        SELECT user_id, CAST(ts AS DATE), 1, event_id, NULL, NULL,
+               event_id
+        FROM events),
+        f AS (SELECT *,
+          last_value(ok IGNORE NULLS) OVER (PARTITION BY k
+            ORDER BY d, side, tb
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS asof_orderkey,
+          last_value(od IGNORE NULLS) OVER (PARTITION BY k
+            ORDER BY d, side, tb
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fod
+        FROM u)
+        SELECT event_id, asof_orderkey,
+               CAST(date_diff('day', fod, d) AS BIGINT) AS lag_days
+        FROM f WHERE side = 1"""
+
+  /** q162 — ROBUST outlier detection via MAD (median absolute
+    * deviation): q82's z-score cut is itself skewed by the outliers it
+    * hunts (mean and sigma both move); the MAD cut is the robust
+    * standard — per event type, lower-median of value cents, lower-
+    * median of |x − med|, flag |x − med| > 3·MAD. All integer (cents,
+    * rank positions, exact medians-by-rank) — no float quantile
+    * interpolation to diverge cross-engine; the exponential-tailed
+    * value column keeps the cut non-vacuous at every SF (~2.3% flagged,
+    * where the same cut on uniform doc lengths matches nothing — the
+    * q82 vacuity lesson applied).
+    *
+    * Scale shape: ONE event_type-keyed exchange carries both median
+    * ranks (two Sorts, same partitioning — no second shuffle) and the
+    * final rollup collapses in-partition. Medians-by-rank sort the
+    * partition, not the cluster: at huge groups the two-pass histogram
+    * threshold (q90's trick) computes the same rank element without a
+    * full sort. */
+  def q162MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val wp = Window.partitionBy("event_type")
+    val wr = wp.orderBy("cents", "event_id")
+    val wd = wp.orderBy("dev", "event_id")
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("cents"))
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("cnt", count(lit(1)).over(wp))
+      .withColumn("med",
+        max(when(expr("rn = (cnt + 1) div 2"), col("cents"))).over(wp))
+      .withColumn("dev", abs(col("cents") - col("med")))
+      .withColumn("rn2", row_number().over(wd))
+      .withColumn("mad",
+        max(when(expr("rn2 = (cnt + 1) div 2"), col("dev"))).over(wp))
+      .groupBy("event_type")
+      .agg(max("med").as("med"), max("mad").as("mad"),
+        sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
+          .as("n_out"),
+        coalesce(sum(when(col("dev") > lit(3) * col("mad"),
+          col("event_id"))), lit(0L)).as("id_checksum"))
+  }
+
+  private def q162OracleSql: String =
+    """WITH e AS (SELECT event_id, event_type,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+        d AS (SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY cents, event_id) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS cnt FROM e),
+        m AS (SELECT *, max(CASE WHEN rn = (cnt+1)//2 THEN cents END)
+            OVER (PARTITION BY event_type) AS med FROM d),
+        v AS (SELECT *, abs(cents - med) AS dev,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY abs(cents - med), event_id) AS rn2 FROM m),
+        w AS (SELECT *, max(CASE WHEN rn2 = (cnt+1)//2 THEN dev END)
+            OVER (PARTITION BY event_type) AS mad FROM v)
+        SELECT event_type, max(med) AS med, max(mad) AS mad,
+          CAST(sum(CASE WHEN dev > 3*mad THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_out,
+          CAST(coalesce(sum(CASE WHEN dev > 3*mad THEN event_id END), 0)
+            AS BIGINT) AS id_checksum
+        FROM w GROUP BY event_type"""
+
+  /** Salt fan-out for q163 — how many reducers a hot key is split
+    * across. */
+  val NumSalts = 8
+
+  /** q163 — SKEW-SALTED equi-join, declared (previously scalatest-only
+    * machinery): the lineitem fact side salted across [[NumSalts]]
+    * splits, orders replicated per salt, joined on (key, salt), then
+    * rolled up per order priority. The output is identical to the
+    * unsalted join — which IS the DuckDB oracle, so the differential
+    * itself proves salting is result-transparent.
+    *
+    * Scale shape: this is the plan-level answer when a known-hot key
+    * (the null-ish "unknown" holding 30% of a 100 TB fact) must be
+    * split BEFORE the shuffle — AQE skew-split handles sort-merge skew
+    * at runtime, salting handles it by construction: the hot key's rows
+    * land on [[NumSalts]] reducers instead of one, at the cost of
+    * replicating the (much smaller) dim side's shuffle volume.
+    * ScalePathSpec asserts the join really keys on (key, salt). */
+  def q163SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
+    val dim = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Skew.saltedEquiJoin(fact, dim, "l_orderkey", "o_orderkey", NumSalts)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).cast("double").as("sum_qty"))
+  }
+
+  private def q163OracleSql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority"""
+
+  /** Rolling-window width for q164, in seconds. */
+  val RollWindowSec = 86400L
+
+  /** q164 — TIME-RANGE rolling aggregate (`RANGE BETWEEN <interval>
+    * PRECEDING`): each event's trailing-24h per-user activity — count
+    * and exact decimal sum of event values — the rolling-feature shape
+    * (trailing spend, trailing request rate) that tumbling (q26) and
+    * stepped-sliding (q74) windows can't express because every ROW
+    * anchors its own window. A RANGE frame on the integer epoch-second
+    * axis is also tie-robust: rows sharing a timestamp see the same
+    * frame regardless of their relative order, so no tiebreak key is
+    * even needed for determinism.
+    *
+    * Scale shape: ONE user-keyed exchange; the frame is maintained as a
+    * sliding two-pointer over the sorted partition (O(1) amortized per
+    * row), never re-scanned per row. */
+  def q164RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("k")
+      .rangeBetween(-RollWindowSec, 0L)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("k"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .select(col("event_id"),
+        count(lit(1)).over(w).as("n_win"),
+        sum("v").over(w).cast("double").as("roll_sum"))
+  }
+
+  private def q164OracleSql: String =
+    s"""WITH e AS (SELECT event_id, user_id,
+          epoch_ns(ts) // 1000000000 AS k,
+          CAST(value AS DECIMAL(18,2)) AS v FROM events)
+        SELECT event_id, CAST(count(*) OVER w AS BIGINT) AS n_win,
+               CAST(sum(v) OVER w AS DOUBLE) AS roll_sum
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY k
+          RANGE BETWEEN $RollWindowSec PRECEDING AND CURRENT ROW)"""
+
   /** q156 — CATEGORICAL drift via per-category share divergence (the
     * discrete complement of q132's numeric KS: KS needs an ordered
     * domain; event-type mixes, language mixes, source mixes don't have
@@ -1464,6 +1668,10 @@ object Extensions {
     "q156_categorical_drift" -> (q156CategoricalDrift _),
     "q158_zone_map" -> (q158ZoneMap _),
     "q160_forward_fill" -> (q160ForwardFill _),
+    "q161_asof_join" -> (q161AsofJoin _),
+    "q162_mad_outliers" -> (q162MadOutliers _),
+    "q163_salted_join" -> (q163SaltedJoin _),
+    "q164_rolling_window" -> (q164RollingWindow _),
     "q134_funnel" -> (q134Funnel _),
     "q143_state_intervals" -> (q143StateIntervals _),
     "q116_pareto_front" -> (q116ParetoFront _),
@@ -1520,6 +1728,10 @@ object Extensions {
     "q156_categorical_drift" -> q156OracleSql,
     "q158_zone_map" -> q158OracleSql,
     "q160_forward_fill" -> q160OracleSql,
+    "q161_asof_join" -> q161OracleSql,
+    "q162_mad_outliers" -> q162OracleSql,
+    "q163_salted_join" -> q163OracleSql,
+    "q164_rolling_window" -> q164OracleSql,
     "q134_funnel" -> q134OracleSql,
     "q143_state_intervals" -> q143OracleSql,
     "q104_partition_stats" -> q104OracleSql,

@@ -1017,8 +1017,46 @@ object Pipeline {
                cum // $SysStep - (cum - n_chars) // $SysStep AS picks
         FROM c WHERE cum // $SysStep - (cum - n_chars) // $SysStep > 0"""
 
+  /** q165 — RANK TRANSFORM normalization (quantile/rank-based feature
+    * scaling): each doc's length mapped to its per-source rank position
+    * in exact ppm — `(rank − 1) · 10⁶ div (n − 1)` — the
+    * distribution-free normalization (spearman features, quantile
+    * matching across heterogeneous sources) that min-max and z-score
+    * scaling can't give on heavy-tailed lengths. `rank()` (not
+    * row_number) so equal lengths map to equal features — the transform
+    * stays a FUNCTION of the value; all integer arithmetic, and
+    * singleton sources pin to 0 rather than divide by zero.
+    *
+    * Scale shape: ONE source-keyed exchange carries the rank sort and
+    * the count; the projection is in-row. At huge groups the q90
+    * histogram trick replaces the sort: a value-keyed census plus a
+    * cumsum over the (much smaller) distinct-value frame yields the
+    * same rank for every row of a value. */
+  def q165RankTransform(s: SparkSession, dir: String): DataFrame = {
+    val wp = Window.partitionBy("source")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("r", rank().over(wp.orderBy("n_chars")))
+      .withColumn("n", count(lit(1)).over(wp))
+      .select(col("doc_id"), col("source"),
+        when(col("n") > 1,
+          expr("(CAST(r AS BIGINT) - 1) * 1000000 div (n - 1)"))
+          .otherwise(0L).as("r_ppm"))
+  }
+
+  private def q165OracleSql: String =
+    """WITH d AS (SELECT source, doc_id, n_chars,
+          rank() OVER (PARTITION BY source ORDER BY n_chars) AS r,
+          count(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+        SELECT doc_id, source,
+          CASE WHEN n > 1 THEN (r - 1) * 1000000 // (n - 1)
+               ELSE 0 END AS r_ppm
+        FROM d"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_systematic_sample" -> (q159SystematicSample _),
+    "q165_rank_transform" -> (q165RankTransform _),
     "q151_token_budget" -> (q151TokenBudget _),
     "q103_merge_upsert" -> (q103MergeUpsert _),
     "q130_quality_constraints" -> (q130QualityConstraints _),
@@ -1040,6 +1078,7 @@ object Pipeline {
   val oracleSql: Map[String, String] = Map(
     "q151_token_budget" -> q151OracleSql,
     "q159_systematic_sample" -> q159OracleSql,
+    "q165_rank_transform" -> q165OracleSql,
     "q103_merge_upsert" -> q103OracleSql,
     "q130_quality_constraints" -> q130OracleSql,
     "q135_mixture_apply" -> q135OracleSql,

@@ -78,6 +78,82 @@ class ExtensionsSpec extends SparkSpec {
     joined.unpersist()
   }
 
+  test("q161 as-of join matches the direct argmax model, nulls exactly " +
+    "for users with no eligible snapshot row") {
+    val got = Extensions.q161AsofJoin(spark, sf1).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // direct model: max (date, orderkey) among same-user orders at or
+    // before the event date — the O(events x orders) plan q161 avoids
+    // ISO date strings order correctly — sidesteps the java8-api
+    // date class differences between the two timestamp carriers
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("date").cast("string").as("d")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val ords = graft.sources.Tables.load(spark, sf1, "orders")
+      .filter(col("o_custkey") % 7 =!= 3)
+      .select(col("o_custkey"), col("o_orderdate").cast("string"),
+        col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(got.size === ev.length)
+    var nulls = 0
+    for ((eid, uid, d) <- ev) {
+      val elig = ords.getOrElse(uid, Array.empty)
+        .filter(_._2 <= d)
+      val want =
+        if (elig.isEmpty) None
+        else Some(elig.maxBy(o => (o._2, o._3))._3)
+      assert(got(eid) === want, s"event $eid user $uid date $d")
+      if (want.isEmpty) nulls += 1
+    }
+    assert(nulls > 0, "withheld cust keys should leave some events null")
+  }
+
+  test("q162 MAD medians match a direct in-memory recompute and the " +
+    "cut is non-vacuous") {
+    val got = Extensions.q162MadOutliers(spark, sf1).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val rows = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for ((tpe, cents) <- rows) {
+      val lowerMed = cents.sorted.apply((cents.length + 1) / 2 - 1)
+      val devs = cents.map(c => math.abs(c - lowerMed))
+      val lowerMad = devs.sorted.apply((devs.length + 1) / 2 - 1)
+      val nOut = devs.count(_ > 3 * lowerMad).toLong
+      assert(got(tpe) === ((lowerMed, lowerMad, nOut)), s"type $tpe")
+    }
+    assert(got.values.map(_._3).sum > 0L,
+      "3*MAD on the exponential-tailed values must flag something")
+  }
+
+  test("q164 rolling range window matches per-row brute force") {
+    val got = Extensions.q164RollingWindow(spark, sf1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val rows = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("k"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = rows.groupBy(_._2)
+    for ((eid, uid, k, _) <- rows) {
+      val win = byUser(uid).filter(e =>
+        e._3 >= k - Extensions.RollWindowSec && e._3 <= k)
+      val want = (win.length.toLong, win.map(_._4).sum / 100.0)
+      assert(got(eid) === want, s"event $eid")
+    }
+    // the window must genuinely aggregate neighbors, not just self
+    assert(got.values.exists(_._1 > 1L))
+  }
+
   test("q82 outlier filter is non-vacuous (hits exist on uniform data)") {
     // a 2-sigma cut on a uniform column matches NOTHING (max deviation
     // is sqrt(3)*sigma ~ 1.73 sigma) — this guards the threshold against

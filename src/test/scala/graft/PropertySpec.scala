@@ -156,7 +156,12 @@ class PropertySpec extends SparkSpec {
       "q156" -> (graft.operators.Extensions.q156CategoricalDrift _),
       "q158" -> (graft.operators.Extensions.q158ZoneMap _),
       "q159" -> (graft.operators.Pipeline.q159SystematicSample _),
-      "q160" -> (graft.operators.Extensions.q160ForwardFill _))
+      "q160" -> (graft.operators.Extensions.q160ForwardFill _),
+      "q161" -> (graft.operators.Extensions.q161AsofJoin _),
+      "q162" -> (graft.operators.Extensions.q162MadOutliers _),
+      "q163" -> (graft.operators.Extensions.q163SaltedJoin _),
+      "q164" -> (graft.operators.Extensions.q164RollingWindow _),
+      "q165" -> (graft.operators.Pipeline.q165RankTransform _))
     for ((name, fn) <- fns) {
       val before = spark.conf.get("spark.sql.shuffle.partitions")
       val a = fn(spark, sf1).collect().map(_.toString).sorted

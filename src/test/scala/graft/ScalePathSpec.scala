@@ -549,6 +549,51 @@ class ScalePathSpec extends SparkSpec {
         s"$src: picks ${picks.getOrElse(src, 0L)} != ${w / P.SysStep}")
   }
 
+  test("q163 salted join really keys on (key, salt) and single-exchange " +
+      "window queries plan exactly one shuffle") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.operators.Extensions.q163SaltedJoin(spark, sf1)
+        .queryExecution.executedPlan.toString
+      // the join condition must carry the salt — otherwise the hot key
+      // still lands on one reducer and the whole construction is a no-op
+      assert(plan.contains("_salt"),
+        s"salt key missing from the executed join plan:\n$plan")
+    } finally spark.conf.set(
+      "spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // the union-and-fill as-of join, the range rolling window, and the
+    // rank transform each claim ONE key-partitioned exchange
+    for ((name, df) <- Seq(
+      "q161" -> graft.operators.Extensions.q161AsofJoin(spark, sf1),
+      "q164" -> graft.operators.Extensions.q164RollingWindow(spark, sf1),
+      "q165" -> graft.operators.Pipeline.q165RankTransform(spark, sf1))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val n = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+      assert(n === 1, s"$name expected exactly 1 exchange, got $n:\n$plan")
+    }
+  }
+
+  test("q165 rank transform matches the strictly-smaller-count model " +
+      "(ties share a feature value; untied extremes pin 0 and 1e6)") {
+    val rows = graft.operators.Pipeline.q165RankTransform(spark, sf1)
+      .join(graft.sources.Tables.load(spark, sf1, "documents")
+        .select("doc_id", "n_chars"), "doc_id")
+      .select("source", "n_chars", "r_ppm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySrc = rows.groupBy(_._1)
+    for ((_, g) <- bySrc if g.length > 1) {
+      val n = g.length.toLong
+      // rank() - 1 = count of strictly smaller values, so the feature
+      // is a pure function of the value's position in the distribution
+      for ((_, len, ppm) <- g) {
+        val smaller = g.count(_._2 < len).toLong
+        assert(ppm === smaller * 1000000L / (n - 1),
+          s"len $len in group of $n")
+      }
+      assert(g.filter(_._2 == g.map(_._2).min).forall(_._3 == 0L))
+    }
+  }
+
   test("q141 keeps exactly K per source and the kept set is stable") {
     val P = graft.operators.Pipeline
     val a = P.q141GroupSample(spark, sf1).collect()
