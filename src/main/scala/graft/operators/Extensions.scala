@@ -1463,6 +1463,173 @@ object Extensions {
         WINDOW w AS (PARTITION BY user_id ORDER BY k
           RANGE BETWEEN $RollWindowSec PRECEDING AND CURRENT ROW)"""
 
+  /** Anonymity threshold for q167 — classes smaller than this are
+    * re-identification risks. */
+  val KAnon = 5
+
+  /** q167 — K-ANONYMITY audit (privacy governance for training data):
+    * customers bucketed by quasi-identifier combination (nation,
+    * market segment, account-balance band) — the attributes an
+    * adversary could link from outside — and every equivalence class
+    * smaller than [[KAnon]] flagged as a re-identification risk. Output
+    * per nation: row/class counts, risky-row count, and a checksum
+    * pinning exactly WHICH rows are risky (the set a suppression or
+    * generalization pass must treat).
+    *
+    * Scale shape: class sizes come from a partial-aggregated groupBy
+    * on the QI key (map-side combine to ≤ |classes| rows per
+    * partition — the corpus never crosses the wire row-by-row, unlike
+    * a window-over-rows formulation), and the per-nation rollup runs
+    * over the |classes|-sized frame. */
+  def q167KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val classes = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment").as("seg"),
+        expr("""CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                div 100000""").as("band"))
+      .groupBy("c_nationkey", "seg", "band")
+      .agg(count(lit(1)).as("cls"), sum("c_custkey").as("cks"))
+    classes.groupBy("c_nationkey")
+      .agg(sum("cls").as("n_rows"), count(lit(1)).as("n_classes"),
+        sum(when(col("cls") < KAnon, col("cls")).otherwise(0L))
+          .as("n_risky_rows"),
+        coalesce(sum(when(col("cls") < KAnon, col("cks"))), lit(0L))
+          .as("risky_checksum"))
+  }
+
+  private def q167OracleSql: String =
+    s"""WITH q AS (SELECT c_custkey, c_nationkey, c_mktsegment AS seg,
+          CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+            // 100000 AS band
+        FROM customer),
+        cls AS (SELECT c_nationkey, seg, band,
+            CAST(count(*) AS BIGINT) AS cls,
+            CAST(sum(c_custkey) AS BIGINT) AS cks
+          FROM q GROUP BY c_nationkey, seg, band)
+        SELECT c_nationkey, CAST(sum(cls) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_classes,
+          CAST(sum(CASE WHEN cls < $KAnon THEN cls ELSE 0 END) AS BIGINT)
+            AS n_risky_rows,
+          CAST(coalesce(sum(CASE WHEN cls < $KAnon THEN cks END), 0)
+            AS BIGINT) AS risky_checksum
+        FROM cls GROUP BY c_nationkey"""
+
+  /** q168 — EQUI-DEPTH HISTOGRAM construction (the ANALYZE-statistics
+    * op behind CBO selectivity estimates and range-partition planning,
+    * the value-domain complement of q83's equi-WIDTH histogram): per
+    * return flag, extended-price cents split into 10 equal-count
+    * buckets by exact rank, each bucket reporting its upper boundary
+    * and row count. The boundaries are what a range partitioner or
+    * optimizer consumes; exact integer ranks make them
+    * engine-portable where sampled/interpolated quantiles are not.
+    *
+    * Scale shape: ONE flag-keyed exchange carries the rank sort; the
+    * bucket rollup groups by (flag, bucket) — a superset of the
+    * window's partitioning key, so Catalyst reuses the exchange. At
+    * production scale the q90 histogram-threshold pass replaces the
+    * full sort: a value census + cumsum over distinct values yields
+    * the same boundaries. */
+  def q168EquidepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("flag")
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)""").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(
+        w.orderBy("cents", "l_orderkey", "l_linenumber")))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .groupBy(col("flag"),
+        expr("((rn - 1) * 10) div cnt").as("bucket"))
+      .agg(max("cents").as("hi_cents"), count(lit(1)).as("n_rows"))
+  }
+
+  private def q168OracleSql: String =
+    """WITH d AS (SELECT l_returnflag AS flag,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS cents, l_orderkey, l_linenumber
+        FROM lineitem),
+        r AS (SELECT *, row_number() OVER (PARTITION BY flag
+            ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+          count(*) OVER (PARTITION BY flag) AS cnt FROM d)
+        SELECT flag, ((rn - 1) * 10) // cnt AS bucket,
+          CAST(max(cents) AS BIGINT) AS hi_cents,
+          CAST(count(*) AS BIGINT) AS n_rows
+        FROM r GROUP BY flag, bucket"""
+
+  /** Bucket width for q169's interval binning, in q92-key units
+    * (one hour of event time). */
+  val IntervalBucket: Long = 3600L * AttribKeyScale
+
+  /** q169 — INTERVAL OVERLAP JOIN at scale: q143's per-user state runs
+    * joined against each other for cross-user pairs of OVERLAPPING
+    * same-type intervals (concurrent same-activity detection — the
+    * interval-intersection shape behind co-occurrence, conflict, and
+    * capacity analysis). Declared output is the per-type pair census +
+    * an id checksum over the exact pair set.
+    *
+    * Scale shape: the overlap predicate alone is a theta-join — O(n²)
+    * pairs examined however it executes. The scale path BINS each
+    * interval to its covered [[IntervalBucket]] hour buckets
+    * (`sequence` explode — intervals are short, so the expansion is
+    * ~1×) and equi-joins on (type, bucket) with the overlap test as
+    * residual; candidates collapse to Σ|cell|² over hour cells instead
+    * of |runs|² per type. `distinct` dedups pairs straddling a bucket
+    * boundary before the census (exactly DuckDB's IEJoin result, by a
+    * shuffle-friendly route). The oracle states the SEMANTIC — a plain
+    * theta join — keeping the declared contract implementation-free. */
+  def q169IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("k")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iv = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        (unix_timestamp(col("ts")) * AttribKeyScale + col("event_id"))
+          .as("k"))
+      .withColumn("newrun",
+        when(lag("event_type", 1).over(w) === col("event_type"), 0L)
+          .otherwise(1L))
+      .withColumn("seq", sum("newrun").over(cum))
+      .groupBy("user_id", "seq")
+      .agg(max("event_type").as("state"),
+        min("k").as("f"), max("k").as("t"))
+      .withColumn("bkt", explode(expr(
+        s"sequence(f div $IntervalBucket, t div $IntervalBucket)")))
+      .cache()
+    iv.as("a").join(iv.as("b"),
+        col("a.state") === col("b.state") &&
+          col("a.bkt") === col("b.bkt") &&
+          col("a.user_id") < col("b.user_id") &&
+          col("a.f") <= col("b.t") && col("b.f") <= col("a.t"))
+      .select(col("a.state").as("state"),
+        col("a.user_id").as("u1"), col("a.seq").as("s1"),
+        col("b.user_id").as("u2"), col("b.seq").as("s2"))
+      .distinct()
+      .groupBy("state")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("u1") + col("u2") + col("s1") + col("s2"))
+          .as("checksum"))
+  }
+
+  private def q169OracleSql: String =
+    s"""WITH keyed AS (SELECT user_id, event_type,
+          (epoch_ns(ts) // 1000000000) * $AttribKeyScale + event_id AS k
+        FROM events),
+        marked AS (SELECT *, CASE WHEN lag(event_type)
+            OVER (PARTITION BY user_id ORDER BY k) = event_type
+            THEN 0 ELSE 1 END AS newrun FROM keyed),
+        runs AS (SELECT *, sum(newrun) OVER (PARTITION BY user_id
+            ORDER BY k ROWS UNBOUNDED PRECEDING) AS seq FROM marked),
+        iv AS (SELECT user_id, seq, max(event_type) AS state,
+            min(k) AS f, max(k) AS t
+          FROM runs GROUP BY user_id, seq)
+        SELECT a.state, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(a.user_id + b.user_id + a.seq + b.seq) AS BIGINT)
+            AS checksum
+        FROM iv a JOIN iv b
+          ON a.state = b.state AND a.user_id < b.user_id
+          AND a.f <= b.t AND b.f <= a.t
+        GROUP BY a.state"""
+
   /** q156 — CATEGORICAL drift via per-category share divergence (the
     * discrete complement of q132's numeric KS: KS needs an ordered
     * domain; event-type mixes, language mixes, source mixes don't have
@@ -1672,6 +1839,9 @@ object Extensions {
     "q162_mad_outliers" -> (q162MadOutliers _),
     "q163_salted_join" -> (q163SaltedJoin _),
     "q164_rolling_window" -> (q164RollingWindow _),
+    "q167_k_anonymity" -> (q167KAnonymity _),
+    "q168_equidepth_histogram" -> (q168EquidepthHistogram _),
+    "q169_interval_join" -> (q169IntervalJoin _),
     "q134_funnel" -> (q134Funnel _),
     "q143_state_intervals" -> (q143StateIntervals _),
     "q116_pareto_front" -> (q116ParetoFront _),
@@ -1732,6 +1902,9 @@ object Extensions {
     "q162_mad_outliers" -> q162OracleSql,
     "q163_salted_join" -> q163OracleSql,
     "q164_rolling_window" -> q164OracleSql,
+    "q167_k_anonymity" -> q167OracleSql,
+    "q168_equidepth_histogram" -> q168OracleSql,
+    "q169_interval_join" -> q169OracleSql,
     "q134_funnel" -> q134OracleSql,
     "q143_state_intervals" -> q143OracleSql,
     "q104_partition_stats" -> q104OracleSql,

@@ -758,6 +758,68 @@ object Pipeline {
           FROM base b FULL OUTER JOIN nxt n ON b.k = n.k)
         SELECT change_type, count(*) AS n FROM d GROUP BY change_type"""
 
+  /** q166 — INCREMENTAL AGGREGATE MAINTENANCE (materialized-view
+    * delta-merge with retraction semantics): the per-priority order
+    * count/revenue view updated to the q138 mutated snapshot WITHOUT
+    * re-aggregating it — deletes retract (−1, −cents), price bumps
+    * contribute their net (0, +500), inserts add (+1, cents+1); the
+    * delta aggregate merges into the standing view by group. The
+    * DuckDB oracle re-aggregates the mutated snapshot from scratch, so
+    * the differential hash-checks the IVM algebra itself (merge of
+    * partial aggregates + retractions ≡ rebuild).
+    *
+    * Scale shape: this is THE 100 TB maintenance story — refresh cost
+    * scales with the CHANGED keys, not the corpus: the delta pass
+    * filters to mutation keys in one scan (the mutation cases fold
+    * into one in-row `filter(array(...))` — no three-pass union), the
+    * standing view is group-cardinality-sized, and the merge joins
+    * |groups| rows. A production deployment reads the view from its
+    * sink instead of recomputing `baseAgg`; the delta side is
+    * unchanged. */
+  def q166IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("g"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    val baseAgg = base.groupBy("g")
+      .agg(count(lit(1)).as("n0"), sum("cents").as("s0"))
+    val delta = base
+      .withColumn("d", expr(
+        """filter(array(
+             CASE WHEN k % 13 = 0
+                  THEN named_struct('dn', CAST(-1 AS BIGINT), 'ds', -cents)
+                  WHEN k % 10 = 0
+                  THEN named_struct('dn', CAST(0 AS BIGINT),
+                                    'ds', CAST(500 AS BIGINT))
+                  END,
+             CASE WHEN k % 97 = 0
+                  THEN named_struct('dn', CAST(1 AS BIGINT),
+                                    'ds', cents + 1) END),
+           x -> x IS NOT NULL)"""))
+      .select(col("g"), explode(col("d")).as("m"))
+      .groupBy("g")
+      .agg(sum("m.dn").as("dn"), sum("m.ds").as("ds"))
+    baseAgg.join(delta, Seq("g"), "left")
+      .select(col("g"),
+        (col("n0") + coalesce(col("dn"), lit(0L))).as("n"),
+        (col("s0") + coalesce(col("ds"), lit(0L))).as("sum_cents"))
+  }
+
+  private def q166OracleSql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS g,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS cents
+        FROM orders),
+        nxt AS (
+          SELECT k, g, CASE WHEN k % 10 = 0 THEN cents + 500
+                            ELSE cents END AS cents
+          FROM base WHERE k % 13 <> 0
+          UNION ALL
+          SELECT -(k + 1), g, cents + 1 FROM base WHERE k % 97 = 0)
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM nxt GROUP BY g"""
+
   /** Per-group sample size for q141. */
   val GroupSampleK = 25
 
@@ -1057,6 +1119,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_systematic_sample" -> (q159SystematicSample _),
     "q165_rank_transform" -> (q165RankTransform _),
+    "q166_incremental_agg" -> (q166IncrementalAgg _),
     "q151_token_budget" -> (q151TokenBudget _),
     "q103_merge_upsert" -> (q103MergeUpsert _),
     "q130_quality_constraints" -> (q130QualityConstraints _),
@@ -1079,6 +1142,7 @@ object Pipeline {
     "q151_token_budget" -> q151OracleSql,
     "q159_systematic_sample" -> q159OracleSql,
     "q165_rank_transform" -> q165OracleSql,
+    "q166_incremental_agg" -> q166OracleSql,
     "q103_merge_upsert" -> q103OracleSql,
     "q130_quality_constraints" -> q130OracleSql,
     "q135_mixture_apply" -> q135OracleSql,

@@ -154,6 +154,74 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.values.exists(_._1 > 1L))
   }
 
+  test("q167 k-anonymity rollup matches an in-memory class census") {
+    val got = Extensions.q167KAnonymity(spark, sf1).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val rows = graft.sources.Tables.load(spark, sf1, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("bigint"),
+        col("c_mktsegment"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " div 100000").as("band"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    for ((nat, g) <- rows.groupBy(_._2)) {
+      val classes = g.groupBy(r => (r._3, r._4)).values.toSeq
+      val risky = classes.filter(_.size < Extensions.KAnon)
+      val want = (g.length.toLong, classes.length.toLong,
+        risky.map(_.size).sum.toLong, risky.flatten.map(_._1).sum)
+      assert(got(nat) === want, s"nation $nat")
+    }
+  }
+
+  test("q168 equi-depth buckets hold equal counts (±1) with " +
+    "non-decreasing boundaries") {
+    val rows = Extensions.q168EquidepthHistogram(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for ((_, g) <- rows.groupBy(_._1)) {
+      assert(g.map(_._2).sorted.toSeq === (0L to 9L))
+      val sizes = g.map(_._4)
+      assert(sizes.max - sizes.min <= 1L,
+        s"equi-depth violated: ${sizes.toSeq}")
+      val bounds = g.sortBy(_._2).map(_._3)
+      assert(bounds.zip(bounds.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("q169 bucketized interval join equals the direct theta join") {
+    val got = Extensions.q169IntervalJoin(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // the semantic, straight: un-binned overlap theta join on the same
+    // interval frame (viable at test scale only)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("k")
+    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    val iv = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), col("event_type"),
+        (unix_timestamp(col("ts")) * Extensions.AttribKeyScale +
+          col("event_id")).as("k"))
+      .withColumn("newrun",
+        when(lag("event_type", 1).over(w) === col("event_type"), 0L)
+          .otherwise(1L))
+      .withColumn("seq", sum("newrun").over(cum))
+      .groupBy("user_id", "seq")
+      .agg(max("event_type").as("state"),
+        min("k").as("f"), max("k").as("t"))
+    val direct = iv.as("a").join(iv.as("b"),
+        col("a.state") === col("b.state") &&
+          col("a.user_id") < col("b.user_id") &&
+          col("a.f") <= col("b.t") && col("b.f") <= col("a.t"))
+      .groupBy(col("a.state").as("state"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a.user_id") + col("b.user_id") +
+          col("a.seq") + col("b.seq")).as("checksum"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === direct)
+    assert(got.nonEmpty && got.forall(_._2 > 0L))
+  }
+
   test("q82 outlier filter is non-vacuous (hits exist on uniform data)") {
     // a 2-sigma cut on a uniform column matches NOTHING (max deviation
     // is sqrt(3)*sigma ~ 1.73 sigma) — this guards the threshold against

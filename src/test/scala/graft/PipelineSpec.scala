@@ -9,6 +9,31 @@ import graft.operators.{Dedup, Pipeline}
   * leakage, cluster transitivity, retrieval relevance, bound tightness). */
 class PipelineSpec extends SparkSpec {
 
+  test("q166 incremental view maintenance lands exactly on the " +
+    "from-scratch rebuild") {
+    import org.apache.spark.sql.functions._
+    val ivm = Pipeline.q166IncrementalAgg(spark, sf1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // rebuild: apply the same mutation vocabulary, re-aggregate
+    val base = graft.sources.Tables.load(spark, sf1, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("g"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    val next = base.filter(col("k") % 13 =!= 0)
+      .select(col("g"), when(col("k") % 10 === 0, col("cents") + 500L)
+        .otherwise(col("cents")).as("cents"))
+      .unionByName(base.filter(col("k") % 97 === 0)
+        .select(col("g"), (col("cents") + 1L).as("cents")))
+    val rebuilt = next.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(ivm === rebuilt)
+    // the maintenance really changed the view (mutations are visible)
+    val baseAgg = base.groupBy("g").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ivm.exists { case (g, (n, _)) => baseAgg(g) != n })
+  }
+
   test("q62 split is a pure function of content: re-run is identical") {
     val a = Pipeline.q62HashSplit(spark, sf1).orderBy("doc_id").collect()
     val b = Pipeline.q62HashSplit(spark, sf1).orderBy("doc_id").collect()

@@ -161,7 +161,11 @@ class PropertySpec extends SparkSpec {
       "q162" -> (graft.operators.Extensions.q162MadOutliers _),
       "q163" -> (graft.operators.Extensions.q163SaltedJoin _),
       "q164" -> (graft.operators.Extensions.q164RollingWindow _),
-      "q165" -> (graft.operators.Pipeline.q165RankTransform _))
+      "q165" -> (graft.operators.Pipeline.q165RankTransform _),
+      "q166" -> (graft.operators.Pipeline.q166IncrementalAgg _),
+      "q167" -> (graft.operators.Extensions.q167KAnonymity _),
+      "q168" -> (graft.operators.Extensions.q168EquidepthHistogram _),
+      "q169" -> (graft.operators.Extensions.q169IntervalJoin _))
     for ((name, fn) <- fns) {
       val before = spark.conf.get("spark.sql.shuffle.partitions")
       val a = fn(spark, sf1).collect().map(_.toString).sorted
