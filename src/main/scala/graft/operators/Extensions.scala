@@ -1630,6 +1630,243 @@ object Extensions {
           AND a.f <= b.t AND b.f <= a.t
         GROUP BY a.state"""
 
+  /** q170 — LINEAR INTERPOLATION of a sparse time series (the gap-fill
+    * imputation q160's forward-fill can't do when the metric trends:
+    * forward-fill holds the LAST value flat; interpolation draws the
+    * line between the surrounding observations). Each user's purchase
+    * values are the known points on the q92 collision-free event
+    * clock; every other event gets
+    * `pv + (nv-pv)·(k-pk)/(nk-pk)` from its known neighbors, rows with
+    * only one neighbor (series head/tail) are left out — imputing them
+    * needs extrapolation policy, which is a different operator.
+    *
+    * Determinism: the known values are exact parquet DOUBLEs, the
+    * clock deltas exact BIGINTs small enough to convert to double
+    * losslessly, and `-`, `*`, `/` are IEEE exactly-rounded — with the
+    * identical association on both engines the interpolated double is
+    * bit-identical (same discipline as q82's z predicate; no `ln`).
+    *
+    * Scale shape: ONE user-keyed exchange carries all four neighbor
+    * windows (same partition spec + sort), so the plan is scan →
+    * exchange → one Window node → filter/project. Running frames are
+    * O(1) state per row (`last`/`first` over growing frames keep one
+    * value, Spark's UnboundedPreceding fast path); nothing is
+    * per-user-collected. */
+  def q170LinearInterp(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("k")
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) * AttribKeyScale + col("event_id"))
+          .as("k"),
+        when(col("event_type") === "purchase", col("value")).as("v"))
+      .withColumn("pv", last("v", ignoreNulls = true).over(before))
+      .withColumn("pk",
+        last(when(col("v").isNotNull, col("k")), ignoreNulls = true)
+          .over(before))
+      .withColumn("nv", first("v", ignoreNulls = true).over(after))
+      .withColumn("nk",
+        first(when(col("v").isNotNull, col("k")), ignoreNulls = true)
+          .over(after))
+      .filter(col("v").isNull && col("pv").isNotNull &&
+        col("nv").isNotNull)
+      .select(col("user_id"), col("k"),
+        (col("pv") +
+          ((col("nv") - col("pv")) * (col("k") - col("pk"))) /
+            (col("nk") - col("pk"))).as("v_interp"))
+  }
+
+  private def q170OracleSql: String =
+    s"""WITH keyed AS (SELECT user_id,
+          (epoch_ns(ts) // 1000000000) * $AttribKeyScale + event_id AS k,
+          CASE WHEN event_type = 'purchase' THEN value END AS v
+        FROM events),
+        nb AS (SELECT user_id, k, v,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+          last_value(CASE WHEN v IS NOT NULL THEN k END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pk,
+          first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY k
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+          first_value(CASE WHEN v IS NOT NULL THEN k END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY k
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nk
+        FROM keyed)
+        SELECT user_id, k,
+          pv + ((nv - pv) * (k - pk)) / (nk - pk) AS v_interp
+        FROM nb
+        WHERE v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL"""
+
+  /** Suppression threshold for q171 — groups smaller than this are not
+    * released at all (the q167 k-anonymity floor applied to releases). */
+  val DpSuppress = 10
+
+  /** q171 — NOISED AGGREGATE RELEASE (differential-privacy-shaped
+    * publishing, the release step after q167's k-anonymity audit):
+    * per-(nation, segment) customer counts with small integer noise
+    * added before release, groups under [[DpSuppress]] suppressed
+    * entirely. The noise here is DETERMINISTIC — an LCG draw seeded by
+    * the group's portable hash — because the differential oracle must
+    * reproduce it; a production release swaps the seed for a secret
+    * per-release nonce (two-sided geometric noise from a keyed PRF is
+    * the standard mechanism), and the pipeline shape is unchanged.
+    *
+    * Scale shape: partial-aggregated groupBy collapses the corpus to
+    * |groups| rows before any per-group work; the char fold and LCG
+    * run once per RELEASED group, not per row. */
+  def q171DpCounts(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    t(s, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= DpSuppress)
+      .withColumn("seed",
+        expr(s"(${PortableHash.sparkCharFold("c_mktsegment")} * 31" +
+          s" + c_nationkey) % ${PortableHash.Mod}"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("n + ((seed * 1103515245 + 12345) % 2147483647) % 7 - 3")
+          .as("released_n"))
+  }
+
+  private def q171OracleSql: String = {
+    import graft.functions.PortableHash
+    s"""WITH grp AS (SELECT c_nationkey, c_mktsegment,
+          CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2),
+        seeded AS (SELECT c_nationkey, c_mktsegment, n,
+          (${PortableHash.duckCharFold("c_mktsegment")} * 31
+           + c_nationkey) % ${PortableHash.Mod} AS seed
+        FROM grp WHERE n >= $DpSuppress)
+        SELECT c_nationkey, c_mktsegment,
+          n + ((seed * 1103515245 + 12345) % 2147483647) % 7 - 3
+            AS released_n
+        FROM seeded"""
+  }
+
+  /** q173 — BITMAP-INDEX segment intersection (the columnar-engine
+    * audience-segmentation primitive: per-attribute order bitmaps,
+    * AND-ed word-wise to count orders in both segments without
+    * re-touching the fact table). Each (attribute value, 63-key
+    * bucket) holds one BIGINT word with bit i set iff order
+    * `bucket*63+i` has a lineitem with that value; the co-occurrence
+    * count of (returnflag f, linestatus st) is `Σ popcount(w_f & w_s)`
+    * joined on bucket. 63-bit words, not 64: DuckDB's `<<` raises on
+    * shift 63 (sign-bit overflow), and one spare bit costs 1.6%
+    * density. Matches `count(DISTINCT orderkey)` of the two-sided
+    * semi-join by construction (bit_or is idempotent under the data's
+    * duplicate (orderkey, linenumber) pairs — TESTDATA quirk).
+    *
+    * Scale shape: the bitmaps build with ONE partial-aggregated
+    * groupBy each (map-side bit_or makes per-partition words, the
+    * exchange carries |values|·|buckets| words ≈ rows/63·|values| —
+    * a 63× wire compression vs shipping keys); the intersection joins
+    * word frames only. At 100 TB this is the difference between an
+    * 800 GB key shuffle and a 13 GB word shuffle per attribute. */
+  def q173BitmapIndex(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def words(attr: String, alias: String): DataFrame =
+      li.select(col(attr).as(alias),
+          expr("l_orderkey div 63").as("bkt"),
+          expr("shiftleft(CAST(1 AS BIGINT)," +
+            " CAST(l_orderkey % 63 AS INT))").as("b"))
+        .groupBy(alias, "bkt")
+        .agg(expr("bit_or(b)").as(s"w_$alias"))
+    words("l_returnflag", "f")
+      .join(words("l_linestatus", "st"), "bkt")
+      .groupBy("f", "st")
+      .agg(sum(expr("bit_count(w_f & w_st)")).as("n_orders"))
+  }
+
+  private def q173OracleSql: String =
+    """WITH fw AS (SELECT l_returnflag AS f, l_orderkey // 63 AS bkt,
+          bit_or(CAST(1 AS BIGINT) << CAST(l_orderkey % 63 AS INTEGER))
+            AS w
+        FROM lineitem GROUP BY 1, 2),
+        sw AS (SELECT l_linestatus AS st, l_orderkey // 63 AS bkt,
+          bit_or(CAST(1 AS BIGINT) << CAST(l_orderkey % 63 AS INTEGER))
+            AS w
+        FROM lineitem GROUP BY 1, 2)
+        SELECT fw.f, sw.st,
+          CAST(sum(bit_count(fw.w & sw.w)) AS BIGINT) AS n_orders
+        FROM fw JOIN sw ON fw.bkt = sw.bkt GROUP BY 1, 2"""
+
+  /** Conversion threshold for q174 — a purchase above this value marks
+    * the user converted (~5% per purchase on the synthetic
+    * exponential-ish values, so arms differ by sampling noise only). */
+  val AbConvValue = 150
+
+  /** q174 — A/B LIFT with a pooled two-proportion z² (the experiment
+    * readout every event pipeline ends in): users deterministically
+    * split into two arms by an LCG of user_id (the portable stand-in
+    * for a salted assignment hash — same draw every session, the
+    * property assignment hashing exists for), conversion = any
+    * purchase above [[AbConvValue]], and one release row with both
+    * arms' (n, x), the rate lift, and z² = (p₁-p₂)²/(p̄(1-p̄)(1/n₁+1/n₂))
+    * — compare to χ²₁ critical values. z² avoids sqrt entirely; the
+    * remaining double arithmetic is exactly-rounded ops over exact
+    * integers in identical association on both engines (q82
+    * discipline), so the statistic is bit-deterministic.
+    *
+    * Scale shape: per-user conversion is a partial-aggregated groupBy
+    * on user_id; arm totals partial-aggregate to 2 rows; the pivot to
+    * one row is a 2-row final aggregate. One user-keyed exchange
+    * total. */
+  def q174AbLift(s: SparkSession, dir: String): DataFrame = {
+    val conv = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > AbConvValue, 1L).otherwise(0L)).as("c"))
+      .withColumn("arm",
+        expr("((user_id * 1103515245 + 12345) % 2147483647) % 2"))
+    val agg = conv.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("c").as("x"))
+    agg.agg(
+        max(when(col("arm") === 0, col("n"))).as("n1"),
+        max(when(col("arm") === 0, col("x"))).as("x1"),
+        max(when(col("arm") === 1, col("n"))).as("n2"),
+        max(when(col("arm") === 1, col("x"))).as("x2"))
+      .select(col("n1"), col("x1"), col("n2"), col("x2"),
+        expr("(CAST(x1 AS DOUBLE) / n1) - (CAST(x2 AS DOUBLE) / n2)")
+          .as("lift"),
+        expr("""(((CAST(x1 AS DOUBLE) / n1) - (CAST(x2 AS DOUBLE) / n2))
+             * ((CAST(x1 AS DOUBLE) / n1) - (CAST(x2 AS DOUBLE) / n2)))
+            / (((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                * (1 - (CAST(x1 + x2 AS DOUBLE) / (n1 + n2))))
+               * ((CAST(1 AS DOUBLE) / n1) + (CAST(1 AS DOUBLE) / n2)))""")
+          .as("z2"))
+  }
+
+  private def q174OracleSql: String =
+    s"""WITH conv AS (SELECT user_id,
+          max(CASE WHEN event_type = 'purchase' AND value > $AbConvValue
+              THEN 1 ELSE 0 END) AS c
+        FROM events GROUP BY 1),
+        arms AS (SELECT
+          ((user_id * 1103515245 + 12345) % 2147483647) % 2 AS arm, c
+        FROM conv),
+        agg AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(c) AS BIGINT) AS x
+          FROM arms GROUP BY arm),
+        ab AS (SELECT
+          max(CASE WHEN arm = 0 THEN n END) AS n1,
+          max(CASE WHEN arm = 0 THEN x END) AS x1,
+          max(CASE WHEN arm = 1 THEN n END) AS n2,
+          max(CASE WHEN arm = 1 THEN x END) AS x2
+        FROM agg)
+        SELECT n1, x1, n2, x2,
+          (CAST(x1 AS DOUBLE) / n1) - (CAST(x2 AS DOUBLE) / n2) AS lift,
+          (((CAST(x1 AS DOUBLE) / n1) - (CAST(x2 AS DOUBLE) / n2))
+             * ((CAST(x1 AS DOUBLE) / n1) - (CAST(x2 AS DOUBLE) / n2)))
+            / (((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                * (1 - (CAST(x1 + x2 AS DOUBLE) / (n1 + n2))))
+               * ((CAST(1 AS DOUBLE) / n1) + (CAST(1 AS DOUBLE) / n2)))
+            AS z2
+        FROM ab"""
+
   /** q156 — CATEGORICAL drift via per-category share divergence (the
     * discrete complement of q132's numeric KS: KS needs an ordered
     * domain; event-type mixes, language mixes, source mixes don't have
@@ -1842,6 +2079,10 @@ object Extensions {
     "q167_k_anonymity" -> (q167KAnonymity _),
     "q168_equidepth_histogram" -> (q168EquidepthHistogram _),
     "q169_interval_join" -> (q169IntervalJoin _),
+    "q170_linear_interp" -> (q170LinearInterp _),
+    "q171_dp_counts" -> (q171DpCounts _),
+    "q173_bitmap_index" -> (q173BitmapIndex _),
+    "q174_ab_lift" -> (q174AbLift _),
     "q134_funnel" -> (q134Funnel _),
     "q143_state_intervals" -> (q143StateIntervals _),
     "q116_pareto_front" -> (q116ParetoFront _),
@@ -1905,6 +2146,10 @@ object Extensions {
     "q167_k_anonymity" -> q167OracleSql,
     "q168_equidepth_histogram" -> q168OracleSql,
     "q169_interval_join" -> q169OracleSql,
+    "q170_linear_interp" -> q170OracleSql,
+    "q171_dp_counts" -> q171OracleSql,
+    "q173_bitmap_index" -> q173OracleSql,
+    "q174_ab_lift" -> q174OracleSql,
     "q134_funnel" -> q134OracleSql,
     "q143_state_intervals" -> q143OracleSql,
     "q104_partition_stats" -> q104OracleSql,

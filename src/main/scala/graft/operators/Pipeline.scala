@@ -820,6 +820,58 @@ object Pipeline {
                CAST(sum(cents) AS BIGINT) AS sum_cents
         FROM nxt GROUP BY g"""
 
+  /** Shard count for q172 — in production this is the trainer's data-
+    * parallel world size. */
+  val NumShards = 8
+
+  /** Size-bucket cap for q172 (fixed 64-char-wide buckets, capped so the
+    * geometry is scale-factor-independent). */
+  val ShardBucketCap = 9
+
+  /** q172 — BALANCED SHARD ASSIGNMENT (the step after q95's sequence
+    * packing: distributed training wants the corpus cut into N shards
+    * with near-equal work, not near-equal document counts — a shard of
+    * long documents finishes last and stalls the all-reduce). Docs are
+    * bucketed into fixed 64-char-wide size bands, and each band
+    * round-robins its documents across the [[NumShards]] shards in
+    * size-descending order (longest-processing-time-first within band)
+    * — every shard receives an equal count ±1 of every size band, so
+    * shard totals are balanced without any global sort. Output is the
+    * per-shard manifest (count + total chars) the trainer's loader
+    * validates against.
+    *
+    * Scale shape: this is the reason for the band-local formulation —
+    * a single global `row_number() OVER (ORDER BY size)` funnels the
+    * corpus through ONE partition (the classic window scale-killer);
+    * per-band windows give |bands| independent sorted partitions
+    * (band count is fixed at 10, each ~corpus/10 — at real scale widen
+    * the bands knob the same way q30 widens LSH bands). Balance holds
+    * because round-robin within every band is count-exact per shard. */
+  def q172ShardAssign(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        least(expr("n_chars div 64"), lit(ShardBucketCap.toLong))
+          .as("bucket"))
+      .withColumn("shard",
+        ((row_number().over(w) - 1) % NumShards).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+  }
+
+  private def q172OracleSql: String =
+    s"""WITH sized AS (SELECT doc_id, n_chars,
+          least(n_chars // 64, $ShardBucketCap) AS bucket
+        FROM documents),
+        rr AS (SELECT bucket, n_chars, doc_id,
+          (row_number() OVER (PARTITION BY bucket
+             ORDER BY n_chars DESC, doc_id) - 1) % $NumShards AS shard
+        FROM sized)
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM rr GROUP BY shard"""
+
   /** Per-group sample size for q141. */
   val GroupSampleK = 25
 
@@ -1120,6 +1172,7 @@ object Pipeline {
     "q159_systematic_sample" -> (q159SystematicSample _),
     "q165_rank_transform" -> (q165RankTransform _),
     "q166_incremental_agg" -> (q166IncrementalAgg _),
+    "q172_shard_assign" -> (q172ShardAssign _),
     "q151_token_budget" -> (q151TokenBudget _),
     "q103_merge_upsert" -> (q103MergeUpsert _),
     "q130_quality_constraints" -> (q130QualityConstraints _),
@@ -1143,6 +1196,7 @@ object Pipeline {
     "q159_systematic_sample" -> q159OracleSql,
     "q165_rank_transform" -> q165OracleSql,
     "q166_incremental_agg" -> q166OracleSql,
+    "q172_shard_assign" -> q172OracleSql,
     "q103_merge_upsert" -> q103OracleSql,
     "q130_quality_constraints" -> q130OracleSql,
     "q135_mixture_apply" -> q135OracleSql,

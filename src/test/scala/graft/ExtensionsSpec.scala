@@ -598,4 +598,79 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(d === best, s"declared KS numerator $d != model $best")
   }
+
+  test("q170 interpolation matches a per-user scan model exactly and " +
+    "stays inside the neighbor envelope") {
+    val got = Extensions.q170LinearInterp(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), (unix_timestamp(col("ts")) *
+          Extensions.AttribKeyScale + col("event_id")).as("k"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    val model = scala.collection.mutable.Map[(Long, Long), Double]()
+    for ((_, rows) <- ev.groupBy(_._1)) {
+      val seq = rows.sortBy(_._2)
+      val known = seq.filter(_._3 == "purchase")
+      for (r <- seq if r._3 != "purchase") {
+        val prev = known.filter(_._2 < r._2).lastOption
+        val next = known.find(_._2 > r._2)
+        for (p <- prev; n <- next)
+          model((r._1, r._2)) =
+            p._4 + ((n._4 - p._4) * (r._2 - p._2)) / (n._2 - p._2)
+      }
+    }
+    assert(got.keySet === model.keySet)
+    for ((k, v) <- got) {
+      assert(v === model(k), s"interp mismatch at $k")
+    }
+  }
+
+  test("q171 released counts stay within the noise bound of the true " +
+    "counts and no suppressed group leaks") {
+    val got = Extensions.q171DpCounts(spark, sf1).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val truth = graft.sources.Tables.load(spark, sf1, "customer")
+      .groupBy("c_nationkey", "c_mktsegment").count().collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    for ((g, rel) <- got) {
+      assert(truth(g) >= Extensions.DpSuppress, s"suppressed group $g leaked")
+      assert(math.abs(rel - truth(g)) <= 3L, s"noise out of bound at $g")
+    }
+    for ((g, n) <- truth if n >= Extensions.DpSuppress)
+      assert(got.contains(g), s"releasable group $g missing")
+  }
+
+  test("q173 bitmap AND-counts equal the direct distinct-key semi-join " +
+    "census (bitmaps are exact, not approximate)") {
+    val got = Extensions.q173BitmapIndex(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val li = graft.sources.Tables.load(spark, sf1, "lineitem")
+    val f = li.select(col("l_returnflag").as("f"),
+      col("l_orderkey").as("k")).distinct()
+    val st = li.select(col("l_linestatus").as("st"),
+      col("l_orderkey").as("k")).distinct()
+    val direct = f.join(st, "k").groupBy("f", "st").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === direct)
+  }
+
+  test("q174 arm sizes partition the users and the z² recomputes from " +
+    "the released integers") {
+    val r = Extensions.q174AbLift(spark, sf1).head()
+    val (n1, x1, n2, x2) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = graft.sources.Tables.load(spark, sf1, "events")
+      .select("user_id").distinct().count()
+    assert(n1 + n2 === users)
+    assert(x1 >= 0L && x1 <= n1 && x2 >= 0L && x2 <= n2)
+    val (p1, p2) = (x1.toDouble / n1, x2.toDouble / n2)
+    val p = (x1 + x2).toDouble / (n1 + n2)
+    val z2 = ((p1 - p2) * (p1 - p2)) /
+      ((p * (1 - p)) * (1.0 / n1 + 1.0 / n2))
+    assert(r.getDouble(4) === p1 - p2)
+    assert(r.getDouble(5) === z2)
+  }
 }

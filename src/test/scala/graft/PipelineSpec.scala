@@ -369,4 +369,18 @@ class PipelineSpec extends SparkSpec {
         "orders_ref_integrity"))
       assert(audit(green)._2 === 1L, s"$green should be green")
   }
+
+  test("q172 shards partition the corpus with per-shard counts within " +
+    "|bands| of each other (band-local round-robin balance bound)") {
+    val shards = Pipeline.q172ShardAssign(spark, sf1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(shards.keySet === (0L until Pipeline.NumShards).toSet)
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+    assert(shards.values.map(_._1).sum === docs.count())
+    assert(shards.values.map(_._2).sum ===
+      docs.agg(sum("n_chars")).head().getLong(0))
+    val counts = shards.values.map(_._1)
+    assert(counts.max - counts.min <= (Pipeline.ShardBucketCap + 1).toLong,
+      s"round-robin count balance violated: $shards")
+  }
 }
