@@ -1867,6 +1867,289 @@ object Extensions {
             AS z2
         FROM ab"""
 
+  /** q175 — GINI CONCENTRATION index per order priority (the inequality
+    * /concentration readout over spend: how unevenly order value is
+    * distributed — the skew SIGNAL that motivates q163's salted join and
+    * AQE skew splitting, measured as a released statistic). Gini over
+    * exact price cents: with values sorted ascending and 1-based ranks,
+    * `G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)`.
+    *
+    * Determinism: every term up to the final division is BIGINT — rank
+    * sums over a tied run are closed-form (`w·cumlo + w(w+1)/2`), so tie
+    * order cannot matter — and the single release division casts two
+    * exact BIGINTs to double (exactly-rounded on both engines).
+    *
+    * Scale shape: the corpus collapses map-side to a (priority, cents)
+    * census BEFORE any ranked work (partial-aggregated groupBy); the
+    * cumulative window and the Σi·x closed form run on census rows, so
+    * no per-row global sort ever happens — the oracle states the
+    * row_number formulation as the implementation-free contract, and
+    * the census algebra reproduces its integers bit-for-bit. BIGINT
+    * headroom: 2Σi·x < n²·max_cents ≈ 2³⁰·2²⁶ at sf1; at larger
+    * corpora rescale cents→dollars (the census shape is unchanged). */
+  def q175Gini(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * lit(100)).as("x"))
+      .groupBy("prio", "x").agg(count(lit(1)).as("w"))
+    val before = Window.partitionBy("prio").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    census
+      .withColumn("cumlo", coalesce(sum("w").over(before), lit(0L)))
+      .groupBy("prio")
+      .agg(sum("w").as("n"), sum(expr("x * w")).as("sum_cents"),
+        sum(expr("x * (2 * w * cumlo + w * (w + 1))")).as("two_ix"))
+      .select(col("prio"), col("n"), col("sum_cents"),
+        (col("two_ix") - (col("n") + 1) * col("sum_cents")).as("gnum"))
+      .withColumn("gini",
+        expr("CAST(gnum AS DOUBLE)" +
+          " / (CAST(n AS DOUBLE) * CAST(sum_cents AS DOUBLE))"))
+  }
+
+  private def q175OracleSql: String =
+    """WITH cents AS (SELECT o_orderpriority AS prio,
+          CAST(floor(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+        ranked AS (SELECT prio, x,
+          row_number() OVER (PARTITION BY prio ORDER BY x) AS i
+        FROM cents),
+        g AS (SELECT prio, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sum_cents,
+          CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS BIGINT) AS gnum
+        FROM ranked GROUP BY prio)
+        SELECT prio, n, sum_cents, gnum,
+          CAST(gnum AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(sum_cents AS DOUBLE)) AS gini
+        FROM g"""
+
+  /** q176 — WEIGHTED MEDIAN per return flag: the extended-price cents
+    * value at which cumulative QUANTITY crosses half the total — the
+    * robust center the plain median misses when rows carry different
+    * weights (a 50-unit line should pull the center 50× harder than a
+    * 1-unit line). Smallest value v with `2·cumw(v) ≥ totw`, all
+    * integer.
+    *
+    * Scale shape: q90/q168 census discipline — the corpus collapses
+    * map-side to a (flag, cents) weight census before the cumulative
+    * window; both window frames share the flag partitioning so ONE
+    * exchange carries them; the crossing filter + min runs on census
+    * rows. No raw-row sort anywhere. */
+  def q176WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") * lit(100)).as("cents"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("flag", "cents").agg(sum("q").as("w"))
+    val byFlag = Window.partitionBy("flag")
+    census
+      .withColumn("cw", sum("w").over(byFlag.orderBy("cents")))
+      .withColumn("tw", sum("w").over(byFlag))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("flag")
+      .agg(min("cents").as("median_cents"), min("tw").as("total_weight"))
+  }
+
+  private def q176OracleSql: String =
+    """WITH census AS (SELECT l_returnflag AS flag,
+          CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2),
+        cum AS (SELECT flag, cents, w,
+          sum(w) OVER (PARTITION BY flag ORDER BY cents) AS cw,
+          sum(w) OVER (PARTITION BY flag) AS tw FROM census)
+        SELECT flag, CAST(min(cents) AS BIGINT) AS median_cents,
+          CAST(min(tw) AS BIGINT) AS total_weight
+        FROM cum WHERE cw * 2 >= tw GROUP BY flag"""
+
+  /** Minimum relative support for q177: a brand pair is released only if
+    * it co-occurs in ≥ 1/50 (2%) of baskets — relative, so the rule set
+    * is stable across scale factors where an absolute count is not. */
+  val AssocMinSupportDenom = 50L
+
+  /** q177 — ASSOCIATION RULES over order baskets (market-basket mining,
+    * the co-purchase complement of q142's text co-occurrence): baskets
+    * are orders, items are part BRANDS (via the part dim), and each
+    * released rule carries exact support counts plus confidence
+    * `n12/n1` and lift `n12·N/(n1·n2)` recomputable from the released
+    * integers (both single exactly-rounded double expressions with
+    * identical association on both engines).
+    *
+    * Scale shape: the brand lookup broadcasts the part dim, so ONE
+    * basket-keyed exchange (the collect_set groupBy) is the only
+    * corpus-scale shuffle; pairs are generated IN-ROW from each
+    * basket's sorted item set (q142 discipline — never a basket
+    * self-join, which would re-exchange the corpus twice), bounded by
+    * the max basket size (13 items ⇒ ≤ 78 pairs/basket), never
+    * |items|². The basket frame is cached once across its three
+    * consumers (item counts, pair counts, basket census — q79
+    * discipline); supports prune BEFORE the dim joins. */
+  def q177AssocRules(s: SparkSession, dir: String): DataFrame = {
+    val baskets = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand").as("b"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("ok").agg(sort_array(collect_set("b")).as("bs"))
+      .cache()
+    val item = baskets.select(explode(col("bs")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n"))
+    val nb = baskets.agg(count(lit(1)).as("n_baskets"))
+    baskets
+      .select(explode(expr("flatten(transform(bs, (x, i) -> " +
+        "transform(slice(bs, i + 2, size(bs)), " +
+        "y -> struct(x AS b1, y AS b2))))")).as("p"))
+      .select(col("p.b1"), col("p.b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("n12"))
+      .crossJoin(broadcast(nb))
+      .filter(col("n12") * AssocMinSupportDenom >= col("n_baskets"))
+      .join(broadcast(item.toDF("b1", "n1")), "b1")
+      .join(broadcast(item.toDF("b2", "n2")), "b2")
+      .select(col("b1"), col("b2"), col("n12"), col("n1"), col("n2"),
+        expr("CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE)").as("conf"),
+        expr("(CAST(n12 AS DOUBLE) * CAST(n_baskets AS DOUBLE))" +
+          " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))").as("lift"))
+  }
+
+  private def q177OracleSql: String =
+    s"""WITH bi AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets
+          FROM bi),
+        item AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM bi
+          GROUP BY b),
+        pair AS (SELECT x.b AS b1, y.b AS b2,
+            CAST(count(*) AS BIGINT) AS n12
+          FROM bi x JOIN bi y ON x.ok = y.ok AND x.b < y.b GROUP BY 1, 2),
+        r AS (SELECT b1, b2, n12, i1.n AS n1, i2.n AS n2, nb.n_baskets
+          FROM pair JOIN item i1 ON b1 = i1.b JOIN item i2 ON b2 = i2.b
+          CROSS JOIN nb
+          WHERE n12 * $AssocMinSupportDenom >= n_baskets)
+        SELECT b1, b2, n12, n1, n2,
+          CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE) AS conf,
+          (CAST(n12 AS DOUBLE) * CAST(n_baskets AS DOUBLE))
+            / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS lift
+        FROM r"""
+
+  /** q178 — TIME-WEIGHTED AVERAGE value per user (TWAP: each observed
+    * value holds until the next observation, so its weight is the
+    * seconds it was in force — the time-series mean q164's count/range
+    * windows don't compute). Released as exact BIGINT numerator
+    * (Σ value-cents × seconds-held) and denominator (Σ seconds), plus
+    * their one exactly-rounded double quotient; a user's last event has
+    * no holding period and tail users with zero total duration are not
+    * released.
+    *
+    * Determinism: value cents via `floor(value·100)` (exactly-rounded
+    * multiply, exact floor); durations from second-floored epochs;
+    * ordering on the q92 packed collision-free clock, so same-second
+    * events hold for 0 s on both engines identically.
+    *
+    * Scale shape: ONE user-keyed exchange carries the lead window AND
+    * the per-user aggregate (grouping key ⊇ partition key ⇒ exchange
+    * reuse, q168 discipline); lead(1) is O(1) state per row. */
+  def q178Twap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("k")
+    t(s, dir, "events")
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) * AttribKeyScale + col("event_id"))
+          .as("k"),
+        unix_timestamp(col("ts")).as("sec"),
+        floor(col("value") * lit(100)).as("vc"))
+      .withColumn("dt", lead("sec", 1).over(w) - col("sec"))
+      .filter(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(expr("vc * dt")).as("num"), sum("dt").as("den"))
+      .filter(col("den") > 0)
+      .select(col("user_id"), col("num"), col("den"),
+        expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)").as("twap"))
+  }
+
+  private def q178OracleSql: String =
+    s"""WITH keyed AS (SELECT user_id,
+          (epoch_ns(ts) // 1000000000) * $AttribKeyScale + event_id AS k,
+          (epoch_ns(ts) // 1000000000) AS sec,
+          CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+        seg AS (SELECT user_id, vc,
+          lead(sec) OVER (PARTITION BY user_id ORDER BY k) - sec AS dt
+        FROM keyed),
+        agg AS (SELECT user_id, CAST(sum(vc * dt) AS BIGINT) AS num,
+          CAST(sum(dt) AS BIGINT) AS den
+        FROM seg WHERE dt IS NOT NULL GROUP BY user_id)
+        SELECT user_id, num, den,
+          CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS twap
+        FROM agg WHERE den > 0"""
+
+  /** q179 — INTERPOLATED PERCENTILES (ANSI PERCENTILE_CONT semantics,
+    * the continuous complement of q168's exact-rank bucket boundaries):
+    * per return flag, p50 and p95 of extended-price cents as
+    * `x⌊h⌋ + frac·(x⌊h⌋₊₁ − x⌊h⌋)` with `h = (n−1)·p`. Rank geometry is
+    * all integer (`h·100` stays a BIGINT; frac is the two-digit
+    * remainder over 100, one exactly-rounded division), and the final
+    * interpolation is written with identical association on both
+    * engines, so the released doubles are bit-identical.
+    *
+    * Scale shape: same census+cumsum discipline as q176 — the window
+    * runs over (flag, cents) census rows, the 6-row percentile/target
+    * frame broadcasts onto the census for the rank-containment probes,
+    * and each probe reduces with a min. Neither engine materializes a
+    * per-row global sort. */
+  def q179PercentileInterp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val census = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") * lit(100)).as("cents"))
+      .groupBy("flag", "cents").agg(count(lit(1)).as("c"))
+    val cum = census
+      .withColumn("hi",
+        sum("c").over(Window.partitionBy("flag").orderBy("cents")))
+      .withColumn("lo", col("hi") - col("c"))
+    val tgt = census.groupBy("flag").agg(sum("c").as("n"))
+      .crossJoin(Seq(50L, 95L).toDF("pp"))
+      .withColumn("r_lo", expr("((n - 1) * pp) div 100 + 1"))
+      .withColumn("r_hi", least(col("r_lo") + 1, col("n")))
+      .withColumn("frac",
+        expr("CAST(((n - 1) * pp) % 100 AS DOUBLE) / 100"))
+    def probe(rank: String, out: String) =
+      cum.join(broadcast(tgt), Seq("flag"))
+        .filter(col(rank) > col("lo") && col(rank) <= col("hi"))
+        .groupBy("flag", "pp").agg(min("cents").as(out))
+    tgt.join(probe("r_lo", "x_lo"), Seq("flag", "pp"))
+      .join(probe("r_hi", "x_hi"), Seq("flag", "pp"))
+      .select(col("flag"), col("pp"), col("n"),
+        expr("CAST(x_lo AS DOUBLE)" +
+          " + frac * (CAST(x_hi AS DOUBLE) - CAST(x_lo AS DOUBLE))")
+          .as("pct_cents"))
+  }
+
+  private def q179OracleSql: String =
+    """WITH census AS (SELECT l_returnflag AS flag,
+          CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+          CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2),
+        cum AS (SELECT flag, cents, c,
+          sum(c) OVER (PARTITION BY flag ORDER BY cents) AS hi,
+          sum(c) OVER (PARTITION BY flag ORDER BY cents) - c AS lo,
+          sum(c) OVER (PARTITION BY flag) AS n FROM census),
+        pct AS (SELECT CAST(pp AS BIGINT) AS pp
+          FROM (VALUES (50), (95)) v(pp)),
+        tgt AS (SELECT flag, pp, n,
+          ((n - 1) * pp) // 100 + 1 AS r_lo,
+          least(((n - 1) * pp) // 100 + 2, n) AS r_hi,
+          CAST(((n - 1) * pp) % 100 AS DOUBLE) / 100 AS frac
+          FROM (SELECT DISTINCT flag, n FROM cum) CROSS JOIN pct),
+        xlo AS (SELECT t.flag, t.pp, min(c.cents) AS x_lo FROM tgt t
+          JOIN cum c ON c.flag = t.flag AND t.r_lo > c.lo
+            AND t.r_lo <= c.hi
+          GROUP BY 1, 2),
+        xhi AS (SELECT t.flag, t.pp, min(c.cents) AS x_hi FROM tgt t
+          JOIN cum c ON c.flag = t.flag AND t.r_hi > c.lo
+            AND t.r_hi <= c.hi
+          GROUP BY 1, 2)
+        SELECT t.flag, t.pp, t.n,
+          CAST(x_lo AS DOUBLE)
+            + t.frac * (CAST(x_hi AS DOUBLE) - CAST(x_lo AS DOUBLE))
+            AS pct_cents
+        FROM tgt t JOIN xlo ON t.flag = xlo.flag AND t.pp = xlo.pp
+          JOIN xhi ON t.flag = xhi.flag AND t.pp = xhi.pp"""
+
   /** q156 — CATEGORICAL drift via per-category share divergence (the
     * discrete complement of q132's numeric KS: KS needs an ordered
     * domain; event-type mixes, language mixes, source mixes don't have
@@ -2083,6 +2366,11 @@ object Extensions {
     "q171_dp_counts" -> (q171DpCounts _),
     "q173_bitmap_index" -> (q173BitmapIndex _),
     "q174_ab_lift" -> (q174AbLift _),
+    "q175_gini" -> (q175Gini _),
+    "q176_weighted_median" -> (q176WeightedMedian _),
+    "q177_assoc_rules" -> (q177AssocRules _),
+    "q178_twap" -> (q178Twap _),
+    "q179_percentile_interp" -> (q179PercentileInterp _),
     "q134_funnel" -> (q134Funnel _),
     "q143_state_intervals" -> (q143StateIntervals _),
     "q116_pareto_front" -> (q116ParetoFront _),
@@ -2150,6 +2438,11 @@ object Extensions {
     "q171_dp_counts" -> q171OracleSql,
     "q173_bitmap_index" -> q173OracleSql,
     "q174_ab_lift" -> q174OracleSql,
+    "q175_gini" -> q175OracleSql,
+    "q176_weighted_median" -> q176OracleSql,
+    "q177_assoc_rules" -> q177OracleSql,
+    "q178_twap" -> q178OracleSql,
+    "q179_percentile_interp" -> q179OracleSql,
     "q134_funnel" -> q134OracleSql,
     "q143_state_intervals" -> q143OracleSql,
     "q104_partition_stats" -> q104OracleSql,

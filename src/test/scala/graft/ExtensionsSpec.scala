@@ -673,4 +673,112 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getDouble(4) === p1 - p2)
     assert(r.getDouble(5) === z2)
   }
+
+  test("q175 census-algebra gini equals the sorted-rank model exactly") {
+    val got = Extensions.q175Gini(spark, sf1).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val raw = graft.sources.Tables.load(spark, sf1, "orders")
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * lit(100)).as("x")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.keySet === raw.keySet)
+    raw.foreach { case (prio, xs) =>
+      val n = xs.length.toLong
+      val s = xs.sum
+      val ix = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val gnum = 2 * ix - (n + 1) * s
+      assert(got(prio) === ((n, s, gnum,
+        gnum.toDouble / (n.toDouble * s.toDouble))))
+      assert(got(prio)._4 >= 0.0 && got(prio)._4 < 1.0)
+    }
+  }
+
+  test("q176 weighted median is the smallest value whose cumulative " +
+    "weight reaches half the total") {
+    val got = Extensions.q176WeightedMedian(spark, sf1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val raw = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * lit(100)).as("c"),
+        col("l_quantity").cast("long").as("q")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    got.foreach { case (flag, (med, tw)) =>
+      val rows = raw(flag)
+      assert(tw === rows.map(_._3).sum)
+      val below = rows.filter(_._2 < med).map(_._3).sum
+      val atOrBelow = rows.filter(_._2 <= med).map(_._3).sum
+      assert(below * 2 < tw, "everything strictly below misses half")
+      assert(atOrBelow * 2 >= tw, "including the median reaches half")
+    }
+  }
+
+  test("q177 rules respect support bounds and conf/lift recompute from " +
+    "the released integers") {
+    val li = graft.sources.Tables.load(spark, sf1, "lineitem")
+    val part = graft.sources.Tables.load(spark, sf1, "part")
+    val nBaskets = li.select("l_orderkey").distinct().count()
+    val rules = Extensions.q177AssocRules(spark, sf1).collect()
+    assert(rules.nonEmpty)
+    rules.foreach { r =>
+      val (n12, n1, n2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(r.getString(0) < r.getString(1), "canonical pair order")
+      assert(n12 <= math.min(n1, n2))
+      assert(n12 * Extensions.AssocMinSupportDenom >= nBaskets)
+      assert(r.getDouble(5) === n12.toDouble / n1.toDouble)
+      assert(r.getDouble(6) ===
+        (n12.toDouble * nBaskets.toDouble) / (n1.toDouble * n2.toDouble))
+    }
+  }
+
+  test("q178 TWAP num/den match a per-user scan model and the quotient " +
+    "recomputes from the released integers") {
+    val got = Extensions.q178Twap(spark, sf1).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val model = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), floor(col("value") * lit(100)).as("vc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues { rows =>
+        val sorted = rows.sortBy(e => (e._2, e._3))
+        val segs = sorted.zip(sorted.tail)
+          .map { case (a, b) => (a._4, b._2 - a._2) }
+        (segs.map(s => s._1 * s._2).sum, segs.map(_._2).sum)
+      }.toMap.filter(_._2._2 > 0)
+    assert(got.keySet === model.keySet)
+    got.foreach { case (u, (num, den, twap)) =>
+      assert((num, den) === model(u))
+      assert(twap === num.toDouble / den.toDouble)
+    }
+  }
+
+  test("q179 interpolated percentiles match the in-memory " +
+    "PERCENTILE_CONT model and order correctly") {
+    val got = Extensions.q179PercentileInterp(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val raw = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * lit(100)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.size === raw.size * 2)
+    raw.foreach { case (flag, xs) =>
+      val n = xs.length.toLong
+      for (pp <- Seq(50L, 95L)) {
+        val hnum = (n - 1) * pp
+        val lo = xs(((hnum / 100)).toInt)
+        val hi = xs(math.min(hnum / 100 + 1, n - 1).toInt)
+        val frac = (hnum % 100).toDouble / 100
+        val expect = lo.toDouble + frac * (hi.toDouble - lo.toDouble)
+        assert(got((flag, pp)) === ((n, expect)))
+      }
+      assert(got((flag, 50L))._2 <= got((flag, 95L))._2)
+    }
+  }
 }
