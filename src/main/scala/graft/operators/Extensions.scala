@@ -1151,7 +1151,8 @@ object Extensions {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
           sum(a) OVER () AS n1, sum(b) OVER () AS n2
         FROM counts)
-        SELECT n1, n2, abs(c1 * n2 - c2 * n1) AS d, qty
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(abs(c1 * n2 - c2 * n1) AS BIGINT) AS d, qty
         FROM cum ORDER BY d DESC, qty LIMIT 1"""
 
   /** Rows per modeled file block in q158 — the granularity a table
@@ -2143,7 +2144,7 @@ object Extensions {
           JOIN cum c ON c.flag = t.flag AND t.r_hi > c.lo
             AND t.r_hi <= c.hi
           GROUP BY 1, 2)
-        SELECT t.flag, t.pp, t.n,
+        SELECT t.flag, t.pp, CAST(t.n AS BIGINT) AS n,
           CAST(x_lo AS DOUBLE)
             + t.frac * (CAST(x_hi AS DOUBLE) - CAST(x_lo AS DOUBLE))
             AS pct_cents

@@ -1128,7 +1128,8 @@ object Pipeline {
             ROWS UNBOUNDED PRECEDING) AS cum
         FROM d)
         SELECT source, doc_id,
-               cum // $SysStep - (cum - n_chars) // $SysStep AS picks
+               CAST(cum // $SysStep - (cum - n_chars) // $SysStep
+                    AS BIGINT) AS picks
         FROM c WHERE cum // $SysStep - (cum - n_chars) // $SysStep > 0"""
 
   /** q165 — RANK TRANSFORM normalization (quantile/rank-based feature

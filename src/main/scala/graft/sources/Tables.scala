@@ -58,21 +58,48 @@ object Tables {
     * attributes and propagate the flag to the final schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events")
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
-      // outright (PARQUET_TYPE_ILLEGAL) — read nanos as raw longs.
+      // Some testdata generations encode events.ts as parquet
+      // TIMESTAMP(NANOS), which Spark 4 refuses outright
+      // (PARQUET_TYPE_ILLEGAL) unless nanos are surfaced as raw longs.
+      // The flag is a no-op for micros/NTZ encodings, so set it
+      // unconditionally and branch on what the scan actually yields.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = applyKeyNullability(
       name, spark.read.parquet(s"$sfDir/$name.parquet"))
     val df =
-      if (name == "events")
-        // Truncate raw nanos to microsecond timestamps (integer `div` —
-        // a double division would lose precision above 2^53 ns).
-        // Comparisons only ever use day/hour granularity (FIXTURES.md),
-        // so the ns→µs truncation is invisible downstream.
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      if (name == "events") normalizeEventTs(raw)
       else raw
     normalize(df)
+  }
+
+  /** Normalize `events.ts` to session-zoned [[TimestampType]] REGARDLESS
+    * of how the testdata generation encoded it — the encoding has changed
+    * between generations (parquet TIMESTAMP(NANOS) vs plain micros
+    * TIMESTAMP_NTZ), and every downstream operator assumes one stable
+    * type. Branches on the type the scan yields:
+    *   - LONG (nanos surfaced via `nanosAsLong`): integer-`div` truncate
+    *     to micros — a double division would lose precision above
+    *     2^53 ns — then `timestamp_micros`.
+    *   - TIMESTAMP_NTZ (plain micros, no zone): cast to TimestampType.
+    *     The session zone is pinned to UTC by every entry point, so the
+    *     wall-clock reinterpretation is exact and matches DuckDB's naive
+    *     read of the same file.
+    *   - TIMESTAMP: already the target type.
+    * Comparisons only ever use day/hour granularity (FIXTURES.md), so
+    * the ns→µs truncation in the first branch is invisible downstream. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — " +
+          "extend Tables.normalizeEventTs for this testdata encoding")
+    }
   }
 
   /** Mark a table's key columns `nullable = false` on the source

@@ -37,14 +37,10 @@ case class ClosedSession(
   */
 object EventStream {
 
-  /** Raw parquet schema (ts as int64 nanos — see Tables.load). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  // NOTE: the stream schema is NOT hardcoded — testdata generations have
+  // switched events.ts between parquet TIMESTAMP(NANOS) and plain micros
+  // TIMESTAMP_NTZ, so readEvents derives the raw schema from a batch read
+  // of the same file and reuses Tables.normalizeEventTs for the ts branch.
 
   /** The shared batch/stream aggregation: 1-day tumbling windows per
     * event_type, count + DECIMAL-cast sum (same shape as q26). The sum is
@@ -63,16 +59,22 @@ object EventStream {
         col("window.start").cast("date").as("day"),
         col("event_type"), col("n"), col("sum_value"))
 
-  /** Open the events table as a stream (file source over the sf dir). */
+  /** Open the events table as a stream (file source over the sf dir).
+    * The raw schema is derived from a BATCH read of the same file —
+    * schema-adaptive like [[graft.sources.Tables.load]], so a testdata
+    * regeneration that changes the ts encoding (nanos-as-long vs micros
+    * TIMESTAMP_NTZ) changes the stream schema with it instead of
+    * silently misreading micros as nanos. */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream
       .schema(rawSchema)
       // the sf table is a single parquet FILE: FileStreamSource injects
       // basePath=<path> for non-glob paths and then rejects it for not
       // being a directory, so address the file through a glob
       .parquet(s"$sfDir/events.parque[t]")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Tables.normalizeEventTs(raw)
   }
 
   /** Project a raw events frame to the typed shape. */

@@ -28,13 +28,51 @@ class TablesSpec extends SparkSpec {
     }
   }
 
-  test("events.ts is read as a usable timestamp despite parquet NANOS") {
+  test("events.ts is a usable TimestampType whatever the parquet encoding") {
     val events = Tables.load(spark, sf1, "events")
     assert(events.schema("ts").dataType === TimestampType)
     import org.apache.spark.sql.functions._
     val r = events.agg(
       min(year(col("ts"))).as("y0"), max(year(col("ts"))).as("y1")).head()
     assert(r.getInt(0) === 2024 && r.getInt(1) === 2024)
+  }
+
+  // Schema-drift SENTINEL (VERDICT r6 item 4): the driver regenerates
+  // testdata between rounds and has already changed events.ts encoding
+  // once (parquet NANOS → micros TIMESTAMP_NTZ), which surfaced as 31
+  // scattered failures. This single test pins the POST-LOAD contract —
+  // the one downstream operators actually consume — so the next
+  // encoding change fails here first, by name.
+  test("SENTINEL: post-load column types match the engine's assumptions") {
+    val expected = Map(
+      "region" -> Seq("r_regionkey:int", "r_name:string"),
+      "nation" -> Seq(
+        "n_nationkey:int", "n_name:string", "n_regionkey:int"),
+      "customer" -> Seq("c_custkey:bigint", "c_name:string",
+        "c_nationkey:int", "c_acctbal:double", "c_mktsegment:string"),
+      "supplier" -> Seq("s_suppkey:bigint", "s_name:string",
+        "s_nationkey:int", "s_acctbal:double"),
+      "part" -> Seq("p_partkey:bigint", "p_name:string", "p_brand:string",
+        "p_type:string", "p_size:int", "p_retailprice:double"),
+      "orders" -> Seq("o_orderkey:bigint", "o_custkey:bigint",
+        "o_orderstatus:string", "o_totalprice:double",
+        "o_orderdate:timestamp_ntz", "o_orderpriority:string"),
+      "lineitem" -> Seq("l_orderkey:bigint", "l_partkey:bigint",
+        "l_suppkey:bigint", "l_linenumber:int", "l_quantity:double",
+        "l_extendedprice:double", "l_discount:double", "l_tax:double",
+        "l_returnflag:string", "l_linestatus:string",
+        "l_shipdate:timestamp_ntz"),
+      "documents" -> Seq("doc_id:bigint", "text:string", "lang:string",
+        "source:string", "n_chars:bigint"),
+      "embeddings" -> Seq(
+        "vec_id:bigint", "embedding:array<float>", "label:int"),
+      "events" -> Seq("event_id:bigint", "ts:timestamp", "user_id:bigint",
+        "event_type:string", "value:double", "props:string"))
+    expected.foreach { case (name, cols) =>
+      val actual = Tables.load(spark, sf1, name).schema
+        .map(f => s"${f.name}:${f.dataType.simpleString}").toSeq
+      assert(actual === cols, s"schema drift in table '$name'")
+    }
   }
 
   test("customer schema keeps int64 custkey") {
