@@ -1980,9 +1980,13 @@ object Extensions {
     * basket's sorted item set (q142 discipline — never a basket
     * self-join, which would re-exchange the corpus twice), bounded by
     * the max basket size (13 items ⇒ ≤ 78 pairs/basket), never
-    * |items|². The basket frame is cached once across its three
-    * consumers (item counts, pair counts, basket census — q79
-    * discipline); supports prune BEFORE the dim joins. */
+    * |items|². The basket frame is materialized ONCE via an eager
+    * `localCheckpoint` before its three consumers (item counts, pair
+    * counts, basket census) are planned — `cache()` is not enough here:
+    * two of the consumers are broadcast builds whose jobs launch
+    * concurrently and RACE to populate the cache, computing the basket
+    * groupBy twice (measured 2.1–2.4× the per-query baseline; the
+    * checkpoint restores it). Supports prune BEFORE the dim joins. */
   def q177AssocRules(s: SparkSession, dir: String): DataFrame = {
     val baskets = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey"))
@@ -1990,7 +1994,7 @@ object Extensions {
           .select(col("p_partkey"), col("p_brand").as("b"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy("ok").agg(sort_array(collect_set("b")).as("bs"))
-      .cache()
+      .localCheckpoint(true)
     val item = baskets.select(explode(col("bs")).as("b"))
       .groupBy("b").agg(count(lit(1)).as("n"))
     val nb = baskets.agg(count(lit(1)).as("n_baskets"))

@@ -61,6 +61,21 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  test("q12 multiway join: the dim chain stays broadcast (no SMJ demotion)") {
+    // VERDICT r6 item 6: two bench draws put q12 over 2× its baseline;
+    // re-measure cleared it (1.4×, box noise), but the PLAN claim —
+    // the left-deep dim chain (customer, nation, region) rides broadcast
+    // joins, never a shuffle per dim — is what holds at 1000 executors,
+    // so pin it here where a threshold/AQE change would silently flip it.
+    val plan = graft.operators.Core.q12MultiwayJoin(spark, sf1)
+      .queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 3,
+      s"expected the 3 dim joins to be BroadcastHashJoin, found $bhj:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a dim join was demoted to sort-merge:\n$plan")
+  }
+
   test("q89 chunking plans with zero exchanges (pure generator pass)") {
     val plan = graft.operators.TextOps.q89ChunkDocuments(spark, sf1)
       .queryExecution.executedPlan.toString
