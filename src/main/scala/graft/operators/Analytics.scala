@@ -360,13 +360,21 @@ object Analytics {
     * in-row. Skewed cells (hot price points) salt like any hot join key
     * (q65/q163); at 100 TB the cell key doubles as the layout
     * partitioning (q129's z-order), making the join co-located. */
-  def q185GridJoin(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pt = t(s, dir, "part").select(
+  /** The part table as integer points in the (price-cents, scaled-size)
+    * plane — the shared input of q185/q186. */
+  private def gridPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
       col("p_partkey").as("id"),
       floor(col("p_retailprice") * 100).as("x"),
       (col("p_size") * 20).cast("bigint").as("y"))
-    val cells = pt
+
+  /** Canonical (id1 < id2) ε-neighborhood pairs via the fixed grid —
+    * the library core shared by q185 (the join itself) and q186 (the
+    * density labeling built on it). */
+  private[graft] def gridPairs(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val cells = gridPoints(s, dir)
       .withColumn("cx", expr(s"x div $GridCell"))
       .withColumn("cy", expr(s"y div $GridCell"))
     val off = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
@@ -386,6 +394,9 @@ object Analytics {
       .select(col("id").as("id1"), col("id2"), col("dist2"))
   }
 
+  def q185GridJoin(s: SparkSession, dir: String): DataFrame =
+    gridPairs(s, dir)
+
   private def q185OracleSql: String =
     s"""WITH pt AS (SELECT p_partkey id,
           CAST(floor(p_retailprice*100) AS BIGINT) x,
@@ -402,13 +413,270 @@ object Analytics {
         SELECT id1, id2, CAST(d2 AS BIGINT) AS dist2 FROM cand
         WHERE d2 <= $GridR2"""
 
+  /** DBSCAN core threshold: a point is CORE when its ε-neighborhood
+    * (including itself) holds at least this many points. */
+  val DbscanMinPts = 4L
+
+  /** q186 — DBSCAN DENSITY LABELING (core / border / noise) over the
+    * q185 grid: every point's ε-neighbor count from the canonical pair
+    * set, core points by [[DbscanMinPts]], border points as non-core
+    * points adjacent to a core, the rest noise — the density-clustering
+    * front half (full DBSCAN = connected components over core-core
+    * edges, which is q63's large-star/small-star machinery applied to
+    * this edge set; the labeling is the part with per-point semantics a
+    * differential can pin row-by-row).
+    *
+    * Scale shape: everything rides the grid join's cell-bounded pair
+    * set — the neighbor census is one groupBy over it (map-side
+    * combined), the border test is one semi-join of the pair set
+    * against the (much smaller) core set, and the final label attach is
+    * a left join back to the full point set. No step touches |corpus|²;
+    * the pair frame is localCheckpointed once for its two consumers
+    * (census + border probe) — the q177 discipline. */
+  def q186DbscanLabels(s: SparkSession, dir: String): DataFrame = {
+    val pairs = gridPairs(s, dir).localCheckpoint(true)
+    val und = pairs.select(col("id1").as("id"), col("id2").as("nbr"))
+      .unionByName(pairs.select(col("id2").as("id"), col("id1").as("nbr")))
+    val cnt = gridPoints(s, dir).select("id")
+      .join(und.groupBy("id").agg(count(lit(1)).as("n")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("n"), lit(0L)).as("n_nbrs"))
+    val core = cnt.filter(col("n_nbrs") + 1 >= DbscanMinPts).select("id")
+    val border = und
+      .join(core.withColumnRenamed("id", "cid"),
+        col("nbr") === col("cid"), "left_semi")
+      .select("id").distinct()
+      .join(core, Seq("id"), "left_anti")
+      .withColumn("is_border", lit(true))
+    cnt.join(border, Seq("id"), "left")
+      .select(col("id"), col("n_nbrs"),
+        when(col("n_nbrs") + 1 >= DbscanMinPts, "core")
+          .when(col("is_border"), "border")
+          .otherwise("noise").as("label"))
+  }
+
+  private def q186OracleSql: String =
+    s"""WITH pt AS (SELECT p_partkey id,
+          CAST(floor(p_retailprice*100) AS BIGINT) x,
+          CAST(p_size*20 AS BIGINT) y FROM part),
+        cells AS (SELECT *, x // $GridCell cx, y // $GridCell cy FROM pt),
+        off AS (SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+          (0,0),(0,1),(1,-1),(1,0),(1,1)) v(dx, dy)),
+        probe AS (SELECT id, x, y, cx+dx AS gx, cy+dy AS gy
+          FROM cells CROSS JOIN off),
+        pairs AS (SELECT p.id id1, c.id id2
+          FROM probe p JOIN cells c
+          ON p.gx = c.cx AND p.gy = c.cy AND p.id < c.id
+          WHERE (p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y) <= $GridR2),
+        und AS (SELECT id1 AS id, id2 AS nbr FROM pairs
+                UNION ALL SELECT id2, id1 FROM pairs),
+        cnt AS (SELECT p.id, COALESCE(u.n, 0) AS n_nbrs
+          FROM pt p LEFT JOIN (SELECT id, CAST(count(*) AS BIGINT) n
+            FROM und GROUP BY id) u ON p.id = u.id),
+        core AS (SELECT id FROM cnt WHERE n_nbrs + 1 >= $DbscanMinPts),
+        border AS (SELECT DISTINCT u.id FROM und u
+          JOIN core c ON u.nbr = c.id
+          WHERE u.id NOT IN (SELECT id FROM core))
+        SELECT c.id, c.n_nbrs,
+          CASE WHEN c.n_nbrs + 1 >= $DbscanMinPts THEN 'core'
+               WHEN b.id IS NOT NULL THEN 'border'
+               ELSE 'noise' END AS label
+        FROM cnt c LEFT JOIN border b ON c.id = b.id"""
+
+  /** q187 — EXACT ROC AUC by rank-sum over a value census (Mann-Whitney
+    * U with midrank tie handling): label = purchase vs not, score =
+    * value-cents; AUC = U / (n⁺·n⁻) computed as the exact integer
+    * U₂ = Σ_s c⁺(s)·(2·Σ_{s'<s} c⁻(s') + c⁻(s)) over 2·n⁺·n⁻ — the
+    * doubled form keeps tie midranks integral, so the only float is the
+    * final division of two exact integers. The model-eval metric every
+    * training pipeline computes, in the form that doesn't sort the
+    * corpus: rank sums need only the per-score census and its prefix
+    * sums.
+    *
+    * Scale shape: ONE map-side-combined census groupBy (output =
+    * |distinct scores| ≤ 10⁴ here — domain-sized, not corpus-sized);
+    * the prefix sum is an unpartitioned window over that census, safe
+    * by the q132 domain-size argument; the result is one row. */
+  def q187AucExact(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "events")
+      .select(floor(col("value") * 100).as("sc"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy("sc")
+      .agg(sum("pos").as("cp"), (count(lit(1)) - sum("pos")).as("cn"))
+    val w = Window.orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    census
+      .withColumn("cnb", coalesce(sum("cn").over(w), lit(0L)))
+      .agg(
+        sum(col("cp") * (col("cnb") * 2 + col("cn"))).as("u2"),
+        sum("cp").as("npos"), sum("cn").as("nneg"))
+      .select(col("u2"), col("npos"), col("nneg"),
+        (col("u2").cast("double") /
+          (lit(2.0) * col("npos") * col("nneg"))).as("auc"))
+  }
+
+  private def q187OracleSql: String =
+    """WITH v AS (SELECT CAST(floor(value*100) AS BIGINT) sc,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END pos
+        FROM events),
+        census AS (SELECT sc, CAST(sum(pos) AS BIGINT) cp,
+            CAST(count(*) - sum(pos) AS BIGINT) cn
+          FROM v GROUP BY sc),
+        cum AS (SELECT sc, cp, cn,
+            CAST(COALESCE(sum(cn) OVER (ORDER BY sc
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cnb
+          FROM census),
+        agg AS (SELECT CAST(sum(cp*(2*cnb + cn)) AS BIGINT) u2,
+            CAST(sum(cp) AS BIGINT) npos, CAST(sum(cn) AS BIGINT) nneg
+          FROM cum)
+        SELECT u2, npos, nneg,
+          CAST(u2 AS DOUBLE) / (2.0 * npos * nneg) AS auc
+        FROM agg"""
+
+  /** q189 — KMV SKETCH SET ALGEBRA (the property that makes bottom-k
+    * sketches the distributed choice): the click-days and purchase-days
+    * sketches of q181's keyed universe, MERGED — union estimate from
+    * the bottom-K of the merged stream (merge-and-truncate, exactly how
+    * shard sketches combine at 100 TB), intersection via the ratio
+    * estimator ρ/K · |A∪B|est where ρ counts sketch keys below the
+    * union threshold θ present in BOTH sketches. Exact counts ride
+    * along for the differential (and double as the accuracy report).
+    * All integer arithmetic: θ, the floor-division union estimate, and
+    * the ρ-scaled intersection.
+    *
+    * Scale shape: two filtered distincts (map-side combinable), then
+    * every downstream frame is K-sized (64 rows) — broadcast joins all
+    * the way; the exact-count companions are the same distincts
+    * re-aggregated. At production scale the bottom-K per shard merges
+    * associatively instead of re-sorting the distinct frame. */
+  def q189KmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    def sketch(typ: String): DataFrame =
+      t(s, dir, "events").filter(col("event_type") === typ)
+        .select(expr(s"((user_id * 512 + dayofyear(ts)) * 1103515245" +
+          s" + 12345) % $KmvM").as("hv"))
+        .distinct()
+    val ka = sketch("click").localCheckpoint(true)
+    val kb = sketch("purchase").localCheckpoint(true)
+    def bottomK(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(Window.orderBy("hv")))
+        .filter(col("rn") <= KmvK).drop("rn")
+    val sa = bottomK(ka)
+    val sb = bottomK(kb)
+    val u = bottomK(sa.unionByName(sb).distinct())
+    val theta = u.agg(max("hv").as("th"),
+      count(lit(1)).cast("bigint").as("k"))
+    val rho = sa.join(sb, "hv").crossJoin(broadcast(theta))
+      .filter(col("hv") <= col("th"))
+      .agg(count(lit(1)).as("rho"))
+    val exact = ka.agg(count(lit(1)).as("n_a_exact"))
+      .crossJoin(kb.agg(count(lit(1)).as("n_b_exact")))
+      .crossJoin(ka.join(kb, "hv").agg(count(lit(1)).as("n_inter_exact")))
+    theta.crossJoin(broadcast(rho)).crossJoin(broadcast(exact))
+      .withColumn("union_est",
+        expr(s"(CAST(${KmvK - 1} AS BIGINT) * ${KmvM - 1}) div th"))
+      .select(col("k"), col("th").cast("bigint").as("theta"),
+        col("union_est"), col("rho"),
+        expr(s"rho * union_est div $KmvK").as("inter_est"),
+        col("n_a_exact"), col("n_b_exact"), col("n_inter_exact"))
+  }
+
+  private def q189OracleSql: String =
+    s"""WITH ka AS (SELECT DISTINCT ((user_id * 512 + dayofyear(ts))
+            * 1103515245 + 12345) % $KmvM AS hv
+          FROM events WHERE event_type = 'click'),
+        kb AS (SELECT DISTINCT ((user_id * 512 + dayofyear(ts))
+            * 1103515245 + 12345) % $KmvM AS hv
+          FROM events WHERE event_type = 'purchase'),
+        sa AS (SELECT hv FROM ka ORDER BY hv LIMIT $KmvK),
+        sb AS (SELECT hv FROM kb ORDER BY hv LIMIT $KmvK),
+        m AS (SELECT DISTINCT hv FROM
+          (SELECT hv FROM sa UNION ALL SELECT hv FROM sb)),
+        u AS (SELECT hv FROM m ORDER BY hv LIMIT $KmvK),
+        theta AS (SELECT max(hv) AS th, CAST(count(*) AS BIGINT) AS k
+          FROM u),
+        rho AS (SELECT CAST(count(*) AS BIGINT) rho
+          FROM sa JOIN sb USING (hv), theta WHERE sa.hv <= theta.th)
+        SELECT t.k, CAST(t.th AS BIGINT) AS theta,
+          CAST((CAST(${KmvK - 1} AS BIGINT) * ${KmvM - 1}) // t.th
+            AS BIGINT) AS union_est,
+          r.rho,
+          CAST(r.rho * ((CAST(${KmvK - 1} AS BIGINT) * ${KmvM - 1})
+            // t.th) // $KmvK AS BIGINT) AS inter_est,
+          (SELECT CAST(count(*) AS BIGINT) FROM ka) AS n_a_exact,
+          (SELECT CAST(count(*) AS BIGINT) FROM kb) AS n_b_exact,
+          (SELECT CAST(count(*) AS BIGINT) FROM ka JOIN kb USING (hv))
+            AS n_inter_exact
+        FROM theta t, rho r"""
+
+  /** q190 — one-way ANOVA F screen (does value differ by event type?):
+    * between/within mean squares from per-group sufficient statistics
+    * {n_g, ΣS_g, ΣS_g²} over value-cents. The per-group quadratic term
+    * S_g²/n_g is taken as the exact integer floor S_g² div n_g BEFORE
+    * summing — summing doubles across groups would make the result
+    * depend on each engine's fold order, while integer terms sum
+    * exactly; the ≤1-unit-per-group floor bias is part of the declared
+    * statistic (documented fixed-point semantics, the q171/q175
+    * convention). The only floats are the final two divisions of exact
+    * integers.
+    *
+    * Scale shape: one map-side-combined groupBy (5 rows out), one
+    * 5-row total — the same single-scan sufficient-statistics shape as
+    * q180; corpus-size-independent beyond the scan. */
+  def q190AnovaF(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100).as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("v").as("sv"),
+        sum(expr("CAST(v * v AS DECIMAL(38,0))")).as("svv"))
+      .select(col("n"), col("sv"), col("svv"),
+        expr("CAST(sv AS DECIMAL(38,0)) * sv div n").as("tg"))
+    g.agg(sum("n").as("nn"), sum("sv").as("s"),
+        sum("svv").as("ss"), count(lit(1)).as("k"),
+        sum("tg").as("sg2"))
+      .select(col("nn").as("n"), col("k"),
+        ((col("sg2").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("nn").cast("double")) / (col("k") - 1).cast("double"))
+          .as("msb"),
+        ((col("ss").cast("double") - col("sg2").cast("double")) /
+          (col("nn") - col("k")).cast("double")).as("msw"))
+      .withColumn("f_stat", col("msb") / col("msw"))
+  }
+
+  private def q190OracleSql: String =
+    """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+          CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) sv,
+          CAST(sum(CAST(floor(value*100) AS BIGINT)
+            * CAST(floor(value*100) AS BIGINT)) AS BIGINT) svv
+        FROM events GROUP BY event_type),
+        g2 AS (SELECT n, sv, svv, (sv * sv) // n AS tg FROM g),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) nn,
+            CAST(sum(sv) AS BIGINT) s, CAST(sum(svv) AS BIGINT) ss,
+            CAST(count(*) AS BIGINT) k, CAST(sum(tg) AS BIGINT) sg2
+          FROM g2)
+        SELECT nn AS n, k,
+          (CAST(sg2 AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)
+            / CAST(nn AS DOUBLE)) / (k - 1) AS msb,
+          (CAST(ss AS DOUBLE) - CAST(sg2 AS DOUBLE)) / (nn - k) AS msw,
+          ((CAST(sg2 AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)
+            / CAST(nn AS DOUBLE)) / (k - 1))
+            / ((CAST(ss AS DOUBLE) - CAST(sg2 AS DOUBLE)) / (nn - k))
+            AS f_stat
+        FROM tot"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_corr_matrix" -> (q180CorrMatrix _),
     "q181_kmv_sketch" -> (q181KmvSketch _),
     "q182_seq_pattern" -> (q182SeqPattern _),
     "q183_link_prediction" -> (q183LinkPrediction _),
     "q184_curriculum_order" -> (q184CurriculumOrder _),
-    "q185_grid_join" -> (q185GridJoin _))
+    "q185_grid_join" -> (q185GridJoin _),
+    "q186_dbscan_labels" -> (q186DbscanLabels _),
+    "q187_auc_exact" -> (q187AucExact _),
+    "q189_kmv_setops" -> (q189KmvSetOps _),
+    "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
     "q180_corr_matrix" -> q180OracleSql,
@@ -416,5 +684,9 @@ object Analytics {
     "q182_seq_pattern" -> q182OracleSql,
     "q183_link_prediction" -> q183OracleSql,
     "q184_curriculum_order" -> q184OracleSql,
-    "q185_grid_join" -> q185OracleSql)
+    "q185_grid_join" -> q185OracleSql,
+    "q186_dbscan_labels" -> q186OracleSql,
+    "q187_auc_exact" -> q187OracleSql,
+    "q189_kmv_setops" -> q189OracleSql,
+    "q190_anova_f" -> q190OracleSql)
 }

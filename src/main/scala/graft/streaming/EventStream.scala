@@ -536,8 +536,74 @@ object EventStream {
     pairs.distinct()
   }
 
+  /** q188 — the DECLARATIVE streaming sessionizer: `session_window`
+    * aggregation under the Structured Streaming engine (the engine's
+    * own merging-session state store), completing the sessionization
+    * triangle — q41 is the batch declarative form, q117 the hand-rolled
+    * stateful-API form, this the streaming declarative form. Session
+    * windows only support APPEND mode, which emits a session once the
+    * watermark passes its close (session_end + gap): with a 0-second
+    * watermark delay, the AvailableNow replay's final no-data batch
+    * advances the watermark to max(ts) and flushes every session except
+    * the per-user tails still within one gap of the stream's end —
+    * exactly the batch q41 sessionization filtered to
+    * `session_end + gap <= max(ts)`, which is the DuckDB oracle (the
+    * same eviction-boundary reasoning as q117's open-tail exclusion,
+    * here enforced by the engine rather than hand-rolled state).
+    *
+    * Scale shape: state is one (start, end, count) per OPEN session,
+    * evicted as the watermark passes — O(active sessions), not
+    * O(stream); the session merge runs inside the state store, never a
+    * corpus window. */
+  def q188StreamSessionWindow(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q188_stream_session_window_mem"
+    s.catalog.dropTempView(name)
+    val q = readEvents(s, dir)
+      .withColumn("ts_s", date_trunc("second", col("ts")))
+      .withWatermark("ts_s", "0 seconds")
+      .groupBy(session_window(col("ts_s"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts_s")).as("session_end"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_end"), col("n_events"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** q41's batch sessionization, filtered to the sessions append mode
+    * evicts: session close (end + gap) at or before the final watermark
+    * (= max event time under the 0-second delay). */
+  private def q188OracleSql: String =
+    """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts_s
+                  FROM events),
+       o AS (SELECT user_id, ts_s,
+               CASE WHEN lag(ts_s) OVER w IS NULL
+                      OR ts_s - lag(ts_s) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
+       s2 AS (SELECT user_id, ts_s,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sid
+              FROM o),
+       sess AS (SELECT user_id, min(ts_s) AS session_start,
+                  max(ts_s) AS session_end, count(*) AS n_events
+                FROM s2 GROUP BY user_id, sid),
+       wm AS (SELECT max(date_trunc('second', ts)) AS m FROM events)
+       SELECT user_id, session_start, session_end, n_events
+       FROM sess, wm
+       WHERE session_end + INTERVAL 30 MINUTE <= m"""
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q188_stream_session_window" -> (q188StreamSessionWindow _),
     "q157_stream_lsh" -> (q157StreamLsh _),
     "q146_stream_upsert" -> (q146StreamUpsert _),
     "q140_stream_enrich" -> (q140StreamEnrich _),
@@ -550,6 +616,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q188_stream_session_window" -> q188OracleSql,
     "q157_stream_lsh" -> graft.operators.Dedup.q30OracleSql,
     "q146_stream_upsert" -> q146OracleSql,
     "q140_stream_enrich" -> q140OracleSql,

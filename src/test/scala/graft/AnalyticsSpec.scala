@@ -133,6 +133,76 @@ class AnalyticsSpec extends SparkSpec {
         s"extra=${got -- brute}")
   }
 
+  test("q186 labels partition the point set and respect the definitions") {
+    val rows = Analytics.q186DbscanLabels(spark, sf1).collect()
+    val total = graft.sources.Tables.load(spark, sf1, "part").count()
+    assert(rows.length === total, "every point must get a label")
+    val byLabel = rows.groupBy(_.getAs[String]("label"))
+    byLabel.getOrElse("core", Array()).foreach { r =>
+      assert(r.getAs[Long]("n_nbrs") + 1 >= Analytics.DbscanMinPts)
+    }
+    byLabel.getOrElse("noise", Array()).foreach { r =>
+      assert(r.getAs[Long]("n_nbrs") + 1 < Analytics.DbscanMinPts)
+    }
+    // every border point is non-core with at least one core neighbor
+    val core = byLabel.getOrElse("core", Array())
+      .map(_.getAs[Long]("id")).toSet
+    if (core.nonEmpty) {
+      import spark.implicits._
+      val pairs = Analytics.gridPairs(spark, sf1)
+        .select("id1", "id2").as[(Long, Long)].collect()
+      val nbrsOfCore = pairs.flatMap { case (a, b) =>
+        (if (core(a)) Seq(b) else Nil) ++ (if (core(b)) Seq(a) else Nil)
+      }.toSet
+      byLabel.getOrElse("border", Array()).foreach { r =>
+        val id = r.getAs[Long]("id")
+        assert(!core(id) && nbrsOfCore(id),
+          s"border point $id must be a non-core neighbor of a core")
+      }
+    }
+  }
+
+  test("q187 AUC matches the brute-force pairwise win rate") {
+    val r = Analytics.q187AucExact(spark, sf1).head()
+    val auc = r.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+    // brute force at sf0.001: mean over (pos, neg) pairs of
+    // win=1, tie=0.5 — the definition the rank-sum shortcut computes
+    import spark.implicits._
+    val v = graft.sources.Tables.load(spark, sf1, "events")
+      .select(floor(col("value") * 100).as("sc"),
+        (col("event_type") === "purchase").as("pos"))
+    val p = v.filter(col("pos")).select(col("sc").as("ps"))
+    val n = v.filter(!col("pos")).select(col("sc").as("ns"))
+    val brute = p.crossJoin(n)
+      .select(when(col("ps") > col("ns"), 1.0)
+        .when(col("ps") === col("ns"), 0.5).otherwise(0.0).as("w"))
+      .agg(avg("w")).head().getDouble(0)
+    assert(math.abs(auc - brute) < 1e-12, s"census=$auc brute=$brute")
+  }
+
+  test("q189 sketch invariants: rho bounded by k, estimates positive, " +
+    "exact counts consistent") {
+    val r = Analytics.q189KmvSetOps(spark, sf1).head()
+    val k = r.getAs[Long]("k")
+    assert(k <= Analytics.KmvK.toLong)
+    assert(r.getAs[Long]("rho") <= k)
+    assert(r.getAs[Long]("union_est") > 0)
+    assert(r.getAs[Long]("inter_est") <= r.getAs[Long]("union_est"))
+    val (na, nb, ni) = (r.getAs[Long]("n_a_exact"),
+      r.getAs[Long]("n_b_exact"), r.getAs[Long]("n_inter_exact"))
+    assert(ni <= math.min(na, nb), "intersection bounded by both sets")
+  }
+
+  test("q190 F statistic is finite and the decomposition is consistent") {
+    val r = Analytics.q190AnovaF(spark, sf1).head()
+    assert(r.getAs[Long]("k") === 5L)
+    val (msb, msw, f) = (r.getAs[Double]("msb"), r.getAs[Double]("msw"),
+      r.getAs[Double]("f_stat"))
+    assert(msw > 0 && !f.isNaN && !f.isInfinite)
+    assert(math.abs(f - msb / msw) < 1e-12)
+  }
+
   test("q185 candidate generation is cell-bounded (no cartesian in plan)") {
     val plan = Analytics.q185GridJoin(spark, sf1)
       .queryExecution.executedPlan.toString
