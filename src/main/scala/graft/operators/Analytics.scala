@@ -239,13 +239,18 @@ object Analytics {
     * the edge filter is a broadcast 1-row stat attach; the final
     * anti-join runs on the wedge frame. At crawl scale the adjacency
     * build adds a degree cap before pair generation. */
-  def q183LinkPrediction(s: SparkSession, dir: String): DataFrame = {
-    val baskets = t(s, dir, "lineitem")
+  /** Per-order sorted brand baskets (q177's build) — shared by q183's
+    * graph construction and q193's itemset mining. */
+  private def brandBaskets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey"))
       .join(broadcast(t(s, dir, "part")
           .select(col("p_partkey"), col("p_brand").as("b"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy("ok").agg(sort_array(collect_set("b")).as("bs"))
+
+  def q183LinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val baskets = brandBaskets(s, dir)
     val pair = baskets
       .select(explode(expr("flatten(transform(bs, (x, i) -> " +
         "transform(slice(bs, i + 2, size(bs)), " +
@@ -666,7 +671,207 @@ object Analytics {
             AS f_stat
         FROM tot"""
 
+  /** Mutual-rank cutoff for q191. */
+  val RnnTopK = 3
+
+  /** q191 — RECIPROCAL NEAREST NEIGHBORS within label blocks: pairs of
+    * embeddings that are EACH in the other's cosine top-K among their
+    * label's vectors — the mutual-rank filter that turns one-directional
+    * similarity into high-precision match candidates (re-ranking for
+    * entity resolution, SemDeDup-style pair confirmation, citation
+    * matching). Output is ids + both integer ranks — the established
+    * ids-only float discipline (cosines are compared, never emitted),
+    * with the vec_dot/list_dot_product fold keeping comparisons
+    * bit-identical across engines and ties broken on vec_id.
+    *
+    * Scale shape: the self-join is LABEL-BLOCKED — candidate volume is
+    * Σ|label|², never |corpus|² (the q127 SemDeDup cell discipline, with
+    * labels as the cells; at scale the blocks come from IVF assignment
+    * instead of given labels). The rank window rides the join's own
+    * v1-keyed partitioning; the mutuality test is an equi-join of the
+    * K-bounded directed frame against itself. */
+  def q191ReciprocalNn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import graft.functions.VectorFunctions.vec_dot
+    val e = t(s, dir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(vec_dot(col("ed"), col("ed"))))
+      .select("vec_id", "label", "ed", "nrm")
+    val a = e.select(col("vec_id").as("v1"), col("label"),
+      col("ed").as("ed1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("v2"), col("label"),
+      col("ed").as("ed2"), col("nrm").as("n2"))
+    val top = a.join(b, Seq("label"))
+      .filter(col("v1") =!= col("v2"))
+      .select(col("v1"), col("v2"),
+        (vec_dot(col("ed1"), col("ed2")) / (col("n1") * col("n2")))
+          .as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("v1").orderBy(col("cos").desc, col("v2")))
+        .cast("bigint"))
+      .filter(col("rn") <= RnnTopK)
+      .select("v1", "v2", "rn")
+    val t1 = top.select(col("v1"), col("v2"), col("rn").as("r12"))
+    val t2 = top.select(col("v1").as("w1"), col("v2").as("w2"),
+      col("rn").as("r21"))
+    t1.join(t2, col("v1") === col("w2") && col("v2") === col("w1"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1").as("vec_id_1"), col("v2").as("vec_id_2"),
+        col("r12"), col("r21"))
+  }
+
+  private def q191OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+            CAST(embedding AS DOUBLE[]))) nrm
+        FROM embeddings),
+        dir AS (SELECT a.vec_id v1, b.vec_id v2,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY list_dot_product(a.ed, b.ed)/(a.nrm*b.nrm) DESC,
+                b.vec_id) rn
+          FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id <> b.vec_id),
+        top AS (SELECT v1, v2, CAST(rn AS BIGINT) rn FROM dir
+                WHERE rn <= $RnnTopK)
+        SELECT t1.v1 AS vec_id_1, t1.v2 AS vec_id_2,
+               t1.rn AS r12, t2.rn AS r21
+        FROM top t1 JOIN top t2 ON t1.v1 = t2.v2 AND t1.v2 = t2.v1
+        WHERE t1.v1 < t1.v2"""
+
+  /** q192 half-life in days (decay = one bit shift per period). */
+  val DecayPeriodDays = 7L
+
+  /** q192 — TIME-DECAYED ENGAGEMENT score per user: each event's
+    * value-cents halved for every [[DecayPeriodDays]] of age at the
+    * corpus's newest day, summed per user — recency weighting for
+    * ranking/retention features, in PURE INTEGER arithmetic: decay is a
+    * right-shift by age div period (exact powers of two), so no exp()
+    * transcendental whose libm rounding could diverge across engines —
+    * the q171/q190 fixed-point discipline applied to time decay.
+    *
+    * Scale shape: one broadcast 1-row max-date attach, one map-side-
+    * combined user groupBy — the decayed sum is associative because the
+    * reference date is FIXED (corpus max), the property that lets
+    * partials combine; a production variant pins the reference date per
+    * run for the same reason. */
+  def q192DecayedEngagement(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val md = ev.agg(max(col("ts").cast("date")).as("m"))
+    ev.crossJoin(broadcast(md))
+      .select(col("user_id"),
+        floor(col("value") * 100).as("vc"),
+        datediff(col("m"), col("ts").cast("date")).as("age"))
+      .groupBy("user_id")
+      .agg(sum(expr(
+        s"shiftright(vc, CAST(age div $DecayPeriodDays AS INT))"))
+        .as("decayed_cents"),
+        count(lit(1)).as("n_events"))
+  }
+
+  private def q192OracleSql: String =
+    s"""WITH md AS (SELECT max(CAST(ts AS DATE)) m FROM events),
+        e AS (SELECT user_id, CAST(floor(value*100) AS BIGINT) vc,
+            date_diff('day', CAST(ts AS DATE), md.m) AS age
+          FROM events, md)
+        SELECT user_id,
+          CAST(sum(vc >> CAST(age // $DecayPeriodDays AS INT)) AS BIGINT)
+            AS decayed_cents,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM e GROUP BY user_id"""
+
+  /** q193 support denominator: a triple is frequent when it appears in
+    * at least n_baskets / this many baskets. */
+  val TriSupportDenom = 2000L
+
+  /** q193 — FREQUENT 3-ITEMSETS (the Apriori step past q177's pairs):
+    * brand triples co-occurring in at least n_baskets/[[TriSupportDenom]]
+    * orders — the market-basket layer where naive enumeration starts to
+    * hurt and the in-row discipline starts to matter: triples are
+    * generated INSIDE each basket row from the sorted brand set
+    * (bounded by C(|basket|,3) — ≤286 for the 13-brand max here), never
+    * by the three-way basket self-join the oracle runs, which
+    * re-shuffles the corpus twice more per arity. One basket-keyed
+    * exchange total, identical to the pair census; the census output is
+    * DOMAIN-bounded (≤ C(25,3) brand triples).
+    *
+    * At production arity the Apriori prune (only extend frequent
+    * (k−1)-sets) cuts the in-row generation; here every triple fits the
+    * census, so the prune is the support filter itself. */
+  def q193FrequentTriples(s: SparkSession, dir: String): DataFrame = {
+    val baskets = brandBaskets(s, dir)
+    val nb = baskets.agg(count(lit(1)).as("n_baskets"))
+    baskets
+      .select(explode(expr(
+        "flatten(flatten(transform(bs, (x, i) -> " +
+          "transform(slice(bs, i + 2, size(bs)), (y, j) -> " +
+          "transform(slice(bs, i + j + 3, size(bs)), " +
+          "z -> struct(x AS b1, y AS b2, z AS b3))))))")).as("t"))
+      .select(col("t.b1"), col("t.b2"), col("t.b3"))
+      .groupBy("b1", "b2", "b3").agg(count(lit(1)).as("n123"))
+      .crossJoin(broadcast(nb))
+      .filter(col("n123") * TriSupportDenom >= col("n_baskets"))
+      .select("b1", "b2", "b3", "n123")
+  }
+
+  private def q193OracleSql: String =
+    s"""WITH bi AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets
+               FROM bi),
+        tri AS (SELECT x.b b1, y.b b2, z.b b3,
+            CAST(count(*) AS BIGINT) n123
+          FROM bi x JOIN bi y ON x.ok = y.ok AND x.b < y.b
+                    JOIN bi z ON y.ok = z.ok AND y.b < z.b
+          GROUP BY 1, 2, 3)
+        SELECT b1, b2, b3, n123 FROM tri, nb
+        WHERE n123 * $TriSupportDenom >= n_baskets"""
+
+  /** q194 — EDIT-DISTANCE-1 SIMILARITY JOIN via deletion-neighborhood
+    * signatures (FastSS): every supplier-name pair within Levenshtein
+    * distance 1, found WITHOUT the quadratic all-pairs scan — each
+    * string fans out to itself plus its one-character deletions, pairs
+    * sharing any signature are candidates (substitutions meet at the
+    * same-position deletion, insert/delete pairs meet at the shorter
+    * string itself), and the exact distance verifies in-row. The
+    * record-linkage / entity-resolution candidate join over identifier
+    * columns with typo-class noise.
+    *
+    * Scale shape: the signature fan-out is ×(len+1) — bounded, in-row;
+    * candidates come from ONE hash equi-join on the signature key, and
+    * verification is an in-row levenshtein (both engines' standard DP,
+    * identical integers). Candidate volume is Σ per-signature-bucket²
+    * — data-dependent like any LSH; hot signatures (shared long
+    * prefixes) salt or cap like q71's df-capped bands. */
+  def q194TypoJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = t(s, dir, "supplier").select(col("s_name").as("w")).distinct()
+    val sigs = w.select(col("w"), explode(expr(
+      "concat(array(w), transform(sequence(1, length(w)), " +
+        "i -> concat(substring(w, 1, i - 1)," +
+        " substring(w, i + 1, length(w)))))")).as("sg"))
+    val a = sigs.select(col("w").as("w1"), col("sg"))
+    val b = sigs.select(col("w").as("w2"), col("sg"))
+    a.join(b, Seq("sg"))
+      .filter(col("w1") < col("w2"))
+      .select("w1", "w2").distinct()
+      .filter(levenshtein(col("w1"), col("w2")) === 1)
+  }
+
+  private def q194OracleSql: String =
+    """WITH w AS (SELECT DISTINCT s_name AS w FROM supplier),
+       sig AS (SELECT w, w AS s FROM w
+         UNION ALL
+         SELECT w, substr(w, 1, i-1) || substr(w, i+1) AS s
+         FROM w, (SELECT unnest(range(1, 64)) AS i) ix
+         WHERE i <= len(w)),
+       cand AS (SELECT DISTINCT a.w w1, b.w w2
+         FROM sig a JOIN sig b ON a.s = b.s AND a.w < b.w)
+       SELECT w1, w2 FROM cand WHERE levenshtein(w1, w2) = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_reciprocal_nn" -> (q191ReciprocalNn _),
+    "q192_decayed_engagement" -> (q192DecayedEngagement _),
+    "q193_frequent_triples" -> (q193FrequentTriples _),
+    "q194_typo_join" -> (q194TypoJoin _),
     "q180_corr_matrix" -> (q180CorrMatrix _),
     "q181_kmv_sketch" -> (q181KmvSketch _),
     "q182_seq_pattern" -> (q182SeqPattern _),
@@ -679,6 +884,10 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q191_reciprocal_nn" -> q191OracleSql,
+    "q192_decayed_engagement" -> q192OracleSql,
+    "q193_frequent_triples" -> q193OracleSql,
+    "q194_typo_join" -> q194OracleSql,
     "q180_corr_matrix" -> q180OracleSql,
     "q181_kmv_sketch" -> q181OracleSql,
     "q182_seq_pattern" -> q182OracleSql,

@@ -203,6 +203,64 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(f - msb / msw) < 1e-12)
   }
 
+  test("q191 pairs are mutual and within the top-K cut") {
+    val rows = Analytics.q191ReciprocalNn(spark, sf1).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id_1") < r.getAs[Long]("vec_id_2"))
+      assert(r.getAs[Long]("r12") <= Analytics.RnnTopK.toLong)
+      assert(r.getAs[Long]("r21") <= Analytics.RnnTopK.toLong)
+    }
+  }
+
+  test("q192 decayed score never exceeds the undecayed cents sum") {
+    import spark.implicits._
+    val decayed = Analytics.q192DecayedEngagement(spark, sf1)
+      .select("user_id", "decayed_cents").as[(Long, Long)].collect().toMap
+    val raw = graft.sources.Tables.load(spark, sf1, "events")
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * 100)).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(decayed.keySet === raw.keySet)
+    decayed.foreach { case (u, d) =>
+      assert(d <= raw(u) && d >= 0, s"user $u: decayed=$d raw=${raw(u)}")
+    }
+  }
+
+  test("q193 triples obey Apriori monotonicity against the pair census") {
+    import spark.implicits._
+    val triples = Analytics.q193FrequentTriples(spark, sf1)
+      .as[(String, String, String, Long)].collect()
+    assert(triples.nonEmpty)
+    // pair census over the same baskets
+    val pairs = graft.operators.Extensions
+      .q177AssocRules(spark, sf1)
+      .select("b1", "b2", "n12").as[(String, String, Long)]
+      .collect().map { case (a, b, n) => (a, b) -> n }.toMap
+    triples.foreach { case (b1, b2, b3, n123) =>
+      // q177's pair frame is support-filtered, so only check pairs it kept
+      Seq((b1, b2), (b1, b3), (b2, b3)).foreach { p =>
+        pairs.get(p).foreach(n12 => assert(n123 <= n12,
+          s"triple ($b1,$b2,$b3)=$n123 exceeds pair $p=$n12"))
+      }
+    }
+  }
+
+  test("q194 finds exactly the brute-force distance-1 pair set") {
+    import spark.implicits._
+    val got = Analytics.q194TypoJoin(spark, sf1)
+      .as[(String, String)].collect().toSet
+    val w = graft.sources.Tables.load(spark, sf1, "supplier")
+      .select(col("s_name").as("w")).distinct()
+    val brute = w.select(col("w").as("w1"))
+      .crossJoin(w.select(col("w").as("w2")))
+      .filter(col("w1") < col("w2") &&
+        levenshtein(col("w1"), col("w2")) === 1)
+      .as[(String, String)].collect().toSet
+    assert(got === brute,
+      s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
   test("q185 candidate generation is cell-bounded (no cartesian in plan)") {
     val plan = Analytics.q185GridJoin(spark, sf1)
       .queryExecution.executedPlan.toString
