@@ -867,7 +867,238 @@ object Analytics {
          FROM sig a JOIN sig b ON a.s = b.s AND a.w < b.w)
        SELECT w1, w2 FROM cand WHERE levenshtein(w1, w2) = 1"""
 
+  /** q195 — MODEL CALIBRATION TABLE: events bucketed by fixed-width
+    * value band (10-unit bins), per-bin observed purchase rate in exact
+    * ppm — the reliability-diagram input every scored-model pipeline
+    * produces (is the score's implied rate the observed rate?), and
+    * q187's AUC companion: AUC ranks, calibration levels. All integer:
+    * bin by floor-division, rate as `n_pos · 10⁶ div n`.
+    *
+    * Scale shape: ONE map-side-combined groupBy to |bins| rows; the
+    * rate is in-row arithmetic on the census. Nothing else. */
+  def q195CalibrationBins(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(expr("CAST(floor(value / 10) AS BIGINT)").as("bin"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 div n").as("rate_ppm"))
+
+  private def q195OracleSql: String =
+    """WITH v AS (SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END pos
+        FROM events)
+       SELECT bin, CAST(count(*) AS BIGINT) n,
+         CAST(sum(pos) AS BIGINT) n_pos,
+         CAST(sum(pos) AS BIGINT) * 1000000 // count(*) AS rate_ppm
+       FROM v GROUP BY bin"""
+
+  /** q196 — SEASONAL INTENSITY PROFILE: the (day-of-week × hour) event
+    * census with each cell's share of total traffic in exact ppm — the
+    * seasonality matrix capacity planning and anomaly baselines start
+    * from (q198's changepoint detects when a day BREAKS this profile).
+    * Day-of-week is normalized to DuckDB's 0=Sunday convention
+    * (Spark's `dayofweek` is 1-based) — the kind of cross-engine
+    * calendar divergence the differential exists to catch.
+    *
+    * Scale shape: one map-side-combined census to ≤168 rows, one
+    * broadcast 1-row total attach; in-row share arithmetic. */
+  def q196SeasonalProfile(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "events")
+      .select((dayofweek(col("ts")) - 1).cast("bigint").as("dow"),
+        hour(col("ts")).cast("bigint").as("hr"))
+      .groupBy("dow", "hr").agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum("n").as("t"))
+    c.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hr"), col("n"),
+        expr("n * 1000000 div t").as("share_ppm"))
+  }
+
+  private def q196OracleSql: String =
+    """WITH c AS (SELECT CAST(dayofweek(ts) AS BIGINT) dow,
+          CAST(hour(ts) AS BIGINT) hr, CAST(count(*) AS BIGINT) n
+        FROM events GROUP BY 1, 2),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) t FROM c)
+       SELECT dow, hr, n, n * 1000000 // t AS share_ppm FROM c, tot"""
+
+  /** q197 — TOP-K SESSION PATHS: the 10 most common within-session
+    * event-type strings (30-minute gap sessions, q41's boundary rule,
+    * q182's type-letter encoding) — the path-mining census behind
+    * "what do sessions look like" product analytics and behavioral
+    * sequence model prep; q150 counts single transitions, this counts
+    * whole trajectories. Ties break on the path string.
+    *
+    * Scale shape: ONE user-keyed exchange carries both session windows
+    * (gap flag + running session id share the (user, k) sort) and the
+    * per-session string build (in-row array_sort, per-session-sized);
+    * the path census partial-aggregates map-side (distinct paths ≪
+    * sessions), and the top-10 is a TakeOrdered over the census. */
+  def q197SessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("k")
+    val cum = Window.partitionBy("user_id").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"),
+        substring(col("event_type"), 1, 1).as("c"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        (unix_timestamp(col("ts")) * Extensions.AttribKeyScale
+          + col("event_id")).as("k"))
+      .withColumn("brk",
+        when(lag("ts_s", 1).over(w).isNull ||
+          col("ts_s").cast("long") - lag("ts_s", 1).over(w).cast("long")
+            > 1800L, 1L).otherwise(0L))
+      .withColumn("sid", sum("brk").over(cum))
+      .groupBy("user_id", "sid")
+      .agg(collect_list(struct(col("k"), col("c"))).as("lst"))
+      .select(expr("array_join(transform(array_sort(lst), x -> x.c), '')")
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
+  private def q197OracleSql: String =
+    s"""WITH e AS (SELECT user_id, left(event_type, 1) c,
+          date_trunc('second', ts) ts_s,
+          (epoch_ns(ts) // 1000000000) * ${Extensions.AttribKeyScale}
+            + event_id AS k
+        FROM events),
+        o AS (SELECT user_id, c, k,
+          CASE WHEN lag(ts_s) OVER w IS NULL
+            OR ts_s - lag(ts_s) OVER w > INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY k)),
+        s AS (SELECT user_id, c, k,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY k
+            ROWS UNBOUNDED PRECEDING) sid
+          FROM o),
+        paths AS (SELECT user_id, sid,
+            string_agg(c, '' ORDER BY k) AS path
+          FROM s GROUP BY 1, 2),
+        census AS (SELECT path, CAST(count(*) AS BIGINT) n
+          FROM paths GROUP BY path)
+        SELECT path, n FROM census ORDER BY n DESC, path LIMIT 10"""
+
+  /** q198 — CUSUM CHANGEPOINT over the daily event series: the day
+    * where the cumulative count deviates most from the uniform-rate
+    * line — argmax |cum·k − i·total| over day index i (the
+    * cross-multiplied CUSUM, exact integers with no rate division;
+    * q132's KS trick applied to a time series against its own mean
+    * rate). Detects WHEN behavior shifted; q132/q156 detect THAT two
+    * samples differ. Ties break on the earlier day.
+    *
+    * Scale shape: corpus collapses map-side to the |days| census;
+    * everything after (cumsum window, the 1-row argmax) rides the
+    * domain-sized frame — the q132 unpartitioned-window argument. */
+  def q198Changepoint(s: SparkSession, dir: String): DataFrame = {
+    val dc = t(s, dir, "events")
+      .select(col("ts").cast("date").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("d")
+    val seq = dc
+      .withColumn("i", row_number().over(w).cast("bigint"))
+      .withColumn("cum", sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = dc.agg(count(lit(1)).as("k"), sum("n").as("t"))
+    seq.crossJoin(broadcast(tot))
+      .select(col("d"), col("i"), col("cum"),
+        abs(col("cum") * col("k") - col("i") * col("t"))
+          .as("dev_scaled"))
+      .orderBy(col("dev_scaled").desc, col("d"))
+      .limit(1)
+  }
+
+  private def q198OracleSql: String =
+    """WITH dc AS (SELECT CAST(ts AS DATE) d, CAST(count(*) AS BIGINT) n
+          FROM events GROUP BY 1),
+        seq AS (SELECT d, n, row_number() OVER (ORDER BY d) i,
+            sum(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) cum
+          FROM dc),
+        tot AS (SELECT CAST(count(*) AS BIGINT) k,
+            CAST(sum(n) AS BIGINT) t FROM dc)
+        SELECT d, CAST(i AS BIGINT) i, CAST(cum AS BIGINT) cum,
+          CAST(abs(cum * k - i * t) AS BIGINT) AS dev_scaled
+        FROM seq, tot ORDER BY dev_scaled DESC, d LIMIT 1"""
+
+  /** q199 — NEIGHBORHOOD JACCARD per EDGE of the brand graph (q183's
+    * complement: q183 scores NON-edges for link prediction, this
+    * scores existing edges for community strength — low-Jaccard edges
+    * are the inter-community bridges graph-partitioning and Louvain-
+    * style methods cut first). Jaccard = common/(deg₁+deg₂−common) in
+    * exact ppm over the same thresholded graph.
+    *
+    * Scale shape: identical to q183 — domain-sized graph frames after
+    * the one-exchange basket census; wedge counts from in-row
+    * adjacency pairs; degree attach is a broadcast join. */
+  def q199EdgeJaccard(s: SparkSession, dir: String): DataFrame = {
+    val baskets = brandBaskets(s, dir)
+    val pair = baskets
+      .select(explode(expr("flatten(transform(bs, (x, i) -> " +
+        "transform(slice(bs, i + 2, size(bs)), " +
+        "y -> struct(x AS b1, y AS b2))))")).as("p"))
+      .select(col("p.b1"), col("p.b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("n12"))
+    val tot = pair.agg(count(lit(1)).as("np"), sum("n12").as("tw"))
+    val edges = pair.crossJoin(broadcast(tot))
+      .filter(col("n12") * col("np") * 100 >= col("tw") * LinkEdgePct)
+      .select("b1", "b2").localCheckpoint(true)
+    val und = edges.select(col("b1").as("src"), col("b2").as("nbr"))
+      .unionByName(edges.select(col("b2").as("src"), col("b1").as("nbr")))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val wedges = und.groupBy("src")
+      .agg(sort_array(collect_set("nbr")).as("ns"))
+      .select(explode(expr("flatten(transform(ns, (x, i) -> " +
+        "transform(slice(ns, i + 2, size(ns)), " +
+        "y -> struct(x AS a, y AS b))))")).as("w"))
+      .select(col("w.a"), col("w.b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    edges
+      .join(wedges, edges("b1") === wedges("a") &&
+        edges("b2") === wedges("b"), "left")
+      .select(col("b1"), col("b2"),
+        coalesce(col("common"), lit(0L)).as("common"))
+      .join(broadcast(deg.select(col("src").as("b1"),
+        col("deg").as("dg1"))), "b1")
+      .join(broadcast(deg.select(col("src").as("b2"),
+        col("deg").as("dg2"))), "b2")
+      .select(col("b1"), col("b2"), col("common"),
+        expr("common * 1000000 div (dg1 + dg2 - common)")
+          .as("jaccard_ppm"))
+  }
+
+  private def q199OracleSql: String =
+    s"""WITH bi AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        pair AS (SELECT x.b AS b1, y.b AS b2,
+            CAST(count(*) AS BIGINT) AS n12
+          FROM bi x JOIN bi y ON x.ok = y.ok AND x.b < y.b GROUP BY 1, 2),
+        tot AS (SELECT CAST(count(*) AS BIGINT) np,
+            CAST(sum(n12) AS BIGINT) tw FROM pair),
+        eu AS (SELECT b1, b2 FROM pair, tot
+               WHERE n12 * np * 100 >= tw * $LinkEdgePct),
+        und AS (SELECT b1 AS src, b2 AS nbr FROM eu
+                UNION ALL SELECT b2, b1 FROM eu),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) deg FROM und
+                GROUP BY src),
+        wedge AS (SELECT u1.nbr a, u2.nbr b, count(*) cn
+          FROM und u1 JOIN und u2
+          ON u1.src = u2.src AND u1.nbr < u2.nbr GROUP BY 1, 2),
+        ej AS (SELECT e.b1, e.b2, COALESCE(w.cn, 0) AS common,
+            d1.deg dg1, d2.deg dg2
+          FROM eu e LEFT JOIN wedge w ON e.b1 = w.a AND e.b2 = w.b
+          JOIN deg d1 ON e.b1 = d1.src JOIN deg d2 ON e.b2 = d2.src)
+        SELECT b1, b2, CAST(common AS BIGINT) AS common,
+          CAST(common * 1000000 // (dg1 + dg2 - common) AS BIGINT)
+            AS jaccard_ppm
+        FROM ej"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_calibration_bins" -> (q195CalibrationBins _),
+    "q196_seasonal_profile" -> (q196SeasonalProfile _),
+    "q197_session_paths" -> (q197SessionPaths _),
+    "q198_changepoint" -> (q198Changepoint _),
+    "q199_edge_jaccard" -> (q199EdgeJaccard _),
     "q191_reciprocal_nn" -> (q191ReciprocalNn _),
     "q192_decayed_engagement" -> (q192DecayedEngagement _),
     "q193_frequent_triples" -> (q193FrequentTriples _),
@@ -884,6 +1115,11 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q195_calibration_bins" -> q195OracleSql,
+    "q196_seasonal_profile" -> q196OracleSql,
+    "q197_session_paths" -> q197OracleSql,
+    "q198_changepoint" -> q198OracleSql,
+    "q199_edge_jaccard" -> q199OracleSql,
     "q191_reciprocal_nn" -> q191OracleSql,
     "q192_decayed_engagement" -> q192OracleSql,
     "q193_frequent_triples" -> q193OracleSql,

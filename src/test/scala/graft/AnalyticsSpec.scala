@@ -261,6 +261,57 @@ class AnalyticsSpec extends SparkSpec {
       s"missing=${brute -- got} extra=${got -- brute}")
   }
 
+  test("q195 bins cover the corpus and rates are valid ppm") {
+    val rows = Analytics.q195CalibrationBins(spark, sf1).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === graft.sources.Tables.load(spark, sf1, "events").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n"))
+      val ppm = r.getAs[Long]("rate_ppm")
+      assert(ppm >= 0 && ppm <= 1000000L)
+    }
+  }
+
+  test("q196 shares sum to ~1e6 (floor loss bounded by cell count)") {
+    val rows = Analytics.q196SeasonalProfile(spark, sf1).collect()
+    val s = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(s <= 1000000L && s > 1000000L - rows.length,
+      s"share sum $s with ${rows.length} cells")
+    rows.foreach { r =>
+      val d = r.getAs[Long]("dow")
+      assert(d >= 0 && d <= 6, s"dow out of DuckDB 0-6 convention: $r")
+    }
+  }
+
+  test("q197 returns a descending top-10 path census") {
+    val rows = Analytics.q197SessionPaths(spark, sf1).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      "counts must be non-increasing")
+    rows.foreach(r => assert(r.getAs[String]("path").nonEmpty))
+  }
+
+  test("q198 changepoint lies inside the day range with a valid CUSUM") {
+    val r = Analytics.q198Changepoint(spark, sf1).head()
+    val days = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("ts").cast("date")).distinct().count()
+    val i = r.getAs[Long]("i")
+    assert(i >= 1 && i <= days)
+    assert(r.getAs[Long]("dev_scaled") >= 0)
+  }
+
+  test("q199 jaccard is valid ppm and zero exactly when no wedge closes") {
+    val rows = Analytics.q199EdgeJaccard(spark, sf1).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Long]("jaccard_ppm")
+      val c = r.getAs[Long]("common")
+      assert(j >= 0 && j <= 1000000L)
+      assert((c == 0) == (j == 0))
+    }
+  }
+
   test("q185 candidate generation is cell-bounded (no cartesian in plan)") {
     val plan = Analytics.q185GridJoin(spark, sf1)
       .queryExecution.executedPlan.toString
