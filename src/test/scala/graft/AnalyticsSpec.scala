@@ -312,6 +312,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q180 plans as one partial-aggregated pass: no hash exchange") {
+    val plan = Analytics.q180CorrMatrix(spark, sf1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the sufficient-statistics pass must not shuffle rows:\n$plan")
+    assert(plan.contains("Exchange SinglePartition"),
+      "expected exactly the 1-row partial-aggregate collect")
+  }
+
+  test("q197 rides ONE user-keyed exchange for sessions + strings") {
+    val plan = Analytics.q197SessionPaths(spark, sf1)
+      .queryExecution.executedPlan.toString
+    val userEx = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size
+    assert(userEx === 1,
+      s"session windows and the per-session string build must share " +
+        s"one user-keyed exchange, found $userEx:\n$plan")
+  }
+
   test("q185 candidate generation is cell-bounded (no cartesian in plan)") {
     val plan = Analytics.q185GridJoin(spark, sf1)
       .queryExecution.executedPlan.toString
