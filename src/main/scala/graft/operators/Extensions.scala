@@ -1245,7 +1245,11 @@ object Extensions {
         when(col("event_type") === "purchase",
           col("value").cast("decimal(18,2)")).as("pv"))
       .withColumn("filled", last("pv", ignoreNulls = true).over(w))
-      .select("event_id", "filled")
+      // exact DECIMAL carries the fill; surface as DOUBLE — a decimal
+      // output column reaches the driver's pandas compare as
+      // Decimal('16.81') from Spark parquet but float from DuckDB
+      // (the q26 rule: never emit DECIMAL in a compared result)
+      .select(col("event_id"), col("filled").cast("double").as("filled"))
   }
 
   private def q160OracleSql: String =
@@ -1255,9 +1259,10 @@ object Extensions {
                THEN CAST(value AS DECIMAL(18,2)) END AS pv
         FROM events)
         SELECT event_id,
-          last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+          CAST(last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
             ORDER BY k
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS filled
         FROM e"""
 
   /** q161 — AS-OF JOIN (point-in-time temporal join): each event joined
@@ -2295,8 +2300,8 @@ object Extensions {
                = event_type THEN 0 ELSE 1 END AS newrun
         FROM keyed),
         runs AS (SELECT user_id, event_type, k,
-          sum(newrun) OVER (PARTITION BY user_id ORDER BY k
-            ROWS UNBOUNDED PRECEDING) AS seq
+          CAST(sum(newrun) OVER (PARTITION BY user_id ORDER BY k
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
         FROM marked)
         SELECT user_id, seq, min(k) AS from_k,
                count(*) AS n_events, max(event_type) AS state
