@@ -1093,7 +1093,119 @@ object Analytics {
             AS jaccard_ppm
         FROM ej"""
 
+  /** q200 — TIME-TO-EVENT CONVERSION CURVE (the empirical CDF behind
+    * survival/retention analysis): per user, the gap in whole days from
+    * first signup to first purchase strictly after it; released as the
+    * per-gap-day census plus the cumulative count and cohort share in
+    * exact ppm — the time-RESOLVED view q134's funnel counts collapse
+    * (funnel says how many converted, this says how fast). Users who
+    * never convert simply never enter the curve; the cohort denominator
+    * keeps them visible as the gap to 10⁶ ppm (right-censoring made
+    * explicit rather than modeled).
+    *
+    * Scale shape: two filtered user-keyed aggregates and one user-keyed
+    * join (all map-side combinable); the curve itself rides the ≤|days|
+    * gap census — cumsum window is domain-sized (q132 discipline);
+    * cohort total is a broadcast 1-row attach. */
+  def q200ConversionCurve(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("sec").as("st"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id").filter(col("sec") > col("st"))
+      .groupBy("user_id").agg(min("sec").as("pt"), min("st").as("st0"))
+    val cohort = su.agg(count(lit(1)).as("n_users"))
+    val gc = pu
+      .select(expr("(pt - st0) div 86400").as("gap_d"))
+      .groupBy("gap_d").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("gap_d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gc.withColumn("cum", sum("n").over(w))
+      .crossJoin(broadcast(cohort))
+      .select(col("gap_d"), col("n"), col("cum"),
+        expr("cum * 1000000 div n_users").as("converted_ppm"))
+  }
+
+  private def q200OracleSql: String =
+    """WITH s AS (SELECT user_id,
+          min(epoch_ns(ts)//1000000000) st FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+       p AS (SELECT e.user_id, min(epoch_ns(e.ts)//1000000000) pt,
+           min(s.st) st0
+         FROM events e JOIN s ON e.user_id = s.user_id
+           AND epoch_ns(e.ts)//1000000000 > s.st
+         WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+       cohort AS (SELECT CAST(count(*) AS BIGINT) n_users FROM s),
+       gc AS (SELECT CAST((pt - st0) // 86400 AS BIGINT) gap_d,
+           CAST(count(*) AS BIGINT) n
+         FROM p GROUP BY 1),
+       curve AS (SELECT gap_d, n,
+           CAST(sum(n) OVER (ORDER BY gap_d ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) cum
+         FROM gc)
+       SELECT gap_d, n, cum, cum * 1000000 // n_users AS converted_ppm
+       FROM curve, cohort"""
+
+  /** q201 — LORENZ CURVE by spend decile (the distribution behind
+    * q175's Gini scalar): suppliers ranked by exact revenue cents,
+    * split into 10 equal-count deciles, each released with its member
+    * count, exact cents, and the CUMULATIVE share of total spend in
+    * ppm — the concentration curve procurement/risk dashboards plot,
+    * and the decile-resolved complement of the single Gini number.
+    *
+    * Scale shape: the corpus collapses to the |suppliers| revenue
+    * frame in one map-side-combined groupBy; rank/total windows ride
+    * that dimension-sized frame (at a billion-key dimension the q168
+    * equi-depth census replaces the rank sort — same boundaries, no
+    * global sort); the final cumsum runs over 10 rows. */
+  def q201LorenzCurve(s: SparkSession, dir: String): DataFrame = {
+    val cs = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("k"),
+        floor(col("l_extendedprice") * 100).as("cents"))
+      .groupBy("k").agg(sum("cents").as("cents"))
+    val all = Window.partitionBy(lit(1))
+    val rk = cs
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cents"), col("k"))).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("tot", sum("cents").over(all))
+    val agg = rk
+      .select(expr("((rn - 1) * 10) div n").as("decile"),
+        col("cents"), col("n"), col("tot"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_members"), sum("cents").as("cents"),
+        max("tot").as("tot"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg
+      .withColumn("cum_cents", sum("cents").over(w))
+      .select(col("decile"), col("n_members"), col("cents"),
+        expr("cum_cents * 1000000 div tot").as("cum_share_ppm"))
+  }
+
+  private def q201OracleSql: String =
+    """WITH cs AS (SELECT l_suppkey k,
+          CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+            cents
+        FROM lineitem GROUP BY l_suppkey),
+       rk AS (SELECT k, cents, row_number() OVER (ORDER BY cents, k) rn,
+           CAST(count(*) OVER () AS BIGINT) n,
+           CAST(sum(cents) OVER () AS BIGINT) tot FROM cs),
+       dec AS (SELECT ((rn - 1) * 10) // n AS decile, cents, tot FROM rk),
+       agg AS (SELECT CAST(decile AS BIGINT) decile,
+           CAST(count(*) AS BIGINT) n_members,
+           CAST(sum(cents) AS BIGINT) cents, max(tot) tot
+         FROM dec GROUP BY decile)
+       SELECT decile, n_members, cents,
+         CAST(sum(cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+           * 1000000 // tot AS BIGINT) AS cum_share_ppm
+       FROM agg"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_conversion_curve" -> (q200ConversionCurve _),
+    "q201_lorenz_curve" -> (q201LorenzCurve _),
     "q195_calibration_bins" -> (q195CalibrationBins _),
     "q196_seasonal_profile" -> (q196SeasonalProfile _),
     "q197_session_paths" -> (q197SessionPaths _),
@@ -1115,6 +1227,8 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q200_conversion_curve" -> q200OracleSql,
+    "q201_lorenz_curve" -> q201OracleSql,
     "q195_calibration_bins" -> q195OracleSql,
     "q196_seasonal_profile" -> q196OracleSql,
     "q197_session_paths" -> q197OracleSql,

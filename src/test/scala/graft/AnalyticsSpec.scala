@@ -331,6 +331,32 @@ class AnalyticsSpec extends SparkSpec {
         s"one user-keyed exchange, found $userEx:\n$plan")
   }
 
+  test("q200 curve is a monotone CDF bounded by the cohort") {
+    val rows = Analytics.q200ConversionCurve(spark, sf1).collect()
+      .sortBy(_.getAs[Long]("gap_d"))
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getAs[Long]("cum"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b },
+      "cumulative counts must strictly increase")
+    assert(cums.last === rows.map(_.getAs[Long]("n")).sum)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("converted_ppm") <= 1000000L))
+  }
+
+  test("q201 deciles are balanced and cumulative shares end at ~1e6") {
+    val rows = Analytics.q201LorenzCurve(spark, sf1).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.length === 10)
+    val members = rows.map(_.getAs[Long]("n_members"))
+    assert(members.max - members.min <= 1,
+      s"equal-count deciles expected: ${members.toSeq}")
+    val shares = rows.map(_.getAs[Long]("cum_share_ppm"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(shares.last === 1000000L ||
+      shares.last === 999999L, // one floor unit at most
+      s"final cumulative share ${shares.last}")
+  }
+
   test("q185 candidate generation is cell-bounded (no cartesian in plan)") {
     val plan = Analytics.q185GridJoin(spark, sf1)
       .queryExecution.executedPlan.toString
