@@ -1203,7 +1203,166 @@ object Analytics {
            * 1000000 // tot AS BIGINT) AS cum_share_ppm
        FROM agg"""
 
+  /** q202 — DISTRIBUTION-SIMILARITY MATRIX via histogram intersection:
+    * for every source pair, Σ min(share_a, share_b) over the shared
+    * length-histogram bins — the distribution-overlap statistic
+    * (1 − total-variation distance) that tells a mixture planner which
+    * sources are interchangeable and a drift monitor which pair
+    * diverged. Shares are compared via cross-multiplication
+    * (min(n_a·T_b, n_b·T_a) over T_a·T_b) so the whole statistic is
+    * exact integer ppm — no per-bin float shares to fold.
+    *
+    * Scale shape: corpus collapses map-side to the (source, bin)
+    * census; the pairwise join runs on that domain-sized frame
+    * (|sources|·|bins| rows, never corpus); totals broadcast. */
+  def q202HistIntersection(s: SparkSession, dir: String): DataFrame = {
+    val h = t(s, dir, "documents")
+      .select(col("source"), expr("n_chars div 64").as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val tot = h.groupBy("source").agg(sum("n").as("t"))
+    val a = h.select(col("source").as("s1"), col("bin"), col("n").as("na"))
+      .join(broadcast(tot.select(col("source").as("s1"),
+        col("t").as("ta"))), "s1")
+    val b = h.select(col("source").as("s2"), col("bin"), col("n").as("nb"))
+      .join(broadcast(tot.select(col("source").as("s2"),
+        col("t").as("tb"))), "s2")
+    a.join(b, Seq("bin")).filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(sum(least(col("na") * col("tb"), col("nb") * col("ta")))
+        .as("num"), max(col("ta") * col("tb")).as("den"))
+      .select(col("s1"), col("s2"),
+        expr("num * 1000000 div den").as("overlap_ppm"))
+  }
+
+  private def q202OracleSql: String =
+    """WITH h AS (SELECT source, n_chars // 64 AS bin,
+          CAST(count(*) AS BIGINT) n
+        FROM documents GROUP BY 1, 2),
+       tot AS (SELECT source, CAST(sum(n) AS BIGINT) t FROM h
+               GROUP BY source),
+       p AS (SELECT a.source s1, b.source s2,
+           CAST(sum(least(a.n * tb.t, b.n * ta.t)) AS BIGINT) AS num,
+           CAST(max(ta.t) * max(tb.t) AS BIGINT) AS den
+         FROM h a JOIN h b ON a.bin = b.bin AND a.source < b.source
+         JOIN tot ta ON a.source = ta.source
+         JOIN tot tb ON b.source = tb.source
+         GROUP BY 1, 2)
+       SELECT s1, s2, num * 1000000 // den AS overlap_ppm FROM p"""
+
+  /** q203 smoothing pseudo-count (the prior's weight in observations). */
+  val TargetEncM = 100L
+
+  /** q203 — SMOOTHED TARGET ENCODING of market segment by order value:
+    * the classic categorical-feature encoding
+    * (Σtarget + m·prior)/(n + m) with the global mean as prior —
+    * small categories shrink toward the prior, large ones keep their
+    * mean (the leakage-prone feature engineered here deterministically:
+    * exact cents, floor division, integer prior). Raw and smoothed
+    * means released side by side so the shrinkage is auditable.
+    *
+    * Scale shape: one broadcast-dim join, one map-side-combined
+    * category groupBy (|segments| rows), a 1-row global prior attach —
+    * at any corpus size the encoding table is category-sized. */
+  def q203TargetEncoding(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") * 100).as("cents"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+    val gl = g.agg(expr("sum(s) div sum(n)").as("gm"))
+    g.crossJoin(broadcast(gl))
+      .select(col("seg"), col("n"),
+        expr("s div n").as("raw_mean_cents"),
+        expr(s"(s + $TargetEncM * gm) div (n + $TargetEncM)")
+          .as("smoothed_mean_cents"))
+  }
+
+  private def q203OracleSql: String =
+    s"""WITH j AS (SELECT c.c_mktsegment seg,
+          CAST(floor(o.o_totalprice*100) AS BIGINT) cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+       g AS (SELECT seg, CAST(count(*) AS BIGINT) n,
+           CAST(sum(cents) AS BIGINT) s
+         FROM j GROUP BY seg),
+       gl AS (SELECT CAST(sum(s) // sum(n) AS BIGINT) gm FROM g)
+       SELECT seg, n, s // n AS raw_mean_cents,
+         (s + $TargetEncM * gm) // (n + $TargetEncM)
+           AS smoothed_mean_cents
+       FROM g, gl"""
+
+  /** Negatives drawn per user in q204. */
+  val NegK = 3
+
+  /** q204 — DETERMINISTIC NEGATIVE SAMPLING for contrastive /
+    * recommender training: for every customer with purchase positives,
+    * [[NegK]] candidate brands drawn by a portable keyed LCG over the
+    * brand dictionary, minus any that are actually positives — the
+    * (user, slot, negative-brand) table a two-tower or BPR trainer
+    * consumes. Deterministic BECAUSE the differential must reproduce
+    * the draw (the q171 seeded-noise convention); production swaps a
+    * keyed PRF, pipeline shape unchanged. Collisions with positives
+    * are DROPPED, not resampled — "up to K negatives" is the declared
+    * contract, keeping the op one pass (resampling loops don't
+    * partial-aggregate).
+    *
+    * Scale shape: positives = one distinct over the joined fact
+    * (map-side combinable); the draw is an in-row ×K sequence explode
+    * over the |users| frame joined to the broadcast brand dictionary;
+    * the positive-collision filter is one user-keyed anti-join. */
+  def q204NegativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val pos = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("u"))
+      .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand").as("b"))),
+        col("l_partkey") === col("p_partkey"))
+      .select("u", "b").distinct()
+      .localCheckpoint(true)
+    val brands = t(s, dir, "part").select(col("p_brand").as("b"))
+      .distinct()
+      .withColumn("bid",
+        (row_number().over(Window.orderBy("b")) - 1).cast("bigint"))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val users = pos.select("u").distinct()
+    val nb = brands.agg(max("nb").as("nbv"))
+    val cand = users.crossJoin(broadcast(nb))
+      .select(col("u"), explode(expr(s"sequence(1, $NegK)")).as("i"),
+        col("nbv"))
+      .select(col("u"), col("i").cast("bigint").as("i"),
+        expr("CAST((u * 1103515245 + 12345 + i * 2654435761)" +
+          " % 2147483647 AS BIGINT) % nbv").as("bid"))
+    cand.join(broadcast(brands.select("bid", "b")), "bid")
+      .join(pos, Seq("u", "b"), "left_anti")
+      .select("u", "i", "b")
+  }
+
+  private def q204OracleSql: String =
+    s"""WITH pos AS (SELECT DISTINCT o.o_custkey u, p.p_brand b
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          JOIN part p ON l.l_partkey = p.p_partkey),
+        brands AS (SELECT b, row_number() OVER (ORDER BY b) - 1 AS bid,
+            CAST(count(*) OVER () AS BIGINT) nb
+          FROM (SELECT DISTINCT p_brand b FROM part)),
+        users AS (SELECT DISTINCT u FROM pos),
+        cand AS (SELECT u, CAST(i AS BIGINT) i,
+            CAST((u * 1103515245 + 12345 + i * 2654435761)
+              % 2147483647 AS BIGINT)
+              % (SELECT max(nb) FROM brands) AS bid
+          FROM users, (SELECT unnest(range(1, ${NegK + 1})) i) ix),
+        neg AS (SELECT c.u, c.i, br.b
+          FROM cand c JOIN brands br ON c.bid = br.bid
+          ANTI JOIN pos ON c.u = pos.u AND br.b = pos.b)
+        SELECT u, i, b FROM neg"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_hist_intersection" -> (q202HistIntersection _),
+    "q203_target_encoding" -> (q203TargetEncoding _),
+    "q204_negative_sampling" -> (q204NegativeSampling _),
     "q200_conversion_curve" -> (q200ConversionCurve _),
     "q201_lorenz_curve" -> (q201LorenzCurve _),
     "q195_calibration_bins" -> (q195CalibrationBins _),
@@ -1227,6 +1386,9 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q202_hist_intersection" -> q202OracleSql,
+    "q203_target_encoding" -> q203OracleSql,
+    "q204_negative_sampling" -> q204OracleSql,
     "q200_conversion_curve" -> q200OracleSql,
     "q201_lorenz_curve" -> q201OracleSql,
     "q195_calibration_bins" -> q195OracleSql,

@@ -357,6 +357,53 @@ class AnalyticsSpec extends SparkSpec {
       s"final cumulative share ${shares.last}")
   }
 
+  test("q202 overlap is symmetric-canonical valid ppm and self-overlap " +
+    "would be 1e6") {
+    val rows = Analytics.q202HistIntersection(spark, sf1).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("s1") < r.getAs[String]("s2"))
+      val p = r.getAs[Long]("overlap_ppm")
+      assert(p >= 0 && p <= 1000000L)
+    }
+  }
+
+  test("q203 smoothing shrinks toward the global mean") {
+    val rows = Analytics.q203TargetEncoding(spark, sf1).collect()
+    assert(rows.nonEmpty)
+    // global mean from the released integers
+    val gm = rows.map(r => r.getAs[Long]("raw_mean_cents") *
+      r.getAs[Long]("n")).sum / rows.map(_.getAs[Long]("n")).sum
+    rows.foreach { r =>
+      val raw = r.getAs[Long]("raw_mean_cents")
+      val sm = r.getAs[Long]("smoothed_mean_cents")
+      // smoothed value lies between raw mean and the prior (±1 floor)
+      assert(sm >= math.min(raw, gm) - 1 && sm <= math.max(raw, gm) + 1,
+        s"smoothed $sm outside [$raw, $gm] for $r")
+    }
+  }
+
+  test("q204 negatives never collide with positives and respect K") {
+    import spark.implicits._
+    val neg = Analytics.q204NegativeSampling(spark, sf1)
+      .as[(Long, Long, String)].collect()
+    assert(neg.nonEmpty)
+    assert(neg.forall(_._2 <= Analytics.NegK.toLong))
+    val pos = graft.sources.Tables.load(spark, sf1, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("u"))
+      .join(graft.sources.Tables.load(spark, sf1, "lineitem")
+        .select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(graft.sources.Tables.load(spark, sf1, "part")
+        .select(col("p_partkey"), col("p_brand").as("b")),
+        col("l_partkey") === col("p_partkey"))
+      .select("u", "b").distinct()
+      .as[(Long, String)].collect().toSet
+    neg.foreach { case (u, _, b) =>
+      assert(!pos((u, b)), s"negative ($u,$b) is actually a positive")
+    }
+  }
+
   test("q185 candidate generation is cell-bounded (no cartesian in plan)") {
     val plan = Analytics.q185GridJoin(spark, sf1)
       .queryExecution.executedPlan.toString
