@@ -404,6 +404,41 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q205 modularity terms are internally consistent") {
+    val rows = Analytics.q205Modularity(spark, sf1).collect()
+    assert(rows.nonEmpty)
+    val m = rows.head.getAs[Long]("m")
+    // sum of internal edges <= m; sum of volumes == 2m
+    assert(rows.map(_.getAs[Long]("lc")).sum <= m)
+    assert(rows.map(_.getAs[Long]("dc")).sum === 2 * m)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("q_term_scaled") ===
+        4 * m * r.getAs[Long]("lc") -
+          r.getAs[Long]("dc") * r.getAs[Long]("dc"))
+    }
+  }
+
+  test("q206 conductance is valid ppm and cut edges are double-counted " +
+    "consistently") {
+    val rows = Analytics.q206Conductance(spark, sf1).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("conductance_ppm")
+      assert(p >= 0 && p <= 1000000L)
+      assert(r.getAs[Long]("cut") <= r.getAs[Long]("dc"),
+        "a community's cut cannot exceed its volume")
+    }
+    // every crossing edge contributes to exactly two communities
+    assert(rows.map(_.getAs[Long]("cut")).sum % 2 === 0)
+  }
+
+  test("q207 assortativity is a valid correlation") {
+    val r = Analytics.q207Assortativity(spark, sf1).head()
+    val v = r.getAs[Double]("r")
+    assert(!v.isNaN && math.abs(v) <= 1.0 + 1e-12)
+    assert(r.getAs[Long]("n") % 2 === 0, "symmetrized edge list is even")
+  }
+
   test("q185 candidate generation is cell-bounded (no cartesian in plan)") {
     val plan = Analytics.q185GridJoin(spark, sf1)
       .queryExecution.executedPlan.toString
