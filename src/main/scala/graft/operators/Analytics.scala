@@ -1581,7 +1581,86 @@ object Analytics {
               * CAST(n*syy - sy*sy AS DOUBLE)) AS r
         FROM ss"""
 
+  /** q208 — SAMPLE-RATIO-MISMATCH χ² (the A/B guardrail that runs
+    * BEFORE q174's lift readout — a skewed assignment invalidates the
+    * experiment no matter what the lift says): the 50/50 LCG arm split
+    * of users (q174's split rule), arm counts, and the 1-dof χ² for a
+    * balanced split, computed as (2n₀ − t)²/t — the integer square is
+    * exact, the single division exactly rounded (no pow(), whose libm
+    * could differ across engines).
+    *
+    * Scale shape: one distinct + one 2-row groupBy; the pivot is a
+    * 2-row aggregate (q174 discipline). */
+  def q208SrmCheck(s: SparkSession, dir: String): DataFrame = {
+    val arms = t(s, dir, "events").select("user_id").distinct()
+      .select(expr("CAST((user_id * 1103515245 + 12345) % 2147483647" +
+        " AS BIGINT) % 2").as("arm"))
+      .groupBy("arm").agg(count(lit(1)).as("n"))
+    arms.agg(
+        max(when(col("arm") === 0, col("n"))).as("n0"),
+        max(when(col("arm") === 1, col("n"))).as("n1"),
+        sum("n").as("t"))
+      .select(col("n0"), col("n1"), col("t"),
+        expr("CAST((2*n0 - t) * (2*n0 - t) AS DOUBLE) / t").as("chi2"))
+  }
+
+  private def q208OracleSql: String =
+    """WITH arms AS (SELECT
+          CAST((user_id * 1103515245 + 12345) % 2147483647 AS BIGINT)
+            % 2 AS arm
+        FROM (SELECT DISTINCT user_id FROM events)),
+       c AS (SELECT arm, CAST(count(*) AS BIGINT) n FROM arms
+             GROUP BY arm)
+       SELECT max(CASE WHEN arm = 0 THEN n END) n0,
+         max(CASE WHEN arm = 1 THEN n END) n1,
+         CAST(sum(n) AS BIGINT) AS t,
+         CAST((2*max(CASE WHEN arm = 0 THEN n END) - sum(n))
+           * (2*max(CASE WHEN arm = 0 THEN n END) - sum(n)) AS DOUBLE)
+           / sum(n) AS chi2
+       FROM c"""
+
+  /** q209 — STICKINESS (DAU/MAU) per event type: average daily active
+    * users over monthly active users in exact ppm — THE engagement
+    * ratio product analytics tracks, computed as
+    * Σdau · 10⁶ div (days · mau) so the average needs no float. Uses
+    * two distinct-cardinality passes (per-day and per-period), the
+    * shape that swaps to q181's KMV sketches when exact distincts stop
+    * fitting.
+    *
+    * Scale shape: both distincts are map-side combinable; everything
+    * after rides the (type, day) census (≤ |types|·|days| rows). */
+  def q209Stickiness(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val du = ev.select(col("event_type"), col("ts").cast("date").as("d"),
+        col("user_id"))
+      .distinct()
+      .groupBy("event_type", "d").agg(count(lit(1)).as("dau"))
+    val days = du.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("dau").as("sdau"))
+    val mau = ev.select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("mau"))
+    days.join(mau, "event_type")
+      .select(col("event_type"), col("n_days"), col("sdau"), col("mau"),
+        expr("sdau * 1000000 div (n_days * mau)").as("stickiness_ppm"))
+  }
+
+  private def q209OracleSql: String =
+    """WITH du AS (SELECT event_type, CAST(ts AS DATE) d,
+          CAST(count(DISTINCT user_id) AS BIGINT) dau
+        FROM events GROUP BY 1, 2),
+       days AS (SELECT event_type, CAST(count(*) AS BIGINT) n_days,
+           CAST(sum(dau) AS BIGINT) sdau
+         FROM du GROUP BY event_type),
+       mau AS (SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) mau
+         FROM events GROUP BY event_type)
+       SELECT d.event_type, d.n_days, d.sdau, m.mau,
+         d.sdau * 1000000 // (d.n_days * m.mau) AS stickiness_ppm
+       FROM days d JOIN mau m ON d.event_type = m.event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_srm_check" -> (q208SrmCheck _),
+    "q209_stickiness" -> (q209Stickiness _),
     "q205_modularity" -> (q205Modularity _),
     "q206_conductance" -> (q206Conductance _),
     "q207_assortativity" -> (q207Assortativity _),
@@ -1611,6 +1690,8 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q208_srm_check" -> q208OracleSql,
+    "q209_stickiness" -> q209OracleSql,
     "q205_modularity" -> q205OracleSql,
     "q206_conductance" -> q206OracleSql,
     "q207_assortativity" -> q207OracleSql,

@@ -439,6 +439,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n") % 2 === 0, "symmetrized edge list is even")
   }
 
+  test("q208 arm counts partition the user set and chi2 recomputes") {
+    val r = Analytics.q208SrmCheck(spark, sf1).head()
+    val (n0, n1, t) = (r.getAs[Long]("n0"), r.getAs[Long]("n1"),
+      r.getAs[Long]("t"))
+    assert(n0 + n1 === t)
+    assert(t === graft.sources.Tables.load(spark, sf1, "events")
+      .select("user_id").distinct().count())
+    val chi2 = (2.0 * n0 - t) * (2.0 * n0 - t) / t
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-12)
+  }
+
+  test("q209 stickiness is bounded by 1e6 and DAU never exceeds MAU") {
+    val rows = Analytics.q209Stickiness(spark, sf1).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("stickiness_ppm")
+      assert(p >= 0 && p <= 1000000L)
+      assert(r.getAs[Long]("sdau") <=
+        r.getAs[Long]("n_days") * r.getAs[Long]("mau"),
+        "daily actives cannot exceed days x monthly actives")
+    }
+  }
+
   test("q185 candidate generation is cell-bounded (no cartesian in plan)") {
     val plan = Analytics.q185GridJoin(spark, sf1)
       .queryExecution.executedPlan.toString
