@@ -1658,7 +1658,160 @@ object Analytics {
          d.sdau * 1000000 // (d.n_days * m.mau) AS stickiness_ppm
        FROM days d JOIN mau m ON d.event_type = m.event_type"""
 
+  /** q210 — DECISION-STUMP SPLIT FINDING (the CART inner loop as a
+    * relational operator): the value threshold that best separates
+    * purchases from non-purchases by weighted Gini impurity — scanning
+    * every candidate threshold via PREFIX SUMS over the score census
+    * (left/right class counts per cut in O(|domain|), never a per-
+    * threshold pass), and ranking cuts by the cross-multiplied purity
+    * (A·n_R + B·n_L)·10⁶ div (n_L·n_R) where A, B are the squared
+    * class-count sums — minimizing weighted Gini ⟺ maximizing this
+    * integer, so argmax needs no float and ties break on the smaller
+    * threshold. Arithmetic widens to decimal(38,0) (int128 in DuckDB)
+    * before the 10⁶ scale — the products overflow int64 at sf0.1.
+    *
+    * Scale shape: one map-side-combined census (≤10⁴ rows); the prefix
+    * sums and the 1-row argmax ride the census (q132 discipline). A
+    * full tree = this operator per (node, feature) — each an
+    * independent census, embarrassingly parallel. */
+  def q210DecisionStump(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "events")
+      .select(floor(col("value") * 100).as("sc"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy("sc")
+      .agg(sum("pos").as("cp"), (count(lit(1)) - sum("pos")).as("cn"))
+    val tot = census.agg(sum("cp").as("tp"), sum("cn").as("tn"))
+    val w = Window.orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("pl", sum("cp").over(w))
+      .withColumn("nl", sum("cn").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("sc"), col("pl"), col("nl"),
+        (col("tp") - col("pl")).as("pr"), (col("tn") - col("nl")).as("nr"),
+        (col("pl") + col("nl")).as("n_left"),
+        (col("tp") + col("tn") - col("pl") - col("nl")).as("n_right"))
+      .filter(col("n_left") > 0 && col("n_right") > 0)
+      .select(col("sc").as("threshold_cents"), col("n_left"),
+        col("n_right"),
+        expr("CAST(((CAST(pl AS DECIMAL(38,0))*pl" +
+          " + CAST(nl AS DECIMAL(38,0))*nl) * n_right" +
+          " + (CAST(pr AS DECIMAL(38,0))*pr" +
+          " + CAST(nr AS DECIMAL(38,0))*nr) * n_left)" +
+          " * 1000000 div (CAST(n_left AS DECIMAL(38,0)) * n_right)" +
+          " AS BIGINT)").as("purity_ppm"))
+      .orderBy(col("purity_ppm").desc, col("threshold_cents"))
+      .limit(1)
+  }
+
+  private def q210OracleSql: String =
+    """WITH v AS (SELECT CAST(floor(value*100) AS BIGINT) sc,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END pos
+        FROM events),
+       census AS (SELECT sc, CAST(sum(pos) AS BIGINT) cp,
+           CAST(count(*) - sum(pos) AS BIGINT) cn
+         FROM v GROUP BY sc),
+       tot AS (SELECT CAST(sum(cp) AS BIGINT) tp,
+           CAST(sum(cn) AS BIGINT) tn FROM census),
+       cum AS (SELECT sc,
+           CAST(sum(cp) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) pl,
+           CAST(sum(cn) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) nl
+         FROM census),
+       sc2 AS (SELECT c.sc, c.pl, c.nl, t.tp - c.pl AS pr,
+           t.tn - c.nl AS nr, c.pl + c.nl AS n_left,
+           (t.tp + t.tn) - (c.pl + c.nl) AS n_right
+         FROM cum c, tot t
+         WHERE c.pl + c.nl > 0
+           AND (t.tp + t.tn) - (c.pl + c.nl) > 0)
+       SELECT sc AS threshold_cents, n_left, n_right,
+         CAST(((CAST(pl AS HUGEINT)*pl + CAST(nl AS HUGEINT)*nl)
+             * n_right
+           + (CAST(pr AS HUGEINT)*pr + CAST(nr AS HUGEINT)*nr) * n_left)
+           * 1000000 // (CAST(n_left AS HUGEINT) * n_right) AS BIGINT)
+           AS purity_ppm
+       FROM sc2 ORDER BY purity_ppm DESC, sc LIMIT 1"""
+
+  /** q211 — ROLLING 7-DAY ACTIVE USERS (the WAU curve; q209's
+    * stickiness resolved over time): distinct users active in the
+    * trailing 7 days, per day. Sliding DISTINCT cannot partially
+    * aggregate, so the scalable shape is the bounded fan-out: each
+    * (user, active-day) pair contributes to exactly 7 window-days
+    * (in-row explode), and the per-window distinct runs as a normal
+    * two-phase aggregate — ×7 data expansion instead of a per-day
+    * re-scan of the corpus (O(w·activity), not O(days·corpus)).
+    *
+    * Scale shape: the distinct (user, day) frame partial-aggregates
+    * map-side; the explode is in-row and bounded by the window length;
+    * at sketch scale the per-window distinct swaps to q181's mergeable
+    * KMV. Days past the data's end are clipped by a broadcast 1-row
+    * max-date attach. */
+  def q211RollingWau(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+    val dr = ud.agg(max("d").as("d1"))
+    ud.select(col("user_id"),
+        explode(expr("sequence(0, 6)")).as("o"), col("d"))
+      .select(col("user_id"), expr("date_add(d, o)").as("day"))
+      .crossJoin(broadcast(dr))
+      .filter(col("day") <= col("d1"))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("wau"))
+  }
+
+  private def q211OracleSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d
+          FROM events),
+       expand AS (SELECT user_id, d + CAST(o AS INT) AS day
+         FROM ud, (SELECT unnest(range(0, 7)) o) off),
+       dr AS (SELECT max(d) d1 FROM ud)
+       SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+       FROM expand, dr WHERE day <= dr.d1
+       GROUP BY day"""
+
+  /** Minimum share (percent) a language needs to keep its own label in
+    * q212; below it the rows collapse into `__OTHER__`. */
+  val RareKeepPct = 20L
+
+  /** q212 — RARE-CATEGORY COLLAPSE (the cardinality-control step
+    * before one-hot/target encoding, q203's upstream guard): languages
+    * under [[RareKeepPct]]% of the corpus merge into a single
+    * `__OTHER__` label; released as the collapsed census with how many
+    * raw categories each label absorbed — deterministic relative
+    * threshold (scale-free, the q183 convention), so the collapse set
+    * is identical at every sf.
+    *
+    * Scale shape: one map-side category census, a broadcast 1-row
+    * total, an in-row CASE relabel, and a census-sized re-aggregate —
+    * the corpus is scanned once. */
+  def q212RareCollapse(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum("n").as("t"))
+    c.crossJoin(broadcast(tot))
+      .select(when(col("n") * 100 >= col("t") * RareKeepPct, col("lang"))
+        .otherwise("__OTHER__").as("cat"), col("n"))
+      .groupBy("cat")
+      .agg(sum("n").as("n"), count(lit(1)).as("n_merged"))
+  }
+
+  private def q212OracleSql: String =
+    s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) n
+          FROM documents GROUP BY lang),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) t FROM c),
+        lab AS (SELECT CASE WHEN n * 100 >= t * $RareKeepPct THEN lang
+            ELSE '__OTHER__' END AS cat, n
+          FROM c, tot)
+        SELECT cat, CAST(sum(n) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS n_merged
+        FROM lab GROUP BY cat"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_decision_stump" -> (q210DecisionStump _),
+    "q211_rolling_wau" -> (q211RollingWau _),
+    "q212_rare_collapse" -> (q212RareCollapse _),
     "q208_srm_check" -> (q208SrmCheck _),
     "q209_stickiness" -> (q209Stickiness _),
     "q205_modularity" -> (q205Modularity _),
@@ -1690,6 +1843,9 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q210_decision_stump" -> q210OracleSql,
+    "q211_rolling_wau" -> q211OracleSql,
+    "q212_rare_collapse" -> q212OracleSql,
     "q208_srm_check" -> q208OracleSql,
     "q209_stickiness" -> q209OracleSql,
     "q205_modularity" -> q205OracleSql,

@@ -462,6 +462,44 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q210 stump beats the trivial edge cuts and partitions the corpus") {
+    val r = Analytics.q210DecisionStump(spark, sf1).head()
+    val total = graft.sources.Tables.load(spark, sf1, "events").count()
+    assert(r.getAs[Long]("n_left") + r.getAs[Long]("n_right") === total)
+    assert(r.getAs[Long]("n_left") > 0 && r.getAs[Long]("n_right") > 0)
+    assert(r.getAs[Long]("purity_ppm") > 0)
+  }
+
+  test("q211 WAU is at least any single day's DAU and at most the " +
+    "user count") {
+    import spark.implicits._
+    val wau = Analytics.q211RollingWau(spark, sf1)
+      .select(col("day").cast("string"), col("wau"))
+      .as[(String, Long)].collect().toMap
+    assert(wau.nonEmpty)
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+    val users = ev.select("user_id").distinct().count()
+    val dau = ev.select(col("ts").cast("date").cast("string").as("d"),
+        col("user_id")).distinct()
+      .groupBy("d").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    dau.foreach { case (d, n) =>
+      assert(wau(d) >= n, s"WAU($d)=${wau(d)} below DAU $n")
+    }
+    wau.values.foreach(w => assert(w <= users))
+  }
+
+  test("q212 collapse conserves the corpus and OTHER absorbs the rest") {
+    val rows = Analytics.q212RareCollapse(spark, sf1).collect()
+    val total = graft.sources.Tables.load(spark, sf1, "documents").count()
+    assert(rows.map(_.getAs[Long]("n")).sum === total)
+    val kept = rows.filter(_.getAs[String]("cat") != "__OTHER__")
+    kept.foreach(r => assert(r.getAs[Long]("n_merged") === 1L))
+    val nLangs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("lang").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_merged")).sum === nLangs)
+  }
+
   test("q185 candidate generation is cell-bounded (no cartesian in plan)") {
     val plan = Analytics.q185GridJoin(spark, sf1)
       .queryExecution.executedPlan.toString
