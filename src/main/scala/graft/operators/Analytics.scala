@@ -113,7 +113,16 @@ object Analytics {
   /** Hash-space modulus for the portable LCG (2^31 − 1, prime — the LCG
     * x → (a·x + c) mod m is a BIJECTION on [0, m) for any a not divisible
     * by m, so distinct keys keep distinct hashes and the sketch's
-    * "n_exact" column doubles as the true distinct count). */
+    * "n_exact" column doubles as the true distinct count).
+    *
+    * Precondition: the bijection argument (and so "n_exact is the true
+    * distinct count") holds only while the packed key
+    * user_id·512 + dayofyear stays below m, i.e. user_id < ~4.19M
+    * (2^31 div 512). Beyond that the hash is still uniform but packed
+    * keys can collide mod m; the estimate stands, the exactness claim
+    * doesn't. A hash of exactly 0 is possible (one key per residue), so
+    * every divisor position guards with greatest(hv, 1) on both
+    * engines — Spark's `div 0` is NULL while DuckDB's `// 0` raises. */
   val KmvM = 2147483647L
 
   /** q181 — K-MINIMUM-VALUES distinct sketch (daily-active-user
@@ -151,7 +160,8 @@ object Analytics {
       .select(col("event_type"), col("nd").as("n_exact"),
         col("hv").cast("bigint").as("kth_hash"),
         when(col("nd") >= KmvK,
-          expr(s"(CAST(${KmvK - 1} AS BIGINT) * ${KmvM - 1}) div hv"))
+          expr(s"(CAST(${KmvK - 1} AS BIGINT) * ${KmvM - 1})" +
+            " div greatest(hv, 1)"))
           .otherwise(col("nd")).as("est_distinct"))
   }
 
@@ -166,7 +176,8 @@ object Analytics {
         SELECT event_type, CAST(nd AS BIGINT) AS n_exact,
           CAST(hv AS BIGINT) AS kth_hash,
           CAST(CASE WHEN nd >= $KmvK
-            THEN (CAST(${KmvK - 1} AS BIGINT) * ${KmvM - 1}) // hv
+            THEN (CAST(${KmvK - 1} AS BIGINT) * ${KmvM - 1})
+              // greatest(hv, 1)
             ELSE nd END AS BIGINT) AS est_distinct
         FROM r WHERE rn = least($KmvK, nd)"""
 
@@ -578,7 +589,8 @@ object Analytics {
       .crossJoin(ka.join(kb, "hv").agg(count(lit(1)).as("n_inter_exact")))
     theta.crossJoin(broadcast(rho)).crossJoin(broadcast(exact))
       .withColumn("union_est",
-        expr(s"(CAST(${KmvK - 1} AS BIGINT) * ${KmvM - 1}) div th"))
+        expr(s"(CAST(${KmvK - 1} AS BIGINT) * ${KmvM - 1})" +
+          " div greatest(th, 1)"))
       .select(col("k"), col("th").cast("bigint").as("theta"),
         col("union_est"), col("rho"),
         expr(s"rho * union_est div $KmvK").as("inter_est"),
@@ -602,11 +614,11 @@ object Analytics {
         rho AS (SELECT CAST(count(*) AS BIGINT) rho
           FROM sa JOIN sb USING (hv), theta WHERE sa.hv <= theta.th)
         SELECT t.k, CAST(t.th AS BIGINT) AS theta,
-          CAST((CAST(${KmvK - 1} AS BIGINT) * ${KmvM - 1}) // t.th
-            AS BIGINT) AS union_est,
+          CAST((CAST(${KmvK - 1} AS BIGINT) * ${KmvM - 1})
+            // greatest(t.th, 1) AS BIGINT) AS union_est,
           r.rho,
           CAST(r.rho * ((CAST(${KmvK - 1} AS BIGINT) * ${KmvM - 1})
-            // t.th) // $KmvK AS BIGINT) AS inter_est,
+            // greatest(t.th, 1)) // $KmvK AS BIGINT) AS inter_est,
           (SELECT CAST(count(*) AS BIGINT) FROM ka) AS n_a_exact,
           (SELECT CAST(count(*) AS BIGINT) FROM kb) AS n_b_exact,
           (SELECT CAST(count(*) AS BIGINT) FROM ka JOIN kb USING (hv))
@@ -653,13 +665,14 @@ object Analytics {
   private def q190OracleSql: String =
     """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
           CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) sv,
-          CAST(sum(CAST(floor(value*100) AS BIGINT)
-            * CAST(floor(value*100) AS BIGINT)) AS BIGINT) svv
+          CAST(sum(CAST(floor(value*100) AS HUGEINT)
+            * CAST(floor(value*100) AS HUGEINT)) AS HUGEINT) svv
         FROM events GROUP BY event_type),
-        g2 AS (SELECT n, sv, svv, (sv * sv) // n AS tg FROM g),
+        g2 AS (SELECT n, sv, svv,
+          (CAST(sv AS HUGEINT) * sv) // n AS tg FROM g),
         tot AS (SELECT CAST(sum(n) AS BIGINT) nn,
-            CAST(sum(sv) AS BIGINT) s, CAST(sum(svv) AS BIGINT) ss,
-            CAST(count(*) AS BIGINT) k, CAST(sum(tg) AS BIGINT) sg2
+            CAST(sum(sv) AS HUGEINT) s, CAST(sum(svv) AS HUGEINT) ss,
+            CAST(count(*) AS BIGINT) k, CAST(sum(tg) AS HUGEINT) sg2
           FROM g2)
         SELECT nn AS n, k,
           (CAST(sg2 AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)
@@ -762,8 +775,11 @@ object Analytics {
         floor(col("value") * 100).as("vc"),
         datediff(col("m"), col("ts").cast("date")).as("age"))
       .groupBy("user_id")
+      // shift clamped to 63: Spark's shiftright masks the count to 6 bits
+      // (shift 64 == shift 0) while DuckDB's >> yields 0 past 63 — ages
+      // beyond 63 decay periods must saturate identically on both engines
       .agg(sum(expr(
-        s"shiftright(vc, CAST(age div $DecayPeriodDays AS INT))"))
+        s"shiftright(vc, CAST(least(age div $DecayPeriodDays, 63) AS INT))"))
         .as("decayed_cents"),
         count(lit(1)).as("n_events"))
   }
@@ -774,8 +790,8 @@ object Analytics {
             date_diff('day', CAST(ts AS DATE), md.m) AS age
           FROM events, md)
         SELECT user_id,
-          CAST(sum(vc >> CAST(age // $DecayPeriodDays AS INT)) AS BIGINT)
-            AS decayed_cents,
+          CAST(sum(vc >> CAST(least(age // $DecayPeriodDays, 63) AS INT))
+            AS BIGINT) AS decayed_cents,
           CAST(count(*) AS BIGINT) AS n_events
         FROM e GROUP BY user_id"""
 
@@ -861,7 +877,8 @@ object Analytics {
        sig AS (SELECT w, w AS s FROM w
          UNION ALL
          SELECT w, substr(w, 1, i-1) || substr(w, i+1) AS s
-         FROM w, (SELECT unnest(range(1, 64)) AS i) ix
+         FROM w, (SELECT unnest(range(1,
+           (SELECT max(len(w)) + 1 FROM w))) AS i) ix
          WHERE i <= len(w)),
        cand AS (SELECT DISTINCT a.w w1, b.w w2
          FROM sig a JOIN sig b ON a.s = b.s AND a.w < b.w)

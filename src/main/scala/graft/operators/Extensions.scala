@@ -1600,7 +1600,10 @@ object Extensions {
         min("k").as("f"), max("k").as("t"))
       .withColumn("bkt", explode(expr(
         s"sequence(f div $IntervalBucket, t div $IntervalBucket)")))
-      .cache()
+      // eager materialization: both sides of the self-join consume `iv`;
+      // a plain cache() lets the two job launches race to populate it and
+      // compute the frame twice (the q177 round-6 failure shape)
+      .localCheckpoint(true)
     iv.as("a").join(iv.as("b"),
         col("a.state") === col("b.state") &&
           col("a.bkt") === col("b.bkt") &&

@@ -480,6 +480,9 @@ object TextOps {
     val lens = t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .select(length(col("w")).cast("bigint").as("l"))
+      // eager materialization: the sketch pass and the exact census both
+      // consume `lens`; without it the corpus scan + explode run twice
+      .localCheckpoint(true)
     val mg = new graft.functions.MisraGries(HhK)
     val cands = lens.as[Long].select(mg.toColumn.name("cand")).toDF("cand")
       .select(explode(col("cand")).as("cand_l"))
