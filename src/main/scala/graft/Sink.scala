@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -30,6 +31,29 @@ object Sink {
       .sortWithinPartitions(col(pk), col(ck))
       .write.mode(SaveMode.Overwrite)
       .parquet(out)
+
+  /** Read-back audit of [[writeClustered]]'s physical contract, from file
+    * geometry alone (the parquet `_metadata` hidden column — no ordering
+    * assumption about Spark's scan beyond parquet file row order). Returns
+    * one row per partition key: its row count `nr`, the count of adjacent
+    * ck-order inversions within its file by `_metadata.row_index` (`inv`),
+    * and the number of distinct files holding the key (`nf`). A
+    * contract-respecting layout has inv=0 and nf=1 for EVERY key; q213
+    * pins both under the cross-engine differential, and SinkSpec shows the
+    * audit catches deliberately broken layouts. */
+  def auditClustered(
+      s: SparkSession, path: String, pk: String, ck: String): DataFrame = {
+    val rb = s.read.parquet(path).select(
+      col(pk), col(ck),
+      col("_metadata.file_path").as("_f"),
+      col("_metadata.row_index").as("_ri"))
+    val wf = Window.partitionBy("_f", pk).orderBy("_ri")
+    rb.withColumn("inv",
+        when(lag(ck, 1).over(wf) > col(ck), 1L).otherwise(0L))
+      .groupBy(pk)
+      .agg(count(lit(1)).as("nr"), sum("inv").as("inv"),
+        countDistinct("_f").as("nf"))
+  }
 
   /** Plain entity-table write (hr.employees analog). */
   def writeTable(df: DataFrame, out: String): Unit =

@@ -170,6 +170,37 @@ object Core {
       date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
         .as("o_date_str"))
 
+  /** q213 — SINK ORDER CONTRACT under the differential: materializes
+    * [[graft.Sink.writeClustered]]'s output (orders clustered by
+    * pk=o_custkey, ck=o_orderkey — the reference's `PRIMARY KEY (pk, ck)`
+    * layout, README.md:902-909) and reads it BACK, verifying from file
+    * geometry alone (the parquet `_metadata` hidden column) the two
+    * physical guarantees a Cassandra reader relies on:
+    *  - co-location: every partition key lives in exactly ONE file
+    *    (`repartition(pk)` ⇒ one task ⇒ one file) — `split_keys` counts
+    *    keys spanning >1 file, pinned to 0;
+    *  - clustering order: within a file, a pk's rows appear in ascending
+    *    ck order (`sortWithinPartitions`) — `viol` counts adjacent
+    *    inversions by `_metadata.row_index`, pinned to 0.
+    * The DuckDB oracle states the CONTRACT from the source table (per-
+    * bucket row/key census + zero violations); dropping either sink
+    * clause flips a pinned 0 and fails the hash. This is S3/D2's write
+    * path under the cross-engine gate rather than unit-only (round-7
+    * verdict item 5). Scale shape: the write IS the one pk shuffle; the
+    * read-back audit is a narrow scan + one (file,pk)-keyed window + two
+    * partial+final aggs — no joins, nothing corpus². */
+  def q213SinkOrder(s: SparkSession, dir: String): DataFrame = {
+    val out = "target/graft_q213_sink"
+    graft.Sink.writeClustered(
+      t(s, dir, "orders"), "o_custkey", "o_orderkey", out)
+    graft.Sink.auditClustered(s, out, "o_custkey", "o_orderkey")
+      .groupBy(pmod(col("o_custkey"), lit(16L)).as("bucket"))
+      .agg(sum("nr").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum("inv").as("viol"),
+        sum(when(col("nf") > 1, 1L).otherwise(0L)).as("split_keys"))
+  }
+
   /** Declared query map for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_full_scan" -> (q01FullScan _),
@@ -187,7 +218,8 @@ object Core {
     "q13_count" -> (q13Count _),
     "q14_distinct" -> (q14Distinct _),
     "q15_cluster_order" -> (q15ClusterOrder _),
-    "q16_timestamp_format" -> (q16TimestampFormat _))
+    "q16_timestamp_format" -> (q16TimestampFormat _),
+    "q213_sink_order" -> (q213SinkOrder _))
 
   /** DuckDB oracles (ANSI SQL over the same parquet tables). */
   val oracleSql: Map[String, String] = Map(
@@ -247,5 +279,17 @@ object Core {
          FROM customer""",
     "q16_timestamp_format" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
-         AS o_date_str FROM orders""")
+         AS o_date_str FROM orders""",
+    // The oracle states the sink's order CONTRACT from the source table:
+    // the per-bucket census must survive the write+read-back unchanged and
+    // both violation counters must be exactly zero.
+    "q213_sink_order" ->
+      """WITH k AS (SELECT o_custkey, count(*) AS nr
+                    FROM orders GROUP BY o_custkey)
+         SELECT CAST(o_custkey % 16 AS BIGINT) AS bucket,
+                CAST(sum(nr) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(0 AS BIGINT) AS viol,
+                CAST(0 AS BIGINT) AS split_keys
+         FROM k GROUP BY 1""")
 }

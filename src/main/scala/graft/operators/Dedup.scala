@@ -631,6 +631,32 @@ object Dedup {
     * star per component, read off as (doc_id, cluster). */
   def connectedComponentsStar(
       nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val (edges, _) = starContractionEdges(pairs)
+    // converged: every non-min node holds an edge to its component min
+    val labels = edges
+      .select(explode(expr(
+        """array(struct(u AS doc_id, v AS other),
+                 struct(v AS doc_id, u AS other))""")).as("e"))
+      .select("e.*")
+      .groupBy("doc_id")
+      .agg(min("other").as("mo"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("mo")).as("cluster"))
+    nodes.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+  }
+
+  /** The contraction loop of [[connectedComponentsStar]], with the ROUND
+    * COUNT exposed: the 30-round throw below is load-bearing (a
+    * non-converging contraction would otherwise spin forever on a 100 TB
+    * graph), so PropertySpec pins measured rounds ≤ log₂(n)+c on
+    * adversarial topologies — long paths (diameter n, the propagation
+    * killer), clique chains, stars. Returns (converged star edges,
+    * rounds). */
+  private[graft] def starContractionEdges(
+      pairs: DataFrame): (DataFrame, Int) = {
     def canon(df: DataFrame): DataFrame = df
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
@@ -689,20 +715,7 @@ object Dedup {
         "connectedComponentsStar did not converge in 30 rounds — " +
           "star contraction is O(log n), so this indicates a bug, not " +
           "an unlucky graph")
-    // converged: every non-min node holds an edge to its component min
-    val labels = edges
-      .select(explode(expr(
-        """array(struct(u AS doc_id, v AS other),
-                 struct(v AS doc_id, u AS other))""")).as("e"))
-      .select("e.*")
-      .groupBy("doc_id")
-      .agg(min("other").as("mo"))
-      .select(col("doc_id"),
-        least(col("doc_id"), col("mo")).as("cluster"))
-    nodes.select("doc_id")
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    (edges, rounds)
   }
 
   /** q31 — 32-bit SimHash per document (word-level token hashes with

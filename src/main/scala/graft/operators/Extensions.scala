@@ -1567,6 +1567,15 @@ object Extensions {
     * (one hour of event time). */
   val IntervalBucket: Long = 3600L * AttribKeyScale
 
+  /** Endpoint record for q169's sweep. `probe`=0 is an interval-start
+    * MARKER (carries cnt=1 and the interval's checksum key in `w`);
+    * `probe`=1 is a census PROBE at pos=f (sign −1) or pos=t (sign +1)
+    * carrying the key in `w`. Markers sort before probes at equal
+    * (state, pos) so an interval's own start is inside both of its
+    * probe reads and cancels. */
+  private[graft] case class IntervalEp(
+      state: String, pos: Long, probe: Int, cnt: Long, w: Long, sign: Long)
+
   /** q169 — INTERVAL OVERLAP JOIN at scale: q143's per-user state runs
     * joined against each other for cross-user pairs of OVERLAPPING
     * same-type intervals (concurrent same-activity detection — the
@@ -1574,17 +1583,40 @@ object Extensions {
     * capacity analysis). Declared output is the per-type pair census +
     * an id checksum over the exact pair set.
     *
-    * Scale shape: the overlap predicate alone is a theta-join — O(n²)
-    * pairs examined however it executes. The scale path BINS each
-    * interval to its covered [[IntervalBucket]] hour buckets
-    * (`sequence` explode — intervals are short, so the expansion is
-    * ~1×) and equi-joins on (type, bucket) with the overlap test as
-    * residual; candidates collapse to Σ|cell|² over hour cells instead
-    * of |runs|² per type. `distinct` dedups pairs straddling a bucket
-    * boundary before the census (exactly DuckDB's IEJoin result, by a
-    * shuffle-friendly route). The oracle states the SEMANTIC — a plain
-    * theta join — keeping the declared contract implementation-free. */
+    * Scale shape — rewritten in round 8 after the scaling harness
+    * (SCALING.md) measured the previous hour-bucket equi-join at
+    * exponent ~1.9: the events TIME SPAN is fixed while users grow, so
+    * per-(type, hour) cell population grows ∝ corpus and Σ|cell|² is
+    * QUADRATIC (measured 273k → 23.9M candidates for a 10× step — and
+    * the true pair set is itself quadratic, 47.6k → 4.68M). Since the
+    * DECLARED output is only the per-type census, the scalable
+    * algorithm is the classic ENDPOINT SWEEP, enumerating no pairs:
+    * pairs(type) = Σᵢ [C(tᵢ) − C(fᵢ)] and checksum(type) =
+    * Σᵢ [(S(tᵢ) + keyᵢ·C(tᵢ)) − (S(fᵢ) + keyᵢ·C(fᵢ))], where C(x)/S(x)
+    * are the running count/key-sum of interval STARTS at pos ≤ x —
+    * each unordered pair is counted exactly once, at its later-starting
+    * member (positions are globally unique event keys, so no ties;
+    * same-user same-type runs are disjoint by construction, so the
+    * u1<u2 exclusion is automatic). Distributed as a two-pass
+    * range-partitioned prefix sum: ONE range exchange on
+    * (state, pos, probe) + in-partition sort; pass 1 collects
+    * O(partitions × types) per-(partition, type) marker totals to the
+    * driver (bounded like q88's one-row head, documented); pass 2
+    * streams each sorted partition once with running (C, S) seeded from
+    * the broadcast offsets, probes emitting their signed census reads;
+    * a types-sized aggregate finishes. O(n log n) total work, O(n)
+    * shuffle volume, no join anywhere — this is the mapPartitions
+    * escape hatch used for what it's genuinely for (per-partition
+    * sequential scan state). Checksum bound: intermediate signed terms
+    * stay under ~4·n²·max_key, documented-long-safe through ~10⁷
+    * intervals; beyond that the DECLARED checksum value itself
+    * outgrows BIGINT, an output-contract bound, not an algorithm one.
+    * The oracle still states the SEMANTIC — a plain theta join —
+    * keeping the declared contract implementation-free; an in-engine
+    * test pins sweep ≡ direct theta join, and PropertySpec pins
+    * partitioning-invariance. */
   def q169IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val w = Window.partitionBy("user_id").orderBy("k")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val iv = t(s, dir, "events")
@@ -1598,25 +1630,67 @@ object Extensions {
       .groupBy("user_id", "seq")
       .agg(max("event_type").as("state"),
         min("k").as("f"), max("k").as("t"))
-      .withColumn("bkt", explode(expr(
-        s"sequence(f div $IntervalBucket, t div $IntervalBucket)")))
-      // eager materialization: both sides of the self-join consume `iv`;
-      // a plain cache() lets the two job launches race to populate it and
-      // compute the frame twice (the q177 round-6 failure shape)
+      // the pair-checksum weight: each pair contributes key_a + key_b
+      .withColumn("key", col("user_id") + col("seq"))
+    val marks = iv.select(col("state"), col("f").as("pos"),
+      lit(0).as("probe"), lit(1L).as("cnt"), col("key").as("w"),
+      lit(0L).as("sign"))
+    val probes = iv.select(col("state"), col("f").as("pos"),
+        lit(1).as("probe"), lit(0L).as("cnt"), col("key").as("w"),
+        lit(-1L).as("sign"))
+      .unionByName(iv.select(col("state"), col("t").as("pos"),
+        lit(1).as("probe"), lit(0L).as("cnt"), col("key").as("w"),
+        lit(1L).as("sign")))
+    val parts = s.sessionState.conf.numShufflePartitions
+    val eps = marks.unionByName(probes).as[IntervalEp]
+      .repartitionByRange(parts, col("state"), col("pos"), col("probe"))
+      .sortWithinPartitions("state", "pos", "probe")
+      // eager materialization: the offset pass and the emit pass both
+      // scan this frame; checkpoint keeps it one sort, race-free
       .localCheckpoint(true)
-    iv.as("a").join(iv.as("b"),
-        col("a.state") === col("b.state") &&
-          col("a.bkt") === col("b.bkt") &&
-          col("a.user_id") < col("b.user_id") &&
-          col("a.f") <= col("b.t") && col("b.f") <= col("a.t"))
-      .select(col("a.state").as("state"),
-        col("a.user_id").as("u1"), col("a.seq").as("s1"),
-        col("b.user_id").as("u2"), col("b.seq").as("s2"))
-      .distinct()
-      .groupBy("state")
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("u1") + col("u2") + col("s1") + col("s2"))
-          .as("checksum"))
+    // pass 1: per-(partition, state) marker totals — tiny, collected to
+    // build exclusive prefix offsets (the canonical distributed-scan
+    // offset exchange; O(partitions × types) rows by construction)
+    val partials = eps.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val acc =
+        scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+      rows.foreach { e =>
+        if (e.probe == 0) {
+          val (c0, s0) = acc.getOrElse(e.state, (0L, 0L))
+          acc(e.state) = (c0 + e.cnt, s0 + e.w)
+        }
+      }
+      acc.iterator.map { case (st, (c, sw)) => (pid, st, c, sw) }
+    }.collect()
+    val offsets: Map[(Int, String), (Long, Long)] =
+      partials.groupBy(_._2).flatMap { case (st, arr) =>
+        var c = 0L; var sw = 0L
+        arr.sortBy(_._1).map { case (pid, _, dc, dsw) =>
+          val r = ((pid, st), (c, sw)); c += dc; sw += dsw; r
+        }
+      }
+    val bc = s.sparkContext.broadcast(offsets)
+    // pass 2: stream each sorted partition once; probes emit signed reads
+    val contrib = eps.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur: String = null
+      var c = 0L
+      var sw = 0L
+      rows.flatMap { e =>
+        if (e.state != cur) {
+          cur = e.state
+          val (c0, s0) = bc.value.getOrElse((pid, cur), (0L, 0L))
+          c = c0; sw = s0
+        }
+        if (e.probe == 0) { c += e.cnt; sw += e.w; Iterator.empty }
+        else Iterator.single((e.state, e.sign * c, e.sign * (sw + e.w * c)))
+      }
+    }.toDF("state", "dp", "ds")
+    contrib.groupBy("state")
+      .agg(sum("dp").as("n_pairs"), sum("ds").as("checksum"))
+      // the theta-join semantic has no row for a pairless type
+      .filter(col("n_pairs") > 0)
   }
 
   private def q169OracleSql: String =

@@ -188,7 +188,7 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
-  test("q169 bucketized interval join equals the direct theta join") {
+  test("q169 endpoint-sweep interval census equals the direct theta join") {
     val got = Extensions.q169IntervalJoin(spark, sf1).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     // the semantic, straight: un-binned overlap theta join on the same

@@ -342,6 +342,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("star-contraction round count stays O(log n) on adversarial " +
+    "topologies at 10^4 nodes") {
+    import spark.implicits._
+    // The 30-round throw in starContractionEdges is load-bearing: these
+    // are the topologies that would break a weaker scheme. A 10^4-node
+    // PATH has diameter 10^4 (naive propagation would need 10^4 rounds);
+    // a CLIQUE CHAIN mixes dense local structure with a long backbone; a
+    // STAR is the already-contracted fixed point. Star contraction must
+    // close all of them within log2(n) + c rounds — measured, not argued.
+    val n = 10000
+    val path: Seq[(Long, Long)] =
+      (0L until (n - 1).toLong).map(i => (i, i + 1))
+    // 1000 cliques of 10, consecutive cliques bridged by one edge
+    val cliqueChain: Seq[(Long, Long)] = {
+      val within = for {
+        c <- 0 until 1000; i <- 0 until 10; j <- (i + 1) until 10
+      } yield ((c * 10 + i).toLong, (c * 10 + j).toLong)
+      val bridges = (0 until 999).map(c =>
+        ((c * 10 + 9).toLong, ((c + 1) * 10).toLong))
+      within ++ bridges
+    }
+    val starG: Seq[(Long, Long)] = (1L until n.toLong).map(i => (0L, i))
+    val bound = (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 6
+    for ((name, es, nComponents) <- Seq(
+        ("path", path, 1L), ("clique-chain", cliqueChain, 1L),
+        ("star", starG, 1L))) {
+      val pairs = es.toDF("doc_id_1", "doc_id_2")
+        .repartition(8) // force a distributed shape, not one partition
+      val (edges, rounds) =
+        graft.operators.Dedup.starContractionEdges(pairs)
+      assert(rounds <= bound,
+        s"$name: $rounds rounds > log2($n)+6 = $bound")
+      // converged star edges form exactly one star per component: every
+      // edge points at the same minimum, and the component count is right
+      val mins = edges.select("u").distinct().collect().map(_.getLong(0))
+      assert(mins.length.toLong === nComponents,
+        s"$name: ${mins.length} stars for $nComponents components")
+    }
+  }
+
   test("misra-gries captures every >N/(k+1) item on skewed random data") {
     import spark.implicits._
     // zipf-ish generator: value v with weight ~ 1/(v+1)

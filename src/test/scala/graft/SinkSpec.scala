@@ -32,6 +32,36 @@ class SinkSpec extends SparkSpec {
     assert(violations === 0L, "clustering order broken within a partition")
   }
 
+  test("auditClustered passes a contract-respecting layout (q213 shape)") {
+    val res = Core.q213SinkOrder(spark, sf1).collect()
+    assert(res.length === 16)
+    val orders = graft.sources.Tables.load(spark, sf1, "orders")
+    assert(res.map(_.getAs[Long]("n_rows")).sum === orders.count())
+    assert(res.forall(_.getAs[Long]("viol") === 0L))
+    assert(res.forall(_.getAs[Long]("split_keys") === 0L))
+  }
+
+  test("auditClustered catches a broken clustering order") {
+    val out = Files.createTempDirectory("graft_sink_bad1").toString
+    graft.sources.Tables.load(spark, sf1, "orders")
+      .repartition(col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"), desc("o_orderkey")) // ck DESC
+      .write.mode("overwrite").parquet(out)
+    val audit = Sink.auditClustered(spark, out, "o_custkey", "o_orderkey")
+    assert(audit.agg(sum("inv")).head.getLong(0) > 0L,
+      "descending-ck layout should show inversions")
+  }
+
+  test("auditClustered catches a non-co-located partition key") {
+    val out = Files.createTempDirectory("graft_sink_bad2").toString
+    graft.sources.Tables.load(spark, sf1, "orders")
+      .repartition(8) // round-robin: keys scatter across files
+      .write.mode("overwrite").parquet(out)
+    val audit = Sink.auditClustered(spark, out, "o_custkey", "o_orderkey")
+    assert(audit.filter(col("nf") > 1).count() > 0L,
+      "round-robin layout should split keys across files")
+  }
+
   test("narrowKeys casts to bigint (reference T1)") {
     val df = graft.sources.Tables.load(spark, sf1, "customer")
     val narrowed = Sink.narrowKeys(df, Seq("c_nationkey"))
