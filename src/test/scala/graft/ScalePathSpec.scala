@@ -399,6 +399,25 @@ class ScalePathSpec extends SparkSpec {
       s"runs need exactly the user shuffle, found $n:\n$plan")
   }
 
+  test("q169 sweep census plans with no join (quadratic generator gone)") {
+    // the round-8 rewrite's whole point: the pair census comes from a
+    // prefix-sum sweep over the checkpointed endpoint sort, so the
+    // declared plan must contain NO join node of any kind — a join
+    // reappearing here means the quadratic candidate generator
+    // (SCALING.md case study) is back. Observable shape past the
+    // checkpoint: the MapPartitions emit pass feeding the one census
+    // exchange; the endpoint range exchange lives inside the
+    // checkpointed job by design (lineage truncation).
+    val df = graft.operators.Extensions.q169IntervalJoin(spark, sf1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"sweep must not join:\n$plan")
+    assert(plan.contains("MapPartitions"),
+      s"sweep emit pass missing:\n$plan")
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"only the types-sized census may shuffle, found $exchanges:\n$plan")
+  }
+
   test("q138 snapshot diff counts equal the mutation arithmetic") {
     val m = graft.operators.Pipeline.q138SnapshotDiff(spark, sf1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
