@@ -1520,6 +1520,60 @@ object Extensions {
             AS BIGINT) AS risky_checksum
         FROM cls GROUP BY c_nationkey"""
 
+  /** Diversity threshold for q217 — classes whose sensitive attribute
+    * takes fewer than this many distinct values are homogeneity-risky. */
+  val LDiv = 3L
+
+  /** q217 — L-DIVERSITY audit (Machanavajjhala et al., "l-Diversity:
+    * Privacy Beyond k-Anonymity", 2007): q167's k-anonymity counts how
+    * SMALL a quasi-identifier class is, but a large class is still a
+    * disclosure if every member shares one sensitive value — the
+    * homogeneity attack. Here the QI is (nation, balance band), the
+    * sensitive attribute is the market segment, and each class reports
+    * its distinct-sensitive-value count l; per nation the audit
+    * declares class/row counts, the worst (minimum) l, and how many
+    * classes/rows sit below l = [[LDiv]]. Together q167 + q217 are the
+    * standard pre-release privacy gate pair for tabular training data.
+    *
+    * Scale shape: one class census with a count-distinct (plans as the
+    * standard two-phase expand, both phases partial-aggregated) + one
+    * nation-keyed rollup of the class-sized frame — linear, nothing
+    * corpus-sized after the first aggregate. */
+  def q217LDiversity(s: SparkSession, dir: String): DataFrame = {
+    val classes = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment").as("seg"),
+        expr("""CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                div 100000""").as("band"))
+      .groupBy("c_nationkey", "band")
+      .agg(count(lit(1)).as("cls"), countDistinct("seg").as("l"))
+    classes.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_classes"), sum("cls").as("n_rows"),
+        min("l").as("min_l"),
+        sum(when(col("l") < LDiv, 1L).otherwise(0L))
+          .as("n_low_div_classes"),
+        sum(when(col("l") < LDiv, col("cls")).otherwise(0L))
+          .as("n_rows_at_risk"))
+  }
+
+  private def q217OracleSql: String =
+    s"""WITH q AS (SELECT c_custkey, c_nationkey, c_mktsegment AS seg,
+          CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+            // 100000 AS band
+        FROM customer),
+        cls AS (SELECT c_nationkey, band,
+            CAST(count(*) AS BIGINT) AS cls,
+            CAST(count(DISTINCT seg) AS BIGINT) AS l
+          FROM q GROUP BY c_nationkey, band)
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_classes,
+          CAST(sum(cls) AS BIGINT) AS n_rows,
+          CAST(min(l) AS BIGINT) AS min_l,
+          CAST(sum(CASE WHEN l < $LDiv THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_low_div_classes,
+          CAST(sum(CASE WHEN l < $LDiv THEN cls ELSE 0 END) AS BIGINT)
+            AS n_rows_at_risk
+        FROM cls GROUP BY c_nationkey"""
+
   /** q168 — EQUI-DEPTH HISTOGRAM construction (the ANALYZE-statistics
     * op behind CBO selectivity estimates and range-partition planning,
     * the value-domain complement of q83's equi-WIDTH histogram): per
@@ -2447,6 +2501,7 @@ object Extensions {
     "q163_salted_join" -> (q163SaltedJoin _),
     "q164_rolling_window" -> (q164RollingWindow _),
     "q167_k_anonymity" -> (q167KAnonymity _),
+    "q217_l_diversity" -> (q217LDiversity _),
     "q168_equidepth_histogram" -> (q168EquidepthHistogram _),
     "q169_interval_join" -> (q169IntervalJoin _),
     "q170_linear_interp" -> (q170LinearInterp _),
@@ -2519,6 +2574,7 @@ object Extensions {
     "q163_salted_join" -> q163OracleSql,
     "q164_rolling_window" -> q164OracleSql,
     "q167_k_anonymity" -> q167OracleSql,
+    "q217_l_diversity" -> q217OracleSql,
     "q168_equidepth_histogram" -> q168OracleSql,
     "q169_interval_join" -> q169OracleSql,
     "q170_linear_interp" -> q170OracleSql,

@@ -299,6 +299,79 @@ object Similarity {
                  // $BatchTopK AS recall_ppm
         FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id"""
 
+  /** q215 — MRR (mean reciprocal rank) evaluation of the multi-probe
+    * ANN: q153 measures set RECALL, which is blind to ORDER — an index
+    * that buries the true nearest neighbor at the bottom of every
+    * result list scores the same recall as one that ranks it first.
+    * MRR is the standard graded complement: per probe, the exact
+    * non-self nearest neighbor (self excluded — its cosine is
+    * identically 1 and would make every metric vacuous) is located in
+    * the ANN's self-excluded ranking, and the reciprocal rank is
+    * declared in exact integer ppm (10⁶ div rank; 0 when the ANN missed
+    * it entirely). The mean over probes is derivable; per-probe rows
+    * keep the differential sharp. Float-free ranks: the only doubles
+    * are the cosines, computed with the identical fold order both
+    * engines (q153 discipline), with vec_id tie-breaks.
+    *
+    * Scale shape: the truth side is one ×batch broadcast expansion of
+    * the corpus (q25's brute-force shape, amortized over the probe
+    * batch, run over a probe SAMPLE in production); the ANN side is
+    * q120's broadcast-probe cell join; the comparison is one left join
+    * on (probe, vec) over probe-batch-sized frames. Nothing new
+    * shuffles the corpus. */
+  def q215MrrEval(s: SparkSession, dir: String): DataFrame = {
+    val e = vectors(s, dir)
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("ed").as("ped"),
+        col("nrm").as("pnrm"))
+    val wt = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val truth1 = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("pcos",
+        vec_dot(col("ed"), col("ped")) / (col("nrm") * col("pnrm")))
+      .withColumn("rn", row_number().over(wt))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("vec_id").as("nn_id"))
+    val wr = Window.partitionBy("probe_id").orderBy("rank")
+    val ann = q120MultiprobeAnn(s, dir)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("arank", row_number().over(wr).cast("bigint"))
+    truth1.join(ann,
+        truth1("probe_id") === ann("probe_id") &&
+          col("nn_id") === ann("vec_id"), "left")
+      .select(truth1("probe_id"), col("nn_id"),
+        coalesce(col("arank"), lit(0L)).as("ann_rank"))
+      .withColumn("rr_ppm",
+        when(col("ann_rank") > 0, expr("1000000 div ann_rank"))
+          .otherwise(lit(0L)))
+  }
+
+  private def q215OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+        probes AS (SELECT vec_id AS probe_id, ed AS ped, nrm AS pnrm
+                   FROM e WHERE vec_id < $NumProbes),
+        truth1 AS (SELECT probe_id, vec_id AS nn_id FROM (
+          SELECT p.probe_id, a.vec_id,
+            row_number() OVER (PARTITION BY p.probe_id
+              ORDER BY list_dot_product(a.ed, p.ped) / (a.nrm * p.pnrm)
+                DESC, a.vec_id) AS rn
+          FROM e a CROSS JOIN probes p
+          WHERE a.vec_id <> p.probe_id) WHERE rn = 1),
+        ann AS (SELECT probe_id, vec_id,
+            row_number() OVER (PARTITION BY probe_id ORDER BY rank)
+              AS arank
+          FROM ($q120OracleSql) z WHERE vec_id <> probe_id)
+        SELECT t.probe_id, t.nn_id,
+          CAST(COALESCE(a.arank, 0) AS BIGINT) AS ann_rank,
+          CAST(CASE WHEN a.arank IS NULL THEN 0
+                    ELSE 1000000 // a.arank END AS BIGINT) AS rr_ppm
+        FROM truth1 t LEFT JOIN ann a
+          ON t.probe_id = a.probe_id AND t.nn_id = a.vec_id"""
+
   /** Gram-matrix dimensionality (the embeddings tables are 64-wide at
     * every SF). */
   val GramDims = 64
@@ -861,6 +934,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_ann_eval" -> (q153AnnEval _),
+    "q215_mrr_eval" -> (q215MrrEval _),
     "q154_gram_matrix" -> (q154GramMatrix _),
     "q111_kmeans_refine" -> (q111KmeansRefine _),
     "q127_semdedup" -> (q127Semdedup _),
@@ -876,6 +950,7 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "q153_ann_eval" -> q153OracleSql,
+    "q215_mrr_eval" -> q215OracleSql,
     "q154_gram_matrix" -> q154OracleSql,
     "q111_kmeans_refine" -> q111OracleSql,
     "q127_semdedup" -> q127OracleSql,

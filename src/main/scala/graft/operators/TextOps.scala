@@ -1272,7 +1272,66 @@ object TextOps {
         $joins"""
   }
 
+  /** q214 — BIGRAM LANGUAGE-MODEL QUALITY SCORE (the CCNet/RefinedWeb
+    * perplexity-filter shape with an n-gram LM instead of a neural one):
+    * every document is scored by how probable its token transitions are
+    * under the corpus's own bigram MLE, p(w₂|w₁) = c(w₁w₂)/c(w₁·) — low
+    * scores mark gibberish, OCR noise, and word-salad spam that
+    * per-doc heuristics (q35) can't see because they need CORPUS
+    * statistics. Float-free: probabilities are exact integer ppm
+    * (c(w₁w₂)·10⁶ div c(w₁·), where c(w₁·) counts bigrams starting with
+    * w₁, so Σ_w p(w|w₁) ≈ 1); declared per doc are the transition
+    * count, the ppm sum (mean derivable), and the minimum (the single
+    * most surprising transition — the fuzzy-span locator). Docs under 2
+    * tokens have no transitions and no row.
+    *
+    * Scale shape: the bigram frame is ONE generator pass (in-row
+    * adjacent pairing, no self-join); the censuses are two partial-
+    * aggregated shuffles of it; scoring is two equi-joins back on the
+    * census keys (the (w1,w2) join co-partitions with the census
+    * build); one doc-keyed aggregate finishes. Everything linear in
+    * corpus tokens; census cardinality is the corpus's distinct-bigram
+    * count (vocabulary-bounded, the q137 state argument). The frame is
+    * checkpointed once for its three consumers (q177 discipline). */
+  def q214BigramLmScore(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+           i -> struct(element_at(ws, i) AS w1,
+                       element_at(ws, i + 1) AS w2))""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // three consumers (two censuses + the scoring join): materialize
+      // once, race-free
+      .localCheckpoint(true)
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val uc = big.groupBy("w1").agg(count(lit(1)).as("cu"))
+    big.join(bc, Seq("w1", "w2"))
+      .join(uc, Seq("w1"))
+      .withColumn("p_ppm", expr("(cb * 1000000) div cu"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("p_ppm").as("sum_p_ppm"),
+        min("p_ppm").as("min_p_ppm"))
+  }
+
+  private def q214OracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        bb AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+          FROM d, unnest(range(1, len(ws))) AS r(i)),
+        bc AS (SELECT w1, w2, count(*) AS cb FROM bb GROUP BY 1, 2),
+        uc AS (SELECT w1, count(*) AS cu FROM bb GROUP BY 1)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum((cb * 1000000) // cu) AS BIGINT) AS sum_p_ppm,
+          CAST(min((cb * 1000000) // cu) AS BIGINT) AS min_p_ppm
+        FROM bb JOIN bc USING (w1, w2) JOIN uc USING (w1)
+        GROUP BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_bigram_lm_score" -> (q214BigramLmScore _),
     "q113_fingerprint_match" -> (q113FingerprintMatch _),
     "q136_vocab_coverage" -> (q136VocabCoverage _),
     "q144_countmin" -> (q144Countmin _),
@@ -1298,6 +1357,7 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q214_bigram_lm_score" -> q214OracleSql,
     "q136_vocab_coverage" -> q136OracleSql,
     "q144_countmin" -> q144OracleSql,
     "q149_bpe_tokenize" -> q149OracleSql,

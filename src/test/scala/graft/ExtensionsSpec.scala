@@ -188,6 +188,43 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q214 LM scores are well-formed probabilities over every transition") {
+    val res = graft.operators.TextOps.q214BigramLmScore(spark, sf1)
+      .collect()
+    assert(res.nonEmpty)
+    // transitions per doc = tokens - 1, summed over the ≥2-token docs
+    val expected = graft.sources.Tables.load(spark, sf1, "documents")
+      .select((size(split(col("text"), " ")) - 1).cast("long").as("nb"))
+      .filter(col("nb") >= 1L)
+      .agg(sum("nb")).head.getLong(0)
+    assert(res.map(_.getAs[Long]("n_bigrams")).sum === expected)
+    res.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams")
+      val s = r.getAs[Long]("sum_p_ppm")
+      val m = r.getAs[Long]("min_p_ppm")
+      // each ppm probability is in (0, 10^6]: the doc's own bigram is in
+      // the census, so p > 0 always; p = 1e6 iff w1 always precedes w2
+      assert(m >= 1L && s <= n * 1000000L && m * n <= s)
+    }
+  }
+
+  test("q217 l-diversity agrees with q167's census and its bounds") {
+    val ld = graft.operators.Extensions.q217LDiversity(spark, sf1)
+      .collect().map(r => r.getAs[Long]("c_nationkey") -> r).toMap
+    val ka = graft.operators.Extensions.q167KAnonymity(spark, sf1)
+      .collect()
+    // same universe: per-nation row counts must match the q167 census
+    ka.foreach { r =>
+      assert(ld(r.getAs[Long]("c_nationkey")).getAs[Long]("n_rows")
+        === r.getAs[Long]("n_rows"))
+    }
+    ld.values.foreach { r =>
+      val minL = r.getAs[Long]("min_l")
+      assert(minL >= 1L && minL <= 5L) // 5 market segments exist
+      assert(r.getAs[Long]("n_rows_at_risk") <= r.getAs[Long]("n_rows"))
+    }
+  }
+
   test("q169 endpoint-sweep interval census equals the direct theta join") {
     val got = Extensions.q169IntervalJoin(spark, sf1).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BinaryType
 
-import graft.operators.Multimodal
+import graft.operators.{MediaAsset, Multimodal}
 
 /** The decode step is stubbed (no codecs in the container) — these tests
   * pin down the REAL parts: binary columns, typed metadata, partition-
@@ -58,6 +58,41 @@ class MultimodalSpec extends SparkSpec {
       .filter(_.asset_id == 3L).head()
     assert(a1.payload.toSeq === a2.payload.toSeq)
     assert(a1.width <= 640 && a1.height <= 480)
+  }
+
+  test("q216 CDC chunks tile every payload exactly") {
+    val res = Multimodal.q216CdcChunkDedup(spark, sf1).collect()
+    assert(res.length === 500)
+    val byteTotals = Multimodal.assets(spark, sf1).toDF()
+      .select(col("asset_id"), octet_length(col("payload")).cast("long")
+        .as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    res.foreach { r =>
+      assert(r.getAs[Long]("n_bytes") === byteTotals(r.getAs[Long]("asset_id")),
+        s"chunks must tile asset ${r.getAs[Long]("asset_id")}")
+      assert(r.getAs[Long]("shared_bytes") <= r.getAs[Long]("n_bytes"))
+    }
+    // non-vacuous: the corpus has real cross-asset shared substreams
+    assert(res.map(_.getAs[Long]("n_shared_chunks")).sum > 0L)
+  }
+
+  test("CDC boundaries re-synchronize after an insertion (the property " +
+    "fixed-offset blocking lacks)") {
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight again ") * 8
+    def asset(id: Long, text: String) = MediaAsset(
+      id, "image", text.getBytes("UTF-8"), 1, 1, 16000)
+    val ds = Seq(asset(0L, base), asset(1L, "XYZQ" + base)).toDS()
+    val chunks = Multimodal.cdcChunks(ds).collect()
+    val h0 = chunks.filter(_.asset_id == 0L).map(_.chash).toSet
+    val h1 = chunks.filter(_.asset_id == 1L).map(_.chash).toSet
+    // after the first boundary past the insertion, every window — and so
+    // every later cut — is identical: the chunk sets must overlap on far
+    // more than they differ
+    val common = (h0 & h1).size
+    assert(common * 2 > h0.size,
+      s"insertion destroyed chunk identity: ${common}/${h0.size} shared")
   }
 
   test("metadata projection (q38) never decodes: no mapPartitions in plan") {

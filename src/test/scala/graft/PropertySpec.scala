@@ -165,7 +165,13 @@ class PropertySpec extends SparkSpec {
       "q166" -> (graft.operators.Pipeline.q166IncrementalAgg _),
       "q167" -> (graft.operators.Extensions.q167KAnonymity _),
       "q168" -> (graft.operators.Extensions.q168EquidepthHistogram _),
-      "q169" -> (graft.operators.Extensions.q169IntervalJoin _))
+      "q169" -> (graft.operators.Extensions.q169IntervalJoin _),
+      // round 8: corpus-LM scoring, MRR eval, CDC chunk dedup,
+      // l-diversity audit
+      "q214" -> (graft.operators.TextOps.q214BigramLmScore _),
+      "q215" -> (graft.operators.Similarity.q215MrrEval _),
+      "q216" -> (graft.operators.Multimodal.q216CdcChunkDedup _),
+      "q217" -> (graft.operators.Extensions.q217LDiversity _))
     for ((name, fn) <- fns) {
       val before = spark.conf.get("spark.sql.shuffle.partitions")
       val a = fn(spark, sf1).collect().map(_.toString).sorted

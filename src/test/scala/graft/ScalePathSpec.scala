@@ -231,6 +231,21 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  test("q215 MRR rows are one-per-probe with consistent rank arithmetic") {
+    import graft.operators.Similarity
+    val res = Similarity.q215MrrEval(spark, sf1).collect()
+    assert(res.length === Similarity.NumProbes)
+    res.foreach { r =>
+      val rank = r.getAs[Long]("ann_rank")
+      val rr = r.getAs[Long]("rr_ppm")
+      assert(rank >= 0L && rank <= Similarity.BatchTopK)
+      if (rank == 0L) assert(rr === 0L, "missed nn must score 0")
+      else assert(rr === 1000000L / rank, "rr must be 1e6 div rank")
+      // self was excluded on both sides: the true nn is never the probe
+      assert(r.getAs[Long]("nn_id") !== r.getAs[Long]("probe_id"))
+    }
+  }
+
   test("q154 gram matrix: full upper triangle, nonnegative diagonal, " +
     "every cell Cauchy-Schwarz-consistent with the diagonal") {
     val S = graft.operators.Similarity
