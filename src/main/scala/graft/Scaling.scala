@@ -48,7 +48,12 @@ object Scaling {
     "q199_edge_jaccard", "q105_triangle_count", "q65_salted_join",
     "q87_verify_candidates", "q30_dedup_minhash_lsh", "q127_semdedup",
     "q185_grid_join", "q137_bpe_merges", "q100_heavy_hitters",
-    "q117_stream_sessions", "q121_stream_interval_join")
+    "q117_stream_sessions", "q121_stream_interval_join",
+    // round-8 additions: the new census/eval/chunker queries
+    "q213_sink_order", "q214_bigram_lm_score", "q215_mrr_eval",
+    "q216_cdc_chunk_dedup", "q217_l_diversity",
+    "q218_tokenizer_fertility", "q219_burst_detection",
+    "q220_hist_equalize")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",

@@ -1574,6 +1574,68 @@ object Extensions {
             AS n_rows_at_risk
         FROM cls GROUP BY c_nationkey"""
 
+  /** Trailing window (hours) and burst threshold (ppm of the trailing
+    * hourly average) for q219. 1.5× is deliberately tight enough to
+    * fire on this Poisson-ish corpus at every SF — the operator's
+    * mechanics, not an alert tuning, are what's declared. */
+  val BurstWindowH = 24
+  val BurstThresholdPpm = 1500000L
+
+  /** q219 — RATE-BURST DETECTION per event type (the ops-monitoring
+    * twin of q198's CUSUM level-shift detector: CUSUM finds sustained
+    * changes in a DAILY value series, this flags individual HOURS whose
+    * event rate exceeds the trailing-24h hourly average by the
+    * threshold — bot spikes, replay storms, flash events). All-integer:
+    * the ratio is c·24·10⁶ div trail (cross-multiplied, no float
+    * rates); hours with an incomplete trailing window (the first 24 per
+    * type) are excluded from evaluation. Declared per type: evaluated
+    * hours, burst count, and the worst ratio in ppm.
+    *
+    * Scale shape: ONE (type, hour) census shuffle over the corpus
+    * (partial-aggregated); the trailing RANGE window, the per-type min,
+    * and the final rollup all ride the domain-sized census frame
+    * (types × hours) on one type-keyed exchange. Zero-count hours are
+    * absent rows and contribute 0 to the RANGE sum exactly. */
+  def q219BurstDetection(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("h"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("c"))
+    val wt = Window.partitionBy("event_type").orderBy("h")
+      .rangeBetween(-BurstWindowH, -1)
+    val wm = Window.partitionBy("event_type")
+    census
+      .withColumn("trail", coalesce(sum("c").over(wt), lit(0L)))
+      .withColumn("hmin", min("h").over(wm))
+      .filter(col("h") >= col("hmin") + BurstWindowH)
+      .withColumn("ratio_ppm",
+        expr(s"(c * $BurstWindowH * 1000000) div greatest(trail, 1)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_eval_hours"),
+        sum(when(col("ratio_ppm") > BurstThresholdPpm, 1L).otherwise(0L))
+          .as("n_bursts"),
+        max("ratio_ppm").as("max_ratio_ppm"))
+  }
+
+  private def q219OracleSql: String =
+    s"""WITH k AS (SELECT event_type,
+          ((epoch_ns(ts) // 1000000000) // 3600) AS h FROM events),
+        c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c
+              FROM k GROUP BY 1, 2),
+        t AS (SELECT *, COALESCE(sum(c) OVER (PARTITION BY event_type
+              ORDER BY h RANGE BETWEEN $BurstWindowH PRECEDING
+                AND 1 PRECEDING), 0) AS trail,
+            min(h) OVER (PARTITION BY event_type) AS hmin FROM c),
+        e AS (SELECT *, (c * $BurstWindowH * 1000000)
+              // greatest(trail, 1) AS ratio_ppm
+            FROM t WHERE h >= hmin + $BurstWindowH)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval_hours,
+          CAST(sum(CASE WHEN ratio_ppm > $BurstThresholdPpm
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts,
+          CAST(max(ratio_ppm) AS BIGINT) AS max_ratio_ppm
+        FROM e GROUP BY event_type"""
+
   /** q168 — EQUI-DEPTH HISTOGRAM construction (the ANALYZE-statistics
     * op behind CBO selectivity estimates and range-partition planning,
     * the value-domain complement of q83's equi-WIDTH histogram): per
@@ -2502,6 +2564,7 @@ object Extensions {
     "q164_rolling_window" -> (q164RollingWindow _),
     "q167_k_anonymity" -> (q167KAnonymity _),
     "q217_l_diversity" -> (q217LDiversity _),
+    "q219_burst_detection" -> (q219BurstDetection _),
     "q168_equidepth_histogram" -> (q168EquidepthHistogram _),
     "q169_interval_join" -> (q169IntervalJoin _),
     "q170_linear_interp" -> (q170LinearInterp _),
@@ -2575,6 +2638,7 @@ object Extensions {
     "q164_rolling_window" -> q164OracleSql,
     "q167_k_anonymity" -> q167OracleSql,
     "q217_l_diversity" -> q217OracleSql,
+    "q219_burst_detection" -> q219OracleSql,
     "q168_equidepth_histogram" -> q168OracleSql,
     "q169_interval_join" -> q169OracleSql,
     "q170_linear_interp" -> q170OracleSql,

@@ -456,7 +456,97 @@ object Multimodal {
             AS shared_bytes
         FROM cc JOIN adf USING (chash) GROUP BY asset_id"""
 
+  /** q220 — HISTOGRAM EQUALIZATION over binary payloads (the classic
+    * contrast-normalization preprocessing pass, expressed in the
+    * byte-stub world the way a real pixel codec would drop in): each
+    * payload's byte CDF remaps every byte to
+    * 1 + ⌊(cdf(b) − cdf_min)·126 / (n − cdf_min)⌋ — the textbook
+    * equalization formula with two deliberate determinism choices:
+    * floor (no banker's rounding divergence) and a 1..127 output range
+    * (7-bit ASCII, so the DuckDB oracle's chr()-rebuilt string has the
+    * identical UTF-8 byte sequence and md5). Completes the multimodal
+    * verb set: project (q38), analyze (q81/q148), sample (q115),
+    * resize (q118), chunk-dedup (q216), TRANSFORM (here). Declared per
+    * asset: byte count, distinct byte values before/after (equalization
+    * can only merge bins, never split — spec-pinned), and the md5 of
+    * the equalized payload.
+    *
+    * Scale shape: one narrow typed map, zero shuffles; per-row state is
+    * the 256-bin histogram — O(1) per asset beyond its own bytes. */
+  def q220HistEqualize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).map { a =>
+      val b = a.payload
+      val n = b.length.toLong
+      val hist = new Array[Long](256)
+      b.foreach(x => hist(x & 0xff) += 1)
+      val cdfArr = new Array[Long](256)
+      var cdf = 0L
+      var cdfMin = -1L
+      var distinctIn = 0L
+      var v = 0
+      while (v < 256) {
+        cdf += hist(v)
+        cdfArr(v) = cdf
+        if (hist(v) > 0) {
+          distinctIn += 1
+          if (cdfMin < 0) cdfMin = cdfArr(v)
+        }
+        v += 1
+      }
+      val denom = n - cdfMin
+      val out = new Array[Byte](b.length)
+      var i = 0
+      while (i < b.length) {
+        val bv = b(i) & 0xff
+        val nb =
+          if (denom <= 0) 1L
+          else 1L + (cdfArr(bv) - cdfMin) * 126L / denom
+        out(i) = nb.toByte
+        i += 1
+      }
+      (a.asset_id, out, distinctIn, out.distinct.length.toLong)
+    }.toDF("asset_id", "eq", "distinct_in", "distinct_out")
+      .select(col("asset_id"),
+        octet_length(col("eq")).cast("bigint").as("n_bytes"),
+        col("distinct_in"), col("distinct_out"),
+        md5(col("eq")).as("eq_md5"))
+  }
+
+  private def q220OracleSql: String =
+    """WITH a AS (SELECT doc_id AS asset_id, text, strlen(text) AS n
+           FROM documents),
+        ab AS (SELECT asset_id, n,
+            list_transform(string_split(text, ''), c -> ascii(c)) AS b
+          FROM a),
+        by AS (SELECT asset_id, n, b[pos] AS bv, pos
+          FROM ab, unnest(range(1, n + 1)) AS r(pos)),
+        cnt AS (SELECT asset_id, n, bv, count(*) AS c
+                FROM by GROUP BY 1, 2, 3),
+        cdf AS (SELECT *, sum(c) OVER (PARTITION BY asset_id
+                  ORDER BY bv) AS cdf FROM cnt),
+        cm AS (SELECT *, min(cdf) OVER (PARTITION BY asset_id) AS cdfmin
+               FROM cdf),
+        map AS (SELECT asset_id, bv,
+            CASE WHEN n - cdfmin <= 0 THEN 1
+                 ELSE 1 + ((cdf - cdfmin) * 126) // (n - cdfmin)
+            END AS nb
+          FROM cm),
+        din AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS distinct_in
+                FROM map GROUP BY 1),
+        re AS (SELECT b.asset_id, b.pos, m.nb
+          FROM by b JOIN map m
+            ON b.asset_id = m.asset_id AND b.bv = m.bv)
+        SELECT r.asset_id, CAST(count(*) AS BIGINT) AS n_bytes,
+          d.distinct_in,
+          CAST(count(DISTINCT r.nb) AS BIGINT) AS distinct_out,
+          md5(string_agg(chr(CAST(r.nb AS INT)), '' ORDER BY r.pos))
+            AS eq_md5
+        FROM re r JOIN din d ON r.asset_id = d.asset_id
+        GROUP BY r.asset_id, d.distinct_in"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_hist_equalize" -> (q220HistEqualize _),
     "q216_cdc_chunk_dedup" -> (q216CdcChunkDedup _),
     "q118_resize_meta" -> (q118ResizeMeta _),
     "q148_shot_boundaries" -> (q148ShotBoundaries _),
@@ -465,6 +555,7 @@ object Multimodal {
     "q81_media_histogram" -> (q81MediaHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q220_hist_equalize" -> q220OracleSql,
     "q216_cdc_chunk_dedup" -> q216OracleSql,
     "q118_resize_meta" -> q118OracleSql,
     "q115_frame_sample" -> q115OracleSql,

@@ -1108,6 +1108,50 @@ object TextOps {
         WHERE dw.word <> ''
         GROUP BY dw.doc_id"""
 
+  /** q218 — TOKENIZER FERTILITY by language (tokens-per-word): the
+    * metric that decides vocabulary allocation in multilingual
+    * tokenizer training — a shared BPE vocabulary trained on the
+    * MIXTURE (q137's trainer, unchanged) systematically over-segments
+    * under-represented languages, and fertility is how that's measured
+    * (e.g. the XLM-R and NLLB tokenizer analyses). Declared per lang:
+    * word count, BPE token count, and fertility in exact ppm
+    * (tokens·10⁶ div words). Completes the tokenizer family: train
+    * (q137) → apply (q149) → vocabulary sizing (q136) → per-language
+    * cost audit (here).
+    *
+    * Scale shape: identical to q149 — the BPE state is the DISTINCT-
+    * WORD dictionary (vocabulary-sized, never the corpus), segment
+    * counts broadcast back to one corpus-sized word pass, and the final
+    * aggregate is languages-sized. The corpus is scanned once. */
+  def q218TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val wf = words.groupBy("word").agg(count(lit(1)).as("freq"))
+    val ntok = bpeSegments(wf, BpeRounds)
+      .groupBy("word").agg(count(lit(1)).as("ntok"))
+    words.join(broadcast(ntok), "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("ntok").as("n_bpe_tokens"))
+      .withColumn("fertility_ppm",
+        expr("(n_bpe_tokens * 1000000) div n_words"))
+  }
+
+  private def q218OracleSql: String =
+    s"""WITH $bpeCtes,
+        ntok AS (SELECT word, CAST(count(*) AS BIGINT) AS ntok
+          FROM s$BpeRounds GROUP BY word),
+        dw AS (SELECT lang,
+            unnest(string_split(text, ' ')) AS word FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n.ntok) AS BIGINT) AS n_bpe_tokens,
+               CAST((sum(n.ntok) * 1000000) // count(*) AS BIGINT)
+                 AS fertility_ppm
+        FROM dw JOIN ntok n ON dw.word = n.word
+        WHERE dw.word <> ''
+        GROUP BY lang"""
+
   /** Window width and result size for q142's co-occurrence census. */
   val CoocWindow = 5
   val CoocTopK = 30
@@ -1332,6 +1376,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_bigram_lm_score" -> (q214BigramLmScore _),
+    "q218_tokenizer_fertility" -> (q218TokenizerFertility _),
     "q113_fingerprint_match" -> (q113FingerprintMatch _),
     "q136_vocab_coverage" -> (q136VocabCoverage _),
     "q144_countmin" -> (q144Countmin _),
@@ -1358,6 +1403,7 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "q214_bigram_lm_score" -> q214OracleSql,
+    "q218_tokenizer_fertility" -> q218OracleSql,
     "q136_vocab_coverage" -> q136OracleSql,
     "q144_countmin" -> q144OracleSql,
     "q149_bpe_tokenize" -> q149OracleSql,

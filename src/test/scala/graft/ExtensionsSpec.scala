@@ -225,6 +225,33 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q218 fertility is >= 1 token/word and conserves the corpus words") {
+    val res = graft.operators.TextOps.q218TokenizerFertility(spark, sf1)
+      .collect()
+    assert(res.length === 5) // 5 languages
+    res.foreach { r =>
+      assert(r.getAs[Long]("fertility_ppm") >= 1000000L,
+        "BPE can merge but every word is >= 1 token")
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words"))
+    }
+    val corpusWords = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").count()
+    assert(res.map(_.getAs[Long]("n_words")).sum === corpusWords)
+  }
+
+  test("q219 burst census is bounded and fires on this corpus") {
+    val res = graft.operators.Extensions.q219BurstDetection(spark, sf1)
+      .collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getAs[Long]("n_bursts") <= r.getAs[Long]("n_eval_hours"))
+      assert(r.getAs[Long]("max_ratio_ppm") >= 0L)
+    }
+    // falsifiable: the threshold is calibrated to actually fire here
+    assert(res.map(_.getAs[Long]("n_bursts")).sum > 0L)
+  }
+
   test("q169 endpoint-sweep interval census equals the direct theta join") {
     val got = Extensions.q169IntervalJoin(spark, sf1).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet

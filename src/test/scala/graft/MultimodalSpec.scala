@@ -95,6 +95,33 @@ class MultimodalSpec extends SparkSpec {
       s"insertion destroyed chunk identity: ${common}/${h0.size} shared")
   }
 
+  test("q220 equalization matches a hand-computed model and only merges bins") {
+    // independent mini-model: payload "aabbbbcc" (n=8)
+    //   hist a=2 b=4 c=2; cdf a=2 b=6 c=8; cdfmin=2; denom=6
+    //   a -> 1 + (2-2)*126/6 = 1; b -> 1 + 4*126/6 = 85; c -> 1 + 6*126/6 = 127
+    import spark.implicits._
+    val ds = Seq(MediaAsset(0L, "image",
+      "aabbbbcc".getBytes("UTF-8"), 1, 1, 16000)).toDS()
+    val dir = java.nio.file.Files.createTempDirectory("histeq")
+    ds.toDF().select(col("asset_id").as("doc_id"),
+        decode(col("payload"), "UTF-8").as("text"),
+        lit("en").as("lang"), lit("s").as("source"),
+        lit(8L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = Multimodal.q220HistEqualize(spark, dir.toString).head()
+    val expected = Array[Byte](1, 1, 85, 85, 85, 85, 127, 127)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expMd5 = md.digest(expected).map("%02x".format(_)).mkString
+    assert(row.getAs[String]("eq_md5") === expMd5)
+    assert(row.getAs[Long]("distinct_in") === 3L)
+    assert(row.getAs[Long]("distinct_out") === 3L)
+    // corpus-wide: equalization merges bins, never splits them
+    Multimodal.q220HistEqualize(spark, sf1).collect().foreach { r =>
+      assert(r.getAs[Long]("distinct_out") <= r.getAs[Long]("distinct_in"))
+      assert(r.getAs[Long]("distinct_out") <= 127L)
+    }
+  }
+
   test("metadata projection (q38) never decodes: no mapPartitions in plan") {
     val plan = Multimodal.q38MultimodalMeta(spark, sf1)
       .queryExecution.optimizedPlan.toString

@@ -171,7 +171,10 @@ class PropertySpec extends SparkSpec {
       "q214" -> (graft.operators.TextOps.q214BigramLmScore _),
       "q215" -> (graft.operators.Similarity.q215MrrEval _),
       "q216" -> (graft.operators.Multimodal.q216CdcChunkDedup _),
-      "q217" -> (graft.operators.Extensions.q217LDiversity _))
+      "q217" -> (graft.operators.Extensions.q217LDiversity _),
+      "q218" -> (graft.operators.TextOps.q218TokenizerFertility _),
+      "q219" -> (graft.operators.Extensions.q219BurstDetection _),
+      "q220" -> (graft.operators.Multimodal.q220HistEqualize _))
     for ((name, fn) <- fns) {
       val before = spark.conf.get("spark.sql.shuffle.partitions")
       val a = fn(spark, sf1).collect().map(_.toString).sorted
