@@ -53,7 +53,7 @@ object Scaling {
     "q213_sink_order", "q214_bigram_lm_score", "q215_mrr_eval",
     "q216_cdc_chunk_dedup", "q217_l_diversity",
     "q218_tokenizer_fertility", "q219_burst_detection",
-    "q220_hist_equalize")
+    "q220_hist_equalize", "q221_dense_ids", "q222_incremental_cc")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",

@@ -391,6 +391,83 @@ object Dedup {
           SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst)
         SELECT doc_id, min(lab) AS cluster FROM reach GROUP BY doc_id"""
 
+  /** q222 — INCREMENTAL CONNECTED COMPONENTS (the maintenance op that
+    * keeps q63's dedup clusters current as new documents arrive
+    * WITHOUT re-clustering the corpus): base labels (components over
+    * pairs among pre-existing docs, doc_id < [[PlantedOffset]] — in
+    * production a materialized label table) are merged with the NEW
+    * edges (any pair touching a batch doc, q152's quadrant split) by
+    * the classic contraction argument: map each new edge's endpoints
+    * to their current labels (own id for batch nodes), run CC on the
+    * CONTRACTED label graph — a frame no bigger than the new-edge set —
+    * and compose. Since every label is its base component's minimum and
+    * [[connectedComponentsStar]] returns component minima, the composed
+    * labels equal a full rebuild's EXACTLY; the oracle IS the full
+    * rebuild (q63's recursive fixpoint over all pairs), so the
+    * differential pins incremental ≡ from-scratch. Declared output
+    * adds `origin` (base/batch) — the lineage a curation pass needs.
+    *
+    * Scale shape: the batch-quadrant edges come from the same
+    * prefix-stable LSH family (q152's argument — corpus signatures are
+    * never regenerated); the contracted CC runs on O(new edges) rows;
+    * relabeling is two label-keyed joins. The corpus-sized work is the
+    * base labeling, which production amortizes as stored state — the
+    * query includes it only to stay self-contained. */
+  def q222IncrementalCc(s: SparkSession, dir: String): DataFrame = {
+    val nodes = plantedDocs(s, dir).select("doc_id")
+    val all = q30DedupMinhashLsh(s, dir)
+      // two consumers (base split + new split): one LSH pass
+      .localCheckpoint(true)
+    val basePairs = all.filter(col("doc_id_2") < PlantedOffset)
+    val newPairs = all.filter(col("doc_id_2") >= PlantedOffset)
+    val baseLabels = connectedComponentsStar(
+      nodes.filter(col("doc_id") < PlantedOffset), basePairs)
+      .localCheckpoint(true)
+    // endpoints → current labels (batch nodes label themselves);
+    // doc_id_1 < doc_id_2 and the offset split mean only doc_id_1 can
+    // be a base node needing the label lookup ... except batch-batch
+    // pairs, whose doc_id_1 is also ≥ offset and passes through
+    val lbl1 = newPairs
+      .join(baseLabels.select(col("doc_id").as("doc_id_1"),
+        col("cluster").as("l1")), Seq("doc_id_1"), "left")
+      .select(coalesce(col("l1"), col("doc_id_1")).as("doc_id_1"),
+        col("doc_id_2"))
+    val contracted = lbl1
+      .select(col("doc_id_1"), col("doc_id_2"))
+      .distinct()
+    val cnodes = contracted.select(col("doc_id_1").as("doc_id"))
+      .unionByName(contracted.select(col("doc_id_2").as("doc_id")))
+      .distinct()
+    val merged = connectedComponentsStar(cnodes, contracted)
+      .select(col("doc_id").as("lbl"), col("cluster").as("root"))
+    val base = baseLabels
+      .join(merged, baseLabels("cluster") === merged("lbl"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("cluster")).as("cluster"),
+        lit("base").as("origin"))
+    val batch = nodes.filter(col("doc_id") >= PlantedOffset)
+      .join(merged, nodes("doc_id") === merged("lbl"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster"),
+        lit("batch").as("origin"))
+    base.unionByName(batch)
+  }
+
+  private def q222OracleSql: String =
+    s"""WITH RECURSIVE $q30Ctes,
+        pairs AS ($q30SelectPairs),
+        edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+                  UNION ALL
+                  SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs),
+        reach(doc_id, lab) AS (
+          SELECT doc_id, doc_id FROM docs
+          UNION
+          SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst)
+        SELECT doc_id, min(lab) AS cluster,
+          CASE WHEN doc_id < $PlantedOffset THEN 'base'
+               ELSE 'batch' END AS origin
+        FROM reach GROUP BY doc_id"""
+
   /** q87 — candidate VERIFICATION, the stage between LSH candidate
     * generation (q30) and cluster resolution (q63): compute the EXACT
     * distinct-shingle Jaccard of every candidate pair and keep pairs
@@ -1239,6 +1316,7 @@ object Dedup {
     "q32_dedup_ngram_jaccard" -> (q32DedupNgramJaccard _),
     "q33_dedup_embedding" -> (q33DedupEmbedding _),
     "q63_dedup_clusters" -> (q63DedupClusters _),
+    "q222_incremental_cc" -> (q222IncrementalCc _),
     "q70_edit_distance" -> (q70EditDistance _),
     "q71_simhash_hamming" -> (q71SimhashHamming _),
     "q87_verify_candidates" -> (q87VerifyCandidates _))
@@ -1256,6 +1334,7 @@ object Dedup {
     "q32_dedup_ngram_jaccard" -> q32OracleSql,
     "q33_dedup_embedding" -> q33OracleSql,
     "q63_dedup_clusters" -> q63OracleSql,
+    "q222_incremental_cc" -> q222OracleSql,
     "q70_edit_distance" -> q70OracleSql,
     "q71_simhash_hamming" -> q71OracleSql,
     "q87_verify_candidates" -> q87OracleSql)

@@ -1169,7 +1169,76 @@ object Pipeline {
                ELSE 0 END AS r_ppm
         FROM d"""
 
+  /** Dense sequential ID assignment over a unique long key — the
+    * scale-safe replacement for the two standard traps: `row_number()
+    * OVER (ORDER BY k)` with no partition spec funnels the ENTIRE
+    * dataset through one task (the WindowExec single-partition
+    * warning), and `monotonically_increasing_id`/`zipWithIndex` are
+    * neither dense nor stable across task retries. Here the total order
+    * is realized as a range partition + in-partition sort, and
+    * global ids come from the q169 two-pass discipline: pass 1 collects
+    * O(partitions) per-partition row counts, pass 2 streams each sorted
+    * partition once, numbering from the broadcast exclusive-prefix
+    * offset. O(n log n) work, ONE range exchange, no global window.
+    * IDs are 1-based to match SQL `row_number()`. */
+  def denseIds(df: DataFrame, key: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val parts = s.sessionState.conf.numShufflePartitions
+    val sorted = df.select(col(key).cast("long").as("k"))
+      .repartitionByRange(parts, col("k"))
+      .sortWithinPartitions("k")
+      // FREEZE the partition id into the data before checkpointing:
+      // a consumer may coalesce() the narrow tail (Verify's
+      // single-file write does), merging several range partitions into
+      // one task — TaskContext.getPartitionId() at consumption time
+      // would then be the COALESCED task's id, zeroing every offset.
+      // The embedded pid survives any narrow re-composition. (q169's
+      // sweep can key off TaskContext because its census groupBy puts
+      // a shuffle boundary between the emit pass and any consumer.)
+      .withColumn("pid", spark_partition_id())
+      .as[(Long, Int)]
+      // two consumers (count pass + numbering pass): sort exactly once
+      .localCheckpoint(true)
+    val counts = sorted.toDF().groupBy("pid")
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) =>
+      val r = (pid, acc); acc += c; r
+    }.toMap
+    val bc = s.sparkContext.broadcast(offsets)
+    sorted.mapPartitions { it =>
+      // coalesce concatenates parent partitions in order, so runs of
+      // the embedded pid arrive contiguously — reinitialize per run
+      var cur = -1
+      var i = 0L
+      it.map { case (k, pid) =>
+        if (pid != cur) { cur = pid; i = bc.value.getOrElse(pid, 0L) }
+        i += 1
+        (k, i)
+      }
+    }.toDF(key, "dense_id")
+  }
+
+  /** q221 — DENSE ID ASSIGNMENT as a declared query: every document
+    * gets the 1-based rank of its doc_id, computed by [[denseIds]]
+    * (range partition + two-pass offset exchange — never a global
+    * window, never zipWithIndex). The oracle states the SEMANTIC with
+    * the plain `row_number()` the implementation must never use;
+    * ScalePathSpec pins the no-Window, no-post-checkpoint-exchange
+    * plan. The assignment every training-shard writer, packed-sequence
+    * builder (q95), and stable-join-key pipeline needs at 100 TB. */
+  def q221DenseIds(s: SparkSession, dir: String): DataFrame =
+    denseIds(t(s, dir, "documents"), "doc_id")
+
+  private def q221OracleSql: String =
+    """SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS dense_id
+       FROM documents"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_dense_ids" -> (q221DenseIds _),
     "q159_systematic_sample" -> (q159SystematicSample _),
     "q165_rank_transform" -> (q165RankTransform _),
     "q166_incremental_agg" -> (q166IncrementalAgg _),
@@ -1193,6 +1262,7 @@ object Pipeline {
     "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q221_dense_ids" -> q221OracleSql,
     "q151_token_budget" -> q151OracleSql,
     "q159_systematic_sample" -> q159OracleSql,
     "q165_rank_transform" -> q165OracleSql,

@@ -265,4 +265,18 @@ class DedupSpec extends SparkSpec {
     assert(tp === verified,
       s"tp $tp != q87's verified candidate count $verified")
   }
+
+  test("q222 incremental merge equals the full-rebuild labels exactly") {
+    val inc = Dedup.q222IncrementalCc(spark, sf1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.q63DedupClusters(spark, sf1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full,
+      "contracted-graph merge must reproduce from-scratch CC labels")
+    // the merge actually merges: some batch doc joins a base cluster
+    val crossovers = inc.count { case (id, c) =>
+      id >= Dedup.PlantedOffset && c < Dedup.PlantedOffset
+    }
+    assert(crossovers > 0, "no batch doc merged into a base cluster")
+  }
 }

@@ -174,7 +174,9 @@ class PropertySpec extends SparkSpec {
       "q217" -> (graft.operators.Extensions.q217LDiversity _),
       "q218" -> (graft.operators.TextOps.q218TokenizerFertility _),
       "q219" -> (graft.operators.Extensions.q219BurstDetection _),
-      "q220" -> (graft.operators.Multimodal.q220HistEqualize _))
+      "q220" -> (graft.operators.Multimodal.q220HistEqualize _),
+      "q221" -> (graft.operators.Pipeline.q221DenseIds _),
+      "q222" -> (graft.operators.Dedup.q222IncrementalCc _))
     for ((name, fn) <- fns) {
       val before = spark.conf.get("spark.sql.shuffle.partitions")
       val a = fn(spark, sf1).collect().map(_.toString).sorted

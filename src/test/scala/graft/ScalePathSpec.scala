@@ -433,6 +433,26 @@ class ScalePathSpec extends SparkSpec {
       s"only the types-sized census may shuffle, found $exchanges:\n$plan")
   }
 
+  test("q221 dense ids plan with no global window and survive coalesce") {
+    val df = graft.operators.Pipeline.q221DenseIds(spark, sf1)
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole point: never the single-partition global window
+    assert(!plan.contains("Window"), s"global window crept back:\n$plan")
+    assert(plan.contains("MapPartitions"), plan)
+    // the declared tail is narrow: checkpointed sort → numbering, no
+    // post-checkpoint exchange
+    assert(!plan.contains("Exchange"), plan)
+    // regression: Verify writes through coalesce(1), which merges the
+    // numbering pass into one task — ids must come from the embedded
+    // pid, not TaskContext (offsets zeroed otherwise)
+    val viaCoalesce = df.coalesce(1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(viaCoalesce === expected)
+  }
+
   test("q138 snapshot diff counts equal the mutation arithmetic") {
     val m = graft.operators.Pipeline.q138SnapshotDiff(spark, sf1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
