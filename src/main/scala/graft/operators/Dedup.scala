@@ -1303,7 +1303,72 @@ object Dedup {
                (tp * 1000000) // n_truth AS recall_ppm
         FROM ncc, ntc, tpc"""
 
+  // ------------------------------------------------------------ q224
+
+  /** q224 — TRAIN/TEST NEAR-DUP LEAKAGE AUDIT: q62's content-hash split
+    * guarantees exact duplicates co-locate in one split (same text ⇒
+    * same hash ⇒ same bucket) — but NEAR-duplicates hash to unrelated
+    * buckets, so a test document's near-copy can sit in train and
+    * inflate every eval metric (the contamination mode benchmark
+    * decontamination q84 checks against EXTERNAL benchmarks; this is
+    * the INTERNAL split-crossing variant). The audit: q30's LSH
+    * candidate pairs joined to each endpoint's split assignment, census
+    * by unordered split pair — the off-diagonal rows ARE the leak, and
+    * the (train, test) row is the one that invalidates evals.
+    *
+    * Determinism: the split is q62's poly_hash bucket over the planted
+    * corpus; pairs are q30's exact candidate set. Pure integer/string.
+    *
+    * Scale shape: candidate generation is q30's banded equi-join
+    * (linear volume, measured in SCALING.md); the split column is a
+    * pure in-row function of text; attaching splits to pair endpoints
+    * is two doc_id-keyed shuffle joins of linear frames; the final
+    * census is 6 rows. At 100 TB the pairs come from the persisted
+    * band index (q152's bucketed layout) and the splits frame prunes
+    * to (doc_id, split) — nothing here grows super-linearly. */
+  def q224SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val docs = plantedDocs(s, dir)
+    val splits = docs
+      .select(col("doc_id"), expr("poly_hash(text) % 100").as("b"))
+      .select(col("doc_id"),
+        when(col("b") < 80, lit("train"))
+          .when(col("b") < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+    val s1 = splits.select(col("doc_id").as("doc_id_1"),
+      col("split").as("sp1"))
+    val s2 = splits.select(col("doc_id").as("doc_id_2"),
+      col("split").as("sp2"))
+    minhashCandidatePairs(docs)
+      .join(s1, "doc_id_1")
+      .join(s2, "doc_id_2")
+      .select(least(col("sp1"), col("sp2")).as("split_a"),
+        greatest(col("sp1"), col("sp2")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaky", col("split_a") =!= col("split_b"))
+  }
+
+  private def q224OracleSql: String =
+    s"""WITH cand AS (SELECT doc_id_1, doc_id_2
+          FROM ($q30OracleSql) c0),
+        pd AS ($plantedSql),
+        sp AS (SELECT doc_id,
+            CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (SELECT doc_id, ${duckCharFold("text")} % 100 AS b
+                FROM pd) z),
+        j AS (SELECT least(a.split, b.split) AS split_a,
+                greatest(a.split, b.split) AS split_b
+              FROM cand
+              JOIN sp a ON cand.doc_id_1 = a.doc_id
+              JOIN sp b ON cand.doc_id_2 = b.doc_id)
+        SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+               split_a <> split_b AS leaky
+        FROM j GROUP BY split_a, split_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_split_leakage" -> (q224SplitLeakage _),
     "q152_incremental_lsh" -> (q152IncrementalLsh _),
     "q139_dedup_eval" -> (q139DedupEval _),
     "q124_source_dup_matrix" -> (q124SourceDupMatrix _),
@@ -1322,6 +1387,7 @@ object Dedup {
     "q87_verify_candidates" -> (q87VerifyCandidates _))
 
   val oracleSql: Map[String, String] = Map(
+    "q224_split_leakage" -> q224OracleSql,
     "q152_incremental_lsh" -> q152OracleSql,
     "q139_dedup_eval" -> q139OracleSql,
     "q124_source_dup_matrix" -> q124OracleSql,

@@ -1237,7 +1237,134 @@ object Pipeline {
          CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS dense_id
        FROM documents"""
 
+  // ------------------------------------------------------------ q223
+
+  /** RRF constant k=60 (Cormack & Clarke 2009's recommended value): the
+    * rank dampener that keeps one list's #1 from dominating the fusion. */
+  val RrfK = 60
+  /** Depth of each input ranking fed to the fusion. */
+  val RrfPoolK = 50
+  /** Released fused-list depth. */
+  val RrfTopK = 20
+
+  /** q223 — RECIPROCAL-RANK FUSION of two retrieval rankings (the
+    * standard hybrid-search combiner: lexical BM25 ⊕ a second signal —
+    * here a document-length prior standing in for popularity/quality;
+    * in production the second list is the ANN ranking). RRF score =
+    * Σ_lists 1/(k + rank), declared in exact integer ppm
+    * (10⁶ div (k+rank), absent list contributes 0) so no float fold
+    * enters the differential; ranks carry the information, the fusion
+    * is pure integer arithmetic. Output: fused top-20 with both input
+    * ranks (NULL where a doc appeared in only one list) — exactly what
+    * a reranker consumes.
+    *
+    * Scale shape: each input list is already a top-k
+    * (TakeOrderedAndProject — k rows per partition cross the wire); the
+    * fusion is a full-outer join of two k-row frames + one k-row sort.
+    * Corpus cost = the two ranking scans; fusion cost is O(k) no matter
+    * the corpus. */
+  def q223RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = bm25TopK(docs, Bm25Terms, RrfPoolK)
+      .select(col("doc_id"), col("rank").as("rank_bm25"))
+    val b = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+      .orderBy(col("dl").desc, col("doc_id"))
+      .limit(RrfPoolK)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("dl").desc, col("doc_id")))
+          .cast("bigint").as("rank_len"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr(s"1000000 div ($RrfK + rank_bm25)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + rank_len)"), lit(0L)))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(RrfTopK)
+      .select(col("doc_id"), col("rank_bm25"), col("rank_len"),
+        col("rrf_ppm"),
+        row_number().over(
+          Window.orderBy(col("rrf_ppm").desc, col("doc_id")))
+          .cast("bigint").as("fused_rank"))
+  }
+
+  private def q223OracleSql: String = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(len(list_filter(ws, bm_w -> bm_w = '$term')) AS DOUBLE) AS tf$i"
+    }.mkString(", ")
+    val dfCols = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(sum(CASE WHEN list_contains(ws, '$term') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+    }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        tf AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, $tfCols
+               FROM d),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                      CAST(sum(len(ws)) AS DOUBLE) /
+                        CAST(count(*) AS DOUBLE) AS avgdl,
+                      $dfCols
+               FROM d),
+        sc AS (SELECT doc_id, ${bm25ScoreExpr(Bm25Terms.size, 1.2, 0.75)}
+                 AS score FROM tf CROSS JOIN st),
+        la AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score
+                 DESC, doc_id) AS BIGINT) AS rank_bm25
+               FROM sc ORDER BY score DESC, doc_id LIMIT $RrfPoolK),
+        lb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY dl
+                 DESC, doc_id) AS BIGINT) AS rank_len
+               FROM tf ORDER BY dl DESC, doc_id LIMIT $RrfPoolK),
+        f AS (SELECT doc_id, rank_bm25, rank_len,
+                COALESCE(1000000 // ($RrfK + rank_bm25), 0)
+                  + COALESCE(1000000 // ($RrfK + rank_len), 0) AS rrf_ppm
+              FROM la FULL OUTER JOIN lb USING (doc_id))
+        SELECT doc_id, rank_bm25, rank_len, CAST(rrf_ppm AS BIGINT)
+                 AS rrf_ppm,
+               CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id)
+                 AS BIGINT) AS fused_rank
+        FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT $RrfTopK"""
+  }
+
+  // ------------------------------------------------------------ q225
+
+  /** q225 — EFFECTIVE SOURCE COUNT per language (inverse-Simpson
+    * diversity, the "effective number of parties" statistic): a data
+    * mixture with 10 sources where one holds 99% of documents behaves
+    * like a 1-source mixture — raw source counts hide that. Effective
+    * sources = (Σnᵢ)² / Σnᵢ², exactly integer-expressible (unlike
+    * Shannon entropy's log), declared ×10⁶ (ppm of a source): 1.0e6 =
+    * monoculture, n·10⁶ = perfectly balanced n sources. The diversity
+    * gate a mixture builder (q97/q135) checks before committing weights.
+    *
+    * Determinism: pure integer counts; squares widened to decimal(38,0)
+    * (HUGEINT in the oracle, q190 convention) so a source holding ~3e9
+    * docs can't overflow the square; one exact integer division at the
+    * end.
+    *
+    * Scale shape: one (lang, source) census — map-side combinable — then
+    * a lang rollup of the census-sized frame. One corpus scan, one
+    * domain-sized shuffle; nothing downstream touches corpus rows. */
+  def q225EffectiveSources(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(sum("n").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("ss"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        expr("""CAST(CAST(n_docs AS DECIMAL(38,0)) * n_docs * 1000000
+                div ss AS BIGINT)""").as("eff_sources_ppm"))
+
+  private def q225OracleSql: String =
+    """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY lang, source)
+       SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(CAST(sum(n) AS HUGEINT) * sum(n) * 1000000
+           // sum(CAST(n AS HUGEINT) * n) AS BIGINT) AS eff_sources_ppm
+       FROM c GROUP BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_rrf_fusion" -> (q223RrfFusion _),
+    "q225_effective_sources" -> (q225EffectiveSources _),
     "q221_dense_ids" -> (q221DenseIds _),
     "q159_systematic_sample" -> (q159SystematicSample _),
     "q165_rank_transform" -> (q165RankTransform _),
@@ -1262,6 +1389,8 @@ object Pipeline {
     "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q223_rrf_fusion" -> q223OracleSql,
+    "q225_effective_sources" -> q225OracleSql,
     "q221_dense_ids" -> q221OracleSql,
     "q151_token_budget" -> q151OracleSql,
     "q159_systematic_sample" -> q159OracleSql,

@@ -279,4 +279,21 @@ class DedupSpec extends SparkSpec {
     }
     assert(crossovers > 0, "no batch doc merged into a base cluster")
   }
+
+  test("q224 leakage census accounts for every candidate pair and " +
+    "catches planted cross-split near-dups") {
+    val rows = Dedup.q224SplitLeakage(spark, sf1).collect()
+    val splits = Set("train", "val", "test")
+    for (r <- rows) {
+      assert(splits(r.getString(0)) && splits(r.getString(1)))
+      assert(r.getString(0) <= r.getString(1), "pair key not normalized")
+      assert(r.getBoolean(3) === (r.getString(0) != r.getString(1)))
+    }
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === Dedup.q30DedupMinhashLsh(spark, sf1).count(),
+      "census must partition the exact candidate-pair set")
+    // the planted perturbations re-hash to other buckets: leaks exist
+    assert(rows.exists(r => r.getBoolean(3) && r.getLong(2) > 0),
+      "no cross-split near-dup found — audit is vacuous on this corpus")
+  }
 }

@@ -383,4 +383,45 @@ class PipelineSpec extends SparkSpec {
     assert(counts.max - counts.min <= (Pipeline.ShardBucketCap + 1).toLong,
       s"round-robin count balance violated: $shards")
   }
+
+  test("q223 fused ranking is arithmetic-consistent with its input " +
+    "ranks and dense from 1") {
+    val rows = Pipeline.q223RrfFusion(spark, sf1)
+      .orderBy("fused_rank").collect()
+    assert(rows.length === Pipeline.RrfTopK)
+    assert(rows.map(_.getLong(4)).toSeq === (1L to Pipeline.RrfTopK))
+    for (r <- rows) {
+      val ra = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val rb = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(ra.nonEmpty || rb.nonEmpty, "doc in neither input list")
+      val expect = ra.map(x => 1000000L / (Pipeline.RrfK + x)).getOrElse(0L) +
+        rb.map(x => 1000000L / (Pipeline.RrfK + x)).getOrElse(0L)
+      assert(r.getLong(3) === expect, s"rrf_ppm mismatch at $r")
+      assert(ra.forall(x => x >= 1 && x <= Pipeline.RrfPoolK))
+      assert(rb.forall(x => x >= 1 && x <= Pipeline.RrfPoolK))
+    }
+    // fusion is monotone: scores are non-increasing down the fused list
+    val scores = rows.map(_.getLong(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q225 effective sources sits in [1e6, n_sources*1e6] and matches " +
+    "a recomputed inverse-Simpson") {
+    val rows = Pipeline.q225EffectiveSources(spark, sf1).collect()
+    assert(rows.nonEmpty)
+    val census = graft.sources.Tables.load(spark, sf1, "documents")
+      .groupBy("lang", "source").count().collect()
+      .groupBy(_.getString(0))
+    for (r <- rows) {
+      val (lang, nDocs, nSrc, eff) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(eff >= 1000000L, s"$lang below monoculture floor")
+      assert(eff <= nSrc * 1000000L, s"$lang above balanced ceiling")
+      val ns = census(lang).map(_.getLong(2))
+      assert(ns.sum === nDocs && ns.size.toLong === nSrc)
+      val expect = BigInt(nDocs) * nDocs * 1000000 /
+        ns.map(n => BigInt(n) * n).sum
+      assert(BigInt(eff) === expect, s"$lang inverse-Simpson mismatch")
+    }
+  }
 }

@@ -817,4 +817,17 @@ class ScalePathSpec extends SparkSpec {
         s"each event_id must survive exactly once, got ${ids.toSeq}")
     } finally q.stop()
   }
+
+  test("q223 input rankings plan as top-k (TakeOrderedAndProject), " +
+    "never a global corpus sort") {
+    val df = graft.operators.Pipeline.q223RrfFusion(spark, sf1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"each pool list must be a streaming top-k:\n$plan")
+    // the only full Sort allowed is over the fused ≤2k-row frame; a
+    // corpus-wide Sort would show as Sort + Exchange rangepartitioning
+    // over the document scan — pin its absence
+    assert(!plan.contains("rangepartitioning"),
+      s"no corpus-wide range sort may appear in the fusion plan:\n$plan")
+  }
 }
