@@ -2550,7 +2550,55 @@ object Extensions {
                p.n * 1000000 // m.out_n AS share_ppm
         FROM pairs p JOIN mass m ON p.prev_type = m.prev_type"""
 
+  // ------------------------------------------------------------ q226
+
+  /** q226 — JOIN-CARDINALITY PRE-ESTIMATE (the skew diagnostic a
+    * planner runs BEFORE committing a join): for an equi-join the exact
+    * output size is Σ_k nL(k)·nR(k), computable from the two key
+    * censuses alone — here for the canonical blowup case, the lineitem
+    * self-join on l_partkey (co-ordered-parts analysis), where one hot
+    * part inflates output quadratically. Declared: the top-10 offender
+    * keys with row count, predicted pair volume, and each key's exact
+    * ppm share of the total predicted output — the decision input for
+    * AQE skew thresholds, salting (q65/q163), and go/no-go on the join
+    * itself. Predicting the blowup costs one census; RUNNING the
+    * blowup at 100 TB costs the cluster.
+    *
+    * Determinism: pure integer counts; the share's total widened to
+    * decimal(38,0) (HUGEINT oracle) — Σn² over a 100 TB key census
+    * overflows BIGINT long before the join is even attempted.
+    *
+    * Scale shape: one map-side-combined key census (domain-sized), a
+    * 1-row broadcast total, one top-k — the corpus is scanned once and
+    * never joined. */
+  def q226JoinBlowup(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "lineitem")
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    val tot = census.agg(
+      sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("tp"))
+    census
+      .withColumn("predicted_pairs", expr("n * n"))
+      .crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("n").as("n_rows"),
+        col("predicted_pairs"),
+        expr("""CAST(CAST(predicted_pairs AS DECIMAL(38,0)) * 1000000
+                div tp AS BIGINT)""").as("share_ppm"))
+      .orderBy(col("predicted_pairs").desc, col("l_partkey"))
+      .limit(10)
+  }
+
+  private def q226OracleSql: String =
+    """WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY l_partkey),
+        tt AS (SELECT sum(CAST(n AS HUGEINT) * n) AS tp FROM c)
+       SELECT l_partkey, n AS n_rows, n * n AS predicted_pairs,
+         CAST(CAST(n AS HUGEINT) * n * 1000000 // tp AS BIGINT)
+           AS share_ppm
+       FROM c, tt
+       ORDER BY predicted_pairs DESC, l_partkey LIMIT 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_join_blowup" -> (q226JoinBlowup _),
     "q150_markov_transitions" -> (q150MarkovTransitions _),
     "q123_bucketed_join" -> (q123BucketedJoin _),
     "q129_zorder_layout" -> (q129ZorderLayout _),
@@ -2625,6 +2673,7 @@ object Extensions {
     "q60_percentiles" -> (q60Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q226_join_blowup" -> q226OracleSql,
     "q150_markov_transitions" -> q150OracleSql,
     "q116_pareto_front" -> q116OracleSql,
     "q129_zorder_layout" -> q129OracleSql,

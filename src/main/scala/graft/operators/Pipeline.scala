@@ -1362,7 +1362,73 @@ object Pipeline {
            // sum(CAST(n AS HUGEINT) * n) AS BIGINT) AS eff_sources_ppm
        FROM c GROUP BY lang"""
 
+  // ------------------------------------------------------------ q228
+
+  /** q228 — QUANTILE NORMALIZATION across sources (the batch-effect
+    * correction microarray pipelines standardized and mixed-corpus
+    * training inherits): each source's document-length distribution is
+    * remapped onto the POOLED distribution, so "long for its source"
+    * means the same thing everywhere — per doc, the in-source rank r
+    * maps to pooled rank j = (r·N) div n_g (nearest-rank, exact
+    * integers; r = n_g ⇒ j = N, and j ≥ 1 since n_g ≤ N), and the
+    * normalized value is the pooled distribution's value at rank j.
+    * The rank-preserving cousin of q165's rank transform: q165 releases
+    * the rank itself, this releases a VALUE from the reference
+    * distribution (downstream stays in value units).
+    *
+    * Scale shape — the pooled side is deliberately NOT a global sort:
+    * pooled rank→value is resolved through the value census + cumsum
+    * intervals (q210's prefix-sum discipline — the window rides a
+    * domain-sized frame, |distinct lengths| rows), broadcast to an
+    * interval-containment join. The per-source rank is one
+    * source-keyed exchange. So: one corpus scan for the census, one
+    * keyed window pass, one broadcast join — no rangepartitioning of
+    * the corpus anywhere (the oracle states the semantic with the
+    * global row_number the implementation must never run). */
+  def q228QuantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val intervals = docs.groupBy("n_chars")
+      .agg(count(lit(1)).as("c"))
+      // domain-sized frame: |distinct n_chars| rows, not corpus rows
+      .withColumn("hi", sum("c").over(
+        Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("n_chars").as("ref_chars"),
+        (col("hi") - col("c") + 1).as("lo"), col("hi"))
+    val tot = docs.agg(count(lit(1)).as("nn"))
+    val ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    val wsz = Window.partitionBy("source")
+    docs
+      .withColumn("r", row_number().over(ws).cast("bigint"))
+      .withColumn("ng", count(lit(1)).over(wsz))
+      .crossJoin(broadcast(tot))
+      .withColumn("j", expr("(r * nn) div ng"))
+      .join(broadcast(intervals),
+        col("j") >= col("lo") && col("j") <= col("hi"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("ref_chars").as("qnorm_chars"))
+  }
+
+  private def q228OracleSql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        tt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+        r AS (SELECT doc_id, source, n_chars,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+            CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ng
+          FROM d),
+        pooled AS (SELECT n_chars AS ref_chars,
+            CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+              AS BIGINT) AS pr
+          FROM d)
+       SELECT rr.doc_id, rr.source, rr.n_chars,
+              pooled.ref_chars AS qnorm_chars
+       FROM (SELECT r.*, tt.nn FROM r, tt) rr
+       JOIN pooled ON pooled.pr = (rr.r * rr.nn) // rr.ng"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_quantile_normalize" -> (q228QuantileNormalize _),
     "q223_rrf_fusion" -> (q223RrfFusion _),
     "q225_effective_sources" -> (q225EffectiveSources _),
     "q221_dense_ids" -> (q221DenseIds _),
@@ -1389,6 +1455,7 @@ object Pipeline {
     "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q228_quantile_normalize" -> q228OracleSql,
     "q223_rrf_fusion" -> q223OracleSql,
     "q225_effective_sources" -> q225OracleSql,
     "q221_dense_ids" -> q221OracleSql,

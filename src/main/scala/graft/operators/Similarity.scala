@@ -932,7 +932,89 @@ object Similarity {
         SELECT vec_id, pick FROM sel$MmrK"""
   }
 
+  /** Neighborhood size for q227's ratio margin. */
+  val MarginK = 4
+
+  /** q227 — MARGIN-BASED kNN SCORING (the ratio-margin criterion from
+    * margin-based bitext mining, Artetxe & Schwenk 2019): a raw cosine
+    * threshold can't separate a genuine match from a HUB — a vector
+    * that is everyone's near-neighbor scores high against everything.
+    * The margin normalizes by the probe's neighborhood density:
+    * margin = cos(p, nn1) · k / Σ_{i=1..k} cos(p, nnᵢ) — 1.0 when the
+    * top hit is no better than the probe's generic neighborhood (hub),
+    * rising as the match stands out. Declared per probe: the top
+    * non-self neighbor and its margin in ppm (floor ×10⁶; NULL on a
+    * non-positive denominator — impossible-in-practice, but declared
+    * rather than crashing).
+    *
+    * Determinism: cosines via the codegen'd vec_dot (same sequential
+    * fold as DuckDB's list_dot_product); the k-cosine sum folds over
+    * the DESC-sorted array on both engines (Spark `aggregate` with 0.0
+    * init vs DuckDB list_reduce — 0.0+c₁ ≡ c₁, so both fold
+    * ((c₁+c₂)+c₃)+c₄), making the one double division and its floor
+    * bit-identical.
+    *
+    * Scale shape: q153's amortized brute-force truth pass — one corpus
+    * scan ×|probe batch| against a broadcast probe frame, a per-probe
+    * top-k window on the probe-keyed exchange, then all arithmetic on
+    * the k-row-per-probe frame. In production the probe batch is the
+    * mining shard and the corpus side swaps to the IVF-restricted
+    * candidate set (q120) without touching the margin arithmetic. */
+  def q227MarginKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = vectors(s, dir)
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("ed").as("ped"),
+        col("nrm").as("pnrm"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("vec_id"))
+    e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("pcos",
+        vec_dot(col("ed"), col("ped")) / (col("nrm") * col("pnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= MarginK)
+      .groupBy("probe_id")
+      .agg(array_sort(collect_list(struct(
+        (-col("pcos")).as("nc"), col("vec_id").as("v")))).as("cs"))
+      .select(col("probe_id"),
+        expr("element_at(cs, 1).v").as("nn_vec_id"),
+        expr(s"""CASE WHEN aggregate(cs, CAST(0.0 AS DOUBLE),
+                   (acc, x) -> acc + (-x.nc)) <= 0.0 THEN NULL
+                 ELSE CAST(floor((-element_at(cs, 1).nc) * $MarginK
+                   * 1000000 / aggregate(cs, CAST(0.0 AS DOUBLE),
+                     (acc, x) -> acc + (-x.nc))) AS BIGINT)
+                 END""").as("margin_ppm"))
+  }
+
+  private def q227OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+        probes AS (SELECT vec_id AS probe_id, ed AS ped, nrm AS pnrm
+                   FROM e WHERE vec_id < $NumProbes),
+        ranked AS (SELECT probe_id, vec_id, pcos,
+            row_number() OVER (PARTITION BY probe_id
+              ORDER BY pcos DESC, vec_id) AS rn
+          FROM (SELECT p.probe_id, a.vec_id,
+                  list_dot_product(a.ed, p.ped) / (a.nrm * p.pnrm)
+                    AS pcos
+                FROM e a CROSS JOIN probes p
+                WHERE a.vec_id <> p.probe_id) z),
+        agg AS (SELECT probe_id,
+            list(pcos ORDER BY pcos DESC, vec_id) AS cs,
+            list(vec_id ORDER BY pcos DESC, vec_id) AS vs
+          FROM ranked WHERE rn <= $MarginK GROUP BY probe_id)
+        SELECT probe_id, vs[1] AS nn_vec_id,
+          CASE WHEN list_reduce(cs, (ma, mb) -> ma + mb) <= 0.0
+               THEN NULL
+               ELSE CAST(floor(cs[1] * $MarginK * 1000000
+                 / list_reduce(cs, (ma, mb) -> ma + mb)) AS BIGINT)
+          END AS margin_ppm
+        FROM agg"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_margin_knn" -> (q227MarginKnn _),
     "q153_ann_eval" -> (q153AnnEval _),
     "q215_mrr_eval" -> (q215MrrEval _),
     "q154_gram_matrix" -> (q154GramMatrix _),
@@ -949,6 +1031,7 @@ object Similarity {
     "q91_quantize_embeddings" -> (q91QuantizeEmbeddings _))
 
   val oracleSql: Map[String, String] = Map(
+    "q227_margin_knn" -> q227OracleSql,
     "q153_ann_eval" -> q153OracleSql,
     "q215_mrr_eval" -> q215OracleSql,
     "q154_gram_matrix" -> q154OracleSql,

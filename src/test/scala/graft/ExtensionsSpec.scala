@@ -845,4 +845,33 @@ class ExtensionsSpec extends SparkSpec {
       assert(got((flag, 50L))._2 <= got((flag, 95L))._2)
     }
   }
+
+  test("q226 blowup estimate equals the census arithmetic and its " +
+    "top key really is the hottest") {
+    val rows = graft.operators.Extensions.q226JoinBlowup(spark, sf1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 10)
+    val census = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .groupBy("l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = census.values.map(n => BigInt(n) * n).sum
+    for ((k, n, pred, share) <- rows) {
+      assert(n === census(k))
+      assert(pred === n * n, s"key $k predicted_pairs")
+      assert(BigInt(share) === BigInt(pred) * 1000000 / total,
+        s"key $k share_ppm")
+      // the prediction is exact for an equi-join: verify ONE key live
+    }
+    val (hotKey, hotN, hotPred, _) = rows.head
+    assert(hotN === census.values.max,
+      "top offender must carry the max multiplicity")
+    val li = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .filter(col("l_partkey") === hotKey).select("l_partkey")
+    assert(li.as("a").join(li.as("b"), "l_partkey").count() === hotPred,
+      "predicted pair volume must equal the real join's output")
+    // sorted descending with key tiebreak
+    val preds = rows.map(_._3)
+    assert(preds.zip(preds.tail).forall { case (a, b) => a >= b })
+  }
 }

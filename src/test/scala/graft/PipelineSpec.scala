@@ -424,4 +424,30 @@ class PipelineSpec extends SparkSpec {
       assert(BigInt(eff) === expect, s"$lang inverse-Simpson mismatch")
     }
   }
+
+  test("q228 quantile normalization preserves in-source order, covers " +
+    "every doc once, and pins each source's top doc to the pooled max") {
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val out = Pipeline.q228QuantileNormalize(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === docs.length, "one output row per document")
+    assert(out.map(_._1).distinct.length === docs.length)
+    val pooledMax = docs.map(_._3).max
+    for ((_, rows) <- out.groupBy(_._2)) {
+      // sort by in-source rank order (n_chars, doc_id): qnorm must be
+      // monotone non-decreasing — normalization never reorders a source
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      val qs = sorted.map(_._4)
+      assert(qs.zip(qs.tail).forall { case (a, b) => a <= b },
+        s"qnorm not monotone within source ${rows.head._2}")
+      // r = n_g maps to j = N exactly: top doc gets the pooled max
+      assert(qs.last === pooledMax,
+        s"source ${rows.head._2} top doc must map to the pooled max")
+      // and every normalized value is a real pooled value
+      val pooledVals = docs.map(_._3).toSet
+      assert(qs.forall(pooledVals.contains))
+    }
+  }
 }

@@ -473,4 +473,40 @@ class PropertySpec extends SparkSpec {
       assert(nPair >= 1L && nWa >= 1L && nWb >= 1L)
     }
   }
+
+  test("q227 margin is bounded below by 1e6 and names the true " +
+    "non-self nearest neighbor") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Similarity.q227MarginKnn(spark, sf1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(out.keySet === (0L until
+      graft.operators.Similarity.NumProbes.toLong).toSet)
+    // brute-force truth recomputed independently of the operator
+    graft.functions.VectorFunctions.register(spark)
+    val e = graft.sources.Tables.load(spark, sf1, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(expr("vec_dot(ed, ed)")))
+    val probes = e.filter(col("vec_id") <
+        graft.operators.Similarity.NumProbes)
+      .select(col("vec_id").as("pid"), col("ed").as("ped"),
+        col("nrm").as("pnrm"))
+    val truth = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .withColumn("pcos", expr("vec_dot(ed, ped)") /
+        (col("nrm") * col("pnrm")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("pid")
+          .orderBy(col("pcos").desc, col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select("pid", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((pid, (nn, margin)) <- out) {
+      assert(nn === truth(pid), s"probe $pid nn mismatch")
+      // cos1 >= every cos in the top-k neighborhood => margin >= 1
+      assert(margin.exists(_ >= 1000000L),
+        s"probe $pid margin must be defined and >= 1e6, got $margin")
+    }
+  }
 }
