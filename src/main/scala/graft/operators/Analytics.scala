@@ -1825,7 +1825,92 @@ object Analytics {
           CAST(count(*) AS BIGINT) AS n_merged
         FROM lab GROUP BY cat"""
 
+  // ------------------------------------------------------------ q230
+
+  /** q230 — BLOCKING-SCHEME EVALUATION for record linkage (the
+    * Christen-textbook quality pair every entity-resolution pipeline
+    * reports before committing a blocking key): a multi-pass blocking
+    * — pass A groups on the LAST-2-char suffix, pass B on the
+    * drop-last-char prefix — generates candidate pairs; the scheme is
+    * scored against q194's exact edit-distance-1 truth with REDUCTION
+    * RATIO (pairs avoided vs all-pairs, the efficiency axis) and PAIR
+    * COMPLETENESS (truth captured, the recall axis), both exact ppm.
+    * The two keys deliberately leave a hole (a pair differing only at
+    * the 2nd-to-last char matches neither) — the metric's job is to
+    * MEASURE that hole, not hide it; the spec pins which truth pairs
+    * escape. q194 is the verifier, this is the planner: at scale you
+    * choose blocking keys by exactly this census.
+    *
+    * Scale shape: candidates come from two key-grouped self-joins of
+    * the distinct-name frame (block-bounded, the LSH band-join shape;
+    * at a larger corpus the keys LENGTHEN — last-3, first-(n−1) — the
+    * same geometry-widening discipline as LshGeometry.forCorpus);
+    * metrics are 1-row aggregates crossJoined (q139's shape). The
+    * all-pairs number is arithmetic n(n−1)/2, never materialized. */
+  def q230BlockingEval(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "supplier")
+      .select(col("s_name").as("w")).distinct()
+    def pairsOn(key: Column): DataFrame = {
+      val k = names.select(col("w"), key.as("bk"))
+      k.as("x").join(k.as("y"),
+          col("x.bk") === col("y.bk") && col("x.w") < col("y.w"))
+        .select(col("x.w").as("w1"), col("y.w").as("w2"))
+    }
+    val cand = pairsOn(expr("substring(w, length(w) - 1, 2)"))
+      .unionByName(pairsOn(expr("substring(w, 1, length(w) - 1)")))
+      .distinct()
+    val truth = q194TypoJoin(s, dir)
+    val nNames = names.agg(count(lit(1)).as("n_names"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nCap = truth.join(cand, Seq("w1", "w2"), "left_semi")
+      .agg(count(lit(1)).as("n_captured"))
+    nNames.crossJoin(nCand).crossJoin(nTruth).crossJoin(nCap)
+      .select(col("n_names"),
+        expr("n_names * (n_names - 1) div 2").as("n_allpairs"),
+        col("n_candidates"), col("n_truth"), col("n_captured"),
+        expr("""1000000 - n_candidates * 1000000
+                div (n_names * (n_names - 1) div 2)""")
+          .as("reduction_ppm"),
+        expr("n_captured * 1000000 div greatest(n_truth, 1)")
+          .as("completeness_ppm"))
+  }
+
+  private def q230OracleSql: String =
+    """WITH w AS (SELECT DISTINCT s_name AS w FROM supplier),
+       ka AS (SELECT w, substr(w, len(w) - 1, 2) AS bk FROM w),
+       kb AS (SELECT w, substr(w, 1, len(w) - 1) AS bk FROM w),
+       cand AS (SELECT DISTINCT w1, w2 FROM (
+         SELECT x.w w1, y.w w2 FROM ka x JOIN ka y
+           ON x.bk = y.bk AND x.w < y.w
+         UNION ALL
+         SELECT x.w w1, y.w w2 FROM kb x JOIN kb y
+           ON x.bk = y.bk AND x.w < y.w) u),
+       sig AS (SELECT w, w AS s FROM w
+         UNION ALL
+         SELECT w, substr(w, 1, i-1) || substr(w, i+1) AS s
+         FROM w, (SELECT unnest(range(1,
+           (SELECT max(len(w)) + 1 FROM w))) AS i) ix
+         WHERE i <= len(w)),
+       tcand AS (SELECT DISTINCT a.w w1, b.w w2
+         FROM sig a JOIN sig b ON a.s = b.s AND a.w < b.w),
+       truth AS (SELECT w1, w2 FROM tcand
+                 WHERE levenshtein(w1, w2) = 1),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n_names FROM w),
+       nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+       nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       np AS (SELECT CAST(count(*) AS BIGINT) AS n_captured
+              FROM truth JOIN cand USING (w1, w2))
+       SELECT n_names, n_names * (n_names - 1) // 2 AS n_allpairs,
+         n_candidates, n_truth, n_captured,
+         1000000 - n_candidates * 1000000
+           // (n_names * (n_names - 1) // 2) AS reduction_ppm,
+         n_captured * 1000000 // greatest(n_truth, 1)
+           AS completeness_ppm
+       FROM nn, nc, nt, np"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_blocking_eval" -> (q230BlockingEval _),
     "q210_decision_stump" -> (q210DecisionStump _),
     "q211_rolling_wau" -> (q211RollingWau _),
     "q212_rare_collapse" -> (q212RareCollapse _),
@@ -1860,6 +1945,7 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q230_blocking_eval" -> q230OracleSql,
     "q210_decision_stump" -> q210OracleSql,
     "q211_rolling_wau" -> q211OracleSql,
     "q212_rare_collapse" -> q212OracleSql,

@@ -2597,7 +2597,76 @@ object Extensions {
        FROM c, tt
        ORDER BY predicted_pairs DESC, l_partkey LIMIT 10"""
 
+  /** Width of q229's value bands (same 10-unit bins as q195). */
+  val TvBand = 10
+
+  /** q229 — TOTAL-VARIATION DISTANCE between the first and second half
+    * of the event stream, per event type (drift family: q132's KS is a
+    * CDF sup-norm over continuous values, q156's χ² weights rare
+    * categories up — TV is the L1 "what fraction of probability mass
+    * moved" number, the one with the direct operational reading:
+    * rejection-sampling cost, mixture re-weighting delta). Exactly
+    * integer: TV·10⁶ = Σ_bands |c₁·N₂ − c₂·N₁| · 10⁶ div (2·N₁·N₂) —
+    * no per-band float division, one exact division at the end (q210
+    * decimal-widening; a 100 TB band count squares past BIGINT).
+    * Period split: event-days [min, min+span/2) vs the rest, from a
+    * broadcast 1-row bounds aggregate.
+    *
+    * Scale shape: ONE (type, band) census shuffle with both period
+    * counts as conditional sums in the same pass (no second scan, no
+    * period key in the shuffle); per-type totals and the |Δ| rollup
+    * ride the census-sized frame. */
+  def q229TvDistance(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"),
+        expr(s"CAST(floor(value / $TvBand) AS BIGINT)").as("band"),
+        expr("unix_timestamp(ts) div 86400").as("d"))
+    val bounds = ev.agg(min("d").as("dmin"),
+      expr("(max(d) - min(d) + 1) div 2").as("halfspan"))
+    val census = ev.crossJoin(broadcast(bounds))
+      .withColumn("p2",
+        (col("d") - col("dmin") >= col("halfspan")).cast("int"))
+      .groupBy("event_type", "band")
+      .agg(sum(when(col("p2") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("p2") === 1, 1L).otherwise(0L)).as("c2"))
+    val totals = census.groupBy("event_type")
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    census.join(totals, "event_type")
+      .groupBy(col("event_type"), col("n1"), col("n2"))
+      .agg(sum(expr("""abs(CAST(c1 AS DECIMAL(38,0)) * n2
+                       - CAST(c2 AS DECIMAL(38,0)) * n1)""")).as("num"))
+      .select(col("event_type"), col("n1").as("n_first"),
+        col("n2").as("n_second"),
+        expr("""CAST(num * 1000000 div (2 * CAST(greatest(n1, 1)
+                AS DECIMAL(38,0)) * greatest(n2, 1)) AS BIGINT)""")
+          .as("tv_ppm"))
+  }
+
+  private def q229OracleSql: String =
+    s"""WITH ev AS (SELECT event_type,
+          CAST(floor(value / $TvBand) AS BIGINT) AS band,
+          (epoch_ns(ts) // 1000000000) // 86400 AS d FROM events),
+        bounds AS (SELECT min(d) AS dmin,
+          (max(d) - min(d) + 1) // 2 AS halfspan FROM ev),
+        census AS (SELECT event_type, band,
+            CAST(sum(CASE WHEN d - dmin < halfspan THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+            CAST(sum(CASE WHEN d - dmin >= halfspan THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+          FROM ev, bounds GROUP BY event_type, band),
+        totals AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+            CAST(sum(c2) AS BIGINT) AS n2
+          FROM census GROUP BY event_type)
+        SELECT c.event_type, t.n1 AS n_first, t.n2 AS n_second,
+          CAST(sum(abs(CAST(c.c1 AS HUGEINT) * t.n2
+                 - CAST(c.c2 AS HUGEINT) * t.n1)) * 1000000
+            // (2 * CAST(greatest(t.n1, 1) AS HUGEINT)
+               * greatest(t.n2, 1)) AS BIGINT) AS tv_ppm
+        FROM census c JOIN totals t ON c.event_type = t.event_type
+        GROUP BY c.event_type, t.n1, t.n2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_tv_distance" -> (q229TvDistance _),
     "q226_join_blowup" -> (q226JoinBlowup _),
     "q150_markov_transitions" -> (q150MarkovTransitions _),
     "q123_bucketed_join" -> (q123BucketedJoin _),
@@ -2673,6 +2742,7 @@ object Extensions {
     "q60_percentiles" -> (q60Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q229_tv_distance" -> q229OracleSql,
     "q226_join_blowup" -> q226OracleSql,
     "q150_markov_transitions" -> q150OracleSql,
     "q116_pareto_front" -> q116OracleSql,

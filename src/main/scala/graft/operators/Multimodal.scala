@@ -545,7 +545,116 @@ object Multimodal {
         FROM re r JOIN din d ON r.asset_id = d.asset_id
         GROUP BY r.asset_id, d.distinct_in"""
 
+  /** q231 constants: 49 payload samples → 48 dHash bits, banded 3×16
+    * for guaranteed candidate generation at Hamming ≤ 2 (pigeonhole: 2
+    * flipped bits ruin at most 2 of 3 bands); released radius 6. */
+  val PhashSamples = 49
+  val PhashBits = 48
+  val PhashBands = 3
+  val PhashRadius = 6
+  /** doc_id offset of the planted perturbed copies (distinct from
+    * Dedup.PlantedOffset so the corpora can't be confused in a join). */
+  val PhashOffset = 200000L
+
+  /** 48-bit difference hash of a payload: 49 evenly spaced byte samples
+    * (positions (i·(L−1)) div 48 — resolution-independent, the dHash
+    * trick that makes the signature survive scaling/padding), bit i =
+    * sample_i < sample_{i+1}. Pure integer; bit-identical to the
+    * oracle's ascii/substr arithmetic on ASCII payloads. */
+  private[graft] def dhash48(b: Array[Byte]): Long = {
+    val L = b.length.toLong
+    if (L < 2) return 0L
+    var h = 0L
+    var prev = b(0) & 0xff
+    var i = 1
+    while (i <= PhashBits) {
+      val cur = b(((i.toLong * (L - 1)) / PhashBits).toInt) & 0xff
+      if (prev < cur) h |= (1L << (i - 1))
+      prev = cur
+      i += 1
+    }
+    h
+  }
+
+  /** q231 — PERCEPTUAL-HASH NEAR-DUP over binary payloads (the
+    * image-dedup verb: pHash/dHash bucket join — the multimodal
+    * counterpart of text LSH q30 and bit-signature search q71): each
+    * payload reduces to a 48-bit difference hash in one typed map (the
+    * codec slot — a real image dHash decodes + downsamples first, same
+    * plumbing), candidates come from a 16-bit band equi-join, pairs
+    * verified at Hamming ≤ 6. Corpus = assets ∪ a planted
+    * one-byte-midpoint perturbation of each (a re-encoded/one-pixel
+    * variant stand-in): a single byte change flips ≤ 2 of the 48 bits
+    * (its two adjacent comparisons), so every planted pair is
+    * GUARANTEED a candidate (3 bands, ≤ 2 ruined) and guaranteed within
+    * radius — recall 100% by construction, and the spec pins it.
+    *
+    * Scale shape: hashing is one narrow typed pass (payload bytes never
+    * shuffle — 8 bytes per asset do); the band join is the q30/q71
+    * banded shape (one (band, key) exchange); at corpus scale the
+    * geometry widens (more/wider bands, q71's df hot-key cap) — the
+    * signature is prefix-stable in the same way. */
+  def q231PayloadPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = assets(s, dir)
+    val planted = base.map { a =>
+      val p = a.payload.clone()
+      if (p.length > 0) p(p.length / 2) = 'x'.toByte
+      a.copy(asset_id = a.asset_id + PhashOffset, payload = p)
+    }
+    val hashes = base.union(planted)
+      .map(a => (a.asset_id, dhash48(a.payload)))
+      .toDF("asset_id", "h")
+    val bands = hashes.select(col("asset_id"), col("h"),
+      explode(expr(
+        s"""transform(sequence(0, ${PhashBands - 1}),
+            b -> struct(b AS band,
+              shiftright(h, 16 * b) & 65535 AS bkey))""")).as("bk"))
+      .select(col("asset_id"), col("h"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("asset_id_1"),
+        col("y.asset_id").as("asset_id_2"),
+        expr("CAST(bit_count(x.h ^ y.h) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashRadius)
+  }
+
+  private def q231OracleSql: String =
+    s"""WITH base AS (SELECT doc_id AS asset_id, text FROM documents),
+        pert AS (SELECT asset_id + $PhashOffset AS asset_id,
+            substr(text, 1, strlen(text) // 2) || 'x'
+              || substr(text, strlen(text) // 2 + 2) AS text
+          FROM base),
+        u AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        sm AS (SELECT asset_id,
+            list_transform(range(0, $PhashSamples), smp_i ->
+              ascii(substr(text, CAST(1 + (smp_i * (strlen(text) - 1))
+                // $PhashBits AS BIGINT), 1))) AS sv
+          FROM u),
+        ph AS (SELECT asset_id,
+            CAST(list_sum(list_transform(range(0, $PhashBits), ph_i ->
+              CASE WHEN sv[ph_i + 1] < sv[ph_i + 2]
+                   THEN (CAST(1 AS BIGINT) << ph_i) ELSE 0 END))
+              AS BIGINT) AS h
+          FROM sm),
+        bands AS (SELECT asset_id, h, bb.b AS band,
+            (h >> (16 * bb.b)) & 65535 AS bkey
+          FROM ph, (SELECT unnest(range(0, $PhashBands)) AS b) bb),
+        cand AS (SELECT DISTINCT x.asset_id AS asset_id_1,
+            y.asset_id AS asset_id_2,
+            CAST(bit_count(xor(x.h, y.h)) AS BIGINT) AS hamming
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bkey = y.bkey
+              AND x.asset_id < y.asset_id)
+        SELECT asset_id_1, asset_id_2, hamming FROM cand
+        WHERE hamming <= $PhashRadius"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_payload_phash" -> (q231PayloadPhash _),
     "q220_hist_equalize" -> (q220HistEqualize _),
     "q216_cdc_chunk_dedup" -> (q216CdcChunkDedup _),
     "q118_resize_meta" -> (q118ResizeMeta _),
@@ -555,6 +664,7 @@ object Multimodal {
     "q81_media_histogram" -> (q81MediaHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q231_payload_phash" -> q231OracleSql,
     "q220_hist_equalize" -> q220OracleSql,
     "q216_cdc_chunk_dedup" -> q216OracleSql,
     "q118_resize_meta" -> q118OracleSql,

@@ -506,4 +506,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"spatial join must ride the grid equi-join:\n$plan")
   }
+
+  test("q230 blocking metrics are internally consistent and the " +
+    "completeness hole is exactly the 2nd-to-last-char pairs") {
+    val r = Analytics.q230BlockingEval(spark, sf1).collect().head
+    val (nNames, nAll, nCand, nTruth, nCap) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+    assert(nAll === nNames * (nNames - 1) / 2)
+    assert(nCand <= nAll && nCap <= nTruth && nCap <= nCand)
+    assert(r.getLong(5) === 1000000L - nCand * 1000000L / nAll)
+    assert(r.getLong(6) === nCap * 1000000L / math.max(nTruth, 1L))
+    // recompute the scheme's structural hole: an ED-1 pair escapes both
+    // blocks iff the edit is a substitution at position len-1 (neither
+    // the last char nor inside the shared prefix of scheme B)
+    val names = graft.sources.Tables.load(spark, sf1, "supplier")
+      .select("s_name").distinct().collect().map(_.getString(0))
+    val truth = for {
+      a <- names; b <- names if a < b
+      if a.length == b.length &&
+        a.zip(b).count { case (x, y) => x != y } == 1
+    } yield (a, b)
+    // all same-format names: ED-1 here is exactly one substitution
+    assert(truth.length.toLong === nTruth,
+      "recomputed ED-1 truth count mismatch")
+    val missed = truth.count { case (a, b) =>
+      val i = a.zip(b).indexWhere { case (x, y) => x != y }
+      i == a.length - 2 // 2nd-to-last position: no block catches it
+    }
+    assert(nCap === nTruth - missed,
+      s"captured must be truth minus the declared hole ($missed pairs)")
+  }
 }

@@ -874,4 +874,41 @@ class ExtensionsSpec extends SparkSpec {
     val preds = rows.map(_._3)
     assert(preds.zip(preds.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q229 TV distance is a [0, 1e6] metric that accounts for every " +
+    "event and matches a recomputed L1") {
+    val rows = graft.operators.Extensions.q229TvDistance(spark, sf1)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+    assert(rows.values.map(v => v._1 + v._2).sum === ev.count(),
+      "period halves must partition the stream")
+    // recompute one type's TV from scratch
+    import org.apache.spark.sql.functions._
+    val d0 = ev.select(col("event_type"),
+      expr(s"CAST(floor(value / ${graft.operators.Extensions.TvBand})" +
+        " AS BIGINT)").as("band"),
+      expr("unix_timestamp(ts) div 86400").as("d")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val dmin = d0.map(_._3).min
+    val half = (d0.map(_._3).max - dmin + 1) / 2
+    for ((tpe, (n1, n2, tv)) <- rows) {
+      assert(tv >= 0L && tv <= 1000000L, s"$tpe tv out of range")
+      val mine = d0.filter(_._1 == tpe)
+      val c1 = mine.filter(_._3 - dmin < half).groupBy(_._2)
+        .view.mapValues(_.length.toLong).toMap
+      val c2 = mine.filter(_._3 - dmin >= half).groupBy(_._2)
+        .view.mapValues(_.length.toLong).toMap
+      assert(c1.values.sum === n1 && c2.values.sum === n2)
+      val num = (c1.keySet ++ c2.keySet).toSeq.map { b =>
+        (BigInt(c1.getOrElse(b, 0L)) * n2 -
+          BigInt(c2.getOrElse(b, 0L)) * n1).abs
+      }.sum
+      val expect = num * 1000000 /
+        (2 * BigInt(math.max(n1, 1L)) * math.max(n2, 1L))
+      assert(BigInt(tv) === expect, s"$tpe TV mismatch")
+    }
+  }
 }

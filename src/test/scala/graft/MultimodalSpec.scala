@@ -127,4 +127,33 @@ class MultimodalSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("MapPartitions"), plan.take(1000))
   }
+
+  test("q231 guarantees every planted one-byte perturbation pair: " +
+    "candidate generated and within radius") {
+    val pairs = Multimodal.q231PayloadPhash(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ids = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    for (id <- ids) {
+      val h = pairs.get((id, id + Multimodal.PhashOffset))
+      assert(h.isDefined, s"planted pair for asset $id missed")
+      // a single byte change flips at most its two adjacent comparisons
+      assert(h.get <= 2L, s"asset $id planted hamming ${h.get} > 2")
+    }
+    // every released pair respects the declared radius and ordering
+    for (((a, b), h) <- pairs) {
+      assert(a < b && h >= 0L && h <= Multimodal.PhashRadius.toLong)
+    }
+  }
+
+  test("q231 hash is the declared dHash: hand-check on a known payload") {
+    // strictly increasing bytes => every comparison fires => all 48 bits
+    val inc = Array.tabulate[Byte](49)(i => (i + 32).toByte)
+    assert(Multimodal.dhash48(inc) === (1L << 48) - 1)
+    // constant payload => no comparison fires
+    assert(Multimodal.dhash48(Array.fill[Byte](100)(65)) === 0L)
+    // strictly decreasing => 0
+    val dec = Array.tabulate[Byte](49)(i => (120 - i).toByte)
+    assert(Multimodal.dhash48(dec) === 0L)
+  }
 }
