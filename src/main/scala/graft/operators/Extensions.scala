@@ -2665,7 +2665,156 @@ object Extensions {
         FROM census c JOIN totals t ON c.event_type = t.event_type
         GROUP BY c.event_type, t.n1, t.n2"""
 
+  // ------------------------------------------------------------ q232
+
+  /** Ingest lanes for q232's replay model (Kafka-partition analog). */
+  val LatenessLanes = 4
+
+  /** q232 — EVENT-TIME LATENESS AUDIT (the batch query that CONFIGURES
+    * streaming): a `withWatermark` delay is a guess unless measured —
+    * too tight drops late events, too loose holds state. The replay
+    * models the multi-partition ingest that CREATES lateness: each
+    * event rides one of 4 lanes (user_id mod 4 — the Kafka-partition
+    * analog; the raw event_id sequence is time-sorted in this dataset
+    * and would audit an idealized single-lane collector), each lane
+    * delivers in event-time order, and the collector merges lanes by
+    * lane-local sequence number — so a slow lane's old events land
+    * after a fast lane's new ones, exactly the cross-partition skew
+    * watermarks exist for. Per event, lateness = the merged stream's
+    * event-time high-water mark at its arrival minus its own event
+    * time. Declared per type: event count, late count, late share in
+    * exact ppm, max lateness in seconds — the number `withWatermark`
+    * needs (the streaming shapes q109/q117/q126 consume this bound).
+    *
+    * Scale shape: two type-keyed exchanges — one (type, lane) window
+    * for lane sequence numbers, one (type) window for the merged
+    * high-water mark (each type's stream is what gets watermarked;
+    * there is no global arrival window anywhere); the rollup groups by
+    * the second window's partition key, so Catalyst reuses that
+    * exchange. Integer seconds throughout. */
+  def q232LatenessAudit(s: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy("event_type", "lane")
+      .orderBy("es", "event_id")
+    val wArr = Window.partitionBy("event_type").orderBy("seq", "lane")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        (col("user_id") % LatenessLanes).as("lane"),
+        expr("unix_timestamp(ts)").as("es"))
+      .withColumn("seq", row_number().over(wSeq))
+      .withColumn("late_s", max("es").over(wArr) - col("es"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_s") > 0, 1L).otherwise(0L)).as("n_late"),
+        max("late_s").as("max_lateness_s"))
+      .withColumn("late_share_ppm",
+        expr("n_late * 1000000 div n_events"))
+  }
+
+  private def q232OracleSql: String =
+    s"""WITH ev AS (SELECT event_type, event_id,
+          user_id % $LatenessLanes AS lane,
+          epoch_ns(ts) // 1000000000 AS es FROM events),
+        sq AS (SELECT *, row_number() OVER (PARTITION BY event_type,
+            lane ORDER BY es, event_id) AS seq FROM ev),
+        lt AS (SELECT event_type,
+            max(es) OVER (PARTITION BY event_type ORDER BY seq, lane
+              ROWS UNBOUNDED PRECEDING) - es AS late_s
+          FROM sq)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_late,
+          CAST(max(late_s) AS BIGINT) AS max_lateness_s,
+          CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS late_share_ppm
+        FROM lt GROUP BY event_type"""
+
+  // ------------------------------------------------------------ q233
+
+  /** t-closeness threshold: a class fails when its sensitive-value
+    * distribution sits further than 0.25 TV from the global one. */
+  val TClosePpm = 250000L
+
+  /** q233 — T-CLOSENESS audit (Li et al. 2007; the release gate that
+    * completes the privacy trio: k-anonymity q167 bounds class SIZE,
+    * l-diversity q217 bounds sensitive CARDINALITY — both pass a class
+    * whose sensitive DISTRIBUTION still leaks, e.g. 95% one segment
+    * where the population is 20%; t-closeness bounds the distribution
+    * DISTANCE itself). Same quasi-identifier classes as q217
+    * ((nation, balance band)), sensitive attribute = market segment;
+    * distance = total variation (the categorical EMD with unit ground
+    * distance — q229's exact-integer arithmetic at class level:
+    * Σ_seg |c·N − g·n|·10⁶ div (2·n·N), absent segments contributing
+    * |0·N − g·n|). Declared per nation: classes, rows, worst t, and
+    * the classes/rows failing t ≤ 0.25.
+    *
+    * Scale shape: one (nation, band, seg) census shuffle; class
+    * totals, the 5-row global segment frame (broadcast), the per-class
+    * TV and the nation rollup all ride census-sized frames. */
+  def q233TCloseness(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment").as("seg"),
+        expr("""CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                div 100000""").as("band"))
+    val cs = q.groupBy("c_nationkey", "band", "seg")
+      .agg(count(lit(1)).as("c"))
+    val cls = cs.groupBy("c_nationkey", "band").agg(sum("c").as("n"))
+    val glob = cs.groupBy("seg").agg(sum("c").as("g"))
+    val tot = glob.agg(sum("g").as("ntot"))
+    val perClass = cls
+      .crossJoin(broadcast(glob))
+      .join(cs, Seq("c_nationkey", "band", "seg"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("c_nationkey"), col("band"), col("n"), col("ntot"))
+      .agg(sum(expr("""abs(CAST(c0 AS DECIMAL(38,0)) * ntot
+                       - CAST(g AS DECIMAL(38,0)) * n)""")).as("num"))
+      .withColumn("t_ppm",
+        expr("""CAST(num * 1000000 div (2 * CAST(n AS DECIMAL(38,0))
+                * ntot) AS BIGINT)"""))
+    perClass.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_classes"), sum("n").as("n_rows"),
+        max("t_ppm").as("max_t_ppm"),
+        sum(when(col("t_ppm") > TClosePpm, 1L).otherwise(0L))
+          .as("n_far_classes"),
+        sum(when(col("t_ppm") > TClosePpm, col("n")).otherwise(0L))
+          .as("n_rows_at_risk"))
+  }
+
+  private def q233OracleSql: String =
+    s"""WITH q AS (SELECT c_nationkey, c_mktsegment AS seg,
+          CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+            // 100000 AS band
+        FROM customer),
+        cs AS (SELECT c_nationkey, band, seg,
+            CAST(count(*) AS BIGINT) AS c
+          FROM q GROUP BY c_nationkey, band, seg),
+        cls AS (SELECT c_nationkey, band, CAST(sum(c) AS BIGINT) AS n
+          FROM cs GROUP BY c_nationkey, band),
+        gseg AS (SELECT seg, CAST(sum(c) AS BIGINT) AS g
+          FROM cs GROUP BY seg),
+        tot AS (SELECT CAST(sum(g) AS BIGINT) AS ntot FROM gseg),
+        pc AS (SELECT cls.c_nationkey, cls.band, cls.n, tot.ntot,
+            CAST(sum(abs(CAST(coalesce(cs.c, 0) AS HUGEINT) * tot.ntot
+              - CAST(gseg.g AS HUGEINT) * cls.n)) * 1000000
+              // (2 * CAST(cls.n AS HUGEINT) * tot.ntot) AS BIGINT)
+              AS t_ppm
+          FROM cls CROSS JOIN gseg CROSS JOIN tot
+          LEFT JOIN cs ON cs.c_nationkey = cls.c_nationkey
+            AND cs.band = cls.band AND cs.seg = gseg.seg
+          GROUP BY cls.c_nationkey, cls.band, cls.n, tot.ntot)
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_classes,
+          CAST(sum(n) AS BIGINT) AS n_rows,
+          CAST(max(t_ppm) AS BIGINT) AS max_t_ppm,
+          CAST(sum(CASE WHEN t_ppm > $TClosePpm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_far_classes,
+          CAST(sum(CASE WHEN t_ppm > $TClosePpm THEN n ELSE 0 END)
+            AS BIGINT) AS n_rows_at_risk
+        FROM pc GROUP BY c_nationkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_lateness_audit" -> (q232LatenessAudit _),
+    "q233_t_closeness" -> (q233TCloseness _),
     "q229_tv_distance" -> (q229TvDistance _),
     "q226_join_blowup" -> (q226JoinBlowup _),
     "q150_markov_transitions" -> (q150MarkovTransitions _),
@@ -2742,6 +2891,8 @@ object Extensions {
     "q60_percentiles" -> (q60Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q232_lateness_audit" -> q232OracleSql,
+    "q233_t_closeness" -> q233OracleSql,
     "q229_tv_distance" -> q229OracleSql,
     "q226_join_blowup" -> q226OracleSql,
     "q150_markov_transitions" -> q150OracleSql,

@@ -476,7 +476,93 @@ object Graph {
         GROUP BY e.src"""
   }
 
+  // ------------------------------------------------------------ q234
+
+  /** Hop budget for q234: min cost over paths of ≤ 8 edges — the fixed
+    * round count is part of the declared semantics (q131's MaxHops
+    * discipline), which is what lets a synchronous relaxation and a
+    * recursive-CTE oracle agree exactly. */
+  val SsspHops = 8
+
+  /** Weighted corridor graph for q234: q131's rarity-ranked corridor
+    * edges, each carrying the integer scarcity cost
+    * w = ceil(max_cnt / cnt) — the busiest corridor costs 1, rare ones
+    * proportionally more. `intDiv` parameterizes the engine's integer
+    * division spelling (`div` Spark, `//` DuckDB). */
+  private def weightedCorridorSql(lineitem: String, orders: String,
+      customer: String, supplier: String, intDiv: String,
+      budget: Int = RareEdges): String =
+    s"""SELECT src, dst, (mx + cnt - 1) $intDiv cnt AS w FROM (
+          SELECT src, dst, cnt,
+            row_number() OVER (ORDER BY cnt, src, dst) AS rn,
+            max(cnt) OVER () AS mx
+          FROM (SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+                  CAST(s.s_nationkey AS BIGINT) AS dst,
+                  count(*) AS cnt
+                FROM $lineitem l
+                JOIN $orders o ON l.l_orderkey = o.o_orderkey
+                JOIN $customer c ON o.o_custkey = c.c_custkey
+                JOIN $supplier s ON l.l_suppkey = s.s_suppkey
+                WHERE c.c_nationkey <> s.s_nationkey
+                GROUP BY 1, 2) g) rk
+        WHERE rn <= $budget"""
+
+  /** q234 — HOP-BOUNDED WEIGHTED SHORTEST PATHS (single-source
+    * Bellman-Ford, the weighted completion of q131's min-hop BFS): min
+    * total corridor cost from nation 0 over paths of ≤ [[SsspHops]]
+    * edges. Weights are exact integers (scarcity cost of the corridor
+    * census), so relaxation minima are engine-exact where float edge
+    * weights would tie-break on rounding.
+    *
+    * Spark side: synchronous relaxation — exactly [[SsspHops]] rounds
+    * of dist' = min(dist, min over incoming (dist[src] + w)), which
+    * computes the ≤-k-edge shortest path by induction. Each round is
+    * ONE dst-keyed shuffle (relax + min) against the cached edge frame,
+    * `localCheckpoint` truncating lineage (the q99/q147 iterative
+    * discipline). At 100 TB the edge frame is the partitioned side and
+    * the frontier-sized dist frame broadcasts — same shape as q131.
+    *
+    * Oracle: recursive CTE enumerating cost-accumulating walks to hop
+    * < [[SsspHops]], then min per node — the same semantics by
+    * exhaustion (bounded: walk count ≤ deg^hops on the domain-sized
+    * corridor graph). */
+  def q234Sssp(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("g234_lineitem")
+    t(s, dir, "orders").createOrReplaceTempView("g234_orders")
+    t(s, dir, "customer").createOrReplaceTempView("g234_customer")
+    t(s, dir, "supplier").createOrReplaceTempView("g234_supplier")
+    val edges = s.sql(weightedCorridorSql("g234_lineitem", "g234_orders",
+        "g234_customer", "g234_supplier", "div"))
+      .localCheckpoint(true)
+    var dist = edges.sparkSession
+      .range(1).select(lit(0L).as("id"), lit(0L).as("cost"))
+    for (round <- 1 to SsspHops) {
+      val relaxed = edges
+        .join(dist, edges("src") === dist("id"))
+        .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
+        .groupBy("id").agg(min("cost").as("cost"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("id").agg(min("cost").as("cost"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  private def q234OracleSql: String =
+    s"""WITH RECURSIVE wc AS (
+          ${weightedCorridorSql("lineitem", "orders", "customer",
+            "supplier", "//")}),
+        r(id, cost, hops) AS (
+          SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+          UNION ALL
+          SELECT e.dst, r.cost + e.w, r.hops + 1
+          FROM r JOIN wc e ON e.src = r.id
+          WHERE r.hops < $SsspHops)
+        SELECT id, CAST(min(cost) AS BIGINT) AS cost
+        FROM r GROUP BY id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_sssp" -> (q234Sssp _),
     "q99_pagerank" -> (q99PageRank _),
     "q105_triangle_count" -> (q105TriangleCount _),
     "q131_reachability" -> (q131Reachability _),
@@ -484,6 +570,7 @@ object Graph {
     "q155_kcore" -> (q155KCore _))
 
   val oracleSql: Map[String, String] = Map(
+    "q234_sssp" -> q234OracleSql,
     "q99_pagerank" -> q99OracleSql,
     "q105_triangle_count" -> q105OracleSql,
     "q131_reachability" -> q131OracleSql,

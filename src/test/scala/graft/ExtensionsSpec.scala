@@ -911,4 +911,77 @@ class ExtensionsSpec extends SparkSpec {
       assert(BigInt(tv) === expect, s"$tpe TV mismatch")
     }
   }
+
+  test("q232 lateness audit matches a per-type high-water-mark replay " +
+    "and finds real out-of-orderness") {
+    val rows = graft.operators.Extensions.q232LatenessAudit(spark, sf1)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select("event_type", "event_id", "user_id", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).getTime / 1000))
+    val Lanes = graft.operators.Extensions.LatenessLanes
+    for ((tpe, (n, nLate, maxLate, share)) <- rows) {
+      val mine = ev.filter(_._1 == tpe)
+      assert(n === mine.length.toLong)
+      // replay: lane-local sequence by (ts, id), merge by (seq, lane)
+      val arrival = mine.groupBy(_._3 % Lanes).toSeq.flatMap {
+        case (lane, evs) =>
+          evs.sortBy(e => (e._4, e._2)).zipWithIndex
+            .map { case (e, i) => (i + 1, lane, e._4) }
+      }.sortBy { case (seq, lane, _) => (seq, lane) }
+      var hwm = Long.MinValue
+      var late = 0L
+      var worst = 0L
+      for ((_, _, es) <- arrival) {
+        hwm = math.max(hwm, es)
+        val l = hwm - es
+        if (l > 0) late += 1
+        worst = math.max(worst, l)
+      }
+      assert(nLate === late, s"$tpe late count")
+      assert(maxLate === worst, s"$tpe max lateness")
+      assert(share === late * 1000000L / n)
+      // the lane merge produced real out-of-orderness for every type
+      assert(nLate > 0, s"$tpe: lane-skew replay found no lateness")
+    }
+  }
+
+  test("q233 completes the privacy trio on q217's classes and matches " +
+    "a recomputed worst-class TV per nation") {
+    val E = graft.operators.Extensions
+    val rows = E.q233TCloseness(spark, sf1).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val cust = graft.sources.Tables.load(spark, sf1, "customer")
+      .selectExpr("c_nationkey", "c_mktsegment AS seg",
+        """CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           div 100000 AS band""").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val ntot = BigInt(cust.length)
+    val gseg = cust.groupBy(_._2).view.mapValues(v => BigInt(v.length))
+    for ((nat, (nCls, nRows, maxT, nFar, atRisk)) <- rows) {
+      val mine = cust.filter(_._1 == nat)
+      assert(nRows === mine.length.toLong, s"nation $nat row census")
+      val classes = mine.groupBy(_._3)
+      assert(nCls === classes.size.toLong)
+      // note: .values.toSeq first — mapping a Map to (t, n) pairs would
+      // rebuild a Map keyed by t and collapse equal-t classes
+      val ts = classes.values.toSeq.map { members =>
+        val n = BigInt(members.length)
+        val cseg = members.groupBy(_._2).view
+          .mapValues(v => BigInt(v.length))
+        val num = gseg.keys.map(sg =>
+          (cseg.getOrElse(sg, BigInt(0)) * ntot - gseg(sg) * n).abs).sum
+        (num * 1000000 / (2 * n * ntot), n)
+      }.toSeq
+      assert(BigInt(maxT) === ts.map(_._1).max, s"nation $nat worst t")
+      assert(maxT <= 1000000L)
+      assert(nFar === ts.count(_._1 > E.TClosePpm).toLong)
+      assert(BigInt(atRisk) ===
+        ts.filter(_._1 > E.TClosePpm).map(_._2).sum)
+    }
+  }
 }

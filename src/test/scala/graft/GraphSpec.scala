@@ -139,4 +139,22 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(early === core, "peel had not converged at rounds - 1")
   }
+
+  test("q234 weighted SSSP reaches exactly q131's hop-bounded set, " +
+    "with source cost 0 and every cost dominating the hop count") {
+    val dist = Graph.q234Sssp(spark, sf1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist(0L) === 0L, "source must cost 0")
+    // same rarity-ranked corridor edges, same hop budget => same
+    // reachable set as the min-hop BFS
+    val hops = Graph.q131Reachability(spark, sf1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist.keySet === hops.keySet,
+      "weighted and unweighted runs must agree on reachability")
+    // weights are >= 1, so cost >= min-hop count; and a cheapest path
+    // never beats hops * max possible weight
+    for ((id, c) <- dist if id != 0L) {
+      assert(c >= hops(id), s"node $id: cost $c below hop bound")
+    }
+  }
 }
