@@ -53,7 +53,12 @@ object Scaling {
     "q213_sink_order", "q214_bigram_lm_score", "q215_mrr_eval",
     "q216_cdc_chunk_dedup", "q217_l_diversity",
     "q218_tokenizer_fertility", "q219_burst_detection",
-    "q220_hist_equalize", "q221_dense_ids", "q222_incremental_cc")
+    "q220_hist_equalize", "q221_dense_ids", "q222_incremental_cc",
+    // late-round-8 additions: every new query with a join/iteration
+    // whose volume could hide growth (fusion and censuses excluded as
+    // structurally domain-sized)
+    "q224_split_leakage", "q227_margin_knn", "q228_quantile_normalize",
+    "q230_blocking_eval", "q231_payload_phash", "q234_sssp")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",

@@ -545,41 +545,58 @@ object Multimodal {
         FROM re r JOIN din d ON r.asset_id = d.asset_id
         GROUP BY r.asset_id, d.distinct_in"""
 
-  /** q231 constants: 49 payload samples → 48 dHash bits, banded 3×16
-    * for guaranteed candidate generation at Hamming ≤ 2 (pigeonhole: 2
-    * flipped bits ruin at most 2 of 3 bands); released radius 6. */
-  val PhashSamples = 49
-  val PhashBits = 48
+  /** q231 constants: 97 payload samples → 96 dHash bits (two 48-bit
+    * words), banded 3×32 for guaranteed candidate generation at
+    * Hamming ≤ 2 (pigeonhole: 2 flipped bits ruin at most 2 of 3
+    * bands); released radius 6. 32-bit band keys are the SCALE choice:
+    * the first cut of this operator banded a 48-bit hash 3×16, and the
+    * scaling harness measured candidate volume ×29 for a ×10 corpus
+    * step — 65k key values saturate under a clustered hash family
+    * (dHash bits are far from uniform), the same failure mode q71
+    * df-caps. Widening the hash (more samples — each byte still
+    * touches ≤ 2 comparisons, so the flip bound is unchanged) widens
+    * the keys instead of capping: measured back to output-bounded
+    * (SCALING.md). */
+  val PhashSamples = 97
+  val PhashBits = 96
   val PhashBands = 3
   val PhashRadius = 6
   /** doc_id offset of the planted perturbed copies (distinct from
     * Dedup.PlantedOffset so the corpora can't be confused in a join). */
   val PhashOffset = 200000L
 
-  /** 48-bit difference hash of a payload: 49 evenly spaced byte samples
-    * (positions (i·(L−1)) div 48 — resolution-independent, the dHash
+  /** 96-bit difference hash of a payload as two 48-bit words (lo =
+    * bits 0..47, hi = bits 48..95): 97 evenly spaced byte samples
+    * (positions (i·(L−1)) div 96 — resolution-independent, the dHash
     * trick that makes the signature survive scaling/padding), bit i =
-    * sample_i < sample_{i+1}. Pure integer; bit-identical to the
+    * sample_i < sample_{i+1}. Any single changed byte occupies one
+    * contiguous sample run, so it alters at most the run's two
+    * boundary comparisons — the ≤ 2-flip bound the banding guarantee
+    * rests on, at ANY hash width. Pure integer; bit-identical to the
     * oracle's ascii/substr arithmetic on ASCII payloads. */
-  private[graft] def dhash48(b: Array[Byte]): Long = {
+  private[graft] def dhash96(b: Array[Byte]): (Long, Long) = {
     val L = b.length.toLong
-    if (L < 2) return 0L
-    var h = 0L
+    if (L < 2) return (0L, 0L)
+    var lo = 0L
+    var hi = 0L
     var prev = b(0) & 0xff
     var i = 1
     while (i <= PhashBits) {
       val cur = b(((i.toLong * (L - 1)) / PhashBits).toInt) & 0xff
-      if (prev < cur) h |= (1L << (i - 1))
+      if (prev < cur) {
+        if (i <= 48) lo |= (1L << (i - 1))
+        else hi |= (1L << (i - 49))
+      }
       prev = cur
       i += 1
     }
-    h
+    (lo, hi)
   }
 
   /** q231 — PERCEPTUAL-HASH NEAR-DUP over binary payloads (the
     * image-dedup verb: pHash/dHash bucket join — the multimodal
     * counterpart of text LSH q30 and bit-signature search q71): each
-    * payload reduces to a 48-bit difference hash in one typed map (the
+    * payload reduces to a 96-bit difference hash in one typed map (the
     * codec slot — a real image dHash decodes + downsamples first, same
     * plumbing), candidates come from a 16-bit band equi-join, pairs
     * verified at Hamming ≤ 6. Corpus = assets ∪ a planted
@@ -603,14 +620,18 @@ object Multimodal {
       a.copy(asset_id = a.asset_id + PhashOffset, payload = p)
     }
     val hashes = base.union(planted)
-      .map(a => (a.asset_id, dhash48(a.payload)))
-      .toDF("asset_id", "h")
-    val bands = hashes.select(col("asset_id"), col("h"),
+      .map { a => val (lo, hi) = dhash96(a.payload); (a.asset_id, lo, hi) }
+      .toDF("asset_id", "h0", "h1")
+    // 32-bit band keys sliced across the two words: bits 0..31 from h0,
+    // 32..63 straddling (h0 high 16 | h1 low 16), 64..95 from h1
+    val bands = hashes.select(col("asset_id"), col("h0"), col("h1"),
       explode(expr(
-        s"""transform(sequence(0, ${PhashBands - 1}),
-            b -> struct(b AS band,
-              shiftright(h, 16 * b) & 65535 AS bkey))""")).as("bk"))
-      .select(col("asset_id"), col("h"),
+        """array(
+            struct(0 AS band, h0 & 4294967295 AS bkey),
+            struct(1 AS band, shiftright(h0, 32)
+              | shiftleft(h1 & 65535, 16) AS bkey),
+            struct(2 AS band, shiftright(h1, 16) AS bkey))""")).as("bk"))
+      .select(col("asset_id"), col("h0"), col("h1"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
@@ -618,7 +639,8 @@ object Multimodal {
           col("x.asset_id") < col("y.asset_id"))
       .select(col("x.asset_id").as("asset_id_1"),
         col("y.asset_id").as("asset_id_2"),
-        expr("CAST(bit_count(x.h ^ y.h) AS BIGINT)").as("hamming"))
+        expr("""CAST(bit_count(x.h0 ^ y.h0) + bit_count(x.h1 ^ y.h1)
+                AS BIGINT)""").as("hamming"))
       .distinct()
       .filter(col("hamming") <= PhashRadius)
   }
@@ -636,17 +658,28 @@ object Multimodal {
                 // $PhashBits AS BIGINT), 1))) AS sv
           FROM u),
         ph AS (SELECT asset_id,
-            CAST(list_sum(list_transform(range(0, $PhashBits), ph_i ->
+            CAST(list_sum(list_transform(range(0, 48), ph_i ->
               CASE WHEN sv[ph_i + 1] < sv[ph_i + 2]
                    THEN (CAST(1 AS BIGINT) << ph_i) ELSE 0 END))
-              AS BIGINT) AS h
+              AS BIGINT) AS h0,
+            CAST(list_sum(list_transform(range(48, $PhashBits), ph_i ->
+              CASE WHEN sv[ph_i + 1] < sv[ph_i + 2]
+                   THEN (CAST(1 AS BIGINT) << (ph_i - 48)) ELSE 0 END))
+              AS BIGINT) AS h1
           FROM sm),
-        bands AS (SELECT asset_id, h, bb.b AS band,
-            (h >> (16 * bb.b)) & 65535 AS bkey
-          FROM ph, (SELECT unnest(range(0, $PhashBands)) AS b) bb),
+        bands AS (
+          SELECT asset_id, h0, h1, 0 AS band,
+            h0 & 4294967295 AS bkey FROM ph
+          UNION ALL
+          SELECT asset_id, h0, h1, 1 AS band,
+            (h0 >> 32) | ((h1 & 65535) << 16) AS bkey FROM ph
+          UNION ALL
+          SELECT asset_id, h0, h1, 2 AS band,
+            h1 >> 16 AS bkey FROM ph),
         cand AS (SELECT DISTINCT x.asset_id AS asset_id_1,
             y.asset_id AS asset_id_2,
-            CAST(bit_count(xor(x.h, y.h)) AS BIGINT) AS hamming
+            CAST(bit_count(xor(x.h0, y.h0))
+              + bit_count(xor(x.h1, y.h1)) AS BIGINT) AS hamming
           FROM bands x JOIN bands y
             ON x.band = y.band AND x.bkey = y.bkey
               AND x.asset_id < y.asset_id)

@@ -1427,7 +1427,46 @@ object Pipeline {
        FROM (SELECT r.*, tt.nn FROM r, tt) rr
        JOIN pooled ON pooled.pr = (rr.r * rr.nn) // rr.ng"""
 
+  // ------------------------------------------------------------ q237
+
+  /** q237 sample size. */
+  val WSampleK = 100
+
+  /** q237 — DETERMINISTIC WEIGHTED SAMPLING without replacement (the
+    * reproducible analog of the Efraimidis-Spirakis A-ES scheme, with
+    * the random key replaced by the content hash — q62's discipline
+    * applied to weighted selection): every document gets priority =
+    * (poly_hash(text) mod 1000003) · 10⁶ div weight (weight = n_chars);
+    * the K smallest priorities are the sample. Heavier documents draw
+    * proportionally smaller priorities, so inclusion probability tracks
+    * weight like A-ES, but the draw is a pure function of content —
+    * re-runs, re-partitions, and corpus re-orders reproduce it exactly
+    * (what makes a training-mixture sample auditable, and what lets the
+    * differential pin a "random" sample at all).
+    *
+    * Scale shape: priority is in-row arithmetic; selection is a top-K
+    * (TakeOrderedAndProject — K rows per partition cross the wire). One
+    * scan, no shuffle beyond the K-row gather. */
+  def q237WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("weight"),
+        expr("""(poly_hash(text) % 1000003) * 1000000
+                div greatest(n_chars, 1)""").as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(WSampleK)
+  }
+
+  private def q237OracleSql: String =
+    s"""WITH p AS (SELECT doc_id, n_chars AS weight,
+          (${duckCharFold("text")} % 1000003) * 1000000
+            // greatest(n_chars, 1) AS priority
+        FROM documents)
+        SELECT doc_id, weight, priority FROM p
+        ORDER BY priority, doc_id LIMIT $WSampleK"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_weighted_sample" -> (q237WeightedSample _),
     "q228_quantile_normalize" -> (q228QuantileNormalize _),
     "q223_rrf_fusion" -> (q223RrfFusion _),
     "q225_effective_sources" -> (q225EffectiveSources _),
@@ -1455,6 +1494,7 @@ object Pipeline {
     "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q237_weighted_sample" -> q237OracleSql,
     "q228_quantile_normalize" -> q228OracleSql,
     "q223_rrf_fusion" -> q223OracleSql,
     "q225_effective_sources" -> q225OracleSql,

@@ -1013,7 +1013,53 @@ object Similarity {
           END AS margin_ppm
         FROM agg"""
 
+  /** Output dimensionality of q235's projection. */
+  val RpDims = 16
+
+  /** q235 — RANDOM-PROJECTION DIMENSIONALITY REDUCTION (the
+    * Johnson-Lindenstrauss sketch; Achlioptas ±1 variant): every
+    * embedding projected from 64 to 16 dims through the SAME fixed ±1
+    * plane family the dedup suite buckets with (Dedup.planesFor — seed
+    * 42, PREFIX-STABLE: planes 0..3 are exactly q33's SRP bucket
+    * planes, so sign(proj 0..3) IS the q33 bucket, spec-pinned). The
+    * compressed representation every downstream ANN/clustering pass
+    * wants when 64-dim is too wide to shuffle; released in fixed point
+    * (floor ×1000 — the one float product chain is vec_dot's fold,
+    * bit-identical to DuckDB's list_dot_product) in long form
+    * (vec_id, dim, proj_fp) so the differential sees scalars.
+    *
+    * Scale shape: purely map-side — 16 codegen'd in-row dot products
+    * per vector, zero shuffles, zero joins; the plane matrix is a
+    * compile-time literal in the plan (64×16 doubles), not a broadcast.
+    * At 100 TB this is the cheapest possible whole-corpus transform. */
+  def q235RandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val planes = Dedup.planesFor(RpDims)
+    val arr = (0 until RpDims).map { p =>
+      val litArr = planes(p).map(v => s"${v}D")
+        .mkString("array(", ", ", ")")
+      s"CAST(floor(vec_dot(ed, $litArr) * 1000) AS BIGINT)"
+    }.mkString("array(", ", ", ")")
+    vectors(s, dir)
+      .select(col("vec_id"), posexplode(expr(arr)))
+      .select(col("vec_id"), col("pos").cast("bigint").as("dim"),
+        col("col").as("proj_fp"))
+  }
+
+  private def q235OracleSql: String = {
+    val planes = Dedup.planesFor(RpDims)
+    val arms = (0 until RpDims).map { p =>
+      val litArr = planes(p).map(_.toString).mkString("[", ", ", "]")
+      s"""SELECT vec_id, CAST($p AS BIGINT) AS dim,
+          CAST(floor(list_dot_product(ed, $litArr) * 1000) AS BIGINT)
+            AS proj_fp FROM e"""
+    }.mkString("\n UNION ALL\n ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+          CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
+        $arms"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_random_projection" -> (q235RandomProjection _),
     "q227_margin_knn" -> (q227MarginKnn _),
     "q153_ann_eval" -> (q153AnnEval _),
     "q215_mrr_eval" -> (q215MrrEval _),
@@ -1031,6 +1077,7 @@ object Similarity {
     "q91_quantize_embeddings" -> (q91QuantizeEmbeddings _))
 
   val oracleSql: Map[String, String] = Map(
+    "q235_random_projection" -> q235OracleSql,
     "q227_margin_knn" -> q227OracleSql,
     "q153_ann_eval" -> q153OracleSql,
     "q215_mrr_eval" -> q215OracleSql,

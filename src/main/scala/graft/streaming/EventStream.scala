@@ -601,8 +601,84 @@ object EventStream {
        FROM sess, wm
        WHERE session_end + INTERVAL 30 MINUTE <= m"""
 
+  /** q236 sketch size and hash modulus (q181's KmvM convention). */
+  val StreamKmvK = 32
+  val StreamKmvM = 2147483647L
+
+  /** q236 — MERGEABLE SKETCH STATE IN STREAMING: per (day, type) window
+    * the [[graft.functions.KmvMin]] k-minimum-values sketch of the
+    * user-id hash stream, run as a streaming aggregation (complete
+    * mode, AvailableNow) — the 9th declared streaming shape, and the
+    * one that answers "how do you count distincts in a stream without
+    * holding the distincts": window state is k sorted longs, NOT the
+    * user set, no matter how many events the window sees (q109 holds a
+    * 2-number aggregate, q126 holds the dedup horizon — this holds a
+    * SKETCH). The hash is deterministic (q181's LCG convention), so the
+    * sketch content — not just its estimate — is a pure function of the
+    * window's user multiset, and the DuckDB oracle reproduces the k-th
+    * min and the estimate exactly: (k−1)·(M−1) div kth (exact count
+    * released when the window holds fewer than k distinct hashes).
+    *
+    * Scale shape: the sketch buffer partially aggregates map-side like
+    * any typed Aggregator (min-k of a union = min-k of min-k's), so
+    * shuffle bytes per partition are O(k) per open window; at 100 TB
+    * the same aggregator swaps into q209/q211 when exact distincts
+    * stop fitting — this query pins its semantics under the
+    * differential. */
+  def q236StreamKmv(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q236_stream_kmv_mem"
+    s.catalog.dropTempView(name)
+    val kmv = udaf(new graft.functions.KmvMin(StreamKmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val q = readEvents(s, dir)
+      .withWatermark("ts", "1 day")
+      .select(col("ts"), col("event_type"),
+        expr(s"(user_id * 1103515245 + 12345) % $StreamKmvM").as("hv"))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(kmv(col("hv")).as("mins"))
+      .select(col("window.start").cast("date").as("day"),
+        col("event_type"), col("mins"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("day"), col("event_type"),
+        size(col("mins")).cast("bigint").as("n_mins"),
+        expr("element_at(mins, size(mins))").as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_mins") >= StreamKmvK,
+          expr(s"(CAST(${StreamKmvK - 1} AS BIGINT)" +
+            s" * ${StreamKmvM - 1}) div greatest(kth_hash, 1)"))
+          .otherwise(col("n_mins")))
+  }
+
+  private def q236OracleSql: String =
+    s"""WITH h AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+          AS day, event_type,
+          (user_id * 1103515245 + 12345) % $StreamKmvM AS hv
+        FROM events),
+        r AS (SELECT day, event_type, hv,
+            row_number() OVER (PARTITION BY day, event_type
+              ORDER BY hv) AS rn,
+            count(*) OVER (PARTITION BY day, event_type) AS nd
+          FROM h)
+        SELECT day, event_type,
+          CAST(least($StreamKmvK, nd) AS BIGINT) AS n_mins,
+          CAST(hv AS BIGINT) AS kth_hash,
+          CAST(CASE WHEN nd >= $StreamKmvK
+            THEN (CAST(${StreamKmvK - 1} AS BIGINT) * ${StreamKmvM - 1})
+              // greatest(hv, 1)
+            ELSE nd END AS BIGINT) AS est_distinct
+        FROM r WHERE rn = least($StreamKmvK, nd)"""
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q236_stream_kmv" -> (q236StreamKmv _),
     "q188_stream_session_window" -> (q188StreamSessionWindow _),
     "q157_stream_lsh" -> (q157StreamLsh _),
     "q146_stream_upsert" -> (q146StreamUpsert _),
@@ -616,6 +692,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q236_stream_kmv" -> q236OracleSql,
     "q188_stream_session_window" -> q188OracleSql,
     "q157_stream_lsh" -> graft.operators.Dedup.q30OracleSql,
     "q146_stream_upsert" -> q146OracleSql,

@@ -147,13 +147,20 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("q231 hash is the declared dHash: hand-check on a known payload") {
-    // strictly increasing bytes => every comparison fires => all 48 bits
-    val inc = Array.tabulate[Byte](49)(i => (i + 32).toByte)
-    assert(Multimodal.dhash48(inc) === (1L << 48) - 1)
+    // strictly increasing bytes => every comparison fires => all 96 bits
+    val inc = Array.tabulate[Byte](97)(i => (i + 16).toByte)
+    assert(Multimodal.dhash96(inc) === (((1L << 48) - 1, (1L << 48) - 1)))
     // constant payload => no comparison fires
-    assert(Multimodal.dhash48(Array.fill[Byte](100)(65)) === 0L)
+    assert(Multimodal.dhash96(Array.fill[Byte](100)(65)) === ((0L, 0L)))
     // strictly decreasing => 0
-    val dec = Array.tabulate[Byte](49)(i => (120 - i).toByte)
-    assert(Multimodal.dhash48(dec) === 0L)
+    val dec = Array.tabulate[Byte](97)(i => (120 - i).toByte)
+    assert(Multimodal.dhash96(dec) === ((0L, 0L)))
+    // one changed byte flips at most 2 bits across the two words
+    val base = Array.tabulate[Byte](300)(i => ((i * 37) % 96 + 32).toByte)
+    val mut = base.clone(); mut(150) = 'x'.toByte
+    val (a0, a1) = Multimodal.dhash96(base)
+    val (b0, b1) = Multimodal.dhash96(mut)
+    assert(java.lang.Long.bitCount(a0 ^ b0) +
+      java.lang.Long.bitCount(a1 ^ b1) <= 2)
   }
 }

@@ -450,4 +450,23 @@ class PipelineSpec extends SparkSpec {
       assert(qs.forall(pooledVals.contains))
     }
   }
+
+  test("q237 weighted sample is deterministic under re-run and biased " +
+    "toward heavy documents") {
+    val a = Pipeline.q237WeightedSample(spark, sf1).collect()
+    val b = Pipeline.q237WeightedSample(spark, sf1).collect()
+    assert(a.sameElements(b), "content-hash draw must reproduce")
+    assert(a.length === Pipeline.WSampleK)
+    // priorities are sorted ascending (smallest-priority-wins contract)
+    val ps = a.map(_.getLong(2))
+    assert(ps.zip(ps.tail).forall { case (x, y) => x <= y })
+    // inclusion tracks weight: the sample's mean weight must exceed the
+    // corpus mean (deterministic on this fixed corpus)
+    val sampleMean = a.map(_.getLong(1)).sum.toDouble / a.length
+    val corpus = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("n_chars").collect().map(_.getLong(0))
+    val corpusMean = corpus.sum.toDouble / corpus.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
 }

@@ -140,4 +140,51 @@ class StatefulStreamingSpec extends SparkSpec {
     val total = batchResult.toDF().agg(sum("n_events")).head().getLong(0)
     assert(total === 1000L)
   }
+
+  test("KmvMin sketch is merge-order invariant and equals the exact " +
+    "k smallest distinct values") {
+    val k = 8
+    val agg = new graft.functions.KmvMin(k)
+    val xs = Seq(42L, 7L, 7L, 99L, 3L, 42L, 15L, 8L, 23L, 4L, 16L,
+      1000L, 3L, 2L, 77L, 2L)
+    val truth = xs.distinct.sorted.take(k)
+    // sequential reduce
+    val seqBuf = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(seqBuf) === truth)
+    // every 2-way split merges to the same state
+    for (cut <- 1 until xs.length) {
+      val (a, b) = xs.splitAt(cut)
+      val merged = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) === truth, s"split at $cut diverged")
+    }
+  }
+
+  test("q236 streaming KMV estimate tracks the exact per-window " +
+    "distinct count within sketch error") {
+    val rows = EventStream.q236StreamKmv(spark, sf1).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val exact = graft.sources.Tables.load(spark, sf1, "events")
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(countDistinct("user_id").as("nd")).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(rows.keySet === exact.keySet, "window census mismatch")
+    for ((key, (nMins, est)) <- rows) {
+      val nd = exact(key)
+      if (nd < EventStream.StreamKmvK) {
+        // under-filled sketch: the estimate IS exact (distinct hashes
+        // can collide, so n_mins <= nd)
+        assert(nMins <= nd && est === nMins, s"$key exact-mode")
+      } else {
+        // KMV relative error ~1/sqrt(k) (~18% at k=32); allow 3 sigma
+        assert(est > nd / 2 && est < nd * 2,
+          s"$key estimate $est vs exact $nd out of band")
+      }
+    }
+  }
 }

@@ -107,4 +107,42 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(ids.nonEmpty && ids.length <= Similarity.TopK)
     assert(ids.head === 0L, "probe is in its own cell and ranks first")
   }
+
+  test("q235 projection matches a hand-computed dot product and its " +
+    "first 4 sign bits are exactly q33's SRP bucket") {
+    val proj = Similarity.q235RandomProjection(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val planes = graft.operators.Dedup.planesFor(Similarity.RpDims)
+    val vecs = graft.sources.Tables.load(spark, sf1, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS ed")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(proj.size === vecs.size * Similarity.RpDims)
+    // hand-recompute every dim of three vectors (sequential fold order,
+    // same as the vec_dot expression)
+    for (vid <- vecs.keys.take(3); d <- 0 until Similarity.RpDims) {
+      var acc = 0.0
+      val ed = vecs(vid)
+      var i = 0
+      while (i < ed.length) { acc += ed(i) * planes(d)(i); i += 1 }
+      assert(proj((vid, d.toLong)) === math.floor(acc * 1000).toLong,
+        s"vec $vid dim $d")
+    }
+    // prefix stability: sign(dims 0..3) rebuilds the q33 SRP bucket
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val buckets = graft.sources.Tables.load(spark, sf1, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("bucket", expr(
+        graft.operators.Dedup.srpBucketExpr(
+          graft.operators.Dedup.NumPlanes, "spark")))
+      .selectExpr("vec_id", "CAST(bucket AS BIGINT) AS bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (vid <- vecs.keys) {
+      val rebuilt = (0 until graft.operators.Dedup.NumPlanes).map { p =>
+        if (proj((vid, p.toLong)) >= 0L) 1L << p else 0L
+      }.sum
+      assert(rebuilt === buckets(vid), s"vec $vid bucket prefix")
+    }
+  }
 }
