@@ -1909,7 +1909,95 @@ object Analytics {
            AS completeness_ppm
        FROM nn, nc, nt, np"""
 
+  // ------------------------------------------------------------ q240
+
+  /** q240 bootstrap replica count. */
+  val BootB = 32
+  /** Poisson(1) CDF quantized to ppm: P(0), P(0..1), P(0..2), P(0..3);
+    * the tail (≥4) carries the remaining 18,988 ppm. */
+  val BootP0 = 367879L
+  val BootP1 = 735759L
+  val BootP2 = 919699L
+  val BootP3 = 981012L
+
+  /** q240 — POISSON BOOTSTRAP CONFIDENCE INTERVALS (the distributed
+    * bootstrap: Chamandy et al./Kleiner-era practice): classic
+    * bootstrap resamples n rows per replica — unshardable; the Poisson
+    * trick gives each (row, replica) an independent Poisson(1)
+    * multiplicity instead, so ALL B replicas accumulate in ONE pass
+    * with plain partial aggregation and no row ever moves. Declared
+    * per event type: n, the point mean of value-cents (×10⁶ div n),
+    * and a ~94% percentile interval — the 2nd smallest / 2nd largest
+    * of 32 replica means. Randomness is the q171/q204 discipline: a
+    * keyed LCG on (event_id, replica), so the differential reproduces
+    * the draw bit-for-bit (production swaps a keyed PRF; the Poisson
+    * quantization is exact ppm thresholds, no exp() at query time).
+    *
+    * Scale shape: one in-row ×B multiplicity explode feeding a
+    * map-side-combined (type, replica) aggregate → B rows per type;
+    * the interval is order statistics of a 32-element array. Replica
+    * work is B× the scan arithmetic, ZERO extra shuffles — the whole
+    * point of the Poisson formulation. */
+  def q240BootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).as("vc"))
+    val pt = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("""CAST(CAST(sum(vc) AS DECIMAL(38,0)) * 1000000
+                div count(*) AS BIGINT)""").as("mean_cents_ppm"))
+    val reps = ev
+      .select(col("event_type"), col("vc"),
+        explode(expr(s"""transform(sequence(0, ${BootB - 1}), bb ->
+          struct(bb AS b,
+            ((event_id * 64 + bb) * 1103515245 + 12345)
+              % 2147483647 % 1000000 AS u))""")).as("r"))
+      .select(col("event_type"), col("vc"),
+        col("r.b").as("b"),
+        expr(s"""CASE WHEN r.u < $BootP0 THEN 0
+                 WHEN r.u < $BootP1 THEN 1
+                 WHEN r.u < $BootP2 THEN 2
+                 WHEN r.u < $BootP3 THEN 3 ELSE 4 END""").as("mlt"))
+      .groupBy("event_type", "b")
+      .agg(expr("""CAST(CAST(sum(mlt * vc) AS DECIMAL(38,0)) * 1000000
+              div greatest(sum(mlt), 1) AS BIGINT)""").as("rmean"))
+    val ci = reps.groupBy("event_type")
+      .agg(sort_array(collect_list("rmean")).as("ls"))
+      .select(col("event_type"),
+        expr("element_at(ls, 2)").as("ci_lo_ppm"),
+        expr(s"element_at(ls, ${BootB - 1})").as("ci_hi_ppm"))
+    pt.join(ci, "event_type")
+  }
+
+  private def q240OracleSql: String =
+    s"""WITH ev AS (SELECT event_type, event_id,
+          CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+        pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(CAST(sum(vc) AS HUGEINT) * 1000000 // count(*)
+              AS BIGINT) AS mean_cents_ppm
+          FROM ev GROUP BY event_type),
+        r AS (SELECT event_type, vc, bb.b AS b,
+            ((event_id * 64 + bb.b) * 1103515245 + 12345)
+              % 2147483647 % 1000000 AS u
+          FROM ev, (SELECT unnest(range(0, $BootB)) AS b) bb),
+        m AS (SELECT event_type, b, vc,
+            CASE WHEN u < $BootP0 THEN 0 WHEN u < $BootP1 THEN 1
+                 WHEN u < $BootP2 THEN 2 WHEN u < $BootP3 THEN 3
+                 ELSE 4 END AS mlt
+          FROM r),
+        rm AS (SELECT event_type, b,
+            CAST(CAST(sum(mlt * vc) AS HUGEINT) * 1000000
+              // greatest(sum(mlt), 1) AS BIGINT) AS rmean
+          FROM m GROUP BY event_type, b),
+        ci AS (SELECT event_type, list_sort(list(rmean)) AS ls
+          FROM rm GROUP BY event_type)
+        SELECT pt.event_type, pt.n, pt.mean_cents_ppm,
+          CAST(ci.ls[2] AS BIGINT) AS ci_lo_ppm,
+          CAST(ci.ls[${BootB - 1}] AS BIGINT) AS ci_hi_ppm
+        FROM pt JOIN ci ON pt.event_type = ci.event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_bootstrap_ci" -> (q240BootstrapCi _),
     "q230_blocking_eval" -> (q230BlockingEval _),
     "q210_decision_stump" -> (q210DecisionStump _),
     "q211_rolling_wau" -> (q211RollingWau _),
@@ -1945,6 +2033,7 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q240_bootstrap_ci" -> q240OracleSql,
     "q230_blocking_eval" -> q230OracleSql,
     "q210_decision_stump" -> q210OracleSql,
     "q211_rolling_wau" -> q211OracleSql,

@@ -1465,7 +1465,82 @@ object Pipeline {
         SELECT doc_id, weight, priority FROM p
         ORDER BY priority, doc_id LIMIT $WSampleK"""
 
+  // ------------------------------------------------------------ q238
+
+  /** q238 — REFERENTIAL-INTEGRITY MATRIX (the whole-schema FK audit a
+    * data contract runs before anything joins: q130 checks ONE edge's
+    * integrity among its constraints, this censuses EVERY declared FK
+    * edge of the star schema in one result): per edge, child rows,
+    * orphaned child rows (no matching parent), orphan rate in exact
+    * ppm. An orphan rate that moves between snapshots is the earliest
+    * detector of a broken upstream load — and the number that decides
+    * whether inner joins silently drop rows.
+    *
+    * Scale shape: each edge is one LEFT ANTI join — dimension parents
+    * (nation, region, customer, supplier, part) broadcast; the two
+    * fact-fact edges (lineitem→orders) shuffle on the join key like
+    * any fact join. Counts partially aggregate; the result is 7 rows.
+    * The union of 7 independent audits parallelizes trivially — at
+    * 100 TB each edge is its own job stage, sharing the fact scan via
+    * cache when run together. */
+  def q238FkIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def audit(edge: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val orphans = child.join(parent,
+        child(key) === parent(pkey), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(edge).as("edge"), col("n_child"), col("n_orphans"),
+          expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
+    }
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    Seq(
+      audit("lineitem_orders", li, "l_orderkey", ord, "o_orderkey"),
+      audit("lineitem_part", li, "l_partkey",
+        t(s, dir, "part"), "p_partkey"),
+      audit("lineitem_supplier", li, "l_suppkey", sup, "s_suppkey"),
+      audit("orders_customer", ord, "o_custkey", cust, "c_custkey"),
+      audit("customer_nation", cust, "c_nationkey", nat, "n_nationkey"),
+      audit("supplier_nation", sup, "s_nationkey", nat, "n_nationkey"),
+      audit("nation_region", nat, "n_regionkey",
+        t(s, dir, "region"), "r_regionkey"))
+      .reduce(_ unionByName _)
+  }
+
+  private def q238OracleSql: String = {
+    val edges = Seq(
+      ("lineitem_orders", "lineitem", "l_orderkey", "orders",
+        "o_orderkey"),
+      ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem_supplier", "lineitem", "l_suppkey", "supplier",
+        "s_suppkey"),
+      ("orders_customer", "orders", "o_custkey", "customer",
+        "c_custkey"),
+      ("customer_nation", "customer", "c_nationkey", "nation",
+        "n_nationkey"),
+      ("supplier_nation", "supplier", "s_nationkey", "nation",
+        "n_nationkey"),
+      ("nation_region", "nation", "n_regionkey", "region",
+        "r_regionkey"))
+    edges.map { case (edge, child, key, parent, pkey) =>
+      s"""SELECT '$edge' AS edge,
+          CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_child,
+          CAST((SELECT count(*) FROM $child c
+            WHERE NOT EXISTS (SELECT 1 FROM $parent p
+              WHERE p.$pkey = c.$key)) AS BIGINT) AS n_orphans,
+          CAST((SELECT count(*) FROM $child c
+            WHERE NOT EXISTS (SELECT 1 FROM $parent p
+              WHERE p.$pkey = c.$key)) * 1000000
+            // (SELECT count(*) FROM $child) AS BIGINT) AS orphan_ppm"""
+    }.mkString("\n UNION ALL\n ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_fk_integrity" -> (q238FkIntegrity _),
     "q237_weighted_sample" -> (q237WeightedSample _),
     "q228_quantile_normalize" -> (q228QuantileNormalize _),
     "q223_rrf_fusion" -> (q223RrfFusion _),
@@ -1494,6 +1569,7 @@ object Pipeline {
     "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q238_fk_integrity" -> q238OracleSql,
     "q237_weighted_sample" -> q237OracleSql,
     "q228_quantile_normalize" -> q228OracleSql,
     "q223_rrf_fusion" -> q223OracleSql,

@@ -676,8 +676,82 @@ object EventStream {
             ELSE nd END AS BIGINT) AS est_distinct
         FROM r WHERE rn = least($StreamKmvK, nd)"""
 
+  /** q239 Misra-Gries counter budget per window. */
+  val StreamHhK = 15
+
+  /** q239 — FREQUENT-ITEMS SKETCH IN STREAMING (q236's cardinality
+    * companion, completing the sketch-state pair): per (day, type)
+    * window a Misra-Gries sketch over an abuse-detection key — the
+    * "bot cohort" (user_id ≡ 0 mod 10, a stand-in for a collapsed
+    * bot/crawler classification) aggregates to ONE key while organic
+    * users stay individual, so the stream has a real ~10%-share heavy
+    * hitter over a ~10³-key domain and 15 counters are a genuine
+    * sketch, not a disguised census. Declared output is q100's
+    * contract lifted to windows: the EXACT per-window heavy hitters
+    * (frequency strictly above total/(k+1)) with a `captured` flag
+    * the oracle pins TRUE — the MG merge guarantee (undercount ≤
+    * N/(k+1) across ANY merge tree, including the nondeterministic
+    * micro-batch merge order of a real stream) says no such key can be
+    * absent from the sketch. Sketch values stay out of the
+    * differential; their GUARANTEE is what's hash-checked
+    * (q47/q66/q100 discipline).
+    *
+    * Scale shape: O(k) state per open window however large the window;
+    * the exact side exists only to make the guarantee checkable and
+    * runs as one (day, type, key) census — the thing the sketch
+    * replaces at 100 TB. */
+  def q239StreamHeavyHitters(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q239_stream_hh_mem"
+    s.catalog.dropTempView(name)
+    val mg = udaf(new graft.functions.MisraGries(StreamHhK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val keyExpr = "CASE WHEN user_id % 10 = 0 THEN -1 ELSE user_id END"
+    val q = readEvents(s, dir)
+      .withWatermark("ts", "1 day")
+      .withColumn("k", expr(keyExpr))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(mg(col("k")).as("cands"))
+      .select(col("window.start").cast("date").as("day"),
+        col("event_type"), col("cands"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sketch = s.table(name)
+    val exact = graft.sources.Tables.load(s, dir, "events")
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"),
+        expr(keyExpr).as("k"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum("n").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("day", "event_type")))
+      .filter(col("n") * (StreamHhK + 1) > col("total"))
+    exact.join(sketch, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"), col("k"), col("n"),
+        array_contains(col("cands"), col("k")).as("captured"))
+  }
+
+  private def q239OracleSql: String =
+    s"""WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+          event_type,
+          CASE WHEN user_id % 10 = 0 THEN -1 ELSE user_id END AS k,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3),
+        tt AS (SELECT day, event_type,
+            CAST(sum(n) AS BIGINT) AS total
+          FROM c GROUP BY day, event_type)
+        SELECT c.day, c.event_type, c.k, c.n, TRUE AS captured
+        FROM c JOIN tt ON c.day = tt.day
+          AND c.event_type = tt.event_type
+        WHERE c.n * ${StreamHhK + 1} > tt.total"""
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q239_stream_heavy_hitters" -> (q239StreamHeavyHitters _),
     "q236_stream_kmv" -> (q236StreamKmv _),
     "q188_stream_session_window" -> (q188StreamSessionWindow _),
     "q157_stream_lsh" -> (q157StreamLsh _),
@@ -692,6 +766,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q239_stream_heavy_hitters" -> q239OracleSql,
     "q236_stream_kmv" -> q236OracleSql,
     "q188_stream_session_window" -> q188OracleSql,
     "q157_stream_lsh" -> graft.operators.Dedup.q30OracleSql,

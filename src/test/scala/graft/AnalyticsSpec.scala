@@ -537,4 +537,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(nCap === nTruth - missed,
       s"captured must be truth minus the declared hole ($missed pairs)")
   }
+
+  test("q240 bootstrap interval is ordered, brackets the point mean, " +
+    "and replica b=0 matches a hand-rolled Poisson resample") {
+    val rows = Analytics.q240BootstrapCi(spark, sf1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .selectExpr("event_type", "event_id",
+        "CAST(floor(value * 100) AS BIGINT) AS vc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((tpe, (n, mean, lo, hi)) <- rows) {
+      assert(lo <= hi, s"$tpe interval inverted")
+      assert(lo <= mean && mean <= hi,
+        s"$tpe point mean $mean outside [$lo, $hi]")
+      val mine = ev.filter(_._1 == tpe)
+      assert(n === mine.length.toLong)
+      assert(BigInt(mean) ===
+        BigInt(mine.map(_._3).sum) * 1000000 / n)
+      // all 32 replica means recomputed from the declared LCG +
+      // Poisson table: the released interval must be exactly the 2nd
+      // smallest / 2nd largest
+      val means = (0 until Analytics.BootB).map { b =>
+        var sm = BigInt(0); var sw = 0L
+        for ((_, id, vc) <- mine) {
+          val u = ((id * 64 + b) * 1103515245L + 12345L) %
+            2147483647L % 1000000L
+          val m =
+            if (u < Analytics.BootP0) 0L
+            else if (u < Analytics.BootP1) 1L
+            else if (u < Analytics.BootP2) 2L
+            else if (u < Analytics.BootP3) 3L else 4L
+          sm += BigInt(m * vc); sw += m
+        }
+        // Poisson(1) mass conservation: replica weight ~ n
+        assert(sw > n / 2 && sw < n * 2, s"$tpe b=$b weight $sw vs $n")
+        sm * 1000000 / math.max(sw, 1L)
+      }.sorted
+      assert(BigInt(lo) === means(1), s"$tpe ci_lo")
+      assert(BigInt(hi) === means(Analytics.BootB - 2), s"$tpe ci_hi")
+    }
+  }
 }

@@ -469,4 +469,29 @@ class PipelineSpec extends SparkSpec {
     assert(sampleMean > corpusMean,
       s"sample mean $sampleMean not above corpus mean $corpusMean")
   }
+
+  test("q238 audits every declared FK edge with counts matching " +
+    "independent anti-joins") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.q238FkIntegrity(spark, sf1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(rows.keySet === Set("lineitem_orders", "lineitem_part",
+      "lineitem_supplier", "orders_customer", "customer_nation",
+      "supplier_nation", "nation_region"))
+    val li = graft.sources.Tables.load(spark, sf1, "lineitem")
+    val ord = graft.sources.Tables.load(spark, sf1, "orders")
+    // spot-verify one fact edge and one dim edge independently
+    val (nLi, orphLi, ppmLi) = rows("lineitem_orders")
+    assert(nLi === li.count())
+    assert(orphLi === li.join(ord,
+      li("l_orderkey") === ord("o_orderkey"), "left_anti").count())
+    assert(ppmLi === orphLi * 1000000L / nLi)
+    val nat = graft.sources.Tables.load(spark, sf1, "nation")
+    val (nN, orphN, _) = rows("nation_region")
+    assert(nN === nat.count())
+    assert(orphN === nat.join(
+      graft.sources.Tables.load(spark, sf1, "region"),
+      nat("n_regionkey") === col("r_regionkey"), "left_anti").count())
+  }
 }

@@ -187,4 +187,34 @@ class StatefulStreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("q239 windowed heavy hitters: the MG guarantee holds on every " +
+    "released row and the bot cohort dominates") {
+    val rows = EventStream.q239StreamHeavyHitters(spark, sf1).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty, "no window produced a heavy hitter")
+    assert(rows.forall(_._5),
+      "a true heavy hitter escaped the sketch — MG guarantee broken")
+    // the collapsed bot key fires (at tiny SFs sparse windows also
+    // promote individual users — the bot's DOMINANCE is an sf0.01+
+    // property, its presence is SF-invariant)
+    assert(rows.exists(_._3 == -1L), "bot cohort never heavy")
+    // every released row really clears the threshold
+    import org.apache.spark.sql.functions._
+    val census = graft.sources.Tables.load(spark, sf1, "events")
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"),
+        expr("CASE WHEN user_id % 10 = 0 THEN -1 ELSE user_id END")
+          .as("k"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))
+        -> r.getLong(3)).toMap
+    val totals = census.groupBy(t => (t._1._1, t._1._2)).view
+      .mapValues(_.values.sum)
+    for ((day, tpe, k, n, _) <- rows) {
+      assert(census((day, tpe, k)) === n)
+      assert(n * (EventStream.StreamHhK + 1) > totals((day, tpe)),
+        s"($day,$tpe,$k) below the declared threshold")
+    }
+  }
 }
