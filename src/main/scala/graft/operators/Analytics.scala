@@ -1996,7 +1996,69 @@ object Analytics {
           CAST(ci.ls[${BootB - 1}] AS BIGINT) AS ci_hi_ppm
         FROM pt JOIN ci ON pt.event_type = ci.event_type"""
 
+  // ------------------------------------------------------------ q242
+
+  /** Shared Wilson lower-bound expression text (z = 1.96): identical
+    * string on both engines so every IEEE op — including the one
+    * sqrt, which IEEE-754 requires correctly rounded — associates the
+    * same way and the floor-ppm release is bit-equal cross-engine (the
+    * bm25ScoreExpr discipline for a statistics formula). */
+  private def wilsonExpr(k: String, n: String): String = {
+    val z2 = "3.8416"
+    s"(($k / $n + $z2 / (2.0 * $n)" +
+      s" - 1.96 * sqrt(($k / $n * (1.0 - $k / $n)" +
+      s" + $z2 / (4.0 * $n)) / $n))" +
+      s" / (1.0 + $z2 / $n))"
+  }
+
+  /** q242 — WILSON LOWER-BOUND RANKING (the "how not to sort by
+    * average rating" idiom): per value band, the purchase rate's 95%
+    * Wilson score lower bound — a band with 2/2 purchases must NOT
+    * outrank one with 90/100, and the raw rate q195 releases does
+    * exactly that; the Wilson bound shrinks small samples toward zero
+    * with the correct coverage. Ranked by the bound (desc, band asc).
+    * The one statistics formula in the repo that keeps its floats:
+    * every operand is an exact integer cast, the expression string is
+    * SHARED verbatim across engines, and sqrt is IEEE-correctly-
+    * rounded — so floor×10⁶ is still bit-deterministic.
+    *
+    * Scale shape: one map-side-combined (band) census; the bound is
+    * in-row arithmetic on the census; rank is a window over the
+    * |bands|-row frame. */
+  def q242WilsonRank(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "events")
+      .select(expr("CAST(floor(value / 10) AS BIGINT)").as("band"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("pos"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), sum("pos").as("k"))
+    census
+      .withColumn("wilson_ppm", expr(
+        s"""CAST(floor(${wilsonExpr("CAST(k AS DOUBLE)",
+          "CAST(n AS DOUBLE)")} * 1000000) AS BIGINT)"""))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("wilson_ppm").desc, col("band")))
+        .cast("bigint"))
+  }
+
+  private def q242OracleSql: String =
+    s"""WITH c AS (SELECT CAST(floor(value / 10) AS BIGINT) AS band,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS k
+        FROM events GROUP BY 1),
+        w AS (SELECT band, n, k,
+            CAST(floor(${wilsonExpr("CAST(k AS DOUBLE)",
+              "CAST(n AS DOUBLE)")} * 1000000) AS BIGINT)
+              AS wilson_ppm
+          FROM c)
+        SELECT band, n, k, wilson_ppm,
+          CAST(row_number() OVER (ORDER BY wilson_ppm DESC, band)
+            AS BIGINT) AS rank
+        FROM w"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_wilson_rank" -> (q242WilsonRank _),
     "q240_bootstrap_ci" -> (q240BootstrapCi _),
     "q230_blocking_eval" -> (q230BlockingEval _),
     "q210_decision_stump" -> (q210DecisionStump _),
@@ -2033,6 +2095,7 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q242_wilson_rank" -> q242OracleSql,
     "q240_bootstrap_ci" -> q240OracleSql,
     "q230_blocking_eval" -> q230OracleSql,
     "q210_decision_stump" -> q210OracleSql,

@@ -1058,7 +1058,86 @@ object Similarity {
         $arms"""
   }
 
+  /** q241 probe-batch size and neighborhood. */
+  val KnnProbes = 50
+  val KnnK = 5
+
+  /** q241 — kNN CLASSIFICATION EVAL (the label-quality probe every
+    * embedding pipeline runs: if a vector's neighbors don't share its
+    * label, either the embedding or the labeling is wrong — the
+    * cheapest leading indicator for both): for each of 50 probe
+    * vectors, the majority label among its 5 nearest non-self
+    * neighbors (exact cosine; ties count DESC then label ASC — the
+    * q147 deterministic-argmax discipline), released per probe with
+    * the actual label and the hit flag, so accuracy AND the specific
+    * misclassified probes are in the differential.
+    *
+    * Scale shape: q153's amortized brute-force — one corpus scan ×
+    * |probe batch| against broadcast probes, per-probe top-k window on
+    * the probe-keyed exchange, then label voting on the k-row-per-
+    * probe frame. Production: probe sample + q120's IVF candidates,
+    * identical voting arithmetic. */
+  def q241KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = vectors(s, dir)
+    val lbl = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("bigint").as("label"))
+    val probes = e.join(lbl, "vec_id")
+      .filter(col("vec_id") < KnnProbes)
+      .select(col("vec_id").as("probe_id"), col("ed").as("ped"),
+        col("nrm").as("pnrm"), col("label").as("actual"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val wv = Window.partitionBy("probe_id")
+      .orderBy(col("votes").desc, col("nlabel").asc)
+    e.join(lbl, "vec_id")
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("pcos",
+        vec_dot(col("ed"), col("ped")) / (col("nrm") * col("pnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .groupBy(col("probe_id"), col("actual"),
+        col("label").as("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .select(col("probe_id"), col("actual"),
+        col("nlabel").as("predicted"),
+        (col("nlabel") === col("actual")).as("correct"))
+  }
+
+  private def q241OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm,
+          CAST(label AS BIGINT) AS label
+        FROM embeddings),
+        probes AS (SELECT vec_id AS probe_id, ed AS ped, nrm AS pnrm,
+            label AS actual
+          FROM e WHERE vec_id < $KnnProbes),
+        ranked AS (SELECT probe_id, actual, vec_id, nlabel,
+            row_number() OVER (PARTITION BY probe_id
+              ORDER BY pcos DESC, vec_id) AS rn
+          FROM (SELECT p.probe_id, p.actual, a.vec_id,
+                  a.label AS nlabel,
+                  list_dot_product(a.ed, p.ped) / (a.nrm * p.pnrm)
+                    AS pcos
+                FROM e a CROSS JOIN probes p
+                WHERE a.vec_id <> p.probe_id) z),
+        votes AS (SELECT probe_id, actual, nlabel,
+            CAST(count(*) AS BIGINT) AS votes
+          FROM ranked WHERE rn <= $KnnK
+          GROUP BY probe_id, actual, nlabel),
+        win AS (SELECT probe_id, actual, nlabel,
+            row_number() OVER (PARTITION BY probe_id
+              ORDER BY votes DESC, nlabel ASC) AS vr
+          FROM votes)
+        SELECT probe_id, actual, nlabel AS predicted,
+          nlabel = actual AS correct
+        FROM win WHERE vr = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_knn_classify" -> (q241KnnClassify _),
     "q235_random_projection" -> (q235RandomProjection _),
     "q227_margin_knn" -> (q227MarginKnn _),
     "q153_ann_eval" -> (q153AnnEval _),
@@ -1077,6 +1156,7 @@ object Similarity {
     "q91_quantize_embeddings" -> (q91QuantizeEmbeddings _))
 
   val oracleSql: Map[String, String] = Map(
+    "q241_knn_classify" -> q241OracleSql,
     "q235_random_projection" -> q235OracleSql,
     "q227_margin_knn" -> q227OracleSql,
     "q153_ann_eval" -> q153OracleSql,

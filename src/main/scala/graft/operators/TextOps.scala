@@ -1374,7 +1374,63 @@ object TextOps {
         FROM bb JOIN bc USING (w1, w2) JOIN uc USING (w1)
         GROUP BY doc_id"""
 
+  // ------------------------------------------------------------ q243
+
+  /** q243 — SOURCE VOCABULARY-OVERLAP MATRIX (the corpus-composition
+    * diagnostic behind mixture design: two sources with near-identical
+    * vocabularies add redundancy, not coverage — q124 measures
+    * DOCUMENT-level duplication between sources, this measures
+    * LEXICAL overlap even when no document repeats): per unordered
+    * source pair, both vocabulary sizes, the shared-word count, and
+    * vocabulary Jaccard in exact ppm.
+    *
+    * Scale shape: one (source, word) distinct pass (map-side
+    * partial-aggregated); per-source sizes ride it; the pair census is
+    * a word-keyed self-join of the vocabulary frame — candidate volume
+    * Σ_w df(w)², bounded by |sources|² per word (df ≤ |sources|, a
+    * CONSTANT), so linear in vocabulary. Output is |sources choose 2|
+    * rows. */
+  def q243VocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("vsize"))
+    val x = vocab.select(col("source").as("source_a"), col("w"))
+    val y = vocab.select(col("source").as("source_b"), col("w"))
+    x.join(y, Seq("w"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("source_a"),
+        col("vsize").as("vsize_a")), "source_a")
+      .join(sizes.select(col("source").as("source_b"),
+        col("vsize").as("vsize_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("vsize_a"),
+        col("vsize_b"), col("n_shared"),
+        expr("""n_shared * 1000000
+                div (vsize_a + vsize_b - n_shared)""")
+          .as("jaccard_ppm"))
+  }
+
+  private def q243OracleSql: String =
+    """WITH v AS (SELECT DISTINCT source,
+          unnest(string_split(text, ' ')) AS w FROM documents),
+        sz AS (SELECT source, CAST(count(*) AS BIGINT) AS vsize
+          FROM v GROUP BY source),
+        pr AS (SELECT a.source AS source_a, b.source AS source_b,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+          GROUP BY a.source, b.source)
+        SELECT pr.source_a, pr.source_b,
+          sa.vsize AS vsize_a, sb.vsize AS vsize_b, pr.n_shared,
+          pr.n_shared * 1000000
+            // (sa.vsize + sb.vsize - pr.n_shared) AS jaccard_ppm
+        FROM pr
+        JOIN sz sa ON sa.source = pr.source_a
+        JOIN sz sb ON sb.source = pr.source_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_vocab_overlap" -> (q243VocabOverlap _),
     "q214_bigram_lm_score" -> (q214BigramLmScore _),
     "q218_tokenizer_fertility" -> (q218TokenizerFertility _),
     "q113_fingerprint_match" -> (q113FingerprintMatch _),
@@ -1402,6 +1458,7 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q243_vocab_overlap" -> q243OracleSql,
     "q214_bigram_lm_score" -> q214OracleSql,
     "q218_tokenizer_fertility" -> q218OracleSql,
     "q136_vocab_coverage" -> q136OracleSql,

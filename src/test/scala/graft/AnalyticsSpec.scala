@@ -579,4 +579,28 @@ class AnalyticsSpec extends SparkSpec {
       assert(BigInt(hi) === means(Analytics.BootB - 2), s"$tpe ci_hi")
     }
   }
+
+  test("q242 Wilson bound never exceeds the raw rate, shrinks small " +
+    "samples hardest, and ranks dense") {
+    val rows = Analytics.q242WilsonRank(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._5).sorted.toSeq === (1L to rows.length))
+    for ((band, n, k, w, _) <- rows) {
+      assert(k <= n)
+      val raw = k * 1000000L / n
+      assert(w <= raw, s"band $band: bound $w above raw rate $raw")
+      assert(w >= 0L || k == 0L, s"band $band negative bound with k>0")
+    }
+    // shrinkage property: for equal raw rates, the smaller sample gets
+    // the lower bound — check via the formula on two synthetic pairs
+    def wilson(k: Double, n: Double): Double = {
+      val z2 = 3.8416
+      (k / n + z2 / (2 * n) - 1.96 * math.sqrt(
+        (k / n * (1 - k / n) + z2 / (4 * n)) / n)) / (1 + z2 / n)
+    }
+    assert(wilson(2, 2) < wilson(90, 100),
+      "2/2 must not outrank 90/100 — the whole point of the bound")
+  }
 }

@@ -984,4 +984,28 @@ class ExtensionsSpec extends SparkSpec {
         ts.filter(_._1 > E.TClosePpm).map(_._2).sum)
     }
   }
+
+  test("q243 overlap matrix is canonical, complete, and matches a " +
+    "set-arithmetic replay for one pair") {
+    val rows = graft.operators.TextOps.q243VocabOverlap(spark, sf1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocab = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.split(" ")).toSet).toMap
+    val sources = vocab.keys.toSeq.sorted
+    // one row per unordered pair, canonically ordered
+    assert(rows.size === sources.size * (sources.size - 1) / 2)
+    assert(rows.keys.forall { case (a, b) => a < b })
+    // exact set-arithmetic replay of the first pair
+    val (sa, sb) = (sources(0), sources(1))
+    val (va, vb, shared, jac) = rows((sa, sb))
+    assert(va === vocab(sa).size.toLong)
+    assert(vb === vocab(sb).size.toLong)
+    assert(shared === vocab(sa).intersect(vocab(sb)).size.toLong)
+    assert(jac === shared * 1000000L / (va + vb - shared))
+  }
 }

@@ -509,4 +509,43 @@ class PropertySpec extends SparkSpec {
         s"probe $pid margin must be defined and >= 1e6, got $margin")
     }
   }
+
+  test("q241 votes the true top-k majority with deterministic ties " +
+    "and covers every probe exactly once") {
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.Similarity
+    val out = S.q241KnnClassify(spark, sf1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(out.keySet === (0L until S.KnnProbes.toLong).toSet)
+    // independent replay: top-k by cosine, majority with (count desc,
+    // label asc) tie-break
+    graft.functions.VectorFunctions.register(spark)
+    val e = graft.sources.Tables.load(spark, sf1, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(expr("vec_dot(ed, ed)")))
+      .selectExpr("vec_id", "ed", "nrm", "CAST(label AS BIGINT) label")
+    val probes = e.filter(col("vec_id") < S.KnnProbes)
+      .select(col("vec_id").as("pid"), col("ed").as("ped"),
+        col("nrm").as("pnrm"), col("label").as("al"))
+    val topk = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .withColumn("pcos", expr("vec_dot(ed, ped)") /
+        (col("nrm") * col("pnrm")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("pid")
+          .orderBy(col("pcos").desc, col("vec_id"))))
+      .filter(col("rn") <= S.KnnK)
+      .select("pid", "al", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((pid, grp) <- topk.groupBy(_._1)) {
+      val actual = grp.head._2
+      val votes = grp.groupBy(_._3).view.mapValues(_.size).toSeq
+        .sortBy { case (l, c) => (-c, l) }
+      val predicted = votes.head._1
+      val (a, p, c) = out(pid)
+      assert(a === actual && p === predicted && c === (p == a),
+        s"probe $pid vote replay mismatch")
+    }
+  }
 }
