@@ -2812,7 +2812,102 @@ object Extensions {
             AS BIGINT) AS n_rows_at_risk
         FROM pc GROUP BY c_nationkey"""
 
+  // ------------------------------------------------------------ q245
+
+  /** q245 — PEAK INTERVAL CONCURRENCY (capacity analysis: the maximum
+    * number of same-type user-state runs active at once, and when — the
+    * number a connection pool, rate limiter, or state-store capacity
+    * plan is sized against): q143's state runs swept as ±1 endpoint
+    * markers at hour resolution. Concurrency only increases at interval
+    * starts, so the exact peak is attained at some start hour — the
+    * hour-bucketed sweep is EXACT, not sampled (q169's census-sweep
+    * insight applied to the max instead of the pair census). Declared
+    * per state: run count, peak concurrency, earliest peak hour.
+    *
+    * Scale shape: runs come from q143's one user-keyed exchange; the
+    * ±1 markers are an in-row ×2 explode into a (state, hour) census
+    * (map-side combinable); the running sum, max, and argmax all ride
+    * the domain-sized census on ONE state-keyed exchange — no
+    * interval-to-interval join anywhere (the q169 lesson: never
+    * enumerate what a sweep can count). */
+  def q245PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("k")
+    val cum = Window.partitionBy("user_id").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        (unix_timestamp(col("ts")) * AttribKeyScale + col("event_id"))
+          .as("k"))
+      .withColumn("newrun",
+        when(lag("event_type", 1).over(w) === col("event_type"), 0L)
+          .otherwise(1L))
+      .withColumn("seq", sum("newrun").over(cum))
+      .groupBy("user_id", "seq")
+      .agg(min("k").as("from_k"), max("k").as("to_k"),
+        max("event_type").as("state"))
+    val hscale = 3600L * AttribKeyScale
+    val census = runs
+      .select(col("state"), explode(expr(
+        s"""array(struct(from_k div $hscale AS h, 1L AS st, 0L AS en),
+                  struct(to_k div $hscale AS h, 0L AS st, 1L AS en))"""))
+        .as("m"))
+      .groupBy(col("state"), col("m.h").as("h"))
+      .agg(sum("m.st").as("st"), sum("m.en").as("en"))
+    val wc = Window.partitionBy("state").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wr = Window.partitionBy("state")
+      .orderBy(col("active").desc, col("h"))
+    census
+      .withColumn("cs", sum("st").over(wc))
+      .withColumn("ce", sum("en").over(wc))
+      .withColumn("active", col("cs") - (col("ce") - col("en")))
+      .withColumn("ni", sum("st").over(Window.partitionBy("state")))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("state"), col("ni").as("n_intervals"),
+        col("active").as("peak_concurrency"), col("h").as("peak_hour"))
+  }
+
+  private def q245OracleSql: String =
+    s"""WITH keyed AS (SELECT user_id, event_type,
+          (epoch_ns(ts) // 1000000000) * $AttribKeyScale + event_id AS k
+        FROM events),
+        marked AS (SELECT user_id, event_type, k,
+          CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY k) = event_type THEN 0 ELSE 1 END AS newrun
+        FROM keyed),
+        runs0 AS (SELECT user_id, event_type, k,
+          CAST(sum(newrun) OVER (PARTITION BY user_id ORDER BY k
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+        FROM marked),
+        runs AS (SELECT user_id, seq, min(k) AS from_k, max(k) AS to_k,
+            max(event_type) AS state
+          FROM runs0 GROUP BY user_id, seq),
+        mk AS (SELECT state, from_k // ${3600L * AttribKeyScale} AS h,
+            CAST(1 AS BIGINT) AS st, CAST(0 AS BIGINT) AS en FROM runs
+          UNION ALL
+          SELECT state, to_k // ${3600L * AttribKeyScale} AS h,
+            CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM runs),
+        census AS (SELECT state, h, CAST(sum(st) AS BIGINT) AS st,
+            CAST(sum(en) AS BIGINT) AS en
+          FROM mk GROUP BY state, h),
+        sw AS (SELECT state, h, st, en,
+            CAST(sum(st) OVER (PARTITION BY state ORDER BY h
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs,
+            CAST(sum(en) OVER (PARTITION BY state ORDER BY h
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ce,
+            CAST(sum(st) OVER (PARTITION BY state) AS BIGINT) AS ni
+          FROM census),
+        act AS (SELECT state, h, ni, cs - (ce - en) AS active,
+            row_number() OVER (PARTITION BY state
+              ORDER BY cs - (ce - en) DESC, h) AS rn
+          FROM sw)
+        SELECT state, ni AS n_intervals,
+          CAST(active AS BIGINT) AS peak_concurrency, h AS peak_hour
+        FROM act WHERE rn = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_peak_concurrency" -> (q245PeakConcurrency _),
     "q232_lateness_audit" -> (q232LatenessAudit _),
     "q233_t_closeness" -> (q233TCloseness _),
     "q229_tv_distance" -> (q229TvDistance _),
@@ -2891,6 +2986,7 @@ object Extensions {
     "q60_percentiles" -> (q60Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q245_peak_concurrency" -> q245OracleSql,
     "q232_lateness_audit" -> q232OracleSql,
     "q233_t_closeness" -> q233OracleSql,
     "q229_tv_distance" -> q229OracleSql,

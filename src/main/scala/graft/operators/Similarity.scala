@@ -1136,7 +1136,60 @@ object Similarity {
           nlabel = actual AS correct
         FROM win WHERE vr = 1"""
 
+  /** q246 — COHEN'S KAPPA over the kNN classifier (q241's one-number
+    * summary with the chance correction accuracy lacks: with 10
+    * imbalanced labels, 30% raw agreement can be pure chance — kappa
+    * subtracts the marginal-product expectation): κ = (p₀ − pₑ) /
+    * (1 − pₑ) over the 50 (actual, predicted) pairs, released in exact
+    * cross-multiplied ppm — κ·10⁶ = (agree·N − Σₗ actualₗ·predₗ)·10⁶
+    * div (N² − Σₗ actualₗ·predₗ) — no float anywhere, and negative
+    * kappa (worse than chance) is well-defined: both engines' integer
+    * division truncates toward zero.
+    *
+    * Scale shape: consumes q241's probe-batch-sized frame (eagerly
+    * checkpointed — three consumers); the marginal-product term is a
+    * label-keyed join of two ≤|labels|-row censuses; output is one
+    * row. The eval cost IS q241's cost. */
+  def q246CohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val r = q241KnnClassify(s, dir).localCheckpoint(true)
+    val tot = r.agg(count(lit(1)).as("n_probes"),
+      sum(when(col("correct"), 1L).otherwise(0L)).as("n_agree"))
+    val a = r.groupBy(col("actual").as("l"))
+      .agg(count(lit(1)).as("na"))
+    val p = r.groupBy(col("predicted").as("l"))
+      .agg(count(lit(1)).as("np"))
+    val pe = a.join(p, "l")
+      .agg(coalesce(sum(col("na") * col("np")), lit(0L)).as("pe_num"))
+    tot.crossJoin(pe)
+      .select(col("n_probes"), col("n_agree"),
+        expr("n_agree * 1000000 div n_probes").as("po_ppm"),
+        expr("pe_num * 1000000 div (n_probes * n_probes)").as("pe_ppm"),
+        expr("""(n_agree * n_probes - pe_num) * 1000000
+                div (n_probes * n_probes - pe_num)""").as("kappa_ppm"))
+  }
+
+  private def q246OracleSql: String =
+    s"""WITH r AS ($q241OracleSql),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+            CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_agree
+          FROM r),
+        a AS (SELECT actual AS l, CAST(count(*) AS BIGINT) AS na
+          FROM r GROUP BY actual),
+        p AS (SELECT predicted AS l, CAST(count(*) AS BIGINT) AS np
+          FROM r GROUP BY predicted),
+        pe AS (SELECT CAST(coalesce(sum(a.na * p.np), 0) AS BIGINT)
+            AS pe_num
+          FROM a JOIN p ON a.l = p.l)
+        SELECT n_probes, n_agree,
+          n_agree * 1000000 // n_probes AS po_ppm,
+          pe_num * 1000000 // (n_probes * n_probes) AS pe_ppm,
+          (n_agree * n_probes - pe_num) * 1000000
+            // (n_probes * n_probes - pe_num) AS kappa_ppm
+        FROM tot, pe"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_cohens_kappa" -> (q246CohensKappa _),
     "q241_knn_classify" -> (q241KnnClassify _),
     "q235_random_projection" -> (q235RandomProjection _),
     "q227_margin_knn" -> (q227MarginKnn _),
@@ -1156,6 +1209,7 @@ object Similarity {
     "q91_quantize_embeddings" -> (q91QuantizeEmbeddings _))
 
   val oracleSql: Map[String, String] = Map(
+    "q246_cohens_kappa" -> q246OracleSql,
     "q241_knn_classify" -> q241OracleSql,
     "q235_random_projection" -> q235OracleSql,
     "q227_margin_knn" -> q227OracleSql,

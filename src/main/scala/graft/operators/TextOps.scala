@@ -1429,7 +1429,47 @@ object TextOps {
         JOIN sz sa ON sa.source = pr.source_a
         JOIN sz sb ON sb.source = pr.source_b"""
 
+  // ------------------------------------------------------------ q244
+
+  /** q244 — LANGUAGE-ID CONFUSION MATRIX (the eval that closes q34's
+    * loop: a lang-ID gate routes documents into per-language pipelines,
+    * and its confusion matrix — not its accuracy — says WHERE
+    * misrouted mass goes; es→fr confusion poisons the French corpus,
+    * es→en merely shrinks the Spanish one): q34's classifier scored
+    * against the `lang` ground truth, one row per (actual, predicted)
+    * cell with the count and the cell's share of the actual language
+    * in exact ppm — the diagonal shares ARE per-language recall, the
+    * columns give precision; a `hit` flag marks the diagonal.
+    *
+    * Scale shape: q34's one classification scan → a (lang, pred) cell
+    * census (map-side combinable, ≤ |langs|² rows); the share ppm
+    * rides a lang-keyed window over the cell-sized frame. */
+  def q244LangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val cells = q34LangId(s, dir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("n_actual",
+        sum("n").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        expr("n * 1000000 div n_actual").as("share_of_actual_ppm"),
+        (col("lang") === col("pred_lang")).as("hit"))
+  }
+
+  private def q244OracleSql: String =
+    s"""WITH pred AS ($q34OracleSql),
+        cells AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+          FROM pred GROUP BY lang, pred_lang),
+        tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_actual
+          FROM cells GROUP BY lang)
+        SELECT c.lang, c.pred_lang, c.n,
+          c.n * 1000000 // t.n_actual AS share_of_actual_ppm,
+          c.lang = c.pred_lang AS hit
+        FROM cells c JOIN tot t ON c.lang = t.lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_lang_confusion" -> (q244LangConfusion _),
     "q243_vocab_overlap" -> (q243VocabOverlap _),
     "q214_bigram_lm_score" -> (q214BigramLmScore _),
     "q218_tokenizer_fertility" -> (q218TokenizerFertility _),
@@ -1458,6 +1498,7 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q244_lang_confusion" -> q244OracleSql,
     "q243_vocab_overlap" -> q243OracleSql,
     "q214_bigram_lm_score" -> q214OracleSql,
     "q218_tokenizer_fertility" -> q218OracleSql,

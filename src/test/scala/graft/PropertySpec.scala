@@ -548,4 +548,26 @@ class PropertySpec extends SparkSpec {
         s"probe $pid vote replay mismatch")
     }
   }
+
+  test("q246 kappa is the exact chance-corrected arithmetic over " +
+    "q241's pairs") {
+    val S = graft.operators.Similarity
+    val r = S.q246CohensKappa(spark, sf1).collect().head
+    val (n, agree, po, pe, kappa) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    val pairs = S.q241KnnClassify(spark, sf1).collect()
+      .map(x => (x.getLong(1), x.getLong(2)))
+    assert(n === pairs.length.toLong)
+    assert(agree === pairs.count(p => p._1 == p._2).toLong)
+    val aCnt = pairs.groupBy(_._1).view.mapValues(_.size)
+    val pCnt = pairs.groupBy(_._2).view.mapValues(_.size)
+    val peNum = aCnt.keys.map(l =>
+      aCnt(l).toLong * pCnt.getOrElse(l, 0).toLong).sum
+    assert(po === agree * 1000000L / n)
+    assert(pe === peNum * 1000000L / (n * n))
+    assert(kappa === (agree * n - peNum) * 1000000L / (n * n - peNum))
+    // kappa never exceeds raw agreement (chance correction only
+    // subtracts) and both probabilities are proper
+    assert(kappa <= po && pe >= 0L && pe <= 1000000L)
+  }
 }
