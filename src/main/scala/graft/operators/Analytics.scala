@@ -2057,7 +2057,151 @@ object Analytics {
             AS BIGINT) AS rank
         FROM w"""
 
+  // ------------------------------------------------------------ q247
+
+  /** q247 — CHI-SQUARED INDEPENDENCE TEST, source × lang over the
+    * document corpus (the categorical-association screen a mixture
+    * designer runs before trusting per-source language weights: if
+    * source and language are independent, per-source lang filters are
+    * redundant; if not, the largest cell contributions say WHERE the
+    * association lives). One row per cell of the full cross domain —
+    * including observed-zero cells, which still contribute r·c/n to
+    * the statistic and vanish silently under a naive observed-only
+    * census. Released per cell: observed o, margins r and c, corpus n,
+    * and the cross-multiplied contribution
+    * (n·o − r·c)²·10⁶ div (n·r·c) — exact integers end to end
+    * (decimal(38,0) here, HUGEINT in the oracle: n·o reaches ~1e12 and
+    * its square ~1e24, past int64). The total statistic is the sum of
+    * the cell column; dof = (|sources|−1)(|langs|−1) is derivable from
+    * the row count.
+    *
+    * Scale shape: three map-side-combined censuses (cell, row margin,
+    * column margin) off one corpus scan + a domain-sized broadcast
+    * cross join (|sources|×|langs| rows); all arithmetic in-row on the
+    * cell frame. Zero corpus-sized shuffles beyond the census
+    * aggregates themselves. */
+  def q247Chi2Independence(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("source", "lang")
+    val obs = d.groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val rm = d.groupBy("source").agg(count(lit(1)).as("r"))
+    val cm = d.groupBy("lang").agg(count(lit(1)).as("c"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    rm.crossJoin(broadcast(cm)).crossJoin(broadcast(tot))
+      .join(obs, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("o"))
+      .withColumn("dev",
+        expr("CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c"))
+      .select(col("source"), col("lang"), col("o"), col("r"), col("c"),
+        col("n"),
+        expr("""CAST(dev * dev * 1000000
+             div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)""")
+          .as("chi2_ppm"))
+  }
+
+  private def q247OracleSql: String =
+    """WITH d AS (SELECT source, lang FROM documents),
+       obs AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+         FROM d GROUP BY 1, 2),
+       rm AS (SELECT source, CAST(count(*) AS BIGINT) AS r
+         FROM d GROUP BY 1),
+       cm AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
+         FROM d GROUP BY 1),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+       cells AS (SELECT rm.source, cm.lang,
+           COALESCE(obs.o, 0) AS o, rm.r, cm.c, tot.n,
+           CAST(tot.n AS HUGEINT) * COALESCE(obs.o, 0)
+             - CAST(rm.r AS HUGEINT) * cm.c AS dev
+         FROM rm CROSS JOIN cm CROSS JOIN tot
+         LEFT JOIN obs ON obs.source = rm.source AND obs.lang = cm.lang)
+       SELECT source, lang, o, r, c, n,
+         CAST(dev * dev * 1000000
+           // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS chi2_ppm
+       FROM cells"""
+
+  // ------------------------------------------------------------ q248
+
+  /** Benford expectation per leading digit, in exact ppm: floor of
+    * log10(1 + 1/d)·10⁶, computed ONCE here and embedded as the same
+    * literal in both engines' plans — the expected distribution is a
+    * constant of the law, not a per-engine float computation. */
+  val BenfordPpm: IndexedSeq[Long] =
+    (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+
+  /** q248 — BENFORD'S-LAW LEADING-DIGIT AUDIT over order totals (the
+    * classic fabricated-data / unit-mix screen: organically generated
+    * magnitudes spanning decades put digit 1 first ~30.1% of the time;
+    * uniform or hand-made values don't — a cheap one-scan alarm on any
+    * monetary or count column before it feeds training weights). Per
+    * digit 1..9 (all nine always present, observed-zero included):
+    * observed count, observed share in exact ppm, the Benford
+    * expectation ppm (shared literal), the absolute deviation, and the
+    * cross-multiplied Pearson contribution (o·10⁶ − n·b)² div (n·b) —
+    * exact integers throughout (the square reaches ~1e24 at sf0.1:
+    * decimal(38,0) / HUGEINT per the q210 convention). Whether this
+    * synthetic corpus FOLLOWS Benford is irrelevant — the deviation
+    * column is the audit's output either way.
+    *
+    * Determinism: the leading digit is extracted from the decimal
+    * string of the exact cents integer — no logs, no float thresholds;
+    * the expectation constants are literals shared across engines.
+    *
+    * Scale shape: one corpus scan collapsing map-side to a 9-row
+    * census + a broadcast 1-row total; the digit domain is a 9-row
+    * literal frame so zero-observed digits survive. The cheapest
+    * possible full-corpus audit. */
+  def q248Benford(s: SparkSession, dir: String): DataFrame = {
+    val lead = t(s, dir, "orders")
+      .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+    val census = lead.groupBy("digit").agg(count(lit(1)).as("o"))
+    val tot = lead.agg(count(lit(1)).as("n"))
+    val blit = BenfordPpm.mkString("array(", "L, ", "L)")
+    s.range(1, 10).toDF("digit")
+      .crossJoin(broadcast(tot))
+      .join(census, Seq("digit"), "left")
+      .na.fill(0L, Seq("o"))
+      .withColumn("benford_ppm",
+        expr(s"element_at($blit, CAST(digit AS INT))"))
+      .select(col("digit"), col("o"), col("n"),
+        expr("o * 1000000 div n").as("share_ppm"),
+        col("benford_ppm"),
+        expr("abs(o * 1000000 div n - benford_ppm)").as("dev_ppm"),
+        expr("""CAST((CAST(o AS DECIMAL(38,0)) * 1000000
+               - CAST(n AS DECIMAL(38,0)) * benford_ppm)
+             * (CAST(o AS DECIMAL(38,0)) * 1000000
+               - CAST(n AS DECIMAL(38,0)) * benford_ppm)
+             div (CAST(n AS DECIMAL(38,0)) * benford_ppm) AS BIGINT)""")
+          .as("chi2_ppm"))
+  }
+
+  private def q248OracleSql: String = {
+    val blit = BenfordPpm.mkString("[", ", ", "]")
+    s"""WITH lead AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice
+            * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM orders WHERE CAST(floor(o_totalprice * 100) AS BIGINT) > 0),
+        census AS (SELECT digit, CAST(count(*) AS BIGINT) AS o
+          FROM lead GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lead),
+        dom AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit),
+        cells AS (SELECT dom.digit, COALESCE(census.o, 0) AS o, tot.n,
+            CAST(($blit)[CAST(dom.digit AS INT)] AS BIGINT) AS benford_ppm
+          FROM dom CROSS JOIN tot
+          LEFT JOIN census ON census.digit = dom.digit)
+        SELECT digit, o, n, o * 1000000 // n AS share_ppm, benford_ppm,
+          abs(o * 1000000 // n - benford_ppm) AS dev_ppm,
+          CAST((CAST(o AS HUGEINT) * 1000000 - CAST(n AS HUGEINT)
+              * benford_ppm)
+            * (CAST(o AS HUGEINT) * 1000000 - CAST(n AS HUGEINT)
+              * benford_ppm)
+            // (CAST(n AS HUGEINT) * benford_ppm) AS BIGINT) AS chi2_ppm
+        FROM cells"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_chi2_independence" -> (q247Chi2Independence _),
+    "q248_benford" -> (q248Benford _),
     "q242_wilson_rank" -> (q242WilsonRank _),
     "q240_bootstrap_ci" -> (q240BootstrapCi _),
     "q230_blocking_eval" -> (q230BlockingEval _),
@@ -2095,6 +2239,8 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q247_chi2_independence" -> q247OracleSql,
+    "q248_benford" -> q248OracleSql,
     "q242_wilson_rank" -> q242OracleSql,
     "q240_bootstrap_ci" -> q240OracleSql,
     "q230_blocking_eval" -> q230OracleSql,

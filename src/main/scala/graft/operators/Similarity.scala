@@ -1188,7 +1188,85 @@ object Similarity {
             // (n_probes * n_probes - pe_num) AS kappa_ppm
         FROM tot, pe"""
 
+  // ------------------------------------------------------------ q249
+
+  /** q249 — SIMPLIFIED SILHOUETTE per IVF cell (the cluster-quality
+    * readout for the codebook every ANN query in the suite routes
+    * through: q29/q76/q120 are only as good as their cells, and the
+    * silhouette says WHICH cells are tight and which leak into a
+    * neighbor). Full silhouette is pairwise (O(n²)); the standard
+    * scale substitute scores each vector against CENTROIDS only:
+    * a = cosine distance to the own (argmax) centroid = 1 − c₁,
+    * b = distance to the best other centroid = 1 − c₂ (c₁ ≥ c₂ the
+    * two largest of the 16 cosines), s = (b − a)/max(a, b)
+    * = (c₁ − c₂)/(1 − c₂) ∈ [0, 1] here — 1 = the cell has the vector
+    * to itself, 0 = a coin-flip with the runner-up cell. Released per
+    * cell: population, mean/min/max silhouette in ppm (per-vector
+    * floor ×10⁶; degenerate c₂ ≥ 1 → 0 by the a = b convention).
+    *
+    * Determinism: the 16 cosines come from the codegen'd `vec_dot`
+    * (same sequential fold as list_dot_product); the top-2 are
+    * selected by VALUE sort on bit-identical doubles; the one float
+    * division shares its expression shape across engines before the
+    * floor. Assignment ties break toward the smallest cent_id exactly
+    * like `centroid_argmax` (oracle: ORDER BY pcos DESC, cent_id).
+    *
+    * Scale shape: purely map-side on the corpus — the centroid row is
+    * one broadcast, the 16 cosines, argmax, top-2 and the silhouette
+    * are all in-row; the only shuffle is the final ≤16-group
+    * aggregate (map-side combined). The same shape as q29's
+    * assignment pass, so the eval costs no more than the index build
+    * it scores. */
+  def q249Silhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = vectors(s, dir).filter(col("nrm") > 0)
+    e.crossJoin(broadcast(centroidRow(e)))
+      .select(
+        expr("centroid_argmax(ed, nrm, cents)").as("cent_id"),
+        expr("""array_sort(
+               transform(cents, c -> vec_dot(ed, c.ced) / (nrm * c.cnrm)),
+               (x, y) -> CASE WHEN x > y THEN -1
+                              WHEN x < y THEN 1 ELSE 0 END)""").as("cs"))
+      .select(col("cent_id"),
+        expr("""CASE WHEN element_at(cs, 2) >= 1.0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor((element_at(cs, 1) - element_at(cs, 2))
+                 * 1000000 / (1.0 - element_at(cs, 2))) AS BIGINT)
+               END""").as("sp"))
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(sp) div count(1)").as("mean_sil_ppm"),
+        min("sp").as("min_sil_ppm"), max("sp").as("max_sil_ppm"))
+  }
+
+  private def q249OracleSql: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+          CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, ed AS ced, nrm AS cnrm
+          FROM e WHERE vec_id < $NumCentroids),
+        pc AS (SELECT e.vec_id, c.cent_id,
+            list_dot_product(e.ed, c.ced) / (e.nrm * c.cnrm) AS pcos
+          FROM e CROSS JOIN cents c WHERE e.nrm > 0),
+        own AS (SELECT vec_id, cent_id FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY pcos DESC, cent_id) AS rn
+            FROM pc) z WHERE rn = 1),
+        top2 AS (SELECT vec_id, list_sort(list(pcos), 'DESC') AS cs
+          FROM pc GROUP BY vec_id),
+        sil AS (SELECT o.cent_id,
+            CASE WHEN t.cs[2] >= 1.0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(floor((t.cs[1] - t.cs[2]) * 1000000
+                   / (1.0 - t.cs[2])) AS BIGINT)
+            END AS sp
+          FROM own o JOIN top2 t USING (vec_id))
+        SELECT cent_id, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(sp) // count(*) AS BIGINT) AS mean_sil_ppm,
+          min(sp) AS min_sil_ppm, max(sp) AS max_sil_ppm
+        FROM sil GROUP BY cent_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_silhouette" -> (q249Silhouette _),
     "q246_cohens_kappa" -> (q246CohensKappa _),
     "q241_knn_classify" -> (q241KnnClassify _),
     "q235_random_projection" -> (q235RandomProjection _),
@@ -1209,6 +1287,7 @@ object Similarity {
     "q91_quantize_embeddings" -> (q91QuantizeEmbeddings _))
 
   val oracleSql: Map[String, String] = Map(
+    "q249_silhouette" -> q249OracleSql,
     "q246_cohens_kappa" -> q246OracleSql,
     "q241_knn_classify" -> q241OracleSql,
     "q235_random_projection" -> q235OracleSql,

@@ -603,4 +603,73 @@ class AnalyticsSpec extends SparkSpec {
     assert(wilson(2, 2) < wilson(90, 100),
       "2/2 must not outrank 90/100 — the whole point of the bound")
   }
+
+  test("q247 chi2 cells span the full cross domain, margins telescope, " +
+    "and a cell's contribution replays the cross-multiplied formula") {
+    val rows = Analytics.q247Chi2Independence(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val sources = rows.map(_._1).distinct
+    val langs = rows.map(_._2).distinct
+    assert(rows.length === sources.length * langs.length,
+      "one row per (source, lang) cell — zero-observed cells included")
+    val n = rows.head._6
+    assert(rows.map(_._3).sum === n, "cell counts must partition corpus")
+    for ((src, grp) <- rows.groupBy(_._1)) {
+      assert(grp.map(_._3).sum === grp.head._4,
+        s"row margin broken for $src")
+      assert(grp.map(_._4).distinct.length === 1)
+    }
+    for ((_, _, o, r, c, nn, chi) <- rows) {
+      assert(chi >= 0L)
+      val dev = BigInt(nn) * o - BigInt(r) * c
+      assert(chi === (dev * dev * 1000000 / (BigInt(nn) * r * c)).toLong,
+        "contribution must replay the exact integer formula")
+    }
+  }
+
+  test("q248 always emits all nine digits, shares telescope to ~1e6, " +
+    "and the expectation literals are the Benford constants") {
+    val rows = Analytics.q248Benford(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to 9L))
+    val n = rows.head._3
+    assert(rows.map(_._2).sum === n, "digit counts must partition orders")
+    val shareSum = rows.map(_._4).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - 9,
+      s"shares sum to $shareSum")
+    assert(rows.map(_._5).toSeq ===
+      Analytics.BenfordPpm.toSeq, "expectation column != shared literals")
+    assert(math.abs(Analytics.BenfordPpm.sum - 1000000L) < 9)
+    for ((_, o, nn, share, b, dev, chi) <- rows) {
+      assert(dev === math.abs(share - b))
+      assert(chi >= 0L)
+      val num = BigInt(o) * 1000000 - BigInt(nn) * b
+      assert(chi === (num * num / (BigInt(nn) * b)).toLong)
+    }
+  }
+
+  test("q249 silhouette cells partition the corpus, values stay in " +
+    "[0, 1e6], and the mean is bracketed by min/max") {
+    val rows = graft.operators.Similarity.q249Silhouette(spark, sf1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty && rows.length <= 16)
+    assert(rows.forall(r => r._1 >= 0 && r._1 < 16))
+    val nVecs = graft.sources.Tables.load(spark, sf1, "embeddings").count()
+    assert(rows.map(_._2).sum === nVecs,
+      "every (non-zero-norm) vector lands in exactly one cell")
+    for ((cell, n, mean, mn, mx) <- rows) {
+      assert(n > 0)
+      assert(mn >= 0L && mx <= 1000000L, s"cell $cell out of range")
+      assert(mn <= mean && mean <= mx, s"cell $cell mean not bracketed")
+    }
+    // centroid vectors score a perfect 1.0 against their own cell, so
+    // any cell containing its centroid tops out at exactly 1e6
+    assert(rows.exists(_._5 === 1000000L),
+      "no cell reached the centroid's own perfect silhouette")
+  }
 }
