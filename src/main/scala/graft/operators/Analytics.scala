@@ -2199,7 +2199,79 @@ object Analytics {
         FROM cells"""
   }
 
+  // ------------------------------------------------------------ q252
+
+  /** q252 — HOLT LINEAR-TREND SMOOTHING per nation (double exponential
+    * smoothing, the level+trend forecaster one step up from q192's
+    * plain decay — a level-only smoother lags every trending series by
+    * construction; Holt carries an explicit trend term and forecasts
+    * level + trend): weekly revenue cents per customer nation,
+    * recurrences with α = β = ½ so each step is EXACT integer halving
+    * — l_t = (x_t + l_{t−1} + b_{t−1}) div 2,
+    * b_t = (l_t − l_{t−1} + b_{t−1}) div 2, seeded l₁ = x₁, b₁ = 0.
+    * Both engines truncate integer division toward zero (the q246
+    * verification; b goes negative on declining weeks, so the
+    * differential exercises the signed case). Released per nation:
+    * series length, final level, final trend, and the one-step
+    * forecast level + trend.
+    *
+    * Scale shape: the corpus collapses map-side to the (nation, week)
+    * census (time-domain bounded — 345 weeks here, never corpus-
+    * sized); the fold runs in-row over each nation's sorted series
+    * array. An inherently sequential recurrence made distributed by
+    * keying on the series id — the same shape a per-key state machine
+    * takes in production (and what mapGroupsWithState does on a
+    * stream). Oracle: the identical recurrence as a recursive CTE. */
+  def q252HoltSmoothing(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val wk = t(s, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"),
+        date_trunc("week", col("o_orderdate")).as("w"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("c"))
+    wk.groupBy("nationkey")
+      .agg(array_sort(collect_list(struct(col("w"), col("c"))))
+        .as("xs"))
+      .select(col("nationkey"), size(col("xs")).cast("bigint")
+        .as("n_weeks"),
+        expr("""aggregate(slice(xs, 2, size(xs) - 1),
+             named_struct('l', element_at(xs, 1).c,
+                          'b', CAST(0 AS BIGINT)),
+             (acc, x) -> named_struct(
+               'l', (x.c + acc.l + acc.b) div 2,
+               'b', ((x.c + acc.l + acc.b) div 2 - acc.l + acc.b)
+                 div 2))""").as("st"))
+      .select(col("nationkey"), col("n_weeks"),
+        col("st.l").as("level_cents"), col("st.b").as("trend_cents"),
+        expr("st.l + st.b").as("forecast_cents"))
+  }
+
+  private def q252OracleSql: String =
+    """WITH RECURSIVE wk AS (
+          SELECT c_nationkey AS n, date_trunc('week', o_orderdate) AS w,
+            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS c
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        ser AS (SELECT n, c, row_number() OVER (
+            PARTITION BY n ORDER BY w) AS rn FROM wk),
+        mx AS (SELECT n, CAST(max(rn) AS BIGINT) AS n_weeks
+          FROM ser GROUP BY 1),
+        rec AS (
+          SELECT n, rn, c AS l, CAST(0 AS BIGINT) AS b
+          FROM ser WHERE rn = 1
+          UNION ALL
+          SELECT s.n, s.rn, (s.c + r.l + r.b) // 2,
+            ((s.c + r.l + r.b) // 2 - r.l + r.b) // 2
+          FROM rec r JOIN ser s ON s.n = r.n AND s.rn = r.rn + 1)
+        SELECT r.n AS nationkey, mx.n_weeks, r.l AS level_cents,
+          r.b AS trend_cents, r.l + r.b AS forecast_cents
+        FROM rec r JOIN mx ON mx.n = r.n AND r.rn = mx.n_weeks"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_holt_smoothing" -> (q252HoltSmoothing _),
     "q247_chi2_independence" -> (q247Chi2Independence _),
     "q248_benford" -> (q248Benford _),
     "q242_wilson_rank" -> (q242WilsonRank _),
@@ -2239,6 +2311,7 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q252_holt_smoothing" -> q252OracleSql,
     "q247_chi2_independence" -> q247OracleSql,
     "q248_benford" -> q248OracleSql,
     "q242_wilson_rank" -> q242OracleSql,

@@ -1539,7 +1539,173 @@ object Pipeline {
     }.mkString("\n UNION ALL\n ")
   }
 
+  // ------------------------------------------------------------ q250
+
+  /** q250 batch size (documents per training batch). */
+  val PadB = 16
+
+  /** q250 — PADDING-WASTE BATCHING EVAL (the number that justifies
+    * length-bucketed batching in every LLM training pipeline: a batch
+    * pads every document to the batch max, so arrival-order batches
+    * burn compute on pad tokens in proportion to within-batch length
+    * spread; bucketing by length first collapses the spread). Two
+    * strategies over the same corpus, whitespace token counts (q36's
+    * n_ws): ARRIVAL = consecutive doc_id runs of 16 (ids are dense, so
+    * batch = doc_id div 16 — no window, no sort); LENGTH_BUCKETED =
+    * docs banded by len div 64, batches formed inside each band in
+    * (len, doc_id) order. Released per strategy: batch count, real
+    * tokens, padded tokens (Σ batch_max·batch_n), and the waste share
+    * in exact ppm — the eval's single headline number.
+    *
+    * Scale shape: arrival is pure key arithmetic (zero shuffles before
+    * the batch census); bucketed needs one exchange on the band key
+    * and a within-band sort — exactly the shuffle the production
+    * batcher itself pays, so the eval's cost model matches the thing
+    * it measures. Both collapse map-side to batch-sized censuses. */
+  def q250PaddingWaste(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("len"))
+    def waste(df: DataFrame, nm: String): DataFrame =
+      df.groupBy("batch")
+        .agg(count(lit(1)).as("bn"), sum("len").as("bt"),
+          max("len").as("bm"))
+        .agg(count(lit(1)).as("n_batches"), sum("bt").as("total_tok"),
+          sum(expr("bm * bn")).as("padded_tok"))
+        .select(lit(nm).as("strategy"), col("n_batches"),
+          col("total_tok"), col("padded_tok"),
+          expr("(padded_tok - total_tok) * 1000000 div padded_tok")
+            .as("waste_ppm"))
+    val arrival = toks.withColumn("batch", expr(s"doc_id div $PadB"))
+    val banded = toks.withColumn("band", expr("len div 64"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy("band").orderBy("len", "doc_id"))
+        .cast("bigint"))
+      .withColumn("batch",
+        expr(s"band * 1000000 + (idx - 1) div $PadB"))
+    waste(arrival, "arrival")
+      .unionByName(waste(banded, "length_bucketed"))
+  }
+
+  private def q250OracleSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        FROM documents),
+        arrival AS (SELECT doc_id // $PadB AS batch, len FROM toks),
+        banded AS (SELECT (len // 64) * 1000000
+            + (row_number() OVER (PARTITION BY len // 64
+                ORDER BY len, doc_id) - 1) // $PadB AS batch, len
+          FROM toks),
+        aw AS (SELECT batch, count(*) AS bn, sum(len) AS bt,
+            max(len) AS bm FROM arrival GROUP BY 1),
+        bw AS (SELECT batch, count(*) AS bn, sum(len) AS bt,
+            max(len) AS bm FROM banded GROUP BY 1),
+        u AS (
+          SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT)
+              AS n_batches, CAST(sum(bt) AS BIGINT) AS total_tok,
+            CAST(sum(bm * bn) AS BIGINT) AS padded_tok FROM aw
+          UNION ALL
+          SELECT 'length_bucketed', CAST(count(*) AS BIGINT),
+            CAST(sum(bt) AS BIGINT), CAST(sum(bm * bn) AS BIGINT)
+          FROM bw)
+        SELECT strategy, n_batches, total_tok, padded_tok,
+          (padded_tok - total_tok) * 1000000 // padded_tok AS waste_ppm
+        FROM u"""
+
+  // ------------------------------------------------------------ q251
+
+  /** q251 ring geometry: shard counts before/after, vnodes per shard. */
+  val RingN1 = 8
+  val RingN2 = 9
+  val RingV = 64
+
+  /** Sorted (position, shard) ring for `n` shards — positions from the
+    * repo's portable LCG applied TWICE to (shard·97 + vnode), computed
+    * ONCE here and embedded as the same literal array in both engines'
+    * plans (the BenfordPpm discipline: shared constants, not
+    * per-engine hashing). The double application matters: keys are
+    * single-LCG hashed in-engine, and two affine progressions with the
+    * SAME stride stay rigidly correlated mod m (small consecutive uids
+    * would collide exactly with consecutive vnode positions, pinning
+    * ring movement to a degenerate 0); the second pass breaks the
+    * shared stride, restoring the ~V·new/total expected intercept. */
+  private[graft] def ringFor(n: Int): IndexedSeq[(Long, Int)] = {
+    def lcg(x: Long): Long = (x * 1103515245L + 12345L) % 2147483647L
+    (0 until n).flatMap { sh =>
+      (0 until RingV).map(v => (lcg(lcg(sh.toLong * 97 + v)), sh))
+    }.sorted
+  }
+
+  /** q251 — CONSISTENT-HASH REBALANCE AUDIT (what adding one shard
+    * costs: under mod-N sharding, going 8 → 9 remaps ~8/9 of all keys
+    * — every cache, local index, and co-located file moves; under a
+    * hash RING with virtual nodes, only the keys a new shard's vnodes
+    * intercept move, ~1/9). Both schemes evaluated over the distinct
+    * event user base with the SAME portable-LCG key hash: mod moves
+    * where h%8 ≠ h%9; ring assignment = first vnode clockwise of the
+    * key's position (wrap to the ring head), rings embedded as sorted
+    * literal arrays. One audit row: key count, moved counts, both in
+    * exact ppm. The minimal-disruption theorem is test-pinned: every
+    * ring-moved key lands on the NEW shard, never a reshuffle among
+    * the old eight.
+    *
+    * Scale shape: one distinct-key aggregate, then per-key in-row
+    * arithmetic against two broadcast-literal rings (512/576 entries
+    * inside the plan), collapsing map-side to ONE row. No joins. */
+  def q251ConsistentHash(s: SparkSession, dir: String): DataFrame = {
+    def ringLit(r: IndexedSeq[(Long, Int)]): String =
+      r.map { case (p, sh) => s"named_struct('pos', ${p}L, 'shard', $sh)" }
+        .mkString("array(", ", ", ")")
+    val r1 = ringLit(ringFor(RingN1))
+    val r2 = ringLit(ringFor(RingN2))
+    t(s, dir, "events").select(col("user_id")).distinct()
+      .select(col("user_id"),
+        expr("(user_id * 1103515245 + 12345) % 2147483647").as("kp"))
+      .select(
+        expr(s"kp % $RingN1 != kp % $RingN2").as("mod_moved"),
+        expr(s"""coalesce(try_element_at(filter($r1, r -> r.pos >= kp),
+                 1), element_at($r1, 1)).shard""").as("sh1"),
+        expr(s"""coalesce(try_element_at(filter($r2, r -> r.pos >= kp),
+                 1), element_at($r2, 1)).shard""").as("sh2"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("mod_moved"), 1L).otherwise(0L)).as("moved_mod"),
+        sum(when(col("sh1") =!= col("sh2"), 1L).otherwise(0L))
+          .as("moved_ring"))
+      .select(col("n_keys"), col("moved_mod"), col("moved_ring"),
+        expr("moved_mod * 1000000 div n_keys").as("moved_mod_ppm"),
+        expr("moved_ring * 1000000 div n_keys").as("moved_ring_ppm"))
+  }
+
+  private def q251OracleSql: String = {
+    def ringLit(r: IndexedSeq[(Long, Int)]): String =
+      r.map { case (p, sh) => s"{'pos': $p, 'shard': $sh}" }
+        .mkString("[", ", ", "]")
+    val r1 = ringLit(ringFor(RingN1))
+    val r2 = ringLit(ringFor(RingN2))
+    s"""WITH k AS (SELECT DISTINCT user_id FROM events),
+        h AS (SELECT user_id,
+            (user_id * 1103515245 + 12345) % 2147483647 AS kp
+          FROM k),
+        a AS (SELECT kp % $RingN1 != kp % $RingN2 AS mod_moved,
+            coalesce(list_filter($r1, r -> r.pos >= kp)[1],
+              ($r1)[1]).shard AS sh1,
+            coalesce(list_filter($r2, r -> r.pos >= kp)[1],
+              ($r2)[1]).shard AS sh2
+          FROM h)
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(sum(CASE WHEN mod_moved THEN 1 ELSE 0 END) AS BIGINT)
+            AS moved_mod,
+          CAST(sum(CASE WHEN sh1 != sh2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS moved_ring,
+          CAST(sum(CASE WHEN mod_moved THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS moved_mod_ppm,
+          CAST(sum(CASE WHEN sh1 != sh2 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS moved_ring_ppm
+        FROM a"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_padding_waste" -> (q250PaddingWaste _),
+    "q251_consistent_hash" -> (q251ConsistentHash _),
     "q238_fk_integrity" -> (q238FkIntegrity _),
     "q237_weighted_sample" -> (q237WeightedSample _),
     "q228_quantile_normalize" -> (q228QuantileNormalize _),
@@ -1569,6 +1735,8 @@ object Pipeline {
     "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q250_padding_waste" -> q250OracleSql,
+    "q251_consistent_hash" -> q251OracleSql,
     "q238_fk_integrity" -> q238OracleSql,
     "q237_weighted_sample" -> q237OracleSql,
     "q228_quantile_normalize" -> q228OracleSql,

@@ -672,4 +672,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.exists(_._5 === 1000000L),
       "no cell reached the centroid's own perfect silhouette")
   }
+
+  test("q252 level/trend replay the exact halving recurrence over the " +
+    "per-nation weekly census, and the forecast is their sum") {
+    val out = Analytics.q252HoltSmoothing(spark, sf1).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out.nonEmpty)
+    val census = graft.sources.Tables.load(spark, sf1, "orders")
+      .join(graft.sources.Tables.load(spark, sf1, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("n"),
+        date_trunc("week", col("o_orderdate")).as("w"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(out.keySet === census.keySet)
+    for ((nat, rows) <- census) {
+      val xs = rows.sortBy(_._2.getTime).map(_._3)
+      var l = xs.head
+      var b = 0L
+      for (x <- xs.tail) {
+        val l2 = (x + l + b) / 2
+        b = (l2 - l + b) / 2
+        l = l2
+      }
+      val (nWeeks, level, trend, fc) = out(nat)
+      assert(nWeeks === xs.length)
+      assert(level === l, s"nation $nat level diverged")
+      assert(trend === b, s"nation $nat trend diverged")
+      assert(fc === l + b)
+    }
+    // the signed-division edge must actually occur for the
+    // differential to mean anything
+    assert(out.values.exists(_._3 < 0),
+      "no nation with a negative trend — recurrence edge unexercised")
+  }
 }

@@ -494,4 +494,47 @@ class PipelineSpec extends SparkSpec {
       graft.sources.Tables.load(spark, sf1, "region"),
       nat("n_regionkey") === col("r_regionkey"), "left_anti").count())
   }
+
+  test("q250 both strategies batch the same corpus, geometry replays, " +
+    "and length bucketing strictly cuts padding waste") {
+    val rows = Pipeline.q250PaddingWaste(spark, sf1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet === Set("arrival", "length_bucketed"))
+    val (anB, aTot, aPad, aW) = rows("arrival")
+    val (bnB, bTot, bPad, bW) = rows("length_bucketed")
+    assert(aTot === bTot, "real token mass must not depend on batching")
+    assert(aPad >= aTot && bPad >= bTot, "padding can only add tokens")
+    assert(aW === (aPad - aTot) * 1000000L / aPad)
+    assert(bW === (bPad - bTot) * 1000000L / bPad)
+    val nDocs = graft.sources.Tables.load(spark, sf1, "documents").count()
+    assert(anB === (nDocs + Pipeline.PadB - 1) / Pipeline.PadB,
+      "arrival batch count must be ceil(n/B) — doc_ids are dense")
+    assert(bnB >= anB, "band fragmentation can only add batches")
+    assert(bW < aW, "length bucketing must cut waste — the op's point")
+  }
+
+  test("q251 aggregates replay a scala model of both schemes and every " +
+    "ring-moved key lands on the NEW shard (minimal disruption)") {
+    val r = Pipeline.q251ConsistentHash(spark, sf1).collect().head
+    val (nKeys, movedMod, movedRing) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val keys = graft.sources.Tables.load(spark, sf1, "events")
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    assert(nKeys === keys.length)
+    def lcg(x: Long): Long = (x * 1103515245L + 12345L) % 2147483647L
+    val (r8, r9) = (Pipeline.ringFor(8), Pipeline.ringFor(9))
+    def assign(ring: IndexedSeq[(Long, Int)], kp: Long): Int =
+      ring.find(_._1 >= kp).getOrElse(ring.head)._2
+    val kps = keys.map(lcg)
+    assert(movedMod === kps.count(k => k % 8 != k % 9))
+    val moves = kps.map(k => (assign(r8, k), assign(r9, k)))
+      .filter { case (a, b) => a != b }
+    assert(movedRing === moves.length)
+    assert(moves.forall(_._2 === 8),
+      "a ring-moved key not landing on the new shard breaks the " +
+        "minimal-disruption theorem")
+    assert(r.getLong(3) === movedMod * 1000000L / nKeys)
+    assert(r.getLong(4) === movedRing * 1000000L / nKeys)
+  }
 }
