@@ -2270,7 +2270,63 @@ object Analytics {
           r.b AS trend_cents, r.l + r.b AS forecast_cents
         FROM rec r JOIN mx ON mx.n = r.n AND r.rn = mx.n_weeks"""
 
+  // ------------------------------------------------------------ q255
+
+  /** q255 smoothing pseudo-count (prior weight, the q203 convention). */
+  val LooM = 10L
+
+  /** q255 — LEAVE-ONE-OUT TARGET ENCODING (q203's encoding made
+    * leakage-safe: plain target encoding feeds row i a statistic that
+    * CONTAINS yᵢ — the classic train-time leak that collapses at
+    * serving; the LOO form excludes the row's own target from its own
+    * feature): per order, over the customer market segment,
+    * enc = (Σ_seg − yᵢ + m·prior) div (n_seg − 1 + m) with y = exact
+    * order cents, m = 10, prior = global mean cents (integer div).
+    * Released PER ROW (orderkey, segment, own cents, LOO cents) — the
+    * per-row exclusion is the operator, so the differential pins every
+    * row's feature, not a category table. All-integer arithmetic.
+    *
+    * Scale shape: one map-side-combined |segments|-row census + 1-row
+    * global prior, broadcast back onto the row stream — the encode
+    * pass stays scan-speed with zero row-side shuffles (q203's shape,
+    * plus the in-row subtraction). Degenerate n_seg = 1 still divides
+    * safely through the m pseudo-count. */
+  def q255LooEncoding(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val rows = t(s, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment").as("segment"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val seg = rows.groupBy("segment")
+      .agg(count(lit(1)).as("n_seg"), sum("cents").as("sum_seg"))
+    val prior = rows.agg(
+      expr("sum(cents) div count(1)").as("prior_cents"))
+    rows.join(broadcast(seg), "segment")
+      .crossJoin(broadcast(prior))
+      .select(col("o_orderkey"), col("segment"), col("cents"),
+        expr(s"""(sum_seg - cents + $LooM * prior_cents)
+             div (n_seg - 1 + $LooM)""").as("loo_cents"))
+  }
+
+  private def q255OracleSql: String =
+    s"""WITH rows_ AS (SELECT o_orderkey, c_mktsegment AS segment,
+          CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+        seg AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_seg,
+            CAST(sum(cents) AS BIGINT) AS sum_seg
+          FROM rows_ GROUP BY 1),
+        prior AS (SELECT CAST(sum(cents) // count(*) AS BIGINT)
+            AS prior_cents
+          FROM rows_)
+        SELECT r.o_orderkey, r.segment, r.cents,
+          (s.sum_seg - r.cents + $LooM * p.prior_cents)
+            // (s.n_seg - 1 + $LooM) AS loo_cents
+        FROM rows_ r JOIN seg s ON r.segment = s.segment
+        CROSS JOIN prior p"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_loo_encoding" -> (q255LooEncoding _),
     "q252_holt_smoothing" -> (q252HoltSmoothing _),
     "q247_chi2_independence" -> (q247Chi2Independence _),
     "q248_benford" -> (q248Benford _),
@@ -2311,6 +2367,7 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q255_loo_encoding" -> q255OracleSql,
     "q252_holt_smoothing" -> q252OracleSql,
     "q247_chi2_independence" -> q247OracleSql,
     "q248_benford" -> q248OracleSql,

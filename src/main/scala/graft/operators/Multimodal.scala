@@ -686,7 +686,99 @@ object Multimodal {
         SELECT asset_id_1, asset_id_2, hamming FROM cand
         WHERE hamming <= $PhashRadius"""
 
+  /** q254 geometry and threshold: 12 frames of 64 bytes per audio
+    * asset; a frame is SILENT when its mean byte ×100 sits under 9300
+    * (calibrated on the measured per-frame distribution — p5 9167,
+    * median 9446, p95 9718 at sf0.01 — so roughly the quietest fifth
+    * of frames trip, giving real run structure). */
+  val SilFrames = 12
+  val SilFrameBytes = 64
+  val SilThresholdPct = 9300L
+
+  /** q254 — SILENCE-RUN SEGMENTATION over audio payloads (the VAD /
+    * audio-trimming primitive: a speech pipeline drops or splits on
+    * silent stretches, and what it needs from the engine is run
+    * geometry over a per-frame energy track — gaps-and-islands on a
+    * derived signal, where q148 detects frame-to-frame CHANGE, this
+    * detects absolute-level RUNS). Per audio asset: 12 q115-geometry
+    * frames, energy = mean byte ×100 (exact integer division by frame
+    * length), silent = energy < threshold; released per asset: frame
+    * count, silent count, number of maximal silent runs, and the
+    * longest run — the payload stays undecoded bytes, a real
+    * energy/VAD model drops into the same per-partition slot.
+    *
+    * Scale shape: one narrow typed pass over the audio slice of the
+    * corpus — frames, energies, and run geometry all inside one row's
+    * map call; zero shuffles, zero joins. Oracle: identical frame
+    * geometry, runs via lag + gaps-and-islands windows per asset. */
+  def q254SilenceSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).filter(col("kind") === "audio").as[MediaAsset]
+      .mapPartitions { it =>
+        // per-partition VAD-model init would go here
+        it.map { a =>
+          val n = a.payload.length
+          val step = math.max(n / SilFrames, 1)
+          val silent = (0 until SilFrames).flatMap { fi =>
+            val off = fi * step
+            val fr = a.payload.slice(off,
+              math.min(off + SilFrameBytes, n))
+            if (fr.isEmpty) None
+            else {
+              var sum = 0L
+              fr.foreach(b => sum += (b & 0xff))
+              Some(sum * 100 / fr.length < SilThresholdPct)
+            }
+          }
+          var runs = 0L
+          var longest = 0L
+          var cur = 0L
+          silent.foreach { sl =>
+            if (sl) {
+              if (cur == 0) runs += 1
+              cur += 1
+              if (cur > longest) longest = cur
+            } else cur = 0
+          }
+          (a.asset_id, silent.length.toLong,
+            silent.count(identity).toLong, runs, longest)
+        }
+      }.toDF("asset_id", "n_frames", "n_silent", "n_runs", "longest_run")
+  }
+
+  private def q254OracleSql: String =
+    s"""WITH a AS (SELECT doc_id AS asset_id, text,
+          greatest(strlen(text) // $SilFrames, 1) AS step
+        FROM documents WHERE doc_id % 3 = 1),
+        f AS (SELECT asset_id, fi,
+            substr(text, CAST(fi * step + 1 AS INT), $SilFrameBytes)
+              AS fr
+          FROM a, unnest(range(0, $SilFrames)) AS sb_t(fi)),
+        e AS (SELECT asset_id, fi,
+            CAST(list_sum(list_transform(string_split(fr, ''),
+              sb_c -> ascii(sb_c))) AS BIGINT) * 100
+              // strlen(fr) < $SilThresholdPct AS sil
+          FROM f WHERE strlen(fr) > 0),
+        m AS (SELECT asset_id, fi, sil,
+            CASE WHEN sil AND NOT coalesce(lag(sil) OVER (
+                PARTITION BY asset_id ORDER BY fi), FALSE)
+              THEN 1 ELSE 0 END AS run_start,
+            CASE WHEN sil THEN fi - row_number() OVER (
+                PARTITION BY asset_id, sil ORDER BY fi) END AS isl
+          FROM e),
+        runs AS (SELECT asset_id, isl, CAST(count(*) AS BIGINT) AS rl
+          FROM m WHERE sil GROUP BY asset_id, isl)
+        SELECT m.asset_id, CAST(count(*) AS BIGINT) AS n_frames,
+          CAST(sum(CASE WHEN m.sil THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_silent,
+          CAST(sum(m.run_start) AS BIGINT) AS n_runs,
+          CAST(coalesce((SELECT max(rl) FROM runs r
+            WHERE r.asset_id = m.asset_id), 0) AS BIGINT)
+            AS longest_run
+        FROM m GROUP BY m.asset_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_silence_segments" -> (q254SilenceSegments _),
     "q231_payload_phash" -> (q231PayloadPhash _),
     "q220_hist_equalize" -> (q220HistEqualize _),
     "q216_cdc_chunk_dedup" -> (q216CdcChunkDedup _),
@@ -697,6 +789,7 @@ object Multimodal {
     "q81_media_histogram" -> (q81MediaHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q254_silence_segments" -> q254OracleSql,
     "q231_payload_phash" -> q231OracleSql,
     "q220_hist_equalize" -> q220OracleSql,
     "q216_cdc_chunk_dedup" -> q216OracleSql,

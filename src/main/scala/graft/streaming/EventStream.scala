@@ -749,8 +749,80 @@ object EventStream {
           AND c.event_type = tt.event_type
         WHERE c.n * ${StreamHhK + 1} > tt.total"""
 
+  /** q253 — STREAMING QUANTILES VIA BINNED-HISTOGRAM STATE (the
+    * fixed-memory quantile shape for a bounded value domain: per open
+    * window the state is a (bin → count) histogram, mergeable and
+    * watermark-bounded, NOT a buffer of raw values — the property any
+    * 100 TB/day latency-percentile monitor needs). The stream maintains
+    * per-(day, event_type, whole-unit bin) counts; the p50/p95/p99
+    * readout is a tiny BATCH pass over the drained sketch table —
+    * quantile = smallest bin whose cumulative count reaches ⌈q·n⌉,
+    * exact cross-multiplied integers (cum·100 ≥ n·q), bit-equal to the
+    * oracle's identical census arithmetic by construction (binned
+    * quantiles are deterministic where raw-value interpolation is
+    * float-order-dependent).
+    *
+    * Scale shape: streaming state is |open windows|·|types|·|bins ≤
+    * 561| longs regardless of stream length; the readout windows ride
+    * the domain-sized sketch, never events. */
+  def q253StreamQuantile(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q253_stream_quantile_mem"
+    s.catalog.dropTempView(name)
+    val q = readEvents(s, dir)
+      .withWatermark("ts", "1 day")
+      .select(col("ts"), col("event_type"),
+        expr("CAST(floor(value) AS BIGINT)").as("bin"))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").cast("date").as("day"),
+        col("event_type"), col("bin"), col("c"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day", "event_type").orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy("day", "event_type")
+    s.table(name)
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(tot))
+      .groupBy("day", "event_type")
+      .agg(max("n").as("n"),
+        min(when(expr("cum * 100 >= n * 50"), col("bin"))).as("p50_bin"),
+        min(when(expr("cum * 100 >= n * 95"), col("bin"))).as("p95_bin"),
+        min(when(expr("cum * 100 >= n * 99"), col("bin"))).as("p99_bin"))
+  }
+
+  private def q253OracleSql: String =
+    """WITH b AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+          event_type, CAST(floor(value) AS BIGINT) AS bin
+        FROM events),
+        hist AS (SELECT day, event_type, bin,
+            CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY 1, 2, 3),
+        cum AS (SELECT day, event_type, bin, c,
+            CAST(sum(c) OVER (PARTITION BY day, event_type ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+            CAST(sum(c) OVER (PARTITION BY day, event_type)
+              AS BIGINT) AS n
+          FROM hist)
+        SELECT day, event_type, CAST(max(n) AS BIGINT) AS n,
+          min(CASE WHEN cum * 100 >= n * 50 THEN bin END) AS p50_bin,
+          min(CASE WHEN cum * 100 >= n * 95 THEN bin END) AS p95_bin,
+          min(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS p99_bin
+        FROM cum GROUP BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q253_stream_quantile" -> (q253StreamQuantile _),
     "q239_stream_heavy_hitters" -> (q239StreamHeavyHitters _),
     "q236_stream_kmv" -> (q236StreamKmv _),
     "q188_stream_session_window" -> (q188StreamSessionWindow _),
@@ -766,6 +838,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q253_stream_quantile" -> q253OracleSql,
     "q239_stream_heavy_hitters" -> q239OracleSql,
     "q236_stream_kmv" -> q236OracleSql,
     "q188_stream_session_window" -> q188OracleSql,

@@ -710,4 +710,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.values.exists(_._3 < 0),
       "no nation with a negative trend — recurrence edge unexercised")
   }
+
+  test("q255 every row's LOO feature excludes its own target: formula " +
+    "replays, and raising own y lowers own encoding within a segment") {
+    val rows = Analytics.q255LooEncoding(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    val bySeg = rows.groupBy(_._2)
+    val prior = rows.map(_._3).sum / rows.length
+    for ((seg, grp) <- bySeg) {
+      val (nSeg, sumSeg) = (grp.length.toLong, grp.map(_._3).sum)
+      for ((_, _, cents, loo) <- grp.take(50))
+        assert(loo === (sumSeg - cents + Analytics.LooM * prior) /
+          (nSeg - 1 + Analytics.LooM), s"segment $seg formula diverged")
+      // anti-monotone in own target: the leakage-safety signature
+      val sorted = grp.sortBy(_._3)
+      assert(sorted.head._4 >= sorted.last._4,
+        s"segment $seg: cheapest order must get the highest encoding")
+    }
+  }
 }

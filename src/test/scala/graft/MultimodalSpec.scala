@@ -163,4 +163,42 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(a0 ^ b0) +
       java.lang.Long.bitCount(a1 ^ b1) <= 2)
   }
+
+  test("q254 covers exactly the audio assets with consistent run " +
+    "geometry and an independent run replay per asset") {
+    val rows = Multimodal.q254SilenceSegments(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val audio = Multimodal.assets(spark, sf1)
+      .filter(org.apache.spark.sql.functions.col("kind") === "audio")
+      .collect().map(a => a.asset_id -> a.payload).toMap
+    assert(rows.map(_._1).toSet === audio.keySet)
+    for ((id, nf, ns, nr, lg) <- rows) {
+      assert(ns <= nf && nr <= ns && lg <= ns)
+      assert((nr == 0) === (ns == 0), "runs iff silent frames")
+      if (nr > 0) assert(lg * nr >= ns,
+        s"asset $id: $nr runs cannot hold $ns frames if longest is $lg")
+      // independent replay of the silent-flag sequence
+      val p = audio(id)
+      val step = math.max(p.length / Multimodal.SilFrames, 1)
+      val flags = (0 until Multimodal.SilFrames).flatMap { fi =>
+        val fr = p.slice(fi * step,
+          math.min(fi * step + Multimodal.SilFrameBytes, p.length))
+        if (fr.isEmpty) None
+        else Some(fr.map(_ & 0xff).map(_.toLong).sum * 100 /
+          fr.length < Multimodal.SilThresholdPct)
+      }
+      assert(flags.length === nf)
+      assert(flags.count(identity) === ns)
+      val runs = flags.map(if (_) 1 else 0).mkString
+        .split("0").filter(_.nonEmpty)
+      assert(runs.length.toLong === nr, s"asset $id run count")
+      assert((if (runs.isEmpty) 0L else runs.map(_.length).max.toLong)
+        === lg, s"asset $id longest run")
+    }
+    assert(rows.exists(_._3 > 0), "no silent frame anywhere — " +
+      "threshold calibration broken")
+    assert(rows.exists(r => r._4 >= 2),
+      "no asset with 2+ runs — run structure unexercised")
+  }
 }

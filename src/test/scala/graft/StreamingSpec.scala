@@ -59,4 +59,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === rebuilt,
       "lifetime streaming pair set must equal the full rebuild")
   }
+
+  test("q253 streamed binned quantiles are ordered, cover every " +
+    "(day, type) window, and replay the census definition") {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val rows = graft.streaming.EventStream
+      .q253StreamQuantile(spark, sf1).collect()
+      .map(r => (r.getDate(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val events = graft.sources.Tables.load(spark, sf1, "events")
+    assert(rows.map(_._3).sum === events.count(),
+      "window counts must partition the stream")
+    for ((d, t, n, p50, p95, p99) <- rows) {
+      assert(n > 0)
+      assert(p50 <= p95 && p95 <= p99, s"($d,$t) quantiles unordered")
+    }
+    // replay one group's p95 from the exact batch census
+    val (d0, t0, n0, _, p95s, _) = rows.head
+    val bins = events
+      .filter(col("ts").cast("date") === lit(d0) &&
+        col("event_type") === t0)
+      .select(expr("CAST(floor(value) AS BIGINT)").as("b"))
+      .collect().map(_.getLong(0)).sorted
+    assert(bins.length === n0)
+    val cum = bins.zipWithIndex.find {
+      case (_, i) => (i + 1) * 100L >= bins.length * 95L
+    }.get._1
+    assert(p95s === cum, "streamed p95 diverged from census replay")
+  }
 }
