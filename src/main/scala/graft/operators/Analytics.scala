@@ -2325,7 +2325,167 @@ object Analytics {
         FROM rows_ r JOIN seg s ON r.segment = s.segment
         CROSS JOIN prior p"""
 
+  // ------------------------------------------------------------ q256
+
+  /** q256 — THEIL–SEN ROBUST TREND per nation (the median-of-pairwise-
+    * slopes estimator: least squares hands one outlier week the whole
+    * trend, the Theil–Sen median shrugs off up to ~29% corruption —
+    * the robust-statistics family member for TRENDS next to q162's MAD
+    * for location): over the q252 weekly-revenue census with dense
+    * week indices, every i<j pair contributes slope
+    * (cⱼ−cᵢ)·10⁶ div (j−i) (exact integers, negative slopes truncate
+    * toward zero on both engines — verified), and the released trend
+    * is the lower-median slope (position (n+1) div 2 of the sorted
+    * pair list — a deterministic order statistic, no float averaging).
+    *
+    * Scale shape: the pair join and the median window ride the
+    * TIME-DOMAIN census (345 weeks → ~59k pairs per nation), never the
+    * corpus — O(weeks²) per series is corpus-size-independent, the
+    * standard Theil–Sen deployment bound (sub-sampled pairs when the
+    * series itself is long). */
+  def q256TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val idx = t(s, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"),
+        date_trunc("week", col("o_orderdate")).as("w"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("nationkey").orderBy("w")).cast("bigint"))
+    val nw = idx.groupBy("nationkey").agg(max("rn").as("n_weeks"))
+    val a = idx.select(col("nationkey"), col("c").as("ca"),
+      col("rn").as("ra"))
+    val b = idx.select(col("nationkey").as("nk2"), col("c").as("cb"),
+      col("rn").as("rb"))
+    val pairs = a.join(b,
+      col("nationkey") === col("nk2") && col("rb") > col("ra"))
+      .select(col("nationkey"),
+        expr("(cb - ca) * 1000000 div (rb - ra)").as("slope_ppm"))
+    pairs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("nationkey").orderBy("slope_ppm"))
+        .cast("bigint"))
+      .withColumn("n_pairs", count(lit(1)).over(
+        Window.partitionBy("nationkey")))
+      .filter(col("rnk") === expr("(n_pairs + 1) div 2"))
+      .join(broadcast(nw), "nationkey")
+      .select(col("nationkey"), col("n_weeks"), col("n_pairs"),
+        col("slope_ppm").as("theil_slope_ppm"))
+  }
+
+  private def q256OracleSql: String =
+    """WITH wk AS (SELECT c_nationkey AS n,
+          date_trunc('week', o_orderdate) AS w,
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS c
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+        idx AS (SELECT n, c, CAST(row_number() OVER (
+            PARTITION BY n ORDER BY w) AS BIGINT) AS rn FROM wk),
+        nw AS (SELECT n, CAST(max(rn) AS BIGINT) AS n_weeks
+          FROM idx GROUP BY 1),
+        p AS (SELECT a.n,
+            (b.c - a.c) * 1000000 // (b.rn - a.rn) AS slope_ppm
+          FROM idx a JOIN idx b ON a.n = b.n AND b.rn > a.rn),
+        r AS (SELECT n, slope_ppm,
+            CAST(row_number() OVER (PARTITION BY n ORDER BY slope_ppm)
+              AS BIGINT) AS rnk,
+            CAST(count(*) OVER (PARTITION BY n) AS BIGINT) AS np
+          FROM p)
+        SELECT r.n AS nationkey, nw.n_weeks, r.np AS n_pairs,
+          r.slope_ppm AS theil_slope_ppm
+        FROM r JOIN nw ON nw.n = r.n
+        WHERE r.rnk = (r.np + 1) // 2"""
+
+  // ------------------------------------------------------------ q258
+
+  /** q258 — SIMPSON'S-PARADOX AUDIT over the order funnel (the
+    * confounding screen every aggregate metric needs before anyone
+    * acts on it: a pooled rate comparison can point the OPPOSITE way
+    * from every customer segment's own comparison when segment mix
+    * correlates with treatment — the audit makes the pooled and
+    * per-segment directions simultaneously visible): treatment =
+    * urgent/high order priority, outcome = fulfilled status, one row
+    * per customer segment plus the pooled 'ALL' row; per row both
+    * arms' n/k, both rates in exact ppm, the lift sign from the
+    * cross-multiplied comparison sign(k_t·n_c − k_c·n_t) (no float
+    * rates in the decision), and `reversed` = this row's sign
+    * contradicts the pooled sign — nonzero signs only, the audit's
+    * flag column.
+    *
+    * Scale shape: ONE map-side-combined (segment, treated) census off
+    * the broadcast-dim join; pooled row and signs ride the
+    * |segments|-row frame; zero corpus-side windows. */
+  def q258SimpsonAudit(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val base = t(s, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("treat"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    def arms(df: DataFrame, seg: Column): DataFrame =
+      df.groupBy(seg.as("segment"))
+        .agg(sum(when(col("treat"), 1L).otherwise(0L)).as("n_treat"),
+          sum(when(col("treat"), col("y")).otherwise(0L)).as("k_treat"),
+          sum(when(!col("treat"), 1L).otherwise(0L)).as("n_ctrl"),
+          sum(when(!col("treat"), col("y")).otherwise(0L)).as("k_ctrl"))
+    val per = arms(base, col("segment"))
+    val pooled = arms(base, lit("ALL"))
+    val all = per.unionByName(pooled)
+      .withColumn("lift_sign",
+        expr("sign(k_treat * n_ctrl - k_ctrl * n_treat)")
+          .cast("bigint"))
+    val ps = pooled
+      .select(expr("sign(k_treat * n_ctrl - k_ctrl * n_treat)")
+        .cast("bigint").as("pooled_sign"))
+    all.crossJoin(broadcast(ps))
+      .select(col("segment"), col("n_treat"), col("k_treat"),
+        col("n_ctrl"), col("k_ctrl"),
+        expr("k_treat * 1000000 div n_treat").as("treat_rate_ppm"),
+        expr("k_ctrl * 1000000 div n_ctrl").as("ctrl_rate_ppm"),
+        col("lift_sign"),
+        (col("lift_sign") * col("pooled_sign") === -1L).as("reversed"))
+  }
+
+  private def q258OracleSql: String =
+    """WITH base AS (SELECT c_mktsegment AS segment,
+          o_orderpriority IN ('1-URGENT', '2-HIGH') AS treat,
+          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+        per AS (SELECT segment,
+            CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_treat,
+            CAST(sum(CASE WHEN treat THEN y ELSE 0 END) AS BIGINT)
+              AS k_treat,
+            CAST(sum(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT)
+              AS n_ctrl,
+            CAST(sum(CASE WHEN treat THEN 0 ELSE y END) AS BIGINT)
+              AS k_ctrl
+          FROM base GROUP BY segment),
+        pooled AS (SELECT 'ALL' AS segment,
+            CAST(sum(n_treat) AS BIGINT) AS n_treat,
+            CAST(sum(k_treat) AS BIGINT) AS k_treat,
+            CAST(sum(n_ctrl) AS BIGINT) AS n_ctrl,
+            CAST(sum(k_ctrl) AS BIGINT) AS k_ctrl
+          FROM per),
+        u AS (SELECT * FROM per UNION ALL SELECT * FROM pooled),
+        ps AS (SELECT CAST(sign(k_treat * n_ctrl - k_ctrl * n_treat)
+            AS BIGINT) AS pooled_sign FROM pooled)
+        SELECT u.segment, u.n_treat, u.k_treat, u.n_ctrl, u.k_ctrl,
+          u.k_treat * 1000000 // u.n_treat AS treat_rate_ppm,
+          u.k_ctrl * 1000000 // u.n_ctrl AS ctrl_rate_ppm,
+          CAST(sign(u.k_treat * u.n_ctrl - u.k_ctrl * u.n_treat)
+            AS BIGINT) AS lift_sign,
+          CAST(sign(u.k_treat * u.n_ctrl - u.k_ctrl * u.n_treat)
+            AS BIGINT) * ps.pooled_sign = -1 AS reversed
+        FROM u CROSS JOIN ps"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_theil_sen" -> (q256TheilSen _),
+    "q258_simpson_audit" -> (q258SimpsonAudit _),
     "q255_loo_encoding" -> (q255LooEncoding _),
     "q252_holt_smoothing" -> (q252HoltSmoothing _),
     "q247_chi2_independence" -> (q247Chi2Independence _),
@@ -2367,6 +2527,8 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q256_theil_sen" -> q256OracleSql,
+    "q258_simpson_audit" -> q258OracleSql,
     "q255_loo_encoding" -> q255OracleSql,
     "q252_holt_smoothing" -> q252OracleSql,
     "q247_chi2_independence" -> q247OracleSql,

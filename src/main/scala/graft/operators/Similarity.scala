@@ -1265,7 +1265,110 @@ object Similarity {
           min(sp) AS min_sil_ppm, max(sp) AS max_sil_ppm
         FROM sil GROUP BY cent_id"""
 
+  /** q257 rank depth and the shared discount table: floor(10⁶/log₂(i+1))
+    * for rank i = 1..10, computed ONCE here and embedded as the same
+    * literals in both engines' plans (the BenfordPpm discipline — the
+    * only logs in the operator are these constants of the metric, so
+    * DCG arithmetic stays exact-integer end to end). */
+  val NdcgK = 10
+  val NdcgDiscPpm: IndexedSeq[Long] = (1 to NdcgK)
+    .map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)))
+      .toLong)
+
+  /** q257 — nDCG@10 RANKING EVAL over the kNN retrieval (the
+    * position-weighted complement to q215's MRR and q241's votes: MRR
+    * sees only the FIRST relevant hit, accuracy sees none of the
+    * ordering — nDCG pays each relevant neighbor by its rank, which is
+    * what a retrieval feeding a reranker actually optimizes): per
+    * probe, the top-10 exact-cosine neighbors scored rel=1 when the
+    * neighbor's label matches the probe's; DCG = Σ relᵢ·discᵢ over the
+    * shared discount literals, IDCG = the prefix sum of the first
+    * n_rel discounts (ideal ordering front-loads all relevant), and
+    * nDCG = DCG·10⁶ div IDCG in exact integers (0 when nothing
+    * relevant — declared, not NULL). Released per probe with n_rel so
+    * both the metric and its saturation are differential-pinned.
+    *
+    * Scale shape: q153's amortized brute-force — one corpus scan
+    * against the broadcast probe batch, per-probe top-k window on the
+    * probe-keyed exchange, then all metric arithmetic on the
+    * k-row-per-probe frame. Production swaps the corpus side for
+    * q120's IVF candidates, identical metric arithmetic. */
+  def q257NdcgEval(s: SparkSession, dir: String): DataFrame = {
+    val e = vectors(s, dir)
+    val lbl = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("bigint").as("label"))
+    val probes = e.join(lbl, "vec_id")
+      .filter(col("vec_id") < KnnProbes)
+      .select(col("vec_id").as("probe_id"), col("ed").as("ped"),
+        col("nrm").as("pnrm"), col("label").as("plabel"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val disc = NdcgDiscPpm.mkString("array(", "L, ", "L)")
+    val pfx = NdcgDiscPpm.scanLeft(0L)(_ + _).tail
+      .mkString("array(", "L, ", "L)")
+    e.join(lbl, "vec_id")
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("pcos",
+        vec_dot(col("ed"), col("ped")) / (col("nrm") * col("pnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= NdcgK)
+      .groupBy("probe_id")
+      .agg(sum(when(col("label") === col("plabel"), 1L).otherwise(0L))
+        .as("n_rel"),
+        sum(when(col("label") === col("plabel"),
+          expr(s"element_at($disc, CAST(rank AS INT))"))
+          .otherwise(0L)).as("dcg_fp"))
+      .select(col("probe_id"), col("n_rel"), col("dcg_fp"),
+        expr(s"""CASE WHEN n_rel = 0 THEN CAST(0 AS BIGINT)
+             ELSE element_at($pfx, CAST(n_rel AS INT)) END""")
+          .as("idcg_fp"))
+      .withColumn("ndcg_ppm",
+        expr("""CASE WHEN idcg_fp = 0 THEN CAST(0 AS BIGINT)
+             ELSE dcg_fp * 1000000 div idcg_fp END"""))
+  }
+
+  private def q257OracleSql: String = {
+    val disc = NdcgDiscPpm.mkString("[", ", ", "]")
+    val pfx = NdcgDiscPpm.scanLeft(0L)(_ + _).tail
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm,
+          CAST(label AS BIGINT) AS label
+        FROM embeddings),
+        probes AS (SELECT vec_id AS probe_id, ed AS ped, nrm AS pnrm,
+            label AS plabel
+          FROM e WHERE vec_id < $KnnProbes),
+        ranked AS (SELECT probe_id, plabel, nlabel,
+            row_number() OVER (PARTITION BY probe_id
+              ORDER BY pcos DESC, vec_id) AS rn
+          FROM (SELECT p.probe_id, p.plabel, a.vec_id,
+                  a.label AS nlabel,
+                  list_dot_product(a.ed, p.ped) / (a.nrm * p.pnrm)
+                    AS pcos
+                FROM e a CROSS JOIN probes p
+                WHERE a.vec_id <> p.probe_id) z),
+        agg AS (SELECT probe_id,
+            CAST(sum(CASE WHEN nlabel = plabel THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rel,
+            CAST(sum(CASE WHEN nlabel = plabel
+                THEN ($disc)[CAST(rn AS INT)] ELSE 0 END)
+              AS BIGINT) AS dcg_fp
+          FROM ranked WHERE rn <= $NdcgK GROUP BY probe_id),
+        w AS (SELECT probe_id, n_rel, dcg_fp,
+            CASE WHEN n_rel = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(($pfx)[CAST(n_rel AS INT)] AS BIGINT)
+            END AS idcg_fp
+          FROM agg)
+        SELECT probe_id, n_rel, dcg_fp, idcg_fp,
+          CASE WHEN idcg_fp = 0 THEN CAST(0 AS BIGINT)
+               ELSE dcg_fp * 1000000 // idcg_fp END AS ndcg_ppm
+        FROM w"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_ndcg_eval" -> (q257NdcgEval _),
     "q249_silhouette" -> (q249Silhouette _),
     "q246_cohens_kappa" -> (q246CohensKappa _),
     "q241_knn_classify" -> (q241KnnClassify _),
@@ -1287,6 +1390,7 @@ object Similarity {
     "q91_quantize_embeddings" -> (q91QuantizeEmbeddings _))
 
   val oracleSql: Map[String, String] = Map(
+    "q257_ndcg_eval" -> q257OracleSql,
     "q249_silhouette" -> q249OracleSql,
     "q246_cohens_kappa" -> q246OracleSql,
     "q241_knn_classify" -> q241OracleSql,

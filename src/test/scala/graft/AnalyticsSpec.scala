@@ -730,4 +730,55 @@ class AnalyticsSpec extends SparkSpec {
         s"segment $seg: cheapest order must get the highest encoding")
     }
   }
+
+  test("q256 pair count is n(n-1)/2 and the median slope replays an " +
+    "independent all-pairs computation per nation") {
+    val rows = Analytics.q256TheilSen(spark, sf1).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val census = graft.sources.Tables.load(spark, sf1, "orders")
+      .join(graft.sources.Tables.load(spark, sf1, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("n"),
+        date_trunc("week", col("o_orderdate")).as("w"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("c"))
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1)
+    for ((nat, nw, np, slope) <- rows) {
+      assert(np === nw * (nw - 1) / 2)
+      val xs = census(nat).sortBy(_._2.getTime).map(_._3)
+      assert(nw === xs.length)
+      val slopes = (for {
+        i <- xs.indices; j <- (i + 1) until xs.length
+      } yield (xs(j) - xs(i)) * 1000000L / (j - i)).sorted
+      assert(slope === slopes(((slopes.length + 1) / 2 - 1).toInt),
+        s"nation $nat median slope diverged from brute-force replay")
+    }
+  }
+
+  test("q258 emits all segments plus the pooled row, arms partition " +
+    "the orders, and signs/reversal flags are mutually consistent") {
+    val rows = Analytics.q258SimpsonAudit(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getBoolean(8)))
+    val byName = rows.map(r => r._1 -> r).toMap
+    assert(byName.contains("ALL"))
+    val segs = rows.filter(_._1 != "ALL")
+    assert(segs.length === 5)
+    val all = byName("ALL")
+    assert(segs.map(_._2).sum === all._2, "treated arms must sum")
+    assert(segs.map(_._4).sum === all._4, "control arms must sum")
+    val nOrders = graft.sources.Tables.load(spark, sf1, "orders").count()
+    assert(all._2 + all._4 === nOrders)
+    for ((seg, nt, kt, nc, kc, trp, crp, sign, rev) <- rows) {
+      assert(kt <= nt && kc <= nc)
+      assert(trp === kt * 1000000L / nt)
+      assert(crp === kc * 1000000L / nc)
+      assert(sign === math.signum(kt * nc - kc * nt))
+      assert(rev === (sign * all._8 === -1L),
+        s"$seg reversal flag inconsistent with signs")
+    }
+  }
 }

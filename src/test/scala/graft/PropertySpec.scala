@@ -570,4 +570,29 @@ class PropertySpec extends SparkSpec {
     // subtracts) and both probabilities are proper
     assert(kappa <= po && pe >= 0L && pe <= 1000000L)
   }
+
+  test("q257 discount table is the monotone log2 family, DCG never " +
+    "exceeds IDCG, and nDCG saturates exactly on front-loaded hits") {
+    val S = graft.operators.Similarity
+    val disc = S.NdcgDiscPpm
+    assert(disc.length === S.NdcgK)
+    assert(disc.head === 1000000L, "rank-1 discount must be 1/log2(2)")
+    assert(disc === disc.sorted.reverse, "discounts must decrease")
+    val pfx = disc.scanLeft(0L)(_ + _).tail
+    val rows = S.q257NdcgEval(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length === S.KnnProbes)
+    for ((pid, nRel, dcg, idcg, ndcg) <- rows) {
+      assert(nRel >= 0L && nRel <= S.NdcgK)
+      assert(idcg === (if (nRel == 0) 0L else pfx(nRel.toInt - 1)))
+      assert(dcg <= idcg, s"probe $pid DCG above ideal")
+      assert(ndcg >= 0L && ndcg <= 1000000L)
+      if (nRel > 0)
+        assert(ndcg === dcg * 1000000L / idcg)
+      // saturation: nDCG = 1e6 exactly when the relevant set occupies
+      // the top-n_rel prefix (dcg == idcg)
+      assert((ndcg == 1000000L) === (nRel > 0 && dcg == idcg))
+    }
+  }
 }
