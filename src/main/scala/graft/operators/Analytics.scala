@@ -2483,7 +2483,110 @@ object Analytics {
             AS BIGINT) * ps.pooled_sign = -1 AS reversed
         FROM u CROSS JOIN ps"""
 
+  // ------------------------------------------------------------ q259
+
+  /** q259 pre/post boundary (events span 2024-01; mid-month split). */
+  val CupedSplit = "2024-01-16"
+
+  /** q259 — CUPED VARIANCE REDUCTION (the controlled-experiment
+    * workhorse: adjust each user's experiment-period metric by their
+    * PRE-period activity, y′ = y − θ(x − x̄), and the metric's variance
+    * drops by ρ² — the same experiment reaches significance with
+    * (1−ρ²)× the users; θ = cov(x,y)/var(x) from sufficient statistics
+    * only): per user, pre/post value-cents sums split at the
+    * [[CupedSplit]] literal; θ and ρ² from the five exact sums
+    * {n, Σx, Σy, Σx², Σxy, Σy²} in decimal(38,0)/HUGEINT
+    * (n·Σxy passes int64 at sf0.1); released per arm (the q174 user_id
+    * parity assignment): user count, raw post mean, CUPED-adjusted
+    * mean — plus the shared θ and ρ² in ppm. ρ² is released as the
+    * PRODUCT of two ×10³ ratios so the intermediate never squares a
+    * ~1e19 covariance past decimal(38,0) — compounded truncation,
+    * identical expression text on both engines. Denominators wrapped
+    * in greatest(·, 1): a zero pre-period variance would NULL on Spark
+    * but raise in DuckDB (the q181 guard convention).
+    *
+    * Scale shape: ONE user-keyed map-side-combinable aggregate builds
+    * the per-user frame; the global stats and both arm rows are
+    * |arms|-sized aggregates over it; the stats attach by broadcast.
+    * Corpus is touched once. */
+  def q259Cuped(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .select(col("user_id"),
+        (col("ts") < lit(CupedSplit).cast("timestamp")).as("pre"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("user_id")
+      .agg(sum(when(col("pre"), col("vc")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("vc")).otherwise(0L)).as("y"))
+      .withColumn("arm", col("user_id") % 2 === 1)
+    val g = per.agg(count(lit(1)).as("n"), s38(col("x")).as("sx"),
+      s38(col("y")).as("sy"), s38(expr("x * x")).as("sxx"),
+      s38(expr("x * y")).as("sxy"), s38(expr("y * y")).as("syy"))
+      .select(col("n"),
+        expr("CAST(sx * 1000000 div n AS BIGINT)").as("xbar_ppm"),
+        expr("""CAST((n * sxy - sx * sy) * 1000000
+             div greatest(n * sxx - sx * sx, 1) AS BIGINT)""")
+          .as("theta_ppm"),
+        expr("""CAST(((n * sxy - sx * sy) * 1000
+               div greatest(n * sxx - sx * sx, 1))
+             * ((n * sxy - sx * sy) * 1000
+               div greatest(n * syy - sy * sy, 1)) AS BIGINT)""")
+          .as("rho2_ppm"))
+    per.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum("x").as("sxa"),
+        sum("y").as("sya"))
+      .crossJoin(broadcast(g))
+      .select(col("arm"), col("n_users"),
+        expr("sya * 1000000 div n_users").as("mean_post_ppm"),
+        expr("""CAST(sya * 1000000 div n_users
+             - CAST(theta_ppm AS DECIMAL(38,0))
+               * (sxa * 1000000 div n_users - xbar_ppm)
+               div 1000000 AS BIGINT)""").as("mean_adj_ppm"),
+        col("theta_ppm"), col("rho2_ppm"))
+  }
+
+  private def q259OracleSql: String =
+    s"""WITH per AS (SELECT user_id,
+          CAST(sum(CASE WHEN ts < TIMESTAMP '$CupedSplit'
+              THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS x,
+          CAST(sum(CASE WHEN ts < TIMESTAMP '$CupedSplit'
+              THEN 0 ELSE CAST(floor(value * 100) AS BIGINT) END)
+            AS BIGINT) AS y,
+          user_id % 2 = 1 AS arm
+        FROM events GROUP BY user_id),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+            CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+            CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+            CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+          FROM per),
+        gs AS (SELECT n,
+            CAST(sx * 1000000 // n AS BIGINT) AS xbar_ppm,
+            CAST((n * sxy - sx * sy) * 1000000
+              // greatest(n * sxx - sx * sx, 1) AS BIGINT)
+              AS theta_ppm,
+            CAST(((n * sxy - sx * sy) * 1000
+                // greatest(n * sxx - sx * sx, 1))
+              * ((n * sxy - sx * sy) * 1000
+                // greatest(n * syy - sy * sy, 1)) AS BIGINT)
+              AS rho2_ppm
+          FROM g),
+        a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+            CAST(sum(x) AS BIGINT) AS sxa,
+            CAST(sum(y) AS BIGINT) AS sya
+          FROM per GROUP BY arm)
+        SELECT a.arm, a.n_users,
+          a.sya * 1000000 // a.n_users AS mean_post_ppm,
+          CAST(a.sya * 1000000 // a.n_users
+            - CAST(gs.theta_ppm AS HUGEINT)
+              * (a.sxa * 1000000 // a.n_users - gs.xbar_ppm)
+              // 1000000 AS BIGINT) AS mean_adj_ppm,
+          gs.theta_ppm, gs.rho2_ppm
+        FROM a CROSS JOIN gs"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_cuped" -> (q259Cuped _),
     "q256_theil_sen" -> (q256TheilSen _),
     "q258_simpson_audit" -> (q258SimpsonAudit _),
     "q255_loo_encoding" -> (q255LooEncoding _),
@@ -2527,6 +2630,7 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q259_cuped" -> q259OracleSql,
     "q256_theil_sen" -> q256OracleSql,
     "q258_simpson_audit" -> q258OracleSql,
     "q255_loo_encoding" -> q255OracleSql,

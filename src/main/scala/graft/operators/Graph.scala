@@ -561,7 +561,74 @@ object Graph {
         SELECT id, CAST(min(cost) AS BIGINT) AS cost
         FROM r GROUP BY id"""
 
+  /** q261 — 2-HOP HARMONIC CENTRALITY over the rare-corridor graph
+    * (the bounded-radius centrality a web/crawl pipeline actually
+    * computes: full harmonic centrality needs all-pairs distances —
+    * HyperBall approximates it with HLL counters precisely because
+    * exact BFS from every node is unaffordable; the EXACT 2-hop
+    * truncation is the standard first rung, and this is it):
+    * score = Σ_{d(u,v)≤2} 1/d(u,v) over q131's undirected 100-edge
+    * corridor selection, released ×2 to stay integral —
+    * harmonic_x2 = 2·|N₁| + |N₂| with N₂ the nodes at distance
+    * EXACTLY 2 (two-step reachable, minus direct neighbors, minus
+    * self). Per node: degree, |N₂|, the score.
+    *
+    * Scale shape: N₂ is one adjacency self-join (wedge volume Σdeg² —
+    * bounded here by the corridor budget, and degree-capped at crawl
+    * scale exactly like q183's wedges) followed by a distinct and an
+    * anti-join against the edge set; every frame is edge-list-sized.
+    * No iteration — radius 2 is the whole point. */
+  def q261Harmonic2Hop(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("g261_lineitem")
+    t(s, dir, "orders").createOrReplaceTempView("g261_orders")
+    t(s, dir, "customer").createOrReplaceTempView("g261_customer")
+    t(s, dir, "supplier").createOrReplaceTempView("g261_supplier")
+    val und = s.sql(s"""SELECT DISTINCT least(src, dst) AS u,
+          greatest(src, dst) AS v
+        FROM (${corridorSql("g261_lineitem", "g261_orders",
+          "g261_customer", "g261_supplier")})
+        WHERE src <> dst""")
+      .localCheckpoint(true)
+    val bi = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+    val deg = bi.groupBy("src").agg(count(lit(1)).as("n1"))
+    val two = bi.as("a")
+      .join(bi.select(col("src").as("mid"), col("dst").as("w")).as("b"),
+        col("dst") === col("mid"))
+      .filter(col("w") =!= col("src"))
+      .select(col("src"), col("w")).distinct()
+      .join(bi.select(col("src").as("es"), col("dst").as("ed")),
+        col("src") === col("es") && col("w") === col("ed"), "left_anti")
+      .groupBy("src").agg(count(lit(1)).as("n2"))
+    deg.join(two, Seq("src"), "left")
+      .na.fill(0L, Seq("n2"))
+      .select(col("src").as("id"), col("n1"), col("n2"),
+        (col("n1") * 2L + col("n2")).as("harmonic_x2"))
+  }
+
+  private def q261OracleSql: String =
+    s"""WITH und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+            greatest(src, dst) AS v
+          FROM (${corridorSql("lineitem", "orders",
+            "customer", "supplier")})
+          WHERE src <> dst),
+        bi AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+               UNION ALL SELECT v, u FROM und),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS n1
+          FROM bi GROUP BY 1),
+        two AS (SELECT a.src, CAST(count(*) AS BIGINT) AS n2
+          FROM (SELECT DISTINCT a.src, b.dst AS w
+                FROM bi a JOIN bi b ON a.dst = b.src
+                WHERE b.dst <> a.src) a
+          WHERE NOT EXISTS (SELECT 1 FROM bi e
+            WHERE e.src = a.src AND e.dst = a.w)
+          GROUP BY a.src)
+        SELECT deg.src AS id, deg.n1, coalesce(two.n2, 0) AS n2,
+          deg.n1 * 2 + coalesce(two.n2, 0) AS harmonic_x2
+        FROM deg LEFT JOIN two ON two.src = deg.src"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_harmonic_2hop" -> (q261Harmonic2Hop _),
     "q234_sssp" -> (q234Sssp _),
     "q99_pagerank" -> (q99PageRank _),
     "q105_triangle_count" -> (q105TriangleCount _),
@@ -570,6 +637,7 @@ object Graph {
     "q155_kcore" -> (q155KCore _))
 
   val oracleSql: Map[String, String] = Map(
+    "q261_harmonic_2hop" -> q261OracleSql,
     "q234_sssp" -> q234OracleSql,
     "q99_pagerank" -> q99OracleSql,
     "q105_triangle_count" -> q105OracleSql,

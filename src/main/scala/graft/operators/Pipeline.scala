@@ -1703,7 +1703,64 @@ object Pipeline {
         FROM a"""
   }
 
+  // ------------------------------------------------------------ q260
+
+  /** q260 total sample budget to apportion across sources. */
+  val QuotaN = 1000L
+
+  /** q260 — LARGEST-REMAINDER QUOTA ALLOCATION (Hamilton
+    * apportionment: every sampler in the suite — q85 fraction, q141
+    * count, q151 tokens — presumes a per-group target; this operator
+    * IS the target computation, and naive floor(n·share) under-fills
+    * the budget by up to |sources| rows while naive rounding
+    * over-fills it): per source the floor quota n_docs·N div total,
+    * the remainder n_docs·N mod total, and +1 for the
+    * (N − Σ floors) largest remainders (ties broken by source name) —
+    * the allocation sums to EXACTLY N, the invariant downstream
+    * shard/batch geometry depends on. Released with floor and
+    * remainder so the apportionment is auditable.
+    *
+    * Scale shape: one map-side source census; apportionment arithmetic
+    * and the remainder-rank window ride the |sources|-row frame (the
+    * q97 domain-sized-window argument). Corpus touched once. */
+  def q260QuotaAllocate(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = census.agg(sum("n_docs").as("total"))
+    val base = census.crossJoin(broadcast(tot))
+      .withColumn("floor_q", expr(s"n_docs * $QuotaN div total"))
+      .withColumn("rem", expr(s"n_docs * $QuotaN % total"))
+    val left = base.agg((lit(QuotaN) - sum("floor_q")).as("leftover"))
+    base.crossJoin(broadcast(left))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("bigint"))
+      .select(col("source"), col("n_docs"), col("floor_q"), col("rem"),
+        (col("floor_q") +
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+  }
+
+  private def q260OracleSql: String =
+    s"""WITH census AS (SELECT source, CAST(count(*) AS BIGINT)
+          AS n_docs FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total
+          FROM census),
+        base AS (SELECT c.source, c.n_docs,
+            c.n_docs * $QuotaN // t.total AS floor_q,
+            c.n_docs * $QuotaN % t.total AS rem
+          FROM census c CROSS JOIN tot t),
+        lo AS (SELECT $QuotaN - sum(floor_q) AS leftover FROM base),
+        rk AS (SELECT b.*, lo.leftover,
+            CAST(row_number() OVER (ORDER BY b.rem DESC, b.source)
+              AS BIGINT) AS rk
+          FROM base b CROSS JOIN lo)
+        SELECT source, n_docs, floor_q, rem,
+          floor_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS quota
+        FROM rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_quota_allocate" -> (q260QuotaAllocate _),
     "q250_padding_waste" -> (q250PaddingWaste _),
     "q251_consistent_hash" -> (q251ConsistentHash _),
     "q238_fk_integrity" -> (q238FkIntegrity _),
@@ -1735,6 +1792,7 @@ object Pipeline {
     "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q260_quota_allocate" -> q260OracleSql,
     "q250_padding_waste" -> q250OracleSql,
     "q251_consistent_hash" -> q251OracleSql,
     "q238_fk_integrity" -> q238OracleSql,

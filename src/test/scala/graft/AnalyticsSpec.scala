@@ -781,4 +781,49 @@ class AnalyticsSpec extends SparkSpec {
         s"$seg reversal flag inconsistent with signs")
     }
   }
+
+  test("q259 theta/rho2 replay the sufficient-statistics formulas in " +
+    "BigInt and the adjustment preserves each arm's identity") {
+    val rows = Analytics.q259Cuped(spark, sf1).collect()
+      .map(r => r.getBoolean(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.keySet === Set(true, false))
+    // independent per-user pre/post replay
+    val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val per = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), col("ts"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (u, es) =>
+        (u, es.filter(_._2.before(split)).map(_._3).sum,
+          es.filterNot(_._2.before(split)).map(_._3).sum)
+      }.toSeq
+    val n = BigInt(per.length)
+    val sx = per.map(e => BigInt(e._2)).sum
+    val sy = per.map(e => BigInt(e._3)).sum
+    val sxx = per.map(e => BigInt(e._2) * e._2).sum
+    val sxy = per.map(e => BigInt(e._2) * e._3).sum
+    val syy = per.map(e => BigInt(e._3) * e._3).sum
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    val theta = (cov * 1000000 / varx).toLong
+    val rho2 = ((cov * 1000 / varx) * (cov * 1000 / vary)).toLong
+    val xbar = (sx * 1000000 / n).toLong
+    assert(rho2 >= 0L && rho2 <= 1000000L, s"rho2 $rho2 not a share")
+    for ((arm, (nu, meanPost, meanAdj, thetaOut, rho2Out)) <- rows) {
+      assert(thetaOut === theta)
+      assert(rho2Out === rho2)
+      val grp = per.filter(e => (e._1 % 2 == 1) == arm)
+      assert(nu === grp.length.toLong)
+      val sxa = grp.map(e => BigInt(e._2)).sum
+      val sya = grp.map(e => BigInt(e._3)).sum
+      assert(meanPost === (sya * 1000000 / nu).toLong)
+      assert(meanAdj === (sya * 1000000 / nu -
+        BigInt(theta) * (sxa * 1000000 / nu - xbar) / 1000000).toLong)
+    }
+    assert(rows(true)._1 + rows(false)._1 === per.length.toLong)
+  }
 }

@@ -157,4 +157,43 @@ class GraphSpec extends SparkSpec {
       assert(c >= hops(id), s"node $id: cost $c below hop bound")
     }
   }
+
+  test("q261 2-hop harmonic centrality replays an exact BFS truncation " +
+    "over an independently rebuilt corridor adjacency") {
+    import org.apache.spark.sql.functions._
+    val rows = Graph.q261Harmonic2Hop(spark, sf1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(rows.nonEmpty)
+    // independent DataFrame rebuild of the rarity-ranked corridor
+    val li = graft.sources.Tables.load(spark, sf1, "lineitem")
+    val cnts = li.select("l_orderkey", "l_suppkey")
+      .join(graft.sources.Tables.load(spark, sf1, "orders")
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.sources.Tables.load(spark, sf1, "customer")
+        .select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.sources.Tables.load(spark, sf1, "supplier")
+        .select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").cast("bigint").as("src"),
+        col("s_nationkey").cast("bigint").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val corridor = cnts.sortBy(t => (t._3, t._1, t._2)).take(100)
+    val und = corridor.map(t => (math.min(t._1, t._2),
+      math.max(t._1, t._2))).filter(t => t._1 != t._2).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(rows.keySet === adj.keySet)
+    for ((id, (n1, n2, h)) <- rows) {
+      val d1 = adj(id)
+      val d2 = d1.flatMap(adj(_)) -- d1 - id
+      assert(n1 === d1.size.toLong, s"node $id degree")
+      assert(n2 === d2.size.toLong, s"node $id exact-distance-2 set")
+      assert(h === 2 * n1 + n2)
+    }
+  }
 }

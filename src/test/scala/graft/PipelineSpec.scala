@@ -537,4 +537,30 @@ class PipelineSpec extends SparkSpec {
     assert(r.getLong(3) === movedMod * 1000000L / nKeys)
     assert(r.getLong(4) === movedRing * 1000000L / nKeys)
   }
+
+  test("q260 quotas sum to exactly N, each within 1 of its floor, and " +
+    "the +1s go to the largest remainders") {
+    val rows = Pipeline.q260QuotaAllocate(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._5).sum === Pipeline.QuotaN,
+      "apportionment must hit the budget exactly — the whole point")
+    val total = rows.map(_._2).sum
+    for ((src, nd, fq, rem, q) <- rows) {
+      assert(fq === nd * Pipeline.QuotaN / total)
+      assert(rem === nd * Pipeline.QuotaN % total)
+      assert(q === fq || q === fq + 1, s"$src quota outside floor+1")
+    }
+    // every bumped source has a remainder >= every unbumped one
+    // (ties broken by name, so compare on (rem, reversed name) order)
+    val bumped = rows.filter(r => r._5 == r._3 + 1)
+    val unbumped = rows.filter(r => r._5 == r._3)
+    if (bumped.nonEmpty && unbumped.nonEmpty) {
+      val minBump = bumped.map(_._4).min
+      val maxPass = unbumped.map(_._4).max
+      assert(minBump >= maxPass,
+        "a smaller remainder was bumped over a larger one")
+    }
+  }
 }
