@@ -2585,7 +2585,120 @@ object Analytics {
           gs.theta_ppm, gs.rho2_ppm
         FROM a CROSS JOIN gs"""
 
+  // ------------------------------------------------------------ q264
+
+  /** q264 grid geometry: 32 length bands × 26 uniqueness bands. */
+  val TauB1 = 32L
+  val TauB2 = 26L
+
+  /** q264 — BANDED KENDALL RANK CORRELATION, length vs lexical
+    * uniqueness (the rank-agreement primitive for "can the cheap proxy
+    * replace the expensive score?": Pearson sees only linear
+    * relationships and one heavy-tailed feature wrecks it, rank
+    * correlation is what actually answers whether two orderings agree
+    * — here, do longer documents rank as less lexically unique, the
+    * repetition effect q72 measures doc-by-doc, as one corpus-level
+    * coefficient): τ_b over banded scores — b1 = n_chars div 128
+    * (capped), b2 = (distinct·100 div total whitespace tokens) div 4.
+    * Naive Kendall is O(n²) pair comparisons; banding collapses the
+    * corpus to a ≤32×26 cell census on which concordant/discordant
+    * pair counts are EXACT 2D-prefix-sum algebra: C = Σ n(x)·(mass
+    * strictly below-left of x), D = Σ n(x)·(mass above-left), ties
+    * from row/column marginals — every count an exact integer, and
+    * the one float is the shared-text τ_b = (C−D)·10⁶ /
+    * √((P−Tx)(P−Ty)) whose operands all sit below 2⁵³ (exact doubles;
+    * the sqrt is IEEE-correctly-rounded — the q242 Wilson discipline).
+    *
+    * Scale shape: one corpus scan → 832-cell census; every window
+    * rides the DENSIFIED grid (zero-filled so prefix frames can't
+    * skip cells), all domain-sized; the result is one row. */
+  def q264KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      expr(s"least(n_chars div 128, ${TauB1 - 1})").as("b1"),
+      expr("""(size(array_distinct(split(text, ' '))) * 100
+           div size(split(text, ' '))) div 4""").as("b2"))
+    val census = d.groupBy("b1", "b2").agg(count(lit(1)).as("n"))
+    val grid = s.range(0, TauB1).toDF("b1")
+      .crossJoin(s.range(0, TauB2).toDF("b2"))
+      .join(census, Seq("b1", "b2"), "left").na.fill(0L, Seq("n"))
+    val wlt2 = Window.partitionBy("b1").orderBy("b2")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wgt2 = Window.partitionBy("b1").orderBy("b2")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wb1 = Window.partitionBy("b2").orderBy("b1")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g2 = grid
+      .withColumn("clt2", coalesce(sum("n").over(wlt2), lit(0L)))
+      .withColumn("cgt2", coalesce(sum("n").over(wgt2), lit(0L)))
+      .withColumn("lb", coalesce(sum("clt2").over(wb1), lit(0L)))
+      .withColumn("gl", coalesce(sum("cgt2").over(wb1), lit(0L)))
+    val cd = g2.agg(sum(expr("n * lb")).as("concordant"),
+      sum(expr("n * gl")).as("discordant"))
+    val tx = g2.groupBy("b1").agg(sum("n").as("r"))
+      .agg(sum(expr("r * (r - 1) div 2")).as("ties_len"))
+    val ty = g2.groupBy("b2").agg(sum("n").as("r"))
+      .agg(sum(expr("r * (r - 1) div 2")).as("ties_uniq"))
+    d.agg(count(lit(1)).as("n_docs"))
+      .select(col("n_docs"),
+        expr("n_docs * (n_docs - 1) div 2").as("n_pairs"))
+      .crossJoin(broadcast(cd)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("n_docs"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("ties_len"), col("ties_uniq"),
+        expr("""CAST(floor((concordant - discordant) * 1000000
+             / sqrt((CAST(n_pairs AS DOUBLE) - ties_len)
+                  * (CAST(n_pairs AS DOUBLE) - ties_uniq)))
+             AS BIGINT)""").as("tau_b_ppm"))
+  }
+
+  private def q264OracleSql: String =
+    s"""WITH d AS (SELECT least(n_chars // 128, ${TauB1 - 1}) AS b1,
+          (len(list_distinct(string_split(text, ' '))) * 100
+            // len(string_split(text, ' '))) // 4 AS b2
+        FROM documents),
+        census AS (SELECT b1, b2, CAST(count(*) AS BIGINT) AS n
+          FROM d GROUP BY 1, 2),
+        grid AS (SELECT g1.b1, g2.b2, coalesce(census.n, 0) AS n
+          FROM (SELECT unnest(range(0, $TauB1)) AS b1) g1
+          CROSS JOIN (SELECT unnest(range(0, $TauB2)) AS b2) g2
+          LEFT JOIN census ON census.b1 = g1.b1 AND census.b2 = g2.b2),
+        p1 AS (SELECT b1, b2, n,
+            coalesce(sum(n) OVER (PARTITION BY b1 ORDER BY b2
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS clt2,
+            coalesce(sum(n) OVER (PARTITION BY b1 ORDER BY b2
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+              AS cgt2
+          FROM grid),
+        p2 AS (SELECT b1, b2, n,
+            coalesce(sum(clt2) OVER (PARTITION BY b2 ORDER BY b1
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS lb,
+            coalesce(sum(cgt2) OVER (PARTITION BY b2 ORDER BY b1
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS gl
+          FROM p1),
+        cd AS (SELECT CAST(sum(n * lb) AS BIGINT) AS concordant,
+            CAST(sum(n * gl) AS BIGINT) AS discordant FROM p2),
+        tx AS (SELECT CAST(sum(r * (r - 1) // 2) AS BIGINT)
+            AS ties_len
+          FROM (SELECT sum(n) AS r FROM p2 GROUP BY b1) z),
+        ty AS (SELECT CAST(sum(r * (r - 1) // 2) AS BIGINT)
+            AS ties_uniq
+          FROM (SELECT sum(n) AS r FROM p2 GROUP BY b2) z),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+          FROM d)
+        SELECT n_docs, n_pairs, concordant, discordant, ties_len,
+          ties_uniq,
+          CAST(floor((concordant - discordant) * 1000000
+            / sqrt((CAST(n_pairs AS DOUBLE) - ties_len)
+                 * (CAST(n_pairs AS DOUBLE) - ties_uniq)))
+            AS BIGINT) AS tau_b_ppm
+        FROM tot, cd, tx, ty"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_kendall_tau" -> (q264KendallTau _),
     "q259_cuped" -> (q259Cuped _),
     "q256_theil_sen" -> (q256TheilSen _),
     "q258_simpson_audit" -> (q258SimpsonAudit _),
@@ -2630,6 +2743,7 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q264_kendall_tau" -> q264OracleSql,
     "q259_cuped" -> q259OracleSql,
     "q256_theil_sen" -> q256OracleSql,
     "q258_simpson_audit" -> q258OracleSql,

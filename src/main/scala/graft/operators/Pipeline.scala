@@ -1759,7 +1759,46 @@ object Pipeline {
             AS quota
         FROM rk"""
 
+  /** q263 fold count. */
+  val KFolds = 5L
+
+  /** q263 — STRATIFIED K-FOLD ASSIGNMENT (cross-validation splits that
+    * hold the source mix constant: q62's hash split is balanced only
+    * in expectation, so a small stratum can land 40/60 and poison every
+    * fold's eval; stratified assignment pins each (source, fold) cell
+    * to within ONE document of n_s/k by construction): docs ranked
+    * within their source by the portable LCG (shuffle), fold =
+    * (rank − 1) mod k — deterministic, leakage-free, and exactly
+    * balanced per stratum. Released per doc (doc_id, source, fold) so
+    * the differential pins every assignment, not just the counts.
+    *
+    * Scale shape: ONE exchange on the stratum key + the within-source
+    * rank window — exactly the shuffle any stratified partitioner
+    * pays; the balance invariant is what that shuffle buys. At
+    * huge-stratum scale the rank window swaps for q90's two-pass
+    * histogram threshold without changing the assignment contract. */
+  def q263StratifiedFolds(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("(doc_id * 1103515245 + 12345) % 2147483647").as("u"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("u", "doc_id"))
+        .cast("bigint"))
+      .select(col("doc_id"), col("source"),
+        expr(s"(rk - 1) % $KFolds").as("fold"))
+
+  private def q263OracleSql: String =
+    s"""WITH u AS (SELECT doc_id, source,
+          (doc_id * 1103515245 + 12345) % 2147483647 AS u
+        FROM documents),
+        r AS (SELECT doc_id, source,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY u, doc_id) AS BIGINT) AS rk
+          FROM u)
+        SELECT doc_id, source, (rk - 1) % $KFolds AS fold FROM r"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_stratified_folds" -> (q263StratifiedFolds _),
     "q260_quota_allocate" -> (q260QuotaAllocate _),
     "q250_padding_waste" -> (q250PaddingWaste _),
     "q251_consistent_hash" -> (q251ConsistentHash _),
@@ -1792,6 +1831,7 @@ object Pipeline {
     "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q263_stratified_folds" -> q263OracleSql,
     "q260_quota_allocate" -> q260OracleSql,
     "q250_padding_waste" -> q250OracleSql,
     "q251_consistent_hash" -> q251OracleSql,

@@ -1468,7 +1468,64 @@ object TextOps {
           c.lang = c.pred_lang AS hit
         FROM cells c JOIN tot t ON c.lang = t.lang"""
 
+  /** q262 support floor and result size. */
+  val BurstMinDf = 16L
+  val BurstTopK = 100
+
+  /** q262 — TOKEN BURSTINESS by exact Fano factor (the content-word
+    * detector corpus linguistics runs before stopword lists exist for
+    * a language: a function word sprinkles uniformly (variance ≈ mean,
+    * F ≈ 1), a topical word CLUMPS — absent from most documents, dense
+    * in a few (F ≫ 1) — and the dispersion ratio separates them with
+    * no lexicon at all; TF-DF (q59) measures how MUCH a token occurs,
+    * this measures HOW it distributes): over whitespace tokens with
+    * df ≥ 16, the zero-inclusive population Fano factor as exact
+    * integers — F·10⁶ = (N·Σc² − (Σc)²)·10⁶ div (N·Σc) with c the
+    * per-doc count and N the corpus size (absent docs contribute the
+    * zeros through N). Top-100 by F desc, token asc.
+    *
+    * Scale shape: the (doc, token) census collapses the explode
+    * map-side; per-token sufficient stats are a second map-side
+    * aggregate; top-k is TakeOrdered (never a global sort). The
+    * whole operator is census algebra — corpus touched once. */
+  def q262TokenBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val tc = d.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    tc.groupBy("w")
+      .agg(count(lit(1)).as("df"), sum("c").as("tf"),
+        sum(expr("c * c")).as("sc2"))
+      .filter(col("df") >= BurstMinDf)
+      .crossJoin(broadcast(n))
+      .select(col("w"), col("df"), col("tf"),
+        expr("""(n_docs * sc2 - tf * tf) * 1000000
+             div (n_docs * tf)""").as("fano_ppm"))
+      .orderBy(col("fano_ppm").desc, col("w"))
+      .limit(BurstTopK)
+  }
+
+  private def q262OracleSql: String =
+    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents),
+        tc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents) z
+          GROUP BY doc_id, w),
+        st AS (SELECT w, CAST(count(*) AS BIGINT) AS df,
+            CAST(sum(c) AS BIGINT) AS tf,
+            CAST(sum(c * c) AS BIGINT) AS sc2
+          FROM tc GROUP BY w)
+        SELECT w, df, tf,
+          (n.n_docs * sc2 - tf * tf) * 1000000
+            // (n.n_docs * tf) AS fano_ppm
+        FROM st CROSS JOIN n
+        WHERE df >= $BurstMinDf
+        ORDER BY fano_ppm DESC, w LIMIT $BurstTopK"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_token_burstiness" -> (q262TokenBurstiness _),
     "q244_lang_confusion" -> (q244LangConfusion _),
     "q243_vocab_overlap" -> (q243VocabOverlap _),
     "q214_bigram_lm_score" -> (q214BigramLmScore _),
@@ -1498,6 +1555,7 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q262_token_burstiness" -> q262OracleSql,
     "q244_lang_confusion" -> q244OracleSql,
     "q243_vocab_overlap" -> q243OracleSql,
     "q214_bigram_lm_score" -> q214OracleSql,

@@ -826,4 +826,36 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(rows(true)._1 + rows(false)._1 === per.length.toLong)
   }
+
+  test("q264 banded Kendall counts replay an O(n^2) brute force over " +
+    "the banded scores at sf0.001") {
+    val r = Analytics.q264KendallTau(spark, sf1).collect().head
+    val (n, p, c, d, tx, ty, tau) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6))
+    val bands = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(expr("least(n_chars div 128, 31)"),
+        expr("""(size(array_distinct(split(text, ' '))) * 100
+             div size(split(text, ' '))) div 4"""))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(n === bands.length.toLong)
+    assert(p === n * (n - 1) / 2)
+    var (bc, bd, btx, bty) = (0L, 0L, 0L, 0L)
+    for (i <- bands.indices; j <- (i + 1) until bands.length) {
+      val ((x1, y1), (x2, y2)) = (bands(i), bands(j))
+      val sx = java.lang.Long.signum(x1 - x2)
+      val sy = java.lang.Long.signum(y1 - y2)
+      if (sx == 0) btx += 1
+      if (sy == 0) bty += 1
+      if (sx * sy > 0) bc += 1
+      if (sx * sy < 0) bd += 1
+    }
+    assert(c === bc, "concordant prefix-sum algebra diverged")
+    assert(d === bd, "discordant prefix-sum algebra diverged")
+    assert(tx === btx && ty === bty, "tie marginals diverged")
+    val expTau = math.floor((bc - bd) * 1000000.0 /
+      math.sqrt((p - btx).toDouble * (p - bty).toDouble)).toLong
+    assert(tau === expTau)
+    assert(tau >= -1000000L && tau <= 1000000L)
+  }
 }

@@ -1074,4 +1074,34 @@ class ExtensionsSpec extends SparkSpec {
       assert(peakH === best._1, s"$state peak hour")
     }
   }
+
+  test("q262 fano factors replay the zero-inclusive dispersion formula " +
+    "and the list is support-filtered and rank-ordered") {
+    val rows = graft.operators.TextOps.q262TokenBurstiness(spark, sf1)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.length <= graft.operators.TextOps.BurstTopK)
+    // rank order: fano desc, token asc
+    assert(rows.sliding(2).forall {
+      case Array((w1, _, _, f1), (w2, _, _, f2)) =>
+        f1 > f2 || (f1 == f2 && w1 < w2)
+      case _ => true
+    })
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val nDocs = BigInt(docs.length)
+    for ((w, df, tf, fano) <- rows.take(10)) {
+      assert(df >= graft.operators.TextOps.BurstMinDf)
+      val counts = docs.map(_._2.count(_ == w).toLong).filter(_ > 0)
+      assert(df === counts.length.toLong)
+      assert(tf === counts.sum)
+      val sc2 = counts.map(c => BigInt(c) * c).sum
+      assert(fano ===
+        ((nDocs * sc2 - BigInt(tf) * tf) * 1000000 /
+          (nDocs * tf)).toLong, s"token $w fano diverged")
+    }
+  }
 }

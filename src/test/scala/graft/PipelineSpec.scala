@@ -563,4 +563,26 @@ class PipelineSpec extends SparkSpec {
         "a smaller remainder was bumped over a larger one")
     }
   }
+
+  test("q263 folds partition every stratum to within one document and " +
+    "the assignment replays the LCG rank") {
+    val rows = Pipeline.q263StratifiedFolds(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nDocs = graft.sources.Tables.load(spark, sf1, "documents")
+      .count()
+    assert(rows.length.toLong === nDocs, "every doc gets a fold")
+    assert(rows.forall(r => r._3 >= 0 && r._3 < Pipeline.KFolds))
+    for ((src, grp) <- rows.groupBy(_._2)) {
+      val sizes = (0L until Pipeline.KFolds)
+        .map(f => grp.count(_._3 == f))
+      assert(sizes.max - sizes.min <= 1,
+        s"stratum $src imbalanced: $sizes — the op's whole point")
+      // replay: fold must equal (LCG-rank − 1) mod k within the stratum
+      val ranked = grp.sortBy(d =>
+        ((d._1 * 1103515245L + 12345L) % 2147483647L, d._1))
+      for ((doc, i) <- ranked.zipWithIndex)
+        assert(doc._3 === i.toLong % Pipeline.KFolds,
+          s"doc ${doc._1} fold diverged from rank replay")
+    }
+  }
 }
