@@ -2697,7 +2697,159 @@ object Analytics {
             AS BIGINT) AS tau_b_ppm
         FROM tot, cd, tx, ty"""
 
+  // ------------------------------------------------------------ q265
+
+  /** q265 — SEASONAL DECOMPOSITION + RESIDUAL ANOMALY FLAGS (STL-lite:
+    * the additive decompose-then-flag loop behind every metrics-
+    * monitoring page — a raw threshold alarms every December, a
+    * seasonal baseline alarms only when a month breaks ITS OWN
+    * pattern): monthly revenue cents; seasonal(m) = the lower-median
+    * revenue of calendar month m across the ~7 observed years (the
+    * q256 deterministic order statistic — a median baseline shrugs
+    * off one anomalous year where a mean absorbs it); residual =
+    * actual − seasonal(month); flag when |residual| > 3·MAD with MAD
+    * the lower-median absolute residual (q162's robust scale, here on
+    * the decomposed series). All-integer; released per (year, month)
+    * with every intermediate so the decomposition is auditable.
+    *
+    * Scale shape: corpus collapses map-side to the (year, month)
+    * census (~84 rows); medians, residuals, and the MAD window all
+    * ride that domain-sized frame. */
+  def q265SeasonalResidual(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("yr"),
+        month(col("o_orderdate")).cast("bigint").as("mo"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("rev"))
+    val seasonal = monthly
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("mo").orderBy("rev", "yr")).cast("bigint"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("mo")))
+      .filter(col("rk") === expr("(cnt + 1) div 2"))
+      .select(col("mo"), col("rev").as("seasonal"))
+    val resid = monthly.join(broadcast(seasonal), "mo")
+      .withColumn("resid", col("rev") - col("seasonal"))
+    val mad = resid
+      .withColumn("ar", abs(col("resid")))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("ar"), col("yr"), col("mo")))
+        .cast("bigint"))
+      .withColumn("cnt", count(lit(1)).over())
+      .filter(col("rk") === expr("(cnt + 1) div 2"))
+      .select(col("ar").as("mad"))
+    resid.crossJoin(broadcast(mad))
+      .select(col("yr"), col("mo"), col("rev").as("rev_cents"),
+        col("seasonal").as("seasonal_cents"),
+        col("resid").as("resid_cents"),
+        (abs(col("resid")) > col("mad") * 3L).as("anomaly"))
+  }
+
+  private def q265OracleSql: String =
+    """WITH monthly AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+          CAST(month(o_orderdate) AS BIGINT) AS mo,
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS rev
+        FROM orders GROUP BY 1, 2),
+        seasonal AS (SELECT mo, rev AS seasonal FROM (
+            SELECT mo, rev, yr,
+              CAST(row_number() OVER (PARTITION BY mo
+                ORDER BY rev, yr) AS BIGINT) AS rk,
+              CAST(count(*) OVER (PARTITION BY mo) AS BIGINT) AS cnt
+            FROM monthly) z
+          WHERE rk = (cnt + 1) // 2),
+        resid AS (SELECT m.yr, m.mo, m.rev, s.seasonal,
+            m.rev - s.seasonal AS resid
+          FROM monthly m JOIN seasonal s ON m.mo = s.mo),
+        mad AS (SELECT ar AS mad FROM (
+            SELECT abs(resid) AS ar, yr, mo,
+              CAST(row_number() OVER (ORDER BY abs(resid), yr, mo)
+                AS BIGINT) AS rk,
+              CAST(count(*) OVER () AS BIGINT) AS cnt
+            FROM resid) z
+          WHERE rk = (cnt + 1) // 2)
+        SELECT r.yr, r.mo, r.rev AS rev_cents,
+          r.seasonal AS seasonal_cents, r.resid AS resid_cents,
+          abs(r.resid) > mad.mad * 3 AS anomaly
+        FROM resid r CROSS JOIN mad"""
+
+  // ------------------------------------------------------------ q266
+
+  /** Shared Welch t expression over exact integer sufficient stats —
+    * identical text on both engines (the q242 Wilson discipline):
+    * every +,−,×,÷,√ is IEEE-correctly-rounded over bit-identical
+    * operands, so floor×10⁶ is deterministic cross-engine. Operand
+    * magnitude bound: Σv² cents² ≈ 6e13 at sf0.1 — exact in a double
+    * (< 2⁵³); a corpus past ~sf3 would need a rescale, noted here. */
+  private def welchTExpr(n1: String, s1: String, q1: String,
+      n2: String, s2: String, q2: String): String =
+    s"""((CAST($s1 AS DOUBLE) / $n1 - CAST($s2 AS DOUBLE) / $n2)
+       / sqrt(($n1 * CAST($q1 AS DOUBLE) - CAST($s1 AS DOUBLE) * $s1)
+            / (CAST($n1 AS DOUBLE) * $n1 * ($n1 - 1.0))
+          + ($n2 * CAST($q2 AS DOUBLE) - CAST($s2 AS DOUBLE) * $s2)
+            / (CAST($n2 AS DOUBLE) * $n2 * ($n2 - 1.0))))"""
+
+  /** q266 — WELCH'S TWO-SAMPLE t (the A/B means test the platform
+    * runs next to q174's rate lift and q190's k-group ANOVA: Student's
+    * pooled-variance t silently assumes equal variances — Welch
+    * doesn't, which is why it's the modern default): purchase vs
+    * click event values, t from the six exact sufficient statistics
+    * {n, Σv, Σv²}×2 through ONE shared-text double expression;
+    * released with both arms' n and exact ppm means plus t·10⁶. The
+    * statistic is the effect-size-to-noise ratio — the number a
+    * sequential-testing harness thresholds.
+    *
+    * Scale shape: one map-side-combined two-group aggregate (six
+    * numbers) → a 1-row result. The cheapest possible corpus
+    * statistic, like q180. */
+  def q266WelchT(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select((col("event_type") === "purchase").as("arm"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+    ev.agg(
+      sum(when(col("arm"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm"), col("vc")).otherwise(0L)).as("s1"),
+      sum(when(col("arm"), expr("vc * vc")).otherwise(0L)).as("q1"),
+      sum(when(!col("arm"), 1L).otherwise(0L)).as("n2"),
+      sum(when(!col("arm"), col("vc")).otherwise(0L)).as("s2"),
+      sum(when(!col("arm"), expr("vc * vc")).otherwise(0L)).as("q2"))
+      .select(col("n1"), col("n2"),
+        expr("s1 * 1000000 div n1").as("mean1_ppm"),
+        expr("s2 * 1000000 div n2").as("mean2_ppm"),
+        expr(s"""CAST(floor(${welchTExpr("n1", "s1", "q1",
+          "n2", "s2", "q2")} * 1000000) AS BIGINT)""").as("t_ppm"))
+  }
+
+  private def q266OracleSql: String =
+    s"""WITH g AS (SELECT
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS s1,
+          CAST(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 100) AS BIGINT)
+                 * CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS q1,
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n2,
+          CAST(sum(CASE WHEN event_type = 'click'
+              THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS s2,
+          CAST(sum(CASE WHEN event_type = 'click'
+              THEN CAST(floor(value * 100) AS BIGINT)
+                 * CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS q2
+        FROM events WHERE event_type IN ('purchase', 'click'))
+        SELECT n1, n2, s1 * 1000000 // n1 AS mean1_ppm,
+          s2 * 1000000 // n2 AS mean2_ppm,
+          CAST(floor(${welchTExpr("n1", "s1", "q1",
+            "n2", "s2", "q2")} * 1000000) AS BIGINT) AS t_ppm
+        FROM g"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_seasonal_residual" -> (q265SeasonalResidual _),
+    "q266_welch_t" -> (q266WelchT _),
     "q264_kendall_tau" -> (q264KendallTau _),
     "q259_cuped" -> (q259Cuped _),
     "q256_theil_sen" -> (q256TheilSen _),
@@ -2743,6 +2895,8 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q265_seasonal_residual" -> q265OracleSql,
+    "q266_welch_t" -> q266OracleSql,
     "q264_kendall_tau" -> q264OracleSql,
     "q259_cuped" -> q259OracleSql,
     "q256_theil_sen" -> q256OracleSql,

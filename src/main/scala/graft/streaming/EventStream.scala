@@ -23,6 +23,14 @@ case class OpenSession(start: Long, last: Long, n: Long)
 case class ClosedSession(
     user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 
+/** Token-bucket state for the q267 rate limiter (epoch-second of the
+  * last processed event; tokens remaining after it). */
+case class RateState(last_s: Long, tokens: Long)
+
+/** Per-batch rate-limit decision counts emitted by q267. */
+case class RateCounts(
+    user_id: Long, n_events: Long, n_allowed: Long, n_denied: Long)
+
 /** Structured Streaming over the events table (SURVEY.md §7 M6).
   *
   * The aggregation function is ONE object shared with the batch q26 — the
@@ -820,8 +828,118 @@ object EventStream {
           min(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS p99_bin
         FROM cum GROUP BY 1, 2"""
 
+  /** q267 bucket geometry: capacity 5 tokens, 1 token per 12 h —
+    * calibrated against the corpus's ~2.2 events/user/day so BOTH
+    * decision branches carry real mass (measured ~53% admitted at
+    * sf0.01; a per-minute refill admits everything and the deny path
+    * would go differential-unexercised). */
+  val RateCap = 5L
+  val RateRefillS = 43200L
+
+  /** Token-bucket replay shared by the stream operator and its tests:
+    * events sorted by (second, event_id), whole-period refill
+    * (t − last) div 60 capped at 5, one token per allowed event; the
+    * bucket starts FULL at a user's first-ever event. Fractional
+    * accrual lost to the integer div is the declared semantics —
+    * mirrored exactly by the oracle's recursive CTE. */
+  def rateLimitStateful(ds: Dataset[Event]): Dataset[RateCounts] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, RateCounts](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[Event],
+         state: GroupState[RateState]) =>
+          val sorted = events
+            .map(e => (e.ts.getTime / 1000, e.event_id)).toSeq.sorted
+          var st = state.getOption.getOrElse(
+            RateState(Long.MinValue, RateCap))
+          var allowed = 0L
+          var denied = 0L
+          sorted.foreach { case (ts, _) =>
+            val refilled =
+              if (st.last_s == Long.MinValue) st.tokens
+              else math.min(RateCap,
+                st.tokens + (ts - st.last_s) / RateRefillS)
+            if (refilled >= 1L) {
+              allowed += 1
+              st = RateState(ts, refilled - 1)
+            } else {
+              denied += 1
+              st = RateState(ts, refilled)
+            }
+          }
+          state.update(st)
+          Iterator(RateCounts(uid, sorted.size.toLong, allowed, denied))
+      }
+  }
+
+  /** q267 — STREAMING TOKEN-BUCKET RATE LIMITER (the per-key admission
+    * state machine every ingest edge runs — bot throttling, API
+    * quotas, crawler politeness — and the flatMapGroupsWithState
+    * pattern that is NOT a sessionizer: q117 closes windows, this one
+    * meters a continuous budget): per user a 5-token bucket refilling
+    * one token per 60 s of event-time, one token per admitted event,
+    * integer arithmetic only; declared output = per-user admitted and
+    * denied totals over the drained replay, so the differential pins
+    * every user's full decision sequence through its counts.
+    *
+    * Scale shape: state is TWO longs per active user regardless of
+    * stream length; the per-batch emissions re-aggregate with a
+    * user-keyed sum (map-side combinable) after the drain. */
+  def q267StreamRateLimit(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q267_stream_rate_limit_mem"
+    s.catalog.dropTempView(name)
+    import s.implicits._
+    val q = rateLimitStateful(typedEvents(readEvents(s, dir)))
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy("user_id")
+      .agg(sum("n_events").as("n_events"),
+        sum("n_allowed").as("n_allowed"),
+        sum("n_denied").as("n_denied"))
+  }
+
+  private def q267OracleSql: String =
+    s"""WITH RECURSIVE e AS (SELECT user_id,
+          epoch_us(ts) // 1000000 AS t, event_id FROM events),
+        r AS (SELECT user_id, t, CAST(row_number() OVER (
+            PARTITION BY user_id ORDER BY t, event_id) AS BIGINT)
+            AS rn
+          FROM e),
+        st(user_id, rn, t, tokens, nallow) AS (
+          SELECT user_id, rn, t, CAST($RateCap - 1 AS BIGINT),
+            CAST(1 AS BIGINT)
+          FROM r WHERE rn = 1
+          UNION ALL
+          SELECT s.user_id, s.rn, s.t,
+            CASE WHEN least($RateCap, st.tokens
+                   + (s.t - st.t) // $RateRefillS) >= 1
+              THEN least($RateCap, st.tokens
+                   + (s.t - st.t) // $RateRefillS) - 1
+              ELSE least($RateCap, st.tokens
+                   + (s.t - st.t) // $RateRefillS) END,
+            st.nallow + CASE WHEN least($RateCap, st.tokens
+                   + (s.t - st.t) // $RateRefillS) >= 1
+              THEN 1 ELSE 0 END
+          FROM st JOIN r s
+            ON s.user_id = st.user_id AND s.rn = st.rn + 1)
+        SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+          CAST(max(nallow) AS BIGINT) AS n_allowed,
+          CAST(max(rn) - max(nallow) AS BIGINT) AS n_denied
+        FROM st GROUP BY user_id"""
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q267_stream_rate_limit" -> (q267StreamRateLimit _),
     "q253_stream_quantile" -> (q253StreamQuantile _),
     "q239_stream_heavy_hitters" -> (q239StreamHeavyHitters _),
     "q236_stream_kmv" -> (q236StreamKmv _),
@@ -838,6 +956,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q267_stream_rate_limit" -> q267OracleSql,
     "q253_stream_quantile" -> q253OracleSql,
     "q239_stream_heavy_hitters" -> q239OracleSql,
     "q236_stream_kmv" -> q236OracleSql,

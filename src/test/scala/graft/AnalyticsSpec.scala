@@ -858,4 +858,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(tau === expTau)
     assert(tau >= -1000000L && tau <= 1000000L)
   }
+
+  test("q265 seasonal medians, residuals, MAD and flags replay an " +
+    "independent decomposition over the monthly census") {
+    val rows = Analytics.q265SeasonalResidual(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    val monthly = rows.map(r => ((r._1, r._2), r._3)).toMap
+    // seasonal = lower median per calendar month, ties by (rev, yr)
+    val seasonal = rows.groupBy(_._2).map { case (mo, grp) =>
+      val sorted = grp.map(g => (g._3, g._1)).sorted
+      mo -> sorted((sorted.length + 1) / 2 - 1)._1
+    }
+    val resid = rows.map(r => ((r._1, r._2), r._3 - seasonal(r._2)))
+      .toMap
+    val absSorted = rows
+      .map(r => (math.abs(resid((r._1, r._2))), r._1, r._2)).sorted
+    val mad = absSorted((absSorted.length + 1) / 2 - 1)._1
+    for ((yr, mo, rev, sea, rs, flag) <- rows) {
+      assert(rev === monthly((yr, mo)))
+      assert(sea === seasonal(mo), s"($yr,$mo) seasonal diverged")
+      assert(rs === resid((yr, mo)))
+      assert(flag === (math.abs(rs) > 3 * mad), s"($yr,$mo) flag")
+    }
+  }
+
+  test("q266 Welch t replays the sufficient-statistics expression and " +
+    "agrees in sign with the mean difference") {
+    val r = Analytics.q266WelchT(spark, sf1).collect().head
+    val (n1, n2, m1, m2, t) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    val vals = graft.sources.Tables.load(spark, sf1, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val a = vals.filter(_._1 == "purchase").map(_._2)
+    val b = vals.filter(_._1 == "click").map(_._2)
+    assert(n1 === a.length.toLong && n2 === b.length.toLong)
+    assert(m1 === a.sum * 1000000L / n1)
+    assert(m2 === b.sum * 1000000L / n2)
+    def varOf(xs: Array[Long]): Double = {
+      val n = xs.length.toDouble
+      val s = xs.sum.toDouble
+      val q = xs.map(x => x.toDouble * x).sum
+      (n * q - s * s) / (n * n * (n - 1.0))
+    }
+    val expT = (a.sum.toDouble / n1 - b.sum.toDouble / n2) /
+      math.sqrt(varOf(a) + varOf(b))
+    assert(math.abs(t - math.floor(expT * 1e6).toLong) <= 1L,
+      s"t_ppm $t vs scala replay ${math.floor(expT * 1e6).toLong}")
+    assert(math.signum(t.toDouble) ===
+      math.signum((m1 - m2).toDouble) || t == 0L)
+  }
 }

@@ -217,4 +217,42 @@ class StatefulStreamingSpec extends SparkSpec {
         s"($day,$tpe,$k) below the declared threshold")
     }
   }
+
+  test("q267 streamed token-bucket decisions replay a batch-collected " +
+    "scala model per user and both branches carry mass") {
+    import org.apache.spark.sql.functions._
+    val out = EventStream.q267StreamRateLimit(spark, sf1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val events = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(2)))
+      .groupBy(_._1)
+    assert(out.keySet === events.keySet)
+    var (totAllow, totDeny) = (0L, 0L)
+    for ((uid, es) <- events) {
+      val sorted = es.map(e => (e._2, e._3)).sorted
+      var tokens = EventStream.RateCap
+      var last = Long.MinValue
+      var allowed = 0L
+      sorted.foreach { case (t, _) =>
+        val refilled =
+          if (last == Long.MinValue) tokens
+          else math.min(EventStream.RateCap,
+            tokens + (t - last) / EventStream.RateRefillS)
+        if (refilled >= 1) { allowed += 1; tokens = refilled - 1 }
+        else tokens = refilled
+        last = t
+      }
+      val (n, a, d) = out(uid)
+      assert(n === sorted.length.toLong)
+      assert(a === allowed, s"user $uid admitted-count diverged")
+      assert(d === n - allowed)
+      totAllow += a
+      totDeny += d
+    }
+    assert(totAllow > 0 && totDeny > 0,
+      "a branch with zero mass means the calibration regressed")
+  }
 }
