@@ -2847,7 +2847,65 @@ object Analytics {
             "n2", "s2", "q2")} * 1000000) AS BIGINT) AS t_ppm
         FROM g"""
 
+  // ------------------------------------------------------------ q268
+
+  /** q268 z-sum literal: z(α/2 = 0.025) + z(β = 0.20) = 1.959964 +
+    * 0.841621 — constants of the 95%-power-80% design, embedded as the
+    * same literal in both engines (normal quantiles are NOT
+    * computable deterministically cross-engine; these two numbers are
+    * the entire table a power calculation needs). */
+  val MdeZSum = "2.801585"
+
+  /** q268 — MINIMUM DETECTABLE EFFECT / POWER ANALYSIS (the question
+    * every experiment asks BEFORE running: with this traffic and this
+    * variance, what's the smallest mean shift a 95%-confidence,
+    * 80%-power A/B split can see? — the q259/q266 family's planning
+    * member; an MDE below practical relevance means the test is a
+    * formality, one above it means don't bother): per event type,
+    * n, exact ppm mean, the exact integer sample variance
+    * (n·Σv² − (Σv)²) div (n·(n−1)) in cents², and
+    * MDE = z·√(2·s²/(n div 2)) through one shared-text double
+    * expression over exact integers (q242 discipline), floored ×10⁶
+    * (units: cents·10⁶). Arm size = n div 2, the even-split design.
+    *
+    * Scale shape: one map-side-combined per-type aggregate of three
+    * numbers → |types| rows. */
+  def q268MdePower(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vc").as("sv"),
+        sum(expr("vc * vc")).as("qv"))
+      .select(col("event_type"), col("n"),
+        expr("sv * 1000000 div n").as("mean_ppm"),
+        expr("(n * qv - sv * sv) div (n * (n - 1))").as("var_cents2"),
+        expr(s"""CAST(floor($MdeZSum
+             * sqrt(2.0 * ((n * CAST(qv AS DOUBLE)
+                 - CAST(sv AS DOUBLE) * sv)
+               / (CAST(n AS DOUBLE) * (n - 1.0))) / (n div 2))
+             * 1000000) AS BIGINT)""").as("mde_fp"))
+  }
+
+  private def q268OracleSql: String =
+    s"""WITH g AS (SELECT event_type,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+            AS sv,
+          CAST(sum(CAST(floor(value * 100) AS BIGINT)
+             * CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS qv
+        FROM events GROUP BY event_type)
+        SELECT event_type, n, sv * 1000000 // n AS mean_ppm,
+          (n * qv - sv * sv) // (n * (n - 1)) AS var_cents2,
+          CAST(floor($MdeZSum
+            * sqrt(2.0 * ((n * CAST(qv AS DOUBLE)
+                - CAST(sv AS DOUBLE) * sv)
+              / (CAST(n AS DOUBLE) * (n - 1.0))) / (n // 2))
+            * 1000000) AS BIGINT) AS mde_fp
+        FROM g"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_mde_power" -> (q268MdePower _),
     "q265_seasonal_residual" -> (q265SeasonalResidual _),
     "q266_welch_t" -> (q266WelchT _),
     "q264_kendall_tau" -> (q264KendallTau _),
@@ -2895,6 +2953,7 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q268_mde_power" -> q268OracleSql,
     "q265_seasonal_residual" -> q265OracleSql,
     "q266_welch_t" -> q266OracleSql,
     "q264_kendall_tau" -> q264OracleSql,

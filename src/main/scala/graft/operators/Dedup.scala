@@ -1367,7 +1367,98 @@ object Dedup {
                split_a <> split_b AS leaky
         FROM j GROUP BY split_a, split_b"""
 
+  // ----------------------------------------------------------- q269
+
+  /** q269 geometry sweep: every (bands, rows) tiling of the 16-hash
+    * signature, and the similarity grid the S-curve is tabulated on. */
+  val LshPlanGeoms: Seq[(Int, Int)] =
+    Seq(16 -> 1, 8 -> 2, 4 -> 4, 2 -> 8, 1 -> 16)
+  val LshPlanSPcts: Seq[Int] = (50 to 95 by 5)
+
+  /** The LSH hit probability 1 − (1 − s^r)^b in TRUNCATING ppm
+    * fixed point — iterated integer multiplication, computed ONCE here
+    * and embedded as the same literals in both engines' plans (the
+    * BenfordPpm discipline; pow() is not IEEE-correctly-rounded, so a
+    * float evaluation could diverge cross-engine — the fixed-point
+    * spec cannot). */
+  private[graft] def lshHitPpm(sPpm: Long, r: Int, b: Int): Long = {
+    def ipow(base: Long, e: Int): Long =
+      (2 to e).foldLeft(base)((acc, _) => acc * base / 1000000L)
+    1000000L - ipow(1000000L - ipow(sPpm, r), b)
+  }
+
+  /** q269 — LSH GEOMETRY PLANNER: theoretical S-curve × measured
+    * candidate volume per (bands, rows) tiling (the tuning table
+    * behind every MinHash deployment — q30 ships 4×4, and THIS
+    * operator is the evidence for that choice: more rows per band
+    * sharpens the threshold (τ ≈ (1/b)^(1/r)) but misses lower-
+    * similarity dups; fewer rows explode the candidate volume — the
+    * curve gives the recall side, the corpus gives the cost side,
+    * and neither alone picks a geometry): for every tiling of the
+    * 16-hash signature and s ∈ {50..95%}, the hit probability
+    * 1 − (1 − s^r)^b as shared fixed-point literals, joined with the
+    * MEASURED candidate-pair count Σ C(bucket, 2) from actually
+    * re-banding the corpus signatures at that geometry.
+    *
+    * Scale shape: per geometry one band-keyed census off the shared
+    * one-pass minhash_k signatures — candidate VOLUME is counted in
+    * the buckets (Σ c(c−1)/2 per band key), never materialized as
+    * pairs, so the r=1 geometry's huge buckets cost a census row, not
+    * a blow-up. The curve side is a literal frame. */
+  def q269LshCurve(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    import s.implicits._
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val measured = LshPlanGeoms.map { case (b, r) =>
+      bandedKeys(docs, LshGeometry(NumHashes, r, NumPlanes))
+        .groupBy("band", "bkey").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+          .as("cand_pairs"))
+        .select(lit(b.toLong).as("bands"),
+          lit(r.toLong).as("rows_per_band"), col("cand_pairs"))
+    }.reduce(_ unionByName _)
+    val curve = LshPlanGeoms.flatMap { case (b, r) =>
+      LshPlanSPcts.map(p =>
+        (b.toLong, r.toLong, p.toLong, lshHitPpm(p * 10000L, r, b)))
+    }.toDF("bands", "rows_per_band", "s_pct", "p_hit_ppm")
+    curve.join(broadcast(measured), Seq("bands", "rows_per_band"))
+  }
+
+  private def q269OracleSql: String = {
+    val geomSelects = LshPlanGeoms.map { case (b, r) =>
+      val bandSelects = (0 until b).map { bi =>
+        val key = (0 until r).map(j => sigExpr(bi * r + j))
+          .mkString("concat_ws(',', ", ", ", ")")
+        s"SELECT doc_id, $bi AS band, $key AS bkey FROM hs"
+      }.mkString("\n UNION ALL\n ")
+      s"""SELECT CAST($b AS BIGINT) AS bands,
+          CAST($r AS BIGINT) AS rows_per_band,
+          CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
+            AS cand_pairs
+        FROM (SELECT band, bkey, count(*) AS c
+              FROM ($bandSelects) z GROUP BY band, bkey) g"""
+    }.mkString("\n UNION ALL\n ")
+    val curveRows = LshPlanGeoms.flatMap { case (b, r) =>
+      LshPlanSPcts.map(p =>
+        s"($b, $r, $p, ${lshHitPpm(p * 10000L, r, b)})")
+    }.mkString(", ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS sw_w
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= $ShingleN),
+        hs AS (SELECT doc_id, $duckShingleHashes AS hsd FROM w),
+        curve(bands, rows_per_band, s_pct, p_hit_ppm)
+          AS (VALUES $curveRows),
+        measured AS ($geomSelects)
+        SELECT CAST(c.bands AS BIGINT) AS bands,
+          CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
+          CAST(c.s_pct AS BIGINT) AS s_pct,
+          CAST(c.p_hit_ppm AS BIGINT) AS p_hit_ppm, m.cand_pairs
+        FROM curve c JOIN measured m ON c.bands = m.bands
+          AND c.rows_per_band = m.rows_per_band"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_lsh_curve" -> (q269LshCurve _),
     "q224_split_leakage" -> (q224SplitLeakage _),
     "q152_incremental_lsh" -> (q152IncrementalLsh _),
     "q139_dedup_eval" -> (q139DedupEval _),
@@ -1387,6 +1478,7 @@ object Dedup {
     "q87_verify_candidates" -> (q87VerifyCandidates _))
 
   val oracleSql: Map[String, String] = Map(
+    "q269_lsh_curve" -> q269OracleSql,
     "q224_split_leakage" -> q224OracleSql,
     "q152_incremental_lsh" -> q152OracleSql,
     "q139_dedup_eval" -> q139OracleSql,

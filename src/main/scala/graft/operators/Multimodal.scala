@@ -777,7 +777,50 @@ object Multimodal {
             AS longest_run
         FROM m GROUP BY m.asset_id"""
 
+  /** q270 — PAYLOAD COLLISION ENTROPY (the log-free compressibility /
+    * junk screen over opaque binaries: Shannon entropy needs per-ratio
+    * logs no two engines round identically — the Rényi-2 COLLISION
+    * probability Σp² carries the same signal as exact integers: ~1/256
+    * for incompressible bytes, → 1 for constant padding; its
+    * reciprocal is the "effective alphabet", and a payload whose
+    * collision probability spikes is a zero-filled or boilerplate
+    * blob that will waste storage and training tokens): per asset the
+    * byte census in-row — n, distinct byte values, and
+    * Σ count²·10⁶ div n² — without decoding, in one typed pass.
+    *
+    * Scale shape: zero shuffles, zero joins — the byte census lives
+    * and dies inside one row's map call (256 longs of scratch); the
+    * q148/q254 mapPartitions codec-slot shape. */
+  def q270PayloadCollision(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).mapPartitions { it =>
+      it.map { a =>
+        val counts = new Array[Long](256)
+        a.payload.foreach(b => counts(b & 0xff) += 1)
+        val n = a.payload.length.toLong
+        val sc2 = counts.map(c => c * c).sum
+        val coll = if (n == 0) 1000000L else sc2 * 1000000L / (n * n)
+        (a.asset_id, n, counts.count(_ > 0).toLong, coll)
+      }
+    }.toDF("asset_id", "n_bytes", "n_distinct", "collision_ppm")
+  }
+
+  private def q270OracleSql: String =
+    """WITH c AS (SELECT doc_id AS asset_id, ascii(ch) AS b,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+              FROM documents) z
+        GROUP BY 1, 2),
+        st AS (SELECT asset_id, CAST(sum(cnt) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS n_distinct,
+            CAST(sum(cnt * cnt) AS BIGINT) AS sc2
+          FROM c GROUP BY asset_id)
+        SELECT asset_id, n AS n_bytes, n_distinct,
+          sc2 * 1000000 // (n * n) AS collision_ppm
+        FROM st"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_payload_collision" -> (q270PayloadCollision _),
     "q254_silence_segments" -> (q254SilenceSegments _),
     "q231_payload_phash" -> (q231PayloadPhash _),
     "q220_hist_equalize" -> (q220HistEqualize _),
@@ -789,6 +832,7 @@ object Multimodal {
     "q81_media_histogram" -> (q81MediaHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q270_payload_collision" -> q270OracleSql,
     "q254_silence_segments" -> q254OracleSql,
     "q231_payload_phash" -> q231OracleSql,
     "q220_hist_equalize" -> q220OracleSql,

@@ -912,4 +912,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.signum(t.toDouble) ===
       math.signum((m1 - m2).toDouble) || t == 0L)
   }
+
+  test("q268 variance and MDE replay the design formulas per event " +
+    "type, and MDE shrinks as sqrt(n) grows") {
+    val rows = Analytics.q268MdePower(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length === 5)
+    val vals = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+      .groupBy(_._1)
+    for ((tpe, n, mean, varC, mde) <- rows) {
+      val xs = vals(tpe).map(_._2)
+      assert(n === xs.length.toLong)
+      assert(mean === xs.sum * 1000000L / n)
+      val sv = BigInt(xs.sum)
+      val qv = xs.map(x => BigInt(x) * x).sum
+      assert(varC === ((BigInt(n) * qv - sv * sv) /
+        (BigInt(n) * (n - 1))).toLong)
+      val varD = (n.toDouble * qv.toDouble - sv.toDouble * sv.toDouble) /
+        (n.toDouble * (n - 1.0))
+      val exp = math.floor(2.801585 *
+        math.sqrt(2.0 * varD / (n / 2)) * 1e6).toLong
+      assert(math.abs(mde - exp) <= 1L, s"$tpe MDE diverged")
+      assert(mde > 0L)
+    }
+  }
 }

@@ -296,4 +296,40 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(r => r.getBoolean(3) && r.getLong(2) > 0),
       "no cross-split near-dup found — audit is vacuous on this corpus")
   }
+
+  test("q269 curve replays an independent BigInt fixed-point model, is " +
+    "monotone in s, and the recall/cost tradeoff points the right way") {
+    val rows = Dedup.q269LshCurve(spark, sf1).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length === Dedup.LshPlanGeoms.length *
+      Dedup.LshPlanSPcts.length)
+    // independent fixed-point model (BigInt, same truncating spec)
+    def model(sPpm: Long, r: Int, b: Int): Long = {
+      def ipow(base: BigInt, e: Int): BigInt =
+        (2 to e).foldLeft(base)((a, _) => a * base / 1000000)
+      (BigInt(1000000) - ipow(
+        BigInt(1000000) - ipow(BigInt(sPpm), r), b)).toLong
+    }
+    for (((b, r), sPct, p, _) <- rows)
+      assert(p === model(sPct * 10000, r.toInt, b.toInt),
+        s"($b,$r,$sPct) fixed-point curve diverged")
+    // monotone in similarity within each geometry
+    for ((geom, grp) <- rows.groupBy(_._1)) {
+      val byS = grp.sortBy(_._2).map(_._3)
+      assert(byS.zip(byS.tail).forall { case (a2, b2) => a2 <= b2 },
+        s"$geom curve not monotone in s")
+    }
+    // the tradeoff: fewer rows per band => more candidates AND higher
+    // hit probability at any fixed s — both sides of the tuning knob
+    val byR = rows.groupBy(_._1).map { case ((b, r), grp) =>
+      (r, grp.head._4, grp.find(_._2 == 80L).get._3)
+    }.toSeq.sortBy(_._1)
+    assert(byR.map(_._2).zip(byR.map(_._2).tail)
+      .forall { case (hi, lo) => hi >= lo },
+      "candidate volume must not increase with rows per band")
+    assert(byR.map(_._3).zip(byR.map(_._3).tail)
+      .forall { case (hi, lo) => hi >= lo },
+      "hit probability at s=0.8 must not increase with rows per band")
+  }
 }

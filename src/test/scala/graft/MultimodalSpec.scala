@@ -201,4 +201,24 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.exists(r => r._4 >= 2),
       "no asset with 2+ runs — run structure unexercised")
   }
+
+  test("q270 collision probability replays the byte census and sits in " +
+    "the [uniform-256, constant] band") {
+    val rows = Multimodal.q270PayloadCollision(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val payloads = Multimodal.assets(spark, sf1).collect()
+      .map(a => a.asset_id -> a.payload).toMap
+    assert(rows.map(_._1).toSet === payloads.keySet)
+    for ((id, n, nd, coll) <- rows) {
+      val p = payloads(id)
+      assert(n === p.length.toLong)
+      val counts = p.groupBy(_ & 0xff).map(_._2.length.toLong)
+      assert(nd === counts.size.toLong)
+      assert(coll === counts.map(c => c * c).sum * 1000000L / (n * n),
+        s"asset $id collision replay diverged")
+      // Σp² >= 1/|alphabet| (uniform floor) and <= 1 (constant blob)
+      assert(coll >= 1000000L / nd && coll <= 1000000L)
+    }
+  }
 }
