@@ -201,8 +201,83 @@ object Core {
         sum(when(col("nf") > 1, 1L).otherwise(0L)).as("split_keys"))
   }
 
+  /** q271 — PARTITIONED-WRITE LAYOUT CONTRACT (the S5/S3 family's
+    * directory-partitioning member next to q213's within-file
+    * clustering: `partitionBy` is how a lake co-locates a tenant's /
+    * source's data for partition pruning, and the contract that
+    * matters is that the round trip through the partition-encoded
+    * directory tree loses NOTHING — the partition column comes back
+    * from directory names, not file contents): documents written
+    * `partitionBy(source)`, read back, and audited as a per-source
+    * census (count + doc_id checksum + char mass) that the
+    * differential compares against the SOURCE table — equal iff the
+    * layout round trip is lossless. The pruning contract itself
+    * (reading one partition scans one directory) is plan-asserted in
+    * the spec, where `.explain` output is available.
+    *
+    * Scale shape: the write is one hash-partitioned pass; the audit a
+    * map-side census over the read-back. */
+  def q271PartitionedWrite(s: SparkSession, dir: String): DataFrame = {
+    val out = "target/graft_q271_part"
+    t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      .write.mode("overwrite").partitionBy("source").parquet(out)
+    s.read.parquet(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+        sum("n_chars").as("char_sum"))
+  }
+
+  private def q271OracleSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS char_sum
+       FROM documents GROUP BY source"""
+
+  /** q272 — SCHEMA-EVOLUTION MERGE (the lake reality every long-lived
+    * dataset hits: yesterday's writer didn't have the column, today's
+    * does, and the reader must see ONE table with NULLs where history
+    * is silent — `mergeSchema` is Spark's contract for exactly this):
+    * the even half of documents written with the legacy (doc_id,
+    * source) schema, the odd half appended with an evolved integer
+    * `quality` column, read back through `mergeSchema=true` and
+    * audited per source: total rows, legacy (NULL-quality) rows, and
+    * the evolved column's checksum — the differential derives the
+    * same censuses from the source table, so a reader that dropped
+    * rows, mis-aligned the evolved column, or defaulted NULLs to 0
+    * fails the hash.
+    *
+    * Scale shape: two narrow writes + one merged-footer read; audit
+    * is one map-side census. */
+  def q272SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = "target/graft_q272_evo"
+    val d = t(s, dir, "documents")
+    d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"))
+      .write.mode("overwrite").parquet(out)
+    d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"),
+        (col("n_chars") % 100L).as("quality"))
+      .write.mode("append").parquet(out)
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality").isNull, 1L).otherwise(0L))
+          .as("n_legacy"),
+        coalesce(sum("quality"), lit(0L)).as("quality_sum"))
+  }
+
+  private def q272OracleSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_legacy,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 ELSE 0 END)
+         AS BIGINT) AS quality_sum
+       FROM documents GROUP BY source"""
+
   /** Declared query map for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_partitioned_write" -> (q271PartitionedWrite _),
+    "q272_schema_evolution" -> (q272SchemaEvolution _),
     "q01_full_scan" -> (q01FullScan _),
     "q02_readback_projection" -> (q02ReadbackProjection _),
     "q03_projection" -> (q03Projection _),
@@ -223,6 +298,8 @@ object Core {
 
   /** DuckDB oracles (ANSI SQL over the same parquet tables). */
   val oracleSql: Map[String, String] = Map(
+    "q271_partitioned_write" -> q271OracleSql,
+    "q272_schema_evolution" -> q272OracleSql,
     "q01_full_scan" ->
       "SELECT * FROM customer",
     "q02_readback_projection" ->

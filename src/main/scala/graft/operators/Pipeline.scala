@@ -1797,7 +1797,80 @@ object Pipeline {
           FROM u)
         SELECT doc_id, source, (rk - 1) % $KFolds AS fold FROM r"""
 
+  /** q273 deletion-subject selector (every 97th customer key). */
+  val ErasureMod = 97L
+
+  /** q273 — CASCADING ERASURE AUDIT (the right-to-be-forgotten
+    * operator: deleting a subject is easy — PROVING the deletion
+    * reached every table that references them, including through a
+    * join hop, is the part regulators actually ask for; q238 audits
+    * FK orphans, this audits the REVERSE closure of a deletion set):
+    * subjects = customers with custkey ≡ 0 (mod 97); per table the
+    * total row count, rows referencing a subject (direct for orders,
+    * THROUGH the order hop for lineitem — the cascade a naive
+    * single-table delete misses), and the post-erasure count the
+    * anti-join pass would leave. The differential pins all three per
+    * table, so an erasure job can be diffed against this audit before
+    * and after.
+    *
+    * Scale shape: subjects are a broadcast dim slice; orders filter
+    * by broadcast semi-join; the lineitem cascade semi-joins against
+    * the ~1% victim order keys (AQE broadcasts them); three map-side
+    * count aggregates, one row each. */
+  def q273ErasureAudit(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select("c_custkey")
+    val victims = cust.filter(col("c_custkey") % ErasureMod === 0)
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+    val vOrders = orders.join(broadcast(victims),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    val li = t(s, dir, "lineitem").select("l_orderkey")
+    val vLi = li.join(vOrders.select("o_orderkey"),
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    def audit(nm: String, total: DataFrame, refs: DataFrame)
+        : DataFrame = {
+      val tc = total.agg(count(lit(1)).as("n_total"))
+      val rc = refs.agg(count(lit(1)).as("n_refs"))
+      tc.crossJoin(rc).select(lit(nm).as("table_name"),
+        col("n_total"), col("n_refs"),
+        (col("n_total") - col("n_refs")).as("n_after"))
+    }
+    audit("customer", cust, victims)
+      .unionByName(audit("orders", orders, vOrders))
+      .unionByName(audit("lineitem", li, vLi))
+  }
+
+  private def q273OracleSql: String =
+    s"""SELECT 'customer' AS table_name,
+          CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total,
+          CAST((SELECT count(*) FROM customer
+                WHERE c_custkey % $ErasureMod = 0) AS BIGINT)
+            AS n_refs,
+          CAST((SELECT count(*) FROM customer) -
+               (SELECT count(*) FROM customer
+                WHERE c_custkey % $ErasureMod = 0) AS BIGINT)
+            AS n_after
+        UNION ALL
+        SELECT 'orders',
+          CAST((SELECT count(*) FROM orders) AS BIGINT),
+          CAST((SELECT count(*) FROM orders
+                WHERE o_custkey % $ErasureMod = 0) AS BIGINT),
+          CAST((SELECT count(*) FROM orders) -
+               (SELECT count(*) FROM orders
+                WHERE o_custkey % $ErasureMod = 0) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem',
+          CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+          CAST((SELECT count(*) FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_custkey % $ErasureMod = 0) AS BIGINT),
+          CAST((SELECT count(*) FROM lineitem) -
+               (SELECT count(*) FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_custkey % $ErasureMod = 0) AS BIGINT)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_erasure_audit" -> (q273ErasureAudit _),
     "q263_stratified_folds" -> (q263StratifiedFolds _),
     "q260_quota_allocate" -> (q260QuotaAllocate _),
     "q250_padding_waste" -> (q250PaddingWaste _),
@@ -1831,6 +1904,7 @@ object Pipeline {
     "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q273_erasure_audit" -> q273OracleSql,
     "q263_stratified_folds" -> q263OracleSql,
     "q260_quota_allocate" -> q260OracleSql,
     "q250_padding_waste" -> q250OracleSql,

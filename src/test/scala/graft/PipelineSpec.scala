@@ -585,4 +585,30 @@ class PipelineSpec extends SparkSpec {
           s"doc ${doc._1} fold diverged from rank replay")
     }
   }
+
+  test("q273 erasure closure replays independent cascade counts and " +
+    "conserves row mass per table") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.q273ErasureAudit(spark, sf1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(rows.keySet === Set("customer", "orders", "lineitem"))
+    for ((t, (total, refs, after)) <- rows) {
+      assert(after === total - refs, s"$t mass not conserved")
+      assert(refs >= 0L && refs <= total)
+    }
+    val cust = graft.sources.Tables.load(spark, sf1, "customer")
+    assert(rows("customer")._2 === cust
+      .filter(col("c_custkey") % Pipeline.ErasureMod === 0).count())
+    // the cascade: lineitem references through the order hop
+    val ord = graft.sources.Tables.load(spark, sf1, "orders")
+    val vOrd = ord.filter(col("o_custkey") % Pipeline.ErasureMod === 0)
+    assert(rows("orders")._2 === vOrd.count())
+    assert(rows("lineitem")._2 ===
+      graft.sources.Tables.load(spark, sf1, "lineitem")
+        .join(vOrd, col("l_orderkey") === col("o_orderkey"),
+          "left_semi").count())
+    assert(rows("lineitem")._2 > 0L,
+      "cascade found nothing — the audit's hop is broken")
+  }
 }
