@@ -2906,7 +2906,77 @@ object Extensions {
           CAST(active AS BIGINT) AS peak_concurrency, h AS peak_hour
         FROM act WHERE rn = 1"""
 
+  /** q275 attribution windows swept, in seconds. */
+  val AttrWindowsS: Seq[Long] = Seq(3600L, 21600L, 86400L)
+
+  /** q275 — ATTRIBUTION-WINDOW SENSITIVITY SWEEP (the robustness
+    * check behind q92's single-window attribution: a conversion rate
+    * that doubles when the window goes 1 h → 1 d isn't measuring
+    * causation, it's measuring the window — the sweep IS the
+    * analysis, same pattern as q269's geometry table): per window in
+    * {1 h, 6 h, 1 d}, the count and exact ppm share of clicks with at
+    * least one same-user purchase inside the window. Computed from
+    * ONE pair join: per click the MINIMUM positive click→purchase
+    * delay (exact epoch-second integers), then every window reads off
+    * the same min-delay frame — the sweep costs one extra 3-row
+    * broadcast, not three joins.
+    *
+    * Scale shape: one user-keyed click×purchase join (per-user volume
+    * bounded by activity²), min-agg to one row per click, then a
+    * 3-row literal domain cross join and a map-side census. */
+  def q275AttributionSweep(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("ts_s"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_s").as("tc"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts_s").as("tp"))
+    val minDelay = clicks
+      .join(purchases, col("user_id") === col("pu") &&
+        col("tp") > col("tc"), "left")
+      .groupBy("click_id")
+      .agg(min(col("tp") - col("tc")).as("min_delay"))
+    val nClicks = clicks.agg(count(lit(1)).as("n_clicks"))
+    val windows = AttrWindowsS
+      .map(w => s"SELECT ${w}L AS window_s")
+      .mkString(" UNION ALL ")
+    minDelay.crossJoin(broadcast(s.sql(windows)))
+      .groupBy("window_s")
+      .agg(sum(when(col("min_delay") <= col("window_s"), 1L)
+        .otherwise(0L)).as("n_converted"))
+      .crossJoin(broadcast(nClicks))
+      .select(col("window_s"), col("n_clicks"), col("n_converted"),
+        expr("n_converted * 1000000 div n_clicks").as("rate_ppm"))
+  }
+
+  private def q275OracleSql: String = {
+    val values = AttrWindowsS.map(w => s"($w)").mkString(", ")
+    s"""WITH ev AS (SELECT user_id, event_type, event_id,
+          epoch_us(ts) // 1000000 AS ts_s FROM events),
+        clicks AS (SELECT user_id, event_id AS click_id, ts_s AS tc
+          FROM ev WHERE event_type = 'click'),
+        purchases AS (SELECT user_id AS pu, ts_s AS tp
+          FROM ev WHERE event_type = 'purchase'),
+        md AS (SELECT c.click_id, min(p.tp - c.tc) AS min_delay
+          FROM clicks c LEFT JOIN purchases p
+            ON c.user_id = p.pu AND p.tp > c.tc
+          GROUP BY c.click_id),
+        nc AS (SELECT CAST(count(*) AS BIGINT) AS n_clicks
+          FROM clicks),
+        w(window_s) AS (VALUES $values)
+        SELECT CAST(w.window_s AS BIGINT) AS window_s, nc.n_clicks,
+          CAST(sum(CASE WHEN md.min_delay <= w.window_s THEN 1 ELSE 0
+            END) AS BIGINT) AS n_converted,
+          CAST(sum(CASE WHEN md.min_delay <= w.window_s THEN 1 ELSE 0
+            END) * 1000000 // nc.n_clicks AS BIGINT) AS rate_ppm
+        FROM md CROSS JOIN w CROSS JOIN nc
+        GROUP BY w.window_s, nc.n_clicks"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_attribution_sweep" -> (q275AttributionSweep _),
     "q245_peak_concurrency" -> (q245PeakConcurrency _),
     "q232_lateness_audit" -> (q232LatenessAudit _),
     "q233_t_closeness" -> (q233TCloseness _),
@@ -2986,6 +3056,7 @@ object Extensions {
     "q60_percentiles" -> (q60Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q275_attribution_sweep" -> q275OracleSql,
     "q245_peak_concurrency" -> q245OracleSql,
     "q232_lateness_audit" -> q232OracleSql,
     "q233_t_closeness" -> q233OracleSql,

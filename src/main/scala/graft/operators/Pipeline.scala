@@ -1869,7 +1869,53 @@ object Pipeline {
                 JOIN orders o ON l.l_orderkey = o.o_orderkey
                 WHERE o.o_custkey % $ErasureMod = 0) AS BIGINT)"""
 
+  /** q274 hashed-feature bucket count. */
+  val CrossBuckets = 32L
+
+  /** q274 — HASHING-TRICK COLLISION AUDIT (the feature-crossing
+    * reality check: crossing nation × segment gives 125 true
+    * categories, the hashing trick folds them into 32 buckets to cap
+    * model width, and what the model actually sees is the COLLISION
+    * structure — two crossed categories sharing a bucket share a
+    * weight; this audit is the difference between "hashing is fine"
+    * and "two of our biggest segments just merged"): cross key =
+    * nationkey·256 + ascii(segment[0]) (first letters are distinct —
+    * asserted by the spec), bucket = LCG(key) mod 32; per bucket the
+    * row mass and the DISTINCT true categories folded into it.
+    *
+    * Scale shape: one broadcast-dim pass computes keys in-row; the
+    * audit is a (bucket, key) census collapsed to a bucket census —
+    * both map-side; ≤32 output rows. */
+  def q274HashCrossAudit(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "customer")
+      .select(expr("""CAST(c_nationkey AS BIGINT) * 256
+           + ascii(substring(c_mktsegment, 1, 1))""").as("ck"))
+      .select(col("ck"),
+        expr(s"((ck * 1103515245 + 12345) % 2147483647) % $CrossBuckets")
+          .as("bucket"))
+    keyed.groupBy("bucket", "ck").agg(count(lit(1)).as("n"))
+      .groupBy("bucket")
+      .agg(sum("n").as("n_rows"), count(lit(1)).as("n_categories"))
+      .withColumn("collided", col("n_categories") > 1L)
+  }
+
+  private def q274OracleSql: String =
+    s"""WITH keyed AS (SELECT CAST(c_nationkey AS BIGINT) * 256
+          + ascii(substr(c_mktsegment, 1, 1)) AS ck
+        FROM customer),
+        b AS (SELECT ck,
+            ((ck * 1103515245 + 12345) % 2147483647) % $CrossBuckets
+              AS bucket
+          FROM keyed),
+        kc AS (SELECT bucket, ck, CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY 1, 2)
+        SELECT bucket, CAST(sum(n) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_categories,
+          count(*) > 1 AS collided
+        FROM kc GROUP BY bucket"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_hash_cross_audit" -> (q274HashCrossAudit _),
     "q273_erasure_audit" -> (q273ErasureAudit _),
     "q263_stratified_folds" -> (q263StratifiedFolds _),
     "q260_quota_allocate" -> (q260QuotaAllocate _),
@@ -1904,6 +1950,7 @@ object Pipeline {
     "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q274_hash_cross_audit" -> q274OracleSql,
     "q273_erasure_audit" -> q273OracleSql,
     "q263_stratified_folds" -> q263OracleSql,
     "q260_quota_allocate" -> q260OracleSql,

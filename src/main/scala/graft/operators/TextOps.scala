@@ -1524,7 +1524,81 @@ object TextOps {
         WHERE df >= $BurstMinDf
         ORDER BY fano_ppm DESC, w LIMIT $BurstTopK"""
 
+  /** q276 candidate truncation lengths and the truncated-docs budget. */
+  val TruncCandidates: Seq[Long] = (16L to 96L by 8L)
+  val TruncBudgetPpm = 100000L
+
+  /** q276 — TRUNCATION-LENGTH PLANNER (choosing max_seq_len, the
+    * q269-style policy table for the other big preprocessing knob: a
+    * long cap wastes the batch on padding — q250's measured cost — a
+    * short one amputates documents; the planner tabulates BOTH sides
+    * per candidate and flags the policy choice): for each candidate
+    * cap T over the whitespace-token length census, the kept token
+    * mass Σ min(len, T), the kept share of all tokens in exact ppm,
+    * the count and ppm of documents that would be truncated, and
+    * `chosen` marking the SMALLEST T whose truncation rate fits the
+    * 10% budget — minimize padding subject to bounded amputation.
+    *
+    * Scale shape: corpus collapses map-side to the ≤|distinct
+    * lengths| census; every candidate evaluates against the census
+    * (|candidates| × |lengths| domain join), never the corpus; the
+    * `chosen` flag rides the |candidates|-row frame. */
+  def q276TruncationPlanner(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("bigint").as("len"))
+      .groupBy("len").agg(count(lit(1)).as("n"))
+    val tot = census.agg(sum(expr("len * n")).as("tot_tokens"),
+      sum("n").as("tot_docs"))
+    val cands = TruncCandidates
+      .map(t0 => s"SELECT ${t0}L AS cap").mkString(" UNION ALL ")
+    val per = census.crossJoin(broadcast(s.sql(cands)))
+      .crossJoin(broadcast(tot))
+      .groupBy("cap", "tot_tokens", "tot_docs")
+      .agg(sum(expr("least(len, cap) * n")).as("kept_tokens"),
+        sum(when(col("len") > col("cap"), col("n")).otherwise(0L))
+          .as("trunc_docs"))
+      .select(col("cap"), col("kept_tokens"),
+        expr("kept_tokens * 1000000 div tot_tokens").as("kept_ppm"),
+        col("trunc_docs"),
+        expr("trunc_docs * 1000000 div tot_docs").as("trunc_ppm"))
+    val pick = per.filter(col("trunc_ppm") <= TruncBudgetPpm)
+      .agg(coalesce(min("cap"), lit(-1L)).as("pick"))
+    per.crossJoin(broadcast(pick))
+      .select(col("cap"), col("kept_tokens"), col("kept_ppm"),
+        col("trunc_docs"), col("trunc_ppm"),
+        (col("cap") === col("pick")).as("chosen"))
+  }
+
+  private def q276OracleSql: String = {
+    val values = TruncCandidates.map(t0 => s"($t0)").mkString(", ")
+    s"""WITH census AS (SELECT
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+          CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(len * n) AS BIGINT) AS tot_tokens,
+            CAST(sum(n) AS BIGINT) AS tot_docs FROM census),
+        cands(cap) AS (VALUES $values),
+        per AS (SELECT c.cap,
+            CAST(sum(least(census.len, c.cap) * census.n) AS BIGINT)
+              AS kept_tokens,
+            CAST(sum(least(census.len, c.cap) * census.n) * 1000000
+              // tot.tot_tokens AS BIGINT) AS kept_ppm,
+            CAST(sum(CASE WHEN census.len > c.cap THEN census.n
+              ELSE 0 END) AS BIGINT) AS trunc_docs,
+            CAST(sum(CASE WHEN census.len > c.cap THEN census.n
+              ELSE 0 END) * 1000000 // tot.tot_docs AS BIGINT)
+              AS trunc_ppm
+          FROM cands c CROSS JOIN census CROSS JOIN tot
+          GROUP BY c.cap, tot.tot_tokens, tot.tot_docs),
+        pick AS (SELECT coalesce(min(cap), -1) AS pick FROM per
+          WHERE trunc_ppm <= $TruncBudgetPpm)
+        SELECT CAST(per.cap AS BIGINT) AS cap, kept_tokens, kept_ppm,
+          trunc_docs, trunc_ppm, per.cap = pick.pick AS chosen
+        FROM per CROSS JOIN pick"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_truncation_planner" -> (q276TruncationPlanner _),
     "q262_token_burstiness" -> (q262TokenBurstiness _),
     "q244_lang_confusion" -> (q244LangConfusion _),
     "q243_vocab_overlap" -> (q243VocabOverlap _),
@@ -1555,6 +1629,7 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q276_truncation_planner" -> q276OracleSql,
     "q262_token_burstiness" -> q262OracleSql,
     "q244_lang_confusion" -> q244OracleSql,
     "q243_vocab_overlap" -> q243OracleSql,

@@ -1104,4 +1104,66 @@ class ExtensionsSpec extends SparkSpec {
           (nDocs * tf)).toLong, s"token $w fano diverged")
     }
   }
+
+  test("q275 conversion is monotone in the window and the 6h point " +
+    "replays an independent pair scan") {
+    val E = graft.operators.Extensions
+    val rows = E.q275AttributionSweep(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === E.AttrWindowsS)
+    assert(rows.map(_._2).distinct.length === 1,
+      "total click count must not depend on the window")
+    val conv = rows.map(_._3)
+    assert(conv.zip(conv.tail).forall { case (a, b) => a <= b },
+      "a wider window cannot lose conversions")
+    for ((w, nc, k, ppm) <- rows) assert(ppm === k * 1000000L / nc)
+    // independent replay at the middle window
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000000").as("t"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val mid = E.AttrWindowsS(1)
+    var converted = 0L
+    var clicks = 0L
+    for ((_, es) <- byUser) {
+      val cs = es.filter(_._2 == "click")
+      val ps = es.filter(_._2 == "purchase").map(_._3)
+      clicks += cs.length
+      converted += cs.count(c =>
+        ps.exists(p => p > c._3 && p - c._3 <= mid))
+    }
+    assert(rows(1)._2 === clicks)
+    assert(rows(1)._3 === converted, "6h window replay diverged")
+  }
+
+  test("q276 planner is monotone both ways and chooses the smallest " +
+    "cap inside the truncation budget") {
+    val T = graft.operators.TextOps
+    val rows = T.q276TruncationPlanner(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === T.TruncCandidates)
+    val kept = rows.map(_._2)
+    assert(kept.zip(kept.tail).forall { case (a, b) => a <= b },
+      "a higher cap cannot keep fewer tokens")
+    val tr = rows.map(_._4)
+    assert(tr.zip(tr.tail).forall { case (a, b) => a >= b },
+      "a higher cap cannot truncate more documents")
+    val within = rows.filter(_._5 <= T.TruncBudgetPpm)
+    assert(within.nonEmpty, "no candidate fits the budget — widen grid")
+    assert(rows.filter(_._6).map(_._1).toSeq ===
+      Seq(within.map(_._1).min),
+      "chosen must be exactly the smallest in-budget cap")
+    // replay one cap against the collected length census
+    val lens = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(size(split(col("text"), " ")).cast("bigint")).collect()
+      .map(_.getLong(0))
+    val cap = rows.head._1
+    assert(rows.head._2 === lens.map(l => math.min(l, cap)).sum)
+    assert(rows.head._4 === lens.count(_ > cap).toLong)
+  }
 }

@@ -611,4 +611,28 @@ class PipelineSpec extends SparkSpec {
     assert(rows("lineitem")._2 > 0L,
       "cascade found nothing — the audit's hop is broken")
   }
+
+  test("q274 buckets partition the rows and the fold accounts for " +
+    "every true category exactly once") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.q274HashCrossAudit(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val cust = graft.sources.Tables.load(spark, sf1, "customer")
+    assert(rows.map(_._2).sum === cust.count(),
+      "bucket row masses must partition the table")
+    val truePairs = cust
+      .select("c_nationkey", "c_mktsegment").distinct().count()
+    assert(rows.map(_._3).sum === truePairs,
+      "every true category folds into exactly one bucket")
+    assert(rows.forall(r => r._4 === (r._3 > 1)))
+    assert(rows.exists(_._4),
+      "no collision at 125 categories over 32 buckets — hash broken")
+    // the key construction's injectivity precondition: first letters
+    // of the segment values are pairwise distinct
+    val firsts = cust.select("c_mktsegment").distinct().collect()
+      .map(_.getString(0).head)
+    assert(firsts.toSet.size === firsts.length,
+      "segment first letters collide — ck is no longer injective")
+  }
 }
