@@ -58,7 +58,16 @@ object Scaling {
     // whose volume could hide growth (fusion and censuses excluded as
     // structurally domain-sized)
     "q224_split_leakage", "q227_margin_knn", "q228_quantile_normalize",
-    "q230_blocking_eval", "q231_payload_phash", "q234_sssp")
+    "q230_blocking_eval", "q231_payload_phash", "q234_sssp",
+    // q247+ additions: every new query whose join/window/stream volume
+    // could hide growth — the Theil-Sen pair join (time-domain² by
+    // design), the probe-batch evals, the 5-geometry LSH re-banding
+    // (bucket-census volume), the click×purchase pair join (per-user
+    // activity²), the stratified rank window, the stateful streams
+    "q256_theil_sen", "q257_ndcg_eval", "q269_lsh_curve",
+    "q275_attribution_sweep", "q263_stratified_folds",
+    "q264_kendall_tau", "q253_stream_quantile",
+    "q267_stream_rate_limit")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",

@@ -2904,7 +2904,123 @@ object Analytics {
             * 1000000) AS BIGINT) AS mde_fp
         FROM g"""
 
+  // ------------------------------------------------------------ q277
+
+  /** q277 — EXPECTED SHORTFALL / CVaR per event type (the tail-MEAN
+    * statistic risk desks replaced VaR with, and what a capacity or
+    * cost planner actually budgets against: the p95 quantile says
+    * where the tail starts, the expected shortfall says how bad it is
+    * ONCE you're in it — two corpora with identical p95 can have 2×
+    * different tail means): VaR = the census p95 (smallest value with
+    * cum·100 ≥ 95·n, the q253 discrete convention), tail = rows with
+    * value ≥ VaR, ES = exact ppm mean of the tail. Released per type
+    * with the tail population so the (~5%) mass is auditable.
+    *
+    * Scale shape: one map-side value census per type; VaR from a
+    * census cumsum window (domain-sized, q132 discipline); the tail
+    * mean re-reads the CENSUS, not the corpus. */
+  def q277ExpectedShortfall(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("event_type", "vc").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("event_type")
+    val withVar = census
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(tot))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        min(when(expr("cum * 100 >= n * 95"), col("vc")))
+          .as("var_cents"))
+    census.join(broadcast(withVar), "event_type")
+      .filter(col("vc") >= col("var_cents"))
+      .groupBy("event_type", "n", "var_cents")
+      .agg(sum("c").as("n_tail"),
+        expr("""CAST(CAST(sum(vc * c) AS DECIMAL(38,0)) * 1000000
+             div sum(c) AS BIGINT)""").as("es_cents_ppm"))
+      .select("event_type", "n", "var_cents", "n_tail", "es_cents_ppm")
+  }
+
+  private def q277OracleSql: String =
+    """WITH census AS (SELECT event_type,
+          CAST(floor(value * 100) AS BIGINT) AS vc,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+        cum AS (SELECT event_type, vc, c,
+            CAST(sum(c) OVER (PARTITION BY event_type ORDER BY vc
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+            CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM census),
+        v AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+            min(CASE WHEN cum * 100 >= n * 95 THEN vc END)
+              AS var_cents
+          FROM cum GROUP BY event_type)
+        SELECT c.event_type, v.n, v.var_cents,
+          CAST(sum(c.c) AS BIGINT) AS n_tail,
+          CAST(CAST(sum(c.vc * c.c) AS HUGEINT) * 1000000
+            // sum(c.c) AS BIGINT) AS es_cents_ppm
+        FROM census c JOIN v ON c.event_type = v.event_type
+        WHERE c.vc >= v.var_cents
+        GROUP BY c.event_type, v.n, v.var_cents"""
+
+  // ------------------------------------------------------------ q279
+
+  /** q279 — PRECISION-RECALL CURVE over the value census (the eval
+    * artifact that matters under class imbalance, where q187's ROC
+    * flatters any classifier: with 20% positives a useless model gets
+    * ROC 0.5 but precision 0.2 — the PR curve shows it; "does order
+    * value predict purchase" scored at every census threshold): per
+    * score band t (value cents div 100), TP/FP at the `score ≥ t`
+    * decision from SUFFIX sums over the per-band class census, with
+    * exact ppm precision and recall. Thresholds are the observed
+    * bands, so the curve is the complete exact staircase, not a
+    * sample.
+    *
+    * Scale shape: one map-side (band, class) census; suffix sums ride
+    * the ≤|bands| frame (q132 discipline); output is the census-sized
+    * curve. */
+  def q279PrCurve(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "events")
+      .select(expr("CAST(floor(value) AS BIGINT)").as("band"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("pos"))
+      .groupBy("band")
+      .agg(sum("pos").as("p"), (count(lit(1)) - sum("pos")).as("q"))
+    val w = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("tp", sum("p").over(w))
+      .withColumn("fp", sum("q").over(w))
+      .withColumn("pos_total", sum("p").over(Window.partitionBy()))
+      .select(col("band").as("threshold_band"), col("tp"), col("fp"),
+        expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
+        expr("tp * 1000000 div pos_total").as("recall_ppm"))
+  }
+
+  private def q279OracleSql: String =
+    """WITH census AS (SELECT CAST(floor(value) AS BIGINT) AS band,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS p,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+            AS BIGINT) AS q
+        FROM events GROUP BY 1),
+        sfx AS (SELECT band, p, q,
+            CAST(sum(p) OVER (ORDER BY band DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+            CAST(sum(q) OVER (ORDER BY band DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp,
+            CAST(sum(p) OVER () AS BIGINT) AS pos_total
+          FROM census)
+        SELECT band AS threshold_band, tp, fp,
+          tp * 1000000 // (tp + fp) AS precision_ppm,
+          tp * 1000000 // pos_total AS recall_ppm
+        FROM sfx"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_expected_shortfall" -> (q277ExpectedShortfall _),
+    "q279_pr_curve" -> (q279PrCurve _),
     "q268_mde_power" -> (q268MdePower _),
     "q265_seasonal_residual" -> (q265SeasonalResidual _),
     "q266_welch_t" -> (q266WelchT _),
@@ -2953,6 +3069,8 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q277_expected_shortfall" -> q277OracleSql,
+    "q279_pr_curve" -> q279OracleSql,
     "q268_mde_power" -> q268OracleSql,
     "q265_seasonal_residual" -> q265OracleSql,
     "q266_welch_t" -> q266OracleSql,

@@ -2975,7 +2975,76 @@ object Extensions {
         GROUP BY w.window_s, nc.n_clicks"""
   }
 
+  /** q278 — LAYOUT PRUNING EVAL, single-column sort vs z-order (the
+    * measurement behind q129's prose claim: under a linear (bx) file
+    * layout a point filter on the SORT column prunes perfectly and a
+    * filter on the OTHER column reads everything — z-order trades a
+    * little of the first for most of the second; this query turns
+    * that from folklore into two comparable integer rows): both
+    * layout MODELS cut the same 256-bucket space into 256 files —
+    * linear: file = bx (x fixed per file, y unconstrained); z-order:
+    * q129's Morton tiles — and per layout the zone-map width sums
+    * Σ(max−min+1) over files for BOTH dimensions are released:
+    * sum_width_d div 256 IS the expected file count a uniform point
+    * filter on dimension d touches. Same bucketing, same file count,
+    * all-integer — the two rows differ only in the property being
+    * measured.
+    *
+    * Scale shape: bucket values are in-row (global maxes broadcast);
+    * each layout is one O(files) partial-agg groupBy; no global sort
+    * is performed — the layouts are modeled by key arithmetic, which
+    * is exactly how the production writer assigns files
+    * (repartitionByRange on the layout key). */
+  def q278LayoutPruningEval(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+    val mx = li.agg(max("l_partkey").as("mxp"),
+      max("l_suppkey").as("mxs"))
+    val b = li.crossJoin(broadcast(mx))
+      .withColumn("bx",
+        expr(s"(l_partkey * ${1L << ZBits}) div (mxp + 1)"))
+      .withColumn("by",
+        expr(s"(l_suppkey * ${1L << ZBits}) div (mxs + 1)"))
+      .withColumn("z", expr(mortonTerms("div")))
+    def widths(df: DataFrame, fileCol: String, nm: String): DataFrame =
+      df.groupBy(expr(fileCol).as("file_id"))
+        .agg(count(lit(1)).as("n"),
+          min("bx").as("ix"), max("bx").as("ax"),
+          min("by").as("iy"), max("by").as("ay"))
+        .agg(count(lit(1)).as("n_files"), sum("n").as("n_rows"),
+          sum(expr("ax - ix + 1")).as("sum_width_x"),
+          sum(expr("ay - iy + 1")).as("sum_width_y"))
+        .select(lit(nm).as("layout"), col("n_files"), col("n_rows"),
+          col("sum_width_x"), col("sum_width_y"))
+    widths(b, "bx", "linear_x")
+      .unionByName(widths(b, s"z div $ZFileTiles", "zorder"))
+  }
+
+  private def q278OracleSql: String =
+    s"""WITH mx AS (SELECT max(l_partkey) AS mxp, max(l_suppkey) AS mxs
+          FROM lineitem),
+        b AS (SELECT (l_partkey * ${1L << ZBits}) // (mxp + 1) AS bx,
+                     (l_suppkey * ${1L << ZBits}) // (mxs + 1) AS by
+              FROM lineitem, mx),
+        z AS (SELECT bx, by, ${mortonTerms("//")} AS z FROM b),
+        lin AS (SELECT bx AS file_id, count(*) AS n,
+            min(bx) AS ix, max(bx) AS ax, min(by) AS iy, max(by) AS ay
+          FROM z GROUP BY 1),
+        zf AS (SELECT z // $ZFileTiles AS file_id, count(*) AS n,
+            min(bx) AS ix, max(bx) AS ax, min(by) AS iy, max(by) AS ay
+          FROM z GROUP BY 1)
+        SELECT 'linear_x' AS layout, CAST(count(*) AS BIGINT)
+            AS n_files, CAST(sum(n) AS BIGINT) AS n_rows,
+          CAST(sum(ax - ix + 1) AS BIGINT) AS sum_width_x,
+          CAST(sum(ay - iy + 1) AS BIGINT) AS sum_width_y
+        FROM lin
+        UNION ALL
+        SELECT 'zorder', CAST(count(*) AS BIGINT),
+          CAST(sum(n) AS BIGINT), CAST(sum(ax - ix + 1) AS BIGINT),
+          CAST(sum(ay - iy + 1) AS BIGINT)
+        FROM zf"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_layout_pruning_eval" -> (q278LayoutPruningEval _),
     "q275_attribution_sweep" -> (q275AttributionSweep _),
     "q245_peak_concurrency" -> (q245PeakConcurrency _),
     "q232_lateness_audit" -> (q232LatenessAudit _),
@@ -3056,6 +3125,7 @@ object Extensions {
     "q60_percentiles" -> (q60Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q278_layout_pruning_eval" -> q278OracleSql,
     "q275_attribution_sweep" -> q275OracleSql,
     "q245_peak_concurrency" -> q245OracleSql,
     "q232_lateness_audit" -> q232OracleSql,

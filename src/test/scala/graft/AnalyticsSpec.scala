@@ -940,4 +940,59 @@ class AnalyticsSpec extends SparkSpec {
       assert(mde > 0L)
     }
   }
+
+  test("q277 the tail holds ~5% of each type's mass and the shortfall " +
+    "replays a collected tail mean above the VaR") {
+    val rows = Analytics.q277ExpectedShortfall(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length === 5)
+    val vals = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+      .groupBy(_._1)
+    for ((tpe, n, varC, nTail, es) <- rows) {
+      val xs = vals(tpe).map(_._2).sorted
+      assert(n === xs.length.toLong)
+      // VaR replay: smallest value whose cum count reaches 95%
+      val varExp = xs.zipWithIndex
+        .find { case (_, i) => (i + 1) * 100L >= xs.length * 95L }
+        .get._1
+      assert(varC === varExp, s"$tpe VaR diverged")
+      val tail = xs.filter(_ >= varC)
+      assert(nTail === tail.length.toLong)
+      assert(es === tail.map(BigInt(_)).sum * 1000000 / tail.length,
+        s"$tpe shortfall diverged")
+      assert(es >= varC * 1000000L, "tail mean cannot sit below VaR")
+      // the >= VaR tail can exceed 5% only through ties at the VaR
+      assert(nTail * 100 >= n * 5, s"$tpe tail too small")
+    }
+  }
+
+  test("q279 precision/recall staircase: recall is monotone along " +
+    "descending thresholds and the endpoints are exact") {
+    val rows = Analytics.q279PrCurve(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(-_._1)
+    assert(rows.nonEmpty)
+    val rec = rows.map(_._5)
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      "recall must grow as the threshold drops")
+    assert(rec.last === 1000000L,
+      "the lowest threshold must recall every positive")
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select(expr("CAST(floor(value) AS BIGINT)").as("b"),
+        (col("event_type") === "purchase").as("pos")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val posTotal = ev.count(_._2).toLong
+    for ((t, tp, fp, prec, r2) <- rows.take(20)) {
+      val above = ev.filter(_._1 >= t)
+      assert(tp === above.count(_._2).toLong, s"t=$t tp")
+      assert(fp === above.count(!_._2).toLong, s"t=$t fp")
+      assert(prec === tp * 1000000L / (tp + fp))
+      assert(r2 === tp * 1000000L / posTotal)
+    }
+  }
 }

@@ -1166,4 +1166,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.head._2 === lens.map(l => math.min(l, cap)).sum)
     assert(rows.head._4 === lens.count(_ > cap).toLong)
   }
+
+  test("q278 both layouts cover the same rows with the same file " +
+    "count, and the measured tradeoff points the right way") {
+    val E = graft.operators.Extensions
+    val rows = E.q278LayoutPruningEval(spark, sf1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet === Set("linear_x", "zorder"))
+    val (lf, lr, lx, ly) = rows("linear_x")
+    val (zf, zr, zx, zy) = rows("zorder")
+    assert(lr === zr, "layouts must cover identical row sets")
+    // occupancy (and hence file count) depends on SF; both are capped
+    // by the 256-slot geometry
+    assert(lf <= 256L && zf <= 256L)
+    // linear prunes perfectly on its sort column: 1 bucket per file
+    // (file == bx, so min == max in x, always — SF-independent)
+    assert(lx === lf, "linear layout's x-width must be exactly 1/file")
+    // z-order: per-file spans are ≤16 in BOTH dims by Morton-tile
+    // construction — the bound that makes two-column pruning work
+    assert(zx <= zf * 16 && zy <= zf * 16,
+      "a Morton tile leaked outside its 16x16 bucket square")
+    // the tradeoff: z-order pays on x, wins on y, and wins combined
+    assert(zy < ly && zx > lx)
+    assert(zx + zy < lx + ly,
+      "z-order must win the combined pruning budget — q129's claim")
+  }
 }
