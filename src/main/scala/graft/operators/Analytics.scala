@@ -3018,7 +3018,100 @@ object Analytics {
           tp * 1000000 // pos_total AS recall_ppm
         FROM sfx"""
 
+  // ------------------------------------------------------------ q281
+
+  /** q281 — POISSON-BOOTSTRAP CI ON A DIFFERENCE OF MEANS (q240's
+    * distributed-bootstrap machinery pointed at the question q266's
+    * Welch t answers parametrically: how uncertain is the
+    * purchase−click value gap, with NO normality assumption — the
+    * nonparametric second opinion an experiment review asks for when
+    * the metric is skewed): the same keyed-LCG Poisson multiplicities
+    * (event-identity-seeded, so the draw is bit-reproducible
+    * cross-engine), 32 replicas accumulated in ONE pass; per replica
+    * the exact ppm difference of the two arms' resampled means; the
+    * released interval is the 2nd-smallest / 2nd-largest replica
+    * difference (~94% coverage) around the exact point difference.
+    *
+    * Scale shape: q240's — one ×32 in-row multiplicity explode into a
+    * map-side-combined (arm, replica) aggregate; the replica-diff and
+    * order-statistic work rides a 64-row frame. */
+  def q281BootstrapDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select((col("event_type") === "purchase").as("arm"),
+        col("event_id"),
+        floor(col("value") * 100).as("vc"))
+    val pt = ev.groupBy("arm")
+      .agg(expr("""CAST(CAST(sum(vc) AS DECIMAL(38,0)) * 1000000
+              div count(*) AS BIGINT)""").as("mean_ppm"))
+    val point = pt.groupBy()
+      .agg((max(when(col("arm"), col("mean_ppm")))
+        - max(when(!col("arm"), col("mean_ppm"))))
+        .as("point_diff_ppm"))
+    val reps = ev
+      .select(col("arm"), col("vc"),
+        explode(expr(s"""transform(sequence(0, ${BootB - 1}), bb ->
+          struct(bb AS b,
+            ((event_id * 64 + bb) * 1103515245 + 12345)
+              % 2147483647 % 1000000 AS u))""")).as("r"))
+      .select(col("arm"), col("vc"), col("r.b").as("b"),
+        expr(s"""CASE WHEN r.u < $BootP0 THEN 0
+                 WHEN r.u < $BootP1 THEN 1
+                 WHEN r.u < $BootP2 THEN 2
+                 WHEN r.u < $BootP3 THEN 3 ELSE 4 END""").as("mlt"))
+      .groupBy("arm", "b")
+      .agg(expr("""CAST(CAST(sum(mlt * vc) AS DECIMAL(38,0)) * 1000000
+              div greatest(sum(mlt), 1) AS BIGINT)""").as("rmean"))
+    val diffs = reps.groupBy("b")
+      .agg((max(when(col("arm"), col("rmean")))
+        - max(when(!col("arm"), col("rmean")))).as("rdiff"))
+      .agg(count(lit(1)).as("n_replicas"),
+        sort_array(collect_list("rdiff")).as("ds"))
+      .select(col("n_replicas"),
+        expr("element_at(ds, 2)").as("ci_lo_ppm"),
+        expr(s"element_at(ds, ${BootB - 1})").as("ci_hi_ppm"))
+    point.crossJoin(broadcast(diffs))
+      .select(col("point_diff_ppm"), col("n_replicas"),
+        col("ci_lo_ppm"), col("ci_hi_ppm"))
+  }
+
+  private def q281OracleSql: String =
+    s"""WITH ev AS (SELECT event_type = 'purchase' AS arm, event_id,
+          CAST(floor(value * 100) AS BIGINT) AS vc
+        FROM events WHERE event_type IN ('purchase', 'click')),
+        pt AS (SELECT arm, CAST(CAST(sum(vc) AS HUGEINT) * 1000000
+            // count(*) AS BIGINT) AS mean_ppm
+          FROM ev GROUP BY arm),
+        point AS (SELECT
+            max(CASE WHEN arm THEN mean_ppm END)
+              - max(CASE WHEN NOT arm THEN mean_ppm END)
+              AS point_diff_ppm
+          FROM pt),
+        r AS (SELECT arm, vc, bb.b AS b,
+            ((event_id * 64 + bb.b) * 1103515245 + 12345)
+              % 2147483647 % 1000000 AS u
+          FROM ev, (SELECT unnest(range(0, $BootB)) AS b) bb),
+        m AS (SELECT arm, b, vc,
+            CASE WHEN u < $BootP0 THEN 0 WHEN u < $BootP1 THEN 1
+                 WHEN u < $BootP2 THEN 2 WHEN u < $BootP3 THEN 3
+                 ELSE 4 END AS mlt
+          FROM r),
+        rm AS (SELECT arm, b,
+            CAST(CAST(sum(mlt * vc) AS HUGEINT) * 1000000
+              // greatest(sum(mlt), 1) AS BIGINT) AS rmean
+          FROM m GROUP BY arm, b),
+        rd AS (SELECT b, max(CASE WHEN arm THEN rmean END)
+              - max(CASE WHEN NOT arm THEN rmean END) AS rdiff
+          FROM rm GROUP BY b),
+        ci AS (SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+            list_sort(list(rdiff)) AS ds FROM rd)
+        SELECT point.point_diff_ppm, ci.n_replicas,
+          CAST(ci.ds[2] AS BIGINT) AS ci_lo_ppm,
+          CAST(ci.ds[${BootB - 1}] AS BIGINT) AS ci_hi_ppm
+        FROM point CROSS JOIN ci"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_bootstrap_diff" -> (q281BootstrapDiff _),
     "q277_expected_shortfall" -> (q277ExpectedShortfall _),
     "q279_pr_curve" -> (q279PrCurve _),
     "q268_mde_power" -> (q268MdePower _),
@@ -3069,6 +3162,7 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q281_bootstrap_diff" -> q281OracleSql,
     "q277_expected_shortfall" -> q277OracleSql,
     "q279_pr_curve" -> q279OracleSql,
     "q268_mde_power" -> q268OracleSql,

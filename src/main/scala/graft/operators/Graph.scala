@@ -627,7 +627,73 @@ object Graph {
           deg.n1 * 2 + coalesce(two.n2, 0) AS harmonic_x2
         FROM deg LEFT JOIN two ON two.src = deg.src"""
 
+  /** q282 — LOCAL CLUSTERING COEFFICIENTS over the rare-corridor
+    * graph (q105 counts the graph's triangles; the LOCAL coefficient
+    * says per node how clique-like its neighborhood is — the feature
+    * community detection, spam/bot scoring, and link prediction all
+    * consume: cc = 2T_v / (deg·(deg−1)), 1 = my neighbors all know
+    * each other, 0 = I'm a pure hub): per node the degree, its
+    * incident triangle count from centered wedges (neighbor pairs
+    * v₁<v₂ of the center that are themselves an edge), and cc in
+    * exact ppm (deg < 2 → 0 by convention).
+    *
+    * Scale shape: centered wedges are one adjacency self-join
+    * (Σdeg², corridor-budget-bounded; degree-capped at crawl scale
+    * like q183/q261) semi-joined against the canonical edge list;
+    * everything edge-list-sized, no iteration. */
+  def q282ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("g282_lineitem")
+    t(s, dir, "orders").createOrReplaceTempView("g282_orders")
+    t(s, dir, "customer").createOrReplaceTempView("g282_customer")
+    t(s, dir, "supplier").createOrReplaceTempView("g282_supplier")
+    val und = s.sql(s"""SELECT DISTINCT least(src, dst) AS u,
+          greatest(src, dst) AS v
+        FROM (${corridorSql("g282_lineitem", "g282_orders",
+          "g282_customer", "g282_supplier")})
+        WHERE src <> dst""")
+      .localCheckpoint(true)
+    val bi = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+    val deg = bi.groupBy("src").agg(count(lit(1)).as("deg"))
+    val tri = bi.select(col("src").as("ctr"), col("dst").as("v1"))
+      .join(bi.select(col("src").as("ctr2"), col("dst").as("v2")),
+        col("ctr") === col("ctr2") && col("v1") < col("v2"))
+      .join(und.select(col("u").as("eu"), col("v").as("ev")),
+        col("v1") === col("eu") && col("v2") === col("ev"),
+        "left_semi")
+      .groupBy("ctr").agg(count(lit(1)).as("tri"))
+    deg.join(tri, col("src") === col("ctr"), "left")
+      .na.fill(0L, Seq("tri"))
+      .select(col("src").as("id"), col("deg"), col("tri"),
+        expr("""CASE WHEN deg < 2 THEN CAST(0 AS BIGINT)
+             ELSE 2 * tri * 1000000 div (deg * (deg - 1)) END""")
+          .as("cc_ppm"))
+  }
+
+  private def q282OracleSql: String =
+    s"""WITH und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+            greatest(src, dst) AS v
+          FROM (${corridorSql("lineitem", "orders",
+            "customer", "supplier")})
+          WHERE src <> dst),
+        bi AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+               UNION ALL SELECT v, u FROM und),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+          FROM bi GROUP BY 1),
+        tri AS (SELECT a.src AS ctr, CAST(count(*) AS BIGINT) AS tri
+          FROM bi a JOIN bi b
+            ON a.src = b.src AND a.dst < b.dst
+          WHERE EXISTS (SELECT 1 FROM und e
+            WHERE e.u = a.dst AND e.v = b.dst)
+          GROUP BY a.src)
+        SELECT deg.src AS id, deg.deg, coalesce(tri.tri, 0) AS tri,
+          CASE WHEN deg.deg < 2 THEN CAST(0 AS BIGINT)
+               ELSE 2 * coalesce(tri.tri, 0) * 1000000
+                 // (deg.deg * (deg.deg - 1)) END AS cc_ppm
+        FROM deg LEFT JOIN tri ON tri.ctr = deg.src"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_clustering_coeff" -> (q282ClusteringCoeff _),
     "q261_harmonic_2hop" -> (q261Harmonic2Hop _),
     "q234_sssp" -> (q234Sssp _),
     "q99_pagerank" -> (q99PageRank _),
@@ -637,6 +703,7 @@ object Graph {
     "q155_kcore" -> (q155KCore _))
 
   val oracleSql: Map[String, String] = Map(
+    "q282_clustering_coeff" -> q282OracleSql,
     "q261_harmonic_2hop" -> q261OracleSql,
     "q234_sssp" -> q234OracleSql,
     "q99_pagerank" -> q99OracleSql,

@@ -1914,7 +1914,79 @@ object Pipeline {
           count(*) > 1 AS collided
         FROM kc GROUP BY bucket"""
 
+  /** q280 token budget as a percentage of the corpus. */
+  val KnapBudgetPct = 50L
+
+  /** q280 — QUALITY-KNAPSACK MIXTURE (the budgeted source selection
+    * dual of q97's target-share mixture: q97 matches a prescribed
+    * distribution, this OPTIMIZES one — given a 50%-of-corpus token
+    * budget, take sources greedily by quality density until the
+    * budget closes, splitting the marginal source fractionally; for
+    * whole-source utilities the greedy-by-density order IS the
+    * fractional-knapsack optimum): per source the token mass and an
+    * alphabetic-share quality score in exact ppm; released with rank,
+    * taken tokens, and the partial flag on the marginal source — the
+    * audit a budget decision needs.
+    *
+    * Scale shape: corpus collapses map-side to a per-source stats
+    * frame; the greedy order, prefix sums, and the budget cut all
+    * ride the |sources|-row frame (q97's domain-window argument). */
+  def q280QualityKnapsack(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("bigint"))
+        .as("n_tokens"),
+        sum(length(regexp_replace(col("text"), "[^a-z]", ""))
+          .cast("bigint")).as("alpha"),
+        sum(length(col("text")).cast("bigint")).as("chars"))
+      .select(col("source"), col("n_tokens"),
+        expr("alpha * 1000000 div chars").as("quality_ppm"))
+    val tot = per.agg(sum("n_tokens").as("total"))
+    val ord = Window.orderBy(col("quality_ppm").desc, col("source"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(ord).cast("bigint"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("budget", expr(s"total * $KnapBudgetPct div 100"))
+      .select(col("source"), col("quality_ppm"), col("n_tokens"),
+        col("rank"),
+        expr("greatest(0L, least(n_tokens, budget - cum_before))")
+          .as("taken_tokens"))
+      .withColumn("partial", col("taken_tokens") > 0L &&
+        col("taken_tokens") < col("n_tokens"))
+  }
+
+  private def q280OracleSql: String =
+    s"""WITH per AS (SELECT source,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+            AS n_tokens,
+          CAST(sum(strlen(regexp_replace(text, '[^a-z]', '', 'g')))
+            AS BIGINT) AS alpha,
+          CAST(sum(strlen(text)) AS BIGINT) AS chars
+        FROM documents GROUP BY source),
+        q AS (SELECT source, n_tokens,
+            alpha * 1000000 // chars AS quality_ppm
+          FROM per),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM q),
+        o AS (SELECT q.source, q.quality_ppm, q.n_tokens,
+            CAST(row_number() OVER (ORDER BY q.quality_ppm DESC,
+              q.source) AS BIGINT) AS rank,
+            CAST(coalesce(sum(q.n_tokens) OVER (ORDER BY
+              q.quality_ppm DESC, q.source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before,
+            tot.total * $KnapBudgetPct // 100 AS budget
+          FROM q CROSS JOIN tot)
+        SELECT source, quality_ppm, n_tokens, rank,
+          greatest(0, least(n_tokens, budget - cum_before))
+            AS taken_tokens,
+          greatest(0, least(n_tokens, budget - cum_before)) > 0
+            AND greatest(0, least(n_tokens, budget - cum_before))
+              < n_tokens AS partial
+        FROM o"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_quality_knapsack" -> (q280QualityKnapsack _),
     "q274_hash_cross_audit" -> (q274HashCrossAudit _),
     "q273_erasure_audit" -> (q273ErasureAudit _),
     "q263_stratified_folds" -> (q263StratifiedFolds _),
@@ -1950,6 +2022,7 @@ object Pipeline {
     "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q280_quality_knapsack" -> q280OracleSql,
     "q274_hash_cross_audit" -> q274OracleSql,
     "q273_erasure_audit" -> q273OracleSql,
     "q263_stratified_folds" -> q263OracleSql,

@@ -995,4 +995,25 @@ class AnalyticsSpec extends SparkSpec {
       assert(r2 === tp * 1000000L / posTotal)
     }
   }
+
+  test("q281 interval is ordered, the point difference replays the " +
+    "exact arm means, and replica diffs drive the bounds") {
+    val r = Analytics.q281BootstrapDiff(spark, sf1).collect().head
+    val (point, nRep, lo, hi) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))
+    assert(nRep === Analytics.BootB.toLong)
+    assert(lo <= hi, "interval bounds out of order")
+    val vals = graft.sources.Tables.load(spark, sf1, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val p = vals.filter(_._1 == "purchase").map(_._2)
+    val c = vals.filter(_._1 == "click").map(_._2)
+    val exp = p.map(BigInt(_)).sum * 1000000 / p.length -
+      c.map(BigInt(_)).sum * 1000000 / c.length
+    assert(point === exp.toLong, "point difference diverged")
+    // the interval should be a real spread, not collapsed to a point
+    assert(hi > lo, "32 resamples collapsed to one value")
+  }
 }

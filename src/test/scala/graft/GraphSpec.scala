@@ -196,4 +196,50 @@ class GraphSpec extends SparkSpec {
       assert(h === 2 * n1 + n2)
     }
   }
+
+  test("q282 local clustering replays a per-node neighborhood check " +
+    "over the same rebuilt adjacency") {
+    import org.apache.spark.sql.functions._
+    val rows = Graph.q282ClusteringCoeff(spark, sf1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(rows.nonEmpty)
+    // rebuild identical corridor adjacency (shared with the q261 test)
+    val li = graft.sources.Tables.load(spark, sf1, "lineitem")
+    val cnts = li.select("l_orderkey", "l_suppkey")
+      .join(graft.sources.Tables.load(spark, sf1, "orders")
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.sources.Tables.load(spark, sf1, "customer")
+        .select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.sources.Tables.load(spark, sf1, "supplier")
+        .select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").cast("bigint").as("src"),
+        col("s_nationkey").cast("bigint").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val und = cnts.sortBy(t => (t._3, t._1, t._2)).take(100)
+      .map(t => (math.min(t._1, t._2), math.max(t._1, t._2)))
+      .filter(t => t._1 != t._2).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val edges = und.toSet
+    assert(rows.keySet === adj.keySet)
+    for ((id, (deg, tri, cc)) <- rows) {
+      val nb = adj(id).toSeq.sorted
+      assert(deg === nb.length.toLong)
+      val expTri = (for {
+        i <- nb.indices; j <- (i + 1) until nb.length
+        if edges((math.min(nb(i), nb(j)), math.max(nb(i), nb(j))))
+      } yield 1).size.toLong
+      assert(tri === expTri, s"node $id triangle count")
+      val expCc = if (deg < 2) 0L
+        else 2 * expTri * 1000000L / (deg * (deg - 1))
+      assert(cc === expCc)
+      assert(cc >= 0L && cc <= 1000000L)
+    }
+  }
 }

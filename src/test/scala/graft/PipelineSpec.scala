@@ -635,4 +635,27 @@ class PipelineSpec extends SparkSpec {
     assert(firsts.toSet.size === firsts.length,
       "segment first letters collide — ck is no longer injective")
   }
+
+  test("q280 greedy fill hits the budget exactly with at most one " +
+    "fractional source, in strict quality order") {
+    val rows = Pipeline.q280QualityKnapsack(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .sortBy(_._4)
+    assert(rows.nonEmpty)
+    val total = rows.map(_._3).sum
+    val budget = total * Pipeline.KnapBudgetPct / 100
+    assert(rows.map(_._5).sum === budget,
+      "taken tokens must hit the budget exactly")
+    assert(rows.count(_._6) <= 1, "at most one fractional source")
+    // prefix structure: full sources, then ≤1 partial, then zeros
+    val takes = rows.map(r => (r._3, r._5))
+    val states = takes.map { case (n, t) =>
+      if (t == n) 0 else if (t == 0L) 2 else 1 }
+    assert(states.zip(states.tail).forall { case (a, b) => a <= b },
+      "greedy fill must be a prefix in rank order")
+    // rank order is quality desc (source asc on ties)
+    val qs = rows.map(_._2)
+    assert(qs.zip(qs.tail).forall { case (a, b) => a >= b })
+  }
 }
