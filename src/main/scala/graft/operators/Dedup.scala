@@ -1457,7 +1457,76 @@ object Dedup {
           AND c.rows_per_band = m.rows_per_band"""
   }
 
+  // ----------------------------------------------------------- q284
+
+  /** q284 — MINHASH ESTIMATOR ACCURACY over the planted pairs (the
+    * third leg of the LSH evidence stack: q139 measures RECALL of the
+    * banded index, q269 plans the GEOMETRY, this measures the
+    * ESTIMATOR itself — sig-agreement/k is an unbiased Jaccard
+    * estimate, and how tight it is at k=16 is exactly what a
+    * dedup-threshold decision rests on): for every planted
+    * (original, perturbed) pair present in the shingled corpus, the
+    * matching-signature share est = m·10⁶ div 16, the EXACT
+    * shingle-set Jaccard, and the absolute error — all integers.
+    *
+    * Scale shape: signatures ride the shared one-pass minhash_k
+    * frame; pairs come from the id-offset equi-join (never a
+    * similarity join); the comparison is in-row zip/intersect
+    * arithmetic on the two cached set rows. */
+  def q284MinhashAccuracy(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val hs = plantedDocs(s, dir)
+      .withColumn("sw_w", split(col("text"), " "))
+      .filter(size(col("sw_w")) >= ShingleN)
+      .select(col("doc_id"), expr(sparkShingleHashes).as("hsd"))
+      .withColumn("sig", expr(s"minhash_k(hsd, $NumHashes)"))
+      .cache()
+    val a = hs.select(col("doc_id").as("doc_id_1"),
+      col("hsd").as("h1"), col("sig").as("s1"))
+    val b = hs.select((col("doc_id") - PlantedOffset).as("doc_id_1"),
+      col("doc_id").as("doc_id_2"), col("hsd").as("h2"),
+      col("sig").as("s2"))
+    a.join(b, "doc_id_1")
+      .select(col("doc_id_1"), col("doc_id_2"),
+        expr("size(filter(zip_with(s1, s2, (x, y) -> x = y), " +
+          "zb -> zb))").cast("bigint").as("n_match"),
+        size(array_intersect(col("h1"), col("h2"))).cast("bigint")
+          .as("n_inter"),
+        (size(col("h1")) + size(col("h2")) -
+          size(array_intersect(col("h1"), col("h2")))).cast("bigint")
+          .as("n_union"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        expr(s"n_match * 1000000 div $NumHashes").as("est_ppm"),
+        expr("n_inter * 1000000 div n_union").as("jac_ppm"),
+        expr(s"""abs(n_match * 1000000 div $NumHashes
+             - n_inter * 1000000 div n_union)""").as("err_ppm"))
+  }
+
+  private def q284OracleSql: String = {
+    val sigList = (0 until NumHashes).map(sigExpr)
+      .mkString("[", ", ", "]")
+    s"""WITH ${lshCtes(plantedSql)},
+        sg AS (SELECT doc_id, hsd, $sigList AS sig FROM hs),
+        p AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+            CAST(len(list_filter(range(1, ${NumHashes + 1}),
+              zi -> a.sig[zi] = b.sig[zi])) AS BIGINT) AS n_match,
+            CAST(len(list_intersect(a.hsd, b.hsd)) AS BIGINT)
+              AS n_inter,
+            CAST(len(a.hsd) + len(b.hsd)
+              - len(list_intersect(a.hsd, b.hsd)) AS BIGINT)
+              AS n_union
+          FROM sg a JOIN sg b
+            ON b.doc_id = a.doc_id + $PlantedOffset)
+        SELECT doc_id_1, doc_id_2,
+          n_match * 1000000 // $NumHashes AS est_ppm,
+          n_inter * 1000000 // n_union AS jac_ppm,
+          abs(n_match * 1000000 // $NumHashes
+            - n_inter * 1000000 // n_union) AS err_ppm
+        FROM p"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_minhash_accuracy" -> (q284MinhashAccuracy _),
     "q269_lsh_curve" -> (q269LshCurve _),
     "q224_split_leakage" -> (q224SplitLeakage _),
     "q152_incremental_lsh" -> (q152IncrementalLsh _),
@@ -1478,6 +1547,7 @@ object Dedup {
     "q87_verify_candidates" -> (q87VerifyCandidates _))
 
   val oracleSql: Map[String, String] = Map(
+    "q284_minhash_accuracy" -> q284OracleSql,
     "q269_lsh_curve" -> q269OracleSql,
     "q224_split_leakage" -> q224OracleSql,
     "q152_incremental_lsh" -> q152OracleSql,

@@ -819,7 +819,68 @@ object Multimodal {
           sc2 * 1000000 // (n * n) AS collision_ppm
         FROM st"""
 
+  /** q285 frame geometry (denser than q115's 4×32 so run structure
+    * and duplicate mass exist to measure). */
+  val FdFrames = 12
+  val FdBytes = 64
+
+  /** q285 — FRAME-LEVEL DEDUP WITHIN VIDEOS (the static-scene
+    * collapse every video pipeline runs before feature extraction: a
+    * slideshow or talking-head video is mostly the SAME frame, and
+    * decoding/embedding each copy wastes the GPU budget — dedup by a
+    * cheap perceptual signature first, decode survivors only):
+    * per video asset, 12 q115-geometry frames signed by their 16-bin
+    * high-nibble byte histogram (q148's frame feature — byte-exact
+    * slices almost never repeat, histogram-identical ones are the
+    * "same scene" signal, measured ~10% of frames here); released per
+    * asset: frame count, distinct signatures, duplicate-frame share
+    * in exact ppm.
+    *
+    * Scale shape: one narrow typed pass over the video third of the
+    * corpus; frames, histograms, and the distinct-count all inside
+    * one row's map call — zero shuffles (q148/q254 codec-slot
+    * shape). */
+  def q285FrameDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).filter(col("kind") === "video").as[MediaAsset]
+      .mapPartitions { it =>
+        it.map { a =>
+          val n = a.payload.length
+          val step = math.max(n / FdFrames, 1)
+          val sigs = (0 until FdFrames).flatMap { fi =>
+            val fr = a.payload.slice(fi * step,
+              math.min(fi * step + FdBytes, n))
+            if (fr.isEmpty) None
+            else Some(countHistogram(fr).toSeq)
+          }
+          val nf = sigs.length.toLong
+          val nd = sigs.distinct.length.toLong
+          (a.asset_id, nf, nd,
+            if (nf == 0) 0L else (nf - nd) * 1000000L / nf)
+        }
+      }.toDF("asset_id", "n_frames", "n_distinct", "dup_ppm")
+  }
+
+  private def q285OracleSql: String =
+    s"""WITH a AS (SELECT doc_id AS asset_id, text,
+          greatest(strlen(text) // $FdFrames, 1) AS step
+        FROM documents WHERE doc_id % 3 = 2),
+        f AS (SELECT asset_id, fi,
+            substr(text, CAST(fi * step + 1 AS INT), $FdBytes) AS fr
+          FROM a, unnest(range(0, $FdFrames)) AS fd_t(fi)),
+        h AS (SELECT asset_id, fi,
+          [CAST(len(list_filter(string_split(fr, ''),
+             fd_c -> ascii(fd_c) // 16 = fd_b)) AS BIGINT)
+           for fd_b in range(16)] AS hist
+          FROM f WHERE strlen(fr) > 0)
+        SELECT asset_id, CAST(count(*) AS BIGINT) AS n_frames,
+          CAST(count(DISTINCT hist) AS BIGINT) AS n_distinct,
+          CAST((count(*) - count(DISTINCT hist)) * 1000000
+            // count(*) AS BIGINT) AS dup_ppm
+        FROM h GROUP BY asset_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_frame_dedup" -> (q285FrameDedup _),
     "q270_payload_collision" -> (q270PayloadCollision _),
     "q254_silence_segments" -> (q254SilenceSegments _),
     "q231_payload_phash" -> (q231PayloadPhash _),
@@ -832,6 +893,7 @@ object Multimodal {
     "q81_media_histogram" -> (q81MediaHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q285_frame_dedup" -> q285OracleSql,
     "q270_payload_collision" -> q270OracleSql,
     "q254_silence_segments" -> q254OracleSql,
     "q231_payload_phash" -> q231OracleSql,

@@ -27,6 +27,13 @@ case class ClosedSession(
   * last processed event; tokens remaining after it). */
 case class RateState(last_s: Long, tokens: Long)
 
+/** q283 funnel-machine state: furthest ordered stage reached and the
+  * collision-free key of the event that reached it. */
+case class FunnelState(stage: Long, stage_key: Long)
+
+/** Per-user funnel position emitted by q283. */
+case class FunnelPos(user_id: Long, stage: Long)
+
 /** Per-batch rate-limit decision counts emitted by q267. */
 case class RateCounts(
     user_id: Long, n_events: Long, n_allowed: Long, n_denied: Long)
@@ -937,8 +944,104 @@ object EventStream {
           CAST(max(rn) - max(nallow) AS BIGINT) AS n_denied
         FROM st GROUP BY user_id"""
 
+  /** q283 step deadline: each stage must be reached within 24 h of
+    * the previous one (calibrated so all three terminal stages carry
+    * real mass — 85/36/29 users at sf0.01; an unwindowed funnel over
+    * a month of dense activity puts EVERY user at stage 3 and the
+    * differential would pin a constant). */
+  val FunnelDeadlineS = 86400L
+
+  /** q283 — STREAMING WINDOWED-FUNNEL STATE MACHINE (the third
+    * flatMapGroupsWithState pattern after q117's window-closer and
+    * q267's budget-meter: a MONOTONE per-key automaton with step
+    * deadlines — signup, then a click within 24 h strictly after it,
+    * then a purchase within 24 h of that click — the live "where is
+    * every user in the funnel" view a growth dashboard keeps, where
+    * q134 computes the unwindowed batch answer after the fact):
+    * events ordered on the q92/q134 collision-free key
+    * (epoch-second·10⁷ + event_id, so "strictly after" is a total
+    * order both engines agree on); state = (stage, key that reached
+    * it) — two longs; declared output = every user's final stage over
+    * the drained replay, so the differential pins each user's whole
+    * trajectory through its terminal position.
+    *
+    * Scale shape: two longs of state per user; per-batch emissions
+    * re-aggregate with max(stage) — the stage is monotone, so the
+    * merge is associative and late batches only raise it. */
+  def q283StreamFunnel(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q283_stream_funnel_mem"
+    s.catalog.dropTempView(name)
+    import s.implicits._
+    val machine = typedEvents(readEvents(s, dir))
+      .map(e => (e.user_id, e.event_type,
+        (e.ts.getTime / 1000) * 10000000L + e.event_id))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelPos](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[(Long, String, Long)],
+         state: GroupState[FunnelState]) =>
+          val sorted = events.map(e => (e._3, e._2)).toSeq.sorted
+          var st = state.getOption.getOrElse(FunnelState(0L, -1L))
+          def inWindow(k: Long): Boolean =
+            k > st.stage_key &&
+              k / 10000000L - st.stage_key / 10000000L <=
+                FunnelDeadlineS
+          sorted.foreach { case (k, tpe) =>
+            if (st.stage == 0L && tpe == "signup")
+              st = FunnelState(1L, k)
+            else if (st.stage == 1L && tpe == "click" && inWindow(k))
+              st = FunnelState(2L, k)
+            else if (st.stage == 2L && tpe == "purchase" &&
+              inWindow(k))
+              st = FunnelState(3L, k)
+          }
+          state.update(st)
+          Iterator(FunnelPos(uid, st.stage))
+      }
+    val q = machine.toDF()
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).groupBy("user_id")
+      .agg(max("stage").as("stage"))
+  }
+
+  private def q283OracleSql: String =
+    s"""WITH e AS (SELECT user_id, event_type,
+          (epoch_us(ts) // 1000000) * 10000000 + event_id AS k
+        FROM events),
+        s1 AS (SELECT user_id, min(k) AS k1 FROM e
+          WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.k) AS k2 FROM e
+          JOIN s1 ON e.user_id = s1.user_id AND e.k > s1.k1
+            AND e.k // 10000000 - s1.k1 // 10000000
+              <= $FunnelDeadlineS
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.k) AS k3 FROM e
+          JOIN s2 ON e.user_id = s2.user_id AND e.k > s2.k2
+            AND e.k // 10000000 - s2.k2 // 10000000
+              <= $FunnelDeadlineS
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        u AS (SELECT DISTINCT user_id FROM e)
+        SELECT u.user_id,
+          CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+               WHEN s2.user_id IS NOT NULL THEN 2
+               WHEN s1.user_id IS NOT NULL THEN 1
+               ELSE 0 END AS BIGINT) AS stage
+        FROM u
+        LEFT JOIN s1 ON u.user_id = s1.user_id
+        LEFT JOIN s2 ON u.user_id = s2.user_id
+        LEFT JOIN s3 ON u.user_id = s3.user_id"""
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q283_stream_funnel" -> (q283StreamFunnel _),
     "q267_stream_rate_limit" -> (q267StreamRateLimit _),
     "q253_stream_quantile" -> (q253StreamQuantile _),
     "q239_stream_heavy_hitters" -> (q239StreamHeavyHitters _),
@@ -956,6 +1059,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q283_stream_funnel" -> q283OracleSql,
     "q267_stream_rate_limit" -> q267OracleSql,
     "q253_stream_quantile" -> q253OracleSql,
     "q239_stream_heavy_hitters" -> q239OracleSql,

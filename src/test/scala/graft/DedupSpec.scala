@@ -332,4 +332,25 @@ class DedupSpec extends SparkSpec {
       .forall { case (hi, lo) => hi >= lo },
       "hit probability at s=0.8 must not increase with rows per band")
   }
+
+  test("q284 estimator errors are the declared algebra, quantized to " +
+    "sixteenths, and tight enough for a 0.9-threshold decision") {
+    val rows = Dedup.q284MinhashAccuracy(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((d1, d2, est, jac, err) <- rows) {
+      assert(d2 === d1 + Dedup.PlantedOffset)
+      assert(est % (1000000L / 16) === 0L,
+        "estimate must be a multiple of 1/16")
+      assert(est >= 0L && est <= 1000000L)
+      assert(jac > 0L && jac <= 1000000L)
+      assert(err === math.abs(est - jac))
+    }
+    // k=16 gives stderr ~ sqrt(p(1-p)/16) <= 0.125; mean |err| must
+    // sit well under one sixteenth for the near-1 planted pairs
+    val meanErr = rows.map(_._5).sum / rows.length
+    assert(meanErr < 62500L,
+      s"mean estimator error $meanErr ppm — worse than one sixteenth")
+  }
 }

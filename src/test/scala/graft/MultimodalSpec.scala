@@ -221,4 +221,30 @@ class MultimodalSpec extends SparkSpec {
       assert(coll >= 1000000L / nd && coll <= 1000000L)
     }
   }
+
+  test("q285 duplicate-frame shares replay the histogram-signature " +
+    "model and real duplicate mass exists") {
+    val rows = Multimodal.q285FrameDedup(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val vids = Multimodal.assets(spark, sf1)
+      .filter(org.apache.spark.sql.functions.col("kind") === "video")
+      .collect().map(a => a.asset_id -> a.payload).toMap
+    assert(rows.map(_._1).toSet === vids.keySet)
+    for ((id, nf, nd, dup) <- rows) {
+      val p = vids(id)
+      val step = math.max(p.length / Multimodal.FdFrames, 1)
+      val sigs = (0 until Multimodal.FdFrames).flatMap { fi =>
+        val fr = p.slice(fi * step,
+          math.min(fi * step + Multimodal.FdBytes, p.length))
+        if (fr.isEmpty) None
+        else Some(Multimodal.countHistogram(fr).toSeq)
+      }
+      assert(nf === sigs.length.toLong)
+      assert(nd === sigs.distinct.length.toLong, s"asset $id distinct")
+      assert(dup === (if (nf == 0) 0L else (nf - nd) * 1000000L / nf))
+    }
+    assert(rows.map(r => r._2 - r._3).sum > 0L,
+      "no duplicate frame anywhere — the signature lost its signal")
+  }
 }

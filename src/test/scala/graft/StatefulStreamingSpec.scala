@@ -255,4 +255,37 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(totAllow > 0 && totDeny > 0,
       "a branch with zero mass means the calibration regressed")
   }
+
+  test("q283 streamed funnel stages replay a batch-collected scala " +
+    "machine per user and the windowed stages all carry mass") {
+    import org.apache.spark.sql.functions._
+    val out = EventStream.q283StreamFunnel(spark, sf1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val events = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), col("event_type"),
+        (expr("unix_micros(ts) div 1000000") * 10000000L
+          + col("event_id")).as("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(out.keySet === events.keySet)
+    for ((uid, es) <- events) {
+      val sorted = es.map(e => (e._3, e._2)).sortBy(_._1)
+      var stage = 0L
+      var key = -1L
+      def fits(k: Long): Boolean = k > key &&
+        k / 10000000L - key / 10000000L <= EventStream.FunnelDeadlineS
+      sorted.foreach { case (k, tpe) =>
+        if (stage == 0L && tpe == "signup") { stage = 1; key = k }
+        else if (stage == 1L && tpe == "click" && fits(k)) {
+          stage = 2; key = k
+        } else if (stage == 2L && tpe == "purchase" && fits(k)) {
+          stage = 3; key = k
+        }
+      }
+      assert(out(uid) === stage, s"user $uid terminal stage diverged")
+    }
+    val dist = out.values.groupBy(identity).view.mapValues(_.size)
+    assert(Seq(1L, 2L, 3L).forall(st => dist.getOrElse(st, 0) > 0),
+      s"a funnel stage carries no mass: $dist — deadline miscalibrated")
+  }
 }
