@@ -3110,7 +3110,150 @@ object Analytics {
           CAST(ci.ds[${BootB - 1}] AS BIGINT) AS ci_hi_ppm
         FROM point CROSS JOIN ci"""
 
+  // ------------------------------------------------------------ q286
+
+  /** q286 — RFM FEATURE BUILD (recency / frequency / monetary — the
+    * classic behavioral feature triple every churn, LTV, and
+    * segmentation model starts from; the operator is the
+    * feature-engineering pass itself, per-user and decile-ranked so
+    * the features are model-ready): per user the days since their
+    * last event (anchored at the corpus max day — a replay-stable
+    * anchor, never wall-clock), event count, and exact value-cents
+    * sum; each metric decile-ranked 1..10 with 1 = best (most recent,
+    * most frequent, highest spend; ties broken by user_id so the
+    * ranking is total). All-integer.
+    *
+    * Scale shape: ONE user-keyed map-side aggregate; the three decile
+    * windows ride the user-domain frame (not the event corpus), and
+    * at huge user counts each window swaps for q90's two-pass
+    * histogram threshold without changing the decile contract. */
+  def q286RfmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(max(col("ts").cast("date")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(floor(value * 100) AS BIGINT)"))
+          .as("monetary_cents"))
+    val anchor = per.agg(max("last_day").as("anchor"))
+    val base = per.crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        datediff(col("anchor"), col("last_day")).cast("bigint")
+          .as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    base
+      .withColumn("nu", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("recency_days"), col("user_id")))
+        .cast("bigint"))
+      .withColumn("rf", row_number().over(
+        Window.orderBy(col("frequency").desc, col("user_id")))
+        .cast("bigint"))
+      .withColumn("rm", row_number().over(
+        Window.orderBy(col("monetary_cents").desc, col("user_id")))
+        .cast("bigint"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        expr("(rr - 1) * 10 div nu + 1").as("r_decile"),
+        expr("(rf - 1) * 10 div nu + 1").as("f_decile"),
+        expr("(rm - 1) * 10 div nu + 1").as("m_decile"))
+  }
+
+  private def q286OracleSql: String =
+    """WITH per AS (SELECT user_id,
+          CAST(max(ts) AS DATE) AS last_day,
+          CAST(count(*) AS BIGINT) AS frequency,
+          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+            AS monetary_cents
+        FROM events GROUP BY user_id),
+        anchor AS (SELECT max(last_day) AS anchor FROM per),
+        base AS (SELECT user_id,
+            CAST(date_diff('day', per.last_day, anchor.anchor)
+              AS BIGINT) AS recency_days,
+            frequency, monetary_cents
+          FROM per CROSS JOIN anchor),
+        rk AS (SELECT base.*,
+            CAST(count(*) OVER () AS BIGINT) AS nu,
+            CAST(row_number() OVER (ORDER BY recency_days, user_id)
+              AS BIGINT) AS rr,
+            CAST(row_number() OVER (ORDER BY frequency DESC, user_id)
+              AS BIGINT) AS rf,
+            CAST(row_number() OVER (ORDER BY monetary_cents DESC,
+              user_id) AS BIGINT) AS rm
+          FROM base)
+        SELECT user_id, recency_days, frequency, monetary_cents,
+          (rr - 1) * 10 // nu + 1 AS r_decile,
+          (rf - 1) * 10 // nu + 1 AS f_decile,
+          (rm - 1) * 10 // nu + 1 AS m_decile
+        FROM rk"""
+
+  // ------------------------------------------------------------ q287
+
+  /** q287 — F1-OPTIMAL THRESHOLD (the decision q279's curve feeds: a
+    * deployed gate needs ONE threshold, and the F1 argmax is the
+    * standard balanced pick — computed exactly on the same class
+    * census, F1 = 2TP div (2TP + FP + FN), so the argmax needs no
+    * float and ties break toward the smaller band): per observed
+    * band the confusion counts, the exact ppm F1, and `chosen` on the
+    * maximizer — the operator IS the threshold decision, released
+    * with the evidence it was made on.
+    *
+    * Scale shape: q279's census + suffix sums; the argmax is a 1-row
+    * broadcast comparison over the ≤|bands| frame. */
+  def q287F1Optimizer(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "events")
+      .select(expr("CAST(floor(value) AS BIGINT)").as("band"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("pos"))
+      .groupBy("band")
+      .agg(sum("pos").as("p"), (count(lit(1)) - sum("pos")).as("q"))
+    val w = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = census
+      .withColumn("tp", sum("p").over(w))
+      .withColumn("fp", sum("q").over(w))
+      .withColumn("fn",
+        sum("p").over(Window.partitionBy()) - col("tp"))
+      .select(col("band").as("threshold_band"), col("tp"), col("fp"),
+        col("fn"),
+        expr("2 * tp * 1000000 div (2 * tp + fp + fn)").as("f1_ppm"))
+    val best = scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("f1_ppm").desc, col("threshold_band"))))
+      .filter(col("rk") === 1)
+      .select(col("threshold_band").as("best_band"))
+    scored.crossJoin(broadcast(best))
+      .select(col("threshold_band"), col("tp"), col("fp"), col("fn"),
+        col("f1_ppm"),
+        (col("threshold_band") === col("best_band")).as("chosen"))
+  }
+
+  private def q287OracleSql: String =
+    """WITH census AS (SELECT CAST(floor(value) AS BIGINT) AS band,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS p,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+            AS BIGINT) AS q
+        FROM events GROUP BY 1),
+        scored AS (SELECT band AS threshold_band,
+            CAST(sum(p) OVER (ORDER BY band DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+            CAST(sum(q) OVER (ORDER BY band DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp,
+            CAST(sum(p) OVER () - sum(p) OVER (ORDER BY band DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fn
+          FROM census),
+        f AS (SELECT threshold_band, tp, fp, fn,
+            2 * tp * 1000000 // (2 * tp + fp + fn) AS f1_ppm
+          FROM scored),
+        best AS (SELECT threshold_band AS best_band FROM f
+          ORDER BY f1_ppm DESC, threshold_band LIMIT 1)
+        SELECT f.threshold_band, f.tp, f.fp, f.fn, f.f1_ppm,
+          f.threshold_band = best.best_band AS chosen
+        FROM f CROSS JOIN best"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q286_rfm_features" -> (q286RfmFeatures _),
+    "q287_f1_optimizer" -> (q287F1Optimizer _),
     "q281_bootstrap_diff" -> (q281BootstrapDiff _),
     "q277_expected_shortfall" -> (q277ExpectedShortfall _),
     "q279_pr_curve" -> (q279PrCurve _),
@@ -3162,6 +3305,8 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q286_rfm_features" -> q286OracleSql,
+    "q287_f1_optimizer" -> q287OracleSql,
     "q281_bootstrap_diff" -> q281OracleSql,
     "q277_expected_shortfall" -> q277OracleSql,
     "q279_pr_curve" -> q279OracleSql,

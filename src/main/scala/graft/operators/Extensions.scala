@@ -3043,7 +3043,72 @@ object Extensions {
           CAST(sum(ay - iy + 1) AS BIGINT)
         FROM zf"""
 
+  /** q288 SLA bound in days. */
+  val SlaDays = 90L
+
+  /** q288 — SHIPPING-SLA CONFORMANCE AUDIT (the operational
+    * order-to-ship readout q107 ranks revenue by but never measures:
+    * per priority class, how long fulfilment actually takes and how
+    * much of it blows the 90-day bound — the census-quantile +
+    * breach-share shape every SLA dashboard is made of): delay =
+    * whole days order → line ship date (calendar-date difference,
+    * identical on both engines), per priority the line count, the
+    * census p50 and p95 (q253's discrete convention), and the breach
+    * share in exact ppm.
+    *
+    * Scale shape: one fact-fact join on the order key the tables
+    * already share + a map-side (priority, delay) census; quantiles
+    * ride the census cumsum window (q132 discipline). */
+  def q288ShippingSla(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate")
+      .join(t(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast("bigint").as("delay"))
+      .groupBy("priority", "delay").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("priority").orderBy("delay")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("priority")
+    census
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(tot))
+      .groupBy("priority")
+      .agg(max("n").as("n"),
+        min(when(expr("cum * 100 >= n * 50"), col("delay")))
+          .as("p50_days"),
+        min(when(expr("cum * 100 >= n * 95"), col("delay")))
+          .as("p95_days"),
+        expr(s"""CAST(sum(CASE WHEN delay > $SlaDays THEN c ELSE 0
+             END) * 1000000 div max(n) AS BIGINT)""")
+          .as("breach_ppm"))
+  }
+
+  private def q288OracleSql: String =
+    s"""WITH census AS (SELECT o_orderpriority AS priority,
+          CAST(date_diff('day', CAST(o_orderdate AS DATE),
+            CAST(l_shipdate AS DATE)) AS BIGINT) AS delay,
+          CAST(count(*) AS BIGINT) AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+        cum AS (SELECT priority, delay, c,
+            CAST(sum(c) OVER (PARTITION BY priority ORDER BY delay
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+            CAST(sum(c) OVER (PARTITION BY priority) AS BIGINT) AS n
+          FROM census)
+        SELECT priority, CAST(max(n) AS BIGINT) AS n,
+          min(CASE WHEN cum * 100 >= n * 50 THEN delay END)
+            AS p50_days,
+          min(CASE WHEN cum * 100 >= n * 95 THEN delay END)
+            AS p95_days,
+          CAST(sum(CASE WHEN delay > $SlaDays THEN c ELSE 0 END)
+            * 1000000 // max(n) AS BIGINT) AS breach_ppm
+        FROM cum GROUP BY priority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_shipping_sla" -> (q288ShippingSla _),
     "q278_layout_pruning_eval" -> (q278LayoutPruningEval _),
     "q275_attribution_sweep" -> (q275AttributionSweep _),
     "q245_peak_concurrency" -> (q245PeakConcurrency _),
@@ -3125,6 +3190,7 @@ object Extensions {
     "q60_percentiles" -> (q60Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q288_shipping_sla" -> q288OracleSql,
     "q278_layout_pruning_eval" -> q278OracleSql,
     "q275_attribution_sweep" -> q275OracleSql,
     "q245_peak_concurrency" -> q245OracleSql,

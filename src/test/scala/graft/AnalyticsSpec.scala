@@ -1016,4 +1016,58 @@ class AnalyticsSpec extends SparkSpec {
     // the interval should be a real spread, not collapsed to a point
     assert(hi > lo, "32 resamples collapsed to one value")
   }
+
+  test("q286 deciles are balanced to within one user and the recency " +
+    "anchor replays from the raw events") {
+    val rows = Analytics.q286RfmFeatures(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    for (dcol <- Seq(rows.map(_._5), rows.map(_._6), rows.map(_._7))) {
+      assert(dcol.forall(d => d >= 1 && d <= 10))
+      val sizes = dcol.groupBy(identity).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, "decile imbalance beyond 1")
+    }
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), col("ts").cast("date").as("d"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(_._1)
+    val anchor = ev.values.flatten.map(_._2).max
+    for ((uid, rec, freq, mon, _, _, _) <- rows.take(30)) {
+      val es = ev(uid)
+      assert(freq === es.size.toLong)
+      assert(mon === es.map(_._3).sum)
+      assert(rec === java.time.temporal.ChronoUnit.DAYS.between(
+        es.map(_._2).max, anchor))
+    }
+    // decile replay: rank every user by (recency, user_id) and check
+    // the released r_decile is exactly the rank-derived decile
+    val nu = rows.length.toLong
+    val ranked = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+    for (((r, i)) <- ranked.take(50))
+      assert(r._5 === i.toLong * 10 / nu + 1,
+        s"user ${r._1} r_decile diverged from rank replay")
+  }
+
+  test("q287 exactly one threshold is chosen, it maximizes the exact " +
+    "F1 algebra, and the confusion counts telescope") {
+    val rows = Analytics.q287F1Optimizer(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.count(_._6) === 1, "exactly one chosen threshold")
+    val best = rows.find(_._6).get
+    val posTotal = rows.head._2 + rows.head._4
+    for ((band, tp, fp, fn, f1, _) <- rows) {
+      assert(f1 === 2 * tp * 1000000L / (2 * tp + fp + fn),
+        s"band $band F1 algebra")
+      assert(tp + fn === posTotal,
+        "tp + fn must be the constant positive total")
+      assert(f1 <= best._5,
+        s"band $band beats the chosen threshold")
+    }
+    assert(rows.filter(_._5 == best._5).map(_._1).min === best._1,
+      "F1 ties must break toward the smaller band")
+  }
 }

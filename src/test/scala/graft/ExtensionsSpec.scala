@@ -1192,4 +1192,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(zx + zy < lx + ly,
       "z-order must win the combined pruning budget — q129's claim")
   }
+
+  test("q288 SLA audit: quantiles ordered, breach share replays an " +
+    "independent joined scan per priority") {
+    val E = graft.operators.Extensions
+    val rows = E.q288ShippingSla(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length === 5)
+    val joined = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select("l_orderkey", "l_shipdate")
+      .join(graft.sources.Tables.load(spark, sf1, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast("bigint"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    for ((pri, n, p50, p95, breach) <- rows) {
+      val ds = joined(pri).map(_._2).sorted
+      assert(n === ds.length.toLong)
+      assert(p50 <= p95)
+      def q(pct: Long): Long = ds.zipWithIndex.find {
+        case (_, i) => (i + 1) * 100L >= ds.length * pct
+      }.get._1
+      assert(p50 === q(50) && p95 === q(95), s"$pri quantiles")
+      assert(breach ===
+        ds.count(_ > E.SlaDays).toLong * 1000000L / n, s"$pri breach")
+    }
+  }
 }
