@@ -274,8 +274,40 @@ object Core {
          AS BIGINT) AS quality_sum
        FROM documents GROUP BY source"""
 
+  /** q291 — CSV ROUND-TRIP CONTRACT as a declared query (the text-
+    * format sibling of q271/q272's parquet contracts, under the
+    * differential instead of unit-only: CSV is where round trips
+    * actually die — delimiters inside text, quoting, type re-parse —
+    * and the documents table carries free text, so the contract is
+    * exercised where it can break): documents written as quoted CSV
+    * with headers, read back under the explicit schema, and audited
+    * as a (source, lang) census over counts, id checksum, char mass,
+    * and re-measured text length — compared by the oracle against the
+    * SOURCE table, so any quoting or parse loss fails the hash.
+    *
+    * Scale shape: one write + one read + a map-side census. */
+  def q291CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = "target/graft_q291_csv"
+    val src = t(s, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars", "text")
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    s.read.option("header", "true").schema(src.schema).csv(out)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+        sum("n_chars").as("char_sum"),
+        sum(length(col("text")).cast("bigint")).as("len_sum"))
+  }
+
+  private def q291OracleSql: String =
+    """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS char_sum,
+       CAST(sum(strlen(text)) AS BIGINT) AS len_sum
+       FROM documents GROUP BY source, lang"""
+
   /** Declared query map for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_csv_roundtrip" -> (q291CsvRoundtrip _),
     "q271_partitioned_write" -> (q271PartitionedWrite _),
     "q272_schema_evolution" -> (q272SchemaEvolution _),
     "q01_full_scan" -> (q01FullScan _),
@@ -298,6 +330,7 @@ object Core {
 
   /** DuckDB oracles (ANSI SQL over the same parquet tables). */
   val oracleSql: Map[String, String] = Map(
+    "q291_csv_roundtrip" -> q291OracleSql,
     "q271_partitioned_write" -> q271OracleSql,
     "q272_schema_evolution" -> q272OracleSql,
     "q01_full_scan" ->

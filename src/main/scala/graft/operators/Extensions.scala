@@ -3107,7 +3107,74 @@ object Extensions {
             * 1000000 // max(n) AS BIGINT) AS breach_ppm
         FROM cum GROUP BY priority"""
 
+  /** q290 session-length cap for the band axis. */
+  val SessConvCap = 10L
+
+  /** q290 — SESSION-LENGTH → CONVERSION CURVE (the engagement-to-
+    * outcome readout product analytics lives on: do longer sessions
+    * convert more, and where does the curve saturate — the number
+    * that decides whether "time on site" is worth optimizing): q41's
+    * 30-minute-gap sessionization (same second-truncated boundaries),
+    * each session banded by its event count (capped at 10), per band
+    * the session count, converting-session count (≥1 purchase), and
+    * the conversion share in exact ppm.
+    *
+    * Scale shape: one user-keyed exchange for the session window
+    * (the sessionizer's own shuffle), then a map-side (band) census;
+    * the curve is a ≤10-row frame. */
+  def q290SessionConversion(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000000").as("ts_s"))
+    val w = Window.partitionBy("user_id").orderBy("ts_s")
+    val sess = ev
+      .withColumn("brk",
+        when(col("ts_s") - lag("ts_s", 1).over(w) > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purch"))
+    sess
+      .select(expr(s"least(n_events, $SessConvCap)").as("len_band"),
+        (col("n_purch") > 0L).as("conv"))
+      .groupBy("len_band")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("n_converted"))
+      .withColumn("rate_ppm",
+        expr("n_converted * 1000000 div n_sessions"))
+  }
+
+  private def q290OracleSql: String =
+    s"""WITH e AS (SELECT user_id, event_type,
+          epoch_us(ts) // 1000000 AS ts_s FROM events),
+        x AS (SELECT user_id, event_type, ts_s,
+            CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id
+              ORDER BY ts_s) > 1800 THEN 1 ELSE 0 END AS brk
+          FROM e),
+        y AS (SELECT user_id, event_type,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s
+              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x),
+        sess AS (SELECT user_id, sid,
+            CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+              END) AS BIGINT) AS n_purch
+          FROM y GROUP BY user_id, sid),
+        b AS (SELECT least(n_events, $SessConvCap) AS len_band,
+            n_purch > 0 AS conv
+          FROM sess)
+        SELECT len_band, CAST(count(*) AS BIGINT) AS n_sessions,
+          CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_converted,
+          CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS rate_ppm
+        FROM b GROUP BY len_band"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_session_conversion" -> (q290SessionConversion _),
     "q288_shipping_sla" -> (q288ShippingSla _),
     "q278_layout_pruning_eval" -> (q278LayoutPruningEval _),
     "q275_attribution_sweep" -> (q275AttributionSweep _),
@@ -3190,6 +3257,7 @@ object Extensions {
     "q60_percentiles" -> (q60Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q290_session_conversion" -> q290OracleSql,
     "q288_shipping_sla" -> q288OracleSql,
     "q278_layout_pruning_eval" -> q278OracleSql,
     "q275_attribution_sweep" -> q275OracleSql,

@@ -1985,7 +1985,58 @@ object Pipeline {
               < n_tokens AS partial
         FROM o"""
 
+  /** q289 — FOLD-BALANCE AUDIT (closing q263's loop: stratification
+    * promises that CV folds are exchangeable — this measures it, per
+    * fold, on the metrics a fold's eval would actually move: token
+    * mass and lexical quality; a fold whose mean length sits 20% off
+    * its siblings biases every per-fold score computed on it): q263's
+    * assignment re-derived, then per fold the doc count, mean
+    * whitespace-token length ×10⁶ (exact), and mean alphabetic share
+    * in ppm — the differential pins all five folds' profiles, so a
+    * regression in the fold assignment surfaces as profile drift.
+    *
+    * Scale shape: q263's one stratum exchange + rank window, then a
+    * 5-group map-side aggregate. */
+  def q289FoldBalanceAudit(s: SparkSession, dir: String): DataFrame = {
+    val folds = q263StratifiedFolds(s, dir)
+    val stats = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("len"),
+        length(regexp_replace(col("text"), "[^a-z]", ""))
+          .cast("bigint").as("alpha"),
+        length(col("text")).cast("bigint").as("chars"))
+    folds.join(stats, "doc_id")
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(len) * 1000000 div count(1)").as("mean_len_fp"),
+        expr("sum(alpha) * 1000000 div sum(chars)").as("alpha_ppm"))
+  }
+
+  private def q289OracleSql: String =
+    s"""WITH u AS (SELECT doc_id, source,
+          (doc_id * 1103515245 + 12345) % 2147483647 AS u
+        FROM documents),
+        r AS (SELECT doc_id,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY u, doc_id) AS BIGINT) AS rk
+          FROM u),
+        f AS (SELECT doc_id, (rk - 1) % $KFolds AS fold FROM r),
+        st AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+            CAST(strlen(regexp_replace(text, '[^a-z]', '', 'g'))
+              AS BIGINT) AS alpha,
+            CAST(strlen(text) AS BIGINT) AS chars
+          FROM documents)
+        SELECT f.fold, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(st.len) * 1000000 // count(*) AS BIGINT)
+            AS mean_len_fp,
+          CAST(sum(st.alpha) * 1000000 // sum(st.chars) AS BIGINT)
+            AS alpha_ppm
+        FROM f JOIN st ON f.doc_id = st.doc_id
+        GROUP BY f.fold"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_fold_balance_audit" -> (q289FoldBalanceAudit _),
     "q280_quality_knapsack" -> (q280QualityKnapsack _),
     "q274_hash_cross_audit" -> (q274HashCrossAudit _),
     "q273_erasure_audit" -> (q273ErasureAudit _),
@@ -2022,6 +2073,7 @@ object Pipeline {
     "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q289_fold_balance_audit" -> q289OracleSql,
     "q280_quality_knapsack" -> q280OracleSql,
     "q274_hash_cross_audit" -> q274OracleSql,
     "q273_erasure_audit" -> q273OracleSql,

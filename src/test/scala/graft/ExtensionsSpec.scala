@@ -1222,4 +1222,33 @@ class ExtensionsSpec extends SparkSpec {
         ds.count(_ > E.SlaDays).toLong * 1000000L / n, s"$pri breach")
     }
   }
+
+  test("q290 sessions partition the event stream and the conversion " +
+    "curve rises with session length") {
+    val E = graft.operators.Extensions
+    val rows = E.q290SessionConversion(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    for ((band, n, k, ppm) <- rows) {
+      assert(band >= 1 && band <= E.SessConvCap)
+      assert(k <= n)
+      assert(ppm === k * 1000000L / n)
+    }
+    // independent session count: replay the 30-min gap sessionizer
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+    val sessions = ev.values.map { es =>
+      val ts = es.map(_._2).sorted
+      1 + ts.zip(ts.tail).count { case (a, b) => b - a > 1800L }
+    }.sum
+    assert(rows.map(_._2).sum === sessions.toLong,
+      "band census must partition the replayed session set")
+    // engagement → conversion: the rate must be non-decreasing
+    val rates = rows.map(_._4)
+    assert(rates.zip(rates.tail).forall { case (a, b) => a <= b },
+      "conversion must rise with session length on this corpus")
+  }
 }

@@ -80,4 +80,18 @@ class FormatsSpec extends SparkSpec {
         col("quality") =!= col("n_chars") % 100)).count() === 0L,
       "an evolved row's quality diverged from its source value")
   }
+
+  test("q291 the CSV round trip loses no rows and re-parses every " +
+    "text field to its exact original") {
+    import org.apache.spark.sql.functions._
+    graft.operators.Core.q291CsvRoundtrip(spark, sf1).collect()
+    val src = Tables.load(spark, sf1, "documents")
+      .select("doc_id", "source", "lang", "n_chars", "text")
+    val back = spark.read.option("header", "true").schema(src.schema)
+      .csv("target/graft_q291_csv")
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).count() === 0L &&
+      src.exceptAll(back).count() === 0L,
+      "row-level CSV round trip diverged — quoting or parse loss")
+  }
 }

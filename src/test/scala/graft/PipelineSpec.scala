@@ -658,4 +658,26 @@ class PipelineSpec extends SparkSpec {
     val qs = rows.map(_._2)
     assert(qs.zip(qs.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q289 fold profiles cover every doc once and stratification " +
+    "keeps per-fold means within a tight relative band") {
+    val rows = Pipeline.q289FoldBalanceAudit(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._1).sorted.toSeq ===
+      (0L until Pipeline.KFolds))
+    val nDocs = graft.sources.Tables.load(spark, sf1, "documents")
+      .count()
+    assert(rows.map(_._2).sum === nDocs)
+    // the audit's point: stratified folds are exchangeable — mean
+    // length and quality must sit within sampling noise of each
+    // other (folds hold ~100 docs at sf0.001, so ~10% 1/sqrt(n)
+    // noise on length; 20% is the right claim strength here, and the
+    // differential pins the exact values regardless)
+    for (metric <- Seq(rows.map(_._3), rows.map(_._4))) {
+      val (mx, mn) = (metric.max, metric.min)
+      assert((mx - mn) * 100 < mx * 20,
+        s"fold profile spread ${mx - mn} exceeds 20% of $mx")
+    }
+  }
 }
