@@ -305,8 +305,56 @@ object Core {
        CAST(sum(strlen(text)) AS BIGINT) AS len_sum
        FROM documents GROUP BY source, lang"""
 
+  /** q294 profiled columns: (table, column) — integer/string only so
+    * the min/max string rendering is engine-identical. */
+  val AnalyzeCols: Seq[(String, String)] = Seq(
+    ("customer", "c_nationkey"), ("customer", "c_mktsegment"),
+    ("orders", "o_orderpriority"), ("orders", "o_custkey"),
+    ("lineitem", "l_partkey"), ("documents", "lang"),
+    ("events", "event_type"))
+
+  /** q294 — CATALOG STATISTICS COLLECTION (ANALYZE TABLE as a
+    * declared operator: row counts, null counts, EXACT distinct
+    * cardinalities, and min/max per profiled column — the statistics
+    * every cost-based planner decision in the suite implicitly leans
+    * on (broadcast thresholds, q223's join-size estimates, q158's
+    * zone maps), here produced as data so the catalog itself is under
+    * the differential): seven (table, column) pairs, numeric and
+    * string columns only so the min/max string rendering is
+    * engine-identical; ndv is exact (the approx variant is q47's
+    * HLL — the two bracket the accuracy/cost tradeoff).
+    *
+    * Scale shape: one aggregate per profiled column (exact distinct =
+    * one extra exchange each — the price of exactness, paid per
+    * ANALYZE run, not per query; production defaults to q47's sketch
+    * for wide tables); 7 one-row frames unioned. */
+  def q294AnalyzeStats(s: SparkSession, dir: String): DataFrame =
+    AnalyzeCols.map { case (tbl, cn) =>
+      t(s, dir, tbl).agg(count(lit(1)).as("n_rows"),
+        sum(when(col(cn).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(cn)).as("ndv"),
+        min(col(cn)).cast("string").as("min_val"),
+        max(col(cn)).cast("string").as("max_val"))
+        .select(lit(tbl).as("table_name"), lit(cn).as("column_name"),
+          col("n_rows"), col("n_nulls"), col("ndv"), col("min_val"),
+          col("max_val"))
+    }.reduce(_ unionByName _)
+
+  private def q294OracleSql: String =
+    AnalyzeCols.map { case (tbl, cn) =>
+      s"""SELECT '$tbl' AS table_name, '$cn' AS column_name,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CASE WHEN $cn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_nulls,
+          CAST(count(DISTINCT $cn) AS BIGINT) AS ndv,
+          CAST(min($cn) AS VARCHAR) AS min_val,
+          CAST(max($cn) AS VARCHAR) AS max_val
+        FROM $tbl"""
+    }.mkString("\n UNION ALL\n ")
+
   /** Declared query map for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q294_analyze_stats" -> (q294AnalyzeStats _),
     "q291_csv_roundtrip" -> (q291CsvRoundtrip _),
     "q271_partitioned_write" -> (q271PartitionedWrite _),
     "q272_schema_evolution" -> (q272SchemaEvolution _),
@@ -330,6 +378,7 @@ object Core {
 
   /** DuckDB oracles (ANSI SQL over the same parquet tables). */
   val oracleSql: Map[String, String] = Map(
+    "q294_analyze_stats" -> q294OracleSql,
     "q291_csv_roundtrip" -> q291OracleSql,
     "q271_partitioned_write" -> q271OracleSql,
     "q272_schema_evolution" -> q272OracleSql,

@@ -2035,7 +2035,84 @@ object Pipeline {
         FROM f JOIN st ON f.doc_id = st.doc_id
         GROUP BY f.fold"""
 
+  /** q292 sample budget to allocate. */
+  val NeymanN = 1000L
+
+  /** q292 — NEYMAN OPTIMAL ALLOCATION (the variance-aware upgrade of
+    * q260's proportional quotas: survey-sampling theory allocates a
+    * fixed budget ∝ n_h·σ_h — a big uniform stratum needs FEWER
+    * samples than a small volatile one, and proportional allocation
+    * wastes budget on the former; the pair of operators is the
+    * design-based sampling toolkit): per source stratum the exact
+    * sufficient statistics over doc token lengths, weight
+    * w_h = floor(n_h·σ_h) through ONE shared-text sqrt expression
+    * (q242 discipline — sample σ from exact integers), then the q260
+    * largest-remainder apportionment over the weights so the
+    * allocation still sums to EXACTLY N. Released with both the
+    * weight and the proportional quota for comparison.
+    *
+    * Scale shape: one map-side stratum-stats pass; weights,
+    * remainders, and the rank window ride the |sources|-row frame. */
+  def q292NeymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    val stats = t(s, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("len"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("nh"), sum("len").as("sl"),
+        sum(expr("len * len")).as("ql"))
+    val sd = "sqrt((nh * CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) * sl)" +
+      " / (CAST(nh AS DOUBLE) * (nh - 1.0)))"
+    val w = stats
+      .withColumn("weight", expr(s"CAST(floor(nh * $sd) AS BIGINT)"))
+    val tot = w.agg(sum("weight").as("tw"), sum("nh").as("tn"))
+    val base = w.crossJoin(broadcast(tot))
+      .withColumn("floor_q", expr(s"weight * $NeymanN div tw"))
+      .withColumn("rem", expr(s"weight * $NeymanN % tw"))
+      .withColumn("prop_q", expr(s"nh * $NeymanN div tn"))
+    val left = base.agg((lit(NeymanN) - sum("floor_q")).as("leftover"))
+    base.crossJoin(broadcast(left))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("bigint"))
+      .select(col("source"), col("nh").as("n_docs"), col("weight"),
+        col("prop_q").as("proportional_q"),
+        (col("floor_q") +
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("neyman_q"))
+  }
+
+  private def q292OracleSql: String = {
+    val sd = "sqrt((nh * CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) * sl)" +
+      " / (CAST(nh AS DOUBLE) * (nh - 1.0)))"
+    s"""WITH stats AS (SELECT source,
+          CAST(count(*) AS BIGINT) AS nh,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sl,
+          CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)
+            * len(string_split(text, ' '))) AS BIGINT) AS ql
+        FROM documents GROUP BY source),
+        w AS (SELECT source, nh,
+            CAST(floor(nh * $sd) AS BIGINT) AS weight
+          FROM stats),
+        tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw,
+            CAST(sum(nh) AS BIGINT) AS tn FROM w),
+        base AS (SELECT w.source, w.nh, w.weight,
+            w.weight * $NeymanN // t.tw AS floor_q,
+            w.weight * $NeymanN % t.tw AS rem,
+            w.nh * $NeymanN // t.tn AS prop_q
+          FROM w CROSS JOIN tot t),
+        lo AS (SELECT $NeymanN - sum(floor_q) AS leftover FROM base),
+        rk AS (SELECT b.*, lo.leftover,
+            CAST(row_number() OVER (ORDER BY b.rem DESC, b.source)
+              AS BIGINT) AS rk
+          FROM base b CROSS JOIN lo)
+        SELECT source, nh AS n_docs, weight,
+          prop_q AS proportional_q,
+          floor_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS neyman_q
+        FROM rk"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_neyman_allocation" -> (q292NeymanAllocation _),
     "q289_fold_balance_audit" -> (q289FoldBalanceAudit _),
     "q280_quality_knapsack" -> (q280QualityKnapsack _),
     "q274_hash_cross_audit" -> (q274HashCrossAudit _),
@@ -2073,6 +2150,7 @@ object Pipeline {
     "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q292_neyman_allocation" -> q292OracleSql,
     "q289_fold_balance_audit" -> q289OracleSql,
     "q280_quality_knapsack" -> q280OracleSql,
     "q274_hash_cross_audit" -> q274OracleSql,

@@ -1367,7 +1367,56 @@ object Similarity {
         FROM w"""
   }
 
+  /** q293 — EMBEDDING DIMENSION AUDIT (the per-axis hygiene profile
+    * behind whitening and dead-unit detection: this corpus's vectors
+    * are unit-normalized, so a NORM audit is vacuous by construction
+    * — the failure modes that remain live per DIMENSION: a dead unit
+    * (near-zero variance), a dominating one (variance far above the
+    * 1/d isotropy line), or a biased one (mean off zero) — exactly
+    * what an anisotropy/whitening decision reads): per dimension the
+    * exact integer sufficient statistics over floor(v·10³)
+    * fixed-point components (a raw float sum would be
+    * shuffle-order-dependent; the fixed-point census is
+    * order-immune), released as mean and variance in the milli²
+    * scale plus min/max components.
+    *
+    * Scale shape: one in-row posexplode pass collapsing map-side to
+    * the 64-row dimension frame; all statistics are integer sums. */
+  def q293DimensionAudit(s: SparkSession, dir: String): DataFrame = {
+    vectors(s, dir)
+      .select(posexplode(expr(
+        "transform(ed, v -> CAST(floor(v * 1000) AS BIGINT))")))
+      .select(col("pos").cast("bigint").as("dim"),
+        col("col").as("vm"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("vm").as("sv"),
+        sum(expr("vm * vm")).as("qv"),
+        min("vm").as("min_milli"), max("vm").as("max_milli"))
+      .select(col("dim"), col("n"),
+        expr("sv * 1000 div n").as("mean_micro"),
+        expr("(n * qv - sv * sv) div (n * (n - 1))").as("var_milli2"),
+        col("min_milli"), col("max_milli"))
+  }
+
+  private def q293OracleSql: String =
+    """WITH c AS (SELECT d.dim - 1 AS dim,
+          CAST(floor(CAST(e.embedding[d.dim] AS DOUBLE) * 1000)
+            AS BIGINT) AS vm
+        FROM embeddings e,
+          (SELECT unnest(range(1, 65)) AS dim) d),
+        st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(vm) AS BIGINT) AS sv,
+            CAST(sum(vm * vm) AS BIGINT) AS qv,
+            CAST(min(vm) AS BIGINT) AS min_milli,
+            CAST(max(vm) AS BIGINT) AS max_milli
+          FROM c GROUP BY dim)
+        SELECT dim, n, sv * 1000 // n AS mean_micro,
+          (n * qv - sv * sv) // (n * (n - 1)) AS var_milli2,
+          min_milli, max_milli
+        FROM st"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_dimension_audit" -> (q293DimensionAudit _),
     "q257_ndcg_eval" -> (q257NdcgEval _),
     "q249_silhouette" -> (q249Silhouette _),
     "q246_cohens_kappa" -> (q246CohensKappa _),
@@ -1390,6 +1439,7 @@ object Similarity {
     "q91_quantize_embeddings" -> (q91QuantizeEmbeddings _))
 
   val oracleSql: Map[String, String] = Map(
+    "q293_dimension_audit" -> q293OracleSql,
     "q257_ndcg_eval" -> q257OracleSql,
     "q249_silhouette" -> q249OracleSql,
     "q246_cohens_kappa" -> q246OracleSql,

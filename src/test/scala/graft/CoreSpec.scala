@@ -102,4 +102,23 @@ class CoreSpec extends SparkSpec {
   test("limit(n) caps rows like the transcripts' show(n) (L1)") {
     assert(Core.q01FullScan(spark, sf1).limit(5).count() === 5L)
   }
+
+  test("q294 catalog stats replay independent per-column aggregates") {
+    import org.apache.spark.sql.functions._
+    val rows = Core.q294AnalyzeStats(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5),
+          r.getString(6)))).toMap
+    assert(rows.keySet === Core.AnalyzeCols.toSet)
+    for ((tbl, cn) <- Core.AnalyzeCols.take(4)) {
+      val df = graft.sources.Tables.load(spark, sf1, tbl)
+      val (n, nulls, ndv, mn, mx) = rows((tbl, cn))
+      assert(n === df.count())
+      assert(nulls === df.filter(col(cn).isNull).count())
+      assert(ndv === df.select(cn).distinct().count())
+      val r = df.agg(min(col(cn)).cast("string"),
+        max(col(cn)).cast("string")).head()
+      assert(mn === r.getString(0) && mx === r.getString(1))
+    }
+  }
 }

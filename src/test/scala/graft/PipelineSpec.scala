@@ -680,4 +680,32 @@ class PipelineSpec extends SparkSpec {
         s"fold profile spread ${mx - mn} exceeds 20% of $mx")
     }
   }
+
+  test("q292 Neyman quotas hit the budget exactly, weights replay the " +
+    "n*sigma formula, and the allocation actually differs from " +
+    "proportional") {
+    val rows = Pipeline.q292NeymanAllocation(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._5).sum === Pipeline.NeymanN,
+      "Neyman quotas must hit the budget exactly")
+    val lens = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("l"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    for ((src, nh, w, _, _) <- rows) {
+      val xs = lens(src).map(_._2)
+      assert(nh === xs.length.toLong)
+      val n = xs.length.toDouble
+      val sv = xs.sum.toDouble
+      val qv = xs.map(x => x.toDouble * x).sum
+      val sd = math.sqrt((n * qv - sv * sv) / (n * (n - 1.0)))
+      assert(w === math.floor(n * sd).toLong, s"$src weight diverged")
+    }
+    assert(rows.exists(r => r._4 != r._5),
+      "Neyman equals proportional everywhere — variance weighting " +
+        "is doing nothing on this corpus")
+  }
 }

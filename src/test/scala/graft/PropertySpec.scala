@@ -595,4 +595,32 @@ class PropertySpec extends SparkSpec {
       assert((ndcg == 1000000L) === (nRel > 0 && dcg == idcg))
     }
   }
+
+  test("q293 dimension profiles replay fixed-point sufficient stats " +
+    "and the unit-norm corpus reads as near-isotropic") {
+    val S = graft.operators.Similarity
+    val rows = S.q293DimensionAudit(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).sorted.toSeq === (0L until 64L))
+    val embs = graft.sources.Tables.load(spark, sf1, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    assert(rows.head._2 === embs.length.toLong)
+    for ((dim, n, mean, varM, mn, mx) <- rows.take(8)) {
+      val vms = embs.map(e => math.floor(e(dim.toInt) * 1000).toLong)
+      val sv = vms.map(BigInt(_)).sum
+      val qv = vms.map(v => BigInt(v) * v).sum
+      assert(mean === (sv * 1000 / n).toLong, s"dim $dim mean")
+      assert(varM === ((BigInt(n) * qv - sv * sv) /
+        (BigInt(n) * (n - 1))).toLong, s"dim $dim variance")
+      assert(mn === vms.min && mx === vms.max)
+    }
+    // unit vectors in 64-d: per-dim variance clusters near the
+    // isotropy line 10^6/64 ≈ 15625 milli² — no dead or dominating
+    // dimension on this corpus (what the audit exists to catch)
+    for ((dim, _, _, varM, _, _) <- rows)
+      assert(varM > 15625 / 4 && varM < 15625 * 4,
+        s"dim $dim variance $varM far off the isotropy line")
+  }
 }
