@@ -3251,7 +3251,84 @@ object Analytics {
           f.threshold_band = best.best_band AS chosen
         FROM f CROSS JOIN best"""
 
+  // ------------------------------------------------------------ q297
+
+  /** q297 — MAXIMUM DRAWDOWN per nation (the sequential risk
+    * statistic a mean or variance cannot see: two revenue series with
+    * identical moments differ completely in how far and how long they
+    * fall from their running peak — the number capacity planning and
+    * finance both call "worst case to date"): over q252's weekly
+    * revenue census, the cumulative series' running maximum and the
+    * maximum peak-to-trough decline max_t(runmax_t − cum_t), plus the
+    * week index where the trough hits (earliest on ties) — all exact
+    * integers on the time-domain frame. A cumulative-revenue series
+    * is non-decreasing, so the operator runs on the WEEKLY NET series
+    * relative to its own mean (revenue − nation mean per week): the
+    * demeaned walk is the standard "relative drawdown" form that
+    * makes under-performance streaks visible.
+    *
+    * Scale shape: the (nation, week) census map-side; cumsum, running
+    * max, and the argmax all ride the ≤345-row per-nation frame (one
+    * nation-keyed exchange). */
+  def q297MaxDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val wk = t(s, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"),
+        date_trunc("week", col("o_orderdate")).as("w"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("c"))
+    val mean = wk.groupBy("nationkey")
+      .agg(expr("sum(c) div count(1)").as("mu"),
+        count(lit(1)).as("n_weeks"))
+    val ww = Window.partitionBy("nationkey").orderBy("w")
+    val cum = wk.join(broadcast(mean), "nationkey")
+      .withColumn("rn", row_number().over(ww).cast("bigint"))
+      .withColumn("cum", sum(expr("c - mu")).over(
+        ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("runmax", max("cum").over(
+        ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dd", col("runmax") - col("cum"))
+    cum
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("nationkey")
+          .orderBy(col("dd").desc, col("rn"))))
+      .filter(col("rk") === 1)
+      .select(col("nationkey"), col("n_weeks"),
+        col("dd").as("max_drawdown_cents"),
+        col("rn").as("trough_week"))
+  }
+
+  private def q297OracleSql: String =
+    """WITH wk AS (SELECT c_nationkey AS n,
+          date_trunc('week', o_orderdate) AS w,
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS c
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+        mean AS (SELECT n, CAST(sum(c) // count(*) AS BIGINT) AS mu,
+            CAST(count(*) AS BIGINT) AS n_weeks
+          FROM wk GROUP BY n),
+        cum AS (SELECT wk.n, mean.n_weeks,
+            CAST(row_number() OVER (PARTITION BY wk.n ORDER BY wk.w)
+              AS BIGINT) AS rn,
+            CAST(sum(wk.c - mean.mu) OVER (PARTITION BY wk.n
+              ORDER BY wk.w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS cum
+          FROM wk JOIN mean ON wk.n = mean.n),
+        dd AS (SELECT n, n_weeks, rn,
+            CAST(max(cum) OVER (PARTITION BY n ORDER BY rn
+              ROWS UNBOUNDED PRECEDING) - cum AS BIGINT) AS dd
+          FROM cum)
+        SELECT n AS nationkey, n_weeks, dd AS max_drawdown_cents,
+          rn AS trough_week
+        FROM (SELECT dd.*, row_number() OVER (PARTITION BY n
+            ORDER BY dd DESC, rn) AS rk FROM dd) z
+        WHERE rk = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_max_drawdown" -> (q297MaxDrawdown _),
     "q286_rfm_features" -> (q286RfmFeatures _),
     "q287_f1_optimizer" -> (q287F1Optimizer _),
     "q281_bootstrap_diff" -> (q281BootstrapDiff _),
@@ -3305,6 +3382,7 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q297_max_drawdown" -> q297OracleSql,
     "q286_rfm_features" -> q286OracleSql,
     "q287_f1_optimizer" -> q287OracleSql,
     "q281_bootstrap_diff" -> q281OracleSql,

@@ -352,8 +352,50 @@ object Core {
         FROM $tbl"""
     }.mkString("\n UNION ALL\n ")
 
+  /** q296 — DATE-DIMENSION BUILD (the calendar spine every warehouse
+    * keeps next to its facts: day-grain attributes — ISO weekday,
+    * week, month, quarter, month-end flag — precomputed once so
+    * every seasonal/fiscal query joins instead of re-deriving
+    * calendar math, and so the calendar LOGIC itself sits under the
+    * differential where the engines' dayofweek/week conventions
+    * notoriously disagree; q196 already normalizes one such
+    * divergence by hand — this table is where that normalization
+    * lives at scale): one row per day spanning the orders table,
+    * generated from the data's own min/max (replay-stable), weekday
+    * normalized to the 0=Sunday convention.
+    *
+    * Scale shape: a 1-row min/max aggregate exploded into the
+    * ~2500-day spine — domain-sized by construction; built once,
+    * broadcast everywhere. */
+  def q296DateDim(s: SparkSession, dir: String): DataFrame = {
+    val span = t(s, dir, "orders")
+      .agg(min(col("o_orderdate").cast("date")).as("d0"),
+        max(col("o_orderdate").cast("date")).as("d1"))
+    span.select(explode(expr("sequence(d0, d1, interval 1 day)"))
+        .as("day"))
+      .select(col("day"),
+        expr("CAST(dayofweek(day) - 1 AS BIGINT)").as("dow"),
+        expr("CAST(weekofyear(day) AS BIGINT)").as("iso_week"),
+        expr("CAST(month(day) AS BIGINT)").as("month"),
+        expr("CAST(quarter(day) AS BIGINT)").as("quarter"),
+        (col("day") === last_day(col("day"))).as("is_month_end"))
+  }
+
+  private def q296OracleSql: String =
+    """WITH span AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+          CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+        days AS (SELECT CAST(unnest(generate_series(d0, d1,
+          INTERVAL 1 DAY)) AS DATE) AS day FROM span)
+        SELECT day, CAST(dayofweek(day) AS BIGINT) AS dow,
+          CAST(weekofyear(day) AS BIGINT) AS iso_week,
+          CAST(month(day) AS BIGINT) AS month,
+          CAST(quarter(day) AS BIGINT) AS quarter,
+          day = last_day(day) AS is_month_end
+        FROM days"""
+
   /** Declared query map for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_date_dim" -> (q296DateDim _),
     "q294_analyze_stats" -> (q294AnalyzeStats _),
     "q291_csv_roundtrip" -> (q291CsvRoundtrip _),
     "q271_partitioned_write" -> (q271PartitionedWrite _),
@@ -378,6 +420,7 @@ object Core {
 
   /** DuckDB oracles (ANSI SQL over the same parquet tables). */
   val oracleSql: Map[String, String] = Map(
+    "q296_date_dim" -> q296OracleSql,
     "q294_analyze_stats" -> q294OracleSql,
     "q291_csv_roundtrip" -> q291OracleSql,
     "q271_partitioned_write" -> q271OracleSql,

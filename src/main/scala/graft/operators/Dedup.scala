@@ -1525,7 +1525,51 @@ object Dedup {
         FROM p"""
   }
 
+  // ----------------------------------------------------------- q295
+
+  /** q295 — LSH CANDIDATE TRIAGE by band-agreement strength (the
+    * verification-order scheduler between q30's candidate generation
+    * and q87's exact verify: a pair colliding on 3–4 of the 4 bands
+    * is a near-certain duplicate, a 1-band pair is mostly a hash
+    * accident — verifying strongest-first front-loads the recall and
+    * lets a budgeted pass stop early with most of the dups in hand):
+    * every q30 candidate pair with the NUMBER of bands it collides
+    * on, rolled up as the (n_bands → pair count) census — the triage
+    * table the verify scheduler consumes.
+    *
+    * Scale shape: the same hot-bucket-safe band equi-join as q30, but
+    * aggregated per pair (one extra map-side-combinable groupBy)
+    * before the 4-row census; pair volume is q30's audited-linear
+    * collision volume, never all-pairs. */
+  def q295CandidateTriage(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val banded = bandedSignatures(plantedDocs(s, dir))
+    val x = banded.as("x")
+    val y = banded.as("y")
+    x.join(y,
+        col("x.band") === col("y.band") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_id_1"),
+        col("y.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_bands"))
+      .groupBy("n_bands")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private def q295OracleSql: String =
+    s"""WITH ${lshCtes(plantedSql)},
+        pb AS (SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+            CAST(count(*) AS BIGINT) AS n_bands
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bkey = y.bkey
+           AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT n_bands, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pb GROUP BY n_bands"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q295_candidate_triage" -> (q295CandidateTriage _),
     "q284_minhash_accuracy" -> (q284MinhashAccuracy _),
     "q269_lsh_curve" -> (q269LshCurve _),
     "q224_split_leakage" -> (q224SplitLeakage _),
@@ -1547,6 +1591,7 @@ object Dedup {
     "q87_verify_candidates" -> (q87VerifyCandidates _))
 
   val oracleSql: Map[String, String] = Map(
+    "q295_candidate_triage" -> q295OracleSql,
     "q284_minhash_accuracy" -> q284OracleSql,
     "q269_lsh_curve" -> q269OracleSql,
     "q224_split_leakage" -> q224OracleSql,

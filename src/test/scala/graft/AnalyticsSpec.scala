@@ -1070,4 +1070,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.filter(_._5 == best._5).map(_._1).min === best._1,
       "F1 ties must break toward the smaller band")
   }
+
+  test("q297 drawdowns replay a sequential walk over the demeaned " +
+    "weekly series per nation") {
+    val rows = Analytics.q297MaxDrawdown(spark, sf1).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val census = graft.sources.Tables.load(spark, sf1, "orders")
+      .join(graft.sources.Tables.load(spark, sf1, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("n"),
+        date_trunc("week", col("o_orderdate")).as("w"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.keySet === census.keySet)
+    for ((nat, es) <- census) {
+      val xs = es.sortBy(_._2).map(_._3)
+      val mu = xs.sum / xs.length
+      var (cum, runmax, bestDd, bestWeek) = (0L, Long.MinValue, -1L, 0L)
+      for ((x, i) <- xs.zipWithIndex) {
+        cum += x - mu
+        if (cum > runmax) runmax = cum
+        val dd = runmax - cum
+        if (dd > bestDd) { bestDd = dd; bestWeek = i + 1L }
+      }
+      val (nw, mdd, tw) = rows(nat)
+      assert(nw === xs.length.toLong)
+      assert(mdd === bestDd, s"nation $nat drawdown diverged")
+      assert(tw === bestWeek, s"nation $nat trough week diverged")
+      assert(mdd >= 0L)
+    }
+  }
 }

@@ -103,6 +103,33 @@ class CoreSpec extends SparkSpec {
     assert(Core.q01FullScan(spark, sf1).limit(5).count() === 5L)
   }
 
+  test("q296 the date spine is gapless over the orders span with a " +
+    "consistent weekday cycle and correct month-end flags") {
+    import org.apache.spark.sql.functions._
+    val rows = Core.q296DateDim(spark, sf1).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .sortBy(_._1.toEpochDay)
+    val span = graft.sources.Tables.load(spark, sf1, "orders")
+      .agg(min(col("o_orderdate").cast("date")),
+        max(col("o_orderdate").cast("date"))).head()
+    val (d0, d1) = (span.getDate(0).toLocalDate,
+      span.getDate(1).toLocalDate)
+    assert(rows.head._1 === d0 && rows.last._1 === d1)
+    assert(rows.length.toLong ===
+      java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1,
+      "spine has gaps or duplicates")
+    // weekday cycles mod 7 along consecutive days
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert((a._2 + 1) % 7 === b._2, s"dow broke at ${b._1}")
+    }
+    for ((d, _, _, m, q, me) <- rows.take(400)) {
+      assert(m === d.getMonthValue.toLong)
+      assert(q === ((d.getMonthValue - 1) / 3 + 1).toLong)
+      assert(me === (d.getDayOfMonth == d.lengthOfMonth), s"$d")
+    }
+  }
+
   test("q294 catalog stats replay independent per-column aggregates") {
     import org.apache.spark.sql.functions._
     val rows = Core.q294AnalyzeStats(spark, sf1).collect()

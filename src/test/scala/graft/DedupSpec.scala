@@ -353,4 +353,19 @@ class DedupSpec extends SparkSpec {
     assert(meanErr < 62500L,
       s"mean estimator error $meanErr ppm — worse than one sixteenth")
   }
+
+  test("q295 triage census partitions exactly the q30 candidate set " +
+    "and strength increases toward full-band agreement") {
+    val rows = Dedup.q295CandidateTriage(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.forall(r => r._1 >= 1 && r._1 <= 4))
+    spark.catalog.clearCache()
+    val candidates = Dedup.q30DedupMinhashLsh(spark, sf1).count()
+    assert(rows.map(_._2).sum === candidates,
+      "strength census must partition the candidate pair set")
+    // planted near-dups dominate: the 4-band bucket must be the
+    // largest single group on this corpus
+    assert(rows.maxBy(_._2)._1 === 4L,
+      "full-band agreement is not the modal group — triage inverted")
+  }
 }
