@@ -3327,7 +3327,88 @@ object Analytics {
             ORDER BY dd DESC, rn) AS rk FROM dd) z
         WHERE rk = 1"""
 
+  // ------------------------------------------------------------ q298
+
+  /** q298 — WEEKDAY REVENUE PROFILE (q296's calendar convention put
+    * to work on the money axis: the day-of-week mix every staffing
+    * and cache-warmup plan reads, with the share in exact ppm so the
+    * profile is comparable across corpora of any size; q196 profiles
+    * EVENT intensity by hour — this profiles ORDER revenue by the
+    * 0=Sunday weekday, the same normalized convention): per weekday
+    * the order count, exact revenue cents, and both shares in ppm.
+    *
+    * Scale shape: one corpus scan collapsing map-side to a 7-row
+    * census + a broadcast 1-row total. */
+  def q298WeekdayRevenue(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "orders")
+      .select(expr("CAST(dayofweek(o_orderdate) - 1 AS BIGINT)")
+        .as("dow"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
+    val tot = census.agg(sum("n_orders").as("tn"),
+      sum("rev_cents").as("tr"))
+    census.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_orders"), col("rev_cents"),
+        expr("n_orders * 1000000 div tn").as("order_share_ppm"),
+        expr("""CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000
+             div tr AS BIGINT)""").as("rev_share_ppm"))
+  }
+
+  private def q298OracleSql: String =
+    """WITH census AS (SELECT CAST(dayofweek(o_orderdate) AS BIGINT)
+          AS dow,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tn,
+            CAST(sum(rev_cents) AS BIGINT) AS tr FROM census)
+        SELECT dow, n_orders, rev_cents,
+          n_orders * 1000000 // tn AS order_share_ppm,
+          CAST(CAST(rev_cents AS HUGEINT) * 1000000 // tr AS BIGINT)
+            AS rev_share_ppm
+        FROM census CROSS JOIN tot"""
+
+  // ------------------------------------------------------------ q299
+
+  /** q299 — QUANTITY → DISCOUNT PRICING PROFILE (the volume-discount
+    * readout a pricing team checks its rule book against: does the
+    * discount actually rise with quantity, and what does a line of
+    * each size carry on average — the elasticity surface in census
+    * form): per whole-unit quantity band, the line count, mean
+    * discount in exact ppm of list price (Σ discount-cents·10⁶ div
+    * Σ 1, both exact integers — discount is a fraction, scaled ×10⁴
+    * to basis points then averaged exactly), and mean extended price
+    * cents.
+    *
+    * Scale shape: one lineitem scan collapsing map-side to the
+    * ≤|quantities| census; all ratios in-row on the census. */
+  def q299QuantityDiscount(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .select(expr("CAST(floor(l_quantity) AS BIGINT)").as("qty"),
+        expr("CAST(floor(l_discount * 10000) AS BIGINT)").as("disc_bp"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+          .as("price_cents"))
+      .groupBy("qty")
+      .agg(count(lit(1)).as("n_lines"),
+        expr("sum(disc_bp) * 100 div count(1)").as("mean_disc_ppm"),
+        expr("""CAST(CAST(sum(price_cents) AS DECIMAL(38,0))
+             div count(1) AS BIGINT)""").as("mean_price_cents"))
+  }
+
+  private def q299OracleSql: String =
+    """SELECT CAST(floor(l_quantity) AS BIGINT) AS qty,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_discount * 10000) AS BIGINT)) * 100
+         // count(*) AS BIGINT) AS mean_disc_ppm,
+       CAST(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+         AS HUGEINT) // count(*) AS BIGINT) AS mean_price_cents
+       FROM lineitem GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_weekday_revenue" -> (q298WeekdayRevenue _),
+    "q299_quantity_discount" -> (q299QuantityDiscount _),
     "q297_max_drawdown" -> (q297MaxDrawdown _),
     "q286_rfm_features" -> (q286RfmFeatures _),
     "q287_f1_optimizer" -> (q287F1Optimizer _),
@@ -3382,6 +3463,8 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q298_weekday_revenue" -> q298OracleSql,
+    "q299_quantity_discount" -> q299OracleSql,
     "q297_max_drawdown" -> q297OracleSql,
     "q286_rfm_features" -> q286OracleSql,
     "q287_f1_optimizer" -> q287OracleSql,

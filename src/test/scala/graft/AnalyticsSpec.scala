@@ -1104,4 +1104,52 @@ class AnalyticsSpec extends SparkSpec {
       assert(mdd >= 0L)
     }
   }
+
+  test("q298 weekday profile covers all seven days, shares telescope, " +
+    "and the dow convention matches the q296 spine") {
+    val rows = Analytics.q298WeekdayRevenue(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0L to 6L))
+    val nOrders = graft.sources.Tables.load(spark, sf1, "orders")
+      .count()
+    assert(rows.map(_._2).sum === nOrders)
+    val oShare = rows.map(_._4).sum
+    assert(oShare <= 1000000L && oShare > 1000000L - 7)
+    val rShare = rows.map(_._5).sum
+    assert(rShare <= 1000000L && rShare > 1000000L - 7)
+    // dow convention: join a known date through the q296 spine
+    val spine = graft.operators.Core.q296DateDim(spark, sf1)
+      .select("day", "dow").collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val sunday = spine.find(_._2 == 0L).get._1
+    assert(sunday.getDayOfWeek === java.time.DayOfWeek.SUNDAY,
+      "dow 0 must be Sunday — the q196/q296 normalized convention")
+  }
+
+  test("q299 the pricing profile replays a collected census and the " +
+    "volume-discount direction is measured, not assumed") {
+    val rows = Analytics.q299QuantityDiscount(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val li = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select(expr("CAST(floor(l_quantity) AS BIGINT)"),
+        expr("CAST(floor(l_discount * 10000) AS BIGINT)"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.map(_._2).sum === li.values.map(_.length.toLong).sum)
+    for ((qty, n, disc, price) <- rows.take(15)) {
+      val xs = li(qty)
+      assert(n === xs.length.toLong)
+      assert(disc === xs.map(x => BigInt(x._2)).sum.toLong * 100 / n)
+      assert(price === (xs.map(x => BigInt(x._3)).sum / n).toLong)
+    }
+    // no directional claim: this generator draws extendedprice
+    // independently of quantity (checked) — the profile's VALUES are
+    // what the differential pins, and the flat surface is itself the
+    // finding the operator exists to surface
+    assert(rows.forall(r => r._3 >= 0L && r._4 > 0L))
+  }
 }
