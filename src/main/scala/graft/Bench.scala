@@ -60,20 +60,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // One compact line PER QUERY first: the driver keeps only the stdout
-    // tail, and round 5 lost 55/116 per-query numbers when everything
-    // lived on a single giant line. Small lines survive tail-truncation
-    // (the newest lines win), and the full map is also written to a file.
-    results.foreach { case (k, v) =>
-      println(s"""{"query":"$k","sec":$v}""")
-    }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
     java.nio.file.Files.write(out,
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The headline line (the full per-query map) goes FIRST: the
+    // driver's parser reads the first JSON line of stdout, and round 8
+    // recorded parsed=null because the {"query":...} progress lines
+    // preceded it. The compact per-query lines still follow (they
+    // survive tail-truncation, round-5 lesson) and the full map is also
+    // written to bench_full.json.
     println(line)
+    results.foreach { case (k, v) =>
+      println(s"""{"query":"$k","sec":$v}""")
+    }
     spark.stop()
   }
 }

@@ -2519,8 +2519,13 @@ object Analytics {
         sum(when(!col("pre"), col("vc")).otherwise(0L)).as("y"))
       .withColumn("arm", col("user_id") % 2 === 1)
     val g = per.agg(count(lit(1)).as("n"), s38(col("x")).as("sx"),
-      s38(col("y")).as("sy"), s38(expr("x * x")).as("sxx"),
-      s38(expr("x * y")).as("sxy"), s38(expr("y * y")).as("syy"))
+      s38(col("y")).as("sy"),
+      // widen BEFORE multiplying (mirrors the oracle's CAST(x AS
+      // HUGEINT) * x): an int64-first product would wrap silently
+      // under non-ANSI Spark at scale factors where DuckDB stays exact
+      s38(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+      s38(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+      s38(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
       .select(col("n"),
         expr("CAST(sx * 1000000 div n AS BIGINT)").as("xbar_ppm"),
         expr("""CAST((n * sxy - sx * sy) * 1000000
@@ -2876,14 +2881,20 @@ object Analytics {
         expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("vc").as("sv"),
-        sum(expr("vc * vc")).as("qv"))
+        // widen BEFORE multiplying (q259 discipline: the oracle's
+        // HUGEINT-first product) so n·qv never wraps int64 silently
+        sum(expr("CAST(vc AS DECIMAL(38,0)) * vc")).as("qv"))
       .select(col("event_type"), col("n"),
         expr("sv * 1000000 div n").as("mean_ppm"),
-        expr("(n * qv - sv * sv) div (n * (n - 1))").as("var_cents2"),
+        // greatest(·,1) guards the singleton-type edge (n = 1) where
+        // Spark would NULL and DuckDB would raise (q181 convention)
+        expr("""(n * qv - CAST(sv AS DECIMAL(38,0)) * sv)
+             div greatest(n * (n - 1), 1)""").as("var_cents2"),
         expr(s"""CAST(floor($MdeZSum
              * sqrt(2.0 * ((n * CAST(qv AS DOUBLE)
                  - CAST(sv AS DOUBLE) * sv)
-               / (CAST(n AS DOUBLE) * (n - 1.0))) / (n div 2))
+               / (CAST(n AS DOUBLE) * greatest(n - 1.0, 1.0)))
+               / greatest(n div 2, 1))
              * 1000000) AS BIGINT)""").as("mde_fp"))
   }
 
@@ -2892,15 +2903,17 @@ object Analytics {
           CAST(count(*) AS BIGINT) AS n,
           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
             AS sv,
-          CAST(sum(CAST(floor(value * 100) AS BIGINT)
-             * CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS qv
+          CAST(sum(CAST(CAST(floor(value * 100) AS BIGINT) AS HUGEINT)
+             * CAST(floor(value * 100) AS BIGINT)) AS HUGEINT) AS qv
         FROM events GROUP BY event_type)
         SELECT event_type, n, sv * 1000000 // n AS mean_ppm,
-          (n * qv - sv * sv) // (n * (n - 1)) AS var_cents2,
+          CAST((n * qv - CAST(sv AS HUGEINT) * sv)
+            // greatest(n * (n - 1), 1) AS BIGINT) AS var_cents2,
           CAST(floor($MdeZSum
             * sqrt(2.0 * ((n * CAST(qv AS DOUBLE)
                 - CAST(sv AS DOUBLE) * sv)
-              / (CAST(n AS DOUBLE) * (n - 1.0))) / (n // 2))
+              / (CAST(n AS DOUBLE) * greatest(n - 1.0, 1.0)))
+              / greatest(n // 2, 1))
             * 1000000) AS BIGINT) AS mde_fp
         FROM g"""
 

@@ -291,7 +291,14 @@ object Core {
     val src = t(s, dir, "documents")
       .select("doc_id", "source", "lang", "n_chars", "text")
     src.write.mode("overwrite").option("header", "true").csv(out)
-    s.read.option("header", "true").schema(src.schema).csv(out)
+    // multiLine: a corpus text containing a newline is WRITTEN as a
+    // quoted multi-line field; without this option the line-splitting
+    // reader could not reassemble it and the round trip would break on
+    // valid input. Cost at scale: multiLine reads each FILE as one
+    // split — parallelism becomes #files, which the partitioned writer
+    // already provides, so nothing is lost here.
+    s.read.option("header", "true").option("multiLine", "true")
+      .schema(src.schema).csv(out)
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
         sum("n_chars").as("char_sum"),

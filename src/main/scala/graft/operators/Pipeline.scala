@@ -2060,8 +2060,12 @@ object Pipeline {
       .groupBy("source")
       .agg(count(lit(1)).as("nh"), sum("len").as("sl"),
         sum(expr("len * len")).as("ql"))
+    // greatest(·,1) guards the singleton stratum (nh = 1, where the
+    // numerator is identically 0): without it Spark's 0/0 → NaN flows
+    // to CAST(floor(NaN) AS BIGINT) = NULL while DuckDB raises on the
+    // cast — the q181/q259 guard convention, shared-text with oracle
     val sd = "sqrt((nh * CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) * sl)" +
-      " / (CAST(nh AS DOUBLE) * (nh - 1.0)))"
+      " / (CAST(nh AS DOUBLE) * greatest(nh - 1.0, 1.0)))"
     val w = stats
       .withColumn("weight", expr(s"CAST(floor(nh * $sd) AS BIGINT)"))
     val tot = w.agg(sum("weight").as("tw"), sum("nh").as("tn"))
@@ -2082,7 +2086,7 @@ object Pipeline {
 
   private def q292OracleSql: String = {
     val sd = "sqrt((nh * CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) * sl)" +
-      " / (CAST(nh AS DOUBLE) * (nh - 1.0)))"
+      " / (CAST(nh AS DOUBLE) * greatest(nh - 1.0, 1.0)))"
     s"""WITH stats AS (SELECT source,
           CAST(count(*) AS BIGINT) AS nh,
           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sl,

@@ -53,8 +53,13 @@ object Similarity {
     * crossJoin) exchanged a ×NumCentroids-expanded corpus because window
     * ranks can't partially aggregate — the canonical 100 TB scale-killer
     * (ScalePathSpec pins its absence). Shared by q29 and q76. */
-  private[graft] def assigned(e: DataFrame): DataFrame = {
-    e.crossJoin(broadcast(centroidRow(e)))
+  private[graft] def assigned(e: DataFrame): DataFrame =
+    assigned(e, NumCentroids)
+
+  /** Parameterized twin: k seed centroids instead of the fixed 16 —
+    * the hook the q127 k ∝ n deployment rule plugs into. */
+  private[graft] def assigned(e: DataFrame, k: Int): DataFrame = {
+    e.crossJoin(broadcast(centroidRow(e, k)))
       .select(col("vec_id"), col("ed"), col("nrm"),
         expr("centroid_argmax(ed, nrm, cents)").as("cent_id"))
   }
@@ -64,9 +69,12 @@ object Similarity {
     * (drivers clearCache between queries) — the cache is
     * O(#centroids·dims). Repeated calls build plan-identical frames, so
     * Spark's cache manager resolves them to the same cached relation. */
-  private[graft] def centroidRow(e: DataFrame): DataFrame = {
+  private[graft] def centroidRow(e: DataFrame): DataFrame =
+    centroidRow(e, NumCentroids)
+
+  private[graft] def centroidRow(e: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.registerAll(e.sparkSession)
-    e.filter(col("vec_id") < NumCentroids)
+    e.filter(col("vec_id") < k)
       .agg(array_sort(collect_list(struct(
         col("vec_id").as("cent_id"), col("ed").as("ced"),
         col("nrm").as("cnrm")))).as("cents"))
@@ -714,13 +722,35 @@ object Similarity {
     *
     * Scale shape: assignment is the zero-corpus-shuffle in-row
     * `centroid_argmax` (one broadcast centroid row); the ONLY shuffle
-    * is the self-join on cent_id, and pair volume is Σ|cell|² — bounded
-    * by growing #centroids with the corpus (√n cells keeps it linear),
-    * exactly the k-scaling SemDeDup prescribes. Nothing all-pairs, no
-    * window over the corpus; the final keeper/count aggregate
-    * partial-aggregates map-side on vec_id. */
+    * is the self-join on cent_id, and pair volume is Σ|cell|² — kept
+    * LINEAR by the k ∝ n rule, now CODE rather than prose: the no-arg
+    * entry point sizes the cell count as
+    * max(NumCentroids, n div SemDedupCellTarget), so expected cell
+    * population stays ~$SemDedupCellTarget and Σ|cell|² ≈
+    * n·SemDedupCellTarget/2 grows ∝ n (volume-audited per round in
+    * SCALING.md). The DIFFERENTIAL pins k = NumCentroids explicitly via
+    * the declared-query lambda — a test seed, not the deployment
+    * default — because the oracle's centroid CTE is k-literal. Nothing
+    * all-pairs, no window over the corpus; the final keeper/count
+    * aggregate partial-aggregates map-side on vec_id. */
   def q127Semdedup(s: SparkSession, dir: String): DataFrame = {
-    val assign = assigned(vectors(s, dir))
+    val e = vectors(s, dir)
+    q127Semdedup(s, dir, semdedupCells(e.count()))
+  }
+
+  /** k ∝ n: one seed centroid per SemDedupCellTarget vectors, floored
+    * at the legacy 16. The count() is one planning-statistic pre-job
+    * over the narrow (vec_id) projection. */
+  def semdedupCells(n: Long): Int =
+    math.max(NumCentroids.toLong, n / SemDedupCellTarget).toInt
+
+  /** Target expected cell population under k = n div target. */
+  val SemDedupCellTarget = 128L
+
+  /** Explicit-k twin (the differential's pinned test seed, and the
+    * deployment override). */
+  def q127Semdedup(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val assign = assigned(vectors(s, dir), k)
     val a = assign.as("a")
     val b = assign.as("b")
     a.join(b,
@@ -1390,11 +1420,13 @@ object Similarity {
         col("col").as("vm"))
       .groupBy("dim")
       .agg(count(lit(1)).as("n"), sum("vm").as("sv"),
-        sum(expr("vm * vm")).as("qv"),
+        // widened-first product + singleton guard: q259/q268 discipline
+        sum(expr("CAST(vm AS DECIMAL(38,0)) * vm")).as("qv"),
         min("vm").as("min_milli"), max("vm").as("max_milli"))
       .select(col("dim"), col("n"),
         expr("sv * 1000 div n").as("mean_micro"),
-        expr("(n * qv - sv * sv) div (n * (n - 1))").as("var_milli2"),
+        expr("""(n * qv - CAST(sv AS DECIMAL(38,0)) * sv)
+             div greatest(n * (n - 1), 1)""").as("var_milli2"),
         col("min_milli"), col("max_milli"))
   }
 
@@ -1406,12 +1438,13 @@ object Similarity {
           (SELECT unnest(range(1, 65)) AS dim) d),
         st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
             CAST(sum(vm) AS BIGINT) AS sv,
-            CAST(sum(vm * vm) AS BIGINT) AS qv,
+            CAST(sum(CAST(vm AS HUGEINT) * vm) AS HUGEINT) AS qv,
             CAST(min(vm) AS BIGINT) AS min_milli,
             CAST(max(vm) AS BIGINT) AS max_milli
           FROM c GROUP BY dim)
         SELECT dim, n, sv * 1000 // n AS mean_micro,
-          (n * qv - sv * sv) // (n * (n - 1)) AS var_milli2,
+          CAST((n * qv - CAST(sv AS HUGEINT) * sv)
+            // greatest(n * (n - 1), 1) AS BIGINT) AS var_milli2,
           min_milli, max_milli
         FROM st"""
 
@@ -1427,7 +1460,10 @@ object Similarity {
     "q215_mrr_eval" -> (q215MrrEval _),
     "q154_gram_matrix" -> (q154GramMatrix _),
     "q111_kmeans_refine" -> (q111KmeansRefine _),
-    "q127_semdedup" -> (q127Semdedup _),
+    // differential pins the fixed test-seed k explicitly (the no-arg
+    // operator applies the k ∝ n deployment rule)
+    "q127_semdedup" -> ((s: SparkSession, d: String) =>
+      q127Semdedup(s, d, NumCentroids)),
     "q128_rerank_ann" -> (q128RerankAnn _),
     "q133_mmr_select" -> (q133MmrSelect _),
     "q120_multiprobe_ann" -> (q120MultiprobeAnn _),

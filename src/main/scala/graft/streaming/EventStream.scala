@@ -845,10 +845,20 @@ object EventStream {
 
   /** Token-bucket replay shared by the stream operator and its tests:
     * events sorted by (second, event_id), whole-period refill
-    * (t − last) div 60 capped at 5, one token per allowed event; the
-    * bucket starts FULL at a user's first-ever event. Fractional
-    * accrual lost to the integer div is the declared semantics —
-    * mirrored exactly by the oracle's recursive CTE. */
+    * (t − last) div RateRefillS (12 h) capped at RateCap, one token per
+    * allowed event; the bucket starts FULL at a user's first-ever
+    * event. Fractional accrual lost to the integer div is the declared
+    * semantics — mirrored exactly by the oracle's recursive CTE.
+    *
+    * SINGLE-BATCH DRAINED-REPLAY ASSUMPTION: events are sorted only
+    * WITHIN each micro-batch invocation. The AvailableNow drain of the
+    * file source delivers the whole table in one micro-batch here (the
+    * spec asserts exactly one emission per user), which is what makes
+    * the per-invocation sort equal to the oracle's global order. If a
+    * deployment's source split a user's history across batches with an
+    * earlier-keyed event in a later batch, the replay would process it
+    * out of global order — such a source needs an event-time-watermark
+    * sort upstream of this operator. */
   def rateLimitStateful(ds: Dataset[Event]): Dataset[RateCounts] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
@@ -885,8 +895,9 @@ object EventStream {
     * state machine every ingest edge runs — bot throttling, API
     * quotas, crawler politeness — and the flatMapGroupsWithState
     * pattern that is NOT a sessionizer: q117 closes windows, this one
-    * meters a continuous budget): per user a 5-token bucket refilling
-    * one token per 60 s of event-time, one token per admitted event,
+    * meters a continuous budget): per user a RateCap-token bucket
+    * refilling one token per RateRefillS (12 h) of event-time (the
+    * calibration note above), one token per admitted event,
     * integer arithmetic only; declared output = per-user admitted and
     * denied totals over the drained replay, so the differential pins
     * every user's full decision sequence through its counts.
@@ -967,7 +978,13 @@ object EventStream {
     *
     * Scale shape: two longs of state per user; per-batch emissions
     * re-aggregate with max(stage) — the stage is monotone, so the
-    * merge is associative and late batches only raise it. */
+    * merge is associative and later batches only raise it. That
+    * monotone-merge claim covers REPEATED emissions, not reordering:
+    * like q267, events are sorted only within each micro-batch
+    * (single-batch drained-replay assumption, see rateLimitStateful),
+    * so an earlier-KEYED event arriving in a later batch would replay
+    * out of global order. The AvailableNow drain delivers one batch
+    * here and the spec pins one emission per user. */
   def q283StreamFunnel(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     val name = "q283_stream_funnel_mem"

@@ -830,4 +830,44 @@ class ScalePathSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"),
       s"no corpus-wide range sort may appear in the fusion plan:\n$plan")
   }
+
+  test("AQE demotion sentinel: the pinned plan shapes hold under " +
+    "adaptive execution ON and OFF") {
+    // The suite's other plan assertions run under the session default
+    // (AQE on). A Spark upgrade or config drift could silently replan
+    // the flagged queries under the OTHER setting — e.g. AQE's runtime
+    // join demotion replacing a pinned broadcast chain with sort-merge,
+    // or the no-AQE path re-introducing an exchange AQE used to elide.
+    // Re-assert the three load-bearing shapes under BOTH settings so a
+    // change fails loudly here instead of surfacing as a bench cliff.
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      for (aqe <- Seq("true", "false")) {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        // q12: dim chain stays broadcast, never sort-merge
+        val p12 = graft.operators.Core.q12MultiwayJoin(spark, sf1)
+          .queryExecution.executedPlan.toString
+        assert("BroadcastHashJoin".r.findAllIn(p12).size >= 3 &&
+          !p12.contains("SortMergeJoin"),
+          s"[aqe=$aqe] q12 dim chain demoted:\n$p12")
+        // q110: candidates pair only via key collisions
+        val p110 = graft.operators.Dedup
+          .q110ContainmentJoin(spark, sf1)
+          .queryExecution.executedPlan.toString
+        assert(!p110.contains("CartesianProduct") &&
+          !p110.contains("BroadcastNestedLoopJoin"),
+          s"[aqe=$aqe] q110 lost its equi-join shape:\n$p110")
+        spark.catalog.clearCache()
+        // q89: chunker stays a pure generator pass (zero exchanges)
+        val p89 = graft.operators.TextOps
+          .q89ChunkDocuments(spark, sf1)
+          .queryExecution.executedPlan.toString
+        assert(!p89.contains("Exchange"),
+          s"[aqe=$aqe] q89 chunking gained a shuffle:\n$p89")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", before)
+      spark.catalog.clearCache()
+    }
+  }
 }

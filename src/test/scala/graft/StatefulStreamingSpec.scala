@@ -218,12 +218,59 @@ class StatefulStreamingSpec extends SparkSpec {
     }
   }
 
+  test("q157 planted HOT BAND: the streamed LSH replay stays exact and " +
+    "complete under bucket skew (the q65-style skew case, streaming twin)") {
+    import spark.implicits._
+    // 40 IDENTICAL documents (identical minhash signatures → ONE band
+    // bucket holding all of them in every band — the boilerplate-crawl
+    // hot bucket) + 10 distinct docs. The q157 shape claim is that a
+    // b-row bucket flows as b×b join-output ROWS across tasks (never a
+    // per-bucket in-memory pair array), so a planted hot band must
+    // neither crash nor lose pairs.
+    val hotText = (1 to 20).map(i => s"w${i % 7}").mkString(" ")
+    val docs = (0L until 40L).map(i => (i, hotText)) ++
+      (100L until 110L).map(i =>
+        (i, s"unique$i " * 12 + s"tail$i"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q157-skew").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val streamed = EventStream.q157StreamLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // confluence under skew: lifetime streamed output == the full batch
+    // rebuild (q30) on the same corpus
+    val batch = graft.operators.Dedup.q30DedupMinhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch,
+      s"streamed/batch diverged under skew: only-streamed=" +
+        s"${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+    // the hot bucket really was hot: all C(40,2) identical-doc pairs
+    // must be present (identical signatures collide in every band)
+    val hotPairs = streamed.count { case (a, b) => a < 40 && b < 40 }
+    assert(hotPairs === 40 * 39 / 2,
+      s"expected the full identical-doc clique, got $hotPairs")
+    spark.catalog.clearCache()
+  }
+
   test("q267 streamed token-bucket decisions replay a batch-collected " +
     "scala model per user and both branches carry mass") {
     import org.apache.spark.sql.functions._
     val out = EventStream.q267StreamRateLimit(spark, sf1).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
         r.getLong(3)))).toMap
+    // single-batch drained-replay assumption: one emission per user in
+    // the raw memory sink means every user's whole history hit one
+    // flatMapGroupsWithState invocation (the per-invocation sort is
+    // then the global order the oracle replays)
+    val perBatch = spark.table("q267_stream_rate_limit_mem")
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    assert(perBatch.nonEmpty && perBatch.forall(_ == 1L),
+      "AvailableNow drain split users across micro-batches — the " +
+        "per-batch sort no longer equals the oracle's global order")
     val events = graft.sources.Tables.load(spark, sf1, "events")
       .select(col("user_id"), col("ts"), col("event_id")).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
@@ -261,6 +308,11 @@ class StatefulStreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val out = EventStream.q283StreamFunnel(spark, sf1).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // single-batch drained-replay assumption (see q267 case above)
+    val perBatch = spark.table("q283_stream_funnel_mem")
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    assert(perBatch.nonEmpty && perBatch.forall(_ == 1L),
+      "AvailableNow drain split users across micro-batches")
     val events = graft.sources.Tables.load(spark, sf1, "events")
       .select(col("user_id"), col("event_type"),
         (expr("unix_micros(ts) div 1000000") * 10000000L
