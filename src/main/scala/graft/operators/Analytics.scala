@@ -1849,14 +1849,40 @@ object Analytics {
     * all-pairs number is arithmetic n(n−1)/2, never materialized. */
   def q230BlockingEval(s: SparkSession, dir: String): DataFrame = {
     val names = t(s, dir, "supplier")
-      .select(col("s_name").as("w")).distinct()
+      .select(col("s_name").as("w")).distinct().cache()
+    q230BlockingEval(s, dir, names, q230SuffixLen(names.count()))
+  }
+
+  /** q230's key-geometry rule, in CODE (the q127 k ∝ n discipline
+    * applied to blocking): the suffix key's block count is
+    * 10^suffixLen on these digit-tailed names, so holding expected
+    * block population near [[BlockTarget]] needs
+    * suffixLen = ⌈log₁₀(n / target)⌉ — the "keys LENGTHEN with the
+    * corpus" prescription executable instead of prose. The DECLARED
+    * query pins suffixLen = 2 explicitly (the differential's test
+    * seed; lengthening the key changes the measured completeness,
+    * which is the operator's own output, not an implementation
+    * detail). One planning-statistic pre-job sizes n. */
+  def q230SuffixLen(n: Long): Int =
+    math.max(2, math.ceil(math.log10(
+      math.max(n, 1).toDouble / BlockTarget)).toInt)
+
+  /** Target expected block population for the suffix key. */
+  val BlockTarget = 10L
+
+  /** Geometry-parameterized core: suffix blocking key of `suffixLen`
+    * chars (pass A) + drop-last-char prefix key (pass B, block size
+    * bounded by the 10-digit alphabet independent of n). */
+  def q230BlockingEval(s: SparkSession, dir: String,
+      names: DataFrame, suffixLen: Int): DataFrame = {
     def pairsOn(key: Column): DataFrame = {
       val k = names.select(col("w"), key.as("bk"))
       k.as("x").join(k.as("y"),
           col("x.bk") === col("y.bk") && col("x.w") < col("y.w"))
         .select(col("x.w").as("w1"), col("y.w").as("w2"))
     }
-    val cand = pairsOn(expr("substring(w, length(w) - 1, 2)"))
+    val cand = pairsOn(expr(
+        s"substring(w, length(w) - ${suffixLen - 1}, $suffixLen)"))
       .unionByName(pairsOn(expr("substring(w, 1, length(w) - 1)")))
       .distinct()
     val truth = q194TypoJoin(s, dir)
@@ -3441,7 +3467,14 @@ object Analytics {
     "q248_benford" -> (q248Benford _),
     "q242_wilson_rank" -> (q242WilsonRank _),
     "q240_bootstrap_ci" -> (q240BootstrapCi _),
-    "q230_blocking_eval" -> (q230BlockingEval _),
+    // differential pins the fixed 2-char suffix key explicitly (the
+    // no-arg operator applies the q230SuffixLen deployment rule;
+    // lengthened keys change the measured completeness, the operator's
+    // own subject, so the pin is a test seed)
+    "q230_blocking_eval" -> ((s: SparkSession, d: String) =>
+      q230BlockingEval(s, d,
+        t(s, d, "supplier").select(col("s_name").as("w")).distinct(),
+        2)),
     "q210_decision_stump" -> (q210DecisionStump _),
     "q211_rolling_wau" -> (q211RollingWau _),
     "q212_rare_collapse" -> (q212RareCollapse _),
