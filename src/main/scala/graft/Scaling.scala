@@ -67,7 +67,12 @@ object Scaling {
     "q256_theil_sen", "q257_ndcg_eval", "q269_lsh_curve",
     "q275_attribution_sweep", "q263_stratified_folds",
     "q264_kendall_tau", "q253_stream_quantile",
-    "q267_stream_rate_limit")
+    "q267_stream_rate_limit",
+    // round-9 additions: the chunk-corpus band join (q30's shape over
+    // ~2.3x rows) and the containment eval (NOTE: carries q110's exact
+    // truth join — its super-linear reading is the eval side's, by
+    // construction; the triage path alone is the q113 capped shape)
+    "q300_chunk_near_dup", "q301_containment_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",

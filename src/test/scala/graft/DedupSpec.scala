@@ -354,6 +354,28 @@ class DedupSpec extends SparkSpec {
       s"mean estimator error $meanErr ppm — worse than one sixteenth")
   }
 
+  test("q301 containment-triage eval: identities hold and recall stays " +
+    "high on the planted corpus") {
+    val r = Dedup.q301ContainmentEval(spark, sf1).collect()
+    assert(r.length === 1)
+    val (nT, nG, nC, rec, prec) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+    // eval identities: captured is an intersection; the ppm columns are
+    // exactly the declared integer algebra over the three counts
+    assert(nC <= math.min(nT, nG))
+    assert(rec === nC * 1000000L / math.max(nT, 1L))
+    assert(prec === nC * 1000000L / math.max(nG, 1L))
+    spark.catalog.clearCache()
+    // the winnowing guarantee makes planted excerpts the easy case:
+    // the triage must capture the large majority of exact truth at this
+    // SF (measured 96.9% at sf0.01; df-cap erosion is gradual, so a
+    // fall below 0.8 here means the triage or the cap regressed)
+    assert(nT > 0 && rec >= 800000L,
+      s"containment triage recall regressed: $rec ppm of $nT truth")
+    assert(prec >= 900000L,
+      s"containment triage precision regressed: $prec ppm of $nG triage")
+  }
+
   test("q295 triage census partitions exactly the q30 candidate set " +
     "and strength increases toward full-band agreement") {
     val rows = Dedup.q295CandidateTriage(spark, sf1).collect()
