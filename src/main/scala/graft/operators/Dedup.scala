@@ -1776,9 +1776,18 @@ object Dedup {
     * pipeline gets paragraph dedup without a second engine. */
   def q300ChunkNearDup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
+    chunkPairCensus(minhashCandidatePairs(
+      chunkPseudoDocs(plantedDocs(s, dir))))
+  }
+
+  /** q89's chunk geometry over ANY (doc_id, text) frame, each chunk a
+    * pseudo-document keyed doc_id·1024 + chunk_idx. Stateless generator
+    * expressions only, so it applies unchanged to a STREAMING frame
+    * (q302 chunks each micro-batch with this exact function). */
+  private[graft] def chunkPseudoDocs(docs: DataFrame): DataFrame = {
     val C = graft.operators.TextOps.ChunkSize
     val St = graft.operators.TextOps.ChunkStride
-    val chunks = plantedDocs(s, dir)
+    docs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("len", size(col("ws")))
       .withColumn("nchunks", expr(
@@ -1790,13 +1799,16 @@ object Dedup {
         .as(Seq("k", "ctext")))
       .select((col("doc_id") * 1024 + col("k")).as("doc_id"),
         col("ctext").as("text"))
-    minhashCandidatePairs(chunks)
+  }
+
+  /** Chunk-key pair frame → the q300 cross-document census. */
+  private[graft] def chunkPairCensus(pairs: DataFrame): DataFrame =
+    pairs
       .select(expr("doc_id_1 div 1024").as("doc_id_1"),
         expr("doc_id_2 div 1024").as("doc_id_2"))
       .filter(col("doc_id_1") =!= col("doc_id_2"))
       .groupBy("doc_id_1", "doc_id_2")
       .agg(count(lit(1)).as("n_chunk_collisions"))
-  }
 
   /** q300's chunk pseudo-corpus in oracle form: q89's chunk geometry
     * over the planted docs, one (ckey, text) row per chunk. */
@@ -1814,6 +1826,10 @@ object Dedup {
                 len(string_split(text, ' ')) AS len
               FROM ($plantedSql) pd) l) n) ch"""
   }
+
+  /** q300's oracle, shared with the streaming twin q302 (confluence:
+    * the streamed lifetime output equals the batch rebuild). */
+  private[graft] def q300OracleSql2: String = q300OracleSql
 
   private def q300OracleSql: String =
     s"""WITH ${lshCtes(q300ChunkSql)},

@@ -551,6 +551,66 @@ object EventStream {
     pairs.distinct()
   }
 
+  /** q302 — STREAMING CHUNK-LEVEL NEAR-DUP: q157's incremental LSH
+    * machinery applied to q300's chunk pseudo-corpus (the two round-9
+    * compositions stacked — paragraph-granularity dedup under
+    * continuous ingest, which is how a crawl pipeline actually meets
+    * the problem: yesterday's boilerplate paragraphs must be found in
+    * today's batch without rescanning the corpus). Each micro-batch's
+    * documents are chunked IN-BATCH (the chunker is stateless generator
+    * expressions, so a doc's chunks always ride the batch that carried
+    * the doc), banded once, self-joined for in-batch chunk pairs,
+    * joined against the accumulated chunk-band index for
+    * batch-vs-corpus pairs, and appended to the index. Same confluence
+    * argument as q157: every chunk pair is generated exactly when its
+    * later member arrives, so the lifetime output is batch-split
+    * independent and equals the full q300 rebuild — q300's census IS
+    * the DuckDB oracle, and the spec pins the in-engine equality.
+    *
+    * Scale shape: q157's — per batch, work = batch-bands self-join +
+    * one equi-join against the (at scale, bucketed) index on
+    * (band, bkey); the corpus is never rescanned; state = the banded
+    * chunk index, ~2.3 rows per document chunk band. */
+  def q302StreamChunkDedup(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.registerAll(s)
+    val D = graft.operators.Dedup
+    var index = Seq.empty[(Long, Int, String)]
+      .toDF("doc_id", "band", "bkey")
+    var pairs = Seq.empty[(Long, Long)].toDF("doc_id_1", "doc_id_2")
+    val docs = readDocs(s, dir).select("doc_id", "text")
+    val planted = docs.unionByName(docs.select(
+      (col("doc_id") + D.PlantedOffset).as("doc_id"),
+      expr("array_join(slice(split(text, ' '), 1, " +
+        "size(split(text, ' ')) - 1), ' ')").as("text")))
+    val chunks = D.chunkPseudoDocs(planted)
+    val q = chunks.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = D.bandedKeys(batch.toDF()).localCheckpoint(true)
+        val inBatch = b.as("x").join(b.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_id_1"),
+            col("y.doc_id").as("doc_id_2"))
+        val vsIndex = b.as("b").join(index.as("i"),
+            col("b.band") === col("i.band") &&
+              col("b.bkey") === col("i.bkey"))
+          .select(
+            least(col("b.doc_id"), col("i.doc_id")).as("doc_id_1"),
+            greatest(col("b.doc_id"), col("i.doc_id")).as("doc_id_2"))
+        pairs = pairs.unionByName(inBatch.unionByName(vsIndex))
+          .localCheckpoint(true)
+        index = index.unionByName(b).localCheckpoint(true)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    D.chunkPairCensus(pairs.distinct())
+  }
+
   /** q188 — the DECLARATIVE streaming sessionizer: `session_window`
     * aggregation under the Structured Streaming engine (the engine's
     * own merging-session state store), completing the sessionization
@@ -1058,6 +1118,7 @@ object EventStream {
 
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q302_stream_chunk_dedup" -> (q302StreamChunkDedup _),
     "q283_stream_funnel" -> (q283StreamFunnel _),
     "q267_stream_rate_limit" -> (q267StreamRateLimit _),
     "q253_stream_quantile" -> (q253StreamQuantile _),
@@ -1076,6 +1137,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q302_stream_chunk_dedup" -> graft.operators.Dedup.q300OracleSql2,
     "q283_stream_funnel" -> q283OracleSql,
     "q267_stream_rate_limit" -> q267OracleSql,
     "q253_stream_quantile" -> q253OracleSql,

@@ -256,6 +256,22 @@ class StatefulStreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q302 streamed chunk dedup equals the q300 batch rebuild " +
+    "(confluence at chunk granularity)") {
+    val streamed = EventStream.q302StreamChunkDedup(spark, sf1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    spark.catalog.clearCache()
+    val batch = graft.operators.Dedup.q300ChunkNearDup(spark, sf1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(streamed === batch,
+      s"streamed/batch chunk census diverged: only-streamed=" +
+        s"${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+    assert(batch.nonEmpty, "census empty — planted chunk dupes missing")
+    spark.catalog.clearCache()
+  }
+
   test("q267 streamed token-bucket decisions replay a batch-collected " +
     "scala model per user and both branches carry mass") {
     import org.apache.spark.sql.functions._
