@@ -1009,8 +1009,6 @@ object Dedup {
     * that recall relation). */
   def q101SetSimJoin(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("edf"), col("h"))
     // one SET row per doc (shingles are array_distinct'd): the exploded
     // form exists only transiently for the edf census and the prefix
     // rank; verification is an in-row set intersect against this frame,
@@ -1022,6 +1020,22 @@ object Dedup {
       .filter(size(col("sw_w")) >= ShingleN)
       .select(col("doc_id"), expr(sparkShingleHashes).as("hsd"))
       .cache()
+    setSimJoinExact(hs, 9, 10)
+  }
+
+  /** Library API: EXACT set-similarity self-join at ANY rational
+    * threshold τ = p/q over a per-doc SET frame (doc_id, hsd) — the
+    * τ-parameterized core of q101 (which runs it at 9/10 over the
+    * planted shingle sets). All filter arithmetic generalizes with τ:
+    * prefix length len − ⌈τ·len⌉ + 1, length filter min·q ≥ max·p,
+    * positional requirement overlap·(p+q) ≥ p·(c1+c2) (from
+    * inter·q ≥ p·union with union = c1+c2−inter). PropertySpec pins
+    * the whole stack against a brute-force model across thresholds —
+    * the executable form of the completeness argument below. */
+  def setSimJoinExact(hs: DataFrame, p: Int, q: Int): DataFrame = {
+    require(p > 0 && q > 0 && p <= q, s"threshold $p/$q not in (0,1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("edf"), col("h"))
     // len = size(hsd) travels with each exploded row — no census
     // aggregate, no count window, no counts join anywhere
     val sh = hs.select(col("doc_id"), size(col("hsd")).as("len"),
@@ -1029,8 +1043,9 @@ object Dedup {
     val edf = sh.groupBy("h").agg(count(lit(1)).as("edf"))
     val prefix = sh.join(edf, "h")
       .withColumn("rn", row_number().over(w))
-      // p = len - ceil(9·len/10) + 1, all-integer ceil
-      .filter(col("rn") <= col("len") - expr("(9 * len + 9) div 10") + 1)
+      // prefix length = len - ceil(p·len/q) + 1, all-integer ceil
+      .filter(col("rn") <=
+        col("len") - expr(s"($p * len + ${q - 1}) div $q") + 1)
       .select("doc_id", "h", "len", "rn")
       .cache()
     // PPJoin companion LENGTH filter: J(a,b) ≤ min/max, so τ=9/10 needs
@@ -1045,8 +1060,8 @@ object Dedup {
           col("len").as("c2"), col("rn").as("r2")),
         "h")
       .filter(col("doc_id_1") < col("doc_id_2") &&
-        least(col("c1"), col("c2")) * 10 >=
-          greatest(col("c1"), col("c2")) * 9 &&
+        least(col("c1"), col("c2")) * q >=
+          greatest(col("c1"), col("c2")) * p &&
         // PPJoin POSITIONAL filter, in-flight per collision: a token
         // colliding at positions (r1, r2) caps the overlap a pair built
         // FROM THIS COLLISION can still reach at 1 + min(c1−r1, c2−r2)
@@ -1061,7 +1076,7 @@ object Dedup {
         // HERE, inside the join's codegen stage, shrinks the pair
         // shuffle itself, not just the verify input.
         (lit(1) + least(col("c1") - col("r1"), col("c2") - col("r2")))
-          * 19 >= (col("c1") + col("c2")) * 9)
+          * (p + q) >= (col("c1") + col("c2")) * p)
     // Pair-level positional re-check at (min r1, min r2): for any
     // surviving similar pair those minima are attained at t* (t* is
     // minimal in both coordinates among surviving collisions), so the
@@ -1079,7 +1094,7 @@ object Dedup {
       .agg(min("r1").as("r1"), min("r2").as("r2"),
         first(col("c1")).as("c1"), first(col("c2")).as("c2"))
       .filter((lit(1) + least(col("c1") - col("r1"),
-        col("c2") - col("r2"))) * 19 >= (col("c1") + col("c2")) * 9)
+        col("c2") - col("r2"))) * (p + q) >= (col("c1") + col("c2")) * p)
       .select("doc_id_1", "doc_id_2")
     // exact verify IN-ROW: candidates (already bounded by prefix df)
     // join the per-doc set frame twice — tiny side broadcastable by AQE
@@ -1096,7 +1111,7 @@ object Dedup {
         (size(col("hsd1")) + size(col("hsd2")) -
           size(array_intersect(col("hsd1"), col("hsd2"))))
           .cast("bigint").as("n_union"))
-      .filter(col("n_inter") * 10 >= col("n_union") * 9)
+      .filter(col("n_inter") * q >= col("n_union") * p)
   }
 
   private def q101OracleSql: String =
@@ -1152,13 +1167,24 @@ object Dedup {
     * argument); every stage an equi-join. */
   def q110ContainmentJoin(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("edf"), col("h"))
     val hs = plantedDocs(s, dir)
       .withColumn("sw_w", split(col("text"), " "))
       .filter(size(col("sw_w")) >= ShingleN)
       .select(col("doc_id"), expr(sparkShingleHashes).as("hsd"))
       .cache()
+    containmentJoinExact(hs, 9, 10)
+  }
+
+  /** Library API: EXACT directed set-containment self-join at ANY
+    * rational threshold τ = p/q over a per-doc SET frame (doc_id, hsd)
+    * — q110's τ-parameterized core (q110 runs it at 9/10). Emits every
+    * ordered pair (a, b), a ≠ b, with |Sa ∩ Sb|·q ≥ p·|Sa|. Filter
+    * arithmetic generalizes like [[setSimJoinExact]]'s; PropertySpec
+    * pins the stack against a brute-force model across thresholds. */
+  def containmentJoinExact(hs: DataFrame, p: Int, q: Int): DataFrame = {
+    require(p > 0 && q > 0 && p <= q, s"threshold $p/$q not in (0,1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("edf"), col("h"))
     val sh = hs.select(col("doc_id"), size(col("hsd")).as("len"),
       explode(col("hsd")).as("h"))
     val edf = sh.groupBy("h").agg(count(lit(1)).as("edf"))
@@ -1169,7 +1195,8 @@ object Dedup {
       .select("doc_id", "h", "len", "rn")
       .cache()
     val prefix = ranked
-      .filter(col("rn") <= col("len") - expr("(9 * len + 9) div 10") + 1)
+      .filter(col("rn") <=
+        col("len") - expr(s"($p * len + ${q - 1}) div $q") + 1)
     // PEL index-prefix bound on the PROBED side: for any valid pair the
     // globally-first common token t* sits within b's first
     // c2 − ⌈0.9·c1⌉ + 1 positions (all ≥ ⌈0.9·c1⌉ common tokens follow
@@ -1186,7 +1213,8 @@ object Dedup {
     // hs cache both join sides reuse.
     val lmin = hs.agg(min(size(col("hsd")))).head().getInt(0)
     val probeB = ranked
-      .filter(col("rn") <= col("len") - lit((9 * lmin + 9) / 10) + 1)
+      .filter(col("rn") <=
+        col("len") - lit((p * lmin + q - 1) / q) + 1)
       .select("doc_id", "h", "len", "rn")
     // q101's filter stack, one-sided (a-prefix × b-full collisions):
     // LENGTH — overlap ≤ |Sb|, so containment 10·overlap ≥ 9·|Sa| needs
@@ -1203,15 +1231,15 @@ object Dedup {
       .join(probeB.select(col("doc_id").as("doc_id_2"), col("h"),
         col("len").as("c2"), col("rn").as("r2")), "h")
       .filter(col("doc_id_1") =!= col("doc_id_2") &&
-        col("c2") * 10 >= col("c1") * 9 &&
+        col("c2") * q >= col("c1") * p &&
         (lit(1) + least(col("c1") - col("r1"), col("c2") - col("r2")))
-          * 10 >= col("c1") * 9)
+          * q >= col("c1") * p)
     val cand = coll
       .groupBy("doc_id_1", "doc_id_2")
       .agg(min("r1").as("r1"), min("r2").as("r2"),
         first(col("c1")).as("c1"), first(col("c2")).as("c2"))
       .filter((lit(1) + least(col("c1") - col("r1"),
-        col("c2") - col("r2"))) * 10 >= col("c1") * 9)
+        col("c2") - col("r2"))) * q >= col("c1") * p)
       .select("doc_id_1", "doc_id_2")
     cand
       .join(hs.select(col("doc_id").as("doc_id_1"), col("hsd").as("hsd1")),
@@ -1222,7 +1250,7 @@ object Dedup {
         size(array_intersect(col("hsd1"), col("hsd2")))
           .cast("bigint").as("n_inter"),
         size(col("hsd1")).cast("bigint").as("n_1"))
-      .filter(col("n_inter") * 10 >= col("n_1") * 9)
+      .filter(col("n_inter") * q >= col("n_1") * p)
   }
 
   private def q110OracleSql: String =

@@ -623,4 +623,39 @@ class PropertySpec extends SparkSpec {
       assert(varM > 15625 / 4 && varM < 15625 * 4,
         s"dim $dim variance $varM far off the isotropy line")
   }
+
+  test("τ-parameterized setsim/containment joins equal brute force " +
+       "across thresholds (the PPJoin filter-stack completeness pin)") {
+    import spark.implicits._
+    // small universe so collisions are dense: every filter in the stack
+    // (prefix, length, in-flight positional, pair-level positional at
+    // (min r1, min r2)) gets exercised with survivors AND casualties
+    val setGen = Gen.choose(1, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(1L, 40L)))
+      .map(_.distinct)
+    val fams = sample(setGen, 60).zipWithIndex
+      .map { case (s, i) => (i.toLong, s.toArray) }
+    val hs = fams.toDF("doc_id", "hsd")
+    for ((p, q) <- Seq((1, 2), (2, 3), (7, 10), (9, 10), (1, 1))) {
+      val got = graft.operators.Dedup.setSimJoinExact(hs, p, q)
+        .select(col("doc_id_1"), col("doc_id_2"))
+        .as[(Long, Long)].collect().toSet
+      val want = (for {
+        (i, a) <- fams; (j, b) <- fams if i < j
+        inter = a.toSet.intersect(b.toSet).size
+        uni = a.length + b.length - inter
+        if inter * q >= uni * p
+      } yield (i, j)).toSet
+      assert(got === want, s"setsim τ=$p/$q")
+      val gotC = graft.operators.Dedup.containmentJoinExact(hs, p, q)
+        .select(col("doc_id_1"), col("doc_id_2"))
+        .as[(Long, Long)].collect().toSet
+      val wantC = (for {
+        (i, a) <- fams; (j, b) <- fams if i != j
+        inter = a.toSet.intersect(b.toSet).size
+        if inter * q >= a.length * p
+      } yield (i, j)).toSet
+      assert(gotC === wantC, s"containment τ=$p/$q")
+    }
+  }
 }
