@@ -1,0 +1,360 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-9 statistics + entity-resolution surface: rank-based two-sample
+  * testing (Mann–Whitney), time-series autocorrelation, the TPC-H Q8-style
+  * market-share star join, and sorted-neighborhood blocking — declared with
+  * the same contract as [[Analytics]] (Spark impl + DuckDB oracle,
+  * deterministic multiset output, integer-exact arithmetic wherever a float
+  * fold would diverge across engines; doubles only as single shared-text
+  * expressions over exact integer operands, per the q242/q266 discipline).
+  */
+object Stats {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------ q303
+
+  /** q303 z numerator/denominator as ONE shared-text double expression
+    * over the exact integer sufficient stats {u2 = 2U, n1, n2, ties =
+    * Σ(t³−t)}: z = (U − n1·n2/2) / sqrt(n1·n2/12 · (N+1 − T/(N(N−1))))
+    * with N = n1+n2 — the normal approximation with the standard tie
+    * correction. Every operand is a bit-identical integer on both
+    * engines, so floor(z·10⁶) is deterministic cross-engine. */
+  private def mwZExpr: String =
+    s"""((CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2) / 2.0
+       / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+         * ((n1 + n2 + 1.0)
+            - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
+                                      * (n1 + n2 - 1.0)))))"""
+
+  /** q303 — MANN–WHITNEY U / WILCOXON RANK-SUM between purchase and
+    * click event values (the nonparametric sibling of q266's Welch t:
+    * heavy-tailed revenue-per-event data violates the t-test's
+    * normal-enough assumption badly in the tail, and the rank-sum test
+    * is the standard robust alternative an experimentation platform
+    * runs next to it). Values are ranked on the exact cents grid with
+    * midrank tie handling, carried as INTEGERS doubled (2·rank is
+    * integral even for .5 midranks): for a tie group of size m with cb
+    * items strictly below, 2·avgrank = 2·cb + m + 1. Emits n1, n2,
+    * u2 = 2·U_purchase, the tie term Σ(m³−m), and the tie-corrected
+    * normal z ×10⁶ through [[mwZExpr]].
+    *
+    * Scale shape: one hash aggregate to the distinct-cents frame, one
+    * ordered window OVER THAT FRAME (value-domain-bounded — the cents
+    * grid of an Exp(50) payload, ~10⁴ rows regardless of corpus size;
+    * the q168 distinct-value-frame convention), one scalar aggregate.
+    * The corpus is touched exactly once, map-side combined. */
+  def q303MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select((col("event_type") === "purchase").as("arm"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+    val grp = ev.groupBy("vc").agg(
+      sum(when(col("arm"), 1L).otherwise(0L)).as("na"),
+      count(lit(1)).as("m"))
+    val w = Window.orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grp
+      .withColumn("cb", coalesce(sum(col("m")).over(w), lit(0L)))
+    ranked.agg(
+      sum(col("na")).as("n1"),
+      sum(col("m") - col("na")).as("n2"),
+      sum(col("na") * (lit(2L) * col("cb") + col("m") + 1)).as("sr2"),
+      sum(expr("m * m * m - m")).as("ties"))
+      .select(col("n1"), col("n2"),
+        (col("sr2") - col("n1") * (col("n1") + 1)).as("u2"),
+        col("ties"))
+      .select(col("n1"), col("n2"), col("u2"), col("ties"),
+        expr(s"CAST(floor($mwZExpr * 1000000) AS BIGINT)").as("z_ppm"))
+  }
+
+  private def q303OracleSql: String =
+    s"""WITH ev AS (SELECT event_type = 'purchase' AS arm,
+          CAST(floor(value * 100) AS BIGINT) AS vc
+        FROM events WHERE event_type IN ('purchase', 'click')),
+        grp AS (SELECT vc,
+          CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(count(*) AS BIGINT) AS m FROM ev GROUP BY vc),
+        rk AS (SELECT *, CAST(coalesce(sum(m) OVER (ORDER BY vc
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cb FROM grp),
+        ag AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+          CAST(sum(m - na) AS BIGINT) AS n2,
+          CAST(sum(na * (2 * cb + m + 1)) AS BIGINT) AS sr2,
+          CAST(sum(m * m * m - m) AS BIGINT) AS ties FROM rk),
+        u AS (SELECT n1, n2, sr2 - n1 * (n1 + 1) AS u2, ties FROM ag)
+        SELECT n1, n2, u2, ties,
+          CAST(floor($mwZExpr * 1000000) AS BIGINT) AS z_ppm
+        FROM u"""
+
+  // ------------------------------------------------------------ q304
+
+  /** Autocorrelation lag range: 1..7 days (a week) over the generator's
+    * fixed 30-day event span. */
+  val AcfMaxLag = 7
+
+  /** q304 — AUTOCORRELATION FUNCTION of the daily event-count series at
+    * lags 1..7 (the seasonality detector upstream of q252's Holt
+    * smoothing and q265's seasonal decomposition: a spike at lag 7 says
+    * "weekly", a slow decay says "trend — difference first"; this is
+    * the statistic that DECIDES whether those models apply). Exact
+    * integer form: with n days and S = Σx, the n-scaled residual
+    * y_t = n·x_t − S is integral, and the lag-k products
+    * num_k = Σ_t y_t·y_{t+k} and den = Σ_t y_t² are emitted as exact
+    * BIGINTs — the consumer divides (acf_k = num_k/den) in whatever
+    * precision it wants; no float enters the differential. Magnitude:
+    * |y| ≤ n·max(x) ≈ 30·(corpus/30) = corpus, so den ≤ n·corpus² —
+    * BIGINT-safe through ~sf100; a larger corpus would widen to
+    * decimal(38,0) (q268 discipline).
+    *
+    * Scale shape: one map-side-combined daily aggregate (30 rows — the
+    * fixed event span), then lag joins on the 30-row frame. Corpus cost
+    * = one scan; everything after is O(days·lags). */
+  def q304Acf(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val g = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val y = daily.crossJoin(broadcast(g))
+      .select(col("day"), (col("n") * col("x") - col("sx")).as("y"))
+    val den = y.agg(sum(expr("y * y")).as("den"))
+    val lags = s.range(1, AcfMaxLag + 1L).select(col("id").as("lag"))
+    val pairs = y.crossJoin(broadcast(lags))
+      .select(col("lag"), col("y"),
+        date_add(col("day"), col("lag").cast("int")).as("day_k"))
+      .join(y.select(col("day").as("day_k"), col("y").as("y_k")), "day_k")
+    pairs.groupBy("lag")
+      .agg(sum(expr("y * y_k")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("num"), col("den"))
+  }
+
+  private def q304OracleSql: String =
+    s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx FROM daily),
+        y AS (SELECT day, n * x - sx AS y FROM daily CROSS JOIN g),
+        den AS (SELECT CAST(sum(y * y) AS BIGINT) AS den FROM y),
+        lags AS (SELECT CAST(x AS BIGINT) AS lag
+          FROM generate_series(1, $AcfMaxLag) AS t(x))
+        SELECT l.lag, CAST(sum(a.y * b.y) AS BIGINT) AS num, d.den
+        FROM y a CROSS JOIN lags l
+        JOIN y b ON b.day = a.day + CAST(l.lag AS INTEGER)
+        CROSS JOIN den d
+        GROUP BY l.lag, d.den"""
+
+  // ------------------------------------------------------------ q305
+
+  /** q305's focal brand (market-share numerator) and region scope. */
+  val ShareBrand = "Brand#7"
+  val ShareRegion = "ASIA"
+
+  /** q305 — MARKET SHARE (the TPC-H Q8 shape: a focal supplier-brand's
+    * revenue share within one region, per order year — the conditional-
+    * aggregation star join every BI deployment runs, and the classic
+    * join-ordering stress test: fact⋈fact⋈dims with the selective
+    * filter three hops from the fact table). Revenue is carried exactly
+    * as cents·bp: floor(price·100) · (10000 − floor(disc·10⁴)) — the
+    * q107 discipline — summed in decimal(38,0) (DuckDB: native int128)
+    * and released as BIGINT plus share_ppm = brand·10⁶ div total.
+    *
+    * Scale shape: lineitem⋈part and lineitem⋈orders are shuffle
+    * equi-joins on their keys (both sides fact-sized at 100 TB — no
+    * broadcast pretense); orders⋈customer shuffles on custkey;
+    * nation⋈region fold into one broadcast dim chain onto customer
+    * (q12's pattern). The region filter prunes BEFORE the fact join —
+    * customer keeps only ASIA rows, so the orders join's build side is
+    * pre-filtered. Final aggregate: |years| rows. */
+  def q305MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val reg = t(s, dir, "region")
+      .filter(col("r_name") === ShareRegion).select("r_regionkey")
+    val nat = t(s, dir, "nation")
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val cust = t(s, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val ord = t(s, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+    val part = t(s, dir, "part")
+      .select(col("p_partkey"), (col("p_brand") === ShareBrand).as("hit"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        (expr("CAST(floor(l_extendedprice * 100) AS BIGINT)") *
+          (lit(10000L) - expr("CAST(floor(l_discount * 10000) AS BIGINT)")))
+          .as("rev"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("yr")
+      .agg(
+        sum(when(col("hit"), col("rev")).otherwise(0L)
+          .cast("decimal(38,0)")).as("b38"),
+        sum(col("rev").cast("decimal(38,0)")).as("t38"))
+      .select(col("yr"),
+        col("b38").cast("bigint").as("brand_rev"),
+        col("t38").cast("bigint").as("total_rev"),
+        expr("CAST(b38 * 1000000 div t38 AS BIGINT)").as("share_ppm"))
+  }
+
+  private def q305OracleSql: String =
+    s"""WITH cust AS (SELECT c_custkey FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = '$ShareRegion'),
+        ord AS (SELECT o_orderkey, year(o_orderdate) AS yr
+          FROM orders JOIN cust ON o_custkey = c_custkey),
+        li AS (SELECT l_orderkey, l_partkey,
+          CAST(floor(l_extendedprice * 100) AS BIGINT)
+            * (10000 - CAST(floor(l_discount * 10000) AS BIGINT)) AS rev
+          FROM lineitem)
+        SELECT CAST(yr AS BIGINT) AS yr,
+          CAST(sum(CASE WHEN p_brand = '$ShareBrand' THEN rev
+            ELSE 0 END) AS BIGINT) AS brand_rev,
+          CAST(sum(rev) AS BIGINT) AS total_rev,
+          CAST(sum(CASE WHEN p_brand = '$ShareBrand' THEN rev
+              ELSE 0 END) * 1000000
+            // sum(rev) AS BIGINT) AS share_ppm
+        FROM li JOIN part ON l_partkey = p_partkey
+        JOIN ord ON l_orderkey = o_orderkey
+        GROUP BY yr"""
+
+  // ------------------------------------------------------------ q306
+
+  /** Sorted-neighborhood window: each record pairs with the next w
+    * records in blocking-key order (Hernández & Stolfo's classic ER
+    * parameter; pairs per corpus = n·w, linear by construction). */
+  val SnWindow = 4
+  /** Blocking-key text prefix length. */
+  val SnPrefixLen = 16
+
+  /** q306 — SORTED-NEIGHBORHOOD BLOCKING (the third classic entity-
+    * resolution candidate generator next to q230's key blocking and
+    * q30's LSH banding: sort the corpus by a blocking key — language,
+    * then a text prefix — and pair each record with its w successors.
+    * Where key blocking misses pairs that disagree on the key and LSH
+    * is probabilistic, sorted neighborhood catches prefix-adjacent
+    * near-matches DETERMINISTICALLY at exactly n·w candidates). Each
+    * candidate pair is released with its rank gap and its exact
+    * token-set Jaccard ×10⁴ (integer: inter·10⁴ div union over
+    * distinct-word sets) — the score a match-rule learner consumes.
+    *
+    * Scale shape: the global blocking-key order comes from the repo's
+    * canonical two-pass distributed rank (range-repartition + sort
+    * within partitions + O(partitions) collected offsets — the q221
+    * dense-id machinery generalized to string keys; no single-partition
+    * window anywhere). Neighbor pairing is an EQUI-join on rank+j with
+    * j ≤ w (explode of a w-literal), so the pair frame is n·w rows by
+    * construction; the Jaccard verify fetches each side's token set by
+    * doc_id equi-join. At 100 TB every stage is a bounded-fan-out
+    * shuffle — the operator the ER literature runs at exactly this
+    * scale. */
+  def q306SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws("|", col("lang"),
+          substring(col("text"), 1, SnPrefixLen),
+          lpad(col("doc_id").cast("string"), 12, "0")).as("skey"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      .cache()
+    // two-pass distributed rank over the STRING blocking key (q221's
+    // denseIds pattern; key is unique by the doc_id suffix, so the
+    // order — and the rank — is total and deterministic)
+    val parts = s.sessionState.conf.numShufflePartitions
+    val sorted = docs.select(col("skey"), col("doc_id"))
+      .repartitionByRange(parts, col("skey"))
+      .sortWithinPartitions("skey")
+      .withColumn("pid", spark_partition_id())
+      .as[(String, Long, Int)]
+      .localCheckpoint(true)
+    val counts = sorted.toDF().groupBy("pid")
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) =>
+      val r = (pid, acc); acc += c; r
+    }.toMap
+    val bc = s.sparkContext.broadcast(offsets)
+    val ranked = sorted.mapPartitions { it =>
+      var cur = -1
+      var i = 0L
+      it.map { case (_, id, pid) =>
+        if (pid != cur) { cur = pid; i = bc.value.getOrElse(pid, 0L) }
+        i += 1
+        (id, i)
+      }
+    }.toDF("doc_id", "rn")
+    val js = (1 to SnWindow).map(j => lit(j.toLong))
+    val pairs = ranked
+      .select(col("doc_id").as("doc_id_1"), col("rn"),
+        explode(array(js: _*)).as("gap"))
+      .select(col("doc_id_1"), col("gap"), (col("rn") + col("gap")).as("rn"))
+      .join(ranked.select(col("doc_id").as("doc_id_2"), col("rn")), "rn")
+    pairs
+      .join(docs.select(col("doc_id").as("doc_id_1"),
+        col("toks").as("t1")), "doc_id_1")
+      .join(docs.select(col("doc_id").as("doc_id_2"),
+        col("toks").as("t2")), "doc_id_2")
+      .select(col("doc_id_1"), col("doc_id_2"), col("gap"),
+        size(array_intersect(col("t1"), col("t2")))
+          .cast("bigint").as("n_inter"),
+        (size(col("t1")) + size(col("t2")) -
+          size(array_intersect(col("t1"), col("t2"))))
+          .cast("bigint").as("n_union"))
+      .select(col("doc_id_1"), col("doc_id_2"), col("gap"),
+        expr("n_inter * 10000 div n_union").as("jaccard_bp"))
+  }
+
+  private def q306OracleSql: String =
+    s"""WITH d AS (SELECT doc_id,
+          concat_ws('|', lang, substr(text, 1, $SnPrefixLen),
+            lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS skey
+        FROM documents),
+        r AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY skey) AS BIGINT) AS rn FROM d),
+        p AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+            b.rn - a.rn AS gap
+          FROM r a JOIN r b
+            ON b.rn > a.rn AND b.rn <= a.rn + $SnWindow),
+        tok AS (SELECT doc_id, w FROM (SELECT doc_id,
+            unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY doc_id, w),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+          FROM tok GROUP BY doc_id),
+        inter AS (SELECT p.doc_id_1, p.doc_id_2,
+            CAST(count(*) AS BIGINT) AS n_inter
+          FROM p JOIN tok a ON a.doc_id = p.doc_id_1
+          JOIN tok b ON b.doc_id = p.doc_id_2 AND b.w = a.w
+          GROUP BY 1, 2)
+        SELECT p.doc_id_1, p.doc_id_2, p.gap,
+          coalesce(i.n_inter, 0) * 10000
+            // (s1.n + s2.n - coalesce(i.n_inter, 0)) AS jaccard_bp
+        FROM p
+        LEFT JOIN inter i ON i.doc_id_1 = p.doc_id_1
+          AND i.doc_id_2 = p.doc_id_2
+        JOIN sz s1 ON s1.doc_id = p.doc_id_1
+        JOIN sz s2 ON s2.doc_id = p.doc_id_2"""
+
+  // ------------------------------------------------------------ maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q303_mann_whitney" -> (q303MannWhitney _),
+    "q304_acf" -> (q304Acf _),
+    "q305_market_share" -> (q305MarketShare _),
+    "q306_sorted_neighborhood" -> (q306SortedNeighborhood _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q303_mann_whitney" -> q303OracleSql,
+    "q304_acf" -> q304OracleSql,
+    "q305_market_share" -> q305OracleSql,
+    "q306_sorted_neighborhood" -> q306OracleSql)
+}
