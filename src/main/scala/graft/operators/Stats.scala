@@ -344,17 +344,287 @@ object Stats {
         JOIN sz s1 ON s1.doc_id = p.doc_id_1
         JOIN sz s2 ON s2.doc_id = p.doc_id_2"""
 
+  // ------------------------------------------------------------ q307
+
+  /** q307 reference window: the first `PsiSplitDays` days of the event
+    * span are the reference distribution; the rest is current. */
+  val PsiSplitDays = 15
+  /** Decile bins (9 interior edges from the reference distribution). */
+  val PsiBins = 10
+
+  /** q307's per-bin contribution as ONE shared-text double expression
+    * over the exact integer counts: (p − q)·ln(p/q) with p = ref
+    * share, q = current share, and the standard zero-count smoothing
+    * greatest(n, 1) applied IDENTICALLY on both engines (an empty bin
+    * otherwise sends ln to ±∞; the 1-count floor is the conventional
+    * PSI guard and changes nothing when every bin is populated, which
+    * the differential pins for this corpus). */
+  private def psiContribExpr: String =
+    s"""((CAST(greatest(n_ref, 1) AS DOUBLE) / nr
+        - CAST(greatest(n_cur, 1) AS DOUBLE) / nc)
+       * ln((CAST(greatest(n_ref, 1) AS DOUBLE) / nr)
+           / (CAST(greatest(n_cur, 1) AS DOUBLE) / nc)))"""
+
+  /** q307 — POPULATION STABILITY INDEX between the event stream's first
+    * and second half (the drift monitor scorecards run on every model
+    * input: PSI < 0.1 stable, 0.1–0.25 watch, > 0.25 retrain — the
+    * binned, asymmetry-free cousin of q132's KS and q229's TV distance,
+    * and the one with the industry-standard decile convention): decile
+    * edges are EXACT integer percentiles of the reference half on the
+    * cents grid (edge_f = min{v : cum(v) ≥ ⌈f·N/10⌉} — no interpolation,
+    * no approx sketch, deterministic cross-engine), bins are shared by
+    * both halves, and each bin releases its exact counts plus its PSI
+    * contribution ×10⁹ through [[psiContribExpr]].
+    *
+    * Scale shape: two map-side hash aggs to distinct-cents frames
+    * (value-domain-bounded, q303's convention), a 9-row edge frame from
+    * the cumulative window over that frame, broadcast bin assignment,
+    * and a ≤10-row census. The corpus is scanned once. */
+  def q307Psi(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    val sides = ev.crossJoin(broadcast(d0))
+      .select(col("vc"),
+        (col("day") < date_add(col("d0"), PsiSplitDays)).as("is_ref"))
+    val refg = sides.filter(col("is_ref"))
+      .groupBy("vc").agg(count(lit(1)).as("m"))
+    val w = Window.orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = refg.withColumn("cum", sum(col("m")).over(w))
+    val nrefF = refg.agg(sum("m").as("nr"))
+    val fs = s.range(1, PsiBins.toLong).select(col("id").as("f"))
+    // edge_f = the unique reference block whose cumulative range
+    // [cum - m + 1, cum] contains the threshold ceil(f*N/10)
+    val edges = cum.crossJoin(broadcast(nrefF))
+      .crossJoin(broadcast(fs))
+      .filter(col("cum") >= expr(s"(f * nr + ${PsiBins - 1}) div $PsiBins")
+        && col("cum") - col("m") <
+          expr(s"(f * nr + ${PsiBins - 1}) div $PsiBins"))
+      .select(col("f"), col("vc").as("edge"))
+    // bin(v) = 1 + |{f : v > edge_f}| — assigned on the distinct-value
+    // frame (union of both halves), then joined back to the counts
+    val allv = sides.select("vc").distinct()
+    val binMap = allv.crossJoin(broadcast(edges))
+      .groupBy("vc")
+      .agg(sum(when(col("vc") > col("edge"), 1L).otherwise(0L)).as("b0"))
+      .select(col("vc"), (col("b0") + 1).as("bin"))
+    val curg = sides.filter(!col("is_ref"))
+      .groupBy("vc").agg(count(lit(1)).as("mc"))
+    val joined = refg.withColumnRenamed("m", "mr")
+      .join(curg, Seq("vc"), "full_outer")
+      .join(binMap, "vc")
+      .groupBy("bin")
+      .agg(sum(coalesce(col("mr"), lit(0L))).as("n_ref"),
+        sum(coalesce(col("mc"), lit(0L))).as("n_cur"))
+    val totals = joined.agg(sum("n_ref").as("nr"), sum("n_cur").as("nc"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        expr(s"CAST(floor($psiContribExpr * 1000000000) AS BIGINT)")
+          .as("psi_ppb"))
+  }
+
+  private def q307OracleSql: String =
+    s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+        d0 AS (SELECT min(day) AS d0 FROM ev),
+        sides AS (SELECT vc,
+          day < d0 + CAST($PsiSplitDays AS INTEGER) AS is_ref
+          FROM ev CROSS JOIN d0),
+        refg AS (SELECT vc, CAST(count(*) AS BIGINT) AS m
+          FROM sides WHERE is_ref GROUP BY vc),
+        cum AS (SELECT vc, m, CAST(sum(m) OVER (ORDER BY vc
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum FROM refg),
+        nr0 AS (SELECT CAST(sum(m) AS BIGINT) AS nr FROM refg),
+        fs AS (SELECT CAST(x AS BIGINT) AS f
+          FROM generate_series(1, ${PsiBins - 1}) AS t(x)),
+        edges AS (SELECT f, vc AS edge FROM cum CROSS JOIN nr0
+          CROSS JOIN fs
+          WHERE cum >= (f * nr + ${PsiBins - 1}) // $PsiBins
+            AND cum - m < (f * nr + ${PsiBins - 1}) // $PsiBins),
+        allv AS (SELECT DISTINCT vc FROM sides),
+        binmap AS (SELECT vc, 1 + CAST(sum(CASE WHEN vc > edge
+            THEN 1 ELSE 0 END) AS BIGINT) AS bin
+          FROM allv CROSS JOIN edges GROUP BY vc),
+        curg AS (SELECT vc, CAST(count(*) AS BIGINT) AS mc
+          FROM sides WHERE NOT is_ref GROUP BY vc),
+        census AS (SELECT b.bin,
+          CAST(sum(coalesce(r.m, 0)) AS BIGINT) AS n_ref,
+          CAST(sum(coalesce(c.mc, 0)) AS BIGINT) AS n_cur
+          FROM binmap b
+          LEFT JOIN refg r ON r.vc = b.vc
+          LEFT JOIN curg c ON c.vc = b.vc
+          GROUP BY b.bin),
+        tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nr,
+          CAST(sum(n_cur) AS BIGINT) AS nc FROM census)
+        SELECT bin, n_ref, n_cur,
+          CAST(floor($psiContribExpr * 1000000000) AS BIGINT) AS psi_ppb
+        FROM census CROSS JOIN tot"""
+
+  // ------------------------------------------------------------ q308
+
+  /** Microseconds per day — the duration grid of the KM risk table. */
+  val UsPerDay = 86400000000L
+
+  /** q308 — KAPLAN–MEIER RISK TABLE for signup→purchase conversion (the
+    * survival-analysis primitive a growth team runs on activation
+    * delays: "what fraction has converted by day d", computed CORRECTLY
+    * under right-censoring — users whose window ended before they
+    * converted contribute risk-time up to the cut, not a fake
+    * non-conversion; naive conversion-by-day curves (q200) understate
+    * the tail exactly there). Per user: t0 = first signup, tp = first
+    * purchase AT OR AFTER t0; converted users yield an event at
+    * duration ⌊(tp−t0)/day⌋, the rest are censored at the observation
+    * end. Declared output is the day-grain risk table — n_risk (users
+    * whose duration ≥ d), n_event, n_censored per duration day — the
+    * exact integer sufficient statistics from which Ŝ(t) = Π(1 − d/n)
+    * follows by a 30-term product the consumer takes in whatever
+    * precision it wants (the q304 "release the integers" doctrine:
+    * a 30-fold float product would be the only cross-engine-unsafe
+    * step, so it is not declared).
+    *
+    * Scale shape: two user-keyed aggregates + one user equi-join (the
+    * corpus's only shuffles), then a census on the ≤|span-days| frame
+    * with the cumulative window over that DOMAIN-bounded frame. */
+  def q308KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("us").as("t0"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"))
+      .join(su, "user_id")
+      .filter(col("us") >= col("t0"))
+      .groupBy("user_id").agg(min("us").as("tp"))
+    val endF = ev.agg(max("us").as("te"))
+    val obs = su.join(firstP, Seq("user_id"), "left")
+      .crossJoin(broadcast(endF))
+      .select(
+        // integer floor division — a double `/` then cast could round a
+        // boundary quotient up where DuckDB's `//` floors it
+        when(col("tp").isNotNull, expr(s"(tp - t0) div $UsPerDay"))
+          .otherwise(expr(s"(te - t0) div $UsPerDay")).as("d"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("e"))
+    val census = obs.groupBy("d")
+      .agg(sum("e").as("n_event"),
+        sum(lit(1L) - col("e")).as("n_censored"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totalF = census
+      .agg(sum(col("n_event") + col("n_censored")).as("n_total"))
+    census
+      .withColumn("before",
+        coalesce(sum(col("n_event") + col("n_censored")).over(w), lit(0L)))
+      .crossJoin(broadcast(totalF))
+      .select(col("d"), (col("n_total") - col("before")).as("n_risk"),
+        col("n_event"), col("n_censored"))
+  }
+
+  private def q308OracleSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+          FROM events),
+        su AS (SELECT user_id, CAST(min(us) AS BIGINT) AS t0
+          FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+        fp AS (SELECT e.user_id, CAST(min(e.us) AS BIGINT) AS tp
+          FROM ev e JOIN su ON e.user_id = su.user_id
+          WHERE e.event_type = 'purchase' AND e.us >= su.t0
+          GROUP BY e.user_id),
+        te AS (SELECT CAST(max(us) AS BIGINT) AS te FROM ev),
+        obs AS (SELECT CASE WHEN fp.tp IS NOT NULL
+            THEN (fp.tp - su.t0) // $UsPerDay
+            ELSE (te.te - su.t0) // $UsPerDay END AS d,
+          CASE WHEN fp.tp IS NOT NULL THEN 1 ELSE 0 END AS e
+          FROM su LEFT JOIN fp ON su.user_id = fp.user_id CROSS JOIN te),
+        census AS (SELECT CAST(d AS BIGINT) AS d,
+          CAST(sum(e) AS BIGINT) AS n_event,
+          CAST(sum(1 - e) AS BIGINT) AS n_censored
+          FROM obs GROUP BY d),
+        tot AS (SELECT CAST(sum(n_event + n_censored) AS BIGINT)
+          AS n_total FROM census)
+        SELECT d, n_total - CAST(coalesce(sum(n_event + n_censored)
+            OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS BIGINT) AS n_risk,
+          n_event, n_censored
+        FROM census CROSS JOIN tot"""
+
+  // ------------------------------------------------------------ q309
+
+  /** q309's z statistic as ONE shared-text double expression over the
+    * exact integers {s, n, tt}: the Mann–Kendall normal approximation
+    * with continuity correction — z = (S∓1)/√Var, Var = [n(n−1)(2n+5)
+    * − Σ t(t−1)(2t+5)]/18 (tie-corrected). */
+  private def mkZExpr: String =
+    s"""((CASE WHEN s > 0 THEN CAST(s AS DOUBLE) - 1.0
+          WHEN s < 0 THEN CAST(s AS DOUBLE) + 1.0
+          ELSE 0.0 END)
+       / sqrt((CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0)
+          - CAST(tt AS DOUBLE)) / 18.0))"""
+
+  /** q309 — MANN–KENDALL TREND TEST on the daily event-count series
+    * (the nonparametric "is this metric actually trending" test a
+    * monitoring stack runs before it pages anyone: q304's ACF describes
+    * the correlation structure, this one DECIDES monotone trend, robust
+    * to the spikes that wreck a least-squares slope — and its slope
+    * companion is exactly q256's Theil–Sen): S = Σ_{i<j} sign(x_j−x_i)
+    * over day pairs, the tie term Σ t(t−1)(2t+5) over tied counts, and
+    * the continuity-corrected z ×10⁶ through [[mkZExpr]] — all from
+    * exact integers.
+    *
+    * Scale shape: one map-side daily census (the generator's fixed
+    * ≤31-day span), then an O(days²) pair join on that domain-bounded
+    * frame — ~450 sign evaluations regardless of corpus size. */
+  def q309MannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val pairs = daily.select(col("day").as("d1"), col("x").as("x1"))
+      .crossJoin(broadcast(daily.select(col("day").as("d2"),
+        col("x").as("x2"))))
+      .filter(col("d1") < col("d2"))
+    val sF = pairs.agg(sum(signum(col("x2") - col("x1"))
+      .cast("bigint")).as("s"))
+    val nF = daily.agg(count(lit(1)).as("n"))
+    val tiesF = daily.groupBy("x").agg(count(lit(1)).as("tc"))
+      .agg(sum(expr("tc * (tc - 1) * (2 * tc + 5)")).as("tt"))
+    sF.crossJoin(broadcast(nF)).crossJoin(broadcast(tiesF))
+      .select(col("n"), col("s"), col("tt"),
+        expr(s"CAST(floor($mkZExpr * 1000000) AS BIGINT)").as("z_ppm"))
+  }
+
+  private def q309OracleSql: String =
+    s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        sp AS (SELECT CAST(sum(sign(b.x - a.x)) AS BIGINT) AS s
+          FROM daily a JOIN daily b ON a.day < b.day),
+        np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        tp AS (SELECT CAST(coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0)
+            AS BIGINT) AS tt
+          FROM (SELECT CAST(count(*) AS BIGINT) AS tc
+            FROM daily GROUP BY x) g)
+        SELECT n, s, tt,
+          CAST(floor($mkZExpr * 1000000) AS BIGINT) AS z_ppm
+        FROM sp CROSS JOIN np CROSS JOIN tp"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q303_mann_whitney" -> (q303MannWhitney _),
     "q304_acf" -> (q304Acf _),
     "q305_market_share" -> (q305MarketShare _),
-    "q306_sorted_neighborhood" -> (q306SortedNeighborhood _))
+    "q306_sorted_neighborhood" -> (q306SortedNeighborhood _),
+    "q307_psi" -> (q307Psi _),
+    "q308_kaplan_meier" -> (q308KaplanMeier _),
+    "q309_mann_kendall" -> (q309MannKendall _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
     "q304_acf" -> q304OracleSql,
     "q305_market_share" -> q305OracleSql,
-    "q306_sorted_neighborhood" -> q306OracleSql)
+    "q306_sorted_neighborhood" -> q306OracleSql,
+    "q307_psi" -> q307OracleSql,
+    "q308_kaplan_meier" -> q308OracleSql,
+    "q309_mann_kendall" -> q309OracleSql)
 }

@@ -99,4 +99,66 @@ class StatsSpec extends SparkSpec {
       val j = r.getAs[Long]("jaccard_bp"); j >= 0L && j <= 10000L
     })
   }
+
+  test("q307 PSI bins partition both halves and same-generator halves " +
+    "score stable") {
+    val rows = Stats.q307Psi(spark, sf1).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    assert(rows.map(_.getAs[Long]("bin")) ===
+      (1L to Stats.PsiBins.toLong).toArray)
+    val total = graft.sources.Tables.load(spark, sf1, "events").count()
+    assert(rows.map(_.getAs[Long]("n_ref")).sum +
+      rows.map(_.getAs[Long]("n_cur")).sum === total)
+    // decile edges: cumulative ref mass through bin f reaches ceil(fN/10)
+    val nRef = rows.map(_.getAs[Long]("n_ref")).sum
+    var cum = 0L
+    rows.init.zipWithIndex.foreach { case (r, i) =>
+      cum += r.getAs[Long]("n_ref")
+      assert(cum >= (i + 1) * nRef / 10,
+        s"bin ${i + 1} cumulative below its decile threshold")
+    }
+    // two halves of the same generator: PSI far under the 0.1 watch line
+    val psi = rows.map(_.getAs[Long]("psi_ppb")).sum / 1e9
+    assert(psi >= 0.0 - 1e-6 && psi < 0.1, s"PSI $psi not stable")
+  }
+
+  test("q308 KM risk table telescopes and accounts for every signup") {
+    val rows = Stats.q308KaplanMeier(spark, sf1).collect()
+      .sortBy(_.getAs[Long]("d"))
+    val nUsers = graft.sources.Tables.load(spark, sf1, "events")
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(rows.head.getAs[Long]("n_risk") === nUsers)
+    assert(rows.map(r => r.getAs[Long]("n_event") +
+      r.getAs[Long]("n_censored")).sum === nUsers)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_risk") === a.getAs[Long]("n_risk") -
+          a.getAs[Long]("n_event") - a.getAs[Long]("n_censored"),
+          s"risk set does not telescope at d=${b.getAs[Long]("d")}")
+      case _ =>
+    }
+  }
+
+  test("q309 Mann-Kendall matches a brute-force model on the daily series") {
+    val row = Stats.q309MannKendall(spark, sf1).head()
+    val daily = graft.sources.Tables.load(spark, sf1, "events")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val xs = daily.map(_._2)
+    val n = xs.length.toLong
+    val sStat = (for {
+      i <- xs.indices; j <- (i + 1) until xs.length
+    } yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+    val tt = xs.groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Long]("s") === sStat)
+    assert(row.getAs[Long]("tt") === tt)
+    val z =
+      (if (sStat > 0) sStat - 1.0 else if (sStat < 0) sStat + 1.0 else 0.0) /
+        math.sqrt((n.toDouble * (n - 1.0) * (2.0 * n + 5.0) - tt) / 18.0)
+    assert(row.getAs[Long]("z_ppm") === math.floor(z * 1e6).toLong)
+  }
 }
