@@ -879,7 +879,79 @@ object Multimodal {
             // count(*) AS BIGINT) AS dup_ppm
         FROM h GROUP BY asset_id"""
 
+  // ------------------------------------------------------------- q310
+
+  /** q310's aspect ladder: interior edges on width·1000 div height (the
+    * milli-aspect grid). Six buckets: very tall → very wide. */
+  val AspectEdgesMil: Seq[Int] = Seq(500, 667, 1000, 1500, 2000)
+
+  /** q310 — ASPECT-RATIO BUCKETING for image training batches (the
+    * SDXL-style bucketing every large-scale vision trainer runs: batch
+    * images of SIMILAR aspect together and pad to the bucket's
+    * canonical size, instead of center-cropping everything to a square
+    * — preserves composition at a bounded padding cost, and this
+    * operator measures exactly that cost): image assets bucketed on the
+    * integer milli-aspect ladder [[AspectEdgesMil]], each bucket
+    * releasing its population, canonical (max-w × max-h) target, and
+    * the exact padding waste ppm = (n·W·H − Σwh)·10⁶ div (n·W·H) — the
+    * fraction of batch pixels that would be padding. Pure METADATA
+    * pass: payload bytes are never touched, projected, or shuffled
+    * (the q38 discipline).
+    *
+    * Scale shape: one metadata projection → one 6-row map-side census;
+    * canonical dims and waste come from the same aggregate (Σwh,
+    * max-w, max-h), so there is no second pass. Sums widen to
+    * decimal(38,0) (int128 in DuckDB) before the ppm division. */
+  def q310AspectBuckets(s: SparkSession, dir: String): DataFrame = {
+    val ladder = AspectEdgesMil.zipWithIndex
+      .foldRight(lit(AspectEdgesMil.length + 1L)) {
+        case ((edge, i), rest) =>
+          when(col("aspect_mil") < edge, (i + 1).toLong).otherwise(rest)
+      }
+    assets(s, dir).toDF()
+      .filter(col("kind") === "image")
+      .select(col("width").cast("long").as("w"),
+        col("height").cast("long").as("h"))
+      .withColumn("aspect_mil", expr("w * 1000 div h"))
+      .withColumn("bucket", ladder)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_assets"),
+        max("w").as("canon_w"), max("h").as("canon_h"),
+        sum(expr("CAST(w * h AS DECIMAL(38,0))")).as("swh"))
+      .select(col("bucket"), col("n_assets"), col("canon_w"),
+        col("canon_h"),
+        expr("""CAST((CAST(n_assets AS DECIMAL(38,0)) * canon_w * canon_h
+             - swh) * 1000000
+           div (CAST(n_assets AS DECIMAL(38,0)) * canon_w * canon_h)
+           AS BIGINT)""").as("waste_ppm"))
+  }
+
+  private def q310OracleSql: String = {
+    val caseArms = AspectEdgesMil.zipWithIndex
+      .map { case (e, i) => s"WHEN aspect_mil < $e THEN ${i + 1}" }
+      .mkString(" ")
+    s"""WITH img AS (SELECT CAST(doc_id % 640 + 1 AS BIGINT) AS w,
+          CAST(doc_id % 480 + 1 AS BIGINT) AS h
+        FROM documents WHERE doc_id % 3 = 0),
+        ba AS (SELECT w, h, w * 1000 // h AS aspect_mil FROM img),
+        bb AS (SELECT w, h, CASE $caseArms
+          ELSE ${AspectEdgesMil.length + 1} END AS bucket FROM ba),
+        g AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+          CAST(count(*) AS BIGINT) AS n_assets,
+          CAST(max(w) AS BIGINT) AS canon_w,
+          CAST(max(h) AS BIGINT) AS canon_h,
+          CAST(sum(w * h) AS HUGEINT) AS swh
+          FROM bb GROUP BY bucket)
+        SELECT bucket, n_assets, canon_w, canon_h,
+          CAST((CAST(n_assets AS HUGEINT) * canon_w * canon_h - swh)
+            * 1000000
+            // (CAST(n_assets AS HUGEINT) * canon_w * canon_h)
+            AS BIGINT) AS waste_ppm
+        FROM g"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_aspect_buckets" -> (q310AspectBuckets _),
     "q285_frame_dedup" -> (q285FrameDedup _),
     "q270_payload_collision" -> (q270PayloadCollision _),
     "q254_silence_segments" -> (q254SilenceSegments _),
@@ -893,6 +965,7 @@ object Multimodal {
     "q81_media_histogram" -> (q81MediaHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q310_aspect_buckets" -> q310OracleSql,
     "q285_frame_dedup" -> q285OracleSql,
     "q270_payload_collision" -> q270OracleSql,
     "q254_silence_segments" -> q254OracleSql,

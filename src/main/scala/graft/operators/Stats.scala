@@ -608,6 +608,114 @@ object Stats {
           CAST(floor($mkZExpr * 1000000) AS BIGINT) AS z_ppm
         FROM sp CROSS JOIN np CROSS JOIN tp"""
 
+  // ------------------------------------------------------------ q311
+
+  /** q311 — LOCAL SUPPLIER VOLUME, the TPC-H Q5 shape (revenue within a
+    * region from lineitems whose CUSTOMER and SUPPLIER share a nation —
+    * the two-fact-dimension star join with the non-key θ-condition
+    * c_nationkey = s_nationkey that defeats naive join planners: the
+    * condition links two different dimension paths of the same fact
+    * row): per nation name, exact cents·bp revenue (q305 discipline).
+    *
+    * Scale shape: region→nation broadcasts; orders⋈customer and
+    * lineitem⋈orders shuffle on their keys; lineitem⋈supplier is a
+    * shuffle equi-join on suppkey (supplier is fact-scale in TPC-H at
+    * 100 TB — no broadcast pretense, though AQE will broadcast it at
+    * test scale); the nation-equality condition is a post-join filter
+    * on two already-resident int columns. One |nations|-row aggregate. */
+  def q311LocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val reg = t(s, dir, "region")
+      .filter(col("r_name") === ShareRegion).select("r_regionkey")
+    val nat = t(s, dir, "nation")
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = t(s, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (expr("CAST(floor(l_extendedprice * 100) AS BIGINT)") *
+          (lit(10000L) - expr("CAST(floor(l_discount * 10000) AS BIGINT)")))
+          .as("rev"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("rev").cast("decimal(38,0)")).as("r38"))
+      .select(col("n_name"), col("r38").cast("bigint").as("revenue"))
+  }
+
+  private def q311OracleSql: String =
+    s"""SELECT n_name,
+        CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+          * (10000 - CAST(floor(l_discount * 10000) AS BIGINT)))
+          AS BIGINT) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = '$ShareRegion'
+        AND c_nationkey = s_nationkey
+      GROUP BY n_name"""
+
+  // ------------------------------------------------------------ q312
+
+  /** q312 — PROMO REVENUE SHARE per ship-month, the TPC-H Q14 shape
+    * (what fraction of each month's revenue came from promotional
+    * parts — the conditional-aggregation fact⋈dimension join that
+    * marketing reads as campaign yield; Q14 asks one month, this
+    * releases the whole monthly series so the differential pins ~80
+    * month rows instead of one): exact cents·bp revenue split by
+    * p_type = 'PROMO', share in ppm.
+    *
+    * Scale shape: ONE shuffle equi-join lineitem⋈part on partkey (both
+    * fact-sized at 100 TB), month derived from l_shipdate in-row,
+    * |months|-row aggregate. The promo flag folds into the join
+    * projection, so the aggregate carries one boolean — not the part
+    * row. */
+  def q312PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("hit"))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        (expr("CAST(floor(l_extendedprice * 100) AS BIGINT)") *
+          (lit(10000L) - expr("CAST(floor(l_discount * 10000) AS BIGINT)")))
+          .as("rev"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("month")
+      .agg(
+        sum(when(col("hit"), col("rev")).otherwise(0L)
+          .cast("decimal(38,0)")).as("p38"),
+        sum(col("rev").cast("decimal(38,0)")).as("t38"))
+      .select(col("month"),
+        col("p38").cast("bigint").as("promo_rev"),
+        col("t38").cast("bigint").as("total_rev"),
+        expr("CAST(p38 * 1000000 div t38 AS BIGINT)").as("share_ppm"))
+  }
+
+  private def q312OracleSql: String =
+    s"""WITH li AS (SELECT l_partkey, strftime(l_shipdate, '%Y-%m')
+          AS month,
+          CAST(floor(l_extendedprice * 100) AS BIGINT)
+            * (10000 - CAST(floor(l_discount * 10000) AS BIGINT)) AS rev
+        FROM lineitem)
+        SELECT month,
+          CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+            AS BIGINT) AS promo_rev,
+          CAST(sum(rev) AS BIGINT) AS total_rev,
+          CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+            * 1000000 // sum(rev) AS BIGINT) AS share_ppm
+        FROM li JOIN part ON l_partkey = p_partkey
+        GROUP BY month"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -617,7 +725,9 @@ object Stats {
     "q306_sorted_neighborhood" -> (q306SortedNeighborhood _),
     "q307_psi" -> (q307Psi _),
     "q308_kaplan_meier" -> (q308KaplanMeier _),
-    "q309_mann_kendall" -> (q309MannKendall _))
+    "q309_mann_kendall" -> (q309MannKendall _),
+    "q311_local_supplier_volume" -> (q311LocalSupplierVolume _),
+    "q312_promo_revenue" -> (q312PromoRevenue _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -626,5 +736,7 @@ object Stats {
     "q306_sorted_neighborhood" -> q306OracleSql,
     "q307_psi" -> q307OracleSql,
     "q308_kaplan_meier" -> q308OracleSql,
-    "q309_mann_kendall" -> q309OracleSql)
+    "q309_mann_kendall" -> q309OracleSql,
+    "q311_local_supplier_volume" -> q311OracleSql,
+    "q312_promo_revenue" -> q312OracleSql)
 }

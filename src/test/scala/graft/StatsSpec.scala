@@ -161,4 +161,43 @@ class StatsSpec extends SparkSpec {
         math.sqrt((n.toDouble * (n - 1.0) * (2.0 * n + 5.0) - tt) / 18.0)
     assert(row.getAs[Long]("z_ppm") === math.floor(z * 1e6).toLong)
   }
+
+  test("q310 buckets partition the image assets with bounded waste and " +
+    "canonical dims dominating members") {
+    val rows = graft.operators.Multimodal.q310AspectBuckets(spark, sf1)
+      .collect()
+    val nImages = graft.sources.Tables.load(spark, sf1, "documents")
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_assets")).sum === nImages)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("waste_ppm")
+      assert(w >= 0L && w < 1000000L, s"waste outside [0, 1): $r")
+      assert(r.getAs[Long]("canon_w") >= 1L &&
+        r.getAs[Long]("canon_h") >= 1L)
+    }
+  }
+
+  test("q311 revenue decomposes the region total and q305/q311 agree " +
+    "on scope") {
+    val rows = Stats.q311LocalSupplierVolume(spark, sf1).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("revenue") > 0L))
+    // nation-local revenue within the region cannot exceed the region's
+    // all-supplier revenue (q305's per-year totals summed)
+    val regionTotal = Stats.q305MarketShare(spark, sf1).collect()
+      .map(_.getAs[Long]("total_rev")).sum
+    assert(rows.map(_.getAs[Long]("revenue")).sum <= regionTotal)
+  }
+
+  test("q312 promo share is a valid proportion every month") {
+    val rows = Stats.q312PromoRevenue(spark, sf1).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("promo_rev")
+      val t = r.getAs[Long]("total_rev")
+      assert(p >= 0L && p <= t, s"promo outside [0, total]: $r")
+      assert(r.getAs[Long]("share_ppm") === p * BigInt(1000000) / t)
+      assert(r.getAs[String]("month").matches("\\d{4}-\\d{2}"))
+    }
+  }
 }
