@@ -376,20 +376,26 @@ object Stats {
     * both halves, and each bin releases its exact counts plus its PSI
     * contribution ×10⁹ through [[psiContribExpr]].
     *
-    * Scale shape: two map-side hash aggs to distinct-cents frames
-    * (value-domain-bounded, q303's convention), a 9-row edge frame from
-    * the cumulative window over that frame, broadcast bin assignment,
-    * and a ≤10-row census. The corpus is scanned once. */
+    * Scale shape: ONE corpus scan, map-side combined to the
+    * (cents × span-day) grid (value-domain-bounded, q303's convention);
+    * the reference split, edge derivation (9-row frame from the
+    * cumulative window), bin assignment, and ≤10-row census all ride
+    * that checkpointed domain frame. */
   def q307Psi(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .select(to_date(col("ts")).as("day"),
+    // ONE corpus scan: census to the (value, day) grid first (domain-
+    // bounded: cents-grid × span-days), so the reference-window split —
+    // which needs the global min day — never rescans the corpus
+    val grid = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"),
         expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
-    val d0 = ev.agg(min(col("day")).as("d0"))
-    val sides = ev.crossJoin(broadcast(d0))
-      .select(col("vc"),
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    val d0 = grid.agg(min(col("day")).as("d0"))
+    val sides = grid.crossJoin(broadcast(d0))
+      .select(col("vc"), col("k"),
         (col("day") < date_add(col("d0"), PsiSplitDays)).as("is_ref"))
     val refg = sides.filter(col("is_ref"))
-      .groupBy("vc").agg(count(lit(1)).as("m"))
+      .groupBy("vc").agg(sum(col("k")).as("m"))
     val w = Window.orderBy("vc")
       .rowsBetween(Window.unboundedPreceding, 0)
     val cum = refg.withColumn("cum", sum(col("m")).over(w))
@@ -411,7 +417,7 @@ object Stats {
       .agg(sum(when(col("vc") > col("edge"), 1L).otherwise(0L)).as("b0"))
       .select(col("vc"), (col("b0") + 1).as("bin"))
     val curg = sides.filter(!col("is_ref"))
-      .groupBy("vc").agg(count(lit(1)).as("mc"))
+      .groupBy("vc").agg(sum(col("k")).as("mc"))
     val joined = refg.withColumnRenamed("m", "mr")
       .join(curg, Seq("vc"), "full_outer")
       .join(binMap, "vc")
@@ -485,21 +491,29 @@ object Stats {
     * a 30-fold float product would be the only cross-engine-unsafe
     * step, so it is not declared).
     *
-    * Scale shape: two user-keyed aggregates + one user equi-join (the
-    * corpus's only shuffles), then a census on the ≤|span-days| frame
-    * with the cumulative window over that DOMAIN-bounded frame. */
+    * Scale shape: one user-keyed corpus aggregate (which also carries
+    * the observation-end partial — no separate max-ts scan), one
+    * purchase-filtered scan joined user-wise against it, then a census
+    * on the ≤|span-days| frame with the cumulative window over that
+    * DOMAIN-bounded frame. */
   def q308KaplanMeier(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(col("user_id"), col("event_type"),
         expr("unix_micros(ts)").as("us"))
-    val su = ev.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min("us").as("t0"))
+    // one user-keyed aggregate carries BOTH the signup epoch and this
+    // user's max-ts partial; the global observation end folds from the
+    // per-user frame instead of a second corpus scan
+    val perUser = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("us")))
+        .as("t0"), max("us").as("umax"))
+      .localCheckpoint(true)
+    val su = perUser.filter(col("t0").isNotNull).select("user_id", "t0")
     val firstP = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("us"))
       .join(su, "user_id")
       .filter(col("us") >= col("t0"))
       .groupBy("user_id").agg(min("us").as("tp"))
-    val endF = ev.agg(max("us").as("te"))
+    val endF = perUser.agg(max("umax").as("te"))
     val obs = su.join(firstP, Seq("user_id"), "left")
       .crossJoin(broadcast(endF))
       .select(
