@@ -189,6 +189,31 @@ class StatsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("revenue")).sum <= regionTotal)
   }
 
+  test("q305/q311/q312 plans: pruned scans, pushed region filter, no " +
+    "single-partition exchange") {
+    val p305 = Stats.q305MarketShare(spark, sf1)
+      .queryExecution.executedPlan.toString
+    // the selective region filter must reach the region scan, not sit
+    // above the join
+    assert(p305.contains("PushedFilters: [IsNotNull(r_name), " +
+      "EqualTo(r_name,ASIA)]") || p305.contains("EqualTo(r_name,ASIA)"),
+      s"region filter not pushed:\n$p305")
+    // part scan prunes to the two columns the join needs
+    assert(!p305.contains("p_retailprice") && !p305.contains("p_size"),
+      s"part scan reads pruned columns:\n$p305")
+    val p312 = Stats.q312PromoRevenue(spark, sf1)
+      .queryExecution.executedPlan.toString
+    assert(!p312.contains("p_retailprice") && !p312.contains("p_name"),
+      s"part scan reads pruned columns:\n$p312")
+    assert(!p312.contains("l_quantity") && !p312.contains("l_tax"),
+      s"lineitem scan reads pruned columns:\n$p312")
+    // the rank machinery must never collapse the corpus to one partition
+    val p306 = Stats.q306SortedNeighborhood(spark, sf1)
+      .queryExecution.executedPlan.toString
+    assert(!p306.contains("Exchange SinglePartition"),
+      s"sorted-neighborhood rank must stay distributed:\n$p306")
+  }
+
   test("q312 promo share is a valid proportion every month") {
     val rows = Stats.q312PromoRevenue(spark, sf1).collect()
     assert(rows.nonEmpty)
