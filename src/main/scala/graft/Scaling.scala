@@ -72,7 +72,15 @@ object Scaling {
     // ~2.3x rows) and the containment eval (NOTE: carries q110's exact
     // truth join — its super-linear reading is the eval side's, by
     // construction; the triage path alone is the q113 capped shape)
-    "q300_chunk_near_dup", "q301_containment_eval")
+    "q300_chunk_near_dup", "q301_containment_eval",
+    // round-9 Stats surface: the fact-fact star joins (q305/q311/q312),
+    // the n·w sorted-neighborhood pair join + distributed rank (q306),
+    // and the user-keyed KM join (q308). q303/q304/q307/q309/q310 are
+    // structurally domain-sized censuses (value-grid / day-grid /
+    // 6-bucket frames) and excluded on the census-family grounds.
+    "q305_market_share", "q306_sorted_neighborhood",
+    "q308_kaplan_meier", "q311_local_supplier_volume",
+    "q312_promo_revenue")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",
