@@ -359,7 +359,7 @@ object Stats {
     * otherwise sends ln to ±∞; the 1-count floor is the conventional
     * PSI guard and changes nothing when every bin is populated, which
     * the differential pins for this corpus). */
-  private def psiContribExpr: String =
+  private[graft] def psiContribExpr: String =
     s"""((CAST(greatest(n_ref, 1) AS DOUBLE) / nr
         - CAST(greatest(n_cur, 1) AS DOUBLE) / nc)
        * ln((CAST(greatest(n_ref, 1) AS DOUBLE) / nr)

@@ -1116,8 +1116,120 @@ object EventStream {
         LEFT JOIN s2 ON u.user_id = s2.user_id
         LEFT JOIN s3 ON u.user_id = s3.user_id"""
 
+  // -------------------------------------------------------------- q313
+
+  /** q313's frozen bin ladder on the value-cents grid. A DEPLOYED drift
+    * monitor ships its reference bins as config — q307's data-derived
+    * decile edges are a batch luxury (they need the full reference half
+    * before the first current event); the streaming monitor bins
+    * against a fixed grid so every micro-batch updates state without
+    * re-binning history. Interior edges chosen on the Exp(50)-cents
+    * payload's working range. */
+  val StreamPsiEdges: Seq[Long] =
+    Seq(1000L, 2500L, 5000L, 7500L, 10000L, 15000L, 20000L, 30000L)
+
+  /** q313 — STREAMING PSI DRIFT MONITOR (q307's population-stability
+    * index under continuous ingest — the 16th declared streaming shape:
+    * per event-time day, the value distribution binned on the frozen
+    * [[StreamPsiEdges]] ladder as a windowed streaming aggregation;
+    * the monitor then scores every day against the stream's FIRST day
+    * (the launch-reference convention). State per open window is one
+    * count per (day, bin) — ≤ 9 longs a day, regardless of volume.
+    * Declared output rides a (day × bin) spine so zero-count bins are
+    * explicit rows (a bin the traffic abandoned is exactly the drift
+    * signal), with the q307 contribution expression — same shared text,
+    * same greatest(n,1) floor — per row; the reference day scores
+    * itself at psi 0, the built-in sanity row.
+    *
+    * Scale shape: the streaming census is map-side combined per
+    * micro-batch (counts merge); the post-replay scoring joins
+    * domain-sized frames only (days × 9 bins). */
+  def q313StreamPsi(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q313_stream_psi_mem"
+    s.catalog.dropTempView(name)
+    val ladder = StreamPsiEdges.zipWithIndex
+      .foldRight(lit(StreamPsiEdges.length + 1L)) {
+        case ((edge, i), rest) =>
+          when(col("vc") < edge, (i + 1).toLong).otherwise(rest)
+      }
+    val q = readEvents(s, dir)
+      .withWatermark("ts", "1 day")
+      .select(col("ts"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .withColumn("bin", ladder)
+      .groupBy(window(col("ts"), "1 day"), col("bin"))
+      .agg(count(lit(1)).as("k"))
+      .select(col("window.start").cast("date").as("day"),
+        col("bin"), col("k"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // MemoryPlan is not a MultiInstanceRelation: the spine/ref self-joins
+    // below would hit "conflicting references" — checkpoint the (tiny,
+    // day×bin-bounded) census into a LogicalRDD first
+    val census = s.table(name).localCheckpoint(true)
+    val d0 = census.agg(min("day").as("d0"))
+    val bins = s.range(1, StreamPsiEdges.length + 2L)
+      .select(col("id").as("bin"))
+    val spine = census.select("day").distinct().crossJoin(broadcast(bins))
+    val ref = census.crossJoin(broadcast(d0))
+      .filter(col("day") === col("d0"))
+      .select(col("bin"), col("k").as("kr"))
+    val grid = spine
+      .join(census, Seq("day", "bin"), "left")
+      .join(broadcast(ref), Seq("bin"), "left")
+      .select(col("day"), col("bin"),
+        coalesce(col("kr"), lit(0L)).as("n_ref"),
+        coalesce(col("k"), lit(0L)).as("n_cur"))
+    val totals = grid.groupBy("day")
+      .agg(sum("n_cur").as("nc"))
+    val nrF = ref.agg(sum("kr").as("nr"))
+    grid.join(totals, "day").crossJoin(broadcast(nrF))
+      .select(col("day"), col("bin"), col("n_ref"), col("n_cur"),
+        expr(s"CAST(floor(${graft.operators.Stats.psiContribExpr}" +
+          " * 1000000000) AS BIGINT)").as("psi_ppb"))
+  }
+
+  private def q313OracleSql: String = {
+    val caseArms = StreamPsiEdges.zipWithIndex
+      .map { case (e, i) => s"WHEN vc < $e THEN ${i + 1}" }
+      .mkString(" ")
+    s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+        bb AS (SELECT day, CASE $caseArms
+          ELSE ${StreamPsiEdges.length + 1} END AS bin FROM ev),
+        census AS (SELECT day, CAST(bin AS BIGINT) AS bin,
+          CAST(count(*) AS BIGINT) AS k FROM bb GROUP BY day, bin),
+        d0 AS (SELECT min(day) AS d0 FROM census),
+        bins AS (SELECT CAST(x AS BIGINT) AS bin
+          FROM generate_series(1, ${StreamPsiEdges.length + 1}) AS t(x)),
+        spine AS (SELECT day, bin
+          FROM (SELECT DISTINCT day FROM census) CROSS JOIN bins),
+        ref AS (SELECT bin, k AS kr FROM census CROSS JOIN d0
+          WHERE day = d0),
+        grid AS (SELECT s.day, s.bin,
+          CAST(coalesce(r.kr, 0) AS BIGINT) AS n_ref,
+          CAST(coalesce(c.k, 0) AS BIGINT) AS n_cur
+          FROM spine s
+          LEFT JOIN census c ON c.day = s.day AND c.bin = s.bin
+          LEFT JOIN ref r ON r.bin = s.bin),
+        tot AS (SELECT day, CAST(sum(n_cur) AS BIGINT) AS nc
+          FROM grid GROUP BY day),
+        nrt AS (SELECT CAST(sum(kr) AS BIGINT) AS nr FROM ref)
+        SELECT g.day, g.bin, g.n_ref, g.n_cur,
+          CAST(floor(${graft.operators.Stats.psiContribExpr}
+            * 1000000000) AS BIGINT) AS psi_ppb
+        FROM grid g JOIN tot ON g.day = tot.day CROSS JOIN nrt"""
+  }
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q313_stream_psi" -> (q313StreamPsi _),
     "q302_stream_chunk_dedup" -> (q302StreamChunkDedup _),
     "q283_stream_funnel" -> (q283StreamFunnel _),
     "q267_stream_rate_limit" -> (q267StreamRateLimit _),
@@ -1137,6 +1249,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q313_stream_psi" -> q313OracleSql,
     "q302_stream_chunk_dedup" -> graft.operators.Dedup.q300OracleSql2,
     "q283_stream_funnel" -> q283OracleSql,
     "q267_stream_rate_limit" -> q267OracleSql,

@@ -214,6 +214,25 @@ class StatsSpec extends SparkSpec {
       s"sorted-neighborhood rank must stay distributed:\n$p306")
   }
 
+  test("q313 streaming PSI: complete day-bin spine, reference day " +
+    "scores itself zero") {
+    val rows = graft.streaming.EventStream.q313StreamPsi(spark, sf1)
+      .collect()
+    val nBins = graft.streaming.EventStream.StreamPsiEdges.length + 1
+    val days = rows.map(_.getAs[java.sql.Date]("day")).distinct.sorted
+    assert(rows.length === days.length * nBins, "incomplete spine")
+    val d0 = days.head
+    rows.filter(_.getAs[java.sql.Date]("day") == d0).foreach { r =>
+      assert(r.getAs[Long]("n_ref") === r.getAs[Long]("n_cur"),
+        s"reference day diverges from itself: $r")
+      assert(r.getAs[Long]("psi_ppb") === 0L,
+        s"reference day PSI nonzero: $r")
+    }
+    // counts account for the whole corpus
+    assert(rows.map(_.getAs[Long]("n_cur")).sum ===
+      graft.sources.Tables.load(spark, sf1, "events").count())
+  }
+
   test("q312 promo share is a valid proportion every month") {
     val rows = Stats.q312PromoRevenue(spark, sf1).collect()
     assert(rows.nonEmpty)
