@@ -1869,7 +1869,65 @@ object Dedup {
         WHERE doc_id_1 // 1024 <> doc_id_2 // 1024
         GROUP BY 1, 2"""
 
+  // ---------------------------------------------------------------- q314
+
+  /** q314 — B-CUBED CLUSTER-QUALITY EVAL of the dedup clusters against
+    * the planted truth (the third leg of the dedup-eval family: q139
+    * scores PAIR recall of the candidate generator, q125 picks
+    * survivors, this scores the CLUSTERS themselves — B³ is the
+    * standard entity-resolution clustering metric precisely because,
+    * unlike pair-F1, it weights every document once instead of every
+    * pair, so one giant wrong cluster can't swamp the score): truth
+    * class of a planted doc = doc_id mod [[PlantedOffset]] (each
+    * original and its perturbed twin), predicted clusters = q63's
+    * connected components over the q30 LSH graph. Per doc, B³
+    * precision = |C(d) ∩ T(d)| / |C(d)| and recall = |C(d) ∩ T(d)| /
+    * |T(d)| — declared as the exact integer sums of per-doc ppm floors
+    * (n_docs, Σprec_ppm, Σrec_ppm; the averages are the consumer's one
+    * division), so no float fold crosses the differential.
+    *
+    * Scale shape: on top of q63's labeling (the corpus-scale part,
+    * amortized as stored state in production): three label-keyed
+    * aggregates over the (doc, cluster, truth) frame and three
+    * equi-joins back — all linear in docs. */
+  def q314BcubedEval(s: SparkSession, dir: String): DataFrame = {
+    val l = q63DedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster"),
+        (col("doc_id") % PlantedOffset).as("truth"))
+      .localCheckpoint(true)
+    val ct = l.groupBy("cluster", "truth").agg(count(lit(1)).as("ct"))
+    val cs = l.groupBy("cluster").agg(count(lit(1)).as("cs"))
+    val tz = l.groupBy("truth").agg(count(lit(1)).as("tsz"))
+    l.join(ct, Seq("cluster", "truth"))
+      .join(cs, "cluster")
+      .join(tz, "truth")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("ct * 1000000 div cs")).as("sum_precision_ppm"),
+        sum(expr("ct * 1000000 div tsz")).as("sum_recall_ppm"))
+  }
+
+  private def q314OracleSql: String =
+    s"""WITH labels AS (SELECT * FROM ($q63OracleSql) t0),
+        l AS (SELECT doc_id, cluster,
+          doc_id % $PlantedOffset AS truth FROM labels),
+        ct AS (SELECT cluster, truth, CAST(count(*) AS BIGINT) AS ct
+          FROM l GROUP BY cluster, truth),
+        cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cs
+          FROM l GROUP BY cluster),
+        tz AS (SELECT truth, CAST(count(*) AS BIGINT) AS tsz
+          FROM l GROUP BY truth)
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(ct.ct * 1000000 // cs.cs) AS BIGINT)
+            AS sum_precision_ppm,
+          CAST(sum(ct.ct * 1000000 // tz.tsz) AS BIGINT)
+            AS sum_recall_ppm
+        FROM l
+        JOIN ct ON l.cluster = ct.cluster AND l.truth = ct.truth
+        JOIN cs ON l.cluster = cs.cluster
+        JOIN tz ON l.truth = tz.truth"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_bcubed_eval" -> (q314BcubedEval _),
     "q301_containment_eval" -> (q301ContainmentEval _),
     "q300_chunk_near_dup" -> (q300ChunkNearDup _),
     "q295_candidate_triage" -> (q295CandidateTriage _),
@@ -1894,6 +1952,7 @@ object Dedup {
     "q87_verify_candidates" -> (q87VerifyCandidates _))
 
   val oracleSql: Map[String, String] = Map(
+    "q314_bcubed_eval" -> q314OracleSql,
     "q301_containment_eval" -> q301OracleSql,
     "q300_chunk_near_dup" -> q300OracleSql,
     "q295_candidate_triage" -> q295OracleSql,

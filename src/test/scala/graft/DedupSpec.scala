@@ -390,4 +390,22 @@ class DedupSpec extends SparkSpec {
     assert(rows.maxBy(_._2)._1 === 4L,
       "full-band agreement is not the modal group — triage inverted")
   }
+
+  test("q314 B-cubed: doc accounting exact, recall dominates precision " +
+    "on the over-merging-only LSH clustering") {
+    val row = Dedup.q314BcubedEval(spark, sf1).head()
+    val nDocs = graft.sources.Tables.load(spark, sf1, "documents").count() * 2
+    assert(row.getAs[Long]("n_docs") === nDocs)
+    val p = row.getAs[Long]("sum_precision_ppm")
+    val r = row.getAs[Long]("sum_recall_ppm")
+    assert(p > 0L && p <= nDocs * 1000000L)
+    assert(r > 0L && r <= nDocs * 1000000L)
+    // CC over LSH candidates can only MERGE truth classes, never split a
+    // caught pair across clusters while leaving both in singletons with
+    // a third: every truth twin pair either shares a cluster or was
+    // missed entirely; merging hurts precision, missing hurts recall --
+    // on this planted corpus the generator catches nearly everything,
+    // so recall must dominate precision
+    assert(r >= p, s"recall $r below precision $p on a planted corpus")
+  }
 }
