@@ -1448,7 +1448,104 @@ object Similarity {
           min_milli, max_milli
         FROM st"""
 
+  // ------------------------------------------------------------- q315
+
+  /** q315 — EFFECTIVE RANK / PARTICIPATION RATIO of the embedding
+    * covariance (the representation-collapse monitor: d_eff =
+    * (Σλ)²/Σλ² counts how many covariance eigendirections carry real
+    * variance — 64 for isotropic, →1 when the space collapses to a
+    * line; the standard scalar a training run tracks next to q293's
+    * per-dimension audit, and it needs NO eigensolve: (Σλ)² = tr(C)²
+    * and Σλ² = ‖C‖²_F are both polynomial in the raw moments). On the
+    * exact milli-integer grid (q293's floor(v·1000) convention): with
+    * S_i = Σv_i and P_ij = Σv_i·v_j, the n²-scaled covariance
+    * A_ij = n·P_ij − S_i·S_j is integral, and PR = tr(A)²·10⁶ div
+    * ‖A‖²_F is scale-invariant — every operand exact in decimal(38,0)
+    * / int128, so the declared n, trace, and d_eff ppm are
+    * deterministic cross-engine.
+    *
+    * Scale shape: ONE corpus scan emits the upper-triangle second-
+    * moment cells, the first-moment cells (j = −1), and the count cell
+    * (−1, −1) from the same in-row flatten — one shuffle, map-side
+    * combined to ≤ 2145 rows per partition regardless of corpus size
+    * (q154's mergeable-moment shape); everything after rides the d²
+    * domain frame. */
+  def q315EffectiveRank(s: SparkSession, dir: String): DataFrame = {
+    val d = GramDims
+    val cells = t(s, dir, "embeddings")
+      .withColumn("mv", expr(
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 1000) AS BIGINT))"))
+      .select(explode(expr(
+        s"""concat(
+              flatten(transform(sequence(0, ${d - 1}), i ->
+                transform(sequence(i, ${d - 1}), j ->
+                  struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                    element_at(mv, i + 1) * element_at(mv, j + 1)
+                      AS p)))),
+              transform(sequence(0, ${d - 1}), i ->
+                struct(CAST(i AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+                  element_at(mv, i + 1) AS p)),
+              array(struct(CAST(-1 AS BIGINT) AS i,
+                CAST(-1 AS BIGINT) AS j, CAST(1 AS BIGINT) AS p)))"""))
+        .as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+    val moments = cells.groupBy("i", "j").agg(sum("p").as("m"))
+      .localCheckpoint(true)
+    val n = moments.filter(col("i") === -1 && col("j") === -1)
+      .select(col("m").as("n"))
+    val s1 = moments.filter(col("i") >= 0 && col("j") === -1)
+      .select(col("i"), col("m").as("s"))
+    val p2 = moments.filter(col("j") >= 0)
+      .select(col("i"), col("j"), col("m").as("pij"))
+    val a = p2
+      .join(broadcast(s1.select(col("i"), col("s").as("si"))), "i")
+      .join(broadcast(s1.select(col("i").as("j"), col("s").as("sj"))), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        expr("n * CAST(pij AS DECIMAL(38,0)) - CAST(si AS DECIMAL(38,0)) * sj")
+          .as("aij"))
+    a.agg(
+      sum(when(col("i") === col("j"), col("aij"))).as("tr"),
+      sum((when(col("i") === col("j"), lit(1L)).otherwise(lit(2L)) *
+        col("aij") * col("aij")).cast("decimal(38,0)")).as("frob2"))
+      .crossJoin(broadcast(n))
+      .select(col("n"),
+        col("tr").cast("bigint").as("trace"),
+        expr("CAST(tr * tr * 1000000 div frob2 AS BIGINT)").as("d_eff_ppm"))
+  }
+
+  private def q315OracleSql: String =
+    s"""WITH ex0 AS (SELECT vec_id, unnest(range(0, $GramDims)) AS dim,
+            unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
+        ex AS (SELECT vec_id, dim,
+            CAST(floor(v * 1000) AS BIGINT) AS mv FROM ex0),
+        marr AS (SELECT vec_id, list(mv ORDER BY dim) AS mvs
+          FROM ex GROUP BY vec_id),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM marr),
+        s1 AS (SELECT dim AS i, CAST(sum(mv) AS BIGINT) AS s
+          FROM ex GROUP BY dim),
+        p2 AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+            CAST(sum(mvs[i + 1] * mvs[j + 1]) AS BIGINT) AS pij
+          FROM marr, range(0, $GramDims) r1(i), range(0, $GramDims) r2(j)
+          WHERE j >= i GROUP BY i, j),
+        a AS (SELECT p2.i, p2.j,
+            nn.n * CAST(p2.pij AS HUGEINT)
+              - CAST(sa.s AS HUGEINT) * sb.s AS aij
+          FROM p2 JOIN s1 sa ON sa.i = p2.i
+          JOIN s1 sb ON sb.i = p2.j CROSS JOIN nn),
+        agg AS (SELECT
+            CAST(sum(CASE WHEN i = j THEN aij END) AS HUGEINT) AS tr,
+            CAST(sum((CASE WHEN i = j THEN 1 ELSE 2 END)
+              * aij * aij) AS HUGEINT) AS frob2
+          FROM a)
+        SELECT nn.n, CAST(agg.tr AS BIGINT) AS trace,
+          CAST(agg.tr * agg.tr * 1000000 // agg.frob2 AS BIGINT)
+            AS d_eff_ppm
+        FROM agg CROSS JOIN nn"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q315_effective_rank" -> (q315EffectiveRank _),
     "q293_dimension_audit" -> (q293DimensionAudit _),
     "q257_ndcg_eval" -> (q257NdcgEval _),
     "q249_silhouette" -> (q249Silhouette _),
@@ -1475,6 +1572,7 @@ object Similarity {
     "q91_quantize_embeddings" -> (q91QuantizeEmbeddings _))
 
   val oracleSql: Map[String, String] = Map(
+    "q315_effective_rank" -> q315OracleSql,
     "q293_dimension_audit" -> q293OracleSql,
     "q257_ndcg_eval" -> q257OracleSql,
     "q249_silhouette" -> q249OracleSql,

@@ -244,4 +244,20 @@ class StatsSpec extends SparkSpec {
       assert(r.getAs[String]("month").matches("\\d{4}-\\d{2}"))
     }
   }
+
+  test("q315 effective rank sits at the Wishart expectation for an " +
+    "isotropic corpus and is bounded by d") {
+    val row = graft.operators.Similarity.q315EffectiveRank(spark, sf1)
+      .head()
+    val n = row.getAs[Long]("n")
+    val dEff = row.getAs[Long]("d_eff_ppm") / 1e6
+    val d = graft.operators.Similarity.GramDims.toDouble
+    assert(dEff > 0.0 && dEff <= d + 1e-9, s"d_eff $dEff outside (0, d]")
+    assert(row.getAs[Long]("trace") > 0L, "covariance trace must be positive")
+    // iid isotropic vectors: sample-covariance PR concentrates near
+    // d / (1 + d/n) (Marchenko-Pastur second moment); allow a wide band
+    val expect = d / (1.0 + d / n)
+    assert(math.abs(dEff - expect) < 0.25 * expect,
+      s"d_eff $dEff far from isotropic expectation $expect")
+  }
 }
