@@ -730,6 +730,120 @@ object Stats {
         FROM li JOIN part ON l_partkey = p_partkey
         GROUP BY month"""
 
+  // ------------------------------------------------------------ q316
+
+  /** q316 HLL geometry: 2⁶ = 64 registers, 48-bit hash (q181/q236's
+    * LCG convention widened), register value = trailing-zero rank of
+    * the remaining 42 bits, capped at 43 for the all-zero remainder. */
+  val HllBuckets = 64L
+  val HllHashMod = 281474976710656L // 2^48
+
+  /** q316 — HLL REGISTER TABLE per day (the OTHER mergeable
+    * cardinality sketch next to q181/q236's KMV, and the one real
+    * warehouses deploy because its state is FIXED at 2^p registers —
+    * KMV's k values shrink-to-fit but must be k·8 bytes even for tiny
+    * sets, HLL is 64 ranks no matter what): per (day, register) the
+    * max trailing-zero rank of the deterministic 48-bit user-id hash.
+    * The harmonic estimate Σ2^−M is a 64-term float fold — exactly the
+    * kind of cross-engine-unsafe step this repo never declares (q304
+    * doctrine), so the REGISTERS are the released value: they merge by
+    * max (the defining sketch property, pinned by the spec), and any
+    * consumer finishes the estimate in one line. Rank extraction is
+    * pure integer arithmetic plus one log2 of an exact power of two
+    * (lowbit = rest & −rest), rounded-to-nearest before CAST so a
+    * ±ulp libm difference cannot shift the floor.
+    *
+    * Scale shape: one corpus scan, map-side combined max to
+    * |days|×64 rows — the fixed-state census; nothing else. */
+  def q316HllRegisters(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"),
+        expr(s"(user_id * 1103515245 + 12345) % $HllHashMod").as("h"))
+      .select(col("day"), (col("h") % HllBuckets).as("register"),
+        expr(s"h div $HllBuckets").as("rest"))
+      .select(col("day"), col("register"),
+        expr("""CASE WHEN rest = 0 THEN CAST(43 AS BIGINT)
+             ELSE CAST(floor(log2(rest & -rest) + 0.5) AS BIGINT) + 1
+             END""").as("rho"))
+      .groupBy("day", "register")
+      .agg(max("rho").as("max_rho"))
+  }
+
+  private def q316OracleSql: String =
+    s"""WITH hv AS (SELECT CAST(ts AS DATE) AS day,
+          (user_id * 1103515245 + 12345) % $HllHashMod AS h
+        FROM events),
+        rr AS (SELECT day, h % $HllBuckets AS register,
+          h // $HllBuckets AS rest FROM hv),
+        rho AS (SELECT day, CAST(register AS BIGINT) AS register,
+          CASE WHEN rest = 0 THEN CAST(43 AS BIGINT)
+            ELSE CAST(floor(log2(rest & -rest) + 0.5) AS BIGINT) + 1
+          END AS rho FROM rr)
+        SELECT day, register, CAST(max(rho) AS BIGINT) AS max_rho
+        FROM rho GROUP BY day, register"""
+
+  // ------------------------------------------------------------ q317
+
+  /** q317's per-cell MI contribution as ONE shared-text double
+    * expression over exact integer counts: (n_xy/n)·ln(n·n_xy/(n_x·n_y))
+    * — absent cells contribute exactly 0 and are simply not emitted, so
+    * no smoothing is needed (unlike q307's PSI, where an empty bin sits
+    * under a log RATIO of probabilities rather than inside x·ln x). */
+  private def miContribExpr: String =
+    s"""((CAST(n_xy AS DOUBLE) / n)
+       * ln(CAST(n AS DOUBLE) * n_xy
+           / (CAST(n_x AS DOUBLE) * n_y)))"""
+
+  /** q317 — MUTUAL INFORMATION feature screen between order priority
+    * and customer market segment (the model-free dependence measure a
+    * feature pipeline ranks candidate columns by BEFORE training:
+    * q247's χ² answers "is there dependence at all" as a test, MI
+    * answers "how many bits does knowing X give about Y" as a
+    * QUANTITY — the number feature selection actually thresholds;
+    * near-zero here, which is itself the generator finding: priority
+    * is drawn independently of segment): per observed (priority,
+    * segment) cell the exact joint and marginal counts plus the MI
+    * contribution ×10⁹ through [[miContribExpr]] — Σ over the released
+    * rows IS the MI estimate in nats, reconstructible to the last bit
+    * from the released integers.
+    *
+    * Scale shape: one orders⋈customer shuffle equi-join on custkey
+    * (both fact-sized at 100 TB), map-side combined to the
+    * |priorities|×|segments| = 25-cell census; margins and total ride
+    * the census frame. */
+  def q317MutualInformation(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority").as("x"))
+      .join(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("y")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint(true)
+    val mx = cells.groupBy("x").agg(sum("n_xy").as("n_x"))
+    val my = cells.groupBy("y").agg(sum("n_xy").as("n_y"))
+    val nF = cells.agg(sum("n_xy").as("n"))
+    cells.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(nF))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        expr(s"CAST(floor($miContribExpr * 1000000000) AS BIGINT)")
+          .as("mi_ppb"))
+  }
+
+  private def q317OracleSql: String =
+    s"""WITH cells AS (SELECT o_orderpriority AS x, c_mktsegment AS y,
+          CAST(count(*) AS BIGINT) AS n_xy
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+        mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x
+          FROM cells GROUP BY x),
+        my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y
+          FROM cells GROUP BY y),
+        nt AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells)
+        SELECT c.x, c.y, c.n_xy, mx.n_x, my.n_y,
+          CAST(floor($miContribExpr * 1000000000) AS BIGINT) AS mi_ppb
+        FROM cells c JOIN mx ON c.x = mx.x JOIN my ON c.y = my.y
+        CROSS JOIN nt"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -741,7 +855,9 @@ object Stats {
     "q308_kaplan_meier" -> (q308KaplanMeier _),
     "q309_mann_kendall" -> (q309MannKendall _),
     "q311_local_supplier_volume" -> (q311LocalSupplierVolume _),
-    "q312_promo_revenue" -> (q312PromoRevenue _))
+    "q312_promo_revenue" -> (q312PromoRevenue _),
+    "q316_hll_registers" -> (q316HllRegisters _),
+    "q317_mutual_information" -> (q317MutualInformation _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -752,5 +868,7 @@ object Stats {
     "q308_kaplan_meier" -> q308OracleSql,
     "q309_mann_kendall" -> q309OracleSql,
     "q311_local_supplier_volume" -> q311OracleSql,
-    "q312_promo_revenue" -> q312OracleSql)
+    "q312_promo_revenue" -> q312OracleSql,
+    "q316_hll_registers" -> q316OracleSql,
+    "q317_mutual_information" -> q317OracleSql)
 }

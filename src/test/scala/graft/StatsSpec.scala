@@ -233,6 +233,50 @@ class StatsSpec extends SparkSpec {
       graft.sources.Tables.load(spark, sf1, "events").count())
   }
 
+  test("q316 HLL registers match a brute-force model and merge by max") {
+    val rows = Stats.q316HllRegisters(spark, sf1).collect()
+      .map(r => ((r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("register")), r.getAs[Long]("max_rho"))).toMap
+    val events = graft.sources.Tables.load(spark, sf1, "events")
+      .select(to_date(col("ts")).cast("string"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def rho(u: Long): (Long, Long) = {
+      val h = (u * 1103515245L + 12345L) % Stats.HllHashMod
+      val rest = h / Stats.HllBuckets
+      val r = if (rest == 0L) 43L
+        else java.lang.Long.numberOfTrailingZeros(rest) + 1L
+      (h % Stats.HllBuckets, r)
+    }
+    val model = events.map { case (d, u) =>
+      val (b, r) = rho(u); ((d, b), r)
+    }.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).max) }
+    assert(rows === model, "register table diverges from the model")
+    // the defining sketch property: whole-corpus registers are the
+    // element-wise max of the per-day registers
+    val merged = rows.groupBy(_._1._2)
+      .map { case (b, v) => (b, v.values.max) }
+    val whole = events.map { case (_, u) => rho(u) }
+      .groupBy(_._1).map { case (b, v) => (b, v.map(_._2).max) }
+    assert(merged === whole, "per-day max-merge != whole-corpus sketch")
+  }
+
+  test("q317 MI margins are consistent and the total is nonnegative " +
+    "up to per-cell floor loss") {
+    val rows = Stats.q317MutualInformation(spark, sf1).collect()
+    val n = rows.map(_.getAs[Long]("n_xy")).sum
+    // marginal consistency per x and per y
+    rows.groupBy(_.getAs[String]("x")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("n_xy")).sum === g.head.getAs[Long]("n_x"))
+    }
+    rows.groupBy(_.getAs[String]("y")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("n_xy")).sum === g.head.getAs[Long]("n_y"))
+    }
+    assert(n === rows.map(_.getAs[Long]("n_xy")).sum)
+    // MI >= 0; each released cell flooring loses < 1 ppb
+    assert(rows.map(_.getAs[Long]("mi_ppb")).sum >= -rows.length.toLong,
+      "MI total below the floor-loss bound")
+  }
+
   test("q312 promo share is a valid proportion every month") {
     val rows = Stats.q312PromoRevenue(spark, sf1).collect()
     assert(rows.nonEmpty)
