@@ -1199,7 +1199,11 @@ object Analytics {
     agg
       .withColumn("cum_cents", sum("cents").over(w))
       .select(col("decile"), col("n_members"), col("cents"),
-        expr("cum_cents * 1000000 div tot").as("cum_share_ppm"))
+        // widen BEFORE the ×10⁶: cum_cents reaches ~1.2e13 at sf1, so
+        // the ppm product passes int64 where DuckDB's window sum is
+        // already int128 (q268 discipline; caught by the sf1 sweep)
+        expr("CAST(cum_cents AS DECIMAL(38,0)) * 1000000 div tot")
+          .as("cum_share_ppm"))
   }
 
   private def q201OracleSql: String =

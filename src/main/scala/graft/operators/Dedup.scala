@@ -1114,7 +1114,12 @@ object Dedup {
       .filter(col("n_inter") * q >= col("n_union") * p)
   }
 
-  private def q101OracleSql: String =
+  /** τ-parameterized DuckDB oracle for the exact set-similarity join:
+    * sound prefix-filter candidate generation (the ⌈τ·len⌉ arithmetic
+    * generalized like [[setSimJoinExact]]'s) + exact verification at
+    * p/q. q101's oracle is the 9/10 instance; q318's sweep nests it at
+    * several thresholds. */
+  private def setSimOracleSqlAt(p: Int, q: Int): String =
     s"""WITH ${lshCtes(plantedSql)},
         sh2 AS (SELECT doc_id, unnest(hsd) AS h FROM hs),
         cnt AS (SELECT doc_id, count(*) AS len FROM sh2 GROUP BY doc_id),
@@ -1125,7 +1130,7 @@ object Dedup {
           FROM sh2 s JOIN edf e ON s.h = e.h
           JOIN cnt c ON s.doc_id = c.doc_id),
         prefix AS (SELECT doc_id, h FROM ranked
-          WHERE rn <= len - ((9 * len + 9) // 10) + 1),
+          WHERE rn <= len - (($p * len + ${q - 1}) // $q) + 1),
         cand AS (SELECT DISTINCT a.doc_id AS doc_id_1,
             b.doc_id AS doc_id_2
           FROM prefix a JOIN prefix b
@@ -1141,7 +1146,9 @@ object Dedup {
         FROM inter i
         JOIN cnt c1 ON c1.doc_id = i.doc_id_1
         JOIN cnt c2 ON c2.doc_id = i.doc_id_2
-        WHERE i.n_inter * 10 >= (c1.len + c2.len - i.n_inter) * 9"""
+        WHERE i.n_inter * $q >= (c1.len + c2.len - i.n_inter) * $p"""
+
+  private def q101OracleSql: String = setSimOracleSqlAt(9, 10)
 
   // ----------------------------------------------------------- q110
 
@@ -1869,6 +1876,47 @@ object Dedup {
         WHERE doc_id_1 // 1024 <> doc_id_2 // 1024
         GROUP BY 1, 2"""
 
+  // ---------------------------------------------------------------- q318
+
+  /** q318's threshold ladder (τ = p/q): loose → strict. */
+  val SweepThresholds: Seq[(Int, Int)] = Seq((4, 5), (9, 10), (19, 20))
+
+  /** q318 — SIMILARITY-THRESHOLD SENSITIVITY SWEEP (the calibration
+    * run a dedup deployment does before pinning its τ: how many pairs
+    * does each candidate threshold admit? — a curve that jumps between
+    * 0.8 and 0.9 says the corpus has a near-dup band there, a flat one
+    * says τ is uncritical; this is also the query that puts the
+    * τ-PARAMETERIZED [[setSimJoinExact]] API itself under the
+    * differential at three thresholds, where q101 pins only 9/10):
+    * exact pair counts at τ ∈ {0.80, 0.90, 0.95} over the planted
+    * corpus, one row per threshold.
+    *
+    * Scale shape: the per-doc set frame builds ONCE (cached) and all
+    * three joins share it; each join's candidate volume is bounded by
+    * its own prefix df (longer prefixes at looser τ — the documented
+    * q101 growth trade); counts, not pairs, are released. */
+  def q318ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val hs = plantedDocs(s, dir)
+      .withColumn("sw_w", split(col("text"), " "))
+      .filter(size(col("sw_w")) >= ShingleN)
+      .select(col("doc_id"), expr(sparkShingleHashes).as("hsd"))
+      .cache()
+    SweepThresholds.map { case (p, q) =>
+      setSimJoinExact(hs, p, q)
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(lit(p.toLong).as("tau_p"), lit(q.toLong).as("tau_q"),
+          col("n_pairs"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def q318OracleSql: String =
+    SweepThresholds.map { case (p, q) =>
+      s"""SELECT CAST($p AS BIGINT) AS tau_p, CAST($q AS BIGINT) AS tau_q,
+          CAST(count(*) AS BIGINT) AS n_pairs
+          FROM (${setSimOracleSqlAt(p, q)}) t$p"""
+    }.mkString("\nUNION ALL\n")
+
   // ---------------------------------------------------------------- q314
 
   /** q314 — B-CUBED CLUSTER-QUALITY EVAL of the dedup clusters against
@@ -1927,6 +1975,7 @@ object Dedup {
         JOIN tz ON l.truth = tz.truth"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q318_setsim_threshold_sweep" -> (q318ThresholdSweep _),
     "q314_bcubed_eval" -> (q314BcubedEval _),
     "q301_containment_eval" -> (q301ContainmentEval _),
     "q300_chunk_near_dup" -> (q300ChunkNearDup _),
@@ -1952,6 +2001,7 @@ object Dedup {
     "q87_verify_candidates" -> (q87VerifyCandidates _))
 
   val oracleSql: Map[String, String] = Map(
+    "q318_setsim_threshold_sweep" -> q318OracleSql,
     "q314_bcubed_eval" -> q314OracleSql,
     "q301_containment_eval" -> q301OracleSql,
     "q300_chunk_near_dup" -> q300OracleSql,

@@ -408,4 +408,22 @@ class DedupSpec extends SparkSpec {
     // so recall must dominate precision
     assert(r >= p, s"recall $r below precision $p on a planted corpus")
   }
+
+  test("q318 sweep is monotone in tau and its 9/10 point equals q101") {
+    val rows = Dedup.q318ThresholdSweep(spark, sf1).collect()
+      .map(r => (r.getAs[Long]("tau_p").toDouble /
+        r.getAs[Long]("tau_q"), r.getAs[Long]("n_pairs")))
+      .sortBy(_._1)
+    assert(rows.length === Dedup.SweepThresholds.length)
+    // loosening the threshold can only admit more pairs
+    rows.sliding(2).foreach {
+      case Array((tA, nA), (tB, nB)) =>
+        assert(nA >= nB, s"pairs increased with stricter tau: $tA->$tB")
+      case _ =>
+    }
+    spark.catalog.clearCache()
+    val q101 = Dedup.q101SetSimJoin(spark, sf1).count()
+    assert(rows.find(_._1 == 0.9).get._2 === q101,
+      "sweep's 9/10 point diverges from q101")
+  }
 }
