@@ -2300,6 +2300,79 @@ object Analytics {
           r.b AS trend_cents, r.l + r.b AS forecast_cents
         FROM rec r JOIN mx ON mx.n = r.n AND r.rn = mx.n_weeks"""
 
+  // ------------------------------------------------------------ q319
+
+  /** q319 — ROLLING-ORIGIN ONE-STEP BACKTEST of the Holt forecaster
+    * (the evaluation q252 itself never gets: a smoother that fits
+    * beautifully in-sample can still forecast badly, and the honest
+    * score is the error of each one-step-AHEAD forecast made before
+    * its target week arrived — for the recursive Holt filter the
+    * whole rolling-origin backtest falls out of ONE pass, because the
+    * forecast for week t is exactly l_{t−1} + b_{t−1}, state the
+    * single filter run already produces): per (nation, week ≥ 2) the
+    * actual cents, the forecast made a week earlier, and the signed
+    * error — all exact integers under q252's α = β = ½ halving
+    * recurrences. The released frame is what a forecast scorecard
+    * aggregates into MAE/bias — left to the consumer (q304 doctrine).
+    *
+    * Scale shape: q252's shape exactly — map-side (nation, week)
+    * census, in-row fold per series; the fold here carries the
+    * running per-step forecasts in its accumulator array
+    * (time-domain-bounded: ≤345 entries), posexploded to rows. */
+  def q319HoltBacktest(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val wk = t(s, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"),
+        date_trunc("week", col("o_orderdate")).as("w"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("c"))
+    wk.groupBy("nationkey")
+      .agg(array_sort(collect_list(struct(col("w"), col("c"))))
+        .as("xs"))
+      .select(col("nationkey"),
+        expr("""aggregate(slice(xs, 2, size(xs) - 1),
+             named_struct('l', element_at(xs, 1).c,
+                          'b', CAST(0 AS BIGINT),
+                          'ev', CAST(array() AS
+                            ARRAY<STRUCT<a: BIGINT, f: BIGINT>>)),
+             (acc, x) -> named_struct(
+               'l', (x.c + acc.l + acc.b) div 2,
+               'b', ((x.c + acc.l + acc.b) div 2 - acc.l + acc.b)
+                 div 2,
+               'ev', concat(acc.ev,
+                 array(named_struct('a', x.c, 'f', acc.l + acc.b)))))
+             .ev""").as("ev"))
+      .select(col("nationkey"), posexplode(col("ev")))
+      .select(col("nationkey"), (col("pos") + 2).cast("bigint").as("rn"),
+        col("col.a").as("actual_cents"),
+        col("col.f").as("forecast_cents"),
+        (col("col.a") - col("col.f")).as("err_cents"))
+  }
+
+  private def q319OracleSql: String =
+    """WITH RECURSIVE wk AS (
+          SELECT c_nationkey AS n, date_trunc('week', o_orderdate) AS w,
+            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS c
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        ser AS (SELECT n, c, row_number() OVER (
+            PARTITION BY n ORDER BY w) AS rn FROM wk),
+        rec AS (
+          SELECT n, rn, c AS l, CAST(0 AS BIGINT) AS b
+          FROM ser WHERE rn = 1
+          UNION ALL
+          SELECT s.n, s.rn, (s.c + r.l + r.b) // 2,
+            ((s.c + r.l + r.b) // 2 - r.l + r.b) // 2
+          FROM rec r JOIN ser s ON s.n = r.n AND s.rn = r.rn + 1)
+        SELECT s.n AS nationkey, CAST(s.rn AS BIGINT) AS rn,
+          s.c AS actual_cents,
+          r.l + r.b AS forecast_cents,
+          s.c - (r.l + r.b) AS err_cents
+        FROM ser s JOIN rec r ON r.n = s.n AND r.rn = s.rn - 1"""
+
   // ------------------------------------------------------------ q255
 
   /** q255 smoothing pseudo-count (prior weight, the q203 convention). */
@@ -3467,6 +3540,7 @@ object Analytics {
     "q258_simpson_audit" -> (q258SimpsonAudit _),
     "q255_loo_encoding" -> (q255LooEncoding _),
     "q252_holt_smoothing" -> (q252HoltSmoothing _),
+    "q319_holt_backtest" -> (q319HoltBacktest _),
     "q247_chi2_independence" -> (q247Chi2Independence _),
     "q248_benford" -> (q248Benford _),
     "q242_wilson_rank" -> (q242WilsonRank _),
@@ -3530,6 +3604,7 @@ object Analytics {
     "q258_simpson_audit" -> q258OracleSql,
     "q255_loo_encoding" -> q255OracleSql,
     "q252_holt_smoothing" -> q252OracleSql,
+    "q319_holt_backtest" -> q319OracleSql,
     "q247_chi2_independence" -> q247OracleSql,
     "q248_benford" -> q248OracleSql,
     "q242_wilson_rank" -> q242OracleSql,

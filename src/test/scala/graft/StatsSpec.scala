@@ -304,4 +304,38 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(dEff - expect) < 0.25 * expect,
       s"d_eff $dEff far from isotropic expectation $expect")
   }
+
+  test("q319 Holt backtest matches a straight-line fold of the weekly " +
+    "census") {
+    val rows = graft.operators.Analytics.q319HoltBacktest(spark, sf1)
+      .collect()
+      .groupBy(_.getAs[Int]("nationkey"))
+    val wk = graft.sources.Tables.load(spark, sf1, "orders")
+      .join(graft.sources.Tables.load(spark, sf1, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("n"),
+        date_trunc("week", col("o_orderdate")).as("w"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("c"))
+      .collect().map(r => (r.getAs[Int]("n"),
+        r.getAs[java.sql.Timestamp]("w").getTime, r.getAs[Long]("c")))
+      .groupBy(_._1)
+    wk.foreach { case (nation, g) =>
+      val xs = g.sortBy(_._2).map(_._3)
+      var l = xs.head
+      var b = 0L
+      val model = xs.drop(1).map { x =>
+        val f = l + b
+        // Spark div truncates toward zero — Scala / semantics (the
+        // q252 docstring's q246-verified cross-engine contract)
+        val l2 = (x + l + b) / 2
+        val nb = (l2 - l + b) / 2
+        l = l2; b = nb
+        (x, f)
+      }
+      val got = rows(nation).sortBy(_.getAs[Long]("rn"))
+        .map(r => (r.getAs[Long]("actual_cents"),
+          r.getAs[Long]("forecast_cents")))
+      assert(got.toSeq === model.toSeq, s"nation $nation backtest diverges")
+    }
+  }
 }
