@@ -844,6 +844,263 @@ object Stats {
         FROM cells c JOIN mx ON c.x = mx.x JOIN my ON c.y = my.y
         CROSS JOIN nt"""
 
+  // ------------------------------------------------------------ q320
+
+  /** q320's ρ as ONE shared-text double expression over the exact
+    * decimal(38,0) sufficient statistics: num / sqrt(den_x · den_y),
+    * with num = N·Σnuxuy − Σnux·Σnuy etc. — Pearson over doubled
+    * midranks (the 4× scale cancels between num and den). Every
+    * operand is bit-identical on both engines, so floor(ρ·10⁶) is
+    * deterministic cross-engine (q303 discipline). */
+  private def spearmanRhoExpr: String =
+    s"""(CAST(num AS DOUBLE)
+       / sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)))"""
+
+  /** q320 — SPEARMAN RANK CORRELATION between lineitem quantity and
+    * discount (the monotone-association member completing the
+    * correlation family: q180's Pearson sees only LINEAR association
+    * and is wrecked by heavy tails, q264's Kendall is O(n·band) and
+    * pays a window-join — Spearman is Pearson ON MIDRANKS, robust to
+    * any monotone transform and, over a bounded value domain, computable
+    * entirely on censuses with zero row-level ranking). Both variables
+    * live on tiny exact grids (quantity 1..50, discount cents 0..10),
+    * so the joint census is ≤ 550 cells and the midranks come from the
+    * MARGINAL censuses: for a tie group of size m with cb strictly
+    * below, the doubled midrank 2·r̄ = 2·cb + m + 1 is integral (q303).
+    * The moment sums are carried in decimal(38,0)/int128 (n·ux·uy
+    * products reach 4N³ ≈ 10²⁷ at sf100 — int64 wraps, q268
+    * discipline) and stay INTERNAL per the q180/q315 release rule
+    * (int128 lands as float under the driver's pandas read-back);
+    * released are N and ρ ×10⁶ through [[spearmanRhoExpr]]. Expected
+    * ≈ 0 here — quantity and discount are drawn independently, which
+    * is itself the generator finding (q317).
+    *
+    * Scale shape: ONE corpus scan map-side combined to the ≤550-cell
+    * joint census; marginals, midranks, and the scalar fold all ride
+    * that census frame (the q168 value-domain convention — no global
+    * sort, no row-level window, at any corpus size). */
+  def q320Spearman(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "lineitem")
+      .select(expr("CAST(l_quantity AS BIGINT)").as("q"),
+        expr("CAST(floor(l_discount * 100) AS BIGINT)").as("d"))
+      .groupBy("q", "d").agg(count(lit(1)).as("n_qd"))
+      .localCheckpoint(true)
+    val wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    val mq = cells.groupBy("q").agg(sum("n_qd").as("mq"))
+      .withColumn("cbq", coalesce(sum(col("mq")).over(wq), lit(0L)))
+      .select(col("q"), (lit(2L) * col("cbq") + col("mq") + 1).as("ux"))
+    val wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    val md = cells.groupBy("d").agg(sum("n_qd").as("md"))
+      .withColumn("cbd", coalesce(sum(col("md")).over(wd), lit(0L)))
+      .select(col("d"), (lit(2L) * col("cbd") + col("md") + 1).as("uy"))
+    cells.join(broadcast(mq), "q").join(broadcast(md), "d")
+      .agg(
+        sum("n_qd").as("n"),
+        sum(expr("CAST(n_qd AS DECIMAL(38,0)) * ux")).as("sx"),
+        sum(expr("CAST(n_qd AS DECIMAL(38,0)) * uy")).as("sy"),
+        sum(expr("CAST(n_qd AS DECIMAL(38,0)) * ux * ux")).as("sxx"),
+        sum(expr("CAST(n_qd AS DECIMAL(38,0)) * uy * uy")).as("syy"),
+        sum(expr("CAST(n_qd AS DECIMAL(38,0)) * ux * uy")).as("sxy"))
+      .select(col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy").as("num"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx").as("den_x"),
+        expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy").as("den_y"))
+      .select(col("n"),
+        expr(s"CAST(floor($spearmanRhoExpr * 1000000) AS BIGINT)")
+          .as("rho_ppm"))
+  }
+
+  private def q320OracleSql: String =
+    s"""WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+          CAST(floor(l_discount * 100) AS BIGINT) AS d,
+          CAST(count(*) AS BIGINT) AS n_qd
+        FROM lineitem GROUP BY 1, 2),
+        mq AS (SELECT q, 2 * CAST(coalesce(sum(mq) OVER (ORDER BY q
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) + mq + 1 AS ux
+          FROM (SELECT q, CAST(sum(n_qd) AS BIGINT) AS mq
+                FROM cells GROUP BY q)),
+        md AS (SELECT d, 2 * CAST(coalesce(sum(md) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) + md + 1 AS uy
+          FROM (SELECT d, CAST(sum(n_qd) AS BIGINT) AS md
+                FROM cells GROUP BY d)),
+        ag AS (SELECT CAST(sum(n_qd) AS BIGINT) AS n,
+          sum(CAST(n_qd AS HUGEINT) * ux) AS sx,
+          sum(CAST(n_qd AS HUGEINT) * uy) AS sy,
+          sum(CAST(n_qd AS HUGEINT) * ux * ux) AS sxx,
+          sum(CAST(n_qd AS HUGEINT) * uy * uy) AS syy,
+          sum(CAST(n_qd AS HUGEINT) * ux * uy) AS sxy
+          FROM cells JOIN mq USING (q) JOIN md USING (d)),
+        fin AS (SELECT n,
+          CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+          CAST(n AS HUGEINT) * sxx - sx * sx AS den_x,
+          CAST(n AS HUGEINT) * syy - sy * sy AS den_y FROM ag)
+        SELECT n,
+          CAST(floor($spearmanRhoExpr * 1000000) AS BIGINT) AS rho_ppm
+        FROM fin"""
+
+  // ------------------------------------------------------------ q321
+
+  /** q321 — TWO-SAMPLE KOLMOGOROV–SMIRNOV between purchase and click
+    * event values (the distribution-level drift/AB test completing the
+    * two-sample family: q266's Welch t compares MEANS, q303's rank-sum
+    * compares LOCATIONS — KS is sensitive to ANY distributional
+    * difference, shape included, and is the standard gate before
+    * pooling two traffic segments). Fully integer: on the exact cents
+    * grid, D = max_v |F₁(v) − F₂(v)| = d_num / (n₁·n₂) with
+    * d_num = max_v |n₂·c₁(v) − n₁·c₂(v)| over the cumulative census —
+    * no float touches the differential, even the released KS statistic
+    * is the exact integer (d_num·10⁶) div (n₁·n₂) in decimal(38,0)
+    * (int64 wraps at sf100: d_num ≤ n₁n₂ ≈ 4·10¹⁴ and ×10⁶ overflows —
+    * q315's decimal-div pattern). Also released: the cents value where
+    * the sup is attained (smallest such, exact tie-break).
+    *
+    * Scale shape: one map-side hash agg to the distinct-cents census
+    * (value-domain-bounded ~10⁴ rows, q168/q303 convention), one
+    * ordered window over that frame, one scalar aggregate + the
+    * argmax re-join on the tiny census. The corpus is touched once. */
+  def q321KsTest(s: SparkSession, dir: String): DataFrame = {
+    val grp = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select((col("event_type") === "purchase").as("arm"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("vc").agg(
+        sum(when(col("arm"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm"), 0L).otherwise(1L)).as("nb"))
+      .localCheckpoint(true)
+    val w = Window.orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grp
+      .select(col("vc"), sum("na").over(w).as("c1"),
+        sum("nb").over(w).as("c2"))
+    val tot = grp.agg(sum("na").as("n1"), sum("nb").as("n2"))
+    val diffs = cum.crossJoin(broadcast(tot))
+      .select(col("vc"), col("n1"), col("n2"),
+        abs(col("n2") * col("c1") - col("n1") * col("c2")).as("diff"))
+      .localCheckpoint(true)
+    val dmax = diffs.agg(max("diff").as("d_num"))
+    diffs.join(broadcast(dmax), col("diff") === col("d_num"))
+      .groupBy("n1", "n2", "d_num")
+      .agg(min("vc").as("vc_at"))
+      .select(col("n1"), col("n2"), col("d_num"), col("vc_at"),
+        expr("""CAST((CAST(d_num AS DECIMAL(38,0)) * 1000000)
+                div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)""")
+          .as("ks_ppm"))
+  }
+
+  private def q321OracleSql: String =
+    """WITH ev AS (SELECT event_type = 'purchase' AS arm,
+          CAST(floor(value * 100) AS BIGINT) AS vc
+        FROM events WHERE event_type IN ('purchase', 'click')),
+        grp AS (SELECT vc,
+          CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(sum(CASE WHEN arm THEN 0 ELSE 1 END) AS BIGINT) AS nb
+          FROM ev GROUP BY vc),
+        cum AS (SELECT vc,
+          CAST(sum(na) OVER (ORDER BY vc) AS BIGINT) AS c1,
+          CAST(sum(nb) OVER (ORDER BY vc) AS BIGINT) AS c2 FROM grp),
+        tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+          CAST(sum(nb) AS BIGINT) AS n2 FROM grp),
+        diffs AS (SELECT vc, n1, n2, abs(n2 * c1 - n1 * c2) AS diff
+          FROM cum CROSS JOIN tot),
+        dmax AS (SELECT max(diff) AS d_num FROM diffs)
+        SELECT n1, n2, d_num, min(vc) AS vc_at,
+          CAST((CAST(d_num AS HUGEINT) * 1000000)
+               // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_ppm
+        FROM diffs JOIN dmax ON diff = d_num
+        GROUP BY n1, n2, d_num"""
+
+  // ------------------------------------------------------------ q322
+
+  /** The five event types, the FIXED pivot domain of q322 (asserting it
+    * fixed is what lets H be one shared-text expression — a float Σ
+    * over a dynamic group set would fold in engine-dependent order). */
+  val KwTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q322's H as ONE shared-text double expression over the pivoted
+    * exact integers {n, ties, n_g, r2_g}: with R_g = r2_g/2,
+    * H = [12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)] / (1 − T/(N³−N)).
+    * The Σ over the five groups is written out term by term in fixed
+    * order, so every float op is position-identical on both engines. */
+  private def kwHExpr: String = {
+    val terms = KwTypes.map(g =>
+      s"(CAST(r2_$g AS DOUBLE) * r2_$g / 4.0 / n_$g)").mkString("\n + ")
+    s"""((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * ($terms)
+        - 3.0 * (n + 1.0))
+       / (1.0 - CAST(ties AS DOUBLE)
+           / (CAST(n AS DOUBLE) * n * n - n)))"""
+  }
+
+  /** q322 — KRUSKAL–WALLIS H across ALL FIVE event types (the k-sample
+    * nonparametric ANOVA: q190's F test assumes normal-ish residuals
+    * the Exp(50) payload violates, q303's rank-sum only handles two
+    * arms — KW is the omnibus "does value differ by type at all" gate
+    * run before any pairwise drill-down). Midranks on the exact cents
+    * grid over the POOLED census, doubled to stay integral (2·r̄ =
+    * 2·cb + m + 1, q303); per type the count n_g and doubled rank-sum
+    * r2_g = Σ n_{g,v}·(2·cb_v + m_v + 1) are exact BIGINTs, pivoted
+    * into ONE row over the declared fixed type domain [[KwTypes]] so
+    * the tie-corrected H ×10⁶ folds in fixed term order through
+    * [[kwHExpr]]. Near-zero expected — value is drawn independently of
+    * type (q317's generator-finding pattern).
+    *
+    * Scale shape: one map-side hash agg to the (type, cents) census,
+    * the rank window rides the ~10⁴-row pooled-cents frame, the pivot
+    * is a 5-way conditional aggregation to a single row. Corpus
+    * touched once, nothing downstream scales with it. */
+  def q322KruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .select(col("event_type").as("g"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("g", "vc").agg(count(lit(1)).as("ng"))
+    val w = Window.orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pooled = cells.groupBy("vc").agg(sum("ng").as("m"))
+      .withColumn("cb", coalesce(sum(col("m")).over(w), lit(0L)))
+      .select(col("vc"), col("m"),
+        (lit(2L) * col("cb") + col("m") + 1).as("u"))
+    val joined = cells.join(broadcast(pooled), "vc")
+    val pivotCols =
+      KwTypes.flatMap(g => Seq(
+        sum(when(col("g") === g, col("ng")).otherwise(0L)).as(s"n_$g"),
+        sum(when(col("g") === g, col("ng") * col("u")).otherwise(0L))
+          .as(s"r2_$g")))
+    val tiesF = pooled.agg(sum(expr("m * m * m - m")).as("ties"))
+    joined.agg(sum("ng").as("n"), pivotCols: _*)
+      .crossJoin(broadcast(tiesF))
+      .select(col("n") +: col("ties") +:
+        KwTypes.flatMap(g => Seq(col(s"n_$g"), col(s"r2_$g"))) :+
+        expr(s"CAST(floor($kwHExpr * 1000000) AS BIGINT)").as("h_ppm"): _*)
+  }
+
+  private def q322OracleSql: String = {
+    val pivotSel = KwTypes.map(g =>
+      s"""CAST(sum(CASE WHEN g = '$g' THEN ng ELSE 0 END) AS BIGINT)
+            AS n_$g,
+          CAST(sum(CASE WHEN g = '$g' THEN ng * u ELSE 0 END) AS BIGINT)
+            AS r2_$g""").mkString(",\n          ")
+    val outCols = KwTypes.map(g => s"n_$g, r2_$g").mkString(", ")
+    s"""WITH cells AS (SELECT event_type AS g,
+          CAST(floor(value * 100) AS BIGINT) AS vc,
+          CAST(count(*) AS BIGINT) AS ng
+        FROM events GROUP BY 1, 2),
+        pooled AS (SELECT vc, m,
+          2 * CAST(coalesce(sum(m) OVER (ORDER BY vc
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) + m + 1 AS u
+          FROM (SELECT vc, CAST(sum(ng) AS BIGINT) AS m
+                FROM cells GROUP BY vc)),
+        tt AS (SELECT CAST(sum(m * m * m - m) AS BIGINT) AS ties
+          FROM pooled),
+        piv AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+          $pivotSel
+          FROM cells JOIN pooled USING (vc))
+        SELECT n, ties, $outCols,
+          CAST(floor($kwHExpr * 1000000) AS BIGINT) AS h_ppm
+        FROM piv CROSS JOIN tt"""
+  }
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -857,7 +1114,10 @@ object Stats {
     "q311_local_supplier_volume" -> (q311LocalSupplierVolume _),
     "q312_promo_revenue" -> (q312PromoRevenue _),
     "q316_hll_registers" -> (q316HllRegisters _),
-    "q317_mutual_information" -> (q317MutualInformation _))
+    "q317_mutual_information" -> (q317MutualInformation _),
+    "q320_spearman" -> (q320Spearman _),
+    "q321_ks_test" -> (q321KsTest _),
+    "q322_kruskal_wallis" -> (q322KruskalWallis _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -870,5 +1130,8 @@ object Stats {
     "q311_local_supplier_volume" -> q311OracleSql,
     "q312_promo_revenue" -> q312OracleSql,
     "q316_hll_registers" -> q316OracleSql,
-    "q317_mutual_information" -> q317OracleSql)
+    "q317_mutual_information" -> q317OracleSql,
+    "q320_spearman" -> q320OracleSql,
+    "q321_ks_test" -> q321OracleSql,
+    "q322_kruskal_wallis" -> q322OracleSql)
 }

@@ -338,4 +338,102 @@ class StatsSpec extends SparkSpec {
       assert(got.toSeq === model.toSeq, s"nation $nation backtest diverges")
     }
   }
+
+  /** Doubled midranks (2·r̄) for a value sequence — the shared model for
+    * the q320/q322 rank checks (same convention as the q303 model). */
+  private def midrank2(vals: Array[Long]): Map[Long, Long] = {
+    val sorted = vals.sorted
+    val out = scala.collection.mutable.Map[Long, Long]()
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j) == sorted(i)) j += 1
+      out(sorted(i)) = (i + 1).toLong + j.toLong // 2 * midrank
+      i = j
+    }
+    out.toMap
+  }
+
+  test("q320 Spearman matches brute-force Pearson over midranks") {
+    val row = Stats.q320Spearman(spark, sf1).head()
+    val pairs = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select(expr("CAST(l_quantity AS BIGINT)").as("q"),
+        expr("CAST(floor(l_discount * 100) AS BIGINT)").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ux = midrank2(pairs.map(_._1))
+    val uy = midrank2(pairs.map(_._2))
+    val n = BigInt(pairs.length)
+    def S(f: ((Long, Long)) => BigInt) = pairs.map(f).sum
+    val sx = S(p => BigInt(ux(p._1)))
+    val sy = S(p => BigInt(uy(p._2)))
+    val sxx = S(p => BigInt(ux(p._1)) * ux(p._1))
+    val syy = S(p => BigInt(uy(p._2)) * uy(p._2))
+    val sxy = S(p => BigInt(ux(p._1)) * uy(p._2))
+    val num = n * sxy - sx * sy
+    val denX = n * sxx - sx * sx
+    val denY = n * syy - sy * sy
+    assert(row.getAs[Long]("n") === pairs.length.toLong)
+    val rho = num.toDouble / math.sqrt(denX.toDouble * denY.toDouble)
+    assert(row.getAs[Long]("rho_ppm") === math.floor(rho * 1e6).toLong)
+    // independence of the generator's draws: |rho| under 5%
+    assert(math.abs(row.getAs[Long]("rho_ppm")) < 50000L)
+  }
+
+  test("q321 KS matches the brute-force ECDF sup and is scale-free") {
+    val row = Stats.q321KsTest(spark, sf1).head()
+    val vals = graft.sources.Tables.load(spark, sf1, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select((col("event_type") === "purchase").as("arm"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val n1 = vals.count(_._1).toLong
+    val n2 = vals.length - n1
+    val grid = vals.map(_._2).distinct.sorted
+    var best = -1L
+    var bestVc = Long.MaxValue
+    grid.foreach { v =>
+      val c1 = vals.count(p => p._1 && p._2 <= v).toLong
+      val c2 = vals.count(p => !p._1 && p._2 <= v).toLong
+      val d = math.abs(n2 * c1 - n1 * c2)
+      if (d > best) { best = d; bestVc = v }
+    }
+    assert(row.getAs[Long]("n1") === n1)
+    assert(row.getAs[Long]("n2") === n2)
+    assert(row.getAs[Long]("d_num") === best)
+    assert(row.getAs[Long]("vc_at") === bestVc)
+    assert(row.getAs[Long]("ks_ppm") ===
+      (BigInt(best) * 1000000 / (BigInt(n1) * n2)).toLong)
+    // D is a probability-scale statistic: 0 <= ks_ppm <= 1e6
+    assert(row.getAs[Long]("ks_ppm") >= 0L)
+    assert(row.getAs[Long]("ks_ppm") <= 1000000L)
+  }
+
+  test("q322 Kruskal-Wallis matches a brute-force pooled-midrank model") {
+    val row = Stats.q322KruskalWallis(spark, sf1).head()
+    val vals = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val u = midrank2(vals.map(_._2))
+    val n = vals.length.toLong
+    assert(row.getAs[Long]("n") === n)
+    val ties = vals.groupBy(_._2).values
+      .map(g => { val m = g.length.toLong; m * m * m - m }).sum
+    assert(row.getAs[Long]("ties") === ties)
+    val byG = vals.groupBy(_._1)
+    assert(byG.keySet === Stats.KwTypes.toSet,
+      "fixed pivot domain must cover exactly the observed types")
+    var hsum = 0.0
+    Stats.KwTypes.foreach { g =>
+      val xs = byG(g)
+      val ng = xs.length.toLong
+      val r2 = xs.map(p => u(p._2)).sum
+      assert(row.getAs[Long](s"n_$g") === ng)
+      assert(row.getAs[Long](s"r2_$g") === r2)
+      hsum += r2.toDouble * r2 / 4.0 / ng
+    }
+    val h = (12.0 / (n.toDouble * (n + 1)) * hsum - 3.0 * (n + 1.0)) /
+      (1.0 - ties.toDouble / (n.toDouble * n * n - n))
+    assert(row.getAs[Long]("h_ppm") === math.floor(h * 1e6).toLong)
+  }
 }
