@@ -3522,7 +3522,69 @@ object Analytics {
          AS HUGEINT) // count(*) AS BIGINT) AS mean_price_cents
        FROM lineitem GROUP BY 1"""
 
+  // ------------------------------------------------------------ q325
+
+  /** q325 — COHORT RETENTION MATRIX (the product-analytics table every
+    * growth team keeps open: users cohorted by SIGNUP week, each
+    * cohort's share still active o weeks later — q308's Kaplan–Meier
+    * answers time-to-ONE-event with censoring, q211's rolling WAU is a
+    * calendar aggregate; the retention matrix is the per-cohort decay
+    * CURVE, and reading down a diagonal separates product change from
+    * cohort quality). Cohort = week of the user's FIRST signup event
+    * (date_trunc('week'), the q252 convention); a user is active in
+    * offset o if ANY event falls in cohort_week + o. Offset 0 contains
+    * the signup itself, so retained = n_cohort there — the differential
+    * pins that identity rather than special-casing it. Released per
+    * (cohort_week, week_offset): cohort size, retained count, and
+    * retention in exact ppm (retained·10⁶ div n_cohort).
+    *
+    * Scale shape: two user-keyed partial-aggregated shuffles (first
+    * signup; distinct active weeks) that co-partition on user_id, one
+    * broadcast-size census groupBy — O(users·weeks) rows into the
+    * census, |weeks|² rows out. No windows, no self-joins. */
+  def q325CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("week", col("ts"))).as("cw"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+      .distinct()
+    val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("n_cohort"))
+    cohort.join(active, Seq("user_id"))
+      .filter(col("aw") >= col("cw"))
+      .select(col("cw"),
+        (datediff(col("aw").cast("date"), col("cw").cast("date")) / 7)
+          .cast("bigint").as("week_offset"))
+      .groupBy("cw", "week_offset")
+      .agg(count(lit(1)).as("retained"))
+      .join(broadcast(sizes), "cw")
+      .select(col("cw").cast("date").as("cohort_week"),
+        col("week_offset"), col("n_cohort"), col("retained"),
+        expr("retained * 1000000 div n_cohort").as("retention_ppm"))
+  }
+
+  private def q325OracleSql: String =
+    """WITH cohort AS (SELECT user_id,
+          min(date_trunc('week', ts)) AS cw
+        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id,
+          date_trunc('week', ts) AS aw FROM events),
+        sizes AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_cohort
+          FROM cohort GROUP BY cw),
+        ret AS (SELECT cw,
+          CAST(date_diff('day', CAST(cw AS DATE), CAST(aw AS DATE)) // 7
+            AS BIGINT) AS week_offset,
+          CAST(count(*) AS BIGINT) AS retained
+        FROM cohort JOIN active USING (user_id)
+        WHERE aw >= cw GROUP BY 1, 2)
+        SELECT CAST(ret.cw AS DATE) AS cohort_week, week_offset,
+          n_cohort, retained,
+          retained * 1000000 // n_cohort AS retention_ppm
+        FROM ret JOIN sizes ON sizes.cw = ret.cw"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_cohort_retention" -> (q325CohortRetention _),
     "q298_weekday_revenue" -> (q298WeekdayRevenue _),
     "q299_quantity_discount" -> (q299QuantityDiscount _),
     "q297_max_drawdown" -> (q297MaxDrawdown _),
@@ -3587,6 +3649,7 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q325_cohort_retention" -> q325OracleSql,
     "q298_weekday_revenue" -> q298OracleSql,
     "q299_quantity_discount" -> q299OracleSql,
     "q297_max_drawdown" -> q297OracleSql,

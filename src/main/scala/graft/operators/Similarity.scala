@@ -1703,7 +1703,91 @@ object Similarity {
           CAST(sum(d2) AS BIGINT) AS sum_d2
         FROM best WHERE rn = 1 GROUP BY sub, code"""
 
+  // ------------------------------------------------------------ q327
+
+  /** Matryoshka prefix length: rank with the first 16 of 64 dims. */
+  val MatryoshkaDim = 16
+
+  /** q327 — MATRYOSHKA PREFIX-DIMENSION AGREEMENT eval (the measurement
+    * behind truncatable-embedding deployment: MRL-style encoders are
+    * trained so a PREFIX of the vector ranks almost as well as the full
+    * one, letting retrieval run its first pass at 4× less memory
+    * bandwidth and rerank the shortlist at full width — before any such
+    * rollout you measure how much ranking the truncation costs, which
+    * is THIS query; these embeddings are iid, so agreement here is the
+    * CHANCE baseline ≈ k/n the docstring of the rollout would cite,
+    * and the differential pins the harness, not a trained property).
+    * Per probe (vec_id < [[NumProbes]], q153 convention): the exact
+    * top-[[TopK]] under full 64-dim cosine and under [[MatryoshkaDim]]-
+    * prefix cosine (prefix norms recomputed — a truncated unit vector
+    * is NOT unit), overlap counted on the SHARED candidate frame (both
+    * ranks live on the same (probe, cand) row — set intersection
+    * without a join), ties broken by vec_id on both rankings.
+    * Released: (probe_id, n_overlap, overlap_ppm).
+    *
+    * Scale shape: ONE corpus×probes broadcast expansion (the q25/q153
+    * brute-force eval shape, amortized across the probe batch), both
+    * cosines computed per row through the codegen'd vec_dot, two rank
+    * windows over the probe-partitioned frame, one probe-keyed agg.
+    * Eval-priced by design; the production path this measures is the
+    * prefix-first rerank cascade (q128's two-stage shape). */
+  def q327MatryoshkaEval(s: SparkSession, dir: String): DataFrame = {
+    val md = MatryoshkaDim
+    val e = vectors(s, dir)
+      .withColumn("ed16", expr(s"slice(ed, 1, $md)"))
+      .withColumn("nrm16", sqrt(vec_dot(col("ed16"), col("ed16"))))
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("ed").as("ped"),
+        col("nrm").as("pnrm"), col("ed16").as("ped16"),
+        col("nrm16").as("pnrm16"))
+    val wf = Window.partitionBy("probe_id")
+      .orderBy(col("cos_full").desc, col("vec_id"))
+    val wp = Window.partitionBy("probe_id")
+      .orderBy(col("cos_pref").desc, col("vec_id"))
+    e.crossJoin(broadcast(probes))
+      .withColumn("cos_full",
+        vec_dot(col("ed"), col("ped")) / (col("nrm") * col("pnrm")))
+      .withColumn("cos_pref",
+        vec_dot(col("ed16"), col("ped16"))
+          / (col("nrm16") * col("pnrm16")))
+      .withColumn("rank_full", row_number().over(wf))
+      .withColumn("rank_pref", row_number().over(wp))
+      .groupBy("probe_id")
+      .agg(sum(when(col("rank_full") <= TopK &&
+        col("rank_pref") <= TopK, 1L).otherwise(0L)).as("n_overlap"))
+      .withColumn("overlap_ppm", expr(s"(n_overlap * 1000000) div $TopK"))
+  }
+
+  private def q327OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm,
+          CAST(embedding AS DOUBLE[])[1:$MatryoshkaDim] AS ed16,
+          sqrt(list_dot_product(
+            CAST(embedding AS DOUBLE[])[1:$MatryoshkaDim],
+            CAST(embedding AS DOUBLE[])[1:$MatryoshkaDim])) AS nrm16
+        FROM embeddings),
+        probes AS (SELECT vec_id AS probe_id, ed AS ped, nrm AS pnrm,
+          ed16 AS ped16, nrm16 AS pnrm16 FROM e
+          WHERE vec_id < $NumProbes),
+        ranked AS (SELECT p.probe_id, a.vec_id,
+          row_number() OVER (PARTITION BY p.probe_id
+            ORDER BY list_dot_product(a.ed, p.ped) / (a.nrm * p.pnrm)
+              DESC, a.vec_id) AS rank_full,
+          row_number() OVER (PARTITION BY p.probe_id
+            ORDER BY list_dot_product(a.ed16, p.ped16)
+              / (a.nrm16 * p.pnrm16) DESC, a.vec_id) AS rank_pref
+          FROM e a CROSS JOIN probes p)
+        SELECT probe_id,
+          CAST(sum(CASE WHEN rank_full <= $TopK AND rank_pref <= $TopK
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+          (CAST(sum(CASE WHEN rank_full <= $TopK AND rank_pref <= $TopK
+            THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // $TopK
+            AS overlap_ppm
+        FROM ranked GROUP BY probe_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_matryoshka_eval" -> (q327MatryoshkaEval _),
     "q323_centroid_drift" -> (q323SourceCentroidDrift _),
     "q324_pq_assign" -> (q324PqAssign _),
     "q315_effective_rank" -> (q315EffectiveRank _),
@@ -1733,6 +1817,7 @@ object Similarity {
     "q91_quantize_embeddings" -> (q91QuantizeEmbeddings _))
 
   val oracleSql: Map[String, String] = Map(
+    "q327_matryoshka_eval" -> q327OracleSql,
     "q323_centroid_drift" -> q323OracleSql,
     "q324_pq_assign" -> q324OracleSql,
     "q315_effective_rank" -> q315OracleSql,

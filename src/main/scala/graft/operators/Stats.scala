@@ -1101,6 +1101,109 @@ object Stats {
         FROM piv CROSS JOIN tt"""
   }
 
+  // ------------------------------------------------------------ q326
+
+  /** q326's F as ONE shared-text double expression over the pivoted
+    * exact integers {n, n_g, sz_g, szz_g}: the one-way ANOVA F on the
+    * absolute deviations, between = Σ sz_g²/n_g − (Σ sz_g)²/N,
+    * within = Σ szz_g − Σ sz_g²/n_g, F = (between/(k−1)) /
+    * (within/(N−k)). Terms are written out in fixed [[KwTypes]] order
+    * (q322's pivot-determinism move). */
+  private def bfFExpr: String = {
+    val k = KwTypes.size
+    val sq = KwTypes.map(g =>
+      s"(CAST(sz_$g AS DOUBLE) * sz_$g / n_$g)").mkString("\n + ")
+    val szsum = KwTypes.map(g => s"CAST(sz_$g AS DOUBLE)").mkString(" + ")
+    val szzsum = KwTypes.map(g => s"CAST(szz_$g AS DOUBLE)").mkString(" + ")
+    s"""(((($sq) - ($szsum) * ($szsum) / n) / ${k - 1}.0)
+       / ((($szzsum) - ($sq)) / (CAST(n AS DOUBLE) - $k)))"""
+  }
+
+  /** q326 — BROWN–FORSYTHE VARIANCE-EQUALITY TEST across the five event
+    * types (the homoscedasticity GATE in front of q190's ANOVA F, whose
+    * equal-variance assumption is exactly what heavy-tailed payloads
+    * break; Brown–Forsythe is Levene's test made robust by deviating
+    * from the MEDIAN — the recommended form for skewed data): per type
+    * the median on the exact cents grid is carried DOUBLED
+    * (med2 = lo + hi from the two order statistics, integral for any
+    * group size — the q303 doubling trick applied to medians), the
+    * deviations z = |2·vc − med2| are exact integers on the doubled
+    * grid, and the per-type {n_g, Σz, Σz²} pivot into one row over the
+    * fixed [[KwTypes]] domain; F ×10⁶ folds through [[bfFExpr]] in
+    * fixed term order. Σz² reaches ~2·10¹⁹ near sf100 — past the int64
+    * release bound, documented per the q304 convention (internally the
+    * agg would widen to decimal(38,0) first).
+    *
+    * Scale shape: one map-side hash agg to the (type, cents) census;
+    * the per-type cumulative window and the two order-statistic
+    * lookups ride that ~10⁴-row frame; one 5-way conditional agg to a
+    * single row. Corpus touched once. */
+  def q326BrownForsythe(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .select(col("event_type").as("g"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("g", "vc").agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val wc = Window.partitionBy("g").orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cum", sum("m").over(wc))
+    val ng = cells.groupBy("g").agg(sum("m").as("n_g"))
+    val meds = cum.join(broadcast(ng), "g")
+      .groupBy("g")
+      .agg(
+        min(when(col("cum") >= expr("(n_g + 1) div 2"), col("vc")))
+          .as("lo"),
+        min(when(col("cum") >= expr("n_g div 2 + 1"), col("vc")))
+          .as("hi"))
+      .select(col("g"), (col("lo") + col("hi")).as("med2"))
+    val z = cells.join(broadcast(meds), "g")
+      .select(col("g"), col("m"),
+        abs(lit(2L) * col("vc") - col("med2")).as("z"))
+    val pivotCols = KwTypes.flatMap(g => Seq(
+      sum(when(col("g") === g, col("m")).otherwise(0L)).as(s"n_$g"),
+      sum(when(col("g") === g, col("m") * col("z")).otherwise(0L))
+        .as(s"sz_$g"),
+      sum(when(col("g") === g, col("m") * col("z") * col("z"))
+        .otherwise(0L)).as(s"szz_$g")))
+    z.agg(sum("m").as("n"), pivotCols: _*)
+      .select(col("n") +:
+        KwTypes.flatMap(g =>
+          Seq(col(s"n_$g"), col(s"sz_$g"), col(s"szz_$g"))) :+
+        expr(s"CAST(floor($bfFExpr * 1000000) AS BIGINT)").as("f_ppm"): _*)
+  }
+
+  private def q326OracleSql: String = {
+    val pivotSel = KwTypes.map(g =>
+      s"""CAST(sum(CASE WHEN g = '$g' THEN m ELSE 0 END) AS BIGINT)
+            AS n_$g,
+          CAST(sum(CASE WHEN g = '$g' THEN m * z ELSE 0 END) AS BIGINT)
+            AS sz_$g,
+          CAST(sum(CASE WHEN g = '$g' THEN m * z * z ELSE 0 END)
+            AS BIGINT) AS szz_$g""").mkString(",\n          ")
+    val outCols = KwTypes.map(g => s"n_$g, sz_$g, szz_$g").mkString(", ")
+    s"""WITH cells AS (SELECT event_type AS g,
+          CAST(floor(value * 100) AS BIGINT) AS vc,
+          CAST(count(*) AS BIGINT) AS m
+        FROM events GROUP BY 1, 2),
+        cum AS (SELECT g, vc, m, CAST(sum(m) OVER (PARTITION BY g
+            ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum FROM cells),
+        ng AS (SELECT g, CAST(sum(m) AS BIGINT) AS n_g
+          FROM cells GROUP BY g),
+        meds AS (SELECT cum.g,
+          min(CASE WHEN cum >= (n_g + 1) // 2 THEN vc END)
+            + min(CASE WHEN cum >= n_g // 2 + 1 THEN vc END) AS med2
+          FROM cum JOIN ng ON ng.g = cum.g GROUP BY cum.g),
+        z AS (SELECT c.g, c.m, abs(2 * c.vc - meds.med2) AS z
+          FROM cells c JOIN meds ON meds.g = c.g),
+        piv AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+          $pivotSel
+          FROM z)
+        SELECT n, $outCols,
+          CAST(floor($bfFExpr * 1000000) AS BIGINT) AS f_ppm
+        FROM piv"""
+  }
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1117,7 +1220,8 @@ object Stats {
     "q317_mutual_information" -> (q317MutualInformation _),
     "q320_spearman" -> (q320Spearman _),
     "q321_ks_test" -> (q321KsTest _),
-    "q322_kruskal_wallis" -> (q322KruskalWallis _))
+    "q322_kruskal_wallis" -> (q322KruskalWallis _),
+    "q326_brown_forsythe" -> (q326BrownForsythe _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -1133,5 +1237,6 @@ object Stats {
     "q317_mutual_information" -> q317OracleSql,
     "q320_spearman" -> q320OracleSql,
     "q321_ks_test" -> q321OracleSql,
-    "q322_kruskal_wallis" -> q322OracleSql)
+    "q322_kruskal_wallis" -> q322OracleSql,
+    "q326_brown_forsythe" -> q326OracleSql)
 }

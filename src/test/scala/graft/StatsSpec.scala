@@ -410,6 +410,98 @@ class StatsSpec extends SparkSpec {
     assert(rows.count { case ((_, _), (_, s2)) => s2 >= 0 } === rows.size)
   }
 
+  test("q325 cohort retention: offset 0 is the cohort itself and " +
+    "counts match a brute-force replay") {
+    val rows = graft.operators.Analytics.q325CohortRetention(spark, sf1)
+      .collect()
+    val byKey = rows.map(r => (r.getAs[java.sql.Date]("cohort_week")
+      .toString, r.getAs[Long]("week_offset")) ->
+      (r.getAs[Long]("n_cohort"), r.getAs[Long]("retained"),
+        r.getAs[Long]("retention_ppm"))).toMap
+    // offset 0 contains the signup event itself
+    byKey.filter(_._1._2 == 0L).foreach { case (k, (n, ret, ppm)) =>
+      assert(ret === n, s"cohort $k offset 0 must retain everyone")
+      assert(ppm === 1000000L)
+    }
+    byKey.foreach { case (k, (n, ret, ppm)) =>
+      assert(ret <= n, s"$k retained > cohort")
+      assert(ppm === ret * 1000000L / n)
+    }
+    // brute-force replay on the collected events
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("week", col("ts")).cast("date").as("w"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString))
+    val cohort = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val model = scala.collection.mutable.Map[(String, Long), Long]()
+    ev.map(e => (e._1, e._3)).distinct.foreach { case (u, aw) =>
+      cohort.get(u).foreach { cw =>
+        if (aw >= cw) {
+          val off = (java.time.LocalDate.parse(aw).toEpochDay -
+            java.time.LocalDate.parse(cw).toEpochDay) / 7
+          model((cw, off)) = model.getOrElse((cw, off), 0L) + 1
+        }
+      }
+    }
+    assert(byKey.map { case (k, v) => k -> v._2 } === model.toMap)
+  }
+
+  test("q326 Brown-Forsythe matches a brute-force median-deviation model") {
+    val row = Stats.q326BrownForsythe(spark, sf1).head()
+    val vals = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = vals.length.toLong
+    assert(row.getAs[Long]("n") === n)
+    var hsumSq = 0.0
+    val stats = Stats.KwTypes.map { g =>
+      val xs = vals.filter(_._1 == g).map(_._2).sorted
+      val ng = xs.length
+      // doubled median: lo = order stat at ceil(n/2), hi at floor(n/2)+1
+      val med2 = xs((ng + 1) / 2 - 1) + xs(ng / 2)
+      val zs = xs.map(x => math.abs(2 * x - med2))
+      val sz = zs.sum
+      val szz = zs.map(z => z * z).sum
+      assert(row.getAs[Long](s"n_$g") === ng.toLong)
+      assert(row.getAs[Long](s"sz_$g") === sz)
+      assert(row.getAs[Long](s"szz_$g") === szz)
+      (ng.toLong, sz, szz)
+    }
+    val k = Stats.KwTypes.size
+    val sq = stats.map { case (ng, sz, _) =>
+      sz.toDouble * sz / ng }.sum
+    val szsum = stats.map(_._2.toDouble).sum
+    val szzsum = stats.map(_._3.toDouble).sum
+    val f = ((sq - szsum * szsum / n) / (k - 1).toDouble) /
+      ((szzsum - sq) / (n.toDouble - k))
+    assert(row.getAs[Long]("f_ppm") === math.floor(f * 1e6).toLong)
+  }
+
+  test("q327 matryoshka overlap is bounded and includes each probe " +
+    "in its own top-k on both rankings") {
+    val rows = graft.operators.Similarity.q327MatryoshkaEval(spark, sf1)
+      .collect()
+    assert(rows.length === graft.operators.Similarity.NumProbes)
+    rows.foreach { r =>
+      val ov = r.getAs[Long]("n_overlap")
+      // the probe itself has cosine exactly 1 under both metrics (same
+      // vector, ratio of identical fold results) -> overlap >= 1; and
+      // overlap can never exceed k
+      assert(ov >= 1L && ov <= graft.operators.Similarity.TopK.toLong)
+      assert(r.getAs[Long]("overlap_ppm") ===
+        ov * 1000000L / graft.operators.Similarity.TopK)
+    }
+    // iid embeddings: prefix ranking is near-chance, so the MEAN overlap
+    // must sit well under half of k (chance = k/n ~ 1% of k)
+    val mean = rows.map(_.getAs[Long]("n_overlap")).sum.toDouble /
+      rows.length
+    assert(mean < graft.operators.Similarity.TopK / 2.0,
+      s"mean overlap $mean suspiciously high for iid embeddings")
+  }
+
   /** Doubled midranks (2·r̄) for a value sequence — the shared model for
     * the q320/q322 rank checks (same convention as the q303 model). */
   private def midrank2(vals: Array[Long]): Map[Long, Long] = {
