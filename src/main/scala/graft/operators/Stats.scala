@@ -1204,6 +1204,189 @@ object Stats {
         FROM piv"""
   }
 
+  // ------------------------------------------------------------ q328
+
+  /** q328's focal segment and date cutoff (the Q3 parameter pair; the
+    * generator's order span is 1995–2001, so 1998-01-01 splits it). */
+  val ShipSegment = "BUILDING"
+  val ShipCutoff = "1998-01-01"
+
+  /** q328 — SHIPPING-PRIORITY TOP ORDERS (the TPC-H Q3 shape, adapted
+    * to this schema's columns: the unshipped-revenue ranking — orders
+    * from one market segment placed BEFORE the cutoff with lineitems
+    * shipping AFTER it, ranked by outstanding revenue; the classic
+    * "which in-flight orders matter most" operational query and, with
+    * Q5/Q8/Q14 (q311/q305/q312), the fourth member of the join-shape
+    * portfolio). Revenue exact as cents·bp (q305 discipline), top 10
+    * by revenue DESC with o_orderkey ASC tie-break — a deterministic
+    * LIMIT under the differential.
+    *
+    * Scale shape: the segment filter prunes customer BEFORE its join
+    * (broadcast-sized build side), the date filters push into both
+    * fact scans; lineitem⋈orders shuffles on orderkey co-partitioned;
+    * the top-10 is TakeOrdered — k rows per partition cross the wire,
+    * never the ranked frame. */
+  def q328ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === ShipSegment).select("c_custkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit(ShipCutoff).cast("timestamp"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(ShipCutoff).cast("timestamp"))
+      .select(col("l_orderkey"),
+        (expr("CAST(floor(l_extendedprice * 100) AS BIGINT)") *
+          (lit(10000L) - expr("CAST(floor(l_discount * 10000) AS BIGINT)")))
+          .as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date")
+        .as("order_date"), col("o_orderpriority"))
+      .agg(sum(col("rev").cast("decimal(38,0)")).as("r38"))
+      .select(col("o_orderkey"), col("order_date"),
+        col("o_orderpriority"), col("r38").cast("bigint").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private def q328OracleSql: String =
+    s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+          o_orderpriority,
+          CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+            * (10000 - CAST(floor(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = '$ShipSegment'
+          AND o_orderdate < TIMESTAMP '$ShipCutoff 00:00:00'
+          AND l_shipdate > TIMESTAMP '$ShipCutoff 00:00:00'
+        GROUP BY o_orderkey, order_date, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+
+  // ------------------------------------------------------------ q329
+
+  /** q329 — RETURNED-ITEM REPORTING (the TPC-H Q10 shape: which
+    * customers returned the most revenue in a quarter — the churn-risk
+    * / fraud-triage ranking run against every retail fact table; with
+    * q328 it completes the top-k-over-star-join pair, this one keyed on
+    * the CUSTOMER so the aggregate is customer-grained, not
+    * order-grained). Return flag 'R', order quarter pinned to the
+    * cutoff quarter; revenue exact cents·bp; top 20 by lost revenue
+    * DESC, c_custkey ASC tie-break.
+    *
+    * Scale shape: the quarter filter pushes into the orders scan, the
+    * flag filter into lineitem; lineitem⋈orders co-partition on
+    * orderkey, the customer join shuffles on custkey with the nation
+    * name broadcast onto it; TakeOrdered releases 20 rows. */
+  def q329ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val nat = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(ShipCutoff).cast("timestamp") &&
+        col("o_orderdate") <
+          add_months(lit(ShipCutoff).cast("timestamp"), 3))
+      .select("o_orderkey", "o_custkey")
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (expr("CAST(floor(l_extendedprice * 100) AS BIGINT)") *
+          (lit(10000L) - expr("CAST(floor(l_discount * 10000) AS BIGINT)")))
+          .as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("rev").cast("decimal(38,0)")).as("r38"))
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("r38").cast("bigint").as("lost_revenue"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private def q329OracleSql: String =
+    s"""WITH agg AS (SELECT o_custkey,
+          CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+            * (10000 - CAST(floor(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS lost_revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '$ShipCutoff 00:00:00'
+          AND o_orderdate < TIMESTAMP '$ShipCutoff 00:00:00'
+            + INTERVAL 3 MONTH
+        GROUP BY o_custkey)
+        SELECT c_custkey, c_name, n_name, lost_revenue
+        FROM agg JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY lost_revenue DESC, c_custkey LIMIT 20"""
+
+  // ------------------------------------------------------------ q330
+
+  /** q330 — DISTRIBUTION-FREE MEDIAN CONFIDENCE INTERVAL per event type
+    * (the robust-location release an experimentation platform pairs
+    * with q240's bootstrap mean CI: the median needs NO bootstrap —
+    * order statistics give an exact nonparametric CI, since the count
+    * of observations below the median is Binomial(n, ½) regardless of
+    * the distribution; the interval is [x_(k+1), x_(n−k)] with
+    * k = ⌊n/2 − z·√n/2⌋ at z = 1.96). The rank k folds through one
+    * shared-text double expression over the exact n (floor at a
+    * non-integer point — √n is irrational for non-square n — so the
+    * ±ulp hazard of the q316 doctrine does not bite, and square n at
+    * z·√n/2 half-integral cannot make n/2 − z·√n/2 integral). Median
+    * carried DOUBLED (q326's med2 = lo + hi convention); bounds are
+    * exact cents order statistics from the same cumulative census.
+    *
+    * Scale shape: one map-side hash agg to the (type, cents) census,
+    * one per-type cumulative window over the ~10⁴-row frame, one
+    * order-statistic lookup agg. Corpus touched once. */
+  def q330MedianCi(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .select(col("event_type").as("g"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("g", "vc").agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val wc = Window.partitionBy("g").orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cum", sum("m").over(wc))
+    val ng = cells.groupBy("g").agg(sum("m").as("n_g"))
+    cum.join(broadcast(ng), "g")
+      .withColumn("k", expr(
+        "CAST(floor(n_g / 2.0 - 1.96 * sqrt(CAST(n_g AS DOUBLE)) / 2.0)" +
+          " AS BIGINT)"))
+      .groupBy(col("g").as("event_type"))
+      .agg(
+        max(col("n_g")).as("n"),
+        (min(when(col("cum") >= expr("(n_g + 1) div 2"), col("vc"))) +
+          min(when(col("cum") >= expr("n_g div 2 + 1"), col("vc"))))
+          .as("median2_cents"),
+        min(when(col("cum") >= col("k") + 1, col("vc"))).as("ci_lo_cents"),
+        min(when(col("cum") >= col("n_g") - col("k"), col("vc")))
+          .as("ci_hi_cents"))
+  }
+
+  private def q330OracleSql: String =
+    """WITH cells AS (SELECT event_type AS g,
+          CAST(floor(value * 100) AS BIGINT) AS vc,
+          CAST(count(*) AS BIGINT) AS m
+        FROM events GROUP BY 1, 2),
+        cum AS (SELECT g, vc, m, CAST(sum(m) OVER (PARTITION BY g
+            ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum FROM cells),
+        ng AS (SELECT g, CAST(sum(m) AS BIGINT) AS n_g
+          FROM cells GROUP BY g),
+        jj AS (SELECT cum.g, vc, cum, ng.n_g,
+          CAST(floor(n_g / 2.0 - 1.96 * sqrt(CAST(n_g AS DOUBLE)) / 2.0)
+            AS BIGINT) AS k
+          FROM cum JOIN ng ON ng.g = cum.g)
+        SELECT g AS event_type, CAST(max(n_g) AS BIGINT) AS n,
+          min(CASE WHEN cum >= (n_g + 1) // 2 THEN vc END)
+            + min(CASE WHEN cum >= n_g // 2 + 1 THEN vc END)
+            AS median2_cents,
+          min(CASE WHEN cum >= k + 1 THEN vc END) AS ci_lo_cents,
+          min(CASE WHEN cum >= n_g - k THEN vc END) AS ci_hi_cents
+        FROM jj GROUP BY g"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1221,7 +1404,10 @@ object Stats {
     "q320_spearman" -> (q320Spearman _),
     "q321_ks_test" -> (q321KsTest _),
     "q322_kruskal_wallis" -> (q322KruskalWallis _),
-    "q326_brown_forsythe" -> (q326BrownForsythe _))
+    "q326_brown_forsythe" -> (q326BrownForsythe _),
+    "q328_shipping_priority" -> (q328ShippingPriority _),
+    "q329_returned_items" -> (q329ReturnedItems _),
+    "q330_median_ci" -> (q330MedianCi _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -1238,5 +1424,8 @@ object Stats {
     "q320_spearman" -> q320OracleSql,
     "q321_ks_test" -> q321OracleSql,
     "q322_kruskal_wallis" -> q322OracleSql,
-    "q326_brown_forsythe" -> q326OracleSql)
+    "q326_brown_forsythe" -> q326OracleSql,
+    "q328_shipping_priority" -> q328OracleSql,
+    "q329_returned_items" -> q329OracleSql,
+    "q330_median_ci" -> q330OracleSql)
 }

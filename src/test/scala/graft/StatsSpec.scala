@@ -502,6 +502,79 @@ class StatsSpec extends SparkSpec {
       s"mean overlap $mean suspiciously high for iid embeddings")
   }
 
+  test("q328/q329 top-k star joins match brute-force replays and rank " +
+    "deterministically") {
+    val li = graft.sources.Tables.load(spark, sf1, "lineitem").collect()
+    val ord = graft.sources.Tables.load(spark, sf1, "orders").collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r).toMap
+    val cust = graft.sources.Tables.load(spark, sf1, "customer").collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r).toMap
+    val cutoff = java.time.LocalDateTime.parse(s"${Stats.ShipCutoff}T00:00")
+    def ts(r: org.apache.spark.sql.Row, c: String): java.time.LocalDateTime =
+      r.getAs[Any](c) match {
+        case t: java.time.LocalDateTime => t
+        case t: java.sql.Timestamp => t.toLocalDateTime
+      }
+    def rev(r: org.apache.spark.sql.Row): BigInt =
+      BigInt(math.floor(r.getAs[Double]("l_extendedprice") * 100).toLong) *
+        (10000L - math.floor(r.getAs[Double]("l_discount") * 10000).toLong)
+    // q328 model
+    val m328 = li.filter(r => ts(r, "l_shipdate").isAfter(cutoff))
+      .flatMap { r =>
+        ord.get(r.getAs[Long]("l_orderkey")).filter { o =>
+          ts(o, "o_orderdate").isBefore(cutoff) &&
+            cust(o.getAs[Long]("o_custkey"))
+              .getAs[String]("c_mktsegment") == Stats.ShipSegment
+        }.map(o => (o.getAs[Long]("o_orderkey"), rev(r)))
+      }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+      .toSeq.sortBy { case (k, v) => (-v, k) }.take(10)
+    val got328 = Stats.q328ShippingPriority(spark, sf1).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), BigInt(r.getAs[Long]("revenue"))))
+    assert(got328.toSeq === m328)
+    // q329 model
+    val q2end = java.time.LocalDateTime.parse("1998-04-01T00:00")
+    val m329 = li.filter(_.getAs[String]("l_returnflag") == "R")
+      .flatMap { r =>
+        ord.get(r.getAs[Long]("l_orderkey")).filter { o =>
+          val d = ts(o, "o_orderdate")
+          !d.isBefore(cutoff) && d.isBefore(q2end)
+        }.map(o => (o.getAs[Long]("o_custkey"), rev(r)))
+      }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+      .toSeq.sortBy { case (k, v) => (-v, k) }.take(20)
+    val got329 = Stats.q329ReturnedItems(spark, sf1).collect()
+      .map(r => (r.getAs[Long]("c_custkey"),
+        BigInt(r.getAs[Long]("lost_revenue"))))
+    assert(got329.toSeq === m329)
+  }
+
+  test("q330 median CI brackets the median and matches the " +
+    "order-statistic model") {
+    val rows = Stats.q330MedianCi(spark, sf1).collect()
+    val vals = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length === Stats.KwTypes.size)
+    rows.foreach { r =>
+      val g = r.getAs[String]("event_type")
+      val xs = vals.filter(_._1 == g).map(_._2).sorted
+      val n = xs.length
+      assert(r.getAs[Long]("n") === n.toLong)
+      val med2 = xs((n + 1) / 2 - 1) + xs(n / 2)
+      assert(r.getAs[Long]("median2_cents") === med2)
+      val k = math.floor(n / 2.0 - 1.96 * math.sqrt(n.toDouble) / 2.0)
+        .toLong
+      val lo = xs(k.toInt) // x_(k+1), 0-indexed
+      val hi = xs(n - k.toInt - 1) // x_(n-k)
+      assert(r.getAs[Long]("ci_lo_cents") === lo, s"$g lo")
+      assert(r.getAs[Long]("ci_hi_cents") === hi, s"$g hi")
+      // the CI brackets the median
+      assert(2 * lo <= med2 && med2 <= 2 * hi, s"$g bracket")
+    }
+  }
+
   /** Doubled midranks (2·r̄) for a value sequence — the shared model for
     * the q320/q322 rank checks (same convention as the q303 model). */
   private def midrank2(vals: Array[Long]): Map[Long, Long] = {
