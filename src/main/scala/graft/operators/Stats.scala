@@ -1387,6 +1387,153 @@ object Stats {
           min(CASE WHEN cum >= n_g - k THEN vc END) AS ci_hi_cents
         FROM jj GROUP BY g"""
 
+  // ------------------------------------------------------------ q332
+
+  /** q332 — INTER-ARRIVAL DISPERSION per event type (the Poissonity
+    * check that CALIBRATES the burst/rate machinery: q219's burst
+    * thresholds and q267's token-bucket refill both implicitly assume
+    * near-Poisson arrivals, and CV² of the inter-event gaps is the
+    * test — 1 for Poisson, >1 bursty, <1 regular; q262 runs the same
+    * dispersion logic on token COUNTS, this runs it on event TIMES).
+    * Gaps are exact integer seconds between a user's consecutive
+    * events of a type, ordered by the collision-free epoch·scale +
+    * event_id key (q92/q182 convention — same-second pairs order
+    * deterministically and contribute gap 0). Σg² reaches ~10²¹ at
+    * sf100, so moments fold in decimal(38,0)/int128 INTERNAL
+    * (q180/q315 release rule); released per type: n_gaps, sum_gap_s,
+    * mean_gap_s (exact truncated div) and CV² ×10⁶ as one shared-text
+    * expression (n·Σg² − (Σg)²)/(Σg)² over the exact moments.
+    *
+    * Scale shape: one (user, type)-partitioned lag window (the
+    * shuffle co-partitions with every other user-keyed pass), then a
+    * map-side combined scalar aggregate per type. No global sort. */
+  def q332InterarrivalCv(s: SparkSession, dir: String): DataFrame = {
+    val sc = Extensions.AttribKeyScale
+    val w = Window.partitionBy("user_id", "event_type").orderBy("k")
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        (unix_timestamp(col("ts")) * sc + col("event_id")).as("k"))
+      .withColumn("ts_s", expr(s"k div $sc"))
+      .withColumn("g", col("ts_s") - lag("ts_s", 1).over(w))
+      .filter(col("g").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g").cast("decimal(38,0)")).as("sg38"),
+        sum(expr("CAST(g AS DECIMAL(38,0)) * g")).as("sg2"))
+      .select(col("event_type"), col("n_gaps"),
+        col("sg38").cast("bigint").as("sum_gap_s"),
+        expr("CAST(sg38 div n_gaps AS BIGINT)").as("mean_gap_s"),
+        expr("""CAST(floor(((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+             - CAST(sg38 AS DOUBLE) * CAST(sg38 AS DOUBLE))
+             / (CAST(sg38 AS DOUBLE) * CAST(sg38 AS DOUBLE)))
+             * 1000000) AS BIGINT)""").as("cv2_ppm"))
+  }
+
+  private def q332OracleSql: String = {
+    val sc = Extensions.AttribKeyScale
+    s"""WITH e AS (SELECT user_id, event_type,
+          (epoch_ns(ts) // 1000000000) * $sc + event_id AS k
+        FROM events),
+        g AS (SELECT event_type,
+          k // $sc - lag(k) OVER (PARTITION BY user_id, event_type
+            ORDER BY k) // $sc AS g
+          FROM e),
+        ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+          CAST(sum(g) AS HUGEINT) AS sg38,
+          CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sg2
+          FROM g WHERE g IS NOT NULL GROUP BY event_type)
+        SELECT event_type, n_gaps, CAST(sg38 AS BIGINT) AS sum_gap_s,
+          CAST(sg38 // n_gaps AS BIGINT) AS mean_gap_s,
+          CAST(floor(((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+            - CAST(sg38 AS DOUBLE) * CAST(sg38 AS DOUBLE))
+            / (CAST(sg38 AS DOUBLE) * CAST(sg38 AS DOUBLE)))
+            * 1000000) AS BIGINT) AS cv2_ppm
+        FROM ag"""
+  }
+
+  // ------------------------------------------------------------ q333
+
+  /** Two-sided trim fraction for q333, in percent (5% per tail). */
+  val TrimPct = 5L
+
+  /** q333 — TRIMMED AND WINSORIZED MEANS per event type (the
+    * outlier-robust metric pair experiment platforms deploy when q266's
+    * raw mean is whipped around by the tail: trimming DROPS the top and
+    * bottom 5%, winsorizing CLAMPS them to the cut points — both are
+    * L-statistics, so on the cents census they are EXACT integer
+    * arithmetic, no float anywhere; the third member next to the
+    * median (q330) on the robustness-efficiency curve). Per type:
+    * k = n·5 div 100, kept mass per census cell =
+    * max(min(cum, n−k) − max(cum−m, k), 0) — the sorted-multiset
+    * window — plus the two cut-point order statistics for the
+    * winsorized tail clamp. Released: n, k, both exact cent sums and
+    * both truncated-div means — all BIGINT (Σ kept cents ≤ n·10⁵,
+    * int64-safe through sf10⁴).
+    *
+    * Scale shape: one map-side hash agg to the (type, cents) census,
+    * one per-type cumulative window over the ~10⁴-row frame, one
+    * order-statistic aggregate. Corpus touched once (q330's frame,
+    * different L-statistic). */
+  def q333TrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .select(col("event_type").as("g"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("g", "vc").agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val wc = Window.partitionBy("g").orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cum", sum("m").over(wc))
+    val ng = cells.groupBy("g").agg(sum("m").as("n_g"))
+    cum.join(broadcast(ng), "g")
+      .withColumn("k", expr(s"n_g * $TrimPct div 100"))
+      .withColumn("mkept", greatest(
+        least(col("cum"), col("n_g") - col("k")) -
+          greatest(col("cum") - col("m"), col("k")), lit(0L)))
+      .groupBy(col("g").as("event_type"))
+      .agg(
+        max(col("n_g")).as("n"),
+        max(col("k")).as("k"),
+        sum(col("mkept") * col("vc")).as("sum_trim_cents"),
+        min(when(col("cum") >= col("k") + 1, col("vc"))).as("lo_cut"),
+        min(when(col("cum") >= col("n_g") - col("k"), col("vc")))
+          .as("hi_cut"))
+      .select(col("event_type"), col("n"), col("k"),
+        col("sum_trim_cents"),
+        expr("sum_trim_cents div (n - 2 * k)").as("trim_mean_cents"),
+        (col("sum_trim_cents") + col("k") * (col("lo_cut") + col("hi_cut")))
+          .as("sum_winsor_cents"),
+        expr("(sum_trim_cents + k * (lo_cut + hi_cut)) div n")
+          .as("winsor_mean_cents"))
+  }
+
+  private def q333OracleSql: String =
+    s"""WITH cells AS (SELECT event_type AS g,
+          CAST(floor(value * 100) AS BIGINT) AS vc,
+          CAST(count(*) AS BIGINT) AS m
+        FROM events GROUP BY 1, 2),
+        cum AS (SELECT g, vc, m, CAST(sum(m) OVER (PARTITION BY g
+            ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum FROM cells),
+        ng AS (SELECT g, CAST(sum(m) AS BIGINT) AS n_g
+          FROM cells GROUP BY g),
+        jj AS (SELECT cum.g, vc, m, cum, ng.n_g,
+          n_g * $TrimPct // 100 AS k,
+          greatest(least(cum, n_g - n_g * $TrimPct // 100)
+            - greatest(cum - m, n_g * $TrimPct // 100), 0) AS mkept
+          FROM cum JOIN ng ON ng.g = cum.g),
+        ag AS (SELECT g AS event_type, CAST(max(n_g) AS BIGINT) AS n,
+          CAST(max(k) AS BIGINT) AS k,
+          CAST(sum(mkept * vc) AS BIGINT) AS sum_trim_cents,
+          min(CASE WHEN cum >= k + 1 THEN vc END) AS lo_cut,
+          min(CASE WHEN cum >= n_g - k THEN vc END) AS hi_cut
+          FROM jj GROUP BY g)
+        SELECT event_type, n, k, sum_trim_cents,
+          sum_trim_cents // (n - 2 * k) AS trim_mean_cents,
+          sum_trim_cents + k * (lo_cut + hi_cut) AS sum_winsor_cents,
+          (sum_trim_cents + k * (lo_cut + hi_cut)) // n
+            AS winsor_mean_cents
+        FROM ag"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1407,7 +1554,9 @@ object Stats {
     "q326_brown_forsythe" -> (q326BrownForsythe _),
     "q328_shipping_priority" -> (q328ShippingPriority _),
     "q329_returned_items" -> (q329ReturnedItems _),
-    "q330_median_ci" -> (q330MedianCi _))
+    "q330_median_ci" -> (q330MedianCi _),
+    "q332_interarrival_cv" -> (q332InterarrivalCv _),
+    "q333_trimmed_mean" -> (q333TrimmedMean _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -1427,5 +1576,7 @@ object Stats {
     "q326_brown_forsythe" -> q326OracleSql,
     "q328_shipping_priority" -> q328OracleSql,
     "q329_returned_items" -> q329OracleSql,
-    "q330_median_ci" -> q330OracleSql)
+    "q330_median_ci" -> q330OracleSql,
+    "q332_interarrival_cv" -> q332OracleSql,
+    "q333_trimmed_mean" -> q333OracleSql)
 }

@@ -1615,7 +1615,82 @@ object TextOps {
         FROM per CROSS JOIN pick"""
   }
 
+  // ------------------------------------------------------------ q331
+
+  /** q331's per-word JSD contribution as ONE shared-text double
+    * expression over the exact integer counts {c_sw, n_s, c_w, n}:
+    * with p = c_sw/n_s and q = c_w/n, the term is
+    * ½·p·ln(2p/(p+q)) + ½·q·ln(2q/(p+q)); a word absent from the
+    * source (c_sw = 0) keeps only the ½·q·ln 2 half — which is why the
+    * released frame is the FULL source×vocabulary spine, not just the
+    * observed cells (dropping absent cells would drop real mass, the
+    * opposite of q317's x·ln x case where absent cells contribute 0). */
+  private def jsdTermExpr: String =
+    """(CASE WHEN c_sw = 0 THEN 0.0
+         ELSE 0.5 * (CAST(c_sw AS DOUBLE) / n_s)
+           * ln(2.0 * (CAST(c_sw AS DOUBLE) / n_s)
+               / (CAST(c_sw AS DOUBLE) / n_s + CAST(c_w AS DOUBLE) / n))
+         END
+       + 0.5 * (CAST(c_w AS DOUBLE) / n)
+         * ln(2.0 * (CAST(c_w AS DOUBLE) / n)
+             / (CAST(c_sw AS DOUBLE) / n_s + CAST(c_w AS DOUBLE) / n)))"""
+
+  /** q331 — JENSEN–SHANNON DIVERGENCE of each source's token
+    * distribution from the corpus (the mixture-design distance: q243
+    * measures vocabulary OVERLAP as sets, q225 source diversity within
+    * a language — JSD weighs every shared word by how differently the
+    * two distributions USE it, is symmetric, bounded by ln 2, and is
+    * the standard report when choosing pretraining mixture weights).
+    * Per (source, word) cell of the full spine: the exact counts
+    * {c_sw, n_s, c_w, n} and the contribution ×10⁹ through
+    * [[jsdTermExpr]] — Σ over a source's released rows IS its JSD in
+    * nats, reconstructible to the last bit from the released integers
+    * (q317's release discipline, extended to the zero-cell spine).
+    *
+    * Scale shape: one token-census shuffle (map-side combined,
+    * vocabulary-bounded); marginals ride the census; the spine is
+    * |sources|×|vocab| — census-scale, not corpus-scale. */
+  def q331SourceJsd(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    val cnt = words.groupBy("source", "word")
+      .agg(count(lit(1)).as("c_obs"))
+      .localCheckpoint(true)
+    val ns = cnt.groupBy("source").agg(sum("c_obs").as("n_s"))
+    val cw = cnt.groupBy("word").agg(sum("c_obs").as("c_w"))
+    val nT = cnt.agg(sum("c_obs").as("n"))
+    ns.crossJoin(broadcast(cw))
+      .join(cnt, Seq("source", "word"), "left")
+      .crossJoin(broadcast(nT))
+      .select(col("source"), col("word"),
+        coalesce(col("c_obs"), lit(0L)).as("c_sw"),
+        col("n_s"), col("c_w"), col("n"))
+      .select(col("source"), col("word"), col("c_sw"), col("n_s"),
+        col("c_w"), col("n"),
+        expr(s"CAST(floor($jsdTermExpr * 1000000000) AS BIGINT)")
+          .as("jsd_ppb"))
+  }
+
+  private def q331OracleSql: String =
+    s"""WITH words AS (SELECT source,
+          unnest(string_split(text, ' ')) AS word FROM documents),
+        cnt AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c_obs
+          FROM words GROUP BY source, word),
+        ns AS (SELECT source, CAST(sum(c_obs) AS BIGINT) AS n_s
+          FROM cnt GROUP BY source),
+        cw AS (SELECT word, CAST(sum(c_obs) AS BIGINT) AS c_w
+          FROM cnt GROUP BY word),
+        nt AS (SELECT CAST(sum(c_obs) AS BIGINT) AS n FROM cnt),
+        spine AS (SELECT ns.source, cw.word, ns.n_s, cw.c_w,
+            COALESCE(cnt.c_obs, 0) AS c_sw
+          FROM ns CROSS JOIN cw
+          LEFT JOIN cnt ON cnt.source = ns.source AND cnt.word = cw.word)
+        SELECT source, word, c_sw, n_s, c_w, n,
+          CAST(floor($jsdTermExpr * 1000000000) AS BIGINT) AS jsd_ppb
+        FROM spine CROSS JOIN nt"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q331_source_jsd" -> (q331SourceJsd _),
     "q276_truncation_planner" -> (q276TruncationPlanner _),
     "q262_token_burstiness" -> (q262TokenBurstiness _),
     "q244_lang_confusion" -> (q244LangConfusion _),
@@ -1647,6 +1722,7 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q331_source_jsd" -> q331OracleSql,
     "q276_truncation_planner" -> q276OracleSql,
     "q262_token_burstiness" -> q262OracleSql,
     "q244_lang_confusion" -> q244OracleSql,

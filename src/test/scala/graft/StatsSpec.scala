@@ -575,6 +575,98 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q331 JSD spine is complete, per-source sums are in [0, ln 2], " +
+    "and cells match a brute-force model") {
+    val rows = graft.operators.TextOps.q331SourceJsd(spark, sf1).collect()
+    val toks = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySW = toks.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nS = toks.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val cW = toks.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val n = toks.length.toLong
+    assert(rows.length === nS.size * cW.size, "full spine")
+    rows.foreach { r =>
+      val (src, w) = (r.getAs[String]("source"), r.getAs[String]("word"))
+      val cSW = bySW.getOrElse((src, w), 0L)
+      assert(r.getAs[Long]("c_sw") === cSW)
+      assert(r.getAs[Long]("n_s") === nS(src))
+      assert(r.getAs[Long]("c_w") === cW(w))
+      val p = cSW.toDouble / nS(src)
+      val q = cW(w).toDouble / n
+      val term = (if (cSW == 0L) 0.0
+        else 0.5 * p * math.log(2.0 * p / (p + q))) +
+        0.5 * q * math.log(2.0 * q / (p + q))
+      assert(r.getAs[Long]("jsd_ppb") === math.floor(term * 1e9).toLong)
+    }
+    // per-source JSD in nats is bounded by ln 2 and nonnegative (up to
+    // the per-cell floor truncation, which only lowers the sum)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val jsd = rs.map(_.getAs[Long]("jsd_ppb")).sum
+      assert(jsd > -rs.length && jsd <= (math.log(2.0) * 1e9).toLong,
+        s"source $src jsd=$jsd")
+    }
+  }
+
+  test("q332 inter-arrival dispersion matches a brute-force gap model") {
+    val rows = Stats.q332InterarrivalCv(spark, sf1).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val sc = graft.operators.Extensions.AttribKeyScale
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), col("event_type"),
+        (unix_timestamp(col("ts")) * sc + col("event_id")).as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    Stats.KwTypes.foreach { g =>
+      val gaps = ev.filter(_._2 == g).groupBy(_._1).values.flatMap { xs =>
+        val ks = xs.map(_._3).sorted
+        ks.zip(ks.drop(1)).map { case (a, b) => b / sc - a / sc }
+      }.toSeq
+      val r = rows(g)
+      assert(r.getAs[Long]("n_gaps") === gaps.length.toLong)
+      val sg = gaps.map(BigInt(_)).sum
+      val sg2 = gaps.map(x => BigInt(x) * x).sum
+      assert(r.getAs[Long]("sum_gap_s") === sg.toLong)
+      assert(r.getAs[Long]("mean_gap_s") === (sg / gaps.length).toLong)
+      val cv2 = (gaps.length.toDouble * sg2.toDouble -
+        sg.toDouble * sg.toDouble) / (sg.toDouble * sg.toDouble)
+      assert(r.getAs[Long]("cv2_ppm") === math.floor(cv2 * 1e6).toLong)
+    }
+  }
+
+  test("q333 trimmed/winsorized means match the sorted-multiset model " +
+    "and order robustly") {
+    val rows = Stats.q333TrimmedMean(spark, sf1).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val vals = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    Stats.KwTypes.foreach { g =>
+      val xs = vals.filter(_._1 == g).map(_._2).sorted
+      val n = xs.length
+      val k = (n * Stats.TrimPct / 100L).toInt
+      val kept = xs.slice(k, n - k)
+      val sumTrim = kept.map(BigInt(_)).sum
+      val lo = xs(k) // x_(k+1)
+      val hi = xs(n - k - 1) // x_(n-k)
+      val sumWin = sumTrim + BigInt(k) * (lo + hi)
+      val r = rows(g)
+      assert(r.getAs[Long]("n") === n.toLong)
+      assert(r.getAs[Long]("k") === k.toLong)
+      assert(r.getAs[Long]("sum_trim_cents") === sumTrim.toLong)
+      assert(r.getAs[Long]("trim_mean_cents") ===
+        (sumTrim / kept.length).toLong)
+      assert(r.getAs[Long]("sum_winsor_cents") === sumWin.toLong)
+      assert(r.getAs[Long]("winsor_mean_cents") === (sumWin / n).toLong)
+      // Exp-tail data: trimming cuts more mass from the top than the
+      // bottom, so trimmed mean <= winsorized mean <= raw mean
+      val raw = xs.map(BigInt(_)).sum / n
+      assert(r.getAs[Long]("trim_mean_cents") <=
+        r.getAs[Long]("winsor_mean_cents"))
+      assert(r.getAs[Long]("winsor_mean_cents") <= raw.toLong)
+    }
+  }
+
   /** Doubled midranks (2·r̄) for a value sequence — the shared model for
     * the q320/q322 rank checks (same convention as the q303 model). */
   private def midrank2(vals: Array[Long]): Map[Long, Long] = {
