@@ -311,6 +311,91 @@ object Extensions {
         WHERE event_type = 'purchase' AND last_click_k IS NOT NULL
           AND last_click_k >= (sec - $AttribWindowSec) * $AttribKeyScale"""
 
+  /** q335 — LINEAR MULTI-TOUCH ATTRIBUTION (the credit model q92
+    * deliberately avoids: last-touch hands the whole conversion to ONE
+    * click, and every marketing-mix debate starts with "what if we
+    * split it" — linear multi-touch divides each purchase equally over
+    * ALL of the user's clicks in the preceding hour; this query
+    * releases, per purchase, how many touches share the credit and the
+    * per-touch share, the table a budget reallocation consumes). The
+    * touch count is computed WITHOUT a range self-join (the q169
+    * blowup): the user's merged stream carries each click as a +1 and
+    * each purchase as TWO zero-weight probes — one at its own packed
+    * key, one at the window's lower edge — and one running RANGE-framed
+    * sum gives n_touch = cum(hi) − cum(lo). The RANGE frame (not ROWS)
+    * makes same-key ties order-independent; the lo probe sits at
+    * (sec−3600)·scale + (scale−1), which excludes clicks at exactly
+    * t−3600 (the window is (t−3600, t], second granularity) because
+    * real event ids stay under scale−1 (the q92 packing contract).
+    *
+    * Scale shape: one union + one user-partitioned running sum + a
+    * self-join of the probe rows on purchase_id (both sides already
+    * user-co-partitioned, probe volume = 2·purchases). Linear at any
+    * corpus size; per-user state is one long. */
+  def q335MultiTouch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"),
+        (col("sec") * AttribKeyScale + col("event_id")).as("k"),
+        lit(1L).as("c"), lit(null).cast("long").as("pid"),
+        lit(null).cast("string").as("tag"))
+    val purch = e.filter(col("event_type") === "purchase")
+    val hi = purch.select(col("user_id"),
+      (col("sec") * AttribKeyScale + col("event_id")).as("k"),
+      lit(0L).as("c"), col("event_id").as("pid"), lit("hi").as("tag"))
+    val lo = purch.select(col("user_id"),
+      ((col("sec") - AttribWindowSec) * AttribKeyScale
+        + (AttribKeyScale - 1)).as("k"),
+      lit(0L).as("c"), col("event_id").as("pid"), lit("lo").as("tag"))
+    val w = Window.partitionBy("user_id").orderBy("k")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = clicks.unionByName(hi).unionByName(lo)
+      .withColumn("cc", sum("c").over(w))
+      .filter(col("pid").isNotNull)
+    cum.filter(col("tag") === "hi")
+      .select(col("pid").as("purchase_id"), col("cc").as("ch"))
+      .join(cum.filter(col("tag") === "lo")
+        .select(col("pid").as("purchase_id"), col("cc").as("cl")),
+        "purchase_id")
+      .select(col("purchase_id"),
+        (col("ch") - col("cl")).as("n_touch"),
+        expr("""CASE WHEN ch - cl = 0 THEN 0
+                ELSE 1000000 div (ch - cl) END""").as("credit_each_ppm"))
+  }
+
+  private def q335OracleSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+          CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events WHERE event_type IN ('click', 'purchase')),
+        merged AS (
+          SELECT user_id, sec * $AttribKeyScale + event_id AS k,
+            CAST(1 AS BIGINT) AS c, NULL AS pid, NULL AS tag
+          FROM e WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, sec * $AttribKeyScale + event_id AS k,
+            CAST(0 AS BIGINT) AS c, event_id AS pid, 'hi' AS tag
+          FROM e WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id,
+            (sec - $AttribWindowSec) * $AttribKeyScale
+              + ($AttribKeyScale - 1) AS k,
+            CAST(0 AS BIGINT) AS c, event_id AS pid, 'lo' AS tag
+          FROM e WHERE event_type = 'purchase'),
+        cum AS (SELECT user_id, k, pid, tag,
+          CAST(sum(c) OVER (PARTITION BY user_id ORDER BY k
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cc
+          FROM merged)
+        SELECT h.pid AS purchase_id,
+          h.cc - l.cc AS n_touch,
+          CASE WHEN h.cc - l.cc = 0 THEN 0
+            ELSE 1000000 // (h.cc - l.cc) END AS credit_each_ppm
+        FROM cum h JOIN cum l ON h.pid = l.pid
+        WHERE h.tag = 'hi' AND l.tag = 'lo'"""
+
   /** q93 — retention COHORTS, the standard engagement report: users
     * grouped by first-activity date, counted per day-offset of later
     * activity. Two aggregations: distinct (user, day) — partial-agg
@@ -3237,6 +3322,7 @@ object Extensions {
     "q83_histogram" -> (q83Histogram _),
     "q88_bloom_prune" -> (q88BloomPrune _),
     "q92_click_attribution" -> (q92ClickAttribution _),
+    "q335_multi_touch" -> (q335MultiTouch _),
     "q93_retention_cohorts" -> (q93RetentionCohorts _),
     "q94_mergeable_stats" -> (q94MergeableStats _),
     "q43_scalar_funcs" -> (q43ScalarFuncs _),
@@ -3396,6 +3482,7 @@ object Extensions {
     "q83_histogram" -> q83OracleSql,
     "q88_bloom_prune" -> q88OracleSql,
     "q92_click_attribution" -> q92OracleSql,
+    "q335_multi_touch" -> q335OracleSql,
     "q93_retention_cohorts" -> q93OracleSql,
     "q123_bucketed_join" -> q123OracleSql,
     "q94_mergeable_stats" -> q94OracleSql,

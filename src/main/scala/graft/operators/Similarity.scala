@@ -1786,7 +1786,114 @@ object Similarity {
             AS overlap_ppm
         FROM ranked GROUP BY probe_id"""
 
+  // ------------------------------------------------------------ q334
+
+  /** q334 — CLASS-SEPARABILITY PROFILE over the labeled embeddings (the
+    * Fisher/LDA-style audit of whether labels are LINEARLY visible in
+    * the representation: q86 builds the class centroids, q323 measures
+    * SOURCE-level drift — this releases, per label, the two scatter
+    * traces whose ratio is the Fisher criterion: the within-class
+    * scatter (how tight the class is) and the between term (how far
+    * its centroid sits from the corpus mean); a class whose between
+    * term dwarfs its within term is separable with a linear probe, and
+    * iid embeddings — these — put between near the 1/n_c sampling
+    * floor, the generator finding the spec pins). Exact on the q315
+    * milli grid: within_sc = n_c·Σ_{x∈c}‖x‖² − ‖s_c‖² (the n_c²-scaled
+    * within-class scatter trace — divide by n_c² for mean squared
+    * radius in milli²), between_milli2 = Σ_d (s_cd·N − S_d·n_c)² div
+    * (n_c²·N²) (q323's drift quantity per LABEL, already in milli²).
+    * The ‖s_c‖² products reach ~10³⁰ at sf100 → decimal(38,0)/int128
+    * INTERNAL, released columns BIGINT (q180/q315 release rule).
+    *
+    * Scale shape: ONE corpus scan emitting 64 dim cells + a count cell
+    * + an in-row-folded Σx² cell per vector (the q315 moment-census
+    * trick, one extra cell), map-side combined to |labels|×66 rows;
+    * the global spine and the per-label fold ride that frame. */
+  def q334ClassSeparability(s: SparkSession, dir: String): DataFrame = {
+    val d = GramDims
+    val cells = t(s, dir, "embeddings")
+      .withColumn("mv", expr(
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 1000) AS BIGINT))"))
+      .select(col("label"), explode(expr(
+        s"""concat(
+              transform(sequence(0, ${d - 1}), i ->
+                struct(CAST(i AS BIGINT) AS i, element_at(mv, i + 1) AS p)),
+              array(struct(CAST(-1 AS BIGINT) AS i,
+                CAST(1 AS BIGINT) AS p)),
+              array(struct(CAST(-2 AS BIGINT) AS i,
+                aggregate(mv, CAST(0 AS BIGINT),
+                  (acc, x) -> acc + x * x) AS p)))""")).as("c"))
+      .select(col("label"), col("c.i").as("i"), col("c.p").as("p"))
+      .groupBy("label", "i").agg(sum("p").as("m"))
+      .localCheckpoint(true)
+    val dims = cells.filter(col("i") >= 0)
+    val nC = cells.filter(col("i") === -1)
+      .select(col("label"), col("m").as("n_c"))
+    val qC = cells.filter(col("i") === -2)
+      .select(col("label"), col("m").as("q_c"))
+    val glob = dims.groupBy("i").agg(sum("m").as("g"))
+    val nT = nC.agg(sum("n_c").as("nn"))
+    val within = nC.join(qC, "label")
+      .join(dims.groupBy("label")
+        .agg(sum(expr("CAST(m AS DECIMAL(38,0)) * m")).as("s2")), "label")
+      .select(col("label"), col("n_c"),
+        expr("CAST(CAST(n_c AS DECIMAL(38,0)) * q_c - s2 AS BIGINT)")
+          .as("within_sc"))
+    val between = dims
+      .join(broadcast(glob), "i")
+      .join(broadcast(nC), "label")
+      .crossJoin(broadcast(nT))
+      .withColumn("delta", expr(
+        "CAST(m AS DECIMAL(38,0)) * nn - CAST(g AS DECIMAL(38,0)) * n_c"))
+      .groupBy("label", "n_c", "nn")
+      .agg(sum(expr("delta * delta").cast("decimal(38,0)")).as("ss"))
+      .select(col("label"),
+        expr("""CAST(ss div (CAST(n_c AS DECIMAL(38,0)) * n_c
+                * nn * nn) AS BIGINT)""").as("between_milli2"))
+    within.join(between, "label")
+      .select(col("label").cast("bigint").as("label"), col("n_c"),
+        col("within_sc"), col("between_milli2"))
+  }
+
+  private def q334OracleSql: String =
+    s"""WITH ex0 AS (SELECT vec_id, label,
+            unnest(range(0, $GramDims)) AS i,
+            unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
+        ex AS (SELECT vec_id, label, i,
+            CAST(floor(v * 1000) AS BIGINT) AS mv FROM ex0),
+        dims AS (SELECT label, i, CAST(sum(mv) AS BIGINT) AS m
+          FROM ex GROUP BY label, i),
+        nc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_c
+          FROM embeddings GROUP BY label),
+        qc AS (SELECT label, CAST(sum(mv * mv) AS BIGINT) AS q_c
+          FROM ex GROUP BY label),
+        s2 AS (SELECT label, CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT)
+            AS s2 FROM dims GROUP BY label),
+        gb AS (SELECT i, CAST(sum(m) AS BIGINT) AS g
+          FROM dims GROUP BY i),
+        nt AS (SELECT CAST(sum(n_c) AS BIGINT) AS nn FROM nc),
+        wi AS (SELECT nc.label, nc.n_c,
+            CAST(CAST(nc.n_c AS HUGEINT) * qc.q_c - s2.s2 AS BIGINT)
+              AS within_sc
+          FROM nc JOIN qc ON qc.label = nc.label
+          JOIN s2 ON s2.label = nc.label),
+        bt AS (SELECT d.label,
+            CAST(sum((CAST(d.m AS HUGEINT) * nt.nn
+                - CAST(gb.g AS HUGEINT) * nc.n_c)
+              * (CAST(d.m AS HUGEINT) * nt.nn
+                - CAST(gb.g AS HUGEINT) * nc.n_c))
+              // (CAST(nc.n_c AS HUGEINT) * nc.n_c * nt.nn * nt.nn)
+              AS BIGINT) AS between_milli2
+          FROM dims d JOIN gb ON gb.i = d.i
+          JOIN nc ON nc.label = d.label CROSS JOIN nt
+          GROUP BY d.label, nc.n_c, nt.nn)
+        SELECT CAST(wi.label AS BIGINT) AS label, wi.n_c, wi.within_sc,
+          bt.between_milli2
+        FROM wi JOIN bt ON bt.label = wi.label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q334_class_separability" -> (q334ClassSeparability _),
     "q327_matryoshka_eval" -> (q327MatryoshkaEval _),
     "q323_centroid_drift" -> (q323SourceCentroidDrift _),
     "q324_pq_assign" -> (q324PqAssign _),
@@ -1817,6 +1924,7 @@ object Similarity {
     "q91_quantize_embeddings" -> (q91QuantizeEmbeddings _))
 
   val oracleSql: Map[String, String] = Map(
+    "q334_class_separability" -> q334OracleSql,
     "q327_matryoshka_eval" -> q327OracleSql,
     "q323_centroid_drift" -> q323OracleSql,
     "q324_pq_assign" -> q324OracleSql,

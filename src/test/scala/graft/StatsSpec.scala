@@ -667,6 +667,80 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q334 class separability matches a brute-force scatter model " +
+    "with between at the iid sampling floor") {
+    val rows = graft.operators.Similarity.q334ClassSeparability(spark, sf1)
+      .collect().map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_c"), r.getAs[Long]("within_sc"),
+          r.getAs[Long]("between_milli2"))).toMap
+    val vecs = graft.sources.Tables.load(spark, sf1, "embeddings")
+      .select(col("label").cast("long"), expr(
+        """transform(CAST(embedding AS ARRAY<DOUBLE>),
+           x -> CAST(floor(x * 1000) AS BIGINT))""").as("mv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val n = BigInt(vecs.length)
+    val d = vecs.head._2.length
+    val glob = Array.tabulate(d)(i => vecs.map(p => BigInt(p._2(i))).sum)
+    vecs.groupBy(_._1).foreach { case (lab, vs) =>
+      val nc = BigInt(vs.length)
+      val sums = Array.tabulate(d)(i => vs.map(p => BigInt(p._2(i))).sum)
+      val qc = vs.map(p => p._2.map(x => BigInt(x) * x).sum).sum
+      val s2 = sums.map(x => x * x).sum
+      val within = nc * qc - s2
+      val between = (0 until d).map { i =>
+        val delta = sums(i) * n - glob(i) * nc
+        delta * delta
+      }.sum / (nc * nc * n * n)
+      val (gn, gw, gb) = rows(lab)
+      assert(gn === vs.length.toLong)
+      assert(gw === within.toLong, s"label $lab within")
+      assert(gb === between.toLong, s"label $lab between")
+      // iid: between ~ (1/n_c)(1 - n_c/N) * 1e6 milli^2; generous 5x,
+      // and within/n_c^2 ~ mean ||x||^2 ~ 1e6 (unit vectors in milli)
+      assert(gb < 5L * 1000000L / vs.length, s"label $lab separable?!")
+      assert(gw / (gn * gn) > 500000L && gw / (gn * gn) < 1100000L,
+        s"label $lab within off the unit-norm shell")
+    }
+  }
+
+  test("q335 multi-touch matches a brute-force window count and agrees " +
+    "with q92 off the boundary") {
+    val rows = graft.operators.Extensions.q335MultiTouch(spark, sf1)
+      .collect().map(r => r.getAs[Long]("purchase_id") ->
+        (r.getAs[Long]("n_touch"), r.getAs[Long]("credit_each_ppm"))).toMap
+    val sc = graft.operators.Extensions.AttribKeyScale
+    val win = graft.operators.Extensions.AttribWindowSec
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val byUser = ev.groupBy(_._2)
+    var purchases = 0
+    byUser.values.foreach { xs =>
+      val clicks = xs.filter(_._3 == "click")
+        .map(e => e._4 * sc + e._1)
+      xs.filter(_._3 == "purchase").foreach { p =>
+        purchases += 1
+        val kHi = p._4 * sc + p._1
+        val kLo = (p._4 - win) * sc + (sc - 1)
+        val nT = clicks.count(k => k > kLo && k <= kHi).toLong
+        val (gn, gc) = rows(p._1)
+        assert(gn === nT, s"purchase ${p._1}")
+        assert(gc === (if (nT == 0) 0L else 1000000L / nT))
+      }
+    }
+    assert(rows.size === purchases, "one row per purchase")
+    // off-boundary agreement with last-touch: q92-attributed purchases
+    // whose click is strictly inside the window must have n_touch >= 1
+    val q92rows = graft.operators.Extensions
+      .q92ClickAttribution(spark, sf1).collect()
+    q92rows.filter(_.getAs[Long]("gap_s") < win).foreach { r =>
+      assert(rows(r.getAs[Long]("purchase_id"))._1 >= 1L)
+    }
+  }
+
   /** Doubled midranks (2·r̄) for a value sequence — the shared model for
     * the q320/q322 rank checks (same convention as the q303 model). */
   private def midrank2(vals: Array[Long]): Map[Long, Long] = {
