@@ -1227,8 +1227,70 @@ object EventStream {
         FROM grid g JOIN tot ON g.day = tot.day CROSS JOIN nrt"""
   }
 
+  // -------------------------------------------------------------- q336
+
+  /** q336 — STREAMING CUSUM CHANGEPOINT MONITOR (q198's cross-
+    * multiplied CUSUM under continuous ingest — the 17th declared
+    * streaming shape, and the drift-TIMING member of the streaming
+    * monitor family: q313 watches WHICH bins moved, this watches WHEN
+    * the event RATE broke from its own mean line): the per-day count
+    * census is the streamed state — one long per open event-time day
+    * window, map-side merged per micro-batch — and the CUSUM scoring
+    * replays over the drained ≤|days| frame. Unlike batch q198, which
+    * releases only the argmax row, the monitor releases the WHOLE
+    * trajectory (day, i, cum, dev_scaled) — the curve a dashboard
+    * plots, with the argmax derivable by the q198 tie-break; exact
+    * integers throughout (cum·k − i·total, no rate division).
+    *
+    * Scale shape: streaming census map-side combined per batch; the
+    * cumsum window and totals ride the |days|-bounded drained frame
+    * (the q198/q132 unpartitioned-window argument). */
+  def q336StreamCusum(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q336_stream_cusum_mem"
+    s.catalog.dropTempView(name)
+    val q = readEvents(s, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("date").as("d"), col("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val census = s.table(name).localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+    val seq = census
+      .withColumn("i", row_number().over(w).cast("bigint"))
+      .withColumn("cum", sum("n").over(
+        w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    val tot = census.agg(count(lit(1)).as("k"), sum("n").as("t"))
+    seq.crossJoin(broadcast(tot))
+      .select(col("d"), col("i"), col("cum"),
+        abs(col("cum") * col("k") - col("i") * col("t"))
+          .as("dev_scaled"))
+  }
+
+  private def q336OracleSql: String =
+    """WITH dc AS (SELECT CAST(ts AS DATE) d, CAST(count(*) AS BIGINT) n
+          FROM events GROUP BY 1),
+        seq AS (SELECT d, n, row_number() OVER (ORDER BY d) i,
+            sum(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) cum
+          FROM dc),
+        tot AS (SELECT CAST(count(*) AS BIGINT) k,
+            CAST(sum(n) AS BIGINT) t FROM dc)
+        SELECT d, CAST(i AS BIGINT) i, CAST(cum AS BIGINT) cum,
+          CAST(abs(cum * k - i * t) AS BIGINT) AS dev_scaled
+        FROM seq, tot"""
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q336_stream_cusum" -> (q336StreamCusum _),
     "q313_stream_psi" -> (q313StreamPsi _),
     "q302_stream_chunk_dedup" -> (q302StreamChunkDedup _),
     "q283_stream_funnel" -> (q283StreamFunnel _),
@@ -1249,6 +1311,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q336_stream_cusum" -> q336OracleSql,
     "q313_stream_psi" -> q313OracleSql,
     "q302_stream_chunk_dedup" -> graft.operators.Dedup.q300OracleSql2,
     "q283_stream_funnel" -> q283OracleSql,

@@ -741,6 +741,37 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q336 streaming CUSUM lands on the batch trajectory and its " +
+    "argmax row equals q198") {
+    val rows = graft.streaming.EventStream.q336StreamCusum(spark, sf1)
+      .collect()
+    // batch replay of the same cross-multiplied CUSUM
+    val dc = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("ts").cast("date").as("d"))
+      .collect().map(_.getDate(0).toString)
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      .toSeq.sortBy(_._1)
+    val k = dc.length.toLong
+    val t = dc.map(_._2).sum
+    var cum = 0L
+    val model = dc.zipWithIndex.map { case ((d, n), idx) =>
+      cum += n
+      (d, idx + 1L, cum, math.abs(cum * k - (idx + 1L) * t))
+    }
+    val got = rows.map(r => (r.getAs[java.sql.Date]("d").toString,
+      r.getAs[Long]("i"), r.getAs[Long]("cum"),
+      r.getAs[Long]("dev_scaled"))).sortBy(_._2)
+    assert(got.toSeq === model)
+    // the trajectory's argmax (dev desc, day asc) is exactly q198's row
+    val q198row = graft.operators.Analytics.q198Changepoint(spark, sf1)
+      .head()
+    val amax = got.minBy(x => (-x._4, x._1))
+    assert(amax._1 === q198row.getAs[java.sql.Date]("d").toString)
+    assert(amax._4 === q198row.getAs[Long]("dev_scaled"))
+    // endpoint identity: the last day's deviation is exactly 0
+    assert(got.last._4 === 0L)
+  }
+
   /** Doubled midranks (2·r̄) for a value sequence — the shared model for
     * the q320/q322 rank checks (same convention as the q303 model). */
   private def midrank2(vals: Array[Long]): Map[Long, Long] = {
