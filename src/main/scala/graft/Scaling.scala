@@ -80,7 +80,19 @@ object Scaling {
     // 6-bucket frames) and excluded on the census-family grounds.
     "q305_market_share", "q306_sorted_neighborhood",
     "q308_kaplan_meier", "q311_local_supplier_volume",
-    "q312_promo_revenue")
+    "q312_promo_revenue",
+    // round-9 session-3 additions: the join/window carriers among
+    // q320-q336 (the census-bound stats — q320/q321/q322/q326/q330/
+    // q333 — are structurally domain-sized and excluded; q331's spine
+    // is vocab-bounded). q324 is the broadcast-codebook slice join,
+    // q327 the probe-batch brute-force eval, q328/q329 the top-k star
+    // joins, q332 the user-partitioned lag window, q335 the
+    // endpoint-sweep attribution, q323/q334 the embedding censuses
+    // with the id join / moment explosion.
+    "q323_centroid_drift", "q324_pq_assign", "q325_cohort_retention",
+    "q327_matryoshka_eval", "q328_shipping_priority",
+    "q329_returned_items", "q332_interarrival_cv", "q334_class_separability",
+    "q335_multi_touch")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",

@@ -535,6 +535,85 @@ object Dedup {
         WHERE COALESCE(i.n_inter, 0) * 10
               >= (c1.nsh + c2.nsh - COALESCE(i.n_inter, 0)) * 9"""
 
+  /** q338 — CAPTURE–RECAPTURE RESIDUAL-DUP ESTIMATE (the corpus-QA
+    * number no single dedup run can produce: how many near-dup pairs
+    * did detection MISS? Two independent candidate generators — q87's
+    * MinHash-LSH banding and q71's SimHash multi-index — each feed the
+    * SAME exact-Jaccard ≥ 9/10 verification, so both catch from one
+    * well-defined population (true J ≥ 0.9 pairs) with independent
+    * recall gaps, the mark-recapture precondition a raw-SimHash catch
+    * would break (Hamming ≤ r admits thousands of sub-threshold pairs,
+    * a different population). Chapman's estimator
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 turns the overlap into a population
+    * estimate; N̂ − |catch₁ ∪ catch₂| is the escaped-dup mass a dedup
+    * deployment reports next to its catch count. Exact integer release:
+    * n1, n2, m (the pair-set sizes and overlap) and the truncated-div
+    * Chapman estimate — the spec scores N̂ against the PLANTED pair
+    * count, the accuracy eval the differential can't see.
+    *
+    * Scale shape: eval-priced by design (q301 doctrine) — runs BOTH
+    * candidate pipelines plus the shared verify joins; the recapture
+    * join and the three counts are pair-keyed partial aggregates on
+    * top. The two catchers violate strict independence where their
+    * signal families correlate (both key on token content) — the
+    * documented bias, toward over-estimating overlap and hence
+    * UNDER-estimating N̂. */
+  def q338CaptureRecapture(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    // shared verification side: per-doc shingle SET rows (q87's shape)
+    val hs = plantedDocs(s, dir)
+      .withColumn("sw_w", split(col("text"), " "))
+      .filter(size(col("sw_w")) >= ShingleN)
+      .select(col("doc_id"), expr(sparkShingleHashes).as("hsd"))
+      .cache()
+    def jaccardKept(pairs: DataFrame): DataFrame = pairs
+      .join(hs.select(col("doc_id").as("doc_id_1"), col("hsd").as("hsd1")),
+        "doc_id_1")
+      .join(hs.select(col("doc_id").as("doc_id_2"), col("hsd").as("hsd2")),
+        "doc_id_2")
+      .filter(size(array_intersect(col("hsd1"), col("hsd2"))) * 10 >=
+        (size(col("hsd1")) + size(col("hsd2")) -
+          size(array_intersect(col("hsd1"), col("hsd2")))) * 9)
+      .select("doc_id_1", "doc_id_2")
+    val a = q87VerifyCandidates(s, dir).select("doc_id_1", "doc_id_2")
+      .localCheckpoint(true)
+    val b = jaccardKept(q71SimhashHamming(s, dir)
+        .select("doc_id_1", "doc_id_2"))
+      .localCheckpoint(true)
+    val n1F = a.agg(count(lit(1)).as("n1"))
+    val n2F = b.agg(count(lit(1)).as("n2"))
+    val mF = a.join(b, Seq("doc_id_1", "doc_id_2"))
+      .agg(count(lit(1)).as("m"))
+    n1F.crossJoin(n2F).crossJoin(mF)
+      .select(col("n1"), col("n2"), col("m"),
+        expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").as("chapman_est"))
+  }
+
+  private def q338OracleSql: String =
+    s"""WITH ${lshCtes(plantedSql)},
+        sh2 AS (SELECT doc_id, unnest(hsd) AS h FROM hs),
+        cnt AS (SELECT doc_id, count(*) AS nsh FROM sh2 GROUP BY doc_id),
+        ca AS (SELECT doc_id_1, doc_id_2 FROM ($q87OracleSql) qa),
+        cbraw AS (SELECT doc_id_1, doc_id_2 FROM ($q71OracleSql) qb),
+        ib AS (SELECT p.doc_id_1, p.doc_id_2, count(*) AS n_inter
+               FROM cbraw p
+               JOIN sh2 a ON a.doc_id = p.doc_id_1
+               JOIN sh2 b ON b.doc_id = p.doc_id_2 AND b.h = a.h
+               GROUP BY 1, 2),
+        cb AS (SELECT p.doc_id_1, p.doc_id_2 FROM cbraw p
+               LEFT JOIN ib i USING (doc_id_1, doc_id_2)
+               JOIN cnt c1 ON c1.doc_id = p.doc_id_1
+               JOIN cnt c2 ON c2.doc_id = p.doc_id_2
+               WHERE COALESCE(i.n_inter, 0) * 10
+                     >= (c1.nsh + c2.nsh - COALESCE(i.n_inter, 0)) * 9),
+        s1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM ca),
+        s2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM cb),
+        sm AS (SELECT CAST(count(*) AS BIGINT) AS m
+          FROM ca JOIN cb USING (doc_id_1, doc_id_2))
+        SELECT n1, n2, m,
+          (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS chapman_est
+        FROM s1 CROSS JOIN s2 CROSS JOIN sm"""
+
   /** q70 — exact edit distance over the planted near-dup pairs:
     * levenshtein(original, perturbed) per pair. In a production pipeline
     * this is the VERIFY stage after LSH candidate generation (q30/q63
@@ -1975,6 +2054,7 @@ object Dedup {
         JOIN tz ON l.truth = tz.truth"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q338_capture_recapture" -> (q338CaptureRecapture _),
     "q318_setsim_threshold_sweep" -> (q318ThresholdSweep _),
     "q314_bcubed_eval" -> (q314BcubedEval _),
     "q301_containment_eval" -> (q301ContainmentEval _),
@@ -2001,6 +2081,7 @@ object Dedup {
     "q87_verify_candidates" -> (q87VerifyCandidates _))
 
   val oracleSql: Map[String, String] = Map(
+    "q338_capture_recapture" -> q338OracleSql,
     "q318_setsim_threshold_sweep" -> q318OracleSql,
     "q314_bcubed_eval" -> q314OracleSql,
     "q301_containment_eval" -> q301OracleSql,

@@ -1689,7 +1689,88 @@ object TextOps {
           CAST(floor($jsdTermExpr * 1000000000) AS BIGINT) AS jsd_ppb
         FROM spine CROSS JOIN nt"""
 
+  // ------------------------------------------------------------ q337
+
+  /** Collocation table size for q337. */
+  val CollocTopK = 50
+
+  /** q337's Dunning log-likelihood ratio as ONE shared-text double
+    * expression over the exact contingency integers {c12, c1, c2, n}:
+    * LLR = 2·Σ_cells k·ln(k·N/(R·C)) with zero cells contributing 0
+    * (each is a CASE arm — k sits OUTSIDE the log, so k = 0 kills the
+    * term exactly; same absent-cell algebra as q317). */
+  private def llrExpr: String = {
+    def cell(k: String, r: String, c: String) =
+      s"""(CASE WHEN $k = 0 THEN 0.0
+           ELSE CAST($k AS DOUBLE)
+             * ln(CAST($k AS DOUBLE) * n
+                 / (CAST($r AS DOUBLE) * ($c))) END)"""
+    s"""(2.0 * (${cell("c12", "c1", "c2")}
+       + ${cell("(c1 - c12)", "c1", "(n - c2)")}
+       + ${cell("(c2 - c12)", "(n - c1)", "c2")}
+       + ${cell("(n - c1 - c2 + c12)", "(n - c1)", "(n - c2)")}))"""
+  }
+
+  /** q337 — COLLOCATION EXTRACTION by Dunning log-likelihood ratio
+    * (Dunning 1993 — the statistic that found "strong tea"/"powerful
+    * computers": q142 releases co-occurrence counts and deliberately
+    * leaves PMI's log to the consumer, q214 scores DOCUMENTS by
+    * transition probability — this DECLARES the ranked phrase table
+    * itself, the artifact a tokenizer pipeline merges into multi-word
+    * units and a quality pipeline uses to spot templated boilerplate;
+    * LLR beats PMI on rare pairs because the k·ln k form weighs
+    * EVIDENCE, not just lift). Per adjacent-bigram: the 2×2 contingency
+    * {c12, c1−c12, c2−c12, N−c1−c2+c12} in exact integers, LLR ×10⁶
+    * through [[llrExpr]], top [[CollocTopK]] by llr_micro DESC with
+    * (w1, w2) tie-break — ordering on the FLOORED integer, so the rank
+    * is cross-engine-stable even at equal scores.
+    *
+    * Scale shape: one in-row bigram generator pass (q214's shape, no
+    * self-join) → one vocabulary²-bounded census shuffle; marginals
+    * broadcast back onto the census; TakeOrdered releases k rows. */
+  def q337Collocations(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "documents")
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+           i -> struct(element_at(ws, i) AS w1,
+                       element_at(ws, i + 1) AS w2))""")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val u1 = bc.groupBy("w1").agg(sum("c12").as("c1"))
+    val u2 = bc.groupBy("w2").agg(sum("c12").as("c2"))
+    val nT = bc.agg(sum("c12").as("n"))
+    bc.join(broadcast(u1), "w1").join(broadcast(u2), "w2")
+      .crossJoin(broadcast(nT))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("n"),
+        expr(s"CAST(floor($llrExpr * 1000000) AS BIGINT)").as("llr_micro"))
+      .orderBy(col("llr_micro").desc, col("w1"), col("w2"))
+      .limit(CollocTopK)
+  }
+
+  private def q337OracleSql: String =
+    s"""WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        bb AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+          FROM d, unnest(range(1, len(ws))) AS r(i)),
+        bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM bb GROUP BY 1, 2),
+        u1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+          FROM bc GROUP BY w1),
+        u2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2
+          FROM bc GROUP BY w2),
+        nt AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM bc)
+        SELECT bc.w1, bc.w2, c12, c1, c2, n,
+          CAST(floor($llrExpr * 1000000) AS BIGINT) AS llr_micro
+        FROM bc JOIN u1 ON bc.w1 = u1.w1 JOIN u2 ON bc.w2 = u2.w2
+        CROSS JOIN nt
+        ORDER BY llr_micro DESC, bc.w1, bc.w2 LIMIT $CollocTopK"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q337_collocations" -> (q337Collocations _),
     "q331_source_jsd" -> (q331SourceJsd _),
     "q276_truncation_planner" -> (q276TruncationPlanner _),
     "q262_token_burstiness" -> (q262TokenBurstiness _),
@@ -1722,6 +1803,7 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q337_collocations" -> q337OracleSql,
     "q331_source_jsd" -> q331OracleSql,
     "q276_truncation_planner" -> q276OracleSql,
     "q262_token_burstiness" -> q262OracleSql,

@@ -772,6 +772,60 @@ class StatsSpec extends SparkSpec {
     assert(got.last._4 === 0L)
   }
 
+  test("q337 collocations match a brute-force Dunning LLR model") {
+    val rows = graft.operators.TextOps.q337Collocations(spark, sf1)
+      .collect()
+    assert(rows.length === graft.operators.TextOps.CollocTopK)
+    val bigs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(split(col("text"), " ").as("ws"))
+      .collect().map(_.getSeq[String](0))
+      .filter(_.length >= 2)
+      .flatMap(ws => ws.zip(ws.drop(1)))
+    val c12 = bigs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = bigs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val c2 = bigs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val n = bigs.length.toLong
+    def xt(k: Double, r: Double, c: Double): Double =
+      if (k == 0.0) 0.0 else k * math.log(k * n / (r * c))
+    val model = c12.map { case ((w1, w2), k11) =>
+      val (r, c) = (c1(w1).toDouble, c2(w2).toDouble)
+      val llr = 2.0 * (xt(k11.toDouble, r, c) +
+        xt(r - k11, r, n - c) + xt(c - k11, n - r, c) +
+        xt(n - r - c + k11, n - r, n - c))
+      (w1, w2) -> math.floor(llr * 1e6).toLong
+    }
+    val expected = model.toSeq
+      .sortBy { case ((w1, w2), s) => (-s, w1, w2) }
+      .take(graft.operators.TextOps.CollocTopK)
+    val got = rows.map(r => ((r.getAs[String]("w1"),
+      r.getAs[String]("w2")), r.getAs[Long]("llr_micro")))
+    assert(got.toSeq === expected)
+    // LLR is nonnegative (floor can shave at most one micro)
+    rows.foreach(r => assert(r.getAs[Long]("llr_micro") >= -1L))
+  }
+
+  test("q338 capture-recapture satisfies the Chapman identities and " +
+    "brackets the planted population") {
+    val row = graft.operators.Dedup.q338CaptureRecapture(spark, sf1)
+      .head()
+    val (n1, n2, m, est) = (row.getAs[Long]("n1"), row.getAs[Long]("n2"),
+      row.getAs[Long]("m"), row.getAs[Long]("chapman_est"))
+    assert(m <= math.min(n1, n2))
+    assert(est === (n1 + 1) * (n2 + 1) / (m + 1) - 1)
+    // Chapman dominates both catches and the observed union
+    assert(est >= math.max(n1, n2))
+    assert(est >= n1 + n2 - m)
+    // the planted population: one perturbed twin per shingle-able doc
+    val planted = graft.sources.Tables.load(spark, sf1, "documents")
+      .filter(size(split(col("text"), " ")) >=
+        graft.operators.Dedup.ShingleN + 1)
+      .count()
+    // both catchers see most of the planted pairs, so the estimate must
+    // land within a factor-2 band of the planted count
+    assert(est >= planted / 2 && est <= planted * 2,
+      s"est=$est planted=$planted n1=$n1 n2=$n2 m=$m")
+  }
+
   /** Doubled midranks (2·r̄) for a value sequence — the shared model for
     * the q320/q322 rank checks (same convention as the q303 model). */
   private def midrank2(vals: Array[Long]): Map[Long, Long] = {
