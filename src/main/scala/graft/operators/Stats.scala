@@ -1534,6 +1534,120 @@ object Stats {
             AS winsor_mean_cents
         FROM ag"""
 
+  // ------------------------------------------------------------ q339
+
+  /** q339's per-day log-rank terms as shared-text expressions over the
+    * exact integers {n_event, n_risk, n_risk_1}: the hypergeometric
+    * expectation E₁ⱼ = dⱼ·n₁ⱼ/nⱼ and variance
+    * Vⱼ = dⱼ(nⱼ−dⱼ)n₁ⱼ(nⱼ−n₁ⱼ)/(nⱼ²(nⱼ−1)), each ×10⁹ in PURE integer
+    * arithmetic (widened before multiplying, truncated div) — no float
+    * fold anywhere, so both engines agree bit-for-bit. greatest(nⱼ−1, 1)
+    * guards the final-day singleton risk set (q292/q181 convention; when
+    * nⱼ = 1 the true variance is 0 and the numerator vanishes anyway). */
+  private def lrTermExprs(divOp: String, bigT: String): Seq[String] = Seq(
+    s"""CAST(CAST(n_event AS $bigT) * n_risk_1 * 1000000000
+          $divOp n_risk AS BIGINT) AS e1_ppb""",
+    s"""CAST(CAST(n_event AS $bigT) * (n_risk - n_event)
+            * n_risk_1 * (n_risk - n_risk_1) * 1000000000
+          $divOp (CAST(n_risk AS $bigT) * n_risk
+                  * greatest(n_risk - 1, 1)) AS BIGINT) AS v1_ppb""")
+
+  /** q339 — TWO-SAMPLE LOG-RANK TEST between the experiment arms'
+    * signup→first-purchase survival curves (the inferential companion
+    * q308's Kaplan-Meier table cannot answer alone: q308 DESCRIBES one
+    * pooled curve; a launch decision needs "is arm 1's time-to-convert
+    * distribution DIFFERENT?", and the log-rank test is the standard
+    * answer under right-censoring — comparing naive conversion rates
+    * would throw away censoring and bias toward whichever arm has older
+    * signups). Same observation scheme as q308 (first purchase at or
+    * after signup = event, observation end = censor), arms by q174's
+    * user_id % 2 split. Per conversion-day row: the pooled and arm-1
+    * risk sets and event counts (exact integers) plus the
+    * [[lrTermExprs]] expectation/variance terms ×10⁹ — the consumer's
+    * z = (Σd₁ⱼ − ΣE₁ⱼ)/√ΣVⱼ, a three-column sum over a ≤|days| frame;
+    * the spec pins that z against a brute-force survival model.
+    *
+    * Scale shape: q308's exactly — one user-keyed aggregate carrying
+    * signup epoch and max-ts partials, a user-co-partitioned first-
+    * purchase join, then a day census; the risk sets are reverse
+    * cumsums over the domain-bounded (≤ observation-span days) frame,
+    * the q198/q132 Window.orderBy argument. */
+  def q339LogRank(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val perUser = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("us")))
+        .as("t0"), max("us").as("umax"))
+      .localCheckpoint(true)
+    val su = perUser.filter(col("t0").isNotNull).select("user_id", "t0")
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"))
+      .join(su, "user_id")
+      .filter(col("us") >= col("t0"))
+      .groupBy("user_id").agg(min("us").as("tp"))
+    val endF = perUser.agg(max("umax").as("te"))
+    val obs = su.join(firstP, Seq("user_id"), "left")
+      .crossJoin(broadcast(endF))
+      .select(
+        when(col("tp").isNotNull, expr(s"(tp - t0) div $UsPerDay"))
+          .otherwise(expr(s"(te - t0) div $UsPerDay")).as("d"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("e"),
+        (col("user_id") % 2).as("g"))
+    val census = obs.groupBy("d")
+      .agg(sum("e").as("n_event"), count(lit(1)).as("o_all"),
+        sum(col("e") * col("g")).as("n_event_1"), sum("g").as("o_1"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totF = census
+      .agg(sum("o_all").as("n_tot"), sum("o_1").as("n_tot1"))
+    census
+      .withColumn("b_all", coalesce(sum(col("o_all")).over(w), lit(0L)))
+      .withColumn("b_1", coalesce(sum(col("o_1")).over(w), lit(0L)))
+      .crossJoin(broadcast(totF))
+      .select(Seq(col("d"),
+        (col("n_tot") - col("b_all")).as("n_risk"),
+        (col("n_tot1") - col("b_1")).as("n_risk_1"),
+        col("n_event"), col("n_event_1")) ++
+        lrTermExprs("div", "DECIMAL(38,0)").map(expr): _*)
+  }
+
+  private def q339OracleSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+          FROM events),
+        su AS (SELECT user_id, CAST(min(us) AS BIGINT) AS t0
+          FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+        fp AS (SELECT e.user_id, CAST(min(e.us) AS BIGINT) AS tp
+          FROM ev e JOIN su ON e.user_id = su.user_id
+          WHERE e.event_type = 'purchase' AND e.us >= su.t0
+          GROUP BY e.user_id),
+        te AS (SELECT CAST(max(us) AS BIGINT) AS te FROM ev),
+        obs AS (SELECT CASE WHEN fp.tp IS NOT NULL
+            THEN (fp.tp - su.t0) // $UsPerDay
+            ELSE (te.te - su.t0) // $UsPerDay END AS d,
+          CASE WHEN fp.tp IS NOT NULL THEN 1 ELSE 0 END AS e,
+          su.user_id % 2 AS g
+          FROM su LEFT JOIN fp ON su.user_id = fp.user_id CROSS JOIN te),
+        census AS (SELECT CAST(d AS BIGINT) AS d,
+          CAST(sum(e) AS BIGINT) AS n_event,
+          CAST(count(*) AS BIGINT) AS o_all,
+          CAST(sum(e * g) AS BIGINT) AS n_event_1,
+          CAST(sum(g) AS BIGINT) AS o_1
+          FROM obs GROUP BY d),
+        tot AS (SELECT CAST(sum(o_all) AS BIGINT) AS n_tot,
+          CAST(sum(o_1) AS BIGINT) AS n_tot1 FROM census),
+        rk AS (SELECT d, n_event, n_event_1,
+          n_tot - CAST(coalesce(sum(o_all)
+            OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS BIGINT) AS n_risk,
+          n_tot1 - CAST(coalesce(sum(o_1)
+            OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS BIGINT) AS n_risk_1
+          FROM census CROSS JOIN tot)
+        SELECT d, n_risk, n_risk_1, n_event, n_event_1,
+          ${lrTermExprs("//", "HUGEINT").mkString(",\n          ")}
+        FROM rk"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1556,7 +1670,8 @@ object Stats {
     "q329_returned_items" -> (q329ReturnedItems _),
     "q330_median_ci" -> (q330MedianCi _),
     "q332_interarrival_cv" -> (q332InterarrivalCv _),
-    "q333_trimmed_mean" -> (q333TrimmedMean _))
+    "q333_trimmed_mean" -> (q333TrimmedMean _),
+    "q339_logrank" -> (q339LogRank _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -1578,5 +1693,6 @@ object Stats {
     "q329_returned_items" -> q329OracleSql,
     "q330_median_ci" -> q330OracleSql,
     "q332_interarrival_cv" -> q332OracleSql,
-    "q333_trimmed_mean" -> q333OracleSql)
+    "q333_trimmed_mean" -> q333OracleSql,
+    "q339_logrank" -> q339OracleSql)
 }

@@ -1711,6 +1711,28 @@ object TextOps {
        + ${cell("(n - c1 - c2 + c12)", "(n - c1)", "(n - c2)")}))"""
   }
 
+  /** Adjacent-bigram rows (w1, w2), one per in-document adjacency — the
+    * shared generator for q337/q340/q341 (q214's in-row transform shape:
+    * no self-join, no shuffle; bigrams never leave the row until the
+    * census groupBy). */
+  private def adjacentBigrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+           i -> struct(element_at(ws, i) AS w1,
+                       element_at(ws, i + 1) AS w2))""")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** DuckDB twin of [[adjacentBigrams]]: CTEs `d` (tokenized docs) and
+    * `bb` (one row per adjacency). */
+  private val bigramCtes: String =
+    """d AS (SELECT string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        bb AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+          FROM d, unnest(range(1, len(ws))) AS r(i))"""
+
   /** q337 — COLLOCATION EXTRACTION by Dunning log-likelihood ratio
     * (Dunning 1993 — the statistic that found "strong tea"/"powerful
     * computers": q142 releases co-occurrence counts and deliberately
@@ -1729,15 +1751,8 @@ object TextOps {
     * self-join) → one vocabulary²-bounded census shuffle; marginals
     * broadcast back onto the census; TakeOrdered releases k rows. */
   def q337Collocations(s: SparkSession, dir: String): DataFrame = {
-    val big = t(s, dir, "documents")
-      .select(split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(explode(expr(
-        """transform(sequence(1, size(ws) - 1),
-           i -> struct(element_at(ws, i) AS w1,
-                       element_at(ws, i + 1) AS w2))""")).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val bc = adjacentBigrams(s, dir)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .localCheckpoint(true)
     val u1 = bc.groupBy("w1").agg(sum("c12").as("c1"))
     val u2 = bc.groupBy("w2").agg(sum("c12").as("c2"))
@@ -1752,10 +1767,7 @@ object TextOps {
   }
 
   private def q337OracleSql: String =
-    s"""WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents
-          WHERE len(string_split(text, ' ')) >= 2),
-        bb AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
-          FROM d, unnest(range(1, len(ws))) AS r(i)),
+    s"""WITH $bigramCtes,
         bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
           FROM bb GROUP BY 1, 2),
         u1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
@@ -1769,8 +1781,139 @@ object TextOps {
         CROSS JOIN nt
         ORDER BY llr_micro DESC, bc.w1, bc.w2 LIMIT $CollocTopK"""
 
+  // ------------------------------------------------------------ q340
+
+  /** q340's interpolated Kneser–Ney probability ×10⁹ as PURE integer
+    * arithmetic over the exact counts {c12, c1, r1, l2, nbb} with
+    * discount D = 3/4:
+    * P = max(c12−D,0)/c1 + (D·r1/c1)·(l2/nbb)
+    *   = (max(4·c12−3, 0)·nbb + 3·r1·l2) / (4·c1·nbb)
+    * — the ×4 clears the only fraction, so floor(P·10⁹) is one widened
+    * integer division both engines compute bit-identically (q259's
+    * widen-before-multiply discipline; the max() term alone reaches
+    * ~4·10¹⁸ at sf0.1). */
+  private def knExpr(divOp: String, bigT: String): String =
+    s"""CAST((CAST(greatest(4 * c12 - 3, 0) AS $bigT) * nbb
+            + CAST(3 AS $bigT) * r1 * l2) * 1000000000
+          $divOp (CAST(4 AS $bigT) * c1 * nbb) AS BIGINT)"""
+
+  /** q340 — INTERPOLATED KNESER–NEY BIGRAM TABLE (Kneser & Ney 1995;
+    * Chen & Goodman 1998's interpolated form — the smoothing that made
+    * n-gram LMs usable and still powers perplexity-based corpus quality
+    * filtering à la CCNet: q214 scores documents by RAW transition
+    * probability, which assigns zero to any unseen bigram and overrates
+    * words that appear only inside one frequent phrase; KN's continuation
+    * counts fix exactly that — "Francisco" is frequent but follows only
+    * "San", so its unigram backoff weight collapses to its CONTEXT
+    * diversity l2 = N₁₊(•w₂), not its frequency). Per seen bigram: the
+    * exact integers {c12 count, c1 left marginal, r1 = N₁₊(w₁•) right
+    * diversity, l2 = N₁₊(•w₂) left diversity, nbb = N₁₊(••) distinct
+    * bigrams} and P_KN ×10⁹ through [[knExpr]] — the numerators also
+    * answer the unseen case (c12 = 0 ⇒ pure backoff), so the released
+    * marginals are the COMPLETE model; the spec pins the closed-form
+    * mass identity Σ_vocab P_KN(·|w₁) = 1 exactly from the released
+    * columns.
+    *
+    * Scale shape: q337's — one in-row bigram generator pass → one
+    * vocab²-bounded census shuffle; the three marginal frames are
+    * census-sized and BROADCAST back onto it. */
+  def q340KneserNey(s: SparkSession, dir: String): DataFrame = {
+    val bc = adjacentBigrams(s, dir)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val u1 = bc.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("r1"))
+    val u2 = bc.groupBy("w2").agg(count(lit(1)).as("l2"))
+    val nbbF = bc.agg(count(lit(1)).as("nbb"))
+    bc.join(broadcast(u1), "w1").join(broadcast(u2), "w2")
+      .crossJoin(broadcast(nbbF))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("r1"),
+        col("l2"), col("nbb"),
+        expr(knExpr("div", "DECIMAL(38,0)")).as("pkn_ppb"))
+  }
+
+  private def q340OracleSql: String =
+    s"""WITH $bigramCtes,
+        bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM bb GROUP BY 1, 2),
+        u1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+          CAST(count(*) AS BIGINT) AS r1 FROM bc GROUP BY w1),
+        u2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS l2
+          FROM bc GROUP BY w2),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM bc)
+        SELECT bc.w1, bc.w2, c12, c1, r1, l2, nbb,
+          ${knExpr("//", "HUGEINT")} AS pkn_ppb
+        FROM bc JOIN u1 ON bc.w1 = u1.w1 JOIN u2 ON bc.w2 = u2.w2
+        CROSS JOIN nt"""
+
+  // ------------------------------------------------------------ q341
+
+  /** q341 — TEXTRANK KEYWORD SCORES (Mihalcea & Tarau 2004 — the
+    * unsupervised keyword extractor: words vote for their neighbors
+    * through the adjacency co-occurrence graph and PageRank finds the
+    * words the whole corpus keeps routing through; unlike frequency
+    * rankings (q24) or burstiness (q262), a word ranks high only if its
+    * NEIGHBORS rank high, which is what separates load-bearing terms
+    * from merely common ones). Graph: nodes = every distinct token,
+    * undirected edges = distinct adjacent co-occurrences (self-loops
+    * dropped), both directions materialized for [[Graph.pageRank]]'s
+    * directed engine — the standard TextRank window-2 formulation,
+    * unweighted (the weighted variant changes only the contrib
+    * expression). Ranks by the shared integer fixed-point PageRank
+    * ([[Graph.PrIters]] rounds, damping 85/100, rank 1.0 ≡ 10⁶) — the
+    * same deterministic-across-engines arithmetic q99 pinned; isolated
+    * tokens (single-word docs) keep the damping floor.
+    *
+    * Scale shape: one in-row bigram pass → vocab²-bounded distinct edge
+    * frame; each PageRank round is one edge⋈rank equi-join + one
+    * node-keyed aggregate (vocab-bounded here; web-scale graphs ride the
+    * same plan partitioned on id). */
+  def q341Textrank(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("id")).distinct()
+    val dir1 = adjacentBigrams(s, dir).filter(col("w1") =!= col("w2"))
+      .select(col("w1").as("src"), col("w2").as("dst"))
+    val edges = dir1
+      .union(dir1.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    Graph.pageRank(nodes, edges)
+      .select(col("id").as("word"), col("rank_scaled"))
+  }
+
+  private def q341OracleSql: String = {
+    val base = Graph.PrScale * 15L / 100L
+    val iterCtes = (1 to Graph.PrIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS id,
+            CAST(sum(((r.rank_scaled * 85) // 100) // d.deg) AS BIGINT)
+              AS m
+          FROM eb e JOIN deg d ON e.src = d.src
+          JOIN r${i - 1} r ON r.id = e.src
+          GROUP BY e.dst),
+        r$i AS (SELECT n.id,
+            $base + COALESCE(c.m, CAST(0 AS BIGINT)) AS rank_scaled
+          FROM r${i - 1} n LEFT JOIN c$i c ON n.id = c.id)"""
+    }.mkString(",\n        ")
+    s"""WITH $bigramCtes,
+        alltok AS (SELECT unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        nodes AS (SELECT DISTINCT w AS id FROM alltok),
+        eb AS (SELECT DISTINCT w1 AS src, w2 AS dst FROM bb
+                 WHERE w1 <> w2
+               UNION
+               SELECT DISTINCT w2 AS src, w1 AS dst FROM bb
+                 WHERE w1 <> w2),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM eb
+          GROUP BY src),
+        r0 AS (SELECT id, CAST(${Graph.PrScale} AS BIGINT)
+          AS rank_scaled FROM nodes),
+        $iterCtes
+        SELECT id AS word, rank_scaled FROM r${Graph.PrIters}"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q337_collocations" -> (q337Collocations _),
+    "q340_kneser_ney" -> (q340KneserNey _),
+    "q341_textrank" -> (q341Textrank _),
     "q331_source_jsd" -> (q331SourceJsd _),
     "q276_truncation_planner" -> (q276TruncationPlanner _),
     "q262_token_burstiness" -> (q262TokenBurstiness _),
@@ -1804,6 +1947,8 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "q337_collocations" -> q337OracleSql,
+    "q340_kneser_ney" -> q340OracleSql,
+    "q341_textrank" -> q341OracleSql,
     "q331_source_jsd" -> q331OracleSql,
     "q276_truncation_planner" -> q276OracleSql,
     "q262_token_burstiness" -> q262OracleSql,

@@ -826,6 +826,126 @@ class StatsSpec extends SparkSpec {
       s"est=$est planted=$planted n1=$n1 n2=$n2 m=$m")
   }
 
+  test("q340 Kneser-Ney table matches a brute-force model and its " +
+    "released marginals close the unit-mass identity") {
+    val rows = graft.operators.TextOps.q340KneserNey(spark, sf1)
+      .collect()
+    val bigs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(split(col("text"), " ").as("ws"))
+      .collect().map(_.getSeq[String](0))
+      .filter(_.length >= 2)
+      .flatMap(ws => ws.zip(ws.drop(1)))
+    val c12 = bigs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = bigs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val r1 = c12.keys.toSeq.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val l2 = c12.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val nbb = c12.size.toLong
+    assert(rows.length.toLong === nbb)
+    rows.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      assert(r.getAs[Long]("c12") === c12((w1, w2)))
+      assert(r.getAs[Long]("c1") === c1(w1))
+      assert(r.getAs[Long]("r1") === r1(w1))
+      assert(r.getAs[Long]("l2") === l2(w2))
+      assert(r.getAs[Long]("nbb") === nbb)
+      val num = BigInt((4 * c12((w1, w2)) - 3).max(0)) * nbb +
+        BigInt(3) * r1(w1) * l2(w2)
+      assert(BigInt(r.getAs[Long]("pkn_ppb")) ===
+        num * 1000000000L / (BigInt(4) * c1(w1) * nbb))
+      assert(r.getAs[Long]("pkn_ppb") > 0L)
+      assert(r.getAs[Long]("pkn_ppb") <= 1000000000L)
+    }
+    // unit mass per context from the RELEASED columns alone:
+    // seen numerators + backoff mass over unseen w2 == 4*c1*nbb exactly
+    rows.groupBy(_.getAs[String]("w1")).foreach { case (_, rs) =>
+      val seenNum = rs.map(r =>
+        BigInt((4 * r.getAs[Long]("c12") - 3).max(0)) *
+          r.getAs[Long]("nbb") +
+        BigInt(3) * r.getAs[Long]("r1") * r.getAs[Long]("l2")).sum
+      val h = rs.head
+      val unseenL2 = h.getAs[Long]("nbb") -
+        rs.map(_.getAs[Long]("l2")).sum
+      val unseenNum = BigInt(3) * h.getAs[Long]("r1") * unseenL2
+      assert(seenNum + unseenNum ===
+        BigInt(4) * h.getAs[Long]("c1") * h.getAs[Long]("nbb"))
+    }
+  }
+
+  test("q341 TextRank matches a brute-force integer PageRank over the " +
+    "adjacency graph") {
+    val rows = graft.operators.TextOps.q341Textrank(spark, sf1)
+      .collect()
+    val toks = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(split(col("text"), " ").as("ws"))
+      .collect().map(_.getSeq[String](0))
+    val nodes = toks.flatten.distinct
+    val dirEdges = toks.filter(_.length >= 2)
+      .flatMap(ws => ws.zip(ws.drop(1))).filter(p => p._1 != p._2)
+    val edges = (dirEdges ++ dirEdges.map(_.swap)).distinct
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val base = graft.operators.Graph.PrScale * 15L / 100L
+    var rank = nodes.map(_ -> graft.operators.Graph.PrScale).toMap
+    for (_ <- 1 to graft.operators.Graph.PrIters) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => rank(e._1) * 85L / 100L / deg(e._1)).sum }
+      rank = nodes.map(n => n -> (base + contrib.getOrElse(n, 0L))).toMap
+    }
+    assert(rows.length === nodes.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rank_scaled") ===
+        rank(r.getAs[String]("word")),
+        s"word=${r.getAs[String]("word")}")
+    }
+  }
+
+  test("q339 log-rank matches a brute-force survival model") {
+    val rows = graft.operators.Stats.q339LogRank(spark, sf1)
+      .orderBy("d").collect()
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val te = ev.map(_._3).max
+    val t0 = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, v) => u -> v.map(_._3).min }
+    val tp = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .flatMap { case (u, v) => t0.get(u).flatMap { s =>
+        val c = v.map(_._3).filter(_ >= s)
+        if (c.isEmpty) None else Some(u -> c.min) } }
+    val us = 86400000000L
+    val obs = t0.toSeq.map { case (u, s) =>
+      tp.get(u) match {
+        case Some(p) => ((p - s) / us, 1L, u % 2)
+        case None => ((te - s) / us, 0L, u % 2) } }
+    assert(rows.map(_.getAs[Long]("d")).toSeq ===
+      obs.map(_._1).distinct.sorted)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("d")
+      val atRisk = obs.filter(_._1 >= d)
+      val here = obs.filter(_._1 == d)
+      val (nr, nr1) = (atRisk.length.toLong, atRisk.count(_._3 == 1L).toLong)
+      val (de, de1) = (here.count(_._2 == 1L).toLong,
+        here.count(o => o._2 == 1L && o._3 == 1L).toLong)
+      assert(r.getAs[Long]("n_risk") === nr)
+      assert(r.getAs[Long]("n_risk_1") === nr1)
+      assert(r.getAs[Long]("n_event") === de)
+      assert(r.getAs[Long]("n_event_1") === de1)
+      val ppb = BigInt(1000000000L)
+      assert(BigInt(r.getAs[Long]("e1_ppb")) ===
+        BigInt(de) * nr1 * ppb / nr)
+      assert(BigInt(r.getAs[Long]("v1_ppb")) ===
+        BigInt(de) * (nr - de) * nr1 * (nr - nr1) * ppb /
+          (BigInt(nr) * nr * BigInt(math.max(nr - 1L, 1L))))
+    }
+    // the consumer's z from the released terms tracks the double model
+    val o1 = rows.map(_.getAs[Long]("n_event_1")).sum.toDouble
+    val e1 = rows.map(_.getAs[Long]("e1_ppb")).sum / 1e9
+    val v1 = rows.map(_.getAs[Long]("v1_ppb")).sum / 1e9
+    assert(v1 > 0.0)
+    val z = (o1 - e1) / math.sqrt(v1)
+    assert(math.abs(z) < 10.0, s"arms are a null split; z=$z")
+  }
+
   /** Doubled midranks (2·r̄) for a value sequence — the shared model for
     * the q320/q322 rank checks (same convention as the q303 model). */
   private def midrank2(vals: Array[Long]): Map[Long, Long] = {
