@@ -1648,6 +1648,88 @@ object Stats {
           ${lrTermExprs("//", "HUGEINT").mkString(",\n          ")}
         FROM rk"""
 
+  // ------------------------------------------------------------ q342
+
+  /** q342's DiD estimate ×10⁶ as widened truncated-div integer
+    * arithmetic over the six exact cell sums: DiD = (μ₁ᵖᵒˢᵗ−μ₁ᵖʳᵉ) −
+    * (μ₀ᵖᵒˢᵗ−μ₀ᵖʳᵉ) = ((S₁ᵖ−S₁ʳ)·n₀ − (S₀ᵖ−S₀ʳ)·n₁)/(n₁·n₀). The
+    * numerator may be negative — both engines' integer division
+    * truncates toward zero (pinned by the differential), so the sign
+    * needs no special-casing. */
+  private def didExpr(divOp: String, bigT: String): String =
+    s"""CAST(((CAST(s1_post AS $bigT) - s1_pre) * n0
+            - (CAST(s0_post AS $bigT) - s0_pre) * n1) * 1000000
+          $divOp (CAST(n1 AS $bigT) * n0) AS BIGINT)"""
+
+  /** q342 — DIFFERENCE-IN-DIFFERENCES on per-user event value across
+    * the [[Analytics.CupedSplit]] boundary (the quasi-experimental
+    * counterpart of q174's lift and q259's CUPED: when the split date
+    * coincides with a rollout to arm 1 only, the post−pre change in the
+    * CONTROL arm estimates the secular trend, and subtracting it from
+    * the treated arm's change removes any time-invariant level
+    * difference between arms — the parallel-trends identification every
+    * launch retro leans on when randomization wasn't clean). Cells: per
+    * arm (q174's user_id % 2 split) the user count and the exact
+    * pre/post cent sums (per-user totals, zero for inactive periods, so
+    * both period means share one user denominator); released as ONE row
+    * {n0, n1, s0_pre, s0_post, s1_pre, s1_post, did_ppm} with the
+    * estimate through [[didExpr]]. The spec cross-checks the four cell
+    * means and the identity against a brute-force model; under this
+    * generator's null (no actual rollout) the estimate must sit near
+    * zero relative to the outcome scale, which the spec also pins.
+    *
+    * Scale shape: one user-keyed aggregate (map-side combined) → one
+    * 2-row arm aggregate → one scalar row. Nothing leaves the census
+    * after the first combine. */
+  def q342DiffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .select((col("user_id") % 2).as("arm"), col("user_id"),
+        (col("ts") < lit(Analytics.CupedSplit).cast("timestamp"))
+          .as("pre"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("user_id", "arm")
+      .agg(sum(when(col("pre"), col("vc")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("vc")).otherwise(0L)).as("y"))
+    per.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("x").as("s_pre"),
+        sum("y").as("s_post"))
+      .agg(
+        max(when(col("arm") === 0, col("n"))).as("n0"),
+        max(when(col("arm") === 1, col("n"))).as("n1"),
+        max(when(col("arm") === 0, col("s_pre"))).as("s0_pre"),
+        max(when(col("arm") === 0, col("s_post"))).as("s0_post"),
+        max(when(col("arm") === 1, col("s_pre"))).as("s1_pre"),
+        max(when(col("arm") === 1, col("s_post"))).as("s1_post"))
+      .select(col("n0"), col("n1"), col("s0_pre"), col("s0_post"),
+        col("s1_pre"), col("s1_post"),
+        expr(didExpr("div", "DECIMAL(38,0)")).as("did_ppm"))
+  }
+
+  private def q342OracleSql: String =
+    s"""WITH per AS (SELECT user_id, user_id % 2 AS arm,
+          CAST(sum(CASE WHEN ts < TIMESTAMP '${Analytics.CupedSplit}'
+              THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS x,
+          CAST(sum(CASE WHEN ts < TIMESTAMP '${Analytics.CupedSplit}'
+              THEN 0 ELSE CAST(floor(value * 100) AS BIGINT) END)
+            AS BIGINT) AS y
+          FROM events GROUP BY user_id),
+        cells AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS s_pre,
+          CAST(sum(y) AS BIGINT) AS s_post
+          FROM per GROUP BY arm),
+        wide AS (SELECT
+          max(CASE WHEN arm = 0 THEN n END) AS n0,
+          max(CASE WHEN arm = 1 THEN n END) AS n1,
+          max(CASE WHEN arm = 0 THEN s_pre END) AS s0_pre,
+          max(CASE WHEN arm = 0 THEN s_post END) AS s0_post,
+          max(CASE WHEN arm = 1 THEN s_pre END) AS s1_pre,
+          max(CASE WHEN arm = 1 THEN s_post END) AS s1_post
+          FROM cells)
+        SELECT n0, n1, s0_pre, s0_post, s1_pre, s1_post,
+          ${didExpr("//", "HUGEINT")} AS did_ppm
+        FROM wide"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1671,7 +1753,8 @@ object Stats {
     "q330_median_ci" -> (q330MedianCi _),
     "q332_interarrival_cv" -> (q332InterarrivalCv _),
     "q333_trimmed_mean" -> (q333TrimmedMean _),
-    "q339_logrank" -> (q339LogRank _))
+    "q339_logrank" -> (q339LogRank _),
+    "q342_diff_in_diff" -> (q342DiffInDiff _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -1694,5 +1777,6 @@ object Stats {
     "q330_median_ci" -> q330OracleSql,
     "q332_interarrival_cv" -> q332OracleSql,
     "q333_trimmed_mean" -> q333OracleSql,
-    "q339_logrank" -> q339OracleSql)
+    "q339_logrank" -> q339OracleSql,
+    "q342_diff_in_diff" -> q342OracleSql)
 }

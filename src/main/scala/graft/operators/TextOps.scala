@@ -1910,8 +1910,66 @@ object TextOps {
         SELECT id AS word, rank_scaled FROM r${Graph.PrIters}"""
   }
 
+  // ------------------------------------------------------------ q343
+
+  /** q343 — GOOD–TURING COUNT-OF-COUNTS SPECTRUM over the bigram census
+    * (Good 1953 — the frequency-of-frequencies table behind simple
+    * Good–Turing smoothing and the "how much probability mass belongs
+    * to bigrams we've NEVER seen" estimate N₁/N that a corpus-coverage
+    * report leads with; the natural companion to q340, whose discount
+    * D ≈ N₁/(N₁+2N₂) is read straight off this table): per occupied
+    * frequency r the exact integers {n_r = #bigram types seen exactly r
+    * times, n_r1 = N_{r+1} (0 at spectrum gaps), the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r ×10⁶ truncated-div}, plus each row carries
+    * the grand totals {n_types, n_tokens} so the unseen-mass estimate
+    * N₁/n_tokens and the normalization ΣrN_r = n_tokens are one-row
+    * reads. Simple (unsmoothed) GT by design: at spectrum gaps r* = 0,
+    * the known artifact Gale & Sampson's smoothing fixes — documented,
+    * not hidden; the spec pins the spectrum against a brute-force model
+    * and both closure identities.
+    *
+    * Scale shape: the bigram census (vocab²-bounded) re-censused by
+    * count — a double aggregation whose second stage is
+    * spectrum-bounded (≤ distinct frequencies); the r+1 lookup is a
+    * census-sized self-join, broadcast. */
+  def q343GoodTuring(s: SparkSession, dir: String): DataFrame = {
+    val bc = adjacentBigrams(s, dir)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val spec = bc.groupBy(col("c12").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val tot = bc.agg(count(lit(1)).as("n_types"),
+      sum("c12").as("n_tokens"))
+    spec
+      .join(broadcast(spec.select((col("r") - 1).as("r"),
+        col("n_r").as("n_r1"))), Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_r1"), lit(0L)).as("n_r1"),
+        expr("""CAST((r + 1) * coalesce(n_r1, 0) * 1000000
+                div n_r AS BIGINT)""").as("rstar_micro"),
+        col("n_types"), col("n_tokens"))
+  }
+
+  private def q343OracleSql: String =
+    s"""WITH $bigramCtes,
+        bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM bb GROUP BY 1, 2),
+        spec AS (SELECT c12 AS r, CAST(count(*) AS BIGINT) AS n_r
+          FROM bc GROUP BY c12),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+          CAST(sum(c12) AS BIGINT) AS n_tokens FROM bc)
+        SELECT s.r, s.n_r,
+          CAST(coalesce(s1.n_r, 0) AS BIGINT) AS n_r1,
+          CAST((s.r + 1) * coalesce(s1.n_r, 0) * 1000000
+            // s.n_r AS BIGINT) AS rstar_micro,
+          n_types, n_tokens
+        FROM spec s LEFT JOIN spec s1 ON s1.r = s.r + 1
+        CROSS JOIN tot"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q337_collocations" -> (q337Collocations _),
+    "q343_good_turing" -> (q343GoodTuring _),
     "q340_kneser_ney" -> (q340KneserNey _),
     "q341_textrank" -> (q341Textrank _),
     "q331_source_jsd" -> (q331SourceJsd _),
@@ -1947,6 +2005,7 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "q337_collocations" -> q337OracleSql,
+    "q343_good_turing" -> q343OracleSql,
     "q340_kneser_ney" -> q340OracleSql,
     "q341_textrank" -> q341OracleSql,
     "q331_source_jsd" -> q331OracleSql,

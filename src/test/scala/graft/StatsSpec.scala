@@ -898,6 +898,66 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q342 difference-in-differences matches a brute-force cell model " +
+    "and is near zero under the null split") {
+    val row = graft.operators.Stats.q342DiffInDiff(spark, sf1).head()
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), col("ts").cast("string"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val split = graft.operators.Analytics.CupedSplit
+    val per = ev.groupBy(_._1).map { case (u, es) =>
+      (u % 2, es.filter(_._2 < split).map(_._3).sum,
+        es.filter(_._2 >= split).map(_._3).sum) }.toSeq
+    def cell(a: Long)(f: ((Long, Long, Long)) => Long): Long =
+      per.filter(_._1 == a).map(f).sum
+    val (n0, n1) = (per.count(_._1 == 0L).toLong,
+      per.count(_._1 == 1L).toLong)
+    assert(row.getAs[Long]("n0") === n0)
+    assert(row.getAs[Long]("n1") === n1)
+    assert(row.getAs[Long]("s0_pre") === cell(0)(_._2))
+    assert(row.getAs[Long]("s0_post") === cell(0)(_._3))
+    assert(row.getAs[Long]("s1_pre") === cell(1)(_._2))
+    assert(row.getAs[Long]("s1_post") === cell(1)(_._3))
+    val did = (BigInt(cell(1)(_._3)) - cell(1)(_._2)) * n0 * 1000000 -
+      (BigInt(cell(0)(_._3)) - cell(0)(_._2)) * n1 * 1000000
+    assert(BigInt(row.getAs[Long]("did_ppm")) ===
+      did / (BigInt(n1) * n0))
+    // null split: |DiD| must be small relative to a period mean
+    val scaleRef = (cell(0)(_._3) + cell(1)(_._3)).toDouble / (n0 + n1)
+    assert(math.abs(row.getAs[Long]("did_ppm")) / 1e6 / 100.0 <
+      scaleRef / 100.0,
+      s"did_ppm=${row.getAs[Long]("did_ppm")} mean_post_cents=$scaleRef")
+  }
+
+  test("q343 Good-Turing spectrum matches a brute-force model and " +
+    "closes both identities") {
+    val rows = graft.operators.TextOps.q343GoodTuring(spark, sf1)
+      .collect()
+    val bigs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(split(col("text"), " ").as("ws"))
+      .collect().map(_.getSeq[String](0))
+      .filter(_.length >= 2)
+      .flatMap(ws => ws.zip(ws.drop(1)))
+    val c12 = bigs.groupBy(identity).map { case (_, v) => v.length.toLong }
+    val spec = c12.groupBy(identity).map { case (r, v) => r -> v.size.toLong }
+    assert(rows.length === spec.size)
+    rows.foreach { r =>
+      val rr = r.getAs[Long]("r")
+      assert(r.getAs[Long]("n_r") === spec(rr))
+      assert(r.getAs[Long]("n_r1") === spec.getOrElse(rr + 1, 0L))
+      assert(r.getAs[Long]("rstar_micro") ===
+        (rr + 1) * spec.getOrElse(rr + 1, 0L) * 1000000L / spec(rr))
+      assert(r.getAs[Long]("n_types") === c12.size.toLong)
+      assert(r.getAs[Long]("n_tokens") === bigs.length.toLong)
+    }
+    // closure: sum r*N_r over the spectrum = bigram token count
+    assert(rows.map(r => r.getAs[Long]("r") * r.getAs[Long]("n_r")).sum
+      === bigs.length.toLong)
+    // and sum N_r = type count
+    assert(rows.map(_.getAs[Long]("n_r")).sum === c12.size.toLong)
+  }
+
   test("q339 log-rank matches a brute-force survival model") {
     val rows = graft.operators.Stats.q339LogRank(spark, sf1)
       .orderBy("d").collect()
