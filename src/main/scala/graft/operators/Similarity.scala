@@ -399,15 +399,33 @@ object Similarity {
     * REGARDLESS of corpus size — the defining property of a mergeable
     * moment sketch (q94's discipline applied to a matrix). Integer
     * addition commutes, so partitioning never changes a cell. */
-  def q154GramMatrix(s: SparkSession, dir: String): DataFrame = {
-    val d = GramDims
-    val cells = t(s, dir, "embeddings")
+  /** Per-vector int8-quantized embeddings (column `qe`: array<bigint>)
+    * — q154's quantization scheme, shared with q344. */
+  private def quantizedVecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
       .withColumn("ed", col("embedding").cast("array<double>"))
       .withColumn("gm_mx", expr("array_max(transform(ed, x -> abs(x)))"))
       .withColumn("qe", expr(
         """transform(ed, v -> CAST(floor(
              CASE WHEN gm_mx = 0 THEN 0.0 ELSE v * 127.0 / gm_mx END)
            AS BIGINT))"""))
+
+  /** DuckDB twin of [[quantizedVecs]]: CTEs `ex`/`mx`/`q` (per-dim
+    * quantized rows) and `qarr` (per-vector quantized array). */
+  private val quantCtes: String =
+    s"""ex AS (SELECT vec_id, unnest(range(0, $GramDims)) AS dim,
+            unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
+        mx AS (SELECT vec_id, max(abs(v)) AS mx FROM ex GROUP BY vec_id),
+        q AS (SELECT ex.vec_id, ex.dim,
+                CAST(floor(CASE WHEN mx = 0 THEN 0.0
+                           ELSE v * 127.0 / mx END) AS BIGINT) AS qv
+              FROM ex JOIN mx ON ex.vec_id = mx.vec_id),
+        qarr AS (SELECT vec_id, list(qv ORDER BY dim) AS qe
+                 FROM q GROUP BY vec_id)"""
+
+  def q154GramMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d = GramDims
+    val cells = quantizedVecs(s, dir)
       .select(explode(expr(
         s"""flatten(transform(sequence(0, ${d - 1}), i ->
               transform(sequence(i, ${d - 1}), j ->
@@ -419,15 +437,7 @@ object Similarity {
   }
 
   private def q154OracleSql: String =
-    s"""WITH ex AS (SELECT vec_id, unnest(range(0, $GramDims)) AS dim,
-            unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
-        mx AS (SELECT vec_id, max(abs(v)) AS mx FROM ex GROUP BY vec_id),
-        q AS (SELECT ex.vec_id, ex.dim,
-                CAST(floor(CASE WHEN mx = 0 THEN 0.0
-                           ELSE v * 127.0 / mx END) AS BIGINT) AS qv
-              FROM ex JOIN mx ON ex.vec_id = mx.vec_id),
-        qarr AS (SELECT vec_id, list(qv ORDER BY dim) AS qe
-                 FROM q GROUP BY vec_id),
+    s"""WITH $quantCtes,
         cells AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
               qe[i + 1] * qe[j + 1] AS p
             FROM qarr, range(0, $GramDims) r1(i), range(0, $GramDims) r2(j)
@@ -1892,7 +1902,107 @@ object Similarity {
           bt.between_milli2
         FROM wi JOIN bt ON bt.label = wi.label"""
 
+  // ------------------------------------------------------------ q344
+
+  /** q344's CKA release as ONE shared-text double expression over the
+    * three exact wide-integer Frobenius sums: CKA = F_xy/√(F_xx·F_yy);
+    * greatest(·, 1.0) guards the all-constant-features degenerate
+    * denominator (not exercised by real embeddings, but floor(NaN)
+    * diverges across engines — the q292 hazard class). */
+  private def ckaExpr: String =
+    s"""CAST(floor(CAST(fxy AS DOUBLE) * 1000000000
+          / sqrt(greatest(CAST(fxx AS DOUBLE) * CAST(fyy AS DOUBLE),
+                          1.0))) AS BIGINT)"""
+
+  /** q344 — LINEAR CKA between the [[MatryoshkaDim]]-prefix and the
+    * full embedding (Kornblith et al. 2019's centered kernel alignment,
+    * the representation-similarity number that answers q327's question
+    * at the GEOMETRY level: q327 measures top-k retrieval overlap — an
+    * end-task proxy — while CKA = ‖X_cᵀY_c‖²_F/(‖X_cᵀX_c‖_F‖Y_cᵀY_c‖_F)
+    * measures how much of the full space's structure the prefix already
+    * spans, invariant to rotation and isotropic scaling; the number a
+    * Matryoshka training run tracks per checkpoint). Exactness: q154's
+    * int8 quantization, then every centered cross-moment is the exact
+    * wide integer a_ij = n·Σxy − Sx_i·Sy_j (n cancels in the ratio), the
+    * three Frobenius sums are exact DECIMAL(38,0)/HUGEINT sums over the
+    * d(d+1)/2 census (prefix blocks read off the SAME census by
+    * symmetry weights: diag 1, off-diag 2; the rectangular xy block
+    * weights [i<p] + [j<p ∧ i≠j]), and only the final ratio is a
+    * [[ckaExpr]] double. Released: {n, cka_ppb}; the spec pins a
+    * brute-force BigInt model and the CKA ≤ 1 bound.
+    *
+    * Scale shape: q154's exactly — in-row quantization + upper-triangle
+    * outer product, ONE (i,j)-keyed map-side-combined sum to 2080 cells;
+    * per-dim sums ride a second census-bounded aggregate; everything
+    * downstream is census-sized. */
+  def q344CkaPrefix(s: SparkSession, dir: String): DataFrame = {
+    val d = GramDims
+    val p = MatryoshkaDim
+    val q = quantizedVecs(s, dir).localCheckpoint(true)
+    val gram = q.select(explode(expr(
+        s"""flatten(transform(sequence(0, ${d - 1}), i ->
+              transform(sequence(i, ${d - 1}), j ->
+                struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                  element_at(qe, i + 1) * element_at(qe, j + 1)
+                    AS p))))""")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+      .groupBy("i", "j").agg(sum("p").cast("bigint").as("g"))
+    val sums = q.select(posexplode(col("qe")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(sum("v").as("sv"))
+    val nF = q.agg(count(lit(1)).as("n"))
+    gram
+      .join(broadcast(sums.select(col("dim").cast("bigint").as("i"),
+        col("sv").as("si"))), "i")
+      .join(broadcast(sums.select(col("dim").cast("bigint").as("j"),
+        col("sv").as("sj"))), "j")
+      .crossJoin(broadcast(nF))
+      .select(col("i"), col("j"), col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * g - CAST(si AS DECIMAL(38,0)) * sj")
+          .as("a"))
+      .agg(max("n").as("n"),
+        sum(expr(s"""CASE WHEN i < $p AND j < $p
+              THEN (CASE WHEN i = j THEN 1 ELSE 2 END) * a * a
+              ELSE 0 END""")).as("fxx"),
+        sum(expr("(CASE WHEN i = j THEN 1 ELSE 2 END) * a * a"))
+          .as("fyy"),
+        sum(expr(s"""((CASE WHEN i < $p THEN 1 ELSE 0 END)
+              + (CASE WHEN j < $p AND i <> j THEN 1 ELSE 0 END))
+              * a * a""")).as("fxy"))
+      .select(col("n"), expr(ckaExpr).as("cka_ppb"))
+  }
+
+  private def q344OracleSql: String = {
+    val p = MatryoshkaDim
+    s"""WITH $quantCtes,
+        cells AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+              qe[i + 1] * qe[j + 1] AS p
+            FROM qarr, range(0, $GramDims) r1(i), range(0, $GramDims) r2(j)
+            WHERE j >= i),
+        gram AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS g
+          FROM cells GROUP BY i, j),
+        sums AS (SELECT dim, CAST(sum(qv) AS BIGINT) AS sv
+          FROM q GROUP BY dim),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qarr),
+        am AS (SELECT i, j,
+            CAST(n AS HUGEINT) * g - CAST(si.sv AS HUGEINT) * sj.sv AS a
+          FROM gram JOIN sums si ON si.dim = gram.i
+          JOIN sums sj ON sj.dim = gram.j CROSS JOIN nn),
+        fr AS (SELECT
+            CAST(sum(CASE WHEN i < $p AND j < $p
+              THEN (CASE WHEN i = j THEN 1 ELSE 2 END) * a * a
+              ELSE 0 END) AS HUGEINT) AS fxx,
+            CAST(sum((CASE WHEN i = j THEN 1 ELSE 2 END) * a * a)
+              AS HUGEINT) AS fyy,
+            CAST(sum(((CASE WHEN i < $p THEN 1 ELSE 0 END)
+              + (CASE WHEN j < $p AND i <> j THEN 1 ELSE 0 END))
+              * a * a) AS HUGEINT) AS fxy
+          FROM am)
+        SELECT n, $ckaExpr AS cka_ppb
+        FROM fr CROSS JOIN nn"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q344_cka_prefix" -> (q344CkaPrefix _),
     "q334_class_separability" -> (q334ClassSeparability _),
     "q327_matryoshka_eval" -> (q327MatryoshkaEval _),
     "q323_centroid_drift" -> (q323SourceCentroidDrift _),
@@ -1924,6 +2034,7 @@ object Similarity {
     "q91_quantize_embeddings" -> (q91QuantizeEmbeddings _))
 
   val oracleSql: Map[String, String] = Map(
+    "q344_cka_prefix" -> q344OracleSql,
     "q334_class_separability" -> q334OracleSql,
     "q327_matryoshka_eval" -> q327OracleSql,
     "q323_centroid_drift" -> q323OracleSql,

@@ -958,6 +958,37 @@ class StatsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_r")).sum === c12.size.toLong)
   }
 
+  test("q344 prefix CKA matches a brute-force BigInt model and lands " +
+    "in (0, 1]") {
+    val row = graft.operators.Similarity.q344CkaPrefix(spark, sf1).head()
+    val qs = graft.sources.Tables.load(spark, sf1, "embeddings")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        val mx = v.map(math.abs).max
+        v.map(x => if (mx == 0) 0L else math.floor(x * 127.0 / mx).toLong)
+      }
+    val n = qs.length
+    val d = graft.operators.Similarity.GramDims
+    val p = graft.operators.Similarity.MatryoshkaDim
+    assert(row.getAs[Long]("n") === n.toLong)
+    val sv = Array.tabulate(d)(i => qs.map(_(i)).sum)
+    val am = Array.tabulate(d, d)((i, j) =>
+      BigInt(n) * qs.map(q => q(i) * q(j)).sum - BigInt(sv(i)) * sv(j))
+    var (fxx, fyy, fxy) = (BigInt(0), BigInt(0), BigInt(0))
+    for (i <- 0 until d; j <- 0 until d) {
+      val a2 = am(i)(j) * am(i)(j)
+      if (i < p && j < p) fxx += a2
+      fyy += a2
+      if (i < p) fxy += a2
+    }
+    val cka = math.floor(fxy.toDouble * 1e9 /
+      math.sqrt(math.max(fxx.toDouble * fyy.toDouble, 1.0))).toLong
+    assert(row.getAs[Long]("cka_ppb") === cka)
+    assert(row.getAs[Long]("cka_ppb") > 0L)
+    assert(row.getAs[Long]("cka_ppb") <= 1000000000L)
+  }
+
   test("q339 log-rank matches a brute-force survival model") {
     val rows = graft.operators.Stats.q339LogRank(spark, sf1)
       .orderBy("d").collect()
