@@ -1730,6 +1730,102 @@ object Stats {
           ${didExpr("//", "HUGEINT")} AS did_ppm
         FROM wide"""
 
+  // ------------------------------------------------------------ q345
+
+  /** q345's Cramer-rule release as shared-text double expressions over
+    * the ten exact integer moments {n, s1, s2, s11, s12, s22, sy, s1y,
+    * s2y, syy}: for X'X = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] and
+    * X'y = [sy,s1y,s2y], β_k = det(X'X with column k replaced by X'y)
+    * / det(X'X), and R² = 1 − SSE/SST with SSE folded through the same
+    * dets. det(X'X) = 0 only under exact feature collinearity —
+    * impossible for this schema's (1, quantity, discount) design
+    * matrix; the magnitude note stands in for a guard (a collinear
+    * input yields NaN → the differential would catch the divergence
+    * loudly, not silently). */
+  private def olsExprs: Seq[String] = {
+    val det =
+      """(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)
+        - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)
+        + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2))"""
+    val det0 =
+      """(CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)
+        - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)
+        + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2y))"""
+    val det1 =
+      """(CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)
+        - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)
+        + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2))"""
+    val det2 =
+      """(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s12)
+        - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)
+        + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2))"""
+    val sse = s"""(CAST(syy AS DOUBLE)
+        - (($det0 / $det) * sy + ($det1 / $det) * s1y
+           + ($det2 / $det) * s2y))"""
+    val sst = """(CAST(syy AS DOUBLE)
+        - CAST(sy AS DOUBLE) * sy / CAST(n AS DOUBLE))"""
+    Seq(
+      s"CAST(floor($det0 / $det * 1000000) AS BIGINT) AS beta0_ppm",
+      s"CAST(floor($det1 / $det * 1000000) AS BIGINT) AS beta1_ppm",
+      s"CAST(floor($det2 / $det * 1000000) AS BIGINT) AS beta2_ppm",
+      s"CAST(floor((1.0 - $sse / $sst) * 1000000) AS BIGINT) AS r2_ppm")
+  }
+
+  /** q345 — CLOSED-FORM MULTIPLE REGRESSION VIA A ONE-PASS MOMENT
+    * SKETCH: OLS of line price (cents) on (1, quantity, discount×100)
+    * by the normal equations, the pattern that makes regression
+    * DISTRIBUTABLE — X'X and X'y are ten commutative integer sums (a
+    * mergeable sketch in q94's sense: map-side combine does almost all
+    * the work, the reduce sees one partial per partition), and the
+    * 3×3 solve is a constant-time Cramer evaluation on the driver-free
+    * single-row frame. The established per-operator regressions (q210's
+    * stump, q256's Theil–Sen, q203's target encoding) are all
+    * single-feature; this is the multivariate member, and at 100 TB it
+    * runs at scan speed with a 10-long reduce. Exactness: every moment
+    * is an exact integer (prices as floor-cents, discount as
+    * floor×100; y² widened to DECIMAL(38,0)/HUGEINT before summing —
+    * Σy² ~ 6·10²⁰ at sf1 overflows int64); β_k and R² are single
+    * shared-text double expressions over those ten integers
+    * ([[olsExprs]]). Released: {n, beta0_ppm (cents), beta1_ppm
+    * (cents/unit qty), beta2_ppm (cents per discount point), r2_ppm};
+    * the spec pins a brute-force normal-equations model, R² ∈ [0, 1],
+    * and the residuals-sum-to-zero invariant (fitted plane through the
+    * mean point). NOTE on this generator: part price varies ~100× while
+    * quantity spans 1–50, so quantity explains almost none of the line
+    * price variance — the fit is honest, not impressive, and the spec
+    * pins invariants rather than a fictional effect size. */
+  def q345OlsMoments(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("y"),
+        expr("CAST(l_quantity AS BIGINT)").as("x1"),
+        expr("CAST(floor(l_discount * 100) AS BIGINT)").as("x2"))
+      .agg(count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+        sum(expr("x1 * x1")).as("s11"), sum(expr("x1 * x2")).as("s12"),
+        sum(expr("x2 * x2")).as("s22"), sum("y").as("sy"),
+        sum(expr("x1 * y")).as("s1y"), sum(expr("x2 * y")).as("s2y"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .select(col("n") +: olsExprs.map(expr): _*)
+  }
+
+  private def q345OracleSql: String =
+    s"""WITH rows_ AS (SELECT
+          CAST(floor(l_extendedprice * 100) AS BIGINT) AS y,
+          CAST(l_quantity AS BIGINT) AS x1,
+          CAST(floor(l_discount * 100) AS BIGINT) AS x2
+          FROM lineitem),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+          CAST(sum(x1 * x1) AS BIGINT) AS s11,
+          CAST(sum(x1 * x2) AS BIGINT) AS s12,
+          CAST(sum(x2 * x2) AS BIGINT) AS s22,
+          CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x1 * y) AS BIGINT) AS s1y,
+          CAST(sum(x2 * y) AS BIGINT) AS s2y,
+          CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+          FROM rows_)
+        SELECT n, ${olsExprs.mkString(",\n          ")}
+        FROM m"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1754,7 +1850,8 @@ object Stats {
     "q332_interarrival_cv" -> (q332InterarrivalCv _),
     "q333_trimmed_mean" -> (q333TrimmedMean _),
     "q339_logrank" -> (q339LogRank _),
-    "q342_diff_in_diff" -> (q342DiffInDiff _))
+    "q342_diff_in_diff" -> (q342DiffInDiff _),
+    "q345_ols_moments" -> (q345OlsMoments _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -1778,5 +1875,6 @@ object Stats {
     "q332_interarrival_cv" -> q332OracleSql,
     "q333_trimmed_mean" -> q333OracleSql,
     "q339_logrank" -> q339OracleSql,
-    "q342_diff_in_diff" -> q342OracleSql)
+    "q342_diff_in_diff" -> q342OracleSql,
+    "q345_ols_moments" -> q345OracleSql)
 }

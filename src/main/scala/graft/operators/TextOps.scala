@@ -1967,8 +1967,85 @@ object TextOps {
         FROM spec s LEFT JOIN spec s1 ON s1.r = s.r + 1
         CROSS JOIN tot"""
 
+  // ------------------------------------------------------------ q346
+
+  /** Growth-curve resolution: the corpus is swept in this many
+    * equal-width doc_id buckets. */
+  val GrowthBuckets = 20L
+
+  /** q346 — VOCABULARY GROWTH CURVE over trigram types (Heaps' law
+    * V(n) ≈ K·nᵝ — the corpus-scaling report that answers "is new data
+    * still bringing new language?": a plateauing curve means the next
+    * 10 TB buys repetition, not coverage, the first-order signal for
+    * dedup budgeting and mixture refresh; type axis = word TRIGRAMS
+    * because this generator's unigram vocabulary is fixed by design and
+    * saturates in the first bucket — trigram contexts keep growing, the
+    * same reason shingle features (q30/q102) are trigram-based).
+    * Ingest order = doc_id, swept in [[GrowthBuckets]] equal-width
+    * buckets; per bucket the exact {cum_tokens, cum_types} with types
+    * credited to their FIRST bucket (min-bucket census — the
+    * distributed way to compute every prefix's distinct count in ONE
+    * aggregation instead of B distinct scans). Spec pins a brute-force
+    * prefix model, monotonicity, and the endpoint identities (last
+    * cum_types = corpus distinct trigrams; last cum_tokens = corpus
+    * token count).
+    *
+    * Scale shape: one in-row trigram pass → one type-keyed min census
+    * (map-side combined, type-domain-bounded) re-censused to ≤B rows +
+    * one bucket-keyed token count; cumsums ride the B-row frame. */
+  def q346VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val nF = docs.agg(count(lit(1)).as("nd"))
+    val toks = docs.crossJoin(broadcast(nF))
+      .select(expr(s"doc_id * $GrowthBuckets div nd").as("b"),
+        split(col("text"), " ").as("ws"))
+      .localCheckpoint(true)
+    val firstB = toks
+      .filter(size(col("ws")) >= 3)
+      .select(col("b"), explode(expr(
+        """transform(sequence(1, size(ws) - 2),
+           i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+                          element_at(ws, i + 2)))""")).as("g"))
+      .groupBy("g").agg(min("b").as("fb"))
+      .groupBy("fb").agg(count(lit(1)).as("new_types"))
+    val tokCnt = toks.groupBy("b")
+      .agg(sum(size(col("ws")).cast("bigint")).as("n_toks"))
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokCnt.join(firstB, tokCnt("b") === firstB("fb"), "left")
+      .select(col("b"), col("n_toks"),
+        coalesce(col("new_types"), lit(0L)).as("nt"))
+      .select(col("b"), sum("n_toks").over(w).as("cum_tokens"),
+        sum("nt").over(w).as("cum_types"))
+  }
+
+  private def q346OracleSql: String =
+    s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS nd
+          FROM documents),
+        tk AS (SELECT doc_id * $GrowthBuckets // nd AS b,
+            string_split(text, ' ') AS ws
+          FROM documents CROSS JOIN nd),
+        tc AS (SELECT b, CAST(sum(len(ws)) AS BIGINT) AS n_toks
+          FROM tk GROUP BY b),
+        gr AS (SELECT b,
+            ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+          FROM tk, unnest(range(1, len(ws) - 1)) AS r(i)
+          WHERE len(ws) >= 3),
+        fb AS (SELECT g, CAST(min(b) AS BIGINT) AS fb FROM gr GROUP BY g),
+        nt AS (SELECT fb, CAST(count(*) AS BIGINT) AS new_types
+          FROM fb GROUP BY fb)
+        SELECT CAST(tc.b AS BIGINT) AS b,
+          CAST(sum(tc.n_toks) OVER w AS BIGINT) AS cum_tokens,
+          CAST(sum(coalesce(nt.new_types, 0)) OVER w AS BIGINT)
+            AS cum_types
+        FROM tc LEFT JOIN nt ON nt.fb = tc.b
+        WINDOW w AS (ORDER BY tc.b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q337_collocations" -> (q337Collocations _),
+    "q346_vocab_growth" -> (q346VocabGrowth _),
     "q343_good_turing" -> (q343GoodTuring _),
     "q340_kneser_ney" -> (q340KneserNey _),
     "q341_textrank" -> (q341Textrank _),
@@ -2006,6 +2083,7 @@ object TextOps {
   val oracleSql: Map[String, String] = Map(
     "q337_collocations" -> q337OracleSql,
     "q343_good_turing" -> q343OracleSql,
+    "q346_vocab_growth" -> q346OracleSql,
     "q340_kneser_ney" -> q340OracleSql,
     "q341_textrank" -> q341OracleSql,
     "q331_source_jsd" -> q331OracleSql,

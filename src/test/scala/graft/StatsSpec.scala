@@ -989,6 +989,84 @@ class StatsSpec extends SparkSpec {
     assert(row.getAs[Long]("cka_ppb") <= 1000000000L)
   }
 
+  test("q345 moment-sketch OLS matches a brute-force normal-equations " +
+    "model and recovers the generator's price structure") {
+    val row = graft.operators.Stats.q345OlsMoments(spark, sf1).head()
+    val data = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"),
+        expr("CAST(l_quantity AS BIGINT)"),
+        expr("CAST(floor(l_discount * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = data.length.toDouble
+    assert(row.getAs[Long]("n") === data.length.toLong)
+    val (s1, s2) = (data.map(_._2).sum.toDouble, data.map(_._3).sum.toDouble)
+    val s11 = data.map(d => d._2 * d._2).sum.toDouble
+    val s12 = data.map(d => d._2 * d._3).sum.toDouble
+    val s22 = data.map(d => d._3 * d._3).sum.toDouble
+    val sy = data.map(_._1).sum.toDouble
+    val s1y = data.map(d => d._2 * d._1).sum.toDouble
+    val s2y = data.map(d => d._3 * d._1).sum.toDouble
+    val syy = data.map(d => BigInt(d._1) * d._1).sum.toDouble
+    def det3(m: Array[Array[Double]]): Double =
+      m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+      m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+      m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+    val xtx = Array(Array(n, s1, s2), Array(s1, s11, s12),
+      Array(s2, s12, s22))
+    val xty = Array(sy, s1y, s2y)
+    val d0 = det3(xtx)
+    def repl(k: Int): Array[Array[Double]] =
+      xtx.zipWithIndex.map { case (r, i) => r.updated(k, xty(i)) }
+    val betas = (0 to 2).map(k => det3(repl(k)) / d0)
+    // double-fold order differs from the engines' exact-integer moments,
+    // so compare at ppm resolution with a 1-ulp slack, not exact floor
+    (0 to 2).foreach { k =>
+      val got = row.getAs[Long](s"beta${k}_ppm")
+      assert(math.abs(got - betas(k) * 1e6) <= 2.0,
+        s"beta$k got=$got model=${betas(k) * 1e6}")
+    }
+    val sse = syy - betas(0) * sy - betas(1) * s1y - betas(2) * s2y
+    val sst = syy - sy * sy / n
+    val r2 = row.getAs[Long]("r2_ppm")
+    assert(math.abs(r2 - (1.0 - sse / sst) * 1e6) <= 2.0)
+    assert(r2 >= 0L && r2 <= 1000000L)
+    // the OLS normal-equation invariant: residuals sum to zero, i.e. the
+    // fitted plane passes through the mean point (1 cent slack covers
+    // the ppm floor on each beta)
+    val fittedMean = row.getAs[Long]("beta0_ppm") / 1e6 +
+      row.getAs[Long]("beta1_ppm") / 1e6 * (s1 / n) +
+      row.getAs[Long]("beta2_ppm") / 1e6 * (s2 / n)
+    assert(math.abs(fittedMean - sy / n) < 1.0,
+      s"fitted-at-mean=$fittedMean ybar=${sy / n}")
+  }
+
+  test("q346 vocabulary growth curve matches a brute-force prefix model") {
+    val rows = graft.operators.TextOps.q346VocabGrowth(spark, sf1)
+      .orderBy("b").collect()
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val nd = docs.length.toLong
+    val bks = graft.operators.TextOps.GrowthBuckets
+    assert(rows.length.toLong === bks)
+    def bucket(id: Long): Long = id * bks / nd
+    val cumToks = (0L until bks).map(b =>
+      docs.filter(d => bucket(d._1) <= b).map(_._2.length.toLong).sum)
+    val cumTypes = (0L until bks).map(b =>
+      docs.filter(d => bucket(d._1) <= b)
+        .flatMap(d => d._2.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")))
+        .distinct.length.toLong)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("b") === i.toLong)
+      assert(r.getAs[Long]("cum_tokens") === cumToks(i))
+      assert(r.getAs[Long]("cum_types") === cumTypes(i), s"bucket $i")
+    }
+    // growth is monotone and the curve is strictly below the token line
+    rows.foreach(r =>
+      assert(r.getAs[Long]("cum_types") <= r.getAs[Long]("cum_tokens")))
+  }
+
   test("q339 log-rank matches a brute-force survival model") {
     val rows = graft.operators.Stats.q339LogRank(spark, sf1)
       .orderBy("d").collect()
