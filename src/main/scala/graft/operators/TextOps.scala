@@ -1716,7 +1716,12 @@ object TextOps {
     * no self-join, no shuffle; bigrams never leave the row until the
     * census groupBy). */
   private def adjacentBigrams(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    adjacentBigramsOf(t(s, dir, "documents"))
+
+  /** [[adjacentBigrams]] over an arbitrary (…, text) frame — shared
+    * with q347's per-micro-batch census. */
+  private[graft] def adjacentBigramsOf(docs: DataFrame): DataFrame =
+    docs
       .select(split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(explode(expr(
@@ -1932,10 +1937,14 @@ object TextOps {
     * count — a double aggregation whose second stage is
     * spectrum-bounded (≤ distinct frequencies); the r+1 lookup is a
     * census-sized self-join, broadcast. */
-  def q343GoodTuring(s: SparkSession, dir: String): DataFrame = {
-    val bc = adjacentBigrams(s, dir)
+  def q343GoodTuring(s: SparkSession, dir: String): DataFrame =
+    goodTuringSpectrum(adjacentBigrams(s, dir)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
+
+  /** q343's release over an arbitrary (w1, w2, c12) census — shared
+    * with q347, whose drained streaming state is the same census. */
+  private[graft] def goodTuringSpectrum(bc: DataFrame): DataFrame = {
     val spec = bc.groupBy(col("c12").as("r"))
       .agg(count(lit(1)).as("n_r"))
     val tot = bc.agg(count(lit(1)).as("n_types"),
@@ -1950,6 +1959,8 @@ object TextOps {
                 div n_r AS BIGINT)""").as("rstar_micro"),
         col("n_types"), col("n_tokens"))
   }
+
+  private[graft] def q343OracleSql2: String = q343OracleSql
 
   private def q343OracleSql: String =
     s"""WITH $bigramCtes,

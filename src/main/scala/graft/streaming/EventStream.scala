@@ -484,11 +484,15 @@ object EventStream {
 
   /** Streaming source over the documents table (plain types — no nanos
     * conversion needed; same single-file glob trick as [[readEvents]]). */
-  def readDocs(spark: SparkSession, sfDir: String): DataFrame = {
+  def readDocs(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
         "n_chars BIGINT")
-    spark.readStream.schema(schema).parquet(s"$sfDir/documents.parque[t]")
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.fold(reader)(m =>
+        reader.option("maxFilesPerTrigger", m.toString))
+      .parquet(s"$sfDir/documents.parque[t]")
   }
 
   /** q157 — STREAMING INCREMENTAL NEAR-DUP via `foreachBatch` (the
@@ -1288,8 +1292,55 @@ object EventStream {
           CAST(abs(cum * k - i * t) AS BIGINT) AS dev_scaled
         FROM seq, tot"""
 
+  // -------------------------------------------------------------- q347
+
+  /** q347 — STREAMING GOOD–TURING SPECTRUM (q343 under continuous
+    * ingest — the 18th declared streaming shape and the NOVELTY member
+    * of the streaming monitor family: q313 watches distribution drift,
+    * q336 rate breaks; this watches the type/token spectrum a live
+    * crawl's dedup budget and LM smoothing are calibrated against — the
+    * unseen-mass read N₁/N collapsing toward 0 during ingest means the
+    * crawl has stopped finding new language). State: the bigram count
+    * census (vocab²-bounded, the same boundedness argument as q313's
+    * frozen ladder), merged per micro-batch by key-summing. Count merge
+    * is associative and commutative, so the drained census — and the
+    * spectrum computed from it — is batch-split independent and equals
+    * batch q343 exactly: q343's oracle IS this oracle, and the spec
+    * pins the in-engine equality under a FORCED multi-file, one-file-
+    * per-micro-batch replay (the suite's first genuinely multi-batch
+    * confluence pin).
+    *
+    * Scale shape: per batch one in-row bigram pass + one census-keyed
+    * merge (map-side combined); the corpus is never rescanned; state =
+    * ≤ \|vocab\|² longs. */
+  def q347StreamSpectrum(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val T = graft.operators.TextOps
+    var counts = Seq.empty[(String, String, Long)]
+      .toDF("w1", "w2", "c12")
+    val q = readDocs(s, dir, maxFilesPerTrigger).select("text")
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val bc = T.adjacentBigramsOf(batch.toDF())
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        counts = counts.unionByName(bc)
+          .groupBy("w1", "w2").agg(sum("c12").as("c12"))
+          .localCheckpoint(true)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    T.goodTuringSpectrum(counts)
+  }
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q347_stream_spectrum" ->
+      ((s: SparkSession, d: String) => q347StreamSpectrum(s, d)),
     "q336_stream_cusum" -> (q336StreamCusum _),
     "q313_stream_psi" -> (q313StreamPsi _),
     "q302_stream_chunk_dedup" -> (q302StreamChunkDedup _),
@@ -1311,6 +1362,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q347_stream_spectrum" -> graft.operators.TextOps.q343OracleSql2,
     "q336_stream_cusum" -> q336OracleSql,
     "q313_stream_psi" -> q313OracleSql,
     "q302_stream_chunk_dedup" -> graft.operators.Dedup.q300OracleSql2,

@@ -256,6 +256,36 @@ class StatefulStreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q347 streamed Good-Turing spectrum equals the q343 batch rebuild " +
+    "under a forced multi-batch replay") {
+    import spark.implicits._
+    // 4 part-files + maxFilesPerTrigger=1 => 4 genuine micro-batches:
+    // the census merge must be batch-split independent
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q347-multibatch").toString
+    docs.repartition(4).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val nFiles = new java.io.File(s"$dir/documents.parquet")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 2, s"need a multi-file corpus, got $nFiles")
+    val streamed = EventStream
+      .q347StreamSpectrum(spark, dir, maxFilesPerTrigger = Some(1))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    spark.catalog.clearCache()
+    val batch = graft.operators.TextOps.q343GoodTuring(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(streamed === batch,
+      s"streamed/batch spectrum diverged: only-streamed=" +
+        s"${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+    assert(batch.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("q302 streamed chunk dedup equals the q300 batch rebuild " +
     "(confluence at chunk granularity)") {
     val streamed = EventStream.q302StreamChunkDedup(spark, sf1)
