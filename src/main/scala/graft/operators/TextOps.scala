@@ -1822,7 +1822,9 @@ object TextOps {
     * Scale shape: q337's — one in-row bigram generator pass → one
     * vocab²-bounded census shuffle; the three marginal frames are
     * census-sized and BROADCAST back onto it. */
-  def q340KneserNey(s: SparkSession, dir: String): DataFrame = {
+  /** The joined KN census {w1, w2, c12, c1, r1, l2, nbb} — q340's
+    * frame, shared with q348's cross-entropy fold. */
+  private def knCensus(s: SparkSession, dir: String): DataFrame = {
     val bc = adjacentBigrams(s, dir)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .localCheckpoint(true)
@@ -1832,24 +1834,89 @@ object TextOps {
     val nbbF = bc.agg(count(lit(1)).as("nbb"))
     bc.join(broadcast(u1), "w1").join(broadcast(u2), "w2")
       .crossJoin(broadcast(nbbF))
-      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("r1"),
-        col("l2"), col("nbb"),
-        expr(knExpr("div", "DECIMAL(38,0)")).as("pkn_ppb"))
   }
 
-  private def q340OracleSql: String =
-    s"""WITH $bigramCtes,
-        bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  /** DuckDB twin of [[knCensus]]: CTEs bc/u1/u2/nt (compose after
+    * [[bigramCtes]]; the consumer writes the final joined SELECT). */
+  private val knCtes: String =
+    """bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
           FROM bb GROUP BY 1, 2),
         u1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
           CAST(count(*) AS BIGINT) AS r1 FROM bc GROUP BY w1),
         u2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS l2
           FROM bc GROUP BY w2),
-        nt AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM bc)
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM bc)"""
+
+  def q340KneserNey(s: SparkSession, dir: String): DataFrame =
+    knCensus(s, dir)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("r1"),
+        col("l2"), col("nbb"),
+        expr(knExpr("div", "DECIMAL(38,0)")).as("pkn_ppb"))
+
+  private def q340OracleSql: String =
+    s"""WITH $bigramCtes,
+        $knCtes
         SELECT bc.w1, bc.w2, c12, c1, r1, l2, nbb,
           ${knExpr("//", "HUGEINT")} AS pkn_ppb
         FROM bc JOIN u1 ON bc.w1 = u1.w1 JOIN u2 ON bc.w2 = u2.w2
         CROSS JOIN nt"""
+
+  // ------------------------------------------------------------ q348
+
+  /** q348's per-cell negative log-likelihood mass ×10⁹ as ONE
+    * shared-text double expression over the exact census integers: the
+    * cell's c12 occurrences each contribute −ln P_KN, with P_KN as the
+    * exact rational num/den in DOUBLE (the UN-floored probability —
+    * flooring before the log would bias every cell), floored ONCE per
+    * cell so the corpus sum is an exact integer sum of deterministic
+    * per-cell values. */
+  private def knNllExpr: String =
+    s"""CAST(floor(CAST(c12 AS DOUBLE)
+          * ln((CAST(greatest(4 * c12 - 3, 0) AS DOUBLE) * nbb
+                + 3.0 * r1 * l2)
+               / (4.0 * CAST(c1 AS DOUBLE) * nbb))
+          * 1000000000) AS BIGINT)"""
+
+  /** q348 — CORPUS CROSS-ENTROPY UNDER ITS OWN KNESER–NEY MODEL (the
+    * perplexity a quality pipeline tracks per snapshot — CCNet-style
+    * filtering thresholds on exactly this number; over the TRAINING
+    * corpus itself it is the compressibility read: entropy rising
+    * across snapshots means new structure, collapsing means the crawl
+    * is eating its own boilerplate): H = Σ c12·(−ln P_KN(w2|w1)) / N
+    * folded over the q340 census — per-cell masses floored ×10⁹
+    * ([[knNllExpr]]) so the sum is exact, then one integer division by
+    * the bigram token count and a deterministic exp() for the
+    * perplexity. Released: {n_tokens, nll_sum_ppb, h_ppb,
+    * ppl_micro}. Spec pins a brute-force model and Gibbs' inequality
+    * (cross-entropy ≥ empirical MLE entropy — the model can't beat the
+    * data's own code).
+    *
+    * Scale shape: q340's census plan plus a census-bounded fold —
+    * nothing new leaves the vocab²-bounded frame. */
+  def q348KnCrossEntropy(s: SparkSession, dir: String): DataFrame =
+    knCensus(s, dir)
+      .select(col("c12"), expr(knNllExpr).as("nll_ppb"))
+      .agg(sum("c12").as("n_tokens"),
+        (-sum("nll_ppb")).as("nll_sum_ppb"))
+      .select(col("n_tokens"), col("nll_sum_ppb"),
+        expr("nll_sum_ppb div n_tokens").as("h_ppb"))
+      .select(col("n_tokens"), col("nll_sum_ppb"), col("h_ppb"),
+        expr("""CAST(floor(exp(CAST(h_ppb AS DOUBLE) / 1000000000)
+                * 1000000) AS BIGINT)""").as("ppl_micro"))
+
+  private def q348OracleSql: String =
+    s"""WITH $bigramCtes,
+        $knCtes,
+        cells AS (SELECT c12, $knNllExpr AS nll_ppb
+          FROM bc JOIN u1 ON bc.w1 = u1.w1 JOIN u2 ON bc.w2 = u2.w2
+          CROSS JOIN nt),
+        ag AS (SELECT CAST(sum(c12) AS BIGINT) AS n_tokens,
+          CAST(-sum(nll_ppb) AS BIGINT) AS nll_sum_ppb FROM cells)
+        SELECT n_tokens, nll_sum_ppb,
+          nll_sum_ppb // n_tokens AS h_ppb,
+          CAST(floor(exp(CAST(nll_sum_ppb // n_tokens AS DOUBLE)
+              / 1000000000) * 1000000) AS BIGINT) AS ppl_micro
+        FROM ag"""
 
   // ------------------------------------------------------------ q341
 
@@ -2059,6 +2126,7 @@ object TextOps {
     "q346_vocab_growth" -> (q346VocabGrowth _),
     "q343_good_turing" -> (q343GoodTuring _),
     "q340_kneser_ney" -> (q340KneserNey _),
+    "q348_kn_cross_entropy" -> (q348KnCrossEntropy _),
     "q341_textrank" -> (q341Textrank _),
     "q331_source_jsd" -> (q331SourceJsd _),
     "q276_truncation_planner" -> (q276TruncationPlanner _),
@@ -2096,6 +2164,7 @@ object TextOps {
     "q343_good_turing" -> q343OracleSql,
     "q346_vocab_growth" -> q346OracleSql,
     "q340_kneser_ney" -> q340OracleSql,
+    "q348_kn_cross_entropy" -> q348OracleSql,
     "q341_textrank" -> q341OracleSql,
     "q331_source_jsd" -> q331OracleSql,
     "q276_truncation_planner" -> q276OracleSql,

@@ -1067,6 +1067,39 @@ class StatsSpec extends SparkSpec {
       assert(r.getAs[Long]("cum_types") <= r.getAs[Long]("cum_tokens")))
   }
 
+  test("q348 KN cross-entropy matches a brute-force model and obeys " +
+    "Gibbs' inequality") {
+    val row = graft.operators.TextOps.q348KnCrossEntropy(spark, sf1)
+      .head()
+    val bigs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(split(col("text"), " ").as("ws"))
+      .collect().map(_.getSeq[String](0))
+      .filter(_.length >= 2)
+      .flatMap(ws => ws.zip(ws.drop(1)))
+    val c12 = bigs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = bigs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val r1 = c12.keys.toSeq.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val l2 = c12.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val nbb = c12.size.toLong
+    val nllSum = -c12.map { case ((w1, w2), k) =>
+      math.floor(k.toDouble * math.log(
+        ((4 * k - 3).max(0).toDouble * nbb + 3.0 * r1(w1) * l2(w2)) /
+          (4.0 * c1(w1) * nbb)) * 1e9).toLong
+    }.sum
+    val n = bigs.length.toLong
+    assert(row.getAs[Long]("n_tokens") === n)
+    assert(row.getAs[Long]("nll_sum_ppb") === nllSum)
+    assert(row.getAs[Long]("h_ppb") === nllSum / n)
+    assert(row.getAs[Long]("ppl_micro") ===
+      math.floor(math.exp((nllSum / n).toDouble / 1e9) * 1e6).toLong)
+    // Gibbs: model cross-entropy >= empirical conditional MLE entropy
+    // H_mle = -sum c12 ln(c12/c1) / n (the data's own code length)
+    val hMle = -c12.map { case ((w1, _), k) =>
+      k.toDouble * math.log(k.toDouble / c1(w1)) }.sum / n
+    assert(row.getAs[Long]("h_ppb").toDouble / 1e9 >= hMle - 1e-9,
+      s"h=${row.getAs[Long]("h_ppb") / 1e9} mle=$hMle")
+  }
+
   test("q339 log-rank matches a brute-force survival model") {
     val rows = graft.operators.Stats.q339LogRank(spark, sf1)
       .orderBy("d").collect()
