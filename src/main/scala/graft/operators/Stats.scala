@@ -1826,6 +1826,83 @@ object Stats {
         SELECT n, ${olsExprs.mkString(",\n          ")}
         FROM m"""
 
+  // ------------------------------------------------------------ q349
+
+  /** SAX word length (PAA segments) and alphabet size. */
+  val SaxSegments = 6L
+  val SaxAlphabet = 4L
+
+  /** q349 — SAX SYMBOLIC DISCRETIZATION of the daily event-count
+    * series (Lin/Keogh/Lonardi/Chiu 2003's Symbolic Aggregate
+    * approXimation — the representation that turns a numeric series
+    * into a WORD so that series similarity becomes string machinery:
+    * hashing, indexing, the same LSH/fingerprint toolbox this suite
+    * already runs on text (q30/q102/q113); a fleet of metrics SAX-coded
+    * per day is how series anomaly search scales past pairwise DTW).
+    * PAA: the ≤|days| census dense-ranked and cut into [[SaxSegments]]
+    * contiguous segments (lengths differ by ≤1); each segment's exact
+    * {len, sum} released, means NEVER floated — the segment order
+    * statistic uses mean_key = sum·10¹² div len (widened), which
+    * separates any two distinct rationals at these magnitudes (len ≤
+    * |days|, so distinct means differ by ≥ 1/|days|² ≫ 10⁻¹²·counts).
+    * Symbols: EMPIRICAL rank breakpoints — symbol k = chr(97 +
+    * rank·[[SaxAlphabet]] div [[SaxSegments]]) with ties broken by
+    * segment position (the adaptive-quantile SAX variant; classic SAX's
+    * Gaussian breakpoints assume a z-normalized series and an
+    * irrational breakpoint table — rank breakpoints keep the
+    * differential exact and equidistribute symbols, the property the
+    * downstream indexer wants). Spec pins a brute-force model and the
+    * symbol-equidistribution bound.
+    *
+    * Scale shape: one day census (map-side combined) → every window
+    * rides the ≤|days| frame (q198/q132 argument); at fleet scale the
+    * same plan runs per (metric, window) key with the window as the
+    * partition key. */
+  def q349SaxWords(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val dF = daily.agg(count(lit(1)).as("nd"))
+    val segs = daily
+      .withColumn("di", row_number().over(w).cast("bigint") - 1L)
+      .crossJoin(broadcast(dF))
+      .select(expr(s"di * $SaxSegments div nd").as("seg"), col("x"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("seg_len"), sum("x").as("seg_sum"))
+      .withColumn("mean_key",
+        expr("""CAST(CAST(seg_sum AS DECIMAL(38,0)) * 1000000000000
+                div seg_len AS BIGINT)"""))
+    segs
+      .withColumn("rk", row_number()
+        .over(Window.orderBy("mean_key", "seg")).cast("bigint") - 1L)
+      .select(col("seg"), col("seg_len"), col("seg_sum"), col("mean_key"),
+        expr(s"chr(97 + CAST(rk * $SaxAlphabet div $SaxSegments AS INT))")
+          .as("symbol"))
+  }
+
+  private def q349OracleSql: String =
+    s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
+        idx AS (SELECT x, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+            - 1 AS di FROM daily),
+        segs AS (SELECT di * $SaxSegments // nd AS seg,
+            CAST(count(*) AS BIGINT) AS seg_len,
+            CAST(sum(x) AS BIGINT) AS seg_sum
+          FROM idx CROSS JOIN nd GROUP BY 1),
+        keyed AS (SELECT seg, seg_len, seg_sum,
+            CAST(CAST(seg_sum AS HUGEINT) * 1000000000000
+              // seg_len AS BIGINT) AS mean_key
+          FROM segs),
+        rk AS (SELECT *, CAST(row_number()
+            OVER (ORDER BY mean_key, seg) AS BIGINT) - 1 AS rk
+          FROM keyed)
+        SELECT seg, seg_len, seg_sum, mean_key,
+          chr(97 + CAST(rk * $SaxAlphabet // $SaxSegments AS INT))
+            AS symbol
+        FROM rk"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1851,7 +1928,8 @@ object Stats {
     "q333_trimmed_mean" -> (q333TrimmedMean _),
     "q339_logrank" -> (q339LogRank _),
     "q342_diff_in_diff" -> (q342DiffInDiff _),
-    "q345_ols_moments" -> (q345OlsMoments _))
+    "q345_ols_moments" -> (q345OlsMoments _),
+    "q349_sax_words" -> (q349SaxWords _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -1876,5 +1954,6 @@ object Stats {
     "q333_trimmed_mean" -> q333OracleSql,
     "q339_logrank" -> q339OracleSql,
     "q342_diff_in_diff" -> q342OracleSql,
-    "q345_ols_moments" -> q345OracleSql)
+    "q345_ols_moments" -> q345OracleSql,
+    "q349_sax_words" -> q349OracleSql)
 }

@@ -1100,6 +1100,41 @@ class StatsSpec extends SparkSpec {
       s"h=${row.getAs[Long]("h_ppb") / 1e9} mle=$hMle")
   }
 
+  test("q349 SAX words match a brute-force PAA + rank-breakpoint model") {
+    val rows = graft.operators.Stats.q349SaxWords(spark, sf1)
+      .orderBy("seg").collect()
+    val daily = graft.sources.Tables.load(spark, sf1, "events")
+      .select(to_date(col("ts")).as("day"))
+      .groupBy("day").count().orderBy("day")
+      .collect().map(_.getLong(1))
+    val w = graft.operators.Stats.SaxSegments
+    val a = graft.operators.Stats.SaxAlphabet
+    val nd = daily.length.toLong
+    val segs = daily.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * w / nd }
+      .toSeq.sortBy(_._1)
+      .map { case (seg, xs) =>
+        (seg, xs.length.toLong, xs.map(_._1).sum) }
+    assert(rows.length === segs.length)
+    val keys = segs.map { case (seg, l, sm) =>
+      (seg, BigInt(sm) * BigInt("1000000000000") / l) }
+    val rankOf = keys.sortBy { case (seg, k) => (k, seg) }.zipWithIndex
+      .map { case ((seg, _), r) => seg -> r.toLong }.toMap
+    rows.zip(segs).foreach { case (r, (seg, l, sm)) =>
+      assert(r.getAs[Long]("seg") === seg)
+      assert(r.getAs[Long]("seg_len") === l)
+      assert(r.getAs[Long]("seg_sum") === sm)
+      assert(BigInt(r.getAs[Long]("mean_key")) ===
+        BigInt(sm) * BigInt("1000000000000") / l)
+      assert(r.getAs[String]("symbol") ===
+        (97 + rankOf(seg) * a / w).toChar.toString)
+    }
+    // rank breakpoints equidistribute: each symbol appears at most
+    // ceil(w/a) + (tie slack = 0, ranks are distinct) times
+    val counts = rows.groupBy(_.getAs[String]("symbol")).values.map(_.length)
+    assert(counts.forall(_ <= ((w + a - 1) / a).toInt))
+  }
+
   test("q339 log-rank matches a brute-force survival model") {
     val rows = graft.operators.Stats.q339LogRank(spark, sf1)
       .orderBy("d").collect()
