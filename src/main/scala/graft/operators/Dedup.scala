@@ -2053,7 +2053,133 @@ object Dedup {
         JOIN cs ON l.cluster = cs.cluster
         JOIN tz ON l.truth = tz.truth"""
 
+  // ------------------------------------------------------------ q350
+
+  /** q350's Fellegi–Sunter log₂-weights ×10³ as shared-text double
+    * expressions over the exact agreement counts, Laplace-smoothed
+    * ((a+1)/(n+2)) so a field that always or never agrees yields a
+    * finite weight instead of ±∞: w_agree = log₂(m/u), w_disagree =
+    * log₂((1−m)/(1−u)), each written as ONE ln-ratio of integer
+    * cross-products. */
+  private def fsWeightExprs: Seq[String] = Seq(
+    s"""CAST(floor(ln((CAST(m_agree + 1 AS DOUBLE) * (n_nonmatch + 2))
+            / (CAST(u_agree + 1 AS DOUBLE) * (n_match + 2)))
+          / ln(2.0) * 1000) AS BIGINT) AS w_agree_milli""",
+    s"""CAST(floor(ln((CAST(n_match - m_agree + 1 AS DOUBLE)
+              * (n_nonmatch + 2))
+            / (CAST(n_nonmatch - u_agree + 1 AS DOUBLE) * (n_match + 2)))
+          / ln(2.0) * 1000) AS BIGINT) AS w_disagree_milli""")
+
+  /** q350 — FELLEGI–SUNTER LINKAGE WEIGHT TABLE (Fellegi & Sunter 1969
+    * — the decision-theoretic core of probabilistic record linkage and
+    * still the engine inside Splink-class production linkers: per
+    * comparison field, m = P(agree | match) and u = P(agree |
+    * non-match), and every candidate pair is scored by Σ log₂(m/u) over
+    * its agreement pattern — the weight table IS the trained model.
+    * This suite already has all three candidate GENERATORS (q230 key
+    * blocking, q306 sorted neighborhood, q30 LSH); this adds the
+    * SCORER'S parameters, estimated from labeled pairs: matches = the
+    * planted twins, non-matches = adjacent-id base pairs (independent
+    * by construction). Fields are derived record attributes {first
+    * token, second token, last token, length-bucket}; per field the
+    * exact counts {m_agree, n_match, u_agree, n_nonmatch} and the
+    * smoothed [[fsWeightExprs]] weights (null fields count as
+    * disagreement via coalesce — the missing-value convention). The
+    * planted perturbation (drop last word) makes the expected table
+    * vivid: first/second-token agreement scores strongly positive
+    * (m ≈ 1 ≫ u ≈ 1/|vocab|) and its disagreement weight is strongly
+    * negative, while the dropped last word pulls the last-token m down
+    * to chance so that field's discriminating power collapses — the
+    * spec pins exactly that structure plus a brute-force model.
+    *
+    * Scale shape: two narrow passes (field projection; labeled-pair
+    * equi-joins on doc_id) → a 4-row field census; at production scale
+    * the labeled-pair frame is the (sampled) clerical-review table and
+    * everything stays pair-linear. */
+  def q350FellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    val f = plantedDocs(s, dir)
+      .select(col("doc_id"),
+        expr("element_at(split(text, ' '), 1)").as("f1"),
+        expr("element_at(split(text, ' '), 2)").as("f2"),
+        expr("element_at(split(text, ' '), -1)").as("f3"),
+        expr("size(split(text, ' ')) div 8").as("f4"))
+      .localCheckpoint(true)
+    val base = t(s, dir, "documents").select("doc_id")
+    val pairs = base.select(col("doc_id").as("doc_id_1"),
+        (col("doc_id") + PlantedOffset).as("doc_id_2"),
+        lit(1L).as("is_match"))
+      .unionByName(base.select(col("doc_id").as("doc_id_1"),
+        (col("doc_id") + 1L).as("doc_id_2"), lit(0L).as("is_match")))
+    pairs
+      .join(f.select(col("doc_id").as("doc_id_1"), col("f1").as("a1"),
+        col("f2").as("a2"), col("f3").as("a3"), col("f4").as("a4")),
+        "doc_id_1")
+      .join(f.select(col("doc_id").as("doc_id_2"), col("f1").as("b1"),
+        col("f2").as("b2"), col("f3").as("b3"), col("f4").as("b4")),
+        "doc_id_2")
+      .select(col("is_match"), explode(expr(
+        """array(
+             struct('first' AS field,
+               coalesce(CAST(a1 = b1 AS BIGINT), 0) AS agr),
+             struct('second' AS field,
+               coalesce(CAST(a2 = b2 AS BIGINT), 0) AS agr),
+             struct('last' AS field,
+               coalesce(CAST(a3 = b3 AS BIGINT), 0) AS agr),
+             struct('len_bucket' AS field,
+               coalesce(CAST(a4 = b4 AS BIGINT), 0) AS agr))"""))
+        .as("e"))
+      .select(col("is_match"), col("e.field"), col("e.agr"))
+      .groupBy("field")
+      .agg(sum(when(col("is_match") === 1L, col("agr")).otherwise(0L))
+          .as("m_agree"),
+        sum("is_match").as("n_match"),
+        sum(when(col("is_match") === 0L, col("agr")).otherwise(0L))
+          .as("u_agree"),
+        sum(lit(1L) - col("is_match")).as("n_nonmatch"))
+      .select(Seq(col("field"), col("m_agree"), col("n_match"),
+        col("u_agree"), col("n_nonmatch")) ++
+        fsWeightExprs.map(expr): _*)
+  }
+
+  private def q350OracleSql: String =
+    s"""WITH pdocs AS ($plantedSql),
+        f AS (SELECT doc_id,
+            string_split(text, ' ')[1] AS f1,
+            string_split(text, ' ')[2] AS f2,
+            string_split(text, ' ')[-1] AS f3,
+            len(string_split(text, ' ')) // 8 AS f4
+          FROM pdocs),
+        base AS (SELECT doc_id FROM documents),
+        pairs AS (SELECT doc_id AS doc_id_1,
+            doc_id + $PlantedOffset AS doc_id_2, 1 AS is_match FROM base
+          UNION ALL
+          SELECT doc_id, doc_id + 1, 0 FROM base),
+        j AS (SELECT p.is_match,
+            coalesce(CAST(fa.f1 = fb.f1 AS BIGINT), 0) AS g1,
+            coalesce(CAST(fa.f2 = fb.f2 AS BIGINT), 0) AS g2,
+            coalesce(CAST(fa.f3 = fb.f3 AS BIGINT), 0) AS g3,
+            coalesce(CAST(fa.f4 = fb.f4 AS BIGINT), 0) AS g4
+          FROM pairs p
+          JOIN f fa ON fa.doc_id = p.doc_id_1
+          JOIN f fb ON fb.doc_id = p.doc_id_2),
+        l AS (SELECT is_match, 'first' AS field, g1 AS agr FROM j
+          UNION ALL SELECT is_match, 'second', g2 FROM j
+          UNION ALL SELECT is_match, 'last', g3 FROM j
+          UNION ALL SELECT is_match, 'len_bucket', g4 FROM j),
+        ag AS (SELECT field,
+            CAST(sum(CASE WHEN is_match = 1 THEN agr ELSE 0 END)
+              AS BIGINT) AS m_agree,
+            CAST(sum(is_match) AS BIGINT) AS n_match,
+            CAST(sum(CASE WHEN is_match = 0 THEN agr ELSE 0 END)
+              AS BIGINT) AS u_agree,
+            CAST(sum(1 - is_match) AS BIGINT) AS n_nonmatch
+          FROM l GROUP BY field)
+        SELECT field, m_agree, n_match, u_agree, n_nonmatch,
+          ${fsWeightExprs.mkString(",\n          ")}
+        FROM ag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q350_fellegi_sunter" -> (q350FellegiSunter _),
     "q338_capture_recapture" -> (q338CaptureRecapture _),
     "q318_setsim_threshold_sweep" -> (q318ThresholdSweep _),
     "q314_bcubed_eval" -> (q314BcubedEval _),
@@ -2081,6 +2207,7 @@ object Dedup {
     "q87_verify_candidates" -> (q87VerifyCandidates _))
 
   val oracleSql: Map[String, String] = Map(
+    "q350_fellegi_sunter" -> q350OracleSql,
     "q338_capture_recapture" -> q338OracleSql,
     "q318_setsim_threshold_sweep" -> q318OracleSql,
     "q314_bcubed_eval" -> q314OracleSql,

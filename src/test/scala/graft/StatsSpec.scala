@@ -1135,6 +1135,64 @@ class StatsSpec extends SparkSpec {
     assert(counts.forall(_ <= ((w + a - 1) / a).toInt))
   }
 
+  test("q350 Fellegi-Sunter weights match a brute-force model and show " +
+    "the planted agreement structure") {
+    val rows = graft.operators.Dedup.q350FellegiSunter(spark, sf1)
+      .collect().map(r => r.getAs[String]("field") -> r).toMap
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def fields(text: String): (String, String, String, Long) = {
+      val ws = text.split(" ", -1)
+      (ws.head, if (ws.length >= 2) ws(1) else null,
+        ws.last, ws.length.toLong / 8)
+    }
+    val off = graft.operators.Dedup.PlantedOffset
+    val all = docs.map { case (id, t) => id -> fields(t) }.toMap ++
+      docs.map { case (id, t) =>
+        (id + off) -> fields(t.split(" ").dropRight(1).mkString(" ")) }
+    val ids = docs.map(_._1).toSet
+    val labeled =
+      docs.map { case (id, _) => (all(id), all(id + off), 1L) } ++
+      docs.collect { case (id, _) if ids(id + 1) =>
+        (all(id), all(id + 1), 0L) }
+    def agrees(a: (String, String, String, Long),
+        b: (String, String, String, Long), k: Int): Long = k match {
+      case 0 => if (a._1 != null && a._1 == b._1) 1L else 0L
+      case 1 => if (a._2 != null && b._2 != null && a._2 == b._2) 1L else 0L
+      case 2 => if (a._3 != null && a._3 == b._3) 1L else 0L
+      case _ => if (a._4 == b._4) 1L else 0L
+    }
+    val names = Seq("first", "second", "last", "len_bucket")
+    names.zipWithIndex.foreach { case (name, k) =>
+      val r = rows(name)
+      val m = labeled.filter(_._3 == 1L)
+      val u = labeled.filter(_._3 == 0L)
+      val (ma, ua) = (m.map(p => agrees(p._1, p._2, k)).sum,
+        u.map(p => agrees(p._1, p._2, k)).sum)
+      assert(r.getAs[Long]("m_agree") === ma, name)
+      assert(r.getAs[Long]("n_match") === m.length.toLong)
+      assert(r.getAs[Long]("u_agree") === ua, name)
+      assert(r.getAs[Long]("n_nonmatch") === u.length.toLong)
+      val wa = math.floor(math.log(
+        (ma + 1.0) * (u.length + 2) / ((ua + 1.0) * (m.length + 2))) /
+        math.log(2.0) * 1000).toLong
+      val wd = math.floor(math.log(
+        (m.length - ma + 1.0) * (u.length + 2) /
+          ((u.length - ua + 1.0) * (m.length + 2))) /
+        math.log(2.0) * 1000).toLong
+      assert(r.getAs[Long]("w_agree_milli") === wa, name)
+      assert(r.getAs[Long]("w_disagree_milli") === wd, name)
+    }
+    // planted structure: first-token agreement is strongly informative,
+    // its disagreement strongly negative; the dropped last word pulls
+    // the last-token agreement weight well below first's
+    assert(rows("first").getAs[Long]("w_agree_milli") > 1000L)
+    assert(rows("first").getAs[Long]("w_disagree_milli") < -1000L)
+    assert(rows("last").getAs[Long]("w_agree_milli") <
+      rows("first").getAs[Long]("w_agree_milli"))
+  }
+
   test("q339 log-rank matches a brute-force survival model") {
     val rows = graft.operators.Stats.q339LogRank(spark, sf1)
       .orderBy("d").collect()
