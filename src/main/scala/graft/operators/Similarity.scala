@@ -2001,7 +2001,99 @@ object Similarity {
         FROM fr CROSS JOIN nn"""
   }
 
+  // ------------------------------------------------------------ q351
+
+  /** Power-iteration rounds and the fixed-point scale (x entries live
+    * in [−10⁶, 10⁶]). */
+  val PowerIters = 16
+  val PowerScale = 1000000L
+
+  /** q351 — TOP PRINCIPAL DIRECTION BY INTEGER POWER ITERATION over the
+    * q154 gram census (the eigensolver-free PCA step, q315's companion:
+    * q315 reads the SPECTRUM's effective rank off moment traces without
+    * any eigenvector; this produces the leading DIRECTION itself — the
+    * vector an embedding-health report plots, the mean-direction
+    * anisotropy axis (Ethayarajh 2019) a whitening step removes —
+    * still without an eigensolver: x ← normalize(A·x), which at scale
+    * is one broadcast-joined matvec per round over the d²-bounded
+    * census, the q99 fixed-point discipline applied to linear algebra).
+    * All arithmetic is integer: the symmetrized gram's exact cells,
+    * x entries at [[PowerScale]] fixed point, matvec sums exact int64
+    * (|y| ≤ d·maxg·scale ~ 5·10¹⁶ at sf1), renormalization by
+    * y·scale div max|y| with a DECIMAL(38,0)/HUGEINT widen — both
+    * engines compute bit-identical vectors, no convergence tolerance
+    * anywhere ([[PowerIters]] declared rounds, like q99's). Released:
+    * (dim, x_scaled) after the final round; the spec replays the
+    * integer recursion exactly and pins the RAYLEIGH QUOTIENT of the
+    * released vector at ≥ 95% of a double-converged run's — the honest
+    * check for this corpus: iid unit-norm embeddings have a near-flat
+    * gram spectrum, so the direction itself is ill-conditioned at any
+    * fixed round count while the captured variance (the objective PCA
+    * maximizes) converges fast; on an anisotropic production corpus
+    * the same rounds pin the direction too.
+    *
+    * Scale shape: q154's census pass once; per round a d²-row
+    * broadcast matvec + a d-row max — driver-free, corpus touched
+    * exactly once regardless of rounds. */
+  def q351PowerIteration(s: SparkSession, dir: String): DataFrame = {
+    val gramUp = q154GramMatrix(s, dir).localCheckpoint(true)
+    val sym = gramUp.unionByName(gramUp
+        .filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g")))
+      .localCheckpoint(true)
+    var x = s.range(GramDims.toLong)
+      .select(col("id").as("dim"), lit(PowerScale).as("xv"))
+    for (_ <- 1 to PowerIters) {
+      val y = sym.join(x, sym("j") === x("dim"))
+        .groupBy(sym("i").as("dim2"))
+        .agg(sum(expr("g * xv")).as("y"))
+        .select(col("dim2").as("dim"), col("y"))
+      val m = y.agg(max(abs(col("y"))).as("m"))
+      // checkpoint EVERY round: x's attributes descend from sym, so the
+      // next round's sym⋈x would otherwise be an ambiguous self-join;
+      // the frame is d rows, the materialization is free
+      x = y.crossJoin(broadcast(m))
+        .select(col("dim"),
+          expr(s"""CAST(CAST(y AS DECIMAL(38,0)) * $PowerScale
+                   div m AS BIGINT)""").as("xv"))
+        .localCheckpoint(true)
+    }
+    x.select(col("dim"), col("xv").as("x_scaled"))
+  }
+
+  private def q351OracleSql: String = {
+    // each x_k must reference y_k exactly ONCE (window max, not a
+    // scalar cross join): DuckDB inlines CTEs, so a double reference
+    // doubles the expansion per level — 2^iters scans of the
+    // embeddings parquet blows the open-file limit at 16 rounds
+    val iterCtes = (1 to PowerIters).map { k =>
+      s"""y$k AS (SELECT sym.i AS dim, CAST(sum(g * xv) AS BIGINT) AS y
+          FROM sym JOIN x${k - 1} xk ON sym.j = xk.dim
+          GROUP BY sym.i),
+        x$k AS (SELECT dim,
+            CAST(CAST(y AS HUGEINT) * $PowerScale
+              // max(abs(y)) OVER () AS BIGINT) AS xv
+          FROM y$k)"""
+    }.mkString(",\n        ")
+    s"""WITH $quantCtes,
+        cells AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+              qe[i + 1] * qe[j + 1] AS p
+            FROM qarr, range(0, $GramDims) r1(i), range(0, $GramDims) r2(j)
+            WHERE j >= i),
+        gup AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS g
+          FROM cells GROUP BY i, j),
+        sym AS (SELECT i, j, g FROM gup
+          UNION ALL
+          SELECT j AS i, i AS j, g FROM gup WHERE i <> j),
+        x0 AS (SELECT CAST(r.d AS BIGINT) AS dim,
+            CAST($PowerScale AS BIGINT) AS xv
+          FROM range(0, $GramDims) r(d)),
+        $iterCtes
+        SELECT dim, xv AS x_scaled FROM x$PowerIters"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q351_power_iteration" -> (q351PowerIteration _),
     "q344_cka_prefix" -> (q344CkaPrefix _),
     "q334_class_separability" -> (q334ClassSeparability _),
     "q327_matryoshka_eval" -> (q327MatryoshkaEval _),
@@ -2035,6 +2127,7 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "q344_cka_prefix" -> q344OracleSql,
+    "q351_power_iteration" -> q351OracleSql,
     "q334_class_separability" -> q334OracleSql,
     "q327_matryoshka_eval" -> q327OracleSql,
     "q323_centroid_drift" -> q323OracleSql,

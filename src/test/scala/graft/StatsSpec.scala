@@ -1193,6 +1193,57 @@ class StatsSpec extends SparkSpec {
       rows("first").getAs[Long]("w_agree_milli"))
   }
 
+  test("q351 power iteration replays the integer recursion exactly and " +
+    "finds the top principal direction") {
+    val rows = graft.operators.Similarity.q351PowerIteration(spark, sf1)
+      .orderBy("dim").collect()
+    val d = graft.operators.Similarity.GramDims
+    val scale = graft.operators.Similarity.PowerScale
+    assert(rows.length === d)
+    // rebuild the exact symmetric integer gram from the embeddings
+    val qs = graft.sources.Tables.load(spark, sf1, "embeddings")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        val mx = v.map(math.abs).max
+        v.map(x => if (mx == 0) 0L else math.floor(x * 127.0 / mx).toLong)
+      }
+    val a = Array.tabulate(d, d)((i, j) =>
+      qs.map(q => q(i) * q(j)).sum)
+    // exact integer replay
+    var x = Array.fill(d)(scale)
+    for (_ <- 1 to graft.operators.Similarity.PowerIters) {
+      val y = Array.tabulate(d)(i =>
+        (0 until d).map(j => BigInt(a(i)(j)) * x(j)).sum)
+      val m = y.map(_.abs).max
+      x = y.map(v => (v * scale / m).toLong)
+    }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("x_scaled") === x(i), s"dim $i")
+    }
+    // objective check: iid unit-norm embeddings have a near-flat gram
+    // spectrum, so the DIRECTION is ill-conditioned at any fixed round
+    // count — but the Rayleigh quotient (the variance PCA maximizes)
+    // converges fast; the released vector must capture >= 95% of the
+    // converged quotient
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to 500) {
+      val y = Array.tabulate(d)(i =>
+        (0 until d).map(j => a(i)(j).toDouble * v(j)).sum)
+      val n = math.sqrt(y.map(t => t * t).sum)
+      v = y.map(_ / n)
+    }
+    def rayleigh(u: Array[Double]): Double = {
+      val au = Array.tabulate(d)(i =>
+        (0 until d).map(j => a(i)(j).toDouble * u(j)).sum)
+      u.zip(au).map { case (p, q) => p * q }.sum /
+        u.map(t => t * t).sum
+    }
+    val xr = rows.map(_.getAs[Long]("x_scaled").toDouble)
+    val ratio = rayleigh(xr) / rayleigh(v)
+    assert(ratio > 0.95 && ratio <= 1.0 + 1e-9, s"rayleigh ratio=$ratio")
+  }
+
   test("q339 log-rank matches a brute-force survival model") {
     val rows = graft.operators.Stats.q339LogRank(spark, sf1)
       .orderBy("d").collect()
