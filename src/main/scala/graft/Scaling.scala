@@ -92,7 +92,19 @@ object Scaling {
     "q323_centroid_drift", "q324_pq_assign", "q325_cohort_retention",
     "q327_matryoshka_eval", "q328_shipping_priority",
     "q329_returned_items", "q332_interarrival_cv", "q334_class_separability",
-    "q335_multi_touch")
+    "q335_multi_touch",
+    // round-9 session-4 additions: the join/iteration carriers among
+    // q337-q351. q338 runs BOTH verified dedup pipelines (eval-priced,
+    // q139's family), q339 the user-keyed survival joins, q341 the
+    // iterative word-graph PageRank, q344 the gram outer-product census,
+    // q346 the trigram first-bucket min census, q350 the labeled-pair
+    // field joins, q351 the iterative matvec over the same census.
+    // q337/q340/q342/q343/q345/q348/q349 are structurally census/
+    // scalar-bounded (vocab² / cells / day frames) and excluded on the
+    // census-family grounds; q347 is the streaming twin of q343.
+    "q338_capture_recapture", "q339_logrank", "q341_textrank",
+    "q344_cka_prefix", "q346_vocab_growth", "q350_fellegi_sunter",
+    "q351_power_iteration")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",

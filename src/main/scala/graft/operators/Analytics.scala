@@ -2888,7 +2888,7 @@ object Analytics {
     * operands, so floor×10⁶ is deterministic cross-engine. Operand
     * magnitude bound: Σv² cents² ≈ 6e13 at sf0.1 — exact in a double
     * (< 2⁵³); a corpus past ~sf3 would need a rescale, noted here. */
-  private def welchTExpr(n1: String, s1: String, q1: String,
+  private[operators] def welchTExpr(n1: String, s1: String, q1: String,
       n2: String, s2: String, q2: String): String =
     s"""((CAST($s1 AS DOUBLE) / $n1 - CAST($s2 AS DOUBLE) / $n2)
        / sqrt(($n1 * CAST($q1 AS DOUBLE) - CAST($s1 AS DOUBLE) * $s1)

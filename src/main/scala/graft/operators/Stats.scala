@@ -1903,6 +1903,104 @@ object Stats {
             AS symbol
         FROM rk"""
 
+  // ------------------------------------------------------------ q352
+
+  /** BH level as an inverse: α = 1/[[BhAlphaInv]]. */
+  val BhAlphaInv = 20L
+
+  /** Standard-normal upper-tail P(Z > z) for z ≥ 0 via Zelen & Severo's
+    * polynomial (Abramowitz & Stegun 26.2.17, |ε| < 7.5·10⁻⁸ — far
+    * below the released ppb resolution): φ(z)·Σbᵢtⁱ with
+    * t = 1/(1 + 0.2316419z), Horner form, ONE shared text so both
+    * engines run the identical double op sequence. */
+  private def normTailExpr(zc: String): String =
+    s"""(exp(-($zc) * ($zc) / 2.0) * 0.3989422804014327
+       * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * ($zc)))
+            - 1.821255978) * (1.0 / (1.0 + 0.2316419 * ($zc)))
+            + 1.781477937) * (1.0 / (1.0 + 0.2316419 * ($zc)))
+            - 0.356563782) * (1.0 / (1.0 + 0.2316419 * ($zc)))
+            + 0.319381530) * (1.0 / (1.0 + 0.2316419 * ($zc)))))"""
+
+  /** q352 — BENJAMINI–HOCHBERG FDR over the per-source mean-length
+    * tests (Benjamini & Hochberg 1995 — the multiple-comparisons
+    * control every per-segment dashboard needs and none of the suite's
+    * single tests (q266 Welch, q303 rank-sum, q190 ANOVA) provide: 20
+    * sources scanned at α = 0.05 each yields a false alarm EVERY run;
+    * BH caps the expected FALSE-DISCOVERY fraction instead of the
+    * familywise error, which is why it replaced Bonferroni in practice).
+    * Per source: Welch z of token-count mean vs the COMPLEMENT (rest
+    * stats = global − source, so one census pass yields all m tests),
+    * two-sided p via [[normTailExpr]] ×10⁹, BH staircase on exact
+    * integers (reject rank k iff p·[[BhAlphaInv]]·m ≤ k·10⁹ for some
+    * k' ≥ k — implemented as rank ≤ k* = max passing rank). Released
+    * per source: {source, ns, z_micro, p_ppb, rk, bh_reject}; under
+    * this generator's null (iid sources) rejections should be rare —
+    * the spec pins the brute-force staircase, the p-z consistency, and
+    * monotonicity of rejection in rank.
+    *
+    * Scale shape: one corpus census pass (map-side combined) → every
+    * window rides the \|sources\|-row frame. */
+  def q352BhFdr(s: SparkSession, dir: String): DataFrame = {
+    val welch = Analytics.welchTExpr("ns", "ss", "qs",
+      "(n - ns)", "(st - ss)", "(qt - qs)")
+    val per = t(s, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("v"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("ns"), sum("v").as("ss"),
+        sum(expr("v * v")).as("qs"))
+    val g = per.agg(sum("ns").as("n"), sum("ss").as("st"),
+      sum("qs").as("qt"), count(lit(1)).as("m"))
+    val zed = per.crossJoin(broadcast(g))
+      .select(col("source"), col("ns"), col("m"),
+        expr(s"CAST(floor(($welch) * 1000000) AS BIGINT)").as("z_micro"),
+        expr(s"""CAST(floor(2.0 * ${normTailExpr(s"abs($welch)")}
+                 * 1000000000) AS BIGINT)""").as("p_ppb"))
+    val ranked = zed
+      .withColumn("rk", row_number()
+        .over(Window.orderBy("p_ppb", "source")).cast("bigint"))
+      .withColumn("pass",
+        when(col("p_ppb") * BhAlphaInv * col("m") <=
+          col("rk") * 1000000000L, col("rk")).otherwise(0L))
+      .localCheckpoint(true)
+    val ks = ranked.agg(max("pass").as("kstar"))
+    ranked.crossJoin(broadcast(ks))
+      .select(col("source"), col("ns"), col("z_micro"), col("p_ppb"),
+        col("rk"),
+        (col("rk") <= col("kstar")).cast("bigint").as("bh_reject"))
+  }
+
+  private def q352OracleSql: String = {
+    val welch = Analytics.welchTExpr("ns", "ss", "qs",
+      "(n - ns)", "(st - ss)", "(qt - qs)")
+    s"""WITH v AS (SELECT source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+          FROM documents),
+        per AS (SELECT source, CAST(count(*) AS BIGINT) AS ns,
+          CAST(sum(v) AS BIGINT) AS ss,
+          CAST(sum(v * v) AS BIGINT) AS qs
+          FROM v GROUP BY source),
+        g AS (SELECT CAST(sum(ns) AS BIGINT) AS n,
+          CAST(sum(ss) AS BIGINT) AS st,
+          CAST(sum(qs) AS BIGINT) AS qt,
+          CAST(count(*) AS BIGINT) AS m FROM per),
+        zed AS (SELECT source, ns, m,
+          CAST(floor(($welch) * 1000000) AS BIGINT) AS z_micro,
+          CAST(floor(2.0 * ${normTailExpr(s"abs($welch)")}
+            * 1000000000) AS BIGINT) AS p_ppb
+          FROM per CROSS JOIN g),
+        ranked AS (SELECT *, CAST(row_number()
+            OVER (ORDER BY p_ppb, source) AS BIGINT) AS rk
+          FROM zed),
+        flagged AS (SELECT *,
+          CASE WHEN p_ppb * $BhAlphaInv * m <= rk * 1000000000
+            THEN rk ELSE 0 END AS pass FROM ranked),
+        ks AS (SELECT max(pass) AS kstar FROM flagged)
+        SELECT source, ns, z_micro, p_ppb, rk,
+          CAST(rk <= kstar AS BIGINT) AS bh_reject
+        FROM flagged CROSS JOIN ks"""
+  }
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1929,7 +2027,8 @@ object Stats {
     "q339_logrank" -> (q339LogRank _),
     "q342_diff_in_diff" -> (q342DiffInDiff _),
     "q345_ols_moments" -> (q345OlsMoments _),
-    "q349_sax_words" -> (q349SaxWords _))
+    "q349_sax_words" -> (q349SaxWords _),
+    "q352_bh_fdr" -> (q352BhFdr _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -1955,5 +2054,6 @@ object Stats {
     "q339_logrank" -> q339OracleSql,
     "q342_diff_in_diff" -> q342OracleSql,
     "q345_ols_moments" -> q345OracleSql,
-    "q349_sax_words" -> q349OracleSql)
+    "q349_sax_words" -> q349OracleSql,
+    "q352_bh_fdr" -> q352OracleSql)
 }

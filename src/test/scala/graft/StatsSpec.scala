@@ -1244,6 +1244,63 @@ class StatsSpec extends SparkSpec {
     assert(ratio > 0.95 && ratio <= 1.0 + 1e-9, s"rayleigh ratio=$ratio")
   }
 
+  test("q352 BH-FDR matches a brute-force staircase and its p-values " +
+    "are consistent with the z statistics") {
+    val rows = graft.operators.Stats.q352BhFdr(spark, sf1)
+      .orderBy("rk").collect()
+    val data = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("bigint"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val per = data.groupBy(_._1).map { case (src, vs) =>
+      (src, vs.length.toLong, vs.map(_._2).sum,
+        vs.map(v => v._2 * v._2).sum) }.toSeq
+    val (n, st, qt) = (per.map(_._2).sum, per.map(_._3).sum,
+      per.map(_._4).sum)
+    val m = per.length.toLong
+    def welch(ns: Long, ss: Long, qs: Long): Double = {
+      val (n2, s2, q2) = (n - ns, st - ss, qt - qs)
+      (ss.toDouble / ns - s2.toDouble / n2) /
+        math.sqrt((ns * qs.toDouble - ss.toDouble * ss) /
+            (ns.toDouble * ns * (ns - 1.0)) +
+          (n2 * q2.toDouble - s2.toDouble * s2) /
+            (n2.toDouble * n2 * (n2 - 1.0)))
+    }
+    def tail(z: Double): Double = {
+      val t = 1.0 / (1.0 + 0.2316419 * z)
+      math.exp(-z * z / 2.0) * 0.3989422804014327 *
+        (((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+          - 0.356563782) * t + 0.319381530) * t)
+    }
+    val model = per.map { case (src, ns, ss, qs) =>
+      val z = welch(ns, ss, qs)
+      (src, ns, math.floor(z * 1e6).toLong,
+        math.floor(2.0 * tail(math.abs(z)) * 1e9).toLong)
+    }.sortBy(t => (t._4, t._1))
+    assert(rows.length.toLong === m)
+    val kstar = model.zipWithIndex.map { case ((_, _, _, p), i) =>
+      if (BigInt(p) * graft.operators.Stats.BhAlphaInv * m <=
+        BigInt(i + 1) * 1000000000L) (i + 1).toLong else 0L }.max
+    rows.zip(model).zipWithIndex.foreach {
+      case ((r, (src, ns, zm, pp)), i) =>
+        assert(r.getAs[String]("source") === src, s"rank ${i + 1}")
+        assert(r.getAs[Long]("ns") === ns)
+        assert(r.getAs[Long]("z_micro") === zm)
+        assert(r.getAs[Long]("p_ppb") === pp)
+        assert(r.getAs[Long]("rk") === (i + 1).toLong)
+        assert(r.getAs[Long]("bh_reject") ===
+          (if ((i + 1).toLong <= kstar) 1L else 0L))
+    }
+    // rejection is monotone in rank (the staircase closure)
+    val rejects = rows.map(_.getAs[Long]("bh_reject"))
+    assert(rejects.sliding(2).forall(w => w(0) >= w(1)))
+    // p is two-sided: big |z| pairs with small p
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p_ppb") >= 0L)
+      assert(r.getAs[Long]("p_ppb") <= 1000000001L)
+    }
+  }
+
   test("q339 log-rank matches a brute-force survival model") {
     val rows = graft.operators.Stats.q339LogRank(spark, sf1)
       .orderBy("d").collect()
