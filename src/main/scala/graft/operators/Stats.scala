@@ -2001,6 +2001,108 @@ object Stats {
         FROM flagged CROSS JOIN ks"""
   }
 
+  // ------------------------------------------------------------ q354
+
+  /** q354's shared expression pieces over the exact integers
+    * {ss, ns, st, n, qt, m, t2s, ds}: pooled within-variance
+    * σ̂² = (qt − Σss²/ns)/(n−m) with the Σ term carried as the exact
+    * integer sum of per-source FLOORED micro cells (t2s — the
+    * q331/q348 floor-at-cell convention, so the cross-source sum is
+    * order-free), and the between-mean spread D = Σ(x̄ₛ−x̄)² carried
+    * the same way at ppb (ds). */
+  private def jsSigma2: String =
+    """((CAST(qt AS DOUBLE) - CAST(t2s AS DOUBLE) / 1000000.0)
+       / (n - m))"""
+
+  /** The Efron–Morris positive-part shrink factor
+    * c = 1 − (m−3)·(σ̂²/n₀)/D with n₀ = n/m (exact under this
+    * generator's equal group sizes; the spec asserts the equal-n
+    * precondition). */
+  private def jsShrink: String =
+    s"""(1.0 - (m - 3.0) * ($jsSigma2 * m / CAST(n AS DOUBLE))
+        / (CAST(ds AS DOUBLE) / 1000000000.0))"""
+
+  /** q354 — JAMES–STEIN / EFRON–MORRIS SHRINKAGE of the per-source
+    * mean document lengths (Efron & Morris 1975's batting-average
+    * estimator — THE empirical-Bayes result: when estimating m ≥ 4
+    * group means simultaneously, shrinking every observed mean toward
+    * the grand mean strictly dominates the raw means in total squared
+    * error, no matter what the true means are; the per-segment
+    * dashboard's antidote to chasing noise in small segments, and the
+    * estimation-side complement of q352's testing-side FDR control).
+    * Per source: the exact mean (ppm, truncated-div) and the shrunk
+    * mean x̄ + c₊·(x̄ₛ−x̄) with the positive-part factor from
+    * [[jsShrink]]; every cross-source aggregate needed by the factor
+    * (Σss²/ns, Σ(x̄ₛ−x̄)²) is summed as exact integers of per-source
+    * floored cells so no double fold ever crosses a shuffle. Released:
+    * {source, ns, mean_ppm, c_ppm, shrunk_ppm}; spec pins a brute-force
+    * model, the equal-n precondition, shrinkage toward the grand mean
+    * (|shrunk − x̄| ≤ |mean − x̄| per source), and c ∈ [0, 1] on this
+    * null generator.
+    *
+    * Scale shape: one corpus census pass (map-side combined) → the
+    * \|sources\|-row frame carries everything; two broadcast scalars. */
+  def q354JamesStein(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("v"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("ns"), sum("v").as("ss"),
+        sum(expr("v * v")).as("qs"))
+    val g = per.agg(sum("ns").as("n"), sum("ss").as("st"),
+      sum("qs").as("qt"), count(lit(1)).as("m"))
+    val cells = per.crossJoin(broadcast(g))
+      .select(col("source"), col("ns"), col("ss"), col("n"), col("st"),
+        col("qt"), col("m"),
+        expr("""CAST(CAST(ss AS DECIMAL(38,0)) * ss * 1000000
+                div ns AS BIGINT)""").as("t2_micro"),
+        expr("""CAST(floor((CAST(ss AS DOUBLE) / ns
+                  - CAST(st AS DOUBLE) / n)
+                * (CAST(ss AS DOUBLE) / ns - CAST(st AS DOUBLE) / n)
+                * 1000000000) AS BIGINT)""").as("d_ppb"))
+      .localCheckpoint(true)
+    val sums = cells.agg(sum("t2_micro").as("t2s"), sum("d_ppb").as("ds"))
+    cells.crossJoin(broadcast(sums))
+      .select(col("source"), col("ns"),
+        expr("ss * 1000000 div ns").as("mean_ppm"),
+        expr(s"CAST(floor(greatest($jsShrink, 0.0) * 1000000) AS BIGINT)")
+          .as("c_ppm"),
+        expr(s"""CAST(floor((CAST(st AS DOUBLE) / n
+                 + greatest($jsShrink, 0.0)
+                   * (CAST(ss AS DOUBLE) / ns - CAST(st AS DOUBLE) / n))
+               * 1000000) AS BIGINT)""").as("shrunk_ppm"))
+  }
+
+  private def q354OracleSql: String =
+    s"""WITH v AS (SELECT source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+          FROM documents),
+        per AS (SELECT source, CAST(count(*) AS BIGINT) AS ns,
+          CAST(sum(v) AS BIGINT) AS ss,
+          CAST(sum(v * v) AS BIGINT) AS qs
+          FROM v GROUP BY source),
+        g AS (SELECT CAST(sum(ns) AS BIGINT) AS n,
+          CAST(sum(ss) AS BIGINT) AS st,
+          CAST(sum(qs) AS BIGINT) AS qt,
+          CAST(count(*) AS BIGINT) AS m FROM per),
+        cells AS (SELECT source, ns, ss, n, st, qt, m,
+          CAST(CAST(ss AS HUGEINT) * ss * 1000000 // ns AS BIGINT)
+            AS t2_micro,
+          CAST(floor((CAST(ss AS DOUBLE) / ns - CAST(st AS DOUBLE) / n)
+            * (CAST(ss AS DOUBLE) / ns - CAST(st AS DOUBLE) / n)
+            * 1000000000) AS BIGINT) AS d_ppb
+          FROM per CROSS JOIN g),
+        sums AS (SELECT CAST(sum(t2_micro) AS BIGINT) AS t2s,
+          CAST(sum(d_ppb) AS BIGINT) AS ds FROM cells)
+        SELECT source, ns, ss * 1000000 // ns AS mean_ppm,
+          CAST(floor(greatest($jsShrink, 0.0) * 1000000) AS BIGINT)
+            AS c_ppm,
+          CAST(floor((CAST(st AS DOUBLE) / n
+              + greatest($jsShrink, 0.0)
+                * (CAST(ss AS DOUBLE) / ns - CAST(st AS DOUBLE) / n))
+            * 1000000) AS BIGINT) AS shrunk_ppm
+        FROM cells CROSS JOIN sums"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2028,7 +2130,8 @@ object Stats {
     "q342_diff_in_diff" -> (q342DiffInDiff _),
     "q345_ols_moments" -> (q345OlsMoments _),
     "q349_sax_words" -> (q349SaxWords _),
-    "q352_bh_fdr" -> (q352BhFdr _))
+    "q352_bh_fdr" -> (q352BhFdr _),
+    "q354_james_stein" -> (q354JamesStein _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -2055,5 +2158,6 @@ object Stats {
     "q342_diff_in_diff" -> q342OracleSql,
     "q345_ols_moments" -> q345OracleSql,
     "q349_sax_words" -> q349OracleSql,
-    "q352_bh_fdr" -> q352OracleSql)
+    "q352_bh_fdr" -> q352OracleSql,
+    "q354_james_stein" -> q354OracleSql)
 }

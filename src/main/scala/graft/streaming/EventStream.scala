@@ -1337,8 +1337,104 @@ object EventStream {
     T.goodTuringSpectrum(counts)
   }
 
+  // -------------------------------------------------------------- q353
+
+  /** q353's fixed ingest-bucket width (docs per bucket). The batch
+    * q346 buckets RELATIVE to the corpus size (20 equal slices), which
+    * a stream cannot know upfront; the streaming twin uses an absolute
+    * width — the bucket spine grows with ingest, which is exactly what
+    * a live novelty dashboard plots. */
+  val GrowthBucketDocs = 256L
+
+  /** q353 — STREAMING VOCABULARY GROWTH (q346 under continuous ingest —
+    * the 19th declared streaming shape, and the second NOVELTY monitor
+    * next to q347's spectrum: q347 watches the frequency SPECTRUM,
+    * this watches the Heaps CURVE itself — cumulative trigram types vs
+    * cumulative tokens, per [[GrowthBucketDocs]]-doc ingest bucket; the
+    * curve flattening live is the earliest "crawl is exhausted" signal).
+    * State: (trigram → min bucket) first-seen census + per-bucket token
+    * counts, merged per micro-batch by MIN and SUM — both associative
+    * and commutative, so the drained curve is batch-split independent
+    * (the q347 confluence argument with min in place of sum; the spec
+    * pins a forced 4-file one-per-batch replay against the single-batch
+    * drain). Buckets come from doc_id, not arrival batch, so the spine
+    * is deterministic under any ingest split.
+    *
+    * Scale shape: per batch one in-row trigram pass + a type-keyed MIN
+    * merge (map-side combined) + a bucket-keyed SUM; state = type
+    * census + bucket counts; the cumsum rides the ≤\|buckets\| frame at
+    * drain. */
+  def q353StreamVocabGrowth(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    var firstB = Seq.empty[(String, Long)].toDF("g", "fb")
+    var tokc = Seq.empty[(Long, Long)].toDF("b", "n_toks")
+    val q = readDocs(s, dir, maxFilesPerTrigger).select("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val toks = batch.toDF()
+          .select(expr(s"doc_id div $GrowthBucketDocs").as("b"),
+            split(col("text"), " ").as("ws"))
+          .localCheckpoint(true)
+        val bf = toks.filter(size(col("ws")) >= 3)
+          .select(col("b"), explode(expr(
+            """transform(sequence(1, size(ws) - 2),
+               i -> concat_ws(' ', element_at(ws, i),
+                 element_at(ws, i + 1), element_at(ws, i + 2)))"""))
+            .as("g"))
+          .groupBy("g").agg(min("b").as("fb"))
+        firstB = firstB.unionByName(bf)
+          .groupBy("g").agg(min("fb").as("fb")).localCheckpoint(true)
+        val bt = toks.groupBy("b")
+          .agg(sum(size(col("ws")).cast("bigint")).as("n_toks"))
+        tokc = tokc.unionByName(bt)
+          .groupBy("b").agg(sum("n_toks").as("n_toks"))
+          .localCheckpoint(true)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val newTypes = firstB.groupBy(col("fb").as("b"))
+      .agg(count(lit(1)).as("new_types"))
+    tokc.join(newTypes, Seq("b"), "left")
+      .select(col("b"), col("n_toks"),
+        coalesce(col("new_types"), lit(0L)).as("nt"))
+      .select(col("b"), sum("n_toks").over(w).as("cum_tokens"),
+        sum("nt").over(w).as("cum_types"))
+  }
+
+  private def q353OracleSql: String =
+    s"""WITH tk AS (SELECT doc_id // $GrowthBucketDocs AS b,
+            string_split(text, ' ') AS ws
+          FROM documents),
+        tc AS (SELECT b, CAST(sum(len(ws)) AS BIGINT) AS n_toks
+          FROM tk GROUP BY b),
+        gr AS (SELECT b,
+            ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+          FROM tk, unnest(range(1, len(ws) - 1)) AS r(i)
+          WHERE len(ws) >= 3),
+        fb AS (SELECT g, CAST(min(b) AS BIGINT) AS fb FROM gr GROUP BY g),
+        nt AS (SELECT fb, CAST(count(*) AS BIGINT) AS new_types
+          FROM fb GROUP BY fb)
+        SELECT CAST(tc.b AS BIGINT) AS b,
+          CAST(sum(tc.n_toks) OVER w AS BIGINT) AS cum_tokens,
+          CAST(sum(coalesce(nt.new_types, 0)) OVER w AS BIGINT)
+            AS cum_types
+        FROM tc LEFT JOIN nt ON nt.fb = tc.b
+        WINDOW w AS (ORDER BY tc.b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q353_stream_vocab_growth" ->
+      ((s: SparkSession, d: String) => q353StreamVocabGrowth(s, d)),
     "q347_stream_spectrum" ->
       ((s: SparkSession, d: String) => q347StreamSpectrum(s, d)),
     "q336_stream_cusum" -> (q336StreamCusum _),
@@ -1362,6 +1458,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q353_stream_vocab_growth" -> q353OracleSql,
     "q347_stream_spectrum" -> graft.operators.TextOps.q343OracleSql2,
     "q336_stream_cusum" -> q336OracleSql,
     "q313_stream_psi" -> q313OracleSql,

@@ -286,6 +286,31 @@ class StatefulStreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q353 streamed vocabulary growth is batch-split independent " +
+    "(4-file forced replay equals the single-batch drain)") {
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q353-multibatch").toString
+    docs.repartition(4).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    def run(mf: Option[Int]) = EventStream
+      .q353StreamVocabGrowth(spark, dir, maxFilesPerTrigger = mf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val multi = run(Some(1))
+    spark.catalog.clearCache()
+    val single = run(None)
+    assert(multi === single,
+      s"split-dependent: only-multi=${(multi -- single).take(5)} " +
+        s"only-single=${(single -- multi).take(5)}")
+    assert(single.nonEmpty)
+    // the curve is a curve: types and tokens are nondecreasing in b
+    val sorted = single.toSeq.sortBy(_._1)
+    assert(sorted.sliding(2).forall(w =>
+      w.length < 2 || (w(0)._2 <= w(1)._2 && w(0)._3 <= w(1)._3)))
+    spark.catalog.clearCache()
+  }
+
   test("q302 streamed chunk dedup equals the q300 batch rebuild " +
     "(confluence at chunk granularity)") {
     val streamed = EventStream.q302StreamChunkDedup(spark, sf1)

@@ -1301,6 +1301,50 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q354 James-Stein shrinkage matches a brute-force model and " +
+    "shrinks toward the grand mean") {
+    val rows = graft.operators.Stats.q354JamesStein(spark, sf1)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val data = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("bigint"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val per = data.groupBy(_._1).map { case (src, vs) =>
+      (src, vs.length.toLong, vs.map(_._2).sum,
+        vs.map(v => v._2 * v._2).sum) }.toSeq
+    // the equal-n precondition the n0 = n/m substitution relies on
+    assert(per.map(_._2).distinct.size === 1)
+    val (n, st, qt, m) = (per.map(_._2).sum, per.map(_._3).sum,
+      per.map(_._4).sum, per.length.toLong)
+    val t2s = per.map { case (_, ns, ss, _) =>
+      (BigInt(ss) * ss * 1000000L / ns).toLong }.sum
+    val ds = per.map { case (_, ns, ss, _) =>
+      val d = ss.toDouble / ns - st.toDouble / n
+      math.floor(d * d * 1e9).toLong }.sum
+    val sigma2 = (qt.toDouble - t2s.toDouble / 1e6) / (n - m)
+    val c = 1.0 - (m - 3.0) * (sigma2 * m / n.toDouble) / (ds / 1e9)
+    val cPlus = math.max(c, 0.0)
+    per.foreach { case (src, ns, ss, _) =>
+      val r = rows(src)
+      assert(r.getAs[Long]("ns") === ns)
+      assert(r.getAs[Long]("mean_ppm") === ss * 1000000L / ns)
+      assert(r.getAs[Long]("c_ppm") ===
+        math.floor(cPlus * 1e6).toLong)
+      val shrunk = st.toDouble / n +
+        cPlus * (ss.toDouble / ns - st.toDouble / n)
+      assert(r.getAs[Long]("shrunk_ppm") ===
+        math.floor(shrunk * 1e6).toLong, src)
+      // shrinkage: the adjusted mean is never further from the grand
+      // mean than the raw mean (1 ppm slack for the two floors)
+      val gm = st.toDouble / n * 1e6
+      assert(math.abs(r.getAs[Long]("shrunk_ppm") - gm) <=
+        math.abs(r.getAs[Long]("mean_ppm") - gm) + 1.0, src)
+    }
+    // on iid sources the factor is a genuine contraction
+    val c0 = rows.values.head.getAs[Long]("c_ppm")
+    assert(c0 >= 0L && c0 <= 1000000L)
+  }
+
   test("q339 log-rank matches a brute-force survival model") {
     val rows = graft.operators.Stats.q339LogRank(spark, sf1)
       .orderBy("d").collect()
