@@ -870,4 +870,41 @@ class ScalePathSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("q340 KN census: marginals ride broadcast joins, one census " +
+    "shuffle family, no sort-merge") {
+    val plan = graft.operators.TextOps.q340KneserNey(spark, sf1)
+      .queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2,
+      s"expected the u1/u2 marginal joins broadcast, found $bhj:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a census-sized marginal join was demoted to sort-merge:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("q344 CKA: the corpus-sized work is ONE census aggregation — " +
+    "everything after the gram is broadcast") {
+    val plan = graft.operators.Similarity.q344CkaPrefix(spark, sf1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"a census-sized join was demoted to sort-merge:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-dim sums must join the gram census by broadcast:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("q345 moment-sketch OLS plans as one partial-aggregated scan: " +
+    "a single exchange, no join") {
+    val plan = graft.operators.Stats.q345OlsMoments(spark, sf1)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"expected exactly the final-agg single-partition exchange, " +
+        s"found $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"OLS must not join:\n$plan")
+    assert(plan.contains("partial"),
+      s"moment sums must map-side combine:\n$plan")
+    spark.catalog.clearCache()
+  }
 }
