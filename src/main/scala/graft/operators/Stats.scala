@@ -2103,6 +2103,96 @@ object Stats {
             * 1000000) AS BIGINT) AS shrunk_ppm
         FROM cells CROSS JOIN sums"""
 
+  // ------------------------------------------------------------ q355
+
+  /** Circular-block-bootstrap resample count (odd, so the 2.5%/97.5%
+    * order statistics are clean ranks) and block length. */
+  val CbbB = 199L
+  val CbbL = 7L
+
+  /** q355 — CIRCULAR BLOCK BOOTSTRAP CI for the mean daily event count
+    * (Politis & Romano 1992's circular variant of Künsch's block
+    * bootstrap — the resampling that q240's iid bootstrap gets WRONG on
+    * a time series: daily counts are autocorrelated (q304 measures it),
+    * and iid resampling destroys that dependence, understating the
+    * variance of the mean; resampling whole L-day blocks, wrapped
+    * circularly so every day has equal inclusion probability, preserves
+    * the within-block dependence structure). Deterministic replicates:
+    * block j of resample b starts at LCG(b·64+j) mod D (q240's shared-
+    * text LCG discipline — no RNG, bit-identical across engines), the
+    * resample takes ⌈D/L⌉ blocks truncated to exactly D positions, and
+    * each replicate mean is the exact truncated-div sum·10⁶/D. CI =
+    * order statistics 5 and 195 of the [[CbbB]] sorted replicate means
+    * (2.5%/97.5%). Released: {n_days, block_len, point_mean_ppm,
+    * ci_lo_ppm, ci_hi_ppm}; the spec replays the construction exactly
+    * and pins the CI-brackets-point identity.
+    *
+    * Scale shape: one day census (map-side combined) → the replicate
+    * spine is B·⌈D/L⌉·L rows built by in-row generators from ONE scalar
+    * frame, joined to the ≤\|days\| census by broadcast; everything
+    * after the census is day-domain-bounded (q198/q132 argument). */
+  def q355BlockBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("di", row_number().over(w).cast("bigint") - 1L)
+      .localCheckpoint(true)
+    val g = daily.agg(count(lit(1)).as("dd"), sum("x").as("st"))
+    val picks = g.select(col("dd"), explode(expr(
+        s"""flatten(transform(sequence(0, ${CbbB - 1}), bb ->
+              flatten(transform(
+                sequence(0, CAST(ceil(dd / $CbbL.0) AS INT) - 1), j ->
+                transform(sequence(0, ${CbbL - 1}), k ->
+                  struct(CAST(bb AS BIGINT) AS b,
+                    CAST(j * $CbbL + k AS BIGINT) AS pos,
+                    (((CAST(bb AS BIGINT) * 64 + j) * 1103515245
+                      + 12345) % 2147483647 + k) % dd AS di))))))"""))
+        .as("p"))
+      .select(col("dd"), col("p.b").as("b"), col("p.pos").as("pos"),
+        col("p.di").as("di"))
+      .filter(col("pos") < col("dd"))
+    val rmeans = picks
+      .join(broadcast(daily.select("di", "x")), "di")
+      .groupBy("b")
+      .agg(expr("""CAST(CAST(sum(x) AS DECIMAL(38,0)) * 1000000
+              div count(*) AS BIGINT)""").as("rmean"))
+    rmeans.agg(sort_array(collect_list("rmean")).as("ls"))
+      .crossJoin(broadcast(g))
+      .select(col("dd").as("n_days"), lit(CbbL).as("block_len"),
+        expr("CAST(CAST(st AS DECIMAL(38,0)) * 1000000 div dd AS BIGINT)")
+          .as("point_mean_ppm"),
+        expr("element_at(ls, 5)").as("ci_lo_ppm"),
+        expr(s"element_at(ls, ${CbbB - 4})").as("ci_hi_ppm"))
+  }
+
+  private def q355OracleSql: String =
+    s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        idx AS (SELECT x, CAST(row_number() OVER (ORDER BY day)
+            AS BIGINT) - 1 AS di FROM daily),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS dd,
+          CAST(sum(x) AS BIGINT) AS st FROM idx),
+        picks AS (SELECT dd, bb.b AS b, jj.j * $CbbL + kk.k AS pos,
+            (((bb.b * 64 + jj.j) * 1103515245 + 12345)
+              % 2147483647 + kk.k) % dd AS di
+          FROM g,
+            (SELECT unnest(range(0, $CbbB)) AS b) bb,
+            (SELECT unnest(range(0, 64)) AS j) jj,
+            (SELECT unnest(range(0, $CbbL)) AS k) kk
+          WHERE jj.j < CAST(ceil(dd / $CbbL.0) AS BIGINT)
+            AND jj.j * $CbbL + kk.k < dd),
+        rm AS (SELECT b,
+            CAST(CAST(sum(x) AS HUGEINT) * 1000000 // count(*)
+              AS BIGINT) AS rmean
+          FROM picks JOIN idx ON idx.di = picks.di GROUP BY b),
+        ci AS (SELECT list_sort(list(rmean)) AS ls FROM rm)
+        SELECT dd AS n_days, CAST($CbbL AS BIGINT) AS block_len,
+          CAST(CAST(st AS HUGEINT) * 1000000 // dd AS BIGINT)
+            AS point_mean_ppm,
+          ls[5] AS ci_lo_ppm, ls[${CbbB - 4}] AS ci_hi_ppm
+        FROM ci CROSS JOIN g"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2131,7 +2221,8 @@ object Stats {
     "q345_ols_moments" -> (q345OlsMoments _),
     "q349_sax_words" -> (q349SaxWords _),
     "q352_bh_fdr" -> (q352BhFdr _),
-    "q354_james_stein" -> (q354JamesStein _))
+    "q354_james_stein" -> (q354JamesStein _),
+    "q355_block_bootstrap" -> (q355BlockBootstrap _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -2159,5 +2250,6 @@ object Stats {
     "q345_ols_moments" -> q345OracleSql,
     "q349_sax_words" -> q349OracleSql,
     "q352_bh_fdr" -> q352OracleSql,
-    "q354_james_stein" -> q354OracleSql)
+    "q354_james_stein" -> q354OracleSql,
+    "q355_block_bootstrap" -> q355OracleSql)
 }

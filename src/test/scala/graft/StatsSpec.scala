@@ -1345,6 +1345,39 @@ class StatsSpec extends SparkSpec {
     assert(c0 >= 0L && c0 <= 1000000L)
   }
 
+  test("q355 circular block bootstrap replays the deterministic " +
+    "construction and the CI brackets the point mean") {
+    val row = graft.operators.Stats.q355BlockBootstrap(spark, sf1)
+      .head()
+    val daily = graft.sources.Tables.load(spark, sf1, "events")
+      .select(to_date(col("ts")).as("day"))
+      .groupBy("day").count().orderBy("day")
+      .collect().map(_.getLong(1))
+    val dd = daily.length.toLong
+    val st = daily.sum
+    val (bB, bL) = (graft.operators.Stats.CbbB,
+      graft.operators.Stats.CbbL)
+    assert(row.getAs[Long]("n_days") === dd)
+    assert(row.getAs[Long]("point_mean_ppm") ===
+      (BigInt(st) * 1000000L / dd).toLong)
+    val nblk = math.ceil(dd.toDouble / bL).toLong
+    val rmeans = (0L until bB).map { b =>
+      val xs = for {
+        j <- 0L until nblk
+        k <- 0L until bL
+        if j * bL + k < dd
+      } yield daily(((((b * 64 + j) * 1103515245L + 12345L) %
+        2147483647L + k) % dd).toInt)
+      (BigInt(xs.sum) * 1000000L / xs.length).toLong
+    }.sorted
+    assert(row.getAs[Long]("ci_lo_ppm") === rmeans(4))
+    assert(row.getAs[Long]("ci_hi_ppm") === rmeans(bB.toInt - 5))
+    assert(row.getAs[Long]("ci_lo_ppm") <=
+      row.getAs[Long]("point_mean_ppm"))
+    assert(row.getAs[Long]("ci_hi_ppm") >=
+      row.getAs[Long]("point_mean_ppm"))
+  }
+
   test("q339 log-rank matches a brute-force survival model") {
     val rows = graft.operators.Stats.q339LogRank(spark, sf1)
       .orderBy("d").collect()
