@@ -884,6 +884,59 @@ object Analytics {
          FROM sig a JOIN sig b ON a.s = b.s AND a.w < b.w)
        SELECT w1, w2 FROM cand WHERE levenshtein(w1, w2) = 1"""
 
+  // ------------------------------------------------------------ q356
+
+  /** q356 — TRANSPOSITION-AWARE TYPO JOIN: q194's deletion-signature
+    * candidates verified with TRUE Damerau–Levenshtein ≤ 1 instead of
+    * Levenshtein = 1 (Damerau 1964 measured ~80% of human typos as one
+    * substitution, deletion, insertion OR adjacent transposition — the
+    * last class has Levenshtein distance 2, so q194's gate silently
+    * drops exactly the swapped-digit pairs these digit-tailed names
+    * produce, e.g. #…012 vs #…021). The verifier is the repo's own
+    * NATIVE codegen'd expression [[graft.functions.DamerauLevenshtein]]
+    * (Lowrance–Wagner unrestricted variant), differentially pinned
+    * against DuckDB's independent built-in `damerau_levenshtein` — a
+    * CROSS-IMPLEMENTATION check, not a shared-text one. The candidate
+    * generator needs NO widening: 1-deletion signatures are complete
+    * for DL ≤ 1 — a substitution pair shares the signature deleting the
+    * differing char, an insertion pair shares the shorter word itself,
+    * and a transposition pair "xy"/"yx" shares BOTH one-sided deletions
+    * (drop x from each side → suffix "y·rest" matches; drop y → "x·
+    * rest"), so every DL ≤ 1 pair collides on at least one signature.
+    *
+    * Scale shape: q194's — signature explode is length-linear, the
+    * equi-join on signature is the blocking, verification is one
+    * codegen'd expression per candidate. */
+  def q356TypoJoinDl(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val w = t(s, dir, "supplier").select(col("s_name").as("w")).distinct()
+    val sigs = w.select(col("w"), explode(expr(
+      "concat(array(w), transform(sequence(1, length(w)), " +
+        "i -> concat(substring(w, 1, i - 1)," +
+        " substring(w, i + 1, length(w)))))")).as("sg"))
+    val a = sigs.select(col("w").as("w1"), col("sg"))
+    val b = sigs.select(col("w").as("w2"), col("sg"))
+    a.join(b, Seq("sg"))
+      .filter(col("w1") < col("w2"))
+      .select("w1", "w2").distinct()
+      .withColumn("dl", expr("damerau_lev(w1, w2)"))
+      .filter(col("dl") <= 1L)
+  }
+
+  private def q356OracleSql: String =
+    """WITH w AS (SELECT DISTINCT s_name AS w FROM supplier),
+       sig AS (SELECT w, w AS s FROM w
+         UNION ALL
+         SELECT w, substr(w, 1, i-1) || substr(w, i+1) AS s
+         FROM w, (SELECT unnest(range(1,
+           (SELECT max(len(w)) + 1 FROM w))) AS i) ix
+         WHERE i <= len(w)),
+       cand AS (SELECT DISTINCT a.w w1, b.w w2
+         FROM sig a JOIN sig b ON a.s = b.s AND a.w < b.w)
+       SELECT w1, w2,
+         CAST(damerau_levenshtein(w1, w2) AS BIGINT) AS dl
+       FROM cand WHERE damerau_levenshtein(w1, w2) <= 1"""
+
   /** q195 — MODEL CALIBRATION TABLE: events bucketed by fixed-width
     * value band (10-unit bins), per-bin observed purchase rate in exact
     * ppm — the reliability-diagram input every scored-model pipeline
@@ -3637,6 +3690,7 @@ object Analytics {
     "q192_decayed_engagement" -> (q192DecayedEngagement _),
     "q193_frequent_triples" -> (q193FrequentTriples _),
     "q194_typo_join" -> (q194TypoJoin _),
+    "q356_typo_join_dl" -> (q356TypoJoinDl _),
     "q180_corr_matrix" -> (q180CorrMatrix _),
     "q181_kmv_sketch" -> (q181KmvSketch _),
     "q182_seq_pattern" -> (q182SeqPattern _),
@@ -3695,6 +3749,7 @@ object Analytics {
     "q192_decayed_engagement" -> q192OracleSql,
     "q193_frequent_triples" -> q193OracleSql,
     "q194_typo_join" -> q194OracleSql,
+    "q356_typo_join_dl" -> q356OracleSql,
     "q180_corr_matrix" -> q180OracleSql,
     "q181_kmv_sketch" -> q181OracleSql,
     "q182_seq_pattern" -> q182OracleSql,

@@ -1378,6 +1378,97 @@ class StatsSpec extends SparkSpec {
       row.getAs[Long]("point_mean_ppm"))
   }
 
+  test("damerau_lev implements TRUE Damerau-Levenshtein (not OSA) and " +
+    "matches a reference recursion") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def d(a: String, b: String): Int =
+      graft.functions.DamerauLev.dist(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    // the OSA/true-DL distinguishing case: CA -> AC -> ABC
+    assert(d("CA", "ABC") === 2)
+    assert(d("ABC", "CA") === 2)
+    assert(d("ab", "ba") === 1)
+    assert(d("abcd", "badc") === 2)
+    assert(d("kitten", "sitting") === 3)
+    assert(d("", "ab") === 2)
+    assert(d("same", "same") === 0)
+    // reference: exponential recursion with memo over a small battery
+    def ref(a: String, b: String): Int = {
+      val memo = collection.mutable.Map.empty[(Int, Int, Map[Char, Int], Int), Int]
+      // Lowrance-Wagner via the matrix formulation instead (tractable)
+      val (la, lb) = (a.length, b.length)
+      val inf = la + lb
+      val m = Array.ofDim[Int](la + 2, lb + 2)
+      m(0)(0) = inf
+      for (i <- 0 to la) { m(i + 1)(1) = i; m(i + 1)(0) = inf }
+      for (j <- 0 to lb) { m(1)(j + 1) = j; m(0)(j + 1) = inf }
+      val da = collection.mutable.Map.empty[Char, Int].withDefaultValue(0)
+      for (i <- 1 to la) {
+        var db = 0
+        for (j <- 1 to lb) {
+          val (i1, j1) = (da(b(j - 1)), db)
+          val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
+          m(i + 1)(j + 1) = Seq(m(i)(j) + cost, m(i + 1)(j) + 1,
+            m(i)(j + 1) + 1,
+            m(i1)(j1) + (i - i1 - 1) + 1 + (j - j1 - 1)).min
+        }
+        da(a(i - 1)) = i
+      }
+      m(la + 1)(lb + 1)
+    }
+    val words = Seq("", "a", "ab", "ba", "abc", "cab", "bca", "aab",
+      "abab", "baba", "abcde", "aebcd", "supplier01", "supplier10")
+    for (x <- words; y <- words)
+      assert(d(x, y) === ref(x, y), s"$x vs $y")
+  }
+
+  test("q356 transposition-aware typo join equals brute-force DL<=1 " +
+    "over all name pairs and strictly widens q194") {
+    val got = graft.operators.Analytics.q356TypoJoinDl(spark, sf1)
+      .collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("dl"))).toSet
+    import org.apache.spark.unsafe.types.UTF8String
+    def d(a: String, b: String): Long = graft.functions.DamerauLev
+      .dist(UTF8String.fromString(a), UTF8String.fromString(b)).toLong
+    val names = graft.sources.Tables.load(spark, sf1, "supplier")
+      .select("s_name").distinct().collect().map(_.getString(0))
+    val want = (for {
+      x <- names; y <- names if x < y
+      dl = d(x, y) if dl <= 1L
+    } yield (x, y, dl)).toSet
+    assert(got === want,
+      s"only-got=${(got -- want).take(5)} only-want=${(want -- got).take(5)}")
+    val lev1 = graft.operators.Analytics.q194TypoJoin(spark, sf1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val pairs = got.map(t => (t._1, t._2))
+    assert(lev1.subsetOf(pairs))
+    // sf0.001's ten names differ only in the last digit, so no
+    // transposition pair can exist there — plant one (12 vs 21) and
+    // show the widening on a corpus where the class occurs
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q356-transp").toString
+    Seq("Supplier#000000012", "Supplier#000000021",
+        "Supplier#000000013")
+      .toDF("s_name").coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/supplier.parquet")
+    val planted = graft.operators.Analytics.q356TypoJoinDl(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("dl"))).toSet
+    assert(planted.contains(
+      ("Supplier#000000012", "Supplier#000000013", 1L)))
+    assert(planted.contains(
+      ("Supplier#000000012", "Supplier#000000021", 1L)),
+      s"transposition pair missed: $planted")
+    val lev1Planted = graft.operators.Analytics.q194TypoJoin(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!lev1Planted.contains(
+      ("Supplier#000000012", "Supplier#000000021")),
+      "q194 should miss the transposition (lev = 2) — widening claim")
+  }
+
   test("q339 log-rank matches a brute-force survival model") {
     val rows = graft.operators.Stats.q339LogRank(spark, sf1)
       .orderBy("d").collect()
