@@ -2193,6 +2193,112 @@ object Stats {
           ls[5] AS ci_lo_ppm, ls[${CbbB - 4}] AS ci_hi_ppm
         FROM ci CROSS JOIN g"""
 
+  // ------------------------------------------------------------ q357
+
+  /** Permutation-test replicate count (odd, like [[CbbB]]). */
+  val PermB = 199L
+
+  /** q357's mean-difference ×10⁶ as one shared-text double over the
+    * exact integers {s1b, n1b, st, n}; greatest() guards the
+    * all-one-side relabeling (probability 2^(1−n), unreachable at any
+    * tested SF — the q292 NaN-hazard convention, not a live branch). */
+  private def permDiffExpr: String =
+    s"""CAST(floor((CAST(s1b AS DOUBLE) / greatest(n1b, 1)
+          - (CAST(st AS DOUBLE) - s1b) / greatest(n - n1b, 1))
+        * 1000000) AS BIGINT)"""
+
+  /** q357 — PERMUTATION TEST for the arm difference in per-user spend
+    * (Fisher's exact-logic test: under H₀ the arm labels are
+    * exchangeable, so the observed mean difference is compared against
+    * its own relabeling distribution — no normality, no variance
+    * formula, the assumption-free companion to q266's Welch t and
+    * q303's rank-sum, and the testing twin of q355's resampling CI).
+    * Deterministic replicates: user u's label in replicate b is the
+    * parity of the q240/q355 shared-text LCG at (u·64 + b) — no RNG,
+    * bit-identical across engines; the inference quality rests on the
+    * LCG's equidistribution (documented), the MECHANICS are exact: each
+    * replicate's statistic is the floored-ppm mean difference from
+    * exact integer sums, and p = (1 + #{|Δ_b| ≥ |Δ_obs|})/(B+1) is the
+    * standard add-one permutation p-value in exact integers. Released:
+    * {n_users, diff_obs_ppm, n_extreme, p_milli}; the spec replays the
+    * construction and pins p against the null expectation (the q174
+    * split is a true null, so p should not be extreme).
+    *
+    * Scale shape: one user-keyed aggregate (map-side combined) → a B-way
+    * in-row label explode re-aggregated to B rows — corpus touched
+    * once, replicate frame = B rows, everything else broadcast. */
+  def q357PermutationTest(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("user_id").agg(sum("vc").as("x"))
+      .localCheckpoint(true)
+    val g = per.agg(count(lit(1)).as("n"), sum("x").as("st"),
+      sum(when(col("user_id") % 2 === 1, col("x")).otherwise(0L))
+        .as("s1o"),
+      sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n1o"))
+    val obs = g.select(col("n"), col("st"),
+      expr("""CAST(floor((CAST(s1o AS DOUBLE) / greatest(n1o, 1)
+            - (CAST(st AS DOUBLE) - s1o) / greatest(n - n1o, 1))
+          * 1000000) AS BIGINT)""").as("diff_obs_ppm"))
+    val reps = per
+      .select(col("x"), explode(expr(
+        s"""transform(sequence(0, ${PermB - 1}), bb ->
+            struct(CAST(bb AS BIGINT) AS b,
+              ((CAST(user_id AS BIGINT) * 64 + bb) * 1103515245
+                + 12345) % 2147483647 % 2 AS arm))""")).as("r"))
+      .groupBy(col("r.b").as("b"))
+      .agg(sum(when(col("r.arm") === 1L, col("x")).otherwise(0L))
+          .as("s1b"),
+        sum(when(col("r.arm") === 1L, 1L).otherwise(0L)).as("n1b"))
+      .crossJoin(broadcast(obs))
+      .select(col("b"), col("diff_obs_ppm"),
+        expr(permDiffExpr).as("diff_b_ppm"))
+    reps
+      .agg(max("diff_obs_ppm").as("diff_obs_ppm"),
+        sum(when(abs(col("diff_b_ppm")) >= abs(col("diff_obs_ppm")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .crossJoin(broadcast(g.select(col("n").as("n_users"))))
+      .select(col("n_users"), col("diff_obs_ppm"), col("n_extreme"),
+        expr(s"(1 + n_extreme) * 1000 div ${PermB + 1}").as("p_milli"))
+  }
+
+  private def q357OracleSql: String =
+    s"""WITH per AS (SELECT user_id,
+          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY user_id),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS st,
+          CAST(sum(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END)
+            AS BIGINT) AS s1o,
+          CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n1o
+          FROM per),
+        obs AS (SELECT n, st,
+          CAST(floor((CAST(s1o AS DOUBLE) / greatest(n1o, 1)
+              - (CAST(st AS DOUBLE) - s1o) / greatest(n - n1o, 1))
+            * 1000000) AS BIGINT) AS diff_obs_ppm
+          FROM g),
+        lab AS (SELECT p.x, bb.b,
+            ((p.user_id * 64 + bb.b) * 1103515245 + 12345)
+              % 2147483647 % 2 AS arm
+          FROM per p, (SELECT unnest(range(0, $PermB)) AS b) bb),
+        reps AS (SELECT b,
+            CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT)
+              AS s1b,
+            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n1b
+          FROM lab GROUP BY b),
+        dd AS (SELECT b, diff_obs_ppm, $permDiffExpr AS diff_b_ppm
+          FROM reps CROSS JOIN obs),
+        ex AS (SELECT CAST(max(diff_obs_ppm) AS BIGINT) AS diff_obs_ppm,
+          CAST(sum(CASE WHEN abs(diff_b_ppm) >= abs(diff_obs_ppm)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+          FROM dd)
+        SELECT g.n AS n_users, diff_obs_ppm, n_extreme,
+          (1 + n_extreme) * 1000 // ${PermB + 1} AS p_milli
+        FROM ex CROSS JOIN g"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2222,7 +2328,8 @@ object Stats {
     "q349_sax_words" -> (q349SaxWords _),
     "q352_bh_fdr" -> (q352BhFdr _),
     "q354_james_stein" -> (q354JamesStein _),
-    "q355_block_bootstrap" -> (q355BlockBootstrap _))
+    "q355_block_bootstrap" -> (q355BlockBootstrap _),
+    "q357_permutation_test" -> (q357PermutationTest _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -2251,5 +2358,6 @@ object Stats {
     "q349_sax_words" -> q349OracleSql,
     "q352_bh_fdr" -> q352OracleSql,
     "q354_james_stein" -> q354OracleSql,
-    "q355_block_bootstrap" -> q355OracleSql)
+    "q355_block_bootstrap" -> q355OracleSql,
+    "q357_permutation_test" -> q357OracleSql)
 }

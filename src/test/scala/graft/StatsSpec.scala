@@ -1469,6 +1469,42 @@ class StatsSpec extends SparkSpec {
       "q194 should miss the transposition (lev = 2) — widening claim")
   }
 
+  test("q357 permutation test replays the deterministic relabeling and " +
+    "is unremarkable under the null split") {
+    val row = graft.operators.Stats.q357PermutationTest(spark, sf1)
+      .head()
+    val per = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, vs) => (u, vs.map(_._2).sum) }.toSeq
+    val n = per.length.toLong
+    val st = per.map(_._2).sum
+    assert(row.getAs[Long]("n_users") === n)
+    def diffPpm(s1: Long, n1: Long): Long =
+      math.floor((s1.toDouble / math.max(n1, 1) -
+        (st.toDouble - s1) / math.max(n - n1, 1)) * 1e6).toLong
+    val obs = diffPpm(per.filter(_._1 % 2 == 1).map(_._2).sum,
+      per.count(_._1 % 2 == 1).toLong)
+    assert(row.getAs[Long]("diff_obs_ppm") === obs)
+    val bB = graft.operators.Stats.PermB
+    val extreme = (0L until bB).count { b =>
+      var s1 = 0L; var n1 = 0L
+      per.foreach { case (u, x) =>
+        val arm = ((u * 64 + b) * 1103515245L + 12345L) %
+          2147483647L % 2
+        if (arm == 1L) { s1 += x; n1 += 1 }
+      }
+      math.abs(diffPpm(s1, n1)) >= math.abs(obs)
+    }.toLong
+    assert(row.getAs[Long]("n_extreme") === extreme)
+    assert(row.getAs[Long]("p_milli") ===
+      (1 + extreme) * 1000 / (bB + 1))
+    // null split: the permutation p should not be extreme
+    assert(row.getAs[Long]("p_milli") >= 10L,
+      s"p_milli=${row.getAs[Long]("p_milli")} under a null split")
+  }
+
   test("q339 log-rank matches a brute-force survival model") {
     val rows = graft.operators.Stats.q339LogRank(spark, sf1)
       .orderBy("d").collect()
