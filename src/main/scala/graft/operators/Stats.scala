@@ -1544,13 +1544,15 @@ object Stats {
     * fold anywhere, so both engines agree bit-for-bit. greatest(nⱼ−1, 1)
     * guards the final-day singleton risk set (q292/q181 convention; when
     * nⱼ = 1 the true variance is 0 and the numerator vanishes anyway). */
-  private def lrTermExprs(divOp: String, bigT: String): Seq[String] = Seq(
-    s"""CAST(CAST(n_event AS $bigT) * n_risk_1 * 1000000000
-          $divOp n_risk AS BIGINT) AS e1_ppb""",
-    s"""CAST(CAST(n_event AS $bigT) * (n_risk - n_event)
-            * n_risk_1 * (n_risk - n_risk_1) * 1000000000
-          $divOp (CAST(n_risk AS $bigT) * n_risk
-                  * greatest(n_risk - 1, 1)) AS BIGINT) AS v1_ppb""")
+  private def lrTermExprs(divOp: String, bigT: String,
+      d: String = "n_event", n1: String = "n_risk_1",
+      n: String = "n_risk"): Seq[String] = Seq(
+    s"""CAST(CAST($d AS $bigT) * $n1 * 1000000000
+          $divOp $n AS BIGINT) AS e1_ppb""",
+    s"""CAST(CAST($d AS $bigT) * ($n - $d)
+            * $n1 * ($n - $n1) * 1000000000
+          $divOp (CAST($n AS $bigT) * $n
+                  * greatest($n - 1, 1)) AS BIGINT) AS v1_ppb""")
 
   /** q339 — TWO-SAMPLE LOG-RANK TEST between the experiment arms'
     * signup→first-purchase survival curves (the inferential companion
@@ -2299,6 +2301,77 @@ object Stats {
           (1 + n_extreme) * 1000 // ${PermB + 1} AS p_milli
         FROM ex CROSS JOIN g"""
 
+  // ------------------------------------------------------------ q358
+
+  /** q358's Mantel–Haenszel odds-ratio component ×10⁹ (a·d/nₜ or
+    * b·c/nₜ, widened truncated div). */
+  private def mhTermExpr(num1: String, num2: String, bigT: String,
+      divOp: String): String =
+    s"""CAST(CAST($num1 AS $bigT) * ($num2) * 1000000000
+          $divOp nt AS BIGINT)"""
+
+  /** q358 — COCHRAN–MANTEL–HAENSZEL STRATIFIED TEST of the arm →
+    * purchase association, stratified by value band (CMH 1959 — the
+    * inferential RESOLUTION of q258's Simpson audit: q258 detects that
+    * pooled and per-stratum rates can disagree; CMH is what you compute
+    * NEXT — each stratum contributes its own hypergeometric deviation
+    * a−E and variance V, summed so confounding by the stratifier can't
+    * reverse the verdict, plus the MH common odds ratio Σaᵢdᵢ/nᵢ /
+    * Σbᵢcᵢ/nᵢ as the pooled effect size). Per stratum the exact 2×2
+    * margins {a_11, r1, c1, nt} and the hypergeometric E/V terms ×10⁹ —
+    * the SAME integer kernel as q339's log-rank (E = c₁r₁/nₜ,
+    * V = c₁(nₜ−c₁)r₁(nₜ−r₁)/(nₜ²(nₜ−1)); [[lrTermExprs]] reused with
+    * renamed margins), plus the MH numerator/denominator components —
+    * consumer: χ²_CMH = (|Σa−ΣE|−½)²/ΣV and OR_MH = Σnum/Σden, each a
+    * sum over the band-domain frame. Spec pins a brute-force stratum
+    * model and an unremarkable χ² under the null split.
+    *
+    * Scale shape: ONE corpus scan map-side combined into the
+    * value-band census; everything after is domain-bounded in-row
+    * arithmetic. */
+  def q358CmhTest(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .select(expr("CAST(floor(value / 10) AS BIGINT)").as("stratum"),
+        (col("user_id") % 2).as("arm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("pos"))
+      .groupBy("stratum")
+      .agg(sum(when(col("arm") === 1, col("pos")).otherwise(0L))
+          .as("a_11"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("r1"),
+        sum("pos").as("c1"), count(lit(1)).as("nt"))
+    cells.select(Seq(col("stratum"), col("a_11"), col("r1"), col("c1"),
+      col("nt")) ++
+      lrTermExprs("div", "DECIMAL(38,0)", "c1", "r1", "nt").map(expr) ++
+      Seq(
+        expr(mhTermExpr("a_11", "nt - r1 - c1 + a_11",
+          "DECIMAL(38,0)", "div")).as("or_num_ppb"),
+        expr(mhTermExpr("r1 - a_11", "c1 - a_11",
+          "DECIMAL(38,0)", "div")).as("or_den_ppb")): _*)
+  }
+
+  private def q358OracleSql: String =
+    s"""WITH ev AS (SELECT CAST(floor(value / 10) AS BIGINT) AS stratum,
+          user_id % 2 AS arm,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+          FROM events),
+        cells AS (SELECT stratum,
+          CAST(sum(CASE WHEN arm = 1 THEN pos ELSE 0 END) AS BIGINT)
+            AS a_11,
+          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS r1,
+          CAST(sum(pos) AS BIGINT) AS c1,
+          CAST(count(*) AS BIGINT) AS nt
+          FROM ev GROUP BY stratum)
+        SELECT stratum, a_11, r1, c1, nt,
+          ${lrTermExprs("//", "HUGEINT", "c1", "r1", "nt")
+            .mkString(",\n          ")},
+          ${mhTermExpr("a_11", "nt - r1 - c1 + a_11", "HUGEINT", "//")}
+            AS or_num_ppb,
+          ${mhTermExpr("r1 - a_11", "c1 - a_11", "HUGEINT", "//")}
+            AS or_den_ppb
+        FROM cells"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2329,7 +2402,8 @@ object Stats {
     "q352_bh_fdr" -> (q352BhFdr _),
     "q354_james_stein" -> (q354JamesStein _),
     "q355_block_bootstrap" -> (q355BlockBootstrap _),
-    "q357_permutation_test" -> (q357PermutationTest _))
+    "q357_permutation_test" -> (q357PermutationTest _),
+    "q358_cmh_test" -> (q358CmhTest _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -2359,5 +2433,6 @@ object Stats {
     "q352_bh_fdr" -> q352OracleSql,
     "q354_james_stein" -> q354OracleSql,
     "q355_block_bootstrap" -> q355OracleSql,
-    "q357_permutation_test" -> q357OracleSql)
+    "q357_permutation_test" -> q357OracleSql,
+    "q358_cmh_test" -> q358OracleSql)
 }

@@ -1505,6 +1505,48 @@ class StatsSpec extends SparkSpec {
       s"p_milli=${row.getAs[Long]("p_milli")} under a null split")
   }
 
+  test("q358 CMH strata match a brute-force 2x2 model and the pooled " +
+    "chi-square is unremarkable under the null split") {
+    val rows = graft.operators.Stats.q358CmhTest(spark, sf1)
+      .orderBy("stratum").collect()
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select(expr("CAST(floor(value / 10) AS BIGINT)"),
+        (col("user_id") % 2), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val model = ev.groupBy(_._1).map { case (st, es) =>
+      st -> (es.count(e => e._2 == 1L && e._3 == "purchase").toLong,
+        es.count(_._2 == 1L).toLong,
+        es.count(_._3 == "purchase").toLong, es.length.toLong)
+    }
+    assert(rows.length === model.size)
+    val ppb = BigInt(1000000000L)
+    rows.foreach { r =>
+      val (a, r1, c1, nt) = model(r.getAs[Long]("stratum"))
+      assert(r.getAs[Long]("a_11") === a)
+      assert(r.getAs[Long]("r1") === r1)
+      assert(r.getAs[Long]("c1") === c1)
+      assert(r.getAs[Long]("nt") === nt)
+      assert(BigInt(r.getAs[Long]("e1_ppb")) === BigInt(c1) * r1 * ppb / nt)
+      assert(BigInt(r.getAs[Long]("v1_ppb")) ===
+        BigInt(c1) * (nt - c1) * r1 * (nt - r1) * ppb /
+          (BigInt(nt) * nt * math.max(nt - 1, 1)))
+      assert(BigInt(r.getAs[Long]("or_num_ppb")) ===
+        BigInt(a) * (nt - r1 - c1 + a) * ppb / nt)
+      assert(BigInt(r.getAs[Long]("or_den_ppb")) ===
+        BigInt(r1 - a) * (c1 - a) * ppb / nt)
+    }
+    // consumer fold: CMH chi-square with continuity correction
+    val sa = rows.map(_.getAs[Long]("a_11")).sum.toDouble
+    val se = rows.map(_.getAs[Long]("e1_ppb")).sum / 1e9
+    val sv = rows.map(_.getAs[Long]("v1_ppb")).sum / 1e9
+    val chi = math.pow(math.abs(sa - se) - 0.5, 2) / sv
+    assert(chi < 15.0, s"null split should not produce chi=$chi")
+    // and the MH odds ratio sits near 1 under the null
+    val orMh = rows.map(_.getAs[Long]("or_num_ppb")).sum.toDouble /
+      rows.map(_.getAs[Long]("or_den_ppb")).sum
+    assert(orMh > 0.5 && orMh < 2.0, s"OR_MH=$orMh")
+  }
+
   test("q339 log-rank matches a brute-force survival model") {
     val rows = graft.operators.Stats.q339LogRank(spark, sf1)
       .orderBy("d").collect()
