@@ -2372,6 +2372,109 @@ object Stats {
             AS or_den_ppb
         FROM cells"""
 
+  // ------------------------------------------------------------ q359
+
+  /** q359's AUC as a double sub-expression over {u2, npos, nneg}. */
+  private def aucExpr: String =
+    "(CAST(u2 AS DOUBLE) / (2.0 * npos * nneg))"
+
+  /** DeLong standard error over the exact moments: S₁₀ = (Σp² −
+    * n·AUC²)/(n−1) with Σp² carried as the exact integer s10sq/(2m)²,
+    * symmetrically for S₀₁; SE = √(S₁₀/n + S₀₁/m). */
+  private def delongSeExpr: String =
+    s"""sqrt(
+        ((CAST(s10sq AS DOUBLE)
+            / (4.0 * CAST(nneg AS DOUBLE) * nneg)
+          - npos * ($aucExpr * $aucExpr)) / (npos - 1.0)) / npos
+      + ((CAST(s01sq AS DOUBLE)
+            / (4.0 * CAST(npos AS DOUBLE) * npos)
+          - nneg * ($aucExpr * $aucExpr)) / (nneg - 1.0)) / nneg)"""
+
+  /** q359 — DELONG VARIANCE AND CI FOR THE AUC (DeLong, DeLong &
+    * Clarke-Pearson 1988 — the number q187's exact point estimate
+    * lacks: an AUC of 0.61 means nothing without its standard error,
+    * and DeLong's placement-value variance is the nonparametric
+    * standard every model-eval report quotes). Exactness: each
+    * positive's placement value (fraction of negatives below, ties ½)
+    * is the integer (2·cnb + cn) over the common denominator 2m — so
+    * Σp (= q187's u2 kernel) and Σp² (= s10sq, the NEW second moment:
+    * Σ cp·(2·cnb + cn)², widened — it reaches ~10²⁰ at sf1) are EXACT
+    * integers off the same value census, symmetrically for negatives
+    * (2·(npos − cpb − cp) + cp over 2n); only the final SE/CI is a
+    * shared-text double over those integers. Released: {npos, nneg,
+    * u2, auc_ppb, se_ppb, ci_lo_ppb, ci_hi_ppb} (±1.96·SE). Spec pins
+    * a brute-force per-observation placement model and the CI
+    * bracketing.
+    *
+    * Scale shape: q187's exactly — ONE corpus scan map-side combined
+    * into the value census; two cumsums and the moment fold ride the
+    * domain-bounded frame (q198/q132 argument). */
+  def q359AucDelong(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "events")
+      .select(floor(col("value") * 100).as("sc"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("pos"))
+      .groupBy("sc")
+      .agg(sum("pos").as("cp"), (count(lit(1)) - sum("pos")).as("cn"))
+    val w = Window.orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = census.agg(sum("cp").as("npos"), sum("cn").as("nneg"))
+    census
+      .withColumn("cnb", coalesce(sum("cn").over(w), lit(0L)))
+      .withColumn("cpb", coalesce(sum("cp").over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .agg(max("npos").as("npos"), max("nneg").as("nneg"),
+        sum(expr("cp * (2 * cnb + cn)")).as("u2"),
+        sum(expr("""CAST(cp AS DECIMAL(38,0))
+            * (2 * cnb + cn) * (2 * cnb + cn)""")).as("s10sq"),
+        sum(expr("""CAST(cn AS DECIMAL(38,0))
+            * (2 * (npos - cpb - cp) + cp)
+            * (2 * (npos - cpb - cp) + cp)""")).as("s01sq"))
+      .select(col("npos"), col("nneg"), col("u2"),
+        expr(s"CAST(floor($aucExpr * 1000000000) AS BIGINT)")
+          .as("auc_ppb"),
+        expr(s"CAST(floor($delongSeExpr * 1000000000) AS BIGINT)")
+          .as("se_ppb"),
+        expr(s"""CAST(floor(($aucExpr - 1.96 * $delongSeExpr)
+               * 1000000000) AS BIGINT)""").as("ci_lo_ppb"),
+        expr(s"""CAST(floor(($aucExpr + 1.96 * $delongSeExpr)
+               * 1000000000) AS BIGINT)""").as("ci_hi_ppb"))
+  }
+
+  private def q359OracleSql: String =
+    s"""WITH v AS (SELECT CAST(floor(value * 100) AS BIGINT) sc,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END pos
+        FROM events),
+        census AS (SELECT sc, CAST(sum(pos) AS BIGINT) cp,
+            CAST(count(*) - sum(pos) AS BIGINT) cn
+          FROM v GROUP BY sc),
+        cum AS (SELECT sc, cp, cn,
+            CAST(COALESCE(sum(cn) OVER (ORDER BY sc
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cnb,
+            CAST(COALESCE(sum(cp) OVER (ORDER BY sc
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cpb
+          FROM census),
+        tot AS (SELECT CAST(sum(cp) AS BIGINT) npos,
+          CAST(sum(cn) AS BIGINT) nneg FROM census),
+        agg AS (SELECT max(npos) AS npos, max(nneg) AS nneg,
+            CAST(sum(cp * (2 * cnb + cn)) AS BIGINT) AS u2,
+            CAST(sum(CAST(cp AS HUGEINT)
+              * (2 * cnb + cn) * (2 * cnb + cn)) AS HUGEINT) AS s10sq,
+            CAST(sum(CAST(cn AS HUGEINT)
+              * (2 * (npos - cpb - cp) + cp)
+              * (2 * (npos - cpb - cp) + cp)) AS HUGEINT) AS s01sq
+          FROM cum CROSS JOIN tot)
+        SELECT npos, nneg, u2,
+          CAST(floor($aucExpr * 1000000000) AS BIGINT) AS auc_ppb,
+          CAST(floor($delongSeExpr * 1000000000) AS BIGINT) AS se_ppb,
+          CAST(floor(($aucExpr - 1.96 * $delongSeExpr) * 1000000000)
+            AS BIGINT) AS ci_lo_ppb,
+          CAST(floor(($aucExpr + 1.96 * $delongSeExpr) * 1000000000)
+            AS BIGINT) AS ci_hi_ppb
+        FROM agg"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2403,7 +2506,8 @@ object Stats {
     "q354_james_stein" -> (q354JamesStein _),
     "q355_block_bootstrap" -> (q355BlockBootstrap _),
     "q357_permutation_test" -> (q357PermutationTest _),
-    "q358_cmh_test" -> (q358CmhTest _))
+    "q358_cmh_test" -> (q358CmhTest _),
+    "q359_auc_delong" -> (q359AucDelong _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -2434,5 +2538,6 @@ object Stats {
     "q354_james_stein" -> q354OracleSql,
     "q355_block_bootstrap" -> q355OracleSql,
     "q357_permutation_test" -> q357OracleSql,
-    "q358_cmh_test" -> q358OracleSql)
+    "q358_cmh_test" -> q358OracleSql,
+    "q359_auc_delong" -> q359OracleSql)
 }

@@ -1547,6 +1547,55 @@ class StatsSpec extends SparkSpec {
     assert(orMh > 0.5 && orMh < 2.0, s"OR_MH=$orMh")
   }
 
+  test("q359 DeLong AUC variance matches a brute-force placement model") {
+    val row = graft.operators.Stats.q359AucDelong(spark, sf1).head()
+    val data = graft.sources.Tables.load(spark, sf1, "events")
+      .select(expr("CAST(floor(value * 100) AS BIGINT)"),
+        (col("event_type") === "purchase"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val pos = data.filter(_._2).map(_._1)
+    val neg = data.filterNot(_._2).map(_._1)
+    val (n, m) = (pos.length, neg.length)
+    assert(row.getAs[Long]("npos") === n.toLong)
+    assert(row.getAs[Long]("nneg") === m.toLong)
+    // placements over the common 2m / 2n denominators, exactly
+    val negSorted = neg.sorted
+    val posSorted = pos.sorted
+    def below(sorted: Array[Long], v: Long): (Long, Long) = {
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) { val md = (lo + hi) / 2
+        if (sorted(md) < v) lo = md + 1 else hi = md }
+      var hi2 = sorted.length; var lo2 = lo
+      while (lo2 < hi2) { val md = (lo2 + hi2) / 2
+        if (sorted(md) <= v) lo2 = md + 1 else hi2 = md }
+      (lo.toLong, (lo2 - lo).toLong)
+    }
+    val p10 = pos.map { v =>
+      val (b, t) = below(negSorted, v); 2 * b + t }
+    val p01 = neg.map { v =>
+      val (b, t) = below(posSorted, v)
+      val above = n - b - t
+      2 * above + t }
+    assert(row.getAs[Long]("u2") === p10.sum)
+    val auc = p10.sum.toDouble / (2.0 * n * m)
+    assert(row.getAs[Long]("auc_ppb") ===
+      math.floor(auc * 1e9).toLong)
+    val s10 = (p10.map(p => BigInt(p) * p).sum.toDouble /
+      (4.0 * m.toDouble * m) - n * (auc * auc)) / (n - 1.0)
+    val s01 = (p01.map(p => BigInt(p) * p).sum.toDouble /
+      (4.0 * n.toDouble * n) - m * (auc * auc)) / (m - 1.0)
+    val se = math.sqrt(s10 / n + s01 / m)
+    // the engine computes the same formula from the same exact
+    // integers but in a different double op order (census fold vs
+    // per-observation fold), so compare at ppb with 2-ulp slack
+    assert(math.abs(row.getAs[Long]("se_ppb") -
+      math.floor(se * 1e9).toLong) <= 2L,
+      s"se got=${row.getAs[Long]("se_ppb")} model=${se * 1e9}")
+    assert(row.getAs[Long]("ci_lo_ppb") <= row.getAs[Long]("auc_ppb"))
+    assert(row.getAs[Long]("ci_hi_ppb") >= row.getAs[Long]("auc_ppb"))
+    assert(row.getAs[Long]("se_ppb") > 0L)
+  }
+
   test("q339 log-rank matches a brute-force survival model") {
     val rows = graft.operators.Stats.q339LogRank(spark, sf1)
       .orderBy("d").collect()
