@@ -104,7 +104,13 @@ object Scaling {
     // census-family grounds; q347 is the streaming twin of q343.
     "q338_capture_recapture", "q339_logrank", "q341_textrank",
     "q344_cka_prefix", "q346_vocab_growth", "q350_fellegi_sunter",
-    "q351_power_iteration")
+    "q351_power_iteration",
+    // q352-q359 late additions: q356 carries the signature-blocked
+    // name join (q194's volume law), q357 the B-way relabeling
+    // explode over the user frame. The rest are census/scalar-bounded
+    // (source / value-band / day frames) and excluded on the standing
+    // grounds; q353 is q346's streaming twin.
+    "q356_typo_join_dl", "q357_permutation_test")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",
