@@ -2475,6 +2475,272 @@ object Stats {
             AS BIGINT) AS ci_hi_ppb
         FROM agg"""
 
+  // ------------------------------------------------------------ q360
+
+  /** q360 nation pair: two fixed nations with supplier presence at
+    * every SF (the generator seeds suppliers sparsely at sf0.001;
+    * nations 3 and 13 both carry one there). */
+  val TradeNationA = "NATION_3"
+  val TradeNationB = "NATION_13"
+
+  /** q360 — NATION TRADE VOLUME, the TPC-H Q7 shape (revenue shipped
+    * between two specific nations, BOTH directions kept separate, by
+    * ship year — the bilateral-flow report; with Q3/Q5/Q8/Q10/Q14
+    * (q328/q311/q305/q329/q312) this completes the classic star-join
+    * portfolio's two-dimension-path member: supplier nation AND
+    * customer nation constrain the SAME fact row through different
+    * join paths). Revenue exact as cents·bp (q305 discipline).
+    *
+    * Scale shape: nation is broadcast at both ends; the nation filter
+    * prunes supplier to a broadcast-sized build side BEFORE lineitem
+    * touches it (at 100 TB supplier is fact-scale, but the two-nation
+    * slice of it is not — the filter, not the table, sizes the build);
+    * customer prunes the orders side the same way; lineitem⋈orders
+    * shuffles on orderkey. One |2×years|-row aggregate. */
+  def q360TradeVolume(s: SparkSession, dir: String): DataFrame = {
+    val nat = t(s, dir, "nation")
+      .filter(col("n_name").isin(TradeNationA, TradeNationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = t(s, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"),
+        (expr("CAST(floor(l_extendedprice * 100) AS BIGINT)") *
+          (lit(10000L) - expr("CAST(floor(l_discount * 10000) AS BIGINT)")))
+          .as("rev"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("rev").cast("decimal(38,0)")).as("r38"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        col("n_lines"), col("r38").cast("bigint").as("revenue"))
+  }
+
+  private def q360OracleSql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          CAST(count(*) AS BIGINT) AS n_lines,
+          CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+            * (10000 - CAST(floor(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('$TradeNationA', '$TradeNationB')
+          AND n2.n_name IN ('$TradeNationA', '$TradeNationB')
+          AND n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3"""
+
+  // ------------------------------------------------------------ q361
+
+  /** q361 brand slice (Brand#7 carries ~140 lineitems at sf0.001). */
+  val SmallQtyBrand = "Brand#7"
+
+  /** q361 — SMALL-QUANTITY-ORDER REVENUE, the TPC-H Q17 shape (revenue
+    * locked in below-average-quantity lines of one brand's parts: for
+    * each part, lines with quantity under 20% of that part's average —
+    * the "would consolidating small orders matter?" estimate, and the
+    * portfolio's CORRELATED-AGGREGATE member: the filter threshold is
+    * itself an aggregate of the filtered table). The 20%-of-average
+    * comparison is exact integer cross-multiplication on the unit
+    * grid: qty < sum/(5·n) ⇔ 5·n·qty < sum (quantities are integral
+    * units; sums/counts exact BIGINTs) — no division enters.
+    *
+    * Scale shape: the brand filter prunes part to a broadcast build
+    * side; the per-part average needs lineitem grouped by partkey —
+    * the SAME key the verdict join uses, so the exchange is reused
+    * (one partkey shuffle total, brand-pruned before it). Output is a
+    * single audit row {n_small, revenue_cents}. */
+  def q361SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val pk = t(s, dir, "part")
+      .filter(col("p_brand") === SmallQtyBrand).select("p_partkey")
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_l"), sum("qty").as("s_q"))
+    li.join(perPart, Seq("l_partkey"))
+      .filter(lit(5L) * col("n_l") * col("qty") < col("s_q"))
+      .agg(count(lit(1)).as("n_small"),
+        sum("price_c").as("revenue_cents"))
+  }
+
+  private def q361OracleSql: String =
+    s"""WITH li AS (SELECT l_partkey,
+          CAST(l_quantity AS BIGINT) AS qty,
+          CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = '$SmallQtyBrand'),
+        pp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_l,
+          CAST(sum(qty) AS BIGINT) AS s_q FROM li GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_small,
+          CAST(sum(price_c) AS BIGINT) AS revenue_cents
+        FROM li JOIN pp USING (l_partkey)
+        WHERE 5 * n_l * qty < s_q"""
+
+  // ------------------------------------------------------------ q362
+
+  /** q362 threshold: 320 units keeps the census selective at every SF
+    * (sum-of-quantity per order peaks near 475; ~0.1–0.4% qualify). */
+  val LargeOrderQty = 320L
+
+  /** q362 — LARGE-VOLUME ORDERS, the TPC-H Q18 shape (orders whose
+    * TOTAL line quantity exceeds a threshold, with their customer —
+    * the bulk-buyer audit, and the portfolio's HAVING-over-join
+    * member: the group filter runs on the fact aggregate BEFORE the
+    * dimension joins). Quantities integral units, sums exact.
+    *
+    * Scale shape: lineitem groups by orderkey (one shuffle, map-side
+    * combined); the HAVING prunes to the qualifying sliver BEFORE
+    * orders/customer join it (orders joins on the SAME orderkey
+    * partitioning; the customer lookup joins a threshold-sized frame).
+    * Output is the qualifying census — output-bounded by the
+    * threshold, not the corpus. */
+  def q362LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("sum_qty"))
+      .filter(col("sum_qty") > LargeOrderQty)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("total_c"),
+        col("sum_qty"))
+  }
+
+  private def q362OracleSql: String =
+    s"""WITH big AS (SELECT l_orderkey,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS BIGINT)) > $LargeOrderQty)
+        SELECT c_name, o_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+          CAST(floor(o_totalprice * 100) AS BIGINT) AS total_c, sum_qty
+        FROM orders JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey"""
+
+  // ------------------------------------------------------------ q363
+
+  /** q363 — DISJUNCTIVE-PREDICATE REVENUE, the TPC-H Q19 shape (sum of
+    * discounted revenue over an OR of three (brand, size-range,
+    * quantity-range) conjunct groups — the optimizer-stressing member
+    * of the portfolio: a disjunction ACROSS join-side columns can't
+    * collapse to one pushable range, so the planner must push the
+    * union of the part-side slices into the build and leave the mixed
+    * residual above the join). Revenue exact as cents·bp.
+    *
+    * Scale shape: the part-side union filter (three brands) prunes the
+    * build to broadcast size; quantity conjuncts stay fact-side and
+    * push into the lineitem scan as one OR-range; the full disjunct
+    * evaluates post-join on resident columns. One audit row out. */
+  def q363DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        (expr("CAST(floor(l_extendedprice * 100) AS BIGINT)") *
+          (lit(10000L) - expr("CAST(floor(l_discount * 10000) AS BIGINT)")))
+          .as("rev"))
+      .filter(col("qty").between(1, 30))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("qty").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+          col("qty").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("qty").between(20, 30)))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("rev").cast("decimal(38,0)")).as("r38"))
+      .select(col("n_lines"), col("r38").cast("bigint").as("revenue"))
+  }
+
+  private def q363OracleSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+          CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+            * (10000 - CAST(floor(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+            AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+            AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+            AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)"""
+
+  // ------------------------------------------------------------ q364
+
+  /** q364 lapse cutoff: no orders on/after this date = lapsed (the
+    * order span runs 1995-01-01..2001-08-01; the last 2.5 years). */
+  val LapsedCutoff = "1999-01-01"
+
+  /** q364 — LAPSED HIGH-BALANCE CUSTOMERS, the TPC-H Q22 shape adapted
+    * to this schema (customers whose balance beats the positive-balance
+    * average but who placed NO order since [[LapsedCutoff]], counted
+    * per nation — the sales-opportunity report; the portfolio's
+    * ANTI-JOIN + SCALAR-SUBQUERY member; adapted because this
+    * generator gives every customer at least one lifetime order, so
+    * the idle test is time-windowed rather than existential). The
+    * above-average comparison is exact cross-multiplication on the
+    * cents grid: bal·n_pos > s_pos (both sides BIGINT).
+    *
+    * Scale shape: the scalar {n_pos, s_pos} is one map-side-combined
+    * aggregate broadcast to the filter; the anti-join shuffles
+    * customer against date-pruned orders on custkey (the date filter
+    * pushes into the orders scan); nation is broadcast. |nations|-row
+    * output. */
+  def q364LapsedCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("bal_c"))
+    val avgPos = cust.filter(col("bal_c") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum("bal_c").as("s_pos"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(LapsedCutoff).cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(avgPos))
+      .filter(col("bal_c") * col("n_pos") > col("s_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), sum("bal_c").as("bal_cents"))
+  }
+
+  private def q364OracleSql: String =
+    s"""WITH cust AS (SELECT c_custkey, c_nationkey,
+          CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+        ap AS (SELECT CAST(count(*) AS BIGINT) AS n_pos,
+          CAST(sum(bal_c) AS BIGINT) AS s_pos FROM cust WHERE bal_c > 0)
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+          CAST(sum(bal_c) AS BIGINT) AS bal_cents
+        FROM cust CROSS JOIN ap
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE bal_c * n_pos > s_pos
+          AND NOT EXISTS (SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '$LapsedCutoff 00:00:00')
+        GROUP BY n_name"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2507,7 +2773,12 @@ object Stats {
     "q355_block_bootstrap" -> (q355BlockBootstrap _),
     "q357_permutation_test" -> (q357PermutationTest _),
     "q358_cmh_test" -> (q358CmhTest _),
-    "q359_auc_delong" -> (q359AucDelong _))
+    "q359_auc_delong" -> (q359AucDelong _),
+    "q360_trade_volume" -> (q360TradeVolume _),
+    "q361_small_qty_revenue" -> (q361SmallQtyRevenue _),
+    "q362_large_orders" -> (q362LargeOrders _),
+    "q363_disjunctive_revenue" -> (q363DisjunctiveRevenue _),
+    "q364_lapsed_customers" -> (q364LapsedCustomers _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -2539,5 +2810,10 @@ object Stats {
     "q355_block_bootstrap" -> q355OracleSql,
     "q357_permutation_test" -> q357OracleSql,
     "q358_cmh_test" -> q358OracleSql,
-    "q359_auc_delong" -> q359OracleSql)
+    "q359_auc_delong" -> q359OracleSql,
+    "q360_trade_volume" -> q360OracleSql,
+    "q361_small_qty_revenue" -> q361OracleSql,
+    "q362_large_orders" -> q362OracleSql,
+    "q363_disjunctive_revenue" -> q363OracleSql,
+    "q364_lapsed_customers" -> q364OracleSql)
 }

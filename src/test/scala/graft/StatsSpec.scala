@@ -1741,4 +1741,103 @@ class StatsSpec extends SparkSpec {
       (1.0 - ties.toDouble / (n.toDouble * n * n - n))
     assert(row.getAs[Long]("h_ppm") === math.floor(h * 1e6).toLong)
   }
+
+  test("q360 trade volume: both directions, no diagonal, span years") {
+    val rows = Stats.q360TradeVolume(spark, sf1).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r =>
+      (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation")))
+    val legal = Set((Stats.TradeNationA, Stats.TradeNationB),
+      (Stats.TradeNationB, Stats.TradeNationA))
+    assert(pairs.toSet.subsetOf(legal))
+    assert(pairs.toSet.size === 2, "both flow directions must appear")
+    rows.foreach { r =>
+      val y = r.getAs[Long]("l_year")
+      assert(y >= 1995L && y <= 2001L)
+      assert(r.getAs[Long]("revenue") > 0L)
+      assert(r.getAs[Long]("n_lines") > 0L)
+    }
+  }
+
+  test("q361 small-qty revenue matches a brute-force per-part model") {
+    val row = Stats.q361SmallQtyRevenue(spark, sf1).head()
+    val part = graft.sources.Tables.load(spark, sf1, "part")
+      .filter(col("p_brand") === Stats.SmallQtyBrand)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select(col("l_partkey"), expr("CAST(l_quantity AS BIGINT)"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(t => part(t._1))
+    val byPart = li.groupBy(_._1)
+    val small = li.filter { case (pk, q, _) =>
+      val g = byPart(pk)
+      5L * g.length * q < g.map(_._2).sum
+    }
+    assert(row.getAs[Long]("n_small") === small.length.toLong)
+    assert(row.getAs[Long]("revenue_cents") === small.map(_._3).sum)
+  }
+
+  test("q362 large orders: exactly the above-threshold census") {
+    val rows = Stats.q362LargeOrders(spark, sf1).collect()
+    val model = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select(col("l_orderkey"), expr("CAST(l_quantity AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter(_._2 > Stats.LargeOrderQty).toMap
+    assert(rows.length === model.size)
+    rows.foreach { r =>
+      assert(model(r.getAs[Long]("o_orderkey")) === r.getAs[Long]("sum_qty"))
+      assert(r.getAs[Long]("sum_qty") > Stats.LargeOrderQty)
+      assert(r.getAs[Long]("total_c") > 0L)
+    }
+  }
+
+  test("q363 disjunctive revenue matches a brute-force filter model") {
+    val row = Stats.q363DisjunctiveRevenue(spark, sf1).head()
+    val pattr = graft.sources.Tables.load(spark, sf1, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    val hits = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select(col("l_partkey"), expr("CAST(l_quantity AS BIGINT)"),
+        expr("""CAST(floor(l_extendedprice * 100) AS BIGINT)
+          * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))"""))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (pk, q, _) =>
+        val (b, sz) = pattr(pk)
+        (b == "Brand#12" && sz >= 1 && sz <= 15 && q >= 1 && q <= 11) ||
+        (b == "Brand#23" && sz >= 10 && sz <= 30 && q >= 10 && q <= 20) ||
+        (b == "Brand#3" && sz >= 20 && sz <= 50 && q >= 20 && q <= 30)
+      }
+    assert(row.getAs[Long]("n_lines") === hits.length.toLong)
+    assert(row.getAs[Long]("revenue") === hits.map(_._3).sum)
+  }
+
+  test("q364 lapsed customers matches a brute-force anti-join model") {
+    val rows = Stats.q364LapsedCustomers(spark, sf1).collect()
+    val cust = graft.sources.Tables.load(spark, sf1, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long"),
+        expr("CAST(floor(c_acctbal * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pos = cust.map(_._3).filter(_ > 0L)
+    val (nPos, sPos) = (pos.length.toLong, pos.sum)
+    val recent = graft.sources.Tables.load(spark, sf1, "orders")
+      .filter(col("o_orderdate") >=
+        lit(Stats.LapsedCutoff).cast("timestamp"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val natName = graft.sources.Tables.load(spark, sf1, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lapsed = cust.filter(c =>
+      c._3 * nPos > sPos && !recent(c._1))
+    val model = lapsed.groupBy(c => natName(c._2)).view
+      .mapValues(g => (g.length.toLong, g.map(_._3).sum)).toMap
+    assert(rows.length === model.size)
+    rows.foreach { r =>
+      val (cnt, bal) = model(r.getAs[String]("n_name"))
+      assert(r.getAs[Long]("n_cust") === cnt)
+      assert(r.getAs[Long]("bal_cents") === bal)
+    }
+  }
 }
