@@ -692,7 +692,67 @@ object Graph {
                  // (deg.deg * (deg.deg - 1)) END AS cc_ppm
         FROM deg LEFT JOIN tri ON tri.ctr = deg.src"""
 
+  // ------------------------------------------------------------ q365
+
+  /** q365 — HITS HUBS & AUTHORITIES over the bipartite customer↔part
+    * purchase graph (Kleinberg's mutual-reinforcement ranking: a part
+    * is authoritative when BROAD buyers buy it, a customer is a hub
+    * when it buys authoritative parts — the recommender-bootstrap
+    * signal PageRank (q99) can't express because importance must flow
+    * across the two node classes, not within one). Two full unscaled
+    * iterations, ALL INTEGER: a₁(p) = deg(p), h₁(c) = Σ_{p∈N(c)} a₁,
+    * a₂(p) = Σ_{c∈N(p)} h₁, h₂(c) = Σ_{p∈N(c)} a₂ — on a bipartite
+    * graph the unnormalized iterate differs from normalized HITS only
+    * by a global factor, so the integer fixed-order ranking IS the
+    * HITS ranking at this depth, with no float normalization to drift
+    * cross-engine (q99's fixed-point discipline, taken further: exact).
+    * Released: every node with its class and depth-2 score.
+    *
+    * Scale shape: edges = one orderkey-co-partitioned fact join +
+    * distinct (one exchange); each iteration is one key-partitioned
+    * join + map-side-combined sum — four p/c-keyed shuffles total,
+    * edges cached and never re-derived. Magnitude: scores grow one
+    * degree factor per iteration (h₂ ~ d_c²·d_p²); BIGINT-safe through
+    * ~sf100, the aggregate is DECIMAL(38,0)-widened and narrowed on
+    * release so an overflow would surface as a cast error, not wrap. */
+  def q365Hits(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey").as("p"))
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("c", "p").distinct().cache()
+    val a1 = edges.groupBy("p").agg(count(lit(1)).as("s1"))
+    val h1 = edges.join(a1, "p").groupBy("c")
+      .agg(sum("s1").as("s1"))
+    val a2 = edges.join(h1, "c").groupBy("p")
+      .agg(sum(col("s1").cast("decimal(38,0)")).cast("bigint").as("s2"))
+    val h2 = edges.join(a2, "p").groupBy("c")
+      .agg(sum(col("s2").cast("decimal(38,0)")).cast("bigint").as("s2"))
+    val out = a2.select(lit("part").as("node_type"),
+        col("p").as("node_id"), col("s2").as("score"))
+      .unionByName(h2.select(lit("cust").as("node_type"),
+        col("c").as("node_id"), col("s2").as("score")))
+    out
+  }
+
+  private def q365OracleSql: String =
+    """WITH edges AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        a1 AS (SELECT p, CAST(count(*) AS BIGINT) AS s1
+          FROM edges GROUP BY p),
+        h1 AS (SELECT c, CAST(sum(s1) AS BIGINT) AS s1
+          FROM edges JOIN a1 USING (p) GROUP BY c),
+        a2 AS (SELECT p, CAST(sum(s1) AS BIGINT) AS s2
+          FROM edges JOIN h1 USING (c) GROUP BY p),
+        h2 AS (SELECT c, CAST(sum(s2) AS BIGINT) AS s2
+          FROM edges JOIN a2 USING (p) GROUP BY c)
+        SELECT 'part' AS node_type, p AS node_id, s2 AS score FROM a2
+        UNION ALL
+        SELECT 'cust' AS node_type, c AS node_id, s2 AS score FROM h2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q365_hits" -> (q365Hits _),
     "q282_clustering_coeff" -> (q282ClusteringCoeff _),
     "q261_harmonic_2hop" -> (q261Harmonic2Hop _),
     "q234_sssp" -> (q234Sssp _),
@@ -703,6 +763,7 @@ object Graph {
     "q155_kcore" -> (q155KCore _))
 
   val oracleSql: Map[String, String] = Map(
+    "q365_hits" -> q365OracleSql,
     "q282_clustering_coeff" -> q282OracleSql,
     "q261_harmonic_2hop" -> q261OracleSql,
     "q234_sssp" -> q234OracleSql,

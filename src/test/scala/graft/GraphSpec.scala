@@ -242,4 +242,31 @@ class GraphSpec extends SparkSpec {
       assert(cc >= 0L && cc <= 1000000L)
     }
   }
+
+  test("q365 HITS matches a brute-force two-iteration integer model") {
+    val rows = Graph.q365Hits(spark, sf1).collect()
+      .map(r => (r.getAs[String]("node_type"), r.getAs[Long]("node_id"),
+        r.getAs[Long]("score")))
+    val li = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ordCust = graft.sources.Tables.load(spark, sf1, "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_custkey"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = li.map { case (ok, pk) => (ordCust(ok), pk) }.distinct
+    val byC = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val byP = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val a1 = byP.view.mapValues(_.length.toLong).toMap
+    val h1 = byC.view.mapValues(_.map(a1).sum).toMap
+    val a2 = byP.view.mapValues(_.map(h1).sum).toMap
+    val h2 = byC.view.mapValues(_.map(a2).sum).toMap
+    val parts = rows.filter(_._1 == "part").map(r => r._2 -> r._3).toMap
+    val custs = rows.filter(_._1 == "cust").map(r => r._2 -> r._3).toMap
+    assert(parts === a2.toMap)
+    assert(custs === h2.toMap)
+    // mutual reinforcement sanity: scores strictly positive
+    assert(rows.forall(_._3 > 0L))
+  }
 }
