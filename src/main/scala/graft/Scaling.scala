@@ -110,7 +110,16 @@ object Scaling {
     // explode over the user frame. The rest are census/scalar-bounded
     // (source / value-band / day frames) and excluded on the standing
     // grounds; q353 is q346's streaming twin.
-    "q356_typo_join_dl", "q357_permutation_test")
+    "q356_typo_join_dl", "q357_permutation_test",
+    // round-9 session-5 additions: the TPC-H portfolio completions all
+    // carry fact joins (Q7 two-dimension-path star, Q17 correlated
+    // partkey agg, Q18 HAVING-over-join, Q19 broadcast disjunct scan,
+    // Q22 date-pruned anti-join)
+    "q360_trade_volume", "q361_small_qty_revenue", "q362_large_orders",
+    "q363_disjunctive_revenue", "q364_lapsed_customers",
+    // q365 is four fact-keyed shuffles (bipartite HITS); q366 runs the
+    // star-contraction CC over q231's band pairs
+    "q365_hits", "q366_phash_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",

@@ -645,8 +645,11 @@ object Multimodal {
       .filter(col("hamming") <= PhashRadius)
   }
 
-  private def q231OracleSql: String =
-    s"""WITH base AS (SELECT doc_id AS asset_id, text FROM documents),
+  /** q231's oracle CTE chain up through the verified candidate set —
+    * shared with q366's recursive clustering so the two differentials
+    * pin the SAME hash/band/verify semantics. */
+  private def phashCtes: String =
+    s"""base AS (SELECT doc_id AS asset_id, text FROM documents),
         pert AS (SELECT asset_id + $PhashOffset AS asset_id,
             substr(text, 1, strlen(text) // 2) || 'x'
               || substr(text, strlen(text) // 2 + 2) AS text
@@ -682,9 +685,53 @@ object Multimodal {
               + bit_count(xor(x.h1, y.h1)) AS BIGINT) AS hamming
           FROM bands x JOIN bands y
             ON x.band = y.band AND x.bkey = y.bkey
-              AND x.asset_id < y.asset_id)
+              AND x.asset_id < y.asset_id)"""
+
+  private def q231OracleSql: String =
+    s"""WITH $phashCtes
         SELECT asset_id_1, asset_id_2, hamming FROM cand
         WHERE hamming <= $PhashRadius"""
+
+  /** q366 — MEDIA DUPLICATE CLUSTERS: connected components over q231's
+    * verified pHash pairs (the asset-level resolution step image/video
+    * dedup needs after pairwise candidates — "these 5 uploads are the
+    * same picture" is a CLUSTER fact, not a pair fact: pair lists
+    * double-count transitively (A~B, B~C but A–C beyond radius), and
+    * survivor election / canonical-asset pointers need one label per
+    * asset. The multimodal twin of q63's text clusters, over the
+    * band-join candidates instead of MinHash's). Every asset (base AND
+    * perturbed twin) gets a label; singletons self-label. By the q231
+    * construction each planted twin lands in its base's cluster, so
+    * cluster count = base assets and the spec pins it.
+    *
+    * Scale shape: pairs from the banded equi-join (measured linear,
+    * SCALING.md q231 row); clustering is [[Dedup.connectedComponentsStar]]
+    * — O(log n) star-contraction rounds, one node-keyed shuffle each;
+    * payload bytes never shuffle (the 16-byte signature pass is q231's).
+    * Oracle: the SAME CTE chain + a recursive min-label fixpoint. */
+  def q366PhashClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = assets(s, dir).map(_.asset_id).toDF("doc_id")
+    val nodes = ids.unionByName(
+      ids.select((col("doc_id") + PhashOffset).as("doc_id")))
+    val pairs = q231PayloadPhash(s, dir)
+      .select(col("asset_id_1").as("doc_id_1"),
+        col("asset_id_2").as("doc_id_2"))
+    Dedup.connectedComponentsStar(nodes, pairs)
+      .select(col("doc_id").as("asset_id"), col("cluster"))
+  }
+
+  private def q366OracleSql: String =
+    s"""WITH RECURSIVE $phashCtes,
+        prs AS (SELECT asset_id_1, asset_id_2 FROM cand
+          WHERE hamming <= $PhashRadius),
+        eds AS (SELECT asset_id_1 AS s, asset_id_2 AS d FROM prs
+          UNION ALL SELECT asset_id_2, asset_id_1 FROM prs),
+        reach(a, lab) AS (
+          SELECT asset_id, asset_id FROM u
+          UNION
+          SELECT e.s, r.lab FROM eds e JOIN reach r ON r.a = e.d)
+        SELECT a AS asset_id, min(lab) AS cluster FROM reach GROUP BY a"""
 
   /** q254 geometry and threshold: 12 frames of 64 bytes per audio
     * asset; a frame is SILENT when its mean byte ×100 sits under 9300
@@ -956,6 +1003,7 @@ object Multimodal {
     "q270_payload_collision" -> (q270PayloadCollision _),
     "q254_silence_segments" -> (q254SilenceSegments _),
     "q231_payload_phash" -> (q231PayloadPhash _),
+    "q366_phash_clusters" -> (q366PhashClusters _),
     "q220_hist_equalize" -> (q220HistEqualize _),
     "q216_cdc_chunk_dedup" -> (q216CdcChunkDedup _),
     "q118_resize_meta" -> (q118ResizeMeta _),
@@ -970,6 +1018,7 @@ object Multimodal {
     "q270_payload_collision" -> q270OracleSql,
     "q254_silence_segments" -> q254OracleSql,
     "q231_payload_phash" -> q231OracleSql,
+    "q366_phash_clusters" -> q366OracleSql,
     "q220_hist_equalize" -> q220OracleSql,
     "q216_cdc_chunk_dedup" -> q216OracleSql,
     "q118_resize_meta" -> q118OracleSql,

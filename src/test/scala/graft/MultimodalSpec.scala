@@ -247,4 +247,37 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(r => r._2 - r._3).sum > 0L,
       "no duplicate frame anywhere — the signature lost its signal")
   }
+
+  test("q366 clusters: every planted twin joins its base; labels are " +
+      "component minima of the q231 pair graph") {
+    val labels = Multimodal.q366PhashClusters(spark, sf1).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Long]("cluster"))
+      .toMap
+    val nBase = labels.keySet.count(_ < Multimodal.PhashOffset)
+    assert(labels.size === 2 * nBase, "base + one twin per asset")
+    // recall-by-construction (q231's ≤2-flip guarantee): each twin is
+    // in the same component as its base
+    labels.keysIterator.filter(_ >= Multimodal.PhashOffset).foreach {
+      id => assert(labels(id) === labels(id - Multimodal.PhashOffset),
+        s"twin $id split from its base")
+    }
+    // labels are the component minimum over the verified pair graph
+    val pairs = Multimodal.q231PayloadPhash(spark, sf1).collect()
+      .map(r => (r.getAs[Long]("asset_id_1"), r.getAs[Long]("asset_id_2")))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    def comp(seed: Long): Set[Long] = {
+      var seen = Set(seed); var frontier = List(seed)
+      while (frontier.nonEmpty) {
+        val nxt = frontier
+          .flatMap(adj.getOrElse(_, Array.empty[Long]))
+          .filterNot(seen)
+        seen ++= nxt; frontier = nxt
+      }
+      seen
+    }
+    labels.foreach { case (id, lab) =>
+      assert(lab === comp(id).min, s"asset $id label not component min")
+    }
+  }
 }
