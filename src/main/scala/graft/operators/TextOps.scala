@@ -2121,7 +2121,98 @@ object TextOps {
         WINDOW w AS (ORDER BY tc.b
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
+  // ------------------------------------------------------------ q367
+
+  /** q367 fit width: the head of the rank-frequency curve (the Zipf
+    * regime; the tail bends away and would bias the slope). */
+  val ZipfTopV = 1000
+
+  /** q367's least-squares pieces as shared-text doubles over the exact
+    * integer log-moment sums (each int64 → double cast is one
+    * correctly-rounded IEEE operation, deterministic cross-engine).
+    * slope = (V·Σxy − Σx·Σy) / (V·Σxx − Σx²); intercept = (Σy −
+    * slope·Σx)/V — computed inline so both releases share one text. */
+  private def zipfSlopeExpr: String =
+    """((CAST(v AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       / (CAST(v AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"""
+
+  /** q367 — ZIPF RANK-FREQUENCY FIT over the word-frequency census
+    * (the power-law exponent s in f(r) ∝ r^(−s): the companion report
+    * to q346's Heaps curve — Heaps says whether new data brings new
+    * TYPES, Zipf says how mass concentrates in the head, the
+    * first-order statistic behind vocabulary truncation (q136), token
+    * budgeting, and "is this corpus natural language or boilerplate?"
+    * triage (natural text sits near s ≈ 1; templated spam skews far
+    * steeper)). OLS of ln f on ln r over the top-[[ZipfTopV]] ranks
+    * (freq DESC, word ASC tie-break — deterministic). Exactness: the
+    * per-rank logs are FLOORED TO THE ×10⁶ GRID first (q331's
+    * floor-at-cell convention — ln of an exact integer, one libm call
+    * per cell), so the moment sums {Σx, Σy, Σxx, Σxy} are exact
+    * BIGINTs; slope/intercept are shared-text doubles over them.
+    * Released: {v, n_types, n_tokens, sx, sy, sxx, sxy, slope_ppm,
+    * intercept_ppm} — the fit is reconstructible from the released
+    * integers to the last bit.
+    *
+    * Scale shape: one token-census shuffle (map-side combined,
+    * vocab-bounded); the rank window and moment fold ride the ≤V-row
+    * head of the census (global Window over a LIMIT-sized frame — the
+    * q168 domain-bound convention); corpus touched once. */
+  def q367ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val tot = census.agg(count(lit(1)).as("n_types"),
+      sum("f").as("n_tokens"))
+    val head = census
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("f").desc, col("w"))))
+      .filter(col("r") <= ZipfTopV)
+      .select(
+        expr("CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("lx"),
+        expr("CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("ly"))
+    head.agg(count(lit(1)).as("v"), sum("lx").as("sx"),
+        sum("ly").as("sy"), sum(expr("lx * lx")).as("sxx"),
+        sum(expr("lx * ly")).as("sxy"))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("n_types"), col("n_tokens"),
+        col("sx"), col("sy"), col("sxx"), col("sxy"),
+        expr(s"CAST(floor($zipfSlopeExpr * 1000000) AS BIGINT)")
+          .as("slope_ppm"),
+        expr(s"""CAST(floor((CAST(sy AS DOUBLE) / v
+            - $zipfSlopeExpr * (CAST(sx AS DOUBLE) / v)) * 1000000)
+            AS BIGINT)""").as("intercept_ppm"))
+  }
+
+  private def q367OracleSql: String =
+    s"""WITH census AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY w),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+          CAST(sum(f) AS BIGINT) AS n_tokens FROM census),
+        head AS (SELECT
+            CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+            CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+          FROM (SELECT f, row_number()
+              OVER (ORDER BY f DESC, w) AS r FROM census)
+          WHERE r <= $ZipfTopV),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS v,
+            CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+            CAST(sum(lx * lx) AS BIGINT) AS sxx,
+            CAST(sum(lx * ly) AS BIGINT) AS sxy
+          FROM head)
+        SELECT v, n_types, n_tokens, sx, sy, sxx, sxy,
+          CAST(floor($zipfSlopeExpr * 1000000) AS BIGINT) AS slope_ppm,
+          CAST(floor((CAST(sy AS DOUBLE) / v
+            - $zipfSlopeExpr * (CAST(sx AS DOUBLE) / v)) * 1000000)
+            AS BIGINT) AS intercept_ppm
+        FROM m CROSS JOIN tot"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q367_zipf_fit" -> (q367ZipfFit _),
     "q337_collocations" -> (q337Collocations _),
     "q346_vocab_growth" -> (q346VocabGrowth _),
     "q343_good_turing" -> (q343GoodTuring _),
@@ -2160,6 +2251,7 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q367_zipf_fit" -> q367OracleSql,
     "q337_collocations" -> q337OracleSql,
     "q343_good_turing" -> q343OracleSql,
     "q346_vocab_growth" -> q346OracleSql,

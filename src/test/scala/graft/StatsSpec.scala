@@ -1742,6 +1742,38 @@ class StatsSpec extends SparkSpec {
     assert(row.getAs[Long]("h_ppm") === math.floor(h * 1e6).toLong)
   }
 
+  test("q367 Zipf fit matches a brute-force log-moment model and slopes " +
+      "downward") {
+    val row = graft.operators.TextOps.q367ZipfFit(spark, sf1).head()
+    val freq = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(row.getAs[Long]("n_types") === freq.length.toLong)
+    assert(row.getAs[Long]("n_tokens") === freq.map(_._2).sum)
+    val head = freq.sortBy { case (w, f) => (-f, w) }
+      .take(graft.operators.TextOps.ZipfTopV)
+    val cells = head.zipWithIndex.map { case ((_, f), i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1e6).toLong,
+        math.floor(math.log(f.toDouble) * 1e6).toLong)
+    }
+    val v = cells.length.toLong
+    val (sx, sy) = (cells.map(_._1).sum, cells.map(_._2).sum)
+    val sxx = cells.map(c => c._1 * c._1).sum
+    val sxy = cells.map(c => c._1 * c._2).sum
+    assert(row.getAs[Long]("v") === v)
+    assert(row.getAs[Long]("sx") === sx)
+    assert(row.getAs[Long]("sy") === sy)
+    assert(row.getAs[Long]("sxx") === sxx)
+    assert(row.getAs[Long]("sxy") === sxy)
+    val slope = (v.toDouble * sxy - sx.toDouble * sy) /
+      (v.toDouble * sxx - sx.toDouble * sx)
+    assert(row.getAs[Long]("slope_ppm") ===
+      math.floor(slope * 1e6).toLong)
+    assert(row.getAs[Long]("slope_ppm") < 0L,
+      "rank-frequency must slope downward")
+  }
+
   test("q360 trade volume: both directions, no diagonal, span years") {
     val rows = Stats.q360TradeVolume(spark, sf1).collect()
     assert(rows.nonEmpty)
