@@ -118,7 +118,9 @@ object Scaling {
     "q360_trade_volume", "q361_small_qty_revenue", "q362_large_orders",
     "q363_disjunctive_revenue", "q364_lapsed_customers",
     // q365 is four fact-keyed shuffles (bipartite HITS); q366 runs the
-    // star-contraction CC over q231's band pairs
+    // star-contraction CC over q231's band pairs. q367/q368 are
+    // census/domain-bounded (vocab-head moments / value-band-bin
+    // triple) and excluded on the standing census grounds.
     "q365_hits", "q366_phash_clusters")
 
   def main(args: Array[String]): Unit = {

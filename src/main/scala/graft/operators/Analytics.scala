@@ -3636,7 +3636,82 @@ object Analytics {
           retained * 1000000 // n_cohort AS retention_ppm
         FROM ret JOIN sizes ON sizes.cw = ret.cw"""
 
+  // ------------------------------------------------------------ q368
+
+  /** q368 — ISOTONIC CALIBRATION (pool-adjacent-violators fit) of the
+    * per-bin purchase rate from q195's reliability table (the
+    * calibration REPAIR step after q195's diagnosis: a scored model
+    * whose observed rate dips as the score rises violates monotonicity,
+    * and the isotonic fit is the standard nonparametric recalibration
+    * map — Zadrozny & Elkan's method, what sklearn's
+    * CalibratedClassifierCV(method='isotonic') computes). Exact via the
+    * min-max identity g(i) = min_{j≥i} max_{k≤i} mean(k..j) — PAV's
+    * closed form, order-free: every candidate mean is ONE IEEE division
+    * of two exact integers (weighted by bin counts through the prefix
+    * sums), and min/max over a set are summation-order-insensitive, so
+    * the fit is bit-deterministic cross-engine with no iterative pool
+    * state. Released per bin: {bin, n, n_pos, rate_ppm, fit_ppm}; the
+    * fit column is monotone nondecreasing by construction (spec pins
+    * it, plus equality with an imperative PAV model).
+    *
+    * Scale shape: ONE corpus scan to the value-band census (q195's
+    * frame); the (k,i,j) triple rides the census — |bins|³ with |bins|
+    * ≈ value_max/10 (domain-bounded, ~50 at sf0.1 and growing only
+    * with the payload tail, not the corpus), well under any shuffle
+    * concern. */
+  def q368IsotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val bins = t(s, dir, "events")
+      .select(expr("CAST(floor(value / 10) AS BIGINT)").as("bin"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .select(col("bin"), col("n"), col("n_pos"),
+        sum("n").over(w).as("cn"), sum("n_pos").over(w).as("cp"))
+      .localCheckpoint(true)
+    val k = cum.select(col("bin").as("kb"),
+      (col("cn") - col("n")).as("ecn"), (col("cp") - col("n_pos")).as("ecp"))
+    val j = cum.select(col("bin").as("jb"),
+      col("cn").as("jcn"), col("cp").as("jcp"))
+    val pairs = k.join(j, col("kb") <= col("jb"))
+      .select(col("kb"), col("jb"),
+        expr("CAST(jcp - ecp AS DOUBLE) / (jcn - ecn)").as("m"))
+    val i = cum.select(col("bin").as("ib"))
+    pairs.join(i, col("kb") <= col("ib") && col("ib") <= col("jb"))
+      .groupBy("ib", "jb").agg(max("m").as("mk"))
+      .groupBy("ib").agg(min("mk").as("fit"))
+      .join(cum, col("ib") === col("bin"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 div n").as("rate_ppm"),
+        expr("CAST(floor(fit * 1000000) AS BIGINT)").as("fit_ppm"))
+  }
+
+  private def q368OracleSql: String =
+    """WITH bins AS (SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pos
+        FROM events GROUP BY 1),
+        cum AS (SELECT bin, n, n_pos,
+          CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+          CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+        FROM bins),
+        pairs AS (SELECT k.bin AS kb, j.bin AS jb,
+            CAST(j.cp - (k.cp - k.n_pos) AS DOUBLE)
+              / (j.cn - (k.cn - k.n)) AS m
+          FROM cum k JOIN cum j ON k.bin <= j.bin),
+        mk AS (SELECT i.bin AS ib, p.jb, max(p.m) AS mk
+          FROM pairs p JOIN cum i ON p.kb <= i.bin AND i.bin <= p.jb
+          GROUP BY 1, 2),
+        fit AS (SELECT ib, min(mk) AS fit FROM mk GROUP BY ib)
+        SELECT bin, n, n_pos, n_pos * 1000000 // n AS rate_ppm,
+          CAST(floor(fit * 1000000) AS BIGINT) AS fit_ppm
+        FROM fit JOIN cum ON ib = bin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q368_isotonic_calibration" -> (q368IsotonicCalibration _),
     "q325_cohort_retention" -> (q325CohortRetention _),
     "q298_weekday_revenue" -> (q298WeekdayRevenue _),
     "q299_quantity_discount" -> (q299QuantityDiscount _),
@@ -3703,6 +3778,7 @@ object Analytics {
     "q190_anova_f" -> (q190AnovaF _))
 
   val oracleSql: Map[String, String] = Map(
+    "q368_isotonic_calibration" -> q368OracleSql,
     "q325_cohort_retention" -> q325OracleSql,
     "q298_weekday_revenue" -> q298OracleSql,
     "q299_quantity_discount" -> q299OracleSql,

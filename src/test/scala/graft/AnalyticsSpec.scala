@@ -9,6 +9,42 @@ import graft.operators.Analytics
   * must hold at any scale factor. */
 class AnalyticsSpec extends SparkSpec {
 
+  test("q368 isotonic fit equals an imperative PAV model and is monotone") {
+    val rows = Analytics.q368IsotonicCalibration(spark, sf1).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"), r.getAs[Long]("fit_ppm")))
+      .sortBy(_._1)
+    // imperative pool-adjacent-violators on the same census
+    case class Pool(var n: Long, var p: Long) {
+      def mean: Double = p.toDouble / n
+    }
+    val pools = scala.collection.mutable.ArrayBuffer.empty[(Pool, Int)]
+    rows.foreach { case (_, n, p, _) =>
+      pools += ((Pool(n, p), 1))
+      while (pools.length >= 2 &&
+          pools(pools.length - 2)._1.mean >= pools.last._1.mean) {
+        val (b, cb) = pools.remove(pools.length - 1)
+        val (a, ca) = pools.remove(pools.length - 1)
+        pools += ((Pool(a.n + b.n, a.p + b.p), ca + cb))
+      }
+    }
+    val fits = pools.flatMap { case (pool, cnt) =>
+      Seq.fill(cnt)(pool.mean)
+    }
+    assert(fits.length === rows.length)
+    rows.zip(fits).foreach { case ((bin, _, _, fp), m) =>
+      assert(fp === math.floor(m * 1e6).toLong, s"bin $bin")
+    }
+    // monotone nondecreasing
+    rows.map(_._4).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b)
+      case _ =>
+    }
+    // and sum-preserving over each pool: total fitted mass = total pos
+    val fitted = rows.zip(fits).map { case ((_, n, _, _), m) => n * m }.sum
+    assert(math.abs(fitted - rows.map(_._3).sum) < 1e-6)
+  }
+
   test("q180 correlations are bounded and the matrix covers all 6 pairs") {
     val rows = Analytics.q180CorrMatrix(spark, sf1).collect()
     assert(rows.length === 6)
