@@ -80,11 +80,14 @@ object EventStream {
     * regeneration that changes the ts encoding (nanos-as-long vs micros
     * TIMESTAMP_NTZ) changes the stream schema with it instead of
     * silently misreading micros as nanos. */
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+  def readEvents(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream
-      .schema(rawSchema)
+    val rd = spark.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n =>
+      rd.option("maxFilesPerTrigger", n.toString))
+    val raw = rd
       // the sf table is a single parquet FILE: FileStreamSource injects
       // basePath=<path> for non-glob paths and then rejects it for not
       // being a directory, so address the file through a glob
@@ -1292,6 +1295,76 @@ object EventStream {
           CAST(abs(cum * k - i * t) AS BIGINT) AS dev_scaled
         FROM seq, tot"""
 
+  // -------------------------------------------------------------- q369
+
+  /** q369 — STREAMING AUTOCORRELATION MONITOR (q304's ACF under
+    * continuous ingest — the 20th declared streaming shape and the
+    * SEASONALITY member of the streaming monitor family: q336 watches
+    * when the rate BREAKS, this watches whether the rate's weekly
+    * rhythm HOLDS — a lag-7 collapse in a live funnel usually means an
+    * ingestion gap or a bot flood, the same reading offline q304 gives
+    * but continuously): state is the per-day count census (one long
+    * per open event-time day window, map-side merged per micro-batch —
+    * watermark-bounded); the n-scaled residual products replay over
+    * the drained ≤|days| frame. Count merge is associative and
+    * commutative, so the drained census is batch-split independent and
+    * the trajectory equals batch q304 EXACTLY — q304's oracle is this
+    * oracle, and the spec pins stream ≡ batch plus a multi-batch
+    * replay. Released: (lag, num, den) exact BIGINTs (q304's release:
+    * the consumer divides).
+    *
+    * Scale shape: streaming census map-side combined per batch; the
+    * lag joins ride the |days|-bounded drained frame. */
+  def q369StreamAcf(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q369_stream_acf_mem"
+    s.catalog.dropTempView(name)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("window.start").cast("date").as("day"), col("x"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val daily = s.table(name).localCheckpoint(true)
+    val g = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val y = daily.crossJoin(broadcast(g))
+      .select(col("day"), (col("n") * col("x") - col("sx")).as("y"))
+    val den = y.agg(sum(expr("y * y")).as("den"))
+    val lags = s.range(1, graft.operators.Stats.AcfMaxLag + 1L)
+      .select(col("id").as("lag"))
+    y.crossJoin(broadcast(lags))
+      .select(col("lag"), col("y"),
+        date_add(col("day"), col("lag").cast("int")).as("day_k"))
+      .join(y.select(col("day").as("day_k"), col("y").as("y_k")), "day_k")
+      .groupBy("lag")
+      .agg(sum(expr("y * y_k")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("num"), col("den"))
+  }
+
+  private def q369OracleSql: String =
+    s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx FROM daily),
+        y AS (SELECT day, n * x - sx AS y FROM daily CROSS JOIN g),
+        den AS (SELECT CAST(sum(y * y) AS BIGINT) AS den FROM y),
+        lags AS (SELECT CAST(x AS BIGINT) AS lag
+          FROM generate_series(1, ${graft.operators.Stats.AcfMaxLag})
+            AS t(x))
+        SELECT l.lag, CAST(sum(a.y * b.y) AS BIGINT) AS num, d.den
+        FROM y a CROSS JOIN lags l
+        JOIN y b ON b.day = a.day + CAST(l.lag AS INTEGER)
+        CROSS JOIN den d
+        GROUP BY l.lag, d.den"""
+
   // -------------------------------------------------------------- q347
 
   /** q347 — STREAMING GOOD–TURING SPECTRUM (q343 under continuous
@@ -1438,6 +1511,8 @@ object EventStream {
     "q347_stream_spectrum" ->
       ((s: SparkSession, d: String) => q347StreamSpectrum(s, d)),
     "q336_stream_cusum" -> (q336StreamCusum _),
+    "q369_stream_acf" ->
+      ((s: SparkSession, d: String) => q369StreamAcf(s, d)),
     "q313_stream_psi" -> (q313StreamPsi _),
     "q302_stream_chunk_dedup" -> (q302StreamChunkDedup _),
     "q283_stream_funnel" -> (q283StreamFunnel _),
@@ -1461,6 +1536,7 @@ object EventStream {
     "q353_stream_vocab_growth" -> q353OracleSql,
     "q347_stream_spectrum" -> graft.operators.TextOps.q343OracleSql2,
     "q336_stream_cusum" -> q336OracleSql,
+    "q369_stream_acf" -> q369OracleSql,
     "q313_stream_psi" -> q313OracleSql,
     "q302_stream_chunk_dedup" -> graft.operators.Dedup.q300OracleSql2,
     "q283_stream_funnel" -> q283OracleSql,

@@ -411,4 +411,35 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).forall(st => dist.getOrElse(st, 0) > 0),
       s"a funnel stage carries no mass: $dist — deadline miscalibrated")
   }
+
+  test("q369 streamed ACF equals batch q304 and is batch-split " +
+    "independent (4-file forced replay)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("lag"), r.getAs[Long]("num"), r.getAs[Long]("den"))
+    val streamed = EventStream.q369StreamAcf(spark, sf1)
+      .collect().map(key).toSet
+    spark.catalog.clearCache()
+    val batch = graft.operators.Stats.q304Acf(spark, sf1)
+      .collect().map(key).toSet
+    assert(streamed === batch,
+      s"streamed/batch ACF diverged: only-streamed=" +
+        s"${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    assert(batch.nonEmpty)
+    // forced multi-batch: 4 part-files, one per micro-batch — the day
+    // census merge must be batch-split independent
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q369-multibatch").toString
+    ev.repartition(4).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val multi = EventStream
+      .q369StreamAcf(spark, dir, maxFilesPerTrigger = Some(1))
+      .collect().map(key).toSet
+    spark.catalog.clearCache()
+    val whole = graft.operators.Stats.q304Acf(spark, dir)
+      .collect().map(key).toSet
+    assert(multi === whole,
+      s"split-dependent: only-multi=${(multi -- whole).take(3)} " +
+        s"only-whole=${(whole -- multi).take(3)}")
+  }
 }
