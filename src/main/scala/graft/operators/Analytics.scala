@@ -3710,8 +3710,166 @@ object Analytics {
           CAST(floor(fit * 1000000) AS BIGINT) AS fit_ppm
         FROM fit JOIN cum ON ib = bin"""
 
+  // ------------------------------------------------------------ q382
+
+  /** q382's fixed scoring rule: p̂_ppm = min(999999, 20·value_cents) —
+    * a deterministic monotone value→probability map standing in for a
+    * model score (the eval needs SOME declared prediction; 20/cent
+    * spans the ppm range over this payload's 0..~500 value domain). */
+  val BrierScaler = 20L
+
+  /** q382 — BRIER SCORE + EXPECTED CALIBRATION ERROR of a declared
+    * scoring rule against the purchase outcome (the SCALAR legs
+    * closing the calibration family: q195 diagnoses per-bin, q368
+    * repairs the curve — Brier is the proper-score number a model
+    * report quotes, ECE the one-line calibration-gap audit). Exact
+    * integers throughout: per-event p̂ on the ppm grid per
+    * [[BrierScaler]], Brier numerator Σ(p̂ − y·10⁶)² and the per-bin
+    * ECE mass |Σp̂ − 10⁶·n_pos| (the algebra collapses ECE·N·10⁶ to
+    * THAT sum over q195's value bins: Σ_b n_b·|mean p̂ − rate| =
+    * Σ_b |p̂sum_b − 10⁶·pos_b| — no per-bin division survives).
+    * Released {n, brier_mean_ppm2, ece_num, ece_ppm}: means by
+    * declared integer division, numerators decimal(38,0)-folded so
+    * sf100's ~10¹⁹ Brier mass cannot wrap (the q190 widening rule).
+    *
+    * Scale shape: ONE corpus scan map-side combined to the value-bin
+    * census carrying {n, pos, p̂sum, brier partial}; the two scalars
+    * fold the domain-bounded census. */
+  def q382BrierEce(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(expr("CAST(floor(value / 10) AS BIGINT)").as("bin"),
+        expr(s"least(999999, CAST(floor(value * 100) AS BIGINT) " +
+          s"* $BrierScaler)").as("p_hat"),
+        when(col("event_type") === "purchase", 1000000L)
+          .otherwise(0L).as("y6"))
+    val bins = ev.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(expr("y6 div 1000000")).as("n_pos"),
+        sum("p_hat").as("p_sum"),
+        sum(((col("p_hat") - col("y6")) * (col("p_hat") - col("y6")))
+          .cast("decimal(38,0)")).as("b38"))
+    bins.agg(sum("n").as("n"),
+        sum("b38").as("brier_num"),
+        sum(abs(col("p_sum") - lit(1000000L) * col("n_pos"))
+          .cast("decimal(38,0)")).as("e38"))
+      .select(col("n"),
+        (col("brier_num") / col("n").cast("decimal(38,0)"))
+          .cast("bigint").as("brier_mean_ppm2"),
+        col("e38").cast("bigint").as("ece_num"),
+        (col("e38") / col("n").cast("decimal(38,0)"))
+          .cast("bigint").as("ece_ppm"))
+  }
+
+  private def q382OracleSql: String =
+    s"""WITH ev AS (SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
+          least(999999, CAST(floor(value * 100) AS BIGINT)
+            * $BrierScaler) AS p_hat,
+          CASE WHEN event_type = 'purchase' THEN 1000000 ELSE 0 END
+            AS y6
+        FROM events),
+        bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(y6 // 1000000) AS BIGINT) AS n_pos,
+          CAST(sum(p_hat) AS BIGINT) AS p_sum,
+          sum(CAST(p_hat - y6 AS HUGEINT) * (p_hat - y6)) AS b38
+        FROM ev GROUP BY 1)
+        SELECT CAST(sum(n) AS BIGINT) AS n,
+          CAST(sum(b38) // sum(n) AS BIGINT) AS brier_mean_ppm2,
+          CAST(sum(abs(p_sum - 1000000 * n_pos)) AS BIGINT) AS ece_num,
+          CAST(sum(CAST(abs(p_sum - 1000000 * n_pos) AS HUGEINT))
+            // sum(n) AS BIGINT) AS ece_ppm
+        FROM bins"""
+
+  // ------------------------------------------------------------ q384
+
+  /** q384 — WASSERSTEIN-1 (EARTH-MOVER) DISTANCE MATRIX between the
+    * sources' document-length histograms (the TRANSPORT member closing
+    * the histogram-distance family: q202's intersection scores
+    * overlap, q229's total variation the worst bin — both are blind to
+    * HOW FAR the mass moved; EMD integrates |CDF₁ − CDF₂| over the bin
+    * axis, so a one-bin shift and a ten-bin shift finally differ,
+    * which is what a mixture planner weighing "short-doc" vs
+    * "long-doc" sources actually needs). Exact integers by
+    * cross-multiplication: per union-spine cell
+    * |F₁·T₂ − F₂·T₁|·gap with gap = next observed bin − bin (mass is
+    * constant between observed bins, so sparse censuses integrate
+    * EXACTLY — no dense grid materialized); released per unordered
+    * pair {s1, s2, t1, t2, emd_num, emd_micro_bins =
+    * num·10⁶ div (t1·t2), the mean transport distance in bin units}.
+    *
+    * Scale shape: corpus collapses map-side to the (source, bin)
+    * census (q202's frame); the pair×union-bin spine, cumsums, and
+    * the fold all ride that domain-sized frame (|sources|²·|bins|
+    * rows, never corpus); totals broadcast. decimal(38,0) on the
+    * num·10⁶ release per the q190 widening rule. */
+  def q384HistEmd(s: SparkSession, dir: String): DataFrame = {
+    val h = t(s, dir, "documents")
+      .select(col("source"), expr("n_chars div 64").as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val tot = h.groupBy("source").agg(sum("n").as("t"))
+    val srcs = tot.select(col("source"), col("t"))
+    val pairs = srcs.select(col("source").as("s1"), col("t").as("t1"))
+      .crossJoin(srcs.select(col("source").as("s2"), col("t").as("t2")))
+      .filter(col("s1") < col("s2"))
+    val bins = h.select("bin").distinct()
+    val spine = broadcast(pairs).crossJoin(broadcast(bins))
+      .join(h.select(col("source").as("s1"), col("bin"),
+        col("n").as("n1")), Seq("s1", "bin"), "left_outer")
+      .join(h.select(col("source").as("s2"), col("bin"),
+        col("n").as("n2")), Seq("s2", "bin"), "left_outer")
+      .na.fill(0L, Seq("n1", "n2"))
+    val w = Window.partitionBy("s1", "s2").orderBy("bin")
+    val cum = spine
+      .withColumn("f1", sum("n1").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("f2", sum("n2").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("gap", coalesce(lead("bin", 1).over(w) - col("bin"),
+        lit(0L)))
+    cum.groupBy("s1", "s2", "t1", "t2")
+      .agg(sum((abs(col("f1") * col("t2") - col("f2") * col("t1"))
+        * col("gap")).cast("decimal(38,0)")).as("e38"))
+      .select(col("s1"), col("s2"), col("t1"), col("t2"),
+        col("e38").cast("bigint").as("emd_num"),
+        (col("e38") * lit(1000000L) /
+          (col("t1").cast("decimal(38,0)") * col("t2")))
+          .cast("bigint").as("emd_micro_bins"))
+  }
+
+  private def q384OracleSql: String =
+    """WITH h AS (SELECT source, n_chars // 64 AS bin,
+          CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2),
+        tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS t
+          FROM h GROUP BY 1),
+        pairs AS (SELECT a.source AS s1, b.source AS s2,
+            a.t AS t1, b.t AS t2
+          FROM tot a JOIN tot b ON a.source < b.source),
+        bins AS (SELECT DISTINCT bin FROM h),
+        spine AS (SELECT p.s1, p.s2, p.t1, p.t2, b.bin,
+            COALESCE(h1.n, 0) AS n1, COALESCE(h2.n, 0) AS n2
+          FROM pairs p CROSS JOIN bins b
+          LEFT JOIN h h1 ON h1.source = p.s1 AND h1.bin = b.bin
+          LEFT JOIN h h2 ON h2.source = p.s2 AND h2.bin = b.bin),
+        cum AS (SELECT s1, s2, t1, t2, bin,
+            CAST(sum(n1) OVER (PARTITION BY s1, s2 ORDER BY bin)
+              AS BIGINT) AS f1,
+            CAST(sum(n2) OVER (PARTITION BY s1, s2 ORDER BY bin)
+              AS BIGINT) AS f2,
+            COALESCE(lead(bin) OVER (PARTITION BY s1, s2 ORDER BY bin)
+              - bin, 0) AS gap
+          FROM spine)
+        SELECT s1, s2, t1, t2,
+          CAST(sum(CAST(abs(f1 * t2 - f2 * t1) AS HUGEINT) * gap)
+            AS BIGINT) AS emd_num,
+          CAST(sum(CAST(abs(f1 * t2 - f2 * t1) AS HUGEINT) * gap)
+            * 1000000 // (CAST(t1 AS HUGEINT) * t2) AS BIGINT)
+            AS emd_micro_bins
+        FROM cum GROUP BY 1, 2, 3, 4"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q368_isotonic_calibration" -> (q368IsotonicCalibration _),
+    "q382_brier_ece" -> (q382BrierEce _),
+    "q384_hist_emd" -> (q384HistEmd _),
     "q325_cohort_retention" -> (q325CohortRetention _),
     "q298_weekday_revenue" -> (q298WeekdayRevenue _),
     "q299_quantity_discount" -> (q299QuantityDiscount _),
@@ -3779,6 +3937,8 @@ object Analytics {
 
   val oracleSql: Map[String, String] = Map(
     "q368_isotonic_calibration" -> q368OracleSql,
+    "q382_brier_ece" -> q382OracleSql,
+    "q384_hist_emd" -> q384OracleSql,
     "q325_cohort_retention" -> q325OracleSql,
     "q298_weekday_revenue" -> q298OracleSql,
     "q299_quantity_discount" -> q299OracleSql,

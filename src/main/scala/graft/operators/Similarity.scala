@@ -1407,6 +1407,107 @@ object Similarity {
         FROM w"""
   }
 
+  /** q381 — MEAN-AVERAGE-PRECISION EVAL over the kNN retrieval (the
+    * ALL-POSITIONS member closing the ranking-eval family: q215's MRR
+    * sees only the first relevant hit, q257's nDCG pays a fixed
+    * discount ladder, q153's recall ignores order entirely — AP
+    * integrates precision AT EACH relevant rank, the metric that
+    * punishes a ranker for every irrelevant item it places above a
+    * relevant one, and the standard scalar for retrieval systems with
+    * multiple relevant answers). Per probe: top-[[NdcgK]] exact-cosine
+    * neighbors (q257's ranking, same float-cosine DESC + vec_id
+    * tie-break), rel = label match; precision@i = cumrel_i·10⁶ div i
+    * in exact integers; AP = (Σ over relevant ranks of precision@i)
+    * div R with R = min(corpus same-label count − 1, K) — the
+    * available-relevant normalizer, so a probe whose label has few
+    * corpus members is not penalized for the unreachable tail.
+    * Released {probe_id, n_rel, r_avail, ap_num, ap_ppm}: every
+    * integer division site is declared, both engines compute the
+    * identical truncation.
+    *
+    * Scale shape: q153's amortized brute-force — one corpus scan
+    * against the broadcast probe batch, per-probe top-k window on the
+    * probe-keyed exchange; the cumulative-precision fold rides the
+    * k-row-per-probe frame; label counts are a broadcast |labels|-row
+    * aggregate. Production swaps the corpus side for q120's IVF
+    * candidates, identical metric arithmetic. */
+  def q381MapEval(s: SparkSession, dir: String): DataFrame = {
+    val e = vectors(s, dir)
+    val lbl = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("bigint").as("label"))
+    val labelCnt = t(s, dir, "embeddings")
+      .groupBy(col("label").cast("bigint").as("plabel"))
+      .agg(count(lit(1)).as("lbl_n"))
+    val probes = e.join(lbl, "vec_id")
+      .filter(col("vec_id") < KnnProbes)
+      .select(col("vec_id").as("probe_id"), col("ed").as("ped"),
+        col("nrm").as("pnrm"), col("label").as("plabel"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val cum = Window.partitionBy("probe_id").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.join(lbl, "vec_id")
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("pcos",
+        vec_dot(col("ed"), col("ped")) / (col("nrm") * col("pnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= NdcgK)
+      .withColumn("rel",
+        when(col("label") === col("plabel"), 1L).otherwise(0L))
+      .withColumn("cumrel", sum("rel").over(cum))
+      .groupBy("probe_id", "plabel")
+      .agg(sum("rel").as("n_rel"),
+        sum(when(col("rel") === 1L,
+          expr("cumrel * 1000000 div rank")).otherwise(0L)).as("ap_num"))
+      .join(broadcast(labelCnt), Seq("plabel"))
+      .withColumn("r_avail",
+        least(col("lbl_n") - 1L, lit(NdcgK.toLong)))
+      .select(col("probe_id"), col("n_rel"), col("r_avail"),
+        col("ap_num"),
+        expr("""CASE WHEN r_avail <= 0 THEN CAST(0 AS BIGINT)
+             ELSE ap_num div r_avail END""").as("ap_ppm"))
+  }
+
+  private def q381OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm,
+          CAST(label AS BIGINT) AS label
+        FROM embeddings),
+        lc AS (SELECT CAST(label AS BIGINT) AS plabel,
+            CAST(count(*) AS BIGINT) AS lbl_n
+          FROM embeddings GROUP BY 1),
+        probes AS (SELECT vec_id AS probe_id, ed AS ped, nrm AS pnrm,
+            label AS plabel
+          FROM e WHERE vec_id < $KnnProbes),
+        ranked AS (SELECT probe_id, plabel,
+            CASE WHEN nlabel = plabel THEN 1 ELSE 0 END AS rel,
+            row_number() OVER (PARTITION BY probe_id
+              ORDER BY pcos DESC, vec_id) AS rn
+          FROM (SELECT p.probe_id, p.plabel, a.vec_id,
+                  a.label AS nlabel,
+                  list_dot_product(a.ed, p.ped) / (a.nrm * p.pnrm)
+                    AS pcos
+                FROM e a CROSS JOIN probes p
+                WHERE a.vec_id <> p.probe_id) z),
+        topk AS (SELECT probe_id, plabel, rel, rn,
+            CAST(sum(rel) OVER (PARTITION BY probe_id ORDER BY rn
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumrel
+          FROM ranked WHERE rn <= $NdcgK),
+        agg AS (SELECT probe_id, plabel,
+            CAST(sum(rel) AS BIGINT) AS n_rel,
+            CAST(sum(CASE WHEN rel = 1
+              THEN cumrel * 1000000 // rn ELSE 0 END) AS BIGINT)
+              AS ap_num
+          FROM topk GROUP BY 1, 2)
+        SELECT probe_id, n_rel,
+          CAST(least(lbl_n - 1, $NdcgK) AS BIGINT) AS r_avail,
+          ap_num,
+          CASE WHEN least(lbl_n - 1, $NdcgK) <= 0 THEN CAST(0 AS BIGINT)
+               ELSE ap_num // least(lbl_n - 1, $NdcgK) END AS ap_ppm
+        FROM agg JOIN lc USING (plabel)"""
+
   /** q293 — EMBEDDING DIMENSION AUDIT (the per-axis hygiene profile
     * behind whitening and dead-unit detection: this corpus's vectors
     * are unit-normalized, so a NORM audit is vacuous by construction
@@ -2102,6 +2203,7 @@ object Similarity {
     "q315_effective_rank" -> (q315EffectiveRank _),
     "q293_dimension_audit" -> (q293DimensionAudit _),
     "q257_ndcg_eval" -> (q257NdcgEval _),
+    "q381_map_eval" -> (q381MapEval _),
     "q249_silhouette" -> (q249Silhouette _),
     "q246_cohens_kappa" -> (q246CohensKappa _),
     "q241_knn_classify" -> (q241KnnClassify _),
@@ -2135,6 +2237,7 @@ object Similarity {
     "q315_effective_rank" -> q315OracleSql,
     "q293_dimension_audit" -> q293OracleSql,
     "q257_ndcg_eval" -> q257OracleSql,
+    "q381_map_eval" -> q381OracleSql,
     "q249_silhouette" -> q249OracleSql,
     "q246_cohens_kappa" -> q246OracleSql,
     "q241_knn_classify" -> q241OracleSql,

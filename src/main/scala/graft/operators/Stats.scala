@@ -2741,6 +2741,93 @@ object Stats {
               AND o_orderdate >= TIMESTAMP '$LapsedCutoff 00:00:00')
         GROUP BY n_name"""
 
+  // ------------------------------------------------------------ q383
+
+  /** q383's moment pipeline as shared-text doubles over the exact
+    * integer power sums {n, s1..s4} (each HUGEINT/decimal → double
+    * cast is one correctly-rounded IEEE operation on the same integer,
+    * so every downstream double is bit-identical cross-engine; no
+    * `pow` — multiplication and sqrt only, per the q303 discipline). */
+  private val jbMu = "(CAST(s1 AS DOUBLE) / n)"
+  private val jbM2 = "(CAST(s2 AS DOUBLE) / n - mu * mu)"
+  private val jbM3 = ("(CAST(s3 AS DOUBLE) / n - 3.0 * mu * " +
+    "(CAST(s2 AS DOUBLE) / n) + 2.0 * mu * mu * mu)")
+  private val jbM4 = ("(CAST(s4 AS DOUBLE) / n - 4.0 * mu * " +
+    "(CAST(s3 AS DOUBLE) / n) + 6.0 * mu * mu * " +
+    "(CAST(s2 AS DOUBLE) / n) - 3.0 * mu * mu * mu * mu)")
+  private val jbG1 = "(m3 / (m2 * sqrt(m2)))"
+  private val jbG2 = "(m4 / (m2 * m2) - 3.0)"
+  private val jbStat =
+    "(CAST(n AS DOUBLE) / 6.0 * (g1 * g1 + g2 * g2 / 4.0))"
+
+  /** q383 — JARQUE–BERA NORMALITY TEST of the per-type event values
+    * (Jarque & Bera 1980 — the moment-based normality screen every
+    * parametric pipeline should run BEFORE trusting q266's t or
+    * q345's OLS errors: JB = n/6·(skew² + excess-kurtosis²/4), χ²(2)
+    * under the null, and the χ²(2) tail has the closed form
+    * exp(−JB/2) — one libm call, no incomplete-gamma). The four power
+    * sums are EXACT integers on the cents grid (s4 per-row tops
+    * ~10¹⁹ at the payload tail, so every power is HUGEINT/decimal(38,
+    * 0)-widened BEFORE multiplication — the q190 rule); skewness,
+    * kurtosis, JB, and the p-value are floored shared-text doubles
+    * over them ([[jbMu]]..[[jbStat]]). Heavy-tailed Exp(50) payloads
+    * should fail decisively (spec pins skew > 0 and p ≈ 0) — the
+    * point of the screen.
+    *
+    * Scale shape: ONE corpus scan map-side combined to |event types|
+    * rows of sufficient statistics; everything after is in-row
+    * arithmetic on that frame. */
+  def q383JarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("vc").cast("decimal(38,0)")).as("s1"),
+        sum((col("vc").cast("decimal(38,0)") * col("vc"))).as("s2"),
+        sum((col("vc").cast("decimal(38,0)") * col("vc") * col("vc")))
+          .as("s3"),
+        sum((col("vc").cast("decimal(38,0)") * col("vc") * col("vc")
+          * col("vc"))).as("s4"))
+      .withColumn("mu", expr(jbMu))
+      .withColumn("m2", expr(jbM2))
+      .withColumn("m3", expr(jbM3))
+      .withColumn("m4", expr(jbM4))
+      .withColumn("g1", expr(jbG1))
+      .withColumn("g2", expr(jbG2))
+      .withColumn("jb", expr(jbStat))
+      .select(col("event_type"), col("n"),
+        expr("CAST(floor(g1 * 1000000) AS BIGINT)").as("skew_ppm"),
+        expr("CAST(floor(g2 * 1000000) AS BIGINT)").as("kurt_ppm"),
+        expr("CAST(floor(jb * 1000) AS BIGINT)").as("jb_milli"),
+        expr("CAST(floor(exp(-jb / 2.0) * 1000000) AS BIGINT)")
+          .as("p_ppm"))
+  }
+
+  private def q383OracleSql: String =
+    s"""WITH ev AS (SELECT event_type,
+          CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+        m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          sum(CAST(vc AS HUGEINT)) AS s1,
+          sum(CAST(vc AS HUGEINT) * vc) AS s2,
+          sum(CAST(vc AS HUGEINT) * vc * vc) AS s3,
+          sum(CAST(vc AS HUGEINT) * vc * vc * vc) AS s4
+        FROM ev GROUP BY 1),
+        c1 AS (SELECT event_type, n, s2, s3, s4, $jbMu AS mu FROM m),
+        c2 AS (SELECT event_type, n, s2, s3, s4, mu, $jbM2 AS m2
+          FROM c1),
+        c3 AS (SELECT event_type, n, s2, s3, s4, mu, m2, $jbM3 AS m3
+          FROM c2),
+        c4 AS (SELECT event_type, n, m2, m3, $jbM4 AS m4 FROM c3),
+        c5 AS (SELECT event_type, n, $jbG1 AS g1, $jbG2 AS g2 FROM c4),
+        c6 AS (SELECT event_type, n, g1, g2, $jbStat AS jb FROM c5)
+        SELECT event_type, n,
+          CAST(floor(g1 * 1000000) AS BIGINT) AS skew_ppm,
+          CAST(floor(g2 * 1000000) AS BIGINT) AS kurt_ppm,
+          CAST(floor(jb * 1000) AS BIGINT) AS jb_milli,
+          CAST(floor(exp(-jb / 2.0) * 1000000) AS BIGINT) AS p_ppm
+        FROM c6"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2775,6 +2862,7 @@ object Stats {
     "q358_cmh_test" -> (q358CmhTest _),
     "q359_auc_delong" -> (q359AucDelong _),
     "q360_trade_volume" -> (q360TradeVolume _),
+    "q383_jarque_bera" -> (q383JarqueBera _),
     "q361_small_qty_revenue" -> (q361SmallQtyRevenue _),
     "q362_large_orders" -> (q362LargeOrders _),
     "q363_disjunctive_revenue" -> (q363DisjunctiveRevenue _),
@@ -2812,6 +2900,7 @@ object Stats {
     "q358_cmh_test" -> q358OracleSql,
     "q359_auc_delong" -> q359OracleSql,
     "q360_trade_volume" -> q360OracleSql,
+    "q383_jarque_bera" -> q383OracleSql,
     "q361_small_qty_revenue" -> q361OracleSql,
     "q362_large_orders" -> q362OracleSql,
     "q363_disjunctive_revenue" -> q363OracleSql,

@@ -1188,4 +1188,55 @@ class AnalyticsSpec extends SparkSpec {
     // finding the operator exists to surface
     assert(rows.forall(r => r._3 >= 0L && r._4 > 0L))
   }
+
+  test("q382 Brier/ECE collapse identities hold against a row-level " +
+    "replay") {
+    val row = Analytics.q382BrierEce(spark, sf1).head()
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select(expr("CAST(floor(value / 10) AS BIGINT)").as("bin"),
+        expr(s"least(999999, CAST(floor(value * 100) AS BIGINT) * " +
+          s"${Analytics.BrierScaler})").as("p"),
+        (col("event_type") === "purchase").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val n = ev.length.toLong
+    assert(row.getAs[Long]("n") === n)
+    val brier = ev.map { case (_, p, y) =>
+      val d = BigInt(p - (if (y) 1000000L else 0L)); d * d }.sum
+    assert(row.getAs[Long]("brier_mean_ppm2") === (brier / n).toLong)
+    // ECE collapse: sum over bins of |sum p - 1e6 * n_pos|
+    val ece = ev.groupBy(_._1).values.map { g =>
+      (BigInt(g.map(_._2).sum) -
+        BigInt(1000000L) * g.count(_._3)).abs }.sum
+    assert(row.getAs[Long]("ece_num") === ece.toLong)
+    assert(row.getAs[Long]("ece_ppm") === (ece / n).toLong)
+  }
+
+  test("q384 EMD replays a brute-force transport model and dominates " +
+    "the mean-shift lower bound") {
+    val rows = Analytics.q384HistEmd(spark, sf1).collect()
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(col("source"), expr("n_chars div 64").as("bin"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val sources = bySrc.keys.toSeq.sorted
+    assert(rows.length === sources.combinations(2).length)
+    val allBins = docs.map(_._2).distinct.sorted
+    rows.foreach { r =>
+      val (s1n, s2n) = (r.getString(0), r.getString(1))
+      val (g1, g2) = (bySrc(s1n), bySrc(s2n))
+      val (t1, t2) = (g1.length.toLong, g2.length.toLong)
+      assert(r.getAs[Long]("t1") === t1 && r.getAs[Long]("t2") === t2)
+      // brute-force: integrate |F1*t2 - F2*t1| over the union grid
+      var f1 = 0L; var f2 = 0L; var num = BigInt(0)
+      allBins.zip(allBins.tail).foreach { case (b, nxt) =>
+        f1 += g1.count(_ == b); f2 += g2.count(_ == b)
+        num += (BigInt(f1) * t2 - BigInt(f2) * t1).abs * (nxt - b)
+      }
+      assert(r.getAs[Long]("emd_num") === num.toLong)
+      // Wasserstein-1 >= |mean difference| (equality iff no crossing)
+      val meanDiffNum = (BigInt(g1.sum) * t2 - BigInt(g2.sum) * t1).abs
+      assert(num >= meanDiffNum,
+        s"EMD below the mean-shift bound for ($s1n,$s2n)")
+    }
+  }
 }

@@ -658,4 +658,45 @@ class PropertySpec extends SparkSpec {
       assert(gotC === wantC, s"containment τ=$p/$q")
     }
   }
+
+  test("q381 MAP replays a brute-force average-precision model with " +
+    "the declared truncation points") {
+    val S = graft.operators.Similarity
+    val embs = graft.sources.Tables.load(spark, sf1, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS ed",
+        "CAST(label AS BIGINT) AS label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    val lblCnt = embs.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = S.q381MapEval(spark, sf1).collect()
+      .map(r => r.getAs[Long]("probe_id") ->
+        (r.getAs[Long]("n_rel"), r.getAs[Long]("r_avail"),
+          r.getAs[Long]("ap_num"), r.getAs[Long]("ap_ppm"))).toMap
+    assert(rows.size === S.KnnProbes)
+    embs.filter(_._1 < S.KnnProbes).foreach { case (pid, ped, plbl) =>
+      val ranked = embs.filter(_._1 != pid)
+        .map(e => (e._1, cos(e._2, ped), e._3))
+        .sortBy(e => (-e._2, e._1)).take(S.NdcgK)
+      var cum = 0L; var apNum = 0L; var nRel = 0L
+      ranked.zipWithIndex.foreach { case ((_, _, lbl), i) =>
+        if (lbl == plbl) {
+          cum += 1; nRel += 1
+          apNum += cum * 1000000L / (i + 1)
+        }
+      }
+      val rAvail = math.min(lblCnt(plbl) - 1, S.NdcgK.toLong)
+      val apPpm = if (rAvail <= 0) 0L else apNum / rAvail
+      val (gRel, gAvail, gNum, gPpm) = rows(pid)
+      assert(gRel === nRel, s"probe $pid n_rel")
+      assert(gAvail === rAvail, s"probe $pid r_avail")
+      assert(gNum === apNum, s"probe $pid ap_num")
+      assert(gPpm === apPpm, s"probe $pid ap_ppm")
+    }
+  }
 }

@@ -1872,4 +1872,40 @@ class StatsSpec extends SparkSpec {
       assert(r.getAs[Long]("bal_cents") === bal)
     }
   }
+
+  test("q383 Jarque-Bera replays a brute-force moment model and the " +
+    "heavy-tailed payload fails normality decisively") {
+    val rows = Stats.q383JarqueBera(spark, sf1).collect()
+    val vals = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(x => BigInt(x._2))).toMap
+    assert(rows.length === vals.size)
+    rows.foreach { r =>
+      val g = vals(r.getAs[String]("event_type"))
+      val n = g.length.toLong
+      assert(r.getAs[Long]("n") === n)
+      // replay the shared-text double pipeline over exact BigInt sums
+      val s1 = g.sum; val s2 = g.map(v => v * v).sum
+      val s3 = g.map(v => v * v * v).sum
+      val s4 = g.map(v => v * v * v * v).sum
+      val mu = s1.toDouble / n
+      val m2 = s2.toDouble / n - mu * mu
+      val m3 = s3.toDouble / n - 3.0 * mu * (s2.toDouble / n) +
+        2.0 * mu * mu * mu
+      val m4 = s4.toDouble / n - 4.0 * mu * (s3.toDouble / n) +
+        6.0 * mu * mu * (s2.toDouble / n) - 3.0 * mu * mu * mu * mu
+      val g1 = m3 / (m2 * math.sqrt(m2))
+      val g2 = m4 / (m2 * m2) - 3.0
+      val jb = n.toDouble / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+      assert(r.getAs[Long]("skew_ppm") === math.floor(g1 * 1e6).toLong)
+      assert(r.getAs[Long]("kurt_ppm") === math.floor(g2 * 1e6).toLong)
+      assert(r.getAs[Long]("jb_milli") === math.floor(jb * 1e3).toLong)
+      // Exp(50)-shaped values: right skew, decisive rejection
+      assert(r.getAs[Long]("skew_ppm") > 0L)
+      assert(r.getAs[Long]("p_ppm") === 0L,
+        "heavy tail must reject normality outright")
+    }
+  }
 }
