@@ -121,7 +121,19 @@ object Scaling {
     // star-contraction CC over q231's band pairs. q367/q368 are
     // census/domain-bounded (vocab-head moments / value-band-bin
     // triple) and excluded on the standing census grounds.
-    "q365_hits", "q366_phash_clusters")
+    "q365_hits", "q366_phash_clusters",
+    // round-9 session-6 additions: the portfolio completions that
+    // carry fact joins or fact-wide aggregates (Q2 correlated-min over
+    // the region-pruned fact, Q9 five-table profit join, Q13 outer-join
+    // double aggregate, Q16 pair-distinct census, Q20 nested-aggregate
+    // semi, Q21 aggregate-rewritten exists/not-exists) plus the q381
+    // probe-batch retrieval eval. q371/q372/q374/q375/q377 are
+    // pushdown/census/scalar-bounded; q382/q383 one-scan censuses;
+    // q384 rides q202's domain-sized census spine — excluded on the
+    // standing grounds.
+    "q370_min_cost_supplier", "q373_product_profit", "q376_custdist",
+    "q378_supplier_counts", "q379_excess_suppliers",
+    "q380_sole_failing_supplier", "q381_map_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",

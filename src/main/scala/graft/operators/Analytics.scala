@@ -3866,9 +3866,181 @@ object Analytics {
             AS emd_micro_bins
         FROM cum GROUP BY 1, 2, 3, 4"""
 
+  // ------------------------------------------------------------ q386
+
+  /** q386 hypotheses and error rates: H0 p = 0.19 vs H1 p = 0.21
+    * straddle the generator's ~0.198 purchase share (the interesting
+    * regime: a true rate BETWEEN the hypotheses keeps the walk near
+    * the continue band longest); α = β = 0.05 → Wald bounds ±ln 19.
+    * All four log constants are shared-text doubles over literals —
+    * one IEEE division + one libm ln each, bit-identical cross-engine
+    * (the q303 discipline). */
+  // decimal literals divide as DECIMAL with engine-specific scales
+  // (Spark decimal(2,2)/decimal(2,2) vs DuckDB's wider rule) — cast to
+  // DOUBLE first so both engines do the same IEEE division
+  private val sprtL1 =
+    "ln(CAST(0.21 AS DOUBLE) / CAST(0.19 AS DOUBLE))"
+  private val sprtL0 =
+    "ln(CAST(0.79 AS DOUBLE) / CAST(0.81 AS DOUBLE))"
+  private val sprtHi = "ln(19.0)" // accept H1 at/above
+  private val sprtLo = "(-ln(19.0))" // accept H0 at/below
+
+  /** q386 — SPRT SEQUENTIAL A/B MONITOR at day granularity (Wald's
+    * sequential probability ratio test — the OPTIONAL-STOPPING member
+    * closing the experimentation family: q266/q303/q357 are
+    * fixed-horizon tests, q268 plans the horizon, CUPED shrinks it —
+    * SPRT is what a live dashboard should run INSTEAD of peeking at a
+    * fixed-horizon p-value, the peeking that inflates false positives;
+    * its LLR walk with Wald bounds keeps α/β by construction at ANY
+    * stopping day). Tests H0: purchase rate = 0.19 vs H1: 0.21 on the
+    * cumulative event stream; per day, LLR = k·ln(p₁/p₀) +
+    * (n−k)·ln((1−p₁)/(1−p₀)) — cumulative k, n are EXACT integers off
+    * one census, each term one int→double cast times a shared-text
+    * log constant, so the whole trajectory is deterministic. Released
+    * per day: {day, n, k, llr_micro, verdict} — the verdict string is
+    * the decision an auto-stopper would take THAT day.
+    *
+    * Scale shape: ONE corpus scan map-side combined to the |days|
+    * census; cumsums + the verdict CASE ride the domain-bounded day
+    * frame. */
+  def q386SprtMonitor(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("ts").cast("date").as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("pos"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("dn"), sum("pos").as("dk"))
+      .withColumn("n", sum("dn").over(w))
+      .withColumn("k", sum("dk").over(w))
+      .withColumn("llr", expr(
+        s"CAST(k AS DOUBLE) * $sprtL1 + CAST(n - k AS DOUBLE) * $sprtL0"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("k"),
+        expr("CAST(floor(llr * 1000000) AS BIGINT)").as("llr_micro"),
+        expr(s"""CASE WHEN llr >= $sprtHi THEN 'accept_h1'
+             WHEN llr <= $sprtLo THEN 'accept_h0'
+             ELSE 'continue' END""").as("verdict"))
+  }
+
+  private def q386OracleSql: String =
+    s"""WITH census AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS dn,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS dk
+        FROM events GROUP BY 1),
+        cum AS (SELECT day,
+          CAST(sum(dn) OVER (ORDER BY day) AS BIGINT) AS n,
+          CAST(sum(dk) OVER (ORDER BY day) AS BIGINT) AS k
+        FROM census),
+        scored AS (SELECT day, n, k,
+          CAST(k AS DOUBLE) * $sprtL1 + CAST(n - k AS DOUBLE) * $sprtL0
+            AS llr
+        FROM cum)
+        SELECT strftime(day, '%Y-%m-%d') AS day, n, k,
+          CAST(floor(llr * 1000000) AS BIGINT) AS llr_micro,
+          CASE WHEN llr >= $sprtHi THEN 'accept_h1'
+               WHEN llr <= $sprtLo THEN 'accept_h0'
+               ELSE 'continue' END AS verdict
+        FROM scored"""
+
+  // ------------------------------------------------------------ q387
+
+  /** q387's MCC pieces over the exact per-band confusion counts: the
+    * numerator tp·tn − fp·fn stays in exact integers (released), the
+    * denominator is the product of four sqrt's — each of one exact
+    * int→double cast — shared text, so √(10³²)-scale products never
+    * materialize as integers. */
+  private val mccDen =
+    """(sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))
+       * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE)))"""
+
+  /** q387 — MCC-OPTIMAL THRESHOLD (Matthews correlation over every
+    * candidate value band — the BALANCED twin closing the
+    * threshold-metric family: q287's F1 ignores true negatives
+    * entirely, so on imbalanced data it rewards over-predicting the
+    * positive class; MCC is the full-confusion-matrix correlation,
+    * the metric that stays honest when 80% of events are negatives).
+    * Per band (descending-threshold cumsum frame, q287's): exact
+    * integer {tp, fp, fn, tn}, numerator tp·tn − fp·fn exact BIGINT
+    * (counts ≤10⁸ at sf100 → products ≤10¹⁶, int64-safe, bound
+    * documented), mcc_ppm = floor(num/[[mccDen]]·10⁶) with the
+    * zero-denominator CASE declared; argmax band with the q287
+    * smaller-band tie-break, released as the `chosen` flag.
+    *
+    * Scale shape: q287's plan — ONE corpus scan map-side combined to
+    * the value-band census; cumsums, MCC arithmetic, and the argmax
+    * all ride the domain-bounded band frame. */
+  def q387MccThreshold(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "events")
+      .select(expr("CAST(floor(value) AS BIGINT)").as("band"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("pos"))
+      .groupBy("band")
+      .agg(sum("pos").as("p"), (count(lit(1)) - sum("pos")).as("q"))
+    val w = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val scored = census
+      .withColumn("tp", sum("p").over(w))
+      .withColumn("fp", sum("q").over(w))
+      .withColumn("fn", sum("p").over(all) - col("tp"))
+      .withColumn("tn", sum("q").over(all) - col("fp"))
+      .select(col("band").as("threshold_band"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        (col("tp") * col("tn") - col("fp") * col("fn")).as("mcc_num"))
+      .withColumn("mcc_ppm", expr(
+        s"""CASE WHEN $mccDen = 0.0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(CAST(mcc_num AS DOUBLE) / $mccDen * 1000000)
+              AS BIGINT) END"""))
+    val best = scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("mcc_ppm").desc, col("threshold_band"))))
+      .filter(col("rk") === 1)
+      .select(col("threshold_band").as("best_band"))
+    scored.crossJoin(broadcast(best))
+      .select(col("threshold_band"), col("tp"), col("fp"), col("fn"),
+        col("tn"), col("mcc_num"), col("mcc_ppm"),
+        (col("threshold_band") === col("best_band")).as("chosen"))
+  }
+
+  private def q387OracleSql: String =
+    s"""WITH census AS (SELECT CAST(floor(value) AS BIGINT) AS band,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS p,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+            AS BIGINT) AS q
+        FROM events GROUP BY 1),
+        scored0 AS (SELECT band AS threshold_band,
+            CAST(sum(p) OVER (ORDER BY band DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+            CAST(sum(q) OVER (ORDER BY band DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp,
+            CAST(sum(p) OVER () AS BIGINT)
+              - CAST(sum(p) OVER (ORDER BY band DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fn,
+            CAST(sum(q) OVER () AS BIGINT)
+              - CAST(sum(q) OVER (ORDER BY band DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tn
+          FROM census),
+        scored AS (SELECT threshold_band, tp, fp, fn, tn,
+            CAST(tp * tn - fp * fn AS BIGINT) AS mcc_num,
+            CASE WHEN $mccDen = 0.0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(floor(CAST(tp * tn - fp * fn AS DOUBLE)
+                   / $mccDen * 1000000) AS BIGINT) END AS mcc_ppm
+          FROM scored0),
+        best AS (SELECT threshold_band AS best_band FROM scored
+          ORDER BY mcc_ppm DESC, threshold_band LIMIT 1)
+        SELECT threshold_band, tp, fp, fn, tn, mcc_num, mcc_ppm,
+          threshold_band = best_band AS chosen
+        FROM scored CROSS JOIN best"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q368_isotonic_calibration" -> (q368IsotonicCalibration _),
     "q382_brier_ece" -> (q382BrierEce _),
+    "q386_sprt_monitor" -> (q386SprtMonitor _),
+    "q387_mcc_threshold" -> (q387MccThreshold _),
     "q384_hist_emd" -> (q384HistEmd _),
     "q325_cohort_retention" -> (q325CohortRetention _),
     "q298_weekday_revenue" -> (q298WeekdayRevenue _),
@@ -3938,6 +4110,8 @@ object Analytics {
   val oracleSql: Map[String, String] = Map(
     "q368_isotonic_calibration" -> q368OracleSql,
     "q382_brier_ece" -> q382OracleSql,
+    "q386_sprt_monitor" -> q386OracleSql,
+    "q387_mcc_threshold" -> q387OracleSql,
     "q384_hist_emd" -> q384OracleSql,
     "q325_cohort_retention" -> q325OracleSql,
     "q298_weekday_revenue" -> q298OracleSql,

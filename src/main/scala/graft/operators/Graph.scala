@@ -751,7 +751,127 @@ object Graph {
         UNION ALL
         SELECT 'cust' AS node_type, c AS node_id, s2 AS score FROM h2"""
 
+  // ------------------------------------------------------------ q385
+
+  /** q385 seed slice: one brand's parts (the "customers who bought
+    * items like THESE" query shape; ~1% of parts at every SF). */
+  val PprSeedBrand = "Brand#7"
+
+  /** Library API: PERSONALIZED PageRank — the teleport mass returns to
+    * a SEED SET instead of every node (Haveliwala's topic-sensitive
+    * variant), same integer fixed-point discipline as [[pageRank]]:
+    * rank₀ = scale on seeds / 0 elsewhere, each round adds the 15%
+    * restart ONLY on seeds, contributions are the same
+    * (rank·85 div 100) div deg flow. `nodes` must carry {id,
+    * is_seed}. Scores concentrate near the seeds — the locality that
+    * makes PPR the recommendation/local-community primitive a global
+    * rank can't express (q99 ranks the whole graph; PPR ranks it FROM
+    * somewhere). */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
+      iters: Int = PrIters, scale: Long = PrScale): DataFrame = {
+    val base = scale * 15L / 100L
+    val ed = edges.join(edges.groupBy("src")
+        .agg(count(lit(1)).as("pr_deg")), "src")
+      .select("src", "dst", "pr_deg").cache()
+    val seedBase = nodes.select(col("id"),
+      when(col("is_seed"), lit(base)).otherwise(lit(0L)).as("sb"))
+    var ranks = nodes.select(col("id"),
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L))
+        .as("rank_scaled"))
+    for (round <- 1 to iters) {
+      val contribs = ed
+        .join(ranks, ed("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          expr(s"((rank_scaled * 85) div 100) div pr_deg").as("c"))
+        .groupBy("id").agg(sum("c").as("m"))
+      ranks = seedBase
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (col("sb") + coalesce(col("m"), lit(0L))).as("rank_scaled"))
+      if (round % 4 == 0 || round == iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ed.unpersist()
+    ranks
+  }
+
+  /** q385 — PERSONALIZED PAGERANK over the part co-purchase graph,
+    * seeded at one brand's parts ("parts bought alongside THIS
+    * catalog slice" — the related-items recommendation primitive, and
+    * the LOCAL twin closing the rank family: q99 ranks globally, q365
+    * ranks across the bipartite classes, PPR ranks FROM a seed set,
+    * which is what a recommender or local-community query actually
+    * asks). Edges: distinct ordered part pairs co-occurring in an
+    * order (both directions — the graph is symmetric); five integer
+    * fixed-point rounds per [[personalizedPageRank]], zero floats, so
+    * the trajectory is bit-exact cross-engine. Released: every part
+    * with nonzero score plus its seed flag (zero rows pruned — at
+    * 100 TB the nonzero set is the seeds' neighborhood, output-bound,
+    * while "all parts" would be catalog-scale).
+    *
+    * Scale shape: the pair frame is one orderkey-keyed self-join
+    * (output bounded by Σ lines(o)² with Poisson-bounded order width —
+    * the q142 co-occurrence law, measured linear there); each round is
+    * one src-keyed join + map-side-combined sum, edges cached;
+    * |parts|-bounded rank frame. */
+  def q385PersonalizedPagerank(s: SparkSession, dir: String)
+      : DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val pairs = li.join(li.select(col("l_orderkey").as("ok2"),
+        col("l_partkey").as("p2")),
+        col("l_orderkey") === col("ok2"))
+      .filter(col("l_partkey") =!= col("p2"))
+      .select(col("l_partkey").as("src"), col("p2").as("dst"))
+      .distinct()
+    val nodes = t(s, dir, "part")
+      .select(col("p_partkey").as("id"),
+        (col("p_brand") === PprSeedBrand).as("is_seed"))
+    personalizedPageRank(nodes, pairs)
+      .filter(col("rank_scaled") > 0L)
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"),
+          (col("p_brand") === PprSeedBrand).as("is_seed"))),
+        col("id") === col("p_partkey"))
+      .select(col("id").as("p_partkey"), col("is_seed"),
+        col("rank_scaled"))
+  }
+
+  private def q385OracleSql: String = {
+    val base = PrScale * 15L / 100L
+    val iterCtes = (1 to PrIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS id,
+            CAST(sum(((r.rank_scaled * 85) // 100) // d.deg) AS BIGINT)
+              AS m
+          FROM edges e JOIN deg d ON e.src = d.src
+          JOIN r${i - 1} r ON r.id = e.src
+          GROUP BY e.dst),
+        r$i AS (SELECT n.id, n.sb,
+            n.sb + COALESCE(c.m, CAST(0 AS BIGINT)) AS rank_scaled
+          FROM r${i - 1} n LEFT JOIN c$i c ON n.id = c.id)"""
+    }.mkString(",\n        ")
+    s"""WITH pairs0 AS (SELECT DISTINCT a.l_partkey AS src,
+          b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey <> b.l_partkey),
+        edges AS (SELECT src, dst FROM pairs0),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges
+                GROUP BY src),
+        r0 AS (SELECT p_partkey AS id,
+               CAST(CASE WHEN p_brand = '$PprSeedBrand'
+                 THEN $base ELSE 0 END AS BIGINT) AS sb,
+               CAST(CASE WHEN p_brand = '$PprSeedBrand'
+                 THEN $PrScale ELSE 0 END AS BIGINT) AS rank_scaled
+               FROM part),
+        $iterCtes
+        SELECT r.id AS p_partkey, p.p_brand = '$PprSeedBrand' AS is_seed,
+          r.rank_scaled
+        FROM r$PrIters r JOIN part p ON r.id = p.p_partkey
+        WHERE r.rank_scaled > 0"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q385_personalized_pagerank" -> (q385PersonalizedPagerank _),
     "q365_hits" -> (q365Hits _),
     "q282_clustering_coeff" -> (q282ClusteringCoeff _),
     "q261_harmonic_2hop" -> (q261Harmonic2Hop _),
@@ -763,6 +883,7 @@ object Graph {
     "q155_kcore" -> (q155KCore _))
 
   val oracleSql: Map[String, String] = Map(
+    "q385_personalized_pagerank" -> q385OracleSql,
     "q365_hits" -> q365OracleSql,
     "q282_clustering_coeff" -> q282OracleSql,
     "q261_harmonic_2hop" -> q261OracleSql,

@@ -1239,4 +1239,54 @@ class AnalyticsSpec extends SparkSpec {
         s"EMD below the mean-shift bound for ($s1n,$s2n)")
     }
   }
+
+  test("q386 SPRT trajectory replays the Wald walk over the exact " +
+    "day census with consistent verdicts") {
+    val rows = Analytics.q386SprtMonitor(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1)
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("ts").cast("date").cast("string").as("day"),
+        (col("event_type") === "purchase").as("y"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    val byDay = ev.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.count(_._2).toLong)).toMap
+    val l1 = math.log(0.21 / 0.19); val l0 = math.log(0.79 / 0.81)
+    val hi = math.log(19.0)
+    var n = 0L; var k = 0L
+    assert(rows.length === byDay.size)
+    rows.foreach { case (day, gn, gk, llrMicro, verdict) =>
+      val (dn, dk) = byDay(day)
+      n += dn; k += dk
+      assert(gn === n && gk === k, s"$day cumulative counts")
+      val llr = k.toDouble * l1 + (n - k).toDouble * l0
+      assert(llrMicro === math.floor(llr * 1e6).toLong, s"$day llr")
+      val expect = if (llr >= hi) "accept_h1"
+        else if (llr <= -hi) "accept_h0" else "continue"
+      assert(verdict === expect, s"$day verdict")
+    }
+  }
+
+  test("q387 MCC threshold sweep replays the confusion matrix, bounds " +
+    "the metric, and flags a unique argmax") {
+    val rows = Analytics.q387MccThreshold(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select(expr("CAST(floor(value) AS BIGINT)").as("band"),
+        (col("event_type") === "purchase").as("y"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val totP = ev.count(_._2).toLong; val totN = ev.size - totP
+    rows.foreach { case (band, tp, fp, fn, tn, num, ppm, _) =>
+      assert(tp === ev.count(e => e._1 >= band && e._2).toLong)
+      assert(fp === ev.count(e => e._1 >= band && !e._2).toLong)
+      assert(fn === totP - tp && tn === totN - fp)
+      assert(num === tp * tn - fp * fn)
+      assert(ppm >= -1000000L && ppm <= 1000000L, s"band $band MCC range")
+    }
+    assert(rows.count(_._8) === 1, "exactly one chosen band")
+    val chosen = rows.find(_._8).get
+    assert(rows.forall(r => r._7 < chosen._7 ||
+      (r._7 == chosen._7 && r._1 >= chosen._1)), "argmax w/ tie-break")
+  }
 }

@@ -269,4 +269,47 @@ class GraphSpec extends SparkSpec {
     // mutual reinforcement sanity: scores strictly positive
     assert(rows.forall(_._3 > 0L))
   }
+
+  test("q385 personalized PageRank replays an exact integer model and " +
+    "concentrates mass at the seeds") {
+    val G = graft.operators.Graph
+    val li = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).values.toSeq.flatMap { g =>
+      val ps: Seq[Long] = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val seeds = graft.sources.Tables.load(spark, sf1, "part")
+      .select(col("p_partkey"),
+        (col("p_brand") === G.PprSeedBrand).as("s"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val deg = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = G.PrScale * 15L / 100L
+    var rank = seeds.map { case (id, isSeed) =>
+      id -> (if (isSeed) G.PrScale else 0L) }
+    for (_ <- 1 to G.PrIters) {
+      val inflow = pairs.toSeq
+        .map { case (src, dst) =>
+          dst -> (rank(src) * 85L / 100L / deg(src)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      rank = seeds.map { case (id, isSeed) =>
+        id -> ((if (isSeed) base else 0L) + inflow.getOrElse(id, 0L)) }
+    }
+    val expected = rank.filter(_._2 > 0L)
+    val got = G.q385PersonalizedPagerank(spark, sf1).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2)))
+    assert(got.length === expected.size)
+    got.foreach { case (id, (isSeed, sc)) =>
+      assert(isSeed === seeds(id))
+      assert(sc === expected(id), s"part $id score")
+      if (seeds(id)) assert(sc >= base, "seed keeps its restart mass")
+    }
+    // locality: total seed mass per capita exceeds non-seed per capita
+    val (sm, sn) = (got.filter(_._2._1).map(_._2._2).sum,
+      got.count(_._2._1).max(1))
+    val (om, on) = (got.filterNot(_._2._1).map(_._2._2).sum,
+      got.count(!_._2._1).max(1))
+    assert(sm / sn > om / on, "mass must concentrate at the seeds")
+  }
 }
