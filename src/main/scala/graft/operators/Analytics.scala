@@ -3878,12 +3878,12 @@ object Analytics {
   // decimal literals divide as DECIMAL with engine-specific scales
   // (Spark decimal(2,2)/decimal(2,2) vs DuckDB's wider rule) — cast to
   // DOUBLE first so both engines do the same IEEE division
-  private val sprtL1 =
+  private[graft] val sprtL1 =
     "ln(CAST(0.21 AS DOUBLE) / CAST(0.19 AS DOUBLE))"
-  private val sprtL0 =
+  private[graft] val sprtL0 =
     "ln(CAST(0.79 AS DOUBLE) / CAST(0.81 AS DOUBLE))"
-  private val sprtHi = "ln(19.0)" // accept H1 at/above
-  private val sprtLo = "(-ln(19.0))" // accept H0 at/below
+  private[graft] val sprtHi = "ln(19.0)" // accept H1 at/above
+  private[graft] val sprtLo = "(-ln(19.0))" // accept H0 at/below
 
   /** q386 — SPRT SEQUENTIAL A/B MONITOR at day granularity (Wald's
     * sequential probability ratio test — the OPTIONAL-STOPPING member
@@ -3923,6 +3923,9 @@ object Analytics {
              WHEN llr <= $sprtLo THEN 'accept_h0'
              ELSE 'continue' END""").as("verdict"))
   }
+
+  /** q386's oracle, shared verbatim by the q388 streaming twin. */
+  private[graft] def q386OracleSql2: String = q386OracleSql
 
   private def q386OracleSql: String =
     s"""WITH census AS (SELECT CAST(ts AS DATE) AS day,

@@ -1365,6 +1365,66 @@ object EventStream {
         CROSS JOIN den d
         GROUP BY l.lag, d.den"""
 
+  // -------------------------------------------------------------- q388
+
+  /** q388 — STREAMING SPRT MONITOR (q386's Wald sequential test under
+    * continuous ingest — the 21st declared streaming shape and the
+    * DECISION member of the streaming monitor family: q313 watches
+    * which bins moved, q336 when the rate broke, q369 whether the
+    * rhythm holds — this one emits the ACCEPT/REJECT/CONTINUE verdict
+    * a live experiment dashboard acts on, which is exactly the setting
+    * SPRT exists for: the test's α/β guarantees hold under optional
+    * stopping, so reading it every micro-batch is sound where a
+    * fixed-horizon p-value would inflate). State: the per-day
+    * {events, purchases} census (two longs per open event-time day
+    * window, map-side merged per micro-batch, watermark-bounded); the
+    * cumulative LLR walk and verdicts replay over the drained ≤|days|
+    * frame with q386's exact integers × shared-text log constants.
+    * Count merge is associative and commutative, so the drained census
+    * is batch-split independent and the trajectory equals batch q386
+    * EXACTLY — q386's oracle IS this oracle; the spec pins stream ≡
+    * batch plus a forced multi-batch replay.
+    *
+    * Scale shape: streaming census map-side combined per batch; the
+    * cumsum + verdict CASE ride the |days|-bounded drained frame. */
+  def q388StreamSprt(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val A = graft.operators.Analytics
+    val name = "q388_stream_sprt_mem"
+    s.catalog.dropTempView(name)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("dn"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("dk"))
+      .select(col("window.start").cast("date").as("day"),
+        col("dn"), col("dk"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    s.table(name).localCheckpoint(true)
+      .withColumn("n", sum("dn").over(w))
+      .withColumn("k", sum("dk").over(w))
+      .withColumn("llr", expr(s"CAST(k AS DOUBLE) * ${A.sprtL1} " +
+        s"+ CAST(n - k AS DOUBLE) * ${A.sprtL0}"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("k"),
+        expr("CAST(floor(llr * 1000000) AS BIGINT)").as("llr_micro"),
+        expr(s"""CASE WHEN llr >= ${A.sprtHi} THEN 'accept_h1'
+             WHEN llr <= ${A.sprtLo} THEN 'accept_h0'
+             ELSE 'continue' END""").as("verdict"))
+  }
+
   // -------------------------------------------------------------- q347
 
   /** q347 — STREAMING GOOD–TURING SPECTRUM (q343 under continuous
@@ -1513,6 +1573,8 @@ object EventStream {
     "q336_stream_cusum" -> (q336StreamCusum _),
     "q369_stream_acf" ->
       ((s: SparkSession, d: String) => q369StreamAcf(s, d)),
+    "q388_stream_sprt" ->
+      ((s: SparkSession, d: String) => q388StreamSprt(s, d)),
     "q313_stream_psi" -> (q313StreamPsi _),
     "q302_stream_chunk_dedup" -> (q302StreamChunkDedup _),
     "q283_stream_funnel" -> (q283StreamFunnel _),
@@ -1537,6 +1599,7 @@ object EventStream {
     "q347_stream_spectrum" -> graft.operators.TextOps.q343OracleSql2,
     "q336_stream_cusum" -> q336OracleSql,
     "q369_stream_acf" -> q369OracleSql,
+    "q388_stream_sprt" -> graft.operators.Analytics.q386OracleSql2,
     "q313_stream_psi" -> q313OracleSql,
     "q302_stream_chunk_dedup" -> graft.operators.Dedup.q300OracleSql2,
     "q283_stream_funnel" -> q283OracleSql,

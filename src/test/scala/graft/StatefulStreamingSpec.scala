@@ -442,4 +442,36 @@ class StatefulStreamingSpec extends SparkSpec {
       s"split-dependent: only-multi=${(multi -- whole).take(3)} " +
         s"only-whole=${(whole -- multi).take(3)}")
   }
+
+  test("q388 streamed SPRT equals batch q386 and is batch-split " +
+    "independent (4-file forced replay)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("day"), r.getAs[Long]("n"), r.getAs[Long]("k"),
+        r.getAs[Long]("llr_micro"), r.getAs[String]("verdict"))
+    val streamed = EventStream.q388StreamSprt(spark, sf1)
+      .collect().map(key).toSet
+    spark.catalog.clearCache()
+    val batch = graft.operators.Analytics.q386SprtMonitor(spark, sf1)
+      .collect().map(key).toSet
+    assert(streamed === batch,
+      s"streamed/batch SPRT diverged: only-streamed=" +
+        s"${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    assert(batch.nonEmpty)
+    // forced multi-batch: 4 part-files, one per micro-batch — the
+    // two-count day census merge must be batch-split independent
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q388-multibatch").toString
+    ev.repartition(4).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val multi = EventStream
+      .q388StreamSprt(spark, dir, maxFilesPerTrigger = Some(1))
+      .collect().map(key).toSet
+    spark.catalog.clearCache()
+    val whole = graft.operators.Analytics.q386SprtMonitor(spark, dir)
+      .collect().map(key).toSet
+    assert(multi === whole,
+      s"split-dependent: only-multi=${(multi -- whole).take(3)} " +
+        s"only-whole=${(whole -- multi).take(3)}")
+  }
 }
