@@ -260,7 +260,12 @@ object Analytics {
         col("l_partkey") === col("p_partkey"))
       .groupBy("ok").agg(sort_array(collect_set("b")).as("bs"))
 
-  def q183LinkPrediction(s: SparkSession, dir: String): DataFrame = {
+  /** The q183 brand co-purchase graph: (edges, und) where `edges` is the
+    * oriented (b1 < b2) strong-pair set cleared by [[LinkEdgePct]] and
+    * `und` its undirected adjacency — shared by q183's common-neighbor
+    * scoring and q397's Adamic–Adar weighting. */
+  private def brandGraph(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val baskets = brandBaskets(s, dir)
     val pair = baskets
       .select(explode(expr("flatten(transform(bs, (x, i) -> " +
@@ -274,6 +279,11 @@ object Analytics {
       .select("b1", "b2")
     val und = edges.select(col("b1").as("src"), col("b2").as("nbr"))
       .unionByName(edges.select(col("b2").as("src"), col("b1").as("nbr")))
+    (edges, und)
+  }
+
+  def q183LinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val (edges, und) = brandGraph(s, dir)
     val wedges = und.groupBy("src")
       .agg(sort_array(collect_set("nbr")).as("ns"))
       .select(explode(expr("flatten(transform(ns, (x, i) -> " +
@@ -4039,8 +4049,193 @@ object Analytics {
           threshold_band = best_band AS chosen
         FROM scored CROSS JOIN best"""
 
+  // ------------------------------------------------------------ q395
+
+  /** q395 — EWMA SMOOTHING of the daily event-count series with
+    * α = 1/2, EXACT (the level line every operations dashboard draws
+    * over a noisy daily count — and the usual float-recursion trap:
+    * e_t = αx_t + (1−α)e_{t−1} folded left-to-right is
+    * order-dependent; with a DYADIC α the recursion clears to exact
+    * integers: E_t := e_t·2^(t−1) = x_1 + Σ_{s=2..t} x_s·2^(s−2), a
+    * plain cumulative sum of weighted terms, and
+    * ewma_milli = E_t·1000 div 2^(t−1)). Weights are int64 shifts
+    * (2^28 max on a 30-day span; the scheme carries spans to ~40 days
+    * at int64 — longer windows restart in blocks, the sketch-merge
+    * discipline); the cumulative sum is widened (decimal(38,0) /
+    * HUGEINT) before the ·1000 division.
+    *
+    * Scale shape: ONE corpus scan map-side combined to the |days|
+    * census; the weighting, cumsum, and division ride the
+    * domain-bounded day frame. */
+  def q395Ewma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("d", row_number().over(Window.orderBy("day"))
+        .cast("bigint"))
+      .withColumn("wt", expr("""CASE WHEN d = 1
+        THEN CAST(1 AS BIGINT)
+        ELSE shiftleft(CAST(1 AS BIGINT), CAST(d - 2 AS INT)) END"""))
+      .withColumn("e", sum(expr(
+        "CAST(x * wt AS DECIMAL(38,0))")).over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("x"),
+        expr("""CAST(e * 1000
+          DIV shiftleft(CAST(1 AS BIGINT), CAST(d - 1 AS INT))
+          AS BIGINT)""").as("ewma_milli"))
+  }
+
+  private def q395OracleSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        idx AS (SELECT day, x,
+            CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS d
+          FROM daily),
+        weighted AS (SELECT day, x, d,
+            CASE WHEN d = 1 THEN CAST(1 AS BIGINT)
+              ELSE CAST(1 AS BIGINT) << CAST(d - 2 AS INT) END AS wt
+          FROM idx),
+        cum AS (SELECT day, x, d,
+            sum(CAST(x AS HUGEINT) * wt) OVER (ORDER BY d) AS e
+          FROM weighted)
+        SELECT strftime(day, '%Y-%m-%d') AS day, x,
+          CAST(e * 1000
+            // (CAST(1 AS HUGEINT) << CAST(d - 1 AS INT)) AS BIGINT)
+            AS ewma_milli
+        FROM cum"""
+
+  // ------------------------------------------------------------ q396
+
+  /** q396 — HERFINDAHL–HIRSCHMAN CONCENTRATION of supplier revenue
+    * within each nation (the antitrust-grade concentration index —
+    * Σ shareᵢ², 1/n for perfect competition, 1 for monopoly — and for
+    * a data platform the skew EARLY-WARNING: a nation whose HHI
+    * drifts up is a partition whose future hot-key problem is already
+    * visible in this quarter's revenue mix; q83's histogram profiles
+    * value skew, this profiles KEY-MASS skew). Exact: per (nation,
+    * supplier) cent sums off one scan; HHI·10⁸ = Σsᵢ²·10⁸ div S²
+    * with both operands widened (decimal(38,0) / HUGEINT) — sᵢ² at
+    * sf100 reaches ~10²⁶, far past int64, in range for both carriers.
+    *
+    * Scale shape: lineitem⋈supplier shuffles on suppkey (supplier is
+    * fact-scale at 100 TB — no broadcast pretense, q311's note; AQE
+    * broadcasts at test scale), map-side combined to the
+    * |nation×supplier| census, re-aggregated to |nations| rows; the
+    * nation-name attach is a 25-row broadcast. */
+  def q396Herfindahl(s: SparkSession, dir: String): DataFrame = {
+    val perSupp = t(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum("cents").as("sc"))
+    perSupp.groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("sc").as("total_cents"),
+        sum(col("sc").cast("decimal(38,0)") * col("sc")).as("ss2"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_suppliers"), col("total_cents"),
+        expr("""CAST(ss2 * 100000000
+          DIV (CAST(total_cents AS DECIMAL(38,0)) * total_cents)
+          AS BIGINT)""").as("hhi_e8"))
+  }
+
+  private def q396OracleSql: String =
+    """WITH per_supp AS (SELECT s_nationkey, s_suppkey,
+          CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS sc
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+        per_nation AS (SELECT s_nationkey,
+          CAST(count(*) AS BIGINT) AS n_suppliers,
+          CAST(sum(sc) AS BIGINT) AS total_cents,
+          sum(CAST(sc AS HUGEINT) * sc) AS ss2
+        FROM per_supp GROUP BY 1)
+        SELECT n_name, n_suppliers, total_cents,
+          CAST(ss2 * 100000000
+            // (CAST(total_cents AS HUGEINT) * total_cents) AS BIGINT)
+            AS hhi_e8
+        FROM per_nation JOIN nation ON s_nationkey = n_nationkey"""
+
+  // ------------------------------------------------------------ q397
+
+  /** q397 — ADAMIC–ADAR LINK PREDICTION on the q183 brand graph (the
+    * WEIGHTED leg of the link-prediction family: q183's common-neighbor
+    * count treats a hub neighbor as strong evidence, but sharing a hub
+    * is cheap — Adamic–Adar down-weights each wedge by the inverse log
+    * degree of the common neighbor, the form that wins on real graphs).
+    * Each node carries w = floor(10⁶ / ln(deg)) — one exact int→double
+    * cast, one libm ln, one IEEE division, shared text (a wedge center
+    * has deg ≥ 2, so ln > 0 by construction); a non-edge pair's score
+    * is the EXACT integer Σw over its wedge centers. Released: all
+    * non-edge pairs with their common count and aa_score.
+    *
+    * Scale shape: [[brandGraph]]'s basket-keyed census (in-row pair
+    * generation bounded by basket size); wedges generated IN-ROW from
+    * sorted adjacency (degree²-bounded, q105's orientation discipline);
+    * the degree weight is computed per node BEFORE wedge expansion so
+    * the ln runs |nodes| times, not |wedges| times; the edge anti-join
+    * rides the wedge frame. At crawl scale a degree cap precedes pair
+    * generation (q183's note). */
+  def q397AdamicAdar(s: SparkSession, dir: String): DataFrame = {
+    val (edges, und) = brandGraph(s, dir)
+    val wedges = und.groupBy("src")
+      .agg(sort_array(collect_set("nbr")).as("ns"))
+      // deg-1 nodes center no wedge — drop BEFORE the weight so the
+      // ln(1) = 0 denominator never evaluates (ANSI division errors
+      // eagerly on rows the explode would discard anyway)
+      .filter(size(col("ns")) >= 2)
+      .withColumn("w", expr(
+        """CAST(floor(1000000.0
+           / ln(CAST(size(ns) AS DOUBLE))) AS BIGINT)"""))
+      .select(col("w"), explode(expr("flatten(transform(ns, (x, i) -> " +
+        "transform(slice(ns, i + 2, size(ns)), " +
+        "y -> struct(x AS a, y AS b))))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("common"), sum("w").as("aa_score"))
+    wedges.join(edges,
+        wedges("a") === edges("b1") && wedges("b") === edges("b2"),
+        "left_anti")
+      .select(col("a").as("b1"), col("b").as("b2"), col("common"),
+        col("aa_score"))
+  }
+
+  private def q397OracleSql: String =
+    s"""WITH bi AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        pair AS (SELECT x.b AS b1, y.b AS b2,
+            CAST(count(*) AS BIGINT) AS n12
+          FROM bi x JOIN bi y ON x.ok = y.ok AND x.b < y.b GROUP BY 1, 2),
+        tot AS (SELECT CAST(count(*) AS BIGINT) np,
+                       CAST(sum(n12) AS BIGINT) tw FROM pair),
+        eu AS (SELECT b1, b2 FROM pair, tot
+               WHERE n12 * np * 100 >= tw * $LinkEdgePct),
+        und AS (SELECT b1 AS src, b2 AS nbr FROM eu
+                UNION ALL SELECT b2, b1 FROM eu),
+        degw AS (SELECT src,
+            CAST(floor(1000000.0
+              / ln(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+          FROM und GROUP BY 1 HAVING count(*) >= 2),
+        wedge AS (SELECT u1.nbr a, u2.nbr b,
+            CAST(count(*) AS BIGINT) cn, CAST(sum(d.w) AS BIGINT) aa
+          FROM und u1 JOIN und u2
+            ON u1.src = u2.src AND u1.nbr < u2.nbr
+          JOIN degw d ON d.src = u1.src
+          GROUP BY 1, 2)
+        SELECT w.a AS b1, w.b AS b2, w.cn AS common, w.aa AS aa_score
+        FROM wedge w ANTI JOIN eu ON w.a = eu.b1 AND w.b = eu.b2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q368_isotonic_calibration" -> (q368IsotonicCalibration _),
+    "q395_ewma" -> (q395Ewma _),
+    "q396_herfindahl" -> (q396Herfindahl _),
+    "q397_adamic_adar" -> (q397AdamicAdar _),
     "q382_brier_ece" -> (q382BrierEce _),
     "q386_sprt_monitor" -> (q386SprtMonitor _),
     "q387_mcc_threshold" -> (q387MccThreshold _),
@@ -4112,6 +4307,9 @@ object Analytics {
 
   val oracleSql: Map[String, String] = Map(
     "q368_isotonic_calibration" -> q368OracleSql,
+    "q395_ewma" -> q395OracleSql,
+    "q396_herfindahl" -> q396OracleSql,
+    "q397_adamic_adar" -> q397OracleSql,
     "q382_brier_ece" -> q382OracleSql,
     "q386_sprt_monitor" -> q386OracleSql,
     "q387_mcc_threshold" -> q387OracleSql,

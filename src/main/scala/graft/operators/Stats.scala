@@ -2828,6 +2828,463 @@ object Stats {
           CAST(floor(exp(-jb / 2.0) * 1000000) AS BIGINT) AS p_ppm
         FROM c6"""
 
+  // ------------------------------------------------------------ q389
+
+  /** q389 — THEIL–SEN ROBUST SLOPE of the daily event-count series (the
+    * ESTIMATION complement of q309's Mann–Kendall: MK answers "is there
+    * a monotone trend?", Theil–Sen answers "how steep?" with a 29%
+    * breakdown point — the median of all pairwise slopes shrugs off the
+    * outlier days that wreck the OLS slope q345 fits). Days get a dense
+    * rank index (engine-identical: ordered by calendar day, no ties);
+    * each ordered pair (i < j) contributes slope_micro =
+    * floor((x_j − x_i)·10⁶ / (j − i)) — the numerator·10⁶ stays exact
+    * in a double up to ~3·10⁶ events/day (sf100), one IEEE division,
+    * one floor, bit-identical cross-engine. The released estimate is
+    * the lower median by (slope_micro, d1, d2) order — deterministic
+    * under slope ties.
+    *
+    * Scale shape: ONE corpus scan map-side combined to the |days|
+    * census; the pair generation and median rank ride the
+    * domain-bounded day frame (≤ days²/2 rows — 435 at a 30-day span,
+    * constant in corpus size). */
+  def q389TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("d", row_number().over(Window.orderBy("day")))
+    val pairs = daily.select(col("d").as("d1"), col("x").as("x1"))
+      .crossJoin(broadcast(daily.select(col("d").as("d2"),
+        col("x").as("x2"))))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), expr(
+        """CAST(floor(CAST((x2 - x1) * 1000000 AS DOUBLE)
+           / CAST(d2 - d1 AS DOUBLE)) AS BIGINT)""").as("slope_micro"))
+    val np = pairs.agg(count(lit(1)).as("n_pairs"))
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    pairs
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("slope_micro"), col("d1"), col("d2"))))
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nd))
+      .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+      .select(col("n_days"), col("n_pairs"),
+        col("slope_micro").as("sen_slope_micro"))
+  }
+
+  private def q389OracleSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+            AS d, x FROM daily),
+        pairs AS (SELECT a.d AS d1, b.d AS d2,
+            CAST(floor(CAST((b.x - a.x) * 1000000 AS DOUBLE)
+              / CAST(b.d - a.d AS DOUBLE)) AS BIGINT) AS slope_micro
+          FROM idx a JOIN idx b ON a.d < b.d),
+        np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM idx),
+        ranked AS (SELECT slope_micro,
+            CAST(row_number() OVER (ORDER BY slope_micro, d1, d2)
+              AS BIGINT) AS rk
+          FROM pairs)
+        SELECT n_days, n_pairs, slope_micro AS sen_slope_micro
+        FROM ranked CROSS JOIN np CROSS JOIN nd
+        WHERE rk = (n_pairs + 1) // 2"""
+
+  // ------------------------------------------------------------ q390
+
+  /** q390 — DELETE-ONE-GROUP JACKKNIFE standard error of a RATIO
+    * metric (mean order value = Σ order cents / Σ orders, clusters =
+    * customer nations): ratio metrics violate the i.i.d.-rows
+    * assumption every naive SE formula makes — the unit of randomness
+    * is the cluster, not the row — and the delete-one-group jackknife
+    * is the standard large-data answer (one pass for per-cluster sums,
+    * then g leave-one-out ratios from broadcast totals; no resampling
+    * passes over the corpus, unlike the bootstrap). Per nation i:
+    * θ₍ᵢ₎_milli = (R − rᵢ)·1000 div (N − nᵢ) — EXACT widened integer
+    * division (decimal(38,0) ÷ bigint vs HUGEINT //). The jackknife
+    * variance (g−1)/g · Σ(θ₍ᵢ₎ − θ̄₍.₎)² is cleared of the float fold:
+    * devᵢ = g·θ₍ᵢ₎ − Σθ₍ⱼ₎ is an exact integer, Σdevᵢ² is an exact
+    * decimal(38,0) sum, and se_milli = floor(√((g−1)·Σdev² / g³))
+    * is one int→double cast + one IEEE sqrt, shared text.
+    *
+    * Scale shape: orders⋈customer shuffles on custkey (map-side
+    * combined to per-customer sums first is unnecessary — the groupBy
+    * nation absorbs it); everything after rides the |nations|-row
+    * frame with two broadcast scalars. */
+  def q390JackknifeRatio(s: SparkSession, dir: String): DataFrame = {
+    val perNation = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_i"),
+        sum("cents").as("r_i"))
+    val tot = perNation.agg(sum("n_i").as("n_tot"),
+      sum("r_i").as("r_tot"), count(lit(1)).as("g"))
+    val loo = perNation.crossJoin(broadcast(tot))
+      .withColumn("theta_loo_milli", expr(
+        """CAST(CAST((r_tot - r_i) AS DECIMAL(38,0)) * 1000
+           DIV (n_tot - n_i) AS BIGINT)"""))
+    val spread = loo.agg(
+      sum("theta_loo_milli").as("t_sum"),
+      max("g").as("gg"))
+    loo.crossJoin(broadcast(spread))
+      .withColumn("dev", col("gg") * col("theta_loo_milli") -
+        col("t_sum"))
+      .withColumn("sd2", sum(col("dev").cast("decimal(38,0)") *
+        col("dev")).over(Window.partitionBy()))
+      .select(col("nationkey"), col("n_i").as("orders_n"),
+        col("r_i").as("revenue_cents"), col("theta_loo_milli"),
+        expr("""CAST(floor(sqrt(CAST((gg - 1) * sd2 AS DOUBLE)
+          / CAST(gg * gg * gg AS DOUBLE))) AS BIGINT)""")
+          .as("jk_se_milli"))
+  }
+
+  private def q390OracleSql: String =
+    """WITH per_nation AS (SELECT c_nationkey AS nationkey,
+          CAST(count(*) AS BIGINT) AS n_i,
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS r_i
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n_tot,
+          CAST(sum(r_i) AS BIGINT) AS r_tot,
+          CAST(count(*) AS BIGINT) AS g FROM per_nation),
+        loo AS (SELECT nationkey, n_i, r_i, g,
+            CAST(CAST((r_tot - r_i) AS HUGEINT) * 1000
+              // (n_tot - n_i) AS BIGINT) AS theta_loo_milli
+          FROM per_nation CROSS JOIN tot),
+        spread AS (SELECT CAST(sum(theta_loo_milli) AS BIGINT) AS t_sum,
+          max(g) AS gg FROM loo),
+        dev AS (SELECT nationkey, n_i, r_i, theta_loo_milli,
+            gg * theta_loo_milli - t_sum AS dv, gg
+          FROM loo CROSS JOIN spread),
+        var_ AS (SELECT sum(CAST(dv AS HUGEINT) * dv) AS sd2,
+          max(gg) AS gv FROM dev)
+        SELECT nationkey, n_i AS orders_n, r_i AS revenue_cents,
+          theta_loo_milli,
+          CAST(floor(sqrt(CAST((gv - 1) * sd2 AS DOUBLE)
+            / CAST(gv * gv * gv AS DOUBLE))) AS BIGINT) AS jk_se_milli
+        FROM dev CROSS JOIN var_"""
+
+  // ------------------------------------------------------------ q391
+
+  /** q391's distribution-free separation certificate: with δ = 0.05
+    * split evenly across the two arms, Hoeffding gives
+    * P(|p̂ − p| ≥ √(ln(4/δ)/2n)) ≤ δ/2 per arm, so
+    * |p̂ₐ − p̂ᵦ| > √(ln(80)/2nₐ) + √(ln(80)/2nᵦ) certifies a real
+    * difference at confidence 1−δ — valid at EVERY peek, no
+    * parametric model (the assumption-free cousin of q386's SPRT). */
+  private val hoeffC = "ln(80.0)"
+
+  /** q391 — HOEFFDING SEQUENTIAL GATE on the A/B purchase-rate
+    * difference (arms = q174's user_id parity split): per day, the
+    * cumulative exact counts {nₐ, kₐ, nᵦ, kᵦ}, the observed
+    * |p̂ₐ − p̂ᵦ|, and the anytime-valid Hoeffding bound
+    * [[hoeffC]]-based — `separated` is the day the distribution-free
+    * certificate fires. Where q386's SPRT needs the Bernoulli model
+    * and two point hypotheses, this gate needs only boundedness —
+    * the first screen a metrics platform can run on ANY [0,1] metric.
+    * All rates/bounds are single shared-text double expressions over
+    * exact cumulative integers; released ×10⁶ floored.
+    *
+    * Scale shape: ONE corpus scan map-side combined to the |days|×2
+    * census; cumsums and the certificate CASE ride the domain-bounded
+    * day frame. */
+  def q391HoeffdingGate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("ts").cast("date").as("day"),
+        (col("user_id") % 2 === 1).as("arm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("pos"))
+      .groupBy("day")
+      .agg(sum(when(col("arm"), 1L).otherwise(0L)).as("dna"),
+        sum(when(col("arm"), col("pos")).otherwise(0L)).as("dka"),
+        sum(when(col("arm"), 0L).otherwise(1L)).as("dnb"),
+        sum(when(col("arm"), 0L).otherwise(col("pos"))).as("dkb"))
+      .withColumn("na", sum("dna").over(w))
+      .withColumn("ka", sum("dka").over(w))
+      .withColumn("nb", sum("dnb").over(w))
+      .withColumn("kb", sum("dkb").over(w))
+      .withColumn("diff", expr(
+        """abs(CAST(ka AS DOUBLE) / CAST(na AS DOUBLE)
+           - CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE))"""))
+      .withColumn("bound", expr(
+        s"""sqrt($hoeffC / (2.0 * CAST(na AS DOUBLE)))
+           + sqrt($hoeffC / (2.0 * CAST(nb AS DOUBLE)))"""))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("na"), col("ka"), col("nb"), col("kb"),
+        expr("CAST(floor(diff * 1000000) AS BIGINT)").as("diff_micro"),
+        expr("CAST(floor(bound * 1000000) AS BIGINT)").as("bound_micro"),
+        expr("""CASE WHEN na > 0 AND nb > 0 AND diff > bound
+          THEN TRUE ELSE FALSE END""").as("separated"))
+  }
+
+  private def q391OracleSql: String =
+    s"""WITH census AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS dna,
+          CAST(sum(CASE WHEN user_id % 2 = 1
+              AND event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS dka,
+          CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END)
+            AS BIGINT) AS dnb,
+          CAST(sum(CASE WHEN user_id % 2 = 1 OR event_type <> 'purchase'
+              THEN 0 ELSE 1 END) AS BIGINT) AS dkb
+        FROM events GROUP BY 1),
+        cum AS (SELECT day,
+          CAST(sum(dna) OVER (ORDER BY day) AS BIGINT) AS na,
+          CAST(sum(dka) OVER (ORDER BY day) AS BIGINT) AS ka,
+          CAST(sum(dnb) OVER (ORDER BY day) AS BIGINT) AS nb,
+          CAST(sum(dkb) OVER (ORDER BY day) AS BIGINT) AS kb
+        FROM census),
+        scored AS (SELECT day, na, ka, nb, kb,
+          abs(CAST(ka AS DOUBLE) / CAST(na AS DOUBLE)
+            - CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE)) AS diff,
+          sqrt($hoeffC / (2.0 * CAST(na AS DOUBLE)))
+            + sqrt($hoeffC / (2.0 * CAST(nb AS DOUBLE))) AS bound
+        FROM cum)
+        SELECT strftime(day, '%Y-%m-%d') AS day, na, ka, nb, kb,
+          CAST(floor(diff * 1000000) AS BIGINT) AS diff_micro,
+          CAST(floor(bound * 1000000) AS BIGINT) AS bound_micro,
+          CASE WHEN na > 0 AND nb > 0 AND diff > bound
+            THEN TRUE ELSE FALSE END AS separated
+        FROM scored"""
+
+  // ------------------------------------------------------------ q392
+
+  /** q392's Wald ratio with engine-parameterized exact division — the
+    * q342 didExpr pattern (Spark DIV / DECIMAL(38,0) vs DuckDB // /
+    * HUGEINT; both truncate toward zero on a negative numerator,
+    * tested there). Numerator/denominator are the cross-multiplied
+    * ITT contrasts, so no per-arm mean ever floats. */
+  private def waldExpr(divOp: String, bigT: String): String =
+    s"""CASE WHEN (CAST(d1 AS $bigT) * n0 - CAST(d0 AS $bigT) * n1) = 0
+        THEN NULL
+        ELSE CAST((CAST(s1 AS $bigT) * n0 - CAST(s0 AS $bigT) * n1)
+          * 1000
+          $divOp (CAST(d1 AS $bigT) * n0 - CAST(d0 AS $bigT) * n1)
+          AS BIGINT) END"""
+
+  /** q392 — INSTRUMENTAL-VARIABLE (WALD) ESTIMATE of the effect of
+    * engagement on spend, instrumented by the q174 arm assignment
+    * (encouragement design — the causal-inference family's missing
+    * leg next to q342's DiD and q259's CUPED: when uptake d is
+    * SELF-SELECTED, regressing y on d is confounded; a random
+    * instrument z that shifts uptake but touches y only THROUGH d
+    * identifies the local average treatment effect as the ratio of
+    * the two intention-to-treat contrasts, Wald 1940). Per user:
+    * z = user_id parity, d = clicked at least once, y = exact
+    * purchase cents; per arm the exact {n, Σd, Σy}; released as ONE
+    * row with both ITT contrasts ×10⁶ (cross-multiplied exact
+    * integers over the n1·n0 denominator) and late_cents_milli
+    * through [[waldExpr]] — NULL when the first stage is exactly
+    * flat (declared on both engines; under this generator's null
+    * the first stage is weak by design, which the spec pins instead
+    * of pretending otherwise).
+    *
+    * Scale shape: one user-keyed aggregate (map-side combined) →
+    * one 2-row arm aggregate → one scalar row, the q342 plan. */
+  def q392WaldIv(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .select((col("user_id") % 2).as("arm"), col("user_id"),
+        when(col("event_type") === "click", 1L).otherwise(0L)
+          .as("clk"),
+        when(col("event_type") === "purchase",
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)
+          .as("vc"))
+      .groupBy("user_id", "arm")
+      .agg((max("clk") > 0).cast("long").as("d"), sum("vc").as("y"))
+    per.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("d").as("sd"), sum("y").as("sy"))
+      .agg(
+        max(when(col("arm") === 0, col("n"))).as("n0"),
+        max(when(col("arm") === 1, col("n"))).as("n1"),
+        max(when(col("arm") === 0, col("sd"))).as("d0"),
+        max(when(col("arm") === 1, col("sd"))).as("d1"),
+        max(when(col("arm") === 0, col("sy"))).as("s0"),
+        max(when(col("arm") === 1, col("sy"))).as("s1"))
+      .select(col("n0"), col("n1"), col("d0"), col("d1"),
+        col("s0"), col("s1"),
+        expr("""CAST((CAST(d1 AS DECIMAL(38,0)) * n0 - CAST(d0 AS
+          DECIMAL(38,0)) * n1) * 1000000 DIV (CAST(n1 AS DECIMAL(38,0))
+          * n0) AS BIGINT)""").as("itt_d_ppm"),
+        expr("""CAST((CAST(s1 AS DECIMAL(38,0)) * n0 - CAST(s0 AS
+          DECIMAL(38,0)) * n1) * 1000000 DIV (CAST(n1 AS DECIMAL(38,0))
+          * n0) AS BIGINT)""").as("itt_y_ppm"),
+        expr(waldExpr("DIV", "DECIMAL(38,0)")).as("late_cents_milli"))
+  }
+
+  private def q392OracleSql: String =
+    s"""WITH per AS (SELECT user_id, user_id % 2 AS arm,
+          CAST(CASE WHEN max(CASE WHEN event_type = 'click' THEN 1
+            ELSE 0 END) > 0 THEN 1 ELSE 0 END AS BIGINT) AS d,
+          CAST(sum(CASE WHEN event_type = 'purchase'
+            THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+        arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(d) AS BIGINT) AS sd, CAST(sum(y) AS BIGINT) AS sy
+        FROM per GROUP BY 1),
+        cells AS (SELECT
+          max(CASE WHEN arm = 0 THEN n END) AS n0,
+          max(CASE WHEN arm = 1 THEN n END) AS n1,
+          max(CASE WHEN arm = 0 THEN sd END) AS d0,
+          max(CASE WHEN arm = 1 THEN sd END) AS d1,
+          max(CASE WHEN arm = 0 THEN sy END) AS s0,
+          max(CASE WHEN arm = 1 THEN sy END) AS s1
+        FROM arms)
+        SELECT n0, n1, d0, d1, s0, s1,
+          CAST((CAST(d1 AS HUGEINT) * n0 - CAST(d0 AS HUGEINT) * n1)
+            * 1000000 // (CAST(n1 AS HUGEINT) * n0) AS BIGINT)
+            AS itt_d_ppm,
+          CAST((CAST(s1 AS HUGEINT) * n0 - CAST(s0 AS HUGEINT) * n1)
+            * 1000000 // (CAST(n1 AS HUGEINT) * n0) AS BIGINT)
+            AS itt_y_ppm,
+          ${waldExpr("//", "HUGEINT")} AS late_cents_milli
+        FROM cells"""
+
+  // ------------------------------------------------------------ q393
+
+  /** q393 — UPLIFT BY EXPOSURE QUINTILE (the Qini-style readout the
+    * targeting team builds before any uplift MODEL: rank users by an
+    * observable score — here view volume — bucket into quintiles, and
+    * measure the treatment−control conversion difference inside each;
+    * if uplift concentrates in the top buckets, targeted rollout beats
+    * blanket rollout — the heterogeneous-treatment-effect question
+    * q174's single average hides). Users keyed by exact view counts;
+    * quintile = ntile(5) over (views DESC, user_id) — deterministic,
+    * identical remainder semantics on both engines; per quintile the
+    * exact {n_t, k_t, n_c, k_c} and uplift_ppm as the
+    * cross-multiplied integer contrast (q342's tested DIV/`//`
+    * truncation agreement; NULL-guarded empty cell).
+    *
+    * Scale shape: one user-keyed aggregate (map-side combined); the
+    * ntile is ONE total-order pass over the user frame (corpus-scale
+    * sort — the one unavoidable shuffle of any exact ranking; an
+    * approximate-percentile bucketing would trade that away at 100×,
+    * as q66 demonstrates) → a 5-row aggregate. */
+  def q393UpliftQuintiles(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .select(col("user_id"), (col("user_id") % 2 === 1).as("treat"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("p"))
+      .groupBy("user_id", "treat")
+      .agg(sum("v").as("views"), (max("p") > 0).cast("long").as("conv"))
+      .withColumn("quintile", ntile(5).over(
+        Window.orderBy(col("views").desc, col("user_id"))))
+    per.groupBy("quintile")
+      .agg(
+        sum(when(col("treat"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treat"), col("conv")).otherwise(0L)).as("k_t"),
+        sum(when(col("treat"), 0L).otherwise(1L)).as("n_c"),
+        sum(when(col("treat"), 0L).otherwise(col("conv"))).as("k_c"))
+      .select(col("quintile").cast("bigint").as("quintile"),
+        col("n_t"), col("k_t"), col("n_c"), col("k_c"),
+        expr("""CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+          ELSE CAST((CAST(k_t AS DECIMAL(38,0)) * n_c
+            - CAST(k_c AS DECIMAL(38,0)) * n_t) * 1000000
+            DIV (CAST(n_t AS DECIMAL(38,0)) * n_c) AS BIGINT) END""")
+          .as("uplift_ppm"))
+  }
+
+  private def q393OracleSql: String =
+    """WITH per AS (SELECT user_id, user_id % 2 = 1 AS treat,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS views,
+          CAST(CASE WHEN max(CASE WHEN event_type = 'purchase' THEN 1
+            ELSE 0 END) > 0 THEN 1 ELSE 0 END AS BIGINT) AS conv
+        FROM events GROUP BY 1, 2),
+        bucketed AS (SELECT treat, conv,
+            ntile(5) OVER (ORDER BY views DESC, user_id) AS quintile
+          FROM per),
+        cells AS (SELECT quintile,
+          CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+          CAST(sum(CASE WHEN treat THEN conv ELSE 0 END) AS BIGINT)
+            AS k_t,
+          CAST(sum(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+          CAST(sum(CASE WHEN treat THEN 0 ELSE conv END) AS BIGINT)
+            AS k_c
+        FROM bucketed GROUP BY 1)
+        SELECT CAST(quintile AS BIGINT) AS quintile, n_t, k_t, n_c, k_c,
+          CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+            ELSE CAST((CAST(k_t AS HUGEINT) * n_c
+              - CAST(k_c AS HUGEINT) * n_t) * 1000000
+              // (CAST(n_t AS HUGEINT) * n_c) AS BIGINT) END
+            AS uplift_ppm
+        FROM cells"""
+
+  // ------------------------------------------------------------ q394
+
+  /** q394 — GAMMA-POISSON EMPIRICAL-BAYES SHRINKAGE of per-user
+    * purchase rates (the COUNT-side member of the q354 shrinkage
+    * family: James–Stein shrinks Gaussian means, this shrinks Poisson
+    * rates toward a Gamma prior FITTED FROM THE CORPUS — the standard
+    * answer to "this user bought 3 things in 30 days, is their rate
+    * really 3×, or is that noise?"; posterior mean (α+k)/(β+1) with
+    * method-of-moments α = m²/(v−m), β = m/(v−m)). Cleared to ONE
+    * widened exact integer division per user by multiplying through
+    * with g²(g−1): num = Sk²·(g−1) + k·g·(g·Sk2 − Sk² − Sk·(g−1)),
+    * den = g·(g·Sk2 − Sk²), eb_rate_micro = num·10⁶ div den — every
+    * operand an exact integer off one census. When the corpus is
+    * UNDERDISPERSED (v ≤ m, the prior fit degenerates: den ≤
+    * Sk·g(g−1)) the declared output falls back to the raw rate, the
+    * CASE shared by both engines.
+    *
+    * Scale shape: one user-keyed aggregate (map-side combined) → one
+    * 3-scalar broadcast → the per-user projection; output linear in
+    * users, no second corpus pass. */
+  def q394GammaPoissonEb(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("p"))
+      .groupBy("user_id")
+      .agg(sum("p").as("k"))
+    val moments = per.agg(count(lit(1)).as("g"),
+      sum("k").as("sk"),
+      sum(col("k").cast("decimal(38,0)") * col("k")).as("sk2"))
+    per.crossJoin(broadcast(moments))
+      .withColumn("overd", expr(
+        """CAST(g AS DECIMAL(38,0)) * sk2 - CAST(sk AS DECIMAL(38,0))
+           * sk - CAST(sk AS DECIMAL(38,0)) * (g - 1)"""))
+      .select(col("user_id"), col("k"),
+        expr("""CASE WHEN overd <= 0
+          THEN CAST(k * 1000000 AS BIGINT)
+          ELSE CAST((CAST(sk AS DECIMAL(38,0)) * sk * (g - 1)
+            + CAST(k AS DECIMAL(38,0)) * g * overd) * 1000000
+            DIV (CAST(g AS DECIMAL(38,0))
+              * (CAST(g AS DECIMAL(38,0)) * sk2
+                 - CAST(sk AS DECIMAL(38,0)) * sk)) AS BIGINT) END""")
+          .as("eb_rate_micro"))
+  }
+
+  private def q394OracleSql: String =
+    """WITH per AS (SELECT user_id,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS k
+        FROM events GROUP BY 1),
+        moments AS (SELECT CAST(count(*) AS BIGINT) AS g,
+          CAST(sum(k) AS BIGINT) AS sk,
+          sum(CAST(k AS HUGEINT) * k) AS sk2 FROM per),
+        scored AS (SELECT user_id, k, g, sk, sk2,
+            CAST(g AS HUGEINT) * sk2 - CAST(sk AS HUGEINT) * sk
+              - CAST(sk AS HUGEINT) * (g - 1) AS overd
+          FROM per CROSS JOIN moments)
+        SELECT user_id, k,
+          CASE WHEN overd <= 0 THEN CAST(k * 1000000 AS BIGINT)
+            ELSE CAST((CAST(sk AS HUGEINT) * sk * (g - 1)
+              + CAST(k AS HUGEINT) * g * overd) * 1000000
+              // (CAST(g AS HUGEINT)
+                * (CAST(g AS HUGEINT) * sk2
+                   - CAST(sk AS HUGEINT) * sk)) AS BIGINT) END
+            AS eb_rate_micro
+        FROM scored"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2866,7 +3323,13 @@ object Stats {
     "q361_small_qty_revenue" -> (q361SmallQtyRevenue _),
     "q362_large_orders" -> (q362LargeOrders _),
     "q363_disjunctive_revenue" -> (q363DisjunctiveRevenue _),
-    "q364_lapsed_customers" -> (q364LapsedCustomers _))
+    "q364_lapsed_customers" -> (q364LapsedCustomers _),
+    "q389_theil_sen" -> (q389TheilSen _),
+    "q390_jackknife_ratio" -> (q390JackknifeRatio _),
+    "q391_hoeffding_gate" -> (q391HoeffdingGate _),
+    "q392_wald_iv" -> (q392WaldIv _),
+    "q393_uplift_quintiles" -> (q393UpliftQuintiles _),
+    "q394_gamma_poisson_eb" -> (q394GammaPoissonEb _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -2904,5 +3367,11 @@ object Stats {
     "q361_small_qty_revenue" -> q361OracleSql,
     "q362_large_orders" -> q362OracleSql,
     "q363_disjunctive_revenue" -> q363OracleSql,
-    "q364_lapsed_customers" -> q364OracleSql)
+    "q364_lapsed_customers" -> q364OracleSql,
+    "q389_theil_sen" -> q389OracleSql,
+    "q390_jackknife_ratio" -> q390OracleSql,
+    "q391_hoeffding_gate" -> q391OracleSql,
+    "q392_wald_iv" -> q392OracleSql,
+    "q393_uplift_quintiles" -> q393OracleSql,
+    "q394_gamma_poisson_eb" -> q394OracleSql)
 }

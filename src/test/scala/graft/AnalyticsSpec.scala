@@ -1289,4 +1289,87 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall(r => r._7 < chosen._7 ||
       (r._7 == chosen._7 && r._1 >= chosen._1)), "argmax w/ tie-break")
   }
+
+  test("q395 EWMA replays the exact dyadic recursion and stays inside " +
+    "the running envelope") {
+    val rows = Analytics.q395Ewma(spark, sf1).collect()
+      .sortBy(_.getAs[String]("day"))
+    val daily = rows.map(_.getAs[Long]("x"))
+    // exact model: E_1 = x_1, E_t = x_t·2^(t-2) + E_(t-1);
+    // ewma_milli = E_t·1000 / 2^(t-1) truncated
+    var e = BigInt(0)
+    daily.zipWithIndex.foreach { case (x, i) =>
+      val t = i + 1
+      e += (if (t == 1) BigInt(x) else BigInt(x) << (t - 2))
+      val expected = (e * 1000 / (BigInt(1) << (t - 1))).toLong
+      assert(rows(i).getAs[Long]("ewma_milli") === expected, s"day $t")
+      // the smoother never leaves the running [min, max] envelope
+      val lo = daily.take(t).min * 1000L
+      val hi = daily.take(t).max * 1000L
+      assert(rows(i).getAs[Long]("ewma_milli") >= lo - 1)
+      assert(rows(i).getAs[Long]("ewma_milli") <= hi)
+    }
+    // day 1 initializes at the first observation exactly
+    assert(rows.head.getAs[Long]("ewma_milli") === daily.head * 1000L)
+    // half-life one day: the last value weights the last observation at
+    // 1/2, so it sits within half the last jump of x_last
+    val last = rows.last
+    assert(math.abs(last.getAs[Long]("ewma_milli") -
+      daily.last * 1000L) <= math.abs(daily.last - daily(daily.length - 2))
+        * 1000L)
+  }
+
+  test("q396 Herfindahl: brute-force shares, competition bounds, and " +
+    "supplier-count consistency") {
+    val rows = Analytics.q396Herfindahl(spark, sf1).collect()
+    val per = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select(col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .join(graft.sources.Tables.load(spark, sf1, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey", "s_suppkey").agg(sum("c").as("sc"))
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => BigInt(x._2))).toMap
+    val names = graft.sources.Tables.load(spark, sf1, "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getString(1) -> r.getAs[Number](0).longValue).toMap
+    assert(rows.length === per.size)
+    rows.foreach { r =>
+      val shares = per(names(r.getAs[String]("n_name")))
+      val s = shares.sum
+      assert(r.getAs[Long]("n_suppliers") === shares.length.toLong)
+      assert(r.getAs[Long]("total_cents") === s.toLong)
+      val hhi = (shares.map(x => x * x).sum * 100000000 / (s * s)).toLong
+      assert(r.getAs[Long]("hhi_e8") === hhi)
+      // perfect competition floor 10^8/n (floor slack), monopoly cap 10^8
+      assert(hhi >= 100000000L / shares.length - 1)
+      assert(hhi <= 100000000L)
+    }
+  }
+
+  test("q397 Adamic-Adar agrees with q183 on the candidate set and " +
+    "bounds each score by its wedge count") {
+    val aa = Analytics.q397AdamicAdar(spark, sf1).collect()
+      .map(r => (r.getAs[String]("b1"), r.getAs[String]("b2")) ->
+        (r.getAs[Long]("common"), r.getAs[Long]("aa_score"))).toMap
+    val cn = Analytics.q183LinkPrediction(spark, sf1).collect()
+      .map(r => (r.getAs[String]("b1"), r.getAs[String]("b2")) ->
+        r.getAs[Long]("common")).toMap
+    // same non-edge candidate pairs, same wedge counts
+    assert(aa.keySet === cn.keySet)
+    aa.foreach { case (k, (common, score)) =>
+      assert(common === cn(k), s"wedge count drift at $k")
+      // each wedge center has degree in [2, 2·|brands|]: per-wedge
+      // weight is at most floor(1e6/ln 2) and strictly positive
+      assert(score >= common, s"weight must be >= 1 at $k")
+      assert(score <= common * 1442695L, s"weight cap at $k")
+    }
+    // AA must actually discriminate: unless every common neighbor has
+    // the same degree, at least two equal-common pairs get different
+    // scores (holds on this generator's hub-heavy brand graph)
+    val byCommon = aa.values.groupBy(_._1).filter(_._2.size > 1)
+    assert(byCommon.exists(_._2.map(_._2).toSet.size > 1),
+      "AA scores collapse to a function of the wedge count")
+  }
 }

@@ -1908,4 +1908,202 @@ class StatsSpec extends SparkSpec {
         "heavy tail must reject normality outright")
     }
   }
+
+  test("q389 Theil-Sen replays the brute-force pairwise-slope median") {
+    val row = Stats.q389TheilSen(spark, sf1).head()
+    val daily = graft.sources.Tables.load(spark, sf1, "events")
+      .select(to_date(col("ts")).as("day"))
+      .groupBy("day").count().orderBy("day")
+      .collect().map(_.getLong(1))
+    val nd = daily.length
+    val slopes = for {
+      i <- 0 until nd; j <- (i + 1) until nd
+    } yield (math.floor((daily(j) - daily(i)).toDouble * 1e6 /
+        (j - i).toDouble).toLong, i + 1, j + 1)
+    val sorted = slopes.sortBy(s => (s._1, s._2, s._3))
+    assert(row.getAs[Long]("n_days") === nd.toLong)
+    assert(row.getAs[Long]("n_pairs") === slopes.length.toLong)
+    assert(row.getAs[Long]("sen_slope_micro") ===
+      sorted((slopes.length + 1) / 2 - 1)._1)
+    // a 30-day uniform generator has no trend: the median slope is
+    // small relative to the daily level (|slope| < 20% of mean count)
+    val mean = daily.sum.toDouble / nd
+    assert(math.abs(row.getAs[Long]("sen_slope_micro")) <
+      mean * 0.2 * 1e6)
+  }
+
+  test("q390 jackknife ratio replays the BigInt leave-one-out model") {
+    val rows = Stats.q390JackknifeRatio(spark, sf1).collect()
+      .map(r => r.getAs[Number]("nationkey").longValue -> r).toMap
+    val per = graft.sources.Tables.load(spark, sf1, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+      .join(graft.sources.Tables.load(spark, sf1, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"), sum("c").as("r"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2)))
+    val (nTot, rTot, g) = (per.map(_._2).sum, per.map(_._3).sum,
+      per.length.toLong)
+    val thetas = per.map { case (k, n, r) =>
+      (k, n, r, (BigInt(rTot - r) * 1000 / BigInt(nTot - n)).toLong) }
+    val tSum = thetas.map(_._4).sum
+    val sd2 = thetas.map(t => {
+      val d = BigInt(g) * t._4 - tSum; d * d }).sum
+    val se = math.floor(math.sqrt(((g - 1) * sd2).toDouble /
+      (g.toDouble * g * g))).toLong
+    assert(rows.size === per.length)
+    thetas.foreach { case (k, n, r, th) =>
+      val got = rows(k)
+      assert(got.getAs[Long]("orders_n") === n)
+      assert(got.getAs[Long]("revenue_cents") === r)
+      assert(got.getAs[Long]("theta_loo_milli") === th)
+      assert(got.getAs[Long]("jk_se_milli") === se)
+    }
+    // sanity: the LOO ratios bracket the full-sample ratio direction —
+    // each is within the per-nation extremes of order value
+    val full = (BigInt(rTot) * 1000 / BigInt(nTot)).toLong
+    thetas.foreach { t =>
+      assert(math.abs(t._4 - full) < full / 2,
+        "deleting one nation cannot halve the mean order value") }
+  }
+
+  test("q391 Hoeffding gate: cumulative counts, anytime-valid bound " +
+    "shrinks, certificate replays the model") {
+    val rows = Stats.q391HoeffdingGate(spark, sf1).collect()
+      .sortBy(_.getAs[String]("day"))
+    // cumulative counts are nondecreasing and end at the corpus totals
+    val last = rows.last
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select((col("user_id") % 2 === 1).as("arm"),
+        (col("event_type") === "purchase").as("p"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)))
+    assert(last.getAs[Long]("na") === ev.count(_._1).toLong)
+    assert(last.getAs[Long]("nb") === ev.count(!_._1).toLong)
+    assert(last.getAs[Long]("ka") === ev.count(e => e._1 && e._2).toLong)
+    assert(last.getAs[Long]("kb") === ev.count(e => !e._1 && e._2).toLong)
+    rows.sliding(2).foreach { w =>
+      assert(w(1).getAs[Long]("na") >= w(0).getAs[Long]("na"))
+      assert(w(1).getAs[Long]("nb") >= w(0).getAs[Long]("nb"))
+      // more data → tighter certificate
+      assert(w(1).getAs[Long]("bound_micro") <=
+        w(0).getAs[Long]("bound_micro"))
+    }
+    // replay the certificate from the released integers
+    rows.foreach { r =>
+      val (na, ka) = (r.getAs[Long]("na"), r.getAs[Long]("ka"))
+      val (nb, kb) = (r.getAs[Long]("nb"), r.getAs[Long]("kb"))
+      val diff = math.abs(ka.toDouble / na - kb.toDouble / nb)
+      val bound = math.sqrt(math.log(80.0) / (2.0 * na)) +
+        math.sqrt(math.log(80.0) / (2.0 * nb))
+      assert(r.getAs[Long]("diff_micro") ===
+        math.floor(diff * 1e6).toLong)
+      assert(r.getAs[Long]("bound_micro") ===
+        math.floor(bound * 1e6).toLong)
+      assert(r.getAs[Boolean]("separated") === (diff > bound))
+      // under the null (parity split of iid users) the gate must NOT
+      // fire — a firing here is a false positive the bound bounds at 5%
+      assert(!r.getAs[Boolean]("separated"),
+        s"null experiment separated on ${r.getAs[String]("day")}")
+    }
+  }
+
+  test("q392 Wald IV replays the BigInt model and the ITT identity") {
+    val row = Stats.q392WaldIv(spark, sf1).head()
+    val per = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"),
+        (col("event_type") === "click").as("c"),
+        when(col("event_type") === "purchase",
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)
+          .as("v"))
+      .groupBy("user_id")
+      .agg(max(col("c")).as("d"), sum("v").as("y"))
+      .collect()
+      .map(r => (r.getLong(0) % 2, if (r.getBoolean(1)) 1L else 0L,
+        r.getLong(2)))
+    def cell(a: Long) = {
+      val g = per.filter(_._1 == a)
+      (g.length.toLong, g.map(_._2).sum, g.map(_._3).sum)
+    }
+    val ((n0, d0, s0), (n1, d1, s1)) = (cell(0), cell(1))
+    assert(row.getAs[Long]("n0") === n0)
+    assert(row.getAs[Long]("n1") === n1)
+    assert(row.getAs[Long]("d0") === d0)
+    assert(row.getAs[Long]("d1") === d1)
+    assert(row.getAs[Long]("s0") === s0)
+    assert(row.getAs[Long]("s1") === s1)
+    val dNum = BigInt(d1) * n0 - BigInt(d0) * n1
+    val yNum = BigInt(s1) * n0 - BigInt(s0) * n1
+    assert(row.getAs[Long]("itt_d_ppm") ===
+      (dNum * 1000000 / (BigInt(n1) * n0)).toLong)
+    assert(row.getAs[Long]("itt_y_ppm") ===
+      (yNum * 1000000 / (BigInt(n1) * n0)).toLong)
+    if (dNum == 0) assert(row.isNullAt(row.fieldIndex("late_cents_milli")))
+    else assert(row.getAs[Long]("late_cents_milli") ===
+      (yNum * 1000 / dNum).toLong)
+  }
+
+  test("q393 uplift quintiles: ntile model, cell conservation, and " +
+    "near-zero uplift under the null") {
+    val rows = Stats.q393UpliftQuintiles(spark, sf1).collect()
+      .sortBy(_.getAs[Long]("quintile"))
+    assert(rows.map(_.getAs[Long]("quintile")) === Array(1L, 2L, 3L, 4L, 5L))
+    val users = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(r => r.getAs[Long]("n_t") + r.getAs[Long]("n_c")).sum
+      === users)
+    // ntile remainder semantics: bucket sizes differ by at most one and
+    // are nonincreasing
+    val sizes = rows.map(r => r.getAs[Long]("n_t") + r.getAs[Long]("n_c"))
+    assert(sizes.max - sizes.min <= 1L)
+    assert(sizes.sliding(2).forall(w => w(0) >= w(1)))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k_t") <= r.getAs[Long]("n_t"))
+      assert(r.getAs[Long]("k_c") <= r.getAs[Long]("n_c"))
+      // parity split of iid users: |uplift| stays far from the rails
+      assert(math.abs(r.getAs[Long]("uplift_ppm")) < 500000L)
+    }
+  }
+
+  test("q394 gamma-Poisson EB: BigInt model replay, contraction toward " +
+    "the grand mean, monotone in k") {
+    val rows = Stats.q394GammaPoissonEb(spark, sf1).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("k"), r.getAs[Long]("eb_rate_micro"))).toMap
+    val ks = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy("user_id").agg(sum("p").as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val g = ks.length.toLong
+    val sk = ks.map(_._2).sum
+    val sk2 = ks.map(x => BigInt(x._2) * x._2).sum
+    val overd = BigInt(g) * sk2 - BigInt(sk) * sk - BigInt(sk) * (g - 1)
+    ks.foreach { case (u, k) =>
+      val (gotK, gotEb) = rows(u)
+      assert(gotK === k)
+      val expected = if (overd <= 0) k * 1000000L
+        else ((BigInt(sk) * sk * (g - 1) + BigInt(k) * g * overd) *
+          1000000 / (BigInt(g) * (BigInt(g) * sk2 - BigInt(sk) * sk)))
+          .toLong
+      assert(gotEb === expected, s"user $u")
+    }
+    if (overd > 0) {
+      // EB contracts: every shrunk rate sits between the raw rate and
+      // the grand mean (1 micro slack for the floor)
+      val gmMicro = BigInt(sk) * 1000000 / g
+      ks.foreach { case (u, k) =>
+        val eb = BigInt(rows(u)._2)
+        val raw = BigInt(k) * 1000000
+        assert(eb >= raw.min(gmMicro) - 1 && eb <= raw.max(gmMicro) + 1,
+          s"user $u not contracted")
+      }
+      // monotone: more observed purchases never lowers the EB rate
+      val byK = ks.map(_._2).distinct.sorted
+        .map(k => k -> rows(ks.find(_._2 == k).get._1)._2)
+      byK.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0)._2 <= w(1)._2) }
+    }
+  }
 }
