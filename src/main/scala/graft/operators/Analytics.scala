@@ -4087,6 +4087,9 @@ object Analytics {
           AS BIGINT)""").as("ewma_milli"))
   }
 
+  /** q395's oracle, shared verbatim by the q400 streaming twin. */
+  private[graft] def q395OracleSql2: String = q395OracleSql
+
   private def q395OracleSql: String =
     """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
           CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
@@ -4231,7 +4234,103 @@ object Analytics {
         SELECT w.a AS b1, w.b AS b2, w.cn AS common, w.aa AS aa_score
         FROM wedge w ANTI JOIN eu ON w.a = eu.b1 AND w.b = eu.b2"""
 
+  // ------------------------------------------------------------ q399
+
+  /** q399's 2-state HMM scoring, all exact integers in the max-plus
+    * (tropical) semiring: state means in ppm of the daily purchase
+    * share, emission score −|r_t − μ_state|, switch penalty in ppm.
+    * Calibration: the generator's share sits near 198000 ppm with
+    * day-level noise ~7000 ppm at sf0.1 — the means straddle it and
+    * the penalty prices a switch at about one noise sd, so the decode
+    * is non-degenerate across SFs (and deterministic at any SF). */
+  val ViterbiMuHigh = 205000L
+  val ViterbiMuLow = 191000L
+  val ViterbiSwitch = 6000L
+
+  /** q399 — VITERBI MAP DECODE of a 2-state HMM over the daily
+    * purchase-share series (the sequence-DP member of the analytics
+    * family: q297's drawdown and q368's PAV are order-folds with
+    * scalar state — Viterbi carries a VECTOR of per-state optima plus
+    * their argmax paths, the textbook regime-segmentation a metrics
+    * platform runs to label "high/low conversion regimes" — and the
+    * showcase that DP over a sequence is STILL a one-pass aggregate
+    * when the step is an associative semiring product: max-plus 2×2
+    * matrix multiplication is associative, so the fold could
+    * tree-reduce; here the sequence is the day frame, so one in-row
+    * fold suffices). Per day the exact rate r = k·10⁶ div n feeds
+    * integer emission scores −|r − μ| ([[ViterbiMuHigh]]/[[ViterbiMuLow]]),
+    * stay = 0, switch = −[[ViterbiSwitch]]; ties prefer staying —
+    * shared CASE text. Released: {n_days, v_high, v_low, path} with
+    * path the argmax state string (H/L per day).
+    *
+    * Scale shape: ONE corpus scan map-side combined to the |days|
+    * census; the DP is an O(days) in-row fold over the sorted day
+    * array — never a corpus-length recursion. The oracle is the same
+    * recursion as a linear recursive CTE. */
+  def q399Viterbi(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("k"))
+      .withColumn("d", row_number().over(Window.orderBy("day"))
+        .cast("bigint"))
+      .withColumn("r", expr("k * 1000000 DIV n"))
+      .select(col("d"),
+        expr(s"-abs(r - $ViterbiMuHigh)").as("eh"),
+        expr(s"-abs(r - $ViterbiMuLow)").as("el"))
+    census
+      .agg(sort_array(collect_list(struct(col("d"), col("eh"),
+        col("el")))).as("arr"))
+      .select(size(col("arr")).cast("bigint").as("n_days"),
+        expr(s"""aggregate(arr,
+          named_struct('vh', CAST(0 AS BIGINT), 'vl', CAST(0 AS BIGINT),
+            'ph', '', 'pl', ''),
+          (acc, x) -> CASE WHEN acc.ph = ''
+            THEN named_struct('vh', x.eh, 'vl', x.el, 'ph', 'H',
+              'pl', 'L')
+            ELSE named_struct(
+              'vh', x.eh + greatest(acc.vh, acc.vl - $ViterbiSwitch),
+              'vl', x.el + greatest(acc.vl, acc.vh - $ViterbiSwitch),
+              'ph', concat(CASE WHEN acc.vh >= acc.vl - $ViterbiSwitch
+                THEN acc.ph ELSE acc.pl END, 'H'),
+              'pl', concat(CASE WHEN acc.vl >= acc.vh - $ViterbiSwitch
+                THEN acc.pl ELSE acc.ph END, 'L')) END)""").as("res"))
+      .select(col("n_days"), col("res.vh").as("v_high"),
+        col("res.vl").as("v_low"),
+        expr("CASE WHEN res.vh >= res.vl THEN res.ph ELSE res.pl END")
+          .as("path"))
+  }
+
+  private def q399OracleSql: String =
+    s"""WITH RECURSIVE census AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS k
+        FROM events GROUP BY 1),
+        idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+            AS d, k * 1000000 // n AS r
+          FROM census),
+        em AS (SELECT d, -abs(r - $ViterbiMuHigh) AS eh,
+            -abs(r - $ViterbiMuLow) AS el FROM idx),
+        dp AS (
+          SELECT d, eh AS vh, el AS vl, 'H' AS ph, 'L' AS pl
+          FROM em WHERE d = 1
+          UNION ALL
+          SELECT x.d,
+            x.eh + greatest(dp.vh, dp.vl - $ViterbiSwitch),
+            x.el + greatest(dp.vl, dp.vh - $ViterbiSwitch),
+            (CASE WHEN dp.vh >= dp.vl - $ViterbiSwitch
+              THEN dp.ph ELSE dp.pl END) || 'H',
+            (CASE WHEN dp.vl >= dp.vh - $ViterbiSwitch
+              THEN dp.pl ELSE dp.ph END) || 'L'
+          FROM dp JOIN em x ON x.d = dp.d + 1)
+        SELECT d AS n_days, vh AS v_high, vl AS v_low,
+          CASE WHEN vh >= vl THEN ph ELSE pl END AS path
+        FROM dp WHERE d = (SELECT max(d) FROM em)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q399_viterbi" -> (q399Viterbi _),
     "q368_isotonic_calibration" -> (q368IsotonicCalibration _),
     "q395_ewma" -> (q395Ewma _),
     "q396_herfindahl" -> (q396Herfindahl _),
@@ -4307,6 +4406,7 @@ object Analytics {
 
   val oracleSql: Map[String, String] = Map(
     "q368_isotonic_calibration" -> q368OracleSql,
+    "q399_viterbi" -> q399OracleSql,
     "q395_ewma" -> q395OracleSql,
     "q396_herfindahl" -> q396OracleSql,
     "q397_adamic_adar" -> q397OracleSql,

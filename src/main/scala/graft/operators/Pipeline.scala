@@ -2115,7 +2115,63 @@ object Pipeline {
         FROM rk"""
   }
 
+  // ------------------------------------------------------------ q398
+
+  /** Stratum sample size for q398. */
+  val BottomK = 10
+
+  /** Row shape feeding q398's typed bottom-k aggregator. */
+  final case class LangPriority(lang: String, id: Long, score: Double)
+
+  /** q398 — BOTTOM-K PER-STRATUM SAMPLE by content-hash priority (the
+    * EXACT-size member of the sampling family: q85's Bernoulli gate
+    * hits its cap only in expectation — bottom-k returns EXACTLY k docs
+    * per language, and is the distributed form of reservoir sampling:
+    * assign every row a hash priority and keep the k smallest, a
+    * mergeable statistic — per-partition top-k states merge
+    * associatively, which a sequential reservoir's index-dependent
+    * acceptance never does). Priority = poly_hash(text): content-keyed,
+    * so exact duplicates carry EQUAL priority and the sample is stable
+    * under re-partitioning and re-runs (q62's co-split property);
+    * deterministic ties break toward the lower doc_id. Hash values
+    * < 2⁵³ are exact in the aggregator's double score.
+    *
+    * Scale shape: the typed TopKByScore Aggregator holds O(k) state per
+    * stratum per partition and map-side combines — NO corpus-wide rank
+    * window pulling each language through one reducer (with 5 strata
+    * that window would be a 5-partition bottleneck at 100 TB; the
+    * aggregator's partial states are the fix). One exchange of
+    * \|strata\|·k partial rows. */
+  def q398BottomkSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.registerAll(s)
+    val prio = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id").as("id"),
+        // negated: TopKByScore keeps the HIGHEST scores (ties → lower
+        // id), so -priority selects the k smallest priorities
+        expr("CAST(-poly_hash(text) AS DOUBLE)").as("score"))
+      .as[LangPriority]
+    val bottomK = graft.functions.TopKByScore[LangPriority](
+      BottomK, r => graft.functions.Scored(r.id, r.score))
+    prio.groupByKey(_.lang)
+      .agg(bottomK.toColumn.name("ids"))
+      .flatMap { case (lang, ids) =>
+        ids.zipWithIndex.map { case (id, i) => (lang, id, (i + 1).toLong) }
+      }
+      .toDF("lang", "doc_id", "rank")
+  }
+
+  private def q398OracleSql: String =
+    s"""WITH pr AS (SELECT lang, doc_id,
+          ${duckCharFold("text")} AS prio FROM documents),
+        rk AS (SELECT lang, doc_id,
+            CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY prio, doc_id) AS BIGINT) AS rank
+          FROM pr)
+        SELECT lang, doc_id, rank FROM rk WHERE rank <= $BottomK"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q398_bottomk_sample" -> (q398BottomkSample _),
     "q292_neyman_allocation" -> (q292NeymanAllocation _),
     "q289_fold_balance_audit" -> (q289FoldBalanceAudit _),
     "q280_quality_knapsack" -> (q280QualityKnapsack _),
@@ -2154,6 +2210,7 @@ object Pipeline {
     "q85_stratified_sample" -> (q85StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q398_bottomk_sample" -> q398OracleSql,
     "q292_neyman_allocation" -> q292OracleSql,
     "q289_fold_balance_audit" -> q289OracleSql,
     "q280_quality_knapsack" -> q280OracleSql,

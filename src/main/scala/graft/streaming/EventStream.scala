@@ -1425,6 +1425,60 @@ object EventStream {
              ELSE 'continue' END""").as("verdict"))
   }
 
+  // -------------------------------------------------------------- q400
+
+  /** q400 — STREAMING EWMA LEVEL MONITOR (q395's exact dyadic smoother
+    * under continuous ingest — the 22nd declared streaming shape and
+    * the LEVEL member of the monitor family: q336 watches when the
+    * rate BREAKS, q369 whether the rhythm holds, q388 renders the
+    * verdict — this maintains the smoothed level line itself, the
+    * series every on-call dashboard actually plots). State: the
+    * per-day count census (one long per open event-time day window,
+    * watermark-bounded). Count merge is associative and commutative,
+    * so the drained census is batch-split independent; the dyadic
+    * weighting, widened cumsum, and exact division all ride the
+    * drained ≤|days| frame with q395's expressions — the trajectory
+    * equals batch q395 EXACTLY, and q395's oracle IS this oracle.
+    * The spec pins stream ≡ batch plus a forced multi-file replay.
+    *
+    * Scale shape: streaming census map-side combined per micro-batch;
+    * weighting/cumsum/division ride the day-bounded drained frame. */
+  def q400StreamEwma(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q400_stream_ewma_mem"
+    s.catalog.dropTempView(name)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("window.start").cast("date").as("day"), col("x"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ord = org.apache.spark.sql.expressions.Window.orderBy("day")
+    val cum = org.apache.spark.sql.expressions.Window.orderBy("d")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    s.table(name).localCheckpoint(true)
+      .withColumn("d", row_number().over(ord).cast("bigint"))
+      .withColumn("wt", expr("""CASE WHEN d = 1
+        THEN CAST(1 AS BIGINT)
+        ELSE shiftleft(CAST(1 AS BIGINT), CAST(d - 2 AS INT)) END"""))
+      .withColumn("e", sum(expr(
+        "CAST(x * wt AS DECIMAL(38,0))")).over(cum))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("x"),
+        expr("""CAST(e * 1000
+          DIV shiftleft(CAST(1 AS BIGINT), CAST(d - 1 AS INT))
+          AS BIGINT)""").as("ewma_milli"))
+  }
+
   // -------------------------------------------------------------- q347
 
   /** q347 — STREAMING GOOD–TURING SPECTRUM (q343 under continuous
@@ -1575,6 +1629,8 @@ object EventStream {
       ((s: SparkSession, d: String) => q369StreamAcf(s, d)),
     "q388_stream_sprt" ->
       ((s: SparkSession, d: String) => q388StreamSprt(s, d)),
+    "q400_stream_ewma" ->
+      ((s: SparkSession, d: String) => q400StreamEwma(s, d)),
     "q313_stream_psi" -> (q313StreamPsi _),
     "q302_stream_chunk_dedup" -> (q302StreamChunkDedup _),
     "q283_stream_funnel" -> (q283StreamFunnel _),
@@ -1600,6 +1656,7 @@ object EventStream {
     "q336_stream_cusum" -> q336OracleSql,
     "q369_stream_acf" -> q369OracleSql,
     "q388_stream_sprt" -> graft.operators.Analytics.q386OracleSql2,
+    "q400_stream_ewma" -> graft.operators.Analytics.q395OracleSql2,
     "q313_stream_psi" -> q313OracleSql,
     "q302_stream_chunk_dedup" -> graft.operators.Dedup.q300OracleSql2,
     "q283_stream_funnel" -> q283OracleSql,

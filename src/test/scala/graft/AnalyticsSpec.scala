@@ -1372,4 +1372,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(byCommon.exists(_._2.map(_._2).toSet.size > 1),
       "AA scores collapse to a function of the wedge count")
   }
+
+  test("q399 Viterbi replays a brute-force DP and beats both " +
+    "single-state paths") {
+    val row = Analytics.q399Viterbi(spark, sf1).head()
+    val days = graft.sources.Tables.load(spark, sf1, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("k"))
+      .orderBy("day")
+      .collect().map(r => r.getLong(2) * 1000000L / r.getLong(1))
+    val (muH, muL, pen) = (Analytics.ViterbiMuHigh,
+      Analytics.ViterbiMuLow, Analytics.ViterbiSwitch)
+    val eh = days.map(r => -math.abs(r - muH))
+    val el = days.map(r => -math.abs(r - muL))
+    // brute-force forward DP with path strings, stay-preferring ties
+    var (vh, vl, ph, pl) = (eh(0), el(0), "H", "L")
+    (1 until days.length).foreach { t =>
+      val nvh = eh(t) + math.max(vh, vl - pen)
+      val nvl = el(t) + math.max(vl, vh - pen)
+      val nph = (if (vh >= vl - pen) ph else pl) + "H"
+      val npl = (if (vl >= vh - pen) pl else ph) + "L"
+      vh = nvh; vl = nvl; ph = nph; pl = npl
+    }
+    assert(row.getAs[Long]("n_days") === days.length.toLong)
+    assert(row.getAs[Long]("v_high") === vh)
+    assert(row.getAs[Long]("v_low") === vl)
+    val path = row.getAs[String]("path")
+    assert(path === (if (vh >= vl) ph else pl))
+    assert(path.length === days.length)
+    assert(path.forall(c => c == 'H' || c == 'L'))
+    // optimality floor: the decoded path's score beats (or ties) both
+    // constant paths — all-high and all-low
+    val best = math.max(vh, vl)
+    assert(best >= eh.sum, "worse than the all-H path")
+    assert(best >= el.sum, "worse than the all-L path")
+  }
 }

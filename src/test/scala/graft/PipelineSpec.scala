@@ -708,4 +708,41 @@ class PipelineSpec extends SparkSpec {
       "Neyman equals proportional everywhere — variance weighting " +
         "is doing nothing on this corpus")
   }
+
+  test("q398 bottom-k sample: exactly k per stratum, matches the " +
+    "priority-rank model, stable under repartitioning") {
+    val rows = Pipeline.q398BottomkSample(spark, sf1).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rank")))
+    graft.functions.GraftFunctions.registerAll(spark)
+    val prio = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(col("lang"), col("doc_id"),
+        expr("poly_hash(text)").as("p"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val model = prio.groupBy(_._1).toSeq.flatMap { case (lang, ds) =>
+      ds.sortBy(d => (d._3, d._2)).take(Pipeline.BottomK).zipWithIndex
+        .map { case (d, i) => (lang, d._2, (i + 1).toLong) }.toSeq
+    }.toSet
+    assert(rows.toSet === model)
+    // exactly k per stratum (every language has >= k docs here)
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      assert(g.length === Pipeline.BottomK, lang)
+      assert(g.map(_._3).sorted === (1L to Pipeline.BottomK).toArray)
+    }
+    // mergeability in practice: a different physical partitioning
+    // must produce the identical sample (the reservoir property)
+    import spark.implicits._
+    val reshuffled = graft.sources.Tables
+      .load(spark, sf1, "documents").repartition(13)
+      .select(col("lang"), col("doc_id").as("id"),
+        expr("CAST(-poly_hash(text) AS DOUBLE)").as("score"))
+      .as[Pipeline.LangPriority]
+    val agg = graft.functions.TopKByScore[Pipeline.LangPriority](
+      Pipeline.BottomK, r => graft.functions.Scored(r.id, r.score))
+    val re = reshuffled.groupByKey(_.lang).agg(agg.toColumn.name("ids"))
+      .flatMap { case (l, ids) => ids.zipWithIndex.map { case (id, i) =>
+        (l, id, (i + 1).toLong) } }.collect().toSet
+    assert(re === model, "sample is partitioning-dependent")
+  }
 }

@@ -474,4 +474,36 @@ class StatefulStreamingSpec extends SparkSpec {
       s"split-dependent: only-multi=${(multi -- whole).take(3)} " +
         s"only-whole=${(whole -- multi).take(3)}")
   }
+
+  test("q400 streamed EWMA equals batch q395 and is batch-split " +
+    "independent (4-file forced replay)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("day"), r.getAs[Long]("x"),
+        r.getAs[Long]("ewma_milli"))
+    val streamed = EventStream.q400StreamEwma(spark, sf1)
+      .collect().map(key).toSet
+    spark.catalog.clearCache()
+    val batch = graft.operators.Analytics.q395Ewma(spark, sf1)
+      .collect().map(key).toSet
+    assert(streamed === batch,
+      s"streamed/batch EWMA diverged: only-streamed=" +
+        s"${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    assert(batch.nonEmpty)
+    // forced multi-batch: 4 part-files, one per micro-batch — the
+    // day-count census merge must be batch-split independent
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q400-multibatch").toString
+    ev.repartition(4).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val multi = EventStream
+      .q400StreamEwma(spark, dir, maxFilesPerTrigger = Some(1))
+      .collect().map(key).toSet
+    spark.catalog.clearCache()
+    val whole = graft.operators.Analytics.q395Ewma(spark, dir)
+      .collect().map(key).toSet
+    assert(multi === whole,
+      s"split-dependent: only-multi=${(multi -- whole).take(3)} " +
+        s"only-whole=${(whole -- multi).take(3)}")
+  }
 }
