@@ -133,7 +133,16 @@ object Scaling {
     // standing grounds.
     "q370_min_cost_supplier", "q373_product_profit", "q376_custdist",
     "q378_supplier_counts", "q379_excess_suppliers",
-    "q380_sole_failing_supplier", "q381_map_eval")
+    "q380_sole_failing_supplier", "q381_map_eval",
+    // round-9 session-7 additions: the carriers among q389-q400 —
+    // q390's orders⋈customer fact join, q393's total-order ntile over
+    // the user frame, q396's lineitem⋈supplier fact join, q397's
+    // wedge census over the brand graph, q398's corpus-wide typed
+    // aggregator. q389/q391/q392/q394/q395/q399 are day-frame or
+    // user-keyed censuses and q400 the q395 streaming twin — excluded
+    // on the standing census grounds.
+    "q390_jackknife_ratio", "q393_uplift_quintiles",
+    "q396_herfindahl", "q397_adamic_adar", "q398_bottomk_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",

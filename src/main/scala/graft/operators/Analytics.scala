@@ -4329,8 +4329,135 @@ object Analytics {
           CASE WHEN vh >= vl THEN ph ELSE pl END AS path
         FROM dp WHERE d = (SELECT max(d) FROM em)"""
 
+  // ------------------------------------------------------------ q401
+
+  /** q401 — SLOPE-ONE DEVIATION TABLE over the customer×brand spend
+    * matrix (the RATING-PREDICTION member of the recommender family:
+    * q183/q397 score WHICH items relate, Slope One predicts HOW MUCH a
+    * user will spend — Lemire & Maclachlan 2005's deliberately simple
+    * item-item scheme whose entire model is the per-pair mean rating
+    * difference dev(i,j), mergeable and updatable at scale where
+    * factorization models need training): rating = per-(customer,
+    * brand) mean line cents, QUANTIZED FIRST to an exact integer
+    * (r_milli = cents·1000 div n — the declared quantization that
+    * keeps the later sum a pure integer fold; summing raw rationals
+    * with per-user denominators would be a float fold); released per
+    * co-rated pair {b1, b2, n_co, dev_num, dev_milli} with dev_milli =
+    * dev_num div n_co (negative numerators use the q342-tested
+    * truncation agreement).
+    *
+    * Scale shape: lineitem⋈orders shuffles on orderkey (fact-fact),
+    * part is a broadcast dim; one (customer, brand)-keyed aggregate;
+    * pairs generated IN-ROW per customer from the sorted brand array
+    * (bounded by the FIXED brand domain² — never a corpus self-join);
+    * final aggregate rides the brand-pair frame. */
+  def q401SlopeOne(s: SparkSession, dir: String): DataFrame = {
+    val ratings = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand").as("b"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("u"), col("b"))
+      .agg(expr("CAST(sum(cents) * 1000 DIV count(*) AS BIGINT)")
+        .as("r"))
+    ratings.groupBy("u")
+      .agg(sort_array(collect_list(struct(col("b"), col("r"))))
+        .as("bs"))
+      .select(explode(expr("flatten(transform(bs, (x, i) -> " +
+        "transform(slice(bs, i + 2, size(bs)), " +
+        "y -> struct(x.b AS b1, y.b AS b2, x.r - y.r AS df))))"))
+        .as("p"))
+      .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
+      .agg(count(lit(1)).as("n_co"), sum(col("p.df")).as("dev_num"))
+      .select(col("b1"), col("b2"), col("n_co"), col("dev_num"),
+        expr("CAST(dev_num DIV n_co AS BIGINT)").as("dev_milli"))
+  }
+
+  private def q401OracleSql: String =
+    """WITH r AS (SELECT o_custkey AS u, p_brand AS b,
+          CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+            * 1000 // count(*) AS BIGINT) AS r
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2)
+        SELECT x.b AS b1, y.b AS b2,
+          CAST(count(*) AS BIGINT) AS n_co,
+          CAST(sum(x.r - y.r) AS BIGINT) AS dev_num,
+          CAST(CAST(sum(x.r - y.r) AS BIGINT) // count(*) AS BIGINT)
+            AS dev_milli
+        FROM r x JOIN r y ON x.u = y.u AND x.b < y.b
+        GROUP BY 1, 2"""
+
+  // ------------------------------------------------------------ q404
+
+  /** q404 — MASE FORECAST-QUALITY READOUT of the seasonal-naive
+    * baseline (Hyndman & Koehler 2006's scale-free forecast error —
+    * the metric that made "beat the naive forecast" measurable across
+    * series of different scales, and the FIRST thing to compute before
+    * shipping any demand model: MASE ≥ 1 means the model loses to
+    * persistence): numerator = MAE of the lag-7 seasonal-naive
+    * forecast, denominator = in-sample MAE of the lag-1 naive — both
+    * EXACT integer |Δ| sums over the daily count census; released as
+    * one row {n_days, sum_abs_7, n_7, sum_abs_1, n_1, mase_milli}
+    * with mase_milli = (sum7·n1·1000) div (sum1·n7), one widened
+    * exact division.
+    *
+    * Scale shape: ONE corpus scan map-side combined to the |days|
+    * census; both lag joins ride the day frame. */
+  def q404Mase(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("d", row_number().over(Window.orderBy("day"))
+        .cast("bigint"))
+    val a = daily.select(col("d"), col("x"))
+    val l1 = a.select((col("d") + 1).as("d"), col("x").as("x1"))
+    val l7 = a.select((col("d") + 7).as("d"), col("x").as("x7"))
+    a.join(l1, Seq("d"), "left").join(l7, Seq("d"), "left")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("x") - col("x7"))).as("sum_abs_7"),
+        sum(when(col("x7").isNotNull, 1L)).as("n_7"),
+        sum(abs(col("x") - col("x1"))).as("sum_abs_1"),
+        sum(when(col("x1").isNotNull, 1L)).as("n_1"))
+      .select(col("n_days"), col("sum_abs_7"), col("n_7"),
+        col("sum_abs_1"), col("n_1"),
+        expr("""CASE WHEN sum_abs_1 = 0 THEN NULL
+          ELSE CAST(CAST(sum_abs_7 AS DECIMAL(38,0)) * n_1 * 1000
+            DIV (CAST(sum_abs_1 AS DECIMAL(38,0)) * n_7) AS BIGINT)
+          END""").as("mase_milli"))
+  }
+
+  private def q404OracleSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+            AS d, x FROM daily),
+        j AS (SELECT a.x, b.x AS x1, c.x AS x7
+          FROM idx a
+          LEFT JOIN idx b ON b.d = a.d - 1
+          LEFT JOIN idx c ON c.d = a.d - 7),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(abs(x - x7)) AS BIGINT) AS sum_abs_7,
+          CAST(sum(CASE WHEN x7 IS NOT NULL THEN 1 END) AS BIGINT) AS n_7,
+          CAST(sum(abs(x - x1)) AS BIGINT) AS sum_abs_1,
+          CAST(sum(CASE WHEN x1 IS NOT NULL THEN 1 END) AS BIGINT) AS n_1
+        FROM j)
+        SELECT n_days, sum_abs_7, n_7, sum_abs_1, n_1,
+          CASE WHEN sum_abs_1 = 0 THEN NULL
+            ELSE CAST(CAST(sum_abs_7 AS HUGEINT) * n_1 * 1000
+              // (CAST(sum_abs_1 AS HUGEINT) * n_7) AS BIGINT) END
+            AS mase_milli
+        FROM agg"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q399_viterbi" -> (q399Viterbi _),
+    "q401_slope_one" -> (q401SlopeOne _),
+    "q404_mase" -> (q404Mase _),
     "q368_isotonic_calibration" -> (q368IsotonicCalibration _),
     "q395_ewma" -> (q395Ewma _),
     "q396_herfindahl" -> (q396Herfindahl _),
@@ -4407,6 +4534,8 @@ object Analytics {
   val oracleSql: Map[String, String] = Map(
     "q368_isotonic_calibration" -> q368OracleSql,
     "q399_viterbi" -> q399OracleSql,
+    "q401_slope_one" -> q401OracleSql,
+    "q404_mase" -> q404OracleSql,
     "q395_ewma" -> q395OracleSql,
     "q396_herfindahl" -> q396OracleSql,
     "q397_adamic_adar" -> q397OracleSql,

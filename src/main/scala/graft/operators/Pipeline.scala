@@ -2170,7 +2170,106 @@ object Pipeline {
           FROM pr)
         SELECT lang, doc_id, rank FROM rk WHERE rank <= $BottomK"""
 
+  // ------------------------------------------------------------ q402
+
+  /** q402 — HYBRID RETRIEVAL: RRF of the lexical and the DENSE leg
+    * (the production shape q223's docstring promises — there the
+    * second list is a length prior; here it is the embedding ranker,
+    * which is what a RAG stack actually fuses: BM25 finds term
+    * matches, the dense leg finds paraphrases, and RRF Σ 1/(k+rankᵣ)
+    * merges on RANKS ALONE, no score calibration across the two
+    * incomparable scales): leg 1 = q64's BM25 top-[[Bm25TopK]] over
+    * the fixed term set; leg 2 = cosine-to-probe top-20 over the
+    * embeddings (q25's ranking, vec_id ≡ doc_id in this corpus);
+    * fused score is the EXACT integer Σ 1000000 div ([[RrfK]] + rank)
+    * over the legs a doc appears in (absent leg contributes 0 — pure
+    * integer division, no float anywhere in the fusion); released
+    * {doc_id, bm25_rank, ann_rank, rrf_micro, fused_rank} with NULL
+    * marking absence and the deterministic (rrf_micro DESC, doc_id)
+    * final order.
+    *
+    * Scale shape: both legs are top-k's (bounded outputs); the fusion
+    * is a ≤40-row full outer join + rank — driver-scale by
+    * construction. At corpus scale the legs shard (BM25 by posting,
+    * ANN by cell) and the fusion cost stays |results|, not |corpus|. */
+  def q402HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    val bm25 = bm25TopK(t(s, dir, "documents"), Bm25Terms, Bm25TopK)
+      .select(col("doc_id"), col("rank").as("bm25_rank"))
+    val e = t(s, dir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+    val probe = e.filter(col("vec_id") === 0L)
+      .select(col("ed").as("ped"))
+    val ann = e.crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        expr("vec_dot(ed, ped) / (sqrt(vec_dot(ed, ed)) * " +
+          "sqrt(vec_dot(ped, ped)))").as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("sim").desc, col("doc_id")))
+        .cast("bigint").as("ann_rank"))
+    bm25.join(ann, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro", expr(
+        s"""coalesce(1000000 DIV ($RrfK + bm25_rank), CAST(0 AS BIGINT))
+         + coalesce(1000000 DIV ($RrfK + ann_rank), CAST(0 AS BIGINT))"""))
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf_micro").desc, col("doc_id")))
+        .cast("bigint"))
+      .select("doc_id", "bm25_rank", "ann_rank", "rrf_micro",
+        "fused_rank")
+  }
+
+  private def q402OracleSql: String = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(len(list_filter(ws, bm_w -> bm_w = '$term')) AS DOUBLE)" +
+        s" AS tf$i"
+    }.mkString(", ")
+    val dfCols = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(sum(CASE WHEN list_contains(ws, '$term') THEN 1 ELSE 0 " +
+        s"END) AS DOUBLE) AS df$i"
+    }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        tf AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, $tfCols
+               FROM d),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                      CAST(sum(len(ws)) AS DOUBLE) /
+                        CAST(count(*) AS DOUBLE) AS avgdl,
+                      $dfCols
+               FROM d),
+        sc AS (SELECT doc_id, ${bm25ScoreExpr(Bm25Terms.size, 1.2, 0.75)}
+                 AS score FROM tf CROSS JOIN st),
+        bm AS (SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS bm25_rank
+          FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25TopK),
+        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+               FROM embeddings),
+        p AS (SELECT ed AS ped FROM ev WHERE vec_id = 0),
+        sim AS (SELECT vec_id AS doc_id,
+            list_dot_product(ed, ped) / (sqrt(list_dot_product(ed, ed))
+              * sqrt(list_dot_product(ped, ped))) AS sim
+          FROM ev CROSS JOIN p),
+        an AS (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+              AS BIGINT) AS ann_rank
+          FROM sim ORDER BY sim DESC, doc_id LIMIT $Bm25TopK),
+        fused AS (SELECT coalesce(bm.doc_id, an.doc_id) AS doc_id,
+            bm.bm25_rank, an.ann_rank,
+            coalesce(1000000 // ($RrfK + bm.bm25_rank),
+              CAST(0 AS BIGINT))
+              + coalesce(1000000 // ($RrfK + an.ann_rank),
+                CAST(0 AS BIGINT)) AS rrf_micro
+          FROM bm FULL JOIN an ON bm.doc_id = an.doc_id)
+        SELECT doc_id, bm25_rank, ann_rank, rrf_micro,
+          CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+            AS BIGINT) AS fused_rank
+        FROM fused"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q402_hybrid_retrieval" -> (q402HybridRetrieval _),
     "q398_bottomk_sample" -> (q398BottomkSample _),
     "q292_neyman_allocation" -> (q292NeymanAllocation _),
     "q289_fold_balance_audit" -> (q289FoldBalanceAudit _),
@@ -2211,6 +2310,7 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "q398_bottomk_sample" -> q398OracleSql,
+    "q402_hybrid_retrieval" -> q402OracleSql,
     "q292_neyman_allocation" -> q292OracleSql,
     "q289_fold_balance_audit" -> q289OracleSql,
     "q280_quality_knapsack" -> q280OracleSql,

@@ -3285,6 +3285,164 @@ object Stats {
             AS eb_rate_micro
         FROM scored"""
 
+  // ------------------------------------------------------------ q403
+
+  /** q403's Benford expectations p_d = log10(1 + 1/d), baked as
+    * ROUND-TRIP DOUBLE LITERALS rather than engine-side log10 calls:
+    * JVM Math.log10 and DuckDB's C libm disagree in the last ulp for
+    * some arguments, and the χ²'s (obs − np)²/np amplifies an ulp in
+    * p into the released milli digits on a strongly non-Benford
+    * census. A shortest-round-trip literal parses to the same IEEE
+    * double on both engines — no libm anywhere in q403. */
+  private val benfordPs: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** p_digit as a generated CASE over the [[benfordPs]] literals. */
+  private val benfordP: String =
+    (1 to 9).map(d => s"WHEN $d THEN ${benfordPs(d - 1)}")
+      .mkString("(CASE digit ", " ", " END)")
+
+  /** q403's χ² as ONE generated 9-term expression over the pivoted
+    * exact counts obs1..obs9 — a per-row double sum across the digit
+    * frame would associate in engine-dependent order; the literal
+    * left-to-right chain is the q31 generated-sum discipline. */
+  private def benfordChi2: String =
+    (1 to 9).map { d =>
+      val p = benfordPs(d - 1).toString
+      s"((CAST(obs$d AS DOUBLE) - CAST(nn AS DOUBLE) * $p) " +
+        s"* (CAST(obs$d AS DOUBLE) - CAST(nn AS DOUBLE) * $p) " +
+        s"/ (CAST(nn AS DOUBLE) * $p))"
+    }.mkString("(", " + ", ")")
+
+  /** q403 — BENFORD FIRST-DIGIT AUDIT of order totals (the
+    * forensic-accounting screen and the data-quality smoke test a
+    * platform runs on any money column: naturally-grown multiplicative
+    * amounts follow P(d) = log₁₀(1+1/d); FABRICATED or
+    * generator-uniform amounts don't — so on THIS corpus the test must
+    * REJECT, which the spec pins as the honest readout rather than
+    * pretending the fixture is Benford). Census: exact counts of the
+    * first significant digit of the cent amount; expectations are the
+    * [[benfordPs]] round-trip literals (NO engine-side log10 — see
+    * there), the χ² one generated fixed-order 9-term expression over
+    * the pivoted exact counts; released per digit with the 8-dof
+    * χ²·10³ replicated (q390's broadcast-scalar convention).
+    *
+    * Scale shape: ONE corpus scan map-side combined to the 9-row
+    * digit census; everything after rides the digit frame. */
+  def q403Benford(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "orders")
+      .select(expr(
+        """CAST(substring(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+           AS STRING), 1, 1) AS BIGINT)""").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("obs"))
+    val pivotCols = (1 to 9).map(d =>
+      coalesce(max(when(col("digit") === d, col("obs"))), lit(0L))
+        .as(s"obs$d"))
+    val chi = census
+      .agg(sum("obs").as("nn"), pivotCols: _*)
+      .select(expr(s"CAST(floor($benfordChi2 * 1000) AS BIGINT)")
+        .as("chi2_milli"))
+    val tot = census.agg(sum("obs").as("n"))
+    census.crossJoin(broadcast(tot)).crossJoin(broadcast(chi))
+      .select(col("digit"), col("obs"),
+        expr(s"CAST(floor(CAST(n AS DOUBLE) * $benfordP * 1000000) " +
+          "AS BIGINT)").as("exp_micro"),
+        col("chi2_milli"))
+  }
+
+  private def q403OracleSql: String = {
+    val pivotCols = (1 to 9).map(d =>
+      s"coalesce(max(CASE WHEN digit = $d THEN obs END), 0) AS obs$d")
+      .mkString(", ")
+    s"""WITH census AS (SELECT
+          CAST(substring(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+            AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+          CAST(count(*) AS BIGINT) AS obs
+        FROM orders GROUP BY 1),
+        piv AS (SELECT CAST(sum(obs) AS BIGINT) AS nn, $pivotCols
+          FROM census),
+        chi AS (SELECT CAST(floor($benfordChi2 * 1000) AS BIGINT)
+            AS chi2_milli FROM piv),
+        tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM census)
+        SELECT digit, obs,
+          CAST(floor(CAST(n AS DOUBLE) * $benfordP * 1000000)
+            AS BIGINT) AS exp_micro,
+          chi2_milli
+        FROM census CROSS JOIN tot CROSS JOIN chi"""
+  }
+
+  // ------------------------------------------------------------ q405
+
+  /** q405 — FRIEDMAN TEST across event types blocked by day (the
+    * repeated-measures member of the rank-test family: q303's
+    * Mann–Whitney compares two independent samples, q322's
+    * Kruskal–Wallis k independent samples — Friedman ranks WITHIN each
+    * block, so day-level volume shifts cancel and only the relative
+    * ordering of event types across days counts: "is the type mix
+    * stable day over day?"). Within each day the k = |event types|
+    * daily counts get integer DOUBLED midranks (2·midrank = 2·minrank
+    * + ties − 1, the q303 trick — rank() and the tie count are both
+    * window integers); R2ⱼ = Σ over days is exact; released per type
+    * {event_type, r2_sum} plus the replicated q_milli from the
+    * classic Q = 12/(n·k(k+1))·ΣR̄ⱼ² − 3n(k+1) as ONE shared-text
+    * double expression over the exact integer rank sums.
+    *
+    * Scale shape: ONE corpus scan map-side combined to the
+    * |days × types| census; rank windows and sums ride that
+    * domain-bounded frame. */
+  def q405Friedman(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val wDay = Window.partitionBy("day").orderBy("x")
+    val wTie = Window.partitionBy("day", "x")
+    val ranked = census
+      .withColumn("r2",
+        (rank().over(wDay).cast("bigint") * 2
+          + count(lit(1)).over(wTie) - 1))
+    val sums = ranked.groupBy("event_type")
+      .agg(sum("r2").as("r2_sum"))
+    val dims = census.agg(
+      countDistinct(col("day")).as("n"),
+      countDistinct(col("event_type")).as("k"))
+    // Σ R2ⱼ² stays an EXACT integer (the 5-term double fold would
+    // associate differently across engines and flip the floor);
+    // Q = 3·S4/(n·k(k+1)) − 3n(k+1) is then ONE shared-text double
+    val q = sums.agg(sum(col("r2_sum") * col("r2_sum")).as("s4"))
+      .crossJoin(broadcast(dims))
+      .select(expr(
+        """CAST(floor((3.0 * CAST(s4 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * k * (k + 1.0))
+           - 3.0 * CAST(n AS DOUBLE) * (k + 1.0)) * 1000) AS BIGINT)""")
+        .as("q_milli"))
+    sums.crossJoin(broadcast(q))
+      .select(col("event_type"), col("r2_sum"), col("q_milli"))
+  }
+
+  private def q405OracleSql: String =
+    """WITH census AS (SELECT CAST(ts AS DATE) AS day, event_type,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        ranked AS (SELECT day, event_type,
+            CAST(rank() OVER (PARTITION BY day ORDER BY x) AS BIGINT)
+              * 2
+              + CAST(count(*) OVER (PARTITION BY day, x) AS BIGINT) - 1
+              AS r2
+          FROM census),
+        sums AS (SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2_sum
+          FROM ranked GROUP BY 1),
+        dims AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n,
+          CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM census),
+        s4 AS (SELECT CAST(sum(r2_sum * r2_sum) AS BIGINT) AS s4
+          FROM sums),
+        q AS (SELECT CAST(floor((3.0 * CAST(s4 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * k * (k + 1.0))
+              - 3.0 * CAST(n AS DOUBLE) * (k + 1.0)) * 1000)
+            AS BIGINT) AS q_milli
+          FROM s4 CROSS JOIN dims)
+        SELECT event_type, r2_sum, q_milli
+        FROM sums CROSS JOIN q"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3329,7 +3487,9 @@ object Stats {
     "q391_hoeffding_gate" -> (q391HoeffdingGate _),
     "q392_wald_iv" -> (q392WaldIv _),
     "q393_uplift_quintiles" -> (q393UpliftQuintiles _),
-    "q394_gamma_poisson_eb" -> (q394GammaPoissonEb _))
+    "q394_gamma_poisson_eb" -> (q394GammaPoissonEb _),
+    "q403_benford" -> (q403Benford _),
+    "q405_friedman" -> (q405Friedman _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -3373,5 +3533,7 @@ object Stats {
     "q391_hoeffding_gate" -> q391OracleSql,
     "q392_wald_iv" -> q392OracleSql,
     "q393_uplift_quintiles" -> q393OracleSql,
-    "q394_gamma_poisson_eb" -> q394OracleSql)
+    "q394_gamma_poisson_eb" -> q394OracleSql,
+    "q403_benford" -> q403OracleSql,
+    "q405_friedman" -> q405OracleSql)
 }

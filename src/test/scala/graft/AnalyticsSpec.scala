@@ -1409,4 +1409,66 @@ class AnalyticsSpec extends SparkSpec {
     assert(best >= eh.sum, "worse than the all-H path")
     assert(best >= el.sum, "worse than the all-L path")
   }
+
+  test("q401 slope-one deviations replay the brute-force model and " +
+    "stay inside the rating span") {
+    val rows = Analytics.q401SlopeOne(spark, sf1).collect()
+      .map(r => (r.getAs[String]("b1"), r.getAs[String]("b2")) ->
+        (r.getAs[Long]("n_co"), r.getAs[Long]("dev_num"),
+          r.getAs[Long]("dev_milli"))).toMap
+    val ratings = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .join(graft.sources.Tables.load(spark, sf1, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.sources.Tables.load(spark, sf1, "part")
+          .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("o_custkey", "p_brand")
+      .agg(expr("CAST(sum(c) * 1000 DIV count(*) AS BIGINT)").as("r"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ratings.groupBy(_._1)
+    val model = scala.collection.mutable.Map
+      .empty[(String, String), (Long, Long)]
+    byUser.values.foreach { ds =>
+      val sorted = ds.sortBy(_._2)
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length) {
+        val k = (sorted(i)._2, sorted(j)._2)
+        val (n0, s0) = model.getOrElse(k, (0L, 0L))
+        model(k) = (n0 + 1, s0 + (sorted(i)._3 - sorted(j)._3))
+      }
+    }
+    assert(rows.keySet === model.keySet.toSet)
+    model.foreach { case (k, (n, s)) =>
+      val (gn, gs, gd) = rows(k)
+      assert(gn === n, s"$k n_co")
+      assert(gs === s, s"$k dev_num")
+      assert(gd === s / n, s"$k dev_milli")  // JVM / truncates like DIV
+      // a mean difference can never exceed the global rating span
+      val span = ratings.map(_._3).max - ratings.map(_._3).min
+      assert(math.abs(gd) <= span, s"$k out of span")
+    }
+  }
+
+  test("q404 MASE replays the exact lag model") {
+    val row = Analytics.q404Mase(spark, sf1).head()
+    val daily = graft.sources.Tables.load(spark, sf1, "events")
+      .groupBy(to_date(col("ts")).as("day")).count().orderBy("day")
+      .collect().map(_.getLong(1))
+    val n = daily.length
+    val s7 = (7 until n).map(i => math.abs(daily(i) - daily(i - 7))).sum
+    val s1 = (1 until n).map(i => math.abs(daily(i) - daily(i - 1))).sum
+    assert(row.getAs[Long]("n_days") === n.toLong)
+    assert(row.getAs[Long]("sum_abs_7") === s7)
+    assert(row.getAs[Long]("n_7") === (n - 7).toLong)
+    assert(row.getAs[Long]("sum_abs_1") === s1)
+    assert(row.getAs[Long]("n_1") === (n - 1).toLong)
+    assert(row.getAs[Long]("mase_milli") ===
+      (BigInt(s7) * (n - 1) * 1000 / (BigInt(s1) * (n - 7))).toLong)
+    // iid daily counts: seasonal-naive ≈ plain naive, so MASE sits
+    // near 1 — a strong seasonal signal would push it well below
+    assert(row.getAs[Long]("mase_milli") > 300L)
+    assert(row.getAs[Long]("mase_milli") < 3000L)
+  }
 }

@@ -394,8 +394,8 @@ class PipelineSpec extends SparkSpec {
       val ra = if (r.isNullAt(1)) None else Some(r.getLong(1))
       val rb = if (r.isNullAt(2)) None else Some(r.getLong(2))
       assert(ra.nonEmpty || rb.nonEmpty, "doc in neither input list")
-      val expect = ra.map(x => 1000000L / (Pipeline.RrfK + x)).getOrElse(0L) +
-        rb.map(x => 1000000L / (Pipeline.RrfK + x)).getOrElse(0L)
+      val expect = ra.map(x => 1000000L / (Pipeline.RrfK.toLong + x)).getOrElse(0L) +
+        rb.map(x => 1000000L / (Pipeline.RrfK.toLong + x)).getOrElse(0L)
       assert(r.getLong(3) === expect, s"rrf_ppm mismatch at $r")
       assert(ra.forall(x => x >= 1 && x <= Pipeline.RrfPoolK))
       assert(rb.forall(x => x >= 1 && x <= Pipeline.RrfPoolK))
@@ -744,5 +744,32 @@ class PipelineSpec extends SparkSpec {
       .flatMap { case (l, ids) => ids.zipWithIndex.map { case (id, i) =>
         (l, id, (i + 1).toLong) } }.collect().toSet
     assert(re === model, "sample is partitioning-dependent")
+  }
+
+  test("q402 RRF fusion: formula replay from released ranks, union of " +
+    "the legs, deterministic fused order") {
+    val rows = Pipeline.q402HybridRetrieval(spark, sf1).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        Option(r.getAs[java.lang.Long]("bm25_rank")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("ann_rank")).map(_.toLong),
+        r.getAs[Long]("rrf_micro"), r.getAs[Long]("fused_rank")))
+    // every row comes from at least one leg; legs are complete top-k's
+    assert(rows.forall(r => r._2.nonEmpty || r._3.nonEmpty))
+    assert(rows.flatMap(_._2).sorted ===
+      (1L to Pipeline.Bm25TopK.toLong).toArray)
+    assert(rows.flatMap(_._3).sorted ===
+      (1L to Pipeline.Bm25TopK.toLong).toArray)
+    // RRF formula over released ranks (pure integer division)
+    rows.foreach { r =>
+      val exp = r._2.map(x => 1000000L / (Pipeline.RrfK.toLong + x)).getOrElse(0L) +
+        r._3.map(x => 1000000L / (Pipeline.RrfK.toLong + x)).getOrElse(0L)
+      assert(r._4 === exp, s"doc ${r._1}")
+    }
+    // fused_rank is the (rrf DESC, doc_id) permutation
+    val expected = rows.sortBy(r => (-r._4, r._1)).map(_._1)
+    assert(rows.sortBy(_._5).map(_._1) === expected)
+    // a doc in both legs outranks one sharing its best single leg:
+    // the top fused doc has rrf at least the best single-leg score
+    assert(rows.map(_._4).max >= 1000000L / (Pipeline.RrfK + 1L))
   }
 }

@@ -2106,4 +2106,72 @@ class StatsSpec extends SparkSpec {
         if (w.length == 2) assert(w(0)._2 <= w(1)._2) }
     }
   }
+
+  test("q403 Benford audit: census conservation, chi-square replay, " +
+    "and decisive rejection on the non-Benford generator") {
+    val rows = Stats.q403Benford(spark, sf1).collect()
+      .map(r => (r.getAs[Long]("digit"), r.getAs[Long]("obs"),
+        r.getAs[Long]("exp_micro"), r.getAs[Long]("chi2_milli")))
+    val nOrders = graft.sources.Tables.load(spark, sf1, "orders").count()
+    assert(rows.map(_._2).sum === nOrders)
+    assert(rows.forall(r => r._1 >= 1L && r._1 <= 9L))
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // replay chi2 from the released census in the declared fixed
+    // digit order (the generated 9-term left-to-right chain)
+    val n = nOrders.toDouble
+    val byDigit = rows.map(r => r._1 -> r._2).toMap
+    var chi = 0.0
+    (1 to 9).foreach { d =>
+      val p = math.log10(1.0 + 1.0 / d)
+      val obs = byDigit.getOrElse(d.toLong, 0L).toDouble
+      chi += (obs - n * p) * (obs - n * p) / (n * p)
+    }
+    assert(rows.head._4 === math.floor(chi * 1000).toLong)
+    rows.foreach { case (d, _, expMicro, _) =>
+      assert(expMicro ===
+        math.floor(n * math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+    }
+    // the fixture's totals are NOT Benford — the audit must reject at
+    // alpha = 0.001 (chi2_{8} critical value 26.125)
+    assert(rows.head._4 > 26125L,
+      "generator passed Benford — the audit lost its teeth")
+  }
+
+  test("q405 Friedman: midrank model replay, rank-sum conservation, " +
+    "and a null-calibrated statistic") {
+    val rows = Stats.q405Friedman(spark, sf1).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("r2_sum"),
+        r.getAs[Long]("q_milli")))
+    val census = graft.sources.Tables.load(spark, sf1, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+    val k = census.map(_._2).distinct.length
+    val n = census.map(_._1).distinct.length
+    // brute-force doubled midranks within each day
+    val r2 = scala.collection.mutable.Map.empty[String, Long]
+    census.groupBy(_._1).values.foreach { day =>
+      day.foreach { case (_, et, x) =>
+        val below = day.count(_._3 < x).toLong
+        val ties = day.count(_._3 == x).toLong
+        r2(et) = r2.getOrElse(et, 0L) + (2 * (below + 1) + ties - 1)
+      }
+    }
+    assert(rows.map(t => t._1 -> t._2).toMap === r2.toMap)
+    // per-day doubled ranks sum to k_d(k_d+1): totals conserve
+    // Σ_day k_d(k_d+1) (equals n·k(k+1) when every type shows daily)
+    val conserve = census.groupBy(_._1).values.map { day =>
+      val kd = day.length.toLong; kd * (kd + 1) }.sum
+    assert(rows.map(_._2).sum === conserve)
+    // Q replay: exact integer S4 = Σ r2², then the one double formula
+    val s4 = rows.map(v => v._2 * v._2).sum
+    val qExp = 3.0 * s4 / (n.toDouble * k * (k + 1.0)) -
+      3.0 * n * (k + 1.0)
+    assert(rows.head._3 === math.floor(qExp * 1000).toLong)
+    // exchangeable types: must not clear the alpha = 0.001 bar for
+    // k-1 = 4 dof (18.467)
+    assert(rows.head._3 < 18467L,
+      "null Friedman fired — midranks or the census are broken")
+  }
 }
