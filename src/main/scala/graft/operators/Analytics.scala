@@ -4454,10 +4454,205 @@ object Analytics {
             AS mase_milli
         FROM agg"""
 
+  // ------------------------------------------------------------ q406
+
+  /** q406's +∞ stand-in: far above any reachable path cost (≤ days ×
+    * max daily count ≈ 10⁸ at sf100) yet far below int64 overflow
+    * even after a few additions. */
+  val DtwBig = 1000000000000000L
+
+  /** q406 — DYNAMIC TIME WARPING distance between the two arms' daily
+    * event-count series (the ALIGNMENT member of the time-series
+    * family: q304's ACF and q369's monitor compare series point-by-
+    * point — DTW allows elastic time shifts, the comparison a platform
+    * runs when two rollout cohorts trace the same curve days apart;
+    * and the suite's 2-D DP showcase: where q399's Viterbi folds a
+    * 2-vector of state optima, DTW folds the WHOLE previous DP row —
+    * the classic D(i,j) = |aᵢ−bⱼ| + min(D(i−1,j), D(i,j−1),
+    * D(i−1,j−1)) recurrence expressed as one in-row nested aggregate
+    * over the day-bounded arrays, costs exact integers throughout,
+    * [[DtwBig]] as the boundary ∞). Released {n_days, dtw_cost,
+    * per_step_milli = cost·1000 div 2n}.
+    *
+    * Scale shape: ONE corpus scan map-side combined to the |days|
+    * census; the DP is O(days²) IN-ROW arithmetic on two collected
+    * day arrays — never a join, never a corpus-length recursion. The
+    * oracle runs the identical recurrence as a flattened (j,i)
+    * recursive CTE carrying the two DP rows as lists. */
+  def q406Dtw(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L))
+          .as("na"),
+        sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("nb"))
+    census
+      .agg(sort_array(collect_list(struct(col("day"), col("na"),
+        col("nb")))).as("cs"))
+      .select(
+        expr("transform(cs, c -> c.na)").as("a"),
+        expr("transform(cs, c -> c.nb)").as("b"))
+      .select(size(col("a")).cast("bigint").as("n_days"), expr(
+        s"""aggregate(
+          b,
+          transform(sequence(0, size(a)),
+            i -> IF(i = 0, CAST(0 AS BIGINT), CAST($DtwBig AS BIGINT))),
+          (prev, bj) -> aggregate(
+            transform(a, (v, i) -> struct(i + 1 AS i, v AS v)),
+            array(CAST($DtwBig AS BIGINT)),
+            (row, x) -> concat(row, array(
+              abs(x.v - bj) + least(
+                element_at(prev, x.i),
+                element_at(prev, x.i + 1),
+                element_at(row, size(row)))))),
+          fin -> element_at(fin, size(fin)))""").as("dtw_cost"))
+      .select(col("n_days"), col("dtw_cost"),
+        expr("""CAST(dtw_cost * 1000 DIV (2 * n_days) AS BIGINT)""")
+          .as("per_step_milli"))
+  }
+
+  private def q406OracleSql: String =
+    s"""WITH RECURSIVE census AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS na,
+          CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS nb
+        FROM events GROUP BY 1),
+        al AS (SELECT list(na ORDER BY day) AS a,
+          list(nb ORDER BY day) AS b,
+          CAST(count(*) AS BIGINT) AS n FROM census),
+        dp AS (
+          SELECT CAST(0 AS BIGINT) AS t,
+            list_concat([CAST(0 AS BIGINT)],
+              list_transform(range(n),
+                x -> CAST($DtwBig AS BIGINT))) AS prev,
+            [CAST($DtwBig AS BIGINT)] AS cur
+          FROM al
+          UNION ALL
+          SELECT t + 1,
+            CASE WHEN (t % n) + 1 = n
+              THEN list_append(cur,
+                abs(a[CAST(t % n AS INT) + 1]
+                    - b[CAST(t // n AS INT) + 1])
+                  + least(prev[CAST(t % n AS INT) + 1],
+                      prev[CAST(t % n AS INT) + 2],
+                      cur[CAST(t % n AS INT) + 1]))
+              ELSE prev END,
+            CASE WHEN (t % n) + 1 = n
+              THEN [CAST($DtwBig AS BIGINT)]
+              ELSE list_append(cur,
+                abs(a[CAST(t % n AS INT) + 1]
+                    - b[CAST(t // n AS INT) + 1])
+                  + least(prev[CAST(t % n AS INT) + 1],
+                      prev[CAST(t % n AS INT) + 2],
+                      cur[CAST(t % n AS INT) + 1])) END
+          FROM dp, al WHERE t < n * n)
+        SELECT n AS n_days,
+          prev[CAST(n AS INT) + 1] AS dtw_cost,
+          CAST(prev[CAST(n AS INT) + 1] * 1000 // (2 * n) AS BIGINT)
+            AS per_step_milli
+        FROM dp, al WHERE t = n * n"""
+
+  // ------------------------------------------------------------ q407
+
+  /** The event-type vocabulary in its fixed alphabetical order —
+    * q407's generated entropy expression enumerates these 25 cells
+    * literally so the double chain associates identically on both
+    * engines (the q403/q31 generated-sum discipline). */
+  private val EventTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** q407's conditional entropy H(next|cur)·N as one generated
+    * 25-term expression over the pivoted exact transition counts
+    * c_st and row sums rs_s: Σ c_st·(log2 rs_s − log2 c_st) — each
+    * log2 takes one exact integer cast, zero cells contribute 0 by
+    * the shared CASE. */
+  private def markovEntropyN: String =
+    EventTypes.indices.flatMap { si =>
+      EventTypes.indices.map { ti =>
+        s"""(CASE WHEN c_${si}_$ti = 0 THEN 0.0
+            ELSE CAST(c_${si}_$ti AS DOUBLE)
+              * (log2(CAST(rs_$si AS DOUBLE))
+                 - log2(CAST(c_${si}_$ti AS DOUBLE))) END)"""
+      }
+    }.mkString("(", " + ", ")")
+
+  /** q407 — FIRST-ORDER MARKOV TRANSITION CENSUS + CONDITIONAL
+    * ENTROPY of the per-user event-type process (the SEQUENCE-
+    * STRUCTURE profile next to q317's static mutual information:
+    * H(next|cur) in bits measures how predictable a user's next
+    * action is given their last — the number a session-model or
+    * next-event cache is calibrated against, and the drift signal
+    * when bot traffic collapses it toward 0): per user the ts-ordered
+    * (event_id tie-break) type sequence yields exact transition
+    * counts; released per observed transition {from_type, to_type,
+    * cnt} with h_cond_milli replicated — the entropy through
+    * [[markovEntropyN]] div N, every count exact off one window pass.
+    *
+    * Scale shape: ONE user-keyed exchange for the lag window (the
+    * sessionization shuffle, q41's shape); the census collapses to
+    * ≤ |types|² rows and the entropy rides a 1-row pivot. */
+  def q407MarkovEntropy(s: SparkSession, dir: String): DataFrame = {
+    val trans = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val pivotCols = EventTypes.indices.flatMap { si =>
+      EventTypes.indices.map { ti =>
+        coalesce(max(when(col("from_type") === EventTypes(si) &&
+          col("to_type") === EventTypes(ti), col("cnt"))), lit(0L))
+          .as(s"c_${si}_$ti")
+      }
+    } ++ EventTypes.indices.map { si =>
+      coalesce(sum(when(col("from_type") === EventTypes(si),
+        col("cnt"))), lit(0L)).as(s"rs_$si")
+    }
+    val h = trans
+      .agg(sum("cnt").as("nn"), pivotCols: _*)
+      .select(expr(
+        s"""CAST(floor($markovEntropyN / CAST(nn AS DOUBLE) * 1000)
+           AS BIGINT)""").as("h_cond_milli"))
+    trans.crossJoin(broadcast(h))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        col("h_cond_milli"))
+  }
+
+  private def q407OracleSql: String = {
+    val pivotCols = (EventTypes.indices.flatMap { si =>
+      EventTypes.indices.map { ti =>
+        s"""coalesce(max(CASE WHEN from_type = '${EventTypes(si)}'
+            AND to_type = '${EventTypes(ti)}' THEN cnt END), 0)
+            AS c_${si}_$ti"""
+      }
+    } ++ EventTypes.indices.map { si =>
+      s"""coalesce(sum(CASE WHEN from_type = '${EventTypes(si)}'
+          THEN cnt END), 0) AS rs_$si"""
+    }).mkString(", ")
+    s"""WITH seq AS (SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev
+        FROM events),
+        trans AS (SELECT prev AS from_type, event_type AS to_type,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        piv AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn, $pivotCols
+          FROM trans),
+        h AS (SELECT CAST(floor($markovEntropyN / CAST(nn AS DOUBLE)
+            * 1000) AS BIGINT) AS h_cond_milli FROM piv)
+        SELECT from_type, to_type, cnt, h_cond_milli
+        FROM trans CROSS JOIN h"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q399_viterbi" -> (q399Viterbi _),
     "q401_slope_one" -> (q401SlopeOne _),
     "q404_mase" -> (q404Mase _),
+    "q406_dtw" -> (q406Dtw _),
+    "q407_markov_entropy" -> (q407MarkovEntropy _),
     "q368_isotonic_calibration" -> (q368IsotonicCalibration _),
     "q395_ewma" -> (q395Ewma _),
     "q396_herfindahl" -> (q396Herfindahl _),
@@ -4536,6 +4731,8 @@ object Analytics {
     "q399_viterbi" -> q399OracleSql,
     "q401_slope_one" -> q401OracleSql,
     "q404_mase" -> q404OracleSql,
+    "q406_dtw" -> q406OracleSql,
+    "q407_markov_entropy" -> q407OracleSql,
     "q395_ewma" -> q395OracleSql,
     "q396_herfindahl" -> q396OracleSql,
     "q397_adamic_adar" -> q397OracleSql,

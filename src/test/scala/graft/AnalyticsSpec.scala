@@ -1471,4 +1471,78 @@ class AnalyticsSpec extends SparkSpec {
     assert(row.getAs[Long]("mase_milli") > 300L)
     assert(row.getAs[Long]("mase_milli") < 3000L)
   }
+
+  test("q406 DTW replays the brute-force DP and is bounded by the " +
+    "diagonal alignment") {
+    val row = Analytics.q406Dtw(spark, sf1).head()
+    val census = graft.sources.Tables.load(spark, sf1, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L))
+          .as("na"),
+        sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("nb"))
+      .orderBy("day")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val a = census.map(_._1); val b = census.map(_._2)
+    val n = a.length
+    val big = Analytics.DtwBig
+    var prev = Array.tabulate(n + 1)(i => if (i == 0) 0L else big)
+    (0 until n).foreach { j =>
+      val cur = Array.fill(n + 1)(big)
+      (1 to n).foreach { i =>
+        cur(i) = math.abs(a(i - 1) - b(j)) +
+          math.min(math.min(prev(i - 1), prev(i)), cur(i - 1))
+      }
+      prev = cur
+    }
+    assert(row.getAs[Long]("n_days") === n.toLong)
+    assert(row.getAs[Long]("dtw_cost") === prev(n))
+    assert(row.getAs[Long]("per_step_milli") ===
+      prev(n) * 1000L / (2L * n))
+    // elastic alignment can only improve on the rigid diagonal
+    val diag = (0 until n).map(i => math.abs(a(i) - b(i))).sum
+    assert(prev(n) <= diag, "DTW worse than the identity alignment")
+    assert(prev(n) >= 0L && prev(n) < big)
+  }
+
+  test("q407 Markov census conserves transitions and the conditional " +
+    "entropy replays the fixed-order model") {
+    val rows = Analytics.q407MarkovEntropy(spark, sf1).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("h_cond_milli")))
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select("user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1),
+        r.getLong(2), r.getString(3)))
+    // brute-force transitions per user in (ts, event_id) order
+    val model = scala.collection.mutable.Map
+      .empty[(String, String), Long]
+    ev.groupBy(_._1).values.foreach { g =>
+      g.sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
+        .sliding(2).foreach { w =>
+          if (w.length == 2) {
+            val k = (w(0)._4, w(1)._4)
+            model(k) = model.getOrElse(k, 0L) + 1
+          }
+        }
+    }
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap === model.toMap)
+    val total = model.values.sum
+    assert(rows.map(_._3).sum === total)
+    // entropy replay in the declared fixed (from, to) literal order
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val rowSums = types.map(s =>
+      s -> types.map(t => model.getOrElse((s, t), 0L)).sum).toMap
+    var hn = 0.0
+    types.foreach { s => types.foreach { t =>
+      val c = model.getOrElse((s, t), 0L)
+      if (c != 0L)
+        hn += c.toDouble * (math.log(rowSums(s).toDouble) / math.log(2.0)
+          - math.log(c.toDouble) / math.log(2.0))
+    } }
+    assert(rows.head._4 === math.floor(hn / total * 1000).toLong)
+    // 5 exchangeable types: H(next|cur) must sit near log2 5 ≈ 2.32
+    assert(rows.head._4 > 2000L && rows.head._4 < 2322L,
+      s"conditional entropy ${rows.head._4} off the iid band")
+  }
 }
