@@ -907,4 +907,47 @@ class ScalePathSpec extends SparkSpec {
       s"moment sums must map-side combine:\n$plan")
     spark.catalog.clearCache()
   }
+
+  test("q398 bottom-k sample plans as a partial-combining aggregate — " +
+    "no per-stratum rank window, no corpus sort") {
+    val plan = graft.operators.Pipeline.q398BottomkSample(spark, sf1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"the mergeable aggregator was demoted to a rank window:\n$plan")
+    // the typed Aggregator must combine map-side: partial states
+    // appear before the stratum exchange
+    assert(plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"),
+      s"typed top-k aggregate missing:\n$plan")
+    assert(!plan.toLowerCase.contains("sortmergejoin"),
+      s"unexpected join in a pure aggregation:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("q401 slope-one: part joins by broadcast, pairs generated " +
+    "in-row (no brand-pair sort-merge join)") {
+    val plan = graft.operators.Analytics.q401SlopeOne(spark, sf1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part dim must broadcast:\n$plan")
+    // exactly one join family may shuffle: lineitem⋈orders on orderkey;
+    // the pair census must come from the in-row generator, not a join
+    val smj = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smj <= 1,
+      s"pair generation leaked into a join (found $smj SMJs):\n$plan")
+    assert(plan.contains("Generate"),
+      s"in-row pair explode missing:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("q396 Herfindahl: two-level aggregation map-side combines; " +
+    "nation name attach broadcasts") {
+    val plan = graft.operators.Analytics.q396Herfindahl(spark, sf1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial"),
+      s"census must map-side combine:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"25-row nation attach must broadcast:\n$plan")
+    spark.catalog.clearCache()
+  }
 }
