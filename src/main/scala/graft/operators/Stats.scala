@@ -3443,6 +3443,79 @@ object Stats {
         SELECT event_type, r2_sum, q_milli
         FROM sums CROSS JOIN q"""
 
+  // ------------------------------------------------------------ q408
+
+  /** q408's normal approximation over the exact integers {n1, n2, r}:
+    * μ = 2n1n2/(n1+n2) + 1, σ² = 2n1n2(2n1n2−n1−n2) /
+    * ((n1+n2)²(n1+n2−1)) — one shared-text double expression. */
+  private val runsZ =
+    """((CAST(r AS DOUBLE)
+        - (2.0 * n1 * n2 / (CAST(n1 AS DOUBLE) + n2) + 1.0))
+       / sqrt(2.0 * n1 * n2 * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)
+         / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)
+            * (CAST(n1 AS DOUBLE) + n2 - 1.0))))"""
+
+  /** q408 — WALD–WOLFOWITZ RUNS TEST on the daily count series (the
+    * RANDOMNESS member of the trend family: q309's Mann–Kendall asks
+    * "is there a monotone drift?", the runs test asks "do the
+    * above/below-median days CLUSTER?" — too few runs = regime
+    * stickiness an iid model misses, too many = oscillation; the
+    * classic nonparametric check behind control-chart rules): the
+    * lower median of the daily counts splits days into above (n1) vs
+    * at-or-below (n2, ties below — declared); r = number of maximal
+    * same-side runs in day order, exact off one lag comparison;
+    * released {n1, n2, r, z_ppm} through [[runsZ]]. Under the iid
+    * generator |z| must stay inside the α = 0.001 band, which the
+    * spec pins.
+    *
+    * Scale shape: ONE corpus scan map-side combined to the |days|
+    * census; the median rank, the side flags, and the run-boundary
+    * lag all ride the domain-bounded day frame. */
+  def q408RunsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val med = daily
+      .withColumn("rk", row_number().over(Window.orderBy("x", "day")))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n"))))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col("x").as("med"))
+    val flagged = daily.crossJoin(broadcast(med))
+      .withColumn("above", col("x") > col("med"))
+      .withColumn("newrun", when(lag("above", 1).over(
+        Window.orderBy("day")).isNull ||
+        lag("above", 1).over(Window.orderBy("day")) =!= col("above"),
+        1L).otherwise(0L))
+    flagged.agg(
+      sum(when(col("above"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("above"), 0L).otherwise(1L)).as("n2"),
+      sum("newrun").as("r"))
+      .select(col("n1"), col("n2"), col("r"),
+        expr(s"CAST(floor($runsZ * 1000000) AS BIGINT)").as("z_ppm"))
+  }
+
+  private def q408OracleSql: String =
+    s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        med AS (SELECT x AS med FROM
+          (SELECT x, row_number() OVER (ORDER BY x, day) AS rk
+           FROM daily) r CROSS JOIN
+          (SELECT count(*) AS n FROM daily) c
+          WHERE rk = (n + 1) // 2),
+        flagged AS (SELECT day, x > med AS above,
+            CASE WHEN lag(x > med) OVER (ORDER BY day) IS NULL
+              OR lag(x > med) OVER (ORDER BY day) <> (x > med)
+              THEN 1 ELSE 0 END AS newrun
+          FROM daily CROSS JOIN med),
+        agg AS (SELECT
+          CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+          CAST(sum(newrun) AS BIGINT) AS r
+        FROM flagged)
+        SELECT n1, n2, r,
+          CAST(floor($runsZ * 1000000) AS BIGINT) AS z_ppm
+        FROM agg"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3489,7 +3562,8 @@ object Stats {
     "q393_uplift_quintiles" -> (q393UpliftQuintiles _),
     "q394_gamma_poisson_eb" -> (q394GammaPoissonEb _),
     "q403_benford" -> (q403Benford _),
-    "q405_friedman" -> (q405Friedman _))
+    "q405_friedman" -> (q405Friedman _),
+    "q408_runs_test" -> (q408RunsTest _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -3535,5 +3609,6 @@ object Stats {
     "q393_uplift_quintiles" -> q393OracleSql,
     "q394_gamma_poisson_eb" -> q394OracleSql,
     "q403_benford" -> q403OracleSql,
-    "q405_friedman" -> q405OracleSql)
+    "q405_friedman" -> q405OracleSql,
+    "q408_runs_test" -> q408OracleSql)
 }

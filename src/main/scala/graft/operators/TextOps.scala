@@ -457,6 +457,66 @@ object TextOps {
                  AS postings
         FROM words GROUP BY term"""
 
+  // ------------------------------------------------------------ q409
+
+  /** q409's 7-bit-group byte count for a delta gap as shared CASE
+    * text — the LEB128/varint size every postings format pays per
+    * gap. Gaps here are ≥ 1 (first gap = doc_id + 1) and < 2³⁵
+    * at any conceivable corpus, so five rungs close the ladder. */
+  private val varintBytes =
+    """(CASE WHEN gap < 128 THEN 1
+        WHEN gap < 16384 THEN 2
+        WHEN gap < 2097152 THEN 3
+        WHEN gap < 268435456 THEN 4
+        ELSE 5 END)"""
+
+  /** q409 — POSTINGS DELTA + VARINT SIZING of the q98 inverted index
+    * (the STORAGE-ENGINEERING readout behind every retrieval system's
+    * capacity plan: posting lists compress as sorted-gap varints, and
+    * the bytes-per-posting number — driven by each term's density —
+    * is what sizes an index shard at 100 TB; a term in every 128th
+    * doc costs 1 byte/posting, a rare term pays the full id width):
+    * per term the EXACT {df, varint_bytes = Σ [[varintBytes]] over
+    * the sorted gaps (first gap = doc_id + 1 — the delta-from-−1
+    * convention that keeps every gap ≥ 1), fixed_bytes = 8·df,
+    * savings_ppm = (fixed − varint)·10⁶ div fixed}.
+    *
+    * Scale shape: ONE corpus scan exploded to distinct (term, doc_id)
+    * (q98's build); the gap lag rides a term-keyed window — the same
+    * exchange the index build itself needs; output = |vocab| rows. */
+  def q409PostingsVarint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .withColumn("gap", col("doc_id") - coalesce(
+        lag("doc_id", 1).over(
+          Window.partitionBy("term").orderBy("doc_id")), lit(-1L)))
+    postings.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum(expr(varintBytes)).as("varint_bytes"))
+      .select(col("term"), col("df"), col("varint_bytes"),
+        (col("df") * 8L).as("fixed_bytes"),
+        expr("""CAST((df * 8 - varint_bytes) * 1000000
+          DIV (df * 8) AS BIGINT)""").as("savings_ppm"))
+  }
+
+  private def q409OracleSql: String =
+    s"""WITH words AS (SELECT DISTINCT doc_id,
+          unnest(string_split(text, ' ')) AS term FROM documents),
+        gaps AS (SELECT term,
+            doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+              ORDER BY doc_id), -1) AS gap
+          FROM words),
+        sized AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+            CAST(sum($varintBytes) AS BIGINT) AS varint_bytes
+          FROM gaps GROUP BY 1)
+        SELECT term, df, varint_bytes,
+          CAST(df * 8 AS BIGINT) AS fixed_bytes,
+          CAST((df * 8 - varint_bytes) * 1000000 // (df * 8) AS BIGINT)
+            AS savings_ppm
+        FROM sized"""
+
   /** Misra-Gries counter budget for q100: the token-length domain has 6
     * distinct values with two ~30% heavies — k=4 forces real evictions
     * (sketch smaller than the domain) while the >N/5 guarantee still
@@ -2240,6 +2300,7 @@ object TextOps {
     "q90_quality_gate" -> (q90QualityGate _),
     "q96_pii_redaction" -> (q96PiiRedaction _),
     "q98_inverted_index" -> (q98InvertedIndex _),
+    "q409_postings_varint" -> (q409PostingsVarint _),
     "q100_heavy_hitters" -> (q100HeavyHitters _),
     "q34_lang_id" -> (q34LangId _),
     "q35_quality_score" -> (q35QualityScore _),
@@ -2279,6 +2340,7 @@ object TextOps {
     "q90_quality_gate" -> q90OracleSql,
     "q96_pii_redaction" -> q96OracleSql,
     "q98_inverted_index" -> q98OracleSql,
+    "q409_postings_varint" -> q409OracleSql,
     "q100_heavy_hitters" -> q100OracleSql,
     "q34_lang_id" -> q34OracleSql,
     "q35_quality_score" -> q35OracleSql,

@@ -1251,4 +1251,64 @@ class ExtensionsSpec extends SparkSpec {
     assert(rates.zip(rates.tail).forall { case (a, b) => a <= b },
       "conversion must rise with session length on this corpus")
   }
+
+  test("q409 varint sizing replays the gap model and density drives " +
+    "the savings") {
+    val rows = graft.operators.TextOps.q409PostingsVarint(spark, sf1)
+      .collect()
+      .map(r => r.getAs[String]("term") -> (r.getAs[Long]("df"),
+        r.getAs[Long]("varint_bytes"), r.getAs[Long]("fixed_bytes"),
+        r.getAs[Long]("savings_ppm"))).toMap
+    val postings = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .distinct().collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    def vbytes(g: Long): Long =
+      if (g < 128) 1 else if (g < 16384) 2 else if (g < 2097152) 3
+      else if (g < 268435456) 4 else 5
+    assert(rows.keySet === postings.keySet)
+    postings.foreach { case (t, ids) =>
+      val gaps = (ids.head + 1) +: ids.zip(ids.tail).map(p => p._2 - p._1)
+      val vb = gaps.map(vbytes).sum
+      val (df, gvb, fb, sp) = rows(t)
+      assert(df === ids.length.toLong, t)
+      assert(gvb === vb, t)
+      assert(fb === df * 8, t)
+      assert(sp === (fb - vb) * 1000000L / fb, t)
+      // every gap costs at least 1 and at most 8 bytes' worth
+      assert(gvb >= df && gvb <= fb, t)
+    }
+    // the corpus's dense terms (df ~ half the corpus → gaps ~2) must
+    // compress near 1 byte/posting: savings ≈ 7/8
+    val best = rows.values.map(_._4).max
+    assert(best > 800000L, s"densest term saves only $best ppm")
+  }
+
+  test("q408 runs test replays the run construction and stays in the " +
+    "iid band") {
+    val row = graft.operators.Stats.q408RunsTest(spark, sf1).head()
+    val daily = graft.sources.Tables.load(spark, sf1, "events")
+      .groupBy(to_date(col("ts")).as("day")).count().orderBy("day")
+      .collect().map(_.getLong(1))
+    val med = daily.zipWithIndex
+      .sortBy { case (x, i) => (x, i) }
+      .apply((daily.length + 1) / 2 - 1)._1
+    // careful: the query's median rank ties on (x, day); counts map
+    // 1:1 to days here so (x, index-in-day-order) reproduces it
+    val above = daily.map(_ > med)
+    val n1 = above.count(identity).toLong
+    val n2 = above.length - n1
+    val r = 1L + above.zip(above.tail).count { case (a, b) => a != b }
+    assert(row.getAs[Long]("n1") === n1)
+    assert(row.getAs[Long]("n2") === n2)
+    assert(row.getAs[Long]("r") === r)
+    val mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    val s2 = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) /
+      ((n1 + n2).toDouble * (n1 + n2) * (n1 + n2 - 1.0))
+    assert(row.getAs[Long]("z_ppm") ===
+      math.floor((r - mu) / math.sqrt(s2) * 1e6).toLong)
+    // iid daily counts: randomness must NOT be rejected at alpha=0.001
+    assert(math.abs(row.getAs[Long]("z_ppm")) < 3290527L,
+      "runs test fired on the iid generator")
+  }
 }
