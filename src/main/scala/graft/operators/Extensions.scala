@@ -3258,7 +3258,121 @@ object Extensions {
             // count(*) AS BIGINT) AS rate_ppm
         FROM b GROUP BY len_band"""
 
+  // ------------------------------------------------------------ q410
+
+  /** q410's per-encoding byte formulas over the exact census scalars
+    * {n, ndv, runs, plain (Σ lengths), maxlen}: PLAIN = Σ lengths;
+    * DICT = dictionary (Σ distinct lengths) + (n·bits + 7) div 8 with
+    * bits = max(⌈log2 ndv⌉, 1) (log2 on an exact int; exact at the
+    * powers of two where the ceiling could flip); RLE = runs ·
+    * (maxlen + 4) — value padded to the column max plus a 4-byte run
+    * length. Shared text on both engines. */
+  private def encBytes(col: String): Seq[String] = Seq(
+    s"CAST(plain_$col AS BIGINT) AS plain_bytes",
+    s"""CAST(dlen_$col + (n * greatest(CAST(ceil(log2(ndv_$col))
+        AS BIGINT), 1) + 7) DIV 8 AS BIGINT) AS dict_bytes""",
+    s"CAST(runs_$col * (maxlen_$col + 4) AS BIGINT) AS rle_bytes")
+
+  /** q410 — COLUMNAR ENCODING ADVISOR over the order status/priority
+    * columns (the storage-layout decision every columnar writer makes
+    * per column chunk — Parquet/ORC pick between plain, dictionary,
+    * and run-length encodings from exactly these statistics; at 100 TB
+    * the advisor's byte estimates ARE the storage bill, and the runs
+    * statistic is why sort order matters to layout: q129's Z-order and
+    * q15's clustering change `runs`, not `ndv`): per column the EXACT
+    * {n, ndv, runs (counted by the DISTRIBUTED key-shift self-join on
+    * the dense orderkey — no total-order window), plain/dict/rle bytes
+    * through [[encBytes]]}, and the winning encoding by the fixed
+    * dict < rle < plain tie order. Two declared rows, one per column.
+    *
+    * Scale shape: one scan for the census aggregates; ONE shuffle
+    * equi-join (key vs key+1) counts run boundaries for both columns
+    * simultaneously — the scalable runs counter (a lag window over a
+    * global order would single-partition at 100 TB); everything else
+    * rides broadcast scalars. */
+  def q410EncodingAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"))
+    val runs = base.alias("a")
+      .join(base.alias("b"), expr("a.k = b.k + 1"))
+      .agg((sum(when(expr("a.st <> b.st"), 1L).otherwise(0L)) + 1L)
+          .as("runs_st"),
+        (sum(when(expr("a.pr <> b.pr"), 1L).otherwise(0L)) + 1L)
+          .as("runs_pr"))
+    val dicts = base.select(col("st").as("v")).distinct()
+      .agg(count(lit(1)).as("ndv_st"), sum(length(col("v")))
+        .as("dlen_st"))
+      .crossJoin(base.select(col("pr").as("v")).distinct()
+        .agg(count(lit(1)).as("ndv_pr"), sum(length(col("v")))
+          .as("dlen_pr")))
+    val census = base.agg(count(lit(1)).as("n"),
+      sum(length(col("st"))).as("plain_st"),
+      max(length(col("st"))).cast("bigint").as("maxlen_st"),
+      sum(length(col("pr"))).as("plain_pr"),
+      max(length(col("pr"))).cast("bigint").as("maxlen_pr"))
+    val all = census.crossJoin(broadcast(runs)).crossJoin(broadcast(dicts))
+    val stRow = all.select(Seq(lit("o_orderstatus").as("column_name"),
+      col("n"), col("ndv_st").as("ndv"), col("runs_st").as("runs")) ++
+      encBytes("st").map(expr): _*)
+    val prRow = all.select(Seq(lit("o_orderpriority").as("column_name"),
+      col("n"), col("ndv_pr").as("ndv"), col("runs_pr").as("runs")) ++
+      encBytes("pr").map(expr): _*)
+    stRow.unionByName(prRow)
+      .withColumn("best", expr(
+        """CASE WHEN dict_bytes <= rle_bytes
+            AND dict_bytes <= plain_bytes THEN 'dict'
+          WHEN rle_bytes <= plain_bytes THEN 'rle'
+          ELSE 'plain' END"""))
+  }
+
+  private def q410OracleSql: String =
+    s"""WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+          o_orderpriority AS pr FROM orders),
+        runs AS (SELECT
+          CAST(sum(CASE WHEN a.st <> b.st THEN 1 ELSE 0 END) + 1
+            AS BIGINT) AS runs_st,
+          CAST(sum(CASE WHEN a.pr <> b.pr THEN 1 ELSE 0 END) + 1
+            AS BIGINT) AS runs_pr
+        FROM base a JOIN base b ON a.k = b.k + 1),
+        dict_st AS (SELECT CAST(count(*) AS BIGINT) AS ndv_st,
+          CAST(sum(length(v)) AS BIGINT) AS dlen_st
+          FROM (SELECT DISTINCT st AS v FROM base) d),
+        dict_pr AS (SELECT CAST(count(*) AS BIGINT) AS ndv_pr,
+          CAST(sum(length(v)) AS BIGINT) AS dlen_pr
+          FROM (SELECT DISTINCT pr AS v FROM base) d),
+        census AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(length(st)) AS BIGINT) AS plain_st,
+          CAST(max(length(st)) AS BIGINT) AS maxlen_st,
+          CAST(sum(length(pr)) AS BIGINT) AS plain_pr,
+          CAST(max(length(pr)) AS BIGINT) AS maxlen_pr
+        FROM base),
+        allc AS (SELECT * FROM census, runs, dict_st, dict_pr),
+        rows_ AS (
+          SELECT 'o_orderstatus' AS column_name, n, ndv_st AS ndv,
+            runs_st AS runs, ${oracleEnc("st")}
+          FROM allc
+          UNION ALL
+          SELECT 'o_orderpriority', n, ndv_pr, runs_pr,
+            ${oracleEnc("pr")}
+          FROM allc)
+        SELECT column_name, n, ndv, runs, plain_bytes, dict_bytes,
+          rle_bytes,
+          CASE WHEN dict_bytes <= rle_bytes
+              AND dict_bytes <= plain_bytes THEN 'dict'
+            WHEN rle_bytes <= plain_bytes THEN 'rle'
+            ELSE 'plain' END AS best
+        FROM rows_"""
+
+  /** DuckDB spelling of [[encBytes]] (`//` for DIV). */
+  private def oracleEnc(col: String): String =
+    s"""CAST(plain_$col AS BIGINT) AS plain_bytes,
+        CAST(dlen_$col + (n * greatest(CAST(ceil(log2(ndv_$col))
+            AS BIGINT), 1) + 7) // 8 AS BIGINT) AS dict_bytes,
+        CAST(runs_$col * (maxlen_$col + 4) AS BIGINT) AS rle_bytes"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q410_encoding_advisor" -> (q410EncodingAdvisor _),
     "q290_session_conversion" -> (q290SessionConversion _),
     "q288_shipping_sla" -> (q288ShippingSla _),
     "q278_layout_pruning_eval" -> (q278LayoutPruningEval _),
@@ -3343,6 +3457,7 @@ object Extensions {
     "q60_percentiles" -> (q60Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q410_encoding_advisor" -> q410OracleSql,
     "q290_session_conversion" -> q290OracleSql,
     "q288_shipping_sla" -> q288OracleSql,
     "q278_layout_pruning_eval" -> q278OracleSql,

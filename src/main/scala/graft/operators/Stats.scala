@@ -3516,6 +3516,87 @@ object Stats {
           CAST(floor($runsZ * 1000000) AS BIGINT) AS z_ppm
         FROM agg"""
 
+  // ------------------------------------------------------------ q411
+
+  /** q411 — SUCCESSIVE-HALVING REPLAY over the five event types as
+    * arms (the BUDGETED-SELECTION member of the experimentation
+    * family: q386/q391 test TWO arms sequentially — successive
+    * halving is what a platform runs when there are MANY variants
+    * and a fixed budget: split the horizon into phases, drop the
+    * bottom half each phase, spend the budget on survivors;
+    * Karnin et al. 2013's fixed-budget best-arm algorithm, here
+    * replayed deterministically on the logged stream). Phases =
+    * day index ≤10 / ≤20 / ≤30; per arm the EXACT cumulative cent
+    * sums {cum1, cum2, cum3}; 5 → 3 → 2 → 1 by (cum DESC, type)
+    * rank at each phase boundary. Released {event_type, cum1, cum2,
+    * cum3, eliminated_phase} (0 = the selected arm) — every
+    * comparison an exact integer rank.
+    *
+    * Scale shape: ONE corpus scan map-side combined to the
+    * |days×types| census; the phase sums and the three rank windows
+    * ride the 5-row arm frame. */
+  def q411SuccessiveHalving(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("c"))
+      .withColumn("d", dense_rank().over(Window.orderBy("day"))
+        .cast("bigint"))
+    val arms = daily.groupBy("event_type")
+      .agg(sum(when(col("d") <= 10, col("c")).otherwise(0L)).as("cum1"),
+        sum(when(col("d") <= 20, col("c")).otherwise(0L)).as("cum2"),
+        sum(when(col("d") <= 30, col("c")).otherwise(0L)).as("cum3"))
+    val r1 = arms.withColumn("r1", rank().over(
+      Window.orderBy(col("cum1").desc, col("event_type"))))
+    val s1 = r1.filter(col("r1") <= 3)
+      .withColumn("r2", rank().over(
+        Window.orderBy(col("cum2").desc, col("event_type"))))
+    val s2 = s1.filter(col("r2") <= 2)
+      .withColumn("r3", rank().over(
+        Window.orderBy(col("cum3").desc, col("event_type"))))
+    r1.join(s1.select(col("event_type"), col("r2")), Seq("event_type"),
+        "left")
+      .join(s2.select(col("event_type"), col("r3")), Seq("event_type"),
+        "left")
+      .select(col("event_type"), col("cum1"), col("cum2"), col("cum3"),
+        expr("""CASE WHEN r1 > 3 THEN CAST(1 AS BIGINT)
+          WHEN r2 > 2 THEN CAST(2 AS BIGINT)
+          WHEN r3 > 1 THEN CAST(3 AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END""").as("eliminated_phase"))
+  }
+
+  private def q411OracleSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+        idx AS (SELECT event_type, c,
+            CAST(dense_rank() OVER (ORDER BY day) AS BIGINT) AS d
+          FROM daily),
+        arms AS (SELECT event_type,
+          CAST(sum(CASE WHEN d <= 10 THEN c ELSE 0 END) AS BIGINT)
+            AS cum1,
+          CAST(sum(CASE WHEN d <= 20 THEN c ELSE 0 END) AS BIGINT)
+            AS cum2,
+          CAST(sum(CASE WHEN d <= 30 THEN c ELSE 0 END) AS BIGINT)
+            AS cum3
+        FROM idx GROUP BY 1),
+        p1 AS (SELECT *, rank() OVER (ORDER BY cum1 DESC, event_type)
+            AS r1 FROM arms),
+        p2 AS (SELECT event_type,
+            rank() OVER (ORDER BY cum2 DESC, event_type) AS r2
+          FROM p1 WHERE r1 <= 3),
+        p3 AS (SELECT p2.event_type,
+            rank() OVER (ORDER BY cum3 DESC, p2.event_type) AS r3
+          FROM p2 JOIN p1 ON p2.event_type = p1.event_type
+          WHERE r2 <= 2)
+        SELECT p1.event_type, cum1, cum2, cum3,
+          CASE WHEN r1 > 3 THEN CAST(1 AS BIGINT)
+               WHEN r2 > 2 THEN CAST(2 AS BIGINT)
+               WHEN r3 > 1 THEN CAST(3 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS eliminated_phase
+        FROM p1
+        LEFT JOIN p2 ON p1.event_type = p2.event_type
+        LEFT JOIN p3 ON p1.event_type = p3.event_type"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3563,7 +3644,8 @@ object Stats {
     "q394_gamma_poisson_eb" -> (q394GammaPoissonEb _),
     "q403_benford" -> (q403Benford _),
     "q405_friedman" -> (q405Friedman _),
-    "q408_runs_test" -> (q408RunsTest _))
+    "q408_runs_test" -> (q408RunsTest _),
+    "q411_successive_halving" -> (q411SuccessiveHalving _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -3610,5 +3692,6 @@ object Stats {
     "q394_gamma_poisson_eb" -> q394OracleSql,
     "q403_benford" -> q403OracleSql,
     "q405_friedman" -> q405OracleSql,
-    "q408_runs_test" -> q408OracleSql)
+    "q408_runs_test" -> q408OracleSql,
+    "q411_successive_halving" -> q411OracleSql)
 }

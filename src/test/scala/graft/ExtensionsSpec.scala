@@ -1311,4 +1311,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Long]("z_ppm")) < 3290527L,
       "runs test fired on the iid generator")
   }
+
+  test("q410 encoding advisor replays the census model and picks a " +
+    "consistent winner") {
+    val rows = graft.operators.Extensions.q410EncodingAdvisor(spark, sf1)
+      .collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val data = graft.sources.Tables.load(spark, sf1, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    def model(vals: Seq[String]) = {
+      val n = vals.length.toLong
+      val ndv = vals.distinct.length.toLong
+      val runs = 1L + vals.zip(vals.tail).count { case (a, b) => a != b }
+      val plain = vals.map(_.length.toLong).sum
+      val dlen = vals.distinct.map(_.length.toLong).sum
+      val maxlen = vals.map(_.length.toLong).max
+      val bits = math.max(math.ceil(math.log(ndv.toDouble) /
+        math.log(2.0)).toLong, 1L)
+      (n, ndv, runs, plain, dlen + (n * bits + 7) / 8,
+        runs * (maxlen + 4))
+    }
+    Seq("o_orderstatus" -> data.map(_._2).toSeq,
+      "o_orderpriority" -> data.map(_._3).toSeq).foreach {
+      case (cn, vals) =>
+        val (n, ndv, runs, plain, dict, rle) = model(vals)
+        val r = rows(cn)
+        assert(r.getAs[Long]("n") === n, cn)
+        assert(r.getAs[Long]("ndv") === ndv, cn)
+        assert(r.getAs[Long]("runs") === runs, cn)
+        assert(r.getAs[Long]("plain_bytes") === plain, cn)
+        assert(r.getAs[Long]("dict_bytes") === dict, cn)
+        assert(r.getAs[Long]("rle_bytes") === rle, cn)
+        // structural: each distinct value opens at least one run
+        assert(ndv <= runs && runs <= n, cn)
+        val best = r.getAs[String]("best")
+        val m = Map("plain" -> plain, "dict" -> dict, "rle" -> rle)
+        assert(m(best) === m.values.min, s"$cn winner not minimal")
+    }
+    // unsorted high-churn columns: dictionary must beat RLE here
+    assert(rows("o_orderpriority").getAs[String]("best") === "dict")
+  }
 }

@@ -2174,4 +2174,26 @@ class StatsSpec extends SparkSpec {
     assert(rows.head._3 < 18467L,
       "null Friedman fired — midranks or the census are broken")
   }
+
+  test("q411 successive halving replays the phase ranks and the " +
+    "schedule 5 -> 3 -> 2 -> 1") {
+    val rows = Stats.q411SuccessiveHalving(spark, sf1).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("cum1"),
+        r.getAs[Long]("cum2"), r.getAs[Long]("cum3"),
+        r.getAs[Long]("eliminated_phase")))
+    assert(rows.length === 5)
+    // schedule shape: 2 drop at phase 1, 1 at 2, 1 at 3, 1 survivor
+    val byPhase = rows.groupBy(_._5).view.mapValues(_.length).toMap
+    assert(byPhase === Map(1L -> 2, 2L -> 1, 3L -> 1, 0L -> 1))
+    // cumulative sums are monotone per arm
+    rows.foreach { r =>
+      assert(r._2 <= r._3 && r._3 <= r._4, r._1) }
+    // replay the eliminations
+    val p1 = rows.sortBy(r => (-r._2, r._1))
+    assert(p1.drop(3).forall(_._5 == 1L), "phase-1 drops wrong")
+    val s1 = p1.take(3).sortBy(r => (-r._3, r._1))
+    assert(s1.drop(2).forall(_._5 == 2L), "phase-2 drop wrong")
+    val s2 = s1.take(2).sortBy(r => (-r._4, r._1))
+    assert(s2(1)._5 === 3L && s2(0)._5 === 0L, "final pick wrong")
+  }
 }
