@@ -3564,6 +3564,9 @@ object Stats {
           ELSE CAST(0 AS BIGINT) END""").as("eliminated_phase"))
   }
 
+  /** q411's oracle, shared verbatim by the q412 streaming twin. */
+  private[graft] def q411OracleSql2: String = q411OracleSql
+
   private def q411OracleSql: String =
     """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS c

@@ -1479,6 +1479,69 @@ object EventStream {
           AS BIGINT)""").as("ewma_milli"))
   }
 
+  // -------------------------------------------------------------- q412
+
+  /** q412 — STREAMING SUCCESSIVE HALVING (q411's fixed-budget best-arm
+    * replay under continuous ingest — the 23rd declared streaming
+    * shape and the SELECTION member of the monitor family: q388
+    * decides a two-arm hypothesis, this maintains the live many-arm
+    * elimination bracket a variant dashboard shows — which arms are
+    * out, which phase killed them, who leads). State: the per-
+    * (day, event_type) cent-sum census (one long per open day×type
+    * window, watermark-bounded, map-side merged). Sum merge is
+    * associative and commutative, so the drained census is batch-split
+    * independent; the phase cumsums and the three rank windows ride
+    * the 5-row arm frame with q411's exact integers — the bracket
+    * equals batch q411 EXACTLY, and q411's oracle IS this oracle. The
+    * spec pins stream ≡ batch plus a forced multi-file replay.
+    *
+    * Scale shape: streaming census map-side combined per micro-batch;
+    * phase sums + ranks ride the |types|-row drained frame. */
+  def q412StreamHalving(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q412_stream_halving_mem"
+    s.catalog.dropTempView(name)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("c"))
+      .select(col("window.start").cast("date").as("day"),
+        col("event_type"), col("c"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = s.table(name).localCheckpoint(true)
+      .withColumn("d", dense_rank().over(W.orderBy("day"))
+        .cast("bigint"))
+    val arms = daily.groupBy("event_type")
+      .agg(sum(when(col("d") <= 10, col("c")).otherwise(0L)).as("cum1"),
+        sum(when(col("d") <= 20, col("c")).otherwise(0L)).as("cum2"),
+        sum(when(col("d") <= 30, col("c")).otherwise(0L)).as("cum3"))
+    val r1 = arms.withColumn("r1", rank().over(
+      W.orderBy(col("cum1").desc, col("event_type"))))
+    val s1 = r1.filter(col("r1") <= 3)
+      .withColumn("r2", rank().over(
+        W.orderBy(col("cum2").desc, col("event_type"))))
+    val s2 = s1.filter(col("r2") <= 2)
+      .withColumn("r3", rank().over(
+        W.orderBy(col("cum3").desc, col("event_type"))))
+    r1.join(s1.select(col("event_type"), col("r2")), Seq("event_type"),
+        "left")
+      .join(s2.select(col("event_type"), col("r3")), Seq("event_type"),
+        "left")
+      .select(col("event_type"), col("cum1"), col("cum2"), col("cum3"),
+        expr("""CASE WHEN r1 > 3 THEN CAST(1 AS BIGINT)
+          WHEN r2 > 2 THEN CAST(2 AS BIGINT)
+          WHEN r3 > 1 THEN CAST(3 AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END""").as("eliminated_phase"))
+  }
+
   // -------------------------------------------------------------- q347
 
   /** q347 — STREAMING GOOD–TURING SPECTRUM (q343 under continuous
@@ -1631,6 +1694,8 @@ object EventStream {
       ((s: SparkSession, d: String) => q388StreamSprt(s, d)),
     "q400_stream_ewma" ->
       ((s: SparkSession, d: String) => q400StreamEwma(s, d)),
+    "q412_stream_halving" ->
+      ((s: SparkSession, d: String) => q412StreamHalving(s, d)),
     "q313_stream_psi" -> (q313StreamPsi _),
     "q302_stream_chunk_dedup" -> (q302StreamChunkDedup _),
     "q283_stream_funnel" -> (q283StreamFunnel _),
@@ -1657,6 +1722,7 @@ object EventStream {
     "q369_stream_acf" -> q369OracleSql,
     "q388_stream_sprt" -> graft.operators.Analytics.q386OracleSql2,
     "q400_stream_ewma" -> graft.operators.Analytics.q395OracleSql2,
+    "q412_stream_halving" -> graft.operators.Stats.q411OracleSql2,
     "q313_stream_psi" -> q313OracleSql,
     "q302_stream_chunk_dedup" -> graft.operators.Dedup.q300OracleSql2,
     "q283_stream_funnel" -> q283OracleSql,

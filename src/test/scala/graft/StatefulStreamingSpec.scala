@@ -506,4 +506,35 @@ class StatefulStreamingSpec extends SparkSpec {
       s"split-dependent: only-multi=${(multi -- whole).take(3)} " +
         s"only-whole=${(whole -- multi).take(3)}")
   }
+
+  test("q412 streamed halving bracket equals batch q411 and is " +
+    "batch-split independent (4-file forced replay)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("event_type"), r.getAs[Long]("cum1"),
+        r.getAs[Long]("cum2"), r.getAs[Long]("cum3"),
+        r.getAs[Long]("eliminated_phase"))
+    val streamed = EventStream.q412StreamHalving(spark, sf1)
+      .collect().map(key).toSet
+    spark.catalog.clearCache()
+    val batch = graft.operators.Stats.q411SuccessiveHalving(spark, sf1)
+      .collect().map(key).toSet
+    assert(streamed === batch,
+      s"streamed/batch bracket diverged: only-streamed=" +
+        s"${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    assert(batch.size === 5)
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q412-multibatch").toString
+    ev.repartition(4).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val multi = EventStream
+      .q412StreamHalving(spark, dir, maxFilesPerTrigger = Some(1))
+      .collect().map(key).toSet
+    spark.catalog.clearCache()
+    val whole = graft.operators.Stats.q411SuccessiveHalving(spark, dir)
+      .collect().map(key).toSet
+    assert(multi === whole,
+      s"split-dependent: only-multi=${(multi -- whole).take(3)} " +
+        s"only-whole=${(whole -- multi).take(3)}")
+  }
 }
