@@ -4647,12 +4647,162 @@ object Analytics {
         FROM trans CROSS JOIN h"""
   }
 
+  // ------------------------------------------------------------ q413
+
+  /** q413 — LONGEST INCREASING / DECREASING SUBSEQUENCE of the daily
+    * count series (the third leg of the sequence-DP trio: q399's
+    * Viterbi folds a state vector, q406's DTW folds a row — LIS folds
+    * a growing table of (value, best-length) pairs, the classic
+    * O(n²) recurrence len_i = 1 + max{len_j : j < i, x_j < x_i}; as
+    * an ops metric the LIS is the longest improving run ALLOWING
+    * INTERRUPTIONS, robust where q408's runs break on any dip, and
+    * the Erdős–Szekeres bound lis·lds ≥ n makes the pair a
+    * structural self-check). Exact integers throughout; strictly
+    * increasing/decreasing, ties break nothing (equal values extend
+    * neither). Released {n_days, lis_len, lds_len}.
+    *
+    * Scale shape: ONE corpus scan map-side combined to the |days|
+    * census; both DPs are O(days²) in-row folds over the sorted day
+    * array. The oracle runs the identical recurrence as a linear
+    * recursive CTE carrying the length list. */
+  def q413Lis(s: SparkSession, dir: String): DataFrame = {
+    def foldExpr(cmp: String): String =
+      s"""array_max(transform(
+        aggregate(
+          a,
+          CAST(array() AS ARRAY<STRUCT<v: BIGINT, len: BIGINT>>),
+          (acc, x) -> concat(acc, array(named_struct('v', x, 'len',
+            1 + coalesce(array_max(transform(
+              filter(acc, p -> p.v $cmp x), p -> p.len)), 0))))),
+        p -> p.len))"""
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+        .as("cs"))
+      .select(expr("transform(cs, c -> c.x)").as("a"))
+      .select(size(col("a")).cast("bigint").as("n_days"),
+        expr(foldExpr("<")).as("lis_len"),
+        expr(foldExpr(">")).as("lds_len"))
+  }
+
+  private def q413OracleSql: String = {
+    def lensCte(name: String, cmp: String): String =
+      s"""$name AS (
+          SELECT CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS lens
+          FROM al
+          UNION ALL
+          SELECT i + 1, list_append(lens,
+            1 + coalesce(list_max(list_filter(
+              list_transform(range(CAST(i AS INT)),
+                j -> CASE WHEN a[CAST(j AS INT) + 1]
+                  $cmp a[CAST(i AS INT) + 1]
+                  THEN lens[CAST(j AS INT) + 1] END),
+              y -> y IS NOT NULL)), 0))
+          FROM $name, al WHERE i < n)"""
+    s"""WITH RECURSIVE daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        al AS (SELECT list(x ORDER BY day) AS a,
+          CAST(count(*) AS BIGINT) AS n FROM daily),
+        ${lensCte("inc", "<")},
+        ${lensCte("dec", ">")}
+        SELECT al.n AS n_days,
+          (SELECT list_max(lens) FROM inc WHERE i = n) AS lis_len,
+          (SELECT list_max(lens) FROM dec WHERE i = n) AS lds_len
+        FROM al"""
+  }
+
+  // ------------------------------------------------------------ q414
+
+  /** q414 — RESCALED-RANGE (R/S) BLOCKS of the daily count series
+    * (Hurst's 1951 statistic — the long-memory probe: for a block of
+    * w days, R = range of the cumulative deviations from the block
+    * mean, S = the block std; R/S grows ∝ w^H with H = 1/2 for
+    * short-memory processes and H > 1/2 under persistence — the
+    * check behind capacity planning on "bursty" series where q304's
+    * ACF sees only fixed lags). Exactness: the cumulative deviation
+    * is cleared of the rational mean by scaling with w — D_t =
+    * w·cum_t − t·total is an EXACT integer, R_scaled = max D − min D;
+    * R/S = R_scaled / √(w·Σx² − (Σx)²) is then ONE shared-text double
+    * over exact integers (the algebra: raw R = R_scaled/w, raw S =
+    * √(wΣx²−(Σx)²)/w — the w's cancel). Released per (w ∈ {10, 30},
+    * block) with rs_milli.
+    *
+    * Scale shape: ONE corpus scan map-side combined to the |days|
+    * census; block cumsums and ranges ride the day frame at both
+    * window sizes. */
+  def q414RescaledRange(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("d", row_number().over(Window.orderBy("day"))
+        .cast("bigint"))
+    // per block: totals first (one aggregate), then the exact integer
+    // deviations D_t = w·cum_t − t·total off the block cumsum
+    def blocks2(w: Int) = {
+      val base = daily
+        .withColumn("blk", expr(s"(d - 1) DIV $w"))
+        .withColumn("t", expr(s"(d - 1) % $w + 1"))
+      val tot = base.groupBy("blk")
+        .agg(count(lit(1)).as("cnt"), sum("x").as("tot"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sx2"))
+        .filter(col("cnt") === w.toLong)
+      val wnd = Window.partitionBy("blk").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.withColumn("cum", sum("x").over(wnd))
+        .join(tot, "blk")
+        .withColumn("dev", expr(s"$w * cum - t * tot"))
+        .groupBy("blk")
+        .agg(max("dev").as("dmax"), min("dev").as("dmin"),
+          max("tot").as("tot"), max("sx2").as("sx2"))
+        .select(lit(w.toLong).as("w"), col("blk").cast("bigint")
+            .as("block"),
+          (col("dmax") - col("dmin")).as("r_scaled"),
+          expr(s"""CAST(floor(CAST(dmax - dmin AS DOUBLE) * 1000
+            / sqrt(CAST($w * sx2 - CAST(tot AS DECIMAL(38,0)) * tot
+              AS DOUBLE))) AS BIGINT)""").as("rs_milli"))
+    }
+    blocks2(10).unionByName(blocks2(30))
+  }
+
+  private def q414OracleSql: String = {
+    def blockSql(w: Int): String =
+      s"""SELECT CAST($w AS BIGINT) AS w, blk AS block,
+          CAST(max(dev) - min(dev) AS BIGINT) AS r_scaled,
+          CAST(floor(CAST(max(dev) - min(dev) AS DOUBLE) * 1000
+            / sqrt(CAST($w * max(sx2) - CAST(max(tot) AS HUGEINT)
+              * max(tot) AS DOUBLE))) AS BIGINT) AS rs_milli
+        FROM (
+          SELECT i.blk, i.t,
+            $w * sum(i.x) OVER (PARTITION BY i.blk ORDER BY i.t)
+              - i.t * b.tot AS dev,
+            b.tot, b.sx2
+          FROM (SELECT x, (d - 1) // $w AS blk, (d - 1) % $w + 1 AS t
+                FROM idx) i
+          JOIN (SELECT (d - 1) // $w AS blk,
+                  CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(x) AS BIGINT) AS tot,
+                  sum(CAST(x AS HUGEINT) * x) AS sx2
+                FROM idx GROUP BY 1 HAVING count(*) = $w) b
+            ON i.blk = b.blk) dv
+        GROUP BY blk"""
+    s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        idx AS (SELECT x, CAST(row_number() OVER (ORDER BY day)
+            AS BIGINT) AS d FROM daily)
+        ${blockSql(10)}
+        UNION ALL
+        ${blockSql(30)}"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q399_viterbi" -> (q399Viterbi _),
     "q401_slope_one" -> (q401SlopeOne _),
     "q404_mase" -> (q404Mase _),
     "q406_dtw" -> (q406Dtw _),
     "q407_markov_entropy" -> (q407MarkovEntropy _),
+    "q413_lis" -> (q413Lis _),
+    "q414_rescaled_range" -> (q414RescaledRange _),
     "q368_isotonic_calibration" -> (q368IsotonicCalibration _),
     "q395_ewma" -> (q395Ewma _),
     "q396_herfindahl" -> (q396Herfindahl _),
@@ -4733,6 +4883,8 @@ object Analytics {
     "q404_mase" -> q404OracleSql,
     "q406_dtw" -> q406OracleSql,
     "q407_markov_entropy" -> q407OracleSql,
+    "q413_lis" -> q413OracleSql,
+    "q414_rescaled_range" -> q414OracleSql,
     "q395_ewma" -> q395OracleSql,
     "q396_herfindahl" -> q396OracleSql,
     "q397_adamic_adar" -> q397OracleSql,

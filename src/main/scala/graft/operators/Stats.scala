@@ -3600,6 +3600,91 @@ object Stats {
         LEFT JOIN p2 ON p1.event_type = p2.event_type
         LEFT JOIN p3 ON p1.event_type = p3.event_type"""
 
+  // ------------------------------------------------------------ q415
+
+  /** q415's pooled two-proportion z over the exact cumulative cells,
+    * one shared-text double expression: p̂ = (ka+kb)/(na+nb),
+    * z = (ka/na − kb/nb) / √(p̂(1−p̂)(1/na + 1/nb)). */
+  private val pocockZ =
+    """((CAST(ka AS DOUBLE) / CAST(na AS DOUBLE)
+        - CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE))
+       / sqrt((CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+         * (1.0 - CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+         * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))))"""
+
+  /** Pocock's constant critical value for K = 5 equally-spaced looks
+    * at two-sided α = 0.05 (Pocock 1977, table 2) — baked as a
+    * literal per the q403 no-libm-at-query-time discipline. */
+  val PocockC5 = 2.413
+
+  /** q415 — POCOCK GROUP-SEQUENTIAL MONITOR of the A/B purchase-rate
+    * difference (the INTERIM-ANALYSIS member completing the sequential
+    * family: q386's SPRT is fully sequential and parametric, q391's
+    * Hoeffding gate is anytime and distribution-free — the Pocock
+    * design is what a clinical-style experiment review board actually
+    * schedules: K = 5 planned looks, each tested against ONE constant
+    * boundary [[PocockC5]] chosen so the FAMILY-wise type-I error
+    * stays 0.05 — the multiple-looks correction naive repeated
+    * z-testing lacks). Looks at day index 6/12/18/24/30; per look the
+    * exact cumulative cells {na, ka, nb, kb}, z through [[pocockZ]]
+    * ×10⁶ floored, and `crossed`; under the null split the spec pins
+    * no look crossing.
+    *
+    * Scale shape: ONE corpus scan map-side combined to the |days|×2
+    * census; cumsums, the look filter, and the boundary CASE ride the
+    * domain-bounded day frame. */
+  def q415Pocock(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("ts").cast("date").as("day"),
+        (col("user_id") % 2 === 1).as("arm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("pos"))
+      .groupBy("day")
+      .agg(sum(when(col("arm"), 1L).otherwise(0L)).as("dna"),
+        sum(when(col("arm"), col("pos")).otherwise(0L)).as("dka"),
+        sum(when(col("arm"), 0L).otherwise(1L)).as("dnb"),
+        sum(when(col("arm"), 0L).otherwise(col("pos"))).as("dkb"))
+      .withColumn("na", sum("dna").over(w))
+      .withColumn("ka", sum("dka").over(w))
+      .withColumn("nb", sum("dnb").over(w))
+      .withColumn("kb", sum("dkb").over(w))
+      .withColumn("d", row_number().over(Window.orderBy("day"))
+        .cast("bigint"))
+      .filter(col("d") % 6 === 0)
+      .select(expr("d DIV 6").as("look"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("na"), col("ka"), col("nb"), col("kb"),
+        expr(s"CAST(floor($pocockZ * 1000000) AS BIGINT)").as("z_ppm"),
+        expr(s"abs($pocockZ) > $PocockC5").as("crossed"))
+  }
+
+  private def q415OracleSql: String =
+    s"""WITH census AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS dna,
+          CAST(sum(CASE WHEN user_id % 2 = 1
+              AND event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS dka,
+          CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END)
+            AS BIGINT) AS dnb,
+          CAST(sum(CASE WHEN user_id % 2 = 1 OR event_type <> 'purchase'
+              THEN 0 ELSE 1 END) AS BIGINT) AS dkb
+        FROM events GROUP BY 1),
+        cum AS (SELECT day,
+          CAST(sum(dna) OVER (ORDER BY day) AS BIGINT) AS na,
+          CAST(sum(dka) OVER (ORDER BY day) AS BIGINT) AS ka,
+          CAST(sum(dnb) OVER (ORDER BY day) AS BIGINT) AS nb,
+          CAST(sum(dkb) OVER (ORDER BY day) AS BIGINT) AS kb,
+          CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS d
+        FROM census)
+        SELECT CAST(d // 6 AS BIGINT) AS look,
+          strftime(day, '%Y-%m-%d') AS day, na, ka, nb, kb,
+          CAST(floor($pocockZ * 1000000) AS BIGINT) AS z_ppm,
+          abs($pocockZ) > $PocockC5 AS crossed
+        FROM cum WHERE d % 6 = 0"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3648,7 +3733,8 @@ object Stats {
     "q403_benford" -> (q403Benford _),
     "q405_friedman" -> (q405Friedman _),
     "q408_runs_test" -> (q408RunsTest _),
-    "q411_successive_halving" -> (q411SuccessiveHalving _))
+    "q411_successive_halving" -> (q411SuccessiveHalving _),
+    "q415_pocock" -> (q415Pocock _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -3696,5 +3782,6 @@ object Stats {
     "q403_benford" -> q403OracleSql,
     "q405_friedman" -> q405OracleSql,
     "q408_runs_test" -> q408OracleSql,
-    "q411_successive_halving" -> q411OracleSql)
+    "q411_successive_halving" -> q411OracleSql,
+    "q415_pocock" -> q415OracleSql)
 }

@@ -1545,4 +1545,62 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.head._4 > 2000L && rows.head._4 < 2322L,
       s"conditional entropy ${rows.head._4} off the iid band")
   }
+
+  test("q413 LIS/LDS replay the O(n^2) DP and satisfy Erdos-Szekeres") {
+    val row = Analytics.q413Lis(spark, sf1).head()
+    val daily = graft.sources.Tables.load(spark, sf1, "events")
+      .groupBy(to_date(col("ts")).as("day")).count().orderBy("day")
+      .collect().map(_.getLong(1))
+    def longest(cmp: (Long, Long) => Boolean): Long = {
+      val lens = new Array[Long](daily.length)
+      daily.indices.foreach { i =>
+        val prior = (0 until i).filter(j => cmp(daily(j), daily(i)))
+        lens(i) = 1 + (if (prior.isEmpty) 0L else prior.map(lens).max)
+      }
+      lens.max
+    }
+    val (lis, lds) = (longest(_ < _), longest(_ > _))
+    assert(row.getAs[Long]("n_days") === daily.length.toLong)
+    assert(row.getAs[Long]("lis_len") === lis)
+    assert(row.getAs[Long]("lds_len") === lds)
+    // Erdos-Szekeres: any sequence of n distinct-ish values has
+    // lis·lds >= n (ties only weaken the strict-subsequence lengths,
+    // never below the distinct-value bound — assert on the n floor)
+    assert(lis * lds >= daily.distinct.length.toLong)
+    assert(lis >= 1L && lis <= daily.length)
+    assert(lds >= 1L && lds <= daily.length)
+  }
+
+  test("q414 rescaled-range blocks replay the exact-deviation model") {
+    val rows = Analytics.q414RescaledRange(spark, sf1).collect()
+      .map(r => (r.getAs[Long]("w"), r.getAs[Long]("block")) ->
+        (r.getAs[Long]("r_scaled"), r.getAs[Long]("rs_milli"))).toMap
+    val daily = graft.sources.Tables.load(spark, sf1, "events")
+      .groupBy(to_date(col("ts")).as("day")).count().orderBy("day")
+      .collect().map(_.getLong(1))
+    Seq(10, 30).foreach { w =>
+      val nBlocks = daily.length / w
+      (0 until nBlocks).foreach { b =>
+        val xs = daily.slice(b * w, (b + 1) * w)
+        val tot = xs.sum
+        val devs = xs.scanLeft(0L)(_ + _).tail.zipWithIndex
+          .map { case (cum, i) => w * cum - (i + 1) * tot }
+        val rScaled = devs.max - devs.min
+        val sx2 = xs.map(x => BigInt(x) * x).sum
+        val rs = math.floor(rScaled.toDouble * 1000 /
+          math.sqrt((w * sx2 - BigInt(tot) * tot).toDouble)).toLong
+        val (gr, grs) = rows((w.toLong, b.toLong))
+        assert(gr === rScaled, s"w=$w b=$b")
+        assert(grs === rs, s"w=$w b=$b")
+        assert(gr > 0L && grs > 0L, s"w=$w b=$b degenerate")
+      }
+      assert(rows.keys.count(_._1 == w.toLong) === nBlocks, s"w=$w")
+    }
+    // iid short memory: R/S should grow roughly like sqrt(w) — the
+    // w=30 block must exceed the w=10 average but stay within ~3x
+    val rs10 = rows.collect { case ((10L, _), (_, rs)) => rs }
+    val rs30 = rows((30L, 0L))._2
+    assert(rs30 > rs10.min, "no growth from w=10 to w=30")
+    assert(rs30 < 3L * rs10.max, "suspicious long-memory blowup")
+  }
 }

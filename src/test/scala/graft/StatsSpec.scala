@@ -2196,4 +2196,27 @@ class StatsSpec extends SparkSpec {
     val s2 = s1.take(2).sortBy(r => (-r._4, r._1))
     assert(s2(1)._5 === 3L && s2(0)._5 === 0L, "final pick wrong")
   }
+
+  test("q415 Pocock looks replay the pooled z and never cross under " +
+    "the null split") {
+    val rows = Stats.q415Pocock(spark, sf1).collect()
+      .sortBy(_.getAs[Long]("look"))
+    assert(rows.map(_.getAs[Long]("look")) === Array(1L, 2L, 3L, 4L, 5L))
+    var prevN = 0L
+    rows.foreach { r =>
+      val (na, ka) = (r.getAs[Long]("na"), r.getAs[Long]("ka"))
+      val (nb, kb) = (r.getAs[Long]("nb"), r.getAs[Long]("kb"))
+      assert(na + nb > prevN, "looks must accumulate"); prevN = na + nb
+      val p = (ka + kb).toDouble / (na + nb)
+      val z = (ka.toDouble / na - kb.toDouble / nb) /
+        math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+      assert(r.getAs[Long]("z_ppm") === math.floor(z * 1e6).toLong)
+      assert(r.getAs[Boolean]("crossed") ===
+        (math.abs(z) > Stats.PocockC5))
+      // parity split of iid users: the familywise-calibrated boundary
+      // must hold at every look
+      assert(!r.getAs[Boolean]("crossed"),
+        s"null experiment crossed at look ${r.getAs[Long]("look")}")
+    }
+  }
 }
