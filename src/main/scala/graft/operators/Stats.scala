@@ -3685,6 +3685,87 @@ object Stats {
           abs($pocockZ) > $PocockC5 AS crossed
         FROM cum WHERE d % 6 = 0"""
 
+  // ------------------------------------------------------------ q416
+
+  /** q416 — NELSON–AALEN CUMULATIVE HAZARD of time-to-first-purchase
+    * (the HAZARD-side member completing the survival family: q308's
+    * Kaplan–Meier estimates the survival CURVE, q339's log-rank
+    * compares two of them — Nelson–Aalen estimates the cumulative
+    * hazard H(t) = Σ dₜ/nₜ directly, the quantity hazard-ratio
+    * models are built on and the better-behaved estimator under
+    * small risk sets). Users enter at their first event day
+    * (left truncation, declared) and exit at first purchase; per
+    * calendar day index the EXACT {n_risk = entries≤t − purchases<t,
+    * d = first purchases at t}; the per-day hazard is quantized
+    * FIRST (h_micro = d·10⁶ div n_risk — the declared quantization
+    * that keeps the cumulative sum a pure integer fold; summing raw
+    * d/n rationals would need a common denominator no engine
+    * carries), then cumhaz_micro = Σ h_micro.
+    *
+    * Scale shape: one user-keyed aggregate (map-side combined) → two
+    * day-frame cumsums; everything after rides the ≤31-row day
+    * spine. */
+  def q416NelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("entry"),
+        min(when(col("event_type") === "purchase", to_date(col("ts"))))
+          .as("conv"))
+    val spine = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day")).distinct()
+    val entries = perUser.groupBy(col("entry").as("day"))
+      .agg(count(lit(1)).as("e"))
+    val convs = perUser.filter(col("conv").isNotNull)
+      .groupBy(col("conv").as("day"))
+      .agg(count(lit(1)).as("d"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spine.join(entries, Seq("day"), "left")
+      .join(convs, Seq("day"), "left")
+      .withColumn("e", coalesce(col("e"), lit(0L)))
+      .withColumn("d", coalesce(col("d"), lit(0L)))
+      .withColumn("n_risk",
+        sum("e").over(w) - coalesce(sum("d").over(wPrev), lit(0L)))
+      .withColumn("h_micro", expr(
+        "CASE WHEN n_risk = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE d * 1000000 DIV n_risk END"))
+      .withColumn("cumhaz_micro", sum("h_micro").over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_risk"), col("d"), col("h_micro"), col("cumhaz_micro"))
+  }
+
+  private def q416OracleSql: String =
+    """WITH per_user AS (SELECT user_id,
+          min(CAST(ts AS DATE)) AS entry,
+          min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE)
+            END) AS conv
+        FROM events GROUP BY 1),
+        spine AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        entries AS (SELECT entry AS day, CAST(count(*) AS BIGINT) AS e
+          FROM per_user GROUP BY 1),
+        convs AS (SELECT conv AS day, CAST(count(*) AS BIGINT) AS d
+          FROM per_user WHERE conv IS NOT NULL GROUP BY 1),
+        joined AS (SELECT s.day, coalesce(e.e, 0) AS e,
+            coalesce(c.d, 0) AS d
+          FROM spine s LEFT JOIN entries e ON s.day = e.day
+          LEFT JOIN convs c ON s.day = c.day),
+        risked AS (SELECT day, d,
+            CAST(sum(e) OVER (ORDER BY day) AS BIGINT)
+              - CAST(coalesce(sum(d) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_risk
+          FROM joined),
+        hazard AS (SELECT day, n_risk, d,
+            CASE WHEN n_risk = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(d * 1000000 // n_risk AS BIGINT) END AS h_micro
+          FROM risked)
+        SELECT strftime(day, '%Y-%m-%d') AS day, n_risk, d, h_micro,
+          CAST(sum(h_micro) OVER (ORDER BY day) AS BIGINT)
+            AS cumhaz_micro
+        FROM hazard"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3734,7 +3815,8 @@ object Stats {
     "q405_friedman" -> (q405Friedman _),
     "q408_runs_test" -> (q408RunsTest _),
     "q411_successive_halving" -> (q411SuccessiveHalving _),
-    "q415_pocock" -> (q415Pocock _))
+    "q415_pocock" -> (q415Pocock _),
+    "q416_nelson_aalen" -> (q416NelsonAalen _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -3783,5 +3865,6 @@ object Stats {
     "q405_friedman" -> q405OracleSql,
     "q408_runs_test" -> q408OracleSql,
     "q411_successive_halving" -> q411OracleSql,
-    "q415_pocock" -> q415OracleSql)
+    "q415_pocock" -> q415OracleSql,
+    "q416_nelson_aalen" -> q416OracleSql)
 }

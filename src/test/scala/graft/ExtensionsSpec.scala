@@ -1354,4 +1354,36 @@ class ExtensionsSpec extends SparkSpec {
     // unsorted high-churn columns: dictionary must beat RLE here
     assert(rows("o_orderpriority").getAs[String]("best") === "dict")
   }
+
+  test("q417 FOR sizing replays the min/max census and always packs " +
+    "tighter than plain on these key domains") {
+    val rows = graft.operators.Extensions.q417ForEncoding(spark, sf1)
+      .collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val li = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(floor(l_quantity) AS BIGINT)").as("qty"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = li.length.toLong
+    Seq(("l_partkey", li.map(_._1)), ("l_suppkey", li.map(_._2)),
+      ("qty", li.map(_._3))).foreach { case (cn, vals) =>
+      val (mn, mx) = (vals.min, vals.max)
+      val bits = math.max(math.ceil(math.log((mx - mn + 1).toDouble) /
+        math.log(2.0)).toLong, 1L)
+      val packed = (n * bits + 7) / 8 + 8
+      val r = rows(cn)
+      assert(r.getAs[Long]("n") === n, cn)
+      assert(r.getAs[Long]("mn") === mn, cn)
+      assert(r.getAs[Long]("mx") === mx, cn)
+      assert(r.getAs[Long]("bits") === bits, cn)
+      assert(r.getAs[Long]("packed_bytes") === packed, cn)
+      assert(r.getAs[Long]("plain_bytes") === n * 8, cn)
+      assert(r.getAs[Long]("savings_ppm") ===
+        (n * 8 - packed) * 1000000L / (n * 8), cn)
+      // the generator's key domains are far narrower than 64 bits
+      assert(bits < 32L, cn)
+      assert(packed < n * 8, cn)
+    }
+  }
 }

@@ -2219,4 +2219,41 @@ class StatsSpec extends SparkSpec {
         s"null experiment crossed at look ${r.getAs[Long]("look")}")
     }
   }
+
+  test("q416 Nelson-Aalen replays the risk-set model and the hazard " +
+    "never decreases") {
+    val rows = Stats.q416NelsonAalen(spark, sf1).collect()
+      .sortBy(_.getAs[String]("day"))
+    val users = graft.sources.Tables.load(spark, sf1, "events")
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("entry"),
+        min(when(col("event_type") === "purchase",
+          to_date(col("ts")))).as("conv"))
+      .collect()
+      .map(r => (r.getDate(1).toString,
+        Option(r.getDate(2)).map(_.toString)))
+    val days = rows.map(_.getAs[String]("day"))
+    var cum = 0L
+    days.foreach { day =>
+      val entered = users.count(_._1 <= day).toLong
+      val convertedBefore = users.count(u =>
+        u._2.exists(_ < day)).toLong
+      val nRisk = entered - convertedBefore
+      val d = users.count(_._2.contains(day)).toLong
+      val r = rows.find(_.getAs[String]("day") == day).get
+      assert(r.getAs[Long]("n_risk") === nRisk, day)
+      assert(r.getAs[Long]("d") === d, day)
+      val h = if (nRisk == 0) 0L else d * 1000000L / nRisk
+      assert(r.getAs[Long]("h_micro") === h, day)
+      cum += h
+      assert(r.getAs[Long]("cumhaz_micro") === cum, day)
+    }
+    // hazard accumulates; every user eventually purchasing drives it
+    // well past 0 on this generator
+    assert(cum > 0L)
+    // the risk set shrinks as conversions accumulate (entries all
+    // happen early on this generator)
+    assert(rows.head.getAs[Long]("n_risk") >=
+      rows.last.getAs[Long]("n_risk"))
+  }
 }
