@@ -3685,6 +3685,90 @@ object Stats {
           abs($pocockZ) > $PocockC5 AS crossed
         FROM cum WHERE d % 6 = 0"""
 
+  // ------------------------------------------------------------ q418
+
+  /** O'Brien–Fleming boundaries for K = 5 equally-spaced looks at
+    * two-sided α = 0.05: c·√(K/k) with c = 2.040 (O'Brien & Fleming
+    * 1979 / Pocock 1982 table values) — the DECREASING ladder that
+    * spends almost no α early. Baked as literals (q403 discipline);
+    * the √(5/k) factors are exact-ratio doubles both engines compute
+    * identically from the shared text. */
+  val ObfC5 = 2.040
+
+  /** q418 — O'BRIEN–FLEMING GROUP-SEQUENTIAL MONITOR (q415's
+    * conservative twin and the design review boards usually prefer:
+    * Pocock's constant boundary spends α evenly and pays with a
+    * weaker final test — OBF's c·√(K/k) ladder starts near 4.6σ and
+    * descends to ~2.04 at the last look, keeping the final analysis
+    * almost at nominal strength; the two queries TOGETHER are the
+    * textbook interim-monitoring trade-off, on the same exact
+    * cumulative cells and the same pooled z). Released per look with
+    * the look's boundary_milli and `crossed`; the spec pins the
+    * ladder's monotone descent and no null crossing.
+    *
+    * Scale shape: q415's — ONE corpus scan to the |days|×2 census;
+    * cumsums + the ladder CASE ride the day frame. */
+  def q418ObrienFleming(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("ts").cast("date").as("day"),
+        (col("user_id") % 2 === 1).as("arm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("pos"))
+      .groupBy("day")
+      .agg(sum(when(col("arm"), 1L).otherwise(0L)).as("dna"),
+        sum(when(col("arm"), col("pos")).otherwise(0L)).as("dka"),
+        sum(when(col("arm"), 0L).otherwise(1L)).as("dnb"),
+        sum(when(col("arm"), 0L).otherwise(col("pos"))).as("dkb"))
+      .withColumn("na", sum("dna").over(w))
+      .withColumn("ka", sum("dka").over(w))
+      .withColumn("nb", sum("dnb").over(w))
+      .withColumn("kb", sum("dkb").over(w))
+      .withColumn("d", row_number().over(Window.orderBy("day"))
+        .cast("bigint"))
+      .filter(col("d") % 6 === 0)
+      .withColumn("look", expr("d DIV 6"))
+      .withColumn("bound", expr(
+        s"$ObfC5 * sqrt(5.0 / CAST(look AS DOUBLE))"))
+      .select(col("look"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("na"), col("ka"), col("nb"), col("kb"),
+        expr(s"CAST(floor($pocockZ * 1000000) AS BIGINT)").as("z_ppm"),
+        expr("CAST(floor(bound * 1000) AS BIGINT)")
+          .as("boundary_milli"),
+        expr(s"abs($pocockZ) > bound").as("crossed"))
+  }
+
+  private def q418OracleSql: String =
+    s"""WITH census AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS dna,
+          CAST(sum(CASE WHEN user_id % 2 = 1
+              AND event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS dka,
+          CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END)
+            AS BIGINT) AS dnb,
+          CAST(sum(CASE WHEN user_id % 2 = 1 OR event_type <> 'purchase'
+              THEN 0 ELSE 1 END) AS BIGINT) AS dkb
+        FROM events GROUP BY 1),
+        cum AS (SELECT day,
+          CAST(sum(dna) OVER (ORDER BY day) AS BIGINT) AS na,
+          CAST(sum(dka) OVER (ORDER BY day) AS BIGINT) AS ka,
+          CAST(sum(dnb) OVER (ORDER BY day) AS BIGINT) AS nb,
+          CAST(sum(dkb) OVER (ORDER BY day) AS BIGINT) AS kb,
+          CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS d
+        FROM census),
+        looks AS (SELECT CAST(d // 6 AS BIGINT) AS look, day,
+            na, ka, nb, kb,
+            $ObfC5 * sqrt(5.0 / CAST(d // 6 AS DOUBLE)) AS bound
+          FROM cum WHERE d % 6 = 0)
+        SELECT look, strftime(day, '%Y-%m-%d') AS day, na, ka, nb, kb,
+          CAST(floor($pocockZ * 1000000) AS BIGINT) AS z_ppm,
+          CAST(floor(bound * 1000) AS BIGINT) AS boundary_milli,
+          abs($pocockZ) > bound AS crossed
+        FROM looks"""
+
   // ------------------------------------------------------------ q416
 
   /** q416 — NELSON–AALEN CUMULATIVE HAZARD of time-to-first-purchase
@@ -3816,7 +3900,8 @@ object Stats {
     "q408_runs_test" -> (q408RunsTest _),
     "q411_successive_halving" -> (q411SuccessiveHalving _),
     "q415_pocock" -> (q415Pocock _),
-    "q416_nelson_aalen" -> (q416NelsonAalen _))
+    "q416_nelson_aalen" -> (q416NelsonAalen _),
+    "q418_obrien_fleming" -> (q418ObrienFleming _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -3866,5 +3951,6 @@ object Stats {
     "q408_runs_test" -> q408OracleSql,
     "q411_successive_halving" -> q411OracleSql,
     "q415_pocock" -> q415OracleSql,
-    "q416_nelson_aalen" -> q416OracleSql)
+    "q416_nelson_aalen" -> q416OracleSql,
+    "q418_obrien_fleming" -> q418OracleSql)
 }

@@ -2256,4 +2256,32 @@ class StatsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_risk") >=
       rows.last.getAs[Long]("n_risk"))
   }
+
+  test("q418 O'Brien-Fleming ladder descends, replays the z, and " +
+    "never crosses under the null") {
+    val rows = Stats.q418ObrienFleming(spark, sf1).collect()
+      .sortBy(_.getAs[Long]("look"))
+    assert(rows.map(_.getAs[Long]("look")) === Array(1L, 2L, 3L, 4L, 5L))
+    // the ladder is strictly decreasing and ends at the ~2.04 final
+    val bounds = rows.map(_.getAs[Long]("boundary_milli"))
+    assert(bounds.sliding(2).forall(w => w(0) > w(1)))
+    assert(bounds.last === 2040L)
+    rows.foreach { r =>
+      val (na, ka) = (r.getAs[Long]("na"), r.getAs[Long]("ka"))
+      val (nb, kb) = (r.getAs[Long]("nb"), r.getAs[Long]("kb"))
+      val p = (ka + kb).toDouble / (na + nb)
+      val z = (ka.toDouble / na - kb.toDouble / nb) /
+        math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+      assert(r.getAs[Long]("z_ppm") === math.floor(z * 1e6).toLong)
+      val k = r.getAs[Long]("look")
+      val bound = Stats.ObfC5 * math.sqrt(5.0 / k)
+      assert(r.getAs[Long]("boundary_milli") ===
+        math.floor(bound * 1e3).toLong)
+      assert(r.getAs[Boolean]("crossed") === (math.abs(z) > bound))
+      assert(!r.getAs[Boolean]("crossed"),
+        s"null experiment crossed OBF at look $k")
+    }
+    // OBF's early looks are stricter than Pocock's constant boundary
+    assert(bounds.head > 4000L)
+  }
 }
