@@ -3605,6 +3605,9 @@ object Stats {
   /** q415's pooled two-proportion z over the exact cumulative cells,
     * one shared-text double expression: p̂ = (ka+kb)/(na+nb),
     * z = (ka/na − kb/nb) / √(p̂(1−p̂)(1/na + 1/nb)). */
+  /** [[pocockZ]] exposed for the q419 streaming twin. */
+  private[graft] def pocockZText: String = pocockZ
+
   private val pocockZ =
     """((CAST(ka AS DOUBLE) / CAST(na AS DOUBLE)
         - CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE))
@@ -3659,6 +3662,9 @@ object Stats {
         expr(s"CAST(floor($pocockZ * 1000000) AS BIGINT)").as("z_ppm"),
         expr(s"abs($pocockZ) > $PocockC5").as("crossed"))
   }
+
+  /** q415's oracle, shared verbatim by the q419 streaming twin. */
+  private[graft] def q415OracleSql2: String = q415OracleSql
 
   private def q415OracleSql: String =
     s"""WITH census AS (SELECT CAST(ts AS DATE) AS day,

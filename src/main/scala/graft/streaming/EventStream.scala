@@ -1542,6 +1542,73 @@ object EventStream {
           ELSE CAST(0 AS BIGINT) END""").as("eliminated_phase"))
   }
 
+  // -------------------------------------------------------------- q419
+
+  /** q419 — STREAMING POCOCK MONITOR (q415's K = 5 scheduled-looks
+    * design under continuous ingest — the 24th declared streaming
+    * shape, the SCHEDULED-DECISION member of the monitor family: q388
+    * re-tests every batch because SPRT's guarantee survives that; a
+    * Pocock review board tests only at the planned looks, and this
+    * query maintains exactly those rows live). State: the per-day
+    * {arm × (events, purchases)} census — four longs per open
+    * event-time day window, watermark-bounded, map-side merged. Count
+    * merge is associative and commutative, so the drained census is
+    * batch-split independent; the cumsums, the look filter, and the
+    * boundary CASE ride the day frame with q415's exact integers and
+    * shared z text — the look table equals batch q415 EXACTLY, and
+    * q415's oracle IS this oracle. The spec pins stream ≡ batch plus
+    * a forced multi-file replay.
+    *
+    * Scale shape: streaming census map-side combined per micro-batch;
+    * look rows ride the day-bounded drained frame. */
+  def q419StreamPocock(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val St = graft.operators.Stats
+    val name = "q419_stream_pocock_mem"
+    s.catalog.dropTempView(name)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(
+        sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L))
+          .as("dna"),
+        sum(when(col("user_id") % 2 === 1 &&
+          col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("dka"),
+        sum(when(col("user_id") % 2 === 1, 0L).otherwise(1L))
+          .as("dnb"),
+        sum(when(col("user_id") % 2 =!= 1 &&
+          col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("dkb"))
+      .select(col("window.start").cast("date").as("day"),
+        col("dna"), col("dka"), col("dnb"), col("dkb"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy("day")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    s.table(name).localCheckpoint(true)
+      .withColumn("na", sum("dna").over(w))
+      .withColumn("ka", sum("dka").over(w))
+      .withColumn("nb", sum("dnb").over(w))
+      .withColumn("kb", sum("dkb").over(w))
+      .withColumn("d", row_number().over(W.orderBy("day"))
+        .cast("bigint"))
+      .filter(col("d") % 6 === 0)
+      .select(expr("d DIV 6").as("look"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("na"), col("ka"), col("nb"), col("kb"),
+        expr(s"CAST(floor(${St.pocockZText} * 1000000) AS BIGINT)")
+          .as("z_ppm"),
+        expr(s"abs(${St.pocockZText}) > ${St.PocockC5}").as("crossed"))
+  }
+
   // -------------------------------------------------------------- q347
 
   /** q347 — STREAMING GOOD–TURING SPECTRUM (q343 under continuous
@@ -1696,6 +1763,8 @@ object EventStream {
       ((s: SparkSession, d: String) => q400StreamEwma(s, d)),
     "q412_stream_halving" ->
       ((s: SparkSession, d: String) => q412StreamHalving(s, d)),
+    "q419_stream_pocock" ->
+      ((s: SparkSession, d: String) => q419StreamPocock(s, d)),
     "q313_stream_psi" -> (q313StreamPsi _),
     "q302_stream_chunk_dedup" -> (q302StreamChunkDedup _),
     "q283_stream_funnel" -> (q283StreamFunnel _),
@@ -1723,6 +1792,7 @@ object EventStream {
     "q388_stream_sprt" -> graft.operators.Analytics.q386OracleSql2,
     "q400_stream_ewma" -> graft.operators.Analytics.q395OracleSql2,
     "q412_stream_halving" -> graft.operators.Stats.q411OracleSql2,
+    "q419_stream_pocock" -> graft.operators.Stats.q415OracleSql2,
     "q313_stream_psi" -> q313OracleSql,
     "q302_stream_chunk_dedup" -> graft.operators.Dedup.q300OracleSql2,
     "q283_stream_funnel" -> q283OracleSql,

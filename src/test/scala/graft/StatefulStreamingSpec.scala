@@ -537,4 +537,36 @@ class StatefulStreamingSpec extends SparkSpec {
       s"split-dependent: only-multi=${(multi -- whole).take(3)} " +
         s"only-whole=${(whole -- multi).take(3)}")
   }
+
+  test("q419 streamed Pocock looks equal batch q415 and are " +
+    "batch-split independent (4-file forced replay)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("look"), r.getAs[String]("day"),
+        r.getAs[Long]("na"), r.getAs[Long]("ka"),
+        r.getAs[Long]("nb"), r.getAs[Long]("kb"),
+        r.getAs[Long]("z_ppm"), r.getAs[Boolean]("crossed"))
+    val streamed = EventStream.q419StreamPocock(spark, sf1)
+      .collect().map(key).toSet
+    spark.catalog.clearCache()
+    val batch = graft.operators.Stats.q415Pocock(spark, sf1)
+      .collect().map(key).toSet
+    assert(streamed === batch,
+      s"streamed/batch looks diverged: only-streamed=" +
+        s"${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    assert(batch.size === 5)
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q419-multibatch").toString
+    ev.repartition(4).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val multi = EventStream
+      .q419StreamPocock(spark, dir, maxFilesPerTrigger = Some(1))
+      .collect().map(key).toSet
+    spark.catalog.clearCache()
+    val whole = graft.operators.Stats.q415Pocock(spark, dir)
+      .collect().map(key).toSet
+    assert(multi === whole,
+      s"split-dependent: only-multi=${(multi -- whole).take(3)} " +
+        s"only-whole=${(whole -- multi).take(3)}")
+  }
 }
