@@ -3775,6 +3775,93 @@ object Stats {
           abs($pocockZ) > bound AS crossed
         FROM looks"""
 
+  // ------------------------------------------------------------ q420
+
+  /** q420 — TWO-SAMPLE CRAMÉR–VON MISES TEST on purchase vs click
+    * event values (the L² member completing the EDF-test family:
+    * q321's KS reads the WORST ECDF gap — one point decides it; CvM
+    * integrates the SQUARED gap over the whole distribution, the
+    * better-powered choice against spread/shape alternatives.
+    * Anderson 1962's rank form: U = m·Σ(rᵢ−i)² + n·Σ(sⱼ−j)²,
+    * T = U/(Nmn) − (4mn−1)/(6N)). Ties are resolved by the DECLARED
+    * within-block order (sample 1 before sample 2 at equal value), so
+    * every rank is deterministic — and within a tie block both r and
+    * the per-sample index advance together, so the block's Σ(r−i)²
+    * collapses to the CLOSED FORM c·(R₀−I₀)² on the (value, arm)
+    * census: no per-point rank materialization at any scale. U is an
+    * exact widened integer; T is one shared-text double over {U, m,
+    * n} (U's int→double cast rounds identically on both engines).
+    * Released {m, n, t_micro}.
+    *
+    * Scale shape: ONE corpus scan map-side combined to the
+    * |values × 2| census; the block cumsums and the closed-form fold
+    * ride that census frame. */
+  def q420CramerVonMises(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(when(col("event_type") === "purchase", 1L).otherwise(2L)
+          .as("arm"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("vc", "arm")
+      .agg(count(lit(1)).as("c"))
+    val wAll = Window.orderBy("vc", "arm")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wArm = Window.partitionBy("arm").orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val positioned = census
+      .withColumn("r0", coalesce(sum("c").over(wAll), lit(0L)) + 1L)
+      .withColumn("i0", coalesce(sum("c").over(wArm), lit(0L)) + 1L)
+      .withColumn("dd", col("r0") - col("i0"))
+    val sums = positioned.groupBy("arm")
+      .agg(sum("c").as("sz"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * dd * dd")).as("sq"))
+      .agg(
+        max(when(col("arm") === 1, col("sz"))).as("m"),
+        max(when(col("arm") === 2, col("sz"))).as("n"),
+        max(when(col("arm") === 1, col("sq"))).as("sq1"),
+        max(when(col("arm") === 2, col("sq"))).as("sq2"))
+    sums.select(col("m"), col("n"),
+      expr("""CAST(floor((CAST(m * sq1 + n * sq2 AS DOUBLE)
+          / (CAST(m + n AS DOUBLE) * CAST(m AS DOUBLE)
+             * CAST(n AS DOUBLE))
+        - (4.0 * CAST(m AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)
+          / (6.0 * CAST(m + n AS DOUBLE))) * 1000000) AS BIGINT)""")
+        .as("t_micro"))
+  }
+
+  private def q420OracleSql: String =
+    """WITH census AS (SELECT
+          CAST(floor(value * 100) AS BIGINT) AS vc,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS arm,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE event_type IN ('purchase', 'click')
+        GROUP BY 1, 2),
+        positioned AS (SELECT arm, c,
+            coalesce(sum(c) OVER (ORDER BY vc, arm
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + 1 AS r0,
+            coalesce(sum(c) OVER (PARTITION BY arm ORDER BY vc
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + 1 AS i0
+          FROM census),
+        sums AS (SELECT arm, CAST(sum(c) AS BIGINT) AS sz,
+            sum(CAST(c AS HUGEINT) * (r0 - i0) * (r0 - i0)) AS sq
+          FROM positioned GROUP BY 1),
+        cells AS (SELECT
+          max(CASE WHEN arm = 1 THEN sz END) AS m,
+          max(CASE WHEN arm = 2 THEN sz END) AS n,
+          max(CASE WHEN arm = 1 THEN sq END) AS sq1,
+          max(CASE WHEN arm = 2 THEN sq END) AS sq2
+        FROM sums)
+        SELECT m, n,
+          CAST(floor((CAST(m * sq1 + n * sq2 AS DOUBLE)
+              / (CAST(m + n AS DOUBLE) * CAST(m AS DOUBLE)
+                 * CAST(n AS DOUBLE))
+            - (4.0 * CAST(m AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)
+              / (6.0 * CAST(m + n AS DOUBLE))) * 1000000) AS BIGINT)
+            AS t_micro
+        FROM cells"""
+
   // ------------------------------------------------------------ q416
 
   /** q416 — NELSON–AALEN CUMULATIVE HAZARD of time-to-first-purchase
@@ -3907,7 +3994,8 @@ object Stats {
     "q411_successive_halving" -> (q411SuccessiveHalving _),
     "q415_pocock" -> (q415Pocock _),
     "q416_nelson_aalen" -> (q416NelsonAalen _),
-    "q418_obrien_fleming" -> (q418ObrienFleming _))
+    "q418_obrien_fleming" -> (q418ObrienFleming _),
+    "q420_cramer_von_mises" -> (q420CramerVonMises _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -3958,5 +4046,6 @@ object Stats {
     "q411_successive_halving" -> q411OracleSql,
     "q415_pocock" -> q415OracleSql,
     "q416_nelson_aalen" -> q416OracleSql,
-    "q418_obrien_fleming" -> q418OracleSql)
+    "q418_obrien_fleming" -> q418OracleSql,
+    "q420_cramer_von_mises" -> q420OracleSql)
 }

@@ -2284,4 +2284,36 @@ class StatsSpec extends SparkSpec {
     // OBF's early looks are stricter than Pocock's constant boundary
     assert(bounds.head > 4000L)
   }
+
+  test("q420 Cramer-von Mises replays the per-point rank model under " +
+    "the declared tie order and sits in the null band") {
+    val row = Stats.q420CramerVonMises(spark, sf1).head()
+    val pts = graft.sources.Tables.load(spark, sf1, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(when(col("event_type") === "purchase", 1L).otherwise(2L)
+        .as("arm"), expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // combined order: by (vc, arm) — sample 1 before 2 inside a tie
+    val sorted = pts.sortBy(p => (p._2, p._1))
+    val m = pts.count(_._1 == 1L).toLong
+    val n = pts.length - m
+    var (i1, i2) = (0L, 0L)
+    var (sq1, sq2) = (BigInt(0), BigInt(0))
+    sorted.zipWithIndex.foreach { case ((arm, _), idx) =>
+      val r = idx + 1L
+      if (arm == 1L) { i1 += 1; sq1 += BigInt(r - i1) * (r - i1) }
+      else { i2 += 1; sq2 += BigInt(r - i2) * (r - i2) }
+    }
+    val u = BigInt(m) * sq1 + BigInt(n) * sq2
+    val t = u.toDouble / ((m + n).toDouble * m * n) -
+      (4.0 * m * n - 1.0) / (6.0 * (m + n))
+    assert(row.getAs[Long]("m") === m)
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Long]("t_micro") === math.floor(t * 1e6).toLong)
+    // identical Exp(50) generators in both arms: T must sit far below
+    // the 5% critical value (~0.461) — and above the hard floor
+    assert(row.getAs[Long]("t_micro") < 461000L,
+      "CvM rejected identical distributions")
+    assert(row.getAs[Long]("t_micro") > -170000L)
+  }
 }
