@@ -3862,6 +3862,117 @@ object Stats {
             AS t_micro
         FROM cells"""
 
+  // ------------------------------------------------------------ q421
+
+  /** The event-type vocabulary in fixed alphabetical order — q421's
+    * generated expressions enumerate the five groups literally so
+    * every cross-group double sum associates identically on both
+    * engines (the q403 generated-chain discipline). */
+  private val Q421Types =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-group double building blocks over the pivoted exact cells
+    * {n_g, s1_g, s2_g}: mean, variance (n−1 denominator), weight
+    * w = n/s². */
+  private def q421Mean(g: Int) =
+    s"(CAST(s1_$g AS DOUBLE) / CAST(n_$g AS DOUBLE))"
+  private def q421Var(g: Int) =
+    s"""((CAST(s2_$g AS DOUBLE) - CAST(s1_$g AS DOUBLE)
+        * ${q421Mean(g)}) / (CAST(n_$g AS DOUBLE) - 1.0))"""
+  private def q421W(g: Int) =
+    s"(CAST(n_$g AS DOUBLE) / ${q421Var(g)})"
+  private def q421SumW =
+    Q421Types.indices.map(q421W).mkString("(", " + ", ")")
+  private def q421XW =
+    Q421Types.indices.map(g => s"(${q421W(g)} * ${q421Mean(g)})")
+      .mkString("(", " + ", ")") + s" / $q421SumW"
+  private def q421A =
+    Q421Types.indices.map(g =>
+      s"(${q421W(g)} * (${q421Mean(g)} - xw) * (${q421Mean(g)} - xw))")
+      .mkString("(", " + ", ")") + s" / ${Q421Types.size - 1}.0"
+  private def q421H =
+    Q421Types.indices.map(g =>
+      s"""((1.0 - ${q421W(g)} / sw) * (1.0 - ${q421W(g)} / sw)
+          / (CAST(n_$g AS DOUBLE) - 1.0))""")
+      .mkString("(", " + ", ")")
+
+  /** q421 — WELCH'S HETEROSCEDASTIC ONE-WAY ANOVA across the five
+    * event types' cent values (the k-group UNEQUAL-VARIANCE member
+    * completing the mean-comparison family: q190's classic F pools
+    * variances — wrong when groups differ in spread, exactly the
+    * regime q326's Brown–Forsythe gate detects; q266's Welch t is the
+    * two-group fix, this is Welch 1951's k-group form: weights
+    * wᵢ = nᵢ/sᵢ², F* = Σwᵢ(x̄ᵢ−x̄w)²/(k−1) over 1 + 2(k−2)/(k²−1)·Λ,
+    * df₂ = (k²−1)/(3Λ), Λ = Σ(1−wᵢ/Σw)²/(nᵢ−1)). Cells are exact
+    * integers off ONE census (n, Σv, Σv² per type, Σv² widened);
+    * every cross-group sum is a GENERATED fixed-order 5-term chain —
+    * no per-row double fold anywhere. Released
+    * {n_total, f_star_milli, df2_milli}.
+    *
+    * Scale shape: ONE corpus scan map-side combined to the 5-type
+    * census; the Welch algebra rides a 1-row pivot. */
+  def q421WelchAnova(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vc").as("s1"),
+        sum(col("vc").cast("decimal(38,0)") * col("vc")).as("s2"))
+    val pivotCols = Q421Types.indices.flatMap { g =>
+      Seq(
+        coalesce(max(when(col("event_type") === Q421Types(g),
+          col("n"))), lit(0L)).as(s"n_$g"),
+        coalesce(max(when(col("event_type") === Q421Types(g),
+          col("s1"))), lit(0L)).as(s"s1_$g"),
+        coalesce(max(when(col("event_type") === Q421Types(g),
+          col("s2"))), lit(0L).cast("decimal(38,0)")).as(s"s2_$g"))
+    }
+    val k = Q421Types.size
+    census
+      .agg(sum("n").as("n_total"), pivotCols: _*)
+      .withColumn("sw", expr(q421SumW))
+      .withColumn("xw", expr(q421XW))
+      .withColumn("lam", expr(q421H))
+      .select(col("n_total"),
+        expr(s"""CAST(floor(($q421A)
+          / (1.0 + 2.0 * ${k - 2}.0 / (${k * k - 1}.0) * lam)
+          * 1000) AS BIGINT)""").as("f_star_milli"),
+        expr(s"CAST(floor((${k * k - 1}.0 / (3.0 * lam)) * 1000) " +
+          "AS BIGINT)").as("df2_milli"))
+  }
+
+  private def q421OracleSql: String = {
+    val pivotCols = Q421Types.indices.flatMap { g =>
+      Seq(
+        s"""coalesce(max(CASE WHEN event_type = '${Q421Types(g)}'
+            THEN n END), 0) AS n_$g""",
+        s"""coalesce(max(CASE WHEN event_type = '${Q421Types(g)}'
+            THEN s1 END), 0) AS s1_$g""",
+        s"""coalesce(max(CASE WHEN event_type = '${Q421Types(g)}'
+            THEN s2 END), 0) AS s2_$g""")
+    }.mkString(", ")
+    val k = Q421Types.size
+    s"""WITH census AS (SELECT event_type,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+            AS s1,
+          sum(CAST(CAST(floor(value * 100) AS BIGINT) AS HUGEINT)
+            * CAST(floor(value * 100) AS BIGINT)) AS s2
+        FROM events GROUP BY 1),
+        piv AS (SELECT CAST(sum(n) AS BIGINT) AS n_total, $pivotCols
+          FROM census),
+        sw_ AS (SELECT *, $q421SumW AS sw FROM piv),
+        xw_ AS (SELECT *, $q421XW AS xw FROM sw_),
+        lam_ AS (SELECT *, $q421H AS lam FROM xw_)
+        SELECT n_total,
+          CAST(floor(($q421A)
+            / (1.0 + 2.0 * ${k - 2}.0 / (${k * k - 1}.0) * lam)
+            * 1000) AS BIGINT) AS f_star_milli,
+          CAST(floor((${k * k - 1}.0 / (3.0 * lam)) * 1000) AS BIGINT)
+            AS df2_milli
+        FROM lam_"""
+  }
+
   // ------------------------------------------------------------ q416
 
   /** q416 — NELSON–AALEN CUMULATIVE HAZARD of time-to-first-purchase
@@ -3995,7 +4106,8 @@ object Stats {
     "q415_pocock" -> (q415Pocock _),
     "q416_nelson_aalen" -> (q416NelsonAalen _),
     "q418_obrien_fleming" -> (q418ObrienFleming _),
-    "q420_cramer_von_mises" -> (q420CramerVonMises _))
+    "q420_cramer_von_mises" -> (q420CramerVonMises _),
+    "q421_welch_anova" -> (q421WelchAnova _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -4047,5 +4159,6 @@ object Stats {
     "q415_pocock" -> q415OracleSql,
     "q416_nelson_aalen" -> q416OracleSql,
     "q418_obrien_fleming" -> q418OracleSql,
-    "q420_cramer_von_mises" -> q420OracleSql)
+    "q420_cramer_von_mises" -> q420OracleSql,
+    "q421_welch_anova" -> q421OracleSql)
 }

@@ -2316,4 +2316,44 @@ class StatsSpec extends SparkSpec {
       "CvM rejected identical distributions")
     assert(row.getAs[Long]("t_micro") > -170000L)
   }
+
+  test("q421 Welch ANOVA replays the fixed-order weight model and " +
+    "stays under the null F bar") {
+    val row = Stats.q421WelchAnova(spark, sf1).head()
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cells = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(x => BigInt(x._2)).sum,
+        g.map(x => BigInt(x._2) * x._2).sum)).toMap
+    val k = types.length
+    // the declared fixed-order chains
+    def mean(t: String) = { val c = cells(t); c._2.toDouble / c._1 }
+    def vr(t: String) = { val c = cells(t)
+      (c._3.toDouble - c._2.toDouble * mean(t)) / (c._1 - 1.0) }
+    def w(t: String) = cells(t)._1 / vr(t)
+    var sw = 0.0; types.foreach(t => sw += w(t))
+    var xwNum = 0.0; types.foreach(t => xwNum += w(t) * mean(t))
+    val xw = xwNum / sw
+    var a = 0.0
+    types.foreach(t => a += w(t) * (mean(t) - xw) * (mean(t) - xw))
+    a /= (k - 1).toDouble
+    var lam = 0.0
+    types.foreach(t => lam += (1.0 - w(t) / sw) * (1.0 - w(t) / sw) /
+      (cells(t)._1 - 1.0))
+    val f = a / (1.0 + 2.0 * (k - 2) / (k.toDouble * k - 1) * lam)
+    val df2 = (k.toDouble * k - 1) / (3.0 * lam)
+    assert(row.getAs[Long]("n_total") === cells.values.map(_._1).sum)
+    assert(row.getAs[Long]("f_star_milli") ===
+      math.floor(f * 1e3).toLong)
+    assert(row.getAs[Long]("df2_milli") ===
+      math.floor(df2 * 1e3).toLong)
+    // iid Exp(50) values in every type: F* must sit well under the
+    // F(4, inf) alpha=0.001 critical value (~4.62)
+    assert(row.getAs[Long]("f_star_milli") < 4620L,
+      "null Welch ANOVA fired")
+    assert(row.getAs[Long]("df2_milli") > 0L)
+  }
 }
