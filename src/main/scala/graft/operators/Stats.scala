@@ -3973,6 +3973,81 @@ object Stats {
         FROM lam_"""
   }
 
+  // ------------------------------------------------------------ q422
+
+  /** q422 — McNEMAR'S PAIRED TEST on per-user conversion across the
+    * [[Analytics.CupedSplit]] boundary (the PAIRED-DATA member the
+    * experimentation family was missing: q174/q266 compare
+    * independent groups — McNemar compares the SAME users before vs
+    * after, so stable users cancel and only the b = pre-only vs
+    * c = post-only DISCORDANT pairs carry information; the classic
+    * before/after readout for a feature launch on a binary metric):
+    * exact cells {n, both, pre_only, post_only, neither} off one
+    * user-keyed aggregate; χ² = (b−c)²/(b+c) with continuity
+    * correction EXCLUDED (declared — the corrected and uncorrected
+    * forms differ and the uncorrected one is the cleaner integer
+    * algebra: released chi2_milli = floor(1000·(b−c)²/(b+c)), the
+    * numerator an exact integer square). Under the split-at-midpoint
+    * null the discordant counts are near-symmetric, which the spec
+    * pins.
+    *
+    * Scale shape: one user-keyed aggregate (map-side combined) → one
+    * 5-cell scalar row. */
+  def q422Mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .select(col("user_id"),
+        (col("ts") < lit(Analytics.CupedSplit).cast("timestamp"))
+          .as("pre"),
+        (col("event_type") === "purchase").as("p"))
+      .groupBy("user_id")
+      .agg(max(col("pre") && col("p")).as("cpre"),
+        max(!col("pre") && col("p")).as("cpost"))
+    per.agg(count(lit(1)).as("n"),
+        sum(when(col("cpre") && col("cpost"), 1L).otherwise(0L))
+          .as("both_conv"),
+        sum(when(col("cpre") && !col("cpost"), 1L).otherwise(0L))
+          .as("pre_only"),
+        sum(when(!col("cpre") && col("cpost"), 1L).otherwise(0L))
+          .as("post_only"),
+        sum(when(!col("cpre") && !col("cpost"), 1L).otherwise(0L))
+          .as("neither"))
+      .select(col("n"), col("both_conv"), col("pre_only"), col("post_only"),
+        col("neither"),
+        expr("""CASE WHEN pre_only + post_only = 0
+          THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(CAST((pre_only - post_only)
+              * (pre_only - post_only) AS DOUBLE)
+            / CAST(pre_only + post_only AS DOUBLE) * 1000) AS BIGINT)
+          END""").as("chi2_milli"))
+  }
+
+  private def q422OracleSql: String =
+    s"""WITH per AS (SELECT user_id,
+          CAST(max(CASE WHEN ts < TIMESTAMP '${Analytics.CupedSplit}'
+            AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+            AS cpre,
+          CAST(max(CASE WHEN ts >= TIMESTAMP '${Analytics.CupedSplit}'
+            AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+            AS cpost
+        FROM events GROUP BY 1),
+        cells AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN cpre = 1 AND cpost = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS both_conv,
+          CAST(sum(CASE WHEN cpre = 1 AND cpost = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS pre_only,
+          CAST(sum(CASE WHEN cpre = 0 AND cpost = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS post_only,
+          CAST(sum(CASE WHEN cpre = 0 AND cpost = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS neither
+        FROM per)
+        SELECT n, both_conv, pre_only, post_only, neither,
+          CASE WHEN pre_only + post_only = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(CAST((pre_only - post_only)
+                * (pre_only - post_only) AS DOUBLE)
+              / CAST(pre_only + post_only AS DOUBLE) * 1000) AS BIGINT)
+          END AS chi2_milli
+        FROM cells"""
+
   // ------------------------------------------------------------ q416
 
   /** q416 — NELSON–AALEN CUMULATIVE HAZARD of time-to-first-purchase
@@ -4107,7 +4182,8 @@ object Stats {
     "q416_nelson_aalen" -> (q416NelsonAalen _),
     "q418_obrien_fleming" -> (q418ObrienFleming _),
     "q420_cramer_von_mises" -> (q420CramerVonMises _),
-    "q421_welch_anova" -> (q421WelchAnova _))
+    "q421_welch_anova" -> (q421WelchAnova _),
+    "q422_mcnemar" -> (q422Mcnemar _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -4160,5 +4236,6 @@ object Stats {
     "q416_nelson_aalen" -> q416OracleSql,
     "q418_obrien_fleming" -> q418OracleSql,
     "q420_cramer_von_mises" -> q420OracleSql,
-    "q421_welch_anova" -> q421OracleSql)
+    "q421_welch_anova" -> q421OracleSql,
+    "q422_mcnemar" -> q422OracleSql)
 }

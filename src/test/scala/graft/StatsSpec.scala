@@ -2356,4 +2356,38 @@ class StatsSpec extends SparkSpec {
       "null Welch ANOVA fired")
     assert(row.getAs[Long]("df2_milli") > 0L)
   }
+
+  test("q422 McNemar replays the discordant-cell model and conserves " +
+    "the user census") {
+    val row = Stats.q422Mcnemar(spark, sf1).head()
+    val split = java.sql.Timestamp.valueOf(
+      graft.operators.Analytics.CupedSplit + " 00:00:00")
+    val per = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), col("ts"),
+        (col("event_type") === "purchase").as("p"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1),
+        r.getBoolean(2)))
+      .groupBy(_._1).view.mapValues { g =>
+        (g.exists(e => e._2.before(split) && e._3),
+          g.exists(e => !e._2.before(split) && e._3))
+      }.toMap
+    val n = per.size.toLong
+    val both = per.values.count(v => v._1 && v._2).toLong
+    val b = per.values.count(v => v._1 && !v._2).toLong
+    val c = per.values.count(v => !v._1 && v._2).toLong
+    val neither = per.values.count(v => !v._1 && !v._2).toLong
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Long]("both_conv") === both)
+    assert(row.getAs[Long]("pre_only") === b)
+    assert(row.getAs[Long]("post_only") === c)
+    assert(row.getAs[Long]("neither") === neither)
+    assert(both + b + c + neither === n)
+    val chi = if (b + c == 0) 0L
+      else math.floor((b - c).toDouble * (b - c) / (b + c) * 1e3).toLong
+    assert(row.getAs[Long]("chi2_milli") === chi)
+    // mid-month split of a stationary stream: discordance symmetric,
+    // chi2 under the 1-dof alpha=0.001 bar (10.83)
+    assert(chi < 10830L, "null McNemar fired")
+  }
 }
