@@ -4048,6 +4048,109 @@ object Stats {
           END AS chi2_milli
         FROM cells"""
 
+  // ------------------------------------------------------------ q423
+
+  /** q423's standardized mean difference over the exact sufficient
+    * statistics: pooled s² = ((n1−1)s1² + (n2−1)s2²)/(n1+n2−2),
+    * d = (m1−m2)/s_pooled — one shared-text double chain. */
+  private val cohensD =
+    """((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+       / sqrt((((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+             * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))))
+           + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+             * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))))
+         / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)))"""
+
+  /** q423 — EFFECT-SIZE PANEL for purchase vs click values (the
+    * MAGNITUDE counterpart of the test family: q266/q303/q420 say
+    * whether the groups differ, this says BY HOW MUCH in units a
+    * reader can carry across experiments — Cohen's d in pooled-sd
+    * units, Hedges' g = d·(1 − 3/(4N−9)) correcting d's small-sample
+    * bias, and Cliff's δ = P(X>Y) − P(X<Y), the rank effect size
+    * that survives outliers and non-normality). d and g ride the
+    * exact {n, Σv, Σv²} cells; δ is EXACT integer algebra on the
+    * (value, arm) census: U2 = Σ c1·(2·less2 + eq2) (wins doubled
+    * plus ties, the q303 midrank convention), δ_ppm = (U2 − n1·n2)
+    * ·10⁶ div (n1·n2). Released {n1, n2, d_milli, g_milli,
+    * cliffs_delta_ppm}.
+    *
+    * Scale shape: ONE corpus scan map-side combined to the
+    * |values×2| census; the δ cumsum and the d/g algebra ride that
+    * frame and a 1-row pivot. */
+  def q423EffectSizes(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(when(col("event_type") === "purchase", 1L).otherwise(2L)
+          .as("arm"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+    val census = base.groupBy("vc")
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("arm") === 2, 1L).otherwise(0L)).as("c2"))
+    val wPrev = Window.orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val u2 = census
+      .withColumn("less2", coalesce(sum("c2").over(wPrev), lit(0L)))
+      .agg(sum(expr(
+        "CAST(c1 AS DECIMAL(38,0)) * (2 * less2 + c2)")).as("u2"))
+    val cells = base.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("vc").as("s"),
+        sum(col("vc").cast("decimal(38,0)") * col("vc")).as("q"))
+      .agg(max(when(col("arm") === 1, col("n"))).as("n1"),
+        max(when(col("arm") === 2, col("n"))).as("n2"),
+        max(when(col("arm") === 1, col("s"))).as("s1"),
+        max(when(col("arm") === 2, col("s"))).as("s2"),
+        max(when(col("arm") === 1, col("q"))).as("q1"),
+        max(when(col("arm") === 2, col("q"))).as("q2"))
+    cells.crossJoin(broadcast(u2))
+      .select(col("n1"), col("n2"),
+        expr(s"CAST(floor($cohensD * 1000) AS BIGINT)").as("d_milli"),
+        expr(s"""CAST(floor($cohensD
+          * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE) + n2) - 9.0))
+          * 1000) AS BIGINT)""").as("g_milli"),
+        expr("""CAST((u2 - CAST(n1 AS DECIMAL(38,0)) * n2) * 1000000
+          DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)""")
+          .as("cliffs_delta_ppm"))
+  }
+
+  private def q423OracleSql: String =
+    s"""WITH base AS (SELECT
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS arm,
+          CAST(floor(value * 100) AS BIGINT) AS vc
+        FROM events WHERE event_type IN ('purchase', 'click')),
+        census AS (SELECT vc,
+          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS c1,
+          CAST(sum(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS c2
+        FROM base GROUP BY 1),
+        u AS (SELECT sum(CAST(c1 AS HUGEINT) * (2 * less2 + c2)) AS u2
+          FROM (SELECT c1, c2,
+              coalesce(sum(c2) OVER (ORDER BY vc
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS less2
+            FROM census) p),
+        cells AS (SELECT
+          max(CASE WHEN arm = 1 THEN n END) AS n1,
+          max(CASE WHEN arm = 2 THEN n END) AS n2,
+          max(CASE WHEN arm = 1 THEN s END) AS s1,
+          max(CASE WHEN arm = 2 THEN s END) AS s2,
+          max(CASE WHEN arm = 1 THEN q END) AS q1,
+          max(CASE WHEN arm = 2 THEN q END) AS q2
+        FROM (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(vc) AS BIGINT) AS s,
+            sum(CAST(vc AS HUGEINT) * vc) AS q
+          FROM base GROUP BY 1) g)
+        SELECT n1, n2,
+          CAST(floor($cohensD * 1000) AS BIGINT) AS d_milli,
+          CAST(floor($cohensD
+            * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE) + n2) - 9.0))
+            * 1000) AS BIGINT) AS g_milli,
+          CAST((u2 - CAST(n1 AS HUGEINT) * n2) * 1000000
+            // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+            AS cliffs_delta_ppm
+        FROM cells CROSS JOIN u"""
+
   // ------------------------------------------------------------ q416
 
   /** q416 — NELSON–AALEN CUMULATIVE HAZARD of time-to-first-purchase
@@ -4183,7 +4286,8 @@ object Stats {
     "q418_obrien_fleming" -> (q418ObrienFleming _),
     "q420_cramer_von_mises" -> (q420CramerVonMises _),
     "q421_welch_anova" -> (q421WelchAnova _),
-    "q422_mcnemar" -> (q422Mcnemar _))
+    "q422_mcnemar" -> (q422Mcnemar _),
+    "q423_effect_sizes" -> (q423EffectSizes _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -4237,5 +4341,6 @@ object Stats {
     "q418_obrien_fleming" -> q418OracleSql,
     "q420_cramer_von_mises" -> q420OracleSql,
     "q421_welch_anova" -> q421OracleSql,
-    "q422_mcnemar" -> q422OracleSql)
+    "q422_mcnemar" -> q422OracleSql,
+    "q423_effect_sizes" -> q423OracleSql)
 }

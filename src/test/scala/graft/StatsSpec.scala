@@ -2390,4 +2390,49 @@ class StatsSpec extends SparkSpec {
     // chi2 under the 1-dof alpha=0.001 bar (10.83)
     assert(chi < 10830L, "null McNemar fired")
   }
+
+  test("q423 effect sizes replay the brute-force panel and agree in " +
+    "direction") {
+    val row = Stats.q423EffectSizes(spark, sf1).head()
+    val pts = graft.sources.Tables.load(spark, sf1, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select((col("event_type") === "purchase").as("a"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val x = pts.filter(_._1).map(_._2); val y = pts.filter(!_._1).map(_._2)
+    val (n1, n2) = (x.length.toLong, y.length.toLong)
+    val (m1, m2) = (x.map(BigInt(_)).sum.toDouble / n1,
+      y.map(BigInt(_)).sum.toDouble / n2)
+    // replay d with the declared expression's association
+    val q1 = x.map(v => BigInt(v) * v).sum.toDouble
+    val q2v = y.map(v => BigInt(v) * v).sum.toDouble
+    val s1d = x.map(BigInt(_)).sum.toDouble
+    val s2d = y.map(BigInt(_)).sum.toDouble
+    val d = (s1d / n1 - s2d / n2) /
+      math.sqrt(((q1 - s1d * (s1d / n1)) + (q2v - s2d * (s2d / n2))) /
+        (n1 + n2 - 2.0))
+    val g = d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
+    // brute-force Cliff's delta via doubled wins+ties
+    var u2 = BigInt(0)
+    val ySorted = y.sorted
+    x.foreach { v =>
+      val less = ySorted.count(_ < v).toLong
+      val eq = ySorted.count(_ == v).toLong
+      u2 += 2 * less + eq
+    }
+    val delta = ((u2 - BigInt(n1) * n2) * 1000000 / (BigInt(n1) * n2))
+      .toLong
+    assert(row.getAs[Long]("n1") === n1)
+    assert(row.getAs[Long]("n2") === n2)
+    assert(row.getAs[Long]("d_milli") === math.floor(d * 1e3).toLong)
+    assert(row.getAs[Long]("g_milli") === math.floor(g * 1e3).toLong)
+    assert(row.getAs[Long]("cliffs_delta_ppm") === delta)
+    // direction agreement: parametric and rank effect sizes point the
+    // same way (means differ the same way the dominance does)
+    assert((m1 - m2).sign === delta.sign.toDouble ||
+      math.abs(delta) < 20000L)
+    // g is a strict shrinkage of d
+    assert(math.abs(row.getAs[Long]("g_milli")) <=
+      math.abs(row.getAs[Long]("d_milli")))
+  }
 }
