@@ -2268,7 +2268,85 @@ object Pipeline {
         FROM fused"""
   }
 
+  // ------------------------------------------------------------ q424
+
+  /** q424 — CONJUNCTIVE-SELECTIVITY AUDIT over the q64 term set (the
+    * cardinality-estimation error every cost-based planner makes: for
+    * a conjunctive predicate the planner multiplies per-term
+    * selectivities — the INDEPENDENCE assumption — and real corpora
+    * violate it in both directions (co-topical terms co-occur MORE,
+    * the audit's ratio > 1; complementary terms less); q294 collects
+    * the single-column stats, this measures the error of COMBINING
+    * them, the number a multi-column-statistics feature is judged
+    * by): per unordered term pair the EXACT {df1, df2, inter, n_docs},
+    * the independence estimate df1·df2·1000 div n, and the
+    * observed/expected ratio inter·n·1000 div (df1·df2) — all exact
+    * widened integer arithmetic, zero-product guarded.
+    *
+    * Scale shape: ONE corpus scan to per-doc membership flags
+    * (map-side combined to a 1-row census of df/intersection sums);
+    * the three pair rows are literal projections of that census. */
+  def q424SelectivityAudit(s: SparkSession, dir: String): DataFrame = {
+    val flags = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      array_contains(split(col("text"), " "), term).cast("long")
+        .as(s"h$i")
+    }
+    val census = t(s, dir, "documents")
+      .select(flags: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        (Bm25Terms.indices.map(i => sum(col(s"h$i")).as(s"df$i")) ++
+          (for { i <- Bm25Terms.indices; j <- Bm25Terms.indices
+                 if i < j }
+            yield sum(col(s"h$i") * col(s"h$j")).as(s"in${i}_$j"))): _*)
+    val pairs = for { i <- Bm25Terms.indices; j <- Bm25Terms.indices
+                      if i < j } yield
+      census.select(lit(Bm25Terms(i)).as("term1"),
+        lit(Bm25Terms(j)).as("term2"), col("n_docs"),
+        col(s"df$i").as("df1"), col(s"df$j").as("df2"),
+        col(s"in${i}_$j").as("inter"))
+    pairs.reduce(_ unionByName _)
+      .select(col("term1"), col("term2"), col("n_docs"), col("df1"),
+        col("df2"), col("inter"),
+        expr("""CAST(CAST(df1 AS DECIMAL(38,0)) * df2 * 1000
+          DIV n_docs AS BIGINT)""").as("indep_est_milli"),
+        expr("""CASE WHEN df1 = 0 OR df2 = 0 THEN NULL
+          ELSE CAST(CAST(inter AS DECIMAL(38,0)) * n_docs * 1000
+            DIV (CAST(df1 AS DECIMAL(38,0)) * df2) AS BIGINT) END""")
+          .as("lift_milli"))
+  }
+
+  private def q424OracleSql: String = {
+    val flagCols = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"""CAST(CASE WHEN list_contains(string_split(text, ' '),
+          '$term') THEN 1 ELSE 0 END AS BIGINT) AS h$i"""
+    }.mkString(", ")
+    val sums = (Bm25Terms.indices.map(i =>
+      s"CAST(sum(h$i) AS BIGINT) AS df$i") ++
+      (for { i <- Bm25Terms.indices; j <- Bm25Terms.indices if i < j }
+        yield s"CAST(sum(h$i * h$j) AS BIGINT) AS in${i}_$j"))
+      .mkString(", ")
+    val pairRows = (for { i <- Bm25Terms.indices
+                          j <- Bm25Terms.indices if i < j } yield
+      s"""SELECT '${Bm25Terms(i)}' AS term1, '${Bm25Terms(j)}' AS term2,
+          n_docs, df$i AS df1, df$j AS df2, in${i}_$j AS inter
+        FROM census""").mkString("\n        UNION ALL\n        ")
+    s"""WITH flags AS (SELECT $flagCols FROM documents),
+        census AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, $sums
+          FROM flags),
+        pairs AS (
+        $pairRows)
+        SELECT term1, term2, n_docs, df1, df2, inter,
+          CAST(CAST(df1 AS HUGEINT) * df2 * 1000 // n_docs AS BIGINT)
+            AS indep_est_milli,
+          CASE WHEN df1 = 0 OR df2 = 0 THEN NULL
+            ELSE CAST(CAST(inter AS HUGEINT) * n_docs * 1000
+              // (CAST(df1 AS HUGEINT) * df2) AS BIGINT) END
+            AS lift_milli
+        FROM pairs"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q424_selectivity_audit" -> (q424SelectivityAudit _),
     "q402_hybrid_retrieval" -> (q402HybridRetrieval _),
     "q398_bottomk_sample" -> (q398BottomkSample _),
     "q292_neyman_allocation" -> (q292NeymanAllocation _),
@@ -2310,6 +2388,7 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "q398_bottomk_sample" -> q398OracleSql,
+    "q424_selectivity_audit" -> q424OracleSql,
     "q402_hybrid_retrieval" -> q402OracleSql,
     "q292_neyman_allocation" -> q292OracleSql,
     "q289_fold_balance_audit" -> q289OracleSql,

@@ -772,4 +772,40 @@ class PipelineSpec extends SparkSpec {
     // the top fused doc has rrf at least the best single-leg score
     assert(rows.map(_._4).max >= 1000000L / (Pipeline.RrfK + 1L))
   }
+
+  test("q424 selectivity audit replays the membership census and the " +
+    "independence arithmetic") {
+    val rows = Pipeline.q424SelectivityAudit(spark, sf1).collect()
+      .map(r => (r.getAs[String]("term1"), r.getAs[String]("term2")) -> r)
+      .toMap
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select(col("text")).collect()
+      .map(_.getString(0).split(" ").toSet)
+    val n = docs.length.toLong
+    val terms = Pipeline.Bm25Terms
+    for (i <- terms.indices; j <- terms.indices if i < j) {
+      val df1 = docs.count(_.contains(terms(i))).toLong
+      val df2 = docs.count(_.contains(terms(j))).toLong
+      val inter = docs.count(d =>
+        d.contains(terms(i)) && d.contains(terms(j))).toLong
+      val r = rows((terms(i), terms(j)))
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("df1") === df1)
+      assert(r.getAs[Long]("df2") === df2)
+      assert(r.getAs[Long]("inter") === inter)
+      assert(r.getAs[Long]("indep_est_milli") ===
+        (BigInt(df1) * df2 * 1000 / n).toLong)
+      if (df1 > 0 && df2 > 0)
+        assert(r.getAs[Long]("lift_milli") ===
+          (BigInt(inter) * n * 1000 / (BigInt(df1) * df2)).toLong)
+      // structural: the intersection can't exceed either marginal
+      assert(inter <= math.min(df1, df2))
+    }
+    // the generator sprinkles words independently: lifts sit near 1000
+    rows.values.foreach { r =>
+      val lift = r.getAs[Long]("lift_milli")
+      assert(lift > 500L && lift < 2000L,
+        s"lift $lift outside the independence band")
+    }
+  }
 }
