@@ -4151,6 +4151,110 @@ object Stats {
             AS cliffs_delta_ppm
         FROM cells CROSS JOIN u"""
 
+  // ------------------------------------------------------------ q425
+
+  /** Studentized-range critical value q_{0.05, k=5, df=∞} = 3.858
+    * (standard tables) — baked as a literal per the q403 discipline. */
+  val TukeyQ5 = 3.858
+
+  /** q425's pooled within-group MSE over the pivoted exact cells, a
+    * GENERATED fixed-order 5-term chain (q421's discipline):
+    * MSE = Σ_g (Q_g − S_g²/n_g) / (N − k). */
+  private def q425Mse: String =
+    Q421Types.indices.map { g =>
+      s"""(CAST(s2_$g AS DOUBLE) - CAST(s1_$g AS DOUBLE)
+          * (CAST(s1_$g AS DOUBLE) / CAST(n_$g AS DOUBLE)))"""
+    }.mkString("(", " + ", ")") +
+      s" / (CAST(n_total AS DOUBLE) - ${Q421Types.size}.0)"
+
+  /** q425 — TUKEY–KRAMER POST-HOC PAIRS after the ANOVA (the
+    * MULTIPLE-COMPARISONS completion of the mean-testing family:
+    * q190/q421 say SOME group differs — the next question is always
+    * WHICH pairs, and testing all 10 at per-pair α inflates the
+    * familywise error; Tukey's studentized-range HSD with the Kramer
+    * unequal-n extension HSD_ij = q·√(MSE/2·(1/nᵢ+1/nⱼ)) controls it
+    * exactly for pairwise contrasts — the [[TukeyQ5]] critical value
+    * baked as a literal). Cells exact off ONE census; MSE a generated
+    * fixed-order chain; released per pair {t1, t2, diff_milli,
+    * hsd_milli, significant}; under the exchangeable-types null the
+    * spec pins no significant pair.
+    *
+    * Scale shape: ONE corpus scan map-side combined to the 5-type
+    * census; the 10 pair rows are literal projections of a 1-row
+    * pivot. */
+  def q425TukeyHsd(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vc").as("s1"),
+        sum(col("vc").cast("decimal(38,0)") * col("vc")).as("s2"))
+    val pivotCols = Q421Types.indices.flatMap { g =>
+      Seq(
+        coalesce(max(when(col("event_type") === Q421Types(g),
+          col("n"))), lit(0L)).as(s"n_$g"),
+        coalesce(max(when(col("event_type") === Q421Types(g),
+          col("s1"))), lit(0L)).as(s"s1_$g"),
+        coalesce(max(when(col("event_type") === Q421Types(g),
+          col("s2"))), lit(0L).cast("decimal(38,0)")).as(s"s2_$g"))
+    }
+    val piv = census.agg(sum("n").as("n_total"), pivotCols: _*)
+      .withColumn("mse", expr(q425Mse))
+    val pairs = for { i <- Q421Types.indices; j <- Q421Types.indices
+                      if i < j } yield
+      piv.select(lit(Q421Types(i)).as("t1"),
+        lit(Q421Types(j)).as("t2"),
+        expr(s"""CAST(floor((CAST(s1_$i AS DOUBLE) / CAST(n_$i
+          AS DOUBLE) - CAST(s1_$j AS DOUBLE) / CAST(n_$j AS DOUBLE))
+          * 1000) AS BIGINT)""").as("diff_milli"),
+        expr(s"""CAST(floor($TukeyQ5 * sqrt(mse / 2.0
+          * (1.0 / CAST(n_$i AS DOUBLE) + 1.0 / CAST(n_$j AS DOUBLE)))
+          * 1000) AS BIGINT)""").as("hsd_milli"),
+        expr(s"""abs(CAST(s1_$i AS DOUBLE) / CAST(n_$i AS DOUBLE)
+          - CAST(s1_$j AS DOUBLE) / CAST(n_$j AS DOUBLE))
+          > $TukeyQ5 * sqrt(mse / 2.0 * (1.0 / CAST(n_$i AS DOUBLE)
+            + 1.0 / CAST(n_$j AS DOUBLE)))""").as("significant"))
+    pairs.reduce(_ unionByName _)
+  }
+
+  private def q425OracleSql: String = {
+    val pivotCols = Q421Types.indices.flatMap { g =>
+      Seq(
+        s"""coalesce(max(CASE WHEN event_type = '${Q421Types(g)}'
+            THEN n END), 0) AS n_$g""",
+        s"""coalesce(max(CASE WHEN event_type = '${Q421Types(g)}'
+            THEN s1 END), 0) AS s1_$g""",
+        s"""coalesce(max(CASE WHEN event_type = '${Q421Types(g)}'
+            THEN s2 END), 0) AS s2_$g""")
+    }.mkString(", ")
+    val pairRows = (for { i <- Q421Types.indices
+                          j <- Q421Types.indices if i < j } yield
+      s"""SELECT '${Q421Types(i)}' AS t1, '${Q421Types(j)}' AS t2,
+          CAST(floor((CAST(s1_$i AS DOUBLE) / CAST(n_$i AS DOUBLE)
+            - CAST(s1_$j AS DOUBLE) / CAST(n_$j AS DOUBLE)) * 1000)
+            AS BIGINT) AS diff_milli,
+          CAST(floor($TukeyQ5 * sqrt(mse / 2.0
+            * (1.0 / CAST(n_$i AS DOUBLE)
+               + 1.0 / CAST(n_$j AS DOUBLE))) * 1000) AS BIGINT)
+            AS hsd_milli,
+          abs(CAST(s1_$i AS DOUBLE) / CAST(n_$i AS DOUBLE)
+            - CAST(s1_$j AS DOUBLE) / CAST(n_$j AS DOUBLE))
+            > $TukeyQ5 * sqrt(mse / 2.0 * (1.0 / CAST(n_$i AS DOUBLE)
+              + 1.0 / CAST(n_$j AS DOUBLE))) AS significant
+        FROM m""").mkString("\n        UNION ALL\n        ")
+    s"""WITH census AS (SELECT event_type,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+            AS s1,
+          sum(CAST(CAST(floor(value * 100) AS BIGINT) AS HUGEINT)
+            * CAST(floor(value * 100) AS BIGINT)) AS s2
+        FROM events GROUP BY 1),
+        piv AS (SELECT CAST(sum(n) AS BIGINT) AS n_total, $pivotCols
+          FROM census),
+        m AS (SELECT *, $q425Mse AS mse FROM piv)
+        $pairRows"""
+  }
+
   // ------------------------------------------------------------ q416
 
   /** q416 — NELSON–AALEN CUMULATIVE HAZARD of time-to-first-purchase
@@ -4287,7 +4391,8 @@ object Stats {
     "q420_cramer_von_mises" -> (q420CramerVonMises _),
     "q421_welch_anova" -> (q421WelchAnova _),
     "q422_mcnemar" -> (q422Mcnemar _),
-    "q423_effect_sizes" -> (q423EffectSizes _))
+    "q423_effect_sizes" -> (q423EffectSizes _),
+    "q425_tukey_hsd" -> (q425TukeyHsd _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -4342,5 +4447,6 @@ object Stats {
     "q420_cramer_von_mises" -> q420OracleSql,
     "q421_welch_anova" -> q421OracleSql,
     "q422_mcnemar" -> q422OracleSql,
-    "q423_effect_sizes" -> q423OracleSql)
+    "q423_effect_sizes" -> q423OracleSql,
+    "q425_tukey_hsd" -> q425OracleSql)
 }

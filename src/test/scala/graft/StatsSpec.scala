@@ -2435,4 +2435,42 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Long]("g_milli")) <=
       math.abs(row.getAs[Long]("d_milli")))
   }
+
+  test("q425 Tukey-Kramer pairs replay the MSE model, cover all 10 " +
+    "pairs, and stay silent under the null") {
+    val rows = Stats.q425TukeyHsd(spark, sf1).collect()
+      .map(r => (r.getAs[String]("t1"), r.getAs[String]("t2")) ->
+        (r.getAs[Long]("diff_milli"), r.getAs[Long]("hsd_milli"),
+          r.getAs[Boolean]("significant"))).toMap
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    assert(rows.size === 10)
+    val cells = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(x => BigInt(x._2)).sum,
+        g.map(x => BigInt(x._2) * x._2).sum)).toMap
+    val nTot = cells.values.map(_._1).sum
+    // generated fixed-order MSE chain
+    var mse = 0.0
+    types.foreach { t =>
+      val (n, s1, s2) = cells(t)
+      mse += s2.toDouble - s1.toDouble * (s1.toDouble / n)
+    }
+    mse /= (nTot - types.length).toDouble
+    for (i <- types.indices; j <- types.indices if i < j) {
+      val (ni, si, _) = cells(types(i))
+      val (nj, sj, _) = cells(types(j))
+      val diff = si.toDouble / ni - sj.toDouble / nj
+      val hsd = Stats.TukeyQ5 *
+        math.sqrt(mse / 2.0 * (1.0 / ni + 1.0 / nj))
+      val (gd, gh, gs) = rows((types(i), types(j)))
+      assert(gd === math.floor(diff * 1e3).toLong, s"${types(i)}/$j")
+      assert(gh === math.floor(hsd * 1e3).toLong, s"${types(i)}/$j")
+      assert(gs === (math.abs(diff) > hsd))
+      // exchangeable types: the familywise-controlled test is silent
+      assert(!gs, s"null Tukey fired on ${types(i)}-${types(j)}")
+    }
+  }
 }
