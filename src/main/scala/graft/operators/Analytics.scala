@@ -4168,14 +4168,38 @@ object Analytics {
 
   // ------------------------------------------------------------ q397
 
+  /** q397's per-degree weight floor(10⁶ / ln(deg)) as a LITERAL table
+    * for deg 2..32 (the q403 Benford convention): brand-graph degrees
+    * are small integers bounded by |brands| − 1 = 24, and baking the
+    * floored quotients removes the cross-libm ln ulp risk from the
+    * released integers entirely. The ELSE keeps the computed form as a
+    * documented fallback for out-of-table degrees (unreachable on this
+    * 25-brand domain). Shared text between engine and oracle. */
+  private def aaWeightSql(deg: String): String = {
+    val table = Seq(
+      2 -> 1442695L, 3 -> 910239L, 4 -> 721347L, 5 -> 621334L,
+      6 -> 558110L, 7 -> 513898L, 8 -> 480898L, 9 -> 455119L,
+      10 -> 434294L, 11 -> 417032L, 12 -> 402429L, 13 -> 389871L,
+      14 -> 378923L, 15 -> 369269L, 16 -> 360673L, 17 -> 352956L,
+      18 -> 345976L, 19 -> 339623L, 20 -> 333808L, 21 -> 328458L,
+      22 -> 323515L, 23 -> 318928L, 24 -> 314657L, 25 -> 310667L,
+      26 -> 306927L, 27 -> 303413L, 28 -> 300101L, 29 -> 296974L,
+      30 -> 294014L, 31 -> 291206L, 32 -> 288539L)
+      .map { case (d, w) => s"WHEN $d THEN CAST($w AS BIGINT)" }
+      .mkString(" ")
+    s"""CASE $deg $table
+        ELSE CAST(floor(1000000.0 / ln(CAST($deg AS DOUBLE)))
+          AS BIGINT) END"""
+  }
+
   /** q397 — ADAMIC–ADAR LINK PREDICTION on the q183 brand graph (the
     * WEIGHTED leg of the link-prediction family: q183's common-neighbor
     * count treats a hub neighbor as strong evidence, but sharing a hub
     * is cheap — Adamic–Adar down-weights each wedge by the inverse log
     * degree of the common neighbor, the form that wins on real graphs).
-    * Each node carries w = floor(10⁶ / ln(deg)) — one exact int→double
-    * cast, one libm ln, one IEEE division, shared text (a wedge center
-    * has deg ≥ 2, so ln > 0 by construction); a non-edge pair's score
+    * Each node carries w = floor(10⁶ / ln(deg)) via [[aaWeightSql]]'s
+    * literal table (a wedge center has deg ≥ 2, so ln > 0 by
+    * construction); a non-edge pair's score
     * is the EXACT integer Σw over its wedge centers. Released: all
     * non-edge pairs with their common count and aa_score.
     *
@@ -4194,9 +4218,7 @@ object Analytics {
       // ln(1) = 0 denominator never evaluates (ANSI division errors
       // eagerly on rows the explode would discard anyway)
       .filter(size(col("ns")) >= 2)
-      .withColumn("w", expr(
-        """CAST(floor(1000000.0
-           / ln(CAST(size(ns) AS DOUBLE))) AS BIGINT)"""))
+      .withColumn("w", expr(aaWeightSql("size(ns)")))
       .select(col("w"), explode(expr("flatten(transform(ns, (x, i) -> " +
         "transform(slice(ns, i + 2, size(ns)), " +
         "y -> struct(x AS a, y AS b))))")).as("p"))
@@ -4221,9 +4243,7 @@ object Analytics {
                WHERE n12 * np * 100 >= tw * $LinkEdgePct),
         und AS (SELECT b1 AS src, b2 AS nbr FROM eu
                 UNION ALL SELECT b2, b1 FROM eu),
-        degw AS (SELECT src,
-            CAST(floor(1000000.0
-              / ln(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+        degw AS (SELECT src, ${aaWeightSql("count(*)")} AS w
           FROM und GROUP BY 1 HAVING count(*) >= 2),
         wedge AS (SELECT u1.nbr a, u2.nbr b,
             CAST(count(*) AS BIGINT) cn, CAST(sum(d.w) AS BIGINT) aa
@@ -4426,7 +4446,13 @@ object Analytics {
         sum(when(col("x1").isNotNull, 1L)).as("n_1"))
       .select(col("n_days"), col("sum_abs_7"), col("n_7"),
         col("sum_abs_1"), col("n_1"),
-        expr("""CASE WHEN sum_abs_1 = 0 THEN NULL
+        // the n_7 leg of the guard: on a corpus under 8 days every x7
+        // is NULL, and without it the oracle's exact // would divide
+        // by zero where Spark's DIV yields NULL — the differential
+        // must compare NULLs, not crash (coalesce covers the
+        // all-NULL-sum case where n_7 itself is NULL)
+        expr("""CASE WHEN sum_abs_1 = 0 OR coalesce(n_7, 0) = 0
+            THEN NULL
           ELSE CAST(CAST(sum_abs_7 AS DECIMAL(38,0)) * n_1 * 1000
             DIV (CAST(sum_abs_1 AS DECIMAL(38,0)) * n_7) AS BIGINT)
           END""").as("mase_milli"))
@@ -4448,7 +4474,7 @@ object Analytics {
           CAST(sum(CASE WHEN x1 IS NOT NULL THEN 1 END) AS BIGINT) AS n_1
         FROM j)
         SELECT n_days, sum_abs_7, n_7, sum_abs_1, n_1,
-          CASE WHEN sum_abs_1 = 0 THEN NULL
+          CASE WHEN sum_abs_1 = 0 OR coalesce(n_7, 0) = 0 THEN NULL
             ELSE CAST(CAST(sum_abs_7 AS HUGEINT) * n_1 * 1000
               // (CAST(sum_abs_1 AS HUGEINT) * n_7) AS BIGINT) END
             AS mase_milli

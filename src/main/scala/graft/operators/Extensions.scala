@@ -3285,6 +3285,16 @@ object Extensions {
     * through [[encBytes]]}, and the winning encoding by the fixed
     * dict < rle < plain tie order. Two declared rows, one per column.
     *
+    * PRECONDITION — dense keys: the a.k = b.k + 1 run counter is
+    * exact ONLY because this generator emits gapless orderkeys from
+    * spark.range (max(k) = count(*), asserted in ExtensionsSpec). On
+    * a sparse key domain (real TPC-H leaves orderkey gaps) each gap
+    * silently swallows a run boundary — and the oracle shares the
+    * self-join, so the differential would stay green while both are
+    * wrong. Sparse inputs need a row_number() densification pass
+    * first (one extra exchange), which this declared query omits by
+    * documented contract with its generator.
+    *
     * Scale shape: one scan for the census aggregates; ONE shuffle
     * equi-join (key vs key+1) counts run boundaries for both columns
     * simultaneously — the scalable runs counter (a lag window over a

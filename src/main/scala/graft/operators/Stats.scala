@@ -2975,8 +2975,12 @@ object Stats {
     * P(|p̂ − p| ≥ √(ln(4/δ)/2n)) ≤ δ/2 per arm, so
     * |p̂ₐ − p̂ᵦ| > √(ln(80)/2nₐ) + √(ln(80)/2nᵦ) certifies a real
     * difference at confidence 1−δ — valid at EVERY peek, no
-    * parametric model (the assumption-free cousin of q386's SPRT). */
-  private val hoeffC = "ln(80.0)"
+    * parametric model (the assumption-free cousin of q386's SPRT).
+    * ln(80.0) is baked as a shortest-round-trip double literal (the
+    * q403 Benford convention): JVM Math.log and DuckDB's C libm may
+    * disagree in the last ulp, and the floored ×10⁶ release of the
+    * bound would ship that disagreement as a differential flake. */
+  private val hoeffC = "4.382026634673881"
 
   /** q391 — HOEFFDING SEQUENTIAL GATE on the A/B purchase-rate
     * difference (arms = q174's user_id parity split): per day, the
@@ -3395,9 +3399,20 @@ object Stats {
     val census = t(s, dir, "events")
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("x"))
+    // Friedman REQUIRES complete day×type blocks: a day with zero
+    // events of some type yields no census row, in-day ranks would
+    // span k' < k while Q uses the global k — silently wrong, and
+    // invisible to the differential because the oracle would share
+    // the omission. Re-spine against distinct(day) × distinct(type)
+    // with zero counts (which then rank as ordinary low ties). The
+    // spine is |days|·|types| — domain-bounded, broadcast-sized.
+    val spine = census.select("day").distinct()
+      .crossJoin(broadcast(census.select("event_type").distinct()))
+    val full = spine.join(census, Seq("day", "event_type"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
     val wDay = Window.partitionBy("day").orderBy("x")
     val wTie = Window.partitionBy("day", "x")
-    val ranked = census
+    val ranked = full
       .withColumn("r2",
         (rank().over(wDay).cast("bigint") * 2
           + count(lit(1)).over(wTie) - 1))
@@ -3423,12 +3438,19 @@ object Stats {
   private def q405OracleSql: String =
     """WITH census AS (SELECT CAST(ts AS DATE) AS day, event_type,
           CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        spine AS (SELECT d.day, t.event_type
+          FROM (SELECT DISTINCT day FROM census) d
+          CROSS JOIN (SELECT DISTINCT event_type FROM census) t),
+        fullc AS (SELECT s.day, s.event_type,
+            coalesce(c.x, 0) AS x
+          FROM spine s LEFT JOIN census c
+            ON s.day = c.day AND s.event_type = c.event_type),
         ranked AS (SELECT day, event_type,
             CAST(rank() OVER (PARTITION BY day ORDER BY x) AS BIGINT)
               * 2
               + CAST(count(*) OVER (PARTITION BY day, x) AS BIGINT) - 1
               AS r2
-          FROM census),
+          FROM fullc),
         sums AS (SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2_sum
           FROM ranked GROUP BY 1),
         dims AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n,

@@ -1322,6 +1322,12 @@ class ExtensionsSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       .sortBy(_._1)
+    // density precondition of the a.k = b.k + 1 run counter: the
+    // generator must emit gapless orderkeys, else the self-join
+    // silently undercounts run boundaries (and the oracle shares the
+    // assumption, so only this assertion would catch generator drift)
+    assert(data.map(_._1).max - data.map(_._1).min + 1 ===
+      data.length.toLong, "orderkey domain must be dense for q410")
     def model(vals: Seq[String]) = {
       val n = vals.length.toLong
       val ndv = vals.distinct.length.toLong
