@@ -1247,10 +1247,27 @@ object Dedup {
     * (frequency order makes those prefixes the rarest elements, keeping
     * collision df minimal). Verification is the same in-row
     * array_intersect against the cached per-doc set frame as q101.
-    * Scale shape: candidate volume is bounded by Σ df(prefix elements),
-    * never all-pairs, then pruned in-flight by the one-sided length and
-    * positional filters (see q101 for the stack and its completeness
-    * argument); every stage an equi-join. */
+    *
+    * RE-SCOPED (round 10) to AUDIT-STRATUM SCREENING: the contained
+    * side is capped to doc_id < [[ContainmentAuditCap]] while the
+    * probed side stays the FULL corpus — "which docs of this bounded
+    * audit slice appear (≥ 9/10-contained) anywhere in the corpus",
+    * the q84-decontamination shape on the containment axis. Why: sf1
+    * measurement showed UNCAPPED exact containment is structurally
+    * quadratic on a saturating-vocabulary corpus (every token's df
+    * grows ∝ n; 172 s at sf1 in round 9, still 94 s after the round-10
+    * length-class partitioning cut the constant ~2×) — no filter
+    * stack can make an exact all-stratum join subquadratic there. The
+    * production path for corpus-wide containment is q301's linear
+    * fingerprint triage (recall-scored against THIS query as truth);
+    * the uncapped exact join remains available as the
+    * [[containmentJoinExact]] library API (containedMax = None). The
+    * cap is inactive below |docs| = 2000 (all of sf0.01), so the
+    * correctness differential exercises the identical full join.
+    *
+    * Scale shape: candidate volume is Σ over the capped side's
+    * prefixes of length-class-bounded df — linear in corpus size for
+    * the fixed cap; every stage an equi-join. */
   def q110ContainmentJoin(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
     val hs = plantedDocs(s, dir)
@@ -1258,16 +1275,35 @@ object Dedup {
       .filter(size(col("sw_w")) >= ShingleN)
       .select(col("doc_id"), expr(sparkShingleHashes).as("hsd"))
       .cache()
-    containmentJoinExact(hs, 9, 10)
+    containmentJoinExact(hs, 9, 10, Some(ContainmentAuditCap))
   }
+
+  /** q110's audit-stratum bound: contained-side docs are doc_id <
+    * this. 2000 covers every document at sf ≤ 0.04 (the differential
+    * runs the full exact join there) and pins the contained side to a
+    * CONSTANT 2000-doc slice above it, which is what turns the
+    * declared query linear in corpus size. */
+  val ContainmentAuditCap = 2000L
 
   /** Library API: EXACT directed set-containment self-join at ANY
     * rational threshold τ = p/q over a per-doc SET frame (doc_id, hsd)
     * — q110's τ-parameterized core (q110 runs it at 9/10). Emits every
     * ordered pair (a, b), a ≠ b, with |Sa ∩ Sb|·q ≥ p·|Sa|. Filter
     * arithmetic generalizes like [[setSimJoinExact]]'s; PropertySpec
-    * pins the stack against a brute-force model across thresholds. */
-  def containmentJoinExact(hs: DataFrame, p: Int, q: Int): DataFrame = {
+    * pins the stack against a brute-force model across thresholds.
+    *
+    * `containedMax`: optional cap on the CONTAINED side — only docs
+    * with doc_id < containedMax are eligible as `a` (the probed side
+    * stays the full frame, so the answer is "which audit docs are
+    * contained ANYWHERE in the corpus"). With the cap, join volume is
+    * Σ over the capped side's prefixes of class-bounded df — linear in
+    * corpus size for a fixed cap; without it, exact containment on a
+    * saturating-vocabulary corpus is structurally quadratic (every
+    * token's df grows ∝ n, so even rarest-prefix collisions do too).
+    * The returned pairs are exactly the uncapped result filtered to
+    * doc_id_1 < containedMax (pinned in DedupSpec). */
+  def containmentJoinExact(hs: DataFrame, p: Int, q: Int,
+      containedMax: Option[Long] = None): DataFrame = {
     require(p > 0 && q > 0 && p <= q, s"threshold $p/$q not in (0,1]")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("edf"), col("h"))
@@ -1283,6 +1319,8 @@ object Dedup {
     val prefix = ranked
       .filter(col("rn") <=
         col("len") - expr(s"($p * len + ${q - 1}) div $q") + 1)
+      .filter(containedMax
+        .map(m => col("doc_id") < lit(m)).getOrElse(lit(true)))
     // PEL index-prefix bound on the PROBED side: for any valid pair the
     // globally-first common token t* sits within b's first
     // c2 − ⌈0.9·c1⌉ + 1 positions (all ≥ ⌈0.9·c1⌉ common tokens follow
@@ -1292,16 +1330,66 @@ object Dedup {
     // This is the lever that cuts the join's INPUT volume (Σ df
     // products), not just the survivors: the per-pair positional filter
     // below subsumes it logically but runs after the collision exists.
-    // Lmin is ONE planning scalar computed by a pre-job over the cached
-    // doc frame (the same pattern as a CBO statistic: a scalar
+    //
+    // LENGTH-CLASS PARTITIONING (the round-10 fix for the measured
+    // sf1 quadratic): a single corpus-wide Lmin bound is only as tight
+    // as the SHORTEST contained doc — on a corpus whose min set size
+    // is small, the probed side keeps nearly its full frequency order
+    // and the one-sided join degenerates toward b-full × a-prefix.
+    // Partitioning the CONTAINED side into geometric length classes
+    // [L·2ᵏ, L·2ᵏ⁺¹) fixes this structurally: a pair (a, b) is joined
+    // only inside a's class k, where the probed side's PEL bound
+    // tightens from c2 − ⌈τ·Lmin⌉ + 1 to c2 − ⌈τ·L·2ᵏ⌉ + 1 — within a
+    // factor 2 of the per-pair optimum c2 − ⌈τ·c1⌉ + 1. Completeness
+    // per class: c1 ≥ L_k for every a in class k, so the globally-first
+    // common token of a true pair still sits inside the class-k probe
+    // bound (the same first-collision argument, with L_k in place of
+    // Lmin). The probed side is replicated once per VIABLE class (rows
+    // emitted only where the class bound admits them), so total probe
+    // volume is Σₖ (class-k prefix lengths) — geometrically shrinking
+    // in k — instead of |classes|·full frames. The class boundaries
+    // are O(log(Lmax/Lmin)) integers from ONE planning pre-job over
+    // the cached doc frame (the CBO-statistic pattern: a scalar
     // crossJoin(broadcast) would plan as a nested-loop join and trip
     // the suite's no-BNLJ plan assertion) — the pre-job also warms the
     // hs cache both join sides reuse.
-    val lmin = hs.agg(min(size(col("hsd")))).head().getInt(0)
+    // class bounds come from the CONTAINED side (they bound c1 only) —
+    // under a cap that's the capped frame, giving tighter classes
+    val containedHs = containedMax
+      .map(m => hs.filter(col("doc_id") < lit(m))).getOrElse(hs)
+    val lrow = containedHs
+      .agg(min(size(col("hsd"))), max(size(col("hsd")))).head()
+    // lmin clamps to 1: an empty-set doc can never be τ-contained
+    // anyway (0 ≥ τ·0 is vacuous and filtered by a ≠ b semantics),
+    // and class arithmetic needs a positive base; a fully-empty
+    // contained side degenerates to one vacuous class (prefix frame is
+    // already empty, the join just returns no rows)
+    val (lmin, lmax) =
+      if (lrow.isNullAt(0)) (1, 1)
+      else (math.max(lrow.getInt(0), 1), math.max(lrow.getInt(1), 1))
+    val kMax = // classes 0..kMax with L_k = lmin·2ᵏ, L_kMax ≤ lmax
+      if (lmax <= lmin) 0
+      else (31 - Integer.numberOfLeadingZeros(lmax / lmin))
+    // class of a contained doc: largest k with lmin·2ᵏ ≤ len — an
+    // integer CASE chain over ≤ ~32 boundaries, no float log2
+    val clsCase = (kMax to 1 by -1)
+      .map(k => s"WHEN len >= ${lmin.toLong << k} THEN $k")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    // per-class probe bound m_k = ⌈p·L_k/q⌉; a probed row at position
+    // rn survives class k iff rn ≤ len − m_k + 1
+    val boundsArr = (0 to kMax)
+      .map { k =>
+        val m = (p * (lmin.toLong << k) + q - 1) / q
+        s"named_struct('k', $k, 'm', ${m}L)"
+      }
+      .mkString("array(", ", ", ")")
     val probeB = ranked
-      .filter(col("rn") <=
-        col("len") - lit((p * lmin + q - 1) / q) + 1)
-      .select("doc_id", "h", "len", "rn")
+      .select(col("doc_id"), col("h"), col("len"), col("rn"),
+        expr(s"filter($boundsArr, s -> rn <= len - s.m + 1)").as("ks"))
+      .select(col("doc_id"), col("h"), col("len"), col("rn"),
+        explode(col("ks")).as("kb"))
+      .select(col("doc_id"), col("h"), col("len"), col("rn"),
+        col("kb.k").as("cls"))
     // q101's filter stack, one-sided (a-prefix × b-full collisions):
     // LENGTH — overlap ≤ |Sb|, so containment 10·overlap ≥ 9·|Sa| needs
     // 10·c2 ≥ 9·c1; POSITIONAL — a collision at (r1, r2) caps overlap at
@@ -1313,9 +1401,11 @@ object Dedup {
     // truly-containing pair always survives both applications.
     val coll = prefix
       .select(col("doc_id").as("doc_id_1"), col("h"),
-        col("len").as("c1"), col("rn").as("r1"))
+        col("len").as("c1"), col("rn").as("r1"),
+        expr(clsCase).as("cls"))
       .join(probeB.select(col("doc_id").as("doc_id_2"), col("h"),
-        col("len").as("c2"), col("rn").as("r2")), "h")
+        col("len").as("c2"), col("rn").as("r2"), col("cls")),
+        Seq("h", "cls"))
       .filter(col("doc_id_1") =!= col("doc_id_2") &&
         col("c2") * q >= col("c1") * p &&
         (lit(1) + least(col("c1") - col("r1"), col("c2") - col("r2")))
@@ -1350,7 +1440,8 @@ object Dedup {
           FROM sh2 s JOIN edf e ON s.h = e.h
           JOIN cnt c ON s.doc_id = c.doc_id),
         prefix AS (SELECT doc_id, h FROM ranked
-          WHERE rn <= len - ((9 * len + 9) // 10) + 1),
+          WHERE rn <= len - ((9 * len + 9) // 10) + 1
+            AND doc_id < $ContainmentAuditCap),
         cand AS (SELECT DISTINCT a.doc_id AS doc_id_1,
             b.doc_id AS doc_id_2
           FROM prefix a JOIN sh2 b
@@ -1802,7 +1893,11 @@ object Dedup {
     * bites, which the eval itself measures as a recall number — exactly
     * the evidence a pipeline owner needs before trusting the triage at
     * a new scale). The truth side carries q110's exact-join cost:
-    * EVAL-ONLY, like q139; the triage path alone never touches it. */
+    * EVAL-ONLY, like q139; the triage path alone never touches it.
+    * Round 10: both sides score on q110's audit stratum (doc_id <
+    * [[ContainmentAuditCap]]) — recall/precision of the triage on the
+    * slice where exact truth is affordable, the standard eval frame
+    * once the corpus-wide exact join is re-scoped away. */
   def q301ContainmentEval(s: SparkSession, dir: String): DataFrame = {
     val fps = graft.operators.TextOps.winnowFps(plantedDocs(s, dir))
       .cache()
@@ -1819,6 +1914,10 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .join(nfp.withColumnRenamed("doc_id", "doc_id_1"), "doc_id_1")
       .filter(col("n_shared") * 10 >= col("nfp") * 9)
+      // scored on the SAME audit stratum as the truth side (q110's
+      // round-10 re-scope) — precision against out-of-stratum triage
+      // pairs would be meaningless when truth can't contain them
+      .filter(col("doc_id_1") < lit(ContainmentAuditCap))
       .select("doc_id_1", "doc_id_2")
     val truth = q110ContainmentJoin(s, dir)
       .select("doc_id_1", "doc_id_2")
@@ -1849,7 +1948,7 @@ object Dedup {
           GROUP BY 1, 2),
         triage AS (SELECT d1, d2 FROM shared
           JOIN nfp ON nfp.doc_id = shared.d1
-          WHERE ns * 10 >= nfp * 9),
+          WHERE ns * 10 >= nfp * 9 AND d1 < $ContainmentAuditCap),
         truth AS (SELECT doc_id_1, doc_id_2 FROM ($q110OracleSql) tt)
         SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
           CAST((SELECT count(*) FROM triage) AS BIGINT) AS n_triage,

@@ -149,20 +149,32 @@ object Extensions {
   }
 
   // q39 — hierarchical subtotals: ROLLUP over returnflag/linestatus (the
-  // grouping-sets family; one shuffle, subtotal rows carry NULL keys).
+  // grouping-sets family; subtotal rows carry NULL keys). The corpus is
+  // collapsed to the 6-cell (flag, status) census FIRST and the rollup
+  // Expand runs over the census, not the corpus: a naive rollup Expands
+  // every input row once per grouping set (×3 here, ×(d+1) generally) —
+  // at 100 TB that triples the shuffle for subtotals the cell frame
+  // already determines. Counts re-sum and DECIMAL sums re-sum exactly,
+  // so the released values are bit-identical to the direct rollup.
   def q39Rollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("s0"))
       .rollup("l_returnflag", "l_linestatus")
       .agg(
-        count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(18,2)"))
-          .cast("double").as("sum_qty"))
+        sum(col("n0")).as("n"),
+        sum(col("s0")).cast("double").as("sum_qty"))
 
   // q40 — full cross-dimensional subtotals: CUBE over status/priority.
+  // Same census-first discipline as q39 (cube Expands ×4 per row).
   def q40Cube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n0"))
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n0")).as("n"))
 
   // Shared z-score predicate text: identical on both engines so the
   // double arithmetic associates identically. Inputs are exact (integer

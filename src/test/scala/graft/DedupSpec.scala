@@ -8,6 +8,32 @@ import graft.operators.Dedup
   * recall, hamming locality of simhash, jaccard identity. */
 class DedupSpec extends SparkSpec {
 
+  test("containmentJoinExact containedMax pins the audit-stratum " +
+    "contract: capped result == uncapped result filtered to the cap") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val hs = graft.sources.Tables.load(spark, sf1, "documents")
+      .withColumn("hsd", expr(
+        s"shingle_hashes(split(text, ' '), ${Dedup.ShingleN})"))
+      .filter(size(col("hsd")) > 0)
+      .select("doc_id", "hsd")
+      .cache()
+    val cap = 40L // strictly inside the sf0.001 doc_id domain
+    val capped = Dedup.containmentJoinExact(hs, 9, 10, Some(cap))
+      .select("doc_id_1", "doc_id_2").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet
+    val filtered = Dedup.containmentJoinExact(hs, 9, 10, None)
+      .filter(col("doc_id_1") < cap)
+      .select("doc_id_1", "doc_id_2").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === filtered,
+      "cap must restrict the contained side and nothing else")
+    // the probed side must remain the FULL corpus: at least one pair
+    // escapes the stratum on the b side (planted excerpt bases sit at
+    // doc_id + PlantedOffset, far above the cap)
+    assert(capped.exists(_._2 >= cap),
+      "capped join lost out-of-stratum probed docs")
+  }
+
   test("q30 minhash-LSH recalls most planted near-duplicates") {
     val pairs = Dedup.q30DedupMinhashLsh(spark, sf1)
     val planted = pairs.filter(
