@@ -213,11 +213,12 @@ object EventStream {
     * Scale shape: the same partial-agg + state-store plan a production
     * stream runs; state is O(open windows × event_types), bounded by
     * the watermark horizon, not stream length. */
-  def q109StreamWindows(s: SparkSession, dir: String)
+  def q109StreamWindows(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     val name = "q109_stream_windows_mem"
     s.catalog.dropTempView(name) // idempotent across re-runs in a session
-    val q = windowedAgg(readEvents(s, dir).withWatermark("ts", "1 day"))
+    val q = windowedAgg(readEvents(s, dir, maxFilesPerTrigger).withWatermark("ts", "1 day"))
       .writeStream
       .outputMode("complete")
       .format("memory")
@@ -239,11 +240,12 @@ object EventStream {
     * Scale shape: state is one small row per user (bounded by
     * cardinality, not stream length; production adds a timeout to
     * expire idle users). */
-  def q114StreamProfiles(s: SparkSession, dir: String)
+  def q114StreamProfiles(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     val name = "q114_stream_profiles_mem"
     s.catalog.dropTempView(name)
-    val q = runningUserActivity(typedEvents(readEvents(s, dir)))
+    val q = runningUserActivity(typedEvents(readEvents(s, dir, maxFilesPerTrigger)))
       .toDF()
       .writeStream
       .outputMode("update")
@@ -275,13 +277,14 @@ object EventStream {
     * doesn't depend on batch boundaries. Completes the declared
     * streaming trio: q109 windowed agg, q114 mapGroupsWithState,
     * q117 flatMapGroupsWithState. */
-  def q117StreamSessions(s: SparkSession, dir: String)
+  def q117StreamSessions(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     val name = "q117_stream_sessions_mem"
     s.catalog.dropTempView(name)
     import s.implicits._
     val q = sessionizeStateful(
-      typedEvents(readEvents(s, dir)), SessionGapSeconds)
+      typedEvents(readEvents(s, dir, maxFilesPerTrigger)), SessionGapSeconds)
       .toDF()
       .writeStream
       .outputMode("append")
@@ -311,7 +314,8 @@ object EventStream {
     * timestamps reach Spark truncated to micros (ts div 1000), so the
     * oracle joins on `epoch_ns(ts) // 1000` — identical integer micros
     * on both engines, and the declared gap is exact integer micros. */
-  def q121StreamIntervalJoin(s: SparkSession, dir: String)
+  def q121StreamIntervalJoin(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     val name = "q121_stream_interval_join_mem"
     s.catalog.dropTempView(name)
@@ -323,7 +327,7 @@ object EventStream {
     val before = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = clickPurchaseJoin(readEvents(s, dir),
+      val q = clickPurchaseJoin(readEvents(s, dir, maxFilesPerTrigger),
           "2 hours", "INTERVAL 1 HOUR")
         .select(col("click_id"), col("purchase_id"),
           (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
@@ -350,11 +354,12 @@ object EventStream {
     * single-batch finite replay makes the redelivery in-horizon by
     * construction, so exactly-once is total here and the differential
     * hash-checks it. */
-  def q126StreamDedup(s: SparkSession, dir: String)
+  def q126StreamDedup(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     val name = "q126_stream_dedup_mem"
     s.catalog.dropTempView(name)
-    val doubled = readEvents(s, dir).unionByName(readEvents(s, dir))
+    val doubled = readEvents(s, dir, maxFilesPerTrigger).unionByName(readEvents(s, dir, maxFilesPerTrigger))
     val q = dedupStream(
         doubled.select("event_id", "ts", "user_id", "event_type"),
         "1 day")
@@ -381,14 +386,15 @@ object EventStream {
     * GROUP BY the oracle runs. Scale shape: the streaming side never
     * shuffles for the join (broadcast), and the complete-mode state is
     * O(nations). */
-  def q140StreamEnrich(s: SparkSession, dir: String)
+  def q140StreamEnrich(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     val name = "q140_stream_enrich_mem"
     s.catalog.dropTempView(name)
     val dim = graft.sources.Tables.load(s, dir, "customer")
       .select(col("c_custkey").as("user_id"),
         col("c_nationkey").cast("bigint").as("nation"))
-    val q = readEvents(s, dir)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
       .join(broadcast(dim), "user_id")
       .groupBy("nation")
       .agg(count(lit(1)).as("n_events"),
@@ -450,12 +456,13 @@ object EventStream {
     * co-located, with the snapshot stored in a transactional table
     * format. `localCheckpoint` after every merge truncates lineage,
     * the q99 iterative discipline applied to a streaming accumulator. */
-  def q146StreamUpsert(s: SparkSession, dir: String)
+  def q146StreamUpsert(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     var snapshot = Seq.empty[(Long, Long, String, Long)]
       .toDF("user_id", "k", "last_type", "n_upserts")
-    val q = readEvents(s, dir)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
       .select(col("user_id"),
         (unix_timestamp(col("ts")) * UpsertKeyScale + col("event_id"))
           .as("k"),
@@ -519,7 +526,8 @@ object EventStream {
     * index-partition write; nothing ever rescans the corpus, and
     * corpus-vs-corpus pairs are never regenerated (q152's invariant,
     * maintained continuously). */
-  def q157StreamLsh(s: SparkSession, dir: String)
+  def q157StreamLsh(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.registerAll(s)
@@ -527,7 +535,7 @@ object EventStream {
     var index = Seq.empty[(Long, Int, String)]
       .toDF("doc_id", "band", "bkey")
     var pairs = Seq.empty[(Long, Long)].toDF("doc_id_1", "doc_id_2")
-    val docs = readDocs(s, dir).select("doc_id", "text")
+    val docs = readDocs(s, dir, maxFilesPerTrigger).select("doc_id", "text")
     val planted = docs.unionByName(docs.select(
       (col("doc_id") + D.PlantedOffset).as("doc_id"),
       expr("array_join(slice(split(text, ' '), 1, " +
@@ -578,7 +586,8 @@ object EventStream {
     * one equi-join against the (at scale, bucketed) index on
     * (band, bkey); the corpus is never rescanned; state = the banded
     * chunk index, ~2.3 rows per document chunk band. */
-  def q302StreamChunkDedup(s: SparkSession, dir: String)
+  def q302StreamChunkDedup(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.registerAll(s)
@@ -586,7 +595,7 @@ object EventStream {
     var index = Seq.empty[(Long, Int, String)]
       .toDF("doc_id", "band", "bkey")
     var pairs = Seq.empty[(Long, Long)].toDF("doc_id_1", "doc_id_2")
-    val docs = readDocs(s, dir).select("doc_id", "text")
+    val docs = readDocs(s, dir, maxFilesPerTrigger).select("doc_id", "text")
     val planted = docs.unionByName(docs.select(
       (col("doc_id") + D.PlantedOffset).as("doc_id"),
       expr("array_join(slice(split(text, ' '), 1, " +
@@ -637,11 +646,12 @@ object EventStream {
     * evicted as the watermark passes — O(active sessions), not
     * O(stream); the session merge runs inside the state store, never a
     * corpus window. */
-  def q188StreamSessionWindow(s: SparkSession, dir: String)
+  def q188StreamSessionWindow(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     val name = "q188_stream_session_window_mem"
     s.catalog.dropTempView(name)
-    val q = readEvents(s, dir)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
       .withColumn("ts_s", date_trunc("second", col("ts")))
       .withWatermark("ts_s", "0 seconds")
       .groupBy(session_window(col("ts_s"), "30 minutes"), col("user_id"))
@@ -707,13 +717,14 @@ object EventStream {
     * the same aggregator swaps into q209/q211 when exact distincts
     * stop fitting — this query pins its semantics under the
     * differential. */
-  def q236StreamKmv(s: SparkSession, dir: String)
+  def q236StreamKmv(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     val name = "q236_stream_kmv_mem"
     s.catalog.dropTempView(name)
     val kmv = udaf(new graft.functions.KmvMin(StreamKmvK),
       org.apache.spark.sql.Encoders.scalaLong)
-    val q = readEvents(s, dir)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
       .withWatermark("ts", "1 day")
       .select(col("ts"), col("event_type"),
         expr(s"(user_id * 1103515245 + 12345) % $StreamKmvM").as("hv"))
@@ -782,14 +793,15 @@ object EventStream {
     * the exact side exists only to make the guarantee checkable and
     * runs as one (day, type, key) census — the thing the sketch
     * replaces at 100 TB. */
-  def q239StreamHeavyHitters(s: SparkSession, dir: String)
+  def q239StreamHeavyHitters(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     val name = "q239_stream_hh_mem"
     s.catalog.dropTempView(name)
     val mg = udaf(new graft.functions.MisraGries(StreamHhK),
       org.apache.spark.sql.Encoders.scalaLong)
     val keyExpr = "CASE WHEN user_id % 10 = 0 THEN -1 ELSE user_id END"
-    val q = readEvents(s, dir)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
       .withWatermark("ts", "1 day")
       .withColumn("k", expr(keyExpr))
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -847,11 +859,12 @@ object EventStream {
     * Scale shape: streaming state is |open windows|·|types|·|bins ≤
     * 561| longs regardless of stream length; the readout windows ride
     * the domain-sized sketch, never events. */
-  def q253StreamQuantile(s: SparkSession, dir: String)
+  def q253StreamQuantile(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     val name = "q253_stream_quantile_mem"
     s.catalog.dropTempView(name)
-    val q = readEvents(s, dir)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
       .withWatermark("ts", "1 day")
       .select(col("ts"), col("event_type"),
         expr("CAST(floor(value) AS BIGINT)").as("bin"))
@@ -917,15 +930,17 @@ object EventStream {
     * event. Fractional accrual lost to the integer div is the declared
     * semantics — mirrored exactly by the oracle's recursive CTE.
     *
-    * SINGLE-BATCH DRAINED-REPLAY ASSUMPTION: events are sorted only
-    * WITHIN each micro-batch invocation. The AvailableNow drain of the
-    * file source delivers the whole table in one micro-batch here (the
-    * spec asserts exactly one emission per user), which is what makes
-    * the per-invocation sort equal to the oracle's global order. If a
-    * deployment's source split a user's history across batches with an
-    * earlier-keyed event in a later batch, the replay would process it
-    * out of global order — such a source needs an event-time-watermark
-    * sort upstream of this operator. */
+    * ORDER-PRESERVING REPLAY CONTRACT: events are sorted only WITHIN
+    * each micro-batch invocation, so the replay equals the oracle's
+    * global order exactly when batches ascend in event time — trivially
+    * true for the single-batch AvailableNow drain of one file (the spec
+    * asserts one emission per user there), and true for ANY time-ordered
+    * multi-batch split, because each user's per-batch sorts then
+    * concatenate to the global sort while the bucket state carries
+    * across invocations (MultiBatchConfluenceSpec forces a 4-batch
+    * event-time-quartile replay and pins equality). A source that
+    * delivers an earlier-keyed event in a later batch breaks the
+    * contract and needs an event-time-watermark sort upstream. */
   def rateLimitStateful(ds: Dataset[Event]): Dataset[RateCounts] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
@@ -972,12 +987,13 @@ object EventStream {
     * Scale shape: state is TWO longs per active user regardless of
     * stream length; the per-batch emissions re-aggregate with a
     * user-keyed sum (map-side combinable) after the drain. */
-  def q267StreamRateLimit(s: SparkSession, dir: String)
+  def q267StreamRateLimit(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     val name = "q267_stream_rate_limit_mem"
     s.catalog.dropTempView(name)
     import s.implicits._
-    val q = rateLimitStateful(typedEvents(readEvents(s, dir)))
+    val q = rateLimitStateful(typedEvents(readEvents(s, dir, maxFilesPerTrigger)))
       .toDF()
       .writeStream
       .outputMode("append")
@@ -1047,17 +1063,19 @@ object EventStream {
     * re-aggregate with max(stage) — the stage is monotone, so the
     * merge is associative and later batches only raise it. That
     * monotone-merge claim covers REPEATED emissions, not reordering:
-    * like q267, events are sorted only within each micro-batch
-    * (single-batch drained-replay assumption, see rateLimitStateful),
-    * so an earlier-KEYED event arriving in a later batch would replay
-    * out of global order. The AvailableNow drain delivers one batch
-    * here and the spec pins one emission per user. */
-  def q283StreamFunnel(s: SparkSession, dir: String)
+    * like q267, events are sorted only within each micro-batch, so the
+    * machine follows the order-preserving replay contract (see
+    * rateLimitStateful) — exact under the single-batch drain AND under
+    * any time-ordered multi-batch split, which
+    * MultiBatchConfluenceSpec forces (4 event-time-quartile files,
+    * maxFilesPerTrigger=1) and pins equal. */
+  def q283StreamFunnel(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     val name = "q283_stream_funnel_mem"
     s.catalog.dropTempView(name)
     import s.implicits._
-    val machine = typedEvents(readEvents(s, dir))
+    val machine = typedEvents(readEvents(s, dir, maxFilesPerTrigger))
       .map(e => (e.user_id, e.event_type,
         (e.ts.getTime / 1000) * 10000000L + e.event_id))
       .groupByKey(_._1)
@@ -1151,7 +1169,8 @@ object EventStream {
     * Scale shape: the streaming census is map-side combined per
     * micro-batch (counts merge); the post-replay scoring joins
     * domain-sized frames only (days × 9 bins). */
-  def q313StreamPsi(s: SparkSession, dir: String)
+  def q313StreamPsi(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     val name = "q313_stream_psi_mem"
     s.catalog.dropTempView(name)
@@ -1160,7 +1179,7 @@ object EventStream {
         case ((edge, i), rest) =>
           when(col("vc") < edge, (i + 1).toLong).otherwise(rest)
       }
-    val q = readEvents(s, dir)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
       .withWatermark("ts", "1 day")
       .select(col("ts"),
         expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
@@ -1252,11 +1271,12 @@ object EventStream {
     * Scale shape: streaming census map-side combined per batch; the
     * cumsum window and totals ride the |days|-bounded drained frame
     * (the q198/q132 unpartitioned-window argument). */
-  def q336StreamCusum(s: SparkSession, dir: String)
+  def q336StreamCusum(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     val name = "q336_stream_cusum_mem"
     s.catalog.dropTempView(name)
-    val q = readEvents(s, dir)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"))
       .agg(count(lit(1)).as("n"))
@@ -1754,7 +1774,7 @@ object EventStream {
       ((s: SparkSession, d: String) => q353StreamVocabGrowth(s, d)),
     "q347_stream_spectrum" ->
       ((s: SparkSession, d: String) => q347StreamSpectrum(s, d)),
-    "q336_stream_cusum" -> (q336StreamCusum _),
+    "q336_stream_cusum" -> ((s, d) => q336StreamCusum(s, d)),
     "q369_stream_acf" ->
       ((s: SparkSession, d: String) => q369StreamAcf(s, d)),
     "q388_stream_sprt" ->
@@ -1765,22 +1785,22 @@ object EventStream {
       ((s: SparkSession, d: String) => q412StreamHalving(s, d)),
     "q419_stream_pocock" ->
       ((s: SparkSession, d: String) => q419StreamPocock(s, d)),
-    "q313_stream_psi" -> (q313StreamPsi _),
-    "q302_stream_chunk_dedup" -> (q302StreamChunkDedup _),
-    "q283_stream_funnel" -> (q283StreamFunnel _),
-    "q267_stream_rate_limit" -> (q267StreamRateLimit _),
-    "q253_stream_quantile" -> (q253StreamQuantile _),
-    "q239_stream_heavy_hitters" -> (q239StreamHeavyHitters _),
-    "q236_stream_kmv" -> (q236StreamKmv _),
-    "q188_stream_session_window" -> (q188StreamSessionWindow _),
-    "q157_stream_lsh" -> (q157StreamLsh _),
-    "q146_stream_upsert" -> (q146StreamUpsert _),
-    "q140_stream_enrich" -> (q140StreamEnrich _),
-    "q109_stream_windows" -> (q109StreamWindows _),
-    "q114_stream_profiles" -> (q114StreamProfiles _),
-    "q117_stream_sessions" -> (q117StreamSessions _),
-    "q121_stream_interval_join" -> (q121StreamIntervalJoin _),
-    "q126_stream_dedup" -> (q126StreamDedup _))
+    "q313_stream_psi" -> ((s, d) => q313StreamPsi(s, d)),
+    "q302_stream_chunk_dedup" -> ((s, d) => q302StreamChunkDedup(s, d)),
+    "q283_stream_funnel" -> ((s, d) => q283StreamFunnel(s, d)),
+    "q267_stream_rate_limit" -> ((s, d) => q267StreamRateLimit(s, d)),
+    "q253_stream_quantile" -> ((s, d) => q253StreamQuantile(s, d)),
+    "q239_stream_heavy_hitters" -> ((s, d) => q239StreamHeavyHitters(s, d)),
+    "q236_stream_kmv" -> ((s, d) => q236StreamKmv(s, d)),
+    "q188_stream_session_window" -> ((s, d) => q188StreamSessionWindow(s, d)),
+    "q157_stream_lsh" -> ((s, d) => q157StreamLsh(s, d)),
+    "q146_stream_upsert" -> ((s, d) => q146StreamUpsert(s, d)),
+    "q140_stream_enrich" -> ((s, d) => q140StreamEnrich(s, d)),
+    "q109_stream_windows" -> ((s, d) => q109StreamWindows(s, d)),
+    "q114_stream_profiles" -> ((s, d) => q114StreamProfiles(s, d)),
+    "q117_stream_sessions" -> ((s, d) => q117StreamSessions(s, d)),
+    "q121_stream_interval_join" -> ((s, d) => q121StreamIntervalJoin(s, d)),
+    "q126_stream_dedup" -> ((s, d) => q126StreamDedup(s, d)))
 
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
