@@ -166,4 +166,66 @@ class TablesSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { new JdbcBinding("u", "d", 0) }
   }
+
+  // S1/S2 LIVE: Derby ships with the Spark distribution (the Hive
+  // metastore's embedded store), so an in-memory Derby database
+  // exercises the REAL JDBC read path — driver registration, dialect,
+  // stride query generation — with zero network access.
+  private val derbyUrl = "jdbc:derby:memory:grafttest;create=true"
+  private val derbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  private def seedDerbyCustomer(): org.apache.spark.sql.DataFrame = {
+    val src = Tables.load(spark, sf1, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    // write through Spark's own JDBC sink (DerbyDialect): creates the
+    // table and inserts all rows — the S3 write side of the round-trip
+    src.write.format("jdbc")
+      .option("url", derbyUrl).option("driver", derbyDriver)
+      .option("dbtable", "customer").mode("overwrite").save()
+    src
+  }
+
+  test("JdbcBinding live plain read against embedded Derby equals " +
+    "the parquet table") {
+    val src = seedDerbyCustomer()
+    val back = new JdbcBinding(derbyUrl, derbyDriver)
+      .table(spark, "customer")
+    assert(back.columns.toSeq ===
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+      "Derby upper-cases identifiers; normalize must lower them back")
+    assert(back.collect().map(_.toString).sorted.toSeq ===
+      src.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("JdbcBinding live stride-partitioned read returns EVERY row — " +
+    "bounds set stride, not a filter — across the declared partitions") {
+    val src = seedDerbyCustomer()
+    val n = src.count()
+    // bounds deliberately NARROWER than the real key range: rows with
+    // c_custkey outside [40, 100) must still come back (reference
+    // README.md:539-543 semantics, previously only documented)
+    val part = new JdbcBinding(derbyUrl, derbyDriver,
+      partition = Some(("C_CUSTKEY", 40L, 100L, 4)))
+      .table(spark, "customer")
+    assert(part.rdd.getNumPartitions === 4,
+      "numPartitions must drive the scan's parallelism")
+    assert(part.count() === n,
+      "a stride-partitioned read filtered rows — bounds are NOT a filter")
+    assert(part.collect().map(_.toString).sorted.toSeq ===
+      src.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("Spark's JDBC source enforces all-or-none partition options " +
+    "(partitionColumn without bounds raises)") {
+    seedDerbyCustomer()
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("jdbc")
+        .option("url", derbyUrl).option("driver", derbyDriver)
+        .option("dbtable", "customer")
+        .option("partitionColumn", "C_CUSTKEY")
+        .load()
+    }
+    assert(e.getMessage.toLowerCase.contains("partitioncolumn"),
+      s"unexpected error surface: ${e.getMessage}")
+  }
 }
