@@ -4358,6 +4358,719 @@ object Stats {
             AS cumhaz_micro
         FROM hazard"""
 
+  // ------------------------------------------------------------ q426
+
+  /** q426 — TWO-SAMPLE ANDERSON–DARLING between purchase and click
+    * event values (the TAIL-SENSITIVE completion of the two-sample
+    * distribution tests: q321's KS weights every quantile equally and
+    * is famously blind to tail divergence, q420's Cramér–von Mises
+    * integrates squared distance uniformly — AD re-weights by
+    * 1/(F(1−F)), the variance of the empirical process, which is what
+    * makes it the test of record when the tails are the question, as
+    * they are for heavy-tailed revenue payloads). Scholz–Stephens ties
+    * form on the pooled cents grid: A² = (1/(n·m)) Σ_{cells, B<N}
+    * l·(N·M − n·B)²/(B·(N−B)) with l the pooled cell count, B the
+    * pooled cumulative, M the sample-1 cumulative. Each cell's term is
+    * released at micro precision by EXACT integer division in
+    * decimal(38,0) (truncation is part of the declared statistic — the
+    * cross-engine float-fold discipline: a data-length double Σ would
+    * be reduction-order-dependent), so the sum and the final
+    * a2_micro = Σ div (n·m) are bit-identical on both engines.
+    *
+    * Scale shape: the q303/q321 value-domain census (cents grid of an
+    * Exp(50) payload, ~10⁴ cells at any SF) — one corpus scan map-side
+    * combined, ONE ordered window over the census, one scalar
+    * aggregate. */
+  def q426AndersonDarling(s: SparkSession, dir: String): DataFrame = {
+    val grp = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select((col("event_type") === "purchase").as("arm"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("vc").agg(
+        sum(when(col("arm"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm"), 0L).otherwise(1L)).as("nb"))
+    val w = Window.orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grp.select(col("na") + col("nb") as "l",
+      sum("na").over(w).as("cm"),
+      sum(col("na") + col("nb")).over(w).as("cb"))
+    val tot = grp.agg(sum("na").as("n1"), sum("nb").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("cb") < col("n1") + col("n2"))
+      .select(col("n1"), col("n2"),
+        expr("""CAST(l AS DECIMAL(38,0))
+             * ((n1 + n2) * cm - n1 * cb) * ((n1 + n2) * cm - n1 * cb)
+             * 1000000 div (cb * ((n1 + n2) - cb))""").as("t_micro"))
+      .groupBy("n1", "n2")
+      .agg(count(lit(1)).as("cells"),
+        sum("t_micro").as("tsum"))
+      .select(col("n1"), col("n2"), col("cells"),
+        expr("""CAST(CAST(tsum AS DECIMAL(38,0))
+             div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)""")
+          .as("a2_micro"))
+  }
+
+  private def q426OracleSql: String =
+    """WITH ev AS (SELECT event_type = 'purchase' AS arm,
+          CAST(floor(value * 100) AS BIGINT) AS vc
+        FROM events WHERE event_type IN ('purchase', 'click')),
+        grp AS (SELECT vc,
+          CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(sum(CASE WHEN arm THEN 0 ELSE 1 END) AS BIGINT) AS nb
+          FROM ev GROUP BY vc),
+        cum AS (SELECT na + nb AS l,
+          CAST(sum(na) OVER (ORDER BY vc) AS BIGINT) AS cm,
+          CAST(sum(na + nb) OVER (ORDER BY vc) AS BIGINT) AS cb
+          FROM grp),
+        tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+          CAST(sum(nb) AS BIGINT) AS n2 FROM grp),
+        terms AS (SELECT n1, n2,
+          CAST(l AS HUGEINT)
+            * ((n1 + n2) * cm - n1 * cb) * ((n1 + n2) * cm - n1 * cb)
+            * 1000000 // (cb * ((n1 + n2) - cb)) AS t_micro
+          FROM cum CROSS JOIN tot WHERE cb < n1 + n2)
+        SELECT n1, n2, CAST(count(*) AS BIGINT) AS cells,
+          CAST(sum(t_micro) // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+            AS a2_micro
+        FROM terms GROUP BY n1, n2"""
+
+  // ------------------------------------------------------------ q427
+
+  /** q427's treatment count (the five event types). */
+  val CochranK = 5L
+
+  /** q427 — COCHRAN'S Q over per-user event-type incidence (the
+    * k-correlated-proportions test the pairwise family can't express:
+    * q422's McNemar compares TWO binary outcomes on matched users;
+    * with five outcomes — "did this user ever click / error /
+    * purchase / signup / view" — testing pairs inflates familywise
+    * error and ignores the blocking, while Cochran's Q is exactly the
+    * Friedman test specialized to binary data and tests all five
+    * marginal proportions at once). Q = (k−1)·(k·ΣC_j² − S²) /
+    * (k·S − ΣR_u²) with C_j the per-type user counts, R_u the
+    * per-user type counts, S = ΣR_u — every operand an EXACT integer
+    * off one census, released as q_milli by integer division
+    * (NULL-guarded when all users hit all or no types).
+    *
+    * Scale shape: one corpus scan map-side combined to the per-user
+    * flag frame (the q209/q422 per-user census), then one scalar
+    * aggregate; the 5 column sums and ΣR² ride the same pass. */
+  def q427CochranQ(s: SparkSession, dir: String): DataFrame = {
+    val flags = Q421Types.zipWithIndex.map { case (tp, i) =>
+      max(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"f$i")
+    }
+    val per = t(s, dir, "events")
+      .groupBy("user_id").agg(flags.head, flags.tail: _*)
+      .withColumn("r", Q421Types.indices.map(i => col(s"f$i"))
+        .reduce(_ + _))
+    val cSums = Q421Types.indices.map(i => sum(s"f$i").as(s"c$i"))
+    val g = per.agg(count(lit(1)).as("n_users"),
+      (cSums :+ sum("r").as("s") :+
+        sum(expr("r * r")).as("sum_r2")): _*)
+    val sumC2 = Q421Types.indices
+      .map(i => s"CAST(c$i AS DECIMAL(38,0)) * c$i")
+      .mkString("(", " + ", ")")
+    g.select(col("n_users"), col("s"), col("sum_r2"),
+      expr(s"CAST($sumC2 AS BIGINT)").as("sum_c2"),
+      expr(s"""CASE WHEN $CochranK * s - sum_r2 = 0 THEN NULL
+           ELSE CAST((1000 * (${CochranK - 1})
+             * ($CochranK * $sumC2 - CAST(s AS DECIMAL(38,0)) * s))
+             div ($CochranK * CAST(s AS DECIMAL(38,0)) - sum_r2)
+             AS BIGINT) END""").as("q_milli"))
+  }
+
+  private def q427OracleSql: String = {
+    val flagCols = Q421Types.zipWithIndex.map { case (tp, i) =>
+      s"""CAST(max(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END)
+          AS BIGINT) AS f$i"""
+    }.mkString(", ")
+    val r = Q421Types.indices.map(i => s"f$i").mkString(" + ")
+    val cCols = Q421Types.indices
+      .map(i => s"CAST(sum(f$i) AS BIGINT) AS c$i").mkString(", ")
+    val sumC2 = Q421Types.indices
+      .map(i => s"CAST(c$i AS HUGEINT) * c$i").mkString("(", " + ", ")")
+    s"""WITH per AS (SELECT user_id, $flagCols
+          FROM events GROUP BY user_id),
+        withr AS (SELECT *, $r AS r FROM per),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n_users, $cCols,
+          CAST(sum(r) AS BIGINT) AS s,
+          CAST(sum(r * r) AS BIGINT) AS sum_r2 FROM withr)
+        SELECT n_users, s, sum_r2, CAST($sumC2 AS BIGINT) AS sum_c2,
+          CASE WHEN $CochranK * s - sum_r2 = 0 THEN NULL
+            ELSE CAST((1000 * ${CochranK - 1}
+              * ($CochranK * $sumC2 - CAST(s AS HUGEINT) * s))
+              // ($CochranK * CAST(s AS HUGEINT) - sum_r2) AS BIGINT)
+            END AS q_milli
+        FROM g"""
+  }
+
+  // ------------------------------------------------------------ q428
+
+  /** q428 — JONCKHEERE–TERPSTRA ordered-alternative test: does order
+    * value trend MONOTONICALLY across the five priority classes
+    * 1-URGENT → 5-LOW? (The ordered sibling of q322's Kruskal–Wallis:
+    * KW asks "do the groups differ AT ALL" and burns power on
+    * non-monotone patterns; when the alternative is ordered — priority
+    * classes, dose levels, quality tiers — JT's sum of pairwise
+    * Mann–Whitney counts in the hypothesized direction is the standard
+    * test.) J is carried DOUBLED so midrank ties stay integral:
+    * j2 = Σ_{g<h} Σ_cells c_h·(2·cumlt_g + c_g) over the whole-dollar
+    * value census; e2 = n² − Σn_g² (= 4·E[J], so z's numerator is
+    * 2·j2 − e2 over 4·σ); z through the no-tie
+    * normal variance (n²(2n+3) − Σn_g²(2n_g+3))/72 as ONE shared-text
+    * double expression over exact integers (documented: the tie
+    * correction is negligible on this near-continuous grid and both
+    * engines share the omission by construction).
+    *
+    * Scale shape: one corpus scan to the (whole-dollar × 5-group)
+    * census — value-domain-bounded (~5·10⁵ cells at any SF); ONE
+    * ordered window carrying five cumulative sums; one scalar
+    * aggregate folding all ten group pairs. */
+  def q428Jonckheere(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "orders")
+      .select(expr("CAST(substring(o_orderpriority, 1, 1) AS INT)")
+        .as("g"),
+        expr("CAST(floor(o_totalprice) AS BIGINT)").as("vd"))
+      .groupBy("vd")
+      .agg(sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"),
+        (2 to 5).map(g =>
+          sum(when(col("g") === g, 1L).otherwise(0L)).as(s"c$g")): _*)
+    val w = Window.orderBy("vd")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = census.select(
+      (1 to 5).flatMap(g => Seq(col(s"c$g"),
+        (sum(s"c$g").over(w) - col(s"c$g")).as(s"lt$g"))): _*)
+    val pairTerm = (for {
+      g <- 1 to 5; h <- 1 to 5 if g < h
+    } yield s"CAST(c$h AS DECIMAL(38,0)) * (2 * lt$g + c$g)")
+      .mkString(" + ")
+    val agg = cum.agg(
+      expr(s"CAST(sum($pairTerm) AS BIGINT)").as("j2"),
+      (1 to 5).map(g => sum(s"c$g").as(s"n$g")): _*)
+    val n = (1 to 5).map(g => s"n$g").mkString("(", " + ", ")")
+    val sn2 = (1 to 5).map(g => s"CAST(n$g AS DECIMAL(38,0)) * n$g")
+      .mkString("(", " + ", ")")
+    val varnum = s"""(CAST($n AS DECIMAL(38,0)) * $n * (2 * $n + 3)
+      - ${(1 to 5).map(g =>
+        s"CAST(n$g AS DECIMAL(38,0)) * n$g * (2 * n$g + 3)")
+        .mkString("(", " + ", ")")})"""
+    agg.select(col("j2"),
+      expr(s"CAST(CAST($n AS DECIMAL(38,0)) * $n - $sn2 AS BIGINT)")
+        .as("e2"),
+      expr(s"CAST($n AS BIGINT)").as("n"),
+      expr(s"""CAST(floor((2.0 * j2 - (CAST($n AS DOUBLE)
+           * $n - CAST($sn2 AS DOUBLE)))
+           / (4.0 * sqrt(CAST($varnum AS DOUBLE) / 72.0)) * 1000000)
+           AS BIGINT)""").as("z_micro"))
+  }
+
+  private def q428OracleSql: String = {
+    val cCols = (1 to 5).map(g =>
+      s"CAST(sum(CASE WHEN g = $g THEN 1 ELSE 0 END) AS BIGINT) AS c$g")
+      .mkString(", ")
+    val ltCols = (1 to 5).map(g =>
+      s"""CAST(sum(c$g) OVER (ORDER BY vd) - c$g AS BIGINT)
+          AS lt$g""").mkString(", ")
+    val pairTerm = (for {
+      g <- 1 to 5; h <- 1 to 5 if g < h
+    } yield s"CAST(c$h AS HUGEINT) * (2 * lt$g + c$g)").mkString(" + ")
+    val nCols = (1 to 5).map(g =>
+      s"CAST(sum(c$g) AS BIGINT) AS n$g").mkString(", ")
+    val n = (1 to 5).map(g => s"n$g").mkString("(", " + ", ")")
+    val sn2 = (1 to 5).map(g => s"CAST(n$g AS HUGEINT) * n$g")
+      .mkString("(", " + ", ")")
+    val varnum = s"""(CAST($n AS HUGEINT) * $n * (2 * $n + 3)
+      - ${(1 to 5).map(g =>
+        s"CAST(n$g AS HUGEINT) * n$g * (2 * n$g + 3)")
+        .mkString("(", " + ", ")")})"""
+    s"""WITH census AS (SELECT
+          CAST(floor(o_totalprice) AS BIGINT) AS vd, $cCols
+          FROM (SELECT CAST(substring(o_orderpriority, 1, 1) AS INT)
+                  AS g, o_totalprice FROM orders) z
+          GROUP BY 1),
+        cum AS (SELECT ${(1 to 5).map(g => s"c$g").mkString(", ")},
+          $ltCols FROM census),
+        agg AS (SELECT CAST(sum($pairTerm) AS BIGINT) AS j2, $nCols
+          FROM cum)
+        SELECT j2,
+          CAST(CAST($n AS HUGEINT) * $n - $sn2 AS BIGINT) AS e2,
+          CAST($n AS BIGINT) AS n,
+          CAST(floor((2.0 * j2 - (CAST($n AS DOUBLE) * $n
+            - CAST($sn2 AS DOUBLE)))
+            / (4.0 * sqrt(CAST($varnum AS DOUBLE) / 72.0)) * 1000000)
+            AS BIGINT) AS z_micro
+        FROM agg"""
+  }
+
+  // ------------------------------------------------------------ q429
+
+  /** q429 — COCHRAN–ARMITAGE trend test: does the failed-order
+    * proportion trend across the five ordered priority classes? (The
+    * 2×k ORDERED counterpart of q247's chi-square independence: chi²
+    * spends k−1 degrees of freedom on any deviation; when the columns
+    * are ordered, the 1-df linear-trend contrast with scores
+    * w = 1..5 is uniformly more powerful against monotone
+    * alternatives — the standard dose-response / severity-gradient
+    * test.) t_num = n·Σwr − R·Σwn on exact integer cells; z = t_num /
+    * sqrt(R·(n−R)·(n·Σw²n − (Σwn)²)/n) as ONE shared-text double
+    * expression over the same integers (spec replays the brute-force
+    * 2×5 table).
+    *
+    * Scale shape: one corpus scan map-side combined to five sufficient
+    * statistics — no census frame at all, a single-row aggregate. */
+  def q429CochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir, "orders")
+      .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+        .as("w"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      .agg(count(lit(1)).as("n"), sum("y").as("r"),
+        sum("w").as("swn"), sum(expr("w * y")).as("swr"),
+        sum(expr("w * w")).as("sw2n"))
+    agg.select(col("n"), col("r"),
+      expr("""CAST(CAST(n AS DECIMAL(38,0)) * swr
+           - CAST(r AS DECIMAL(38,0)) * swn AS BIGINT)""").as("t_num"),
+      expr("""CAST(floor((CAST(n AS DOUBLE) * swr
+           - CAST(r AS DOUBLE) * swn)
+           / sqrt(CAST(r AS DOUBLE) * (n - r)
+             * (CAST(n AS DOUBLE) * sw2n
+                - CAST(swn AS DOUBLE) * swn) / CAST(n AS DOUBLE))
+           * 1000000) AS BIGINT)""").as("z_micro"))
+  }
+
+  private def q429OracleSql: String =
+    """WITH cells AS (SELECT
+          CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS w,
+          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(y) AS BIGINT) AS r,
+          CAST(sum(w) AS BIGINT) AS swn,
+          CAST(sum(w * y) AS BIGINT) AS swr,
+          CAST(sum(w * w) AS BIGINT) AS sw2n FROM cells)
+        SELECT n, r,
+          CAST(CAST(n AS HUGEINT) * swr
+            - CAST(r AS HUGEINT) * swn AS BIGINT) AS t_num,
+          CAST(floor((CAST(n AS DOUBLE) * swr
+            - CAST(r AS DOUBLE) * swn)
+            / sqrt(CAST(r AS DOUBLE) * (n - r)
+              * (CAST(n AS DOUBLE) * sw2n
+                 - CAST(swn AS DOUBLE) * swn) / CAST(n AS DOUBLE))
+            * 1000000) AS BIGINT) AS z_micro
+        FROM agg"""
+
+  // ------------------------------------------------------------ q430
+
+  /** q430's block design: complete Monday-anchored weeks only (the
+    * events generator starts 2024-01-01, a Monday; days 1–28 = 4
+    * complete week blocks — the q405 complete-block lesson applied at
+    * design time instead of patched after). */
+  val PageWeeks = 4L
+  val PageK = 7L
+
+  /** q430 — PAGE'S TREND TEST for an ordered weekly profile: does
+    * daily event volume trend monotonically across the day-of-week
+    * positions Mon → Sun, using the 4 complete weeks as replicated
+    * blocks? (The ordered-alternative sibling of q405's Friedman
+    * exactly as q428 is to q322: Friedman spends k−1 df on ANY
+    * within-block pattern; when the alternative is an ordered profile,
+    * Page's L = Σ_j j·R_j against its null moments is the standard
+    * test.) Ranks are within-block midranks carried DOUBLED
+    * (2·avgrank = 2·cb + m + 1, the q303 integer-midrank identity);
+    * the day spine is LEFT-JOINED against the daily census with zero
+    * fill so an empty day cannot silently shrink the rank domain (the
+    * q405 advisor lesson, applied at design time). Released: {l2, z_micro}
+    * with z = (12L − 3bk(k+1)²)/(k(k+1)·√(b(k−1))) — all literals at
+    * b = 4, k = 7, one engine-side sqrt of a literal.
+    *
+    * Scale shape: one corpus scan map-side combined to the 28-row
+    * daily census; ranks ride a 28-row window. */
+  def q430PageTrend(s: SparkSession, dir: String): DataFrame = {
+    val nDays = PageWeeks * PageK
+    val spine = s.range(nDays)
+      .select(expr("date_add(DATE '2024-01-01', CAST(id AS INT))")
+        .as("day"))
+    val daily = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"))
+      .filter(col("day") < lit("2024-01-29").cast("date"))
+      .groupBy("day").agg(count(lit(1)).as("cnt"))
+    val cells = spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+        expr("datediff(day, DATE '2024-01-01') div 7").as("wk"),
+        (expr("datediff(day, DATE '2024-01-01') % 7") + 1).as("dow"))
+    val r2 = cells
+      .withColumn("rk", rank().over(
+        Window.partitionBy("wk").orderBy("cnt")).cast("bigint"))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy("wk", "cnt")))
+      .select(col("dow"), (lit(2L) * col("rk") + col("m") - 1L).as("r2"))
+    val zNum = 3 * PageWeeks * PageK * (PageK + 1) * (PageK + 1)
+    r2.agg(sum(expr("dow * r2")).as("l2"))
+      .select(col("l2"),
+        expr(s"""CAST(floor((6.0 * l2 - $zNum)
+          / (${PageK * (PageK + 1)}.0
+             * sqrt(${PageWeeks * (PageK - 1)}.0)) * 1000000)
+          AS BIGINT)""").as("z_micro"))
+  }
+
+  private def q430OracleSql: String =
+    s"""WITH spine AS (SELECT (DATE '2024-01-01'
+          + CAST(x AS INTEGER)) AS day
+          FROM generate_series(0, ${PageWeeks * PageK - 1}) AS t(x)),
+        daily AS (SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS cnt
+          FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-29'
+          GROUP BY 1),
+        cells AS (SELECT s.day, coalesce(d.cnt, 0) AS cnt,
+          (s.day - DATE '2024-01-01') // 7 AS wk,
+          (s.day - DATE '2024-01-01') % 7 + 1 AS dow
+          FROM spine s LEFT JOIN daily d ON s.day = d.day),
+        ranked AS (SELECT dow,
+          2 * CAST(rank() OVER (PARTITION BY wk ORDER BY cnt)
+            AS BIGINT)
+          + CAST(count(*) OVER (PARTITION BY wk, cnt) AS BIGINT) - 1
+            AS r2
+          FROM cells)
+        SELECT CAST(sum(dow * r2) AS BIGINT) AS l2,
+          CAST(floor((6.0 * sum(dow * r2)
+            - ${3 * PageWeeks * PageK * (PageK + 1) * (PageK + 1)})
+            / (${PageK * (PageK + 1)}.0
+               * sqrt(${PageWeeks * (PageK - 1)}.0)) * 1000000)
+            AS BIGINT) AS z_micro
+        FROM ranked"""
+
+  // ------------------------------------------------------------ q431
+
+  /** Holm step-down critical |z| values ×10⁶ for two-sided α = 0.05
+    * over m = 10 hypotheses: step k is tested at α/(m−k+1), i.e.
+    * |z| ≥ Φ⁻¹(1 − 0.05/(2·(m−k+1))) — Φ⁻¹ baked as literals so no
+    * engine-side inverse-normal runs at query time (the q403 Benford
+    * discipline). */
+  val HolmCritMicro: Seq[Long] = Seq(2807033L, 2772921L, 2734368L,
+    2690109L, 2638257L, 2575829L, 2497705L, 2393979L, 2241402L,
+    1959963L)
+
+  /** q431 z text — the q303 [[mwZExpr]] arithmetic parameterized by
+    * operand expressions, so all ten pairs share one formula text. */
+  private def holmZText(u2: String, n1: String, n2: String,
+      ties: String): String =
+    s"""((CAST($u2 AS DOUBLE) - CAST($n1 AS DOUBLE) * $n2) / 2.0
+       / sqrt(CAST($n1 AS DOUBLE) * $n2 / 12.0
+         * (($n1 + $n2 + 1.0)
+            - CAST($ties AS DOUBLE) / (CAST($n1 + $n2 AS DOUBLE)
+                                       * ($n1 + $n2 - 1.0)))))"""
+
+  /** q431 — HOLM STEP-DOWN over all ten pairwise Mann–Whitney tests
+    * between the five event types (the FWER-controlling counterpart
+    * of q352's BH-FDR: BH caps the expected false-discovery FRACTION,
+    * appropriate for dashboards; when any single false rejection is
+    * costly — shipping a treatment — familywise control is the
+    * contract, and Holm dominates plain Bonferroni uniformly at no
+    * cost). All ten pair z's come off ONE five-way value census: for
+    * pair (a,b) the pooled midrank sum is assembled from per-type
+    * cumulative counts (2R_a = Σ c_a·(2(lt_a+lt_b) + c_a + c_b + 1)),
+    * u2 = 2R_a − n_a(n_a+1), ties Σ((c_a+c_b)³ − (c_a+c_b)) — exact
+    * integers, z via the q303 normal approximation. Step-down: rank
+    * by |z| desc, reject while every earlier step also rejected
+    * (first failure fences all later ranks — [[HolmCritMicro]]).
+    *
+    * Scale shape: one corpus scan → the ~10⁴-cell cents census; ONE
+    * ordered window carrying five cumulative sums; one scalar
+    * aggregate folding all ten pairs; the step-down rides a 10-row
+    * frame. */
+  def q431HolmStepdown(s: SparkSession, dir: String): DataFrame = {
+    val k = Q421Types.size
+    val census = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("vc")
+      .agg(sum(when(col("event_type") === Q421Types.head, 1L)
+        .otherwise(0L)).as("c0"),
+        (1 until k).map(i =>
+          sum(when(col("event_type") === Q421Types(i), 1L)
+            .otherwise(0L)).as(s"c$i")): _*)
+    val w = Window.orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = census.select(
+      (0 until k).flatMap(i => Seq(col(s"c$i"),
+        (sum(s"c$i").over(w) - col(s"c$i")).as(s"lt$i"))): _*)
+    val pairs = for (i <- 0 until k; j <- 0 until k if i < j)
+      yield (i, j)
+    val aggCols =
+      pairs.flatMap { case (i, j) => Seq(
+        sum(expr(s"c$i * (2 * (lt$i + lt$j) + c$i + c$j + 1)"))
+          .as(s"r2_${i}_$j"),
+        sum(expr(s"(c$i + c$j) * (c$i + c$j) * (c$i + c$j)"
+          + s" - (c$i + c$j)")).as(s"tie_${i}_$j")) } ++
+        (0 until k).map(i => sum(s"c$i").as(s"n$i"))
+    // the ten pair projections below branch from g — pin the 1-row
+    // aggregate so the census window runs once, not ten times
+    val g = cum.agg(aggCols.head, aggCols.tail: _*).localCheckpoint(true)
+    val rows = pairs.map { case (i, j) =>
+      val z = holmZText(s"(r2_${i}_$j - n$i * (n$i + 1))",
+        s"n$i", s"n$j", s"tie_${i}_$j")
+      g.select(lit(Q421Types(i)).as("ta"), lit(Q421Types(j)).as("tb"),
+        expr(s"CAST(floor(abs($z) * 1000000) AS BIGINT)")
+          .as("zabs_micro"))
+    }.reduce(_ unionByName _)
+    val crit = HolmCritMicro.mkString("array(", "L, ", "L)")
+    val ranked = rows
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("zabs_micro").desc, col("ta"), col("tb")))
+        .cast("bigint"))
+      .withColumn("crit_micro",
+        expr(s"element_at($crit, CAST(rk AS INT))"))
+      .withColumn("pass", col("zabs_micro") >= col("crit_micro"))
+    ranked
+      .withColumn("minfail",
+        min(when(!col("pass"), col("rk"))).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select(col("ta"), col("tb"), col("zabs_micro"), col("rk"),
+        col("crit_micro"),
+        (col("rk") < coalesce(col("minfail"), lit(11L)))
+          .as("holm_reject"))
+  }
+
+  private def q431OracleSql: String = {
+    val k = Q421Types.size
+    val cCols = (0 until k).map(i =>
+      s"""CAST(sum(CASE WHEN event_type = '${Q421Types(i)}'
+          THEN 1 ELSE 0 END) AS BIGINT) AS c$i""").mkString(", ")
+    val ltCols = (0 until k).map(i =>
+      s"""CAST(sum(c$i) OVER (ORDER BY vc) - c$i AS BIGINT)
+          AS lt$i""").mkString(", ")
+    val pairs = for (i <- 0 until k; j <- 0 until k if i < j)
+      yield (i, j)
+    val aggCols = (pairs.flatMap { case (i, j) => Seq(
+      s"""CAST(sum(c$i * (2 * (lt$i + lt$j) + c$i + c$j + 1))
+          AS BIGINT) AS r2_${i}_$j""",
+      s"""CAST(sum((c$i + c$j) * (c$i + c$j) * (c$i + c$j)
+          - (c$i + c$j)) AS BIGINT) AS tie_${i}_$j""") } ++
+      (0 until k).map(i => s"CAST(sum(c$i) AS BIGINT) AS n$i"))
+      .mkString(", ")
+    val pairRows = pairs.map { case (i, j) =>
+      val z = holmZText(s"(r2_${i}_$j - n$i * (n$i + 1))",
+        s"n$i", s"n$j", s"tie_${i}_$j")
+      s"""SELECT '${Q421Types(i)}' AS ta, '${Q421Types(j)}' AS tb,
+          CAST(floor(abs($z) * 1000000) AS BIGINT) AS zabs_micro
+        FROM g"""
+    }.mkString("\n        UNION ALL\n        ")
+    val crit = HolmCritMicro.mkString("[", ", ", "]")
+    s"""WITH census AS (SELECT CAST(floor(value * 100) AS BIGINT)
+          AS vc, $cCols FROM events GROUP BY 1),
+        cum AS (SELECT ${(0 until k).map(i => s"c$i").mkString(", ")},
+          $ltCols FROM census),
+        g AS (SELECT $aggCols FROM cum),
+        rows_ AS ($pairRows),
+        ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY
+            zabs_micro DESC, ta, tb) AS BIGINT) AS rk
+          FROM rows_),
+        crited AS (SELECT *, CAST($crit[CAST(rk AS INT)] AS BIGINT)
+            AS crit_micro,
+          zabs_micro >= CAST($crit[CAST(rk AS INT)] AS BIGINT) AS pass
+          FROM ranked)
+        SELECT ta, tb, zabs_micro, rk, crit_micro,
+          rk < coalesce(min(CASE WHEN NOT pass THEN rk END) OVER (),
+            11) AS holm_reject
+        FROM crited"""
+  }
+
+  // ------------------------------------------------------------ q432
+
+  /** q432's PACF depth. */
+  val PacfMaxLag = 7
+
+  /** q432's Durbin–Levinson recursion as an ORDERED list of
+    * (column, defining expression) pairs over the ACF ratio columns
+    * r1..rK — the SAME text drives Spark `withColumn` chains and the
+    * oracle's generated CTE chain, so both engines execute the
+    * identical IEEE +−×÷ sequence (the q405/q407 fixed-order-chain
+    * discipline extended to a recursion: no engine-side libm at all,
+    * and no data-length double fold — every operand is a 1-row
+    * column). */
+  private def pacfDefs: Seq[(String, String)] = {
+    val defs = Seq.newBuilder[(String, String)]
+    defs += (("p1_1", "r1"))
+    for (k <- 2 to PacfMaxLag) {
+      val num = (1 until k)
+        .map(j => s"p${k - 1}_$j * r${k - j}").mkString(" + ")
+      val den = (1 until k)
+        .map(j => s"p${k - 1}_$j * r$j").mkString(" + ")
+      defs += ((s"p${k}_$k", s"(r$k - ($num)) / (1.0 - ($den))"))
+      for (j <- 1 until k)
+        defs += ((s"p${k}_$j", s"p${k - 1}_$j - p${k}_$k * p${k - 1}_${k - j}"))
+    }
+    defs.result()
+  }
+
+  /** q432 — PARTIAL AUTOCORRELATION of the daily order-count series
+    * at lags 1..7 (the model-identification completion of q304's ACF:
+    * ACF alone cannot separate an AR(p) from longer memory because
+    * low-lag correlation leaks into every higher lag; PACF — the
+    * correlation at lag k AFTER regressing out lags 1..k−1, computed
+    * by the Durbin–Levinson recursion on the ACF — is what an
+    * order-selection step actually reads, AR(p) showing a sharp
+    * cutoff after lag p). ACF moments are EXACT integers (q304's
+    * n-scaled centering, decimal(38,0) products); the DL recursion
+    * runs on a 1-row frame via [[pacfDefs]]' shared-text chain.
+    * Released: {lag, pacf_micro} for lags 1..7. Pairs bridge calendar
+    * gaps exactly as q304 does (lag-k pairs are day, day+k — a
+    * missing day contributes no pair on either engine).
+    *
+    * Scale shape: one corpus scan to the ~2400-row daily census; the
+    * 7 lag joins ride that census (broadcast lags frame); the
+    * recursion is driver-free 1-row column algebra. */
+  def q432Pacf(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val g = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val y = daily.crossJoin(broadcast(g))
+      .select(col("day"), (col("n") * col("x") - col("sx")).as("y"))
+      .localCheckpoint(true)
+    val den = y.agg(sum(expr("CAST(y AS DECIMAL(38,0)) * y"))
+      .as("den"))
+    val lags = s.range(1, PacfMaxLag + 1L).select(col("id").as("lag"))
+    val nums = y.crossJoin(broadcast(lags))
+      .select(col("lag"), col("y"),
+        date_add(col("day"), col("lag").cast("int")).as("day_k"))
+      .join(y.select(col("day").as("day_k"), col("y").as("y_k")),
+        "day_k")
+      .groupBy("lag")
+      .agg(sum(expr("CAST(y AS DECIMAL(38,0)) * y_k")).as("num"))
+    val piv = nums.agg(
+      max(when(col("lag") === 1, col("num"))).as("num_1"),
+      (2 to PacfMaxLag).map(kk =>
+        max(when(col("lag") === kk, col("num"))).as(s"num_$kk")): _*)
+      .crossJoin(broadcast(den))
+    val withR = (1 to PacfMaxLag).foldLeft(piv) { (df, kk) =>
+      df.withColumn(s"r$kk",
+        expr(s"CAST(num_$kk AS DOUBLE) / CAST(den AS DOUBLE)"))
+    }
+    val solved = pacfDefs.foldLeft(withR) { case (df, (name, text)) =>
+      df.withColumn(name, expr(text))
+    }.localCheckpoint(true)
+    (1 to PacfMaxLag).map { kk =>
+      solved.select(lit(kk.toLong).as("lag"),
+        expr(s"CAST(floor(p${kk}_$kk * 1000000) AS BIGINT)")
+          .as("pacf_micro"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def q432OracleSql: String = {
+    val numCols = (1 to PacfMaxLag).map(kk =>
+      s"max(CASE WHEN lag = $kk THEN num END) AS num_$kk")
+      .mkString(", ")
+    val rCols = (1 to PacfMaxLag).map(kk =>
+      s"CAST(num_$kk AS DOUBLE) / CAST(den AS DOUBLE) AS r$kk")
+      .mkString(", ")
+    val chain = pacfDefs.zipWithIndex.map { case ((name, text), i) =>
+      val prev = if (i == 0) "withr" else s"c$i"
+      s"c${i + 1} AS (SELECT *, $text AS $name FROM $prev)"
+    }.mkString(",\n        ")
+    val last = s"c${pacfDefs.size}"
+    val rows = (1 to PacfMaxLag).map(kk =>
+      s"""SELECT CAST($kk AS BIGINT) AS lag,
+          CAST(floor(p${kk}_$kk * 1000000) AS BIGINT) AS pacf_micro
+        FROM $last""").mkString("\n        UNION ALL\n        ")
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x FROM orders GROUP BY 1),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx FROM daily),
+        y AS (SELECT day, n * x - sx AS y FROM daily CROSS JOIN g),
+        den AS (SELECT sum(CAST(y AS HUGEINT) * y) AS den FROM y),
+        lags AS (SELECT CAST(x AS BIGINT) AS lag
+          FROM generate_series(1, $PacfMaxLag) AS t(x)),
+        nums AS (SELECT l.lag, sum(CAST(a.y AS HUGEINT) * b.y) AS num
+          FROM y a CROSS JOIN lags l
+          JOIN y b ON b.day = a.day + CAST(l.lag AS INTEGER)
+          GROUP BY l.lag),
+        piv AS (SELECT $numCols FROM nums),
+        withr AS (SELECT $rCols FROM piv CROSS JOIN den),
+        $chain
+        $rows"""
+  }
+
+  // ------------------------------------------------------------ q433
+
+  /** q433's trig weight tables: floor(cos/sin(2πk·m/7)·10³) for
+    * harmonic k = 1..3, day-of-cycle m = 0..6 — shortest-round-trip
+    * literals so no engine-side trig runs at query time (the q403
+    * Benford discipline), and INTEGER weights so the day-census fold
+    * is an exact decimal sum, not an order-dependent double Σ. */
+  val PeriodogramWc: Map[Int, Seq[Long]] = Map(
+    1 -> Seq(1000L, 623L, -223L, -901L, -901L, -223L, 623L),
+    2 -> Seq(1000L, -223L, -901L, 623L, 623L, -901L, -223L),
+    3 -> Seq(1000L, -901L, 623L, -223L, -223L, 623L, -901L))
+  val PeriodogramWs: Map[Int, Seq[Long]] = Map(
+    1 -> Seq(0L, 781L, 974L, 433L, -434L, -975L, -782L),
+    2 -> Seq(0L, 974L, -434L, -782L, 781L, 433L, -975L),
+    3 -> Seq(0L, 433L, -782L, 974L, -975L, 781L, -434L))
+
+  private def pgCase(w: Seq[Long]): String =
+    w.zipWithIndex.map { case (v, m) => s"WHEN $m THEN $v" }
+      .mkString("CASE m ", " ", " ELSE 0 END")
+
+  /** q433 — WEEKLY PERIODOGRAM of daily order revenue: the discrete
+    * Fourier power at the period-7 harmonics k = 1..3 (the
+    * frequency-domain completion of the seasonality family — q196
+    * profiles the weekly MEANS, q265 removes them, q304/q432 measure
+    * lagged self-similarity; the periodogram answers "HOW MUCH of the
+    * variance is AT the weekly frequency", the quantity a seasonality
+    * detector thresholds). Day phase m = (epoch-day offset) mod 7;
+    * sc_k = Σ_d rev_d·wc_k[m], ss_k likewise over [[PeriodogramWc]]/
+    * [[PeriodogramWs]]'s integer milli-weights — EXACT decimal(38,0)
+    * folds (revenue in cents, so sc/ss are exact integers released as
+    * BIGINT; fits through ~sf30, the q266 magnitude-note convention),
+    * amplitude floor(√(sc² + ss²)) as one shared-text double chain.
+    *
+    * Scale shape: one corpus scan map-side combined to the ~2400-row
+    * daily census; the three harmonics fold in the SAME aggregate
+    * pass (six conditional sums), zero joins. */
+  def q433Periodogram(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("rv"))
+      .select(col("rv"),
+        expr("datediff(day, DATE '1995-01-01') % 7").as("m"))
+    val aggs = (1 to 3).flatMap { k => Seq(
+      expr(s"""CAST(sum(CAST(rv AS DECIMAL(38,0))
+           * (${pgCase(PeriodogramWc(k))})) AS BIGINT)""").as(s"sc$k"),
+      expr(s"""CAST(sum(CAST(rv AS DECIMAL(38,0))
+           * (${pgCase(PeriodogramWs(k))})) AS BIGINT)""").as(s"ss$k"))
+    }
+    val g = daily.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    (1 to 3).map { k =>
+      g.select(lit(k.toLong).as("k"), col(s"sc$k").as("sc"),
+        col(s"ss$k").as("ss"),
+        expr(s"""CAST(floor(sqrt(CAST(sc$k AS DOUBLE) * sc$k
+             + CAST(ss$k AS DOUBLE) * ss$k)) AS BIGINT)""").as("amp"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def q433OracleSql: String = {
+    val aggCols = (1 to 3).flatMap { k => Seq(
+      s"""CAST(sum(CAST(rv AS HUGEINT)
+          * (${pgCase(PeriodogramWc(k))})) AS BIGINT) AS sc$k""",
+      s"""CAST(sum(CAST(rv AS HUGEINT)
+          * (${pgCase(PeriodogramWs(k))})) AS BIGINT) AS ss$k""")
+    }.mkString(", ")
+    val rows = (1 to 3).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS k, sc$k AS sc, ss$k AS ss,
+          CAST(floor(sqrt(CAST(sc$k AS DOUBLE) * sc$k
+            + CAST(ss$k AS DOUBLE) * ss$k)) AS BIGINT) AS amp
+        FROM g""").mkString("\n        UNION ALL\n        ")
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS rv
+          FROM orders GROUP BY 1),
+        phased AS (SELECT rv,
+          (day - DATE '1995-01-01') % 7 AS m FROM daily),
+        g AS (SELECT $aggCols FROM phased)
+        $rows"""
+  }
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4414,7 +5127,15 @@ object Stats {
     "q421_welch_anova" -> (q421WelchAnova _),
     "q422_mcnemar" -> (q422Mcnemar _),
     "q423_effect_sizes" -> (q423EffectSizes _),
-    "q425_tukey_hsd" -> (q425TukeyHsd _))
+    "q425_tukey_hsd" -> (q425TukeyHsd _),
+    "q426_anderson_darling" -> (q426AndersonDarling _),
+    "q427_cochran_q" -> (q427CochranQ _),
+    "q428_jonckheere" -> (q428Jonckheere _),
+    "q429_cochran_armitage" -> (q429CochranArmitage _),
+    "q430_page_trend" -> (q430PageTrend _),
+    "q431_holm_stepdown" -> (q431HolmStepdown _),
+    "q432_pacf" -> (q432Pacf _),
+    "q433_periodogram" -> (q433Periodogram _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -4470,5 +5191,13 @@ object Stats {
     "q421_welch_anova" -> q421OracleSql,
     "q422_mcnemar" -> q422OracleSql,
     "q423_effect_sizes" -> q423OracleSql,
-    "q425_tukey_hsd" -> q425OracleSql)
+    "q425_tukey_hsd" -> q425OracleSql,
+    "q426_anderson_darling" -> q426OracleSql,
+    "q427_cochran_q" -> q427OracleSql,
+    "q428_jonckheere" -> q428OracleSql,
+    "q429_cochran_armitage" -> q429OracleSql,
+    "q430_page_trend" -> q430OracleSql,
+    "q431_holm_stepdown" -> q431OracleSql,
+    "q432_pacf" -> q432OracleSql,
+    "q433_periodogram" -> q433OracleSql)
 }

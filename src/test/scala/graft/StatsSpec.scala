@@ -2473,4 +2473,265 @@ class StatsSpec extends SparkSpec {
       assert(!gs, s"null Tukey fired on ${types(i)}-${types(j)}")
     }
   }
+
+  // ---------------------------------------------------------- session 8
+
+  /** Shared brute-force census for the purchase-vs-click value tests. */
+  private def pcCensus(): (Array[(Boolean, Long)], Long, Long) = {
+    val vals = graft.sources.Tables.load(spark, sf1, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select((col("event_type") === "purchase").as("arm"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    (vals, vals.count(_._1).toLong, vals.count(!_._1).toLong)
+  }
+
+  test("q426 Anderson-Darling replays the Scholz-Stephens ties model " +
+    "with exact per-cell truncation") {
+    val row = Stats.q426AndersonDarling(spark, sf1).head()
+    val (vals, n1, n2) = pcCensus()
+    val nn = n1 + n2
+    val cells = vals.groupBy(_._2).view.mapValues { g =>
+      (g.count(_._1).toLong, g.length.toLong)
+    }.toSeq.sortBy(_._1)
+    var cm = BigInt(0); var cb = BigInt(0); var tsum = BigInt(0)
+    var nCells = 0L
+    cells.foreach { case (_, (na, l)) =>
+      cm += na; cb += l
+      if (cb < nn) {
+        nCells += 1
+        val d = BigInt(nn) * cm - BigInt(n1) * cb
+        tsum += BigInt(l) * d * d * 1000000 / (cb * (BigInt(nn) - cb))
+      }
+    }
+    assert(row.getAs[Long]("n1") === n1)
+    assert(row.getAs[Long]("n2") === n2)
+    assert(row.getAs[Long]("cells") === nCells)
+    assert(row.getAs[Long]("a2_micro") ===
+      (tsum / (BigInt(n1) * n2)).toLong)
+    // pooled-null sanity: A2 should be O(1), not O(n)
+    assert(row.getAs[Long]("a2_micro") < 20L * 1000000)
+  }
+
+  test("q427 Cochran Q replays the per-user incidence model") {
+    val row = Stats.q427CochranQ(spark, sf1).head()
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val flags = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(g => types.map(t => if (g.exists(_._2 == t)) 1L else 0L))
+      .toMap
+    val k = 5L
+    val c = types.indices.map(j => flags.values.map(_(j)).sum)
+    val s0 = flags.values.map(_.sum).sum
+    val sumR2 = flags.values.map(r => { val x = r.sum; x * x }).sum
+    val sumC2 = c.map(x => BigInt(x) * x).sum
+    assert(row.getAs[Long]("n_users") === flags.size.toLong)
+    assert(row.getAs[Long]("s") === s0)
+    assert(row.getAs[Long]("sum_r2") === sumR2)
+    assert(row.getAs[Long]("sum_c2") === sumC2.toLong)
+    val den = k * s0 - sumR2
+    if (den != 0L) {
+      val q = (BigInt(1000) * (k - 1) * (k * sumC2 - BigInt(s0) * s0) /
+        BigInt(den)).toLong
+      assert(row.getAs[Long]("q_milli") === q)
+      assert(q >= 0L)
+    }
+  }
+
+  test("q428 Jonckheere replays a brute-force pairwise count and the " +
+    "null z is small under exchangeable priorities") {
+    val row = Stats.q428Jonckheere(spark, sf1).head()
+    val vals = graft.sources.Tables.load(spark, sf1, "orders")
+      .select(expr("CAST(substring(o_orderpriority, 1, 1) AS INT)"),
+        expr("CAST(floor(o_totalprice) AS BIGINT)"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    var j2 = 0L
+    for (g <- 1 to 5; h <- 1 to 5 if g < h) {
+      val xs = vals.filter(_._1 == g).map(_._2).sorted
+      val ys = vals.filter(_._1 == h).map(_._2)
+      // per y: 2*(#x < y) + (#x == y) via binary search on sorted xs
+      ys.foreach { y =>
+        var lo = 0; var hi = xs.length
+        while (lo < hi) { val mid = (lo + hi) / 2
+          if (xs(mid) < y) lo = mid + 1 else hi = mid }
+        val lt = lo
+        hi = xs.length
+        var lo2 = lo
+        while (lo2 < hi) { val mid = (lo2 + hi) / 2
+          if (xs(mid) <= y) lo2 = mid + 1 else hi = mid }
+        j2 += 2L * lt + (lo2 - lt)
+      }
+    }
+    assert(row.getAs[Long]("j2") === j2)
+    val ns = (1 to 5).map(g => vals.count(_._1 == g).toLong)
+    val n = ns.sum
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Long]("e2") === n * n - ns.map(x => x * x).sum)
+    // generator's priorities are value-independent: |z| < 4 sd
+    assert(math.abs(row.getAs[Long]("z_micro")) < 4L * 1000000)
+  }
+
+  test("q429 Cochran-Armitage replays the 2x5 trend cells and the " +
+    "null z is small") {
+    val row = Stats.q429CochranArmitage(spark, sf1).head()
+    val cells = graft.sources.Tables.load(spark, sf1, "orders")
+      .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)"),
+        (col("o_orderstatus") === "F").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = cells.length.toLong
+    val r = cells.map(_._2).sum
+    val swn = cells.map(_._1).sum
+    val swr = cells.map(c => c._1 * c._2).sum
+    val sw2n = cells.map(c => c._1 * c._1).sum
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Long]("r") === r)
+    assert(row.getAs[Long]("t_num") === n * swr - r * swn)
+    val z = (n.toDouble * swr - r.toDouble * swn) /
+      math.sqrt(r.toDouble * (n - r) *
+        (n.toDouble * sw2n - swn.toDouble * swn) / n.toDouble)
+    assert(row.getAs[Long]("z_micro") === math.floor(z * 1e6).toLong)
+    assert(math.abs(row.getAs[Long]("z_micro")) < 4L * 1000000)
+  }
+
+  test("q430 Page trend replays within-week doubled midranks over the " +
+    "complete 28-day spine") {
+    val row = Stats.q430PageTrend(spark, sf1).head()
+    val counts = graft.sources.Tables.load(spark, sf1, "events")
+      .select(to_date(col("ts")).as("day"))
+      .collect().map(_.getDate(0).toLocalDate)
+      .filter(_.isBefore(java.time.LocalDate.parse("2024-01-29")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val base = java.time.LocalDate.parse("2024-01-01")
+    var l2 = 0L
+    for (w <- 0 until 4) {
+      val week = (0 until 7).map { d =>
+        val day = base.plusDays(w * 7 + d)
+        (d + 1, counts.getOrElse(day, 0L))
+      }
+      week.foreach { case (dow, c) =>
+        val lt = week.count(_._2 < c).toLong
+        val eq = week.count(_._2 == c).toLong
+        l2 += dow * (2L * (lt + 1) + eq - 1) // 2*rank + m - 1
+      }
+    }
+    assert(row.getAs[Long]("l2") === l2)
+    val z = (6.0 * l2 - 3.0 * 4 * 7 * 64) / (56.0 * math.sqrt(24.0))
+    assert(row.getAs[Long]("z_micro") === math.floor(z * 1e6).toLong)
+  }
+
+  test("q431 Holm rejections form a prefix of the |z| ranking and " +
+    "each pair z replays the q303 midrank model") {
+    val rows = Stats.q431HolmStepdown(spark, sf1).collect()
+      .sortBy(_.getAs[Long]("rk"))
+    assert(rows.length === 10)
+    // prefix property: once a rank fails, no later rank rejects
+    val rejects = rows.map(_.getAs[Boolean]("holm_reject"))
+    assert(!rejects.dropWhile(identity).contains(true))
+    // crit table is the declared literal, in rank order
+    assert(rows.map(_.getAs[Long]("crit_micro")).toSeq ===
+      Stats.HolmCritMicro)
+    // brute-force one pair's z: purchase vs click (matches q303 u2/z)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val all = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for (i <- types.indices; j <- types.indices if i < j) {
+      val a = all.filter(_._1 == types(i)).map(_._2)
+      val b = all.filter(_._1 == types(j)).map(_._2)
+      val pool = (a.map((_, true)) ++ b.map((_, false))).sortBy(_._1)
+      val rank2 = new Array[Long](pool.length)
+      var p = 0
+      while (p < pool.length) {
+        var q = p
+        while (q < pool.length && pool(q)._1 == pool(p)._1) q += 1
+        val r2 = (p + 1).toLong + q.toLong
+        (p until q).foreach(t => rank2(t) = r2)
+        p = q
+      }
+      val sr2 = pool.zipWithIndex.filter(_._1._2).map(t => rank2(t._2)).sum
+      val n1 = a.length.toLong; val n2 = b.length.toLong
+      val u2 = sr2 - n1 * (n1 + 1)
+      val ties = pool.map(_._1).groupBy(identity).values
+        .map(g => { val m = g.length.toLong; m * m * m - m }).sum
+      val z = ((u2 - n1 * n2).toDouble / 2.0) /
+        math.sqrt(n1.toDouble * n2 / 12.0 *
+          ((n1 + n2 + 1.0) - ties.toDouble /
+            ((n1 + n2).toDouble * (n1 + n2 - 1.0))))
+      val got = rows.find(r => r.getAs[String]("ta") == types(i) &&
+        r.getAs[String]("tb") == types(j)).get
+      assert(got.getAs[Long]("zabs_micro") ===
+        math.floor(math.abs(z) * 1e6).toLong,
+        s"pair ${types(i)}/${types(j)}")
+    }
+  }
+
+  test("q432 PACF replays the Durbin-Levinson recursion on the exact " +
+    "ACF census and pacf(1) equals acf(1)") {
+    val got = Stats.q432Pacf(spark, sf1).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Long]("pacf_micro"))
+      .toMap
+    assert(got.size === 7)
+    val daily = graft.sources.Tables.load(spark, sf1, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val n = daily.length.toLong
+    val sx = daily.map(_._2).sum
+    val y = daily.map { case (d, x) => (d, BigInt(n) * x - sx) }.toMap
+    val den = y.values.map(v => v * v).sum
+    val nums = (1 to 7).map { k =>
+      y.map { case (d, v) =>
+        y.get(d.plusDays(k)).map(_ * v).getOrElse(BigInt(0))
+      }.sum
+    }
+    val r = nums.map(nm => nm.toDouble / den.toDouble)
+    // Durbin-Levinson, same left-to-right fold as the generated chain
+    val phi = Array.ofDim[Double](8, 8)
+    phi(1)(1) = r(0)
+    for (k <- 2 to 7) {
+      var num = 0.0; var dnm = 0.0
+      for (j <- 1 until k) { num += phi(k - 1)(j) * r(k - j - 1) }
+      for (j <- 1 until k) { dnm += phi(k - 1)(j) * r(j - 1) }
+      phi(k)(k) = (r(k - 1) - num) / (1.0 - dnm)
+      for (j <- 1 until k)
+        phi(k)(j) = phi(k - 1)(j) - phi(k)(k) * phi(k - 1)(k - j)
+    }
+    for (k <- 1 to 7)
+      assert(got(k.toLong) === math.floor(phi(k)(k) * 1e6).toLong,
+        s"lag $k")
+    assert(got(1L) === math.floor(r(0) * 1e6).toLong)
+  }
+
+  test("q433 periodogram replays the integer-weight harmonic sums and " +
+    "amp is the euclidean fold of (sc, ss)") {
+    val rows = Stats.q433Periodogram(spark, sf1).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("sc"), r.getAs[Long]("ss"), r.getAs[Long]("amp")))
+      .toMap
+    assert(rows.size === 3)
+    val daily = graft.sources.Tables.load(spark, sf1, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("rv"))
+      .collect().map { r =>
+        val d = r.getDate(0).toLocalDate
+        val m = (java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse("1995-01-01"), d) % 7).toInt
+        (m, r.getLong(1))
+      }
+    for (k <- 1 to 3) {
+      val sc = daily.map { case (m, rv) =>
+        BigInt(rv) * Stats.PeriodogramWc(k)(m) }.sum
+      val ss = daily.map { case (m, rv) =>
+        BigInt(rv) * Stats.PeriodogramWs(k)(m) }.sum
+      val (gsc, gss, gamp) = rows(k.toLong)
+      assert(gsc === sc.toLong, s"sc k=$k")
+      assert(gss === ss.toLong, s"ss k=$k")
+      assert(gamp === math.floor(math.sqrt(
+        sc.toDouble * sc.toDouble + ss.toDouble * ss.toDouble)).toLong)
+    }
+  }
 }
