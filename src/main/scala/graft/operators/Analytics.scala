@@ -4823,6 +4823,228 @@ object Analytics {
         ${blockSql(30)}"""
   }
 
+  // ------------------------------------------------------------ q436
+
+  /** q436's degree thresholds. */
+  val RichClubKs: Seq[Long] = Seq(1L, 2L, 3L, 4L, 6L)
+
+  /** The q183/q397 brand-graph CTE prefix shared by the session-8
+    * topology queries (bi → pair → tot → eu edges → und adjacency). */
+  private def brandGraphCtes: String =
+    s"""bi AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        pair AS (SELECT x.b AS b1, y.b AS b2,
+            CAST(count(*) AS BIGINT) AS n12
+          FROM bi x JOIN bi y ON x.ok = y.ok AND x.b < y.b GROUP BY 1, 2),
+        tot AS (SELECT CAST(count(*) AS BIGINT) np,
+                       CAST(sum(n12) AS BIGINT) tw FROM pair),
+        eu AS (SELECT b1, b2 FROM pair, tot
+               WHERE n12 * np * 100 >= tw * $LinkEdgePct),
+        und AS (SELECT b1 AS src, b2 AS nbr FROM eu
+                UNION ALL SELECT b2, b1 FROM eu)"""
+
+  /** q436 — RICH-CLUB COEFFICIENT sweep on the q183 brand graph (the
+    * hub-interconnection diagnostic the rest of the graph family
+    * doesn't measure: q207's assortativity gives one signed scalar for
+    * degree mixing, but a network can be globally disassortative yet
+    * still hide a densely wired elite — φ(k) = 2·E_{>k} /
+    * (N_{>k}(N_{>k}−1)) measures exactly how club-like the
+    * above-degree-k subgraph is, per threshold). Per k in
+    * [[RichClubKs]]: members = nodes with degree > k, e_club = edges
+    * with BOTH endpoints members, φ released as ppm by exact integer
+    * division (NULL below two members).
+    *
+    * Scale shape: degrees are a |nodes|-row aggregate off the
+    * adjacency; the membership test is a broadcast join of the edge
+    * list against the degree frame; the 5-threshold sweep folds in ONE
+    * conditional aggregate over the |edges|-row frame (no per-k
+    * rescan). */
+  def q436RichClub(s: SparkSession, dir: String): DataFrame = {
+    val (edges, und) = brandGraph(s, dir)
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDegs = edges
+      .join(broadcast(deg.select(col("src").as("b1"),
+        col("deg").as("d1"))), "b1")
+      .join(broadcast(deg.select(col("src").as("b2"),
+        col("deg").as("d2"))), "b2")
+      .localCheckpoint(true)
+    val nodeCounts = deg.localCheckpoint(true)
+    RichClubKs.map { k =>
+      val e = withDegs
+        .agg(sum(when(col("d1") > k && col("d2") > k, 1L)
+          .otherwise(0L)).as("e_club"))
+      val n = nodeCounts
+        .agg(sum(when(col("deg") > k, 1L).otherwise(0L)).as("n_club"))
+      e.crossJoin(n).select(lit(k).as("k"), col("n_club"),
+        col("e_club"),
+        expr("""CASE WHEN n_club < 2 THEN NULL
+             ELSE 2 * e_club * 1000000 div (n_club * (n_club - 1))
+             END""").as("phi_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def q436OracleSql: String = {
+    val rows = RichClubKs.map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS k,
+          (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE deg > $k)
+            AS n_club,
+          (SELECT CAST(sum(CASE WHEN d1.deg > $k AND d2.deg > $k
+              THEN 1 ELSE 0 END) AS BIGINT)
+            FROM eu JOIN deg d1 ON eu.b1 = d1.src
+            JOIN deg d2 ON eu.b2 = d2.src) AS e_club""")
+      .mkString("\n        UNION ALL\n        ")
+    s"""WITH $brandGraphCtes,
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+          FROM und GROUP BY src),
+        sweep AS ($rows)
+        SELECT k, n_club, e_club,
+          CASE WHEN n_club < 2 THEN NULL
+            ELSE 2 * e_club * 1000000 // (n_club * (n_club - 1)) END
+            AS phi_ppm
+        FROM sweep"""
+  }
+
+  // ------------------------------------------------------------ q437
+
+  /** q437's attenuation: β = 0.1, so a direct edge scores 10⁵ and a
+    * length-2 path 10⁴ per path — integer micro-units, β well under
+    * 1/λ_max for a 25-node graph so the truncated series is the right
+    * two-term read. */
+  val KatzB1Micro = 100000L
+  val KatzB2Micro = 10000L
+
+  /** q437 — TRUNCATED KATZ INDEX on the q183 brand graph (the
+    * path-counting member of the link-prediction family: q183's
+    * common-neighbor count and q397's Adamic–Adar see ONLY length-2
+    * evidence and treat an existing edge as out of scope; Katz
+    * κ(a,b) = Σ β^ℓ·paths_ℓ(a,b) scores EVERY pair — including
+    * existing edges — by attenuated path volume, the spectral-family
+    * score that subsumes both as β → 0). Truncated at ℓ = 2 with
+    * [[KatzB1Micro]]/[[KatzB2Micro]]: adj ∈ {0,1} from the edge set,
+    * paths₂ = wedge counts through any center (a≠b), score_micro the
+    * exact integer combination, released for every unordered pair with
+    * a nonzero score.
+    *
+    * Scale shape: wedges generated IN-ROW from sorted adjacency
+    * (q397's degree²-bounded orientation); the adjacency overlay is a
+    * full outer join of two |pairs|-bounded frames — at crawl scale a
+    * degree cap precedes pair generation (q183's note). */
+  def q437KatzIndex(s: SparkSession, dir: String): DataFrame = {
+    val (edges, und) = brandGraph(s, dir)
+    val wedges = und.groupBy("src")
+      .agg(sort_array(collect_set("nbr")).as("ns"))
+      .select(explode(expr("flatten(transform(ns, (x, i) -> " +
+        "transform(slice(ns, i + 2, size(ns)), " +
+        "y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("paths2"))
+    val adj = edges.select(col("b1").as("a"), col("b2").as("b"),
+      lit(1L).as("adj"))
+    wedges.join(adj, Seq("a", "b"), "full_outer")
+      .select(col("a").as("b1"), col("b").as("b2"),
+        coalesce(col("adj"), lit(0L)).as("adj"),
+        coalesce(col("paths2"), lit(0L)).as("paths2"))
+      .withColumn("katz_micro",
+        col("adj") * KatzB1Micro + col("paths2") * KatzB2Micro)
+  }
+
+  private def q437OracleSql: String =
+    s"""WITH $brandGraphCtes,
+        wedge AS (SELECT u1.nbr AS a, u2.nbr AS b,
+            CAST(count(*) AS BIGINT) AS paths2
+          FROM und u1 JOIN und u2
+            ON u1.src = u2.src AND u1.nbr < u2.nbr
+          GROUP BY 1, 2),
+        adj AS (SELECT b1 AS a, b2 AS b, CAST(1 AS BIGINT) AS adj
+          FROM eu),
+        merged AS (SELECT coalesce(w.a, j.a) AS b1,
+            coalesce(w.b, j.b) AS b2,
+            coalesce(j.adj, 0) AS adj,
+            coalesce(w.paths2, 0) AS paths2
+          FROM wedge w FULL OUTER JOIN adj j
+            ON w.a = j.a AND w.b = j.b)
+        SELECT b1, b2, adj, paths2,
+          adj * $KatzB1Micro + paths2 * $KatzB2Micro AS katz_micro
+        FROM merged"""
+
+  // ------------------------------------------------------------ q441
+
+  /** q441 — EPIDEMIOLOGY RATIO PANEL for the 2×2 exposure table
+    * urgent-priority × order-failure (the effect-MAGNITUDE counterpart
+    * of q247's chi² exactly as q423 is to q266: the test says WHETHER
+    * exposure and outcome associate, the panel says HOW MUCH in the
+    * three units every observational readout reports — risk ratio,
+    * odds ratio, risk difference). All three released as exact ppm
+    * integer divisions over the {a,b,c,d} cells, plus the q247-form
+    * chi² ×10³ as one shared-text double chain over decimal(38,0)
+    * cross products; zero-margin cells NULL-guard the ratios.
+    *
+    * Scale shape: one corpus scan map-side combined to four cells —
+    * single-row aggregate, no joins. */
+  def q441EpiRatios(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "orders")
+      .select((col("o_orderpriority") === "1-URGENT").as("ex"),
+        (col("o_orderstatus") === "F").as("bad"))
+      .agg(
+        sum(when(col("ex") && col("bad"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("ex") && !col("bad"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("ex") && col("bad"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("ex") && !col("bad"), 1L).otherwise(0L)).as("d"))
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+      expr("""CASE WHEN c = 0 OR a + b = 0 THEN NULL
+           ELSE CAST(CAST(a AS DECIMAL(38,0)) * (c + d) * 1000000
+             div (CAST(c AS DECIMAL(38,0)) * (a + b)) AS BIGINT)
+           END""").as("rr_ppm"),
+      expr("""CASE WHEN b = 0 OR c = 0 THEN NULL
+           ELSE CAST(CAST(a AS DECIMAL(38,0)) * d * 1000000
+             div (CAST(b AS DECIMAL(38,0)) * c) AS BIGINT)
+           END""").as("or_ppm"),
+      expr("""CASE WHEN a + b = 0 OR c + d = 0 THEN NULL
+           ELSE CAST((CAST(a AS DECIMAL(38,0)) * (c + d)
+             - CAST(c AS DECIMAL(38,0)) * (a + b)) * 1000000
+             div (CAST(a + b AS DECIMAL(38,0)) * (c + d)) AS BIGINT)
+           END""").as("rd_ppm"),
+      expr("""CAST(floor((CAST(a AS DOUBLE) + b + c + d)
+           * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+           * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+           / ((CAST(a AS DOUBLE) + b) * (c + d)
+              * (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d))
+           * 1000) AS BIGINT)""").as("chi2_milli"))
+  }
+
+  private def q441OracleSql: String =
+    """WITH cells AS (SELECT
+          CAST(sum(CASE WHEN ex AND bad THEN 1 ELSE 0 END) AS BIGINT)
+            AS a,
+          CAST(sum(CASE WHEN ex AND NOT bad THEN 1 ELSE 0 END)
+            AS BIGINT) AS b,
+          CAST(sum(CASE WHEN NOT ex AND bad THEN 1 ELSE 0 END)
+            AS BIGINT) AS c,
+          CAST(sum(CASE WHEN NOT ex AND NOT bad THEN 1 ELSE 0 END)
+            AS BIGINT) AS d
+        FROM (SELECT o_orderpriority = '1-URGENT' AS ex,
+                o_orderstatus = 'F' AS bad FROM orders) z)
+        SELECT a, b, c, d,
+          CASE WHEN c = 0 OR a + b = 0 THEN NULL
+            ELSE CAST(CAST(a AS HUGEINT) * (c + d) * 1000000
+              // (CAST(c AS HUGEINT) * (a + b)) AS BIGINT) END
+            AS rr_ppm,
+          CASE WHEN b = 0 OR c = 0 THEN NULL
+            ELSE CAST(CAST(a AS HUGEINT) * d * 1000000
+              // (CAST(b AS HUGEINT) * c) AS BIGINT) END AS or_ppm,
+          CASE WHEN a + b = 0 OR c + d = 0 THEN NULL
+            ELSE CAST((CAST(a AS HUGEINT) * (c + d)
+              - CAST(c AS HUGEINT) * (a + b)) * 1000000
+              // (CAST(a + b AS HUGEINT) * (c + d)) AS BIGINT) END
+            AS rd_ppm,
+          CAST(floor((CAST(a AS DOUBLE) + b + c + d)
+            * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+            * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+            / ((CAST(a AS DOUBLE) + b) * (c + d)
+               * (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d))
+            * 1000) AS BIGINT) AS chi2_milli
+        FROM cells"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q399_viterbi" -> (q399Viterbi _),
     "q401_slope_one" -> (q401SlopeOne _),
@@ -4835,6 +5057,9 @@ object Analytics {
     "q395_ewma" -> (q395Ewma _),
     "q396_herfindahl" -> (q396Herfindahl _),
     "q397_adamic_adar" -> (q397AdamicAdar _),
+    "q436_rich_club" -> (q436RichClub _),
+    "q437_katz_index" -> (q437KatzIndex _),
+    "q441_epi_ratios" -> (q441EpiRatios _),
     "q382_brier_ece" -> (q382BrierEce _),
     "q386_sprt_monitor" -> (q386SprtMonitor _),
     "q387_mcc_threshold" -> (q387MccThreshold _),
@@ -4916,6 +5141,9 @@ object Analytics {
     "q395_ewma" -> q395OracleSql,
     "q396_herfindahl" -> q396OracleSql,
     "q397_adamic_adar" -> q397OracleSql,
+    "q436_rich_club" -> q436OracleSql,
+    "q437_katz_index" -> q437OracleSql,
+    "q441_epi_ratios" -> q441OracleSql,
     "q382_brier_ece" -> q382OracleSql,
     "q386_sprt_monitor" -> q386OracleSql,
     "q387_mcc_threshold" -> q387OracleSql,

@@ -2345,7 +2345,119 @@ object Pipeline {
         FROM pairs"""
   }
 
+  // ------------------------------------------------------------ q439
+
+  /** q439's ln-derived sizing factors ×10⁶, baked as literals (the
+    * q403 discipline — data enters the formula LINEARLY, the ln's are
+    * of the target fpp only): bits-per-key = ln(1/p)/ln²2, hashes
+    * k = round(−ln p / ln 2). */
+  val BloomFpp: Seq[(Long, Long, Long)] =
+    Seq((10000L, 9585058L, 7L), (1000L, 14377587L, 10L))
+
+  /** q439 — BLOOM-FILTER SIZING ADVISOR for the four hot join keys
+    * (the planner-advisory sibling of q88: q88 APPLIES a build-side
+    * bloom to prune a probe scan, this answers the sizing question
+    * that precedes it — how many bits and hashes does a filter on
+    * this key need at a target false-positive rate, the number a
+    * runtime-filter planner must know before deciding the build is
+    * worth shipping). Per key × fpp ∈ {1%, 0.1%}: EXACT ndv (the
+    * filter is built from the distinct build side), m_bits =
+    * ndv·[[BloomFpp]] factor div 10⁶ + 1, k hashes literal, kib
+    * released for the shipping-cost read — all integer arithmetic.
+    *
+    * Scale shape: two table scans (lineitem, orders) map-side
+    * combined into per-key exact distinct aggregates — the
+    * count-distinct shuffles carry only the key columns; the 8-row
+    * advisory is literal projections. */
+  def q439BloomSizing(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .agg(countDistinct("l_partkey").as("ndv_part"),
+        countDistinct("l_suppkey").as("ndv_supp"),
+        countDistinct("l_orderkey").as("ndv_order"))
+    val o = t(s, dir, "orders")
+      .agg(countDistinct("o_custkey").as("ndv_cust"))
+    val base = li.crossJoin(o).localCheckpoint(true)
+    val keys = Seq("l_partkey" -> "ndv_part", "l_suppkey" -> "ndv_supp",
+      "l_orderkey" -> "ndv_order", "o_custkey" -> "ndv_cust")
+    (for { (key, ndvCol) <- keys; (fppPpm, factor, k) <- BloomFpp }
+      yield base.select(lit(key).as("join_key"),
+        lit(fppPpm).as("fpp_ppm"), col(ndvCol).as("ndv"),
+        expr(s"$ndvCol * $factor div 1000000 + 1").as("m_bits"),
+        lit(k).as("k_hashes"),
+        expr(s"($ndvCol * $factor div 1000000 + 1) div 8192 + 1")
+          .as("kib"))).reduce(_ unionByName _)
+  }
+
+  private def q439OracleSql: String = {
+    val ndvOf = Map("l_partkey" -> "lineitem", "l_suppkey" -> "lineitem",
+      "l_orderkey" -> "lineitem", "o_custkey" -> "orders")
+    val rows = (for { (key, tab) <- ndvOf.toSeq.sortBy(_._1)
+                      (fppPpm, factor, k) <- BloomFpp } yield
+      s"""SELECT '$key' AS join_key, CAST($fppPpm AS BIGINT) AS fpp_ppm,
+          (SELECT CAST(count(DISTINCT $key) AS BIGINT) FROM $tab)
+            AS ndv,
+          (SELECT CAST(count(DISTINCT $key) AS BIGINT) FROM $tab)
+            * $factor // 1000000 + 1 AS m_bits,
+          CAST($k AS BIGINT) AS k_hashes,
+          ((SELECT CAST(count(DISTINCT $key) AS BIGINT) FROM $tab)
+            * $factor // 1000000 + 1) // 8192 + 1 AS kib""")
+      .mkString("\n        UNION ALL\n        ")
+    rows
+  }
+
+  // ------------------------------------------------------------ q440
+
+  /** q440's target file size in estimated bytes, and the per-row width
+    * estimate the planner prices months with. Both literals: the
+    * planner's contract is the BINNING GEOMETRY, not a byte-accurate
+    * forecast. */
+  val CompactTargetBytes = 262144L
+  val CompactRowBytes = 120L
+
+  /** q440 — SMALL-FILE COMPACTION PLANNER over the monthly order
+    * partitions (the layout-maintenance twin of q271's partitioned
+    * write: date-partitioned ingest leaves a long tail of small
+    * files, and every table-maintenance service — Delta OPTIMIZE,
+    * Iceberg rewrite — plans exactly this bin-packing pass; this
+    * declares the plan itself so it can be differential-checked).
+    * ORDER-PRESERVING running-sum packing: months stay in calendar
+    * order (preserving partition-pruning locality — the reason
+    * maintenance services don't first-fit-decreasing a date axis),
+    * file_id = exclusive-prefix-bytes div [[CompactTargetBytes]].
+    * Released per month: {month, rows, bytes_est, file_id} — the
+    * assignment every month-to-output mapping needs.
+    *
+    * Scale shape: one corpus scan map-side combined to the ~84-row
+    * month census; the packing is ONE ordered window (prefix sum) over
+    * that census. At 100 TB the census is per-PARTITION metadata
+    * (q104's frame), never the rows. */
+  def q440CompactionPlanner(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("bytes_est", col("n_rows") * CompactRowBytes)
+    val w = Window.orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    census
+      .withColumn("prefix", coalesce(sum("bytes_est").over(w), lit(0L)))
+      .select(col("month"), col("n_rows"), col("bytes_est"),
+        expr(s"prefix div $CompactTargetBytes").as("file_id"))
+  }
+
+  private def q440OracleSql: String =
+    s"""WITH census AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) * $CompactRowBytes AS bytes_est
+        FROM orders GROUP BY 1)
+        SELECT month, n_rows, bytes_est,
+          CAST(coalesce(sum(bytes_est) OVER (ORDER BY month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // $CompactTargetBytes AS BIGINT) AS file_id
+        FROM census"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q439_bloom_sizing" -> (q439BloomSizing _),
+    "q440_compaction_planner" -> (q440CompactionPlanner _),
     "q424_selectivity_audit" -> (q424SelectivityAudit _),
     "q402_hybrid_retrieval" -> (q402HybridRetrieval _),
     "q398_bottomk_sample" -> (q398BottomkSample _),
@@ -2388,6 +2500,8 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "q398_bottomk_sample" -> q398OracleSql,
+    "q439_bloom_sizing" -> q439OracleSql,
+    "q440_compaction_planner" -> q440OracleSql,
     "q424_selectivity_audit" -> q424OracleSql,
     "q402_hybrid_retrieval" -> q402OracleSql,
     "q292_neyman_allocation" -> q292OracleSql,

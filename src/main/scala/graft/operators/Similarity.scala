@@ -2193,6 +2193,198 @@ object Similarity {
         SELECT dim, xv AS x_scaled FROM x$PowerIters"""
   }
 
+  // ------------------------------------------------------------ q434
+
+  /** q434's per-rank weights: floor((1−p)·p^{i−1}·10⁶) at persistence
+    * p = 0.8 — baked as literals so no engine-side pow runs at query
+    * time, and INTEGER so the per-probe fold is exact. */
+  val RbpWeightPpm: Seq[Long] = Seq(200000L, 160000L, 128000L,
+    102400L, 81920L, 65536L, 52428L, 41943L, 33554L, 26843L)
+
+  /** q434 — RANK-BIASED PRECISION over the kNN retrieval (Moffat &
+    * Zobel 2008 — the ranking-eval member with an explicit USER MODEL
+    * the rest of the family lacks: q215's MRR models a user who stops
+    * at the first hit, q257's nDCG pays an arbitrary log ladder, q381's
+    * AP assumes the user reads to the last relevant item; RBP models a
+    * user who continues to the next rank with persistence p, giving a
+    * geometric weight ladder whose tail truncation error is BOUNDED —
+    * the property that makes RBP the metric of record for pooled /
+    * partially-judged retrieval). Per probe: top-[[NdcgK]] exact-cosine
+    * neighbors (q257's ranking, same cosine-DESC + vec_id tie-break),
+    * rel = label match, rbp_ppm = Σ rel_i·[[RbpWeightPpm]](i) — an
+    * exact integer fold.
+    *
+    * Scale shape: q153's amortized brute-force — one corpus pass
+    * against the broadcast probe batch, per-probe top-k window on the
+    * probe-keyed exchange; the weighted fold rides the k-row-per-probe
+    * frame. */
+  def q434Rbp(s: SparkSession, dir: String): DataFrame = {
+    val e = vectors(s, dir)
+    val lbl = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("bigint").as("label"))
+    val probes = e.join(lbl, "vec_id")
+      .filter(col("vec_id") < KnnProbes)
+      .select(col("vec_id").as("probe_id"), col("ed").as("ped"),
+        col("nrm").as("pnrm"), col("label").as("plabel"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val wts = RbpWeightPpm.mkString("array(", "L, ", "L)")
+    e.join(lbl, "vec_id")
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("pcos",
+        vec_dot(col("ed"), col("ped")) / (col("nrm") * col("pnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= NdcgK)
+      .groupBy("probe_id")
+      .agg(sum(when(col("label") === col("plabel"), 1L).otherwise(0L))
+        .as("n_rel"),
+        sum(when(col("label") === col("plabel"),
+          expr(s"element_at($wts, CAST(rank AS INT))"))
+          .otherwise(0L)).as("rbp_ppm"))
+  }
+
+  private def q434OracleSql: String = {
+    val wts = RbpWeightPpm.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm,
+          CAST(label AS BIGINT) AS label
+        FROM embeddings),
+        probes AS (SELECT vec_id AS probe_id, ed AS ped, nrm AS pnrm,
+            label AS plabel
+          FROM e WHERE vec_id < $KnnProbes),
+        ranked AS (SELECT probe_id, plabel, nlabel,
+            row_number() OVER (PARTITION BY probe_id
+              ORDER BY pcos DESC, vec_id) AS rn
+          FROM (SELECT p.probe_id, p.plabel, a.vec_id,
+                  a.label AS nlabel,
+                  list_dot_product(a.ed, p.ped) / (a.nrm * p.pnrm)
+                    AS pcos
+                FROM e a CROSS JOIN probes p
+                WHERE a.vec_id <> p.probe_id) z)
+        SELECT probe_id,
+          CAST(sum(CASE WHEN nlabel = plabel THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rel,
+          CAST(sum(CASE WHEN nlabel = plabel
+            THEN $wts[CAST(rn AS INT)] ELSE 0 END) AS BIGINT)
+            AS rbp_ppm
+        FROM ranked WHERE rn <= $NdcgK GROUP BY probe_id"""
+  }
+
+  // ------------------------------------------------------------ q435
+
+  /** q435's exact-rational scale: ERR is released over the common
+    * denominator lcm(1..10)·4^K = 2520·4¹⁰, so every term — including
+    * the running "user already satisfied" product — is an exact
+    * integer. */
+  val ErrDenom: Long = 2520L * 1048576L
+
+  /** q435 — EXPECTED RECIPROCAL RANK over the kNN retrieval with
+    * GRADED relevance (Chapelle et al. 2009 — the cascade-model
+    * metric: unlike RBP's fixed persistence, ERR models a user whose
+    * stopping probability depends on what they just saw — a perfect
+    * hit at rank 1 makes rank 2 nearly worthless, which is exactly the
+    * diminishing-returns behavior position-independent metrics
+    * miss). Grades: 2 for an exact label match, 1 for a same-parity
+    * label (coarse topical match), 0 otherwise → satisfaction
+    * R = (2^g−1)/4 ∈ {0, ¼, ¾}. ERR = Σ (1/i)·R_i·Π_{j<i}(1−R_j) is
+    * computed as an EXACT integer over [[ErrDenom]]: the running
+    * product Π(4−num_j) factors as 4^a·3^b (num ∈ {0,1,3}), with a, b
+    * cumulative counts off one window — shiftleft for 4^a, a literal
+    * CASE ladder for 3^b, (2520 div i) exact for every i ≤ 10.
+    *
+    * Scale shape: identical to q434 — the cascade fold rides the
+    * k-row-per-probe frame as two conditional cumulative counts. */
+  def q435Err(s: SparkSession, dir: String): DataFrame = {
+    val e = vectors(s, dir)
+    val lbl = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("bigint").as("label"))
+    val probes = e.join(lbl, "vec_id")
+      .filter(col("vec_id") < KnnProbes)
+      .select(col("vec_id").as("probe_id"), col("ed").as("ped"),
+        col("nrm").as("pnrm"), col("label").as("plabel"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val wCum = Window.partitionBy("probe_id")
+      .orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pow3 = (0 to 9).map(b => s"WHEN $b THEN ${math.pow(3, b).toLong}")
+      .mkString("CASE b ", " ", " ELSE 0 END")
+    e.join(lbl, "vec_id")
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("pcos",
+        vec_dot(col("ed"), col("ped")) / (col("nrm") * col("pnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= NdcgK)
+      .withColumn("num",
+        when(col("label") === col("plabel"), 3L)
+          .when(col("label") % 2 === col("plabel") % 2, 1L)
+          .otherwise(0L))
+      .withColumn("a", coalesce(sum(when(col("num") === 0L, 1L)
+        .otherwise(0L)).over(wCum), lit(0L)))
+      .withColumn("b", coalesce(sum(when(col("num") === 1L, 1L)
+        .otherwise(0L)).over(wCum), lit(0L)))
+      .groupBy("probe_id")
+      .agg(sum(expr(s"""(2520 div rank) * num
+          * shiftleft(CAST(1 AS BIGINT), CAST(2 * a AS INT))
+          * ($pow3)
+          * shiftleft(CAST(1 AS BIGINT),
+              CAST(2 * ($NdcgK - rank) AS INT))""")).as("err_scaled"))
+      .select(col("probe_id"), col("err_scaled"),
+        expr(s"err_scaled * 1000000 div $ErrDenom").as("err_ppm"))
+  }
+
+  private def q435OracleSql: String = {
+    val pow3 = (0 to 9).map(b => s"WHEN $b THEN ${math.pow(3, b).toLong}")
+      .mkString("CASE b ", " ", " ELSE 0 END")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm,
+          CAST(label AS BIGINT) AS label
+        FROM embeddings),
+        probes AS (SELECT vec_id AS probe_id, ed AS ped, nrm AS pnrm,
+            label AS plabel
+          FROM e WHERE vec_id < $KnnProbes),
+        ranked AS (SELECT probe_id, plabel, nlabel,
+            row_number() OVER (PARTITION BY probe_id
+              ORDER BY pcos DESC, vec_id) AS rn
+          FROM (SELECT p.probe_id, p.plabel, a.vec_id,
+                  a.label AS nlabel,
+                  list_dot_product(a.ed, p.ped) / (a.nrm * p.pnrm)
+                    AS pcos
+                FROM e a CROSS JOIN probes p
+                WHERE a.vec_id <> p.probe_id) z),
+        graded AS (SELECT probe_id, rn,
+          CASE WHEN nlabel = plabel THEN 3
+               WHEN nlabel % 2 = plabel % 2 THEN 1 ELSE 0 END AS num
+          FROM ranked WHERE rn <= $NdcgK),
+        cums AS (SELECT probe_id, rn, num,
+          CAST(coalesce(sum(CASE WHEN num = 0 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY probe_id ORDER BY rn
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS a,
+          CAST(coalesce(sum(CASE WHEN num = 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY probe_id ORDER BY rn
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS b
+          FROM graded)
+        SELECT probe_id,
+          CAST(sum((2520 // rn) * num
+            * (CAST(1 AS BIGINT) << CAST(2 * a AS INTEGER))
+            * ($pow3)
+            * (CAST(1 AS BIGINT) << CAST(2 * ($NdcgK - rn)
+                AS INTEGER))) AS BIGINT) AS err_scaled,
+          CAST(CAST(sum((2520 // rn) * num
+            * (CAST(1 AS BIGINT) << CAST(2 * a AS INTEGER))
+            * ($pow3)
+            * (CAST(1 AS BIGINT) << CAST(2 * ($NdcgK - rn)
+                AS INTEGER))) AS BIGINT) * 1000000 // $ErrDenom
+            AS BIGINT) AS err_ppm
+        FROM cums GROUP BY probe_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q351_power_iteration" -> (q351PowerIteration _),
     "q344_cka_prefix" -> (q344CkaPrefix _),
@@ -2204,6 +2396,8 @@ object Similarity {
     "q293_dimension_audit" -> (q293DimensionAudit _),
     "q257_ndcg_eval" -> (q257NdcgEval _),
     "q381_map_eval" -> (q381MapEval _),
+    "q434_rbp_eval" -> (q434Rbp _),
+    "q435_err_eval" -> (q435Err _),
     "q249_silhouette" -> (q249Silhouette _),
     "q246_cohens_kappa" -> (q246CohensKappa _),
     "q241_knn_classify" -> (q241KnnClassify _),
@@ -2238,6 +2432,8 @@ object Similarity {
     "q293_dimension_audit" -> q293OracleSql,
     "q257_ndcg_eval" -> q257OracleSql,
     "q381_map_eval" -> q381OracleSql,
+    "q434_rbp_eval" -> q434OracleSql,
+    "q435_err_eval" -> q435OracleSql,
     "q249_silhouette" -> q249OracleSql,
     "q246_cohens_kappa" -> q246OracleSql,
     "q241_knn_classify" -> q241OracleSql,

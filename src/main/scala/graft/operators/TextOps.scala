@@ -2271,7 +2271,65 @@ object TextOps {
             AS BIGINT) AS intercept_ppm
         FROM m CROSS JOIN tot"""
 
+  // ------------------------------------------------------------ q438
+
+  /** q438 — READABILITY PANEL per source: Flesch reading-ease and
+    * Flesch–Kincaid grade over the corpus, with the document as the
+    * sentence unit (the generator's texts carry no terminal
+    * punctuation, so words-per-sentence = words-per-document — the
+    * panel's value here is the per-source SYLLABLE-DENSITY contrast,
+    * which the vocabulary does vary). Syllables are vowel GROUPS
+    * (runs of [aeiou]), counted without a UDF as
+    * len(replace(groups→x)) − len(strip(vowels)) — two codegen'd
+    * regexp passes; both scores are released in EXACT milli units via
+    * integer division of the aggregate counts (11800·Syl div W etc.),
+    * so no float fold exists at all. The classic Flesch constants
+    * (206.835, 1.015, 84.6; FK 0.39, 11.8, 15.59) appear ×10³ as
+    * integer literals.
+    *
+    * Scale shape: one corpus scan, three codegen'd per-row counters,
+    * map-side combined to a \|sources\|-row census. */
+  def q438Readability(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("w"),
+        (length(regexp_replace(col("text"), "[aeiou]+", "x"))
+          - length(regexp_replace(col("text"), "[aeiou]+", "")))
+          .cast("bigint").as("syl"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("words"),
+        sum("syl").as("syllables"))
+    per.select(col("source"), col("n_docs"), col("words"),
+      col("syllables"),
+      expr("""CAST(206835 - (1015 * words) div n_docs
+           - (84600 * syllables) div words AS BIGINT)""")
+        .as("flesch_milli"),
+      expr("""CAST((390 * words) div n_docs
+           + (11800 * syllables) div words - 15590 AS BIGINT)""")
+        .as("fk_grade_milli"))
+  }
+
+  private def q438OracleSql: String =
+    """WITH per AS (SELECT source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+          CAST(len(regexp_replace(text, '[aeiou]+', 'x', 'g'))
+            - len(regexp_replace(text, '[aeiou]+', '', 'g'))
+            AS BIGINT) AS syl
+        FROM documents),
+        g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(w) AS BIGINT) AS words,
+          CAST(sum(syl) AS BIGINT) AS syllables
+          FROM per GROUP BY source)
+        SELECT source, n_docs, words, syllables,
+          CAST(206835 - (1015 * words) // n_docs
+            - (84600 * syllables) // words AS BIGINT) AS flesch_milli,
+          CAST((390 * words) // n_docs
+            + (11800 * syllables) // words - 15590 AS BIGINT)
+            AS fk_grade_milli
+        FROM g"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q438_readability" -> (q438Readability _),
     "q367_zipf_fit" -> (q367ZipfFit _),
     "q337_collocations" -> (q337Collocations _),
     "q346_vocab_growth" -> (q346VocabGrowth _),
@@ -2312,6 +2370,7 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q438_readability" -> q438OracleSql,
     "q367_zipf_fit" -> q367OracleSql,
     "q337_collocations" -> q337OracleSql,
     "q343_good_turing" -> q343OracleSql,

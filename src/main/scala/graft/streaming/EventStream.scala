@@ -1768,8 +1768,90 @@ object EventStream {
         WINDOW w AS (ORDER BY tc.b
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
+  // -------------------------------------------------------------- q442
+
+  private def q442Case(w: Seq[Long]): String =
+    w.zipWithIndex.map { case (v, m) => s"WHEN $m THEN $v" }
+      .mkString("CASE m ", " ", " ELSE 0 END")
+
+  /** q442 — STREAMING WEEKLY PERIODOGRAM (q433's frequency-domain
+    * seasonality read under continuous ingest — the 25th declared
+    * streaming shape, and the first SPECTRAL member of the monitor
+    * family: a live "is the weekly rhythm still there" gauge, the
+    * signal a traffic-anomaly monitor watches when volume looks normal
+    * but its SHAPE isn't). State: the watermark-bounded per-day count
+    * census — one long per open day window; count merge is associative
+    * and commutative, so the drained census is batch-split independent
+    * and the post-drain harmonic fold (integer milli-weight CASE over
+    * the day phase, [[graft.operators.Stats.PeriodogramWc]]) equals
+    * batch EXACTLY. Released per harmonic k = 1..3: {k, sc, ss, amp},
+    * all exact integers but amp's one shared-text sqrt.
+    *
+    * Scale shape: streaming census map-side combined per micro-batch,
+    * state O(open days); the harmonic fold rides the ~30-row drained
+    * frame. */
+  def q442StreamPeriodogram(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q442_stream_periodogram_mem"
+    s.catalog.dropTempView(name)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("window.start").cast("date").as("day"), col("x"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val phased = s.table(name).localCheckpoint(true)
+      .select(col("x"),
+        expr("datediff(day, DATE '2024-01-01') % 7").as("m"))
+    val aggs = (1 to 3).flatMap { k => Seq(
+      expr(s"""CAST(sum(x * (${q442Case(
+        graft.operators.Stats.PeriodogramWc(k))})) AS BIGINT)""")
+        .as(s"sc$k"),
+      expr(s"""CAST(sum(x * (${q442Case(
+        graft.operators.Stats.PeriodogramWs(k))})) AS BIGINT)""")
+        .as(s"ss$k"))
+    }
+    val g = phased.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    (1 to 3).map { k =>
+      g.select(lit(k.toLong).as("k"), col(s"sc$k").as("sc"),
+        col(s"ss$k").as("ss"),
+        expr(s"""CAST(floor(sqrt(CAST(sc$k AS DOUBLE) * sc$k
+             + CAST(ss$k AS DOUBLE) * ss$k)) AS BIGINT)""").as("amp"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def q442OracleSql: String = {
+    val aggCols = (1 to 3).flatMap { k => Seq(
+      s"""CAST(sum(x * (${q442Case(
+        graft.operators.Stats.PeriodogramWc(k))})) AS BIGINT) AS sc$k""",
+      s"""CAST(sum(x * (${q442Case(
+        graft.operators.Stats.PeriodogramWs(k))})) AS BIGINT) AS ss$k""")
+    }.mkString(", ")
+    val rows = (1 to 3).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS k, sc$k AS sc, ss$k AS ss,
+          CAST(floor(sqrt(CAST(sc$k AS DOUBLE) * sc$k
+            + CAST(ss$k AS DOUBLE) * ss$k)) AS BIGINT) AS amp
+        FROM g""").mkString("\n        UNION ALL\n        ")
+    s"""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE)
+          AS day, CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        phased AS (SELECT x,
+          (day - DATE '2024-01-01') % 7 AS m FROM daily),
+        g AS (SELECT $aggCols FROM phased)
+        $rows"""
+  }
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q442_stream_periodogram" ->
+      ((s: SparkSession, d: String) => q442StreamPeriodogram(s, d)),
     "q353_stream_vocab_growth" ->
       ((s: SparkSession, d: String) => q353StreamVocabGrowth(s, d)),
     "q347_stream_spectrum" ->
@@ -1805,6 +1887,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q442_stream_periodogram" -> q442OracleSql,
     "q353_stream_vocab_growth" -> q353OracleSql,
     "q347_stream_spectrum" -> graft.operators.TextOps.q343OracleSql2,
     "q336_stream_cusum" -> q336OracleSql,

@@ -1603,4 +1603,86 @@ class AnalyticsSpec extends SparkSpec {
     assert(rs30 > rs10.min, "no growth from w=10 to w=30")
     assert(rs30 < 3L * rs10.max, "suspicious long-memory blowup")
   }
+
+  test("q437 Katz agrees with q183 wedge counts off-edge, covers every " +
+    "edge with adj=1, and the score is the declared combination") {
+    val katz = Analytics.q437KatzIndex(spark, sf1).collect()
+      .map(r => (r.getAs[String]("b1"), r.getAs[String]("b2")) ->
+        (r.getAs[Long]("adj"), r.getAs[Long]("paths2"),
+          r.getAs[Long]("katz_micro"))).toMap
+    katz.values.foreach { case (adj, p2, score) =>
+      assert(adj == 0L || adj == 1L)
+      assert(score === adj * Analytics.KatzB1Micro +
+        p2 * Analytics.KatzB2Micro)
+    }
+    // off-edge pairs with paths2 > 0 are exactly q183's candidates
+    val lp = Analytics.q183LinkPrediction(spark, sf1).collect()
+      .map(r => (r.getAs[String]("b1"), r.getAs[String]("b2")) ->
+        r.getAs[Long]("common")).toMap
+    lp.foreach { case (pair, common) =>
+      val (adj, p2, _) = katz(pair)
+      assert(adj === 0L, s"$pair is a q183 non-edge")
+      assert(p2 === common, s"$pair wedge count")
+    }
+    val offEdge = katz.filter { case (_, (adj, p2, _)) =>
+      adj == 0L && p2 > 0L }
+    assert(offEdge.keySet === lp.keySet)
+  }
+
+  test("q436 rich-club phi replays from q437's edge set and is a " +
+    "valid density at every threshold") {
+    val rows = Analytics.q436RichClub(spark, sf1).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_club"), r.getAs[Long]("e_club"),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(rows.size === Analytics.RichClubKs.size)
+    val edges = Analytics.q437KatzIndex(spark, sf1).collect()
+      .filter(_.getAs[Long]("adj") == 1L)
+      .map(r => (r.getAs[String]("b1"), r.getAs[String]("b2")))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    Analytics.RichClubKs.foreach { k =>
+      val club = deg.filter(_._2 > k).keySet
+      val eClub = edges.count(e => club(e._1) && club(e._2)).toLong
+      val (gN, gE, gPhi) = rows(k)
+      assert(gN === club.size.toLong, s"k=$k n_club")
+      assert(gE === eClub, s"k=$k e_club")
+      if (club.size >= 2) {
+        val phi = 2L * eClub * 1000000L /
+          (club.size.toLong * (club.size - 1))
+        assert(gPhi === Some(phi), s"k=$k phi")
+        assert(phi <= 1000000L, s"k=$k phi is a density")
+      } else assert(gPhi.isEmpty, s"k=$k degenerate")
+    }
+  }
+
+  test("q441 epi panel replays the 2x2 cells and the three ratios " +
+    "agree in direction") {
+    val row = Analytics.q441EpiRatios(spark, sf1).head()
+    val cells = graft.sources.Tables.load(spark, sf1, "orders")
+      .select((col("o_orderpriority") === "1-URGENT").as("ex"),
+        (col("o_orderstatus") === "F").as("bad"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)))
+    val a = cells.count(c => c._1 && c._2).toLong
+    val b = cells.count(c => c._1 && !c._2).toLong
+    val c = cells.count(x => !x._1 && x._2).toLong
+    val d = cells.count(x => !x._1 && !x._2).toLong
+    assert(row.getAs[Long]("a") === a)
+    assert(row.getAs[Long]("b") === b)
+    assert(row.getAs[Long]("c") === c)
+    assert(row.getAs[Long]("d") === d)
+    val rr = BigInt(a) * (c + d) * 1000000 / (BigInt(c) * (a + b))
+    val or = BigInt(a) * d * 1000000 / (BigInt(b) * c)
+    assert(row.getAs[Long]("rr_ppm") === rr.toLong)
+    assert(row.getAs[Long]("or_ppm") === or.toLong)
+    val rd = row.getAs[Long]("rd_ppm")
+    // direction agreement: RR>1 iff OR>1 iff RD>0 (exact cells)
+    assert((rr > 1000000) === (or > 1000000))
+    assert((rr > 1000000) === (rd > 0) || rd == 0)
+    val chi2 = row.getAs[Long]("chi2_milli")
+    val z = (a + b + c + d).toDouble *
+      math.pow(a.toDouble * d - b.toDouble * c, 2) /
+      ((a + b).toDouble * (c + d) * (a + c) * (b + d))
+    assert(math.abs(chi2 - math.floor(z * 1000)) <= 1.0)
+  }
 }

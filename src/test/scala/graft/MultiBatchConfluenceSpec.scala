@@ -101,6 +101,9 @@ class MultiBatchConfluenceSpec extends SparkSpec {
   confluent("q336 streaming CUSUM")(mf =>
     EventStream.q336StreamCusum(spark, eventsDir, mf))
 
+  confluent("q442 streaming periodogram")(mf =>
+    EventStream.q442StreamPeriodogram(spark, eventsDir, mf))
+
   test("q239 heavy hitters: MG capture guarantee holds under a forced " +
     "4-file replay (sketch content may differ, the guarantee may not)") {
     // MG sketch CONTENT is merge-order dependent; the declared output

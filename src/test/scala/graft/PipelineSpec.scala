@@ -808,4 +808,61 @@ class PipelineSpec extends SparkSpec {
         s"lift $lift outside the independence band")
     }
   }
+
+  test("q439 bloom sizing replays exact NDVs and the standard-formula " +
+    "bits-per-key bands") {
+    val P = graft.operators.Pipeline
+    val rows = P.q439BloomSizing(spark, sf1).collect()
+      .map(r => (r.getAs[String]("join_key"), r.getAs[Long]("fpp_ppm")) ->
+        (r.getAs[Long]("ndv"), r.getAs[Long]("m_bits"),
+          r.getAs[Long]("k_hashes"), r.getAs[Long]("kib"))).toMap
+    assert(rows.size === 8)
+    val li = graft.sources.Tables.load(spark, sf1, "lineitem")
+    val or_ = graft.sources.Tables.load(spark, sf1, "orders")
+    val ndvs = Map(
+      "l_partkey" -> li.select("l_partkey").distinct.count,
+      "l_suppkey" -> li.select("l_suppkey").distinct.count,
+      "l_orderkey" -> li.select("l_orderkey").distinct.count,
+      "o_custkey" -> or_.select("o_custkey").distinct.count)
+    for { (key, ndv) <- ndvs; (fpp, factor, k) <- P.BloomFpp } {
+      val (gNdv, gM, gK, gKib) = rows((key, fpp))
+      assert(gNdv === ndv, s"$key ndv")
+      assert(gM === ndv * factor / 1000000L + 1, s"$key m_bits")
+      assert(gK === k)
+      assert(gKib === gM / 8192L + 1)
+      // the classical formula: ~9.59 bits/key at 1%, ~14.38 at 0.1%
+      val bitsPerKey = gM.toDouble / ndv
+      if (fpp == 10000L) assert(bitsPerKey > 9.5 && bitsPerKey < 9.7)
+      else assert(bitsPerKey > 14.3 && bitsPerKey < 14.5)
+    }
+  }
+
+  test("q440 compaction plan is order-preserving, files are contiguous, " +
+    "and every file but the last clears the target") {
+    val P = graft.operators.Pipeline
+    val rows = P.q440CompactionPlanner(spark, sf1).collect()
+      .map(r => (r.getAs[String]("month"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("bytes_est"), r.getAs[Long]("file_id")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // file ids are non-decreasing along the month axis (order-preserving)
+    assert(rows.map(_._4).sliding(2).forall(w =>
+      w.length < 2 || w(0) <= w(1)))
+    // replay the running-sum geometry
+    var prefix = 0L
+    rows.foreach { case (m, n, b, fid) =>
+      assert(b === n * P.CompactRowBytes, s"$m bytes")
+      assert(fid === prefix / P.CompactTargetBytes, s"$m file_id")
+      prefix += b
+    }
+    // every non-final file reaches the target up to one straddling
+    // month (the geometric bound of start-prefix packing: T - max_m)
+    val byFile = rows.groupBy(_._4).view.mapValues(_.map(_._3).sum)
+    val lastFile = rows.map(_._4).max
+    val maxMonth = rows.map(_._3).max
+    byFile.filter(_._1 != lastFile).foreach { case (fid, bytes) =>
+      assert(bytes >= P.CompactTargetBytes - maxMonth,
+        s"file $fid undersized")
+    }
+  }
 }

@@ -699,4 +699,81 @@ class PropertySpec extends SparkSpec {
       assert(gPpm === apPpm, s"probe $pid ap_ppm")
     }
   }
+
+  test("q434 RBP replays the geometric-weight model and is bounded by " +
+    "the weight ladder sum") {
+    val S = graft.operators.Similarity
+    val embs = graft.sources.Tables.load(spark, sf1, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS ed",
+        "CAST(label AS BIGINT) AS label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = S.q434Rbp(spark, sf1).collect()
+      .map(r => r.getAs[Long]("probe_id") ->
+        (r.getAs[Long]("n_rel"), r.getAs[Long]("rbp_ppm"))).toMap
+    assert(rows.size === S.KnnProbes)
+    val maxRbp = S.RbpWeightPpm.sum
+    embs.filter(_._1 < S.KnnProbes).foreach { case (pid, ped, plbl) =>
+      val ranked = embs.filter(_._1 != pid)
+        .map(e => (e._1, cos(e._2, ped), e._3))
+        .sortBy(e => (-e._2, e._1)).take(S.NdcgK)
+      var nRel = 0L; var rbp = 0L
+      ranked.zipWithIndex.foreach { case ((_, _, lbl), i) =>
+        if (lbl == plbl) { nRel += 1; rbp += S.RbpWeightPpm(i) }
+      }
+      val (gRel, gRbp) = rows(pid)
+      assert(gRel === nRel, s"probe $pid n_rel")
+      assert(gRbp === rbp, s"probe $pid rbp_ppm")
+      assert(gRbp >= 0L && gRbp <= maxRbp)
+    }
+  }
+
+  test("q435 ERR replays the exact-integer cascade model and a " +
+    "rank-1 exact hit dominates any later evidence") {
+    val S = graft.operators.Similarity
+    val embs = graft.sources.Tables.load(spark, sf1, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS ed",
+        "CAST(label AS BIGINT) AS label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = S.q435Err(spark, sf1).collect()
+      .map(r => r.getAs[Long]("probe_id") ->
+        (r.getAs[Long]("err_scaled"), r.getAs[Long]("err_ppm"))).toMap
+    assert(rows.size === S.KnnProbes)
+    embs.filter(_._1 < S.KnnProbes).foreach { case (pid, ped, plbl) =>
+      val ranked = embs.filter(_._1 != pid)
+        .map(e => (e._1, cos(e._2, ped), e._3))
+        .sortBy(e => (-e._2, e._1)).take(S.NdcgK)
+      var errScaled = 0L
+      var a = 0L; var b = 0L // counts of num==0 / num==1 before i
+      ranked.zipWithIndex.foreach { case ((_, _, lbl), i0) =>
+        val num = if (lbl == plbl) 3L
+          else if (lbl % 2 == plbl % 2) 1L else 0L
+        val term = (2520L / (i0 + 1)) * num *
+          (1L << (2 * a).toInt) * math.pow(3, b.toDouble).toLong *
+          (1L << (2 * (S.NdcgK - (i0 + 1))).toInt)
+        errScaled += term
+        if (num == 0L) a += 1 else if (num == 1L) b += 1
+      }
+      val (gScaled, gPpm) = rows(pid)
+      assert(gScaled === errScaled, s"probe $pid err_scaled")
+      assert(gPpm === errScaled * 1000000L / S.ErrDenom,
+        s"probe $pid err_ppm")
+      // cascade property: a rank-1 exact hit alone contributes
+      // R_1 = 3/4 of the i=1 term, i.e. err >= 3/4 -> 750000 ppm
+      if (ranked.head._3 == plbl) assert(gPpm >= 750000L)
+    }
+  }
 }

@@ -2734,4 +2734,31 @@ class StatsSpec extends SparkSpec {
         sc.toDouble * sc.toDouble + ss.toDouble * ss.toDouble)).toLong)
     }
   }
+
+  test("q438 readability replays the vowel-group syllable counter and " +
+    "the integer Flesch algebra") {
+    val rows = graft.operators.TextOps.q438Readability(spark, sf1)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("words"),
+          r.getAs[Long]("syllables"), r.getAs[Long]("flesch_milli"),
+          r.getAs[Long]("fk_grade_milli"))).toMap
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.keySet === bySrc.keySet)
+    bySrc.foreach { case (src, ds) =>
+      val w = ds.map(_._2.split(" ").length.toLong).sum
+      val syl = ds.map(d =>
+        "[aeiou]+".r.findAllIn(d._2).length.toLong).sum
+      val n = ds.length.toLong
+      val (gN, gW, gS, gF, gK) = rows(src)
+      assert(gN === n, s"$src n_docs")
+      assert(gW === w, s"$src words")
+      assert(gS === syl, s"$src syllables")
+      assert(gF === 206835L - 1015L * w / n - 84600L * syl / w)
+      assert(gK === 390L * w / n + 11800L * syl / w - 15590L)
+    }
+  }
 }
