@@ -142,7 +142,14 @@ object Scaling {
     // user-keyed censuses and q400 the q395 streaming twin — excluded
     // on the standing census grounds.
     "q390_jackknife_ratio", "q393_uplift_quintiles",
-    "q396_herfindahl", "q397_adamic_adar", "q398_bottomk_sample")
+    "q396_herfindahl", "q397_adamic_adar", "q398_bottomk_sample",
+    // round-10 session-8 additions: the probe-batch retrieval evals
+    // (q381's law), the brand-graph sweeps (q397's wedge law), and
+    // the fact-wide exact-distinct advisor. q426-q433, q438, q440,
+    // q441 are value-domain / day / month / source censuses and q442
+    // is q433's streaming twin — excluded on the standing grounds.
+    "q434_rbp_eval", "q435_err_eval", "q436_rich_club",
+    "q437_katz_index", "q439_bloom_sizing")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",

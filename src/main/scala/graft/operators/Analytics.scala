@@ -4860,7 +4860,13 @@ object Analytics {
     * conditional aggregate over the |edges|-row frame (no per-k
     * rescan). */
   def q436RichClub(s: SparkSession, dir: String): DataFrame = {
-    val (edges, und) = brandGraph(s, dir)
+    // pin the edge list once and derive the adjacency from it — edges
+    // and und both forcing brandGraph would run the basket pair
+    // generation twice
+    val edges = brandGraph(s, dir)._1.localCheckpoint(true)
+    val und = edges.select(col("b1").as("src"), col("b2").as("nbr"))
+      .unionByName(edges.select(col("b2").as("src"),
+        col("b1").as("nbr")))
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDegs = edges
       .join(broadcast(deg.select(col("src").as("b1"),
@@ -4930,7 +4936,11 @@ object Analytics {
     * full outer join of two |pairs|-bounded frames — at crawl scale a
     * degree cap precedes pair generation (q183's note). */
   def q437KatzIndex(s: SparkSession, dir: String): DataFrame = {
-    val (edges, und) = brandGraph(s, dir)
+    // same single-forcing discipline as q436
+    val edges = brandGraph(s, dir)._1.localCheckpoint(true)
+    val und = edges.select(col("b1").as("src"), col("b2").as("nbr"))
+      .unionByName(edges.select(col("b2").as("src"),
+        col("b1").as("nbr")))
     val wedges = und.groupBy("src")
       .agg(sort_array(collect_set("nbr")).as("ns"))
       .select(explode(expr("flatten(transform(ns, (x, i) -> " +
