@@ -149,7 +149,11 @@ object Scaling {
     // q441 are value-domain / day / month / source censuses and q442
     // is q433's streaming twin — excluded on the standing grounds.
     "q434_rbp_eval", "q435_err_eval", "q436_rich_club",
-    "q437_katz_index", "q439_bloom_sizing")
+    "q437_katz_index", "q439_bloom_sizing",
+    // session-8b: q448 carries the corpus token explode (q59/q98
+    // law), q449 the four audited FK equi-joins. q443-q447 are
+    // daily/weekly/month censuses — excluded on the standing grounds.
+    "q448_rake_keywords", "q449_join_cardinality")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",

@@ -5055,6 +5055,169 @@ object Analytics {
             * 1000) AS BIGINT) AS chi2_milli
         FROM cells"""
 
+  // ------------------------------------------------------------ q445
+
+  /** q445 — GRANGER-STYLE LAG SCREEN: does yesterday's order COUNT
+    * explain today's REVENUE beyond what yesterday's revenue already
+    * does? (The cross-series completion of the q304/q432/q444 family —
+    * those are all UNIVARIATE; the first question a metrics platform
+    * asks about two related series is incremental lagged
+    * explanatory power, the Granger screen: F-test of the restricted
+    * regression y_t ~ y_{t−1} against the unrestricted
+    * y_t ~ y_{t−1} + x_{t−1}.) Day-pair frame via one lag join;
+    * ALL second moments exact integers (n-scaled centering
+    * S_ab = n·Σab − Σa·Σb in decimal(38,0) — the shared n² scale
+    * cancels in the F ratio); the two closed-form RSS's and
+    * F = (RSSr − RSSu)·(n−3)/RSSu ride ONE shared-text double chain.
+    * Released: {n, b2_sign (the direction of the incremental lag
+    * effect), f_milli}.
+    *
+    * Scale shape: one corpus scan to the daily census; one lag
+    * self-join on the census; a 1-row moment aggregate. */
+  def q445GrangerLite(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("yv"))
+      .localCheckpoint(true)
+    val pairs = daily
+      .select(col("day"), col("yv").as("yt"))
+      .join(daily.select(date_add(col("day"), 1).as("day"),
+        col("yv").as("ylag"), col("x").as("xlag")), "day")
+    val m = pairs.agg(count(lit(1)).as("n"),
+      sum("yt").as("sy"), sum("ylag").as("sa"), sum("xlag").as("sb"),
+      sum(expr("CAST(yt AS DECIMAL(38,0)) * ylag")).as("sya"),
+      sum(expr("CAST(yt AS DECIMAL(38,0)) * xlag")).as("syb"),
+      sum(expr("CAST(ylag AS DECIMAL(38,0)) * xlag")).as("sab"),
+      sum(expr("CAST(ylag AS DECIMAL(38,0)) * ylag")).as("saa"),
+      sum(expr("CAST(xlag AS DECIMAL(38,0)) * xlag")).as("sbb"),
+      sum(expr("CAST(yt AS DECIMAL(38,0)) * yt")).as("syy"))
+    def cS(ab: String, a: String, b: String): String =
+      s"""(CAST(n AS DOUBLE) * CAST($ab AS DOUBLE)
+         - CAST($a AS DOUBLE) * CAST($b AS DOUBLE))"""
+    val Say = cS("sya", "sy", "sa"); val Sby = cS("syb", "sy", "sb")
+    val Sab = cS("sab", "sa", "sb"); val Saa = cS("saa", "sa", "sa")
+    val Sbb = cS("sbb", "sb", "sb"); val Syy = cS("syy", "sy", "sy")
+    val det = s"($Saa * $Sbb - $Sab * $Sab)"
+    val b1 = s"(($Say * $Sbb - $Sby * $Sab) / $det)"
+    val b2 = s"(($Sby * $Saa - $Say * $Sab) / $det)"
+    val rssR = s"($Syy - $Say * ($Say / $Saa))"
+    val rssU = s"($Syy - ($Say * $b1 + $Sby * $b2))"
+    val f = s"(($rssR - $rssU) * (CAST(n AS DOUBLE) - 3.0) / $rssU)"
+    m.select(col("n"),
+      expr(s"CAST(CASE WHEN $b2 > 0.0 THEN 1 WHEN $b2 < 0.0 THEN -1 " +
+        "ELSE 0 END AS BIGINT)").as("b2_sign"),
+      expr(s"CAST(floor($f * 1000) AS BIGINT)").as("f_milli"))
+  }
+
+  private def q445OracleSql: String = {
+    def cS(ab: String, a: String, b: String): String =
+      s"""(CAST(n AS DOUBLE) * CAST($ab AS DOUBLE)
+         - CAST($a AS DOUBLE) * CAST($b AS DOUBLE))"""
+    val Say = cS("sya", "sy", "sa"); val Sby = cS("syb", "sy", "sb")
+    val Sab = cS("sab", "sa", "sb"); val Saa = cS("saa", "sa", "sa")
+    val Sbb = cS("sbb", "sb", "sb"); val Syy = cS("syy", "sy", "sy")
+    val det = s"($Saa * $Sbb - $Sab * $Sab)"
+    val b1 = s"(($Say * $Sbb - $Sby * $Sab) / $det)"
+    val b2 = s"(($Sby * $Saa - $Say * $Sab) / $det)"
+    val rssR = s"($Syy - $Say * ($Say / $Saa))"
+    val rssU = s"($Syy - ($Say * $b1 + $Sby * $b2))"
+    val f = s"(($rssR - $rssU) * (CAST(n AS DOUBLE) - 3.0) / $rssU)"
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x,
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS yv
+          FROM orders GROUP BY 1),
+        pairs AS (SELECT a.yv AS yt, b.yv AS ylag, b.x AS xlag
+          FROM daily a JOIN daily b ON a.day = b.day + 1),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(yt) AS BIGINT) AS sy,
+          CAST(sum(ylag) AS BIGINT) AS sa,
+          CAST(sum(xlag) AS BIGINT) AS sb,
+          sum(CAST(yt AS HUGEINT) * ylag) AS sya,
+          sum(CAST(yt AS HUGEINT) * xlag) AS syb,
+          sum(CAST(ylag AS HUGEINT) * xlag) AS sab,
+          sum(CAST(ylag AS HUGEINT) * ylag) AS saa,
+          sum(CAST(xlag AS HUGEINT) * xlag) AS sbb,
+          sum(CAST(yt AS HUGEINT) * yt) AS syy
+          FROM pairs)
+        SELECT n,
+          CAST(CASE WHEN $b2 > 0.0 THEN 1 WHEN $b2 < 0.0 THEN -1
+            ELSE 0 END AS BIGINT) AS b2_sign,
+          CAST(floor($f * 1000) AS BIGINT) AS f_milli
+        FROM m"""
+  }
+
+  // ------------------------------------------------------------ q447
+
+  /** q447's Shewhart chart constants for subgroup size n = 7 (standard
+    * SPC tables — literals, the q403 discipline). */
+  val SpcA2 = "0.419"
+  val SpcD3 = "0.076"
+  val SpcD4 = "1.924"
+
+  /** q447 — SHEWHART X̄/R CONTROL CHART over weekly subgroups of daily
+    * revenue (the PROCESS-CONTROL member of the monitoring family:
+    * q198/q336 detect a changepoint after the fact, q219 flags bursts —
+    * a control chart is the STANDING gate manufacturing-style ops put
+    * on a metric, with limits derived from within-subgroup range so
+    * slow drift can't inflate its own thresholds). Weeks = complete
+    * 7-observed-day subgroups of the daily census (partial weeks
+    * dropped — the q430 complete-block discipline); per week the exact
+    * integer (Σrev, range); grand means and the A2/D3/D4 limits ride
+    * one broadcast scalar row; released per week {week, sum_rv, r,
+    * x_ooc, r_ooc}.
+    *
+    * Scale shape: one corpus scan → daily census → ~340-row week
+    * frame; limits are one broadcast aggregate; flags are in-row. */
+  def q447SpcControl(s: SparkSession, dir: String): DataFrame = {
+    val weekly = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("rv"))
+      .groupBy(expr("datediff(day, DATE '1995-01-01') div 7").as("wk"))
+      .agg(count(lit(1)).as("nd"), sum("rv").as("sum_rv"),
+        (max("rv") - min("rv")).as("r"))
+      .filter(col("nd") === 7)
+      .localCheckpoint(true)
+    val g = weekly.agg(count(lit(1)).as("nw"),
+      sum("sum_rv").as("st"), sum("r").as("sr"))
+    val xbar = "(CAST(sum_rv AS DOUBLE) / 7.0)"
+    val center = "(CAST(st AS DOUBLE) / CAST(nw AS DOUBLE) / 7.0)"
+    val rbar = "(CAST(sr AS DOUBLE) / CAST(nw AS DOUBLE))"
+    weekly.crossJoin(broadcast(g))
+      .select(col("wk"), col("sum_rv"), col("r"),
+        expr(s"""$xbar > $center + $SpcA2 * $rbar
+             OR $xbar < $center - $SpcA2 * $rbar""").as("x_ooc"),
+        expr(s"""CAST(r AS DOUBLE) > $SpcD4 * $rbar
+             OR CAST(r AS DOUBLE) < $SpcD3 * $rbar""").as("r_ooc"))
+  }
+
+  private def q447OracleSql: String = {
+    val xbar = "(CAST(sum_rv AS DOUBLE) / 7.0)"
+    val center = "(CAST(st AS DOUBLE) / CAST(nw AS DOUBLE) / 7.0)"
+    val rbar = "(CAST(sr AS DOUBLE) / CAST(nw AS DOUBLE))"
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS rv
+          FROM orders GROUP BY 1),
+        weekly AS (SELECT (day - DATE '1995-01-01') // 7 AS wk,
+            CAST(count(*) AS BIGINT) AS nd,
+            CAST(sum(rv) AS BIGINT) AS sum_rv,
+            CAST(max(rv) - min(rv) AS BIGINT) AS r
+          FROM daily GROUP BY 1),
+        complete AS (SELECT * FROM weekly WHERE nd = 7),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS nw,
+          CAST(sum(sum_rv) AS BIGINT) AS st,
+          CAST(sum(r) AS BIGINT) AS sr FROM complete)
+        SELECT wk, sum_rv, r,
+          ($xbar > $center + $SpcA2 * $rbar
+           OR $xbar < $center - $SpcA2 * $rbar) AS x_ooc,
+          (CAST(r AS DOUBLE) > $SpcD4 * $rbar
+           OR CAST(r AS DOUBLE) < $SpcD3 * $rbar) AS r_ooc
+        FROM complete CROSS JOIN g"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q399_viterbi" -> (q399Viterbi _),
     "q401_slope_one" -> (q401SlopeOne _),
@@ -5068,6 +5231,8 @@ object Analytics {
     "q396_herfindahl" -> (q396Herfindahl _),
     "q397_adamic_adar" -> (q397AdamicAdar _),
     "q436_rich_club" -> (q436RichClub _),
+    "q445_granger_lite" -> (q445GrangerLite _),
+    "q447_spc_control" -> (q447SpcControl _),
     "q437_katz_index" -> (q437KatzIndex _),
     "q441_epi_ratios" -> (q441EpiRatios _),
     "q382_brier_ece" -> (q382BrierEce _),
@@ -5152,6 +5317,8 @@ object Analytics {
     "q396_herfindahl" -> q396OracleSql,
     "q397_adamic_adar" -> q397OracleSql,
     "q436_rich_club" -> q436OracleSql,
+    "q445_granger_lite" -> q445OracleSql,
+    "q447_spc_control" -> q447OracleSql,
     "q437_katz_index" -> q437OracleSql,
     "q441_epi_ratios" -> q441OracleSql,
     "q382_brier_ece" -> q382OracleSql,

@@ -2455,7 +2455,93 @@ object Pipeline {
             // $CompactTargetBytes AS BIGINT) AS file_id
         FROM census"""
 
+  // ------------------------------------------------------------ q449
+
+  /** q449 — JOIN-CARDINALITY ESTIMATION AUDIT over the star schema's
+    * four FK joins (the JOIN-level counterpart of q424's conjunctive-
+    * selectivity audit: a cost-based optimizer prices every join with
+    * \|A⋈B\| ≈ \|A\|·\|B\|/max(ndv_A, ndv_B) — the uniform-key
+    * containment assumption — and the ratio of that estimate to the
+    * TRUE join cardinality is the number that decides whether a
+    * multi-column-statistics or runtime-sampling feature pays for
+    * itself). Per join: exact {n_left, n_right, ndv_left, ndv_right},
+    * the textbook estimate by exact decimal division, the EXECUTED
+    * join's true row count, and ratio_milli = 1000·actual div est.
+    *
+    * Scale shape: each audit is one fact equi-join (shuffle on its
+    * key, the plan the estimate prices) plus per-side map-combined
+    * distinct aggregates; the 4-row advisory is literal projections. */
+  def q449JoinCardinality(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ords = t(s, dir, "orders")
+    val joins: Seq[(String, DataFrame, String, DataFrame, String)] = Seq(
+      ("lineitem_orders", li, "l_orderkey", ords, "o_orderkey"),
+      ("lineitem_part", li, "l_partkey", t(s, dir, "part"), "p_partkey"),
+      ("lineitem_supplier", li, "l_suppkey",
+        t(s, dir, "supplier"), "s_suppkey"),
+      ("orders_customer", ords, "o_custkey",
+        t(s, dir, "customer"), "c_custkey"))
+    joins.map { case (name, l, lk, r, rk) =>
+      val stats = l.agg(count(lit(1)).as("n_left"),
+        countDistinct(lk).as("ndv_left"))
+        .crossJoin(r.agg(count(lit(1)).as("n_right"),
+          countDistinct(rk).as("ndv_right")))
+      val actual = l.select(col(lk).as("k"))
+        .join(r.select(col(rk).as("k")), "k")
+        .agg(count(lit(1)).as("actual_rows"))
+      stats.crossJoin(actual)
+        .select(lit(name).as("join_name"), col("n_left"),
+          col("n_right"), col("ndv_left"), col("ndv_right"),
+          expr("""CAST(CAST(n_left AS DECIMAL(38,0)) * n_right
+               div greatest(ndv_left, ndv_right) AS BIGINT)""")
+            .as("est_rows"),
+          col("actual_rows"),
+          expr("""CAST(CAST(actual_rows AS DECIMAL(38,0)) * 1000
+               div (CAST(n_left AS DECIMAL(38,0)) * n_right
+                    div greatest(ndv_left, ndv_right)) AS BIGINT)""")
+            .as("ratio_milli"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def q449OracleSql: String = {
+    val joins = Seq(
+      ("lineitem_orders", "lineitem", "l_orderkey", "orders",
+        "o_orderkey"),
+      ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem_supplier", "lineitem", "l_suppkey", "supplier",
+        "s_suppkey"),
+      ("orders_customer", "orders", "o_custkey", "customer",
+        "c_custkey"))
+    joins.map { case (name, lt, lk, rt, rk) =>
+      s"""SELECT '$name' AS join_name,
+          (SELECT CAST(count(*) AS BIGINT) FROM $lt) AS n_left,
+          (SELECT CAST(count(*) AS BIGINT) FROM $rt) AS n_right,
+          (SELECT CAST(count(DISTINCT $lk) AS BIGINT) FROM $lt)
+            AS ndv_left,
+          (SELECT CAST(count(DISTINCT $rk) AS BIGINT) FROM $rt)
+            AS ndv_right,
+          CAST((SELECT CAST(count(*) AS HUGEINT) FROM $lt)
+            * (SELECT count(*) FROM $rt)
+            // greatest(
+                (SELECT CAST(count(DISTINCT $lk) AS HUGEINT) FROM $lt),
+                (SELECT CAST(count(DISTINCT $rk) AS HUGEINT) FROM $rt))
+            AS BIGINT) AS est_rows,
+          (SELECT CAST(count(*) AS BIGINT)
+            FROM $lt JOIN $rt ON $lt.$lk = $rt.$rk) AS actual_rows,
+          CAST((SELECT CAST(count(*) AS HUGEINT)
+              FROM $lt JOIN $rt ON $lt.$lk = $rt.$rk) * 1000
+            // ((SELECT CAST(count(*) AS HUGEINT) FROM $lt)
+               * (SELECT count(*) FROM $rt)
+               // greatest(
+                  (SELECT CAST(count(DISTINCT $lk) AS HUGEINT)
+                    FROM $lt),
+                  (SELECT CAST(count(DISTINCT $rk) AS HUGEINT)
+                    FROM $rt))) AS BIGINT) AS ratio_milli"""
+    }.mkString("\n        UNION ALL\n        ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q449_join_cardinality" -> (q449JoinCardinality _),
     "q439_bloom_sizing" -> (q439BloomSizing _),
     "q440_compaction_planner" -> (q440CompactionPlanner _),
     "q424_selectivity_audit" -> (q424SelectivityAudit _),
@@ -2500,6 +2586,7 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "q398_bottomk_sample" -> q398OracleSql,
+    "q449_join_cardinality" -> q449OracleSql,
     "q439_bloom_sizing" -> q439OracleSql,
     "q440_compaction_planner" -> q440OracleSql,
     "q424_selectivity_audit" -> q424OracleSql,

@@ -5071,6 +5071,214 @@ object Stats {
         $rows"""
   }
 
+  // ------------------------------------------------------------ q443
+
+  /** q443's closed-form constants as shortest-round-trip literals (the
+    * q403 discipline — the only transcendentals are of LITERALS):
+    * √6/π for the Gumbel method-of-moments scale, Euler–Mascheroni γ
+    * for the location, and −ln(−ln(1−1/12)) for the 12-block return
+    * level. */
+  val GumbelSqrt6Pi = "0.779696801233676"
+  val GumbelGamma = "0.5772156649015329"
+  val GumbelC12 = "2.441716398881459"
+
+  /** q443 — GUMBEL BLOCK-MAXIMA fit of monthly peak daily revenue
+    * (the extreme-value completion of the risk family: q277's expected
+    * shortfall and q297's drawdown describe the OBSERVED tail; capacity
+    * planning needs the UNOBSERVED one — "what daily peak should we
+    * expect once a year" — and the Fisher–Tippett theorem says block
+    * maxima converge to a GEV, with Gumbel the light-tailed member the
+    * method-of-moments fit targets: β = s·√6/π, μ = m̄ − γβ). Monthly
+    * maxima of the daily revenue census (exact cents); moments exact
+    * integers (Σmax, Σmax² in decimal(38,0)); μ, β and the 12-month
+    * return level x₁₂ = μ + β·c₁₂ released ×10³ through ONE shared-text
+    * double chain (sample sd via sqrt — IEEE-exact).
+    *
+    * Scale shape: one corpus scan map-side combined to the daily
+    * census; block maxima ride the ~80-row month frame; one scalar
+    * row. */
+  def q443GumbelMaxima(s: SparkSession, dir: String): DataFrame = {
+    val blocks = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("rv"))
+      .groupBy(expr("substring(CAST(day AS STRING), 1, 7)").as("month"))
+      .agg(max("rv").as("mx"))
+    val g = blocks.agg(count(lit(1)).as("nb"), sum("mx").as("s1"),
+      sum(expr("CAST(mx AS DECIMAL(38,0)) * mx")).as("s2"))
+    val sd = """sqrt((CAST(s2 AS DOUBLE)
+      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)))
+      / (CAST(nb AS DOUBLE) - 1.0))"""
+    val beta = s"($sd * $GumbelSqrt6Pi)"
+    val mu =
+      s"(CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE) - $GumbelGamma * $beta)"
+    g.select(col("nb"), col("s1"),
+      expr(s"CAST(floor($mu * 1000) AS BIGINT)").as("mu_milli"),
+      expr(s"CAST(floor($beta * 1000) AS BIGINT)").as("beta_milli"),
+      expr(s"CAST(floor(($mu + $beta * $GumbelC12) * 1000) AS BIGINT)")
+        .as("rl12_milli"))
+  }
+
+  private def q443OracleSql: String = {
+    val sd = """sqrt((CAST(s2 AS DOUBLE)
+      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)))
+      / (CAST(nb AS DOUBLE) - 1.0))"""
+    val beta = s"($sd * $GumbelSqrt6Pi)"
+    val mu =
+      s"(CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE) - $GumbelGamma * $beta)"
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS rv
+          FROM orders GROUP BY 1),
+        blocks AS (SELECT substring(CAST(day AS VARCHAR), 1, 7)
+            AS month, CAST(max(rv) AS BIGINT) AS mx
+          FROM daily GROUP BY 1),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+          CAST(sum(mx) AS BIGINT) AS s1,
+          sum(CAST(mx AS HUGEINT) * mx) AS s2 FROM blocks)
+        SELECT nb, s1,
+          CAST(floor($mu * 1000) AS BIGINT) AS mu_milli,
+          CAST(floor($beta * 1000) AS BIGINT) AS beta_milli,
+          CAST(floor(($mu + $beta * $GumbelC12) * 1000) AS BIGINT)
+            AS rl12_milli
+        FROM g"""
+  }
+
+  // ------------------------------------------------------------ q444
+
+  /** χ²₀.₉₅ with 7 df, the [[PacfMaxLag]]-lag portmanteau gate. */
+  val LjungBoxCrit = "14.067140449340169"
+
+  /** q444 — LJUNG–BOX PORTMANTEAU TEST on the daily order-count series
+    * (the WHITENESS gate closing the q304/q432 loop: ACF/PACF show the
+    * correlogram, but "is there ANY autocorrelation in the first 7
+    * lags" needs the joint test — Q = n(n+2)·Σ r_k²/(n−k), the
+    * standard residual-diagnostics gate every forecasting pipeline
+    * runs before trusting a model). ACF ratios from the EXACT q304
+    * moment census (n-scaled centering, decimal products); Q ×10³ via
+    * one shared-text double chain with the 7 terms unrolled in fixed
+    * order; reject = Q > [[LjungBoxCrit]] (literal).
+    *
+    * Scale shape: q432's — one corpus scan to the daily census, 7 lag
+    * joins on that census, scalar algebra on a 1-row frame. */
+  def q444LjungBox(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val g = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val y = daily.crossJoin(broadcast(g))
+      .select(col("day"), col("n"),
+        (col("n") * col("x") - col("sx")).as("y"))
+      .localCheckpoint(true)
+    val den = y.agg(max("n").as("n"),
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("den"))
+    val lags = s.range(1, PacfMaxLag + 1L).select(col("id").as("lag"))
+    val nums = y.crossJoin(broadcast(lags))
+      .select(col("lag"), col("y"),
+        date_add(col("day"), col("lag").cast("int")).as("day_k"))
+      .join(y.select(col("day").as("day_k"), col("y").as("y_k")),
+        "day_k")
+      .groupBy("lag")
+      .agg(sum(expr("CAST(y AS DECIMAL(38,0)) * y_k")).as("num"))
+    val piv = nums.agg(
+      max(when(col("lag") === 1, col("num"))).as("num_1"),
+      (2 to PacfMaxLag).map(kk =>
+        max(when(col("lag") === kk, col("num"))).as(s"num_$kk")): _*)
+      .crossJoin(broadcast(den))
+    val terms = (1 to PacfMaxLag).map { kk =>
+      s"""((CAST(num_$kk AS DOUBLE) / CAST(den AS DOUBLE))
+         * (CAST(num_$kk AS DOUBLE) / CAST(den AS DOUBLE))
+         / (CAST(n AS DOUBLE) - $kk))"""
+    }.mkString(" + ")
+    val q = s"(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ($terms))"
+    piv.select(col("n"),
+      expr(s"CAST(floor($q * 1000) AS BIGINT)").as("q_milli"),
+      expr(s"$q > $LjungBoxCrit").as("reject"))
+  }
+
+  private def q444OracleSql: String = {
+    val numCols = (1 to PacfMaxLag).map(kk =>
+      s"max(CASE WHEN lag = $kk THEN num END) AS num_$kk")
+      .mkString(", ")
+    val terms = (1 to PacfMaxLag).map { kk =>
+      s"""((CAST(num_$kk AS DOUBLE) / CAST(den AS DOUBLE))
+         * (CAST(num_$kk AS DOUBLE) / CAST(den AS DOUBLE))
+         / (CAST(n AS DOUBLE) - $kk))"""
+    }.mkString(" + ")
+    val q = s"(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ($terms))"
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x FROM orders GROUP BY 1),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx FROM daily),
+        y AS (SELECT day, n, n * x - sx AS y FROM daily CROSS JOIN g),
+        den AS (SELECT max(n) AS n,
+          sum(CAST(y AS HUGEINT) * y) AS den FROM y),
+        lags AS (SELECT CAST(x AS BIGINT) AS lag
+          FROM generate_series(1, $PacfMaxLag) AS t(x)),
+        nums AS (SELECT l.lag, sum(CAST(a.y AS HUGEINT) * b.y) AS num
+          FROM y a CROSS JOIN lags l
+          JOIN y b ON b.day = a.day + CAST(l.lag AS INTEGER)
+          GROUP BY l.lag),
+        piv AS (SELECT $numCols FROM nums)
+        SELECT n, CAST(floor($q * 1000) AS BIGINT) AS q_milli,
+          $q > $LjungBoxCrit AS reject
+        FROM piv CROSS JOIN den"""
+  }
+
+  // ------------------------------------------------------------ q446
+
+  /** q446 — POISSON OVERDISPERSION INDEX per event type (the
+    * count-data diagnostic that decides which MODEL the rest of the
+    * count family may assume: a Poisson arrival stream has VMR = 1 by
+    * definition; real traffic is bursty (VMR > 1, q262's burstiness at
+    * the token level) or quota-smoothed (VMR < 1), and the dispersion
+    * test z = (VMR−1)·√((n−1)/2) is the standard screen before any
+    * Poisson-assuming monitor — q394's Gamma–Poisson shrinkage
+    * included — is trusted). Per type: daily-count census, exact
+    * integer moments, vmr_milli = 1000·n·(n·Σx² − (Σx)²) div
+    * ((n−1)·n·Σx) in exact integers, z ×10³ via one shared sqrt chain.
+    *
+    * Scale shape: one corpus scan map-side combined to the
+    * (type × day) census (≤ 5·31 cells); moments and the 5-row panel
+    * ride that frame. */
+  def q446Dispersion(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val m = census.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+    m.select(col("event_type"), col("n"), col("sx"),
+      expr("""CAST((1000 * (CAST(n AS DECIMAL(38,0)) * sxx
+           - CAST(sx AS DECIMAL(38,0)) * sx))
+           div ((n - 1) * CAST(sx AS DECIMAL(38,0))) AS BIGINT)""")
+        .as("vmr_milli"),
+      expr("""CAST(floor(((CAST(n AS DOUBLE) * sxx
+           - CAST(sx AS DOUBLE) * sx)
+           / ((CAST(n AS DOUBLE) - 1.0) * CAST(sx AS DOUBLE)) - 1.0)
+           * sqrt((CAST(n AS DOUBLE) - 1.0) / 2.0) * 1000)
+           AS BIGINT)""").as("z_milli"))
+  }
+
+  private def q446OracleSql: String =
+    """WITH census AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+        m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx,
+          sum(CAST(x AS HUGEINT) * x) AS sxx
+          FROM census GROUP BY 1)
+        SELECT event_type, n, sx,
+          CAST((1000 * (CAST(n AS HUGEINT) * sxx
+            - CAST(sx AS HUGEINT) * sx))
+            // ((n - 1) * CAST(sx AS HUGEINT)) AS BIGINT) AS vmr_milli,
+          CAST(floor(((CAST(n AS DOUBLE) * sxx
+            - CAST(sx AS DOUBLE) * sx)
+            / ((CAST(n AS DOUBLE) - 1.0) * CAST(sx AS DOUBLE)) - 1.0)
+            * sqrt((CAST(n AS DOUBLE) - 1.0) / 2.0) * 1000)
+            AS BIGINT) AS z_milli
+        FROM m"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5135,7 +5343,10 @@ object Stats {
     "q430_page_trend" -> (q430PageTrend _),
     "q431_holm_stepdown" -> (q431HolmStepdown _),
     "q432_pacf" -> (q432Pacf _),
-    "q433_periodogram" -> (q433Periodogram _))
+    "q433_periodogram" -> (q433Periodogram _),
+    "q443_gumbel_maxima" -> (q443GumbelMaxima _),
+    "q444_ljung_box" -> (q444LjungBox _),
+    "q446_dispersion" -> (q446Dispersion _))
 
   val oracleSql: Map[String, String] = Map(
     "q303_mann_whitney" -> q303OracleSql,
@@ -5199,5 +5410,8 @@ object Stats {
     "q430_page_trend" -> q430OracleSql,
     "q431_holm_stepdown" -> q431OracleSql,
     "q432_pacf" -> q432OracleSql,
-    "q433_periodogram" -> q433OracleSql)
+    "q433_periodogram" -> q433OracleSql,
+    "q443_gumbel_maxima" -> q443OracleSql,
+    "q444_ljung_box" -> q444OracleSql,
+    "q446_dispersion" -> q446OracleSql)
 }

@@ -2328,7 +2328,83 @@ object TextOps {
             AS fk_grade_milli
         FROM g"""
 
+  // ------------------------------------------------------------ q448
+
+  /** q448's stopword set — the generator vocabulary's two function
+    * words. */
+  val RakeStops: Seq[String] = Seq("a", "the")
+  val RakeTopK = 20
+
+  /** q448 — RAKE KEYWORD EXTRACTION over the corpus (Rose et al.
+    * 2010 — the degree/frequency keyword scorer: q100's heavy hitters
+    * rank words by raw count, which surfaces function-adjacent filler;
+    * RAKE splits text into stopword-delimited PHRASES and scores each
+    * word by co-occurrence degree over frequency, preferring words
+    * that live in long content phrases — the classic cheap keyword
+    * baseline a corpus explorer runs before anything neural). Phrase
+    * segmentation WITHOUT string surgery: per-doc word positions, a
+    * running stopword count as the phrase id (one doc-keyed window),
+    * stopwords dropped; deg(w) = Σ |phrase| over w's occurrences,
+    * freq(w) = occurrences; released top-[[RakeTopK]] by EXACT
+    * score_milli = 1000·deg div freq (ties by word).
+    *
+    * Scale shape: one corpus token explode (the q59/q98 token-pass
+    * law), ONE doc-keyed window for phrase ids, phrase-length join
+    * rides the (doc, phrase) census, final word census is
+    * vocab-bounded with a TakeOrderedAndProject top-k. */
+  def q448RakeKeywords(s: SparkSession, dir: String): DataFrame = {
+    val stopList = RakeStops.map(w => s"'$w'").mkString("(", ", ", ")")
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "w").withColumnRenamed("pos", "p")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val phrased = toks
+      .withColumn("pid",
+        sum(expr(s"CASE WHEN w IN $stopList THEN 1 ELSE 0 END")).over(w))
+      .filter(!col("w").isin(RakeStops: _*))
+      .localCheckpoint(true)
+    val plen = phrased.groupBy("doc_id", "pid")
+      .agg(count(lit(1)).as("plen"))
+    phrased.join(plen, Seq("doc_id", "pid"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .withColumn("score_milli", expr("1000 * deg div freq"))
+      .orderBy(col("score_milli").desc, col("w"))
+      .limit(RakeTopK)
+  }
+
+  private def q448OracleSql: String = {
+    val stopList = RakeStops.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH toks AS (SELECT doc_id,
+          unnest(string_split(text, ' ')) AS w,
+          CAST(generate_subscripts(string_split(text, ' '), 1)
+            AS BIGINT) AS p
+          FROM documents),
+        phrased AS (SELECT doc_id, w,
+          CAST(sum(CASE WHEN w IN $stopList THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY p) AS BIGINT) AS pid,
+          p
+          FROM toks),
+        content AS (SELECT doc_id, w, pid FROM phrased
+          WHERE w NOT IN $stopList),
+        plen AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+          FROM content GROUP BY 1, 2),
+        scored AS (SELECT c.w, CAST(count(*) AS BIGINT) AS freq,
+            CAST(sum(p.plen) AS BIGINT) AS deg
+          FROM content c JOIN plen p
+            ON c.doc_id = p.doc_id AND c.pid = p.pid
+          GROUP BY c.w)
+        SELECT w, freq, deg, 1000 * deg // freq AS score_milli
+        FROM scored
+        ORDER BY score_milli DESC, w LIMIT $RakeTopK"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q448_rake_keywords" -> (q448RakeKeywords _),
     "q438_readability" -> (q438Readability _),
     "q367_zipf_fit" -> (q367ZipfFit _),
     "q337_collocations" -> (q337Collocations _),
@@ -2370,6 +2446,7 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q448_rake_keywords" -> q448OracleSql,
     "q438_readability" -> q438OracleSql,
     "q367_zipf_fit" -> q367OracleSql,
     "q337_collocations" -> q337OracleSql,

@@ -1685,4 +1685,79 @@ class AnalyticsSpec extends SparkSpec {
       ((a + b).toDouble * (c + d) * (a + c) * (b + d))
     assert(math.abs(chi2 - math.floor(z * 1000)) <= 1.0)
   }
+
+  test("q445 Granger screen replays the closed-form two-regression F " +
+    "from exact moments") {
+    val row = Analytics.q445GrangerLite(spark, sf1).head()
+    val daily = graft.sources.Tables.load(spark, sf1, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("yv"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    val byDay = daily.map(d => d._1 -> d).toMap
+    val pairs = daily.flatMap { case (d, x, yv) =>
+      byDay.get(d.plusDays(1)).map(t => (t._3, yv, x)) } // (yt, ylag, xlag)
+    val n = pairs.length.toLong
+    assert(row.getAs[Long]("n") === n)
+    def S(f: ((Long, Long, Long)) => (Long, Long)): Double = {
+      val ab = pairs.map(p => { val (a, b) = f(p); BigInt(a) * b }).sum
+      val sa = pairs.map(p => BigInt(f(p)._1)).sum
+      val sb = pairs.map(p => BigInt(f(p)._2)).sum
+      n.toDouble * ab.toDouble - sa.toDouble * sb.toDouble
+    }
+    val say = S(p => (p._1, p._2)); val sby = S(p => (p._1, p._3))
+    val sab = S(p => (p._2, p._3)); val saa = S(p => (p._2, p._2))
+    val sbb = S(p => (p._3, p._3)); val syy = S(p => (p._1, p._1))
+    val det = saa * sbb - sab * sab
+    val b1 = (say * sbb - sby * sab) / det
+    val b2 = (sby * saa - say * sab) / det
+    val rssR = syy - say * (say / saa)
+    val rssU = syy - (say * b1 + sby * b2)
+    val f = (rssR - rssU) * (n - 3.0) / rssU
+    assert(row.getAs[Long]("f_milli") === math.floor(f * 1e3).toLong)
+    assert(row.getAs[Long]("b2_sign") === (if (b2 > 0) 1L
+      else if (b2 < 0) -1L else 0L))
+    assert(f >= -1e-9, "F statistic must be nonnegative")
+  }
+
+  test("q447 SPC chart uses complete weeks only, replays the A2/D3/D4 " +
+    "limits, and an in-control generator flags few weeks") {
+    val rows = Analytics.q447SpcControl(spark, sf1).collect()
+      .map(r => r.getAs[Long]("wk") ->
+        (r.getAs[Long]("sum_rv"), r.getAs[Long]("r"),
+          r.getAs[Boolean]("x_ooc"), r.getAs[Boolean]("r_ooc"))).toMap
+    val daily = graft.sources.Tables.load(spark, sf1, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("rv"))
+      .collect().map { r =>
+        val d = r.getDate(0).toLocalDate
+        val wk = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse("1995-01-01"), d) / 7
+        (wk, r.getLong(1))
+      }
+    val complete = daily.groupBy(_._1).filter(_._2.length == 7)
+    assert(rows.keySet === complete.keySet)
+    val nw = complete.size.toLong
+    val st = complete.values.map(_.map(_._2).sum).sum
+    val sr = complete.values
+      .map(g => g.map(_._2).max - g.map(_._2).min).sum
+    val center = st.toDouble / nw / 7.0
+    val rbar = sr.toDouble / nw
+    var ooc = 0
+    complete.foreach { case (wk, g) =>
+      val sum = g.map(_._2).sum
+      val r = g.map(_._2).max - g.map(_._2).min
+      val (gSum, gR, gX, gRf) = rows(wk)
+      assert(gSum === sum); assert(gR === r)
+      val xbar = sum.toDouble / 7.0
+      assert(gX === (xbar > center + 0.419 * rbar ||
+        xbar < center - 0.419 * rbar), s"wk $wk x")
+      assert(gRf === (r.toDouble > 1.924 * rbar ||
+        r.toDouble < 0.076 * rbar), s"wk $wk r")
+      if (gX || gRf) ooc += 1
+    }
+    assert(ooc.toDouble / nw < 0.25, s"too many OOC weeks: $ooc/$nw")
+  }
 }

@@ -865,4 +865,24 @@ class PipelineSpec extends SparkSpec {
         s"file $fid undersized")
     }
   }
+
+  test("q449 join-cardinality audit: FK joins land actual == n_left " +
+    "and the containment estimate is order-of-magnitude right") {
+    val rows = graft.operators.Pipeline.q449JoinCardinality(spark, sf1)
+      .collect()
+      .map(r => r.getAs[String]("join_name") ->
+        (r.getAs[Long]("n_left"), r.getAs[Long]("est_rows"),
+          r.getAs[Long]("actual_rows"), r.getAs[Long]("ratio_milli")))
+      .toMap
+    assert(rows.size === 4)
+    rows.foreach { case (name, (nLeft, est, actual, ratio)) =>
+      // every fact row carries a valid FK in this generator
+      assert(actual === nLeft, s"$name FK integrity")
+      assert(est > 0L)
+      assert(ratio === actual * 1000L / est, s"$name ratio algebra")
+      // uniform-key generator: the containment estimate should be
+      // within 3x either way
+      assert(ratio > 333L && ratio < 3000L, s"$name ratio $ratio")
+    }
+  }
 }

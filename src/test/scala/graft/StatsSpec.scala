@@ -2761,4 +2761,120 @@ class StatsSpec extends SparkSpec {
       assert(gK === 390L * w / n + 11800L * syl / w - 15590L)
     }
   }
+
+  test("q443 Gumbel fit replays the method-of-moments chain over exact " +
+    "block maxima and the return level exceeds the location") {
+    val row = Stats.q443GumbelMaxima(spark, sf1).head()
+    val daily = graft.sources.Tables.load(spark, sf1, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("rv"))
+      .collect().map(r => (r.getDate(0).toString.substring(0, 7),
+        r.getLong(1)))
+    val mx = daily.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val nb = mx.size.toLong
+    val s1 = mx.values.map(BigInt(_)).sum
+    val s2 = mx.values.map(v => BigInt(v) * v).sum
+    assert(row.getAs[Long]("nb") === nb)
+    assert(row.getAs[Long]("s1") === s1.toLong)
+    val sd = math.sqrt((s2.toDouble - s1.toDouble *
+      (s1.toDouble / nb)) / (nb - 1.0))
+    val beta = sd * 0.779696801233676
+    val mu = s1.toDouble / nb - 0.5772156649015329 * beta
+    assert(row.getAs[Long]("mu_milli") === math.floor(mu * 1e3).toLong)
+    assert(row.getAs[Long]("beta_milli") ===
+      math.floor(beta * 1e3).toLong)
+    assert(row.getAs[Long]("rl12_milli") ===
+      math.floor((mu + beta * 2.441716398881459) * 1e3).toLong)
+    assert(row.getAs[Long]("rl12_milli") > row.getAs[Long]("mu_milli"))
+  }
+
+  test("q444 Ljung-Box replays the portmanteau fold on the exact ACF " +
+    "census") {
+    val row = Stats.q444LjungBox(spark, sf1).head()
+    val daily = graft.sources.Tables.load(spark, sf1, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val n = daily.length.toLong
+    val sx = daily.map(_._2).sum
+    val y = daily.map { case (d, x) => (d, BigInt(n) * x - sx) }.toMap
+    val den = y.values.map(v => v * v).sum
+    var q = 0.0
+    for (k <- 1 to 7) {
+      val num = y.map { case (d, v) =>
+        y.get(d.plusDays(k)).map(_ * v).getOrElse(BigInt(0)) }.sum
+      val r = num.toDouble / den.toDouble
+      q += r * r / (n.toDouble - k)
+    }
+    q *= n.toDouble * (n + 2.0)
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Long]("q_milli") === math.floor(q * 1e3).toLong)
+    assert(row.getAs[Boolean]("reject") === (q > 14.067140449340169))
+  }
+
+  test("q446 dispersion panel replays the per-type VMR cells and a " +
+    "uniform generator sits near VMR 1") {
+    val rows = Stats.q446Dispersion(spark, sf1).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sx"),
+          r.getAs[Long]("vmr_milli"), r.getAs[Long]("z_milli"))).toMap
+    assert(rows.size === 5)
+    val census = graft.sources.Tables.load(spark, sf1, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1)
+    census.foreach { case (tp, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum
+      val sxx = xs.map(x => BigInt(x._2) * x._2).sum
+      val (gN, gSx, gVmr, gZ) = rows(tp)
+      assert(gN === n); assert(gSx === sx)
+      val vmr = (BigInt(1000) * (n * sxx - BigInt(sx) * sx) /
+        ((n - 1) * BigInt(sx))).toLong
+      assert(gVmr === vmr, s"$tp vmr")
+      val vmrD = (n.toDouble * sxx.toDouble - sx.toDouble * sx) /
+        ((n - 1.0) * sx)
+      assert(gZ === math.floor((vmrD - 1.0) *
+        math.sqrt((n - 1.0) / 2.0) * 1e3).toLong, s"$tp z")
+      // iid-uniform arrivals: VMR should sit in a loose Poisson band
+      assert(gVmr > 200L && gVmr < 5000L, s"$tp off-band vmr $gVmr")
+    }
+  }
+
+  test("q448 RAKE replays the phrase-degree model and stopwords never " +
+    "appear in the ranking") {
+    val T = graft.operators.TextOps
+    val got = T.q448RakeKeywords(spark, sf1).collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[Long]("freq"),
+        r.getAs[Long]("deg"), r.getAs[Long]("score_milli")))
+    assert(got.length === T.RakeTopK)
+    assert(got.forall(r => !T.RakeStops.contains(r._1)))
+    // brute-force phrase model
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    val deg = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, ws) =>
+      val phrases = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      ws.foreach { w =>
+        if (T.RakeStops.contains(w))
+          phrases += scala.collection.mutable.ArrayBuffer.empty[String]
+        else phrases.last += w
+      }
+      phrases.filter(_.nonEmpty).foreach { ph =>
+        ph.foreach { w =>
+          freq(w) = freq.getOrElse(w, 0L) + 1
+          deg(w) = deg.getOrElse(w, 0L) + ph.length
+        }
+      }
+    }
+    val want = freq.keys.toSeq
+      .map(w => (w, freq(w), deg(w), 1000L * deg(w) / freq(w)))
+      .sortBy(t => (-t._4, t._1)).take(T.RakeTopK)
+    assert(got.toSeq === want)
+  }
 }
