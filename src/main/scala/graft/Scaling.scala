@@ -153,7 +153,12 @@ object Scaling {
     // session-8b: q448 carries the corpus token explode (q59/q98
     // law), q449 the four audited FK equi-joins. q443-q447 are
     // daily/weekly/month censuses — excluded on the standing grounds.
-    "q448_rake_keywords", "q449_join_cardinality")
+    "q448_rake_keywords", "q449_join_cardinality",
+    // session-8c: q450 carries q351's census+iteration (round-
+    // dominated, SF-invariant — measured flat), q452 the token
+    // explode. q451 is q446's streaming twin; q453/q454 are
+    // write+scan / typed-scan bounded — excluded.
+    "q450_rayleigh_certificate", "q452_burrows_delta")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",

@@ -401,7 +401,48 @@ object Core {
         FROM days"""
 
   /** Declared query map for this module. */
+  // ------------------------------------------------------------ q453
+
+  /** q453 — ORC ROUND-TRIP (the columnar-format sibling of q291's CSV
+    * escape-hatch test: ORC is the OTHER columnar format a Spark-native
+    * engine must interoperate with — Hive-era warehouses hand exactly
+    * this off — and Spark ships the reader/writer natively; the
+    * round-trip pins type fidelity for timestamps, doubles-as-cents,
+    * and strings through the ORC writer's own encoders). Orders
+    * written to ORC, read back WITHOUT a user-supplied schema (the
+    * footer's own types must reconstruct the frame), then aggregated
+    * per (status, priority) with exact cents — a result that can only
+    * match the oracle (which reads the original parquet) if every
+    * value survived the format conversion bit-exactly.
+    *
+    * Scale shape: one write + one scan; the aggregate is a 15-row
+    * census. At 100 TB this is the migration-bridge pattern: ORC in,
+    * parquet out, no driver-side data movement. */
+  def q453OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = "target/graft_q453_orc"
+    t(s, dir, "orders").write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"),
+        sum(expr("CAST(floor(o_custkey) AS BIGINT)")).as("cust_sum"),
+        max(expr("date_format(o_orderdate, 'yyyy-MM-dd')"))
+          .as("max_day"))
+  }
+
+  private def q453OracleSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(sum(CAST(floor(o_custkey) AS BIGINT)) AS BIGINT)
+         AS cust_sum,
+       max(strftime(o_orderdate, '%Y-%m-%d')) AS max_day
+       FROM orders GROUP BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q453_orc_roundtrip" -> (q453OrcRoundtrip _),
     "q296_date_dim" -> (q296DateDim _),
     "q294_analyze_stats" -> (q294AnalyzeStats _),
     "q291_csv_roundtrip" -> (q291CsvRoundtrip _),
@@ -427,6 +468,7 @@ object Core {
 
   /** DuckDB oracles (ANSI SQL over the same parquet tables). */
   val oracleSql: Map[String, String] = Map(
+    "q453_orc_roundtrip" -> q453OracleSql,
     "q296_date_dim" -> q296OracleSql,
     "q294_analyze_stats" -> q294OracleSql,
     "q291_csv_roundtrip" -> q291OracleSql,

@@ -997,6 +997,71 @@ object Multimodal {
         FROM g"""
   }
 
+  // ------------------------------------------------------------ q454
+
+  /** q454 — PAYLOAD RUN-LENGTH COMPRESSIBILITY AUDIT per media kind
+    * (the BINARY-column sibling of the q410/q417 encoding advisors:
+    * those size table columns, this prices the raw payload bytes — the
+    * "is this media already compressed" screen that decides whether a
+    * storage tier should recompress, exactly what a 100 TB media lake
+    * asks before paying CPU for zstd on JPEG bytes). Per asset: number
+    * of equal-byte runs counted in the typed codec slot (the
+    * [[extractFeatures]] mapPartitions shape — per-partition scanner
+    * state, not an Expression fit); per kind: exact integer
+    * {n_assets, bytes, runs, rle_ratio_ppm = runs·10⁶ div bytes} — a
+    * ratio near 10⁶ means incompressible-by-RLE (already-dense
+    * payloads), a low ratio flags redundancy worth a real codec.
+    *
+    * Scale shape: one corpus pass through the typed slot (payload
+    * bytes never shuffle — the per-asset projection drops them before
+    * the 3-row kind census). */
+  def q454PayloadRle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val runs = assets(s, dir).mapPartitions { it =>
+      it.map { a =>
+        var r = 0L
+        var i = 0
+        val p = a.payload
+        while (i < p.length) {
+          if (i == 0 || p(i) != p(i - 1)) r += 1
+          i += 1
+        }
+        (a.asset_id, a.kind, p.length.toLong, r)
+      }
+    }.toDF("asset_id", "kind", "n_bytes", "runs")
+    runs.groupBy("kind")
+      .agg(count(lit(1)).as("n_assets"), sum("n_bytes").as("bytes"),
+        sum("runs").as("runs"))
+      .withColumn("rle_ratio_ppm", expr("runs * 1000000 div bytes"))
+  }
+
+  private def q454OracleSql: String =
+    """WITH payload AS (SELECT doc_id,
+          CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          text FROM documents),
+        chars AS (SELECT doc_id, kind,
+          CAST(strlen(text) AS BIGINT) AS n_bytes,
+          unnest(string_split(text, '')) AS c,
+          CAST(generate_subscripts(string_split(text, ''), 1)
+            AS BIGINT) AS p
+          FROM payload),
+        flags AS (SELECT doc_id, kind, n_bytes,
+          CASE WHEN p = 1 OR c <> lag(c)
+            OVER (PARTITION BY doc_id ORDER BY p) THEN 1 ELSE 0 END
+            AS is_start
+          FROM chars),
+        runs AS (SELECT doc_id, kind, CAST(max(n_bytes) AS BIGINT)
+            AS n_bytes,
+          CAST(sum(is_start) AS BIGINT) AS runs
+          FROM flags GROUP BY doc_id, kind)
+        SELECT kind, CAST(count(*) AS BIGINT) AS n_assets,
+          CAST(sum(n_bytes) AS BIGINT) AS bytes,
+          CAST(sum(runs) AS BIGINT) AS runs,
+          CAST(sum(runs) AS BIGINT) * 1000000
+            // CAST(sum(n_bytes) AS BIGINT) AS rle_ratio_ppm
+        FROM runs GROUP BY kind"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q310_aspect_buckets" -> (q310AspectBuckets _),
     "q285_frame_dedup" -> (q285FrameDedup _),
@@ -1010,9 +1075,11 @@ object Multimodal {
     "q148_shot_boundaries" -> (q148ShotBoundaries _),
     "q115_frame_sample" -> (q115FrameSample _),
     "q38_multimodal_meta" -> (q38MultimodalMeta _),
+    "q454_payload_rle" -> (q454PayloadRle _),
     "q81_media_histogram" -> (q81MediaHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q454_payload_rle" -> q454OracleSql,
     "q310_aspect_buckets" -> q310OracleSql,
     "q285_frame_dedup" -> q285OracleSql,
     "q270_payload_collision" -> q270OracleSql,

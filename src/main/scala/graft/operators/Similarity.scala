@@ -2136,12 +2136,22 @@ object Similarity {
     * Scale shape: q154's census pass once; per round a d²-row
     * broadcast matvec + a d-row max — driver-free, corpus touched
     * exactly once regardless of rounds. */
-  def q351PowerIteration(s: SparkSession, dir: String): DataFrame = {
+  /** The symmetrized Gram frame shared by q351 and q450 (one census
+    * forcing). */
+  private def symGram(s: SparkSession, dir: String): DataFrame = {
     val gramUp = q154GramMatrix(s, dir).localCheckpoint(true)
-    val sym = gramUp.unionByName(gramUp
+    gramUp.unionByName(gramUp
         .filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("g")))
       .localCheckpoint(true)
+  }
+
+  def q351PowerIteration(s: SparkSession, dir: String): DataFrame =
+    powerIterate(s, symGram(s, dir))
+
+  /** [[q351PowerIteration]]'s fixed-point loop over a prebuilt sym
+    * frame. */
+  private def powerIterate(s: SparkSession, sym: DataFrame): DataFrame = {
     var x = s.range(GramDims.toLong)
       .select(col("id").as("dim"), lit(PowerScale).as("xv"))
     for (_ <- 1 to PowerIters) {
@@ -2162,12 +2172,13 @@ object Similarity {
     x.select(col("dim"), col("xv").as("x_scaled"))
   }
 
-  private def q351OracleSql: String = {
-    // each x_k must reference y_k exactly ONCE (window max, not a
-    // scalar cross join): DuckDB inlines CTEs, so a double reference
-    // doubles the expansion per level — 2^iters scans of the
-    // embeddings parquet blows the open-file limit at 16 rounds
-    val iterCtes = (1 to PowerIters).map { k =>
+  /** The q351 oracle's iteration chain, shared with q450. Each x_k
+    * must reference y_k exactly ONCE (window max, not a scalar cross
+    * join): DuckDB inlines CTEs, so a double reference doubles the
+    * expansion per level — 2^iters scans of the embeddings parquet
+    * blows the open-file limit at 16 rounds. */
+  private def powerIterCtes: String =
+    (1 to PowerIters).map { k =>
       s"""y$k AS (SELECT sym.i AS dim, CAST(sum(g * xv) AS BIGINT) AS y
           FROM sym JOIN x${k - 1} xk ON sym.j = xk.dim
           GROUP BY sym.i),
@@ -2176,6 +2187,9 @@ object Similarity {
               // max(abs(y)) OVER () AS BIGINT) AS xv
           FROM y$k)"""
     }.mkString(",\n        ")
+
+  private def q351OracleSql: String = {
+    val iterCtes = powerIterCtes
     s"""WITH $quantCtes,
         cells AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
               qe[i + 1] * qe[j + 1] AS p
@@ -2385,7 +2399,83 @@ object Similarity {
         FROM cums GROUP BY probe_id"""
   }
 
+  // ------------------------------------------------------------ q450
+
+  /** q450 — RAYLEIGH-QUOTIENT CERTIFICATE for the q351 power iterate
+    * (the readout q351 deliberately omits: it releases the dominant
+    * eigenVECTOR's fixed-point iterate but never says WHAT eigenvalue
+    * it converged to, or HOW converged it is — the two numbers any
+    * consumer of a spectral readout needs before trusting it; the
+    * residual ‖Gx − λx‖/‖Gx‖ is the standard a-posteriori
+    * convergence certificate). One extra matvec on the drained
+    * iterate: λ = (xᵀGx) div (xᵀx) exact (the fixed-point scale
+    * cancels), per-dim residual aᵢ = \|den·yᵢ − num·xᵢ\| div den
+    * (≈ \|yᵢ − λxᵢ\| — the single declared truncation), resid_ppm =
+    * Σa·10⁶ div Σ\|y\|. All decimal(38,0) integer algebra.
+    *
+    * Scale shape: q351's census cost dominates (corpus touched once);
+    * the certificate adds one 64²-row matvec and two 64-row folds. */
+  def q450RayleighCertificate(s: SparkSession, dir: String): DataFrame = {
+    val sym = symGram(s, dir)
+    val x = powerIterate(s, sym).localCheckpoint(true)
+    val y = sym.join(x.select(col("dim").as("j2"),
+        col("x_scaled").as("xv")), sym("j") === col("j2"))
+      .groupBy(sym("i").as("dim"))
+      .agg(sum(expr("g * xv")).as("y"))
+    val joined = y.join(x, "dim").localCheckpoint(true)
+    val dots = joined.agg(
+      sum(expr("CAST(x_scaled AS DECIMAL(38,0)) * y")).as("num"),
+      sum(expr("CAST(x_scaled AS DECIMAL(38,0)) * x_scaled")).as("den"))
+    joined.crossJoin(broadcast(dots))
+      .select(
+        expr("""abs(CAST(den AS DECIMAL(38,0)) * y
+             - CAST(num AS DECIMAL(38,0)) * x_scaled) div den""")
+          .as("a"),
+        expr("abs(CAST(y AS DECIMAL(38,0)))").as("ay"),
+        col("num"), col("den"))
+      .groupBy("num", "den")
+      .agg(sum("a").as("resid"), sum("ay").as("ynorm"))
+      .select(
+        expr("CAST(num div den AS BIGINT)").as("lambda_scaled"),
+        expr("""CAST(CAST(resid AS DECIMAL(38,0)) * 1000000
+             div ynorm AS BIGINT)""").as("resid_ppm"))
+  }
+
+  private def q450OracleSql: String =
+    s"""WITH $quantCtes,
+        cells AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+              qe[i + 1] * qe[j + 1] AS p
+            FROM qarr, range(0, $GramDims) r1(i), range(0, $GramDims) r2(j)
+            WHERE j >= i),
+        gup AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS g
+          FROM cells GROUP BY i, j),
+        sym AS (SELECT i, j, g FROM gup
+          UNION ALL
+          SELECT j AS i, i AS j, g FROM gup WHERE i <> j),
+        x0 AS (SELECT CAST(r.d AS BIGINT) AS dim,
+            CAST($PowerScale AS BIGINT) AS xv
+          FROM range(0, $GramDims) r(d)),
+        $powerIterCtes,
+        xf AS (SELECT dim, xv AS x_scaled FROM x$PowerIters),
+        yf AS (SELECT sym.i AS dim, CAST(sum(g * x_scaled) AS BIGINT)
+            AS y
+          FROM sym JOIN xf ON sym.j = xf.dim GROUP BY sym.i),
+        j2 AS (SELECT yf.dim, yf.y, xf.x_scaled
+          FROM yf JOIN xf ON yf.dim = xf.dim),
+        dots AS (SELECT sum(CAST(x_scaled AS HUGEINT) * y) AS num,
+          sum(CAST(x_scaled AS HUGEINT) * x_scaled) AS den FROM j2),
+        terms AS (SELECT
+            abs(CAST(den AS HUGEINT) * y
+              - CAST(num AS HUGEINT) * x_scaled) // den AS a,
+            abs(CAST(y AS HUGEINT)) AS ay, num, den
+          FROM j2 CROSS JOIN dots)
+        SELECT CAST(num // den AS BIGINT) AS lambda_scaled,
+          CAST(CAST(sum(a) AS HUGEINT) * 1000000 // sum(ay) AS BIGINT)
+            AS resid_ppm
+        FROM terms GROUP BY num, den"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q450_rayleigh_certificate" -> (q450RayleighCertificate _),
     "q351_power_iteration" -> (q351PowerIteration _),
     "q344_cka_prefix" -> (q344CkaPrefix _),
     "q334_class_separability" -> (q334ClassSeparability _),
@@ -2422,6 +2512,7 @@ object Similarity {
     "q91_quantize_embeddings" -> (q91QuantizeEmbeddings _))
 
   val oracleSql: Map[String, String] = Map(
+    "q450_rayleigh_certificate" -> q450OracleSql,
     "q344_cka_prefix" -> q344OracleSql,
     "q351_power_iteration" -> q351OracleSql,
     "q334_class_separability" -> q334OracleSql,

@@ -5260,7 +5260,8 @@ object Stats {
            AS BIGINT)""").as("z_milli"))
   }
 
-  private def q446OracleSql: String =
+  /** q446's oracle, shared with its streaming twin q451. */
+  private[graft] def q446OracleSql: String =
     """WITH census AS (SELECT event_type, CAST(ts AS DATE) AS day,
           CAST(count(*) AS BIGINT) AS x
         FROM events GROUP BY 1, 2),

@@ -2403,7 +2403,121 @@ object TextOps {
         ORDER BY score_milli DESC, w LIMIT $RakeTopK"""
   }
 
+  // ------------------------------------------------------------ q452
+
+  /** q452's marker-word count (the most frequent function-ish words —
+    * Burrows' original recipe uses the corpus head). */
+  val DeltaTopM = 15
+
+  /** q452 — BURROWS' DELTA stylometric distance between sources (the
+    * authorship-attribution classic — Burrows 2002: normalize each
+    * high-frequency word's rate to a z-score ACROSS sources, then
+    * Delta = mean |z₁ − z₂| over the marker set; it is the standard
+    * "which corpus slice wrote this" readout, here answering which
+    * SOURCES share a generator — the provenance question a
+    * training-data pipeline asks when a new feed arrives). Marker set
+    * = top-[[DeltaTopM]] corpus words (count desc, word asc —
+    * deterministic); per-source rates as EXACT ppm integers over a
+    * zero-filled source×marker spine; per-marker μ/σ and the 15-term
+    * |z|-fold ride PIVOTED rank columns, so the double chain is a
+    * FIXED-ORDER generated text (the q432 discipline — no
+    * data-length fold); σ = 0 markers contribute 0 by declared guard.
+    * Released per source pair: {s1, s2, delta_milli}.
+    *
+    * Scale shape: one corpus token explode to the (source × word)
+    * census (vocab-bounded); marker selection is a top-15 census
+    * read; everything after rides a \|sources\|-row pivot and its
+    * 190-row pair self-join. */
+  def q452BurrowsDelta(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .localCheckpoint(true)
+    val srcTok = toks.groupBy("source").agg(count(lit(1)).as("nt"))
+    val markers = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(DeltaTopM)
+      .select(col("w"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("w"))).as("rk"))
+      .localCheckpoint(true)
+    val spine = srcTok.crossJoin(broadcast(markers))
+    val counts = toks.join(broadcast(markers), "w")
+      .groupBy("source", "rk").agg(count(lit(1)).as("cnt"))
+    val rates = spine.join(counts, Seq("source", "rk"), "left")
+      .select(col("source"), col("rk"),
+        expr("1000000 * coalesce(cnt, 0) div nt").as("f"))
+    val piv = rates.groupBy("source")
+      .agg(max(when(col("rk") === 1, col("f"))).as("f1"),
+        (2 to DeltaTopM).map(k =>
+          max(when(col("rk") === k, col("f"))).as(s"f$k")): _*)
+      .localCheckpoint(true)
+    val statCols = (1 to DeltaTopM).flatMap { k => Seq(
+      sum(s"f$k").as(s"s1_$k"),
+      sum(expr(s"CAST(f$k AS DECIMAL(38,0)) * f$k")).as(s"s2_$k")) }
+    val stats = piv.agg(count(lit(1)).as("ns"), statCols: _*)
+    val withStats = piv.crossJoin(broadcast(stats))
+    val a = withStats.select((col("source").as("sa") +:
+      col("ns").as("ns_a") +:
+      (1 to DeltaTopM).flatMap(k => Seq(col(s"f$k").as(s"a$k"),
+        col(s"s1_$k"), col(s"s2_$k")))): _*)
+    val b = withStats.select((col("source").as("sb") +:
+      (1 to DeltaTopM).map(k => col(s"f$k").as(s"b$k"))): _*)
+    def sd(k: Int): String =
+      s"""sqrt((CAST(s2_$k AS DOUBLE) - CAST(s1_$k AS DOUBLE)
+         * (CAST(s1_$k AS DOUBLE) / CAST(ns_a AS DOUBLE)))
+         / CAST(ns_a AS DOUBLE))"""
+    val terms = (1 to DeltaTopM).map { k =>
+      s"""(CASE WHEN ${sd(k)} = 0.0 THEN 0.0
+         ELSE abs(CAST(a$k AS DOUBLE) - CAST(b$k AS DOUBLE))
+           / ${sd(k)} END)"""
+    }.mkString(" + ")
+    a.crossJoin(b).filter(col("sa") < col("sb"))
+      .select(col("sa").as("s1"), col("sb").as("s2"),
+        expr(s"CAST(floor(($terms) / $DeltaTopM.0 * 1000) AS BIGINT)")
+          .as("delta_milli"))
+  }
+
+  private def q452OracleSql: String = {
+    val fCols = (1 to DeltaTopM).map(k =>
+      s"max(CASE WHEN rk = $k THEN f END) AS f$k").mkString(", ")
+    val statCols = (1 to DeltaTopM).flatMap { k => Seq(
+      s"CAST(sum(f$k) AS BIGINT) AS s1_$k",
+      s"sum(CAST(f$k AS HUGEINT) * f$k) AS s2_$k") }.mkString(", ")
+    def sd(k: Int): String =
+      s"""sqrt((CAST(s2_$k AS DOUBLE) - CAST(s1_$k AS DOUBLE)
+         * (CAST(s1_$k AS DOUBLE) / CAST(ns_a AS DOUBLE)))
+         / CAST(ns_a AS DOUBLE))"""
+    val terms = (1 to DeltaTopM).map { k =>
+      s"""(CASE WHEN ${sd(k)} = 0.0 THEN 0.0
+         ELSE abs(CAST(a.f$k AS DOUBLE) - CAST(b.f$k AS DOUBLE))
+           / ${sd(k)} END)"""
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT source,
+          unnest(string_split(text, ' ')) AS w FROM documents),
+        srctok AS (SELECT source, CAST(count(*) AS BIGINT) AS nt
+          FROM toks GROUP BY 1),
+        markers AS (SELECT w, CAST(row_number() OVER
+            (ORDER BY count(*) DESC, w) AS BIGINT) AS rk
+          FROM toks GROUP BY w
+          ORDER BY count(*) DESC, w LIMIT $DeltaTopM),
+        counts AS (SELECT t.source, m.rk,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM toks t JOIN markers m ON t.w = m.w GROUP BY 1, 2),
+        rates AS (SELECT s.source, m.rk,
+            1000000 * coalesce(c.cnt, 0) // s.nt AS f
+          FROM srctok s CROSS JOIN markers m
+          LEFT JOIN counts c ON c.source = s.source AND c.rk = m.rk),
+        piv AS (SELECT source, $fCols FROM rates GROUP BY source),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS ns_a, $statCols
+          FROM piv)
+        SELECT a.source AS s1, b.source AS s2,
+          CAST(floor(($terms) / $DeltaTopM.0 * 1000) AS BIGINT)
+            AS delta_milli
+        FROM piv a CROSS JOIN piv b CROSS JOIN stats
+        WHERE a.source < b.source"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q452_burrows_delta" -> (q452BurrowsDelta _),
     "q448_rake_keywords" -> (q448RakeKeywords _),
     "q438_readability" -> (q438Readability _),
     "q367_zipf_fit" -> (q367ZipfFit _),
@@ -2446,6 +2560,7 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q452_burrows_delta" -> q452OracleSql,
     "q448_rake_keywords" -> q448OracleSql,
     "q438_readability" -> q438OracleSql,
     "q367_zipf_fit" -> q367OracleSql,

@@ -1848,8 +1848,60 @@ object EventStream {
         $rows"""
   }
 
+  // -------------------------------------------------------------- q451
+
+  /** q451 — STREAMING OVERDISPERSION PANEL (q446's Poisson VMR screen
+    * under continuous ingest — the 26th declared streaming shape, and
+    * the live model-validity gauge next to the q442 spectral monitor:
+    * a traffic stream whose VMR drifts up is becoming bursty even if
+    * the mean holds, the early sign every rate-limit calibration
+    * cares about). State: the watermark-bounded (type × day-window)
+    * count census; count merge is associative and commutative, so the
+    * drained census is batch-split independent and the post-drain
+    * exact-integer VMR panel equals batch q446 EXACTLY (same oracle
+    * family). Released per type: {event_type, n, sx, vmr_milli,
+    * z_milli}.
+    *
+    * Scale shape: streaming census map-side combined per micro-batch,
+    * state O(types × open days); the panel rides the ≤155-row drained
+    * frame. */
+  def q451StreamDispersion(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q451_stream_dispersion_mem"
+    s.catalog.dropTempView(name)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("event_type"), col("x"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).localCheckpoint(true)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .select(col("event_type"), col("n"), col("sx"),
+        expr("""CAST((1000 * (CAST(n AS DECIMAL(38,0)) * sxx
+             - CAST(sx AS DECIMAL(38,0)) * sx))
+             div ((n - 1) * CAST(sx AS DECIMAL(38,0))) AS BIGINT)""")
+          .as("vmr_milli"),
+        expr("""CAST(floor(((CAST(n AS DOUBLE) * sxx
+             - CAST(sx AS DOUBLE) * sx)
+             / ((CAST(n AS DOUBLE) - 1.0) * CAST(sx AS DOUBLE)) - 1.0)
+             * sqrt((CAST(n AS DOUBLE) - 1.0) / 2.0) * 1000)
+             AS BIGINT)""").as("z_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q451_stream_dispersion" ->
+      ((s: SparkSession, d: String) => q451StreamDispersion(s, d)),
     "q442_stream_periodogram" ->
       ((s: SparkSession, d: String) => q442StreamPeriodogram(s, d)),
     "q353_stream_vocab_growth" ->
@@ -1887,6 +1939,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q451_stream_dispersion" -> graft.operators.Stats.q446OracleSql,
     "q442_stream_periodogram" -> q442OracleSql,
     "q353_stream_vocab_growth" -> q353OracleSql,
     "q347_stream_spectrum" -> graft.operators.TextOps.q343OracleSql2,

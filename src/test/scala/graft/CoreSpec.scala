@@ -148,4 +148,26 @@ class CoreSpec extends SparkSpec {
       assert(mn === r.getString(0) && mx === r.getString(1))
     }
   }
+
+  test("q453 ORC round-trip: the footer-typed read-back aggregates " +
+    "exactly like the parquet original") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Core.q453OrcRoundtrip(spark, sf1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toMap
+    val want = graft.sources.Tables.load(spark, sf1, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"),
+        sum(expr("CAST(floor(o_custkey) AS BIGINT)")).as("cust_sum"),
+        max(expr("date_format(o_orderdate, 'yyyy-MM-dd')"))
+          .as("max_day"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toMap
+    assert(got === want)
+    assert(got.size === 15)
+  }
 }

@@ -104,6 +104,9 @@ class MultiBatchConfluenceSpec extends SparkSpec {
   confluent("q442 streaming periodogram")(mf =>
     EventStream.q442StreamPeriodogram(spark, eventsDir, mf))
 
+  confluent("q451 streaming dispersion")(mf =>
+    EventStream.q451StreamDispersion(spark, eventsDir, mf))
+
   test("q239 heavy hitters: MG capture guarantee holds under a forced " +
     "4-file replay (sketch content may differ, the guarantee may not)") {
     // MG sketch CONTENT is merge-order dependent; the declared output

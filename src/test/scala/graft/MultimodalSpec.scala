@@ -280,4 +280,33 @@ class MultimodalSpec extends SparkSpec {
       assert(lab === comp(id).min, s"asset $id label not component min")
     }
   }
+
+  test("q454 RLE audit replays a byte-level run counter and ratios " +
+    "are valid ppm densities") {
+    val M = graft.operators.Multimodal
+    val rows = M.q454PayloadRle(spark, sf1).collect()
+      .map(r => r.getAs[String]("kind") ->
+        (r.getAs[Long]("n_assets"), r.getAs[Long]("bytes"),
+          r.getAs[Long]("runs"), r.getAs[Long]("rle_ratio_ppm"))).toMap
+    assert(rows.keySet === Set("image", "audio", "video"))
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.groupBy(d => (d._1 % 3) match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    }).view.mapValues { ds =>
+      val bytes = ds.map(_._2.length.toLong).sum
+      val runs = ds.map { case (_, t) =>
+        t.zipWithIndex.count { case (c, i) =>
+          i == 0 || c != t(i - 1) }.toLong }.sum
+      (ds.length.toLong, bytes, runs)
+    }.toMap
+    want.foreach { case (kind, (n, bytes, runs)) =>
+      val (gN, gB, gR, gRatio) = rows(kind)
+      assert(gN === n, s"$kind n"); assert(gB === bytes, s"$kind bytes")
+      assert(gR === runs, s"$kind runs")
+      assert(gRatio === runs * 1000000L / bytes)
+      assert(gRatio > 0L && gRatio <= 1000000L)
+    }
+  }
 }

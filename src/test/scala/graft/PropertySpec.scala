@@ -776,4 +776,71 @@ class PropertySpec extends SparkSpec {
       if (ranked.head._3 == plbl) assert(gPpm >= 750000L)
     }
   }
+
+  test("q450 Rayleigh certificate: lambda replays the exact quotient " +
+    "off the drained iterate and the residual certifies convergence") {
+    val S = graft.operators.Similarity
+    val row = S.q450RayleighCertificate(spark, sf1).head()
+    val x = S.q351PowerIteration(spark, sf1).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Long]("x_scaled")).toMap
+    val gUp = S.q154GramMatrix(spark, sf1).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+        r.getAs[Long]("g")).toMap
+    def g(i: Long, j: Long): Long =
+      gUp.getOrElse((math.min(i, j), math.max(i, j)), 0L)
+    val d = S.GramDims.toLong
+    val y = (0L until d).map(i =>
+      i -> (0L until d).map(j => BigInt(g(i, j)) * x(j)).sum).toMap
+    val num = (0L until d).map(i => BigInt(x(i)) * y(i)).sum
+    val den = (0L until d).map(i => BigInt(x(i)) * x(i)).sum
+    assert(row.getAs[Long]("lambda_scaled") === (num / den).toLong)
+    val resid = (0L until d).map(i =>
+      ((den * y(i) - num * x(i)).abs / den)).sum
+    val ynorm = (0L until d).map(i => y(i).abs).sum
+    assert(row.getAs[Long]("resid_ppm") ===
+      (resid * 1000000 / ynorm).toLong)
+    // 16 rounds on a PSD gram matrix: the iterate should be well
+    // converged - residual under 5% of ||Gx||
+    assert(row.getAs[Long]("resid_ppm") < 50000L)
+  }
+
+  test("q452 Burrows Delta replays the pivoted z-fold, is symmetric-" +
+    "complete over source pairs, and is nonnegative") {
+    val T = graft.operators.TextOps
+    val rows = T.q452BurrowsDelta(spark, sf1).collect()
+      .map(r => (r.getAs[String]("s1"), r.getAs[String]("s2")) ->
+        r.getAs[Long]("delta_milli")).toMap
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").toSeq))
+    val sources = docs.map(_._1).distinct.sorted
+    assert(rows.size === sources.length * (sources.length - 1) / 2)
+    assert(rows.values.forall(_ >= 0L))
+    // brute-force replay
+    val allToks = docs.flatMap { case (src, ws) => ws.map((src, _)) }
+    val markers = allToks.groupBy(_._2).view.mapValues(_.length)
+      .toSeq.sortBy(t => (-t._2, t._1)).take(T.DeltaTopM).map(_._1)
+    val nt = allToks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val f = (for (s0 <- sources; (m, k) <- markers.zipWithIndex) yield
+      (s0, k) -> 1000000L *
+        allToks.count(t => t._1 == s0 && t._2 == m) / nt(s0)).toMap
+    val ns = sources.length.toLong
+    val sds = markers.indices.map { k =>
+      val vals = sources.map(s0 => f((s0, k)))
+      val s1 = vals.map(BigInt(_)).sum
+      val s2 = vals.map(v => BigInt(v) * v).sum
+      math.sqrt((s2.toDouble - s1.toDouble * (s1.toDouble / ns)) / ns)
+    }
+    for (i <- sources.indices; j <- sources.indices if i < j) {
+      var sum = 0.0
+      markers.indices.foreach { k =>
+        if (sds(k) != 0.0)
+          sum += math.abs(f((sources(i), k)).toDouble -
+            f((sources(j), k)).toDouble) / sds(k)
+      }
+      val want = math.floor(sum / T.DeltaTopM * 1000).toLong
+      assert(rows((sources(i), sources(j))) === want,
+        s"${sources(i)}/${sources(j)}")
+    }
+  }
 }
