@@ -2540,7 +2540,132 @@ object Pipeline {
     }.mkString("\n        UNION ALL\n        ")
   }
 
+  // ------------------------------------------------------------ q456
+
+  /** q456's short-doc threshold (tokens). */
+  val CardShortDocTokens = 20L
+
+  /** q456 — DATASET CARD: the one-row corpus summary every published
+    * training set ships (Gebru et al.'s datasheets, distilled to the
+    * numbers a consumer checks first): {n_docs, n_tokens, n_langs,
+    * n_sources, exact-dup rate, mean doc length, short-doc fraction}.
+    * The point of DECLARING it as a query is that the card is then
+    * differential-checked like any operator — a dataset card that
+    * drifts from its corpus is worse than none. Exact-dup rate via the
+    * md5 fingerprint census (q23's detector); all ratios exact ppm /
+    * milli integers.
+    *
+    * Scale shape: one corpus scan map-side combined to scalar
+    * aggregates + one fingerprint census for the dup rate; zero
+    * joins. */
+  def q456DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("toks"),
+        md5(col("text")).as("fp"))
+      .localCheckpoint(true)
+    val dup = docs.groupBy("fp").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c - 1")).as("n_dups"))
+    docs.agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        sum(when(col("toks") < CardShortDocTokens, 1L).otherwise(0L))
+          .as("n_short"))
+      .crossJoin(broadcast(dup))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_sources"),
+        expr("n_dups * 1000000 div n_docs").as("dup_ppm"),
+        expr("1000 * n_tokens div n_docs").as("mean_toks_milli"),
+        expr("n_short * 1000000 div n_docs").as("short_ppm"))
+  }
+
+  private def q456OracleSql: String =
+    s"""WITH docs AS (SELECT doc_id, lang, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+          md5(text) AS fp FROM documents),
+        dup AS (SELECT CAST(sum(c - 1) AS BIGINT) AS n_dups
+          FROM (SELECT CAST(count(*) AS BIGINT) AS c
+                FROM docs GROUP BY fp) z),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(toks) AS BIGINT) AS n_tokens,
+          CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          CAST(sum(CASE WHEN toks < $CardShortDocTokens
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+          FROM docs)
+        SELECT n_docs, n_tokens, n_langs, n_sources,
+          n_dups * 1000000 // n_docs AS dup_ppm,
+          1000 * n_tokens // n_docs AS mean_toks_milli,
+          n_short * 1000000 // n_docs AS short_ppm
+        FROM g CROSS JOIN dup"""
+
+  // ------------------------------------------------------------ q457
+
+  /** q457's temporal cutoff. */
+  val TemporalCutoff = "1999-01-01"
+
+  /** q457 — TEMPORAL SPLIT AUDIT (the TIME axis of the split-hygiene
+    * family: q62 splits by content hash, q224 catches NEAR-DUP leakage
+    * across splits — but forecasting and recommendation evals split by
+    * TIME, and their leak is an ENTITY appearing on both sides of the
+    * cutoff, which inflates any per-user model's test score; the audit
+    * quantifies exactly that overlap). Train = orders before
+    * [[TemporalCutoff]], test = after; released one row {n_train,
+    * n_test, cust_train, cust_test, cust_overlap, leakage_ppm =
+    * overlap·10⁶ div cust_test} — at 100 TB the overlap is the size of
+    * the user dimension, never the fact table.
+    *
+    * Scale shape: one fact scan map-side combined into per-side
+    * customer distinct censuses; the overlap is a \|customers\|-bounded
+    * aggregate (distinct-count of customers seen on both sides), no
+    * fact-fact join. */
+  def q457TemporalSplit(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        (col("o_orderdate") < lit(TemporalCutoff).cast("timestamp"))
+          .as("is_train"))
+    val per = o.groupBy("o_custkey")
+      .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("nt"),
+        sum(when(!col("is_train"), 1L).otherwise(0L)).as("ne"))
+    per.agg(sum("nt").as("n_train"), sum("ne").as("n_test"),
+        sum(when(col("nt") > 0, 1L).otherwise(0L)).as("cust_train"),
+        sum(when(col("ne") > 0, 1L).otherwise(0L)).as("cust_test"),
+        sum(when(col("nt") > 0 && col("ne") > 0, 1L).otherwise(0L))
+          .as("cust_overlap"))
+      .select(col("n_train"), col("n_test"), col("cust_train"),
+        col("cust_test"), col("cust_overlap"),
+        expr("""CASE WHEN cust_test = 0 THEN NULL
+             ELSE cust_overlap * 1000000 div cust_test END""")
+          .as("leakage_ppm"))
+  }
+
+  private def q457OracleSql: String =
+    s"""WITH o AS (SELECT o_custkey,
+          o_orderdate < TIMESTAMP '$TemporalCutoff 00:00:00'
+            AS is_train FROM orders),
+        per AS (SELECT o_custkey,
+          CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+            AS nt,
+          CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+            AS ne
+          FROM o GROUP BY 1),
+        g AS (SELECT CAST(sum(nt) AS BIGINT) AS n_train,
+          CAST(sum(ne) AS BIGINT) AS n_test,
+          CAST(sum(CASE WHEN nt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS cust_train,
+          CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS cust_test,
+          CAST(sum(CASE WHEN nt > 0 AND ne > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS cust_overlap
+          FROM per)
+        SELECT n_train, n_test, cust_train, cust_test, cust_overlap,
+          CASE WHEN cust_test = 0 THEN NULL
+            ELSE cust_overlap * 1000000 // cust_test END AS leakage_ppm
+        FROM g"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q456_dataset_card" -> (q456DatasetCard _),
+    "q457_temporal_split" -> (q457TemporalSplit _),
     "q449_join_cardinality" -> (q449JoinCardinality _),
     "q439_bloom_sizing" -> (q439BloomSizing _),
     "q440_compaction_planner" -> (q440CompactionPlanner _),
@@ -2586,6 +2711,8 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "q398_bottomk_sample" -> q398OracleSql,
+    "q456_dataset_card" -> q456OracleSql,
+    "q457_temporal_split" -> q457OracleSql,
     "q449_join_cardinality" -> q449OracleSql,
     "q439_bloom_sizing" -> q439OracleSql,
     "q440_compaction_planner" -> q440OracleSql,

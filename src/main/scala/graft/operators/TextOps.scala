@@ -2516,7 +2516,71 @@ object TextOps {
         WHERE a.source < b.source"""
   }
 
+  // ------------------------------------------------------------ q455
+
+  /** q455 — CROSS-LINGUAL CONTAMINATION SCREEN over winnowed
+    * fingerprints (the language axis of the q84/q224 leakage family:
+    * a "multilingual" corpus whose zh slice shares verbatim substrings
+    * with its en slice is usually one crawl mislabeled twice, and
+    * fingerprint collisions ACROSS language labels are the cheap
+    * first-pass detector — language-ID errors and boilerplate both
+    * surface here before any aligner runs). Per unordered language
+    * pair: distinct winnowed fingerprints (q102's selection, so a
+    * shared ≥ w+k−1-token run FORCES a collision) present in BOTH
+    * labels, plus per-label fingerprint totals and the containment
+    * ratio shared·10⁶ div min(total) — exact integers.
+    *
+    * Scale shape: the q102 winnow pass (corpus-linear), one
+    * (fp × lang) distinct census; the pair join fans out per
+    * fingerprint only over its ≤5 language labels (never documents),
+    * so candidate volume is ≤ C(5,2)·|fps|. */
+  def q455CrossLingualContamination(s: SparkSession,
+      dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val flang = winnowFps(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select("fp_hash", "lang").distinct()
+      .localCheckpoint(true)
+    val perLang = flang.groupBy("lang").agg(count(lit(1)).as("fps"))
+    val shared = flang.select(col("fp_hash"), col("lang").as("lang_a"))
+      .join(flang.select(col("fp_hash"), col("lang").as("lang_b")),
+        "fp_hash")
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).as("shared_fps"))
+    shared
+      .join(broadcast(perLang.select(col("lang").as("lang_a"),
+        col("fps").as("fps_a"))), "lang_a")
+      .join(broadcast(perLang.select(col("lang").as("lang_b"),
+        col("fps").as("fps_b"))), "lang_b")
+      .select(col("lang_a"), col("lang_b"), col("shared_fps"),
+        col("fps_a"), col("fps_b"),
+        expr("shared_fps * 1000000 div least(fps_a, fps_b)")
+          .as("containment_ppm"))
+  }
+
+  private def q455OracleSql: String =
+    s"""WITH wn AS (${winnowSelSql("documents")}),
+        flang AS (SELECT DISTINCT wn.fp_hash, d.lang
+          FROM wn JOIN documents d ON wn.doc_id = d.doc_id),
+        perlang AS (SELECT lang, CAST(count(*) AS BIGINT) AS fps
+          FROM flang GROUP BY lang),
+        shared AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+            CAST(count(*) AS BIGINT) AS shared_fps
+          FROM flang a JOIN flang b
+            ON a.fp_hash = b.fp_hash AND a.lang < b.lang
+          GROUP BY 1, 2)
+        SELECT s.lang_a, s.lang_b, s.shared_fps,
+          pa.fps AS fps_a, pb.fps AS fps_b,
+          s.shared_fps * 1000000 // least(pa.fps, pb.fps)
+            AS containment_ppm
+        FROM shared s
+        JOIN perlang pa ON s.lang_a = pa.lang
+        JOIN perlang pb ON s.lang_b = pb.lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q455_cross_lingual_contamination" ->
+      (q455CrossLingualContamination _),
     "q452_burrows_delta" -> (q452BurrowsDelta _),
     "q448_rake_keywords" -> (q448RakeKeywords _),
     "q438_readability" -> (q438Readability _),
@@ -2560,6 +2624,7 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q455_cross_lingual_contamination" -> q455OracleSql,
     "q452_burrows_delta" -> q452OracleSql,
     "q448_rake_keywords" -> q448OracleSql,
     "q438_readability" -> q438OracleSql,

@@ -1898,8 +1898,106 @@ object EventStream {
              AS BIGINT)""").as("z_milli"))
   }
 
+  // -------------------------------------------------------------- q458
+
+  /** q458's Shewhart constants for subgroup size n = 24 (hourly
+    * subgroups per day; from d₂ = 3.895, d₃ = 0.712 — literals, the
+    * q403 discipline). */
+  val SpcA2h = "0.157"
+  val SpcD3h = "0.452"
+  val SpcD4h = "1.548"
+
+  /** q458 — STREAMING SHEWHART X̄/R CHART over hourly-count day
+    * subgroups (q447's process-control gate under continuous ingest —
+    * the 27th declared streaming shape: the live ops surface where a
+    * control chart actually runs; each DAY is a 24-hour subgroup of
+    * event counts, and a day goes out-of-control when its hourly mean
+    * or range breaches the A2/D3/D4 limits derived from the fleet of
+    * days). State: the watermark-bounded (day, hour) count census —
+    * count merge is associative and commutative, so the drained census
+    * is batch-split independent; the post-drain chart zero-fills each
+    * observed day's 24-hour spine (an empty hour is a REAL 0-count
+    * subgroup member — the q430 spine discipline, which also keeps the
+    * chart populated at small SFs) and is exact-integer + one shared
+    * limit chain. Released per day: {day, sum_x, r, x_ooc, r_ooc}.
+    *
+    * Scale shape: streaming census map-side combined, state
+    * O(open day-hours); chart rides the ~30-row drained day frame. */
+  def q458StreamSpc(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q458_stream_spc_mem"
+    s.catalog.dropTempView(name)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("window.start").cast("date").as("day"),
+        hour(col("window.start")).as("hr"), col("x"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // zero-fill the 24-hour spine per observed day: an hour with no
+    // events is a real 0-count subgroup member, and at small SFs
+    // requiring 24 OBSERVED hours would empty the chart entirely
+    val census = s.table(name).localCheckpoint(true)
+    val spine = census.select("day").distinct()
+      .crossJoin(s.range(24).select(col("id").cast("int").as("hr")))
+    val daily = spine.join(census, Seq("day", "hr"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+      .groupBy("day")
+      .agg(sum("x").as("sum_x"), (max("x") - min("x")).as("r"))
+      .localCheckpoint(true)
+    val g = daily.agg(count(lit(1)).as("nw"), sum("sum_x").as("st"),
+      sum("r").as("sr"))
+    val xbar = "(CAST(sum_x AS DOUBLE) / 24.0)"
+    val center = "(CAST(st AS DOUBLE) / CAST(nw AS DOUBLE) / 24.0)"
+    val rbar = "(CAST(sr AS DOUBLE) / CAST(nw AS DOUBLE))"
+    daily.crossJoin(broadcast(g))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("sum_x"), col("r"),
+        expr(s"""$xbar > $center + $SpcA2h * $rbar
+             OR $xbar < $center - $SpcA2h * $rbar""").as("x_ooc"),
+        expr(s"""CAST(r AS DOUBLE) > $SpcD4h * $rbar
+             OR CAST(r AS DOUBLE) < $SpcD3h * $rbar""").as("r_ooc"))
+  }
+
+  private def q458OracleSql: String = {
+    val xbar = "(CAST(sum_x AS DOUBLE) / 24.0)"
+    val center = "(CAST(st AS DOUBLE) / CAST(nw AS DOUBLE) / 24.0)"
+    val rbar = "(CAST(sr AS DOUBLE) / CAST(nw AS DOUBLE))"
+    s"""WITH hourly AS (SELECT CAST(date_trunc('day', ts) AS DATE)
+          AS day, CAST(date_part('hour', ts) AS BIGINT) AS hr,
+          CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        spine AS (SELECT d.day, CAST(h.x AS BIGINT) AS hr
+          FROM (SELECT DISTINCT day FROM hourly) d,
+            generate_series(0, 23) h(x)),
+        filled AS (SELECT s.day, coalesce(hh.x, 0) AS x
+          FROM spine s LEFT JOIN hourly hh
+            ON s.day = hh.day AND s.hr = hh.hr),
+        daily AS (SELECT day, CAST(sum(x) AS BIGINT) AS sum_x,
+            CAST(max(x) - min(x) AS BIGINT) AS r
+          FROM filled GROUP BY 1),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS nw,
+          CAST(sum(sum_x) AS BIGINT) AS st,
+          CAST(sum(r) AS BIGINT) AS sr FROM daily)
+        SELECT strftime(day, '%Y-%m-%d') AS day, sum_x, r,
+          ($xbar > $center + $SpcA2h * $rbar
+           OR $xbar < $center - $SpcA2h * $rbar) AS x_ooc,
+          (CAST(r AS DOUBLE) > $SpcD4h * $rbar
+           OR CAST(r AS DOUBLE) < $SpcD3h * $rbar) AS r_ooc
+        FROM daily CROSS JOIN g"""
+  }
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q458_stream_spc" ->
+      ((s: SparkSession, d: String) => q458StreamSpc(s, d)),
     "q451_stream_dispersion" ->
       ((s: SparkSession, d: String) => q451StreamDispersion(s, d)),
     "q442_stream_periodogram" ->
@@ -1939,6 +2037,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q458_stream_spc" -> q458OracleSql,
     "q451_stream_dispersion" -> graft.operators.Stats.q446OracleSql,
     "q442_stream_periodogram" -> q442OracleSql,
     "q353_stream_vocab_growth" -> q353OracleSql,

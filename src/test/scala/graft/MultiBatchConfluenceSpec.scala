@@ -107,6 +107,9 @@ class MultiBatchConfluenceSpec extends SparkSpec {
   confluent("q451 streaming dispersion")(mf =>
     EventStream.q451StreamDispersion(spark, eventsDir, mf))
 
+  confluent("q458 streaming SPC chart")(mf =>
+    EventStream.q458StreamSpc(spark, eventsDir, mf))
+
   test("q239 heavy hitters: MG capture guarantee holds under a forced " +
     "4-file replay (sketch content may differ, the guarantee may not)") {
     // MG sketch CONTENT is merge-order dependent; the declared output

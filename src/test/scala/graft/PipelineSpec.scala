@@ -885,4 +885,50 @@ class PipelineSpec extends SparkSpec {
       assert(ratio > 333L && ratio < 3000L, s"$name ratio $ratio")
     }
   }
+
+  test("q456 dataset card replays the corpus panel and its ratios are " +
+    "internally consistent") {
+    val P = graft.operators.Pipeline
+    val row = P.q456DatasetCard(spark, sf1).head()
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("text", "lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val toks = docs.map(_._1.split(" ").length.toLong)
+    assert(row.getAs[Long]("n_docs") === docs.length.toLong)
+    assert(row.getAs[Long]("n_tokens") === toks.sum)
+    assert(row.getAs[Long]("n_langs") === docs.map(_._2).distinct.length)
+    assert(row.getAs[Long]("n_sources") ===
+      docs.map(_._3).distinct.length)
+    val dups = docs.length - docs.map(_._1).distinct.length
+    assert(row.getAs[Long]("dup_ppm") ===
+      dups.toLong * 1000000L / docs.length)
+    assert(row.getAs[Long]("mean_toks_milli") ===
+      1000L * toks.sum / docs.length)
+    assert(row.getAs[Long]("short_ppm") ===
+      toks.count(_ < P.CardShortDocTokens).toLong * 1000000L /
+        docs.length)
+  }
+
+  test("q457 temporal split audit replays per-customer side counts " +
+    "and overlap bounds hold") {
+    val P = graft.operators.Pipeline
+    val row = P.q457TemporalSplit(spark, sf1).head()
+    val cut = java.time.LocalDateTime.parse(P.TemporalCutoff + "T00:00:00")
+    val orders = graft.sources.Tables.load(spark, sf1, "orders")
+      .select("o_custkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).isBefore(cut)))
+    val nTrain = orders.count(_._2).toLong
+    val nTest = orders.length - nTrain
+    val tr = orders.filter(_._2).map(_._1).toSet
+    val te = orders.filterNot(_._2).map(_._1).toSet
+    assert(row.getAs[Long]("n_train") === nTrain)
+    assert(row.getAs[Long]("n_test") === nTest)
+    assert(row.getAs[Long]("cust_train") === tr.size.toLong)
+    assert(row.getAs[Long]("cust_test") === te.size.toLong)
+    val ov = tr.intersect(te).size.toLong
+    assert(row.getAs[Long]("cust_overlap") === ov)
+    assert(row.getAs[Long]("leakage_ppm") === ov * 1000000L / te.size)
+    assert(ov <= math.min(tr.size, te.size).toLong)
+  }
 }

@@ -843,4 +843,37 @@ class PropertySpec extends SparkSpec {
         s"${sources(i)}/${sources(j)}")
     }
   }
+
+  test("q455 cross-lingual contamination covers all language pairs, " +
+    "containment is a valid ppm, and shared counts replay the " +
+    "fingerprint-set model") {
+    val T = graft.operators.TextOps
+    val rows = T.q455CrossLingualContamination(spark, sf1).collect()
+      .map(r => (r.getAs[String]("lang_a"), r.getAs[String]("lang_b")) ->
+        (r.getAs[Long]("shared_fps"), r.getAs[Long]("fps_a"),
+          r.getAs[Long]("fps_b"), r.getAs[Long]("containment_ppm")))
+      .toMap
+    rows.foreach { case ((a, b), (sh, fa, fb, c)) =>
+      assert(a < b)
+      assert(sh <= math.min(fa, fb))
+      assert(c === sh * 1000000L / math.min(fa, fb))
+      assert(c >= 0L && c <= 1000000L)
+    }
+    // replay from the declared winnow core
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+    val fps = T.winnowFps(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select("fp_hash", "lang").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byLang = fps.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    val langs = byLang.keys.toSeq.sorted
+    assert(rows.size === langs.combinations(2).size)
+    for (Seq(a, b) <- langs.combinations(2)) {
+      val sh = byLang(a).intersect(byLang(b)).size.toLong
+      val (gSh, gFa, gFb, _) = rows((a, b))
+      assert(gSh === sh, s"$a/$b shared")
+      assert(gFa === byLang(a).size.toLong)
+      assert(gFb === byLang(b).size.toLong)
+    }
+  }
 }
