@@ -1249,10 +1249,16 @@ object Dedup {
     * array_intersect against the cached per-doc set frame as q101.
     *
     * RE-SCOPED (round 10) to AUDIT-STRATUM SCREENING: the contained
-    * side is capped to doc_id < [[ContainmentAuditCap]] while the
-    * probed side stays the FULL corpus — "which docs of this bounded
-    * audit slice appear (≥ 9/10-contained) anywhere in the corpus",
-    * the q84-decontamination shape on the containment axis. Why: sf1
+    * side is capped to the audit stratum — base docs with doc_id <
+    * [[ContainmentAuditCap]] AND their planted excerpt twins
+    * (doc_id % [[PlantedOffset]] < cap, a constant ≤ 2·cap slice) —
+    * while the probed side stays the FULL corpus: "which docs of this
+    * bounded audit slice appear (≥ 9/10-contained) anywhere in the
+    * corpus", the q84-decontamination shape on the containment axis.
+    * (The first cut of this re-scope capped RAW doc_id, which silently
+    * evicted every planted excerpt — ids live at base + 100000 — and
+    * broke the planted-recall spec; the modular form keeps the demo
+    * corpus in-stratum at the same constant size.) Why: sf1
     * measurement showed UNCAPPED exact containment is structurally
     * quadratic on a saturating-vocabulary corpus (every token's df
     * grows ∝ n; 172 s at sf1 in round 9, still 94 s after the round-10
@@ -1261,8 +1267,8 @@ object Dedup {
     * production path for corpus-wide containment is q301's linear
     * fingerprint triage (recall-scored against THIS query as truth);
     * the uncapped exact join remains available as the
-    * [[containmentJoinExact]] library API (containedMax = None). The
-    * cap is inactive below |docs| = 2000 (all of sf0.01), so the
+    * [[containmentJoinExact]] library API (containedPred = None). The
+    * cap is inactive below 2000 BASE docs (all of sf0.01), so the
     * correctness differential exercises the identical full join.
     *
     * Scale shape: candidate volume is Σ over the capped side's
@@ -1275,14 +1281,17 @@ object Dedup {
       .filter(size(col("sw_w")) >= ShingleN)
       .select(col("doc_id"), expr(sparkShingleHashes).as("hsd"))
       .cache()
-    containmentJoinExact(hs, 9, 10, Some(ContainmentAuditCap))
+    containmentJoinExact(hs, 9, 10,
+      Some(col("doc_id") % PlantedOffset < ContainmentAuditCap))
   }
 
-  /** q110's audit-stratum bound: contained-side docs are doc_id <
-    * this. 2000 covers every document at sf ≤ 0.04 (the differential
-    * runs the full exact join there) and pins the contained side to a
-    * CONSTANT 2000-doc slice above it, which is what turns the
-    * declared query linear in corpus size. */
+  /** q110's audit-stratum bound: contained-side docs satisfy
+    * doc_id % [[PlantedOffset]] < this — the first 2000 BASE documents
+    * plus their planted excerpt twins. 2000 covers every base document
+    * at sf ≤ 0.04 (the differential runs the full exact join there)
+    * and pins the contained side to a CONSTANT ≤ 4000-doc slice above
+    * it, which is what turns the declared query linear in corpus
+    * size. */
   val ContainmentAuditCap = 2000L
 
   /** Library API: EXACT directed set-containment self-join at ANY
@@ -1292,18 +1301,19 @@ object Dedup {
     * arithmetic generalizes like [[setSimJoinExact]]'s; PropertySpec
     * pins the stack against a brute-force model across thresholds.
     *
-    * `containedMax`: optional cap on the CONTAINED side — only docs
-    * with doc_id < containedMax are eligible as `a` (the probed side
+    * `containedPred`: optional doc_id predicate on the CONTAINED side
+    * — only docs satisfying it are eligible as `a` (the probed side
     * stays the full frame, so the answer is "which audit docs are
-    * contained ANYWHERE in the corpus"). With the cap, join volume is
-    * Σ over the capped side's prefixes of class-bounded df — linear in
-    * corpus size for a fixed cap; without it, exact containment on a
+    * contained ANYWHERE in the corpus"). With a constant-size stratum,
+    * join volume is Σ over the capped side's prefixes of class-bounded
+    * df — linear in corpus size; without it, exact containment on a
     * saturating-vocabulary corpus is structurally quadratic (every
     * token's df grows ∝ n, so even rarest-prefix collisions do too).
-    * The returned pairs are exactly the uncapped result filtered to
-    * doc_id_1 < containedMax (pinned in DedupSpec). */
+    * The returned pairs are exactly the unfiltered result restricted
+    * to doc_id_1 satisfying the predicate (pinned in DedupSpec). */
   def containmentJoinExact(hs: DataFrame, p: Int, q: Int,
-      containedMax: Option[Long] = None): DataFrame = {
+      containedPred: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     require(p > 0 && q > 0 && p <= q, s"threshold $p/$q not in (0,1]")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("edf"), col("h"))
@@ -1319,8 +1329,7 @@ object Dedup {
     val prefix = ranked
       .filter(col("rn") <=
         col("len") - expr(s"($p * len + ${q - 1}) div $q") + 1)
-      .filter(containedMax
-        .map(m => col("doc_id") < lit(m)).getOrElse(lit(true)))
+      .filter(containedPred.getOrElse(lit(true)))
     // PEL index-prefix bound on the PROBED side: for any valid pair the
     // globally-first common token t* sits within b's first
     // c2 − ⌈0.9·c1⌉ + 1 positions (all ≥ ⌈0.9·c1⌉ common tokens follow
@@ -1355,8 +1364,8 @@ object Dedup {
     // hs cache both join sides reuse.
     // class bounds come from the CONTAINED side (they bound c1 only) —
     // under a cap that's the capped frame, giving tighter classes
-    val containedHs = containedMax
-      .map(m => hs.filter(col("doc_id") < lit(m))).getOrElse(hs)
+    val containedHs = containedPred
+      .map(pr => hs.filter(pr)).getOrElse(hs)
     val lrow = containedHs
       .agg(min(size(col("hsd"))), max(size(col("hsd")))).head()
     // lmin clamps to 1: an empty-set doc can never be τ-contained
@@ -1441,7 +1450,7 @@ object Dedup {
           JOIN cnt c ON s.doc_id = c.doc_id),
         prefix AS (SELECT doc_id, h FROM ranked
           WHERE rn <= len - ((9 * len + 9) // 10) + 1
-            AND doc_id < $ContainmentAuditCap),
+            AND doc_id % $PlantedOffset < $ContainmentAuditCap),
         cand AS (SELECT DISTINCT a.doc_id AS doc_id_1,
             b.doc_id AS doc_id_2
           FROM prefix a JOIN sh2 b
@@ -1915,9 +1924,10 @@ object Dedup {
       .join(nfp.withColumnRenamed("doc_id", "doc_id_1"), "doc_id_1")
       .filter(col("n_shared") * 10 >= col("nfp") * 9)
       // scored on the SAME audit stratum as the truth side (q110's
-      // round-10 re-scope) — precision against out-of-stratum triage
-      // pairs would be meaningless when truth can't contain them
-      .filter(col("doc_id_1") < lit(ContainmentAuditCap))
+      // round-10 re-scope, modular form) — precision against
+      // out-of-stratum triage pairs would be meaningless when truth
+      // can't contain them
+      .filter(col("doc_id_1") % PlantedOffset < lit(ContainmentAuditCap))
       .select("doc_id_1", "doc_id_2")
     val truth = q110ContainmentJoin(s, dir)
       .select("doc_id_1", "doc_id_2")
@@ -1948,7 +1958,8 @@ object Dedup {
           GROUP BY 1, 2),
         triage AS (SELECT d1, d2 FROM shared
           JOIN nfp ON nfp.doc_id = shared.d1
-          WHERE ns * 10 >= nfp * 9 AND d1 < $ContainmentAuditCap),
+          WHERE ns * 10 >= nfp * 9
+            AND d1 % $PlantedOffset < $ContainmentAuditCap),
         truth AS (SELECT doc_id_1, doc_id_2 FROM ($q110OracleSql) tt)
         SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
           CAST((SELECT count(*) FROM triage) AS BIGINT) AS n_triage,

@@ -8,7 +8,7 @@ import graft.operators.Dedup
   * recall, hamming locality of simhash, jaccard identity. */
 class DedupSpec extends SparkSpec {
 
-  test("containmentJoinExact containedMax pins the audit-stratum " +
+  test("containmentJoinExact containedPred pins the audit-stratum " +
     "contract: capped result == uncapped result filtered to the cap") {
     graft.functions.GraftFunctions.registerAll(spark)
     val hs = graft.sources.Tables.load(spark, sf1, "documents")
@@ -18,7 +18,8 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "hsd")
       .cache()
     val cap = 40L // strictly inside the sf0.001 doc_id domain
-    val capped = Dedup.containmentJoinExact(hs, 9, 10, Some(cap))
+    val capped = Dedup.containmentJoinExact(hs, 9, 10,
+      Some(col("doc_id") < cap))
       .select("doc_id_1", "doc_id_2").collect().map(r =>
         (r.getLong(0), r.getLong(1))).toSet
     val filtered = Dedup.containmentJoinExact(hs, 9, 10, None)
