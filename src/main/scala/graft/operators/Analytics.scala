@@ -5218,6 +5218,109 @@ object Analytics {
         FROM complete CROSS JOIN g"""
   }
 
+  // ------------------------------------------------------------ q459
+
+  /** q459's imbalance gate: |SMD| > 0.1 (the conventional threshold)
+    * in milli units. */
+  val SmdGateMilli = 100L
+
+  /** q459 — COVARIATE BALANCE AUDIT (standardized mean differences)
+    * for the q174/q259 user_id-parity experiment arms (the
+    * experimental-hygiene step the A/B family assumes but never
+    * checks: CUPED, uplift and lift readouts are only unbiased if the
+    * arms are exchangeable BEFORE treatment — the SMD panel,
+    * |μ_t − μ_c| / √((σ²_t + σ²_c)/2), is the standard table-one
+    * screen, with |SMD| > 0.1 the conventional imbalance flag).
+    * Four per-user covariates (events, purchases, spend cents, active
+    * days); per-arm {n, Σx, Σx²} exact decimal integers off ONE
+    * user census; SMD ×10³ via one shared sqrt chain per covariate.
+    *
+    * Scale shape: one corpus scan → per-user frame (map-side
+    * combined) → a 1-row per-arm pivot; the 4-covariate panel is
+    * literal projections. */
+  def q459PropensityBalance(s: SparkSession, dir: String): DataFrame = {
+    val covs = Seq("n_events", "n_purchases", "spend_cents",
+      "active_days")
+    val per = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(expr("CAST(floor(value * 100) AS BIGINT)"))
+          .as("spend_cents"),
+        countDistinct(to_date(col("ts"))).as("active_days"))
+      .withColumn("arm", (col("user_id") % 2 === 1).cast("int"))
+    val aggs = covs.flatMap { c => Seq(
+      sum(when(col("arm") === 1, col(c)).otherwise(0L)).as(s"st_$c"),
+      sum(when(col("arm") === 1,
+        expr(s"CAST($c AS DECIMAL(38,0)) * $c")).otherwise(lit(0L)
+        .cast("decimal(38,0)"))).as(s"qt_$c"),
+      sum(when(col("arm") === 0, col(c)).otherwise(0L)).as(s"sc_$c"),
+      sum(when(col("arm") === 0,
+        expr(s"CAST($c AS DECIMAL(38,0)) * $c")).otherwise(lit(0L)
+        .cast("decimal(38,0)"))).as(s"qc_$c")) } ++ Seq(
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"))
+    val g = per.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    covs.map { c =>
+      val vt = s"""((CAST(qt_$c AS DOUBLE) - CAST(st_$c AS DOUBLE)
+        * (CAST(st_$c AS DOUBLE) / CAST(nt AS DOUBLE)))
+        / (CAST(nt AS DOUBLE) - 1.0))"""
+      val vc = s"""((CAST(qc_$c AS DOUBLE) - CAST(sc_$c AS DOUBLE)
+        * (CAST(sc_$c AS DOUBLE) / CAST(nc AS DOUBLE)))
+        / (CAST(nc AS DOUBLE) - 1.0))"""
+      val smd = s"""(abs(CAST(st_$c AS DOUBLE) / CAST(nt AS DOUBLE)
+        - CAST(sc_$c AS DOUBLE) / CAST(nc AS DOUBLE))
+        / sqrt(($vt + $vc) / 2.0))"""
+      g.select(lit(c).as("covariate"), col("nt"), col("nc"),
+        expr(s"CAST(floor($smd * 1000) AS BIGINT)").as("smd_milli"),
+        expr(s"CAST(floor($smd * 1000) AS BIGINT) > $SmdGateMilli")
+          .as("imbalanced"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def q459OracleSql: String = {
+    val covs = Seq("n_events", "n_purchases", "spend_cents",
+      "active_days")
+    val aggCols = (covs.flatMap { c => Seq(
+      s"CAST(sum(CASE WHEN arm = 1 THEN $c ELSE 0 END) AS BIGINT) AS st_$c",
+      s"sum(CASE WHEN arm = 1 THEN CAST($c AS HUGEINT) * $c ELSE 0 END) AS qt_$c",
+      s"CAST(sum(CASE WHEN arm = 0 THEN $c ELSE 0 END) AS BIGINT) AS sc_$c",
+      s"sum(CASE WHEN arm = 0 THEN CAST($c AS HUGEINT) * $c ELSE 0 END) AS qc_$c") }
+      ++ Seq(
+      "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt",
+      "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc"))
+      .mkString(", ")
+    val rows = covs.map { c =>
+      val vt = s"""((CAST(qt_$c AS DOUBLE) - CAST(st_$c AS DOUBLE)
+        * (CAST(st_$c AS DOUBLE) / CAST(nt AS DOUBLE)))
+        / (CAST(nt AS DOUBLE) - 1.0))"""
+      val vc = s"""((CAST(qc_$c AS DOUBLE) - CAST(sc_$c AS DOUBLE)
+        * (CAST(sc_$c AS DOUBLE) / CAST(nc AS DOUBLE)))
+        / (CAST(nc AS DOUBLE) - 1.0))"""
+      val smd = s"""(abs(CAST(st_$c AS DOUBLE) / CAST(nt AS DOUBLE)
+        - CAST(sc_$c AS DOUBLE) / CAST(nc AS DOUBLE))
+        / sqrt(($vt + $vc) / 2.0))"""
+      s"""SELECT '$c' AS covariate, nt, nc,
+          CAST(floor($smd * 1000) AS BIGINT) AS smd_milli,
+          CAST(floor($smd * 1000) AS BIGINT) > $SmdGateMilli
+            AS imbalanced
+        FROM g"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""WITH per AS (SELECT user_id,
+          CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+            AS spend_cents,
+          CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+            AS active_days,
+          CAST(max(user_id) % 2 AS INTEGER) AS arm
+          FROM events GROUP BY user_id),
+        g AS (SELECT $aggCols FROM per)
+        $rows"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q399_viterbi" -> (q399Viterbi _),
     "q401_slope_one" -> (q401SlopeOne _),
@@ -5232,6 +5335,7 @@ object Analytics {
     "q397_adamic_adar" -> (q397AdamicAdar _),
     "q436_rich_club" -> (q436RichClub _),
     "q445_granger_lite" -> (q445GrangerLite _),
+    "q459_propensity_balance" -> (q459PropensityBalance _),
     "q447_spc_control" -> (q447SpcControl _),
     "q437_katz_index" -> (q437KatzIndex _),
     "q441_epi_ratios" -> (q441EpiRatios _),
@@ -5318,6 +5422,7 @@ object Analytics {
     "q397_adamic_adar" -> q397OracleSql,
     "q436_rich_club" -> q436OracleSql,
     "q445_granger_lite" -> q445OracleSql,
+    "q459_propensity_balance" -> q459OracleSql,
     "q447_spc_control" -> q447OracleSql,
     "q437_katz_index" -> q437OracleSql,
     "q441_epi_ratios" -> q441OracleSql,

@@ -870,7 +870,86 @@ object Graph {
         WHERE r.rank_scaled > 0"""
   }
 
+  // ------------------------------------------------------------ q463
+
+  /** q463's attenuation (β = 1/32 as an integer shift) and round
+    * count. β is chosen under 1/λ_max for the ≤25-degree nation graph
+    * so the truncated series is a converging centrality, and the
+    * integer division IS the declared arithmetic (cross-engine exact,
+    * the q99 fixed-point discipline). */
+  val KatzCentShift = 5
+  val KatzCentIters = 8
+  val KatzCentScale = 1000000L
+
+  /** q463 — KATZ CENTRALITY on the nation trade graph (the
+    * NODE-centrality member the spectral family lacks: q99's PageRank
+    * normalizes by out-degree — a random-surfer model; Katz
+    * x = Σ_k β^k A^k 1 counts ALL inbound walks attenuated by length,
+    * the centrality of record when edge COUNT is influence and a
+    * high-degree neighbor should contribute fully, not 1/deg — and
+    * the node-level twin of q437's pairwise Katz index). Fixed-point
+    * integers: x₀ = 10⁶; x_{t+1}[v] = 10⁶ + (Σ_{u→v} x_t[u]) div 32,
+    * [[KatzCentIters]] rounds, released {id, katz_scaled}.
+    *
+    * Scale shape: q99's — each round is ONE src-keyed equi-join +
+    * map-side-combined sum over the edge frame; round-dominated, node
+    * frame localCheckpointed per round. */
+  def q463KatzCentrality(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = t(s, dir, "nation").select(col("n_nationkey").as("id"))
+    var x = nodes.select(col("id"), lit(KatzCentScale).as("katz"))
+      .localCheckpoint(true)
+    for (_ <- 1 to KatzCentIters) {
+      val m = edges.join(x, edges("src") === x("id"))
+        .groupBy(edges("dst").as("id2"))
+        .agg(sum("katz").as("msum"))
+      x = x.select(col("id")).join(m, col("id") === col("id2"), "left")
+        .select(col("id"),
+          (lit(KatzCentScale) +
+            coalesce(expr(s"msum div ${1L << KatzCentShift}"), lit(0L)))
+            .as("katz"))
+        .localCheckpoint(true)
+    }
+    x.select(col("id"), col("katz").as("katz_scaled"))
+  }
+
+  private def q463OracleSql: String = {
+    val iterCtes = (1 to KatzCentIters).map { i =>
+      s"""m$i AS (SELECT e.dst AS id,
+            CAST(sum(r.katz) // ${1L << KatzCentShift} AS BIGINT) AS ms
+          FROM edges e JOIN x${i - 1} r ON r.id = e.src
+          GROUP BY e.dst),
+        x$i AS (SELECT n.id,
+            $KatzCentScale + COALESCE(m.ms, CAST(0 AS BIGINT)) AS katz
+          FROM x${i - 1} n LEFT JOIN m$i m ON n.id = m.id)"""
+    }.mkString(",\n        ")
+    s"""WITH edges AS (SELECT DISTINCT c.c_nationkey AS src,
+            s.s_nationkey AS dst
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        x0 AS (SELECT CAST(n_nationkey AS INTEGER) AS id,
+            CAST($KatzCentScale AS BIGINT) AS katz FROM nation),
+        $iterCtes
+        SELECT CAST(id AS INTEGER) AS id, katz AS katz_scaled
+        FROM x$KatzCentIters"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q463_katz_centrality" -> (q463KatzCentrality _),
     "q385_personalized_pagerank" -> (q385PersonalizedPagerank _),
     "q365_hits" -> (q365Hits _),
     "q282_clustering_coeff" -> (q282ClusteringCoeff _),
@@ -883,6 +962,7 @@ object Graph {
     "q155_kcore" -> (q155KCore _))
 
   val oracleSql: Map[String, String] = Map(
+    "q463_katz_centrality" -> q463OracleSql,
     "q385_personalized_pagerank" -> q385OracleSql,
     "q365_hits" -> q365OracleSql,
     "q282_clustering_coeff" -> q282OracleSql,

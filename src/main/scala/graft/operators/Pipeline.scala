@@ -2663,7 +2663,64 @@ object Pipeline {
             ELSE cust_overlap * 1000000 // cust_test END AS leakage_ppm
         FROM g"""
 
+  // ------------------------------------------------------------ q462
+
+  /** q462's salting trigger: hottest key carries > this × the mean
+    * key load (milli). */
+  val SkewGateMilli = 4000L
+
+  /** q462 — JOIN-KEY SKEW REPORT over the star schema's four hot keys
+    * (the DETECTOR that precedes q65/q163's salted joins and AQE's
+    * runtime skew split: salting costs a replicated build side, so the
+    * decision needs the number this audit produces — how much hotter
+    * than average is the hottest key). Per key: exact {n, ndv,
+    * max_cnt}, skew_ratio_milli = 1000·max_cnt·ndv div n (the
+    * hottest-to-mean load ratio), and the salt recommendation at the
+    * [[SkewGateMilli]] gate — all integers off one per-key census.
+    *
+    * Scale shape: one scan per table, each key's census map-side
+    * combined (shuffle carries only the key column); the report is a
+    * 4-row projection. */
+  def q462SkewReport(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val keys: Seq[(String, DataFrame)] = Seq(
+      ("l_partkey", li.select(col("l_partkey").as("k"))),
+      ("l_suppkey", li.select(col("l_suppkey").as("k"))),
+      ("l_orderkey", li.select(col("l_orderkey").as("k"))),
+      ("o_custkey", t(s, dir, "orders").select(col("o_custkey").as("k"))))
+    keys.map { case (name, kf) =>
+      kf.groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n"), count(lit(1)).as("ndv"),
+          max("c").as("max_cnt"))
+        .select(lit(name).as("join_key"), col("n"), col("ndv"),
+          col("max_cnt"),
+          expr("""CAST(1000 * CAST(max_cnt AS DECIMAL(38,0)) * ndv
+               div n AS BIGINT)""").as("skew_ratio_milli"),
+          expr(s"""CAST(1000 * CAST(max_cnt AS DECIMAL(38,0)) * ndv
+               div n AS BIGINT) > $SkewGateMilli""")
+            .as("salt_recommended"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def q462OracleSql: String = {
+    val keys = Seq(("l_partkey", "lineitem"), ("l_suppkey", "lineitem"),
+      ("l_orderkey", "lineitem"), ("o_custkey", "orders"))
+    keys.map { case (k, tab) =>
+      s"""SELECT '$k' AS join_key,
+          CAST(sum(c) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS ndv,
+          CAST(max(c) AS BIGINT) AS max_cnt,
+          CAST(1000 * CAST(max(c) AS HUGEINT) * count(*)
+            // sum(c) AS BIGINT) AS skew_ratio_milli,
+          CAST(1000 * CAST(max(c) AS HUGEINT) * count(*)
+            // sum(c) AS BIGINT) > $SkewGateMilli AS salt_recommended
+        FROM (SELECT $k, CAST(count(*) AS BIGINT) AS c
+              FROM $tab GROUP BY $k) z"""
+    }.mkString("\n        UNION ALL\n        ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q462_skew_report" -> (q462SkewReport _),
     "q456_dataset_card" -> (q456DatasetCard _),
     "q457_temporal_split" -> (q457TemporalSplit _),
     "q449_join_cardinality" -> (q449JoinCardinality _),
@@ -2711,6 +2768,7 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "q398_bottomk_sample" -> q398OracleSql,
+    "q462_skew_report" -> q462OracleSql,
     "q456_dataset_card" -> q456OracleSql,
     "q457_temporal_split" -> q457OracleSql,
     "q449_join_cardinality" -> q449OracleSql,

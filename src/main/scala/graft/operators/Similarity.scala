@@ -2474,8 +2474,83 @@ object Similarity {
             AS resid_ppm
         FROM terms GROUP BY num, den"""
 
+  // ------------------------------------------------------------ q461
+
+  /** q461 — LINEAR-KERNEL MMD between embedding label groups (the
+    * DISTRIBUTION-shift counterpart of q323's centroid drift: drift
+    * tracks ONE population's centroid over time, MMD² =
+    * ‖μ_a − μ_b‖² under the linear kernel measures how separated two
+    * populations' embedding distributions are RIGHT NOW — the
+    * embedding-space two-sample test a model-rollout gate runs on old
+    * vs new encoder outputs, here exercised across the 45 label
+    * pairs). Per-label per-dim sums over the int8-quantized vectors
+    * (the q154 grid — EXACT integers); per pair, MMD² in mean units
+    * released ×10³ by exact integer algebra:
+    * Σ_d (s_a·n_b − s_b·n_a)²·10³ div (n_a·n_b)².
+    *
+    * Scale shape: one corpus explode to the (label × dim) sum census
+    * (640 cells at any SF, map-side combined); the 45-pair panel is a
+    * dim-keyed self-join of that census. */
+  def q461EmbeddingMmd(s: SparkSession, dir: String): DataFrame = {
+    val lbl = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("bigint").as("label"))
+    val cells = quantizedVecs(s, dir)
+      .select("vec_id", "qe")
+      .join(lbl, "vec_id")
+      .select(col("label"), posexplode(col("qe")))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "qv")
+      .groupBy("label", "dim")
+      .agg(sum("qv").as("sd"))
+      .localCheckpoint(true)
+    val ns = lbl.groupBy("label").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val a = cells.select(col("label").as("la"), col("dim"),
+      col("sd").as("sa"))
+      .join(broadcast(ns.select(col("label").as("la"),
+        col("n").as("na"))), "la")
+    val b = cells.select(col("label").as("lb"), col("dim"),
+      col("sd").as("sb"))
+      .join(broadcast(ns.select(col("label").as("lb"),
+        col("n").as("nb"))), "lb")
+    a.join(b, "dim").filter(col("la") < col("lb"))
+      .groupBy("la", "lb")
+      .agg(max("na").as("na"), max("nb").as("nb"),
+        sum(expr("""CAST(sa * nb - sb * na AS DECIMAL(38,0))
+             * (sa * nb - sb * na)""")).as("num"))
+      .select(col("la"), col("lb"), col("na"), col("nb"),
+        expr("""CAST(num * 1000
+             div (CAST(na AS DECIMAL(38,0)) * nb * na * nb)
+             AS BIGINT)""").as("mmd2_milli"))
+  }
+
+  private def q461OracleSql: String =
+    s"""WITH $quantCtes,
+        lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+          FROM embeddings),
+        cells AS (SELECT l.label,
+            CAST(generate_subscripts(q.qe, 1) - 1 AS BIGINT) AS dim,
+            unnest(q.qe) AS qv
+          FROM qarr q JOIN lbl l ON q.vec_id = l.vec_id),
+        sums AS (SELECT label, dim, CAST(sum(qv) AS BIGINT) AS sd
+          FROM cells GROUP BY 1, 2),
+        ns AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+          FROM lbl GROUP BY 1),
+        pairs AS (SELECT a.label AS la, b.label AS lb, a.dim,
+            a.sd AS sa, b.sd AS sb, na.n AS na, nb.n AS nb
+          FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+          JOIN ns na ON na.label = a.label
+          JOIN ns nb ON nb.label = b.label)
+        SELECT la, lb, CAST(max(na) AS BIGINT) AS na,
+          CAST(max(nb) AS BIGINT) AS nb,
+          CAST(sum(CAST(sa * nb - sb * na AS HUGEINT)
+              * (sa * nb - sb * na)) * 1000
+            // (CAST(max(na) AS HUGEINT) * max(nb) * max(na) * max(nb))
+            AS BIGINT) AS mmd2_milli
+        FROM pairs GROUP BY la, lb"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q450_rayleigh_certificate" -> (q450RayleighCertificate _),
+    "q461_embedding_mmd" -> (q461EmbeddingMmd _),
     "q351_power_iteration" -> (q351PowerIteration _),
     "q344_cka_prefix" -> (q344CkaPrefix _),
     "q334_class_separability" -> (q334ClassSeparability _),
@@ -2513,6 +2588,7 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "q450_rayleigh_certificate" -> q450OracleSql,
+    "q461_embedding_mmd" -> q461OracleSql,
     "q344_cka_prefix" -> q344OracleSql,
     "q351_power_iteration" -> q351OracleSql,
     "q334_class_separability" -> q334OracleSql,

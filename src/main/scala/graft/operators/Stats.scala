@@ -5280,6 +5280,87 @@ object Stats {
             AS BIGINT) AS z_milli
         FROM m"""
 
+  // ------------------------------------------------------------ q460
+
+  /** q460 — WILCOXON SIGNED-RANK test on paired per-user spend before
+    * vs after the CUPED split (the PAIRED member completing the
+    * nonparametric family: q303's rank-sum assumes independent
+    * samples — before/after measurements on the SAME users are
+    * paired, and the signed-rank test is the standard robust
+    * alternative to the paired t-test, using the magnitudes q422's
+    * sign-information-only McNemar discards). Per user: d = post −
+    * pre spend cents (exact); zero differences dropped (the standard
+    * convention); |d| midranks carried DOUBLED off the value census
+    * (the q303 identity), w2p = Σ_{d>0} 2·rank; z through the
+    * tie-corrected normal approximation as ONE shared-text chain:
+    * z = (w2p − n(n+1)/2) / (2·√(n(n+1)(2n+1)/24 − Σ(t³−t)/48)).
+    *
+    * Scale shape: one corpus scan → per-user frame (map-side
+    * combined) → the |d|-cents value census; ONE ordered census
+    * window; one scalar row. */
+  def q460WilcoxonSignedRank(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .select(col("user_id"),
+        (col("ts") < lit(Analytics.CupedSplit).cast("timestamp"))
+          .as("pre"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("user_id")
+      .agg((sum(when(!col("pre"), col("vc")).otherwise(0L))
+        - sum(when(col("pre"), col("vc")).otherwise(0L))).as("d"))
+      .filter(col("d") =!= 0L)
+    val census = per.groupBy(abs(col("d")).as("ad"))
+      .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("np"),
+        count(lit(1)).as("m"))
+    val w = Window.orderBy("ad")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = census
+      .withColumn("cb", sum("m").over(w) - col("m"))
+      .select(col("np"), col("m"),
+        (lit(2L) * col("cb") + col("m") + 1L).as("r2"))
+    val g = ranked.agg(sum("m").as("n"),
+      sum(expr("np * r2")).as("w2p"),
+      sum(expr("CAST(m AS DECIMAL(38,0)) * m * m - m")).as("ties"))
+    g.select(col("n"), col("w2p"),
+      expr("""CAST(floor((CAST(w2p AS DOUBLE)
+           - CAST(n AS DOUBLE) * (n + 1.0) / 2.0)
+           / (2.0 * sqrt(CAST(n AS DOUBLE) * (n + 1.0)
+              * (2.0 * n + 1.0) / 24.0
+              - CAST(ties AS DOUBLE) / 48.0)) * 1000000)
+           AS BIGINT)""").as("z_micro"))
+  }
+
+  private def q460OracleSql: String =
+    s"""WITH per AS (SELECT user_id,
+          CAST(sum(CASE WHEN ts >= TIMESTAMP
+              '${Analytics.CupedSplit} 00:00:00'
+            THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+          - sum(CASE WHEN ts < TIMESTAMP
+              '${Analytics.CupedSplit} 00:00:00'
+            THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS d
+          FROM events GROUP BY user_id),
+        nz AS (SELECT d FROM per WHERE d <> 0),
+        census AS (SELECT abs(d) AS ad,
+          CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+          CAST(count(*) AS BIGINT) AS m
+          FROM nz GROUP BY 1),
+        ranked AS (SELECT np, m,
+          2 * (CAST(sum(m) OVER (ORDER BY ad) AS BIGINT) - m) + m + 1
+            AS r2
+          FROM census),
+        g AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+          CAST(sum(np * r2) AS BIGINT) AS w2p,
+          CAST(sum(CAST(m AS HUGEINT) * m * m - m) AS BIGINT) AS ties
+          FROM ranked)
+        SELECT n, w2p,
+          CAST(floor((CAST(w2p AS DOUBLE)
+            - CAST(n AS DOUBLE) * (n + 1.0) / 2.0)
+            / (2.0 * sqrt(CAST(n AS DOUBLE) * (n + 1.0)
+               * (2.0 * n + 1.0) / 24.0
+               - CAST(ties AS DOUBLE) / 48.0)) * 1000000)
+            AS BIGINT) AS z_micro
+        FROM g"""
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5346,6 +5427,7 @@ object Stats {
     "q432_pacf" -> (q432Pacf _),
     "q433_periodogram" -> (q433Periodogram _),
     "q443_gumbel_maxima" -> (q443GumbelMaxima _),
+    "q460_wilcoxon_signed_rank" -> (q460WilcoxonSignedRank _),
     "q444_ljung_box" -> (q444LjungBox _),
     "q446_dispersion" -> (q446Dispersion _))
 
@@ -5413,6 +5495,7 @@ object Stats {
     "q432_pacf" -> q432OracleSql,
     "q433_periodogram" -> q433OracleSql,
     "q443_gumbel_maxima" -> q443OracleSql,
+    "q460_wilcoxon_signed_rank" -> q460OracleSql,
     "q444_ljung_box" -> q444OracleSql,
     "q446_dispersion" -> q446OracleSql)
 }

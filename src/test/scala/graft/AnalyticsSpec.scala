@@ -1760,4 +1760,51 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(ooc.toDouble / nw < 0.25, s"too many OOC weeks: $ooc/$nw")
   }
+
+  test("q459 SMD panel replays the per-arm covariate cells and the " +
+    "randomized parity arms are balanced") {
+    val rows = Analytics.q459PropensityBalance(spark, sf1).collect()
+      .map(r => r.getAs[String]("covariate") ->
+        (r.getAs[Long]("nt"), r.getAs[Long]("nc"),
+          r.getAs[Long]("smd_milli"), r.getAs[Boolean]("imbalanced")))
+      .toMap
+    assert(rows.size === 4)
+    val per = graft.sources.Tables.load(spark, sf1, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(expr("CAST(floor(value * 100) AS BIGINT)"))
+          .as("spend_cents"),
+        countDistinct(to_date(col("ts"))).as("active_days"))
+      .collect()
+      .map(r => (r.getLong(0) % 2 == 1,
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val covs = Seq("n_events", "n_purchases", "spend_cents",
+      "active_days")
+    val tArm = per.filter(_._1).map(_._2)
+    val cArm = per.filterNot(_._1).map(_._2)
+    covs.zipWithIndex.foreach { case (cv, i) =>
+      val (nt, nc) = (tArm.length.toLong, cArm.length.toLong)
+      def stats(xs: Seq[Seq[Long]]) = {
+        val v = xs.map(_(i))
+        (v.map(BigInt(_)).sum, v.map(x => BigInt(x) * x).sum)
+      }
+      val (st, qt) = stats(tArm); val (sc, qc) = stats(cArm)
+      val vt = (qt.toDouble - st.toDouble * (st.toDouble / nt)) /
+        (nt - 1.0)
+      val vc = (qc.toDouble - sc.toDouble * (sc.toDouble / nc)) /
+        (nc - 1.0)
+      val smd = math.abs(st.toDouble / nt - sc.toDouble / nc) /
+        math.sqrt((vt + vc) / 2.0)
+      val (gNt, gNc, gSmd, gImb) = rows(cv)
+      assert(gNt === nt); assert(gNc === nc)
+      assert(gSmd === math.floor(smd * 1e3).toLong, cv)
+      assert(gImb === (gSmd > Analytics.SmdGateMilli))
+      // user_id parity is as-good-as-random, but sf0.001 has only ~15
+      // users total (SE(SMD) ~ sqrt(4/7.5) ~ 0.73) — the 0.1 gate and
+      // even large SMDs legitimately fire here; bound at 3 SE
+      assert(gSmd < 2200L, s"$cv SMD $gSmd outside 3 SE at n~7.5/arm")
+    }
+  }
 }

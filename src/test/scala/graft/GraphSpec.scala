@@ -312,4 +312,43 @@ class GraphSpec extends SparkSpec {
       got.count(!_._2._1).max(1))
     assert(sm / sn > om / on, "mass must concentrate at the seeds")
   }
+
+  test("q463 Katz centrality replays the integer fixed-point recursion " +
+    "and dominates for high in-degree nations") {
+    val G = graft.operators.Graph
+    val got = G.q463KatzCentrality(spark, sf1).collect()
+      .map(r => r.getInt(0) -> r.getAs[Long]("katz_scaled")).toMap
+    assert(got.size === 25)
+    // rebuild edges + replay the recursion
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select("l_orderkey", "l_suppkey")
+    val o = graft.sources.Tables.load(spark, sf1, "orders")
+      .select("o_orderkey", "o_custkey")
+    val c = graft.sources.Tables.load(spark, sf1, "customer")
+      .select("c_custkey", "c_nationkey")
+    val su = graft.sources.Tables.load(spark, sf1, "supplier")
+      .select("s_suppkey", "s_nationkey")
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
+    val x = scala.collection.mutable.Map((0 until 25).map(_ -> 1000000L): _*)
+    for (_ <- 1 to G.KatzCentIters) {
+      val msum = edges.groupBy(_._2).view
+        .mapValues(_.map(e => x(e._1)).sum).toMap
+      (0 until 25).foreach { v =>
+        x(v) = 1000000L +
+          (msum.getOrElse(v, 0L) >> G.KatzCentShift)
+      }
+    }
+    (0 until 25).foreach(v => assert(got(v) === x(v), s"nation $v"))
+    // a node with inbound edges must out-rank an isolated one
+    val inDeg = edges.groupBy(_._2).view.mapValues(_.size).toMap
+    if (inDeg.nonEmpty) {
+      val hot = inDeg.maxBy(_._2)._1
+      assert(got(hot) > 1000000L)
+    }
+  }
 }

@@ -931,4 +931,32 @@ class PipelineSpec extends SparkSpec {
     assert(row.getAs[Long]("leakage_ppm") === ov * 1000000L / te.size)
     assert(ov <= math.min(tr.size, te.size).toLong)
   }
+
+  test("q462 skew report replays the per-key census and a uniform " +
+    "generator never recommends salting") {
+    val P = graft.operators.Pipeline
+    val rows = P.q462SkewReport(spark, sf1).collect()
+      .map(r => r.getAs[String]("join_key") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("ndv"),
+          r.getAs[Long]("max_cnt"), r.getAs[Long]("skew_ratio_milli"),
+          r.getAs[Boolean]("salt_recommended"))).toMap
+    assert(rows.size === 4)
+    val li = graft.sources.Tables.load(spark, sf1, "lineitem")
+    val keys = Map(
+      "l_partkey" -> li.select(col("l_partkey").as("k")),
+      "l_suppkey" -> li.select(col("l_suppkey").as("k")),
+      "l_orderkey" -> li.select(col("l_orderkey").as("k")),
+      "o_custkey" -> graft.sources.Tables.load(spark, sf1, "orders")
+        .select(col("o_custkey").as("k")))
+    keys.foreach { case (name, kf) =>
+      val counts = kf.groupBy("k").count().collect()
+        .map(_.getLong(1))
+      val (n, ndv, mx) = (counts.sum, counts.length.toLong, counts.max)
+      val (gN, gNdv, gMx, gRatio, gSalt) = rows(name)
+      assert(gN === n); assert(gNdv === ndv); assert(gMx === mx)
+      assert(gRatio === (BigInt(1000) * mx * ndv / n).toLong)
+      assert(gRatio >= 1000L, s"$name ratio below mean is impossible")
+      assert(!gSalt, s"$name salting recommended on uniform keys")
+    }
+  }
 }

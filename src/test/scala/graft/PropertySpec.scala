@@ -876,4 +876,40 @@ class PropertySpec extends SparkSpec {
       assert(gFb === byLang(b).size.toLong)
     }
   }
+
+  test("q461 linear MMD replays the quantized mean-difference model, " +
+    "is symmetric-complete, and nonnegative") {
+    val S = graft.operators.Similarity
+    val rows = S.q461EmbeddingMmd(spark, sf1).collect()
+      .map(r => (r.getAs[Long]("la"), r.getAs[Long]("lb")) ->
+        (r.getAs[Long]("na"), r.getAs[Long]("nb"),
+          r.getAs[Long]("mmd2_milli"))).toMap
+    assert(rows.size === 45)
+    assert(rows.values.forall(_._3 >= 0L))
+    // replay for one pair from the raw embeddings via the q154 grid
+    val embs = graft.sources.Tables.load(spark, sf1, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS ed",
+        "CAST(label AS BIGINT) AS label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    def quant(v: Array[Double]): Array[Long] = {
+      val mx = v.map(math.abs).max
+      v.map(x => if (mx == 0) 0L
+        else math.floor(x * 127.0 / mx).toLong)
+    }
+    val byLabel = embs.groupBy(_._3).view
+      .mapValues(_.map(e => quant(e._2))).toMap
+    for (la <- 0L to 1L; lb <- (la + 1) to 2L) {
+      val (qa, qb) = (byLabel(la), byLabel(lb))
+      val (na, nb) = (qa.length.toLong, qb.length.toLong)
+      val num = (0 until 64).map { d =>
+        val sa = qa.map(_(d)).sum; val sb = qb.map(_(d)).sum
+        BigInt(sa * nb - sb * na) * (sa * nb - sb * na)
+      }.sum
+      val want = (num * 1000 /
+        (BigInt(na) * nb * na * nb)).toLong
+      val (gNa, gNb, gM) = rows((la, lb))
+      assert(gNa === na); assert(gNb === nb)
+      assert(gM === want, s"pair $la/$lb")
+    }
+  }
 }

@@ -2877,4 +2877,41 @@ class StatsSpec extends SparkSpec {
       .sortBy(t => (-t._4, t._1)).take(T.RakeTopK)
     assert(got.toSeq === want)
   }
+
+  test("q460 Wilcoxon signed-rank replays the doubled-midrank model " +
+    "on nonzero paired differences") {
+    val row = Stats.q460WilcoxonSignedRank(spark, sf1).head()
+    val cut = java.sql.Timestamp.valueOf(
+      graft.operators.Analytics.CupedSplit + " 00:00:00")
+    val ds = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), col("ts"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).before(cut), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(g => g.filterNot(_._2).map(_._3).sum -
+        g.filter(_._2).map(_._3).sum)
+      .toMap.values.filter(_ != 0L).toSeq
+    val n = ds.length.toLong
+    assert(row.getAs[Long]("n") === n)
+    val sorted = ds.map(d => (math.abs(d), d > 0)).sortBy(_._1)
+    val rank2 = new Array[Long](sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      val r2 = (i + 1).toLong + j.toLong
+      (i until j).foreach(k => rank2(k) = r2)
+      i = j
+    }
+    val w2p = sorted.zipWithIndex.filter(_._1._2).map(t => rank2(t._2)).sum
+    assert(row.getAs[Long]("w2p") === w2p)
+    val ties = ds.map(math.abs).groupBy(identity).values
+      .map(g => { val m = g.size.toLong; m * m * m - m }).sum
+    val z = (w2p.toDouble - n * (n + 1.0) / 2.0) /
+      (2.0 * math.sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 -
+        ties.toDouble / 48.0))
+    assert(row.getAs[Long]("z_micro") === math.floor(z * 1e6).toLong)
+  }
 }
