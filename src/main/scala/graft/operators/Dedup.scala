@@ -321,6 +321,34 @@ object Dedup {
       plantedDocs(s, dir).select("doc_id"),
       q30DedupMinhashLsh(s, dir))
 
+  /** q464 — DEDUP CLUSTER-SIZE PROFILE (the curation READOUT on top of
+    * q63's labels: a dedup run's value is judged by this histogram —
+    * singleton rate says how much of the corpus is untouched, the
+    * large-cluster tail says whether boilerplate or a mirror site is
+    * eating the corpus, and "docs removed if keeping one per cluster"
+    * is the number a storage forecast uses). Count-of-counts over the
+    * component labels: per cluster size {n_clusters, n_docs} — exact
+    * integers, the whole profile.
+    *
+    * Scale shape: q63's CC cost dominates; the profile adds one
+    * cluster-keyed census and one size-keyed census (both map-side
+    * combined, output ≤ \|distinct sizes\|). */
+  def q464ClusterSizeProfile(s: SparkSession, dir: String): DataFrame =
+    q63DedupClusters(s, dir)
+      .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("sz").cast("bigint").as("n_docs"))
+
+  private def q464OracleSql: String =
+    s"""WITH labels AS (SELECT * FROM ($q63OracleSql) t0),
+        sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+          FROM labels GROUP BY cluster)
+        SELECT sz AS cluster_size, CAST(count(*) AS BIGINT)
+            AS n_clusters,
+          CAST(sum(sz) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY sz"""
+
   /** Connected components by Pregel-style min-label propagation — the
     * low-diameter fast path (near-dup clusters are near-cliques, so 2-3
     * rounds suffice; each round is ONE shuffle). `nodes`: one `doc_id`
@@ -2311,6 +2339,7 @@ object Dedup {
     "q32_dedup_ngram_jaccard" -> (q32DedupNgramJaccard _),
     "q33_dedup_embedding" -> (q33DedupEmbedding _),
     "q63_dedup_clusters" -> (q63DedupClusters _),
+    "q464_cluster_size_profile" -> (q464ClusterSizeProfile _),
     "q222_incremental_cc" -> (q222IncrementalCc _),
     "q70_edit_distance" -> (q70EditDistance _),
     "q71_simhash_hamming" -> (q71SimhashHamming _),
@@ -2339,6 +2368,7 @@ object Dedup {
     "q32_dedup_ngram_jaccard" -> q32OracleSql,
     "q33_dedup_embedding" -> q33OracleSql,
     "q63_dedup_clusters" -> q63OracleSql,
+    "q464_cluster_size_profile" -> q464OracleSql,
     "q222_incremental_cc" -> q222OracleSql,
     "q70_edit_distance" -> q70OracleSql,
     "q71_simhash_hamming" -> q71OracleSql,

@@ -3469,7 +3469,127 @@ object Extensions {
             AS BIGINT) AS savings_ppm
         FROM sized"""
 
+  // ------------------------------------------------------------ q465
+
+  /** q465's per-column audit set: (table, string column). */
+  val DictCols: Seq[(String, String)] = Seq(
+    ("orders", "o_orderpriority"), ("orders", "o_orderstatus"),
+    ("part", "p_brand"), ("part", "p_type"),
+    ("customer", "c_mktsegment"), ("documents", "source"))
+
+  /** q465 — DICTIONARY-ENCODING SIZE ADVISOR for the string columns
+    * (the BYTE-level completion of q410's run/dict/plain pick: q410
+    * chooses an encoding class from run structure, this prices the
+    * dictionary decision the way a columnar writer does — dict bytes =
+    * Σ distinct-value lengths + n·⌈log₂ ndv⌉/8 index bits vs plain =
+    * Σ value lengths — and the win ratio decides whether the column
+    * page carries a dictionary at all). Exact integers: ⌈log₂ ndv⌉ by
+    * an integer CASE ladder (no engine-side log), win_ppm =
+    * 10⁶·dict div plain.
+    *
+    * Scale shape: per column, one scan map-side combined to a
+    * \|values\|-bounded distinct census; the 6-row advisory is
+    * independent aggregates unioned. */
+  def q465DictEncodingAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val bitsLadder = (1 to 40).map(b =>
+      s"WHEN ndv <= ${1L << b} THEN $b").mkString(
+      "CASE WHEN ndv <= 1 THEN 1 ", " ", " ELSE 63 END")
+    DictCols.map { case (tab, c) =>
+      val stats = t(s, dir, tab)
+        .agg(count(lit(1)).as("n"),
+          sum(length(col(c)).cast("bigint")).as("plain_bytes"),
+          countDistinct(col(c)).as("ndv"))
+      val dict = t(s, dir, tab).select(col(c).as("v")).distinct()
+        .agg(sum(length(col("v")).cast("bigint")).as("dict_entry_bytes"))
+      stats.crossJoin(dict)
+        .select(lit(s"$tab.$c").as("column_name"), col("n"),
+          col("ndv"), col("plain_bytes"),
+          expr(s"""dict_entry_bytes
+               + (n * ($bitsLadder) + 7) div 8""").as("dict_bytes"),
+          expr(s"""(dict_entry_bytes
+               + (n * ($bitsLadder) + 7) div 8) * 1000000
+               div plain_bytes""").as("win_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def q465OracleSql: String = {
+    val bitsLadder = (1 to 40).map(b =>
+      s"WHEN ndv <= ${1L << b} THEN $b").mkString(
+      "CASE WHEN ndv <= 1 THEN 1 ", " ", " ELSE 63 END")
+    DictCols.map { case (tab, c) =>
+      s"""SELECT '$tab.$c' AS column_name,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+          CAST(sum(strlen($c)) AS BIGINT) AS plain_bytes,
+          (SELECT CAST(sum(strlen(v)) AS BIGINT)
+             FROM (SELECT DISTINCT $c AS v FROM $tab) z)
+            + (CAST(count(*) AS BIGINT)
+               * (SELECT $bitsLadder FROM (SELECT
+                    CAST(count(DISTINCT $c) AS BIGINT) AS ndv
+                  FROM $tab) w) + 7) // 8 AS dict_bytes,
+          ((SELECT CAST(sum(strlen(v)) AS BIGINT)
+             FROM (SELECT DISTINCT $c AS v FROM $tab) z)
+            + (CAST(count(*) AS BIGINT)
+               * (SELECT $bitsLadder FROM (SELECT
+                    CAST(count(DISTINCT $c) AS BIGINT) AS ndv
+                  FROM $tab) w) + 7) // 8) * 1000000
+            // CAST(sum(strlen($c)) AS BIGINT) AS win_ppm
+        FROM $tab"""
+    }.mkString("\n        UNION ALL\n        ")
+  }
+
+  // ------------------------------------------------------------ q466
+
+  /** q466's audited date axes: (table, date column). */
+  val GapCols: Seq[(String, String)] = Seq(
+    ("orders", "o_orderdate"), ("lineitem", "l_shipdate"),
+    ("events", "ts"))
+
+  /** q466 — CALENDAR COMPLETENESS AUDIT over the date axes (the
+    * data-quality screen every ingest dashboard runs before any
+    * time-series query is trusted: q304/q432/q444 silently bridge
+    * missing days — this measures HOW MANY are missing and the
+    * longest silent stretch, the "did the pipeline skip a day"
+    * alarm). Per axis: exact {n_days observed, span_days, missing =
+    * span − observed, max_gap = longest day gap − 1} off a distinct-
+    * day census and ONE ordered lag window.
+    *
+    * Scale shape: per axis one scan map-side combined to the distinct-
+    * day census; the gap scan is a window over ≤ span rows. */
+  def q466DateGapAudit(s: SparkSession, dir: String): DataFrame =
+    GapCols.map { case (tab, c) =>
+      val days = t(s, dir, tab)
+        .select(to_date(col(c)).as("day")).distinct()
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      val gaps = days
+        .withColumn("gap",
+          expr("datediff(day, lag(day, 1) OVER (ORDER BY day))"))
+      gaps.agg(count(lit(1)).as("n_days"),
+          (datediff(max("day"), min("day")) + 1).cast("bigint")
+            .as("span_days"),
+          coalesce(max("gap"), lit(1)).cast("bigint").as("maxstep"))
+        .select(lit(s"$tab.$c").as("axis"), col("n_days"),
+          col("span_days"),
+          (col("span_days") - col("n_days")).as("missing_days"),
+          (col("maxstep") - 1L).as("max_gap_days"))
+    }.reduce(_ unionByName _)
+
+  private def q466OracleSql: String =
+    GapCols.map { case (tab, c) =>
+      s"""SELECT '$tab.$c' AS axis,
+          CAST(count(*) AS BIGINT) AS n_days,
+          CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days,
+          CAST(max(day) - min(day) + 1 AS BIGINT)
+            - CAST(count(*) AS BIGINT) AS missing_days,
+          CAST(coalesce(max(gap), 1) - 1 AS BIGINT) AS max_gap_days
+        FROM (SELECT day, day - lag(day) OVER (ORDER BY day) AS gap
+              FROM (SELECT DISTINCT CAST($c AS DATE) AS day
+                    FROM $tab) d) g"""
+    }.mkString("\n        UNION ALL\n        ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q465_dict_encoding_advisor" -> (q465DictEncodingAdvisor _),
+    "q466_date_gap_audit" -> (q466DateGapAudit _),
     "q417_for_encoding" -> (q417ForEncoding _),
     "q410_encoding_advisor" -> (q410EncodingAdvisor _),
     "q290_session_conversion" -> (q290SessionConversion _),
@@ -3556,6 +3676,8 @@ object Extensions {
     "q60_percentiles" -> (q60Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q465_dict_encoding_advisor" -> q465OracleSql,
+    "q466_date_gap_audit" -> q466OracleSql,
     "q417_for_encoding" -> q417OracleSql,
     "q410_encoding_advisor" -> q410OracleSql,
     "q290_session_conversion" -> q290OracleSql,

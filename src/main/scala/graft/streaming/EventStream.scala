@@ -1994,8 +1994,70 @@ object EventStream {
         FROM daily CROSS JOIN g"""
   }
 
+  // -------------------------------------------------------------- q467
+
+  /** q467 — STREAMING KEY-SKEW MONITOR on the user axis (q462's
+    * salted-join detector under continuous ingest — the 28th declared
+    * streaming shape: a key that goes hot DURING the day is exactly
+    * what a static pre-ingest skew report misses, and the number an
+    * adaptive salting config watches). State: the watermark-bounded
+    * (user × day-window) count census; count merge is associative and
+    * commutative, so the drained per-user totals — and the exact
+    * integer skew panel over them — are batch-split independent.
+    * Released one row: {n, ndv, max_cnt, skew_ratio_milli,
+    * salt_recommended} at q462's 4× gate.
+    *
+    * Scale shape: streaming census map-side combined, state
+    * O(users × open days); the panel is one aggregate over the
+    * drained user frame. */
+  def q467StreamUserSkew(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q467_stream_user_skew_mem"
+    s.catalog.dropTempView(name)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("user_id"), col("x"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).localCheckpoint(true)
+      .groupBy("user_id").agg(sum("x").as("c"))
+      .agg(sum("c").as("n"), count(lit(1)).as("ndv"),
+        max("c").as("max_cnt"))
+      .select(col("n"), col("ndv"), col("max_cnt"),
+        expr("""CAST(1000 * CAST(max_cnt AS DECIMAL(38,0)) * ndv
+             div n AS BIGINT)""").as("skew_ratio_milli"),
+        expr(s"""CAST(1000 * CAST(max_cnt AS DECIMAL(38,0)) * ndv
+             div n AS BIGINT)
+             > ${graft.operators.Pipeline.SkewGateMilli}""")
+          .as("salt_recommended"))
+  }
+
+  private def q467OracleSql: String =
+    s"""WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY user_id)
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS ndv,
+          CAST(max(c) AS BIGINT) AS max_cnt,
+          CAST(1000 * CAST(max(c) AS HUGEINT) * count(*)
+            // sum(c) AS BIGINT) AS skew_ratio_milli,
+          CAST(1000 * CAST(max(c) AS HUGEINT) * count(*)
+            // sum(c) AS BIGINT)
+            > ${graft.operators.Pipeline.SkewGateMilli}
+            AS salt_recommended
+        FROM per"""
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q467_stream_user_skew" ->
+      ((s: SparkSession, d: String) => q467StreamUserSkew(s, d)),
     "q458_stream_spc" ->
       ((s: SparkSession, d: String) => q458StreamSpc(s, d)),
     "q451_stream_dispersion" ->
@@ -2037,6 +2099,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q467_stream_user_skew" -> q467OracleSql,
     "q458_stream_spc" -> q458OracleSql,
     "q451_stream_dispersion" -> graft.operators.Stats.q446OracleSql,
     "q442_stream_periodogram" -> q442OracleSql,

@@ -453,4 +453,23 @@ class DedupSpec extends SparkSpec {
     assert(rows.find(_._1 == 0.9).get._2 === q101,
       "sweep's 9/10 point diverges from q101")
   }
+
+  test("q464 cluster-size profile is a partition of the corpus and " +
+    "replays q63's label census") {
+    val prof = Dedup.q464ClusterSizeProfile(spark, sf1).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"))).toMap
+    val labels = Dedup.q63DedupClusters(spark, sf1).collect()
+      .map(r => r.getAs[Long]("cluster"))
+    val want = labels.groupBy(identity).view.mapValues(_.length.toLong)
+      .values.groupBy(identity).view
+      .mapValues(g => (g.size.toLong, g.head * g.size)).toMap
+    assert(prof.keySet === want.keySet)
+    want.foreach { case (sz, (nc, nd)) =>
+      assert(prof(sz) === ((nc, nd)), s"size $sz") }
+    // the profile partitions the corpus: doc totals sum to |corpus|
+    assert(prof.values.map(_._2).sum === labels.length.toLong)
+    // per row, n_docs = size * n_clusters
+    prof.foreach { case (sz, (nc, nd)) => assert(nd === sz * nc) }
+  }
 }

@@ -1392,4 +1392,64 @@ class ExtensionsSpec extends SparkSpec {
       assert(packed < n * 8, cn)
     }
   }
+
+  test("q465 dictionary advisor replays the byte model and low-" +
+    "cardinality columns always win") {
+    val E = graft.operators.Extensions
+    val rows = E.q465DictEncodingAdvisor(spark, sf1).collect()
+      .map(r => r.getAs[String]("column_name") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("ndv"),
+          r.getAs[Long]("plain_bytes"), r.getAs[Long]("dict_bytes"),
+          r.getAs[Long]("win_ppm"))).toMap
+    assert(rows.size === E.DictCols.size)
+    E.DictCols.foreach { case (tab, c) =>
+      val vals = graft.sources.Tables.load(spark, sf1, tab)
+        .select(c).collect().map(_.getString(0))
+      val n = vals.length.toLong
+      val ndv = vals.distinct.length.toLong
+      val plain = vals.map(_.length.toLong).sum
+      val bits = math.max(1,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(ndv - 1, 1)))
+      // ladder semantics: smallest b with ndv <= 2^b
+      val b = (1 to 40).find(b => ndv <= (1L << b)).getOrElse(63)
+      val dict = vals.distinct.map(_.length.toLong).sum +
+        (n * b + 7) / 8
+      val (gN, gNdv, gPlain, gDict, gWin) = rows(s"$tab.$c")
+      assert(gN === n); assert(gNdv === ndv); assert(gPlain === plain)
+      assert(gDict === dict, s"$tab.$c dict bytes (bits=$bits)")
+      assert(gWin === dict * 1000000L / plain)
+      // every audited column is low-cardinality: dictionary must win
+      assert(gWin < 1000000L, s"$tab.$c dictionary should win")
+    }
+  }
+
+  test("q466 date-gap audit replays the distinct-day census and the " +
+    "dense axes report zero missing days") {
+    val E = graft.operators.Extensions
+    val rows = E.q466DateGapAudit(spark, sf1).collect()
+      .map(r => r.getAs[String]("axis") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("span_days"),
+          r.getAs[Long]("missing_days"), r.getAs[Long]("max_gap_days")))
+      .toMap
+    assert(rows.size === E.GapCols.size)
+    E.GapCols.foreach { case (tab, c) =>
+      val days = graft.sources.Tables.load(spark, sf1, tab)
+        .select(to_date(col(c)).as("d")).distinct().collect()
+        .map(_.getDate(0).toLocalDate).sorted
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        days.head, days.last) + 1
+      val maxGap =
+        if (days.length < 2) 0L
+        else days.sliding(2).map(w => java.time.temporal.ChronoUnit
+          .DAYS.between(w(0), w(1))).max - 1
+      val (gN, gSpan, gMiss, gGap) = rows(s"$tab.$c")
+      assert(gN === days.length.toLong, s"$tab.$c days")
+      assert(gSpan === span, s"$tab.$c span")
+      assert(gMiss === span - days.length, s"$tab.$c missing")
+      assert(gGap === maxGap, s"$tab.$c gap")
+      assert(gMiss >= 0L && gGap >= 0L)
+    }
+    // the 30-day events axis is dense by generation
+    assert(rows("events.ts")._3 === 0L)
+  }
 }
