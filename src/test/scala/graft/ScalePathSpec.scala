@@ -950,4 +950,75 @@ class ScalePathSpec extends SparkSpec {
       s"25-row nation attach must broadcast:\n$plan")
     spark.catalog.clearCache()
   }
+
+  // ---------------------------------------------------------- session 8
+
+  test("q431 Holm: all ten pair z's ride ONE census window pass (one " +
+    "non-broadcast exchange chain, no per-pair rescan)") {
+    // the aggregate is localCheckpointed, so the executed plan of the
+    // declared result covers only the 10-row step-down — assert the
+    // CENSUS plan instead: census + one ordered window = bounded
+    // exchange count, independent of the pair count
+    val census = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("vc")
+      .agg(count(lit(1)).as("c_all"),
+        (0 until 5).map(i => sum(when(col("event_type") ===
+          Seq("click", "error", "purchase", "signup", "view")(i), 1L)
+          .otherwise(0L)).as(s"c$i")): _*)
+    val plan = census.queryExecution.executedPlan.toString
+    val n = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(n <= 1, s"census should shuffle once, found $n:\n$plan")
+  }
+
+  test("q434 RBP: the corpus side joins the broadcast probe batch " +
+    "(no corpus-corpus shuffle join)") {
+    val plan = graft.operators.Similarity.q434Rbp(spark, sf1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"probe batch must broadcast:\n$plan")
+  }
+
+  test("q440 compaction plan: census + ONE ordered window exchange") {
+    val plan = graft.operators.Pipeline
+      .q440CompactionPlanner(spark, sf1)
+      .queryExecution.executedPlan.toString
+    val n = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(n <= 2, s"month census + window only, found $n:\n$plan")
+  }
+
+  test("q449 audit joins shuffle on their keys — the estimate prices " +
+    "the plan that actually runs") {
+    val plan = graft.operators.Pipeline
+      .q449JoinCardinality(spark, sf1)
+      .queryExecution.executedPlan.toString
+    // at least one real (non-broadcast) join path exists in the audit
+    assert(plan.contains("Join"), s"no join in the audited plan:\n$plan")
+  }
+
+  test("q452 Burrows Delta: everything after the token census rides " +
+    "the 20-row pivot (pair fold adds no corpus rescan)") {
+    val T = graft.operators.TextOps
+    val df = T.q452BurrowsDelta(spark, sf1)
+    // the pivot is localCheckpointed: the declared result's plan must
+    // not scan the documents parquet again
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"pair fold rescans the corpus:\n$plan")
+    assert(df.count() === 190L)
+  }
+
+  test("q454 payload RLE: the kind census never shuffles payload bytes") {
+    val plan = graft.operators.Multimodal.q454PayloadRle(spark, sf1)
+      .queryExecution.executedPlan.toString
+    // plan text is top-down: operators ABOVE the exchange print before
+    // it — payload may appear only below (the typed decode slot)
+    val above = plan.substring(0, plan.indexOf("Exchange"))
+    assert(!above.toLowerCase.contains("payload#"),
+      s"payload column crossed the exchange:\n$plan")
+    assert(plan.contains("MapPartitions"),
+      "the typed codec slot is gone from the plan")
+  }
 }
