@@ -5321,6 +5321,185 @@ object Analytics {
         $rows"""
   }
 
+  // ------------------------------------------------------------ q469
+
+  /** q469 — CHURN STEADY STATE from weekly activity transitions (the
+    * RETENTION-FORECAST member of the state family: q150/q407 profile
+    * event-type transitions; the question a growth model actually
+    * asks is binary — active this week, active next week? — and for
+    * a 2-state chain the stationary share has the EXACT closed form
+    * π_active = p_ia / (p_ai + p_ia), no iteration and no float: both
+    * transition rates are count ratios, so the steady state is one
+    * integer division over exact cell counts). Weeks 0..3 of the
+    * 28-day span (q430's complete blocks); a user's week-state =
+    * had ≥1 event; transitions counted over the user × week spine
+    * (0-filled — absent is a real inactive state). Released:
+    * {n_users, aa, ai, ia, ii, churn_ppm = ai·10⁶ div (aa+ai),
+    * revive_ppm = ia·10⁶ div (ia+ii), steady_active_ppm =
+    * ia·10⁶ div (ai + ia)}.
+    *
+    * Scale shape: one corpus scan map-side combined to the
+    * (user × week) census; the spine fill and lag ride a per-user
+    * 4-row frame; four cells → one scalar row. */
+  def q469ChurnSteadyState(s: SparkSession, dir: String): DataFrame = {
+    val weeks = s.range(4).select(col("id").as("wk"))
+    val users = t(s, dir, "events").select("user_id").distinct()
+    val active = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7")
+          .as("wk"))
+      .filter(col("wk") < 4)
+      .distinct()
+      .withColumn("a", lit(1L))
+    val spine = users.crossJoin(broadcast(weeks))
+      .join(active, Seq("user_id", "wk"), "left")
+      .select(col("user_id"), col("wk"),
+        coalesce(col("a"), lit(0L)).as("a"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("wk")
+    val trans = spine
+      .withColumn("prev", lag("a", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .agg(
+        sum(when(col("prev") === 1 && col("a") === 1, 1L)
+          .otherwise(0L)).as("aa"),
+        sum(when(col("prev") === 1 && col("a") === 0, 1L)
+          .otherwise(0L)).as("ai"),
+        sum(when(col("prev") === 0 && col("a") === 1, 1L)
+          .otherwise(0L)).as("ia"),
+        sum(when(col("prev") === 0 && col("a") === 0, 1L)
+          .otherwise(0L)).as("ii"))
+    trans.crossJoin(broadcast(users.agg(count(lit(1)).as("n_users"))))
+      .select(col("n_users"), col("aa"), col("ai"), col("ia"),
+        col("ii"),
+        expr("""CASE WHEN aa + ai = 0 THEN NULL
+             ELSE ai * 1000000 div (aa + ai) END""").as("churn_ppm"),
+        expr("""CASE WHEN ia + ii = 0 THEN NULL
+             ELSE ia * 1000000 div (ia + ii) END""").as("revive_ppm"),
+        expr("""CASE WHEN ai + ia = 0 THEN NULL
+             ELSE ia * 1000000 div (ai + ia) END""")
+          .as("steady_active_ppm"))
+  }
+
+  private def q469OracleSql: String =
+    """WITH users AS (SELECT DISTINCT user_id FROM events),
+        weeks AS (SELECT CAST(x AS BIGINT) AS wk
+          FROM generate_series(0, 3) t(x)),
+        active AS (SELECT DISTINCT user_id,
+          (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS wk
+          FROM events
+          WHERE (CAST(ts AS DATE) - DATE '2024-01-01') // 7 < 4),
+        spine AS (SELECT u.user_id, w.wk,
+            CASE WHEN a.user_id IS NULL THEN 0 ELSE 1 END AS a
+          FROM users u CROSS JOIN weeks w
+          LEFT JOIN active a
+            ON a.user_id = u.user_id AND a.wk = w.wk),
+        lagged AS (SELECT a, lag(a) OVER (PARTITION BY user_id
+            ORDER BY wk) AS prev FROM spine),
+        cells AS (SELECT
+          CAST(sum(CASE WHEN prev = 1 AND a = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS aa,
+          CAST(sum(CASE WHEN prev = 1 AND a = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS ai,
+          CAST(sum(CASE WHEN prev = 0 AND a = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS ia,
+          CAST(sum(CASE WHEN prev = 0 AND a = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS ii
+          FROM lagged WHERE prev IS NOT NULL),
+        nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM users)
+        SELECT n_users, aa, ai, ia, ii,
+          CASE WHEN aa + ai = 0 THEN NULL
+            ELSE ai * 1000000 // (aa + ai) END AS churn_ppm,
+          CASE WHEN ia + ii = 0 THEN NULL
+            ELSE ia * 1000000 // (ia + ii) END AS revive_ppm,
+          CASE WHEN ai + ia = 0 THEN NULL
+            ELSE ia * 1000000 // (ai + ia) END AS steady_active_ppm
+        FROM cells CROSS JOIN nu"""
+
+  // ------------------------------------------------------------ q471
+
+  /** q471 — DECILE LIFT TABLE for purchase propensity (the campaign-
+    * targeting readout the experiment family feeds: rank users by
+    * PRE-period purchase share, split into deciles, read POST-period
+    * conversion per decile — lift over the base rate and cumulative
+    * gains are the two numbers a targeting decision uses, and the
+    * table doubles as a calibration check on any propensity score).
+    * Pre/post by the q259 CUPED split; deciles by ntile over (pre
+    * purchase count, user_id) — deterministic total order; exact
+    * integers: conv_ppm per decile, lift_milli vs the overall rate,
+    * cumulative gain share of all converters captured through decile
+    * d.
+    *
+    * Scale shape: one corpus scan → per-user frame; ntile is one
+    * total-order window over users (the q393 pattern); the table is a
+    * 10-row aggregate. */
+  def q471DecileLift(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .select(col("user_id"),
+        (col("ts") < lit(CupedSplit).cast("timestamp")).as("pre"),
+        (col("event_type") === "purchase").as("isp"))
+      .groupBy("user_id")
+      .agg(sum(when(col("pre") && col("isp"), 1L).otherwise(0L))
+        .as("pre_p"),
+        sum(when(!col("pre") && col("isp"), 1L).otherwise(0L))
+          .as("post_p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pre_p").desc, col("user_id"))
+    val tiled = per
+      .withColumn("decile", ntile(10).over(w).cast("bigint"))
+      .withColumn("conv", (col("post_p") > 0).cast("long"))
+      .localCheckpoint(true)
+    val g = tiled.agg(sum("conv").as("tot_conv"),
+      count(lit(1)).as("tot_n"))
+    val byDec = tiled.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("conv").as("n_conv"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byDec.crossJoin(broadcast(g))
+      .withColumn("cum_conv", sum("n_conv").over(wc))
+      .select(col("decile"), col("n"), col("n_conv"),
+        expr("n_conv * 1000000 div n").as("conv_ppm"),
+        expr("""CASE WHEN tot_conv = 0 THEN NULL
+             ELSE (CAST(n_conv AS DECIMAL(38,0)) * tot_n * 1000)
+               div (CAST(tot_conv AS DECIMAL(38,0)) * n) END""")
+          .as("lift_milli"),
+        expr("""CASE WHEN tot_conv = 0 THEN NULL
+             ELSE cum_conv * 1000000 div tot_conv END""")
+          .as("cum_gain_ppm"))
+  }
+
+  private def q471OracleSql: String =
+    s"""WITH per AS (SELECT user_id,
+          CAST(sum(CASE WHEN ts < TIMESTAMP '$CupedSplit 00:00:00'
+            AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+            AS pre_p,
+          CAST(sum(CASE WHEN ts >= TIMESTAMP '$CupedSplit 00:00:00'
+            AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+            AS post_p
+          FROM events GROUP BY user_id),
+        tiled AS (SELECT user_id, pre_p,
+          CASE WHEN post_p > 0 THEN 1 ELSE 0 END AS conv,
+          CAST(ntile(10) OVER (ORDER BY pre_p DESC, user_id)
+            AS BIGINT) AS decile
+          FROM per),
+        g AS (SELECT CAST(sum(conv) AS BIGINT) AS tot_conv,
+          CAST(count(*) AS BIGINT) AS tot_n FROM tiled),
+        bydec AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(conv) AS BIGINT) AS n_conv
+          FROM tiled GROUP BY decile)
+        SELECT decile, n, n_conv,
+          n_conv * 1000000 // n AS conv_ppm,
+          CASE WHEN tot_conv = 0 THEN NULL
+            ELSE CAST((CAST(n_conv AS HUGEINT) * tot_n * 1000)
+              // (CAST(tot_conv AS HUGEINT) * n) AS BIGINT) END
+            AS lift_milli,
+          CASE WHEN tot_conv = 0 THEN NULL
+            ELSE CAST(sum(n_conv) OVER (ORDER BY decile) AS BIGINT)
+              * 1000000 // tot_conv END AS cum_gain_ppm
+        FROM bydec CROSS JOIN g"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q399_viterbi" -> (q399Viterbi _),
     "q401_slope_one" -> (q401SlopeOne _),
@@ -5336,6 +5515,8 @@ object Analytics {
     "q436_rich_club" -> (q436RichClub _),
     "q445_granger_lite" -> (q445GrangerLite _),
     "q459_propensity_balance" -> (q459PropensityBalance _),
+    "q469_churn_steady_state" -> (q469ChurnSteadyState _),
+    "q471_decile_lift" -> (q471DecileLift _),
     "q447_spc_control" -> (q447SpcControl _),
     "q437_katz_index" -> (q437KatzIndex _),
     "q441_epi_ratios" -> (q441EpiRatios _),
@@ -5423,6 +5604,8 @@ object Analytics {
     "q436_rich_club" -> q436OracleSql,
     "q445_granger_lite" -> q445OracleSql,
     "q459_propensity_balance" -> q459OracleSql,
+    "q469_churn_steady_state" -> q469OracleSql,
+    "q471_decile_lift" -> q471OracleSql,
     "q447_spc_control" -> q447OracleSql,
     "q437_katz_index" -> q437OracleSql,
     "q441_epi_ratios" -> q441OracleSql,

@@ -3587,7 +3587,156 @@ object Extensions {
                     FROM $tab) d) g"""
     }.mkString("\n        UNION ALL\n        ")
 
+  // ------------------------------------------------------------ q468
+
+  /** q468's geometry: histogram buckets and the probe predicates
+    * (range selectivities a planner would actually ask for). */
+  val HistAdvBuckets = 10L
+  val HistAdvProbes: Seq[(Long, Long)] =
+    Seq((0L, 5L), (5L, 10L), (10L, 15L), (15L, 20L), (20L, 25L),
+      (25L, 30L), (30L, 35L), (35L, 40L), (40L, 45L), (45L, 51L))
+
+  /** q468 — HISTOGRAM ERROR ADVISOR: equi-width vs equi-depth
+    * selectivity error on l_quantity (the estimation-quality
+    * face-off behind every planner's histogram choice — q83 builds
+    * equi-width, q168 equi-depth; a cost model needs to know WHICH
+    * answers range predicates better on this column, measured as
+    * estimation error against exact truth over a probe workload).
+    * For each probe range [lo, hi): truth = exact count; equi-width
+    * estimate assumes uniform-within-bucket (integer interpolation);
+    * equi-depth estimate likewise over its quantile bounds. Released
+    * per histogram type: {htype, mean_abs_err_ppm, max_err_ppm} —
+    * exact integers (errors in ppm of n, interpolation by integer
+    * division, both declared).
+    *
+    * Scale shape: one scan to the value census (l_quantity has ≤ 50
+    * distinct values — domain-bounded); both histograms and all probe
+    * evaluations ride that census. */
+  def q468HistogramErrorAdvisor(s: SparkSession, dir: String)
+      : DataFrame = {
+    val census = t(s, dir, "lineitem")
+      .select(expr("CAST(floor(l_quantity) AS BIGINT)").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val n = census.agg(sum("c").as("n"), min("v").as("vmin"),
+      (max("v") + 1).as("vmax")).localCheckpoint(true)
+    // truth per probe
+    val truth = HistAdvProbes.map { case (lo, hi) =>
+      census.filter(col("v") >= lo && col("v") < hi)
+        .agg(coalesce(sum("c"), lit(0L)).as("truth"))
+        .select(lit(lo).as("lo"), lit(hi).as("hi"), col("truth"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    // equi-width: bucket b of [vmin, vmax) split in 10; est for
+    // [lo,hi) = sum over buckets of overlap_fraction * bucket_count
+    // (integer: count * overlap_width div bucket_width)
+    val ewBuckets = census.crossJoin(broadcast(n))
+      .withColumn("b",
+        expr(s"least(($HistAdvBuckets * (v - vmin)) div (vmax - vmin), ${HistAdvBuckets - 1})"))
+      .groupBy("b").agg(sum("c").as("bc"))
+      .crossJoin(broadcast(n))
+      .select(col("b"), col("bc"),
+        expr(s"vmin + (b * (vmax - vmin)) div $HistAdvBuckets").as("blo"),
+        expr(s"vmin + ((b + 1) * (vmax - vmin)) div $HistAdvBuckets")
+          .as("bhi"))
+      .localCheckpoint(true)
+    val ewEst = truth.crossJoin(ewBuckets)
+      .select(col("lo"), col("hi"), col("truth"),
+        expr("""CASE WHEN bhi <= lo OR blo >= hi THEN CAST(0 AS BIGINT)
+             ELSE bc * (least(hi, bhi) - greatest(lo, blo))
+               div (bhi - blo) END""").as("part"))
+      .groupBy("lo", "hi", "truth").agg(sum("part").as("est"))
+    // equi-depth: bucket bounds at n*k/10 positions of the cum census
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = census.select(col("v"), col("c"),
+      sum("c").over(w).as("cumc")).crossJoin(broadcast(n))
+    val edBounds = cum
+      .withColumn("bket",
+        expr(s"least(($HistAdvBuckets * (cumc - 1)) div n, ${HistAdvBuckets - 1})"))
+      .groupBy("bket").agg(min("v").as("blo"), (max("v") + 1).as("bhi"),
+        sum("c").as("bc"))
+      .localCheckpoint(true)
+    val edEst = truth.crossJoin(edBounds)
+      .select(col("lo"), col("hi"), col("truth"),
+        expr("""CASE WHEN bhi <= lo OR blo >= hi THEN CAST(0 AS BIGINT)
+             ELSE bc * (least(hi, bhi) - greatest(lo, blo))
+               div (bhi - blo) END""").as("part"))
+      .groupBy("lo", "hi", "truth").agg(sum("part").as("est"))
+    Seq(("equi_width", ewEst), ("equi_depth", edEst)).map {
+      case (nm, est) =>
+        est.crossJoin(broadcast(n.select(col("n"))))
+          .select(expr("abs(est - truth) * 1000000 div n").as("err"))
+          .agg(sum("err").as("serr"), max("err").as("maxe"),
+            count(lit(1)).as("np"))
+          .select(lit(nm).as("htype"),
+            expr("serr div np").as("mean_abs_err_ppm"),
+            col("maxe").as("max_err_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def q468OracleSql: String = {
+    val probes = HistAdvProbes.map { case (lo, hi) =>
+      s"SELECT CAST($lo AS BIGINT) AS lo, CAST($hi AS BIGINT) AS hi" }
+      .mkString("\n          UNION ALL ")
+    s"""WITH census AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS v,
+          CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+        n AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+          CAST(min(v) AS BIGINT) AS vmin,
+          CAST(max(v) + 1 AS BIGINT) AS vmax FROM census),
+        probes AS ($probes),
+        truth AS (SELECT p.lo, p.hi,
+            CAST(coalesce(sum(CASE WHEN c2.v >= p.lo AND c2.v < p.hi
+              THEN c2.c END), 0) AS BIGINT) AS truth
+          FROM probes p LEFT JOIN census c2 ON TRUE
+          GROUP BY p.lo, p.hi),
+        ew AS (SELECT b, CAST(sum(c) AS BIGINT) AS bc,
+            CAST(max(vmin + (b * (vmax - vmin)) // $HistAdvBuckets)
+              AS BIGINT) AS blo,
+            CAST(max(vmin + ((b + 1) * (vmax - vmin))
+              // $HistAdvBuckets) AS BIGINT) AS bhi
+          FROM (SELECT v, c, vmin, vmax,
+                least(($HistAdvBuckets * (v - vmin)) // (vmax - vmin),
+                  ${HistAdvBuckets - 1}) AS b
+                FROM census CROSS JOIN n) z
+          GROUP BY b),
+        ewest AS (SELECT t.lo, t.hi, t.truth,
+            CAST(sum(CASE WHEN e.bhi <= t.lo OR e.blo >= t.hi THEN 0
+              ELSE e.bc * (least(t.hi, e.bhi) - greatest(t.lo, e.blo))
+                // (e.bhi - e.blo) END) AS BIGINT) AS est
+          FROM truth t CROSS JOIN ew e GROUP BY 1, 2, 3),
+        cum AS (SELECT v, c,
+            CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cumc
+          FROM census),
+        ed AS (SELECT bket, CAST(min(v) AS BIGINT) AS blo,
+            CAST(max(v) + 1 AS BIGINT) AS bhi,
+            CAST(sum(c) AS BIGINT) AS bc
+          FROM (SELECT v, c,
+                least(($HistAdvBuckets * (cumc - 1)) // n,
+                  ${HistAdvBuckets - 1}) AS bket
+                FROM cum CROSS JOIN n) z
+          GROUP BY bket),
+        edest AS (SELECT t.lo, t.hi, t.truth,
+            CAST(sum(CASE WHEN e.bhi <= t.lo OR e.blo >= t.hi THEN 0
+              ELSE e.bc * (least(t.hi, e.bhi) - greatest(t.lo, e.blo))
+                // (e.bhi - e.blo) END) AS BIGINT) AS est
+          FROM truth t CROSS JOIN ed e GROUP BY 1, 2, 3)
+        SELECT 'equi_width' AS htype,
+          CAST(sum(abs(est - truth) * 1000000 // n) // count(*)
+            AS BIGINT) AS mean_abs_err_ppm,
+          CAST(max(abs(est - truth) * 1000000 // n) AS BIGINT)
+            AS max_err_ppm
+        FROM ewest CROSS JOIN n
+        UNION ALL
+        SELECT 'equi_depth' AS htype,
+          CAST(sum(abs(est - truth) * 1000000 // n) // count(*)
+            AS BIGINT) AS mean_abs_err_ppm,
+          CAST(max(abs(est - truth) * 1000000 // n) AS BIGINT)
+            AS max_err_ppm
+        FROM edest CROSS JOIN n"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q468_histogram_error_advisor" -> (q468HistogramErrorAdvisor _),
     "q465_dict_encoding_advisor" -> (q465DictEncodingAdvisor _),
     "q466_date_gap_audit" -> (q466DateGapAudit _),
     "q417_for_encoding" -> (q417ForEncoding _),
@@ -3676,6 +3825,7 @@ object Extensions {
     "q60_percentiles" -> (q60Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q468_histogram_error_advisor" -> q468OracleSql,
     "q465_dict_encoding_advisor" -> q465OracleSql,
     "q466_date_gap_audit" -> q466OracleSql,
     "q417_for_encoding" -> q417OracleSql,

@@ -2719,7 +2719,78 @@ object Pipeline {
     }.mkString("\n        UNION ALL\n        ")
   }
 
+  // ------------------------------------------------------------ q470
+
+  /** q470 — PIPELINE STAGE RECONCILIATION over the q12 star chain
+    * (the row-count lineage audit every production DAG carries: each
+    * stage declares rows_in → rows_out with the retention ratio, so a
+    * silently exploding join or an over-eager filter is caught by a
+    * NUMBER, not a postmortem — the ops twin of q226's join-blowup
+    * probe, here as a declared end-to-end ledger). Stages: lineitem
+    * scan → ship-date filter → ⋈ orders → ⋈ customer (dim chain) →
+    * priority aggregate. Exact row counts; ratio_ppm = out·10⁶ div in.
+    *
+    * Scale shape: the audited chain IS the q12 plan (broadcast dim
+    * chain, fact shuffle on the order key); counts add one aggregate
+    * per stage over frames the chain builds anyway. */
+  def q470StageReconciliation(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val filtered = li.filter(col("l_shipdate") >=
+      lit("1996-01-01").cast("timestamp"))
+    val j1 = filtered.join(t(s, dir, "orders"),
+      col("l_orderkey") === col("o_orderkey"))
+    val j2 = j1.join(broadcast(t(s, dir, "customer")),
+      col("o_custkey") === col("c_custkey"))
+    val agg = j2.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    // counts stay distributed: one 1-row aggregate per stage,
+    // crossJoined into the 5-row ledger (no driver-side .count loop)
+    val counts = li.agg(count(lit(1)).as("c0"))
+      .crossJoin(filtered.agg(count(lit(1)).as("c1")))
+      .crossJoin(j1.agg(count(lit(1)).as("c2")))
+      .crossJoin(j2.agg(count(lit(1)).as("c3")))
+      .crossJoin(agg.agg(count(lit(1)).as("c4")))
+      .localCheckpoint(true)
+    Seq(("scan_lineitem", "c0", "c0"),
+      ("filter_shipdate", "c0", "c1"), ("join_orders", "c1", "c2"),
+      ("join_customer", "c2", "c3"), ("agg_priority", "c3", "c4"))
+      .map { case (nm, ci, co) =>
+        counts.select(lit(nm).as("stage"), col(ci).as("rows_in"),
+          col(co).as("rows_out"),
+          expr(s"$co * 1000000 div $ci").as("ratio_ppm"))
+      }.reduce(_ unionByName _)
+  }
+
+  private def q470OracleSql: String =
+    """WITH c0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+        c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'),
+        c2 AS (SELECT CAST(count(*) AS BIGINT) AS n
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'),
+        c3 AS (SELECT CAST(count(*) AS BIGINT) AS n
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'),
+        c4 AS (SELECT CAST(count(DISTINCT o.o_orderpriority) AS BIGINT)
+            AS n
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00')
+        SELECT 'scan_lineitem' AS stage, c0.n AS rows_in,
+          c0.n AS rows_out, c0.n * 1000000 // c0.n AS ratio_ppm
+        FROM c0
+        UNION ALL SELECT 'filter_shipdate', c0.n, c1.n,
+          c1.n * 1000000 // c0.n FROM c0, c1
+        UNION ALL SELECT 'join_orders', c1.n, c2.n,
+          c2.n * 1000000 // c1.n FROM c1, c2
+        UNION ALL SELECT 'join_customer', c2.n, c3.n,
+          c3.n * 1000000 // c2.n FROM c2, c3
+        UNION ALL SELECT 'agg_priority', c3.n, c4.n,
+          c4.n * 1000000 // c3.n FROM c3, c4"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q470_stage_reconciliation" -> (q470StageReconciliation _),
     "q462_skew_report" -> (q462SkewReport _),
     "q456_dataset_card" -> (q456DatasetCard _),
     "q457_temporal_split" -> (q457TemporalSplit _),
@@ -2768,6 +2839,7 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "q398_bottomk_sample" -> q398OracleSql,
+    "q470_stage_reconciliation" -> q470OracleSql,
     "q462_skew_report" -> q462OracleSql,
     "q456_dataset_card" -> q456OracleSql,
     "q457_temporal_split" -> q457OracleSql,

@@ -1807,4 +1807,68 @@ class AnalyticsSpec extends SparkSpec {
       assert(gSmd < 2200L, s"$cv SMD $gSmd outside 3 SE at n~7.5/arm")
     }
   }
+
+  test("q469 churn cells partition the user-week transitions and the " +
+    "steady state replays the closed form") {
+    val row = Analytics.q469ChurnSteadyState(spark, sf1).head()
+    val (aa, ai, ia, ii) = (row.getAs[Long]("aa"), row.getAs[Long]("ai"),
+      row.getAs[Long]("ia"), row.getAs[Long]("ii"))
+    val n = row.getAs[Long]("n_users")
+    // 3 transitions per user over the 4-week spine
+    assert(aa + ai + ia + ii === 3 * n)
+    if (aa + ai > 0)
+      assert(row.getAs[Long]("churn_ppm") === ai * 1000000L / (aa + ai))
+    // at sf0.001 every one of the ~15 users is active every week, so
+    // the revive/steady denominators can legitimately be zero (NULL)
+    if (ai + ia > 0)
+      assert(row.getAs[Long]("steady_active_ppm") ===
+        ia * 1000000L / (ai + ia))
+    else assert(row.isNullAt(row.fieldIndex("steady_active_ppm")))
+    // brute-force the cells
+    val cut = (d: java.sql.Timestamp) => d
+    val evs = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).collect()
+      .map(r => (r.getLong(0), java.time.temporal.ChronoUnit.DAYS
+        .between(java.time.LocalDate.parse("2024-01-01"),
+          r.getDate(1).toLocalDate) / 7))
+      .filter(_._2 < 4).distinct
+    val users = evs.map(_._1).distinct
+    var (baa, bai, bia, bii) = (0L, 0L, 0L, 0L)
+    // users with no events in weeks 0..3 still sit on the spine
+    val allUsers = graft.sources.Tables.load(spark, sf1, "events")
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    allUsers.foreach { u =>
+      val act = (0 until 4).map(w => evs.contains((u, w.toLong)))
+      (1 until 4).foreach { w =>
+        (act(w - 1), act(w)) match {
+          case (true, true) => baa += 1
+          case (true, false) => bai += 1
+          case (false, true) => bia += 1
+          case (false, false) => bii += 1
+        }
+      }
+    }
+    assert((aa, ai, ia, ii) === ((baa, bai, bia, bii)))
+  }
+
+  test("q471 decile lift is a partition, conversion is monotone-ish in " +
+    "propensity, and cumulative gain ends at one") {
+    val rows = Analytics.q471DecileLift(spark, sf1).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.length === 10)
+    val totalN = rows.map(_.getAs[Long]("n")).sum
+    val totalConv = rows.map(_.getAs[Long]("n_conv")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("conv_ppm") ===
+        r.getAs[Long]("n_conv") * 1000000L / r.getAs[Long]("n"))
+    }
+    assert(rows.last.getAs[Long]("cum_gain_ppm") === 1000000L,
+      "cumulative gain must end at 100%")
+    // deciles ranked by PRE purchases: the top decile must capture at
+    // least its proportional share of POST converters (persistence)
+    val d1 = rows.head
+    assert(d1.getAs[Long]("n_conv") * totalN >=
+      totalConv * d1.getAs[Long]("n"),
+      "top pre-propensity decile under-captures post converters")
+  }
 }

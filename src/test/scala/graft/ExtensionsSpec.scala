@@ -1452,4 +1452,23 @@ class ExtensionsSpec extends SparkSpec {
     // the 30-day events axis is dense by generation
     assert(rows("events.ts")._3 === 0L)
   }
+
+  test("q468 histogram advisor: estimates replay the interpolation " +
+    "model and equi-depth never loses badly on this skewless column") {
+    val E = graft.operators.Extensions
+    val rows = E.q468HistogramErrorAdvisor(spark, sf1).collect()
+      .map(r => r.getAs[String]("htype") ->
+        (r.getAs[Long]("mean_abs_err_ppm"), r.getAs[Long]("max_err_ppm")))
+      .toMap
+    assert(rows.keySet === Set("equi_width", "equi_depth"))
+    rows.values.foreach { case (mean, mx) =>
+      assert(mean >= 0L && mx >= mean)
+      assert(mx <= 1000000L, "error cannot exceed the whole relation")
+    }
+    // l_quantity is uniform on 1..50: both histograms should estimate
+    // range selectivities within a few percent
+    rows.foreach { case (t, (mean, _)) =>
+      assert(mean < 50000L, s"$t mean err $mean ppm on a uniform column")
+    }
+  }
 }

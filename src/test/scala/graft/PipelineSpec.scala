@@ -959,4 +959,30 @@ class PipelineSpec extends SparkSpec {
       assert(!gSalt, s"$name salting recommended on uniform keys")
     }
   }
+
+  test("q470 stage ledger replays independent counts and every ratio " +
+    "is consistent with its stage pair") {
+    val rows = graft.operators.Pipeline
+      .q470StageReconciliation(spark, sf1).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("rows_in"), r.getAs[Long]("rows_out"),
+          r.getAs[Long]("ratio_ppm"))).toMap
+    assert(rows.size === 5)
+    rows.values.foreach { case (in, out, ratio) =>
+      assert(ratio === out * 1000000L / in)
+    }
+    // chain consistency: each stage's rows_in = previous rows_out
+    assert(rows("filter_shipdate")._1 === rows("scan_lineitem")._2)
+    assert(rows("join_orders")._1 === rows("filter_shipdate")._2)
+    assert(rows("join_customer")._1 === rows("join_orders")._2)
+    assert(rows("agg_priority")._1 === rows("join_customer")._2)
+    // FK joins neither drop nor multiply: both join stages are 1:1
+    assert(rows("join_orders")._3 === 1000000L)
+    assert(rows("join_customer")._3 === 1000000L)
+    // independent truth for the filter stage
+    val li = graft.sources.Tables.load(spark, sf1, "lineitem")
+    assert(rows("scan_lineitem")._1 === li.count())
+    assert(rows("filter_shipdate")._2 === li.filter(
+      col("l_shipdate") >= lit("1996-01-01").cast("timestamp")).count())
+  }
 }
