@@ -2789,7 +2789,91 @@ object Pipeline {
         UNION ALL SELECT 'agg_priority', c3.n, c4.n,
           c4.n * 1000000 // c3.n FROM c3, c4"""
 
+  // ------------------------------------------------------------ q475
+
+  /** q475's swept parameterizations (the default plus the two
+    * textbook extremes: near-binary saturation, aggressive length
+    * normalization). Stored ×100 so the declared key is an integer. */
+  val Bm25Sweep: Seq[(Long, Long)] =
+    Seq((120L, 75L), (90L, 40L), (200L, 90L))
+
+  /** q475 — BM25 PARAMETER SWEEP (the q318-style calibration pass on
+    * the retrieval axis: k1 controls term-frequency saturation, b
+    * length normalization, and "does the ranking even move when we
+    * tune them" is the first question a retrieval owner asks before
+    * any learned ranker — answered here as top-k set overlap against
+    * the default plus a relevance-proxy hit count per setting). Per
+    * (k1, b): q64's exact machinery at that setting; released
+    * {k1_centi, b_centi, rel_hits (top-k docs containing the rare
+    * term), overlap_default = \|top-k ∩ default top-k\|}.
+    *
+    * Scale shape: three bounded top-k runs over ONE shared tf frame
+    * shape (each a corpus scan + broadcast stats +
+    * TakeOrderedAndProject); the overlap joins are k-row × k-row. */
+  def q475Bm25ParamSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val rel = docs
+      .filter(array_contains(split(col("text"), " "), Bm25Terms.head))
+      .select(col("doc_id").as("rid"))
+      .localCheckpoint(true)
+    val default = bm25TopK(docs, Bm25Terms, Bm25TopK)
+      .select(col("doc_id").as("did")).localCheckpoint(true)
+    Bm25Sweep.map { case (k1c, bc) =>
+      val top = bm25TopK(docs, Bm25Terms, Bm25TopK,
+        k1c / 100.0, bc / 100.0)
+        .select("doc_id").localCheckpoint(true)
+      val hits = top.join(rel, col("doc_id") === col("rid"), "left_semi")
+        .agg(count(lit(1)).as("rel_hits"))
+      val ovl = top.join(default, col("doc_id") === col("did"),
+        "left_semi").agg(count(lit(1)).as("overlap_default"))
+      hits.crossJoin(ovl)
+        .select(lit(k1c).as("k1_centi"), lit(bc).as("b_centi"),
+          col("rel_hits"), col("overlap_default"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def q475OracleSql: String = {
+    def cfg(name: String, k1c: Long, bc: Long): String = {
+      val tfCols = Bm25Terms.zipWithIndex.map { case (term, i) =>
+        s"CAST(len(list_filter(ws, bm_w -> bm_w = '$term')) AS DOUBLE) AS tf$i"
+      }.mkString(", ")
+      val dfCols = Bm25Terms.zipWithIndex.map { case (term, i) =>
+        s"CAST(sum(CASE WHEN list_contains(ws, '$term') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+      }.mkString(", ")
+      s"""${name}_sc AS (SELECT doc_id,
+            ${bm25ScoreExpr(Bm25Terms.size, k1c / 100.0, bc / 100.0)}
+              AS score
+          FROM (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, $tfCols
+                FROM d) tf
+          CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+              CAST(sum(len(ws)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                AS avgdl, $dfCols FROM d) st),
+        $name AS (SELECT doc_id FROM ${name}_sc
+          ORDER BY score DESC, doc_id LIMIT $Bm25TopK)"""
+    }
+    val cfgs = Bm25Sweep.zipWithIndex.map { case ((k1c, bc), i) =>
+      cfg(s"cfg$i", k1c, bc) }.mkString(",\n        ")
+    val rows = Bm25Sweep.zipWithIndex.map { case ((k1c, bc), i) =>
+      s"""SELECT CAST($k1c AS BIGINT) AS k1_centi,
+          CAST($bc AS BIGINT) AS b_centi,
+          (SELECT CAST(count(*) AS BIGINT) FROM cfg$i
+             WHERE doc_id IN (SELECT rid FROM rel)) AS rel_hits,
+          (SELECT CAST(count(*) AS BIGINT) FROM cfg$i
+             WHERE doc_id IN (SELECT doc_id FROM dflt))
+            AS overlap_default"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents),
+        rel AS (SELECT doc_id AS rid FROM documents
+          WHERE list_contains(string_split(text, ' '),
+            '${Bm25Terms.head}')),
+        ${cfg("dflt", 120L, 75L)},
+        $cfgs
+        $rows"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q475_bm25_param_sweep" -> (q475Bm25ParamSweep _),
     "q470_stage_reconciliation" -> (q470StageReconciliation _),
     "q462_skew_report" -> (q462SkewReport _),
     "q456_dataset_card" -> (q456DatasetCard _),
@@ -2839,6 +2923,7 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "q398_bottomk_sample" -> q398OracleSql,
+    "q475_bm25_param_sweep" -> q475OracleSql,
     "q470_stage_reconciliation" -> q470OracleSql,
     "q462_skew_report" -> q462OracleSql,
     "q456_dataset_card" -> q456OracleSql,

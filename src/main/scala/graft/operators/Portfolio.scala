@@ -563,7 +563,164 @@ object Portfolio {
 
   // ------------------------------------------------------------ maps
 
+  // ------------------------------------------------------------ q472
+
+  /** q472 — YEAR-OVER-YEAR REVENUE GROWTH per month (the comp-sales
+    * readout every revenue dashboard leads with, and the one classic
+    * BI shape the portfolio lacked: q298 slices by weekday, q325 by
+    * cohort — YoY is the SELF-JOIN ON THE CALENDAR, month m vs
+    * m − 12, where seasonality cancels and trend remains). Exact
+    * cents per (year, month) census; growth released as
+    * yoy_milli = (rev − prev)·10³ div prev on the 12-month-lag join;
+    * months without a prior-year partner are released with NULL
+    * growth (the first year — a COALESCE would fake a number).
+    *
+    * Scale shape: one fact scan map-side combined to the ~80-row
+    * month census; the YoY join is census × census on (year−1,
+    * month). */
+  def q472YoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("rev"))
+      .localCheckpoint(true)
+    census.join(census.select((col("yr") + 1).as("yr"),
+        col("mo"), col("rev").as("prev")),
+      Seq("yr", "mo"), "left")
+      .select(col("yr").cast("bigint").as("yr"),
+        col("mo").cast("bigint").as("mo"), col("rev"),
+        col("prev"),
+        expr("""CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+             ELSE (rev - prev) * 1000 div prev END""").as("yoy_milli"))
+  }
+
+  private def q472OracleSql: String =
+    """WITH census AS (SELECT
+          CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+          CAST(date_part('month', o_orderdate) AS BIGINT) AS mo,
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS rev
+        FROM orders GROUP BY 1, 2)
+        SELECT a.yr, a.mo, a.rev, b.rev AS prev,
+          CASE WHEN b.rev IS NULL OR b.rev = 0 THEN NULL
+            ELSE (a.rev - b.rev) * 1000 // b.rev END AS yoy_milli
+        FROM census a LEFT JOIN census b
+          ON b.yr = a.yr - 1 AND b.mo = a.mo"""
+
+  // ------------------------------------------------------------ q473
+
+  /** q473's comparison years (both complete in the 1995–2001 span). */
+  val PvYear0 = 1996
+  val PvYear1 = 1997
+
+  /** q473 — PRICE–VOLUME DECOMPOSITION of revenue change per brand
+    * (the index-number analysis behind every "why did revenue move"
+    * meeting — Laspeyres decomposition: Δrev splits into a VOLUME
+    * effect Σp₀·(q₁−q₀) priced at old prices, a PRICE effect
+    * Σq₀·(p₁−p₀) at old volumes, and the joint term
+    * Σ(p₁−p₀)·(q₁−q₀); the three sum EXACTLY to Δrev, which is the
+    * auditable identity a float pipeline always violates). Per
+    * (brand, part): q = Σ quantity (integer), p = average unit cents
+    * — to keep EXACT integer arithmetic the decomposition is computed
+    * on the cents·quantity grid with p as a RATIONAL (rev/qty), i.e.
+    * effects are evaluated as integer cross products of (rev, qty)
+    * pairs: vol = rev0·(q1−q0) div q0 ... declared with the per-part
+    * guard q0 > 0 AND q1 > 0 (parts traded in both years — entry/exit
+    * is its own MIX row = Δrev − matched Δ).
+    *
+    * Scale shape: one fact⋈part join (broadcast dim), (brand, part,
+    * year) census; the decomposition rides the matched-part frame;
+    * released per brand {dr, vol_eff, price_eff, joint, mix} — all
+    * cents. */
+  def q473PriceVolumeDecomposition(s: SparkSession,
+      dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"), col("l_partkey").as("pk"),
+        year(col("l_shipdate")).as("yr"),
+        expr("CAST(floor(l_quantity) AS BIGINT)").as("q"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("rc"))
+      .filter(col("yr") === PvYear0 || col("yr") === PvYear1)
+    val cells = li.groupBy("brand", "pk", "yr")
+      .agg(sum("q").as("qty"), sum("rc").as("rev"))
+    val piv = cells.groupBy("brand", "pk")
+      .agg(sum(when(col("yr") === PvYear0, col("qty")).otherwise(0L))
+        .as("q0"),
+        sum(when(col("yr") === PvYear0, col("rev")).otherwise(0L))
+          .as("r0"),
+        sum(when(col("yr") === PvYear1, col("qty")).otherwise(0L))
+          .as("q1"),
+        sum(when(col("yr") === PvYear1, col("rev")).otherwise(0L))
+          .as("r1"))
+      .localCheckpoint(true)
+    val matched = piv.filter(col("q0") > 0 && col("q1") > 0)
+      .select(col("brand"), (col("r1") - col("r0")).as("dr"),
+        // p0 = r0/q0 rational: vol = p0*(q1-q0) as r0*(q1-q0) div q0
+        expr("""CAST(CAST(r0 AS DECIMAL(38,0)) * (q1 - q0) div q0
+             AS BIGINT)""").as("vol"),
+        // price = q0*(p1-p0) = q0*r1 div q1 - r0
+        expr("""CAST(CAST(q0 AS DECIMAL(38,0)) * r1 div q1 - r0
+             AS BIGINT)""").as("price"))
+      .groupBy("brand")
+      .agg(sum("dr").as("dr_matched"), sum("vol").as("vol_eff"),
+        sum("price").as("price_eff"))
+    val total = piv.groupBy("brand")
+      .agg(sum(expr("r1 - r0")).as("dr_total"))
+    total.join(matched, Seq("brand"), "left")
+      .select(col("brand"), col("dr_total"),
+        coalesce(col("vol_eff"), lit(0L)).as("vol_eff"),
+        coalesce(col("price_eff"), lit(0L)).as("price_eff"),
+        (coalesce(col("dr_matched"), lit(0L))
+          - coalesce(col("vol_eff"), lit(0L))
+          - coalesce(col("price_eff"), lit(0L))).as("joint_eff"),
+        (col("dr_total") - coalesce(col("dr_matched"), lit(0L)))
+          .as("mix_eff"))
+  }
+
+  private def q473OracleSql: String =
+    s"""WITH li AS (SELECT p.p_brand AS brand, l.l_partkey AS pk,
+          CAST(date_part('year', l.l_shipdate) AS BIGINT) AS yr,
+          CAST(floor(l.l_quantity) AS BIGINT) AS q,
+          CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS rc
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE date_part('year', l.l_shipdate) IN ($PvYear0, $PvYear1)),
+        cells AS (SELECT brand, pk, yr, CAST(sum(q) AS BIGINT) AS qty,
+          CAST(sum(rc) AS BIGINT) AS rev
+          FROM li GROUP BY 1, 2, 3),
+        piv AS (SELECT brand, pk,
+          CAST(sum(CASE WHEN yr = $PvYear0 THEN qty ELSE 0 END)
+            AS BIGINT) AS q0,
+          CAST(sum(CASE WHEN yr = $PvYear0 THEN rev ELSE 0 END)
+            AS BIGINT) AS r0,
+          CAST(sum(CASE WHEN yr = $PvYear1 THEN qty ELSE 0 END)
+            AS BIGINT) AS q1,
+          CAST(sum(CASE WHEN yr = $PvYear1 THEN rev ELSE 0 END)
+            AS BIGINT) AS r1
+          FROM cells GROUP BY 1, 2),
+        matched AS (SELECT brand,
+          CAST(sum(r1 - r0) AS BIGINT) AS dr_matched,
+          CAST(sum(CAST(r0 AS HUGEINT) * (q1 - q0) // q0) AS BIGINT)
+            AS vol_eff,
+          CAST(sum(CAST(q0 AS HUGEINT) * r1 // q1 - r0) AS BIGINT)
+            AS price_eff
+          FROM piv WHERE q0 > 0 AND q1 > 0 GROUP BY brand),
+        total AS (SELECT brand, CAST(sum(r1 - r0) AS BIGINT)
+            AS dr_total
+          FROM piv GROUP BY brand)
+        SELECT t.brand, t.dr_total,
+          coalesce(m.vol_eff, 0) AS vol_eff,
+          coalesce(m.price_eff, 0) AS price_eff,
+          coalesce(m.dr_matched, 0) - coalesce(m.vol_eff, 0)
+            - coalesce(m.price_eff, 0) AS joint_eff,
+          t.dr_total - coalesce(m.dr_matched, 0) AS mix_eff
+        FROM total t LEFT JOIN matched m ON t.brand = m.brand"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q472_yoy_growth" -> (q472YoyGrowth _),
+    "q473_price_volume_decomposition" ->
+      (q473PriceVolumeDecomposition _),
     "q370_min_cost_supplier" -> (q370MinCostSupplier _),
     "q371_priority_check" -> (q371PriorityCheck _),
     "q372_forecast_revenue" -> (q372ForecastRevenue _),
@@ -577,6 +734,8 @@ object Portfolio {
     "q380_sole_failing_supplier" -> (q380SoleFailingSupplier _))
 
   val oracleSql: Map[String, String] = Map(
+    "q472_yoy_growth" -> q472OracleSql,
+    "q473_price_volume_decomposition" -> q473OracleSql,
     "q370_min_cost_supplier" -> q370OracleSql,
     "q371_priority_check" -> q371OracleSql,
     "q372_forecast_revenue" -> q372OracleSql,

@@ -5361,6 +5361,83 @@ object Stats {
             AS BIGINT) AS z_micro
         FROM g"""
 
+  // ------------------------------------------------------------ q474
+
+  /** q474 — DESIGN EFFECT for user-clustered metrics (the
+    * experiment-sizing number the A/B family silently assumes away:
+    * event-LEVEL metrics under USER-level randomization are cluster
+    * samples, and treating them as iid understates variance by
+    * DEFF = 1 + (m₀ − 1)·ρ — the Kish correction every platform
+    * applies to effective sample size; ρ is the one-way-ANOVA
+    * intraclass correlation over users). Sufficient statistics are
+    * EXACT: per-user {n_u, S_u}, with the between-cluster term
+    * Σ S_u²·10⁶ div n_u released by declared per-user truncation (the
+    * q426 discipline — a data-length double Σ would be
+    * order-dependent); MSB/MSW/ρ/DEFF then ride ONE shared-text
+    * double chain over {k, N, Σv², S, T, Σn²}. Released:
+    * {k_users, n_events, icc_micro, deff_milli}.
+    *
+    * Scale shape: one corpus scan map-side combined to the per-user
+    * frame; one scalar aggregate. */
+  def q474DesignEffect(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("nu"), sum("vc").as("su"),
+        sum(expr("CAST(vc AS DECIMAL(38,0)) * vc")).as("qu"))
+    val g = per.agg(count(lit(1)).as("k"), sum("nu").as("n"),
+      sum("su").as("s"), sum("qu").as("q"),
+      sum(expr("CAST(nu AS DECIMAL(38,0)) * nu")).as("sn2"),
+      sum(expr("""CAST(CAST(su AS DECIMAL(38,0)) * su * 1000000
+           div nu AS DECIMAL(38,0))""")).as("t_micro"))
+    val msb = """((CAST(t_micro AS DOUBLE) / 1000000.0
+      - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+      / (CAST(k AS DOUBLE) - 1.0))"""
+    val msw = """((CAST(q AS DOUBLE)
+      - CAST(t_micro AS DOUBLE) / 1000000.0)
+      / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))"""
+    val m0 = """((CAST(n AS DOUBLE)
+      - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE))
+      / (CAST(k AS DOUBLE) - 1.0))"""
+    val icc = s"(($msb - $msw) / ($msb + ($m0 - 1.0) * $msw))"
+    g.select(col("k").as("k_users"), col("n").as("n_events"),
+      expr(s"CAST(floor($icc * 1000000) AS BIGINT)").as("icc_micro"),
+      expr(s"""CAST(floor((1.0 + ($m0 - 1.0) * $icc) * 1000)
+           AS BIGINT)""").as("deff_milli"))
+  }
+
+  private def q474OracleSql: String = {
+    val msb = """((CAST(t_micro AS DOUBLE) / 1000000.0
+      - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+      / (CAST(k AS DOUBLE) - 1.0))"""
+    val msw = """((CAST(q AS DOUBLE)
+      - CAST(t_micro AS DOUBLE) / 1000000.0)
+      / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))"""
+    val m0 = """((CAST(n AS DOUBLE)
+      - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE))
+      / (CAST(k AS DOUBLE) - 1.0))"""
+    val icc = s"(($msb - $msw) / ($msb + ($m0 - 1.0) * $msw))"
+    s"""WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nu,
+          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+            AS su,
+          sum(CAST(CAST(floor(value * 100) AS BIGINT) AS HUGEINT)
+            * CAST(floor(value * 100) AS BIGINT)) AS qu
+          FROM events GROUP BY user_id),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(sum(nu) AS BIGINT) AS n,
+          CAST(sum(su) AS BIGINT) AS s,
+          sum(qu) AS q,
+          sum(CAST(nu AS HUGEINT) * nu) AS sn2,
+          sum(CAST(su AS HUGEINT) * su * 1000000 // nu) AS t_micro
+          FROM per)
+        SELECT k AS k_users, n AS n_events,
+          CAST(floor($icc * 1000000) AS BIGINT) AS icc_micro,
+          CAST(floor((1.0 + ($m0 - 1.0) * $icc) * 1000) AS BIGINT)
+            AS deff_milli
+        FROM g"""
+  }
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5428,6 +5505,7 @@ object Stats {
     "q433_periodogram" -> (q433Periodogram _),
     "q443_gumbel_maxima" -> (q443GumbelMaxima _),
     "q460_wilcoxon_signed_rank" -> (q460WilcoxonSignedRank _),
+    "q474_design_effect" -> (q474DesignEffect _),
     "q444_ljung_box" -> (q444LjungBox _),
     "q446_dispersion" -> (q446Dispersion _))
 
@@ -5496,6 +5574,7 @@ object Stats {
     "q433_periodogram" -> q433OracleSql,
     "q443_gumbel_maxima" -> q443OracleSql,
     "q460_wilcoxon_signed_rank" -> q460OracleSql,
+    "q474_design_effect" -> q474OracleSql,
     "q444_ljung_box" -> q444OracleSql,
     "q446_dispersion" -> q446OracleSql)
 }

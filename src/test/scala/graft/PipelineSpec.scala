@@ -985,4 +985,23 @@ class PipelineSpec extends SparkSpec {
     assert(rows("filter_shipdate")._2 === li.filter(
       col("l_shipdate") >= lit("1996-01-01").cast("timestamp")).count())
   }
+
+  test("q475 BM25 sweep: the default row overlaps itself completely " +
+    "and every setting keeps the rare-term docs on top") {
+    val P = graft.operators.Pipeline
+    val rows = P.q475Bm25ParamSweep(spark, sf1).collect()
+      .map(r => (r.getAs[Long]("k1_centi"), r.getAs[Long]("b_centi")) ->
+        (r.getAs[Long]("rel_hits"), r.getAs[Long]("overlap_default")))
+      .toMap
+    assert(rows.size === P.Bm25Sweep.size)
+    // the (120, 75) row IS the default: overlap must be the full k
+    assert(rows((120L, 75L))._2 === P.Bm25TopK.toLong)
+    rows.foreach { case (cfg, (rel, ovl)) =>
+      assert(rel >= 0L && rel <= P.Bm25TopK)
+      assert(ovl >= 0L && ovl <= P.Bm25TopK)
+      // idf dominance: the rare term's docs fill most of the top-k at
+      // ANY sane (k1, b)
+      assert(rel >= P.Bm25TopK / 2, s"cfg $cfg lost the rare term")
+    }
+  }
 }

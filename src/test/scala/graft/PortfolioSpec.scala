@@ -124,4 +124,49 @@ class PortfolioSpec extends SparkSpec {
         val tot = g.map(_._3).sum; g.exists(x => 2 * x._3 > tot)
       })
   }
+
+  test("q472 YoY: first-year months have NULL growth and every ratio " +
+    "replays the census") {
+    val P = graft.operators.Portfolio
+    val rows = P.q472YoyGrowth(spark, sf1).collect()
+      .map(r => (r.getAs[Long]("yr"), r.getAs[Long]("mo")) ->
+        (r.getAs[Long]("rev"),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    val census = graft.sources.Tables.load(spark, sf1, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("rev"))
+      .collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong) ->
+        r.getLong(2)).toMap
+    assert(rows.keySet === census.keySet)
+    val minYr = census.keys.map(_._1).min
+    rows.foreach { case ((yr, mo), (rev, prev, yoy)) =>
+      assert(rev === census((yr, mo)))
+      census.get((yr - 1, mo)) match {
+        case Some(p) =>
+          assert(prev === Some(p))
+          assert(yoy === Some((rev - p) * 1000L / p), s"$yr-$mo")
+        case None =>
+          assert(yr === minYr || !census.contains((yr - 1, mo)))
+          assert(yoy.isEmpty, s"$yr-$mo should have NULL growth")
+      }
+    }
+  }
+
+  test("q473 decomposition identity: matched delta = vol + price + " +
+    "joint per brand, and total = matched + mix") {
+    val P = graft.operators.Portfolio
+    val rows = P.q473PriceVolumeDecomposition(spark, sf1).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dr = r.getAs[Long]("dr_total")
+      val (v, pz, j, m) = (r.getAs[Long]("vol_eff"),
+        r.getAs[Long]("price_eff"), r.getAs[Long]("joint_eff"),
+        r.getAs[Long]("mix_eff"))
+      // identity by construction: total = vol + price + joint + mix
+      assert(dr === v + pz + j + m, s"${r.getString(0)} identity")
+    }
+  }
 }

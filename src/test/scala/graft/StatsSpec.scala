@@ -2914,4 +2914,36 @@ class StatsSpec extends SparkSpec {
         ties.toDouble / 48.0))
     assert(row.getAs[Long]("z_micro") === math.floor(z * 1e6).toLong)
   }
+
+  test("q474 design effect replays the truncated-ANOVA chain and iid " +
+    "event values have near-zero ICC") {
+    val row = Stats.q474DesignEffect(spark, sf1).head()
+    val per = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = per.size.toLong
+    val n = per.values.map(_.size.toLong).sum
+    val sTot = per.values.flatten.map(BigInt(_)).sum
+    val q = per.values.flatten.map(v => BigInt(v) * v).sum
+    val sn2 = per.values.map(g => BigInt(g.size) * g.size).sum
+    val tMicro = per.values.map { g =>
+      val su = g.map(BigInt(_)).sum
+      su * su * 1000000 / g.size
+    }.sum
+    assert(row.getAs[Long]("k_users") === k)
+    assert(row.getAs[Long]("n_events") === n)
+    val msb = (tMicro.toDouble / 1e6 -
+      sTot.toDouble * (sTot.toDouble / n)) / (k - 1.0)
+    val msw = (q.toDouble - tMicro.toDouble / 1e6) / (n - k).toDouble
+    val m0 = (n.toDouble - sn2.toDouble / n) / (k - 1.0)
+    val icc = (msb - msw) / (msb + (m0 - 1.0) * msw)
+    assert(row.getAs[Long]("icc_micro") ===
+      math.floor(icc * 1e6).toLong)
+    assert(row.getAs[Long]("deff_milli") ===
+      math.floor((1.0 + (m0 - 1.0) * icc) * 1e3).toLong)
+    // iid generator: |icc| small, deff near 1
+    assert(math.abs(row.getAs[Long]("icc_micro")) < 100000L)
+  }
 }
