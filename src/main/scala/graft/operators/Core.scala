@@ -441,7 +441,70 @@ object Core {
        max(strftime(o_orderdate, '%Y-%m-%d')) AS max_day
        FROM orders GROUP BY 1, 2"""
 
+  // ------------------------------------------------------------ q477
+
+  /** q477's planted malformed lines (after a dummy header the reader
+    * skips): a type failure, a truncated row with a type failure, and
+    * an unterminated quote — the three corruption classes a CSV
+    * ingest actually sees. */
+  val MalformedLines: Seq[String] = Seq(
+    "doc_id,source,lang,n_chars,text",
+    "notanumber,srcX,xx,12,hello world",
+    "b4d,srcY",
+    "77,\"unterminated quote,zz,9,boom")
+
+  /** q477 — MALFORMED-INPUT AUDIT through PERMISSIVE CSV ingest (the
+    * source-hardening counterpart of q291's happy-path round trip:
+    * real feeds carry type garbage, truncated rows and broken quoting,
+    * and the ingest contract every production reader runs is
+    * PERMISSIVE + a corrupt-record column — load what parses, QUARANTINE
+    * what doesn't, and REPORT the split; a reader that silently drops
+    * or nulls bad rows is how corpora rot). The corpus is written to
+    * CSV, three [[MalformedLines]] are planted in a sidecar file, and
+    * the read-back releases {n_rows, n_good, n_corrupt,
+    * corrupt_ppm} — the planted count recovered exactly.
+    *
+    * Scale shape: one write + one scan; the corrupt-column projection
+    * is per-row, map-side combined to one row. */
+  def q477MalformedCsvAudit(s: SparkSession, dir: String): DataFrame = {
+    val out = "target/graft_q477_csv"
+    val src = t(s, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars", "text")
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    import s.implicits._
+    MalformedLines.toDF("value").coalesce(1)
+      .write.mode("append").text(out)
+    val schema = org.apache.spark.sql.types.StructType(
+      src.schema.fields :+ org.apache.spark.sql.types
+        .StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType, nullable = true))
+    val back = s.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema).csv(out)
+      .cache()
+    back.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+          .as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_corrupt"))
+      .select(col("n_rows"), col("n_good"), col("n_corrupt"),
+        expr("n_corrupt * 1000000 div n_rows").as("corrupt_ppm"))
+  }
+
+  private def q477OracleSql: String =
+    s"""SELECT CAST(count(*) + ${MalformedLines.size - 1} AS BIGINT)
+          AS n_rows,
+        CAST(count(*) AS BIGINT) AS n_good,
+        CAST(${MalformedLines.size - 1} AS BIGINT) AS n_corrupt,
+        CAST(CAST(${MalformedLines.size - 1} AS HUGEINT) * 1000000
+          // (count(*) + ${MalformedLines.size - 1}) AS BIGINT)
+          AS corrupt_ppm
+        FROM documents"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q477_malformed_csv_audit" -> (q477MalformedCsvAudit _),
     "q453_orc_roundtrip" -> (q453OrcRoundtrip _),
     "q296_date_dim" -> (q296DateDim _),
     "q294_analyze_stats" -> (q294AnalyzeStats _),
@@ -468,6 +531,7 @@ object Core {
 
   /** DuckDB oracles (ANSI SQL over the same parquet tables). */
   val oracleSql: Map[String, String] = Map(
+    "q477_malformed_csv_audit" -> q477OracleSql,
     "q453_orc_roundtrip" -> q453OracleSql,
     "q296_date_dim" -> q296OracleSql,
     "q294_analyze_stats" -> q294OracleSql,

@@ -1062,7 +1062,88 @@ object Multimodal {
             // CAST(sum(n_bytes) AS BIGINT) AS rle_ratio_ppm
         FROM runs GROUP BY kind"""
 
+  // ------------------------------------------------------------ q476
+
+  /** q476 — CROSS-KIND PAYLOAD COLLISION SCREEN (the media-lake
+    * mislabeling detector, q455's cross-label shape on the BINARY
+    * axis: a byte-identical payload filed under two different media
+    * kinds is a codec/label bug — an image can't also be an audio
+    * clip — and exact payload hashing finds every instance without
+    * decoding anything; q270 counts same-kind collisions, this is
+    * the CROSS-kind matrix a triage queue works). Per unordered kind
+    * pair: distinct payload md5s present under BOTH labels, per-kind
+    * distinct totals, containment ppm — exact integers.
+    *
+    * Scale shape: one typed pass hashes payloads (bytes dropped
+    * before the shuffle — only the 32-char digest moves); the pair
+    * fan-out is per digest over its ≤3 kind labels, never assets. */
+  def q476MediaKindMislabel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // planted mislabels (the suite's planted-duplicate convention —
+    // the corpus texts are all distinct, so an unplanted run would be
+    // vacuously empty): the first 50 payloads re-filed under the NEXT
+    // kind, the exact bug class the screen exists to catch
+    val planted = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000L).as("asset_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          ((col("doc_id") + 1) % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit(1).as("width"), lit(1).as("height"),
+        lit(16000).as("sample_rate")).as[MediaAsset]
+    val hk = assets(s, dir).unionByName(planted)
+      .mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { a =>
+        md.reset()
+        val d = md.digest(a.payload)
+        (d.map("%02x".format(_)).mkString, a.kind)
+      }
+    }.toDF("ph", "kind").distinct().localCheckpoint(true)
+    val perKind = hk.groupBy("kind").agg(count(lit(1)).as("n_payloads"))
+    val shared = hk.select(col("ph"), col("kind").as("kind_a"))
+      .join(hk.select(col("ph"), col("kind").as("kind_b")), "ph")
+      .filter(col("kind_a") < col("kind_b"))
+      .groupBy("kind_a", "kind_b")
+      .agg(count(lit(1)).as("shared_payloads"))
+    shared
+      .join(broadcast(perKind.select(col("kind").as("kind_a"),
+        col("n_payloads").as("n_a"))), "kind_a")
+      .join(broadcast(perKind.select(col("kind").as("kind_b"),
+        col("n_payloads").as("n_b"))), "kind_b")
+      .select(col("kind_a"), col("kind_b"), col("shared_payloads"),
+        col("n_a"), col("n_b"),
+        expr("shared_payloads * 1000000 div least(n_a, n_b)")
+          .as("collision_ppm"))
+  }
+
+  private def q476OracleSql: String =
+    """WITH base AS (SELECT md5(text) AS ph,
+          CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        FROM documents),
+        planted AS (SELECT md5(text) AS ph,
+          CASE CAST((doc_id + 1) % 3 AS INTEGER) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        FROM documents WHERE doc_id < 50),
+        hk AS (SELECT DISTINCT ph, kind FROM
+          (SELECT * FROM base UNION ALL SELECT * FROM planted) u),
+        perkind AS (SELECT kind, CAST(count(*) AS BIGINT)
+            AS n_payloads FROM hk GROUP BY kind),
+        shared AS (SELECT a.kind AS kind_a, b.kind AS kind_b,
+            CAST(count(*) AS BIGINT) AS shared_payloads
+          FROM hk a JOIN hk b ON a.ph = b.ph AND a.kind < b.kind
+          GROUP BY 1, 2)
+        SELECT s.kind_a, s.kind_b, s.shared_payloads,
+          pa.n_payloads AS n_a, pb.n_payloads AS n_b,
+          s.shared_payloads * 1000000 // least(pa.n_payloads,
+            pb.n_payloads) AS collision_ppm
+        FROM shared s
+        JOIN perkind pa ON s.kind_a = pa.kind
+        JOIN perkind pb ON s.kind_b = pb.kind"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q476_media_kind_mislabel" -> (q476MediaKindMislabel _),
     "q310_aspect_buckets" -> (q310AspectBuckets _),
     "q285_frame_dedup" -> (q285FrameDedup _),
     "q270_payload_collision" -> (q270PayloadCollision _),
@@ -1080,6 +1161,7 @@ object Multimodal {
 
   val oracleSql: Map[String, String] = Map(
     "q454_payload_rle" -> q454OracleSql,
+    "q476_media_kind_mislabel" -> q476OracleSql,
     "q310_aspect_buckets" -> q310OracleSql,
     "q285_frame_dedup" -> q285OracleSql,
     "q270_payload_collision" -> q270OracleSql,

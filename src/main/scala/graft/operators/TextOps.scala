@@ -2578,7 +2578,62 @@ object TextOps {
         JOIN perlang pa ON s.lang_a = pa.lang
         JOIN perlang pb ON s.lang_b = pb.lang"""
 
+  // ------------------------------------------------------------ q478
+
+  /** q478's gates: a stopword candidate appears in ≥ 60% of documents
+    * AND carries ≥ 2% of all tokens. */
+  val StopDfGatePpm = 600000L
+  val StopCfGatePpm = 20000L
+
+  /** q478 — STOPWORD LIST ADVISOR from corpus statistics (the
+    * list-BUILDING op the text family consumes but never derives:
+    * q59's TF/DF measures terms, q448's RAKE and q98's index take a
+    * stopword list as INPUT — this derives one the way Fox 1989 and
+    * every search team does, from the corpus itself: words that are
+    * both ubiquitous (document frequency) and bulky (collection
+    * frequency share) carry no retrieval signal and dominate index
+    * size). Per word: exact {df, cf, df_ppm = df·10⁶ div n_docs,
+    * cf_ppm = cf·10⁶ div n_tokens}; released = words passing BOTH
+    * [[StopDfGatePpm]]/[[StopCfGatePpm]] gates, with the index-size
+    * share they'd save — all integers.
+    *
+    * Scale shape: one token explode to the vocab-bounded
+    * (word → df, cf) census (df via per-doc distinct, the q59 law);
+    * the gate is a census filter, output ≤ \|vocab\|. */
+  def q478StopwordAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .localCheckpoint(true)
+    val g = toks.agg(countDistinct("doc_id").as("n_docs"),
+      count(lit(1)).as("n_tokens"))
+    val census = toks.groupBy("w")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+    census.crossJoin(broadcast(g))
+      .select(col("w"), col("df"), col("cf"),
+        expr("df * 1000000 div n_docs").as("df_ppm"),
+        expr("cf * 1000000 div n_tokens").as("cf_ppm"))
+      .filter(col("df_ppm") >= StopDfGatePpm &&
+        col("cf_ppm") >= StopCfGatePpm)
+  }
+
+  private def q478OracleSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+          unnest(string_split(text, ' ')) AS w FROM documents),
+        g AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(count(*) AS BIGINT) AS n_tokens FROM toks),
+        census AS (SELECT w,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+          CAST(count(*) AS BIGINT) AS cf
+          FROM toks GROUP BY w)
+        SELECT w, df, cf,
+          df * 1000000 // n_docs AS df_ppm,
+          cf * 1000000 // n_tokens AS cf_ppm
+        FROM census CROSS JOIN g
+        WHERE df * 1000000 // n_docs >= $StopDfGatePpm
+          AND cf * 1000000 // n_tokens >= $StopCfGatePpm"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q478_stopword_advisor" -> (q478StopwordAdvisor _),
     "q455_cross_lingual_contamination" ->
       (q455CrossLingualContamination _),
     "q452_burrows_delta" -> (q452BurrowsDelta _),
@@ -2624,6 +2679,7 @@ object TextOps {
     "q80_regex_family" -> (q80RegexFamily _))
 
   val oracleSql: Map[String, String] = Map(
+    "q478_stopword_advisor" -> q478OracleSql,
     "q455_cross_lingual_contamination" -> q455OracleSql,
     "q452_burrows_delta" -> q452OracleSql,
     "q448_rake_keywords" -> q448OracleSql,

@@ -170,4 +170,19 @@ class CoreSpec extends SparkSpec {
     assert(got === want)
     assert(got.size === 15)
   }
+
+  test("q477 PERMISSIVE ingest quarantines exactly the planted " +
+    "malformed lines and loses no good row") {
+    val C = graft.operators.Core
+    val row = C.q477MalformedCsvAudit(spark, sf1).head()
+    val nDocs = graft.sources.Tables.load(spark, sf1, "documents")
+      .count()
+    assert(row.getAs[Long]("n_good") === nDocs,
+      "a parseable row was dropped or quarantined")
+    assert(row.getAs[Long]("n_corrupt") ===
+      (C.MalformedLines.size - 1).toLong,
+      "a planted malformed line escaped the corrupt column")
+    assert(row.getAs[Long]("n_rows") ===
+      nDocs + C.MalformedLines.size - 1)
+  }
 }

@@ -309,4 +309,31 @@ class MultimodalSpec extends SparkSpec {
       assert(gRatio > 0L && gRatio <= 1000000L)
     }
   }
+
+  test("q476 cross-kind collision screen recovers exactly the planted " +
+    "mislabels and containment is a valid ppm") {
+    val M = graft.operators.Multimodal
+    val rows = M.q476MediaKindMislabel(spark, sf1).collect()
+      .map(r => (r.getAs[String]("kind_a"), r.getAs[String]("kind_b")) ->
+        (r.getAs[Long]("shared_payloads"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Long]("collision_ppm"))).toMap
+    // planted: docs 0..49 re-filed under the NEXT kind -> every planted
+    // doc contributes one cross-kind pair (kind(d), kind(d+1 mod 3))
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val kinds = Seq("image", "audio", "video")
+    val expect = scala.collection.mutable.Map
+      .empty[(String, String), Long].withDefaultValue(0L)
+    docs.filter(_._1 < 50).foreach { case (id, _) =>
+      val a = kinds((id % 3).toInt); val b = kinds(((id + 1) % 3).toInt)
+      val key = if (a < b) (a, b) else (b, a)
+      expect(key) += 1
+    }
+    assert(rows.keySet === expect.keySet)
+    rows.foreach { case (k, (sh, na, nb, ppm)) =>
+      assert(sh === expect(k), s"pair $k")
+      assert(ppm === sh * 1000000L / math.min(na, nb))
+    }
+  }
 }

@@ -2946,4 +2946,34 @@ class StatsSpec extends SparkSpec {
     // iid generator: |icc| small, deff near 1
     assert(math.abs(row.getAs[Long]("icc_micro")) < 100000L)
   }
+
+  test("q478 stopword advisor replays the df/cf census and never " +
+    "nominates the rare retrieval term") {
+    val T = graft.operators.TextOps
+    val rows = T.q478StopwordAdvisor(spark, sf1).collect()
+      .map(r => r.getAs[String]("w") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("cf"),
+          r.getAs[Long]("df_ppm"), r.getAs[Long]("cf_ppm"))).toMap
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val nDocs = docs.length.toLong
+    val nToks = docs.map(_._2.length.toLong).sum
+    val df = docs.flatMap(d => d._2.distinct.map((_, d._1)))
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cf = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val want = df.keys.filter { w =>
+      df(w) * 1000000L / nDocs >= T.StopDfGatePpm &&
+        cf(w) * 1000000L / nToks >= T.StopCfGatePpm
+    }.toSet
+    assert(rows.keySet === want)
+    rows.foreach { case (w, (gdf, gcf, gdfp, gcfp)) =>
+      assert(gdf === df(w)); assert(gcf === cf(w))
+      assert(gdfp === df(w) * 1000000L / nDocs)
+      assert(gcfp === cf(w) * 1000000L / nToks)
+    }
+    // the planted rare term can never be a stopword candidate
+    assert(!rows.contains("dup"))
+  }
 }
