@@ -158,7 +158,15 @@ object Scaling {
     // dominated, SF-invariant — measured flat), q452 the token
     // explode. q451 is q446's streaming twin; q453/q454 are
     // write+scan / typed-scan bounded — excluded.
-    "q450_rayleigh_certificate", "q452_burrows_delta")
+    "q450_rayleigh_certificate", "q452_burrows_delta",
+    // session-8 closeout carriers: q455 the winnow token pass, q464
+    // the CC stack, q470 the audited q12 fact chain, q473 the
+    // fact⋈part decomposition, q475 three bounded retrieval runs.
+    // q456-q478's other additions are census/advisory/write-scan
+    // bounded or streaming twins — excluded on the standing grounds.
+    "q455_cross_lingual_contamination", "q464_cluster_size_profile",
+    "q470_stage_reconciliation", "q473_price_volume_decomposition",
+    "q475_bm25_param_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",
