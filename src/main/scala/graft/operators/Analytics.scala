@@ -5500,6 +5500,95 @@ object Analytics {
               * 1000000 // tot_conv END AS cum_gain_ppm
         FROM bydec CROSS JOIN g"""
 
+  // ------------------------------------------------------------ q481
+
+  /** q481 — CUSTOMER LIFETIME VALUE from churn and active-week spend
+    * (the composition the retention family exists to feed: q469's
+    * 2-state chain gives E[lifetime] = 1/churn in weeks — the
+    * geometric-survival identity — and weekly monetization per
+    * ACTIVE user-week prices it; LTV = spend-per-active-week ×
+    * expected lifetime is the simplest defensible LTV every growth
+    * model starts from). Same complete-week spine as q469; exact
+    * integers end-to-end: spend_per_auw = cents div active
+    * user-weeks, exp_lifetime_milli = (aa+ai)·10³ div ai (NULL when
+    * no churn observed — infinite-lifetime would be a fake number),
+    * ltv = spend_per_auw·(aa+ai) div ai.
+    *
+    * Scale shape: q469's census plus one spend fold on the same
+    * scan; scalar row. */
+  def q481CustomerLtv(s: SparkSession, dir: String): DataFrame = {
+    val weeks = s.range(4).select(col("id").as("wk"))
+    val users = t(s, dir, "events").select("user_id").distinct()
+    val uw = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7")
+          .as("wk"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .filter(col("wk") < 4)
+      .groupBy("user_id", "wk")
+      .agg(count(lit(1)).as("ne"), sum("vc").as("spend"))
+    val spine = users.crossJoin(broadcast(weeks))
+      .join(uw, Seq("user_id", "wk"), "left")
+      .select(col("user_id"), col("wk"),
+        when(col("ne").isNotNull, 1L).otherwise(0L).as("a"),
+        coalesce(col("spend"), lit(0L)).as("spend"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("wk")
+    val g = spine
+      .withColumn("prev", lag("a", 1).over(w))
+      .agg(
+        sum("a").as("active_uw"), sum("spend").as("spend_cents"),
+        sum(when(col("prev") === 1 && col("a") === 1, 1L)
+          .otherwise(0L)).as("aa"),
+        sum(when(col("prev") === 1 && col("a") === 0, 1L)
+          .otherwise(0L)).as("ai"))
+    g.select(col("active_uw"), col("spend_cents"),
+      expr("""CASE WHEN aa + ai = 0 THEN NULL
+           ELSE ai * 1000000 div (aa + ai) END""").as("churn_ppm"),
+      expr("""CASE WHEN ai = 0 THEN NULL
+           ELSE (aa + ai) * 1000 div ai END""")
+        .as("exp_lifetime_milli"),
+      expr("""CASE WHEN ai = 0 OR active_uw = 0 THEN NULL
+           ELSE (spend_cents div active_uw) * (aa + ai) div ai
+           END""").as("ltv_cents"))
+  }
+
+  private def q481OracleSql: String =
+    """WITH users AS (SELECT DISTINCT user_id FROM events),
+        weeks AS (SELECT CAST(x AS BIGINT) AS wk
+          FROM generate_series(0, 3) t(x)),
+        uw AS (SELECT user_id,
+            (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS wk,
+            CAST(count(*) AS BIGINT) AS ne,
+            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+              AS spend
+          FROM events
+          WHERE (CAST(ts AS DATE) - DATE '2024-01-01') // 7 < 4
+          GROUP BY 1, 2),
+        spine AS (SELECT u.user_id, w.wk,
+            CASE WHEN x.ne IS NULL THEN 0 ELSE 1 END AS a,
+            coalesce(x.spend, 0) AS spend
+          FROM users u CROSS JOIN weeks w
+          LEFT JOIN uw x ON x.user_id = u.user_id AND x.wk = w.wk),
+        lagged AS (SELECT a, spend, lag(a) OVER (PARTITION BY user_id
+            ORDER BY wk) AS prev FROM spine),
+        g AS (SELECT CAST(sum(a) AS BIGINT) AS active_uw,
+          CAST(sum(spend) AS BIGINT) AS spend_cents,
+          CAST(sum(CASE WHEN prev = 1 AND a = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS aa,
+          CAST(sum(CASE WHEN prev = 1 AND a = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS ai
+          FROM lagged)
+        SELECT active_uw, spend_cents,
+          CASE WHEN aa + ai = 0 THEN NULL
+            ELSE ai * 1000000 // (aa + ai) END AS churn_ppm,
+          CASE WHEN ai = 0 THEN NULL
+            ELSE (aa + ai) * 1000 // ai END AS exp_lifetime_milli,
+          CASE WHEN ai = 0 OR active_uw = 0 THEN NULL
+            ELSE (spend_cents // active_uw) * (aa + ai) // ai END
+            AS ltv_cents
+        FROM g"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q399_viterbi" -> (q399Viterbi _),
     "q401_slope_one" -> (q401SlopeOne _),
@@ -5516,6 +5605,7 @@ object Analytics {
     "q445_granger_lite" -> (q445GrangerLite _),
     "q459_propensity_balance" -> (q459PropensityBalance _),
     "q469_churn_steady_state" -> (q469ChurnSteadyState _),
+    "q481_customer_ltv" -> (q481CustomerLtv _),
     "q471_decile_lift" -> (q471DecileLift _),
     "q447_spc_control" -> (q447SpcControl _),
     "q437_katz_index" -> (q437KatzIndex _),
@@ -5605,6 +5695,7 @@ object Analytics {
     "q445_granger_lite" -> q445OracleSql,
     "q459_propensity_balance" -> q459OracleSql,
     "q469_churn_steady_state" -> q469OracleSql,
+    "q481_customer_ltv" -> q481OracleSql,
     "q471_decile_lift" -> q471OracleSql,
     "q447_spc_control" -> q447OracleSql,
     "q437_katz_index" -> q437OracleSql,

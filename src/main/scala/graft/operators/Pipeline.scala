@@ -2872,7 +2872,83 @@ object Pipeline {
         $rows"""
   }
 
+  // ------------------------------------------------------------ q479
+
+  /** q479 — INCREMENTAL DATASET-CARD MAINTENANCE (q456's card kept
+    * fresh under a batch append with work ∝ batch — the q75/q166
+    * incremental discipline applied to corpus governance: a card that
+    * needs a full rescan per ingest never stays fresh at 100 TB).
+    * Batch = the planted perturbed docs (ids at +100000, last word
+    * dropped). Additive panels (docs, tokens, short) merge as sums;
+    * the dup rate uses the identity n_dups = N − \|distinct fps\|,
+    * where the union's distinct-fp count is corpus_fps + the batch
+    * fps that ANTI-JOIN the corpus fp set — the only cross term, and
+    * it is batch-sized. The oracle computes the card FROM SCRATCH
+    * over the union: incremental must equal rebuild exactly.
+    *
+    * Scale shape: corpus-side stats are one (materializable) census;
+    * per batch the work is the batch scan + a batch-keyed anti-join
+    * against the fp index. */
+  def q479IncrementalCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("toks"),
+      md5(col("text")).as("fp"))
+    val batch = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      expr("""array_join(slice(split(text, ' '), 1,
+           size(split(text, ' ')) - 1), ' ')""").as("text"))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("toks"),
+        md5(col("text")).as("fp"))
+    val corpusFps = corpus.select("fp").distinct().localCheckpoint(true)
+    val corpusStats = corpus.agg(count(lit(1)).as("nd"),
+      sum("toks").as("nt"),
+      sum(when(col("toks") < CardShortDocTokens, 1L).otherwise(0L))
+        .as("nshort")).crossJoin(
+      corpusFps.agg(count(lit(1)).as("nfp")))
+    val newFps = batch.select("fp").distinct()
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .agg(count(lit(1)).as("nfp_new"))
+    val batchStats = batch.agg(count(lit(1)).as("bd"),
+      sum("toks").as("bt"),
+      sum(when(col("toks") < CardShortDocTokens, 1L).otherwise(0L))
+        .as("bshort"))
+    corpusStats.crossJoin(batchStats).crossJoin(newFps)
+      .select(
+        (col("nd") + col("bd")).as("n_docs"),
+        (col("nt") + col("bt")).as("n_tokens"),
+        expr("""(nd + bd - (nfp + nfp_new)) * 1000000
+             div (nd + bd)""").as("dup_ppm"),
+        expr("1000 * (nt + bt) div (nd + bd)").as("mean_toks_milli"),
+        expr("(nshort + bshort) * 1000000 div (nd + bd)")
+          .as("short_ppm"))
+  }
+
+  private def q479OracleSql: String =
+    s"""WITH uni AS (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000,
+            array_to_string(list_slice(string_split(text, ' '), 1,
+              len(string_split(text, ' ')) - 1), ' ')
+          FROM documents),
+        d AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+          md5(text) AS fp FROM uni),
+        dup AS (SELECT CAST(count(*) AS BIGINT)
+            - CAST(count(DISTINCT fp) AS BIGINT) AS n_dups FROM d),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(toks) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN toks < $CardShortDocTokens
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+          FROM d)
+        SELECT n_docs, n_tokens,
+          n_dups * 1000000 // n_docs AS dup_ppm,
+          1000 * n_tokens // n_docs AS mean_toks_milli,
+          n_short * 1000000 // n_docs AS short_ppm
+        FROM g CROSS JOIN dup"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q479_incremental_card" -> (q479IncrementalCard _),
     "q475_bm25_param_sweep" -> (q475Bm25ParamSweep _),
     "q470_stage_reconciliation" -> (q470StageReconciliation _),
     "q462_skew_report" -> (q462SkewReport _),
@@ -2923,6 +2999,7 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "q398_bottomk_sample" -> q398OracleSql,
+    "q479_incremental_card" -> q479OracleSql,
     "q475_bm25_param_sweep" -> q475OracleSql,
     "q470_stage_reconciliation" -> q470OracleSql,
     "q462_skew_report" -> q462OracleSql,

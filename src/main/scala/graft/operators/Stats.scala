@@ -5438,6 +5438,67 @@ object Stats {
         FROM g"""
   }
 
+  // ------------------------------------------------------------ q480
+
+  /** q480 — NEGATIVE-BINOMIAL FIT of daily counts per event type (the
+    * MODEL step q446's dispersion screen gates into: once VMR > 1
+    * says Poisson is wrong, the NB is the standard overdispersed
+    * count model, and its method-of-moments fit is closed-form —
+    * r = m²/(s² − m), p = m/s² — so no iteration and no likelihood
+    * surface; a rate-limit or anomaly threshold calibrated on NB
+    * quantiles starts from exactly these two numbers). Exact integer
+    * moments off the (type × day) census; r ×10³ and p ×10⁶ through
+    * ONE shared-text chain, NULL when s² ≤ m (under-dispersed — the
+    * NB doesn't exist there and a clamped number would be a lie).
+    *
+    * Scale shape: q446's — one corpus scan to the ≤155-cell census,
+    * 5-row panel. */
+  def q480NegbinFit(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+    // sample variance and mean as shared-text doubles over exact ints
+    val mean = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    val vr = """((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      / (CAST(n AS DOUBLE) - 1.0))"""
+    m.select(col("event_type"), col("n"),
+      expr(s"CAST(floor($mean * 1000) AS BIGINT)").as("mean_milli"),
+      expr(s"CAST(floor($vr * 1000) AS BIGINT)").as("var_milli"),
+      expr(s"""CASE WHEN $vr <= $mean THEN NULL
+           ELSE CAST(floor($mean * ($mean / ($vr - $mean)) * 1000)
+             AS BIGINT) END""").as("r_milli"),
+      expr(s"""CASE WHEN $vr <= $mean THEN NULL
+           ELSE CAST(floor($mean / $vr * 1000000) AS BIGINT)
+           END""").as("p_ppm"))
+  }
+
+  private def q480OracleSql: String = {
+    val mean = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    val vr = """((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      / (CAST(n AS DOUBLE) - 1.0))"""
+    s"""WITH census AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sx,
+          sum(CAST(x AS HUGEINT) * x) AS sxx
+          FROM census GROUP BY 1)
+        SELECT event_type, n,
+          CAST(floor($mean * 1000) AS BIGINT) AS mean_milli,
+          CAST(floor($vr * 1000) AS BIGINT) AS var_milli,
+          CASE WHEN $vr <= $mean THEN NULL
+            ELSE CAST(floor($mean * ($mean / ($vr - $mean)) * 1000)
+              AS BIGINT) END AS r_milli,
+          CASE WHEN $vr <= $mean THEN NULL
+            ELSE CAST(floor($mean / $vr * 1000000) AS BIGINT) END
+            AS p_ppm
+        FROM m"""
+  }
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5506,6 +5567,7 @@ object Stats {
     "q443_gumbel_maxima" -> (q443GumbelMaxima _),
     "q460_wilcoxon_signed_rank" -> (q460WilcoxonSignedRank _),
     "q474_design_effect" -> (q474DesignEffect _),
+    "q480_negbin_fit" -> (q480NegbinFit _),
     "q444_ljung_box" -> (q444LjungBox _),
     "q446_dispersion" -> (q446Dispersion _))
 
@@ -5575,6 +5637,7 @@ object Stats {
     "q443_gumbel_maxima" -> q443OracleSql,
     "q460_wilcoxon_signed_rank" -> q460OracleSql,
     "q474_design_effect" -> q474OracleSql,
+    "q480_negbin_fit" -> q480OracleSql,
     "q444_ljung_box" -> q444OracleSql,
     "q446_dispersion" -> q446OracleSql)
 }

@@ -1871,4 +1871,27 @@ class AnalyticsSpec extends SparkSpec {
       totalConv * d1.getAs[Long]("n"),
       "top pre-propensity decile under-captures post converters")
   }
+
+  test("q481 LTV composes the q469 chain: lifetime is the geometric " +
+    "identity and LTV the declared integer product") {
+    val row = Analytics.q481CustomerLtv(spark, sf1).head()
+    val auw = row.getAs[Long]("active_uw")
+    val spend = row.getAs[Long]("spend_cents")
+    assert(auw > 0L && spend > 0L)
+    val churn = Option(row.get(2)).map(_.asInstanceOf[Long])
+    val life = Option(row.get(3)).map(_.asInstanceOf[Long])
+    val ltv = Option(row.get(4)).map(_.asInstanceOf[Long])
+    (churn, life, ltv) match {
+      case (Some(c), Some(l), Some(v)) =>
+        // lifetime_milli = 1e9 / churn_ppm up to integer truncation
+        assert(math.abs(l - 1000000000L / math.max(c, 1L)) <= l,
+          "lifetime and churn disagree wildly")
+        assert(v > 0L)
+        // LTV >= one active week's spend when lifetime >= 1 week
+        assert(v >= spend / auw)
+      case _ =>
+        // no churn observed at this SF: lifetime/LTV must be NULL
+        assert(life.isEmpty && ltv.isEmpty)
+    }
+  }
 }

@@ -1004,4 +1004,29 @@ class PipelineSpec extends SparkSpec {
       assert(rel >= P.Bm25TopK / 2, s"cfg $cfg lost the rare term")
     }
   }
+
+  test("q479 incremental card equals the from-scratch rebuild over " +
+    "the planted union (IVM contract)") {
+    val P = graft.operators.Pipeline
+    val inc = P.q479IncrementalCard(spark, sf1).head()
+    // rebuild from scratch over the same union
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id", "text")
+    val uni = docs.unionByName(docs.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      expr("""array_join(slice(split(text, ' '), 1,
+            size(split(text, ' ')) - 1), ' ')""").as("text")))
+      .select(size(split(col("text"), " ")).cast("bigint").as("toks"),
+        md5(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = uni.length.toLong
+    val nt = uni.map(_._1).sum
+    val dups = n - uni.map(_._2).distinct.length
+    assert(inc.getAs[Long]("n_docs") === n)
+    assert(inc.getAs[Long]("n_tokens") === nt)
+    assert(inc.getAs[Long]("dup_ppm") === dups * 1000000L / n)
+    assert(inc.getAs[Long]("mean_toks_milli") === 1000L * nt / n)
+    assert(inc.getAs[Long]("short_ppm") ===
+      uni.count(_._1 < P.CardShortDocTokens).toLong * 1000000L / n)
+  }
 }

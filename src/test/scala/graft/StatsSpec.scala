@@ -2976,4 +2976,37 @@ class StatsSpec extends SparkSpec {
     // the planted rare term can never be a stopword candidate
     assert(!rows.contains("dup"))
   }
+
+  test("q480 NB fit replays the method-of-moments cells and an iid " +
+    "near-Poisson stream mostly declines the fit") {
+    val rows = Stats.q480NegbinFit(spark, sf1).collect()
+      .map { r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("mean_milli"),
+          r.getAs[Long]("var_milli"),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long])) }.toMap
+    assert(rows.size === 5)
+    val census = graft.sources.Tables.load(spark, sf1, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getLong(2))).groupBy(_._1)
+    census.foreach { case (tp, xs0) =>
+      val xs = xs0.map(_._2)
+      val n = xs.length.toLong
+      val sx = xs.sum; val sxx = xs.map(x => BigInt(x) * x).sum
+      val mean = sx.toDouble / n
+      val vr = (sxx.toDouble - sx.toDouble * (sx.toDouble / n)) /
+        (n - 1.0)
+      val (gn, gm, gv, gr, gp) = rows(tp)
+      assert(gn === n)
+      assert(gm === math.floor(mean * 1e3).toLong)
+      assert(gv === math.floor(vr * 1e3).toLong)
+      if (vr <= mean) { assert(gr.isEmpty); assert(gp.isEmpty) }
+      else {
+        assert(gr === Some(math.floor(
+          mean * (mean / (vr - mean)) * 1e3).toLong), tp)
+        assert(gp === Some(math.floor(mean / vr * 1e6).toLong), tp)
+      }
+    }
+  }
 }
