@@ -349,6 +349,98 @@ object Dedup {
           CAST(sum(sz) AS BIGINT) AS n_docs
         FROM sizes GROUP BY sz"""
 
+  /** q483's swept Jaccard thresholds (percent). */
+  val DedupSweepPct: Seq[Long] = Seq(70L, 80L, 90L)
+
+  /** q483 — DEDUP THRESHOLD SENSITIVITY SWEEP (the calibration curve
+    * behind q30/q87's fixed 9/10: WHICH Jaccard threshold a dedup run
+    * should gate at is answered by exactly this — verified pair
+    * volume and planted recall as a function of τ, read together: the
+    * τ where volume explodes but recall stops improving is the knee).
+    * ONE exact verification pass (candidate pairs scored with
+    * n_inter/n_union, the q87 machinery), then every τ in
+    * [[DedupSweepPct]] is a conditional fold over that cached frame —
+    * no per-τ re-verification. Released per τ: {tau_pct, n_pairs,
+    * planted_found, planted_recall_ppm}.
+    *
+    * Scale shape: q30's banded candidate generation + one in-row
+    * verify pass; the sweep rides the candidate frame as three
+    * conditional aggregates. */
+  def q483DedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val docs = plantedDocs(s, dir)
+    val hs = docs
+      .withColumn("sw_w", split(col("text"), " "))
+      .filter(size(col("sw_w")) >= ShingleN)
+      .select(col("doc_id"), expr(sparkShingleHashes).as("hsd"))
+      .cache()
+    val scored = minhashCandidatePairs(docs)
+      .join(hs.select(col("doc_id").as("doc_id_1"),
+        col("hsd").as("hsd1")), "doc_id_1")
+      .join(hs.select(col("doc_id").as("doc_id_2"),
+        col("hsd").as("hsd2")), "doc_id_2")
+      .select(col("doc_id_1"), col("doc_id_2"),
+        size(array_intersect(col("hsd1"), col("hsd2")))
+          .cast("bigint").as("ni"),
+        (size(col("hsd1")) + size(col("hsd2")) -
+          size(array_intersect(col("hsd1"), col("hsd2"))))
+          .cast("bigint").as("nu"))
+      .localCheckpoint(true)
+    val nPlantable = docs.filter(col("doc_id") < PlantedOffset)
+      .filter(size(split(col("text"), " ")) > ShingleN + 1)
+      .agg(count(lit(1)).as("n_plantable"))
+    val aggs = DedupSweepPct.flatMap { p => Seq(
+      sum(when(col("ni") * 100 >= col("nu") * p, 1L).otherwise(0L))
+        .as(s"np_$p"),
+      sum(when(col("ni") * 100 >= col("nu") * p &&
+        col("doc_id_2") === col("doc_id_1") + PlantedOffset, 1L)
+        .otherwise(0L)).as(s"pf_$p")) }
+    val g = scored.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(nPlantable))
+    DedupSweepPct.map { p =>
+      g.select(lit(p).as("tau_pct"), col(s"np_$p").as("n_pairs"),
+        col(s"pf_$p").as("planted_found"),
+        expr(s"pf_$p * 1000000 div n_plantable")
+          .as("planted_recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def q483OracleSql: String = {
+    val aggCols = DedupSweepPct.flatMap { p => Seq(
+      s"""CAST(sum(CASE WHEN ni * 100 >= nu * $p THEN 1 ELSE 0 END)
+          AS BIGINT) AS np_$p""",
+      s"""CAST(sum(CASE WHEN ni * 100 >= nu * $p
+          AND doc_id_2 = doc_id_1 + $PlantedOffset THEN 1 ELSE 0 END)
+          AS BIGINT) AS pf_$p""") }.mkString(", ")
+    val rows = DedupSweepPct.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS tau_pct, np_$p AS n_pairs,
+          pf_$p AS planted_found,
+          pf_$p * 1000000 // n_plantable AS planted_recall_ppm
+        FROM g CROSS JOIN npl""" }.mkString("\n        UNION ALL\n        ")
+    s"""WITH ${lshCtes(plantedSql)},
+        pairs AS ($q30SelectPairs),
+        sh2 AS (SELECT doc_id, unnest(hsd) AS h FROM hs),
+        cnt AS (SELECT doc_id, count(*) AS nsh FROM sh2 GROUP BY doc_id),
+        inter AS (SELECT p.doc_id_1, p.doc_id_2, count(*) AS n_inter
+                  FROM pairs p
+                  JOIN sh2 a ON a.doc_id = p.doc_id_1
+                  JOIN sh2 b ON b.doc_id = p.doc_id_2 AND b.h = a.h
+                  GROUP BY 1, 2),
+        scored AS (SELECT p.doc_id_1, p.doc_id_2,
+            CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS ni,
+            CAST(c1.nsh + c2.nsh - COALESCE(i.n_inter, 0) AS BIGINT)
+              AS nu
+          FROM pairs p
+          LEFT JOIN inter i USING (doc_id_1, doc_id_2)
+          JOIN cnt c1 ON c1.doc_id = p.doc_id_1
+          JOIN cnt c2 ON c2.doc_id = p.doc_id_2),
+        npl AS (SELECT CAST(count(*) AS BIGINT) AS n_plantable
+          FROM documents
+          WHERE len(string_split(text, ' ')) > ${ShingleN + 1}),
+        g AS (SELECT $aggCols FROM scored)
+        $rows"""
+  }
+
   /** Connected components by Pregel-style min-label propagation — the
     * low-diameter fast path (near-dup clusters are near-cliques, so 2-3
     * rounds suffice; each round is ONE shuffle). `nodes`: one `doc_id`
@@ -2340,6 +2432,7 @@ object Dedup {
     "q33_dedup_embedding" -> (q33DedupEmbedding _),
     "q63_dedup_clusters" -> (q63DedupClusters _),
     "q464_cluster_size_profile" -> (q464ClusterSizeProfile _),
+    "q483_dedup_threshold_sweep" -> (q483DedupThresholdSweep _),
     "q222_incremental_cc" -> (q222IncrementalCc _),
     "q70_edit_distance" -> (q70EditDistance _),
     "q71_simhash_hamming" -> (q71SimhashHamming _),
@@ -2369,6 +2462,7 @@ object Dedup {
     "q33_dedup_embedding" -> q33OracleSql,
     "q63_dedup_clusters" -> q63OracleSql,
     "q464_cluster_size_profile" -> q464OracleSql,
+    "q483_dedup_threshold_sweep" -> q483OracleSql,
     "q222_incremental_cc" -> q222OracleSql,
     "q70_edit_distance" -> q70OracleSql,
     "q71_simhash_hamming" -> q71OracleSql,

@@ -3735,7 +3735,65 @@ object Extensions {
         FROM edest CROSS JOIN n"""
   }
 
+  // ------------------------------------------------------------ q482
+
+  /** q482's swept gaps (seconds). */
+  val SessionGapsS: Seq[Long] = Seq(900L, 1800L, 3600L)
+
+  /** q482 — SESSION GAP SENSITIVITY SWEEP (the calibration pass behind
+    * q41's 30-minute constant — the eternal sessionization question
+    * is WHICH gap, and the defensible answer is this curve: session
+    * count and mean length as a function of the threshold, read for
+    * the knee). The identity that makes it one pass:
+    * sessions(G) = users + #(per-user inter-event gaps > G) — so all
+    * three thresholds fold over ONE lag frame as conditional counts,
+    * no per-gap re-sessionization. Exact integers: {gap_s,
+    * n_sessions, mean_events_milli}.
+    *
+    * Scale shape: one corpus scan → ONE user-keyed lag window; the
+    * sweep is three conditional sums on that frame; 3-row output. */
+  def q482SessionGapSweep(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tse", "event_id")
+    val lagged = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(date_trunc('second', ts) AS LONG)").as("tse"))
+      .withColumn("gap", col("tse") - lag("tse", 1).over(w))
+    val aggs = SessionGapsS.map(g =>
+      sum(when(col("gap") > g, 1L).otherwise(0L)).as(s"brk_$g"))
+    val gagg = lagged.agg(countDistinct("user_id").as("nu"),
+      (count(lit(1)).as("ne") +: aggs): _*)
+    SessionGapsS.map { g =>
+      gagg.select(lit(g).as("gap_s"),
+        (col("nu") + col(s"brk_$g")).as("n_sessions"),
+        expr(s"1000 * ne div (nu + brk_$g)").as("mean_events_milli"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def q482OracleSql: String = {
+    val brkCols = SessionGapsS.map(g =>
+      s"""CAST(sum(CASE WHEN gap > $g THEN 1 ELSE 0 END) AS BIGINT)
+          AS brk_$g""").mkString(", ")
+    val rows = SessionGapsS.map(g =>
+      s"""SELECT CAST($g AS BIGINT) AS gap_s,
+          nu + brk_$g AS n_sessions,
+          1000 * ne // (nu + brk_$g) AS mean_events_milli
+        FROM g""").mkString("\n        UNION ALL\n        ")
+    s"""WITH lagged AS (SELECT user_id,
+          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tse,
+          CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+            - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+              OVER (PARTITION BY user_id
+                ORDER BY date_trunc('second', ts), event_id) AS gap
+          FROM events),
+        g AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu,
+          CAST(count(*) AS BIGINT) AS ne, $brkCols
+          FROM lagged)
+        $rows"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q482_session_gap_sweep" -> (q482SessionGapSweep _),
     "q468_histogram_error_advisor" -> (q468HistogramErrorAdvisor _),
     "q465_dict_encoding_advisor" -> (q465DictEncodingAdvisor _),
     "q466_date_gap_audit" -> (q466DateGapAudit _),
@@ -3825,6 +3883,7 @@ object Extensions {
     "q60_percentiles" -> (q60Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q482_session_gap_sweep" -> q482OracleSql,
     "q468_histogram_error_advisor" -> q468OracleSql,
     "q465_dict_encoding_advisor" -> q465OracleSql,
     "q466_date_gap_audit" -> q466OracleSql,

@@ -5476,7 +5476,8 @@ object Stats {
            END""").as("p_ppm"))
   }
 
-  private def q480OracleSql: String = {
+  /** q480's oracle, shared with its streaming twin q484. */
+  private[graft] def q480OracleSql: String = {
     val mean = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
     val vr = """((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))

@@ -2054,8 +2054,58 @@ object EventStream {
             AS salt_recommended
         FROM per"""
 
+  // -------------------------------------------------------------- q484
+
+  /** q484 — STREAMING NEGATIVE-BINOMIAL FIT (q480 under continuous
+    * ingest — the 29th declared streaming shape, pairing with q451:
+    * the dispersion monitor says the stream turned bursty; this keeps
+    * the NB parameters a live anomaly threshold would be calibrated
+    * on, fresh per trigger). State: the same watermark-bounded
+    * (type × day) count census as q451 — merge-independent — so the
+    * drained method-of-moments panel equals batch q480 EXACTLY (same
+    * oracle). NULL-honest when under-dispersed, like the batch twin.
+    *
+    * Scale shape: q451's census; 5-row drained panel. */
+  def q484StreamNegbin(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q484_stream_negbin_mem"
+    s.catalog.dropTempView(name)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("event_type"), col("x"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val mean = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    val vr = """((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      / (CAST(n AS DOUBLE) - 1.0))"""
+    s.table(name).localCheckpoint(true)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .select(col("event_type"), col("n"),
+        expr(s"CAST(floor($mean * 1000) AS BIGINT)").as("mean_milli"),
+        expr(s"CAST(floor($vr * 1000) AS BIGINT)").as("var_milli"),
+        expr(s"""CASE WHEN $vr <= $mean THEN NULL
+             ELSE CAST(floor($mean * ($mean / ($vr - $mean)) * 1000)
+               AS BIGINT) END""").as("r_milli"),
+        expr(s"""CASE WHEN $vr <= $mean THEN NULL
+             ELSE CAST(floor($mean / $vr * 1000000) AS BIGINT)
+             END""").as("p_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q484_stream_negbin" ->
+      ((s: SparkSession, d: String) => q484StreamNegbin(s, d)),
     "q467_stream_user_skew" ->
       ((s: SparkSession, d: String) => q467StreamUserSkew(s, d)),
     "q458_stream_spc" ->
@@ -2099,6 +2149,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q484_stream_negbin" -> graft.operators.Stats.q480OracleSql,
     "q467_stream_user_skew" -> q467OracleSql,
     "q458_stream_spc" -> q458OracleSql,
     "q451_stream_dispersion" -> graft.operators.Stats.q446OracleSql,

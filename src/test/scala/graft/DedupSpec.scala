@@ -472,4 +472,21 @@ class DedupSpec extends SparkSpec {
     // per row, n_docs = size * n_clusters
     prof.foreach { case (sz, (nc, nd)) => assert(nd === sz * nc) }
   }
+
+  test("q483 threshold sweep is monotone in tau and its tau=90 row " +
+    "matches q87's verified pair count") {
+    val rows = Dedup.q483DedupThresholdSweep(spark, sf1).collect()
+      .map(r => r.getAs[Long]("tau_pct") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("planted_found"),
+          r.getAs[Long]("planted_recall_ppm"))).toMap
+    assert(rows.keySet === Dedup.DedupSweepPct.toSet)
+    // monotone: relaxing tau can only admit more pairs / more recall
+    val byTau = Dedup.DedupSweepPct.sorted.map(rows(_))
+    assert(byTau.map(_._1) === byTau.map(_._1).sorted.reverse)
+    assert(byTau.map(_._2) === byTau.map(_._2).sorted.reverse)
+    // the declared 9/10 gate reproduces q87 exactly
+    assert(rows(90L)._1 === Dedup.q87VerifyCandidates(spark, sf1).count())
+    // recall at the loosest tau captures nearly all plantable twins
+    assert(rows(70L)._3 > 900000L)
+  }
 }

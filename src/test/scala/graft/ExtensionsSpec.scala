@@ -1471,4 +1471,31 @@ class ExtensionsSpec extends SparkSpec {
       assert(mean < 50000L, s"$t mean err $mean ppm on a uniform column")
     }
   }
+
+  test("q482 session-gap sweep replays the break-count identity and " +
+    "is monotone: larger gaps mean fewer sessions") {
+    val E = graft.operators.Extensions
+    val rows = E.q482SessionGapSweep(spark, sf1).collect()
+      .map(r => r.getAs[Long]("gap_s") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("mean_events_milli")))
+      .toMap
+    assert(rows.keySet === E.SessionGapsS.toSet)
+    val evs = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"),
+        expr("CAST(date_trunc('second', ts) AS LONG)").as("tse"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val nu = evs.size.toLong
+    val ne = evs.values.map(_.size.toLong).sum
+    E.SessionGapsS.foreach { g =>
+      val breaks = evs.values.map(ts =>
+        ts.sliding(2).count(w => w.length == 2 && w(1) - w(0) > g)
+          .toLong).sum
+      val (gN, gM) = rows(g)
+      assert(gN === nu + breaks, s"gap $g sessions")
+      assert(gM === 1000L * ne / (nu + breaks), s"gap $g mean")
+    }
+    val ns = E.SessionGapsS.map(rows(_)._1)
+    assert(ns === ns.sorted.reverse, "session count must fall with gap")
+  }
 }
