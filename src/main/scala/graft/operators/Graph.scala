@@ -948,7 +948,50 @@ object Graph {
         FROM x$KatzCentIters"""
   }
 
+  // ------------------------------------------------------------ q485
+
+  /** q485 — DEGREE DISTRIBUTION census of the customer↔part purchase
+    * graph (the first plot anyone makes of a new graph, and the one
+    * summary the Graph family computes pieces of but never releases:
+    * q99/q463 rank nodes, q105/q282 count closed wedges — the degree
+    * HISTOGRAM is what says whether the graph is hub-dominated at
+    * all, i.e. whether the q183/q397 degree caps and the q65 salting
+    * even matter). Customer side of the bipartite graph induced by
+    * orders⋈lineitem: degree = distinct parts purchased; released
+    * count-of-counts {degree, n_nodes, node_share_ppm} — exact.
+    *
+    * Scale shape: one fact⋈fact join on the order key it shares,
+    * distinct (customer, part) census, per-customer degree census,
+    * count-of-counts — each stage map-side combined, output ≤
+    * \|distinct degrees\|. */
+  def q485DegreeDistribution(s: SparkSession, dir: String): DataFrame = {
+    val cp = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val deg = cp.groupBy("c").agg(count(lit(1)).as("degree"))
+    val n = deg.agg(count(lit(1)).as("n_cust"))
+    deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(n))
+      .select(col("degree"), col("n_nodes"),
+        expr("n_nodes * 1000000 div n_cust").as("node_share_ppm"))
+  }
+
+  private def q485OracleSql: String =
+    """WITH cp AS (SELECT DISTINCT o.o_custkey AS c,
+          l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        deg AS (SELECT c, CAST(count(*) AS BIGINT) AS degree
+          FROM cp GROUP BY c),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM deg)
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes,
+          CAST(count(*) AS BIGINT) * 1000000 // n_cust
+            AS node_share_ppm
+        FROM deg CROSS JOIN n GROUP BY degree, n_cust"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q485_degree_distribution" -> (q485DegreeDistribution _),
     "q463_katz_centrality" -> (q463KatzCentrality _),
     "q385_personalized_pagerank" -> (q385PersonalizedPagerank _),
     "q365_hits" -> (q365Hits _),
@@ -962,6 +1005,7 @@ object Graph {
     "q155_kcore" -> (q155KCore _))
 
   val oracleSql: Map[String, String] = Map(
+    "q485_degree_distribution" -> q485OracleSql,
     "q463_katz_centrality" -> q463OracleSql,
     "q385_personalized_pagerank" -> q385OracleSql,
     "q365_hits" -> q365OracleSql,

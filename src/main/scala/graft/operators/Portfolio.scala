@@ -717,7 +717,79 @@ object Portfolio {
           t.dr_total - coalesce(m.dr_matched, 0) AS mix_eff
         FROM total t LEFT JOIN matched m ON t.brand = m.brand"""
 
+  // ------------------------------------------------------------ q486
+
+  /** q486's cumulative-share class bounds (ppm): A ≤ 80%, B ≤ 95%. */
+  val AbcABoundPpm = 800000L
+  val AbcBBoundPpm = 950000L
+
+  /** q486 — ABC REVENUE CLASSIFICATION of parts (the inventory-
+    * management classic Pareto operationalized: q201's Lorenz curve
+    * DESCRIBES concentration, ABC DECIDES — rank parts by revenue,
+    * cut the cumulative share at 80/95%, and the three classes drive
+    * three different stocking policies; the census per class is the
+    * readout). Exact integers: revenue cents per part, ONE
+    * total-order window for the cumulative share (rank tie-broken by
+    * partkey), class by [[AbcABoundPpm]]/[[AbcBBoundPpm]] on the
+    * EXCLUSIVE prefix share (a part belongs to A while the prefix
+    * BEFORE it is under the bound — the standard inclusive-boundary
+    * convention, declared); released per class {n_parts,
+    * rev_share_ppm}.
+    *
+    * Scale shape: one fact scan → part revenue census; ONE
+    * total-order window over \|parts\| (the q393/q471 pattern); 3-row
+    * census. */
+  def q486AbcClassification(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+        .as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rev").desc, col("pk"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val tot = rev.agg(sum("rev").as("tot"))
+    val classed = rev.crossJoin(broadcast(tot))
+      .withColumn("prefix", coalesce(sum("rev").over(w), lit(0L)))
+      .withColumn("cls",
+        expr(s"""CASE WHEN CAST(prefix AS DECIMAL(38,0)) * 1000000
+               div tot < $AbcABoundPpm THEN 'A'
+             WHEN CAST(prefix AS DECIMAL(38,0)) * 1000000
+               div tot < $AbcBBoundPpm THEN 'B'
+             ELSE 'C' END"""))
+    classed.groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"), sum("rev").as("cls_rev"),
+        max("tot").as("tot"))
+      .select(col("cls"), col("n_parts"),
+        expr("""CAST(CAST(cls_rev AS DECIMAL(38,0)) * 1000000
+             div tot AS BIGINT)""").as("rev_share_ppm"))
+  }
+
+  private def q486OracleSql: String =
+    s"""WITH rev AS (SELECT l_partkey AS pk,
+          CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS rev
+          FROM lineitem GROUP BY 1),
+        tot AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM rev),
+        classed AS (SELECT pk, rev, tot,
+            CAST(coalesce(sum(rev) OVER (ORDER BY rev DESC, pk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prefix
+          FROM rev CROSS JOIN tot),
+        labeled AS (SELECT pk, rev, tot,
+            CASE WHEN CAST(prefix AS HUGEINT) * 1000000
+              // tot < $AbcABoundPpm THEN 'A'
+              WHEN CAST(prefix AS HUGEINT) * 1000000
+                // tot < $AbcBBoundPpm THEN 'B'
+              ELSE 'C' END AS cls
+          FROM classed)
+        SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+          CAST(CAST(sum(rev) AS HUGEINT) * 1000000 // max(tot)
+            AS BIGINT) AS rev_share_ppm
+        FROM labeled GROUP BY cls"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q486_abc_classification" -> (q486AbcClassification _),
     "q472_yoy_growth" -> (q472YoyGrowth _),
     "q473_price_volume_decomposition" ->
       (q473PriceVolumeDecomposition _),
@@ -734,6 +806,7 @@ object Portfolio {
     "q380_sole_failing_supplier" -> (q380SoleFailingSupplier _))
 
   val oracleSql: Map[String, String] = Map(
+    "q486_abc_classification" -> q486OracleSql,
     "q472_yoy_growth" -> q472OracleSql,
     "q473_price_volume_decomposition" -> q473OracleSql,
     "q370_min_cost_supplier" -> q370OracleSql,

@@ -351,4 +351,31 @@ class GraphSpec extends SparkSpec {
       assert(got(hot) > 1000000L)
     }
   }
+
+  test("q485 degree distribution is a partition of the customer set " +
+    "and replays the bipartite census") {
+    val G = graft.operators.Graph
+    val rows = G.q485DegreeDistribution(spark, sf1).collect()
+      .map(r => r.getAs[Long]("degree") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("node_share_ppm")))
+      .toMap
+    import org.apache.spark.sql.functions._
+    val cp = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select("l_orderkey", "l_partkey")
+      .join(graft.sources.Tables.load(spark, sf1, "orders")
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = cp.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val want = deg.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(rows.keySet === want.keySet)
+    val nCust = deg.size.toLong
+    want.foreach { case (d, n) =>
+      assert(rows(d)._1 === n, s"degree $d")
+      assert(rows(d)._2 === n * 1000000L / nCust)
+    }
+    assert(rows.values.map(_._1).sum === nCust)
+  }
 }

@@ -169,4 +169,26 @@ class PortfolioSpec extends SparkSpec {
       assert(dr === v + pz + j + m, s"${r.getString(0)} identity")
     }
   }
+
+  test("q486 ABC classes partition the parts, shares sum to one, and " +
+    "A carries the most revenue per part") {
+    val P = graft.operators.Portfolio
+    val rows = P.q486AbcClassification(spark, sf1).collect()
+      .map(r => r.getAs[String]("cls") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("rev_share_ppm")))
+      .toMap
+    assert(rows.keySet === Set("A", "B", "C"))
+    val nParts = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(rows.values.map(_._1).sum === nParts)
+    val shareSum = rows.values.map(_._2).sum
+    assert(shareSum >= 999997L && shareSum <= 1000000L,
+      s"shares sum to $shareSum")
+    // A parts are the head: revenue per part strictly dominates C's
+    val perPartA = rows("A")._2.toDouble / rows("A")._1
+    val perPartC = rows("C")._2.toDouble / rows("C")._1
+    assert(perPartA > perPartC)
+    // cumulative bounds: A alone stays under its 80% bound + one part
+    assert(rows("A")._2 <= 850000L, "A overshoots the 80% boundary badly")
+  }
 }
