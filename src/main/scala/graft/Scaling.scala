@@ -166,7 +166,13 @@ object Scaling {
     // bounded or streaming twins — excluded on the standing grounds.
     "q455_cross_lingual_contamination", "q464_cluster_size_profile",
     "q470_stage_reconciliation", "q473_price_volume_decomposition",
-    "q475_bm25_param_sweep")
+    "q475_bm25_param_sweep",
+    // session-8 final batch: q483 carries the LSH candidate+verify
+    // stack, q485 the orderkey fact⋈fact bipartite closure, q486 the
+    // |parts| total-order window, q482 the user-keyed lag pass.
+    // q479-q481/q484 are census/IVM/scalar-bounded or streaming twins.
+    "q482_session_gap_sweep", "q483_dedup_threshold_sweep",
+    "q485_degree_distribution", "q486_abc_classification")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",
