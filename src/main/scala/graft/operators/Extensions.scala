@@ -3792,8 +3792,58 @@ object Extensions {
         $rows"""
   }
 
+  // ------------------------------------------------------------ q490
+
+  /** q490 — JSON PROPS PROFILE with parse audit (the semi-structured
+    * source-profiling step q27's extraction assumes away: before a
+    * pipeline trusts `props.k` it needs the PARSE ledger — how many
+    * rows yield a value at all, the value range and spread, how many
+    * carry garbage; a silent null from get_json_object is
+    * indistinguishable from real absence unless someone counted).
+    * One pass: k = get_json_object(props, '$.k') cast to long;
+    * released one row {n, n_valid, n_invalid, k_min, k_max,
+    * k_mean_milli, k_distinct} — exact integers.
+    *
+    * Scale shape: one corpus scan, codegen'd JSON path + cast,
+    * map-side combined to one row (the distinct count is the one
+    * key-domain-bounded shuffle). */
+  def q490JsonPropsProfile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(expr("CAST(get_json_object(props, '$.k') AS BIGINT)")
+        .as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_invalid"),
+        min("k").as("k_min"), max("k").as("k_max"),
+        sum(coalesce(col("k"), lit(0L))).as("k_sum"),
+        countDistinct("k").as("k_distinct"))
+      .select(col("n"), col("n_valid"), col("n_invalid"),
+        col("k_min"), col("k_max"),
+        expr("""CASE WHEN n_valid = 0 THEN NULL
+             ELSE 1000 * k_sum div n_valid END""").as("k_mean_milli"),
+        col("k_distinct"))
+
+  private def q490OracleSql: String =
+    """WITH p AS (SELECT TRY_CAST(json_extract_string(props, '$.k')
+          AS BIGINT) AS k FROM events)
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_valid,
+          CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_invalid,
+          CAST(min(k) AS BIGINT) AS k_min,
+          CAST(max(k) AS BIGINT) AS k_max,
+          CASE WHEN sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) = 0
+            THEN NULL
+            ELSE 1000 * CAST(sum(coalesce(k, 0)) AS BIGINT)
+              // CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) END AS k_mean_milli,
+          CAST(count(DISTINCT k) AS BIGINT) AS k_distinct
+        FROM p"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q482_session_gap_sweep" -> (q482SessionGapSweep _),
+    "q490_json_props_profile" -> (q490JsonPropsProfile _),
     "q468_histogram_error_advisor" -> (q468HistogramErrorAdvisor _),
     "q465_dict_encoding_advisor" -> (q465DictEncodingAdvisor _),
     "q466_date_gap_audit" -> (q466DateGapAudit _),
@@ -3884,6 +3934,7 @@ object Extensions {
 
   val oracleSql: Map[String, String] = Map(
     "q482_session_gap_sweep" -> q482OracleSql,
+    "q490_json_props_profile" -> q490OracleSql,
     "q468_histogram_error_advisor" -> q468OracleSql,
     "q465_dict_encoding_advisor" -> q465OracleSql,
     "q466_date_gap_audit" -> q466OracleSql,

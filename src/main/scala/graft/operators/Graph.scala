@@ -990,8 +990,64 @@ object Graph {
             AS node_share_ppm
         FROM deg CROSS JOIN n GROUP BY degree, n_cust"""
 
+  // ------------------------------------------------------------ q488
+
+  /** q488 — EDGE RECIPROCITY of the directed nation trade graph (the
+    * one-number directionality summary the family lacks: q207's
+    * assortativity mixes degrees, q99 ranks — reciprocity asks
+    * whether trade RELATIONS are two-way, i.e. for what fraction of
+    * customer-nation → supplier-nation edges the reverse edge also
+    * exists; a pure-hub economy scores near 0, a bilateral one near
+    * 1). Exact integers off the distinct edge set and ONE self-join
+    * on the flipped key.
+    *
+    * Scale shape: q99's edge derivation (fact⋈fact on the order key,
+    * broadcast dims), distinct census; the reciprocity probe is an
+    * edge-keyed LEFT SEMI self-join. */
+  def q488GraphReciprocity(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val recip = edges.join(
+      edges.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal")))
+      .select(col("n_edges"), col("n_reciprocal"),
+        expr("n_reciprocal * 1000000 div n_edges")
+          .as("reciprocity_ppm"))
+  }
+
+  private def q488OracleSql: String =
+    """WITH edges AS (SELECT DISTINCT c.c_nationkey AS src,
+          s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey),
+        recip AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+          FROM edges a WHERE EXISTS (SELECT 1 FROM edges b
+            WHERE b.src = a.dst AND b.dst = a.src)),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+        SELECT n_edges, n_reciprocal,
+          n_reciprocal * 1000000 // n_edges AS reciprocity_ppm
+        FROM n CROSS JOIN recip"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q485_degree_distribution" -> (q485DegreeDistribution _),
+    "q488_graph_reciprocity" -> (q488GraphReciprocity _),
     "q463_katz_centrality" -> (q463KatzCentrality _),
     "q385_personalized_pagerank" -> (q385PersonalizedPagerank _),
     "q365_hits" -> (q365Hits _),
@@ -1006,6 +1062,7 @@ object Graph {
 
   val oracleSql: Map[String, String] = Map(
     "q485_degree_distribution" -> q485OracleSql,
+    "q488_graph_reciprocity" -> q488OracleSql,
     "q463_katz_centrality" -> q463OracleSql,
     "q385_personalized_pagerank" -> q385OracleSql,
     "q365_hits" -> q365OracleSql,

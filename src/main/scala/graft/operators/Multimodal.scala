@@ -1142,8 +1142,65 @@ object Multimodal {
         JOIN perkind pa ON s.kind_a = pa.kind
         JOIN perkind pb ON s.kind_b = pb.kind"""
 
+  // ------------------------------------------------------------ q489
+
+  /** q489 — MEDIA METADATA CONSISTENCY AUDIT (the rule-based screen a
+    * media lake runs on ingest, the typed-metadata counterpart of
+    * q130's Deequ-style constraint suite: each kind carries
+    * conventions — audio has no spatial dims, video and image need a
+    * positive aspect, a sample rate belongs to audio/video — and
+    * every violation is a row some upstream writer produced wrong).
+    * Declared rules per kind over the [[assets]] metadata (payload
+    * never read): audio with width·height > 1; image/video with
+    * width < 16 or height < 16 (sub-icon dims); any kind with a
+    * nonpositive dim. Released per kind: {n_assets, n_dim_suspect,
+    * n_rate_suspect, suspect_ppm}.
+    *
+    * Scale shape: one metadata projection (payload dropped at the
+    * scan), map-side combined to a 3-row census. */
+  def q489MetadataConsistency(s: SparkSession, dir: String): DataFrame =
+    assets(s, dir).toDF()
+      .select(col("kind"), col("width"), col("height"),
+        col("sample_rate"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(
+          (col("kind") === "audio" && col("width") * col("height") > 1)
+            || (col("kind") =!= "audio" &&
+              (col("width") < 16 || col("height") < 16)), 1L)
+          .otherwise(0L)).as("n_dim_suspect"),
+        sum(when(col("sample_rate") <= 0, 1L).otherwise(0L))
+          .as("n_rate_suspect"))
+      .select(col("kind"), col("n_assets"), col("n_dim_suspect"),
+        col("n_rate_suspect"),
+        expr("""(n_dim_suspect + n_rate_suspect) * 1000000
+             div n_assets""").as("suspect_ppm"))
+
+  private def q489OracleSql: String =
+    """WITH meta AS (SELECT
+          ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+            AS kind,
+          CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+          CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+          16000 AS sample_rate
+        FROM documents)
+        SELECT kind, CAST(count(*) AS BIGINT) AS n_assets,
+          CAST(sum(CASE WHEN (kind = 'audio' AND width * height > 1)
+            OR (kind <> 'audio' AND (width < 16 OR height < 16))
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_suspect,
+          CAST(sum(CASE WHEN sample_rate <= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rate_suspect,
+          (CAST(sum(CASE WHEN (kind = 'audio' AND width * height > 1)
+            OR (kind <> 'audio' AND (width < 16 OR height < 16))
+            THEN 1 ELSE 0 END) AS BIGINT)
+           + CAST(sum(CASE WHEN sample_rate <= 0 THEN 1 ELSE 0 END)
+            AS BIGINT)) * 1000000 // CAST(count(*) AS BIGINT)
+            AS suspect_ppm
+        FROM meta GROUP BY kind"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q476_media_kind_mislabel" -> (q476MediaKindMislabel _),
+    "q489_metadata_consistency" -> (q489MetadataConsistency _),
     "q310_aspect_buckets" -> (q310AspectBuckets _),
     "q285_frame_dedup" -> (q285FrameDedup _),
     "q270_payload_collision" -> (q270PayloadCollision _),
@@ -1162,6 +1219,7 @@ object Multimodal {
   val oracleSql: Map[String, String] = Map(
     "q454_payload_rle" -> q454OracleSql,
     "q476_media_kind_mislabel" -> q476OracleSql,
+    "q489_metadata_consistency" -> q489OracleSql,
     "q310_aspect_buckets" -> q310OracleSql,
     "q285_frame_dedup" -> q285OracleSql,
     "q270_payload_collision" -> q270OracleSql,

@@ -2947,8 +2947,69 @@ object Pipeline {
           n_short * 1000000 // n_docs AS short_ppm
         FROM g CROSS JOIN dup"""
 
+  // ------------------------------------------------------------ q487
+
+  /** q487 — CORPUS COVERAGE MATRIX over (lang × source) (the balance
+    * audit corpus governance runs before any mixture decision: q97
+    * WEIGHTS sources and q331 measures lang divergence, but the first
+    * question is structural — is every language represented in every
+    * source at all, and how lopsided are the cells; empty cells are
+    * where a "multilingual" claim quietly fails). Zero-filled
+    * lang × source spine (q430 discipline); released one row {n_langs,
+    * n_sources, n_cells, zero_cells, min_cell, max_cell,
+    * imbalance_milli = 1000·n_langs·n_sources·max div n_docs} — all
+    * exact integers.
+    *
+    * Scale shape: one corpus scan map-side combined to the ≤ 100-cell
+    * census; the spine is dims × dims. */
+  def q487CoverageMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val langs = docs.select("lang").distinct()
+    val sources = docs.select("source").distinct()
+    val census = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("c"))
+    val spine = langs.crossJoin(sources)
+      .join(census, Seq("lang", "source"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("c"))
+    spine.agg(count(lit(1)).as("n_cells"),
+        sum(when(col("c") === 0, 1L).otherwise(0L)).as("zero_cells"),
+        min("c").as("min_cell"), max("c").as("max_cell"),
+        sum("c").as("n_docs"))
+      .crossJoin(broadcast(langs.agg(count(lit(1)).as("n_langs"))))
+      .crossJoin(broadcast(sources.agg(count(lit(1)).as("n_sources"))))
+      .select(col("n_langs"), col("n_sources"), col("n_cells"),
+        col("zero_cells"), col("min_cell"), col("max_cell"),
+        expr("1000 * n_langs * n_sources * max_cell div n_docs")
+          .as("imbalance_milli"))
+  }
+
+  private def q487OracleSql: String =
+    """WITH census AS (SELECT lang, source,
+          CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        spine AS (SELECT l.lang, s.source, coalesce(c.c, 0) AS c
+          FROM (SELECT DISTINCT lang FROM documents) l
+          CROSS JOIN (SELECT DISTINCT source FROM documents) s
+          LEFT JOIN census c ON c.lang = l.lang
+            AND c.source = s.source),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+          CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS zero_cells,
+          CAST(min(c) AS BIGINT) AS min_cell,
+          CAST(max(c) AS BIGINT) AS max_cell,
+          CAST(sum(c) AS BIGINT) AS n_docs FROM spine),
+        nl AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+          FROM documents),
+        ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT)
+            AS n_sources FROM documents)
+        SELECT n_langs, n_sources, n_cells, zero_cells, min_cell,
+          max_cell,
+          1000 * n_langs * n_sources * max_cell // n_docs
+            AS imbalance_milli
+        FROM g CROSS JOIN nl CROSS JOIN ns"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q479_incremental_card" -> (q479IncrementalCard _),
+    "q487_coverage_matrix" -> (q487CoverageMatrix _),
     "q475_bm25_param_sweep" -> (q475Bm25ParamSweep _),
     "q470_stage_reconciliation" -> (q470StageReconciliation _),
     "q462_skew_report" -> (q462SkewReport _),
@@ -3000,6 +3061,7 @@ object Pipeline {
   val oracleSql: Map[String, String] = Map(
     "q398_bottomk_sample" -> q398OracleSql,
     "q479_incremental_card" -> q479OracleSql,
+    "q487_coverage_matrix" -> q487OracleSql,
     "q475_bm25_param_sweep" -> q475OracleSql,
     "q470_stage_reconciliation" -> q470OracleSql,
     "q462_skew_report" -> q462OracleSql,

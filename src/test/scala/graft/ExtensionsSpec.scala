@@ -1498,4 +1498,28 @@ class ExtensionsSpec extends SparkSpec {
     val ns = E.SessionGapsS.map(rows(_)._1)
     assert(ns === ns.sorted.reverse, "session count must fall with gap")
   }
+
+  test("q490 props profile replays the parse ledger and the generator " +
+    "emits a fully valid k in 0..99") {
+    val row = graft.operators.Extensions.q490JsonPropsProfile(spark, sf1)
+      .head()
+    val ks = graft.sources.Tables.load(spark, sf1, "events")
+      .select("props").collect().map(_.getString(0))
+      .map { p =>
+        val m = """\{"k": (\d+)\}""".r.findFirstMatchIn(p)
+        m.map(_.group(1).toLong)
+      }
+    assert(row.getAs[Long]("n") === ks.length.toLong)
+    assert(row.getAs[Long]("n_valid") === ks.count(_.isDefined).toLong)
+    assert(row.getAs[Long]("n_invalid") === ks.count(_.isEmpty).toLong)
+    val vs = ks.flatten
+    assert(row.getAs[Long]("k_min") === vs.min)
+    assert(row.getAs[Long]("k_max") === vs.max)
+    assert(row.getAs[Long]("k_mean_milli") ===
+      1000L * vs.sum / vs.length)
+    assert(row.getAs[Long]("k_distinct") === vs.distinct.length.toLong)
+    // generator contract: single-key JSON, k in 0..99, always parses
+    assert(row.getAs[Long]("n_invalid") === 0L)
+    assert(vs.min >= 0L && vs.max <= 99L)
+  }
 }

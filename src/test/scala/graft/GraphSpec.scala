@@ -378,4 +378,31 @@ class GraphSpec extends SparkSpec {
     }
     assert(rows.values.map(_._1).sum === nCust)
   }
+
+  test("q488 reciprocity replays the flipped-edge probe and is a " +
+    "valid ppm") {
+    val row = graft.operators.Graph.q488GraphReciprocity(spark, sf1)
+      .head()
+    import org.apache.spark.sql.functions._
+    val edges = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select("l_orderkey", "l_suppkey")
+      .join(graft.sources.Tables.load(spark, sf1, "orders")
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.sources.Tables.load(spark, sf1, "customer")
+        .select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.sources.Tables.load(spark, sf1, "supplier")
+        .select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey"), col("s_nationkey"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+      .filter(e => e._1 != e._2).distinct.toSet
+    val recip = edges.count(e => edges((e._2, e._1))).toLong
+    assert(row.getAs[Long]("n_edges") === edges.size.toLong)
+    assert(row.getAs[Long]("n_reciprocal") === recip)
+    assert(row.getAs[Long]("reciprocity_ppm") ===
+      recip * 1000000L / edges.size)
+    assert(row.getAs[Long]("reciprocity_ppm") <= 1000000L)
+  }
 }

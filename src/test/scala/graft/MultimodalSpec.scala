@@ -336,4 +336,31 @@ class MultimodalSpec extends SparkSpec {
       assert(ppm === sh * 1000000L / math.min(na, nb))
     }
   }
+
+  test("q489 metadata rules replay from the asset geometry and audio " +
+    "dims are the systematic violation this generator plants") {
+    val rows = graft.operators.Multimodal
+      .q489MetadataConsistency(spark, sf1).collect()
+      .map(r => r.getAs[String]("kind") ->
+        (r.getAs[Long]("n_assets"), r.getAs[Long]("n_dim_suspect"),
+          r.getAs[Long]("n_rate_suspect"), r.getAs[Long]("suspect_ppm")))
+      .toMap
+    assert(rows.keySet === Set("image", "audio", "video"))
+    val ids = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val kinds = Seq("image", "audio", "video")
+    ids.groupBy(id => kinds((id % 3).toInt)).foreach { case (k, g) =>
+      val dimSuspect = g.count { id =>
+        val w = id % 640 + 1; val h = id % 480 + 1
+        if (k == "audio") w * h > 1 else w < 16 || h < 16
+      }.toLong
+      val (gn, gd, gr, gppm) = rows(k)
+      assert(gn === g.length.toLong, k)
+      assert(gd === dimSuspect, s"$k dims")
+      assert(gr === 0L, s"$k rate (generator emits 16000)")
+      assert(gppm === dimSuspect * 1000000L / g.length)
+    }
+    // synthetic audio assets carry doc_id-derived dims: ~all violate
+    assert(rows("audio")._4 > 900000L)
+  }
 }

@@ -1029,4 +1029,28 @@ class PipelineSpec extends SparkSpec {
     assert(inc.getAs[Long]("short_ppm") ===
       uni.count(_._1 < P.CardShortDocTokens).toLong * 1000000L / n)
   }
+
+  test("q487 coverage matrix replays the lang x source spine and the " +
+    "cell algebra is internally consistent") {
+    val row = graft.operators.Pipeline.q487CoverageMatrix(spark, sf1)
+      .head()
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val langs = docs.map(_._1).distinct; val srcs = docs.map(_._2).distinct
+    val cells = docs.groupBy(identity).view.mapValues(_.length.toLong)
+    assert(row.getAs[Long]("n_langs") === langs.length.toLong)
+    assert(row.getAs[Long]("n_sources") === srcs.length.toLong)
+    assert(row.getAs[Long]("n_cells") ===
+      langs.length.toLong * srcs.length)
+    val zero = (for (l <- langs; s0 <- srcs)
+      yield cells.getOrElse((l, s0), 0L)).count(_ == 0L).toLong
+    assert(row.getAs[Long]("zero_cells") === zero)
+    assert(row.getAs[Long]("max_cell") === cells.values.max)
+    assert(row.getAs[Long]("imbalance_milli") ===
+      1000L * langs.length * srcs.length * cells.values.max /
+        docs.length)
+    // imbalance >= 1000 by definition (max >= mean)
+    assert(row.getAs[Long]("imbalance_milli") >= 1000L)
+  }
 }
