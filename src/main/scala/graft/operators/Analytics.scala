@@ -5589,6 +5589,77 @@ object Analytics {
             AS ltv_cents
         FROM g"""
 
+  // ------------------------------------------------------------ q493
+
+  /** q493 — DAILY GROWTH ACCOUNTING (the new/retained/resurrected/
+    * churned decomposition every growth team reads before anything
+    * else — q211's rolling WAU gives the level, this gives the FLOWS,
+    * with the accounting identity ΔDAU = new + resurrected − churned
+    * that makes the decomposition auditable rather than four
+    * independent counters). Per user: first active day; per (user,
+    * day): active today vs yesterday via one census self-join on
+    * (user, day−1); released per day 2.. : {day, dau, new_u,
+    * retained, resurrected, churned} — exact integers, identity
+    * pinned in the spec.
+    *
+    * Scale shape: one corpus scan → (user, day) distinct census; the
+    * yesterday probe is a census self-join on its own key; per-day
+    * aggregate. */
+  def q493GrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint(true)
+    val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
+    val withPrev = ud
+      .join(ud.select(col("user_id"),
+        date_add(col("day"), 1).as("day"), lit(1L).as("was_active")),
+        Seq("user_id", "day"), "left")
+      .join(broadcast(first), "user_id")
+    val daysFlows = withPrev
+      .groupBy("day")
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("new_u"),
+        sum(when(col("was_active").isNotNull, 1L).otherwise(0L))
+          .as("retained"),
+        sum(when(col("was_active").isNull &&
+          col("day") =!= col("first_day"), 1L).otherwise(0L))
+          .as("resurrected"))
+    // churned_d = users active d-1 but not d = dau_{d-1} - retained_d
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    daysFlows
+      .withColumn("prev_dau", lag("dau", 1).over(w))
+      .filter(col("prev_dau").isNotNull)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("new_u"), col("retained"), col("resurrected"),
+        (col("prev_dau") - col("retained")).as("churned"))
+  }
+
+  private def q493OracleSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          FROM events),
+        first_d AS (SELECT user_id, min(day) AS first_day
+          FROM ud GROUP BY 1),
+        flags AS (SELECT u.user_id, u.day, f.first_day,
+            CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS was_active
+          FROM ud u
+          JOIN first_d f ON f.user_id = u.user_id
+          LEFT JOIN ud p ON p.user_id = u.user_id
+            AND p.day = u.day - 1),
+        flows AS (SELECT day, CAST(count(*) AS BIGINT) AS dau,
+            CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+              AS BIGINT) AS new_u,
+            CAST(sum(was_active) AS BIGINT) AS retained,
+            CAST(sum(CASE WHEN was_active = 0 AND day <> first_day
+              THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+          FROM flags GROUP BY day)
+        SELECT strftime(day, '%Y-%m-%d') AS day, dau, new_u, retained,
+          resurrected,
+          CAST(lag(dau) OVER (ORDER BY day) - retained AS BIGINT)
+            AS churned
+        FROM flows QUALIFY lag(dau) OVER (ORDER BY day) IS NOT NULL"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q399_viterbi" -> (q399Viterbi _),
     "q401_slope_one" -> (q401SlopeOne _),
@@ -5606,6 +5677,7 @@ object Analytics {
     "q459_propensity_balance" -> (q459PropensityBalance _),
     "q469_churn_steady_state" -> (q469ChurnSteadyState _),
     "q481_customer_ltv" -> (q481CustomerLtv _),
+    "q493_growth_accounting" -> (q493GrowthAccounting _),
     "q471_decile_lift" -> (q471DecileLift _),
     "q447_spc_control" -> (q447SpcControl _),
     "q437_katz_index" -> (q437KatzIndex _),
@@ -5696,6 +5768,7 @@ object Analytics {
     "q459_propensity_balance" -> q459OracleSql,
     "q469_churn_steady_state" -> q469OracleSql,
     "q481_customer_ltv" -> q481OracleSql,
+    "q493_growth_accounting" -> q493OracleSql,
     "q471_decile_lift" -> q471OracleSql,
     "q447_spc_control" -> q447OracleSql,
     "q437_katz_index" -> q437OracleSql,

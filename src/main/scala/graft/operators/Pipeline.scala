@@ -2983,7 +2983,8 @@ object Pipeline {
           .as("imbalance_milli"))
   }
 
-  private def q487OracleSql: String =
+  /** q487's oracle, shared with its streaming twin q491. */
+  private[graft] def q487OracleSql: String =
     """WITH census AS (SELECT lang, source,
           CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
         spine AS (SELECT l.lang, s.source, coalesce(c.c, 0) AS c

@@ -5500,6 +5500,81 @@ object Stats {
         FROM m"""
   }
 
+  // ------------------------------------------------------------ q492
+
+  /** q492 — WEEKLY SEASONALITY STRENGTH of daily revenue (Hyndman's
+    * seasonal-strength readout by the ANOVA identity: the fraction of
+    * daily-revenue variance EXPLAINED by day-of-week — η² = SSB/SST
+    * over dow groups — what q433's periodogram measures spectrally
+    * and q196's profile shows descriptively; the 0..1 scalar a
+    * seasonality-aware forecaster gates on). The 7 dow groups are a
+    * FIXED domain, so the census pivots to one row and the
+    * between-group term Σ S_m²/n_m is a GENERATED fixed-order 7-term
+    * double chain over exact integer cells (the q425 discipline — no
+    * data-length fold, no integer-division overflow); strength_ppm
+    * floored from the shared chain, NULL on a constant series.
+    *
+    * Scale shape: one fact scan → daily census → 1-row dow pivot →
+    * scalar row. */
+  def q492SeasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("rv"))
+      .select(col("rv"),
+        expr("datediff(day, DATE '1995-01-01') % 7").as("m"))
+    val pivotCols = (0 until 7).flatMap { m => Seq(
+      sum(when(col("m") === m, 1L).otherwise(0L)).as(s"nm_$m"),
+      sum(when(col("m") === m, col("rv")).otherwise(0L)).as(s"sm_$m")) }
+    val g = daily.agg(count(lit(1)).as("n"), (pivotCols :+
+      sum("rv").as("sx") :+
+      sum(expr("CAST(rv AS DECIMAL(38,0)) * rv")).as("sxx")): _*)
+    val tTerm = (0 until 7).map(m =>
+      s"""(CASE WHEN nm_$m = 0 THEN 0.0
+         ELSE CAST(sm_$m AS DOUBLE)
+           * (CAST(sm_$m AS DOUBLE) / CAST(nm_$m AS DOUBLE)) END)""")
+      .mkString("(", " + ", ")")
+    val ssb = s"""($tTerm - CAST(sx AS DOUBLE)
+      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"""
+    val sst = """(CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"""
+    g.select(col("n").as("n_days"),
+      expr(s"""CASE WHEN $sst <= 0.0 THEN NULL
+           ELSE CAST(floor($ssb / $sst * 1000000) AS BIGINT) END""")
+        .as("strength_ppm"))
+  }
+
+  private def q492OracleSql: String = {
+    val pivotCols = (0 until 7).flatMap { m => Seq(
+      s"""CAST(sum(CASE WHEN m = $m THEN 1 ELSE 0 END) AS BIGINT)
+          AS nm_$m""",
+      s"""CAST(sum(CASE WHEN m = $m THEN rv ELSE 0 END) AS BIGINT)
+          AS sm_$m""") }.mkString(", ")
+    val tTerm = (0 until 7).map(m =>
+      s"""(CASE WHEN nm_$m = 0 THEN 0.0
+         ELSE CAST(sm_$m AS DOUBLE)
+           * (CAST(sm_$m AS DOUBLE) / CAST(nm_$m AS DOUBLE)) END)""")
+      .mkString("(", " + ", ")")
+    val ssb = s"""($tTerm - CAST(sx AS DOUBLE)
+      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"""
+    val sst = """(CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"""
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS rv
+          FROM orders GROUP BY 1),
+        phased AS (SELECT rv,
+          (day - DATE '1995-01-01') % 7 AS m FROM daily),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n, $pivotCols,
+          CAST(sum(rv) AS BIGINT) AS sx,
+          sum(CAST(rv AS HUGEINT) * rv) AS sxx FROM phased)
+        SELECT n AS n_days,
+          CASE WHEN $sst <= 0.0 THEN NULL
+            ELSE CAST(floor($ssb / $sst * 1000000) AS BIGINT) END
+            AS strength_ppm
+        FROM g"""
+  }
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5569,6 +5644,7 @@ object Stats {
     "q460_wilcoxon_signed_rank" -> (q460WilcoxonSignedRank _),
     "q474_design_effect" -> (q474DesignEffect _),
     "q480_negbin_fit" -> (q480NegbinFit _),
+    "q492_seasonal_strength" -> (q492SeasonalStrength _),
     "q444_ljung_box" -> (q444LjungBox _),
     "q446_dispersion" -> (q446Dispersion _))
 
@@ -5639,6 +5715,7 @@ object Stats {
     "q460_wilcoxon_signed_rank" -> q460OracleSql,
     "q474_design_effect" -> q474OracleSql,
     "q480_negbin_fit" -> q480OracleSql,
+    "q492_seasonal_strength" -> q492OracleSql,
     "q444_ljung_box" -> q444OracleSql,
     "q446_dispersion" -> q446OracleSql)
 }

@@ -2102,8 +2102,56 @@ object EventStream {
              END""").as("p_ppm"))
   }
 
+  // -------------------------------------------------------------- q491
+
+  /** q491 — STREAMING CORPUS COVERAGE MONITOR (q487's lang × source
+    * balance audit under continuous document ingest — the 30th
+    * declared streaming shape, and the governance twin of the q157
+    * ingest-dedup stream: the moment a "multilingual" feed goes dark
+    * in one language is when a balance dashboard must say so, not at
+    * the next batch rebuild). State: the (lang × source) count census
+    * — append-mergeable, so the drained one-row panel equals batch
+    * q487 EXACTLY over the observed dims (same oracle).
+    *
+    * Scale shape: streaming census map-side combined, state ≤ 100
+    * cells; the panel rides the drained census + dims spine. */
+  def q491StreamCoverage(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q491_stream_coverage_mem"
+    s.catalog.dropTempView(name)
+    val q = readDocs(s, dir, maxFilesPerTrigger)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("c"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val census = s.table(name).localCheckpoint(true)
+    val langs = census.select("lang").distinct()
+    val sources = census.select("source").distinct()
+    val spine = langs.crossJoin(sources)
+      .join(census, Seq("lang", "source"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("c"))
+    spine.agg(count(lit(1)).as("n_cells"),
+        sum(when(col("c") === 0, 1L).otherwise(0L)).as("zero_cells"),
+        min("c").as("min_cell"), max("c").as("max_cell"),
+        sum("c").as("n_docs"))
+      .crossJoin(broadcast(langs.agg(count(lit(1)).as("n_langs"))))
+      .crossJoin(broadcast(sources.agg(count(lit(1)).as("n_sources"))))
+      .select(col("n_langs"), col("n_sources"), col("n_cells"),
+        col("zero_cells"), col("min_cell"), col("max_cell"),
+        expr("1000 * n_langs * n_sources * max_cell div n_docs")
+          .as("imbalance_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q491_stream_coverage" ->
+      ((s: SparkSession, d: String) => q491StreamCoverage(s, d)),
     "q484_stream_negbin" ->
       ((s: SparkSession, d: String) => q484StreamNegbin(s, d)),
     "q467_stream_user_skew" ->
@@ -2149,6 +2197,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q491_stream_coverage" -> graft.operators.Pipeline.q487OracleSql,
     "q484_stream_negbin" -> graft.operators.Stats.q480OracleSql,
     "q467_stream_user_skew" -> q467OracleSql,
     "q458_stream_spc" -> q458OracleSql,

@@ -1894,4 +1894,44 @@ class AnalyticsSpec extends SparkSpec {
         assert(life.isEmpty && ltv.isEmpty)
     }
   }
+
+  test("q493 growth accounting satisfies the flow identity " +
+    "dau = new + retained + resurrected and delta = new + res - churn") {
+    val rows = Analytics.q493GrowthAccounting(spark, sf1).collect()
+      .map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("new_u"),
+          r.getAs[Long]("retained"), r.getAs[Long]("resurrected"),
+          r.getAs[Long]("churned"))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, (dau, nu, ret, res, _)) =>
+      assert(dau === nu + ret + res, s"$d stock identity")
+    }
+    // flow identity against the previous day's dau
+    val sorted = rows.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, prev), (d, cur)) =>
+        assert(cur._1 - prev._1 === cur._2 + cur._4 - cur._5,
+          s"$d flow identity")
+      case _ =>
+    }
+    // brute-force one day's cells
+    val ud = graft.sources.Tables.load(spark, sf1, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val byDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    val firstDay = ud.groupBy(_._1).view.mapValues(_.map(_._2).min)
+    val days = byDay.keys.toSeq.sorted
+    val probe = days(days.length / 2)
+    val prevD = probe.minusDays(1)
+    val (act, prevAct) = (byDay(probe), byDay.getOrElse(prevD, Set.empty[Long]))
+    val key = probe.toString
+    val (dau, nu, ret, res, ch) = rows(key)
+    assert(dau === act.size.toLong)
+    assert(nu === act.count(u => firstDay(u) == probe).toLong)
+    assert(ret === act.intersect(prevAct).size.toLong)
+    assert(res === act.count(u =>
+      !prevAct(u) && firstDay(u) != probe).toLong)
+    assert(ch === (prevAct -- act).size.toLong)
+  }
 }

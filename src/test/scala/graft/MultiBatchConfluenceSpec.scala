@@ -116,6 +116,9 @@ class MultiBatchConfluenceSpec extends SparkSpec {
   confluent("q484 streaming negative-binomial fit")(mf =>
     EventStream.q484StreamNegbin(spark, eventsDir, mf))
 
+  confluent("q491 streaming coverage monitor")(mf =>
+    EventStream.q491StreamCoverage(spark, docsDir, mf))
+
   test("q239 heavy hitters: MG capture guarantee holds under a forced " +
     "4-file replay (sketch content may differ, the guarantee may not)") {
     // MG sketch CONTENT is merge-order dependent; the declared output

@@ -3009,4 +3009,37 @@ class StatsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q492 seasonal strength replays the pivoted eta-squared chain " +
+    "and sits in [0, 1]") {
+    val row = Stats.q492SeasonalStrength(spark, sf1).head()
+    val daily = graft.sources.Tables.load(spark, sf1, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .as("rv"))
+      .collect().map { r =>
+        val m = (java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse("1995-01-01"),
+          r.getDate(0).toLocalDate) % 7).toInt
+        (m, r.getLong(1))
+      }
+    val n = daily.length.toLong
+    assert(row.getAs[Long]("n_days") === n)
+    val sx = daily.map(_._2).sum
+    val sxx = daily.map(d => BigInt(d._2) * d._2).sum
+    var t = 0.0
+    (0 until 7).foreach { m =>
+      val g = daily.filter(_._1 == m)
+      if (g.nonEmpty) {
+        val sm = g.map(_._2).sum
+        t += sm.toDouble * (sm.toDouble / g.length)
+      }
+    }
+    val ssb = t - sx.toDouble * (sx.toDouble / n)
+    val sst = sxx.toDouble - sx.toDouble * (sx.toDouble / n)
+    assert(row.getAs[Long]("strength_ppm") ===
+      math.floor(ssb / sst * 1e6).toLong)
+    val sp = row.getAs[Long]("strength_ppm")
+    assert(sp >= -1000L && sp <= 1000000L, s"eta^2 out of range: $sp")
+  }
 }
