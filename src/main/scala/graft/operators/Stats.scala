@@ -4376,6 +4376,12 @@ object Stats {
     * cross-engine float-fold discipline: a data-length double Σ would
     * be reduction-order-dependent), so the sum and the final
     * a2_micro = Σ div (n·m) are bit-identical on both engines.
+    * Magnitude note (the q266 convention): Spark's `div` narrows the
+    * per-cell quotient to BIGINT; under the null the quotient is tiny,
+    * and the adversarial bound stays under int64 through ~sf10 —
+    * beyond that a wrap would DIVERGE from DuckDB's HUGEINT `//` and
+    * fail the differential loudly rather than silently (q492's
+    * overflow was caught exactly this way).
     *
     * Scale shape: the q303/q321 value-domain census (cents grid of an
     * Exp(50) payload, ~10⁴ cells at any SF) — one corpus scan map-side
