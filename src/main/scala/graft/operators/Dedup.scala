@@ -349,6 +349,56 @@ object Dedup {
           CAST(sum(sz) AS BIGINT) AS n_docs
         FROM sizes GROUP BY sz"""
 
+  /** q494 — DEDUP STORAGE SAVINGS LEDGER (the cost number the whole
+    * dedup stack exists to produce: q63 labels, q125 picks survivors,
+    * q464 profiles cluster sizes — a storage owner signs off on BYTES:
+    * how much disappears if only survivors are kept). Joins the q63
+    * labels and q125 survivors against per-doc byte lengths; released
+    * one row {n_docs, n_survivors, bytes_total, bytes_kept,
+    * bytes_saved, saved_ppm} — exact integers, and the two identities
+    * kept + saved = total and survivors = clusters are the spec's
+    * audit.
+    *
+    * Scale shape: q63's CC dominates; the ledger adds two doc-keyed
+    * joins against the length projection and a scalar fold. */
+  def q494DedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val lens = plantedDocs(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("bigint").as("len"))
+      .localCheckpoint(true)
+    val survivors = q125DedupSurvivors(s, dir)
+      .select(col("survivor_id").as("doc_id"))
+    val kept = survivors.join(lens, "doc_id")
+      .agg(count(lit(1)).as("n_survivors"), sum("len").as("bytes_kept"))
+    val tot = lens.agg(count(lit(1)).as("n_docs"),
+      sum("len").as("bytes_total"))
+    tot.crossJoin(kept)
+      .select(col("n_docs"), col("n_survivors"), col("bytes_total"),
+        col("bytes_kept"),
+        (col("bytes_total") - col("bytes_kept")).as("bytes_saved"),
+        expr("""(bytes_total - bytes_kept) * 1000000
+             div bytes_total""").as("saved_ppm"))
+  }
+
+  private def q494OracleSql: String =
+    s"""WITH labels AS (SELECT * FROM ($q63OracleSql) t0),
+        pl AS ($plantedSql),
+        lens AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len
+          FROM pl),
+        ranked AS (SELECT l.cluster, l.doc_id, ln.len,
+            row_number() OVER (PARTITION BY l.cluster
+              ORDER BY ln.len DESC, l.doc_id) AS rn
+          FROM labels l JOIN lens ln ON l.doc_id = ln.doc_id),
+        kept AS (SELECT CAST(count(*) AS BIGINT) AS n_survivors,
+            CAST(sum(len) AS BIGINT) AS bytes_kept
+          FROM ranked WHERE rn = 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(len) AS BIGINT) AS bytes_total FROM lens)
+        SELECT n_docs, n_survivors, bytes_total, bytes_kept,
+          bytes_total - bytes_kept AS bytes_saved,
+          (bytes_total - bytes_kept) * 1000000 // bytes_total
+            AS saved_ppm
+        FROM tot CROSS JOIN kept"""
+
   /** q483's swept Jaccard thresholds (percent). */
   val DedupSweepPct: Seq[Long] = Seq(70L, 80L, 90L)
 
@@ -2433,6 +2483,7 @@ object Dedup {
     "q63_dedup_clusters" -> (q63DedupClusters _),
     "q464_cluster_size_profile" -> (q464ClusterSizeProfile _),
     "q483_dedup_threshold_sweep" -> (q483DedupThresholdSweep _),
+    "q494_dedup_savings" -> (q494DedupSavings _),
     "q222_incremental_cc" -> (q222IncrementalCc _),
     "q70_edit_distance" -> (q70EditDistance _),
     "q71_simhash_hamming" -> (q71SimhashHamming _),
@@ -2463,6 +2514,7 @@ object Dedup {
     "q63_dedup_clusters" -> q63OracleSql,
     "q464_cluster_size_profile" -> q464OracleSql,
     "q483_dedup_threshold_sweep" -> q483OracleSql,
+    "q494_dedup_savings" -> q494OracleSql,
     "q222_incremental_cc" -> q222OracleSql,
     "q70_edit_distance" -> q70OracleSql,
     "q71_simhash_hamming" -> q71OracleSql,

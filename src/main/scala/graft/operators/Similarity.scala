@@ -2548,9 +2548,52 @@ object Similarity {
             AS BIGINT) AS mmd2_milli
         FROM pairs GROUP BY la, lb"""
 
+  // ------------------------------------------------------------ q495
+
+  /** q495 — EMBEDDING NORM AUDIT (the vector-quality screen every ANN
+    * index build runs first: zero vectors poison cosine (0/0),
+    * near-zero norms amplify quantization error, and a norm
+    * distribution that isn't tight means the embedding model — or the
+    * ingest that scaled it — drifted; the family consumes normalized
+    * cosines everywhere and this is the audit that says the
+    * normalization is safe). Per vector: norm via the same
+    * [[graft.functions.VectorFunctions.vec_dot]]/sqrt chain the
+    * retrieval queries rank with (cross-engine IEEE-identical);
+    * released the decile histogram of floor(norm) plus
+    * {n, n_zero} — counts only, no corpus-length double fold.
+    *
+    * Scale shape: one corpus scan, in-row norm, ≤ \|buckets\|-row
+    * census. */
+  def q495EmbeddingNormAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = vectors(s, dir)
+    val bucketed = e.select(
+      when(col("nrm") === 0.0, -1L)
+        .otherwise(expr("CAST(floor(nrm) AS BIGINT)")).as("bucket"))
+      .localCheckpoint(true)
+    val g = bucketed.agg(count(lit(1)).as("n"),
+      sum(when(col("bucket") === -1L, 1L).otherwise(0L)).as("n_zero"))
+    bucketed.groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(g))
+      .select(col("bucket"), col("n_vecs"),
+        expr("n_vecs * 1000000 div n").as("share_ppm"))
+  }
+
+  private def q495OracleSql: String =
+    """WITH e AS (SELECT vec_id,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+        b AS (SELECT CASE WHEN nrm = 0.0 THEN -1
+            ELSE CAST(floor(nrm) AS BIGINT) END AS bucket FROM e),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+          CAST(count(*) AS BIGINT) * 1000000 // max(g.n) AS share_ppm
+        FROM b CROSS JOIN g GROUP BY bucket"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q450_rayleigh_certificate" -> (q450RayleighCertificate _),
     "q461_embedding_mmd" -> (q461EmbeddingMmd _),
+    "q495_embedding_norm_audit" -> (q495EmbeddingNormAudit _),
     "q351_power_iteration" -> (q351PowerIteration _),
     "q344_cka_prefix" -> (q344CkaPrefix _),
     "q334_class_separability" -> (q334ClassSeparability _),
@@ -2589,6 +2632,7 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "q450_rayleigh_certificate" -> q450OracleSql,
     "q461_embedding_mmd" -> q461OracleSql,
+    "q495_embedding_norm_audit" -> q495OracleSql,
     "q344_cka_prefix" -> q344OracleSql,
     "q351_power_iteration" -> q351OracleSql,
     "q334_class_separability" -> q334OracleSql,

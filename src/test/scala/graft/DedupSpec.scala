@@ -489,4 +489,20 @@ class DedupSpec extends SparkSpec {
     // recall at the loosest tau captures nearly all plantable twins
     assert(rows(70L)._3 > 900000L)
   }
+
+  test("q494 savings ledger: kept + saved = total, survivors = " +
+    "clusters, and the planted corpus saves roughly half") {
+    val row = Dedup.q494DedupSavings(spark, sf1).head()
+    val nDocs = row.getAs[Long]("n_docs")
+    val nSurv = row.getAs[Long]("n_survivors")
+    val (bt, bk, bs) = (row.getAs[Long]("bytes_total"),
+      row.getAs[Long]("bytes_kept"), row.getAs[Long]("bytes_saved"))
+    assert(bk + bs === bt, "bytes identity")
+    assert(row.getAs[Long]("saved_ppm") === bs * 1000000L / bt)
+    assert(nSurv === Dedup.q63DedupClusters(spark, sf1)
+      .select("cluster").distinct().count())
+    assert(nDocs === 1000L)
+    // the planted corpus is ~2x duplicated: savings land near half
+    assert(bs * 1000000L / bt > 300000L && bs * 1000000L / bt < 600000L)
+  }
 }

@@ -912,4 +912,21 @@ class PropertySpec extends SparkSpec {
       assert(gM === want, s"pair $la/$lb")
     }
   }
+
+  test("q495 norm audit buckets partition the corpus, unit-scale " +
+    "vectors land in bucket 0 or 1, and no zero vector exists here") {
+    val S = graft.operators.Similarity
+    val rows = S.q495EmbeddingNormAudit(spark, sf1).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("share_ppm"))).toMap
+    val n = graft.sources.Tables.load(spark, sf1, "embeddings").count()
+    assert(rows.values.map(_._1).sum === n)
+    assert(!rows.contains(-1L), "generator emits no zero vectors")
+    // unit-normalized generator: every norm in [0, 2)
+    assert(rows.keySet.subsetOf(Set(0L, 1L)),
+      s"unexpected norm buckets: ${rows.keySet}")
+    rows.foreach { case (_, (nv, sp)) =>
+      assert(sp === nv * 1000000L / n)
+    }
+  }
 }
