@@ -172,7 +172,13 @@ object Scaling {
     // |parts| total-order window, q482 the user-keyed lag pass.
     // q479-q481/q484 are census/IVM/scalar-bounded or streaming twins.
     "q482_session_gap_sweep", "q483_dedup_threshold_sweep",
-    "q485_degree_distribution", "q486_abc_classification")
+    "q485_degree_distribution", "q486_abc_classification",
+    // session-8 closeout II: q488 the fact-join edge derivation,
+    // q493 the (user, day) census self-join, q494 the CC+survivor
+    // stack. q487/q489-q492/q495 are census/metadata/streaming
+    // bounded — excluded on the standing grounds.
+    "q488_graph_reciprocity", "q493_growth_accounting",
+    "q494_dedup_savings")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_LIST",
