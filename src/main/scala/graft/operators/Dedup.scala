@@ -2340,15 +2340,19 @@ object Dedup {
     * ((a+1)/(n+2)) so a field that always or never agrees yields a
     * finite weight instead of ±∞: w_agree = log₂(m/u), w_disagree =
     * log₂((1−m)/(1−u)), each written as ONE ln-ratio of integer
-    * cross-products. */
+    * cross-products. The ln 2 divisor is a baked shortest-round-trip
+    * literal (q403 discipline — shared-text `ln(2.0)` would evaluate
+    * on each engine's libm, whose last-ulp drift can flip the floored
+    * milli weight). */
   private def fsWeightExprs: Seq[String] = Seq(
     s"""CAST(floor(ln((CAST(m_agree + 1 AS DOUBLE) * (n_nonmatch + 2))
             / (CAST(u_agree + 1 AS DOUBLE) * (n_match + 2)))
-          / ln(2.0) * 1000) AS BIGINT) AS w_agree_milli""",
+          / 0.6931471805599453 * 1000) AS BIGINT) AS w_agree_milli""",
     s"""CAST(floor(ln((CAST(n_match - m_agree + 1 AS DOUBLE)
               * (n_nonmatch + 2))
             / (CAST(n_nonmatch - u_agree + 1 AS DOUBLE) * (n_match + 2)))
-          / ln(2.0) * 1000) AS BIGINT) AS w_disagree_milli""")
+          / 0.6931471805599453 * 1000) AS BIGINT)
+          AS w_disagree_milli""")
 
   /** q350 — FELLEGI–SUNTER LINKAGE WEIGHT TABLE (Fellegi & Sunter 1969
     * — the decision-theoretic core of probabilistic record linkage and

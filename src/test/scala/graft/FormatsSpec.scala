@@ -48,7 +48,7 @@ class FormatsSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(audit === src, "partitioned round trip lost or mangled rows")
     val one = audit.keys.head
-    val pruned = spark.read.parquet("target/graft_q271_part")
+    val pruned = spark.read.parquet(graft.Sink.scratch("q271_part"))
       .filter(col("source") === one)
     // inputFiles ignores filters; the pruning contract lives in the
     // scan's PartitionFilters — assert it's pushed to the scan and
@@ -67,7 +67,7 @@ class FormatsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     graft.operators.Core.q272SchemaEvolution(spark, sf1).collect()
     val back = spark.read.option("mergeSchema", "true")
-      .parquet("target/graft_q272_evo")
+      .parquet(graft.Sink.scratch("q272_evo"))
     assert(back.schema.fieldNames.contains("quality"))
     val joined = back.join(
       Tables.load(spark, sf1, "documents").select("doc_id", "n_chars"),
@@ -88,7 +88,7 @@ class FormatsSpec extends SparkSpec {
     val src = Tables.load(spark, sf1, "documents")
       .select("doc_id", "source", "lang", "n_chars", "text")
     val back = spark.read.option("header", "true").schema(src.schema)
-      .csv("target/graft_q291_csv")
+      .csv(graft.Sink.scratch("q291_csv"))
     assert(back.count() === src.count())
     assert(back.exceptAll(src).count() === 0L &&
       src.exceptAll(back).count() === 0L,

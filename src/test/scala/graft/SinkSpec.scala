@@ -87,4 +87,39 @@ class SinkSpec extends SparkSpec {
     Sink.writeTable(df, out)
     assert(spark.read.parquet(out).count() === df.count())
   }
+
+  // S3 LIVE: the write-back twin of TablesSpec's embedded-Derby S1/S2
+  // reads (round-10 verdict #6) — a real external store's type system
+  // round-trips the narrowing contract, not just parquet's. The source
+  // column is first WIDENED to decimal(38,0), the Oracle NUMBER shape
+  // the reference migrates from (README.md:471 vs 686), so narrowKeys
+  // has real work to do; Derby then materializes the narrowed column
+  // as BIGINT and the read-back proves the type survived the store.
+  test("S3 live: JDBC write-back to embedded Derby round-trips rows " +
+    "and the decimal->bigint narrowing (reference README.md:868-874)") {
+    val url = "jdbc:derby:memory:graftsink;create=true"
+    val drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    val oracleShaped = graft.sources.Tables.load(spark, sf1, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .withColumn("s_suppkey", col("s_suppkey").cast("decimal(38,0)"))
+      .withColumn("s_nationkey", col("s_nationkey").cast("decimal(38,0)"))
+    val narrowed =
+      Sink.narrowKeys(oracleShaped, Seq("s_suppkey", "s_nationkey"))
+    assert(narrowed.schema("s_suppkey").dataType === LongType)
+    def writeOnce(): Unit = narrowed.write.format("jdbc")
+      .option("url", url).option("driver", drv)
+      .option("dbtable", "supplier").mode("overwrite").save()
+    writeOnce()
+    writeOnce() // D3 idempotent re-create against a live store
+    val back = new graft.sources.JdbcBinding(url, drv)
+      .table(spark, "supplier")
+    assert(back.schema("s_suppkey").dataType === LongType &&
+      back.schema("s_nationkey").dataType === LongType,
+      "narrowed keys must come back from Derby as BIGINT")
+    assert(back.count() === narrowed.count())
+    assert(back.select(narrowed.columns.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq ===
+      narrowed.collect().map(_.toString).sorted.toSeq,
+      "JDBC write-back multiset diverged from the written frame")
+  }
 }

@@ -569,4 +569,38 @@ class StatefulStreamingSpec extends SparkSpec {
       s"split-dependent: only-multi=${(multi -- whole).take(3)} " +
         s"only-whole=${(whole -- multi).take(3)}")
   }
+
+  // Round-10 verdict #8: the declared stateful shapes run on the
+  // default HDFS-backed state store; at 100 TB/day state the
+  // production config is RocksDB (off-heap, spillable, changelog
+  // checkpointing). The provider is a pure storage swap — the operator
+  // contract says the SINK must be bit-identical — so rerun every
+  // stateful family member (arbitrary state q114/q117, dropDuplicates
+  // q126, stream-stream join q121, incremental LSH q157) under
+  // RocksDBStateStoreProvider and pin sink equality against the
+  // default-provider run in the same session.
+  test("stateful shapes produce identical sinks under the RocksDB " +
+    "state store provider") {
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    val keys = Seq("q114_stream_profiles", "q117_stream_sessions",
+      "q121_stream_interval_join", "q126_stream_dedup",
+      "q157_stream_lsh")
+    for (k <- keys) {
+      val fn = SparkEntry.queries(k)
+      val base = fn(spark, sf1).collect().map(_.toString).sorted.toSeq
+      val prev = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, rocks)
+      try {
+        val rocksRun = fn(spark, sf1)
+          .collect().map(_.toString).sorted.toSeq
+        assert(rocksRun === base,
+          s"$k sink diverged under the RocksDB state store")
+      } finally prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
 }
