@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Core, Dedup, Extensions, Graph, Multimodal, Pipeline, Portfolio, Similarity, Stats, TextOps}
+import graft.operators.{Analytics, Core, Curation, Dedup, Extensions, Graph, Multimodal, Pipeline, Portfolio, Similarity, Stats, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,13 +24,13 @@ object SparkEntry {
     Core.queries ++ Extensions.queries ++ Dedup.queries ++
       Similarity.queries ++ TextOps.queries ++ Multimodal.queries ++
       Pipeline.queries ++ Graph.queries ++ Analytics.queries ++
-      Stats.queries ++ Portfolio.queries ++
+      Stats.queries ++ Portfolio.queries ++ Curation.queries ++
       graft.streaming.EventStream.queries
 
   def oracleSql: Map[String, String] =
     Core.oracleSql ++ Extensions.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ TextOps.oracleSql ++ Multimodal.oracleSql ++
       Pipeline.oracleSql ++ Graph.oracleSql ++ Analytics.oracleSql ++
-      Stats.oracleSql ++ Portfolio.oracleSql ++
+      Stats.oracleSql ++ Portfolio.oracleSql ++ Curation.oracleSql ++
       graft.streaming.EventStream.oracleSql
 }

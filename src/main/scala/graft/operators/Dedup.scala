@@ -1229,6 +1229,113 @@ object Dedup {
         SELECT vec_id, min(lab) AS cluster FROM reach GROUP BY vec_id"""
   }
 
+  // ----------------------------------------------------------- q501
+
+  /** q501's geometry ladder: P(n) = max(4, ⌈log₂(n/128)⌉) as a
+    * generated integer CASE ladder over the corpus count — the
+    * [[LshGeometry.forCorpus]] rule made DECLARABLE: the count is a
+    * 1-row broadcast, the ladder is exact integer compares, and the
+    * plane family is prefix-stable, so the inlined literal set stays
+    * STATIC while the geometry adapts to the data. Caps at 14 planes
+    * (2¹⁶·¼ buckets — holds the 128-vector bucket target through
+    * n = 2⁽¹⁴⁾·128 ≈ 2M vectors ≈ sf1000; bound documented). */
+  private val AdaptiveMaxPlanes = 14
+  private def planeCountCase: String =
+    (4 to AdaptiveMaxPlanes).map(k =>
+      s"WHEN n_vecs <= ${TargetSrpBucket * (1L << k)} THEN $k")
+      .mkString("CASE ", " ", s" ELSE $AdaptiveMaxPlanes END")
+
+  /** Masked SRP bucket over the 14-plane prefix-stable family: bit p
+    * participates iff p < n_planes. The mask is what keeps the shared
+    * text static — both engines carry all 14 plane literals, the data
+    * decides how many bits are live. */
+  private def adaptiveBucketExpr(dialect: String): String = {
+    val ps = planesFor(AdaptiveMaxPlanes)
+    (0 until AdaptiveMaxPlanes).map { p =>
+      val lit =
+        if (dialect == "spark")
+          ps(p).map(v => s"${v}D").mkString("array(", ", ", ")")
+        else ps(p).map(_.toString).mkString("[", ", ", "]")
+      val cmp =
+        if (dialect == "spark") s"vec_dot(ed, $lit) >= 0D"
+        else s"list_dot_product(ed, $lit) >= 0"
+      s"(CASE WHEN $p < n_planes AND $cmp THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  /** q501 — ADAPTIVE-GEOMETRY EMBEDDING CLUSTERS (the at-scale path
+    * for q33/q119, declared under the differential — the round-11
+    * sf10 endurance run measured the cliff the fixed demo geometry
+    * hides: q119's 16 buckets hold n²/16 in-bucket pairs, 6.1 s at
+    * sf1 → 116 s at sf10 (raw exponent 1.28), because expected bucket
+    * size n/2⁴ outgrows the 128-vector target 10× per decade. The fix
+    * is the geometry rule the module always documented —
+    * [[LshGeometry.forCorpus]], planes ∝ log₂ n — which this query
+    * bakes into static shared SQL via the count ladder + masked
+    * prefix-stable planes above, keeping expected bucket size ≤ 128
+    * and candidate volume ≈ n·64 — LINEAR per decade at any SF).
+    * Same pipeline as q119 downstream: in-bucket exact cosine ≥ τ,
+    * then large-star/small-star connected components, every vector
+    * labeled with its component minimum. Recall note: more planes ⇒
+    * fewer cross-bucket collisions, so q501's pair set is a SUBSET of
+    * q119's at big n — the standard SRP recall/volume dial, here set
+    * to the documented production target rather than the 16-bucket
+    * demo.
+    *
+    * Scale shape: one broadcast count, one linear bucket pass, an
+    * equi-join whose per-key volume the ladder bounds by 128²/2, and
+    * the O(log n)-round star CC — no stage is corpus². */
+  def q501AdaptiveSrpClusters(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.functions.VectorFunctions.{register, vec_dot}
+    register(s)
+    val base = t(s, dir, "embeddings")
+      .withColumn("ed", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(vec_dot(col("ed"), col("ed"))))
+    val geom = base.agg(count(lit(1)).as("n_vecs"))
+      .withColumn("n_planes", expr(planeCountCase))
+    val e = base.crossJoin(broadcast(geom))
+      .withColumn("bucket", expr(adaptiveBucketExpr("spark")))
+      .select("vec_id", "ed", "nrm", "bucket")
+    val x = e.as("x")
+    val y = e.as("y")
+    val pairs = x.join(y,
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos",
+        vec_dot(col("x.ed"), col("y.ed")) / (col("x.nrm") * col("y.nrm")))
+      .filter(col("cos") >= CosineTau)
+      .select(col("x.vec_id").as("doc_id_1"),
+        col("y.vec_id").as("doc_id_2"))
+    connectedComponentsStar(
+      t(s, dir, "embeddings").select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+  }
+
+  private def q501OracleSql: String = {
+    val bucketTerms = adaptiveBucketExpr("duck")
+    s"""WITH RECURSIVE e AS (SELECT vec_id,
+          CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+        geom AS (SELECT $planeCountCase AS n_planes
+          FROM (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM e)),
+        b AS (SELECT vec_id, ed,
+                     sqrt(list_dot_product(ed, ed)) AS nrm,
+                     $bucketTerms AS bucket FROM e, geom),
+        pairs AS (SELECT x.vec_id AS v1, y.vec_id AS v2
+          FROM b x JOIN b y
+            ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          WHERE list_dot_product(x.ed, y.ed) / (x.nrm * y.nrm)
+                  >= $CosineTau),
+        edges AS (SELECT v1 AS src, v2 AS dst FROM pairs
+                  UNION ALL
+                  SELECT v2 AS src, v1 AS dst FROM pairs),
+        reach(vec_id, lab) AS (
+          SELECT vec_id, vec_id FROM e
+          UNION
+          SELECT g.src, r.lab FROM edges g JOIN reach r ON r.vec_id = g.dst)
+        SELECT vec_id, min(lab) AS cluster FROM reach GROUP BY vec_id"""
+  }
+
   // ----------------------------------------------------------- q101
 
   /** q101 — EXACT set-similarity self-join via prefix filtering (the
@@ -2478,6 +2585,7 @@ object Dedup {
     "q124_source_dup_matrix" -> (q124SourceDupMatrix _),
     "q125_dedup_survivors" -> (q125DedupSurvivors _),
     "q119_embedding_clusters" -> (q119EmbeddingClusters _),
+    "q501_adaptive_srp_clusters" -> (q501AdaptiveSrpClusters _),
     "q110_containment_join" -> (q110ContainmentJoin _),
     "q101_setsim_join" -> (q101SetSimJoin _),
     "q30_dedup_minhash_lsh" -> (q30DedupMinhashLsh _),
@@ -2509,6 +2617,7 @@ object Dedup {
     "q124_source_dup_matrix" -> q124OracleSql,
     "q125_dedup_survivors" -> q125OracleSql,
     "q119_embedding_clusters" -> q119OracleSql,
+    "q501_adaptive_srp_clusters" -> q501OracleSql,
     "q110_containment_join" -> q110OracleSql,
     "q101_setsim_join" -> q101OracleSql,
     "q30_dedup_minhash_lsh" -> q30OracleSql,

@@ -2148,8 +2148,79 @@ object EventStream {
           .as("imbalance_milli"))
   }
 
+  // -------------------------------------------------------------- q500
+
+  /** q500 — STREAMING HYPERLOGLOG MONITOR (q496's register census as
+    * the 30th declared streaming shape, and the canonical streaming
+    * sketch: HLL registers merge with max(), so each micro-batch's
+    * partial maxes fold into state with NO distinct shuffle and
+    * O(types × 64) state — the live distinct-users dashboard a
+    * 100 TB/day event feed actually runs). The replay max-merges
+    * (type, register) ranks in complete mode; q496's exact-integer
+    * finisher runs on the drained table. The oracle derives the same
+    * registers from the batch table, so the differential pins the
+    * stream = batch confluence; MultiBatchConfluenceSpec forces the
+    * 4-file split replay. Released: the sketch columns only (no
+    * exact count — the monitor's whole point is never paying it). */
+  def q500StreamHll(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.operators.Curation
+    val name = "q500_stream_hll_mem"
+    s.catalog.dropTempView(name)
+    val q = readEvents(s, dir, maxFilesPerTrigger)
+      .selectExpr("event_type",
+        s"(${Curation.HllA} * user_id + ${Curation.HllB}) " +
+          s"% ${Curation.HllP} AS hll_h")
+      .selectExpr("event_type", "hll_h % 64 AS hll_reg",
+        "hll_h div 64 AS hll_v")
+      .withColumn("rho", expr(Curation.hllRhoCase))
+      .groupBy("event_type", "hll_reg")
+      .agg(max("rho").as("m"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - m)")).as("s_occ"))
+      .withColumn("s_int",
+        col("s_occ") + (lit(64L) - col("n_regs")) * lit(33554432L))
+      .withColumn("est_milli", expr(Curation.hllEstMilli))
+      .select("event_type", "n_regs", "s_int", "est_milli")
+  }
+
+  private[graft] def q500OracleSql: String = {
+    import graft.operators.Curation
+    s"""WITH hashed AS (SELECT event_type,
+          (((${Curation.HllA} * user_id + ${Curation.HllB})
+             % ${Curation.HllP}) % 64) AS hll_reg,
+          (((${Curation.HllA} * user_id + ${Curation.HllB})
+             % ${Curation.HllP}) // 64) AS hll_v
+        FROM events),
+        regs AS (SELECT event_type, hll_reg,
+          max(${Curation.hllRhoCase}) AS m
+        FROM hashed GROUP BY event_type, hll_reg)
+        SELECT event_type,
+          CAST(count(*) AS BIGINT) AS n_regs,
+          CAST(sum((CAST(1 AS BIGINT) << (25 - m))) AS BIGINT)
+            + (64 - CAST(count(*) AS BIGINT)) * 33554432 AS s_int,
+          CAST(floor(${Curation.HllAlphaNum}
+            / CAST((CAST(sum((CAST(1 AS BIGINT) << (25 - m)))
+                AS BIGINT)
+              + (64 - CAST(count(*) AS BIGINT)) * 33554432) AS DOUBLE)
+            * 1000) AS BIGINT) AS est_milli
+        FROM regs GROUP BY event_type"""
+  }
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q500_stream_hll" ->
+      ((s: SparkSession, d: String) => q500StreamHll(s, d)),
     "q491_stream_coverage" ->
       ((s: SparkSession, d: String) => q491StreamCoverage(s, d)),
     "q484_stream_negbin" ->
@@ -2197,6 +2268,7 @@ object EventStream {
   /** Identical to q26's oracle: the streaming run must land exactly on
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
+    "q500_stream_hll" -> q500OracleSql,
     "q491_stream_coverage" -> graft.operators.Pipeline.q487OracleSql,
     "q484_stream_negbin" -> graft.operators.Stats.q480OracleSql,
     "q467_stream_user_skew" -> q467OracleSql,

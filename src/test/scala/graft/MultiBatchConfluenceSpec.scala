@@ -119,6 +119,9 @@ class MultiBatchConfluenceSpec extends SparkSpec {
   confluent("q491 streaming coverage monitor")(mf =>
     EventStream.q491StreamCoverage(spark, docsDir, mf))
 
+  confluent("q500 streaming HLL monitor")(mf =>
+    EventStream.q500StreamHll(spark, eventsDir, mf))
+
   test("q239 heavy hitters: MG capture guarantee holds under a forced " +
     "4-file replay (sketch content may differ, the guarantee may not)") {
     // MG sketch CONTENT is merge-order dependent; the declared output
