@@ -56,13 +56,18 @@ object Curation {
     s"CAST(floor($HllAlphaNum / CAST(s_int AS DOUBLE) * 1000) AS BIGINT)"
 
   /** q496 — HYPERLOGLOG DISTINCT-USER CENSUS, register-exact under the
-    * differential (the cardinality-sketch member the mergeable-stats
-    * family was missing: q94 packs moment sketches, q236 streams a KMV
-    * — HLL is the production answer for COUNT DISTINCT at 100 TB
-    * because its 64 registers merge with max(), making the census ONE
-    * map-side-combinable pass over the raw stream with NO distinct
-    * shuffle; the exact n_exact column rides alongside purely as the
-    * eval yardstick). Per event_type: the 64-register census (reg =
+    * differential AND FINISHED: q316 already declares the per-day
+    * register TABLE but stops there, its scaladoc ruling the harmonic
+    * estimate out as "a 64-term float fold — exactly the kind of
+    * cross-engine-unsafe step this repo never declares". This query
+    * retires that limitation: because every term 2^(25−M) is an exact
+    * power of two, the fold is computed as an INTEGER sum of shifted
+    * ones (S_int ≤ 2³¹ — no float ever accumulates), and the only
+    * double step left is the single final division by S_int — which
+    * IS declarable under the q403 doctrine. So the released figure is
+    * the full HLL ESTIMATE, not just its registers (per event_type;
+    * the exact n_exact column rides alongside purely as the eval
+    * yardstick). Per event_type: the 64-register census (reg =
     * hash mod 64, M = max rho), the exact integer S_int, the raw HLL
     * estimate ×1000, and its signed-free error vs exact in ppm. The
     * small-range linear-counting correction is deliberately NOT
@@ -212,7 +217,11 @@ object Curation {
     * predicate most purifies the positive class; Gini because its
     * gain is a RATIONAL in the class counts, so the whole ranking is
     * exact integer arithmetic — entropy gain would cost a libm ln per
-    * cell). Target: the planted rare token 'dup' (the corpus's
+    * cell. q210 is the WITHIN-feature member of this family — the
+    * best threshold along one numeric axis via census prefix sums;
+    * this is the ACROSS-feature member, ranking heterogeneous
+    * categorical predicates against each other by explicit gain, the
+    * outer loop of the same CART step). Target: the planted rare token 'dup' (the corpus's
     * ground-truth signal). One aggregate pass computes every
     * feature's 2×2 cell counts; per feature, gain_ppm = parent Gini −
     * size-weighted child Ginis, all ×10⁶ over exact integers

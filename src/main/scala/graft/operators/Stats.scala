@@ -744,11 +744,14 @@ object Stats {
     * KMV's k values shrink-to-fit but must be k·8 bytes even for tiny
     * sets, HLL is 64 ranks no matter what): per (day, register) the
     * max trailing-zero rank of the deterministic 48-bit user-id hash.
-    * The harmonic estimate Σ2^−M is a 64-term float fold — exactly the
-    * kind of cross-engine-unsafe step this repo never declares (q304
-    * doctrine), so the REGISTERS are the released value: they merge by
-    * max (the defining sketch property, pinned by the spec), and any
-    * consumer finishes the estimate in one line. Rank extraction is
+    * The harmonic estimate Σ2^−M looks like a 64-term float fold, so
+    * this query releases the REGISTERS: they merge by max (the
+    * defining sketch property, pinned by the spec), and any consumer
+    * finishes the estimate in one line. (Round 11's q496 showed the
+    * fold can in fact be declared — each term is an exact power of
+    * two, so Σ2^(25−M) is an INTEGER sum and only the final division
+    * is a double — and releases the finished estimate; this query
+    * keeps the register-table contract as the mergeable-state view.) Rank extraction is
     * pure integer arithmetic plus one log2 of an exact power of two
     * (lowbit = rest & −rest), rounded-to-nearest before CAST so a
     * ±ulp libm difference cannot shift the floor.
