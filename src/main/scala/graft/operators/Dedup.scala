@@ -2104,6 +2104,95 @@ object Dedup {
         FROM p"""
   }
 
+  // ----------------------------------------------------------- q503
+
+  /** q503 — B-BIT MINHASH ACCURACY (Li & König 2010 — the storage
+    * endgame of the minhash family: keep only the LOWEST BIT of each
+    * of the k signature values, 32× smaller than q284's full
+    * signatures, and estimate Jaccard from the bit-agreement rate via
+    * Ĵ = 2·(A/k) − 1 — at b = 1 a random non-matching pair agrees on
+    * half its bits, so the estimator recenters around that chance
+    * floor). Over the planted pairs (the q284 frame): the bit
+    * agreement count A of k, the 1-bit estimate (clamped at 0 — A <
+    * k/2 is sampling noise below the chance floor), q284's full-value
+    * estimate, the exact Jaccard, and both estimators' errors — the
+    * released table IS the space/accuracy trade: 1-bit pays roughly
+    * 2× the standard error at 1/31 the bytes, and a consumer reads
+    * the two err columns side by side. All integer arithmetic off the
+    * shared signature constants; the bits are sig mod 2, exact on
+    * both engines.
+    *
+    * Scale shape: q284's — per-doc signatures once (map-side), one
+    * planted-offset equi-join, a fixed-k in-row fold; nothing
+    * corpus². */
+  def q503BbitMinhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val hs = plantedDocs(s, dir)
+      .withColumn("sw_w", split(col("text"), " "))
+      .filter(size(col("sw_w")) >= ShingleN)
+      .select(col("doc_id"), expr(sparkShingleHashes).as("hsd"))
+      .withColumn("sig", expr(s"minhash_k(hsd, $NumHashes)"))
+      .withColumn("bits", expr("transform(sig, bb_x -> bb_x % 2)"))
+      .cache()
+    val a = hs.select(col("doc_id").as("doc_id_1"),
+      col("hsd").as("h1"), col("sig").as("s1"), col("bits").as("b1"))
+    val b = hs.select((col("doc_id") - PlantedOffset).as("doc_id_1"),
+      col("doc_id").as("doc_id_2"), col("hsd").as("h2"),
+      col("sig").as("s2"), col("bits").as("b2"))
+    a.join(b, "doc_id_1")
+      .select(col("doc_id_1"), col("doc_id_2"),
+        expr("size(filter(zip_with(b1, b2, (x, y) -> x = y), " +
+          "zb -> zb))").cast("bigint").as("n_bit_match"),
+        expr("size(filter(zip_with(s1, s2, (x, y) -> x = y), " +
+          "zb -> zb))").cast("bigint").as("n_match"),
+        size(array_intersect(col("h1"), col("h2"))).cast("bigint")
+          .as("n_inter"),
+        (size(col("h1")) + size(col("h2")) -
+          size(array_intersect(col("h1"), col("h2")))).cast("bigint")
+          .as("n_union"))
+      .select(col("doc_id_1"), col("doc_id_2"), col("n_bit_match"),
+        expr(s"greatest(2 * n_bit_match - $NumHashes, 0) " +
+          s"* 1000000 div $NumHashes").as("bbit_ppm"),
+        expr(s"n_match * 1000000 div $NumHashes").as("full_ppm"),
+        expr("n_inter * 1000000 div n_union").as("jac_ppm"),
+        expr(s"""abs(greatest(2 * n_bit_match - $NumHashes, 0)
+             * 1000000 div $NumHashes
+             - n_inter * 1000000 div n_union)""").as("bbit_err_ppm"),
+        expr(s"""abs(n_match * 1000000 div $NumHashes
+             - n_inter * 1000000 div n_union)""").as("full_err_ppm"))
+  }
+
+  private def q503OracleSql: String = {
+    val sigList = (0 until NumHashes).map(sigExpr)
+      .mkString("[", ", ", "]")
+    s"""WITH ${lshCtes(plantedSql)},
+        sg AS (SELECT doc_id, hsd, $sigList AS sig FROM hs),
+        p AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+            CAST(len(list_filter(range(1, ${NumHashes + 1}),
+              zi -> a.sig[zi] % 2 = b.sig[zi] % 2)) AS BIGINT)
+              AS n_bit_match,
+            CAST(len(list_filter(range(1, ${NumHashes + 1}),
+              zi -> a.sig[zi] = b.sig[zi])) AS BIGINT) AS n_match,
+            CAST(len(list_intersect(a.hsd, b.hsd)) AS BIGINT)
+              AS n_inter,
+            CAST(len(a.hsd) + len(b.hsd)
+              - len(list_intersect(a.hsd, b.hsd)) AS BIGINT)
+              AS n_union
+          FROM sg a JOIN sg b
+            ON b.doc_id = a.doc_id + $PlantedOffset)
+        SELECT doc_id_1, doc_id_2, n_bit_match,
+          greatest(2 * n_bit_match - $NumHashes, 0)
+            * 1000000 // $NumHashes AS bbit_ppm,
+          n_match * 1000000 // $NumHashes AS full_ppm,
+          n_inter * 1000000 // n_union AS jac_ppm,
+          abs(greatest(2 * n_bit_match - $NumHashes, 0)
+            * 1000000 // $NumHashes
+            - n_inter * 1000000 // n_union) AS bbit_err_ppm,
+          abs(n_match * 1000000 // $NumHashes
+            - n_inter * 1000000 // n_union) AS full_err_ppm
+        FROM p"""
+  }
+
   // ----------------------------------------------------------- q295
 
   /** q295 — LSH CANDIDATE TRIAGE by band-agreement strength (the
@@ -2578,6 +2667,7 @@ object Dedup {
     "q300_chunk_near_dup" -> (q300ChunkNearDup _),
     "q295_candidate_triage" -> (q295CandidateTriage _),
     "q284_minhash_accuracy" -> (q284MinhashAccuracy _),
+    "q503_bbit_minhash" -> (q503BbitMinhash _),
     "q269_lsh_curve" -> (q269LshCurve _),
     "q224_split_leakage" -> (q224SplitLeakage _),
     "q152_incremental_lsh" -> (q152IncrementalLsh _),
@@ -2610,6 +2700,7 @@ object Dedup {
     "q300_chunk_near_dup" -> q300OracleSql,
     "q295_candidate_triage" -> q295OracleSql,
     "q284_minhash_accuracy" -> q284OracleSql,
+    "q503_bbit_minhash" -> q503OracleSql,
     "q269_lsh_curve" -> q269OracleSql,
     "q224_split_leakage" -> q224OracleSql,
     "q152_incremental_lsh" -> q152OracleSql,

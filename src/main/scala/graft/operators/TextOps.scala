@@ -2632,7 +2632,123 @@ object TextOps {
         WHERE df * 1000000 // n_docs >= $StopDfGatePpm
           AND cf * 1000000 // n_tokens >= $StopCfGatePpm"""
 
+  // ----------------------------------------------------------- q502
+
+  /** q502 — ROUGE OVERLAP PANEL between same-source document pairs
+    * (ROUGE-1/-2 recall and precision, Lin 2004 — the n-gram-overlap
+    * eval every summarization/distillation pipeline scores with, and
+    * a metric this suite's set-based members deliberately don't
+    * cover: Jaccard (q32/q101) is SET overlap symmetric in both
+    * sides, ROUGE is MULTISET overlap — Σ min(count_a, count_b) —
+    * normalized per side, so repeated tokens count and
+    * reference/candidate are distinct roles). Pairs = (doc, doc+20):
+    * the generator's source = id mod 20 law makes these same-source
+    * neighbors, and the shared 30-word vocabulary makes the overlap
+    * non-trivially distributed rather than near-zero. Released per
+    * source: pair count and the mean ROUGE-1/-2 recall (vs the lower-
+    * id reference) and precision (vs the candidate) in ppm — exact
+    * integers: per-pair Σ min of exact counts, one integer division
+    * per released cell.
+    *
+    * Scale shape: token/bigram censuses are map-side per-doc folds;
+    * the pair overlap is ONE equi-join on (doc_id+20, gram) whose
+    * per-key volume is bounded by per-doc distinct grams (≤ ~100);
+    * the source frame aggregates ≤ 20 rows. Nothing corpus². */
+  def q502RougeOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("w"))
+      .withColumn("bg", expr(
+        """CASE WHEN size(w) < 2 THEN array()
+           ELSE transform(sequence(0, size(w) - 2),
+             bg_i -> concat(w[bg_i], ' ', w[bg_i + 1])) END"""))
+    val lens = docs.select(col("doc_id"),
+      size(col("w")).cast("bigint").as("n1"),
+      greatest(size(col("w")) - 1, lit(0)).cast("bigint").as("n2"))
+    def census(column: String, out: String) = docs
+      .select(col("doc_id"), explode(col(column)).as("g"))
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as(out))
+    def overlap(column: String, out: String) = {
+      val c = census(column, "ca")
+      val cb = c.select((col("doc_id") - 20).as("doc_id"),
+        col("g"), col("ca").as("cb"))
+      c.join(cb, Seq("doc_id", "g"))
+        .groupBy("doc_id")
+        .agg(sum(least(col("ca"), col("cb"))).as(out))
+    }
+    val pairs = docs.select(col("doc_id"), col("source"))
+      .join(docs.select((col("doc_id") - 20).as("doc_id")),
+        "doc_id")
+      .join(overlap("w", "i1"), Seq("doc_id"), "left")
+      .join(overlap("bg", "i2"), Seq("doc_id"), "left")
+      .join(lens.as("la"), Seq("doc_id"))
+      .join(lens.select((col("doc_id") - 20).as("doc_id"),
+        col("n1").as("m1"), col("n2").as("m2")), Seq("doc_id"))
+      .select(col("source"),
+        coalesce(col("i1"), lit(0L)).as("i1"),
+        coalesce(col("i2"), lit(0L)).as("i2"),
+        col("n1"), col("n2"), col("m1"), col("m2"))
+    pairs.groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(i1 * 1000000 div n1) div count(1)")
+          .as("r1_recall_ppm"),
+        expr("sum(i1 * 1000000 div m1) div count(1)")
+          .as("r1_prec_ppm"),
+        expr("sum(CASE WHEN n2 > 0 THEN i2 * 1000000 div n2 " +
+          "ELSE 0 END) div count(1)").as("r2_recall_ppm"),
+        expr("sum(CASE WHEN m2 > 0 THEN i2 * 1000000 div m2 " +
+          "ELSE 0 END) div count(1)").as("r2_prec_ppm"))
+  }
+
+  private def q502OracleSql: String =
+    """WITH docs AS (SELECT doc_id, source,
+         string_split(text, ' ') AS w FROM documents),
+       grams AS (SELECT doc_id, source, w,
+         CASE WHEN len(w) < 2 THEN []
+           ELSE list_transform(range(1, len(w)),
+             bg_i -> w[bg_i] || ' ' || w[bg_i + 1]) END AS bg
+       FROM docs),
+       lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n1,
+         CAST(greatest(len(w) - 1, 0) AS BIGINT) AS n2 FROM grams),
+       c1 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT doc_id, unnest(w) AS g FROM grams)
+         GROUP BY doc_id, g),
+       c2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT doc_id, unnest(bg) AS g FROM grams)
+         GROUP BY doc_id, g),
+       o1 AS (SELECT a.doc_id,
+           CAST(sum(least(a.c, b.c)) AS BIGINT) AS i1
+         FROM c1 a JOIN c1 b
+           ON b.doc_id = a.doc_id + 20 AND b.g = a.g
+         GROUP BY a.doc_id),
+       o2 AS (SELECT a.doc_id,
+           CAST(sum(least(a.c, b.c)) AS BIGINT) AS i2
+         FROM c2 a JOIN c2 b
+           ON b.doc_id = a.doc_id + 20 AND b.g = a.g
+         GROUP BY a.doc_id),
+       pairs AS (SELECT d.source,
+           coalesce(o1.i1, 0) AS i1, coalesce(o2.i2, 0) AS i2,
+           la.n1, la.n2, lb.n1 AS m1, lb.n2 AS m2
+         FROM grams d
+         JOIN grams e ON e.doc_id = d.doc_id + 20
+         LEFT JOIN o1 ON o1.doc_id = d.doc_id
+         LEFT JOIN o2 ON o2.doc_id = d.doc_id
+         JOIN lens la ON la.doc_id = d.doc_id
+         JOIN lens lb ON lb.doc_id = d.doc_id + 20)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(i1 * 1000000 // n1) // count(*) AS BIGINT)
+           AS r1_recall_ppm,
+         CAST(sum(i1 * 1000000 // m1) // count(*) AS BIGINT)
+           AS r1_prec_ppm,
+         CAST(sum(CASE WHEN n2 > 0 THEN i2 * 1000000 // n2
+           ELSE 0 END) // count(*) AS BIGINT) AS r2_recall_ppm,
+         CAST(sum(CASE WHEN m2 > 0 THEN i2 * 1000000 // m2
+           ELSE 0 END) // count(*) AS BIGINT) AS r2_prec_ppm
+       FROM pairs GROUP BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q502_rouge_overlap" -> (q502RougeOverlap _),
     "q478_stopword_advisor" -> (q478StopwordAdvisor _),
     "q455_cross_lingual_contamination" ->
       (q455CrossLingualContamination _),
@@ -2721,5 +2837,6 @@ object TextOps {
     "q59_tf_df" -> q59OracleSql,
     "q61_string_agg" -> q61OracleSql,
     "q72_repetition" -> q72OracleSql,
+    "q502_rouge_overlap" -> q502OracleSql,
     "q80_regex_family" -> q80OracleSql)
 }

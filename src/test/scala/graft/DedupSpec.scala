@@ -381,6 +381,68 @@ class DedupSpec extends SparkSpec {
       s"mean estimator error $meanErr ppm — worse than one sixteenth")
   }
 
+  test("q503 b-bit estimates are the declared algebra off the full " +
+    "signatures and the space/accuracy trade points the right way") {
+    val rows = Dedup.q503BbitMinhash(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(rows.nonEmpty)
+    for ((d1, d2, nBit, bbit, full, jac, bErr, fErr) <- rows) {
+      assert(d2 === d1 + Dedup.PlantedOffset)
+      // a value match is necessarily a bit match: A >= n_match
+      assert(nBit >= full * 16L / 1000000L)
+      assert(bbit === math.max(2 * nBit - 16, 0) * 62500L)
+      assert(bErr === math.abs(bbit - jac))
+      assert(fErr === math.abs(full - jac))
+    }
+    // 1-bit keeps 1/31 of the bytes and pays variance for it: its mean
+    // error may exceed the full-signature estimator's, but must stay
+    // within ~3 sixteenths on the near-1 planted pairs (2x the full
+    // estimator's guaranteed band) - the trade the scaladoc declares
+    val meanB = rows.map(_._7).sum / rows.length
+    val meanF = rows.map(_._8).sum / rows.length
+    assert(meanB < 187500L,
+      s"1-bit mean error $meanB ppm - worse than three sixteenths")
+    assert(meanF < 62500L)
+  }
+
+  test("q502 ROUGE panel replays a scala multiset-overlap model " +
+    "exactly") {
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").toSeq))
+      .sortBy(_._1)
+    val byId = docs.map(d => d._1 -> d).toMap
+    def counts(ws: Seq[String]) =
+      ws.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def inter(a: Map[String, Long], b: Map[String, Long]) =
+      a.map { case (k, c) => math.min(c, b.getOrElse(k, 0L)) }.sum
+    val pairs = docs.flatMap { case (id, src, w) =>
+      byId.get(id + 20).map { case (_, _, w2) =>
+        val bg = w.sliding(2).map(_.mkString(" ")).toSeq
+        val bg2 = w2.sliding(2).map(_.mkString(" ")).toSeq
+        val i1 = inter(counts(w), counts(w2))
+        val i2 = if (w.size < 2 || w2.size < 2) 0L
+          else inter(counts(bg), counts(bg2))
+        (src, i1 * 1000000L / w.size, i1 * 1000000L / w2.size,
+          if (w.size < 2) 0L else i2 * 1000000L / (w.size - 1),
+          if (w2.size < 2) 0L else i2 * 1000000L / (w2.size - 1))
+      }
+    }
+    val model = pairs.groupBy(_._1).map { case (src, ps) =>
+      src -> ((ps.size.toLong, ps.map(_._2).sum / ps.size,
+        ps.map(_._3).sum / ps.size, ps.map(_._4).sum / ps.size,
+        ps.map(_._5).sum / ps.size))
+    }
+    val got = graft.operators.TextOps.q502RougeOverlap(spark, sf1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got === model)
+  }
+
   test("q301 containment-triage eval: identities hold and recall stays " +
     "high on the planted corpus") {
     val r = Dedup.q301ContainmentEval(spark, sf1).collect()
