@@ -231,11 +231,17 @@ object Curation {
     *
     * Scale shape: ONE corpus scan collapsing to a single 8-column
     * sufficient-statistics row; the per-feature frame is 3 rows. */
-  def q498SplitGain(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .withColumn("y",
-        when(array_contains(split(col("text"), " "), "dup"), 1L)
-          .otherwise(0L))
+  def q498SplitGain(s: SparkSession, dir: String): DataFrame =
+    splitGainFinish(splitGainStats(t(s, dir, "documents")))
+
+  /** The one-pass sufficient-statistics row q498 aggregates and q505
+    * streams: overall (n, pos) plus each feature's (n_f, pos_f) — 8
+    * columns, all counts, hence associatively mergeable across
+    * micro-batches (what makes the streaming twin exact). */
+  private[graft] def splitGainStats(docs: DataFrame): DataFrame = {
+    val flagged = docs.withColumn("y",
+      when(array_contains(split(col("text"), " "), "dup"), 1L)
+        .otherwise(0L))
     val aggCols = Seq(
       count(lit(1)).as("n"), sum("y").as("pos")) ++
       SplitFeatures.flatMap { case (name, pred) => Seq(
@@ -243,7 +249,12 @@ object Curation {
           .as(s"n_$name"),
         sum(expr(s"CASE WHEN $pred THEN y ELSE 0 END"))
           .as(s"pos_$name")) }
-    val stats = docs.agg(aggCols.head, aggCols.tail: _*)
+    flagged.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** q498's finisher over the sufficient-statistics row: unpivot to
+    * the 3-row feature frame, exact-integer gains, argmax flag. */
+  private[graft] def splitGainFinish(stats: DataFrame): DataFrame = {
     val unpivoted = stats.select(col("n"), col("pos"),
       expr(s"stack(${SplitFeatures.size}, " +
         SplitFeatures.map { case (name, _) =>
@@ -370,17 +381,127 @@ object Curation {
          20 * n_budget AS d_budget
        FROM sized, global"""
 
+  // ---------------------------------------------------------------- q504
+
+  /** q504 — HLL SET ALGEBRA (the property that makes HLL the lake's
+    * distinct sketch rather than just a counter: two sketches UNION
+    * by register-wise max EXACTLY — union-of-maxes IS the sketch of
+    * the union, no approximation added — and intersections follow by
+    * inclusion–exclusion on the estimates; q181 demonstrates the same
+    * algebra for KMV, this closes it for the fixed-state sketch).
+    * Over the click and purchase user sets: each side's 64-register
+    * sketch, their max-merged union sketch, the three q496-style
+    * estimates, the inclusion–exclusion intersection estimate (signed
+    * — IE on estimates can undershoot 0 for small overlaps, released
+    * as-is rather than clamped, since a consumer chaining further
+    * algebra needs the raw value), and the four exact yardsticks.
+    * Every step is the q496 discipline: integer register sums, one
+    * double division per estimate, then exact integer milli algebra.
+    *
+    * Scale shape: ONE filtered scan map-side combined to the
+    * (type, register) census; the union fold, estimates, and exact
+    * eval counts all ride 1-row/census frames. */
+  def q504HllSetAlgebra(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("user_id"))
+    val regs = ev
+      .withColumn("hll_h", expr(s"($HllA * user_id + $HllB) % $HllP"))
+      .withColumn("hll_reg", expr("hll_h % 64"))
+      .withColumn("hll_v", expr("hll_h div 64"))
+      .withColumn("rho", expr(hllRhoCase))
+      .groupBy("event_type", "hll_reg")
+      .agg(max("rho").as("m"))
+      .localCheckpoint(true) // one census forcing: 3 consumers below
+    def sInt: org.apache.spark.sql.Column =
+      (lit(64L) - count(lit(1))) * lit(33554432L) +
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - m)"))
+    val sc = regs.filter(col("event_type") === "click")
+      .agg(sInt.as("s_c"))
+    val sp = regs.filter(col("event_type") === "purchase")
+      .agg(sInt.as("s_p"))
+    val su = regs.groupBy("hll_reg").agg(max("m").as("m"))
+      .agg(sInt.as("s_u"))
+    val exact = ev.groupBy("user_id")
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("hc"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("hp"))
+      .agg(sum("hc").as("n_c"), sum("hp").as("n_p"),
+        count(lit(1)).as("n_u"),
+        sum(expr("hc * hp")).as("n_inter"))
+    sc.crossJoin(broadcast(sp)).crossJoin(broadcast(su))
+      .crossJoin(broadcast(exact))
+      .withColumn("est_c_milli", expr(
+        s"CAST(floor($HllAlphaNum / CAST(s_c AS DOUBLE) * 1000) AS BIGINT)"))
+      .withColumn("est_p_milli", expr(
+        s"CAST(floor($HllAlphaNum / CAST(s_p AS DOUBLE) * 1000) AS BIGINT)"))
+      .withColumn("est_u_milli", expr(
+        s"CAST(floor($HllAlphaNum / CAST(s_u AS DOUBLE) * 1000) AS BIGINT)"))
+      .withColumn("inter_est_milli",
+        expr("est_c_milli + est_p_milli - est_u_milli"))
+      .select("est_c_milli", "est_p_milli", "est_u_milli",
+        "inter_est_milli", "n_c", "n_p", "n_u", "n_inter")
+  }
+
+  private[graft] def q504OracleSql: String =
+    s"""WITH ev AS (SELECT event_type, user_id FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        regs AS (SELECT event_type, hll_reg, max($hllRhoCase) AS m
+          FROM (SELECT event_type,
+              ((($HllA * user_id + $HllB) % $HllP) % 64) AS hll_reg,
+              ((($HllA * user_id + $HllB) % $HllP) // 64) AS hll_v
+            FROM ev)
+          GROUP BY event_type, hll_reg),
+        sc AS (SELECT (64 - CAST(count(*) AS BIGINT)) * 33554432
+            + CAST(sum((CAST(1 AS BIGINT) << (25 - m))) AS BIGINT)
+            AS s_c FROM regs WHERE event_type = 'click'),
+        sp AS (SELECT (64 - CAST(count(*) AS BIGINT)) * 33554432
+            + CAST(sum((CAST(1 AS BIGINT) << (25 - m))) AS BIGINT)
+            AS s_p FROM regs WHERE event_type = 'purchase'),
+        uregs AS (SELECT hll_reg, max(m) AS m FROM regs
+          GROUP BY hll_reg),
+        su AS (SELECT (64 - CAST(count(*) AS BIGINT)) * 33554432
+            + CAST(sum((CAST(1 AS BIGINT) << (25 - m))) AS BIGINT)
+            AS s_u FROM uregs),
+        flags AS (SELECT user_id,
+            max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS hc,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS hp
+          FROM ev GROUP BY user_id),
+        exact AS (SELECT CAST(sum(hc) AS BIGINT) AS n_c,
+            CAST(sum(hp) AS BIGINT) AS n_p,
+            CAST(count(*) AS BIGINT) AS n_u,
+            CAST(sum(hc * hp) AS BIGINT) AS n_inter
+          FROM flags),
+        est AS (SELECT
+            CAST(floor($HllAlphaNum / CAST(s_c AS DOUBLE) * 1000)
+              AS BIGINT) AS est_c_milli,
+            CAST(floor($HllAlphaNum / CAST(s_p AS DOUBLE) * 1000)
+              AS BIGINT) AS est_p_milli,
+            CAST(floor($HllAlphaNum / CAST(s_u AS DOUBLE) * 1000)
+              AS BIGINT) AS est_u_milli,
+            n_c, n_p, n_u, n_inter
+          FROM sc, sp, su, exact)
+        SELECT est_c_milli, est_p_milli, est_u_milli,
+          est_c_milli + est_p_milli - est_u_milli AS inter_est_milli,
+          n_c, n_p, n_u, n_inter
+        FROM est"""
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q496_hll_distinct" -> (q496HllDistinct _),
     "q497_pass_at_k" -> (q497PassAtK _),
     "q498_split_gain" -> (q498SplitGain _),
-    "q499_chinchilla_split" -> (q499ChinchillaSplit _))
+    "q499_chinchilla_split" -> (q499ChinchillaSplit _),
+    "q504_hll_set_algebra" -> (q504HllSetAlgebra _))
 
   val oracleSql: Map[String, String] = Map(
     "q496_hll_distinct" -> q496OracleSql,
     "q497_pass_at_k" -> q497OracleSql,
     "q498_split_gain" -> q498OracleSql,
-    "q499_chinchilla_split" -> q499OracleSql)
+    "q499_chinchilla_split" -> q499OracleSql,
+    "q504_hll_set_algebra" -> q504OracleSql)
 }

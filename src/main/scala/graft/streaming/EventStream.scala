@@ -2217,8 +2217,40 @@ object EventStream {
         FROM regs GROUP BY event_type"""
   }
 
+  // -------------------------------------------------------------- q505
+
+  /** q505 — STREAMING SPLIT-GAIN MONITOR (q498's quality-filter
+    * feature ranking as the 31st declared streaming shape — the live
+    * form a curation pipeline actually wants: as a crawl streams in,
+    * which cheap metadata predicate is currently the best quality
+    * gate, recomputed continuously instead of per-snapshot). The
+    * whole state is q498's ONE sufficient-statistics row — 8 counts,
+    * associatively mergeable across micro-batches, so the complete-
+    * mode drain equals the batch aggregate under ANY file split and
+    * the q498 finisher (exact-integer gains + argmax) runs on the
+    * drained row. Shares q498's oracle verbatim: stream = batch is
+    * the declared contract. */
+  def q505StreamSplitGain(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.operators.Curation
+    val name = "q505_stream_split_gain_mem"
+    s.catalog.dropTempView(name)
+    val q = Curation.splitGainStats(readDocs(s, dir, maxFilesPerTrigger))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Curation.splitGainFinish(s.table(name))
+  }
+
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q505_stream_split_gain" ->
+      ((s: SparkSession, d: String) => q505StreamSplitGain(s, d)),
     "q500_stream_hll" ->
       ((s: SparkSession, d: String) => q500StreamHll(s, d)),
     "q491_stream_coverage" ->
@@ -2269,6 +2301,7 @@ object EventStream {
     * the batch aggregation (complete mode over a drained finite replay). */
   val oracleSql: Map[String, String] = Map(
     "q500_stream_hll" -> q500OracleSql,
+    "q505_stream_split_gain" -> graft.operators.Curation.q498OracleSql,
     "q491_stream_coverage" -> graft.operators.Pipeline.q487OracleSql,
     "q484_stream_negbin" -> graft.operators.Stats.q480OracleSql,
     "q467_stream_user_skew" -> q467OracleSql,

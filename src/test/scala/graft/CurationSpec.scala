@@ -164,6 +164,56 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q504 set algebra replays the scala model and the union sketch " +
+    "IS the elementwise register max (the defining merge law)") {
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .filter(e => e._1 == "click" || e._1 == "purchase")
+    def regsOf(rows: Seq[Long]): Map[Long, Int] = {
+      val m = scala.collection.mutable.Map[Long, Int]()
+      rows.foreach { uid =>
+        val h = (A * uid + B) % P
+        val r = rho25(h / 64)
+        if (r > m.getOrElse(h % 64, 0)) m(h % 64) = r
+      }
+      m.toMap
+    }
+    val clicks = ev.filter(_._1 == "click").map(_._2)
+    val purch = ev.filter(_._1 == "purchase").map(_._2)
+    val rc = regsOf(clicks)
+    val rp = regsOf(purch)
+    val ru = regsOf(clicks ++ purch)
+    // merge law: sketch(A ∪ B) = elementwise max of the two sketches
+    assert(ru === (rc.keySet ++ rp.keySet).map(k =>
+      k -> math.max(rc.getOrElse(k, 0), rp.getOrElse(k, 0))).toMap)
+    def sInt(m: Map[Long, Int]): Long =
+      m.values.map(x => 1L << (25 - x)).sum + (64 - m.size) * 33554432L
+    def est(s: Long): Long =
+      math.floor(97491078487.97049 / s.toDouble * 1000).toLong
+    val r = Curation.q504HllSetAlgebra(spark, sf1).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getLong(0) === est(sInt(rc)))
+    assert(row.getLong(1) === est(sInt(rp)))
+    assert(row.getLong(2) === est(sInt(ru)))
+    assert(row.getLong(3) ===
+      est(sInt(rc)) + est(sInt(rp)) - est(sInt(ru)))
+    assert(row.getLong(4) === clicks.distinct.size.toLong)
+    assert(row.getLong(5) === purch.distinct.size.toLong)
+    assert(row.getLong(6) === (clicks ++ purch).distinct.size.toLong)
+    assert(row.getLong(7) ===
+      clicks.distinct.toSet.intersect(purch.distinct.toSet).size.toLong)
+  }
+
+  test("q505 streamed split-gain monitor equals the q498 batch table") {
+    val batch = Curation.q498SplitGain(spark, sf1)
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = EventStream.q505StreamSplitGain(spark, sf1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+  }
+
   test("q499 allocation replays the integer Chinchilla model and the " +
     "global budget inverts the FLOPs sum") {
     val docs = graft.sources.Tables.load(spark, sf1, "documents")

@@ -122,6 +122,9 @@ class MultiBatchConfluenceSpec extends SparkSpec {
   confluent("q500 streaming HLL monitor")(mf =>
     EventStream.q500StreamHll(spark, eventsDir, mf))
 
+  confluent("q505 streaming split-gain monitor")(mf =>
+    EventStream.q505StreamSplitGain(spark, docsDir, mf))
+
   test("q239 heavy hitters: MG capture guarantee holds under a forced " +
     "4-file replay (sketch content may differ, the guarantee may not)") {
     // MG sketch CONTENT is merge-order dependent; the declared output
