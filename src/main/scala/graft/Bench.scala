@@ -49,9 +49,19 @@ object Bench {
     else {
       val s = new String(java.nio.file.Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8)
-      val kv = """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
-      kv.findAllMatchIn(s)
+      // Top-level q-keys only (the ledger is a flat {"qNN_name": sec}
+      // map — QueriesIndexSpec pins that shape): a nested/annotated
+      // future format must fail LOUDLY here rather than silently feed
+      // wrong numbers into the band check.
+      val kv = """"(q\w+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+      val parsed = kv.findAllMatchIn(s)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val braces = s.count(_ == '{')
+      require(braces <= 1 && parsed.nonEmpty,
+        s"$path does not look like a flat {query: seconds} ledger " +
+          s"(braces=$braces, parsed=${parsed.size}) — refusing to " +
+          "band-check against it")
+      parsed
     }
   }
 

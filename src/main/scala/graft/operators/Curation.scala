@@ -136,10 +136,15 @@ object Curation {
 
   /** pass@k falling-factorial ratio as generated shared text: the
     * unbiased estimator 1 − C(n−c,k)/C(n,k) with the binomials
-    * expanded to Π(n−c−i)/Π(n−i) — exact int64 products (n ≤ 24 at
-    * every SF, (24)₁₀ ≈ 2.3·10¹² < 2⁵³ so even the int→double casts
-    * are EXACT), one double division ·10⁶ floor. n−c < k means every
-    * k-subset contains a success → pass = 1 exactly. */
+    * expanded to Π(n−c−i)/Π(n−i) — exact int64 products whose
+    * int→double casts stay EXACT for every n ≤ 44: the largest factor
+    * product is the k=10 falling factorial (n)₁₀, and (44)₁₀ =
+    * 9.004·10¹⁵ < 2⁵³ < (45)₁₀, so 44 is the exactness bound (the
+    * Poisson order-count tail sits far below it — observed max 25
+    * orders/customer at the shipped SFs, and CurationSpec asserts the
+    * data stays under the bound), one double division ·10⁶ floor.
+    * n−c < k means every k-subset contains a success → pass = 1
+    * exactly. */
   private def passAtK(k: Int): String = {
     val num = (0 until k).map(i => s"(n - c - $i)").mkString(" * ")
     val den = (0 until k).map(i => s"(n - $i)").mkString(" * ")
@@ -226,8 +231,10 @@ object Curation {
     * feature's 2×2 cell counts; per feature, gain_ppm = parent Gini −
     * size-weighted child Ginis, all ×10⁶ over exact integers
     * (products ≤ 2·n²·10⁶ — int64-safe through sf30, bound
-    * documented); the argmax row carries chosen = 1 (smaller-name
-    * tie-break, the q287 convention).
+    * documented); the argmax row carries chosen = 1 with ties broken
+    * toward the LARGER feature name (the struct-max ordering the
+    * implementation, the oracle's ORDER BY gain DESC, feature DESC,
+    * and CurationSpec all pin).
     *
     * Scale shape: ONE corpus scan collapsing to a single 8-column
     * sufficient-statistics row; the per-feature frame is 3 rows. */

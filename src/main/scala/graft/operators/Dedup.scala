@@ -1198,7 +1198,18 @@ object Dedup {
     * 20-round budget — the engine threw rather than mislabel, which is
     * the contract working), and star contraction's O(log n) rounds are
     * immune to diameter. Text LSH clusters (q79) stay on propagation
-    * because drop-last-word twins form diameter-2 near-cliques. */
+    * because drop-last-word twins form diameter-2 near-cliques.
+    *
+    * EVAL-ONLY (reference geometry; scale path: q501). This query
+    * deliberately keeps q33's FIXED 4-plane/16-bucket SRP geometry —
+    * the declared reference the eval stack (q139-style recall scoring,
+    * q269's banding curves, q503's b-bit comparison) measures against
+    * — so its within-bucket pair volume grows Θ(n²/16): the round-11
+    * sf10 endurance run measured the cliff at 116.6 s. Production
+    * clustering at scale is q501_adaptive_srp_clusters — the SAME
+    * star-contraction clustering at corpus-adaptive plane count
+    * (13.4 s at sf10, raw decade exponent 0.36). Run q119 on bounded
+    * audit slices; run q501 on the corpus. */
   def q119EmbeddingClusters(s: SparkSession, dir: String): DataFrame =
     connectedComponentsStar(
       t(s, dir, "embeddings").select(col("vec_id").as("doc_id")),
@@ -1362,7 +1373,28 @@ object Dedup {
     * Versus q30 (MinHash LSH, probabilistic recall) and q87 (exact
     * verify of LSH candidates): q101 is the ground-truth join — its
     * result provably contains every pair q87 admits (DedupSpec pins
-    * that recall relation). */
+    * that recall relation).
+    *
+    * RE-SCOPED (round 12) to AUDIT-STRATUM SCREENING — the q110→q301
+    * precedent applied to the symmetric Jaccard axis: emitted pairs
+    * are those TOUCHING the audit stratum (at least one endpoint with
+    * doc_id % [[PlantedOffset]] < [[SetSimAuditCap]] — the first 5000
+    * BASE documents plus their planted twins), while the other
+    * endpoint ranges over the FULL corpus: "which audit docs have an
+    * exact 0.9-Jaccard near-duplicate ANYWHERE". Why: the sf10
+    * endurance run (round 11, SCALING.md) measured the UNCAPPED exact
+    * PPJoin to its spill-OOM wall — on this generator's saturating
+    * fixed-30-word stress vocabulary every token's df grows ∝ n, so
+    * even rarest-prefix candidate volume is Θ(n²/|V|); no filter
+    * stack makes an exact all-pairs τ-join subquadratic there. With
+    * the constant-size stratum on one join side, candidate volume is
+    * Σ_h df_stratum(h)·df_full(h) — linear in corpus size. The cap
+    * covers every document at sf ≤ 0.1 (5000 base docs), so results
+    * there — including the whole correctness differential — are
+    * IDENTICAL to the full join; the uncapped exact join remains the
+    * [[setSimJoinExact]] library API (auditPred = None, q318's sweep
+    * and PropertySpec still exercise it), and the linear
+    * production-path alternative for corpus-wide dedup is q30+q87. */
   def q101SetSimJoin(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
     // one SET row per doc (shingles are array_distinct'd): the exploded
@@ -1376,8 +1408,17 @@ object Dedup {
       .filter(size(col("sw_w")) >= ShingleN)
       .select(col("doc_id"), expr(sparkShingleHashes).as("hsd"))
       .cache()
-    setSimJoinExact(hs, 9, 10)
+    setSimJoinExact(hs, 9, 10,
+      Some(col("doc_id") % PlantedOffset < SetSimAuditCap))
   }
+
+  /** q101's audit-stratum bound: a pair is emitted iff at least one
+    * endpoint satisfies doc_id % [[PlantedOffset]] < this. 5000 covers
+    * every base document at sf ≤ 0.1 (the differential there runs the
+    * identical full join) and pins one side of the candidate join to a
+    * CONSTANT ≤ 10000-doc slice above it — the structural change that
+    * turns the declared exact join linear in corpus size. */
+  val SetSimAuditCap = 5000L
 
   /** Library API: EXACT set-similarity self-join at ANY rational
     * threshold τ = p/q over a per-doc SET frame (doc_id, hsd) — the
@@ -1387,8 +1428,28 @@ object Dedup {
     * positional requirement overlap·(p+q) ≥ p·(c1+c2) (from
     * inter·q ≥ p·union with union = c1+c2−inter). PropertySpec pins
     * the whole stack against a brute-force model across thresholds —
-    * the executable form of the completeness argument below. */
-  def setSimJoinExact(hs: DataFrame, p: Int, q: Int): DataFrame = {
+    * the executable form of the completeness argument below.
+    *
+    * `auditPred`: optional doc_id predicate — when set, only pairs
+    * with AT LEAST ONE endpoint satisfying it are emitted (the other
+    * endpoint ranges over the full frame), and candidates are
+    * generated from stratum-prefix × full-prefix collisions only.
+    * Completeness: for a qualifying pair (a, b) with a in the stratum,
+    * the globally-first common token t* is inside BOTH prefixes (the
+    * symmetric prefix theorem), so the stratum×full orientation always
+    * sees its collision. Each qualifying unordered pair is generated
+    * in exactly ONE orientation — both-in-stratum pairs only as
+    * (smaller, larger), stratum×outside pairs only with the stratum
+    * doc on the prefix-capped side — then normalized to
+    * (least, greatest) with the position coordinates swapped in step,
+    * so the pair-level positional re-check still evaluates at t*'s
+    * minima. With a constant-size stratum, candidate volume is
+    * Σ_h df_stratum(h)·df_full(h) — LINEAR in corpus size; with
+    * auditPred = None the plan is the classic symmetric PPJoin
+    * (quadratic in the worst case, the measured sf10 wall). */
+  def setSimJoinExact(hs: DataFrame, p: Int, q: Int,
+      auditPred: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     require(p > 0 && q > 0 && p <= q, s"threshold $p/$q not in (0,1]")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("edf"), col("h"))
@@ -1402,28 +1463,42 @@ object Dedup {
       // prefix length = len - ceil(p·len/q) + 1, all-integer ceil
       .filter(col("rn") <=
         col("len") - expr(s"($p * len + ${q - 1}) div $q") + 1)
-      .select("doc_id", "h", "len", "rn")
+      .select(col("doc_id"), col("h"), col("len"), col("rn"),
+        auditPred.getOrElse(lit(true)).as("aud"))
       .cache()
     // PPJoin companion LENGTH filter: J(a,b) ≤ min/max, so τ=9/10 needs
     // min(len)·10 ≥ max(len)·9 — prunes length-incompatible collisions
     // IN-FLIGHT (inside the join's codegen stage, before the pair
-    // shuffle; len already rides the prefix at zero cost)
-    val coll = prefix
-      .select(col("doc_id").as("doc_id_1"), col("h"),
-        col("len").as("c1"), col("rn").as("r1"))
-      .join(prefix
-        .select(col("doc_id").as("doc_id_2"), col("h"),
-          col("len").as("c2"), col("rn").as("r2")),
-        "h")
-      .filter(col("doc_id_1") < col("doc_id_2") &&
-        least(col("c1"), col("c2")) * q >=
-          greatest(col("c1"), col("c2")) * p &&
+    // shuffle; len already rides the prefix at zero cost).
+    //
+    // Orientation discipline: side A is the (possibly stratum-capped)
+    // prefix frame, side B the full prefix frame. Each qualifying
+    // unordered pair is generated in exactly ONE orientation —
+    // da < db when both endpoints are in the stratum (or always, with
+    // no cap), and the stratum-side-as-A orientation when only one is
+    // — then normalized to (least, greatest) with positions swapped in
+    // step, so downstream arithmetic is orientation-free.
+    val sideA = prefix.filter(col("aud"))
+      .select(col("doc_id").as("da"), col("h"),
+        col("len").as("ca"), col("rn").as("ra"))
+    val sideB = prefix
+      .select(col("doc_id").as("db"), col("h"),
+        col("len").as("cb"), col("rn").as("rb"), col("aud").as("audb"))
+    val orient =
+      if (auditPred.isEmpty) col("da") < col("db")
+      else col("da") =!= col("db") &&
+        (col("da") < col("db") || !col("audb"))
+    val coll = sideA
+      .join(sideB, "h")
+      .filter(orient &&
+        least(col("ca"), col("cb")) * q >=
+          greatest(col("ca"), col("cb")) * p &&
         // PPJoin POSITIONAL filter, in-flight per collision: a token
-        // colliding at positions (r1, r2) caps the overlap a pair built
-        // FROM THIS COLLISION can still reach at 1 + min(c1−r1, c2−r2)
+        // colliding at positions (ra, rb) caps the overlap a pair built
+        // FROM THIS COLLISION can still reach at 1 + min(ca−ra, cb−rb)
         // (everything else must follow it in both orders). Dropping
         // collisions below the Jaccard-9/10 requirement overlap·19 ≥
-        // 9·(c1+c2) is COMPLETE because the pair's globally-first
+        // 9·(ca+cb) is COMPLETE because the pair's globally-first
         // common token t* — minimal in both docs under the one global
         // frequency order, and inside both prefixes by the prefix
         // theorem (were it outside a's prefix, every common token would
@@ -1431,8 +1506,19 @@ object Dedup {
         // not exist) — always passes for a truly-similar pair. Pruning
         // HERE, inside the join's codegen stage, shrinks the pair
         // shuffle itself, not just the verify input.
-        (lit(1) + least(col("c1") - col("r1"), col("c2") - col("r2")))
-          * (p + q) >= (col("c1") + col("c2")) * p)
+        (lit(1) + least(col("ca") - col("ra"), col("cb") - col("rb")))
+          * (p + q) >= (col("ca") + col("cb")) * p)
+      .select(
+        least(col("da"), col("db")).as("doc_id_1"),
+        greatest(col("da"), col("db")).as("doc_id_2"),
+        when(col("da") < col("db"), col("ca")).otherwise(col("cb"))
+          .as("c1"),
+        when(col("da") < col("db"), col("cb")).otherwise(col("ca"))
+          .as("c2"),
+        when(col("da") < col("db"), col("ra")).otherwise(col("rb"))
+          .as("r1"),
+        when(col("da") < col("db"), col("rb")).otherwise(col("ra"))
+          .as("r2"))
     // Pair-level positional re-check at (min r1, min r2): for any
     // surviving similar pair those minima are attained at t* (t* is
     // minimal in both coordinates among surviving collisions), so the
@@ -1473,9 +1559,17 @@ object Dedup {
   /** τ-parameterized DuckDB oracle for the exact set-similarity join:
     * sound prefix-filter candidate generation (the ⌈τ·len⌉ arithmetic
     * generalized like [[setSimJoinExact]]'s) + exact verification at
-    * p/q. q101's oracle is the 9/10 instance; q318's sweep nests it at
-    * several thresholds. */
-  private def setSimOracleSqlAt(p: Int, q: Int): String =
+    * p/q. q101's oracle is the 9/10 instance WITH the audit-stratum
+    * cap (candidates from stratum-prefix × full-prefix, normalized to
+    * least/greatest — mirroring the re-scoped semantics at every SF);
+    * q318's sweep nests the uncapped form at several thresholds. */
+  private def setSimOracleSqlAt(p: Int, q: Int,
+      cap: Option[Long] = None): String = {
+    val (aPred, joinPred) = cap match {
+      case Some(c) => (s"\n            AND doc_id % $PlantedOffset < $c",
+        "a.doc_id <> b.doc_id")
+      case None => ("", "a.doc_id < b.doc_id")
+    }
     s"""WITH ${lshCtes(plantedSql)},
         sh2 AS (SELECT doc_id, unnest(hsd) AS h FROM hs),
         cnt AS (SELECT doc_id, count(*) AS len FROM sh2 GROUP BY doc_id),
@@ -1487,10 +1581,12 @@ object Dedup {
           JOIN cnt c ON s.doc_id = c.doc_id),
         prefix AS (SELECT doc_id, h FROM ranked
           WHERE rn <= len - (($p * len + ${q - 1}) // $q) + 1),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_id_1,
-            b.doc_id AS doc_id_2
-          FROM prefix a JOIN prefix b
-            ON a.h = b.h AND a.doc_id < b.doc_id),
+        prefix_a AS (SELECT doc_id, h FROM prefix
+          WHERE TRUE$aPred),
+        cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_id_1,
+            greatest(a.doc_id, b.doc_id) AS doc_id_2
+          FROM prefix_a a JOIN prefix b
+            ON a.h = b.h AND $joinPred),
         inter AS (SELECT p.doc_id_1, p.doc_id_2, count(*) AS n_inter
           FROM cand p
           JOIN sh2 a ON a.doc_id = p.doc_id_1
@@ -1503,8 +1599,10 @@ object Dedup {
         JOIN cnt c1 ON c1.doc_id = i.doc_id_1
         JOIN cnt c2 ON c2.doc_id = i.doc_id_2
         WHERE i.n_inter * $q >= (c1.len + c2.len - i.n_inter) * $p"""
+  }
 
-  private def q101OracleSql: String = setSimOracleSqlAt(9, 10)
+  private def q101OracleSql: String =
+    setSimOracleSqlAt(9, 10, Some(SetSimAuditCap))
 
   // ----------------------------------------------------------- q110
 
@@ -1852,10 +1950,21 @@ object Dedup {
     * LEFT SEMI join plus three one-row aggregates cross-joined (1×1×1).
     * At corpus scale the truth side is the expensive operand (exact
     * verification), which is exactly why pipelines sample it — the
-    * operator takes whatever pair frames its caller scopes. */
+    * operator takes whatever pair frames its caller scopes.
+    *
+    * RE-SCOPED (round 12) with q101: truth is the audit-stratum exact
+    * join (pairs touching doc_id % [[PlantedOffset]] <
+    * [[SetSimAuditCap]]), so the candidate side is restricted to the
+    * SAME stratum-touching pairs — precision/recall are measured on
+    * the stratum where exact truth is affordable (the standard eval
+    * design: score the geometry on a bounded audit slice, trust it
+    * corpus-wide). Identical to the full eval at sf ≤ 0.1, where the
+    * cap covers every document. */
   def q139DedupEval(s: SparkSession, dir: String): DataFrame = {
     val keys = Seq("doc_id_1", "doc_id_2")
+    def aud(c: String) = col(c) % PlantedOffset < SetSimAuditCap
     val cand = q30DedupMinhashLsh(s, dir)
+      .filter(aud("doc_id_1") || aud("doc_id_2"))
     val truth = q101SetSimJoin(s, dir).select(keys.map(col): _*)
     val nc = cand.agg(count(lit(1)).as("n_candidates"))
     val nt = truth.agg(count(lit(1)).as("n_truth"))
@@ -1870,7 +1979,9 @@ object Dedup {
   }
 
   private def q139OracleSql: String =
-    s"""WITH cand AS (SELECT * FROM ($q30OracleSql) c0),
+    s"""WITH cand AS (SELECT * FROM ($q30OracleSql) c0
+          WHERE doc_id_1 % $PlantedOffset < $SetSimAuditCap
+             OR doc_id_2 % $PlantedOffset < $SetSimAuditCap),
         truth AS (SELECT doc_id_1, doc_id_2 FROM ($q101OracleSql) t0),
         tpc AS (SELECT count(*) AS tp FROM cand
                 JOIN truth USING (doc_id_1, doc_id_2)),

@@ -773,23 +773,76 @@ object Graph {
     val ed = edges.join(edges.groupBy("src")
         .agg(count(lit(1)).as("pr_deg")), "src")
       .select("src", "dst", "pr_deg").cache()
-    val seedBase = nodes.select(col("id"),
-      when(col("is_seed"), lit(base)).otherwise(lit(0L)).as("sb"))
-    var ranks = nodes.select(col("id"),
-      when(col("is_seed"), lit(scale)).otherwise(lit(0L))
-        .as("rank_scaled"))
-    for (round <- 1 to iters) {
-      val contribs = ed
-        .join(ranks, ed("src") === ranks("id"))
+    // ACTIVE-SET (delta) iteration — round 12's rewrite of the dense
+    // fixed point. Dense recurrence: R_{t+1}(v) = sb(v) +
+    // Σ_{u→v} f(R_t(u), deg_u) with f(r, d) = ((r·85) div 100) div d.
+    // Since f depends only on the SOURCE rank, an unchanged source
+    // contributes exactly what it did last round, so
+    //   R_{t+1}(v) = R_t(v) + Σ_{u→v, R_t(u) ≠ R_{t-1}(u)}
+    //                  (f(R_t(u)) − f(R_{t-1}(u)))
+    // — integer addition is associative/commutative, so the trajectory
+    // is BIT-IDENTICAL to the dense form (GraphSpec replays it; the
+    // declared oracle is still the dense CTE chain). What changes is
+    // the WORK: each round joins edges against only the CHANGED
+    // vertices (the delta frame — seeds' expanding neighborhood early,
+    // a shrinking set once the truncating integer divisions reach
+    // their fixed point), and an EMPTY delta proves every later round
+    // is a no-op, so the loop exits early with the exact final ranks.
+    // At sf10 this is what turns 5 dense edge-shuffles into a couple
+    // of frontier-sized ones (verdict r11 task #2).
+    val nodeBase = nodes.select(col("id"),
+      when(col("is_seed"), lit(base)).otherwise(lit(0L)).as("sb"),
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("r0"))
+      .localCheckpoint(true)
+    var ranks = nodeBase.select(col("id"), col("r0").as("rank_scaled"))
+    // Δ₀ versus a virtual all-zero prior: f(0) = 0, so old_r = 0 makes
+    // round 1's delta sum equal the full Σ f(R₀) — only seeds qualify
+    var delta = nodeBase.filter(col("r0") =!= 0L)
+      .select(col("id"), lit(0L).as("old_r"), col("r0").as("new_r"))
+      .localCheckpoint(true)
+    var deltaEmpty = delta.isEmpty
+    var round = 1
+    while (round <= iters && !deltaEmpty) {
+      // per-edge contribution CHANGE from each changed source — summed
+      // map-side like the dense form's contribs
+      val dm = ed
+        .join(delta, ed("src") === delta("id"))
         .select(col("dst").as("id"),
-          expr(s"((rank_scaled * 85) div 100) div pr_deg").as("c"))
-        .groupBy("id").agg(sum("c").as("m"))
-      ranks = seedBase
-        .join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (col("sb") + coalesce(col("m"), lit(0L))).as("rank_scaled"))
-      if (round % 4 == 0 || round == iters)
-        ranks = ranks.localCheckpoint(true)
+          (expr(s"((new_r * 85) div 100) div pr_deg") -
+            expr(s"((old_r * 85) div 100) div pr_deg")).as("dc"))
+        .groupBy("id").agg(sum("dc").as("dm"))
+        .filter(col("dm") =!= 0L)
+      if (round == 1) {
+        // R₁ = sb + Σ f(R₀); Δ₁ compares against R₀ (the one round
+        // where "received a nonzero delta" ≠ "changed": sb replaces
+        // R₀ rather than adding to it)
+        val r1 = nodeBase
+          .join(dm, Seq("id"), "left")
+          .select(col("id"), col("r0"),
+            (col("sb") + coalesce(col("dm"), lit(0L)))
+              .as("rank_scaled"))
+          .localCheckpoint(true)
+        delta = r1.filter(col("rank_scaled") =!= col("r0"))
+          .select(col("id"), col("r0").as("old_r"),
+            col("rank_scaled").as("new_r"))
+        ranks = r1.select(col("id"), col("rank_scaled"))
+      } else {
+        // rounds ≥ 2: R_{t+1} − R_t = dm exactly, so the nonzero-dm
+        // rows ARE the next delta — derived from the (small) dm frame
+        // joined back to ranks, never a full-frame compare
+        delta = dm.join(ranks, Seq("id"))
+          .select(col("id"), col("rank_scaled").as("old_r"),
+            (col("rank_scaled") + col("dm")).as("new_r"))
+        ranks = ranks.join(dm, Seq("id"), "left")
+          .select(col("id"),
+            (col("rank_scaled") + coalesce(col("dm"), lit(0L)))
+              .as("rank_scaled"))
+        if (round % 4 == 0 || round == iters)
+          ranks = ranks.localCheckpoint(true)
+      }
+      delta = delta.localCheckpoint(true)
+      deltaEmpty = delta.isEmpty
+      round += 1
     }
     ed.unpersist()
     ranks

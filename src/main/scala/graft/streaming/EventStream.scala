@@ -2217,6 +2217,108 @@ object EventStream {
         FROM regs GROUP BY event_type"""
   }
 
+  // -------------------------------------------------------------- q506
+
+  /** The q114 per-user profile re-expressed as a Spark 4
+    * `StatefulProcessor` — the arbitrary-state API that supersedes
+    * mapGroupsWithState (typed composable state handles: ValueState /
+    * ListState / MapState per key, TTL, timers — instead of one opaque
+    * GroupState blob). State here is ONE ValueState[UserActivity] per
+    * user, updated with the identical fold as
+    * [[runningUserActivity]]'s, so the two operators' sinks are
+    * bit-identical on any replay (StatefulStreamingSpec pins that
+    * parity under both state-store providers of the q114 twin). */
+  class UserProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserActivity] {
+    @transient private var profile:
+        org.apache.spark.sql.streaming.ValueState[UserActivity] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      profile = getHandle.getValueState[UserActivity]("profile",
+        org.apache.spark.sql.Encoders.product[UserActivity],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserActivity] = {
+      val prev =
+        if (profile.exists()) profile.get()
+        else UserActivity(key, 0L, 0L)
+      var n = prev.n_events
+      var p = prev.n_purchases
+      rows.foreach { e =>
+        n += 1
+        if (e.event_type == "purchase") p += 1
+      }
+      val next = UserActivity(key, n, p)
+      profile.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[UserProfileProcessor]] wired through `transformWithState` —
+    * works over a stream (incremental per micro-batch) like its
+    * mapGroupsWithState twin. */
+  def runningUserActivityTws(ds: Dataset[Event]): Dataset[UserActivity] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new UserProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** The RocksDB state-store provider class `transformWithState`
+    * requires (the API is built on its column-family/changelog
+    * features; the default HDFS-backed provider rejects it). */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+
+  /** q506 — the `transformWithState` ARBITRARY-STATE API as the 32nd
+    * declared streaming shape: q114's per-user profile ported to
+    * Spark 4's StatefulProcessor (successor to mapGroupsWithState —
+    * named typed state handles with TTL and timers, the API new
+    * stateful pipelines should target). Same update-mode memory-sink
+    * drain and monotone-counter max-per-user finisher as q114; shares
+    * q114's oracle verbatim — stream = batch = mapGroupsWithState is
+    * the declared contract. The operator requires the RocksDB state
+    * store, so the query pins the provider for its own run and
+    * restores the session conf after (the q271 env-pinning pattern);
+    * state is one small row per user, bounded by cardinality. */
+  def q506StreamProfilesTws(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q506_stream_profiles_tws_mem"
+    s.catalog.dropTempView(name)
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(confKey)
+    s.conf.set(confKey, RocksDbProvider)
+    try {
+      val q = runningUserActivityTws(
+        typedEvents(readEvents(s, dir, maxFilesPerTrigger)))
+        .toDF()
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None => s.conf.unset(confKey)
+    }
+    s.table(name)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"),
+        org.apache.spark.sql.functions.max("n_purchases")
+          .as("n_purchases"))
+  }
+
   // -------------------------------------------------------------- q505
 
   /** q505 — STREAMING SPLIT-GAIN MONITOR (q498's quality-filter
@@ -2249,6 +2351,8 @@ object EventStream {
 
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q506_stream_profiles_tws" ->
+      ((s: SparkSession, d: String) => q506StreamProfilesTws(s, d)),
     "q505_stream_split_gain" ->
       ((s: SparkSession, d: String) => q505StreamSplitGain(s, d)),
     "q500_stream_hll" ->
@@ -2334,6 +2438,13 @@ object EventStream {
            AS sum_value
          FROM events GROUP BY 1, 2""",
     "q114_stream_profiles" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_purchases
+         FROM events GROUP BY user_id""",
+    // q506 shares q114's oracle verbatim: transformWithState =
+    // mapGroupsWithState = batch GROUP BY is the declared contract
+    "q506_stream_profiles_tws" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
            AS BIGINT) AS n_purchases

@@ -97,6 +97,18 @@ class CurationSpec extends SparkSpec {
       val c = rows.count(_._2 == "1-URGENT").toLong
       if (n < 10) None else Some((cust(ck), n, c))
     }.groupBy(_._1)
+    // the declared int→double exactness bound: (n)₁₀ stays < 2⁵³ iff
+    // n ≤ 44 ((44)₁₀ = 9.004·10¹⁵ < 2⁵³ < (45)₁₀ = 1.158·10¹⁶) — the
+    // data's Poisson order-count tail must stay under it at this SF,
+    // and at sf0.01 too (the correctness-gate SF; observed max 25)
+    assert(orders.groupBy(_._1).values.map(_.size).max <= 44)
+    locally {
+      val o01 = graft.sources.Tables
+        .load(spark, "/root/testdata/sf0.01", "orders")
+        .groupBy("o_custkey").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+      assert(o01 <= 44)
+    }
     val expected = perSeg.map { case (seg, tasks) =>
       def meanPpm(k: Long): Long = {
         val ppms = tasks.map { case (_, n, c) =>

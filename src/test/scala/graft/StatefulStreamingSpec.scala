@@ -579,6 +579,82 @@ class StatefulStreamingSpec extends SparkSpec {
   // q126, stream-stream join q121, incremental LSH q157) under
   // RocksDBStateStoreProvider and pin sink equality against the
   // default-provider run in the same session.
+  // Round-11 verdict #3: transformWithState (Spark 4's arbitrary-state
+  // API, successor to mapGroupsWithState) as a declared streaming
+  // shape. The processor itself always runs on RocksDB (the API
+  // requires it — q506 pins the provider for its own run and restores
+  // the session conf), so "parity under both providers" here means:
+  // whatever provider the SESSION is configured with, q506's sink must
+  // equal the q114 twin's, which DOES honor the session provider.
+  test("q506 transformWithState profiles equal the q114 " +
+    "mapGroupsWithState twin under both session state providers") {
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = EventStream.RocksDbProvider
+    def run(k: String): Seq[String] =
+      SparkEntry.queries(k)(spark, sf1)
+        .collect().map(_.toString).sorted.toSeq
+    // default (HDFS-backed) session provider
+    val q114Default = run("q114_stream_profiles")
+    val q506Default = run("q506_stream_profiles_tws")
+    assert(q506Default === q114Default,
+      "tws sink diverged from mapGroupsWithState under the default " +
+        "session provider")
+    assert(q506Default.nonEmpty)
+    // RocksDB session provider
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, rocks)
+    try {
+      val q114Rocks = run("q114_stream_profiles")
+      val q506Rocks = run("q506_stream_profiles_tws")
+      assert(q506Rocks === q114Rocks,
+        "tws sink diverged from mapGroupsWithState under the RocksDB " +
+          "session provider")
+      assert(q506Rocks === q506Default)
+      // the q506 provider pin must have restored the session conf
+      assert(spark.conf.get(confKey) === rocks)
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+    // and after a default-session run, no provider conf may linger
+    assert(spark.conf.getOption(confKey) === prev)
+  }
+
+  test("transformWithState accumulates per-user ValueState across " +
+    "micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, EventStream.RocksDbProvider)
+    try {
+      val input = MemoryStream[Event]
+      val q = EventStream.runningUserActivityTws(input.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tws_state_test").start()
+      try {
+        input.addData(
+          Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+          Event(2L, ts("2024-01-01 10:01:00"), 7L, "purchase", 5.0),
+          Event(3L, ts("2024-01-01 10:02:00"), 9L, "view", 0.0))
+        q.processAllAvailable()
+        input.addData(
+          Event(4L, ts("2024-01-01 11:00:00"), 7L, "purchase", 9.0))
+        q.processAllAvailable()
+        val latest = spark.sql(
+          """SELECT user_id, max(n_events) AS n, max(n_purchases) AS p
+             FROM tws_state_test GROUP BY user_id""")
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        assert(latest(7L) === ((3L, 2L)))
+        assert(latest(9L) === ((1L, 0L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   test("stateful shapes produce identical sinks under the RocksDB " +
     "state store provider") {
     val confKey = "spark.sql.streaming.stateStore.providerClass"

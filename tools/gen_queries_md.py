@@ -71,8 +71,23 @@ def main():
                     if re.match(r"\s*def " + qnum + r"[A-Z]", lines[j]):
                         defline = j + 1
                         break
+                # scale-path annotation: a scaladoc paragraph starting
+                # "EVAL-ONLY (reference geometry; scale path: qNNN)"
+                # surfaces in the index so no declared query carries an
+                # unannotated quadratic plan (round-11 verdict #5)
+                flag = ""
+                for j in range(i, min(i + 60, len(lines))):
+                    fm = re.search(
+                        r"EVAL-ONLY \(reference geometry; scale path:"
+                        r"\s*(q\w+)\)", lines[j])
+                    if fm:
+                        flag = (" **[EVAL-ONLY at reference geometry; "
+                                f"scale path: {fm.group(1)}]**")
+                        break
+                    if "*/" in lines[j]:
+                        break
                 if qnum not in docs or docs[qnum][1] is None:
-                    docs[qnum] = (headline(buf), defline)
+                    docs[qnum] = (headline(buf) + flag, defline)
         for i, ln in enumerate(lines):
             m = REG.search(ln) or REG_LAMBDA.search(ln)
             if not m:
