@@ -194,9 +194,16 @@ object Scaling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // "ALL" sweeps every declared query (the sf10 endurance mode: one
+    // reading per key at the third decade, not just the Heavy carriers).
     val names =
-      if (args.nonEmpty) args.toSeq
+      if (args.toSeq == Seq("ALL")) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
       else Heavy.filter(SparkEntry.queries.contains)
+    // Endurance runs at sf10 take minutes per heavy query; a single pass
+    // per SF (vs the default min-of-2) halves the wall while still
+    // answering the completes-at-all / order-of-magnitude question.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SCALING_PASSES", "2").toInt
 
     def materialize(name: String, sfDir: String): Double = {
       val dt =
@@ -213,18 +220,30 @@ object Scaling {
     // warmup on the smallest SF: JIT + parquet footer IO, untimed
     names.headOption.foreach(materialize(_, sfDirs.head))
 
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "scaling_full.jsonl"))
+    // Flush each reading as it lands: an endurance run that dies at query
+    // 400 of 503 should still leave 399 adjudicable rows on disk.
+    val out = java.nio.file.Files.newBufferedWriter(outPath)
+    def emit(line: String): Unit = {
+      println(line); out.write(line); out.newLine(); out.flush()
+    }
+
     val times: Map[(String, String), Double] = sfDirs.flatMap { sf =>
       val p1 = names.map(n => n -> materialize(n, sf))
-      val p2 = names.map(n => n -> materialize(n, sf)).toMap
+      val p2 =
+        if (passes >= 2) names.map(n => n -> materialize(n, sf)).toMap
+        else p1.toMap
       p1.map { case (n, a) =>
         val b = p2(n)
         val t = if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
-        println(s"""{"query":"$n","sf":"$sf","sec":$t}""")
+        // Per-reading rows go to the artifact too: a single-SF sweep
+        // (e.g. the full-suite sf10 endurance run) has no exponent rows,
+        // so without these the output file would be empty.
+        emit(s"""{"query":"$n","sf":"$sf","sec":$t}""")
         (n, sf) -> t
       }
     }.toMap
-
-    val sb = new StringBuilder
     names.foreach { n =>
       val ts = sfDirs.map(sf => times((n, sf)))
       if (ts.forall(_ >= 0) && ts.size >= 3) {
@@ -236,14 +255,10 @@ object Scaling {
         // cost is measurable); raw uncorrected ratio reported alongside
         val e = math.log10(d2 / d1)
         val raw = math.log10(ts(2) / ts(1))
-        val line = f"""{"query":"$n%s","t":[${ts.map(t => f"$t%.3f").mkString(",")}],"exp":$e%.2f,"exp_raw":$raw%.2f}"""
-        println(line); sb.append(line).append('\n')
+        emit(f"""{"query":"$n%s","t":[${ts.map(t => f"$t%.3f").mkString(",")}],"exp":$e%.2f,"exp_raw":$raw%.2f}""")
       }
     }
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "scaling_full.jsonl"))
-    java.nio.file.Files.write(out,
-      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
     spark.stop()
   }
 }

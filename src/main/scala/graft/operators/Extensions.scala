@@ -1528,6 +1528,83 @@ object Extensions {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority"""
 
+  /** q508's planted hot key: lineitem rows whose orderkey ends in 0, 1,
+    * or 2 all collapse onto key 0 — ~30% of the fact on ONE join key,
+    * the "unknown id" pathology AQE's skew split and q163's salt both
+    * exist for. */
+  val AqeHotMod = 10L
+  val AqeHotLim = 3L
+
+  private[graft] def aqeSkewSides(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val fact = t(s, dir, "lineitem")
+      .select(
+        when(col("l_orderkey") % AqeHotMod < AqeHotLim, 0L)
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
+    val dim = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    (fact, dim)
+  }
+
+  /** q508 — AQE SKEW-SPLIT vs MANUAL SALT parity (the declared proof of
+    * WHEN q65/q163's salting is no longer needed: since Spark 3, AQE
+    * splits an oversized sort-merge partition at runtime into
+    * threshold-sized slices and joins each against a replicated other
+    * side — semantically exactly the salt-and-replicate rewrite, chosen
+    * from MEASURED partition bytes instead of a hand-declared hot key).
+    * Both paths run here over the same planted-skew join ([[AqeHotMod]]:
+    * ~30% of lineitem collapsed onto key 0): path A a plain `merge`-
+    * hinted sort-merge join — the shape AQE re-plans at scale (the hint
+    * also keeps the dim from broadcasting at test SFs, where a broadcast
+    * would dodge the skew entirely); path B [[Skew.saltedEquiJoin]] with
+    * [[NumSalts]] splits. Released per priority: the rollup plus both
+    * paths' counts and `paths_agree` — the differential hashes the
+    * equality itself. SkewSpec additionally executes path A with the AQE
+    * skew thresholds forced low and asserts the adaptive plan really
+    * contains a skew=true sort-merge join with identical results: the
+    * plan-level evidence, at test scale, of the runtime split.
+    *
+    * Scale rule this documents: prefer AQE's split (zero code, measured,
+    * handles skew you didn't predict) and keep salting for the cases AQE
+    * can't reach — aggregation hot keys before a shuffle, skew on the
+    * BUILD side of a must-broadcast join, or engines/stages where the
+    * runtime re-plan is unavailable (structured streaming state joins).
+    *
+    * Scale shape: path A is one exchange per side + SMJ (AQE splits the
+    * hot partition at runtime); path B replicates the dim ×[[NumSalts]];
+    * the parity join is a 5-row broadcast. */
+  def q508AqeSkewParity(s: SparkSession, dir: String): DataFrame = {
+    val (fact, dim) = aqeSkewSides(s, dir)
+    val plain = fact.hint("merge")
+      .join(dim, col("k") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_aqe"),
+        sum(col("qty")).cast("double").as("sum_aqe"))
+    val salted = Skew
+      .saltedEquiJoin(fact, dim, "k", "o_orderkey", NumSalts)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_salted"),
+        sum(col("qty")).cast("double").as("sum_salted"))
+    plain.join(broadcast(salted), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_aqe"), col("n_salted"),
+        col("sum_aqe"),
+        (col("n_aqe") === col("n_salted") &&
+          col("sum_aqe") === col("sum_salted")).as("paths_agree"))
+  }
+
+  private def q508OracleSql: String =
+    s"""WITH f AS (SELECT CASE WHEN l_orderkey % $AqeHotMod < $AqeHotLim
+            THEN 0 ELSE l_orderkey END AS k,
+          CAST(l_quantity AS DECIMAL(18,2)) AS qty FROM lineitem),
+        g AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(qty) AS DOUBLE) AS sum_qty
+          FROM f JOIN orders ON k = o_orderkey
+          GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n AS n_aqe, n AS n_salted,
+          sum_qty AS sum_aqe, TRUE AS paths_agree
+        FROM g"""
+
   /** Rolling-window width for q164, in seconds. */
   val RollWindowSec = 86400L
 
@@ -3868,6 +3945,7 @@ object Extensions {
     "q161_asof_join" -> (q161AsofJoin _),
     "q162_mad_outliers" -> (q162MadOutliers _),
     "q163_salted_join" -> (q163SaltedJoin _),
+    "q508_aqe_skew_parity" -> (q508AqeSkewParity _),
     "q164_rolling_window" -> (q164RollingWindow _),
     "q167_k_anonymity" -> (q167KAnonymity _),
     "q217_l_diversity" -> (q217LDiversity _),
@@ -3959,6 +4037,7 @@ object Extensions {
     "q161_asof_join" -> q161OracleSql,
     "q162_mad_outliers" -> q162OracleSql,
     "q163_salted_join" -> q163OracleSql,
+    "q508_aqe_skew_parity" -> q508OracleSql,
     "q164_rolling_window" -> q164OracleSql,
     "q167_k_anonymity" -> q167OracleSql,
     "q217_l_diversity" -> q217OracleSql,

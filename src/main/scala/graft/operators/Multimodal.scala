@@ -1198,7 +1198,208 @@ object Multimodal {
             AS suspect_ppm
         FROM meta GROUP BY kind"""
 
+  // ------------------------------------------------------------ q507
+
+  /** q507 raster geometry: per-asset dims w ∈ 2..8, h ∈ 2..6 (≤ 144
+    * raster bytes), pixels cycled from the document's text bytes so the
+    * oracle can rebuild the raster with pure string arithmetic. */
+  def q507Dims(docId: Long): (Int, Int) =
+    ((2 + docId % 7).toInt, (2 + docId % 5).toInt)
+
+  /** Serialize an RGB row-major raster as binary PPM (P6). The header
+    * carries a comment line on purpose — a decoder that doesn't handle
+    * `#` comments (netpbm spec) fails on every even asset, loudly. */
+  def encodePpm(w: Int, h: Int, raster: Array[Byte]): Array[Byte] = {
+    val header = s"P6\n# graft test raster\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + raster.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(raster, 0, out, header.length, raster.length)
+    out
+  }
+
+  /** Serialize an RGB row-major raster as an uncompressed 24-bit BMP
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER): little-endian fields,
+    * BOTTOM-UP row order, BGR channel order, rows padded to 4 bytes —
+    * the three classic traps that make a BMP parse real. */
+  def encodeBmp(w: Int, h: Int, raster: Array[Byte]): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val dataSize = stride * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize) // bfSize
+    buf.putInt(0)             // bfReserved
+    buf.putInt(54)            // bfOffBits
+    buf.putInt(40)            // biSize
+    buf.putInt(w).putInt(h)   // biWidth, biHeight (positive = bottom-up)
+    buf.putShort(1)           // biPlanes
+    buf.putShort(24)          // biBitCount
+    buf.putInt(0)             // biCompression = BI_RGB
+    buf.putInt(dataSize)      // biSizeImage
+    buf.putInt(2835).putInt(2835) // 72 dpi
+    buf.putInt(0).putInt(0)   // palette
+    var y = h - 1             // write rows bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        buf.put(raster(p + 2)).put(raster(p + 1)).put(raster(p)) // BGR
+        x += 1
+      }
+      var pad = stride - w * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** REAL container decode: sniffs PPM (P6) vs BMP magic and parses the
+    * header for truth — dims come from the FILE, not from metadata the
+    * caller trusts. Returns (container, width, height, RGB row-major
+    * raster). Throws on malformed input (wrong magic, short raster,
+    * unsupported bit depth) — a media lake wants decode failures loud,
+    * not coerced. */
+  def decodePixels(payload: Array[Byte])
+      : (String, Int, Int, Array[Byte]) = {
+    require(payload.length >= 2, "payload too short for any container")
+    if (payload(0) == 'P' && payload(1) == '6') {
+      // netpbm P6: three ASCII ints (w, h, maxval) separated by
+      // whitespace, '#'-to-EOL comments legal between tokens, exactly
+      // one whitespace byte after maxval, then the binary raster
+      var i = 2
+      def nextInt(): Int = {
+        while (i < payload.length &&
+            (payload(i).toChar.isWhitespace || payload(i) == '#')) {
+          if (payload(i) == '#')
+            while (i < payload.length && payload(i) != '\n') i += 1
+          else i += 1
+        }
+        var v = 0
+        require(i < payload.length && payload(i) >= '0' &&
+          payload(i) <= '9', s"PPM: expected digit at $i")
+        while (i < payload.length && payload(i) >= '0' &&
+            payload(i) <= '9') {
+          v = v * 10 + (payload(i) - '0'); i += 1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      require(maxval == 255, s"PPM: unsupported maxval $maxval")
+      i += 1 // the single whitespace byte after maxval
+      require(payload.length - i >= w * h * 3, "PPM: truncated raster")
+      ("ppm", w, h,
+        java.util.Arrays.copyOfRange(payload, i, i + w * h * 3))
+    } else if (payload(0) == 'B' && payload(1) == 'M') {
+      val buf = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val offBits = buf.getInt(10)
+      val w = buf.getInt(18)
+      val h = buf.getInt(22)
+      require(buf.getShort(28) == 24, "BMP: only 24bpp supported")
+      require(buf.getInt(30) == 0, "BMP: only BI_RGB supported")
+      require(h > 0, "BMP: top-down images not supported")
+      val stride = (w * 3 + 3) & ~3
+      require(payload.length >= offBits + stride * h,
+        "BMP: truncated raster")
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val src = offBits + (h - 1 - y) * stride // undo bottom-up
+        var x = 0
+        while (x < w) {
+          val p = (y * w + x) * 3
+          rgb(p) = payload(src + x * 3 + 2)     // R from BGR
+          rgb(p + 1) = payload(src + x * 3 + 1) // G
+          rgb(p + 2) = payload(src + x * 3)     // B
+          x += 1
+        }
+        y += 1
+      }
+      ("bmp", w, h, rgb)
+    } else sys.error(
+      f"unknown container magic 0x${payload(0)}%02x${payload(1)}%02x")
+  }
+
+  /** q507 — DECODED-PIXEL statistics through REAL container parses (the
+    * graduation of this family from bytes-about-bytes to pixels: q81
+    * histograms payload bytes as-is; here every asset is serialized
+    * into a genuine public image container — even doc_ids as binary
+    * PPM/P6 with a header comment, odd ones as uncompressed 24-bit BMP
+    * with little-endian headers, bottom-up rows, BGR channels, and
+    * 4-byte row padding — and then DECODED back in the typed
+    * mapPartitions codec slot by a parser that trusts only the file:
+    * dims are read from the header, BMP rows are re-flipped, channels
+    * re-swapped, padding dropped). Released per asset: the container,
+    * header-derived dims, per-channel integer sums over the decoded
+    * raster, and the md5 of the reconstructed RGB row-major raster —
+    * which the oracle reproduces from TEXT arithmetic alone, so the
+    * differential proves the encode→parse round-trip is byte-exact
+    * through both container formats. A real JPEG codec drops into the
+    * same slot with the same schema; only `decodePixels` changes.
+    *
+    * Scale shape: one narrow typed pass, zero shuffles, zero joins;
+    * per-row scratch is the ≤ 144-byte raster (at real image sizes,
+    * one frame) — the q81/q148 partition-batched codec discipline. */
+  def q507PixelDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (docId, tb) =>
+          val (w, h) = q507Dims(docId)
+          val raster =
+            Array.tabulate(w * h * 3)(i => tb(i % tb.length))
+          val payload =
+            if (docId % 2 == 0) encodePpm(w, h, raster)
+            else encodeBmp(w, h, raster)
+          val (container, dw, dh, rgb) = decodePixels(payload)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var p = 0
+          while (p < rgb.length) {
+            sr += rgb(p) & 0xff
+            sg += rgb(p + 1) & 0xff
+            sb += rgb(p + 2) & 0xff
+            p += 3
+          }
+          md.reset()
+          val hex = md.digest(rgb).map("%02x".format(_)).mkString
+          (docId, container, dw.toLong, dh.toLong, dw.toLong * dh,
+            sr, sg, sb, hex)
+        }
+      }.toDF("asset_id", "container", "width", "height", "n_pixels",
+        "sum_r", "sum_g", "sum_b", "raster_md5")
+  }
+
+  private def q507OracleSql: String =
+    """WITH d AS (SELECT doc_id, text, strlen(text) AS n,
+          2 + doc_id % 7 AS w, 2 + doc_id % 5 AS h
+        FROM documents),
+        r AS (SELECT doc_id, w, h,
+            substr(repeat(text, CAST(w * h * 3 // n + 1 AS INT)),
+              1, CAST(w * h * 3 AS INT)) AS raster
+          FROM d),
+        s AS (SELECT doc_id, w, h, raster,
+            list_transform(string_split(raster, ''),
+              px_c -> ascii(px_c)) AS bs
+          FROM r)
+        SELECT doc_id AS asset_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS container,
+          CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(list_sum(list_transform(range(0, w * h),
+            px_p -> bs[CAST(3 * px_p + 1 AS INT)])) AS BIGINT) AS sum_r,
+          CAST(list_sum(list_transform(range(0, w * h),
+            px_p -> bs[CAST(3 * px_p + 2 AS INT)])) AS BIGINT) AS sum_g,
+          CAST(list_sum(list_transform(range(0, w * h),
+            px_p -> bs[CAST(3 * px_p + 3 AS INT)])) AS BIGINT) AS sum_b,
+          md5(raster) AS raster_md5
+        FROM s"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q507_pixel_decode" -> (q507PixelDecode _),
     "q476_media_kind_mislabel" -> (q476MediaKindMislabel _),
     "q489_metadata_consistency" -> (q489MetadataConsistency _),
     "q310_aspect_buckets" -> (q310AspectBuckets _),
@@ -1217,6 +1418,7 @@ object Multimodal {
     "q81_media_histogram" -> (q81MediaHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q507_pixel_decode" -> q507OracleSql,
     "q454_payload_rle" -> q454OracleSql,
     "q476_media_kind_mislabel" -> q476OracleSql,
     "q489_metadata_consistency" -> q489OracleSql,

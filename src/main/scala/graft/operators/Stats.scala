@@ -474,6 +474,17 @@ object Stats {
   /** Microseconds per day — the duration grid of the KM risk table. */
   val UsPerDay = 86400000000L
 
+  /** Remint every output attribute id via a self-alias. A
+    * `localCheckpoint` keeps its input's exprIds in the materialized
+    * LogicalRDD; when the SAME upstream frame (here `ev`) also feeds a
+    * non-checkpointed branch that later joins the checkpoint, both join
+    * sides carry the same ids — an AQE-off session then fails analysis
+    * with "conflicting references" (PlanLedger caught this; AQE-on
+    * sessions happened to dedup it). Fresh aliases make the checkpoint
+    * id-disjoint by construction. */
+  private def remintIds(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).as(c)).toSeq: _*)
+
   /** q308 — KAPLAN–MEIER RISK TABLE for signup→purchase conversion (the
     * survival-analysis primitive a growth team runs on activation
     * delays: "what fraction has converted by day d", computed CORRECTLY
@@ -507,6 +518,7 @@ object Stats {
       .agg(min(when(col("event_type") === "signup", col("us")))
         .as("t0"), max("us").as("umax"))
       .localCheckpoint(true)
+      .transform(remintIds)
     val su = perUser.filter(col("t0").isNotNull).select("user_id", "t0")
     val firstP = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("us"))
@@ -1585,6 +1597,7 @@ object Stats {
       .agg(min(when(col("event_type") === "signup", col("us")))
         .as("t0"), max("us").as("umax"))
       .localCheckpoint(true)
+      .transform(remintIds)
     val su = perUser.filter(col("t0").isNotNull).select("user_id", "t0")
     val firstP = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("us"))

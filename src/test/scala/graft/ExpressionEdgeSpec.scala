@@ -93,4 +93,87 @@ class ExpressionEdgeSpec extends SparkSpec {
     val r = spark.range(0).selectExpr("sum_squares(id) AS s").head()
     assert(r.getLong(0) === 0L)
   }
+
+  // ---- libm-residue audit (round-12 verdict #7): the two sites the
+  // round-11 constant-fold sweep left as data-dependent. Neither can
+  // bake a literal; each gets a domain proof instead.
+
+  test("q331 JSD ln residue: every achievable cell's floor(term*1e9) " +
+    "sits farther from its lattice boundary than any 1-ulp libm " +
+    "divergence can move it") {
+    // The only cross-engine divergence source in the shared expression
+    // text is ln(): IEEE arithmetic (+,-,*,/) is deterministic given
+    // the same doubles, but Java's Math.log is allowed 1 ulp of error
+    // while a C libm may round differently. Propagated through
+    // 0.5*p*ln(..) + 0.5*q*ln(..), a 1-ulp disagreement on each log
+    // moves the released scale by at most
+    //   bound = 1e9 * (0.5*p*ulp(L1) + 0.5*q*ulp(L2))   per cell.
+    // The released integer flips only if the true value sits within
+    // bound of a floor boundary — so we sweep EVERY achievable cell at
+    // sf0.001 and assert a >= 100x safety margin against the PER-CELL
+    // bound (measured min margin ~7e-5 vs bounds ~1e-9..1e-7).
+    // Exact-zero cells (p == q as doubles -> arg exactly 1.0 -> ln
+    // mandated +0) are cross-engine exact by IEEE identity and
+    // asserted to release 0.
+    val rows = graft.operators.TextOps
+      .q331SourceJsd(spark, sf1).collect()
+    assert(rows.length > 500, "spine unexpectedly small")
+    var zeros = 0
+    rows.foreach { r =>
+      val cSw = r.getAs[Long]("c_sw").toDouble
+      val nS = r.getAs[Long]("n_s").toDouble
+      val cW = r.getAs[Long]("c_w").toDouble
+      val n = r.getAs[Long]("n").toDouble
+      val p = cSw / nS
+      val q = cW / n
+      val l1 = if (cSw == 0) 0.0 else math.log(2.0 * p / (p + q))
+      val l2 = math.log(2.0 * q / (p + q))
+      val term = (if (cSw == 0) 0.0 else 0.5 * p * l1) + 0.5 * q * l2
+      val scaled = term * 1e9
+      assert(r.getAs[Long]("jsd_ppb") === math.floor(scaled).toLong,
+        s"released ppb drifted from the shared expression at $r")
+      if (scaled == 0.0) zeros += 1
+      else {
+        val bound = 1e9 *
+          (0.5 * p * Math.ulp(l1) + 0.5 * q * Math.ulp(l2))
+        val frac = scaled - math.floor(scaled)
+        val margin = math.min(frac, 1.0 - frac)
+        assert(margin > 100.0 * bound,
+          s"cell within libm-flip distance of a floor boundary: $r " +
+            s"(scaled=$scaled margin=$margin bound=$bound)")
+      }
+    }
+    // exact-zero cells (none at sf0.001; possible where p == q as
+    // doubles) are IEEE-exact on both engines and carry no margin to
+    // check — the count is informational only
+    assert(zeros >= 0)
+  }
+
+  test("q402 cosine sqrt residue: Math.sqrt is correctly rounded on " +
+    "the achievable dot-product domain (so any IEEE libm agrees " +
+    "bit-exactly)") {
+    // IEEE 754 REQUIRES sqrt correctly rounded; Java documents
+    // Math.sqrt as exactly that, and every conforming C libm matches.
+    // Demonstrate on the achievable domain: squared norms of 64-dim
+    // embeddings (sums of squares in [0, 64] here; scale-free in
+    // general) plus boundary magnitudes. Correctly-rounded check via
+    // exact BigDecimal arithmetic: no neighboring double is closer to
+    // the true root.
+    import java.math.{BigDecimal => BD, MathContext}
+    val rnd = new scala.util.Random(7)
+    val domain = Seq(1e-300, 4.9e-324, 1.0 - 2.2e-16, 1.0, 2.0, 63.99,
+      64.0, 1e300) ++
+      (0 until 500).map(_ => rnd.nextDouble() * 64.0) ++
+      (0 until 100).map(_ => rnd.nextDouble() * 1e-6)
+    domain.filter(_ > 0).foreach { x =>
+      val r = Math.sqrt(x)
+      val bx = new BD(x)
+      def err(d: Double): BD =
+        new BD(d).multiply(new BD(d)).subtract(bx).abs(
+          MathContext.DECIMAL128)
+      assert(err(r).compareTo(err(Math.nextUp(r))) <= 0 &&
+        err(r).compareTo(err(Math.nextDown(r))) <= 0,
+        s"Math.sqrt($x) not correctly rounded?!")
+    }
+  }
 }

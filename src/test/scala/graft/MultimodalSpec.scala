@@ -363,4 +363,64 @@ class MultimodalSpec extends SparkSpec {
     // synthetic audio assets carry doc_id-derived dims: ~all violate
     assert(rows("audio")._4 > 900000L)
   }
+
+  test("q507 codecs: PPM and BMP encode→decode round-trips the exact " +
+    "RGB raster across dims including padded BMP rows") {
+    val M = graft.operators.Multimodal
+    // every (w, h) in the q507 geometry, incl. w*3 % 4 != 0 (BMP pad)
+    for (w <- 2 to 8; h <- 2 to 6) {
+      val raster = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 251).toByte)
+      val (cp, wp, hp, rp) = M.decodePixels(M.encodePpm(w, h, raster))
+      assert((cp, wp, hp) === ("ppm", w, h))
+      assert(java.util.Arrays.equals(rp, raster), s"ppm $w x $h")
+      val (cb, wb, hb, rb) = M.decodePixels(M.encodeBmp(w, h, raster))
+      assert((cb, wb, hb) === ("bmp", w, h))
+      assert(java.util.Arrays.equals(rb, raster), s"bmp $w x $h")
+    }
+  }
+
+  test("q507 decoder trusts the file: dims come from the header, " +
+    "comments are skipped, bad magic and truncation throw") {
+    val M = graft.operators.Multimodal
+    val raster = Array.tabulate(5 * 4 * 3)(_.toByte)
+    // header comment is already in encodePpm; add a hand-built header
+    // with multiple comments and extra whitespace
+    val handPpm = ("P6\n# one\n  5 # inline\n 4\n# two\n255\n")
+      .getBytes("US-ASCII") ++ raster
+    val (_, w, h, r) = M.decodePixels(handPpm)
+    assert((w, h) === (5, 4) && java.util.Arrays.equals(r, raster))
+    intercept[Exception] {
+      M.decodePixels("XX".getBytes("US-ASCII") ++ raster)
+    }
+    intercept[Exception] { // truncated BMP raster
+      val full = M.encodeBmp(5, 4, raster)
+      M.decodePixels(java.util.Arrays.copyOf(full, full.length - 8))
+    }
+  }
+
+  test("q507 per-channel sums and raster md5 replay from the text " +
+    "cycling law") {
+    val rows = graft.operators.Multimodal
+      .q507PixelDecode(spark, sf1).collect()
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === docs.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val (w, h) = graft.operators.Multimodal.q507Dims(id)
+      val tb = docs(id).getBytes("UTF-8")
+      val raster = Array.tabulate(w * h * 3)(i => tb(i % tb.length))
+      assert(r.getAs[String]("container") ===
+        (if (id % 2 == 0) "ppm" else "bmp"))
+      assert(r.getAs[Long]("width") === w.toLong)
+      assert(r.getAs[Long]("height") === h.toLong)
+      assert(r.getAs[Long]("sum_r") ===
+        raster.indices.filter(_ % 3 == 0).map(raster(_) & 0xff).sum.toLong)
+      md.reset()
+      assert(r.getAs[String]("raster_md5") ===
+        md.digest(raster).map("%02x".format(_)).mkString)
+    }
+  }
 }
