@@ -229,19 +229,27 @@ object Scaling {
       println(line); out.write(line); out.newLine(); out.flush()
     }
 
+    // Per-reading rows go to the artifact too: a single-SF sweep (the
+    // full-suite sf10 endurance run) has no exponent rows, so without
+    // these the output file would be empty. Single-pass mode emits each
+    // reading AS IT LANDS (a JVM death at query 400 of 505 leaves 399
+    // adjudicable rows); min-of-2 mode can only emit after both passes.
     val times: Map[(String, String), Double] = sfDirs.flatMap { sf =>
-      val p1 = names.map(n => n -> materialize(n, sf))
-      val p2 =
-        if (passes >= 2) names.map(n => n -> materialize(n, sf)).toMap
-        else p1.toMap
-      p1.map { case (n, a) =>
-        val b = p2(n)
-        val t = if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
-        // Per-reading rows go to the artifact too: a single-SF sweep
-        // (e.g. the full-suite sf10 endurance run) has no exponent rows,
-        // so without these the output file would be empty.
-        emit(s"""{"query":"$n","sf":"$sf","sec":$t}""")
-        (n, sf) -> t
+      if (passes < 2) {
+        names.map { n =>
+          val t = materialize(n, sf)
+          emit(s"""{"query":"$n","sf":"$sf","sec":$t}""")
+          (n, sf) -> t
+        }
+      } else {
+        val p1 = names.map(n => n -> materialize(n, sf))
+        val p2 = names.map(n => n -> materialize(n, sf)).toMap
+        p1.map { case (n, a) =>
+          val b = p2(n)
+          val t = if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
+          emit(s"""{"query":"$n","sf":"$sf","sec":$t}""")
+          (n, sf) -> t
+        }
       }
     }.toMap
     names.foreach { n =>

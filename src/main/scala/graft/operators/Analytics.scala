@@ -456,11 +456,18 @@ object Analytics {
     * set — the neighbor census is one groupBy over it (map-side
     * combined), the border test is one semi-join of the pair set
     * against the (much smaller) core set, and the final label attach is
-    * a left join back to the full point set. No step touches |corpus|²;
-    * the pair frame is localCheckpointed once for its two consumers
-    * (census + border probe) — the q177 discipline. */
+    * a left join back to the full point set. No step touches |corpus|²
+    * beyond the pair volume itself (output-bound by the q185 volume
+    * law). The pair frame is deliberately NOT checkpointed for its two
+    * consumers: q185's pairs are output-scale (446M rows at sf10) and
+    * the grid join that makes them is cell-local and cheap — the
+    * round-12 endurance run measured the materialize-once version at
+    * 515 s vs q185's own 19 s, i.e. the q177 checkpoint discipline
+    * INVERTS when the shared frame is output-sized and regeneration is
+    * a scan-speed pass; recomputing per consumer is the 100 TB-correct
+    * trade here. */
   def q186DbscanLabels(s: SparkSession, dir: String): DataFrame = {
-    val pairs = gridPairs(s, dir).localCheckpoint(true)
+    val pairs = gridPairs(s, dir)
     val und = pairs.select(col("id1").as("id"), col("id2").as("nbr"))
       .unionByName(pairs.select(col("id2").as("id"), col("id1").as("nbr")))
     val cnt = gridPoints(s, dir).select("id")
@@ -697,34 +704,66 @@ object Analytics {
   /** Mutual-rank cutoff for q191. */
   val RnnTopK = 3
 
-  /** q191 — RECIPROCAL NEAREST NEIGHBORS within label blocks: pairs of
-    * embeddings that are EACH in the other's cosine top-K among their
-    * label's vectors — the mutual-rank filter that turns one-directional
-    * similarity into high-precision match candidates (re-ranking for
-    * entity resolution, SemDeDup-style pair confirmation, citation
-    * matching). Output is ids + both integer ranks — the established
-    * ids-only float discipline (cosines are compared, never emitted),
-    * with the vec_dot/list_dot_product fold keeping comparisons
-    * bit-identical across engines and ties broken on vec_id.
+  /** q191 cell-ladder base: zero extra planes through [[RnnCellBase]]
+    * vectors, one more per doubling. 2000 = the full sf0.1 corpus, so
+    * every declared-correctness SF runs at 0 planes — one cell per
+    * label, results IDENTICAL to the original whole-label declaration —
+    * while each doubling beyond keeps expected in-cell size per label
+    * ≈ RnnCellBase/|labels| = 200 vectors. */
+  val RnnCellBase = 2000L
+
+  /** q191 — RECIPROCAL NEAREST NEIGHBORS within adaptive cells: pairs
+    * of embeddings that are EACH in the other's cosine top-K among
+    * their cell's vectors — the mutual-rank filter that turns
+    * one-directional similarity into high-precision match candidates
+    * (re-ranking for entity resolution, SemDeDup-style pair
+    * confirmation, citation matching). Output is ids + both integer
+    * ranks — the established ids-only float discipline (cosines are
+    * compared, never emitted), with the vec_dot/list_dot_product fold
+    * keeping comparisons bit-identical across engines and ties broken
+    * on vec_id.
     *
-    * Scale shape: the self-join is LABEL-BLOCKED — candidate volume is
-    * Σ|label|², never |corpus|² (the q127 SemDeDup cell discipline, with
-    * labels as the cells; at scale the blocks come from IVF assignment
-    * instead of given labels). The rank window rides the join's own
-    * v1-keyed partitioning; the mutuality test is an equi-join of the
-    * K-bounded directed frame against itself. */
+    * CELLS (re-declared round 12): cell = label × masked-SRP bucket on
+    * the q501 prefix-stable plane family, plane count from the
+    * [[RnnCellBase]] count ladder (0 planes through n = 2000 — every
+    * declared-correctness corpus — so sf ≤ 0.1 results are IDENTICAL
+    * to the original label-blocked declaration). Why: labels are a
+    * FIXED partition (10 of them at every SF), so whole-label blocking
+    * is Σ|label|² = Θ(n²/10) — the round-12 sf10 endurance run
+    * measured the cliff at 1083 s / 1239× per 100× data, the suite's
+    * worst superlinear residue. With one plane per doubling the
+    * in-cell volume is n·(RnnCellBase/|labels|)/2 per direction —
+    * LINEAR per decade, the q501/q127 adaptive-geometry rule applied
+    * to the mutual-rank verb. Semantics note: mutual-top-K-in-cell is
+    * the production form of this verb anyway — at 100 TB the cells
+    * come from IVF assignment, and RNN re-ranks within a cell; the
+    * SRP split only tightens "among the label's vectors" to "among
+    * the label's vectors on the same side of log₂(n/2000)
+    * hyperplanes", trading recall for the linear growth law exactly
+    * like q501 vs q119.
+    *
+    * Scale shape: one 1-row broadcast geometry attach, a (label,
+    * cell)-keyed self-join with ladder-bounded per-key volume, the
+    * rank window riding the join's own v1-keyed partitioning, and the
+    * mutuality test as an equi-join of the K-bounded directed frame
+    * against itself. */
   def q191ReciprocalNn(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     import graft.functions.VectorFunctions.vec_dot
-    val e = t(s, dir, "embeddings")
+    val base = t(s, dir, "embeddings")
       .withColumn("ed", col("embedding").cast("array<double>"))
       .withColumn("nrm", sqrt(vec_dot(col("ed"), col("ed"))))
       .select("vec_id", "label", "ed", "nrm")
-    val a = e.select(col("vec_id").as("v1"), col("label"),
+    val geom = base.agg(count(lit(1)).as("n_vecs"))
+      .withColumn("n_planes", expr(Dedup.srpPlaneLadder(RnnCellBase, 0)))
+    val e = base.crossJoin(broadcast(geom))
+      .withColumn("cell", expr(Dedup.adaptiveBucketExpr("spark")))
+      .select("vec_id", "label", "ed", "nrm", "cell")
+    val a = e.select(col("vec_id").as("v1"), col("label"), col("cell"),
       col("ed").as("ed1"), col("nrm").as("n1"))
-    val b = e.select(col("vec_id").as("v2"), col("label"),
+    val b = e.select(col("vec_id").as("v2"), col("label"), col("cell"),
       col("ed").as("ed2"), col("nrm").as("n2"))
-    val top = a.join(b, Seq("label"))
+    val top = a.join(b, Seq("label", "cell"))
       .filter(col("v1") =!= col("v2"))
       .select(col("v1"), col("v2"),
         (vec_dot(col("ed1"), col("ed2")) / (col("n1") * col("n2")))
@@ -744,16 +783,22 @@ object Analytics {
   }
 
   private def q191OracleSql: String =
-    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) ed,
-          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-            CAST(embedding AS DOUBLE[]))) nrm
-        FROM embeddings),
+    s"""WITH e0 AS (SELECT vec_id, label,
+          CAST(embedding AS DOUBLE[]) ed FROM embeddings),
+        geom AS (SELECT ${Dedup.srpPlaneLadder(RnnCellBase, 0)}
+            AS n_planes
+          FROM (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM e0)),
+        e AS (SELECT vec_id, label, ed,
+          sqrt(list_dot_product(ed, ed)) nrm,
+          ${Dedup.adaptiveBucketExpr("duck")} AS cell
+        FROM e0, geom),
         dir AS (SELECT a.vec_id v1, b.vec_id v2,
             row_number() OVER (PARTITION BY a.vec_id
               ORDER BY list_dot_product(a.ed, b.ed)/(a.nrm*b.nrm) DESC,
                 b.vec_id) rn
           FROM e a JOIN e b
-          ON a.label = b.label AND a.vec_id <> b.vec_id),
+          ON a.label = b.label AND a.cell = b.cell
+            AND a.vec_id <> b.vec_id),
         top AS (SELECT v1, v2, CAST(rn AS BIGINT) rn FROM dir
                 WHERE rn <= $RnnTopK)
         SELECT t1.v1 AS vec_id_1, t1.v2 AS vec_id_2,

@@ -496,9 +496,108 @@ object Curation {
           n_c, n_p, n_u, n_inter
         FROM est"""
 
+  // ------------------------------------------------------------ q513
+
+  /** DSIR feature-space size: hashed token buckets. 256 keeps the
+    * ratio frame broadcast-trivial while leaving the hashed-feature
+    * collision behavior the method is defined by (DSIR runs 10⁴–10⁵
+    * buckets at paper scale; the bucket count is a config knob, not a
+    * plan-shape choice — the frames stay ≤ |B| rows either way). */
+  val DsirBuckets = 256L
+
+  /** q513 — DSIR IMPORTANCE WEIGHTS (data selection with importance
+    * resampling, Xie et al. 2023 — the curation verb the quality-gate
+    * family q90/q130 can't express: instead of thresholding per-doc
+    * heuristics, score every raw document by how much its hashed-token
+    * profile looks drawn from a TARGET domain rather than the raw
+    * corpus, then sample by weight; here target = the `lang = 'en'`
+    * slice, the classic select-for-English-web setup). Per hashed
+    * bucket b: target count t_b and raw count r_b off ONE token
+    * census; the per-bucket likelihood ratio is released EXACTLY as
+    * add-one-smoothed rational ppm — ratio_ppm(b) = (t_b+1)(R+|B|)·10⁶
+    * div (r_b+1)(T+|B|) in decimal(38,0)/HUGEINT — and each document's
+    * weight is the exact integer Σ_tokens ratio_ppm(b(token)). The
+    * paper's log-likelihood form Σ c_b·ln(p/q) is deliberately
+    * traded for the rational one (the q64 rational-idf precedent): ln
+    * is libm and this suite releases nothing libm-dependent; the
+    * rational weight preserves the method's shape — per-bucket
+    * importance, summed over the doc's tokens — with every released
+    * integer bit-identical cross-engine. Released per doc (docs with
+    * ≥1 token): (doc_id, n_toks, weight, wpt_ppm = weight div n_toks
+    * — the length-normalized selection score).
+    *
+    * Int64 bounds: t_b ≤ r_b (target ⊆ raw) forces ratio_ppm ≤
+    * (R+|B|)·10⁶/(T+|B|) ≈ 10⁶/target-fraction ≈ 5·10⁶ at the ~1/3 en
+    * share, SF-invariant; weight ≤ n_toks·5·10⁶ ≈ 10¹⁰ at 10⁴-token
+    * docs — int64-safe at any SF (the census products are the only
+    * wide terms, and they run decimal38/HUGEINT).
+    *
+    * Scale shape: ONE corpus token scan map-side combined to the
+    * ≤ |B|-row census (both counts in one pass — the target count is a
+    * conditional sum, not a second scan); totals fold the census to a
+    * 1-row broadcast; scoring re-joins tokens to the ≤ |B|-row
+    * broadcast ratio frame and map-side-combines the doc-keyed sum —
+    * zero wide shuffles beyond the doc-keyed aggregate, the shape that
+    * scores 100 TB in a single pass over the tokens. */
+  def q513DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    import org.apache.spark.sql.functions.broadcast
+    val tb = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("b", expr(s"poly_hash(w) % $DsirBuckets"))
+      .select("doc_id", "lang", "b")
+    val census = tb.groupBy("b").agg(
+      count(lit(1)).as("r_n"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_n"))
+      .cache() // two consumers (totals + ratio); ≤ |B| rows
+    val tot = census.agg(sum("r_n").as("rr"), sum("t_n").as("tt"))
+    val ratio = census.crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        s"""CAST(CAST(t_n + 1 AS DECIMAL(38,0))
+              * (rr + $DsirBuckets) * 1000000
+            div (CAST(r_n + 1 AS DECIMAL(38,0))
+              * (tt + $DsirBuckets)) AS BIGINT)""").as("ratio_ppm"))
+    tb.join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("ratio_ppm").as("weight"))
+      .select(col("doc_id"), col("n_toks"), col("weight"),
+        expr("weight div n_toks").as("wpt_ppm"))
+  }
+
+  private def q513OracleSql: String = {
+    import graft.functions.PortableHash.duckCharFold
+    s"""WITH toks AS (SELECT d.doc_id, d.lang, ds_t.w
+          FROM (SELECT doc_id, lang, string_split(text, ' ') AS tw
+                FROM documents) d,
+               unnest(d.tw) AS ds_t(w)
+          WHERE ds_t.w <> ''),
+        tb AS (SELECT doc_id, lang,
+            ${duckCharFold("w")} % $DsirBuckets AS b
+          FROM toks),
+        census AS (SELECT b, CAST(count(*) AS BIGINT) AS r_n,
+            CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS t_n
+          FROM tb GROUP BY b),
+        tot AS (SELECT CAST(sum(r_n) AS BIGINT) AS rr,
+            CAST(sum(t_n) AS BIGINT) AS tt FROM census),
+        ratio AS (SELECT b,
+            CAST((CAST(t_n + 1 AS HUGEINT)
+                * (rr + $DsirBuckets) * 1000000)
+              // (CAST(r_n + 1 AS HUGEINT)
+                * (tt + $DsirBuckets)) AS BIGINT) AS ratio_ppm
+          FROM census, tot),
+        w AS (SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+            CAST(sum(ratio_ppm) AS BIGINT) AS weight
+          FROM tb JOIN ratio ON ratio.b = tb.b GROUP BY tb.doc_id)
+        SELECT doc_id, n_toks, weight, weight // n_toks AS wpt_ppm
+        FROM w"""
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q513_dsir_weights" -> (q513DsirWeights _),
     "q496_hll_distinct" -> (q496HllDistinct _),
     "q497_pass_at_k" -> (q497PassAtK _),
     "q498_split_gain" -> (q498SplitGain _),
@@ -506,6 +605,7 @@ object Curation {
     "q504_hll_set_algebra" -> (q504HllSetAlgebra _))
 
   val oracleSql: Map[String, String] = Map(
+    "q513_dsir_weights" -> q513OracleSql,
     "q496_hll_distinct" -> q496OracleSql,
     "q497_pass_at_k" -> q497OracleSql,
     "q498_split_gain" -> q498OracleSql,

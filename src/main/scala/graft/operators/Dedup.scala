@@ -1250,17 +1250,27 @@ object Dedup {
     * STATIC while the geometry adapts to the data. Caps at 14 planes
     * (2¹⁶·¼ buckets — holds the 128-vector bucket target through
     * n = 2⁽¹⁴⁾·128 ≈ 2M vectors ≈ sf1000; bound documented). */
-  private val AdaptiveMaxPlanes = 14
-  private def planeCountCase: String =
-    (4 to AdaptiveMaxPlanes).map(k =>
-      s"WHEN n_vecs <= ${TargetSrpBucket * (1L << k)} THEN $k")
+  private[graft] val AdaptiveMaxPlanes = 14
+
+  /** Generalized plane-count ladder: `lo` planes through `n_vecs <=
+    * base`, one more per doubling, capped at [[AdaptiveMaxPlanes]].
+    * q501 instantiates it at (base = 128·2⁴, lo = 4) — its original
+    * inline form — and q191's label sub-cells at (base = 2000, lo = 0)
+    * so the ladder contributes ZERO planes at every declared-
+    * correctness corpus size. */
+  private[graft] def srpPlaneLadder(base: Long, lo: Int): String =
+    (lo to AdaptiveMaxPlanes).map(k =>
+      s"WHEN n_vecs <= ${base * (1L << (k - lo))} THEN $k")
       .mkString("CASE ", " ", s" ELSE $AdaptiveMaxPlanes END")
+
+  private def planeCountCase: String =
+    srpPlaneLadder(TargetSrpBucket * (1L << 4), 4)
 
   /** Masked SRP bucket over the 14-plane prefix-stable family: bit p
     * participates iff p < n_planes. The mask is what keeps the shared
     * text static — both engines carry all 14 plane literals, the data
     * decides how many bits are live. */
-  private def adaptiveBucketExpr(dialect: String): String = {
+  private[graft] def adaptiveBucketExpr(dialect: String): String = {
     val ps = planesFor(AdaptiveMaxPlanes)
     (0 until AdaptiveMaxPlanes).map { p =>
       val lit =
@@ -1392,8 +1402,9 @@ object Dedup {
     * covers every document at sf ≤ 0.1 (5000 base docs), so results
     * there — including the whole correctness differential — are
     * IDENTICAL to the full join; the uncapped exact join remains the
-    * [[setSimJoinExact]] library API (auditPred = None, q318's sweep
-    * and PropertySpec still exercise it), and the linear
+    * [[setSimJoinExact]] library API (auditPred = None, PropertySpec
+    * still exercises it; q318's sweep adopted the same stratum in
+    * round 12 after its sf10 disk-spill wall), and the linear
     * production-path alternative for corpus-wide dedup is q30+q87. */
   def q101SetSimJoin(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
@@ -2554,13 +2565,25 @@ object Dedup {
     * says τ is uncritical; this is also the query that puts the
     * τ-PARAMETERIZED [[setSimJoinExact]] API itself under the
     * differential at three thresholds, where q101 pins only 9/10):
-    * exact pair counts at τ ∈ {0.80, 0.90, 0.95} over the planted
-    * corpus, one row per threshold.
+    * exact pair counts at τ ∈ {0.80, 0.90, 0.95} over pairs touching
+    * the q101 audit stratum, one row per threshold.
+    *
+    * SCOPE (re-declared round 12, the q101/q139 precedent): the sweep
+    * screens pairs with at least one endpoint in the constant
+    * [[SetSimAuditCap]] stratum — identical results at sf ≤ 0.1 (the
+    * stratum covers every base doc there) and linear candidate volume
+    * above. The original corpus×corpus sweep was measured at sf10 to a
+    * 70+ GB spill that filled the DISK (SPILL_OUT_OF_MEMORY, round-12
+    * endurance run): τ = 0.80's prefixes are even longer than q101's
+    * 0.90 ones, so the un-strated sweep hits the adversarial-vocabulary
+    * wall FIRST. A τ curve read off a fixed audit stratum answers the
+    * same calibration question at any corpus size.
     *
     * Scale shape: the per-doc set frame builds ONCE (cached) and all
-    * three joins share it; each join's candidate volume is bounded by
-    * its own prefix df (longer prefixes at looser τ — the documented
-    * q101 growth trade); counts, not pairs, are released. */
+    * three joins share it; per threshold the candidate volume is
+    * Σ_h df_stratum(h)·df_full(h) — linear in corpus size (longer
+    * prefixes at looser τ raise the constant, not the growth);
+    * counts, not pairs, are released. */
   def q318ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
     val hs = plantedDocs(s, dir)
@@ -2569,7 +2592,8 @@ object Dedup {
       .select(col("doc_id"), expr(sparkShingleHashes).as("hsd"))
       .cache()
     SweepThresholds.map { case (p, q) =>
-      setSimJoinExact(hs, p, q)
+      setSimJoinExact(hs, p, q,
+          Some(col("doc_id") % PlantedOffset < SetSimAuditCap))
         .agg(count(lit(1)).as("n_pairs"))
         .select(lit(p.toLong).as("tau_p"), lit(q.toLong).as("tau_q"),
           col("n_pairs"))
@@ -2580,7 +2604,7 @@ object Dedup {
     SweepThresholds.map { case (p, q) =>
       s"""SELECT CAST($p AS BIGINT) AS tau_p, CAST($q AS BIGINT) AS tau_q,
           CAST(count(*) AS BIGINT) AS n_pairs
-          FROM (${setSimOracleSqlAt(p, q)}) t$p"""
+          FROM (${setSimOracleSqlAt(p, q, Some(SetSimAuditCap))}) t$p"""
     }.mkString("\nUNION ALL\n")
 
   // ---------------------------------------------------------------- q314

@@ -816,6 +816,14 @@ object Extensions {
   // (sum_squares stays fully inside codegen with map-side partials).
   // n²·variance = n·Σk² − (Σk)² is exact integer arithmetic, so group
   // variance becomes differential-safe where a floating stddev is not.
+  // Released as var_floor = (n·Σk² − (Σk)²) div n² (re-declared round
+  // 12): the raw n²-scaled numerator is ~10²¹ at sf10 — no int64
+  // release survives it (the sf10 endurance run failed the original) —
+  // while the variance itself is bounded by range²/4 and BIGINT-safe at
+  // any SF; the division runs on decimal(38,0)/HUGEINT intermediates.
+  // sum_k2's own int64 headroom (Σk² ≈ n³/75) runs out near sf30 — the
+  // custom aggregate would need a decimal buffer past that (documented
+  // trade; the aggregate demo is the point of this query).
   def q56Moments(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
     t(s, dir, "customer")
@@ -824,8 +832,10 @@ object Extensions {
         count(lit(1)).as("n"),
         sum(col("c_custkey")).as("sum_k"),
         expr("sum_squares(c_custkey)").as("sum_k2"))
-      .withColumn("var_x_n2",
-        col("n") * col("sum_k2") - col("sum_k") * col("sum_k"))
+      .withColumn("var_floor",
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * sum_k2" +
+          " - CAST(sum_k AS DECIMAL(38,0)) * sum_k)" +
+          " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
   }
 
   // q57 — as-of join: each event matched to the latest order of the same
@@ -2247,19 +2257,22 @@ object Extensions {
     * exact price cents: with values sorted ascending and 1-based ranks,
     * `G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)`.
     *
-    * Determinism: every term up to the final division is BIGINT — rank
+    * Determinism: every term up to the final division is exact — rank
     * sums over a tied run are closed-form (`w·cumlo + w(w+1)/2`), so tie
-    * order cannot matter — and the single release division casts two
-    * exact BIGINTs to double (exactly-rounded on both engines).
+    * order cannot matter — and the release is an exact integer division
+    * (gini ×10⁹, floored), no float fold anywhere.
     *
     * Scale shape: the corpus collapses map-side to a (priority, cents)
     * census BEFORE any ranked work (partial-aggregated groupBy); the
     * cumulative window and the Σi·x closed form run on census rows, so
     * no per-row global sort ever happens — the oracle states the
     * row_number formulation as the implementation-free contract, and
-    * the census algebra reproduces its integers bit-for-bit. BIGINT
-    * headroom: 2Σi·x < n²·max_cents ≈ 2³⁰·2²⁶ at sf1; at larger
-    * corpora rescale cents→dollars (the census shape is unchanged). */
+    * the census algebra reproduces its integers bit-for-bit.
+    * Headroom: the Σi·x accumulation is decimal(38,0)/HUGEINT — the
+    * round-12 sf10 endurance run caught the original BIGINT form
+    * overflowing exactly where its own doc said it would (2Σi·x ≈
+    * 2·10²⁰ at 15M orders vs the 9.2·10¹⁸ int64 ceiling); the ratio
+    * released after division is ≤ 10⁹ and BIGINT-safe at any SF. */
   def q175Gini(s: SparkSession, dir: String): DataFrame = {
     val census = t(s, dir, "orders")
       .select(col("o_orderpriority").as("prio"),
@@ -2271,12 +2284,13 @@ object Extensions {
       .withColumn("cumlo", coalesce(sum("w").over(before), lit(0L)))
       .groupBy("prio")
       .agg(sum("w").as("n"), sum(expr("x * w")).as("sum_cents"),
-        sum(expr("x * (2 * w * cumlo + w * (w + 1))")).as("two_ix"))
+        sum(expr("CAST(x AS DECIMAL(38,0))" +
+          " * (2 * w * cumlo + w * (w + 1))")).as("two_ix"))
       .select(col("prio"), col("n"), col("sum_cents"),
-        (col("two_ix") - (col("n") + 1) * col("sum_cents")).as("gnum"))
-      .withColumn("gini",
-        expr("CAST(gnum AS DOUBLE)" +
-          " / (CAST(n AS DOUBLE) * CAST(sum_cents AS DOUBLE))"))
+        expr("""CAST((two_ix - (CAST(n AS DECIMAL(38,0)) + 1)
+               * sum_cents) * 1000000000
+             div (CAST(n AS DECIMAL(38,0)) * sum_cents) AS BIGINT)""")
+          .as("gini_ppb"))
   }
 
   private def q175OracleSql: String =
@@ -2287,11 +2301,12 @@ object Extensions {
         FROM cents),
         g AS (SELECT prio, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(x) AS BIGINT) AS sum_cents,
-          CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS BIGINT) AS gnum
+          CAST(2 * sum(CAST(i AS HUGEINT) * x)
+            - CAST(count(*) + 1 AS HUGEINT) * sum(x) AS HUGEINT) AS gnum
         FROM ranked GROUP BY prio)
-        SELECT prio, n, sum_cents, gnum,
-          CAST(gnum AS DOUBLE)
-            / (CAST(n AS DOUBLE) * CAST(sum_cents AS DOUBLE)) AS gini
+        SELECT prio, n, sum_cents,
+          CAST(gnum * 1000000000 // (CAST(n AS HUGEINT) * sum_cents)
+            AS BIGINT) AS gini_ppb
         FROM g"""
 
   /** q176 — WEIGHTED MEDIAN per return flag: the extended-price cents
@@ -4306,8 +4321,10 @@ object Extensions {
       """SELECT c_nationkey, count(*) AS n,
          CAST(sum(c_custkey) AS BIGINT) AS sum_k,
          CAST(sum(c_custkey * c_custkey) AS BIGINT) AS sum_k2,
-         CAST(count(*) * sum(c_custkey * c_custkey)
-              - sum(c_custkey) * sum(c_custkey) AS BIGINT) AS var_x_n2
+         CAST((CAST(count(*) AS HUGEINT) * sum(c_custkey * c_custkey)
+              - CAST(sum(c_custkey) AS HUGEINT) * sum(c_custkey))
+              // (CAST(count(*) AS HUGEINT) * count(*)) AS BIGINT)
+           AS var_floor
          FROM customer GROUP BY c_nationkey""",
     "q57_asof_join" ->
       """WITH o AS (SELECT o_custkey, o_orderdate,

@@ -770,9 +770,21 @@ object Graph {
   def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
       iters: Int = PrIters, scale: Long = PrScale): DataFrame = {
     val base = scale * 15L / 100L
-    val ed = edges.join(edges.groupBy("src")
-        .agg(count(lit(1)).as("pr_deg")), "src")
-      .select("src", "dst", "pr_deg").cache()
+    // ADJACENCY-LIST edge frame (round 12, second rewrite of verdict
+    // r11 #2): one groupBy turns the edge list into |V| rows of
+    // {src, nbrs[], deg}. Rationale: a hash join must STREAM its big
+    // side, so with flat edges every delta round re-scanned the full
+    // cached |E| frame (~300M rows at sf10) even when the delta held
+    // ten vertices; grouped, each round scans |V| rows (~2M) and
+    // explodes ONLY delta-touched edges — the Pregel message form as
+    // a DataFrame. The per-destination sum is the same associative/
+    // commutative integer sum over the same dc terms, so the
+    // trajectory stays bit-identical to the dense recurrence (list
+    // order inside nbrs cannot matter). Memory: Σdeg longs ≈ |E|·8 B,
+    // smaller than the flat frame it replaces.
+    val adj = edges.groupBy("src")
+      .agg(collect_list(col("dst")).as("nbrs"),
+        count(lit(1)).as("pr_deg")).cache()
     // ACTIVE-SET (delta) iteration — round 12's rewrite of the dense
     // fixed point. Dense recurrence: R_{t+1}(v) = sb(v) +
     // Σ_{u→v} f(R_t(u), deg_u) with f(r, d) = ((r·85) div 100) div d.
@@ -803,13 +815,18 @@ object Graph {
     var deltaEmpty = delta.isEmpty
     var round = 1
     while (round <= iters && !deltaEmpty) {
-      // per-edge contribution CHANGE from each changed source — summed
-      // map-side like the dense form's contribs
-      val dm = ed
-        .join(delta, ed("src") === delta("id"))
-        .select(col("dst").as("id"),
+      // per-source contribution CHANGE, fanned out to neighbors via
+      // explode, summed map-side like the dense form's contribs; a
+      // source whose TRUNCATED contribution didn't move (dc = 0) sends
+      // nothing — dropping exact-zero terms from an integer sum is
+      // exact, and the truncating div makes such sources common late
+      val dm = adj
+        .join(delta, adj("src") === delta("id"))
+        .select(col("nbrs"),
           (expr(s"((new_r * 85) div 100) div pr_deg") -
             expr(s"((old_r * 85) div 100) div pr_deg")).as("dc"))
+        .filter(col("dc") =!= 0L)
+        .select(explode(col("nbrs")).as("id"), col("dc"))
         .groupBy("id").agg(sum("dc").as("dm"))
         .filter(col("dm") =!= 0L)
       if (round == 1) {
@@ -844,7 +861,7 @@ object Graph {
       deltaEmpty = delta.isEmpty
       round += 1
     }
-    ed.unpersist()
+    adj.unpersist()
     ranks
   }
 
@@ -864,18 +881,25 @@ object Graph {
     *
     * Scale shape: the pair frame is one orderkey-keyed self-join
     * (output bounded by Σ lines(o)² with Poisson-bounded order width —
-    * the q142 co-occurrence law, measured linear there); each round is
-    * one src-keyed join + map-side-combined sum, edges cached;
-    * |parts|-bounded rank frame. */
+    * the q142 co-occurrence law, measured linear there), deduped in
+    * canonical orientation and mirrored; the rounds run on the cached
+    * ADJACENCY frame (|parts| rows), so each round scans |V|, not |E|,
+    * and explodes only delta-touched edges; |parts|-bounded rank
+    * frame. */
   def q385PersonalizedPagerank(s: SparkSession, dir: String)
       : DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-    val pairs = li.join(li.select(col("l_orderkey").as("ok2"),
+    // the graph is symmetric, so dedup CANONICAL (src < dst) pairs and
+    // mirror afterwards — the distinct's exchange carries half the
+    // rows of the both-directions form for the identical edge set
+    val und = li.join(li.select(col("l_orderkey").as("ok2"),
         col("l_partkey").as("p2")),
         col("l_orderkey") === col("ok2"))
-      .filter(col("l_partkey") =!= col("p2"))
+      .filter(col("l_partkey") < col("p2"))
       .select(col("l_partkey").as("src"), col("p2").as("dst"))
       .distinct()
+    val pairs = und.unionByName(
+      und.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = t(s, dir, "part")
       .select(col("p_partkey").as("id"),
         (col("p_brand") === PprSeedBrand).as("is_seed"))

@@ -1398,7 +1398,462 @@ object Multimodal {
           md5(raster) AS raster_md5
         FROM s"""
 
+  // ------------------------------------------------------------ q509
+
+  /** q509 audio geometry: frames ∈ 8..32, channels ∈ {1, 2}, sample
+    * rate cycled over three canonical PCM rates — all derived from
+    * doc_id so the oracle rebuilds them arithmetically; sample j is
+    * `(text_byte(j mod len) − 64)·201`, spanning negative and positive
+    * int16 values so both bytes of the little-endian pair carry
+    * signal. */
+  def q509Geom(docId: Long): (Int, Int, Int) =
+    ((8 + docId % 25).toInt, (1 + docId % 2).toInt,
+      Array(8000, 16000, 44100)((docId % 3).toInt))
+
+  /** Serialize interleaved signed 16-bit PCM as a REAL RIFF/WAVE
+    * container: RIFF size header, "WAVE" form, canonical 16-byte fmt
+    * chunk (PCM tag, channels, rate, byte-rate, block-align, bits),
+    * then the data chunk. When `withList` is set (even asset ids) an
+    * ODD-SIZED "LIST" metadata chunk sits between fmt and data — the
+    * RIFF spec pads chunks to even offsets, so a walker that forgets
+    * the pad byte misreads every subsequent chunk id; like q507's PPM
+    * comment, the trap makes the parse real. */
+  def encodeWav(rate: Int, channels: Int, samples: Array[Short],
+      withList: Boolean): Array[Byte] = {
+    val listBody =
+      "INFOgraft".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val listSize =
+      if (withList) 8 + listBody.length + (listBody.length & 1) else 0
+    val dataSize = samples.length * 2
+    val riffSize = 4 + 24 + listSize + 8 + dataSize
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(t: String): Unit = t.foreach(c => buf.put(c.toByte))
+    ascii("RIFF"); buf.putInt(riffSize); ascii("WAVE")
+    ascii("fmt "); buf.putInt(16)
+    buf.putShort(1)                                  // PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(rate)
+    buf.putInt(rate * channels * 2)                  // byte rate
+    buf.putShort((channels * 2).toShort)             // block align
+    buf.putShort(16)                                 // bits/sample
+    if (withList) {
+      ascii("LIST"); buf.putInt(listBody.length)     // odd size (9)
+      buf.put(listBody); buf.put(0.toByte)           // the pad byte
+    }
+    ascii("data"); buf.putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** REAL RIFF chunk walk: verifies RIFF/WAVE magic, iterates
+    * (id, size) chunks honoring the even-offset pad byte, parses fmt
+    * for truth (PCM tag, channels, rate, 16-bit — all REQUIRED from
+    * the file, not caller metadata), skips unknown chunks, and slices
+    * the data chunk into signed little-endian samples. Throws loudly
+    * on bad magic, truncation, data-before-fmt, or non-PCM — the
+    * q507 decode-failures-are-loud discipline. */
+  def decodeWav(payload: Array[Byte]): (Int, Int, Array[Short]) = {
+    require(payload.length >= 12, "WAV: too short for a RIFF header")
+    def tag(i: Int) = new String(payload, i, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    require(tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"WAV: bad magic ${tag(0)}/${tag(8)}")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 12
+    var rate = -1
+    var ch = -1
+    var fmtSeen = false
+    var samples: Array[Short] = null
+    while (samples == null && i + 8 <= payload.length) {
+      val id = tag(i)
+      val sz = buf.getInt(i + 4)
+      require(sz >= 0 && i + 8 + sz <= payload.length,
+        s"WAV: truncated chunk $id")
+      id match {
+        case "fmt " =>
+          require(sz >= 16, "WAV: fmt chunk too short")
+          require(buf.getShort(i + 8) == 1, "WAV: only PCM supported")
+          ch = buf.getShort(i + 10).toInt
+          rate = buf.getInt(i + 12)
+          require(buf.getShort(i + 22) == 16,
+            "WAV: only 16-bit samples supported")
+          fmtSeen = true
+        case "data" =>
+          require(fmtSeen, "WAV: data chunk before fmt")
+          require(sz % 2 == 0, "WAV: odd data size for 16-bit PCM")
+          samples = Array.tabulate(sz / 2)(j => buf.getShort(i + 8 + 2 * j))
+        case _ => () // unknown chunk: skip (LIST lands here)
+      }
+      i += 8 + sz + (sz & 1) // even-offset pad byte
+    }
+    require(samples != null, "WAV: no data chunk")
+    (rate, ch, samples)
+  }
+
+  /** q509 — DECODED-AUDIO statistics through a REAL RIFF/WAVE parse
+    * (audio joins q507's pixels: every asset is serialized into a
+    * genuine PCM WAV — canonical fmt chunk, interleaved signed 16-bit
+    * little-endian samples, and on even ids an odd-sized LIST metadata
+    * chunk exercising the RIFF pad-byte rule — then decoded back in
+    * the typed mapPartitions codec slot by a chunk walker that trusts
+    * only the bytes: rate/channels/bit-depth come from fmt, the sample
+    * count from the data chunk). Released per asset: header-derived
+    * rate and channels, frame count, exact integer sample stats (sum,
+    * min, max, and the position-weighted Σ(j+1)·s_j that pins sample
+    * ORDER), and the md5 of the canonical comma-joined sample render —
+    * which the oracle reproduces from text arithmetic alone, proving
+    * the encode→parse round-trip sample-exact including negative
+    * two's-complement values. A real MP3/FLAC codec drops into the
+    * same slot with the same schema; only `decodeWav` changes.
+    *
+    * Scale shape: one narrow typed pass, zero shuffles, zero joins;
+    * per-row scratch is ≤ 64 samples (at real audio sizes, one frame
+    * buffer) — the q81/q148/q507 partition-batched codec
+    * discipline. */
+  def q509WavDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (docId, tb) =>
+          val (frames, ch, rate) = q509Geom(docId)
+          val samples = Array.tabulate(frames * ch)(j =>
+            (((tb(j % tb.length) & 0xff) - 64) * 201).toShort)
+          val payload = encodeWav(rate, ch, samples, docId % 2 == 0)
+          val (drate, dch, ds) = decodeWav(payload)
+          var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          var wsum = 0L
+          var j = 0
+          while (j < ds.length) {
+            val v = ds(j).toLong
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            wsum += (j + 1) * v
+            j += 1
+          }
+          md.reset()
+          val hex = md.digest(ds.mkString(",")
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            .map("%02x".format(_)).mkString
+          (docId, drate.toLong, dch.toLong, (ds.length / dch).toLong,
+            sum, mn, mx, wsum, hex)
+        }
+      }.toDF("asset_id", "sample_rate", "channels", "n_frames",
+        "sum_s", "min_s", "max_s", "wsum_s", "samples_md5")
+  }
+
+  private def q509OracleSql: String =
+    """WITH d AS (SELECT doc_id, text, strlen(text) AS n,
+          8 + doc_id % 25 AS frames, 1 + doc_id % 2 AS ch,
+          [8000, 16000, 44100][CAST(doc_id % 3 + 1 AS INT)] AS rate
+        FROM documents),
+        s AS (SELECT doc_id, frames, ch, rate,
+            list_transform(range(0, CAST(frames * ch AS INT)),
+              wv_j -> (ascii(substr(text,
+                CAST(wv_j % n + 1 AS INT), 1)) - 64) * 201) AS ss
+          FROM d)
+        SELECT doc_id AS asset_id,
+          CAST(rate AS BIGINT) AS sample_rate,
+          CAST(ch AS BIGINT) AS channels,
+          CAST(frames AS BIGINT) AS n_frames,
+          CAST(list_sum(ss) AS BIGINT) AS sum_s,
+          CAST(list_aggregate(ss, 'min') AS BIGINT) AS min_s,
+          CAST(list_aggregate(ss, 'max') AS BIGINT) AS max_s,
+          CAST(list_sum(list_transform(
+            range(1, CAST(frames * ch AS INT) + 1),
+            wv_j -> wv_j * ss[wv_j])) AS BIGINT) AS wsum_s,
+          md5(array_to_string(ss, ',')) AS samples_md5
+        FROM s"""
+
+  // ------------------------------------------------------------ q511
+
+  /** q511 raster geometry: w ∈ 4..16, h ∈ 5..13 — h ≥ 5 so EVERY asset
+    * exercises all five PNG filter types (row y carries filter y mod 5);
+    * pixels cycled from the document's text bytes exactly like q507 so
+    * the oracle rebuilds the pre-compression raster with pure string
+    * arithmetic. */
+  def q511Dims(docId: Long): (Int, Int) =
+    ((4 + docId % 13).toInt, (5 + docId % 9).toInt)
+
+  /** PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
+    * the linear estimate a + b − c, ties broken left, then up. */
+  def paethPredict(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, id: String,
+      data: Array[Byte]): Unit = {
+    val hdr = java.nio.ByteBuffer.allocate(8)
+    hdr.putInt(data.length)
+    id.foreach(c => hdr.put(c.toByte))
+    out.write(hdr.array())
+    out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    crc.update(data)
+    val tail = java.nio.ByteBuffer.allocate(4)
+    tail.putInt(crc.getValue.toInt)
+    out.write(tail.array())
+  }
+
+  /** Serialize an RGB row-major raster as a REAL PNG: 8-byte signature,
+    * big-endian chunk framing with a CRC32 over (type ‖ data) on every
+    * chunk, IHDR (8-bit, color type 2 truecolor), an ancillary tEXt
+    * chunk a strict decoder must skip-but-CRC-check, the scanline
+    * stream filtered row-by-row with filter type y mod 5 (None/Sub/Up/
+    * Average/Paeth — the full RFC 2083 §6 repertoire), DEFLATE-
+    * compressed through `java.util.zip.Deflater` (a genuine zlib
+    * stream, not stored blocks), split across TWO IDAT chunks (the
+    * spec allows any split; a decoder that inflates per-chunk instead
+    * of concatenating dies mid-stream), and IEND. */
+  def encodePng(w: Int, h: Int, raster: Array[Byte]): Array[Byte] = {
+    val stride = w * 3
+    val filtered = new Array[Byte]((1 + stride) * h)
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      filtered(y * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val raw = raster(y * stride + x) & 0xff
+        val left = if (x >= 3) raster(y * stride + x - 3) & 0xff else 0
+        val up = if (y > 0) raster((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= 3 && y > 0)
+          raster((y - 1) * stride + x - 3) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case 4 => paethPredict(left, up, ul)
+        }
+        filtered(y * (1 + stride) + 1 + x) = ((raw - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](512)
+    while (!defl.finished()) {
+      val n = defl.deflate(tmp)
+      zbuf.write(tmp, 0, n)
+    }
+    defl.end()
+    val z = zbuf.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte)  // bit depth
+    ihdr.put(2.toByte)  // color type: truecolor RGB
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+    pngChunk(out, "IHDR", ihdr.array())
+    pngChunk(out, "tEXt", "Comment graft test raster"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val split = z.length / 2
+    pngChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, 0, split))
+    pngChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, split, z.length))
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** REAL PNG decode that trusts only the bytes: signature check, chunk
+    * walk verifying EVERY chunk's CRC32 (including ancillary tEXt —
+    * corruption anywhere is loud), IHDR-first ordering enforced, 8-bit
+    * truecolor only, IDAT payloads CONCATENATED (consecutive per spec —
+    * an interleaved chunk throws) then inflated through
+    * `java.util.zip.Inflater` to exactly h·(1+3w) bytes, and the five
+    * filter reconstructions applied row-by-row (Sub/Up/Average/Paeth
+    * inverses over the already-reconstructed neighbors, RFC 2083 §6.5-
+    * 6.6). Returns (width, height, RGB row-major raster, Σ filter-type
+    * bytes) — the filter sum releases proof the per-row filter bytes
+    * themselves round-tripped. */
+  def decodePng(payload: Array[Byte]): (Int, Int, Array[Byte], Long) = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    require(payload.length >= 8 &&
+      java.util.Arrays.equals(java.util.Arrays.copyOf(payload, 8), sig),
+      "PNG: bad signature")
+    val buf = java.nio.ByteBuffer.wrap(payload) // big-endian by default
+    var i = 8
+    var w = -1; var h = -1
+    var ihdrSeen = false
+    var idatSeen = false
+    var idatDone = false
+    var ended = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!ended) {
+      require(i + 8 <= payload.length, "PNG: truncated chunk header")
+      val len = buf.getInt(i)
+      require(len >= 0 && i + 12 + len <= payload.length,
+        "PNG: truncated chunk")
+      val id = new String(payload, i + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload, i + 4, 4 + len)
+      require(crc.getValue.toInt == buf.getInt(i + 8 + len),
+        s"PNG: CRC mismatch in $id")
+      id match {
+        case "IHDR" =>
+          require(!ihdrSeen && i == 8, "PNG: IHDR must be first")
+          require(len == 13, "PNG: bad IHDR length")
+          w = buf.getInt(i + 8); h = buf.getInt(i + 12)
+          require(w > 0 && h > 0, "PNG: bad dimensions")
+          require(payload(i + 16) == 8, "PNG: only 8-bit supported")
+          require(payload(i + 17) == 2, "PNG: only truecolor supported")
+          require(payload(i + 18) == 0 && payload(i + 19) == 0 &&
+            payload(i + 20) == 0, "PNG: bad compression/filter/interlace")
+          ihdrSeen = true
+        case "IDAT" =>
+          require(ihdrSeen, "PNG: IDAT before IHDR")
+          require(!idatDone, "PNG: non-consecutive IDAT chunks")
+          idatSeen = true
+          idat.write(payload, i + 8, len)
+        case "IEND" =>
+          require(len == 0, "PNG: non-empty IEND")
+          ended = true
+        case _ =>
+          require(ihdrSeen, s"PNG: $id before IHDR")
+          if (idatSeen) idatDone = true
+      }
+      i += 12 + len
+    }
+    require(idatSeen, "PNG: no IDAT chunk")
+    val stride = w * 3
+    val expected = (1 + stride) * h
+    val filtered = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    while (!inf.finished() && off < expected) {
+      val n = inf.inflate(filtered, off, expected - off)
+      require(n > 0 || inf.finished(), "PNG: inflate stalled")
+      off += n
+    }
+    require(inf.finished() && off == expected,
+      s"PNG: inflated $off bytes, expected $expected")
+    inf.end()
+    val raster = new Array[Byte](stride * h)
+    var fsum = 0L
+    var y = 0
+    while (y < h) {
+      val ft = filtered(y * (1 + stride)) & 0xff
+      require(ft <= 4, s"PNG: bad filter type $ft")
+      fsum += ft
+      var x = 0
+      while (x < stride) {
+        val v = filtered(y * (1 + stride) + 1 + x) & 0xff
+        val left = if (x >= 3) raster(y * stride + x - 3) & 0xff else 0
+        val up = if (y > 0) raster((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= 3 && y > 0)
+          raster((y - 1) * stride + x - 3) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case 4 => paethPredict(left, up, ul)
+        }
+        raster(y * stride + x) = ((v + pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, raster, fsum)
+  }
+
+  /** q511 — DECODED-PIXEL statistics through a REAL COMPRESSED
+    * container (the step past q507's uncompressed PPM/BMP: every asset
+    * is serialized into a genuine PNG — CRC32-framed chunks, the full
+    * five-filter scanline repertoire at filter y mod 5, a REAL zlib
+    * DEFLATE stream via `java.util.zip.Deflater`, the IDAT split in
+    * two, an ancillary tEXt trap — and decoded back in the typed
+    * mapPartitions codec slot by a parser that trusts only the bytes:
+    * every CRC verified, IDATs concatenated before ONE Inflater pass,
+    * all five filter inverses reconstructed neighbor-by-neighbor).
+    * Released per asset: header-derived dims, per-channel integer sums
+    * over the decoded raster, the Σ of the per-row filter-type bytes
+    * (pinning that the filter bytes themselves survived compression),
+    * and the md5 of the reconstructed RGB raster — all rebuilt by the
+    * oracle from TEXT arithmetic alone, so the differential proves the
+    * filter→deflate→chunk→parse→inflate→reconstruct cycle byte-exact.
+    * A libpng-backed codec drops into the same slot with the same
+    * schema; only `decodePng` changes.
+    *
+    * Scale shape: one narrow typed pass, zero shuffles, zero joins;
+    * per-row scratch is the ≤ 624-byte raster plus its filtered/
+    * deflated twins (at real image sizes, one frame buffer) — the
+    * q81/q148/q507/q509 partition-batched codec discipline. */
+  def q511PngDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (docId, tb) =>
+          val (w, h) = q511Dims(docId)
+          val raster =
+            Array.tabulate(w * h * 3)(i => tb(i % tb.length))
+          val payload = encodePng(w, h, raster)
+          val (dw, dh, rgb, fsum) = decodePng(payload)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var p = 0
+          while (p < rgb.length) {
+            sr += rgb(p) & 0xff
+            sg += rgb(p + 1) & 0xff
+            sb += rgb(p + 2) & 0xff
+            p += 3
+          }
+          md.reset()
+          val hex = md.digest(rgb).map("%02x".format(_)).mkString
+          (docId, dw.toLong, dh.toLong, dw.toLong * dh,
+            sr, sg, sb, fsum, hex)
+        }
+      }.toDF("asset_id", "width", "height", "n_pixels",
+        "sum_r", "sum_g", "sum_b", "filter_sum", "raster_md5")
+  }
+
+  private def q511OracleSql: String =
+    """WITH d AS (SELECT doc_id, text, strlen(text) AS n,
+          4 + doc_id % 13 AS w, 5 + doc_id % 9 AS h
+        FROM documents),
+        r AS (SELECT doc_id, w, h,
+            substr(repeat(text, CAST(w * h * 3 // n + 1 AS INT)),
+              1, CAST(w * h * 3 AS INT)) AS raster
+          FROM d),
+        s AS (SELECT doc_id, w, h, raster,
+            list_transform(string_split(raster, ''),
+              px_c -> ascii(px_c)) AS bs
+          FROM r)
+        SELECT doc_id AS asset_id,
+          CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          CAST(w * h AS BIGINT) AS n_pixels,
+          CAST(list_sum(list_transform(range(0, w * h),
+            px_p -> bs[CAST(3 * px_p + 1 AS INT)])) AS BIGINT) AS sum_r,
+          CAST(list_sum(list_transform(range(0, w * h),
+            px_p -> bs[CAST(3 * px_p + 2 AS INT)])) AS BIGINT) AS sum_g,
+          CAST(list_sum(list_transform(range(0, w * h),
+            px_p -> bs[CAST(3 * px_p + 3 AS INT)])) AS BIGINT) AS sum_b,
+          CAST(list_sum(list_transform(range(0, h),
+            px_y -> px_y % 5)) AS BIGINT) AS filter_sum,
+          md5(raster) AS raster_md5
+        FROM s"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q511_png_decode" -> (q511PngDecode _),
+    "q509_wav_decode" -> (q509WavDecode _),
     "q507_pixel_decode" -> (q507PixelDecode _),
     "q476_media_kind_mislabel" -> (q476MediaKindMislabel _),
     "q489_metadata_consistency" -> (q489MetadataConsistency _),
@@ -1418,6 +1873,8 @@ object Multimodal {
     "q81_media_histogram" -> (q81MediaHistogram _))
 
   val oracleSql: Map[String, String] = Map(
+    "q511_png_decode" -> q511OracleSql,
+    "q509_wav_decode" -> q509OracleSql,
     "q507_pixel_decode" -> q507OracleSql,
     "q454_payload_rle" -> q454OracleSql,
     "q476_media_kind_mislabel" -> q476OracleSql,

@@ -1580,10 +1580,15 @@ object Similarity {
     * and Σλ² = ‖C‖²_F are both polynomial in the raw moments). On the
     * exact milli-integer grid (q293's floor(v·1000) convention): with
     * S_i = Σv_i and P_ij = Σv_i·v_j, the n²-scaled covariance
-    * A_ij = n·P_ij − S_i·S_j is integral, and PR = tr(A)²·10⁶ div
+    * A_ij = n·P_ij − S_i·S_j is integral, and PR = tr(A)²·10³ div
     * ‖A‖²_F is scale-invariant — every operand exact in decimal(38,0)
-    * / int128, so the declared n, trace, and d_eff ppm are
-    * deterministic cross-engine.
+    * / int128, so the declared n, trace, and d_eff milli are
+    * deterministic cross-engine. MILLI, not ppm (re-declared round
+    * 12): tr ≈ n²·10⁶, so the ppm release's tr²·10⁶ intermediate hit
+    * 1.6·10³⁹ at sf10 — past decimal(38,0) AND int128 — and the sf10
+    * endurance run failed it; tr²·10³ holds to n ≈ 1.8·10⁷ vectors
+    * (~sf900), and 5 significant digits is ample for a collapse
+    * monitor whose range is [1, 64].
     *
     * Scale shape: ONE corpus scan emits the upper-triangle second-
     * moment cells, the first-moment cells (j = −1), and the count cell
@@ -1633,7 +1638,7 @@ object Similarity {
       .crossJoin(broadcast(n))
       .select(col("n"),
         col("tr").cast("bigint").as("trace"),
-        expr("CAST(tr * tr * 1000000 div frob2 AS BIGINT)").as("d_eff_ppm"))
+        expr("CAST(tr * tr * 1000 div frob2 AS BIGINT)").as("d_eff_milli"))
   }
 
   private def q315OracleSql: String =
@@ -1661,8 +1666,8 @@ object Similarity {
               * aij * aij) AS HUGEINT) AS frob2
           FROM a)
         SELECT nn.n, CAST(agg.tr AS BIGINT) AS trace,
-          CAST(agg.tr * agg.tr * 1000000 // agg.frob2 AS BIGINT)
-            AS d_eff_ppm
+          CAST(agg.tr * agg.tr * 1000 // agg.frob2 AS BIGINT)
+            AS d_eff_milli
         FROM agg CROSS JOIN nn"""
 
   // ------------------------------------------------------------ q323
@@ -1823,6 +1828,233 @@ object Similarity {
           CAST(count(*) AS BIGINT) AS n_assigned,
           CAST(sum(d2) AS BIGINT) AS sum_d2
         FROM best WHERE rn = 1 GROUP BY sub, code"""
+
+  // ------------------------------------------------------------ q510
+
+  /** q510 — PQ ADC TOP-K SEARCH (the query half of the pair q324
+    * opened: q324 declares the BUILD side — every vector compressed to
+    * [[PqSubs]] one-byte codes, 32× smaller; this declares the SEARCH
+    * side — asymmetric distance computation, the scan a billion-vector
+    * PQ index actually executes: the query stays EXACT, each database
+    * vector is its codes, and distance is Σ_sub LUT[sub][code] where
+    * the lookup table holds the exact integer L2 between the query's
+    * milli-grid subvector and each codebook centroid. One LUT build of
+    * |Q|·[[PqSubs]]·[[NumCentroids]] cells replaces n·64 multiplies
+    * with n·[[PqSubs]] lookups — the memory-bandwidth trade that makes
+    * PQ the 100 TB vector-scan format). Probes are vec_id <
+    * [[NumProbes]] (the q153 convention), self excluded, ties on
+    * vec_id; released (q_id, vec_id, rank, adist) — exact integers
+    * end-to-end on the q315 milli grid, so ranks are deterministic
+    * cross-engine with no float fold anywhere.
+    *
+    * Scale shape: the code assignment reuses q324's in-row slice
+    * explosion + broadcast-codebook argmin (n·8 rows, never pairwise);
+    * the LUT is a probe×codebook broadcast-sized frame (|Q|·128 rows);
+    * the ADC scan is ONE broadcast equi-join of the code frame against
+    * the LUT on (sub, code) + a (q, vec)-keyed map-side-combined sum —
+    * linear in n·|Q|, no corpus×corpus stage; top-k is one window over
+    * the probe-partitioned scores. */
+  /** Milli-grid PQ subvector explosion shared by q510/q512: each vector
+    * becomes [[PqSubs]] (id, sub, subvector) rows on the exact integer
+    * grid floor(x·1000). */
+  private def pqSubFrame(df: DataFrame, idAs: String,
+      vecAs: String): DataFrame = {
+    val sd = PqSubDim
+    val mvCol = expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+      "x -> CAST(floor(x * 1000) AS BIGINT))")
+    df.withColumn("mv", mvCol)
+      .select(col("vec_id").as(idAs), explode(expr(
+        s"""transform(sequence(0, ${PqSubs - 1}), b ->
+              struct(CAST(b AS BIGINT) AS sub,
+                slice(mv, b * $sd + 1, $sd) AS $vecAs))""")).as("c"))
+      .select(col(idAs), col("c.sub").as("sub"), col(s"c.$vecAs").as(vecAs))
+  }
+
+  /** Exact integer squared-L2 between two milli-grid subvectors. */
+  private def pqL2(a: String, b: String) = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
+        CAST(0 AS BIGINT), (acc, el) -> acc + el)""")
+
+  def q510PqAdcTopk(s: SparkSession, dir: String): DataFrame = {
+    def subFrame(df: DataFrame, idAs: String, vecAs: String) =
+      pqSubFrame(df, idAs, vecAs)
+    val e = t(s, dir, "embeddings")
+    val subs = subFrame(e, "vec_id", "sv")
+    val codebook = subFrame(e.filter(col("vec_id") < NumCentroids),
+      "code", "cv")
+    def l2(a: String, b: String) = pqL2(a, b)
+    val codes = subs.join(broadcast(codebook), Seq("sub"))
+      .withColumn("d2", l2("sv", "cv"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("code"))).as("a"))
+      .select(col("vec_id"), col("sub"), col("a.code").as("code"))
+    val lut = subFrame(e.filter(col("vec_id") < NumProbes), "q_id", "qv")
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("ld2", l2("qv", "cv"))
+      .select("q_id", "sub", "code", "ld2")
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("ld2").as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("adist"), col("vec_id"))).cast("bigint"))
+      .filter(col("rank") <= TopK)
+      .select("q_id", "vec_id", "rank", "adist")
+  }
+
+  private def q510OracleSql: String =
+    s"""WITH ex0 AS (SELECT vec_id, unnest(range(0, $GramDims)) AS dim,
+            unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
+        ex AS (SELECT vec_id, dim // $PqSubDim AS sub,
+            dim % $PqSubDim AS pos,
+            CAST(floor(v * 1000) AS BIGINT) AS x FROM ex0),
+        cb AS (SELECT vec_id AS code, sub, pos, x AS y FROM ex
+          WHERE vec_id < $NumCentroids),
+        dist AS (SELECT e.vec_id, e.sub, cb.code,
+            CAST(sum((e.x - cb.y) * (e.x - cb.y)) AS BIGINT) AS d2
+          FROM ex e JOIN cb ON cb.sub = e.sub AND cb.pos = e.pos
+          GROUP BY e.vec_id, e.sub, cb.code),
+        codes AS (SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+            FROM dist) WHERE rn = 1),
+        lut AS (SELECT q.vec_id AS q_id, cb.sub, cb.code,
+            CAST(sum((q.x - cb.y) * (q.x - cb.y)) AS BIGINT) AS ld2
+          FROM ex q JOIN cb ON cb.sub = q.sub AND cb.pos = q.pos
+          WHERE q.vec_id < $NumProbes
+          GROUP BY q.vec_id, cb.sub, cb.code),
+        ad AS (SELECT l.q_id, c.vec_id,
+            CAST(sum(l.ld2) AS BIGINT) AS adist
+          FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+          WHERE c.vec_id <> l.q_id
+          GROUP BY l.q_id, c.vec_id),
+        rk AS (SELECT q_id, vec_id, adist, row_number() OVER (
+            PARTITION BY q_id ORDER BY adist, vec_id) AS rnk
+          FROM ad)
+        SELECT q_id, vec_id, CAST(rnk AS BIGINT) AS rank, adist
+        FROM rk WHERE rnk <= $TopK"""
+
+  // ------------------------------------------------------------ q512
+
+  /** Cells probed per query in the IVF-PQ composite search. */
+  val IvfNProbe = 2
+
+  /** q512 — IVF-PQ SEARCH (the COMPOSED billion-scale ANN stack: q29
+    * declares IVF cell routing, q324/q510 declare PQ codes and the ADC
+    * scan — separately each is a half; a production vector index runs
+    * them TOGETHER, which is this query: route each query to its
+    * [[IvfNProbe]] nearest centroid cells, then ADC-scan ONLY the
+    * vectors assigned to those cells — Σ_sub LUT[sub][code] over the
+    * cell members instead of the whole corpus, the FAISS IVFPQ plan
+    * shape). Cell routing rides the SAME cosine/argmax contract the
+    * q29 differential already pins; distances are q510's exact
+    * integers on the milli grid, so ranks are deterministic
+    * cross-engine; self excluded, ties on vec_id. Released
+    * (q_id, vec_id, rank, adist) — q510's schema restricted to the
+    * probed cells, and the released adist values are BY CONSTRUCTION a
+    * subset of q510's full-scan rows (same codes, same LUT), so the
+    * two declarations cross-check each other under the differential.
+    *
+    * Scale shape: assignment + codes are the q29/q510 linear builds
+    * (broadcast centroids/codebook, never pairwise); the candidate
+    * frame is assign ⋈ broadcast(probe-cells) — |Q|·n/[[NumCentroids]]
+    * ·[[IvfNProbe]] rows, an 8× scan cut at these constants and the
+    * tunable recall/bandwidth dial at 100 TB; the ADC join is the
+    * q510 broadcast-LUT equi-join + map-side-combined (q, vec) sum;
+    * top-k is one window over the probe-partitioned scores. */
+  def q512IvfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val ev = vectors(s, dir)
+    val assign = assigned(ev).select("vec_id", "cent_id")
+    val probeCells = ev.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("q_id"), col("ed").as("ped"),
+        col("nrm").as("pnrm"))
+      .crossJoin(broadcast(centroidRow(ev)))
+      .select(col("q_id"), col("ped"), col("pnrm"),
+        explode(col("cents")).as("c"))
+      .withColumn("pcos", vec_dot(col("c.ced"), col("ped"))
+        / (col("c.cnrm") * col("pnrm")))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("pcos").desc, col("c.cent_id"))))
+      .filter(col("rn") <= IvfNProbe)
+      .select(col("q_id"), col("c.cent_id").as("cent_id"))
+    val e = t(s, dir, "embeddings")
+    val codebook = pqSubFrame(e.filter(col("vec_id") < NumCentroids),
+      "code", "cv")
+    val codes = pqSubFrame(e, "vec_id", "sv")
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("d2", pqL2("sv", "cv"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("code"))).as("a"))
+      .select(col("vec_id"), col("sub"), col("a.code").as("code"))
+    val lut = pqSubFrame(e.filter(col("vec_id") < NumProbes), "q_id", "qv")
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("ld2", pqL2("qv", "cv"))
+      .select("q_id", "sub", "code", "ld2")
+    assign.join(broadcast(probeCells), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("ld2").as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("adist"), col("vec_id"))).cast("bigint"))
+      .filter(col("rank") <= TopK)
+      .select("q_id", "vec_id", "rank", "adist")
+  }
+
+  private def q512OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+        cent AS (SELECT vec_id AS cent_id, ed AS ced, nrm AS cnrm
+                 FROM e WHERE vec_id < $NumCentroids),
+        cellrank AS (SELECT e.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.ed, c.ced) / (e.nrm * c.cnrm)
+                DESC, c.cent_id) AS rn
+          FROM e CROSS JOIN cent c),
+        assigned AS (SELECT vec_id, cent_id FROM cellrank WHERE rn = 1),
+        pcells AS (SELECT vec_id AS q_id, cent_id FROM cellrank
+          WHERE vec_id < $NumProbes AND rn <= $IvfNProbe),
+        ex0 AS (SELECT vec_id, unnest(range(0, $GramDims)) AS dim,
+            unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
+        ex AS (SELECT vec_id, dim // $PqSubDim AS sub,
+            dim % $PqSubDim AS pos,
+            CAST(floor(v * 1000) AS BIGINT) AS x FROM ex0),
+        cb AS (SELECT vec_id AS code, sub, pos, x AS y FROM ex
+          WHERE vec_id < $NumCentroids),
+        dist AS (SELECT e.vec_id, e.sub, cb.code,
+            CAST(sum((e.x - cb.y) * (e.x - cb.y)) AS BIGINT) AS d2
+          FROM ex e JOIN cb ON cb.sub = e.sub AND cb.pos = e.pos
+          GROUP BY e.vec_id, e.sub, cb.code),
+        codes AS (SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+            FROM dist) WHERE rn = 1),
+        lut AS (SELECT q.vec_id AS q_id, cb.sub, cb.code,
+            CAST(sum((q.x - cb.y) * (q.x - cb.y)) AS BIGINT) AS ld2
+          FROM ex q JOIN cb ON cb.sub = q.sub AND cb.pos = q.pos
+          WHERE q.vec_id < $NumProbes
+          GROUP BY q.vec_id, cb.sub, cb.code),
+        cand AS (SELECT p.q_id, a.vec_id
+          FROM assigned a JOIN pcells p ON p.cent_id = a.cent_id
+          WHERE a.vec_id <> p.q_id),
+        ad AS (SELECT cd.q_id, cd.vec_id,
+            CAST(sum(l.ld2) AS BIGINT) AS adist
+          FROM cand cd
+          JOIN codes c ON c.vec_id = cd.vec_id
+          JOIN lut l ON l.q_id = cd.q_id AND l.sub = c.sub
+            AND l.code = c.code
+          GROUP BY cd.q_id, cd.vec_id),
+        rk AS (SELECT q_id, vec_id, adist, row_number() OVER (
+            PARTITION BY q_id ORDER BY adist, vec_id) AS rnk
+          FROM ad)
+        SELECT q_id, vec_id, CAST(rnk AS BIGINT) AS rank, adist
+        FROM rk WHERE rnk <= $TopK"""
 
   // ------------------------------------------------------------ q327
 
@@ -2610,6 +2842,8 @@ object Similarity {
     "q327_matryoshka_eval" -> (q327MatryoshkaEval _),
     "q323_centroid_drift" -> (q323SourceCentroidDrift _),
     "q324_pq_assign" -> (q324PqAssign _),
+    "q510_pq_adc_topk" -> (q510PqAdcTopk _),
+    "q512_ivf_pq_search" -> (q512IvfPqSearch _),
     "q315_effective_rank" -> (q315EffectiveRank _),
     "q293_dimension_audit" -> (q293DimensionAudit _),
     "q257_ndcg_eval" -> (q257NdcgEval _),
@@ -2653,6 +2887,8 @@ object Similarity {
     "q327_matryoshka_eval" -> q327OracleSql,
     "q323_centroid_drift" -> q323OracleSql,
     "q324_pq_assign" -> q324OracleSql,
+    "q510_pq_adc_topk" -> q510OracleSql,
+    "q512_ivf_pq_search" -> q512OracleSql,
     "q315_effective_rank" -> q315OracleSql,
     "q293_dimension_audit" -> q293OracleSql,
     "q257_ndcg_eval" -> q257OracleSql,

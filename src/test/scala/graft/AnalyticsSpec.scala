@@ -249,6 +249,24 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q191 cell ladder: zero planes at every declared-correctness " +
+      "size, log-growth above") {
+    import spark.implicits._
+    val ladder = graft.operators.Dedup
+      .srpPlaneLadder(Analytics.RnnCellBase, 0)
+    val got = Seq(500L, 2000L, 2001L, 20000L, 200000L, 100000000L)
+      .toDF("n_vecs")
+      .selectExpr("n_vecs", s"$ladder AS p")
+      .as[(Long, Int)].collect().toMap
+    // 500 = sf0.01, 2000 = sf0.1 (both correctness corpora) -> 0 planes
+    // -> one cell per label -> the original whole-label declaration.
+    assert(got(500L) === 0 && got(2000L) === 0)
+    assert(got(2001L) === 1, "first doubling starts right past the base")
+    assert(got(20000L) === 4, "sf1: 16 cells/label, ~125 vectors each")
+    assert(got(200000L) === 7, "sf10: 128 cells/label, ~156 each")
+    assert(got(100000000L) === 14, "ladder caps at the 14-plane family")
+  }
+
   test("q192 decayed score never exceeds the undecayed cents sum") {
     import spark.implicits._
     val decayed = Analytics.q192DecayedEngagement(spark, sf1)

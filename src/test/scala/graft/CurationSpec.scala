@@ -226,6 +226,47 @@ class CurationSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("q513 DSIR weights replay the exact rational model and respect " +
+    "the target-subset ratio bound") {
+    val rows = Curation.q513DsirWeights(spark, sf1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("weight"),
+          r.getAs[Long]("wpt_ppm"))).toMap
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val Mod = 1000000007L
+    def charFold(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % Mod)
+    val nb = Curation.DsirBuckets
+    val toks = docs.flatMap { case (id, lang, text) =>
+      text.split(" ").filter(_.nonEmpty)
+        .map(w => (id, lang, charFold(w) % nb))
+    }
+    val rN = toks.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val tN = toks.filter(_._2 == "en").groupBy(_._3).view
+      .mapValues(_.length.toLong).toMap
+    val rr = toks.length.toLong
+    val tt = toks.count(_._2 == "en").toLong
+    val ratio = rN.map { case (b, r) =>
+      val t = tN.getOrElse(b, 0L)
+      assert(t <= r, s"bucket $b target exceeds raw")
+      b -> (BigInt(t + 1) * (rr + nb) * 1000000 /
+        (BigInt(r + 1) * (tt + nb))).toLong
+    }
+    // the subset bound: every ratio ≤ (R+|B|)·10⁶/(T+|B|)
+    val cap = (BigInt(rr + nb) * 1000000 / BigInt(tt + nb)).toLong
+    ratio.values.foreach(v => assert(v <= cap))
+    val model = toks.groupBy(_._1).map { case (id, ts) =>
+      val w = ts.map(t => ratio(t._3)).sum
+      id -> (ts.length.toLong, w, w / ts.length)
+    }
+    assert(rows === model)
+    // docs with zero tokens release no row
+    assert(rows.keySet === docs.filter(_._3.split(" ")
+      .exists(_.nonEmpty)).map(_._1).toSet)
+  }
+
   test("q499 allocation replays the integer Chinchilla model and the " +
     "global budget inverts the FLOPs sum") {
     val docs = graft.sources.Tables.load(spark, sf1, "documents")

@@ -741,7 +741,7 @@ class ExtensionsSpec extends SparkSpec {
   test("q175 census-algebra gini equals the sorted-rank model exactly") {
     val got = Extensions.q175Gini(spark, sf1).collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     val raw = graft.sources.Tables.load(spark, sf1, "orders")
       .select(col("o_orderpriority"),
@@ -752,11 +752,14 @@ class ExtensionsSpec extends SparkSpec {
     raw.foreach { case (prio, xs) =>
       val n = xs.length.toLong
       val s = xs.sum
-      val ix = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
-      val gnum = 2 * ix - (n + 1) * s
-      assert(got(prio) === ((n, s, gnum,
-        gnum.toDouble / (n.toDouble * s.toDouble))))
-      assert(got(prio)._4 >= 0.0 && got(prio)._4 < 1.0)
+      // BigInt model: the declared algebra is decimal(38,0) exactly
+      // because int64 overflows at sf10 (round-12 endurance finding)
+      val ix = xs.zipWithIndex
+        .map { case (x, i) => BigInt(i + 1) * x }.sum
+      val gnum = 2 * ix - BigInt(n + 1) * s
+      val ppb = gnum * BigInt(1000000000) / (BigInt(n) * s)
+      assert(got(prio) === ((n, s, ppb.toLong)))
+      assert(ppb >= 0 && ppb < BigInt(1000000000))
     }
   }
 

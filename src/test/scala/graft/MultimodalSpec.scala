@@ -423,4 +423,192 @@ class MultimodalSpec extends SparkSpec {
         md.digest(raster).map("%02x".format(_)).mkString)
     }
   }
+
+  test("q509 WAV codec: encode→decode round-trips rate, channels and " +
+    "the exact signed samples, with and without the odd LIST chunk") {
+    val M = graft.operators.Multimodal
+    for (rate <- Seq(8000, 16000, 44100); ch <- Seq(1, 2);
+         n <- Seq(1, 7, 32); withList <- Seq(true, false)) {
+      val samples = Array.tabulate(n * ch)(j =>
+        ((j * 2311 - 9000) % 32768).toShort) // negatives included
+      val (dr, dc, ds) = M.decodeWav(M.encodeWav(rate, ch, samples,
+        withList))
+      assert((dr, dc) === (rate, ch), s"$rate/$ch/$n/$withList")
+      assert(ds.toSeq === samples.toSeq, s"$rate/$ch/$n/$withList")
+    }
+  }
+
+  test("q509 chunk walker trusts the bytes: bad magic, truncation, " +
+    "data-before-fmt and non-PCM all throw") {
+    val M = graft.operators.Multimodal
+    val good = M.encodeWav(8000, 1, Array[Short](1, -2, 3), withList = true)
+    intercept[Exception] { // bad RIFF magic
+      val b = good.clone(); b(0) = 'X'.toByte; M.decodeWav(b)
+    }
+    intercept[Exception] { // truncated data chunk
+      M.decodeWav(java.util.Arrays.copyOf(good, good.length - 2))
+    }
+    intercept[Exception] { // non-PCM format tag (fmt chunk starts at 12)
+      val b = good.clone(); b(20) = 3; M.decodeWav(b)
+    }
+    intercept[Exception] { // data before fmt: swap chunk ids
+      val samples = Array[Short](5, 6)
+      val noList = M.encodeWav(8000, 1, samples, withList = false)
+      // fmt chunk occupies [12, 36); data starts at 36 — rebuild with
+      // data first by hand
+      val data = java.util.Arrays.copyOfRange(noList, 36, noList.length)
+      val fmt = java.util.Arrays.copyOfRange(noList, 12, 36)
+      val out = java.util.Arrays.copyOf(noList, noList.length)
+      System.arraycopy(data, 0, out, 12, data.length)
+      System.arraycopy(fmt, 0, out, 12 + data.length, fmt.length)
+      M.decodeWav(out)
+    }
+  }
+
+  /** Test-local PNG chunk writer (the production one is private):
+    * len(BE) ‖ type ‖ data ‖ CRC32(type ‖ data). */
+  private def tChunk(out: java.io.ByteArrayOutputStream, id: String,
+      data: Array[Byte]): Unit = {
+    val hdr = java.nio.ByteBuffer.allocate(8)
+    hdr.putInt(data.length); id.foreach(c => hdr.put(c.toByte))
+    out.write(hdr.array()); out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(id.getBytes("US-ASCII")); crc.update(data)
+    val t = java.nio.ByteBuffer.allocate(4)
+    t.putInt(crc.getValue.toInt); out.write(t.array())
+  }
+
+  test("q511 PNG codec: encode→decode round-trips the exact raster " +
+    "through real DEFLATE across all geometries and five filters") {
+    val M = graft.operators.Multimodal
+    for (w <- 4 to 16; h <- Seq(5, 9, 13)) {
+      val raster = Array.tabulate(w * h * 3)(i => ((i * 41 + 7) % 253).toByte)
+      val (dw, dh, rgb, fsum) = M.decodePng(M.encodePng(w, h, raster))
+      assert((dw, dh) === (w, h), s"$w x $h")
+      assert(java.util.Arrays.equals(rgb, raster), s"png $w x $h")
+      assert(fsum === (0 until h).map(_ % 5).sum.toLong)
+    }
+  }
+
+  test("q511 decoder trusts the bytes: bad signature, CRC corruption, " +
+    "truncation, split IDAT separation and bad filter types all throw") {
+    val M = graft.operators.Multimodal
+    val raster = Array.tabulate(6 * 5 * 3)(i => (i * 3).toByte)
+    val good = M.encodePng(6, 5, raster)
+    // sanity: the good payload decodes
+    assert(java.util.Arrays.equals(M.decodePng(good)._3, raster))
+    intercept[Exception] { // bad signature
+      val b = good.clone(); b(1) = 'X'.toByte; M.decodePng(b)
+    }
+    intercept[Exception] { // CRC corruption inside the first IDAT body
+      // chunk walk: find the first IDAT and flip one data byte
+      var i = 8; var done = false; val b = good.clone()
+      while (!done) {
+        val len = java.nio.ByteBuffer.wrap(b, i, 4).getInt
+        val id = new String(b, i + 4, 4, "US-ASCII")
+        if (id == "IDAT" && len > 0) { b(i + 8) = (b(i + 8) ^ 0x55).toByte; done = true }
+        else i += 12 + len
+      }
+      M.decodePng(b)
+    }
+    intercept[Exception] { // truncated mid-chunk
+      M.decodePng(java.util.Arrays.copyOf(good, good.length - 6))
+    }
+    intercept[Exception] { // non-consecutive IDAT: splice tEXt between
+      val chunks = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Array[Byte])]
+      var i = 8
+      while (i < good.length) {
+        val len = java.nio.ByteBuffer.wrap(good, i, 4).getInt
+        chunks += ((new String(good, i + 4, 4, "US-ASCII"),
+          java.util.Arrays.copyOfRange(good, i + 8, i + 8 + len)))
+        i += 12 + len
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(java.util.Arrays.copyOf(good, 8))
+      val (idats, rest) = chunks.partition(_._1 == "IDAT")
+      assert(idats.length === 2)
+      rest.filter(_._1 == "IHDR").foreach(c => tChunk(out, c._1, c._2))
+      tChunk(out, "IDAT", idats(0)._2)
+      tChunk(out, "tEXt", "Comment splice".getBytes("US-ASCII"))
+      tChunk(out, "IDAT", idats(1)._2)
+      tChunk(out, "IEND", Array.emptyByteArray)
+      M.decodePng(out.toByteArray)
+    }
+    intercept[Exception] { // filter type 7: valid zlib, invalid PNG
+      val w = 2; val h = 1
+      val filtered = Array[Byte](7, 1, 2, 3, 4, 5, 6)
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(filtered); defl.finish()
+      val zb = new Array[Byte](64); val zn = defl.deflate(zb); defl.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(java.util.Arrays.copyOf(good, 8))
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(w).putInt(h)
+      ihdr.put(8.toByte).put(2.toByte)
+      ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+      tChunk(out, "IHDR", ihdr.array())
+      tChunk(out, "IDAT", java.util.Arrays.copyOf(zb, zn))
+      tChunk(out, "IEND", Array.emptyByteArray)
+      M.decodePng(out.toByteArray)
+    }
+  }
+
+  test("q511 decoded sums, filter sum and raster md5 replay from the " +
+    "text cycling law") {
+    val rows = graft.operators.Multimodal
+      .q511PngDecode(spark, sf1).collect()
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === docs.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val (w, h) = graft.operators.Multimodal.q511Dims(id)
+      val tb = docs(id).getBytes("UTF-8")
+      val raster = Array.tabulate(w * h * 3)(i => tb(i % tb.length))
+      assert(r.getAs[Long]("width") === w.toLong)
+      assert(r.getAs[Long]("height") === h.toLong)
+      assert(r.getAs[Long]("n_pixels") === w.toLong * h)
+      assert(r.getAs[Long]("sum_r") ===
+        raster.indices.filter(_ % 3 == 0).map(raster(_) & 0xff).sum.toLong)
+      assert(r.getAs[Long]("sum_b") ===
+        raster.indices.filter(_ % 3 == 2).map(raster(_) & 0xff).sum.toLong)
+      assert(r.getAs[Long]("filter_sum") ===
+        (0 until h).map(_ % 5).sum.toLong)
+      md.reset()
+      assert(r.getAs[String]("raster_md5") ===
+        md.digest(raster).map("%02x".format(_)).mkString)
+    }
+  }
+
+  test("q509 decoded stats replay from the text sample law") {
+    val rows = graft.operators.Multimodal.q509WavDecode(spark, sf1)
+      .collect()
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === docs.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val (frames, ch, rate) = graft.operators.Multimodal.q509Geom(id)
+      val tb = docs(id).getBytes("UTF-8")
+      val s = Array.tabulate(frames * ch)(j =>
+        (((tb(j % tb.length) & 0xff) - 64) * 201).toLong)
+      assert(r.getAs[Long]("sample_rate") === rate.toLong)
+      assert(r.getAs[Long]("channels") === ch.toLong)
+      assert(r.getAs[Long]("n_frames") === frames.toLong)
+      assert(r.getAs[Long]("sum_s") === s.sum)
+      assert(r.getAs[Long]("min_s") === s.min)
+      assert(r.getAs[Long]("max_s") === s.max)
+      assert(r.getAs[Long]("wsum_s") ===
+        s.zipWithIndex.map { case (v, j) => (j + 1) * v }.sum)
+      md.reset()
+      assert(r.getAs[String]("samples_md5") ===
+        md.digest(s.mkString(",").getBytes("US-ASCII"))
+          .map("%02x".format(_)).mkString)
+    }
+  }
 }

@@ -294,7 +294,7 @@ class StatsSpec extends SparkSpec {
     val row = graft.operators.Similarity.q315EffectiveRank(spark, sf1)
       .head()
     val n = row.getAs[Long]("n")
-    val dEff = row.getAs[Long]("d_eff_ppm") / 1e6
+    val dEff = row.getAs[Long]("d_eff_milli") / 1e3
     val d = graft.operators.Similarity.GramDims.toDouble
     assert(dEff > 0.0 && dEff <= d + 1e-9, s"d_eff $dEff outside (0, d]")
     assert(row.getAs[Long]("trace") > 0L, "covariance trace must be positive")
@@ -408,6 +408,129 @@ class StatsSpec extends SparkSpec {
     assert(rows.values.map(_._1).sum === vecs.length.toLong * subs)
     // the 16 codebook vectors assign to themselves with zero distortion
     assert(rows.count { case ((_, _), (_, s2)) => s2 >= 0 } === rows.size)
+  }
+
+  test("q510 PQ ADC top-k equals the brute-force code/LUT replay " +
+    "with dense ranks per probe") {
+    val S = graft.operators.Similarity
+    val rows = S.q510PqAdcTopk(spark, sf1).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        (r.getAs[Long]("rank"), r.getAs[Long]("adist"))).toMap
+    val vecs = graft.sources.Tables.load(spark, sf1, "embeddings")
+      .select(col("vec_id"), expr(
+        """transform(CAST(embedding AS ARRAY<DOUBLE>),
+           x -> CAST(floor(x * 1000) AS BIGINT))""").as("mv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val cb = vecs.filter(_._1 < S.NumCentroids).sortBy(_._1)
+    val (subs, sd) = (S.PqSubs, S.PqSubDim)
+    def subD2(a: Array[Long], b: Array[Long], s: Int): Long = {
+      var d2 = 0L
+      (0 until sd).foreach { i =>
+        val diff = a(s * sd + i) - b(s * sd + i); d2 += diff * diff
+      }
+      d2
+    }
+    // codes: per (vec, sub) argmin, smallest code on ties
+    val codes = vecs.map { case (id, mv) =>
+      id -> Array.tabulate(subs) { b =>
+        cb.minBy { case (code, cv) => (subD2(mv, cv, b), code) }._1
+      }
+    }.toMap
+    val model = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    vecs.filter(_._1 < S.NumProbes).foreach { case (qid, qv) =>
+      val scored = vecs.filter(_._1 != qid).map { case (vid, _) =>
+        val ad = (0 until subs).map { b =>
+          val (_, cv) = cb(codes(vid)(b).toInt)
+          subD2(qv, cv, b)
+        }.sum
+        (vid, ad)
+      }.sortBy { case (vid, ad) => (ad, vid) }.take(S.TopK)
+      scored.zipWithIndex.foreach { case ((vid, ad), i) =>
+        model((qid, vid)) = (i + 1L, ad)
+      }
+    }
+    assert(rows === model.toMap)
+    // dense 1..K ranks per probe
+    (0L until S.NumProbes).foreach { q =>
+      val ranks = rows.collect { case ((`q`, _), (rk, _)) => rk }.toSeq
+      assert(ranks.sorted === (1L to S.TopK.toLong))
+    }
+  }
+
+  test("q512 IVF-PQ search equals the routed brute-force replay and " +
+    "its adists agree with the full ADC scan") {
+    val S = graft.operators.Similarity
+    val rows = S.q512IvfPqSearch(spark, sf1).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        (r.getAs[Long]("rank"), r.getAs[Long]("adist"))).toMap
+    val raw = graft.sources.Tables.load(spark, sf1, "embeddings")
+      .select(col("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("ed"),
+        expr("""transform(CAST(embedding AS ARRAY<DOUBLE>),
+           x -> CAST(floor(x * 1000) AS BIGINT))""").as("mv"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray, r.getSeq[Long](2).toArray))
+    val vecs = raw.map { case (id, _, mv) => (id, mv) }
+    val cb = vecs.filter(_._1 < S.NumCentroids).sortBy(_._1)
+    val (subs, sd) = (S.PqSubs, S.PqSubDim)
+    def subD2(a: Array[Long], b: Array[Long], s: Int): Long = {
+      var d2 = 0L
+      (0 until sd).foreach { i =>
+        val diff = a(s * sd + i) - b(s * sd + i); d2 += diff * diff
+      }
+      d2
+    }
+    // cosine cell routing on the RAW doubles (the q29 contract)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    val cents = raw.filter(_._1 < S.NumCentroids).sortBy(_._1)
+      .map { case (id, ed, _) => (id, ed, math.sqrt(dot(ed, ed))) }
+    def cellRank(ed: Array[Double]): Seq[Long] = {
+      val nrm = math.sqrt(dot(ed, ed))
+      cents.map { case (cid, ced, cnrm) =>
+        (cid, dot(ed, ced) / (nrm * cnrm))
+      }.sortBy { case (cid, cos) => (-cos, cid) }.map(_._1)
+    }
+    val assignedCell = raw.map { case (id, ed, _) =>
+      id -> cellRank(ed).head }.toMap
+    val codes = vecs.map { case (id, mv) =>
+      id -> Array.tabulate(subs) { b =>
+        cb.minBy { case (code, cv) => (subD2(mv, cv, b), code) }._1
+      }
+    }.toMap
+    val model = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    raw.filter(_._1 < S.NumProbes).foreach { case (qid, qed, qv) =>
+      val probed = cellRank(qed).take(S.IvfNProbe).toSet
+      val scored = vecs
+        .filter { case (vid, _) =>
+          vid != qid && probed(assignedCell(vid)) }
+        .map { case (vid, _) =>
+          val ad = (0 until subs).map { b =>
+            val (_, cv) = cb(codes(vid)(b).toInt)
+            subD2(qv, cv, b)
+          }.sum
+          (vid, ad)
+        }.sortBy { case (vid, ad) => (ad, vid) }.take(S.TopK)
+      scored.zipWithIndex.foreach { case ((vid, ad), i) =>
+        model((qid, vid)) = (i + 1L, ad)
+      }
+    }
+    assert(rows === model.toMap)
+    // routed adists are the SAME numbers the full q510 scan computes:
+    // every released (q, vec) pair's adist replays identically without
+    // the cell restriction (codes and LUT are shared by construction)
+    rows.foreach { case ((qid, vid), (_, ad)) =>
+      val qv = vecs.find(_._1 == qid).get._2
+      val full = (0 until subs).map { b =>
+        subD2(qv, cb(codes(vid)(b).toInt)._2, b)
+      }.sum
+      assert(full === ad, s"adist mismatch for ($qid, $vid)")
+    }
+    // dense 1..K ranks per probe (cells at sf0.001 hold > TopK members)
+    (0L until S.NumProbes).foreach { q =>
+      val ranks = rows.collect { case ((`q`, _), (rk, _)) => rk }.toSeq
+      assert(ranks.sorted === (1L to S.TopK.toLong))
+    }
   }
 
   test("q325 cohort retention: offset 0 is the cohort itself and " +
