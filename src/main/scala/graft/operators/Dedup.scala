@@ -2793,7 +2793,114 @@ object Dedup {
           ${fsWeightExprs.mkString(",\n          ")}
         FROM ag"""
 
+  // ------------------------------------------------------------ q515
+
+  /** q515 gram width: 5-word exact grams. On this generator's 31-word
+    * vocabulary the random-collision space is 31⁵ ≈ 2.9·10⁷ — far above
+    * the corpus gram count at every declared SF, so cross-doc gram
+    * sharing measures REAL duplication (planted near-dup pairs, exact
+    * re-crawls), not chance; at production vocabulary sizes the same
+    * argument holds at much shorter widths. */
+  val DupGramN = 5
+
+  /** q515 — DUPLICATED-SPAN FRACTION (the exact-substring dedup signal
+    * of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better" — the member of the dedup family the set-based
+    * signals deliberately aren't: q30/q32 score whole-document
+    * similarity, q300 chunk-level, q102/q113 sampled fingerprints;
+    * ExactSubstr asks, PER TOKEN, whether the token sits inside a span
+    * that also appears verbatim in ANOTHER document — the signal that
+    * catches boilerplate headers, license blocks and quoted reposts
+    * inside otherwise-unique documents). Every [[DupGramN]]-word gram
+    * is hashed (the q30 portable shingle machinery); a gram is
+    * DUPLICATED iff it occurs in ≥ 2 distinct documents; each doc
+    * releases its token-coverage of duplicated grams — the exact union
+    * of the overlapping [pos, pos+N−1] intervals, computed by the
+    * monotone-interval identity Σ min(N, pos − prev_pos) (gram ends
+    * are monotone in pos, so the union needs one lag, not a sweep
+    * stack). Released: (doc_id, n_words, n_grams, n_dup_grams,
+    * covered_tokens, dup_token_ppm); docs with < N words have no grams
+    * and no row (the q214 convention).
+    *
+    * Scale shape: gram explode is linear in corpus tokens (in-row
+    * shingle_hashes, q142's discipline); the duplicate census is ONE
+    * hash-keyed exchange of (doc, hash) distinct pairs with map-side
+    * combine; marking re-joins grams to the census on the SAME hash
+    * key (co-partitioned — no second shuffle of the corpus); the
+    * interval union is one doc-keyed window + aggregate. This is the
+    * shape ExactSubstr actually runs at 100 TB — suffix arrays don't
+    * distribute, gram-hash censuses do (the documented trade: grams
+    * detect duplicated spans ≥ N tokens; shorter overlaps are below
+    * the declared resolution). */
+  def q515DupSpanFraction(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val n = DupGramN
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_words"),
+        posexplode(expr(s"shingle_hashes(ws, $n)"))
+          .as(Seq("pos0", "h")))
+      .select(col("doc_id"), col("n_words"),
+        (col("pos0") + 1).cast("long").as("pos"), col("h"))
+    val dupHashes = grams.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val base = grams.groupBy("doc_id")
+      .agg(max("n_words").cast("long").as("n_words"),
+        count(lit(1)).as("n_grams"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val dup = grams.join(dupHashes, Seq("h"))
+      .withColumn("prev", lag("pos", 1).over(win))
+      .withColumn("add", when(col("prev").isNull, lit(n.toLong))
+        .otherwise(least(lit(n.toLong), col("pos") - col("prev"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum("add").as("covered_tokens"))
+    base.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        expr("coalesce(covered_tokens, 0L) * 1000000 div n_words")
+          .as("dup_token_ppm"))
+  }
+
+  private def q515OracleSql: String = {
+    import graft.functions.PortableHash.duckCharFold
+    val n = DupGramN
+    val gram = (0 until n).map(j => s"ds_t[ds_i + $j]").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ds_t
+          FROM documents),
+        g AS (SELECT doc_id, len(ds_t) AS n_words, ds_i AS pos,
+            ${duckCharFold(s"concat_ws(' ', $gram)")} AS h
+          FROM d, unnest(range(1, len(ds_t) - ${n - 2})) AS ds_u(ds_i)),
+        dup AS (SELECT h FROM (
+            SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h)
+          WHERE nd >= 2),
+        base AS (SELECT doc_id, CAST(max(n_words) AS BIGINT) AS n_words,
+            CAST(count(*) AS BIGINT) AS n_grams
+          FROM g GROUP BY doc_id),
+        dg AS (SELECT g.doc_id, g.pos,
+            lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos)
+              AS prev
+          FROM g JOIN dup ON dup.h = g.h),
+        cov AS (SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS n_dup_grams,
+            CAST(sum(CASE WHEN prev IS NULL THEN $n
+                 ELSE least($n, pos - prev) END) AS BIGINT)
+              AS covered_tokens
+          FROM dg GROUP BY doc_id)
+        SELECT b.doc_id, b.n_words, b.n_grams,
+          COALESCE(c.n_dup_grams, 0) AS n_dup_grams,
+          COALESCE(c.covered_tokens, 0) AS covered_tokens,
+          COALESCE(c.covered_tokens, 0) * 1000000 // b.n_words
+            AS dup_token_ppm
+        FROM base b LEFT JOIN cov c ON c.doc_id = b.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q515_dup_span_fraction" -> (q515DupSpanFraction _),
     "q350_fellegi_sunter" -> (q350FellegiSunter _),
     "q338_capture_recapture" -> (q338CaptureRecapture _),
     "q318_setsim_threshold_sweep" -> (q318ThresholdSweep _),
@@ -2827,6 +2934,7 @@ object Dedup {
     "q87_verify_candidates" -> (q87VerifyCandidates _))
 
   val oracleSql: Map[String, String] = Map(
+    "q515_dup_span_fraction" -> q515OracleSql,
     "q350_fellegi_sunter" -> q350OracleSql,
     "q338_capture_recapture" -> q338OracleSql,
     "q318_setsim_threshold_sweep" -> q318OracleSql,

@@ -23,6 +23,13 @@ case class OpenSession(start: Long, last: Long, n: Long)
 case class ClosedSession(
     user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 
+/** A closed session with its close reason, emitted by the q514
+  * timer-armed sessionizer: via = 'event' (successor > gap later) or
+  * 'timer' (watermark passed the armed expiry). */
+case class ClosedSessionVia(
+    user_id: Long, start_s: Long, end_s: Long, n_events: Long,
+    via: String)
+
 /** Token-bucket state for the q267 rate limiter (epoch-second of the
   * last processed event; tokens remaining after it). */
 case class RateState(last_s: Long, tokens: Long)
@@ -2319,6 +2326,136 @@ object EventStream {
           .as("n_purchases"))
   }
 
+  // -------------------------------------------------------------- q514
+
+  /** q117's sessionizer re-expressed on `transformWithState` WITH
+    * EVENT-TIME TIMERS — the capability q506 deliberately left out
+    * (its TimeMode.None processor can only react to data; a session
+    * pipeline also needs to react to the ABSENCE of data, which is
+    * what timers are for). Per user: ONE ValueState[OpenSession]
+    * updated with the identical fold as [[sessionizeStateful]]'s —
+    * sessions closed by a successor event emit with via = 'event' —
+    * plus ONE registered event-time timer at (last + gap) seconds,
+    * re-armed on every extension (delete-then-register via
+    * listTimers, so exactly one timer per key exists at any time).
+    * When the WATERMARK passes an armed expiry, [[handleExpiredTimer]]
+    * emits the open tail with via = 'timer' and clears the state —
+    * the idle-session flush q117's NoTimeout operator structurally
+    * cannot do (its tails sit in state forever; here state is
+    * self-cleaning, the 100 TB-stream property).
+    *
+    * Expiry comparator, pinned by ScalePathSpec on an exact-boundary
+    * replay: Spark fires a timer iff expiryMs <= watermarkMs
+    * (INCLUSIVE — an expiry exactly AT the watermark fires), and the
+    * declared oracle encodes exactly that. */
+  class SessionTimerProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, ClosedSessionVia] {
+    @transient private var open:
+        org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ClosedSessionVia] = {
+      val sorted = rows.map(_.ts.getTime / 1000).toSeq.sorted
+      var cur = if (open.exists()) Some(open.get()) else None
+      val closed =
+        scala.collection.mutable.ListBuffer[ClosedSessionVia]()
+      sorted.foreach { t =>
+        cur match {
+          case Some(s) if t - s.last <= gapSeconds =>
+            cur = Some(s.copy(last = t, n = s.n + 1))
+          case Some(s) =>
+            closed += ClosedSessionVia(key, s.start, s.last, s.n, "event")
+            cur = Some(OpenSession(t, t, 1))
+          case None =>
+            cur = Some(OpenSession(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        // exactly one armed timer per key: re-arm at the new tail
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer((s.last + gapSeconds) * 1000L)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ClosedSessionVia] = {
+      if (open.exists()) {
+        val s = open.get()
+        open.clear()
+        Iterator.single(ClosedSessionVia(key, s.start, s.last, s.n, "timer"))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[SessionTimerProcessor]] wired through `transformWithState` in
+    * event-time mode (requires a watermark upstream). */
+  def sessionizeWithTimers(ds: Dataset[Event], gapSeconds: Long)
+      : Dataset[ClosedSessionVia] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapSeconds),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  /** q514 — EVENT-TIME TIMERS as the 34th declared streaming shape
+    * (the second half of the `transformWithState` API surface q506
+    * opened): q117's sessionizer with a per-key timer armed at
+    * (tail + gap), so idle sessions FLUSH when the watermark passes
+    * them instead of squatting in state forever. Released: every
+    * closed session with its close reason — via = 'event' (successor
+    * arrived > gap later; exactly q117's rows) or via = 'timer' (the
+    * final no-data micro-batch's watermark — max event time at the
+    * declared 0-second delay — passed the tail's expiry). The oracle
+    * is q117's sessionization UNION the timer-eligible tails: last
+    * sessions with (end_s + gap)·1000 at or below the watermark
+    * milliseconds (the pinned INCLUSIVE Spark comparator; tails past
+    * the watermark stay unemitted, exactly as in the engine). Single-file
+    * replay = one data batch (no row is watermark-late, the q121
+    * argument), then the no-data batch fires the timers — so output
+    * is batch-boundary-deterministic. RocksDB provider pinned for the
+    * run (the transformWithState requirement, q506's pattern). */
+  def q514StreamTimerSessions(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "q514_stream_timer_sessions_mem"
+    s.catalog.dropTempView(name)
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(confKey)
+    s.conf.set(confKey, RocksDbProvider)
+    try {
+      val q = sessionizeWithTimers(
+        typedEvents(readEvents(s, dir, maxFilesPerTrigger)
+          .withWatermark("ts", "0 seconds")), SessionGapSeconds)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None => s.conf.unset(confKey)
+    }
+    s.table(name)
+  }
+
   // -------------------------------------------------------------- q505
 
   /** q505 — STREAMING SPLIT-GAIN MONITOR (q498's quality-filter
@@ -2351,6 +2488,8 @@ object EventStream {
 
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q514_stream_timer_sessions" ->
+      ((s: SparkSession, d: String) => q514StreamTimerSessions(s, d)),
     "q506_stream_profiles_tws" ->
       ((s: SparkSession, d: String) => q506StreamProfilesTws(s, d)),
     "q505_stream_split_gain" ->
@@ -2442,6 +2581,41 @@ object EventStream {
          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
            AS BIGINT) AS n_purchases
          FROM events GROUP BY user_id""",
+    // q514 = q117's sessionization UNION the timer-flushed tails: last
+    // sessions whose armed expiry (end_s + gap)·1000 ms sits AT OR
+    // below the final watermark (max event ms at 0-second delay) — the
+    // pinned INCLUSIVE Spark comparator (ScalePathSpec boundary replay)
+    "q514_stream_timer_sessions" ->
+      s"""WITH e AS (SELECT user_id,
+            epoch_us(ts) // 1000000 AS s,
+            epoch_us(ts) // 1000 AS ms FROM events),
+         wm AS (SELECT max(ms) AS wm_ms FROM e),
+         x AS (SELECT user_id, s,
+           CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s)
+                  > $SessionGapSeconds
+                THEN 1 ELSE 0 END AS brk
+           FROM e),
+         y AS (SELECT user_id, s,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM x),
+         sess AS (SELECT user_id, sid,
+             CAST(min(s) AS BIGINT) AS start_s,
+             CAST(max(s) AS BIGINT) AS end_s,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM y GROUP BY user_id, sid),
+         last_sess AS (SELECT user_id, max(sid) AS last_sid
+           FROM sess GROUP BY user_id)
+         SELECT se.user_id, se.start_s, se.end_s, se.n_events,
+           'event' AS via
+         FROM sess se JOIN last_sess l
+           ON se.user_id = l.user_id AND se.sid < l.last_sid
+         UNION ALL
+         SELECT se.user_id, se.start_s, se.end_s, se.n_events,
+           'timer' AS via
+         FROM sess se JOIN last_sess l
+           ON se.user_id = l.user_id AND se.sid = l.last_sid, wm
+         WHERE (se.end_s + $SessionGapSeconds) * 1000 <= wm.wm_ms""",
     // q506 shares q114's oracle verbatim: transformWithState =
     // mapGroupsWithState = batch GROUP BY is the declared contract
     "q506_stream_profiles_tws" ->

@@ -552,6 +552,60 @@ class DedupSpec extends SparkSpec {
     assert(rows(70L)._3 > 900000L)
   }
 
+  test("q515 duplicated-span fractions replay the brute-force interval " +
+    "model on the declared hash domain") {
+    val rows = Dedup.q515DupSpanFraction(spark, sf1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_grams"),
+          r.getAs[Long]("n_dup_grams"), r.getAs[Long]("covered_tokens"),
+          r.getAs[Long]("dup_token_ppm"))).toMap
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = Dedup.DupGramN
+    // model on the DECLARED hash domain (poly_hash mod 1e9+7), not on
+    // gram strings: the statistic is hash-based in both engines, and at
+    // sf0.001 the corpus already realizes cross-doc collisions of
+    // distinct grams (docs 151/341) that a string model misses
+    val Mod = 1000000007L
+    def charFold(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % Mod)
+    val grams = docs.map { case (id, text) =>
+      val ws = text.split(" ")
+      id -> (ws.length.toLong,
+        ws.sliding(n).filter(_.length == n)
+          .map(g => charFold(g.mkString(" "))).toArray)
+    }.toMap
+    val docsPerGram = grams.toSeq
+      .flatMap { case (id, (_, gs)) => gs.distinct.map(g => (g, id)) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val model = grams.collect { case (id, (nw, gs)) if gs.nonEmpty =>
+      val dupPos = gs.zipWithIndex
+        .collect { case (g, i) if docsPerGram(g) >= 2 => i + 1L }
+      // monotone-interval union: Σ min(N, pos − prev)
+      val covered = dupPos.zip(-1L +: dupPos.dropRight(1)).map {
+        case (p, prev) =>
+          if (prev < 0) n.toLong else math.min(n.toLong, p - prev)
+      }.sum
+      id -> (nw, gs.length.toLong, dupPos.length.toLong, covered,
+        covered * 1000000L / nw)
+    }
+    assert(rows === model)
+    rows.foreach { case (id, (nw, ng, nd, cov, ppm)) =>
+      assert(cov <= nw, s"doc $id covers more tokens than it has")
+      assert(nd <= ng && cov <= nd + n - 1 + (nd - 1).max(0) * (n - 1))
+    }
+    // the generator's Zipfian phrase reuse produces real cross-doc
+    // sharing: both fully-covered and untouched docs must exist, and
+    // full coverage must coincide with every-gram-duplicated
+    assert(rows.values.exists(_._5 === 1000000L), "no fully-covered doc")
+    assert(rows.values.exists(_._5 === 0L), "no clean doc")
+    rows.foreach { case (id, (nw, ng, nd, cov, ppm)) =>
+      if (ppm == 1000000L)
+        assert(nd === ng, s"doc $id fully covered but not all-dup")
+    }
+  }
+
   test("q494 savings ledger: kept + saved = total, survivors = " +
     "clusters, and the planted corpus saves roughly half") {
     val row = Dedup.q494DedupSavings(spark, sf1).head()

@@ -744,6 +744,89 @@ class ScalePathSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q514 timer comparator pin: expiry at or below the final " +
+    "watermark fires, expiry above it stays armed") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, EventStream.RocksDbProvider)
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionizeWithTimers(
+        input.toDS().withWatermark("ts", "0 seconds"),
+        EventStream.SessionGapSeconds)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("q514_pin_test").start()
+    try {
+      // the 10:30:00 event IS the stream max → the watermark parks at
+      // 10:30:00.000 ms forever; user 1's expiry (09:30) sits below it,
+      // user 2's (10:30) exactly AT it, user 3's (11:00) above
+      input.addData(
+        Event(1L, ts("2024-01-01 09:00:00"), 1L, "click", 0.0),
+        Event(2L, ts("2024-01-01 10:00:00"), 2L, "click", 0.0),
+        Event(3L, ts("2024-01-01 10:30:00"), 3L, "click", 0.0))
+      q.processAllAvailable()
+      // the timer fires in the no-data micro-batch that runs after the
+      // watermark advances; poll for it rather than racing it
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def fired(): Set[Long] = spark.table("q514_pin_test")
+        .filter($"via" === "timer")
+        .select("user_id").collect().map(_.getLong(0)).toSet
+      while (fired().isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      q.processAllAvailable() // settle any in-flight batch
+      val f = fired()
+      assert(f.contains(1L), s"expiry below wm must fire, got $f")
+      assert(f.contains(2L),
+        s"expiry exactly AT wm must fire (inclusive <=), got $f")
+      assert(!f.contains(3L), s"expiry above wm must stay armed, got $f")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
+  test("q514 sf0.001 replay equals the inclusive-comparator model and " +
+    "its event rows equal q117's sessionization exactly") {
+    val rows = EventStream.q514StreamTimerSessions(spark, sf1).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_s"),
+        r.getAs[Long]("end_s"), r.getAs[Long]("n_events"),
+        r.getAs[String]("via")))
+    val ev = graft.sources.Tables.load(spark, sf1, "events")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val gap = EventStream.SessionGapSeconds
+    val wmMs = ev.map(_._2).max // 0-second delay → wm = max event ms
+    val model = ev.groupBy(_._1).flatMap { case (uid, es) =>
+      val ss = es.map(_._2 / 1000).sorted
+      val sessions = scala.collection.mutable.ListBuffer[(Long, Long, Long)]()
+      var start = ss.head; var last = ss.head; var n = 1L
+      ss.tail.foreach { t =>
+        if (t - last <= gap) { last = t; n += 1 }
+        else { sessions += ((start, last, n)); start = t; last = t; n = 1 }
+      }
+      sessions += ((start, last, n))
+      val closedByEvent = sessions.init.map { case (a, b, c) =>
+        (uid, a, b, c, "event") }
+      val tail = sessions.last
+      val closedByTimer =
+        if ((tail._2 + gap) * 1000 <= wmMs)
+          Seq((uid, tail._1, tail._2, tail._3, "timer"))
+        else Seq.empty
+      closedByEvent ++ closedByTimer
+    }.toSet
+    assert(rows.toSet === model)
+    assert(rows.length === model.size, "duplicate emissions")
+    // the via='event' rows are exactly q117's declared output
+    val q117 = EventStream.q117StreamSessions(spark, sf1).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_s"),
+        r.getAs[Long]("end_s"), r.getAs[Long]("n_events"), "event"))
+    assert(rows.filter(_._5 == "event").toSet === q117.toSet)
+  }
+
   test("checkpointed stream restarts without reprocessing or duplicates") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
