@@ -539,26 +539,51 @@ object Curation {
     * broadcast ratio frame and map-side-combines the doc-keyed sum —
     * zero wide shuffles beyond the doc-keyed aggregate, the shape that
     * scores 100 TB in a single pass over the tokens. */
-  def q513DsirWeights(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.registerAll(s)
-    import org.apache.spark.sql.functions.broadcast
-    val tb = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
+  /** The exact rational ratio expression shared by q513 and its q517
+    * streaming twin — ONE text, so the two declarations cannot drift. */
+  private[graft] val dsirRatioExpr: String =
+    s"""CAST(CAST(t_n + 1 AS DECIMAL(38,0))
+          * (rr + $DsirBuckets) * 1000000
+        div (CAST(r_n + 1 AS DECIMAL(38,0))
+          * (tt + $DsirBuckets)) AS BIGINT)"""
+
+  /** (doc_id, lang, bucket) token frame — batch or streaming (the
+    * bucketing is stateless and narrow, so the same code runs under
+    * a readStream source for q517). */
+  private[graft] def dsirTokenBuckets(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(docs.sparkSession)
+    docs.select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .withColumn("b", expr(s"poly_hash(w) % $DsirBuckets"))
       .select("doc_id", "lang", "b")
-    val census = tb.groupBy("b").agg(
+  }
+
+  /** ≤ |B|-row dual census over a token-bucket frame. Both counts are
+    * plain commutative sums, so the SAME aggregation runs complete-mode
+    * over a stream (q517) and its drained table equals the batch
+    * census under ANY micro-batch split. */
+  private[graft] def dsirCensus(tb: DataFrame): DataFrame =
+    tb.groupBy("b").agg(
       count(lit(1)).as("r_n"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_n"))
-      .cache() // two consumers (totals + ratio); ≤ |B| rows
+
+  /** Ratio finisher over a (b, r_n, t_n) census: 1-row totals
+    * broadcast + the shared rational expression. */
+  private[graft] def dsirRatios(census: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     val tot = census.agg(sum("r_n").as("rr"), sum("t_n").as("tt"))
-    val ratio = census.crossJoin(broadcast(tot))
-      .select(col("b"), expr(
-        s"""CAST(CAST(t_n + 1 AS DECIMAL(38,0))
-              * (rr + $DsirBuckets) * 1000000
-            div (CAST(r_n + 1 AS DECIMAL(38,0))
-              * (tt + $DsirBuckets)) AS BIGINT)""").as("ratio_ppm"))
+    census.crossJoin(broadcast(tot))
+      .select(col("b"), col("r_n"), col("t_n"),
+        expr(dsirRatioExpr).as("ratio_ppm"))
+  }
+
+  def q513DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val tb = dsirTokenBuckets(t(s, dir, "documents"))
+    val census = dsirCensus(tb)
+      .cache() // two consumers (totals + ratio); ≤ |B| rows
+    val ratio = dsirRatios(census).select("b", "ratio_ppm")
     tb.join(broadcast(ratio), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sum("ratio_ppm").as("weight"))
@@ -566,9 +591,11 @@ object Curation {
         expr("weight div n_toks").as("wpt_ppm"))
   }
 
-  private def q513OracleSql: String = {
+  /** q513/q517 shared oracle CTE prefix: token buckets → dual census →
+    * totals → the exact HUGEINT ratio frame (ONE text, both keys). */
+  private[graft] def dsirRatioCtes: String = {
     import graft.functions.PortableHash.duckCharFold
-    s"""WITH toks AS (SELECT d.doc_id, d.lang, ds_t.w
+    s"""toks AS (SELECT d.doc_id, d.lang, ds_t.w
           FROM (SELECT doc_id, lang, string_split(text, ' ') AS tw
                 FROM documents) d,
                unnest(d.tw) AS ds_t(w)
@@ -581,18 +608,26 @@ object Curation {
           FROM tb GROUP BY b),
         tot AS (SELECT CAST(sum(r_n) AS BIGINT) AS rr,
             CAST(sum(t_n) AS BIGINT) AS tt FROM census),
-        ratio AS (SELECT b,
+        ratio AS (SELECT b, r_n, t_n,
             CAST((CAST(t_n + 1 AS HUGEINT)
                 * (rr + $DsirBuckets) * 1000000)
               // (CAST(r_n + 1 AS HUGEINT)
                 * (tt + $DsirBuckets)) AS BIGINT) AS ratio_ppm
-          FROM census, tot),
+          FROM census, tot)"""
+  }
+
+  private def q513OracleSql: String =
+    s"""WITH $dsirRatioCtes,
         w AS (SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
             CAST(sum(ratio_ppm) AS BIGINT) AS weight
           FROM tb JOIN ratio ON ratio.b = tb.b GROUP BY tb.doc_id)
         SELECT doc_id, n_toks, weight, weight // n_toks AS wpt_ppm
         FROM w"""
-  }
+
+  /** q517's oracle: the shared ratio frame, released as-is. */
+  def q517OracleSql: String =
+    s"""WITH $dsirRatioCtes
+        SELECT b, r_n, t_n, ratio_ppm FROM ratio"""
 
   // ------------------------------------------------------------ wiring
 

@@ -2456,6 +2456,39 @@ object EventStream {
     s.table(name)
   }
 
+  // -------------------------------------------------------------- q517
+
+  /** q517 — STREAMING DSIR RATIO MONITOR (q513's per-bucket importance
+    * ratios as the 35th declared streaming shape — the live form the
+    * selection pipeline wants: as a crawl streams in, the target-vs-raw
+    * likelihood ratio of every hashed-token bucket, recomputed
+    * continuously; scoring a candidate document is then ONE broadcast
+    * lookup against this ≤ 256-row frame). State is the dual census —
+    * two commutative counts per bucket, associatively mergeable across
+    * micro-batches, so the drained complete-mode table equals the batch
+    * census under ANY file split (MultiBatchConfluenceSpec forces a
+    * 4-file replay); the ratio finisher runs batch-side on the drained
+    * census through the SAME shared expression text as q513
+    * ([[graft.operators.Curation.dsirRatioExpr]]). Oracle: q513's
+    * shared CTE prefix released at the ratio frame. */
+  def q517StreamDsirRatios(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.operators.Curation
+    val name = "q517_stream_dsir_ratios_mem"
+    s.catalog.dropTempView(name)
+    val q = Curation.dsirCensus(
+        Curation.dsirTokenBuckets(readDocs(s, dir, maxFilesPerTrigger)))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Curation.dsirRatios(s.table(name))
+  }
+
   // -------------------------------------------------------------- q505
 
   /** q505 — STREAMING SPLIT-GAIN MONITOR (q498's quality-filter
@@ -2488,6 +2521,8 @@ object EventStream {
 
   val queries: Map[String, (SparkSession, String)
       => org.apache.spark.sql.DataFrame] = Map(
+    "q517_stream_dsir_ratios" ->
+      ((s: SparkSession, d: String) => q517StreamDsirRatios(s, d)),
     "q514_stream_timer_sessions" ->
       ((s: SparkSession, d: String) => q514StreamTimerSessions(s, d)),
     "q506_stream_profiles_tws" ->
@@ -2581,6 +2616,9 @@ object EventStream {
          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
            AS BIGINT) AS n_purchases
          FROM events GROUP BY user_id""",
+    // q517 shares q513's CTE prefix, released at the ratio frame
+    "q517_stream_dsir_ratios" ->
+      graft.operators.Curation.q517OracleSql,
     // q514 = q117's sessionization UNION the timer-flushed tails: last
     // sessions whose armed expiry (end_s + gap)·1000 ms sits AT OR
     // below the final watermark (max event ms at 0-second delay) — the

@@ -125,6 +125,9 @@ class MultiBatchConfluenceSpec extends SparkSpec {
   confluent("q505 streaming split-gain monitor")(mf =>
     EventStream.q505StreamSplitGain(spark, docsDir, mf))
 
+  confluent("q517 streaming DSIR ratio monitor")(mf =>
+    EventStream.q517StreamDsirRatios(spark, docsDir, mf))
+
   test("q239 heavy hitters: MG capture guarantee holds under a forced " +
     "4-file replay (sketch content may differ, the guarantee may not)") {
     // MG sketch CONTENT is merge-order dependent; the declared output

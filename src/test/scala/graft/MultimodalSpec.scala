@@ -583,6 +583,90 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q516 AVI codec: nested-list encode→walk round-trips frames, " +
+    "clock and dims across all geometries including odd frame sizes") {
+    val M = graft.operators.Multimodal
+    for (docId <- 0L to 23L) { // covers every (nf, w, h, usf) residue mix
+      val (nf, w, h, usf) = M.q516Geom(docId)
+      val frames = Array.tabulate(nf) { i =>
+        Array.tabulate(M.q516FrameSize(docId, i))(j =>
+          ((i * 31 + j * 7 + docId) % 251).toByte)
+      }
+      val (dusf, dw, dh, df) = M.decodeAvi(
+        M.encodeAvi(docId, frames, w, h, usf))
+      assert((dusf, dw, dh) === (usf, w, h), s"doc $docId")
+      assert(df.length === nf)
+      df.zip(frames).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a, b), s"doc $docId frame")
+      }
+    }
+  }
+
+  test("q516 walker trusts the bytes: bad magic, truncation, a LYING " +
+    "idx1 offset and a header frame-count mismatch all throw") {
+    val M = graft.operators.Multimodal
+    val (nf, w, h, usf) = M.q516Geom(7L)
+    val frames = Array.tabulate(nf) { i =>
+      Array.tabulate(M.q516FrameSize(7L, i))(j => (i * 5 + j).toByte)
+    }
+    val good = M.encodeAvi(7L, frames, w, h, usf)
+    assert(M.decodeAvi(good)._4.length === nf) // sanity
+    intercept[Exception] { // bad magic
+      val b = good.clone(); b(9) = 'X'.toByte; M.decodeAvi(b)
+    }
+    intercept[Exception] { // truncation mid-idx1
+      M.decodeAvi(java.util.Arrays.copyOf(good, good.length - 5))
+    }
+    intercept[Exception] { // lying seek index: corrupt entry 0's offset
+      val b = good.clone()
+      // idx1 data = last 16*nf bytes; offset field at +8 of entry 0
+      val e0 = b.length - 16 * nf + 8
+      b(e0) = (b(e0) ^ 0x01).toByte
+      M.decodeAvi(b)
+    }
+    intercept[Exception] { // header claims one frame more than movi has
+      val b = good.clone()
+      // avih sits at RIFF(12) + LIST hdr(12) + 'avih'+size(8);
+      // dwTotalFrames is avih byte 16
+      val tf = 12 + 12 + 8 + 16
+      b(tf) = (b(tf) + 1).toByte
+      M.decodeAvi(b)
+    }
+  }
+
+  test("q516 frame stats and md5 replay from the text cycling law") {
+    val rows = graft.operators.Multimodal
+      .q516AviFrameIndex(spark, sf1).collect()
+    val docs = graft.sources.Tables.load(spark, sf1, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === docs.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val M = graft.operators.Multimodal
+      val (nf, w, h, usf) = M.q516Geom(id)
+      val tb = docs(id).getBytes("UTF-8")
+      val frames = Array.tabulate(nf) { i =>
+        Array.tabulate(M.q516FrameSize(id, i))(j =>
+          tb((i * 17 + j) % tb.length))
+      }
+      assert(r.getAs[Long]("width") === w.toLong)
+      assert(r.getAs[Long]("height") === h.toLong)
+      assert(r.getAs[Long]("us_per_frame") === usf.toLong)
+      assert(r.getAs[Long]("n_frames") === nf.toLong)
+      assert(r.getAs[Long]("total_bytes") ===
+        frames.map(_.length.toLong).sum)
+      assert(r.getAs[Long]("wsum_bytes") ===
+        frames.zipWithIndex.map { case (f, i) =>
+          (i + 1L) * f.length }.sum)
+      md.reset()
+      frames.foreach(md.update)
+      assert(r.getAs[String]("frames_md5") ===
+        md.digest().map("%02x".format(_)).mkString)
+    }
+  }
+
   test("q509 decoded stats replay from the text sample law") {
     val rows = graft.operators.Multimodal.q509WavDecode(spark, sf1)
       .collect()
