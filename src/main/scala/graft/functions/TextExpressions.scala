@@ -518,6 +518,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "sum_squares", exprs => SumOfSquaresLong(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "gram_moments", exprs => GramMomentsAgg(
+        exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
       "damerau_lev", exprs => DamerauLevenshtein(exprs(0), exprs(1)),
       "built-in")
     // Spark's own runtime-filter bloom expressions (public Catalyst

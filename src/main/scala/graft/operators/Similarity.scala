@@ -423,18 +423,41 @@ object Similarity {
         qarr AS (SELECT vec_id, list(qv ORDER BY dim) AS qe
                  FROM q GROUP BY vec_id)"""
 
-  def q154GramMatrix(s: SparkSession, dir: String): DataFrame = {
+  /** One-pass [[graft.functions.GramMomentsAgg]] census over a frame
+    * with an `array<bigint>` column named `vcol`: single row
+    * `mb = [n, s_0..s_{d-1}, g_upper(0,0)..g_upper(d-1,d-1)]`.
+    *
+    * Round-12 optimization (guide §2.3/§4): replaces the per-vector
+    * d(d+1)/2-struct HOF explode + corpus-sized shuffle the whole Gram
+    * family (q154/q315/q344/q351/q450) ran with — the sums are the
+    * same wrapping-long integer adds in the same commutative algebra,
+    * so every cell is bit-identical (GramMomentsSpec), but the shuffle
+    * carries ONE 2145-long buffer per map partition instead of
+    * n·2080 rows. */
+  private def gramMomentsRow(vecs: DataFrame, vcol: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(vecs.sparkSession)
+    vecs.agg(expr(s"gram_moments($vcol, $GramDims)").as("mb"))
+  }
+
+  /** Upper-triangle (i, j, g) rows decoded from a [[gramMomentsRow]]
+    * buffer: the d(d+1)/2-row explode now runs on ONE row, not per
+    * vector. Row-major offset: cell (i, j), j ≥ i, sits at
+    * i·(2d−i+1)/2 + (j−i) within the g block (block starts after the
+    * count + d sums; element_at is 1-based). */
+  private def gramCellsFromRow(row: DataFrame): DataFrame = {
     val d = GramDims
-    val cells = quantizedVecs(s, dir)
-      .select(explode(expr(
+    row.select(explode(expr(
         s"""flatten(transform(sequence(0, ${d - 1}), i ->
               transform(sequence(i, ${d - 1}), j ->
                 struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-                  element_at(qe, i + 1) * element_at(qe, j + 1)
-                    AS p))))""")).as("c"))
-      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
-    cells.groupBy("i", "j").agg(sum("p").cast("bigint").as("g"))
+                  element_at(mb, CAST(2 + $d
+                    + (i * (2 * $d - i + 1)) div 2 + (j - i) AS INT))
+                    AS g))))""")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.g").as("g"))
   }
+
+  def q154GramMatrix(s: SparkSession, dir: String): DataFrame =
+    gramCellsFromRow(gramMomentsRow(quantizedVecs(s, dir), "qe"))
 
   private def q154OracleSql: String =
     s"""WITH $quantCtes,
@@ -1598,26 +1621,33 @@ object Similarity {
     * domain frame. */
   def q315EffectiveRank(s: SparkSession, dir: String): DataFrame = {
     val d = GramDims
-    val cells = t(s, dir, "embeddings")
-      .withColumn("mv", expr(
+    // ONE gram_moments pass over the milli-integer grid (round-12
+    // optimization — same mergeable-moment sums the scaladoc claims,
+    // now one 2145-long buffer per partition instead of an n·2145-row
+    // explode+shuffle; wrapping-long adds, bit-identical cells), then
+    // the same (i, j, m) moments frame decoded from the single row:
+    // products at j ≥ i ≥ 0, first moments at j = −1, count at
+    // (−1, −1) — downstream unchanged.
+    val row = gramMomentsRow(
+      t(s, dir, "embeddings").withColumn("mv", expr(
         "transform(CAST(embedding AS ARRAY<DOUBLE>), " +
-          "x -> CAST(floor(x * 1000) AS BIGINT))"))
-      .select(explode(expr(
+          "x -> CAST(floor(x * 1000) AS BIGINT))")),
+      "mv").localCheckpoint(true)
+    val moments = row.select(explode(expr(
         s"""concat(
               flatten(transform(sequence(0, ${d - 1}), i ->
                 transform(sequence(i, ${d - 1}), j ->
                   struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-                    element_at(mv, i + 1) * element_at(mv, j + 1)
+                    element_at(mb, CAST(2 + $d
+                      + (i * (2 * $d - i + 1)) div 2 + (j - i) AS INT))
                       AS p)))),
               transform(sequence(0, ${d - 1}), i ->
                 struct(CAST(i AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
-                  element_at(mv, i + 1) AS p)),
+                  element_at(mb, CAST(2 + i AS INT)) AS p)),
               array(struct(CAST(-1 AS BIGINT) AS i,
-                CAST(-1 AS BIGINT) AS j, CAST(1 AS BIGINT) AS p)))"""))
+                CAST(-1 AS BIGINT) AS j, element_at(mb, 1) AS p)))"""))
         .as("c"))
-      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
-    val moments = cells.groupBy("i", "j").agg(sum("p").as("m"))
-      .localCheckpoint(true)
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("m"))
     val n = moments.filter(col("i") === -1 && col("j") === -1)
       .select(col("m").as("n"))
     val s1 = moments.filter(col("i") >= 0 && col("j") === -1)
@@ -2281,18 +2311,17 @@ object Similarity {
   def q344CkaPrefix(s: SparkSession, dir: String): DataFrame = {
     val d = GramDims
     val p = MatryoshkaDim
-    val q = quantizedVecs(s, dir).localCheckpoint(true)
-    val gram = q.select(explode(expr(
-        s"""flatten(transform(sequence(0, ${d - 1}), i ->
-              transform(sequence(i, ${d - 1}), j ->
-                struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-                  element_at(qe, i + 1) * element_at(qe, j + 1)
-                    AS p))))""")).as("c"))
-      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
-      .groupBy("i", "j").agg(sum("p").cast("bigint").as("g"))
-    val sums = q.select(posexplode(col("qe")).as(Seq("dim", "v")))
-      .groupBy("dim").agg(sum("v").as("sv"))
-    val nF = q.agg(count(lit(1)).as("n"))
+    // ONE gram_moments pass (round-12 optimization): the Gram cells,
+    // per-dim sums, and count all decode from the single census row —
+    // the previous form ran THREE corpus passes (2080-struct explode,
+    // posexplode, count) over the checkpointed quantized frame. Sums
+    // are the same wrapping-long adds; downstream unchanged.
+    val row = gramMomentsRow(quantizedVecs(s, dir), "qe")
+      .localCheckpoint(true)
+    val gram = gramCellsFromRow(row)
+    val sums = row.select(posexplode(expr(
+        s"slice(mb, 2, $d)")).as(Seq("dim", "sv")))
+    val nF = row.select(element_at(col("mb"), 1).as("n"))
     gram
       .join(broadcast(sums.select(col("dim").cast("bigint").as("i"),
         col("sv").as("si"))), "i")
@@ -2378,40 +2407,69 @@ object Similarity {
     * Scale shape: q154's census pass once; per round a d²-row
     * broadcast matvec + a d-row max — driver-free, corpus touched
     * exactly once regardless of rounds. */
-  /** The symmetrized Gram frame shared by q351 and q450 (one census
-    * forcing). */
-  private def symGram(s: SparkSession, dir: String): DataFrame = {
-    val gramUp = q154GramMatrix(s, dir).localCheckpoint(true)
-    gramUp.unionByName(gramUp
-        .filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("g")))
+  /** Single-row power-iteration state shared by q351 and q450: column
+    * `g` holds the FULL d×d symmetric Gram matrix as
+    * `array<array<bigint>>` (decoded from one [[gramMomentsRow]]
+    * census — the corpus pass stays distributed; only the d²-cell
+    * matrix, CONSTANT-sized at every SF because the embedding width is
+    * pinned at 64, collapses into a row), column `x` the current
+    * fixed-point iterate.
+    *
+    * Round-12 optimization (guide §1/§2.4): the previous loop kept x
+    * as a d-row frame, so every round paid a sym⋈x join, a groupBy
+    * exchange, a separate max-|y| aggregate job, a broadcast build,
+    * and a checkpoint — ~5 Spark jobs of pure scheduling per round, 84
+    * jobs total at 16 rounds. On one row each round is a single
+    * in-row matvec projection + checkpoint (1 job, no exchange). The
+    * matvec is the same wrapping-long Σ g·x in a different (still
+    * associative/commutative) order and the normalization expression
+    * is unchanged, so the trajectory is bit-identical — the declared
+    * oracle (dense CTE chain) is untouched and stays green. */
+  private def powerStateRow(s: SparkSession, dir: String): DataFrame = {
+    val d = GramDims
+    gramMomentsRow(quantizedVecs(s, dir), "qe")
+      .select(
+        expr(s"""transform(sequence(0, ${d - 1}), i ->
+            transform(sequence(0, ${d - 1}), j ->
+              element_at(mb, CAST(2 + $d
+                + (least(i, j) * (2 * $d - least(i, j) + 1)) div 2
+                + abs(j - i) AS INT))))""").as("g"),
+        expr(s"transform(sequence(0, ${d - 1}), x0_i -> ${PowerScale}L)")
+          .as("x"))
       .localCheckpoint(true)
   }
 
-  def q351PowerIteration(s: SparkSession, dir: String): DataFrame =
-    powerIterate(s, symGram(s, dir))
+  /** In-row matvec: y_i = Σ_j g[i][j]·x[j] (same integer sum as the
+    * old sym⋈x groupBy, fixed j-order — exact either way). */
+  private def matvecExpr(d: Int): String =
+    s"""transform(sequence(0, ${d - 1}), mv_i ->
+        aggregate(zip_with(element_at(g, mv_i + 1), x,
+            (mv_g, mv_x) -> mv_g * mv_x),
+          0L, (mv_acc, mv_v) -> mv_acc + mv_v))"""
 
-  /** [[q351PowerIteration]]'s fixed-point loop over a prebuilt sym
-    * frame. */
-  private def powerIterate(s: SparkSession, sym: DataFrame): DataFrame = {
-    var x = s.range(GramDims.toLong)
-      .select(col("id").as("dim"), lit(PowerScale).as("xv"))
+  def q351PowerIteration(s: SparkSession, dir: String): DataFrame =
+    powerIterate(powerStateRow(s, dir))
+      .select(posexplode(col("x")).as(Seq("dim", "x_scaled")))
+      .select(col("dim").cast("bigint").as("dim"), col("x_scaled"))
+
+  /** [[q351PowerIteration]]'s fixed-point loop over the single-row
+    * state ([[powerStateRow]]). Checkpoint EVERY round, as before:
+    * it truncates the lineage so the plan stays round-sized, and on a
+    * 1-row frame the materialization is one ~40 ms job. */
+  private def powerIterate(row0: DataFrame): DataFrame = {
+    val d = GramDims
+    var row = row0
     for (_ <- 1 to PowerIters) {
-      val y = sym.join(x, sym("j") === x("dim"))
-        .groupBy(sym("i").as("dim2"))
-        .agg(sum(expr("g * xv")).as("y"))
-        .select(col("dim2").as("dim"), col("y"))
-      val m = y.agg(max(abs(col("y"))).as("m"))
-      // checkpoint EVERY round: x's attributes descend from sym, so the
-      // next round's sym⋈x would otherwise be an ambiguous self-join;
-      // the frame is d rows, the materialization is free
-      x = y.crossJoin(broadcast(m))
-        .select(col("dim"),
-          expr(s"""CAST(CAST(y AS DECIMAL(38,0)) * $PowerScale
-                   div m AS BIGINT)""").as("xv"))
+      row = row
+        .select(col("g"), expr(matvecExpr(d)).as("y"))
+        .select(col("g"),
+          expr(s"""transform(y, y_v ->
+              CAST(CAST(y_v AS DECIMAL(38,0)) * $PowerScale
+                   div array_max(transform(y, y_a -> abs(y_a)))
+                 AS BIGINT))""").as("x"))
         .localCheckpoint(true)
     }
-    x.select(col("dim"), col("xv").as("x_scaled"))
+    row
   }
 
   /** The q351 oracle's iteration chain, shared with q450. Each x_k
@@ -2658,29 +2716,37 @@ object Similarity {
     * Scale shape: q351's census cost dominates (corpus touched once);
     * the certificate adds one 64²-row matvec and two 64-row folds. */
   def q450RayleighCertificate(s: SparkSession, dir: String): DataFrame = {
-    val sym = symGram(s, dir)
-    val x = powerIterate(s, sym).localCheckpoint(true)
-    val y = sym.join(x.select(col("dim").as("j2"),
-        col("x_scaled").as("xv")), sym("j") === col("j2"))
-      .groupBy(sym("i").as("dim"))
-      .agg(sum(expr("g * xv")).as("y"))
-    val joined = y.join(x, "dim").localCheckpoint(true)
-    val dots = joined.agg(
-      sum(expr("CAST(x_scaled AS DECIMAL(38,0)) * y")).as("num"),
-      sum(expr("CAST(x_scaled AS DECIMAL(38,0)) * x_scaled")).as("den"))
-    joined.crossJoin(broadcast(dots))
-      .select(
-        expr("""abs(CAST(den AS DECIMAL(38,0)) * y
-             - CAST(num AS DECIMAL(38,0)) * x_scaled) div den""")
-          .as("a"),
-        expr("abs(CAST(y AS DECIMAL(38,0)))").as("ay"),
-        col("num"), col("den"))
-      .groupBy("num", "den")
-      .agg(sum("a").as("resid"), sum("ay").as("ynorm"))
+    val d = GramDims
+    // one extra in-row matvec on the drained iterate, then the exact
+    // decimal(38,0) dot/residual folds — the same integer algebra as
+    // the old d-row join form, on the single-row state (guide §2.4:
+    // the d-sized frames never needed an exchange)
+    powerIterate(powerStateRow(s, dir))
+      .select(col("x"), expr(matvecExpr(d)).as("y"))
+      .select(col("x"), col("y"),
+        expr("""aggregate(zip_with(x, y, (nu_x, nu_y) ->
+              CAST(nu_x AS DECIMAL(38,0)) * nu_y),
+            CAST(0 AS DECIMAL(38,0)),
+            (nu_acc, nu_v) -> CAST(nu_acc + nu_v AS DECIMAL(38,0)))""")
+          .as("num"),
+        expr("""aggregate(transform(x, de_x ->
+              CAST(de_x AS DECIMAL(38,0)) * de_x),
+            CAST(0 AS DECIMAL(38,0)),
+            (de_acc, de_v) -> CAST(de_acc + de_v AS DECIMAL(38,0)))""")
+          .as("den"))
       .select(
         expr("CAST(num div den AS BIGINT)").as("lambda_scaled"),
-        expr("""CAST(CAST(resid AS DECIMAL(38,0)) * 1000000
-             div ynorm AS BIGINT)""").as("resid_ppm"))
+        expr(s"""CAST(CAST(aggregate(zip_with(x, y, (rs_x, rs_y) ->
+              abs(CAST(den AS DECIMAL(38,0)) * rs_y
+                - CAST(num AS DECIMAL(38,0)) * rs_x) div den),
+            CAST(0 AS DECIMAL(38,0)),
+            (rs_acc, rs_v) -> CAST(rs_acc + rs_v AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) * 1000000
+            div aggregate(transform(y, yn_y ->
+                abs(CAST(yn_y AS DECIMAL(38,0)))),
+              CAST(0 AS DECIMAL(38,0)),
+              (yn_acc, yn_v) -> CAST(yn_acc + yn_v AS DECIMAL(38,0)))
+            AS BIGINT)""").as("resid_ppm"))
   }
 
   private def q450OracleSql: String =
