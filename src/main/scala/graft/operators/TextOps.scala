@@ -2658,19 +2658,41 @@ object TextOps {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         split(col("text"), " ").as("w"))
+      // bigram key as a (w_i, w_{i+1}) STRUCT via arrays_zip + slice
+      // (round-12, guide §4): the previous
+      // transform(sequence(...), concat(w[i], ' ', w[i+1])) lambda ran
+      // INTERPRETED (higher-order functions fall out of whole-stage
+      // codegen) and allocated a concatenated string per gram — the
+      // profile pinned ~6 s of the query's 8 s on exactly this
+      // projection. Struct equality ≡ concat-string equality here
+      // because `w` comes from split(text, ' '), so no word can
+      // contain the separator — the census groups, the pair join, and
+      // Σ min(count) are over the identical gram partition.
       .withColumn("bg", expr(
-        """CASE WHEN size(w) < 2 THEN array()
-           ELSE transform(sequence(0, size(w) - 2),
-             bg_i -> concat(w[bg_i], ' ', w[bg_i + 1])) END"""))
+        """arrays_zip(slice(w, 1, greatest(size(w) - 1, 0)),
+                      slice(w, 2, greatest(size(w) - 1, 0)))"""))
+    // Round-12 optimization (guide §1/§2.4, repeated-subplan removal):
+    // the per-doc unigram/bigram censuses and the length frame are each
+    // consumed TWICE (both sides of the pair self-join / both roles of
+    // the pair), and previously re-derived the full split+bigram
+    // pipeline each time — profile showed one 7 s job recomputing the
+    // corpus tokenization ~8×. Materialize each census once
+    // (vocabulary-bounded per doc, so the checkpointed frames are
+    // corpus-linear and SMALLER than the text they summarize); every
+    // expression is unchanged, so the released integers are identical.
+    // (toDF after the checkpoint re-aliases with fresh attribute ids —
+    // a LogicalRDD keeps its parent plan's ids, which would collide
+    // with the skeleton branch of the pair join below)
     val lens = docs.select(col("doc_id"),
       size(col("w")).cast("bigint").as("n1"),
       greatest(size(col("w")) - 1, lit(0)).cast("bigint").as("n2"))
+      .localCheckpoint(true).toDF("doc_id", "n1", "n2")
     def census(column: String, out: String) = docs
       .select(col("doc_id"), explode(col(column)).as("g"))
       .groupBy("doc_id", "g")
       .agg(count(lit(1)).as(out))
-    def overlap(column: String, out: String) = {
-      val c = census(column, "ca")
+      .localCheckpoint(true).toDF("doc_id", "g", out)
+    def overlap(c: DataFrame, out: String) = {
       val cb = c.select((col("doc_id") - 20).as("doc_id"),
         col("g"), col("ca").as("cb"))
       c.join(cb, Seq("doc_id", "g"))
@@ -2680,8 +2702,8 @@ object TextOps {
     val pairs = docs.select(col("doc_id"), col("source"))
       .join(docs.select((col("doc_id") - 20).as("doc_id")),
         "doc_id")
-      .join(overlap("w", "i1"), Seq("doc_id"), "left")
-      .join(overlap("bg", "i2"), Seq("doc_id"), "left")
+      .join(overlap(census("w", "ca"), "i1"), Seq("doc_id"), "left")
+      .join(overlap(census("bg", "ca"), "i2"), Seq("doc_id"), "left")
       .join(lens.as("la"), Seq("doc_id"))
       .join(lens.select((col("doc_id") - 20).as("doc_id"),
         col("n1").as("m1"), col("n2").as("m2")), Seq("doc_id"))
