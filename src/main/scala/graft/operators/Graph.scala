@@ -802,6 +802,8 @@ object Graph {
     // is a no-op, so the loop exits early with the exact final ranks.
     // At sf10 this is what turns 5 dense edge-shuffles into a couple
     // of frontier-sized ones (verdict r11 task #2).
+    val sc = nodes.sparkSession.sparkContext
+    sc.setJobDescription("ppr: nodeBase+delta0")
     val nodeBase = nodes.select(col("id"),
       when(col("is_seed"), lit(base)).otherwise(lit(0L)).as("sb"),
       when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("r0"))
@@ -815,6 +817,7 @@ object Graph {
     var deltaEmpty = delta.isEmpty
     var round = 1
     while (round <= iters && !deltaEmpty) {
+      sc.setJobDescription(s"ppr: round $round")
       // per-source contribution CHANGE, fanned out to neighbors via
       // explode, summed map-side like the dense form's contribs; a
       // source whose TRUNCATED contribution didn't move (dc = 0) sends
@@ -846,22 +849,32 @@ object Graph {
       } else {
         // rounds ≥ 2: R_{t+1} − R_t = dm exactly, so the nonzero-dm
         // rows ARE the next delta — derived from the (small) dm frame
-        // joined back to ranks, never a full-frame compare
-        delta = dm.join(ranks, Seq("id"))
+        // joined back to ranks, never a full-frame compare.
+        // Checkpoint dm ONCE per round (round 12, guide §1/§5): it
+        // feeds BOTH the delta and the new ranks, so un-checkpointed
+        // the message join+explode+sum ran twice per round; and
+        // checkpoint ranks EVERY round, not every 4th — the profile
+        // showed the lazy 3-join ranks chain re-walking every prior
+        // round's dm when the 4th-round checkpoint finally forced it
+        // (round 4 cost 4.9 s of the query's 10.5 s). ranks is |V|
+        // rows of two longs — the materialization is noise; values
+        // are unchanged.
+        val dmC = dm.localCheckpoint(true)
+        delta = dmC.join(ranks, Seq("id"))
           .select(col("id"), col("rank_scaled").as("old_r"),
             (col("rank_scaled") + col("dm")).as("new_r"))
-        ranks = ranks.join(dm, Seq("id"), "left")
+        ranks = ranks.join(dmC, Seq("id"), "left")
           .select(col("id"),
             (col("rank_scaled") + coalesce(col("dm"), lit(0L)))
               .as("rank_scaled"))
-        if (round % 4 == 0 || round == iters)
-          ranks = ranks.localCheckpoint(true)
+          .localCheckpoint(true)
       }
       delta = delta.localCheckpoint(true)
       deltaEmpty = delta.isEmpty
       round += 1
     }
     adj.unpersist()
+    sc.setJobDescription(null)
     ranks
   }
 
