@@ -1460,8 +1460,16 @@ object Dedup {
     * (quadratic in the worst case, the measured sf10 wall). */
   def setSimJoinExact(hs: DataFrame, p: Int, q: Int,
       auditPred: Option[org.apache.spark.sql.Column] = None)
-      : DataFrame = {
-    require(p > 0 && q > 0 && p <= q, s"threshold $p/$q not in (0,1]")
+      : DataFrame =
+    setSimJoinOnRanked(hs, setSimRankedTokens(hs), p, q, auditPred)
+
+  /** The THRESHOLD-INDEPENDENT part of [[setSimJoinExact]]: per-doc
+    * exploded token rows with set size and the global-frequency-order
+    * rank rn. Factored out (round 12, guide §2.4) so q318's
+    * three-threshold sweep materializes this windowed census ONCE
+    * instead of re-deriving it per threshold — each threshold only
+    * re-filters the prefix bound. */
+  def setSimRankedTokens(hs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("edf"), col("h"))
     // len = size(hsd) travels with each exploded row — no census
@@ -1469,8 +1477,17 @@ object Dedup {
     val sh = hs.select(col("doc_id"), size(col("hsd")).as("len"),
       explode(col("hsd")).as("h"))
     val edf = sh.groupBy("h").agg(count(lit(1)).as("edf"))
-    val prefix = sh.join(edf, "h")
-      .withColumn("rn", row_number().over(w))
+    sh.join(edf, "h").withColumn("rn", row_number().over(w))
+  }
+
+  /** [[setSimJoinExact]] over a prebuilt [[setSimRankedTokens]]
+    * frame (`hs` is still needed for the exact array-intersect verify
+    * stage). */
+  def setSimJoinOnRanked(hs: DataFrame, ranked: DataFrame, p: Int, q: Int,
+      auditPred: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    require(p > 0 && q > 0 && p <= q, s"threshold $p/$q not in (0,1]")
+    val prefix = ranked
       // prefix length = len - ceil(p·len/q) + 1, all-integer ceil
       .filter(col("rn") <=
         col("len") - expr(s"($p * len + ${q - 1}) div $q") + 1)
@@ -2590,9 +2607,16 @@ object Dedup {
       .withColumn("sw_w", split(col("text"), " "))
       .filter(size(col("sw_w")) >= ShingleN)
       .select(col("doc_id"), expr(sparkShingleHashes).as("hsd"))
-      .cache()
+    // ONE ranked-token census for all three thresholds (round 12,
+    // guide §2.4): the exploded (doc_id, h, len, rn) frame is
+    // threshold-independent, so the sweep materializes it once —
+    // Σ tokens rows, linear in corpus size — and each τ re-filters
+    // only the prefix bound. Previously each τ re-derived the
+    // shingle pass, the df census, and the frequency-order window.
+    val ranked = setSimRankedTokens(hs).localCheckpoint(true)
+    val hsC = hs.cache() // verify stage joins the set frame per τ
     SweepThresholds.map { case (p, q) =>
-      setSimJoinExact(hs, p, q,
+      setSimJoinOnRanked(hsC, ranked, p, q,
           Some(col("doc_id") % PlantedOffset < SetSimAuditCap))
         .agg(count(lit(1)).as("n_pairs"))
         .select(lit(p.toLong).as("tau_p"), lit(q.toLong).as("tau_q"),
