@@ -1250,20 +1250,26 @@ object TextOps {
     * 30 SURVIVORS against the vocab-sized census (broadcast side =
     * top-k, never the census). */
   def q142Cooccurrence(s: SparkSession, dir: String): DataFrame = {
-    val pairsExpr =
-      s"""flatten(transform(sequence(1, size(tw) - 1),
-            co_i -> transform(
-              sequence(co_i + 1, least(co_i + $CoocWindow, size(tw))),
-              co_j -> struct(
-                least(element_at(tw, co_i), element_at(tw, co_j)) AS wa,
-                greatest(element_at(tw, co_i), element_at(tw, co_j))
-                  AS wb))))"""
+    // skip-gram pair generation as a concat of $CoocWindow distance-
+    // shifted arrays_zip slices (round 12, guide §4): the previous
+    // nested transform(sequence(...)) lambdas ran INTERPRETED (HOFs
+    // fall out of whole-stage codegen) and dispatched a lambda per
+    // generated pair. For each distance d ∈ [1, $CoocWindow],
+    // zip(tw[1..n−d], tw[1+d..n]) enumerates exactly the (i, i+d)
+    // pairs, so the union over d is the identical pair multiset; the
+    // least/greatest canonicalization moves AFTER the explode, where
+    // it is plain codegen. Same census, same released rows.
+    val shifted = (1 to CoocWindow).map(d =>
+      s"""arrays_zip(slice(tw, 1, greatest(size(tw) - $d, 0)),
+                     slice(tw, 1 + $d, greatest(size(tw) - $d, 0)))""")
+      .mkString("concat(", ", ", ")")
     val toks = t(s, dir, "documents")
       .select(split(col("text"), " ").as("tw"))
       .filter(size(col("tw")) >= 2)
     val census = toks
-      .select(explode(expr(pairsExpr)).as("p"))
-      .select(col("p.wa"), col("p.wb"))
+      .select(explode(expr(shifted)).as("p"))
+      .select(least(col("p.0"), col("p.1")).as("wa"),
+        greatest(col("p.0"), col("p.1")).as("wb"))
       .groupBy("wa", "wb").agg(count(lit(1)).as("n_pair"))
       .orderBy(col("n_pair").desc, col("wa"), col("wb"))
       .limit(CoocTopK)
