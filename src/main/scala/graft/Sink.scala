@@ -116,7 +116,15 @@ object Sink {
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(wh)) fs.delete(wh, true)
     }
-    df.write.mode(SaveMode.Overwrite)
+    // Pre-shuffle onto the bucket layout (round 12, guide §6):
+    // repartition(numBuckets, key) uses the same pmod(murmur3) hash as
+    // the bucket spec, so each writer task holds exactly one bucket
+    // and the table lands as numBuckets files. Without it every scan
+    // task wrote a file per bucket it touched (32 tasks × 16 buckets
+    // = 512 tiny files here; at warehouse scale the same pattern is
+    // the classic small-files bug). Table contents are identical.
+    df.repartition(numBuckets, df(key))
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .format("parquet")
