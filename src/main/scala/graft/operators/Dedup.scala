@@ -1016,6 +1016,8 @@ object Dedup {
     // the last several times) until planning itself OOMs — checkpointing
     // truncates the lineage to a materialized LogicalRDD each round,
     // which is the production discipline for iterative graph jobs too.
+    val sc = pairs.sparkSession.sparkContext
+    sc.setJobDescription("cc: init canon")
     var edges = canon(pairs.select(
       col("doc_id_1").as("u"), col("doc_id_2").as("v")))
       .localCheckpoint(true)
@@ -1023,6 +1025,7 @@ object Dedup {
     var stable = false
     var rounds = 0
     while (!stable && rounds < 30) {
+      sc.setJobDescription(s"cc: round ${rounds + 1}")
       val next = star(star(edges, large = true), large = false)
         .localCheckpoint(true)
       // canon() makes both sides distinct sets, so equal cardinality +
@@ -1036,6 +1039,7 @@ object Dedup {
       edgeCount = nextCount
       rounds += 1
     }
+    sc.setJobDescription(null)
     if (!stable)
       throw new IllegalStateException(
         "connectedComponentsStar did not converge in 30 rounds — " +
