@@ -138,20 +138,34 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","retried":$retriedJson,""" +
         s""""load_suspect":$suspectJson}"""
+    // Default output path is stamped with the core count and wall-clock
+    // so successive runs (the driver benches at two core counts) can't
+    // overwrite each other's full per-query map — round 12 lost the
+    // 32-core map to the 8-core run through the old fixed default.
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
     val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        s"bench_full_c${cpus}_$stamp.json"))
     java.nio.file.Files.write(out,
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The headline line (the full per-query map) goes FIRST: the
     // driver's parser reads the first JSON line of stdout, and round 8
     // recorded parsed=null because the {"query":...} progress lines
     // preceded it. The compact per-query lines still follow (they
-    // survive tail-truncation, round-5 lesson) and the full map is also
-    // written to bench_full.json.
+    // survive tail-truncation, round-5 lesson), and the headline line
+    // repeats as the LAST stdout line — round 12's driver recorded
+    // parsed=null from the first-line placement alone (r09–r11 it
+    // picked up the last JSON line), so the contract line now brackets
+    // the per-query stream at both ends. The full map is also written
+    // to the stamped output file above.
     println(line)
     results.foreach { case (k, v) =>
       println(s"""{"query":"$k","sec":$v}""")
     }
+    println(line)
     spark.stop()
   }
 }

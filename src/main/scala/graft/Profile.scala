@@ -45,6 +45,25 @@ object Profile {
       }
     })
 
+    // Listener events arrive asynchronously on the bus: drain it before
+    // reading (and before clearing) so trailing onJobEnd events can't be
+    // missed or attributed to the next query. waitUntilEmpty is
+    // private[spark], reached via reflection (diagnostic tool only).
+    def drainBus(): Unit = try {
+      val bus = spark.sparkContext.getClass
+        .getMethod("listenerBus").invoke(spark.sparkContext)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" &&
+          m.getParameterCount == 0)
+        .map(_.invoke(bus))
+        .getOrElse {
+          bus.getClass.getMethods
+            .find(m => m.getName == "waitUntilEmpty" &&
+              m.getParameterCount == 1)
+            .foreach(_.invoke(bus, java.lang.Long.valueOf(10000L)))
+        }
+    } catch { case _: Throwable => Thread.sleep(200) }
+
     val names = if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     // warmup pass (JIT + parquet footers), same as Bench
@@ -54,6 +73,7 @@ object Profile {
       spark.catalog.clearCache()
     }
     for (n <- names) {
+      drainBus() // flush the previous query's trailing events first
       jobs.clear()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(n)(spark, sfDir)
@@ -65,6 +85,7 @@ object Profile {
       df.write.format("noop").mode("overwrite").save()
       val tExec = (System.nanoTime() - t2) / 1e9
       spark.catalog.clearCache()
+      drainBus() // make sure this query's last onJobEnd has landed
       println(f"$n  total ${tBuild + tPlan + tExec}%.3f s " +
         f"(build $tBuild%.3f, plan $tPlan%.3f, exec $tExec%.3f, " +
         f"jobs ${jobs.size})")

@@ -49,6 +49,13 @@ case class GramMomentsAgg(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
+      // Width guard: getLong(i) on an UnsafeArrayData does NOT bounds-
+      // check, so a vector shorter than the declared width would read
+      // garbage words silently (the replaced element_at form returned
+      // null and skipped). Fail loudly instead.
+      require(arr.numElements() >= d,
+        s"gram_moments: input vector has ${arr.numElements()} elements, " +
+          s"declared width is $d")
       buf(0) += 1L
       var i = 0
       var idx = 1 + d

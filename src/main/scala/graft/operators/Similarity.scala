@@ -436,7 +436,13 @@ object Similarity {
     * n·2080 rows. */
   private def gramMomentsRow(vecs: DataFrame, vcol: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(vecs.sparkSession)
+    // n > 0 guard: a no-GROUP-BY TypedImperativeAggregate always emits
+    // one row, so an EMPTY relation would yield an all-zero buffer —
+    // the replaced explode+groupBy form (and the DuckDB oracles)
+    // return an empty result there, and q351/q450 would divide by
+    // zero. mb[1] is the row count; the filter is one row of work.
     vecs.agg(expr(s"gram_moments($vcol, $GramDims)").as("mb"))
+      .filter(expr("element_at(mb, 1) > 0"))
   }
 
   /** Upper-triangle (i, j, g) rows decoded from a [[gramMomentsRow]]

@@ -95,4 +95,42 @@ class GramMomentsSpec extends SparkSpec {
     val ref = x.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(row === ref, "single-row trajectory must be bit-identical")
   }
+
+  test("hand-computed d=3 fixture pins the buffer layout exactly") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    // three vectors, negative values included; one NULL vector row
+    // (skipped by the aggregate, like the element_at form it replaced)
+    val rows: Seq[Option[Seq[Long]]] = Seq(
+      Some(Seq(1L, -2L, 3L)), Some(Seq(0L, 4L, -1L)),
+      Some(Seq(-5L, 6L, 7L)), None)
+    val df = rows.toDF("mv")
+    val buf = df.agg(expr("gram_moments(mv, 3)")).collect()
+      .head.getSeq[Long](0)
+    // layout: [n, s0, s1, s2, g00, g01, g02, g11, g12, g22]
+    assert(buf === Seq(
+      3L,               // n (null row skipped)
+      -4L, 8L, 9L,      // sums: 1+0-5, -2+4+6, 3-1+7
+      26L,              // g00: 1 + 0 + 25
+      -32L,             // g01: -2 + 0 - 30
+      -32L,             // g02: 3 + 0 - 35
+      56L,              // g11: 4 + 16 + 36
+      32L,              // g12: -6 - 4 + 42
+      59L))             // g22: 9 + 1 + 49
+  }
+
+  test("a vector shorter than the declared width fails loudly") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val df = Seq(Seq(1L, 2L)).toDF("mv")
+    val e = intercept[Exception] {
+      df.agg(expr("gram_moments(mv, 3)")).collect()
+    }
+    // the guard's message survives Spark's exception wrapping
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("gram_moments")),
+      s"expected the width-guard message, got: $e")
+  }
 }
