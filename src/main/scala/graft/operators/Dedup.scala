@@ -745,11 +745,14 @@ object Dedup {
         (size(col("hsd1")) + size(col("hsd2")) -
           size(array_intersect(col("hsd1"), col("hsd2")))) * 9)
       .select("doc_id_1", "doc_id_2")
-    val a = q87VerifyCandidates(s, dir).select("doc_id_1", "doc_id_2")
-      .localCheckpoint(true)
-    val b = jaccardKept(q71SimhashHamming(s, dir)
-        .select("doc_id_1", "doc_id_2"))
-      .localCheckpoint(true)
+    // the two catch pipelines are INDEPENDENT: checkpoint them in
+    // flight together (guide §2.6) instead of paying q87's wall, then
+    // q71's — both consume the shared hs cache, whose racing first
+    // fill is idempotent
+    val Seq(a, b) = Par.checkpointAll(
+      q87VerifyCandidates(s, dir).select("doc_id_1", "doc_id_2"),
+      jaccardKept(q71SimhashHamming(s, dir)
+        .select("doc_id_1", "doc_id_2")))
     val n1F = a.agg(count(lit(1)).as("n1"))
     val n2F = b.agg(count(lit(1)).as("n2"))
     val mF = a.join(b, Seq("doc_id_1", "doc_id_2"))
@@ -1995,9 +1998,14 @@ object Dedup {
   def q139DedupEval(s: SparkSession, dir: String): DataFrame = {
     val keys = Seq("doc_id_1", "doc_id_2")
     def aud(c: String) = col(c) % PlantedOffset < SetSimAuditCap
-    val cand = q30DedupMinhashLsh(s, dir)
-      .filter(aud("doc_id_1") || aud("doc_id_2"))
-    val truth = q101SetSimJoin(s, dir).select(keys.map(col): _*)
+    // candidate (LSH) and truth (exact PPJoin) pipelines are
+    // independent and each feeds two consumers — materialize both in
+    // flight together (guide §2.6; the round-12 sequential-checkpoint
+    // attempt here lost to ReuseExchange, concurrent submission wins)
+    val Seq(cand, truth) = Par.checkpointAll(
+      q30DedupMinhashLsh(s, dir)
+        .filter(aud("doc_id_1") || aud("doc_id_2")),
+      q101SetSimJoin(s, dir).select(keys.map(col): _*))
     val nc = cand.agg(count(lit(1)).as("n_candidates"))
     val nt = truth.agg(count(lit(1)).as("n_truth"))
     val tp = cand.join(truth, keys, "left_semi")
@@ -2438,11 +2446,18 @@ object Dedup {
       // can't contain them
       .filter(col("doc_id_1") % PlantedOffset < lit(ContainmentAuditCap))
       .select("doc_id_1", "doc_id_2")
-    val truth = q110ContainmentJoin(s, dir)
-      .select("doc_id_1", "doc_id_2")
+    // truth (q110's exact machinery) and triage (the fingerprint path)
+    // are independent ~3 s pipelines consumed twice each (count +
+    // intersection) — materialize both in flight together (guide §2.6).
+    // Round 12 measured SEQUENTIAL eager checkpoints here slower than
+    // none (they serialized what ReuseExchange pipelined); concurrent
+    // submission is the form that wins: max-of-walls, not sum.
+    val Seq(truth, triage2) = Par.checkpointAll(
+      q110ContainmentJoin(s, dir).select("doc_id_1", "doc_id_2"),
+      triage)
     val nT = truth.agg(count(lit(1)).as("n_truth"))
-    val nG = triage.agg(count(lit(1)).as("n_triage"))
-    val nC = truth.join(triage, Seq("doc_id_1", "doc_id_2"), "left_semi")
+    val nG = triage2.agg(count(lit(1)).as("n_triage"))
+    val nC = truth.join(triage2, Seq("doc_id_1", "doc_id_2"), "left_semi")
       .agg(count(lit(1)).as("n_captured"))
     nT.crossJoin(nG).crossJoin(nC)
       .select(col("n_truth"), col("n_triage"), col("n_captured"),
