@@ -1021,22 +1021,25 @@ object Dedup {
     // which is the production discipline for iterative graph jobs too.
     val sc = pairs.sparkSession.sparkContext
     sc.setJobDescription("cc: init canon")
-    var edges = canon(pairs.select(
-      col("doc_id_1").as("u"), col("doc_id_2").as("v")))
-      .localCheckpoint(true)
-    var edgeCount = edges.count()
+    // the eager checkpoint's materialization IS a count —
+    // EagerCount returns it, saving one driver round-trip per
+    // checkpoint (the loop runs ~6 per query, all tiny frames whose
+    // cost is pure scheduling)
+    var (edges, edgeCount) = org.apache.spark.sql.graft.EagerCount
+      .localCheckpointWithCount(canon(pairs.select(
+        col("doc_id_1").as("u"), col("doc_id_2").as("v"))))
     var stable = false
     var rounds = 0
     while (!stable && rounds < 30) {
       sc.setJobDescription(s"cc: round ${rounds + 1}")
-      val next = star(star(edges, large = true), large = false)
-        .localCheckpoint(true)
+      val (next, nextCount) = org.apache.spark.sql.graft.EagerCount
+        .localCheckpointWithCount(
+          star(star(edges, large = true), large = false))
       // canon() makes both sides distinct sets, so equal cardinality +
       // one-directional containment proves equality — one exceptAll job
-      // per round instead of two (the count on a just-checkpointed frame
-      // is nearly free), and the count check short-circuits the
-      // containment job on every non-final round
-      val nextCount = next.count()
+      // per round (the count rides the checkpoint job itself), and the
+      // count check short-circuits the containment job on every
+      // non-final round
       stable = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
       edgeCount = nextCount
