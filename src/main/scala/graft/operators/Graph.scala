@@ -422,12 +422,28 @@ object Graph {
       .join(active.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(active.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .groupBy("src").agg(count(lit(1)).as("deg"))
-    var active = bi.select(col("src").as("id")).distinct()
-    for (round <- 1 to rounds) {
-      active = activeDegrees(active)
-        .filter(col("deg") >= k).select(col("src").as("id"))
-      if (round % 3 == 0 || round == rounds)
-        active = active.localCheckpoint(true)
+    // Early fixed-point exit (round 13): the active set SHRINKS
+    // monotonically (a round-t+1 survivor needs an active edge, so it
+    // was active at t), hence equal cardinality across a round proves
+    // the set is unchanged — and an unchanged set makes every later
+    // round the identity, so exiting early returns EXACTLY the
+    // declared `rounds`-round result. EagerCount folds the cardinality
+    // into each round's checkpoint job; on converged graphs this turns
+    // `rounds` lazy-chained peels into the 2-4 that do work — the same
+    // saving at 100 TB, where each skipped round is a real pass.
+    var (active, activeCnt) = org.apache.spark.sql.graft.EagerCount
+      .localCheckpointWithCount(
+        bi.select(col("src").as("id")).distinct())
+    var round = 1
+    var fixed = false
+    while (round <= rounds && !fixed) {
+      val (nextActive, nextCnt) = org.apache.spark.sql.graft.EagerCount
+        .localCheckpointWithCount(activeDegrees(active)
+          .filter(col("deg") >= k).select(col("src").as("id")))
+      fixed = nextCnt == activeCnt
+      active = nextActive
+      activeCnt = nextCnt
+      round += 1
     }
     val core = activeDegrees(active)
       .select(col("src").as("id"), col("deg").cast("bigint").as("core_deg"))
@@ -810,11 +826,12 @@ object Graph {
       .localCheckpoint(true)
     var ranks = nodeBase.select(col("id"), col("r0").as("rank_scaled"))
     // Δ₀ versus a virtual all-zero prior: f(0) = 0, so old_r = 0 makes
-    // round 1's delta sum equal the full Σ f(R₀) — only seeds qualify
-    var delta = nodeBase.filter(col("r0") =!= 0L)
-      .select(col("id"), lit(0L).as("old_r"), col("r0").as("new_r"))
-      .localCheckpoint(true)
-    var deltaEmpty = delta.isEmpty
+    // round 1's delta sum equal the full Σ f(R₀) — only seeds qualify.
+    // EagerCount folds the emptiness check into the checkpoint job.
+    var (delta, deltaCnt) = org.apache.spark.sql.graft.EagerCount
+      .localCheckpointWithCount(nodeBase.filter(col("r0") =!= 0L)
+        .select(col("id"), lit(0L).as("old_r"), col("r0").as("new_r")))
+    var deltaEmpty = deltaCnt == 0L
     var round = 1
     while (round <= iters && !deltaEmpty) {
       sc.setJobDescription(s"ppr: round $round")
@@ -842,10 +859,15 @@ object Graph {
             (col("sb") + coalesce(col("dm"), lit(0L)))
               .as("rank_scaled"))
           .localCheckpoint(true)
+        // delta stays LAZY over the checkpointed r1: it is consumed
+        // exactly once (next round's dm join) and its lineage is one
+        // filter over a materialized RDD — a separate checkpoint job
+        // bought nothing (round 13; values unchanged)
         delta = r1.filter(col("rank_scaled") =!= col("r0"))
           .select(col("id"), col("r0").as("old_r"),
             col("rank_scaled").as("new_r"))
         ranks = r1.select(col("id"), col("rank_scaled"))
+        deltaEmpty = delta.isEmpty
       } else {
         // rounds ≥ 2: R_{t+1} − R_t = dm exactly, so the nonzero-dm
         // rows ARE the next delta — derived from the (small) dm frame
@@ -859,7 +881,14 @@ object Graph {
         // (round 4 cost 4.9 s of the query's 10.5 s). ranks is |V|
         // rows of two longs — the materialization is noise; values
         // are unchanged.
-        val dmC = dm.localCheckpoint(true)
+        // EagerCount rides the dm checkpoint: |delta| == |dmC| exactly
+        // (inner join on ranks hits every dm id), so the emptiness
+        // check costs no extra job; delta itself stays LAZY — it is one
+        // broadcast join over two materialized RDDs, consumed once by
+        // the next round's dm join (round 13: the per-round delta
+        // checkpoint + isEmpty pair removed, values unchanged)
+        val (dmC, dmCnt) = org.apache.spark.sql.graft.EagerCount
+          .localCheckpointWithCount(dm)
         delta = dmC.join(ranks, Seq("id"))
           .select(col("id"), col("rank_scaled").as("old_r"),
             (col("rank_scaled") + col("dm")).as("new_r"))
@@ -868,9 +897,8 @@ object Graph {
             (col("rank_scaled") + coalesce(col("dm"), lit(0L)))
               .as("rank_scaled"))
           .localCheckpoint(true)
+        deltaEmpty = dmCnt == 0L
       }
-      delta = delta.localCheckpoint(true)
-      deltaEmpty = delta.isEmpty
       round += 1
     }
     adj.unpersist()

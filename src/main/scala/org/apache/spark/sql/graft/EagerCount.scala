@@ -31,8 +31,13 @@ object EagerCount {
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
     val cnt = rdd.count()
+    // fromDataset carries the source plan's partitioning, ordering,
+    // stats and constraints into the scan node, exactly like
+    // Dataset.localCheckpoint — without it the wrapped RDD defaults to
+    // defaultSizeInBytes and the planner downgrades downstream
+    // broadcast joins to sort-merge
     val out = Dataset.ofRows(spark,
-      LogicalRDD(ds.queryExecution.analyzed.output, rdd)(spark))
+      LogicalRDD.fromDataset(rdd, ds, isStreaming = false).newInstance())
     (out.toDF(), cnt)
   }
 }
