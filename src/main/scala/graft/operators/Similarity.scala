@@ -2446,12 +2446,17 @@ object Similarity {
   }
 
   /** In-row matvec: y_i = Σ_j g[i][j]·x[j] (same integer sum as the
-    * old sym⋈x groupBy, fixed j-order — exact either way). */
-  private def matvecExpr(d: Int): String =
+    * old sym⋈x groupBy, fixed j-order — exact either way). `xRef` is
+    * the expression standing for the current iterate (the column name
+    * for a materialized state, a nested round expression in the
+    * chained form below). */
+  private def matvecExprOn(d: Int, xRef: String): String =
     s"""transform(sequence(0, ${d - 1}), mv_i ->
-        aggregate(zip_with(element_at(g, mv_i + 1), x,
+        aggregate(zip_with(element_at(g, mv_i + 1), $xRef,
             (mv_g, mv_x) -> mv_g * mv_x),
           0L, (mv_acc, mv_v) -> mv_acc + mv_v))"""
+
+  private def matvecExpr(d: Int): String = matvecExprOn(d, "x")
 
   def q351PowerIteration(s: SparkSession, dir: String): DataFrame =
     powerIterate(powerStateRow(s, dir))
@@ -2461,7 +2466,19 @@ object Similarity {
   /** [[q351PowerIteration]]'s fixed-point loop over the single-row
     * state ([[powerStateRow]]). Checkpoint EVERY round, as before:
     * it truncates the lineage so the plan stays round-sized, and on a
-    * 1-row frame the materialization is one ~40 ms job. */
+    * 1-row frame the materialization is one ~40 ms job.
+    *
+    * Round-13 measured anti-lesson (the round-12 deferred "chain all
+    * 16 matvecs into one projection" item): chaining rounds as nested
+    * single-reference lambda expressions (y let-bound through
+    * transform(array(y), ...)) keeps the expression LINEAR in size,
+    * but Catalyst's cost is not — at 16 nested rounds the analyzer
+    * trips its 100-iteration Resolution cap, at 4 rounds per Project
+    * planning hangs outright (>2 min at sf0.001), and at 2 rounds per
+    * Project the planning tax already exceeds the saved checkpoint
+    * jobs (q351 0.99 → 1.17 s, q450 0.87 → 1.24 s at sf0.1/32c).
+    * Nested HOF lambdas are super-linearly expensive to resolve and
+    * optimize; the per-round checkpoint loop is the fast form. */
   private def powerIterate(row0: DataFrame): DataFrame = {
     val d = GramDims
     var row = row0

@@ -2689,15 +2689,23 @@ object TextOps {
     // (toDF after the checkpoint re-aliases with fresh attribute ids —
     // a LogicalRDD keeps its parent plan's ids, which would collide
     // with the skeleton branch of the pair join below)
-    val lens = docs.select(col("doc_id"),
-      size(col("w")).cast("bigint").as("n1"),
-      greatest(size(col("w")) - 1, lit(0)).cast("bigint").as("n2"))
-      .localCheckpoint(true).toDF("doc_id", "n1", "n2")
-    def census(column: String, out: String) = docs
+    def censusPlan(column: String) = docs
       .select(col("doc_id"), explode(col(column)).as("g"))
       .groupBy("doc_id", "g")
-      .agg(count(lit(1)).as(out))
-      .localCheckpoint(true).toDF("doc_id", "g", out)
+      .agg(count(lit(1)).as("ca"))
+    // the two censuses and the length frame are independent — one
+    // concurrent materialization (guide §2.6, round 13) instead of
+    // three sequential walls
+    val Seq(lens0, cw0, cbg0) = Par.checkpointAll(
+      docs.select(col("doc_id"),
+        size(col("w")).cast("bigint").as("n1"),
+        greatest(size(col("w")) - 1, lit(0)).cast("bigint").as("n2")),
+      censusPlan("w"), censusPlan("bg"))
+    val lens = lens0.toDF("doc_id", "n1", "n2")
+    val censuses = Map("w" -> cw0.toDF("doc_id", "g", "ca"),
+      "bg" -> cbg0.toDF("doc_id", "g", "ca"))
+    def census(column: String, out: String) =
+      censuses(column).withColumnRenamed("ca", out)
     def overlap(c: DataFrame, out: String) = {
       val cb = c.select((col("doc_id") - 20).as("doc_id"),
         col("g"), col("ca").as("cb"))
