@@ -303,6 +303,166 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Space-joined adjacent n-gram STRINGS of a token array in one native
+  * pass: `gram_strings(ws, n)` ≡
+  * `transform(sequence(1, size(ws) - n + 1), i ->
+  *    concat_ws(' ', ws[i], .., ws[i + n - 1]))` — the generator shape
+  * behind the bigram/trigram census queries (q72, q144, q346). The HOF
+  * form runs INTERPRETED (one lambda dispatch per gram, plus a
+  * sequence() array allocation per row); this expression builds each
+  * gram with one UTF8String.concatWs inside whole-stage codegen.
+  * Byte-identical output: concatWs(' ', a, b) == concat(a, ' ', b). */
+case class GramStrings(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 2, "gram width must be >= 2")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"gram_strings expects array<string>, got ${other.catalogString}")
+    }
+
+  private lazy val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements() - n + 1
+    if (m <= 0) {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    } else {
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        val parts = new Array[UTF8String](n)
+        var k = 0
+        while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+        out(i) = UTF8String.concatWs(space, parts: _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val spaceRef = ctx.addReferenceObj("gsSpace", space,
+      classOf[UTF8String].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val parts = (0 until n)
+        .map(k => s"$arr.getUTF8String($i + $k)").mkString(", ")
+      s"""
+         |int $m = $arr.numElements() - $n + 1;
+         |if ($m < 0) $m = 0;
+         |Object[] $out = new Object[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $out[$i] = org.apache.spark.unsafe.types.UTF8String
+         |    .concatWs($spaceRef, $parts);
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): GramStrings =
+    copy(child = c)
+}
+
+/** Adjacent token PAIRS of a token array as structs, one native pass:
+  * `adjacent_pairs(ws)` ≡
+  * `transform(sequence(1, size(ws) - 1), i ->
+  *    struct(ws[i] AS w1, ws[i + 1] AS w2))` — the shared generator
+  * behind the bigram-census operators (q214, q337/q340/q341, the q347
+  * micro-batch census, q348). Replaces the interpreted HOF with a
+  * codegen'd loop; each token is cloned once off its source buffer so
+  * the emitted structs own their bytes regardless of how the consumer
+  * buffers them. */
+case class AdjacentPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w1", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("w2", StringType,
+        nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"adjacent_pairs expects array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements() - 1
+    if (m <= 0) {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    } else {
+      val out = new Array[Any](m)
+      var prev = arr.getUTF8String(0).clone()
+      var i = 0
+      while (i < m) {
+        val next = arr.getUTF8String(i + 1).clone()
+        out(i) =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](prev, next))
+        prev = next
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val prev = ctx.freshName("prev")
+      val next = ctx.freshName("next")
+      s"""
+         |int $m = $arr.numElements() - 1;
+         |if ($m < 0) $m = 0;
+         |Object[] $out = new Object[$m];
+         |org.apache.spark.unsafe.types.UTF8String $prev =
+         |  $m > 0 ? $arr.getUTF8String(0).clone() : null;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $next =
+         |    $arr.getUTF8String($i + 1).clone();
+         |  $out[$i] =
+         |    new org.apache.spark.sql.catalyst.expressions
+         |      .GenericInternalRow(new Object[] { $prev, $next });
+         |  $prev = $next;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): AdjacentPairs =
+    copy(child = c)
+}
+
 /** Winnowing fingerprint selection (Schleimer et al. 2003) over an array
   * of k-gram hashes in ONE pass: for every window of `w` consecutive
   * hashes keep the minimum packed key `h(i)·posBase + (posBase-1-i)`
@@ -510,6 +670,12 @@ object GraftFunctions {
       "shingle_hashes", exprs => ShingleHashes(
         exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "gram_strings", exprs => GramStrings(
+        exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "adjacent_pairs", exprs => AdjacentPairs(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "winnow_keys", exprs => WinnowKeys(
         exprs(0),

@@ -211,12 +211,13 @@ object TextOps {
       .select(col("doc_id"), explode(col("ws")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("top_token_n"))
+    graft.functions.GraftFunctions.registerAll(s)
     val topBi = docs
       .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(ws) - 1),
-           bg_i -> concat_ws(' ', element_at(ws, bg_i),
-                             element_at(ws, bg_i + 1)))""")).as("bg"))
+      // native codegen gram generator (round 13, guide §4) — the
+      // transform(sequence(...), concat_ws(...)) lambda ran interpreted
+      .select(col("doc_id"),
+        explode(expr("gram_strings(ws, 2)")).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("top_bigram_n"))
     base
@@ -1342,10 +1343,10 @@ object TextOps {
     val toks = t(s, dir, "documents")
       .select(split(col("text"), " ").as("tw"))
       .filter(size(col("tw")) >= 2)
-      .select(explode(expr(
-        """transform(sequence(1, size(tw) - 1),
-             cm_i -> concat(element_at(tw, cm_i), ' ',
-                            element_at(tw, cm_i + 1)))""")).as("w"))
+      // native codegen gram generator (round 13, guide §4);
+      // concatWs(' ', a, b) is byte-identical to concat(a, ' ', b), so
+      // the poly_hash sketch keys are unchanged
+      .select(explode(expr("gram_strings(tw, 2)")).as("w"))
     val sketch = toks
       .withColumn("h", expr("poly_hash(w)"))
       .select(explode(array((0 until CmDepth).map(d =>
@@ -1422,13 +1423,12 @@ object TextOps {
     * count (vocabulary-bounded, the q137 state argument). The frame is
     * checkpointed once for its three consumers (q177 discipline). */
   def q214BigramLmScore(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     val big = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(ws) - 1),
-           i -> struct(element_at(ws, i) AS w1,
-                       element_at(ws, i + 1) AS w2))""")).as("b"))
+      // native codegen pair generator (round 13, guide §4)
+      .select(col("doc_id"), explode(expr("adjacent_pairs(ws)")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       // three consumers (two censuses + the scoring join): materialize
       // once, race-free
@@ -1781,20 +1781,24 @@ object TextOps {
     * shared generator for q337/q340/q341 (q214's in-row transform shape:
     * no self-join, no shuffle; bigrams never leave the row until the
     * census groupBy). */
-  private def adjacentBigrams(s: SparkSession, dir: String): DataFrame =
+  private def adjacentBigrams(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     adjacentBigramsOf(t(s, dir, "documents"))
+  }
 
   /** [[adjacentBigrams]] over an arbitrary (…, text) frame — shared
     * with q347's per-micro-batch census. */
-  private[graft] def adjacentBigramsOf(docs: DataFrame): DataFrame =
+  private[graft] def adjacentBigramsOf(docs: DataFrame): DataFrame = {
+    // callers register the function set ONCE (a streaming consumer
+    // invokes this per micro-batch — re-registering there is overhead)
     docs
       .select(split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
-      .select(explode(expr(
-        """transform(sequence(1, size(ws) - 1),
-           i -> struct(element_at(ws, i) AS w1,
-                       element_at(ws, i + 1) AS w2))""")).as("b"))
+      // native codegen pair generator (round 13, guide §4) — the
+      // transform(sequence(...), struct(...)) lambda ran interpreted
+      .select(explode(expr("adjacent_pairs(ws)")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+  }
 
   /** DuckDB twin of [[adjacentBigrams]]: CTEs `d` (tokenized docs) and
     * `bb` (one row per adjacency). */
@@ -2145,12 +2149,11 @@ object TextOps {
       .select(expr(s"doc_id * $GrowthBuckets div nd").as("b"),
         split(col("text"), " ").as("ws"))
       .localCheckpoint(true)
+    graft.functions.GraftFunctions.registerAll(s)
     val firstB = toks
       .filter(size(col("ws")) >= 3)
-      .select(col("b"), explode(expr(
-        """transform(sequence(1, size(ws) - 2),
-           i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
-                          element_at(ws, i + 2)))""")).as("g"))
+      // native codegen trigram generator (round 13, guide §4)
+      .select(col("b"), explode(expr("gram_strings(ws, 3)")).as("g"))
       .groupBy("g").agg(min("b").as("fb"))
       .groupBy("fb").agg(count(lit(1)).as("new_types"))
     val tokCnt = toks.groupBy("b")

@@ -1661,6 +1661,7 @@ object EventStream {
       maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.registerAll(s)
     val T = graft.operators.TextOps
     var counts = Seq.empty[(String, String, Long)]
       .toDF("w1", "w2", "c12")

@@ -176,4 +176,49 @@ class ExpressionEdgeSpec extends SparkSpec {
         s"Math.sqrt($x) not correctly rounded?!")
     }
   }
+
+  test("gram_strings equals the transform+concat_ws lambda form") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val texts = Seq("a b c d e", "x y", "lone", "", "p q r").toDF("t")
+      .selectExpr("split(t, ' ') AS ws")
+    for (n <- Seq(2, 3)) {
+      // the production sites guard size(ws) >= n before the lambda
+      // (sequence(1, 0) DESCENDS, so the unguarded HOF throws)
+      val guarded = texts.where(s"size(ws) >= $n")
+      val native = guarded.selectExpr(s"gram_strings(ws, $n) AS g")
+        .collect().map(_.getSeq[String](0))
+      val hof = guarded.selectExpr(
+        s"""transform(sequence(1, size(ws) - ${n - 1}),
+            i -> concat_ws(' ', ${(0 until n)
+              .map(k => s"element_at(ws, i + $k)").mkString(", ")}))
+            AS g""")
+        .collect().map(_.getSeq[String](0))
+      assert(native.toSeq.map(_.toList) === hof.toSeq.map(_.toList),
+        s"n=$n")
+    }
+    // short arrays produce no grams; null propagates
+    assert(one("gram_strings(array('a'), 2)").getSeq[String](0).isEmpty)
+    assert(one("gram_strings(CAST(NULL AS ARRAY<STRING>), 2)").isNullAt(0))
+  }
+
+  test("adjacent_pairs equals the transform+struct lambda form") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val texts = Seq("a b c d", "x y", "lone", "").toDF("t")
+      .selectExpr("split(t, ' ') AS ws")
+    val native = texts
+      .selectExpr("explode(adjacent_pairs(ws)) AS b")
+      .selectExpr("b.w1", "b.w2")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val hof = texts.where("size(ws) >= 2") // production guard; see above
+      .selectExpr(
+        """explode(transform(sequence(1, size(ws) - 1),
+           i -> struct(element_at(ws, i) AS w1,
+                       element_at(ws, i + 1) AS w2))) AS b""")
+      .selectExpr("b.w1", "b.w2")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(native === hof) // native emits nothing for short rows
+    assert(one("adjacent_pairs(CAST(NULL AS ARRAY<STRING>))").isNullAt(0))
+  }
 }
